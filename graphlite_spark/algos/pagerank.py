@@ -1,0 +1,94 @@
+"""PageRank with the reference's exact semantics.
+
+Parity target: GraphLite-0.20/example/PageRankVertex.cc:145-172 —
+
+* superstep 0: ``val = 1.0``; no aggregator accumulation; send
+  ``val / out_degree`` to every out-neighbor.
+* superstep >= 1: sum incoming messages; ``val = 0.15 + 0.85 * sum``
+  (unnormalized — no 1/N term anywhere); accumulate ``|old - new|`` into
+  sum-aggregator 0; send ``val / out_degree``.
+* superstep >= 2: *before* computing, if the global aggregator (the
+  Σ|Δ| merged from the previous superstep) is ``< EPS = 1e-6``
+  (PageRankVertex.cc:37), vote to halt and return — value unchanged,
+  nothing sent.  All vertices see the same global, so they all halt in the
+  same superstep and the master's ``act==0 && sent==0`` test
+  (Master.cc:429-431) ends the run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphlite_spark.operators.pregel import PregelAlgorithm, PregelEngine, PregelResult
+
+EPS = 1e-6  # example/PageRankVertex.cc:37
+
+
+class PageRank(PregelAlgorithm):
+    name = "pagerank"
+    value_type = "double"
+    combine_expr = staticmethod(F.sum)
+    aggr_init = {"sum_delta": 0.0}
+
+    def __init__(self, eps: float = EPS, max_supersteps: int = 200,
+                 fixed_supersteps: int | None = None):
+        """``fixed_supersteps`` disables convergence halting and runs
+        exactly that many supersteps (used for the SQL-oracle parity
+        queries, where the oracle unrolls a fixed iteration count)."""
+        self.eps = eps
+        self.max_supersteps = max_supersteps
+        self.fixed = fixed_supersteps
+        if fixed_supersteps is not None:
+            self.max_supersteps = fixed_supersteps
+
+    def _halted_branch(self, superstep: int, aggr: dict[str, float]) -> bool:
+        # the voteToHalt()-and-return branch (PageRankVertex.cc:152-157):
+        # taken at ss>=2 when the global Σ|Δ| from ss-1 dropped below eps.
+        if self.fixed is not None:
+            return False
+        return superstep >= 2 and aggr["sum_delta"] < self.eps
+
+    def update_value(self, superstep: int, aggr: dict[str, float]) -> Column:
+        if superstep == 0:
+            return F.lit(1.0)
+        if self._halted_branch(superstep, aggr):
+            return F.col("value")  # early return: value untouched
+        return F.lit(0.15) + F.lit(0.85) * F.coalesce(F.col("msg"), F.lit(0.0))
+
+    def update_send(self, superstep: int, aggr: dict[str, float]) -> Column:
+        return F.lit(not self._halted_branch(superstep, aggr))
+
+    def update_halt(self, superstep: int, aggr: dict[str, float]) -> Column:
+        return F.lit(self._halted_branch(superstep, aggr))
+
+    def message(self, superstep: int, aggr: dict[str, float]) -> Column:
+        return F.col("value") / F.col("out_degree")
+
+    def aggregators(self, superstep: int, aggr: dict[str, float]) -> dict[str, Column]:
+        if superstep == 0 or self._halted_branch(superstep, aggr):
+            # ss0 never accumulates (PageRankVertex.cc:149-150 path);
+            # the halted branch returns before accumulating.
+            return {"sum_delta": F.lit(0.0)}
+        return {
+            "sum_delta": F.when(
+                F.col("participate"), F.abs(F.col("old_value") - F.col("value"))
+            ).otherwise(F.lit(0.0))
+        }
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    eps: float = EPS,
+    max_supersteps: int = 200,
+    fixed_supersteps: int | None = None,
+    num_partitions: int | None = None,
+    checkpointer=None,
+    run_id: str = "pagerank",
+) -> PregelResult:
+    algo = PageRank(eps=eps, max_supersteps=max_supersteps,
+                    fixed_supersteps=fixed_supersteps)
+    eng = PregelEngine(num_partitions=num_partitions, checkpointer=checkpointer,
+                       run_id=run_id)
+    return eng.run(vertices, edges, algo)

@@ -1,0 +1,111 @@
+"""Triangle counting — join-composed, not message-passing.
+
+Built-in named by the north rule (absent from the reference).  Triangles
+are counted on the undirected, de-duplicated, self-loop-free closure of the
+edge set; each triangle counts once.
+
+Two orientations are provided:
+
+* ``orient="id"`` — orient every undirected edge low-id -> high-id, then
+  count paths a->b, a->c (b<c) closed by b->c.  Simple, and exactly what
+  the DuckDB oracle SQL does.
+* ``orient="degree"`` — orient by (degree, id) order (each edge points from
+  the lower-degree endpoint to the higher).  This bounds per-vertex join
+  fan-out by O(sqrt(E)) arboricity-style, which is what survives hub skew
+  at 100 TB (SURVEY.md §7.3.5).  Results are identical; tests assert so.
+
+The two self-joins shuffle on the path vertex then on the closing edge;
+AQE's skew-join splitting handles residual hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Distinct undirected pairs as (lo, hi), self-loops removed."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def _oriented(edges: DataFrame, orient: str) -> DataFrame:
+    und = _undirected(edges)
+    if orient == "id":
+        return und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    if orient != "degree":
+        raise ValueError(f"unknown orientation {orient!r}")
+    # degree over the undirected graph
+    deg = (
+        und.select(F.col("lo").alias("v"))
+        .unionByName(und.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d1 = deg.select(F.col("v").alias("lo"), F.col("deg").alias("dlo"))
+    d2 = deg.select(F.col("v").alias("hi"), F.col("deg").alias("dhi"))
+    j = und.join(d1, "lo").join(d2, "hi")
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    return j.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("a"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("b"),
+        F.when(lo_first, F.col("dlo")).otherwise(F.col("dhi")).alias("da"),
+        F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("db"),
+    )
+
+
+def _triangle_rows(edges: DataFrame, orient: str) -> DataFrame:
+    """One row (x, y, z) per triangle."""
+    o = _oriented(edges, orient)
+    if orient == "id":
+        e1 = o.select(F.col("a"), F.col("b").alias("x"))
+        e2 = o.select(F.col("a"), F.col("b").alias("y"))
+        wedges = e1.join(e2, "a").where(F.col("x") < F.col("y"))
+        closing = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        return wedges.join(closing, ["x", "y"]).select(
+            F.col("a").alias("v1"), F.col("x").alias("v2"), F.col("y").alias("v3")
+        )
+    # degree orientation: wedge at the (deg,id)-smallest vertex; the closing
+    # edge's direction follows the same total order, carried via (db, b).
+    e1 = o.select("a", F.col("b").alias("x"), F.col("db").alias("dx"))
+    e2 = o.select("a", F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = e1.join(e2, "a").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    return wedges.join(closing, ["x", "y"]).select(
+        F.col("a").alias("v1"), F.col("x").alias("v2"), F.col("y").alias("v3")
+    )
+
+
+def triangle_count(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """Global triangle count: one row, column ``triangles``."""
+    return _triangle_rows(edges, orient).agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
+
+
+def triangle_count_per_vertex(
+    vertices: DataFrame, edges: DataFrame, orient: str = "degree"
+) -> DataFrame:
+    """(id, count) — triangles through each vertex; 0 for none."""
+    tri = _triangle_rows(edges, orient)
+    exploded = (
+        tri.select(F.explode(F.array("v1", "v2", "v3")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+    return (
+        vertices.select("id")
+        .join(exploded, "id", "left")
+        .select("id", F.coalesce("count", F.lit(0)).cast("long").alias("count"))
+    )

@@ -1,0 +1,308 @@
+"""Pregel-style BSP superstep driver on pyspark.sql DataFrames.
+
+Reimagines GraphLite's master/worker BSP machinery (~3,000 LoC of C++
+sockets/protobuf/pthreads in GraphLite-0.20/engine/{Master,Worker,Sender,
+Receiver}.cc) as a driver-side loop over declarative DataFrame passes:
+
+====================  =====================================================
+GraphLite concept      Spark realization here
+====================  =====================================================
+superstep barrier      one Spark action per superstep (job completion IS
+                       the barrier; Worker.cc:789-931, Master.cc:390-455)
+message shuffle        ``messages.groupBy("dst")`` — Spark's sort shuffle
+                       (Sender.cc/Receiver.cc collapse to nothing)
+message combining      ``groupBy("dst").agg(...)`` partial+final hash agg;
+                       the map-side partial agg IS a Pregel combiner (the
+                       reference ships none — Worker.cc:416-576 delivers
+                       raw messages; we improve on it, per the north rule)
+vote-to-halt           Boolean ``active`` column; a received message
+                       reactivates (Node.cc:56-62,85-88)
+global aggregator      single ``.agg(...)`` action per superstep collected
+                       to the driver, re-broadcast as literals next pass
+                       (AggregatorBase.h:44-84, Master.cc:354-359)
+termination            user predicate OR (active==0 AND sent==0)
+                       (Master.cc:429-431)
+hash partitioning      ``repartition(P, "id"/"src")`` — Node.cc:104's
+                       ``vid % workers`` becomes Spark hash partitioning
+checkpoint/resume      per-superstep lineage truncation + durable parquet
+                       manifests (the reference has none — a worker crash
+                       kills the run; north rule requires resume)
+====================  =====================================================
+
+One Spark **action** per superstep: the stats aggregate over the updated
+state (active count, sent count, user aggregators in a single pass).  The
+scatter (state ⋈ edges) is left lazy — it executes as the *input* stage of
+the next superstep's combine, so no superstep pays for materializing raw
+messages.  ``sent`` is computed as Σ out_degree over sending vertices,
+which is exact for broadcast-to-all-neighbors algorithms (the only send
+primitive the reference's shipped algorithm uses,
+example/PageRankVertex.cc:169-170).
+
+Iterative lineage growth (SURVEY.md §7.3.1 — the one problem the reference
+never had) is cut every superstep via ``localCheckpoint`` or a durable
+parquet round-trip (see :mod:`graphlite_spark.checkpoint`).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SuperstepMetrics:
+    """Per-superstep counters, mirroring WM.curss_finish.proto:10-19."""
+
+    superstep: int
+    active: int
+    sent: int
+    wall_ms: float
+    aggregates: dict[str, float] = field(default_factory=dict)
+
+
+@dataclass
+class PregelResult:
+    state: DataFrame          # (id, value, out_degree, active)
+    metrics: list[SuperstepMetrics]
+    supersteps: int           # number of supersteps executed (0-based last + 1)
+    converged: bool
+
+
+class PregelAlgorithm:
+    """Vertex-program contract — the Spark analogue of the ``dlopen``'d user
+    program surface (include/Vertex.h:122-258, include/Graph.h:147-149).
+
+    Subclasses provide *expressions*, not per-row callables, so every
+    superstep stays inside whole-stage codegen; no Python runs per row.
+
+    Column vocabulary available to ``update_*`` expressions:
+      ``id, value`` (old), ``out_degree, msg`` (combined inbox, null if no
+      message), ``has_msg`` (bool).  ``aggr`` is the dict of global
+      aggregator values merged from the *previous* superstep (the exact
+      timeline of Worker.cc:729-731 / Master.cc:417 — see SURVEY.md §7.3.2).
+    """
+
+    name: str = "algorithm"
+    value_type: str = "double"
+    max_supersteps: int = 200
+    #: initial global aggregator values (master-side init, Master.cc:417)
+    aggr_init: dict[str, float] = {}
+
+    # -- state initialization -------------------------------------------
+    def init_value(self) -> Column:
+        """Initial vertex value; reference zeroes the node array
+        (Worker.cc:342-355).  Columns available: id, out_degree."""
+        return F.lit(0.0)
+
+    # -- compute (one superstep, vectorized) ----------------------------
+    def update_value(self, superstep: int, aggr: dict[str, float]) -> Column:
+        raise NotImplementedError
+
+    def update_send(self, superstep: int, aggr: dict[str, float]) -> Column:
+        """Whether a participating vertex sends to its out-neighbors."""
+        return F.lit(True)
+
+    def update_halt(self, superstep: int, aggr: dict[str, float]) -> Column:
+        """voteToHalt decision (include/Vertex.h:185-187).  True = halt."""
+        return F.lit(False)
+
+    # -- messaging -------------------------------------------------------
+    def message(self, superstep: int, aggr: dict[str, float]) -> Column:
+        """Per-edge message value; columns: value (NEW vertex value),
+        out_degree, weight (sendMessageToAllNeighbors, Node.cc:139-145)."""
+        raise NotImplementedError
+
+    def combine(self, msgs: DataFrame) -> DataFrame:
+        """(dst, msg) -> one combined (dst, msg) row per dst.
+
+        Default: commutative+associative aggregate expression — Spark's
+        partial+final agg gives map-side combining for free.  Override for
+        non-expression combines (e.g. LPA's mode) — must stay JVM-side.
+        """
+        return msgs.groupBy("dst").agg(self.combine_expr(F.col("msg")).alias("msg"))
+
+    combine_expr: Callable[[Column], Column] = staticmethod(F.sum)
+
+    # -- aggregators (Pregel UDAF surface) -------------------------------
+    def aggregators(self, superstep: int, aggr: dict[str, float]) -> dict[str, Column]:
+        """Per-superstep global aggregates, summed over the updated state.
+        Columns: id, value (new), old_value, out_degree, participate,
+        send, active, has_msg."""
+        return {}
+
+    # -- master compute (Graph.h:147-149) ---------------------------------
+    def master_halt(self, superstep: int, aggr: dict[str, float]) -> bool:
+        """Extra driver-side termination test after each superstep."""
+        return False
+
+
+class PregelEngine:
+    """Runs a :class:`PregelAlgorithm` to convergence.
+
+    Parameters
+    ----------
+    num_partitions:
+        Hash-partition count for vertex state and edges (the reference's
+        static ``vid % workers``, Node.cc:104).  Size so each partition's
+        edges fit comfortably in executor memory: at 100 TB scale pick
+        P ≈ total_edges / ~5M.
+    checkpointer:
+        Object with ``save(df, superstep, aggr, run_id) -> DataFrame``
+        truncating lineage (and optionally persisting durably).  Defaults
+        to eager ``localCheckpoint`` each superstep.
+    """
+
+    def __init__(self, num_partitions: int | None = None, checkpointer=None,
+                 run_id: str = "run0"):
+        self.num_partitions = num_partitions
+        self.checkpointer = checkpointer
+        self.run_id = run_id
+
+    def _truncate(self, df: DataFrame, superstep: int, aggr: dict[str, float]) -> DataFrame:
+        if self.checkpointer is not None:
+            return self.checkpointer.save(df, superstep, aggr, self.run_id)
+        return df.localCheckpoint(eager=True)
+
+    def prepare(self, vertices: DataFrame, edges: DataFrame,
+                algo: PregelAlgorithm) -> tuple[DataFrame, DataFrame]:
+        """Build (state, edges) — degrees attached, co-hash-partitioned.
+
+        Edges are partitioned by ``src`` and cached once (they are immutable
+        across supersteps — the reference loads them once into a packed CSR,
+        Worker.cc:303-322); vertex state is partitioned by ``id`` so the
+        scatter join and the update join both shuffle only the small side.
+        """
+        P = self.num_partitions
+        e = edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
+        if P:
+            e = e.repartition(P, "src")
+        e = e.persist()
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+        state = (
+            vertices.select("id")
+            .join(deg, vertices["id"] == deg["src"], "left")
+            .select(
+                "id",
+                F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            )
+        )
+        if P:
+            state = state.repartition(P, "id")
+        state = state.select(
+            "id",
+            "out_degree",
+            algo.init_value().cast(algo.value_type).alias("value"),
+            F.lit(True).alias("active"),
+        )
+        return state, e
+
+    def run(
+        self,
+        vertices: DataFrame,
+        edges: DataFrame,
+        algo: PregelAlgorithm,
+        resume_from: tuple[DataFrame, int, dict[str, float]] | None = None,
+    ) -> PregelResult:
+        state, e = self.prepare(vertices, edges, algo)
+        aggr = dict(algo.aggr_init)
+        start_step = 0
+        inbox: DataFrame | None = None
+        if resume_from is not None:
+            # state carries (id, out_degree, value, active, send) from the
+            # completed superstep S; messages are re-derived (scatter is a
+            # deterministic function of state) and we continue at S+1.
+            ck_state, last_step, aggr = resume_from
+            sending = ck_state.where("send")
+            msgs = sending.join(e, sending["id"] == e["src"]).select(
+                e["dst"].alias("dst"),
+                algo.message(last_step, aggr).cast(algo.value_type).alias("msg"),
+            )
+            inbox = algo.combine(msgs)
+            state = ck_state.drop("send")
+            start_step = last_step + 1
+
+        metrics: list[SuperstepMetrics] = []
+        converged = False
+        superstep = start_step - 1
+        for superstep in range(start_step, algo.max_supersteps):
+            t0 = time.perf_counter()
+            if inbox is None:
+                joined = state.withColumn(
+                    "msg", F.lit(None).cast(algo.value_type)
+                ).withColumn("has_msg", F.lit(False))
+            else:
+                joined = (
+                    state.join(
+                        inbox.select(
+                            F.col("dst"), F.col("msg"), F.lit(True).alias("has_msg")
+                        ),
+                        state["id"] == F.col("dst"),
+                        "left",
+                    )
+                    .drop("dst")
+                    .withColumn("has_msg", F.coalesce("has_msg", F.lit(False)))
+                )
+
+            participate = F.col("active") | F.col("has_msg")
+            new_state = joined.select(
+                "id",
+                "out_degree",
+                "has_msg",
+                F.col("value").alias("old_value"),
+                participate.alias("participate"),
+                F.when(participate, algo.update_value(superstep, aggr))
+                .otherwise(F.col("value"))
+                .cast(algo.value_type)
+                .alias("value"),
+                (participate & algo.update_send(superstep, aggr)).alias("send"),
+                (participate & ~algo.update_halt(superstep, aggr)).alias("active"),
+            )
+            new_state = self._truncate(new_state, superstep, aggr)
+
+            # ---- the superstep barrier: ONE action -----------------------
+            aggr_exprs = algo.aggregators(superstep, aggr)
+            stats_row = new_state.agg(
+                F.sum(F.col("active").cast("long")).alias("_act"),
+                F.sum(F.when(F.col("send"), F.col("out_degree")).otherwise(F.lit(0))).alias(
+                    "_sent"
+                ),
+                *[F.sum(c).alias(k) for k, c in aggr_exprs.items()],
+            ).first()
+            active_cnt = int(stats_row["_act"] or 0)
+            sent_cnt = int(stats_row["_sent"] or 0)
+            aggr = {k: float(stats_row[k] or 0.0) for k in aggr_exprs}
+            metrics.append(
+                SuperstepMetrics(
+                    superstep=superstep,
+                    active=active_cnt,
+                    sent=sent_cnt,
+                    wall_ms=(time.perf_counter() - t0) * 1000.0,
+                    aggregates=dict(aggr),
+                )
+            )
+
+            if algo.master_halt(superstep, aggr) or (active_cnt == 0 and sent_cnt == 0):
+                converged = True
+                state = new_state
+                break
+
+            # ---- scatter (lazy — runs inside next superstep's jobs) ------
+            sending = new_state.where("send")
+            msgs = sending.join(e, sending["id"] == e["src"]).select(
+                e["dst"].alias("dst"),
+                algo.message(superstep, aggr).cast(algo.value_type).alias("msg"),
+            )
+            inbox = algo.combine(msgs)
+            state = new_state.select("id", "out_degree", "value", "active")
+
+        final = state.select("id", "value", "out_degree", "active")
+        return PregelResult(
+            state=final,
+            metrics=metrics,
+            supersteps=superstep + 1,
+            converged=converged,
+        )

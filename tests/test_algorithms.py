@@ -1,0 +1,149 @@
+"""Reference-parity tests for the four built-in algorithms (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphlite_spark.algos import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+    triangle_count_per_vertex,
+)
+from graphlite_spark.sources import load_tinygraph
+from graphlite_spark.sources.transcripts import TINYGRAPH_EDGES
+from tests.reference_sim import (
+    random_digraph,
+    simulate_components,
+    simulate_lpa,
+    simulate_pagerank,
+    simulate_triangles,
+)
+
+
+def make_graph(spark, edges, n):
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    v = spark.range(n).select(F.col("id"))
+    return v, e
+
+
+def collect_values(result_state):
+    rows = result_state.orderBy("id").collect()
+    return [r["value"] for r in rows]
+
+
+GRAPHS = {
+    "tinygraph": (TINYGRAPH_EDGES, 5),
+    "random_100": (random_digraph(100, 400, seed=7), 100),
+    "random_dangling": (random_digraph(60, 150, seed=11), 60),
+}
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+def test_pagerank_matches_reference_simulator(spark, gname):
+    edges, n = GRAPHS[gname]
+    v, e = make_graph(spark, edges, n)
+    res = pagerank(v, e)
+    expected, ss = simulate_pagerank(edges, n)
+    got = collect_values(res.state)
+    assert res.supersteps == ss, f"iteration count {res.supersteps} != {ss}"
+    assert res.converged
+    for i, (a, b) in enumerate(zip(got, expected)):
+        assert math.isclose(a, b, abs_tol=1e-6), f"vertex {i}: {a} vs {b}"
+
+
+def test_pagerank_tinygraph_text_parity(spark):
+    """Reference output format '%lld: %f' parity (PageRankVertex.cc:115)."""
+    v, e = make_graph(spark, *GRAPHS["tinygraph"])
+    res = pagerank(v, e)
+    lines = [
+        f"{r['id']}: {r['value']:f}" for r in res.state.orderBy("id").collect()
+    ]
+    expected, _ = simulate_pagerank(*GRAPHS["tinygraph"])
+    ref_lines = [f"{i}: {x:f}" for i, x in enumerate(expected)]
+    assert lines == ref_lines
+
+
+def test_pagerank_fixed_supersteps(spark):
+    edges, n = GRAPHS["tinygraph"]
+    v, e = make_graph(spark, edges, n)
+    res = pagerank(v, e, fixed_supersteps=10)
+    expected, ss = simulate_pagerank(edges, n, fixed=10)
+    assert res.supersteps == 10 == ss
+    got = collect_values(res.state)
+    for a, b in zip(got, expected):
+        assert math.isclose(a, b, abs_tol=1e-9)
+
+
+def test_pagerank_partition_count_invariance(spark):
+    """Same results at different partition counts (SURVEY.md §5.2.3)."""
+    edges, n = GRAPHS["random_100"]
+    v, e = make_graph(spark, edges, n)
+    r2 = pagerank(v, e, num_partitions=2)
+    r8 = pagerank(v, e, num_partitions=8)
+    g2, g8 = collect_values(r2.state), collect_values(r8.state)
+    assert r2.supersteps == r8.supersteps
+    for a, b in zip(g2, g8):
+        assert math.isclose(a, b, abs_tol=1e-9)
+
+
+@pytest.mark.parametrize("gname", ["tinygraph", "random_100", "random_dangling"])
+def test_connected_components_exact(spark, gname):
+    edges, n = GRAPHS[gname]
+    v, e = make_graph(spark, edges, n)
+    res = connected_components(v, e)
+    got = collect_values(res.state)
+    assert got == simulate_components(edges, n)
+    assert res.converged
+
+
+def test_connected_components_multi_component(spark):
+    # two disjoint cliques + 2 isolated vertices
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5)]
+    v, e = make_graph(spark, edges, 8)
+    res = connected_components(v, e)
+    got = collect_values(res.state)
+    assert got == [0, 0, 0, 3, 3, 3, 6, 7]
+
+
+@pytest.mark.parametrize("gname", ["tinygraph", "random_100"])
+def test_lpa_matches_simulator(spark, gname):
+    edges, n = GRAPHS[gname]
+    v, e = make_graph(spark, edges, n)
+    res = label_propagation(v, e, iterations=5)
+    got = collect_values(res.state)
+    assert got == simulate_lpa(edges, n, iterations=5)
+
+
+@pytest.mark.parametrize("gname", ["tinygraph", "random_100", "random_dangling"])
+@pytest.mark.parametrize("orient", ["id", "degree"])
+def test_triangles_exact(spark, gname, orient):
+    edges, n = GRAPHS[gname]
+    v, e = make_graph(spark, edges, n)
+    per, total = simulate_triangles(edges, n)
+    got_total = triangle_count(e, orient=orient).collect()[0]["triangles"]
+    assert got_total == total
+    got_per = {
+        r["id"]: r["count"]
+        for r in triangle_count_per_vertex(v, e, orient=orient).collect()
+    }
+    assert got_per == {i: c for i, c in enumerate(per)}
+
+
+def test_pagerank_permutation_invariance(spark):
+    """Relabeling vertices permutes outputs (SURVEY.md §5.2.3)."""
+    edges, n = GRAPHS["tinygraph"]
+    perm = [3, 0, 4, 1, 2]
+    pedges = [(perm[s], perm[d]) for s, d in edges]
+    v1, e1 = make_graph(spark, edges, n)
+    v2, e2 = make_graph(spark, pedges, n)
+    r1 = collect_values(pagerank(v1, e1).state)
+    r2 = collect_values(pagerank(v2, e2).state)
+    for i in range(n):
+        assert math.isclose(r1[i], r2[perm[i]], abs_tol=1e-9)
