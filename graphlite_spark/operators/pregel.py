@@ -222,7 +222,7 @@ class PregelEngine:
                 algo.message(last_step, aggr).cast(algo.value_type).alias("msg"),
             )
             inbox = algo.combine(msgs)
-            state = ck_state.drop("send")
+            state = ck_state.select("id", "out_degree", "value", "active")
             start_step = last_step + 1
 
         metrics: list[SuperstepMetrics] = []
@@ -284,6 +284,10 @@ class PregelEngine:
                     aggregates=dict(aggr),
                 )
             )
+            if self.checkpointer is not None and hasattr(self.checkpointer, "commit"):
+                # publish the durable manifest now that this superstep's
+                # aggregator globals are known (two-phase: data then manifest)
+                self.checkpointer.commit(superstep, aggr, self.run_id)
 
             if algo.master_halt(superstep, aggr) or (active_cnt == 0 and sent_cnt == 0):
                 converged = True
