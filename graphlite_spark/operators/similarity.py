@@ -1,0 +1,121 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths, per the pipeline tier's contract:
+
+* :func:`cosine_topk` — brute-force baseline: queries × candidates cross
+  join with the candidate side broadcast when small, cosine in pure JVM
+  expressions (``F.zip_with`` + in-order ``F.aggregate`` fold — no Python).
+  O(Q·N·D); correct for any size, affordable when Q·N is bounded.
+* :func:`lsh_bucket_topk` — the scale path: sign-bit LSH bucket on the
+  first B dimensions (deterministic, engine-agnostic), equi-join on the
+  bucket, brute-force only within buckets.  At 100 TB, bucket count grows
+  2^B and the shuffle is one hash partition on the bucket key; recall
+  trades off with B.
+
+Vectors are cast float→double before any arithmetic so Spark and the
+DuckDB oracle (list_inner_product on the same parquet) agree to well below
+the 1e-6 rounding applied to outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim) — exact top-k by cosine.
+
+    Deterministic tie-break: (round(sim,6) DESC, neighbor_id ASC), so
+    cross-engine float noise below 1e-6 cannot reorder results.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    if broadcast_candidates:
+        c = F.broadcast(c)
+    scored = (
+        q.join(c, q["query_id"] != c["neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def lsh_bucket(vec: Column, num_bits: int = 8) -> Column:
+    """Deterministic sign-bit bucket: bit j set iff vec[j] >= 0."""
+    out = F.lit(0)
+    for j in range(num_bits):
+        out = out + F.when(
+            F.element_at(vec, j + 1).cast("double") >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    num_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim) — top-k within the LSH bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), num_bits).alias("bucket"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), num_bits).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )

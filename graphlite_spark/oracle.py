@@ -1,0 +1,439 @@
+"""DuckDB oracle SQL for every entry in ``__spark_entry__.queries()``.
+
+The driver's correctness gate runs each Spark query AND the SQL returned
+here side-by-side on the same parquet tables (pre-registered DuckDB views:
+region nation customer supplier part orders lineitem events documents
+embeddings) and compares row counts, schemas and order-insensitive value
+hashes.  Two engine-parity rules shape everything in this file:
+
+* hashes are md5-based 48-bit ints (the one digest both engines share);
+* every float output is ``round(x, 6)`` in BOTH engines, and top-k ties
+  order by the rounded value + id so sub-1e-6 float noise cannot flip
+  rows.
+
+Iterative queries are *unrolled* (PageRank supersteps, LPA iterations) or
+expressed as a recursive CTE (connected components) — the SQL is generated
+by the same Python that parameterizes the Spark side, so iteration counts
+can never drift apart.
+"""
+
+from __future__ import annotations
+
+from graphlite_spark.functions.text import LANG_EN_THRESHOLD, STOPWORDS
+
+# ---------------------------------------------------------------------------
+# shared CTE prefixes
+# ---------------------------------------------------------------------------
+
+# events -> transcripts -> dense-id vertices -> reply/tool edges
+# (mirrors sources/transcripts.transcripts_from_events + plans/derive)
+GRAPH_CTES = """
+transcripts AS MATERIALIZED (
+  SELECT conv_id, turn_idx,
+         CASE WHEN tool IS NOT NULL THEN 'tool'
+              WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':' ||
+           substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS text,
+         tool, ts
+  FROM (
+    SELECT printf('conv%08d', user_id) AS conv_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+                AS INT) AS turn_idx,
+           CASE WHEN event_type IN ('purchase','error') THEN event_type END AS tool,
+           event_id, ts
+    FROM events)
+),
+vertices AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS id,
+         conv_id, turn_idx, text
+  FROM transcripts
+),
+tv AS MATERIALIZED (
+  SELECT t.conv_id, t.turn_idx, t.role, t.tool, v.id
+  FROM transcripts t JOIN vertices v ON v.conv_id = t.conv_id AND v.turn_idx = t.turn_idx
+),
+reply_edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT id AS src,
+           lead(id) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+    FROM tv)
+  WHERE dst IS NOT NULL
+),
+tool_edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT id AS src, role,
+           min(CASE WHEN tool IS NOT NULL THEN id END) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS dst
+    FROM tv)
+  WHERE role = 'assistant' AND dst IS NOT NULL
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, 'reply' AS etype, CAST(1.0 AS DOUBLE) AS weight FROM reply_edges
+  UNION ALL
+  SELECT src, dst, 'tool' AS etype, CAST(1.0 AS DOUBLE) AS weight FROM tool_edges
+),
+deg AS MATERIALIZED (
+  SELECT v.id, CAST(COALESCE(d.outdeg, 0) AS BIGINT) AS out_degree
+  FROM vertices v LEFT JOIN (
+    SELECT src, count(*) AS outdeg FROM edges GROUP BY src) d ON d.src = v.id
+),
+und AS MATERIALIZED (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM edges WHERE src <> dst
+)
+""".strip()
+
+
+def _graph_query(body: str, recursive: bool = False) -> str:
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"{kw} {GRAPH_CTES}\n{body}"
+
+
+# tokenized documents
+TOKS_CTE = (
+    "toks_t AS MATERIALIZED (SELECT doc_id, "
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks "
+    "FROM documents)"
+)
+
+_STOPLIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+def _h48(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 12) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# graph queries
+# ---------------------------------------------------------------------------
+
+def transcripts_adapt_sql() -> str:
+    return _graph_query(
+        "SELECT conv_id, turn_idx, role, text, tool, "
+        "CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM transcripts"
+    )
+
+
+def vertices_sql() -> str:
+    return _graph_query("SELECT id, conv_id, turn_idx, text FROM vertices")
+
+
+def edges_sql() -> str:
+    return _graph_query("SELECT src, dst, etype, weight FROM edges")
+
+
+def out_degrees_sql() -> str:
+    return _graph_query("SELECT id, out_degree FROM deg")
+
+
+def msg_gather_ss1_sql() -> str:
+    # superstep-0 scatter: every vertex sends 1.0/out_degree along each
+    # out-edge; gather+combine = sum per destination
+    return _graph_query(
+        "SELECT e.dst AS dst, round(sum(1.0 / d.out_degree), 6) AS msg\n"
+        "FROM edges e JOIN deg d ON d.id = e.src GROUP BY e.dst"
+    )
+
+
+def _pagerank_ctes(rounds: int) -> str:
+    """pr0..pr{rounds}: pr0 = 1.0 everywhere, then `rounds` update rounds of
+    unnormalized 0.15 + 0.85*sum (the reference recurrence)."""
+    parts = [
+        "pr0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS rank, out_degree FROM deg)"
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"pr{k - 1}"
+        parts.append(
+            f"pr{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id, 0.15 + 0.85 * COALESCE(m.s, 0.0) AS rank, p.out_degree\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, sum(q.rank / q.out_degree) AS s\n"
+            f"    FROM edges e JOIN {prev} q ON q.id = e.src GROUP BY e.dst) m\n"
+            f"  ON m.id = p.id)"
+        )
+    return ",\n".join(parts)
+
+
+def pagerank_fixed_sql(supersteps: int = 10) -> str:
+    rounds = supersteps - 1  # superstep 0 initializes, 1..S-1 update
+    body = (
+        f", {_pagerank_ctes(rounds)}\n"
+        f"SELECT id, round(rank, 6) AS rank FROM pr{rounds}"
+    )
+    return _graph_query(body)
+
+
+def pagerank_sumdelta_sql(at_superstep: int = 2) -> str:
+    body = (
+        f", {_pagerank_ctes(at_superstep)}\n"
+        f"SELECT round(sum(abs(a.rank - b.rank)), 6) AS sum_delta\n"
+        f"FROM pr{at_superstep} a JOIN pr{at_superstep - 1} b ON a.id = b.id"
+    )
+    return _graph_query(body)
+
+
+def components_sql() -> str:
+    body = (
+        ", reach(id, r) AS (\n"
+        "  SELECT id, id FROM vertices\n"
+        "  UNION\n"
+        "  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id)\n"
+        "SELECT id, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY id"
+    )
+    return _graph_query(body, recursive=True)
+
+
+def lpa_sql(iterations: int = 3) -> str:
+    parts = ["l0 AS MATERIALIZED (SELECT id, id AS label FROM vertices)"]
+    for k in range(1, iterations + 1):
+        prev = f"l{k - 1}"
+        parts.append(
+            f"l{k} AS MATERIALIZED (\n"
+            f"  SELECT l.id, COALESCE(b.lbl, l.label) AS label\n"
+            f"  FROM {prev} l LEFT JOIN (\n"
+            f"    SELECT id, lbl FROM (\n"
+            f"      SELECT u.dst AS id, p.label AS lbl,\n"
+            f"             row_number() OVER (PARTITION BY u.dst\n"
+            f"               ORDER BY count(*) DESC, p.label ASC) AS rn\n"
+            f"      FROM und u JOIN {prev} p ON p.id = u.src\n"
+            f"      GROUP BY u.dst, p.label)\n"
+            f"    WHERE rn = 1) b ON b.id = l.id)"
+        )
+    joined = ",\n".join(parts)
+    body = f", {joined}\nSELECT id, label FROM l{iterations}"
+    return _graph_query(body)
+
+
+_TRI_CTES = """
+o AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst),
+tri AS MATERIALIZED (
+  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+  FROM o e1
+  JOIN o e2 ON e2.a = e1.a AND e1.b < e2.b
+  JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b)
+""".strip()
+
+
+def triangles_total_sql() -> str:
+    return _graph_query(
+        f", {_TRI_CTES}\nSELECT CAST(count(*) AS BIGINT) AS triangles FROM tri"
+    )
+
+
+def triangles_per_vertex_sql() -> str:
+    body = (
+        f", {_TRI_CTES}\n"
+        "SELECT v.id, CAST(count(x.v) AS BIGINT) AS count\n"
+        "FROM vertices v LEFT JOIN (\n"
+        "  SELECT unnest([v1, v2, v3]) AS v FROM tri) x ON x.v = v.id\n"
+        "GROUP BY v.id"
+    )
+    return _graph_query(body)
+
+
+# ---------------------------------------------------------------------------
+# documents / embeddings pipeline queries
+# ---------------------------------------------------------------------------
+
+def dedup_exact_sql() -> str:
+    return (
+        "WITH d AS MATERIALIZED (SELECT doc_id, md5(text) AS digest FROM documents),\n"
+        "c AS MATERIALIZED (SELECT digest, min(doc_id) AS canonical_id FROM d GROUP BY digest)\n"
+        "SELECT d.doc_id, c.canonical_id, d.doc_id <> c.canonical_id AS is_dup\n"
+        "FROM d JOIN c ON c.digest = d.digest"
+    )
+
+
+_SHINGLES_CTE = (
+    "sh AS MATERIALIZED (\n"
+    "  SELECT doc_id, unnest(list_distinct(\n"
+    "    CASE WHEN len(toks) >= 3 THEN\n"
+    "      list_transform(range(len(toks) - 2),\n"
+    "                     i -> array_to_string(toks[i + 1 : i + 3], ' '))\n"
+    "    ELSE CAST([] AS VARCHAR[]) END)) AS shingle\n"
+    "  FROM toks_t)"
+)
+
+_JACCARD_CTES = (
+    f"{TOKS_CTE},\n{_SHINGLES_CTE},\n"
+    "sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),\n"
+    "inter AS MATERIALIZED (\n"
+    "  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c\n"
+    "  FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id\n"
+    "  GROUP BY x.doc_id, y.doc_id),\n"
+    "jac AS MATERIALIZED (\n"
+    "  SELECT i.a, i.b, round(i.c / (sa.n_sh + sb.n_sh - i.c), 6) AS jaccard\n"
+    "  FROM inter i JOIN sizes sa ON sa.doc_id = i.a\n"
+    "               JOIN sizes sb ON sb.doc_id = i.b)"
+)
+
+
+def ngram_jaccard_sql(threshold: float = 0.3) -> str:
+    return (
+        f"WITH {_JACCARD_CTES}\n"
+        f"SELECT a, b, jaccard FROM jac WHERE jaccard >= {threshold}"
+    )
+
+
+def minhash_lsh_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    hcols = ",\n    ".join(
+        "min({h}) AS h{k}".format(h=_h48(f"'{k}' || chr(31) || shingle"), k=k)
+        for k in range(num_hashes)
+    )
+    band_exprs = ",\n    ".join(
+        "md5(concat_ws(chr(31), '{b}', {parts})) AS band{b}".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(bands))
+    return (
+        f"WITH {_JACCARD_CTES},\n"
+        f"sig AS MATERIALIZED (SELECT doc_id,\n    {hcols}\n  FROM sh GROUP BY doc_id),\n"
+        f"banded AS MATERIALIZED (SELECT doc_id,\n    {band_exprs}\n  FROM sig),\n"
+        f"stacked AS MATERIALIZED (SELECT doc_id, unnest([{band_list}]) AS bucket FROM banded),\n"
+        "cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b\n"
+        "         FROM stacked x JOIN stacked y ON y.bucket = x.bucket\n"
+        "         AND x.doc_id < y.doc_id)\n"
+        "SELECT cand.a, cand.b, COALESCE(j.jaccard, 0.0) AS jaccard\n"
+        "FROM cand LEFT JOIN jac j ON j.a = cand.a AND j.b = cand.b"
+    )
+
+
+def simhash_sql(bits: int = 32) -> str:
+    votes = ",\n    ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "tok AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM toks_t),\n"
+        f"h AS MATERIALIZED (SELECT doc_id, {_h48('t')} AS h FROM tok),\n"
+        f"votes AS MATERIALIZED (SELECT doc_id,\n    {votes}\n  FROM h GROUP BY doc_id)\n"
+        f"SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes"
+    )
+
+
+_EMB_D = (
+    "e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "FROM embeddings)"
+)
+
+_COS = (
+    "round(list_inner_product(q.v, c.v) / "
+    "(sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))), 6)"
+)
+
+
+def ann_cosine_topk_sql(k: int = 5, num_queries: int = 20) -> str:
+    return (
+        f"WITH {_EMB_D},\n"
+        f"q AS MATERIALIZED (SELECT * FROM e WHERE vec_id < {num_queries}),\n"
+        "scored AS MATERIALIZED (\n"
+        f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS sim\n"
+        "  FROM q JOIN e c ON c.vec_id <> q.vec_id)\n"
+        "SELECT query_id, neighbor_id, rank, sim FROM (\n"
+        "  SELECT *, CAST(row_number() OVER (PARTITION BY query_id\n"
+        "    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank FROM scored)\n"
+        f"WHERE rank <= {k}"
+    )
+
+
+def ann_lsh_topk_sql(k: int = 3, num_bits: int = 8, num_queries: int = 20) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(num_bits)
+    )
+    return (
+        "WITH eb AS MATERIALIZED (SELECT vec_id,\n"
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,\n"
+        f"  CAST({bucket} AS BIGINT) AS bucket FROM embeddings),\n"
+        f"q AS MATERIALIZED (SELECT * FROM eb WHERE vec_id < {num_queries}),\n"
+        "scored AS MATERIALIZED (\n"
+        f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS sim\n"
+        "  FROM q JOIN eb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)\n"
+        "SELECT query_id, neighbor_id, rank, sim FROM (\n"
+        "  SELECT *, CAST(row_number() OVER (PARTITION BY query_id\n"
+        "    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank FROM scored)\n"
+        f"WHERE rank <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def token_count_sql() -> str:
+    return (
+        f"WITH {TOKS_CTE}\n"
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,\n"
+        "       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct\n"
+        "FROM toks_t"
+    )
+
+
+_STOP_RATIO = (
+    f"CAST(len(list_filter(toks, t -> list_contains({_STOPLIST}, t))) AS DOUBLE)"
+    " / greatest(len(toks), 1)"
+)
+
+
+def lang_id_sql() -> str:
+    return (
+        f"WITH {TOKS_CTE}\n"
+        f"SELECT doc_id, CASE WHEN {_STOP_RATIO} >= {LANG_EN_THRESHOLD}\n"
+        "       THEN 'en' ELSE 'und' END AS lang_pred\n"
+        "FROM toks_t"
+    )
+
+
+def quality_sql() -> str:
+    mean_len = (
+        "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)"
+        " / greatest(len(toks), 1)"
+    )
+    return (
+        f"WITH {TOKS_CTE}\n"
+        "SELECT doc_id,\n"
+        "  CAST(len(toks) AS BIGINT) AS n_tokens,\n"
+        f"  round({_STOP_RATIO}, 6) AS stop_ratio,\n"
+        f"  round({mean_len}, 6) AS mean_token_len,\n"
+        f"  round(0.2 + 1.5 * ({_STOP_RATIO}) + 0.02 * ({mean_len})\n"
+        "        + 0.1 * ln(1 + len(toks)), 6) AS quality\n"
+        "FROM toks_t"
+    )
+
+
+def fingerprint_sql() -> str:
+    return (
+        f"WITH {TOKS_CTE}\n"
+        "SELECT doc_id,\n"
+        "  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint\n"
+        "FROM toks_t"
+    )
+
+
+def multimodal_extract_sql() -> str:
+    return (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,\n"
+        "       md5(text) AS digest\n"
+        "FROM documents"
+    )
+
+
+def events_windowed_sql() -> str:
+    return (
+        "SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,\n"
+        "       event_type, CAST(count(*) AS BIGINT) AS n,\n"
+        "       round(sum(value), 4) AS sum_value\n"
+        "FROM events GROUP BY 1, 2"
+    )
