@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line with headline-query timings.
+
+Default: run every headline query once at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32)
+and print::
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys carry the north metric: PageRank edges/sec, iterations-to-1e-6,
+and per-algorithm throughput.
+
+``--scaling`` additionally re-runs the PageRank job in two fresh
+subprocesses at N and 4N cores (local[8] vs local[32]) on the identical
+input — the sandbox evidence protocol for the >=0.8 scaling-efficiency
+criterion (BASELINE.md) — and appends the result to BENCH.md.
+``--pagerank-only`` is the subprocess entry used by --scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(path: str) -> float:
+    tail = os.path.basename(path.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.algos import (
+        connected_components,
+        label_propagation,
+        pagerank,
+        triangle_count,
+    )
+    from graphlite_spark.metrics import edges_per_second
+    from graphlite_spark.operators.dedup import minhash_lsh_candidates
+    from graphlite_spark.operators.similarity import cosine_topk
+    from graphlite_spark.plans.derive import derive_edges, derive_vertices
+    from graphlite_spark.sources.tables import load_table
+    from graphlite_spark.sources.transcripts import transcripts_from_events
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    events = load_table(spark, sf_dir, "events")
+    t = transcripts_from_events(events)
+
+    def _derive():
+        v = derive_vertices(t).persist()
+        e = derive_edges(t, v).persist()
+        return v, e, v.count(), e.count()
+
+    v, e, n_v, n_e = timed("derive_graph", _derive)
+    extra["n_vertices"] = n_v
+    extra["n_edges"] = n_e
+
+    pr = timed("pagerank_converged", lambda: pagerank(v, e))
+    extra["pagerank_supersteps"] = pr.supersteps
+    extra["pagerank_edges_per_sec"] = round(edges_per_second(pr.metrics), 1)
+
+    cc = timed("connected_components", lambda: connected_components(v, e))
+    extra["cc_supersteps"] = cc.supersteps
+    extra["cc_edges_per_sec"] = round(edges_per_second(cc.metrics), 1)
+
+    timed("lpa_3iter", lambda: label_propagation(v, e, iterations=3))
+    timed(
+        "triangles",
+        lambda: triangle_count(e, orient="degree").collect(),
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    timed("dedup_minhash_lsh", lambda: minhash_lsh_candidates(docs).count())
+    emb = load_table(spark, sf_dir, "embeddings")
+    timed(
+        "ann_cosine_topk",
+        lambda: cosine_topk(emb, emb.where(F.col("vec_id") < 50), k=5).count(),
+    )
+    return timings, extra
+
+
+def pagerank_throughput(sf_dir: str, cores: int) -> dict:
+    """Subprocess payload: PageRank edges/sec at a given core count."""
+    from graphlite_spark.algos import pagerank
+    from graphlite_spark.metrics import edges_per_second
+    from graphlite_spark.plans.derive import derive_edges, derive_vertices
+    from graphlite_spark.session import get_spark
+    from graphlite_spark.sources.tables import load_table
+    from graphlite_spark.sources.transcripts import transcripts_from_events
+
+    spark = get_spark(app_name=f"bench_pr_{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    t = transcripts_from_events(load_table(spark, sf_dir, "events"))
+    v = derive_vertices(t).persist()
+    e = derive_edges(t, v).persist()
+    v.count(), e.count()
+    t0 = time.perf_counter()
+    res = pagerank(v, e)
+    wall = time.perf_counter() - t0
+    out = {
+        "cores": cores,
+        "wall_sec": round(wall, 3),
+        "supersteps": res.supersteps,
+        "edges_per_sec": round(edges_per_second(res.metrics), 1),
+        "total_messages": sum(m.sent for m in res.metrics),
+    }
+    spark.stop()
+    return out
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Same job, same input, two parallelism levels, fresh JVMs."""
+    results = {}
+    for cores in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--pagerank-only", str(cores)],
+            capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            check=True,
+        )
+        results[cores] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tl, th = results[lo]["edges_per_sec"], results[hi]["edges_per_sec"]
+    eff = th / (tl * (hi / lo)) if tl > 0 else 0.0
+    return {
+        "lo": results[lo],
+        "hi": results[hi],
+        "speedup": round(th / tl, 3) if tl else 0.0,
+        "efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    if "--pagerank-only" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--pagerank-only") + 1])
+        print(json.dumps(pagerank_throughput(SF_DIR, cores)))
+        return
+
+    from graphlite_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS)
+    t0 = time.perf_counter()
+    timings, extra = run_headline(spark, SF_DIR)
+    total = round(time.perf_counter() - t0, 3)
+    spark.stop()
+
+    result = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        **extra,
+    }
+    if "--scaling" in sys.argv:
+        result["scaling"] = run_scaling(SF_DIR)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

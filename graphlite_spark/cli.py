@@ -1,0 +1,117 @@
+"""spark-submit entrypoint.
+
+The reference launches via ssh fan-out (bin/start-graphlite:30-31,
+engine/Master.cc:94-130); the Spark-native equivalent is::
+
+    zip -r engine.zip graphlite_spark
+    spark-submit --py-files engine.zip -- \
+        python -m graphlite_spark.cli pagerank \
+        --events /data/events.parquet --output /out/pagerank \
+        --partitions 4096 --checkpoint-dir /ckpt --checkpoint-every 5
+
+On a cluster, pass ``--num-executors N`` / ``4N`` to spark-submit for the
+two-size scaling protocol; in the sandbox the session falls back to
+``local[$SPARK_GRAFT_CPUS]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+from graphlite_spark.algos import triangle_count, triangle_count_per_vertex
+from graphlite_spark.checkpoint import ParquetCheckpointer
+from graphlite_spark.metrics import edges_per_second, write_metrics
+from graphlite_spark.plans.derive import derive_edges, derive_vertices
+from graphlite_spark.sources.transcripts import transcripts_from_events
+
+ALGOS = {"pagerank", "components", "lpa", "triangles"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="graphlite_spark")
+    p.add_argument("algo", choices=sorted(ALGOS))
+    p.add_argument("--events", required=True,
+                   help="parquet path (or Iceberg table with --format iceberg) "
+                        "of the transcripts-shaped events input")
+    p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    p.add_argument("--output", required=True)
+    p.add_argument("--partitions", type=int, default=None,
+                   help="hash partitions for state/edges (~E / 5M at scale)")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=5)
+    p.add_argument("--metrics-path", default=None)
+    p.add_argument("--run-id", default="cli")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest complete checkpoint manifest")
+    p.add_argument("--iterations", type=int, default=5, help="LPA iterations")
+    p.add_argument("--eps", type=float, default=1e-6)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = _session()
+    if args.format == "iceberg":
+        # needs the iceberg-spark-runtime jar on the classpath; absent in
+        # the sandbox image, so this path is exercised only on clusters
+        events = spark.read.format("iceberg").load(args.events)
+    else:
+        events = spark.read.parquet(args.events)
+
+    t = transcripts_from_events(events) if "event_id" in events.columns else events
+    v = derive_vertices(t).persist()
+    e = derive_edges(t, v).persist()
+
+    ck = None
+    resume_from = None
+    if args.checkpoint_dir:
+        ck = ParquetCheckpointer(args.checkpoint_dir, every=args.checkpoint_every)
+        if args.resume:
+            resume_from = ck.latest(spark, args.run_id)
+
+    if args.algo == "triangles":
+        triangle_count_per_vertex(v, e).write.mode("overwrite").parquet(args.output)
+        total = triangle_count(e).collect()[0]["triangles"]
+        print(json.dumps({"algo": "triangles", "total": int(total)}))
+        return 0
+
+    from graphlite_spark.algos.components import ConnectedComponents, symmetrize
+    from graphlite_spark.algos.lpa import LabelPropagation
+    from graphlite_spark.algos.pagerank import PageRank
+    from graphlite_spark.operators.pregel import PregelEngine
+
+    algo_obj = {"pagerank": PageRank(eps=args.eps),
+                "components": ConnectedComponents(),
+                "lpa": LabelPropagation(args.iterations)}[args.algo]
+    graph_e = e if args.algo == "pagerank" else symmetrize(e)
+    res = PregelEngine(num_partitions=args.partitions, checkpointer=ck,
+                       run_id=args.run_id).run(v, graph_e, algo_obj,
+                                               resume_from=resume_from)
+
+    res.state.write.mode("overwrite").parquet(args.output)
+    if args.metrics_path:
+        write_metrics(spark, res.metrics, args.metrics_path, args.run_id)
+    print(json.dumps({
+        "algo": args.algo,
+        "supersteps": res.supersteps,
+        "converged": res.converged,
+        "edges_per_sec": round(edges_per_second(res.metrics), 1),
+    }))
+    return 0
+
+
+def _session() -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:  # under spark-submit the session is provided
+        return active
+    from graphlite_spark.session import get_spark
+
+    return get_spark(app_name="graphlite_spark_cli")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

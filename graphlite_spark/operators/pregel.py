@@ -156,6 +156,10 @@ class PregelEngine:
         to eager ``localCheckpoint`` each superstep.
     """
 
+    #: auto-partitioning target (local mode; at cluster scale pass
+    #: num_partitions explicitly, ~E / 5M)
+    TARGET_EDGES_PER_PARTITION = 100_000
+
     def __init__(self, num_partitions: int | None = None, checkpointer=None,
                  run_id: str = "run0"):
         self.num_partitions = num_partitions
@@ -165,7 +169,31 @@ class PregelEngine:
     def _truncate(self, df: DataFrame, superstep: int, aggr: dict[str, float]) -> DataFrame:
         if self.checkpointer is not None:
             return self.checkpointer.save(df, superstep, aggr, self.run_id)
-        return df.localCheckpoint(eager=True)
+        # lazy: materializes inside the stats action that follows, so lineage
+        # truncation costs no extra Spark job on the superstep critical path
+        return df.localCheckpoint(eager=False)
+
+    def _scatter(
+        self,
+        state: DataFrame,
+        e: DataFrame,
+        algo: PregelAlgorithm,
+        superstep: int,
+        aggr: dict[str, float],
+    ) -> DataFrame:
+        """Raw (dst, msg) message rows from the vertices flagged ``send``.
+
+        Base implementation: equi-join on the co-partitioned edge table —
+        the edge side is cached with hash(src, P) partitioning, so only the
+        (much smaller) vertex-state side shuffles.  Subclasses may return
+        *partially combined* rows (the CSR kernel does); correctness only
+        needs the algorithm's combine to be commutative + associative.
+        """
+        sending = state.where("send")
+        return sending.join(e, sending["id"] == e["src"]).select(
+            e["dst"].alias("dst"),
+            algo.message(superstep, aggr).cast(algo.value_type).alias("msg"),
+        )
 
     def prepare(self, vertices: DataFrame, edges: DataFrame,
                 algo: PregelAlgorithm) -> tuple[DataFrame, DataFrame]:
@@ -176,11 +204,20 @@ class PregelEngine:
         Worker.cc:303-322); vertex state is partitioned by ``id`` so the
         scatter join and the update join both shuffle only the small side.
         """
-        P = self.num_partitions
         e = edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
-        if P:
-            e = e.repartition(P, "src")
-        e = e.persist()
+        P = self.num_partitions
+        if P is None:
+            # auto-size: ~TARGET_EDGES_PER_PARTITION edges per partition,
+            # capped at the session's shuffle parallelism.  At 100 TB the
+            # same rule gives P ≈ E / 5M; here it keeps tiny graphs from
+            # paying 32 partitions of per-task overhead every superstep.
+            n_e = e.count()
+            max_p = int(
+                edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            P = max(1, min(max_p, n_e // self.TARGET_EDGES_PER_PARTITION + 1))
+            self.num_partitions = P
+        e = e.repartition(P, "src").persist()
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         state = (
             vertices.select("id")
@@ -207,7 +244,33 @@ class PregelEngine:
         algo: PregelAlgorithm,
         resume_from: tuple[DataFrame, int, dict[str, float]] | None = None,
     ) -> PregelResult:
+        spark = edges.sparkSession
+        # Loop-scoped tuning: AQE re-plans every superstep's (identical)
+        # query shape — pure overhead in an iterative driver — and the
+        # shuffle width should match the graph-sized partition count, not
+        # the session default.  Both restored after the run.
+        saved = {
+            "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+            "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        }
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            result = self._run_loop(vertices, edges, algo, resume_from, spark)
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+        return result
+
+    def _run_loop(
+        self,
+        vertices: DataFrame,
+        edges: DataFrame,
+        algo: PregelAlgorithm,
+        resume_from: tuple[DataFrame, int, dict[str, float]] | None,
+        spark,
+    ) -> PregelResult:
         state, e = self.prepare(vertices, edges, algo)
+        spark.conf.set("spark.sql.shuffle.partitions", str(self.num_partitions))
         aggr = dict(algo.aggr_init)
         start_step = 0
         inbox: DataFrame | None = None
@@ -216,12 +279,7 @@ class PregelEngine:
             # completed superstep S; messages are re-derived (scatter is a
             # deterministic function of state) and we continue at S+1.
             ck_state, last_step, aggr = resume_from
-            sending = ck_state.where("send")
-            msgs = sending.join(e, sending["id"] == e["src"]).select(
-                e["dst"].alias("dst"),
-                algo.message(last_step, aggr).cast(algo.value_type).alias("msg"),
-            )
-            inbox = algo.combine(msgs)
+            inbox = algo.combine(self._scatter(ck_state, e, algo, last_step, aggr))
             state = ck_state.select("id", "out_degree", "value", "active")
             start_step = last_step + 1
 
@@ -295,12 +353,7 @@ class PregelEngine:
                 break
 
             # ---- scatter (lazy — runs inside next superstep's jobs) ------
-            sending = new_state.where("send")
-            msgs = sending.join(e, sending["id"] == e["src"]).select(
-                e["dst"].alias("dst"),
-                algo.message(superstep, aggr).cast(algo.value_type).alias("msg"),
-            )
-            inbox = algo.combine(msgs)
+            inbox = algo.combine(self._scatter(new_state, e, algo, superstep, aggr))
             state = new_state.select("id", "out_degree", "value", "active")
 
         final = state.select("id", "value", "out_degree", "active")

@@ -39,6 +39,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Optional override for shuffle scratch dirs (cluster: NVMe scratch).
+    # Measured here: tmpfs (/dev/shm) is consistently SLOWER than the
+    # default disk path — writes land in page cache either way and tmpfs
+    # competes with the JVM for memory — so the default is left alone.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,4 @@
+from graphlite_spark.streaming.ingest import (  # noqa: F401
+    streaming_edge_counts,
+    streaming_reply_edges,
+)
