@@ -161,10 +161,24 @@ class PregelEngine:
     TARGET_EDGES_PER_PARTITION = 100_000
 
     def __init__(self, num_partitions: int | None = None, checkpointer=None,
-                 run_id: str = "run0"):
+                 run_id: str = "run0", hub_threshold: int | None = None):
+        """``hub_threshold``: out-degree above which a vertex is treated as
+        a hub for skew handling.  A hub's edges all hash to one partition
+        (edges are partitioned by src, the reference's placement), so one
+        task would own the whole hub adjacency; the engine splits the
+        scatter into (non-hub shuffle join) ∪ (broadcast join of the few
+        hub states against the hub edge block) — the hub side never
+        shuffles.  The reference has no skew handling at all (static
+        modulo placement only, SURVEY.md §4.2); the north rule requires
+        it.  The *gather* needs no salting for algebraic combines: Spark's
+        map-side partial aggregation bounds any reducer at <= P partials
+        per key (and LPA's mode combine is already two-stage)."""
         self.num_partitions = num_partitions
         self.checkpointer = checkpointer
         self.run_id = run_id
+        self.hub_threshold = hub_threshold
+        self._hub_edges: DataFrame | None = None
+        self._hub_ids: DataFrame | None = None
 
     def _truncate(self, df: DataFrame, superstep: int, aggr: dict[str, float]) -> DataFrame:
         if self.checkpointer is not None:
@@ -190,9 +204,25 @@ class PregelEngine:
         needs the algorithm's combine to be commutative + associative.
         """
         sending = state.where("send")
-        return sending.join(e, sending["id"] == e["src"]).select(
-            e["dst"].alias("dst"),
-            algo.message(superstep, aggr).cast(algo.value_type).alias("msg"),
+
+        def msg(edges_df: DataFrame, st: DataFrame, tag: str) -> DataFrame:
+            # distinct aliases per branch: the hub/non-hub frames share
+            # lineage with e, which otherwise trips the ambiguous-self-join
+            # analyzer check when the two branches are unioned
+            ed, stt = edges_df.alias(f"e_{tag}"), st.alias(f"s_{tag}")
+            return stt.join(ed, F.col(f"s_{tag}.id") == F.col(f"e_{tag}.src")).select(
+                F.col(f"e_{tag}.dst").alias("dst"),
+                algo.message(superstep, aggr).cast(algo.value_type).alias("msg"),
+            )
+
+        if self._hub_edges is None:
+            return msg(e, sending, "all")
+        # skew split: hub states are few — broadcast them against the hub
+        # edge blocks so no hub adjacency ever funnels through one reducer
+        hub_sending = F.broadcast(sending.join(self._hub_ids, "id", "left_semi"))
+        normal_sending = sending.join(self._hub_ids, "id", "left_anti")
+        return msg(e, normal_sending, "n").unionByName(
+            msg(self._hub_edges, hub_sending, "h")
         )
 
     def prepare(self, vertices: DataFrame, edges: DataFrame,
@@ -219,6 +249,18 @@ class PregelEngine:
             self.num_partitions = P
         e = e.repartition(P, "src").persist()
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+        if self.hub_threshold is not None:
+            self._hub_ids = (
+                deg.where(F.col("out_degree") > self.hub_threshold)
+                .select(F.col("src").alias("id"))
+                .persist()
+            )
+            self._hub_edges = e.join(
+                self._hub_ids, e["src"] == self._hub_ids["id"], "left_semi"
+            ).persist()
+            e = e.join(
+                self._hub_ids, e["src"] == self._hub_ids["id"], "left_anti"
+            ).persist()
         state = (
             vertices.select("id")
             .join(deg, vertices["id"] == deg["src"], "left")
