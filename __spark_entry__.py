@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graphlite_spark import oracle as O
+from graphlite_spark.algos.bfs import bfs
 from graphlite_spark.algos.components import connected_components
 from graphlite_spark.algos.lpa import label_propagation
 from graphlite_spark.algos.pagerank import pagerank
@@ -135,6 +136,12 @@ def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_per_vertex(v, e, orient="degree")
 
 
+def q_bfs_7ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, v, e = graph_tables(spark, sf_dir)
+    res = bfs(v, e, source=0, fixed_supersteps=7)
+    return res.state.select("id", F.col("value").alias("dist"))
+
+
 def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full convergence run — iterative with data-dependent halt, not
     # SQL-expressible; driver records the weaker rows-only check
@@ -239,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_3iter": q_lpa3,
         "triangles_total": q_triangles_total,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "bfs_7ss": q_bfs_7ss,
         "pagerank_converged": q_pagerank_converged,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -268,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_3iter": O.lpa_sql(3),
         "triangles_total": O.triangles_total_sql(),
         "triangles_per_vertex": O.triangles_per_vertex_sql(),
+        "bfs_7ss": O.bfs_sql(0, 7),
         # pagerank_converged: data-dependent halt — rows-only check
         "dedup_exact": O.dedup_exact_sql(),
         "dedup_ngram_jaccard": O.ngram_jaccard_sql(0.3),

@@ -94,6 +94,9 @@ class ParquetCheckpointer:
             "superstep": superstep,
             "state_path": data_path,
             "partition_lineage": lineage,
+            # the global visible DURING this superstep (needed to re-derive
+            # its outgoing messages exactly on resume)
+            "aggregates_in": {k: float(v) for k, v in aggr.items()},
         }
         return reread
 
@@ -135,8 +138,8 @@ class ParquetCheckpointer:
 
     def latest(
         self, spark: SparkSession, run_id: str
-    ) -> tuple[DataFrame, int, dict[str, float]] | None:
-        """(state_df, superstep, aggregates) of the newest complete
+    ):
+        """(state_df, superstep, aggregates, aggregates_in) of the newest complete
         checkpoint, or None.  Feed directly to ``PregelEngine.run``'s
         ``resume_from``; the aggregates dict is the aggregator state
         *produced by* that superstep (what the next superstep sees as
@@ -146,4 +149,5 @@ class ParquetCheckpointer:
             return None
         m = ms[-1]
         df = spark.read.parquet(m["state_path"])
-        return df, int(m["superstep"]), dict(m["aggregates"])
+        return (df, int(m["superstep"]), dict(m["aggregates"]),
+                dict(m.get("aggregates_in", m["aggregates"])))

@@ -116,6 +116,16 @@ class PregelAlgorithm:
         out_degree, weight (sendMessageToAllNeighbors, Node.cc:139-145)."""
         raise NotImplementedError
 
+    def point_messages(
+        self, state: DataFrame, superstep: int, aggr: dict[str, float]
+    ) -> DataFrame | None:
+        """Targeted sends — ``sendMessageTo(dest, value)`` in the reference
+        (include/Vertex.h:226-228, routed by Node.cc:103-137).  Return
+        (dst, msg) rows derived from the post-compute state (columns: id,
+        value, out_degree, active, send, participate, has_msg, old_value),
+        or None.  Unioned with the edge scatter before combining."""
+        return None
+
     def combine(self, msgs: DataFrame) -> DataFrame:
         """(dst, msg) -> one combined (dst, msg) row per dst.
 
@@ -320,8 +330,20 @@ class PregelEngine:
             # state carries (id, out_degree, value, active, send) from the
             # completed superstep S; messages are re-derived (scatter is a
             # deterministic function of state) and we continue at S+1.
-            ck_state, last_step, aggr = resume_from
-            inbox = algo.combine(self._scatter(ck_state, e, algo, last_step, aggr))
+            ck_state, last_step, aggr, *rest = resume_from
+            # re-derive the messages sent at last_step: they saw the global
+            # merged BEFORE last_step (aggr_in), stored in the manifest
+            aggr_in = rest[0] if rest else dict(aggr)
+            msgs = self._scatter(ck_state, e, algo, last_step, aggr_in)
+            pm = algo.point_messages(ck_state, last_step, aggr_in)
+            if pm is not None:
+                msgs = msgs.unionByName(
+                    pm.select(
+                        F.col("dst").cast("long").alias("dst"),
+                        F.col("msg").cast(algo.value_type).alias("msg"),
+                    )
+                )
+            inbox = algo.combine(msgs)
             state = ck_state.select("id", "out_degree", "value", "active")
             start_step = last_step + 1
 
@@ -330,6 +352,9 @@ class PregelEngine:
         superstep = start_step - 1
         for superstep in range(start_step, algo.max_supersteps):
             t0 = time.perf_counter()
+            # the global visible DURING this superstep's compute+send
+            # (merged from superstep-1; Worker.cc:729-731 timeline)
+            aggr_in = dict(aggr)
             if inbox is None:
                 joined = state.withColumn(
                     "msg", F.lit(None).cast(algo.value_type)
@@ -375,6 +400,16 @@ class PregelEngine:
             active_cnt = int(stats_row["_act"] or 0)
             sent_cnt = int(stats_row["_sent"] or 0)
             aggr = {k: float(stats_row[k] or 0.0) for k in aggr_exprs}
+            # targeted sends (sendMessageTo) must count toward `sent`
+            # BEFORE the termination test, or act==0 && sent==0 would end
+            # the run with point messages still in flight
+            pm = algo.point_messages(new_state, superstep, aggr_in)
+            if pm is not None:
+                pm = pm.select(
+                    F.col("dst").cast("long").alias("dst"),
+                    F.col("msg").cast(algo.value_type).alias("msg"),
+                ).localCheckpoint(eager=True)
+                sent_cnt += pm.count()
             metrics.append(
                 SuperstepMetrics(
                     superstep=superstep,
@@ -395,7 +430,12 @@ class PregelEngine:
                 break
 
             # ---- scatter (lazy — runs inside next superstep's jobs) ------
-            inbox = algo.combine(self._scatter(new_state, e, algo, superstep, aggr))
+            # messages are part of superstep S's compute: they see aggr_in,
+            # not the aggregates S itself produced
+            msgs = self._scatter(new_state, e, algo, superstep, aggr_in)
+            if pm is not None:
+                msgs = msgs.unionByName(pm)
+            inbox = algo.combine(msgs)
             state = new_state.select("id", "out_degree", "value", "active")
 
         final = state.select("id", "value", "out_degree", "active")

@@ -174,6 +174,36 @@ def pagerank_sumdelta_sql(at_superstep: int = 2) -> str:
     return _graph_query(body)
 
 
+def bfs_sql(source: int = 0, supersteps: int = 7, inf: int = (1 << 62) - 1) -> str:
+    """k-hop bounded BFS from ``source`` over directed edges, unrolled
+    min-plus rounds (rounds = supersteps - 1, matching the engine's ss0
+    initialization + delivery supersteps)."""
+    parts = [
+        f"b0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} THEN 0 END AS dist "
+        "FROM vertices)"
+    ]
+    for k in range(1, supersteps):
+        prev = f"b{k - 1}"
+        parts.append(
+            f"b{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id,\n"
+            f"         CASE WHEN m.d IS NULL THEN p.dist\n"
+            f"              WHEN p.dist IS NULL THEN m.d\n"
+            f"              ELSE least(p.dist, m.d) END AS dist\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, min(q.dist) + 1 AS d\n"
+            f"    FROM edges e JOIN {prev} q ON q.id = e.src AND q.dist IS NOT NULL\n"
+            f"    GROUP BY e.dst) m ON m.id = p.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT id, CAST(COALESCE(dist, {inf}) AS BIGINT) AS dist "
+        f"FROM b{supersteps - 1}"
+    )
+    return _graph_query(body)
+
+
 def components_sql() -> str:
     body = (
         ", reach(id, r) AS (\n"

@@ -1,0 +1,69 @@
+"""BFS parity vs a python oracle, on both engines."""
+
+from __future__ import annotations
+
+from collections import deque
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphlite_spark.algos.bfs import INF, BFS, bfs
+from graphlite_spark.operators.csr import CSRPregelEngine
+from graphlite_spark.sources.transcripts import TINYGRAPH_EDGES
+from tests.reference_sim import random_digraph
+
+
+def py_bfs(edges, n, source, max_hops=None):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = [INF] * n
+    dist[source] = 0
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        if max_hops is not None and dist[u] >= max_hops:
+            continue
+        for w in adj.get(u, ()):
+            if dist[w] == INF:
+                dist[w] = dist[u] + 1
+                q.append(w)
+    return dist
+
+
+GRAPHS = {"tiny": (TINYGRAPH_EDGES, 5), "rand": (random_digraph(150, 420, seed=13), 150)}
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+def test_bfs_full(spark, gname):
+    edges, n = GRAPHS[gname]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    v = spark.range(n).select(F.col("id"))
+    res = bfs(v, e, source=0)
+    got = [r["value"] for r in res.state.orderBy("id").collect()]
+    assert got == py_bfs(edges, n, 0)
+    assert res.converged
+
+
+def test_bfs_fixed_hops(spark):
+    edges, n = GRAPHS["rand"]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    v = spark.range(n).select(F.col("id"))
+    res = bfs(v, e, source=0, fixed_supersteps=4)  # hops <= 3
+    got = [r["value"] for r in res.state.orderBy("id").collect()]
+    assert got == py_bfs(edges, n, 0, max_hops=3)
+
+
+def test_bfs_csr_engine(spark):
+    edges, n = GRAPHS["rand"]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    v = spark.range(n).select(F.col("id"))
+    res = CSRPregelEngine(num_partitions=3).run(v, e, BFS(source=0))
+    got = [r["value"] for r in res.state.orderBy("id").collect()]
+    assert got == py_bfs(edges, n, 0)

@@ -40,9 +40,9 @@ def test_resume_mid_iteration_bitwise_equal(spark, tmp_path, graph):
 
     latest = ck.latest(spark, "r1")
     assert latest is not None
-    _, last_step, aggr = latest
+    _, last_step, aggr, aggr_in = latest
     assert last_step == 4  # checkpoints at 0 and 4
-    assert "sum_delta" in aggr
+    assert "sum_delta" in aggr and "sum_delta" in aggr_in
 
     # resume and finish — simulates a fresh driver process
     resumed = PregelEngine(checkpointer=ParquetCheckpointer(ck_dir, every=4),
