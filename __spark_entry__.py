@@ -32,6 +32,7 @@ from graphlite_spark.functions.text import (
 )
 from graphlite_spark.operators.dedup import (
     dedup_exact,
+    embedding_near_dups,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_signatures,
@@ -186,11 +187,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens_expr("text")
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+|[^a-z0-9 \t\n]"), 0)
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
     )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic embeddings top out near cosine 0.51 — 0.35 marks the
+    # near-dup tail while still returning a non-trivial pair set
+    return embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash32": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding_cosine": q_embedding_near_dups,
         "text_token_count": q_token_count,
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
@@ -284,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash32": O.simhash_sql(32),
         "ann_cosine_topk": O.ann_cosine_topk_sql(5, 20),
         "ann_lsh_topk": O.ann_lsh_topk_sql(3, 8, 20),
+        "dedup_embedding_cosine": O.embedding_near_dups_sql(0.35),
         "text_token_count": O.token_count_sql(),
         "text_lang_id": O.lang_id_sql(),
         "text_quality": O.quality_sql(),

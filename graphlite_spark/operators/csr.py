@@ -114,6 +114,13 @@ class CSRPregelEngine(PregelEngine):
     execution)."""
 
     def prepare(self, vertices, edges, algo):
+        if self.hub_threshold is not None:
+            # the base engine's hub split would remove hub edges from `e`,
+            # and this scatter ignores the split frames — hub messages would
+            # silently vanish.  Hub fan-out inside a CSR block is already
+            # vectorized; use the join engine if broadcast splitting is
+            # needed.
+            raise ValueError("CSRPregelEngine does not support hub_threshold")
         state, e = super().prepare(vertices, edges, algo)
         P = self.num_partitions
         self._csr = build_csr_blocks(e, P).persist()

@@ -162,6 +162,37 @@ def minhash_lsh_candidates(
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefilter_bits: int | None = None,
+) -> DataFrame:
+    """(a, b, sim) — embedding-cosine near-duplicate pairs.
+
+    Brute force over a<b pairs by default (exact); with ``prefilter_bits``
+    the pair space is restricted to sign-bit LSH bucket collisions first —
+    the 100 TB path (bucket equi-join instead of a cross join).
+    """
+    from graphlite_spark.operators.similarity import cosine_expr, lsh_bucket
+
+    x = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    y = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    if prefilter_bits:
+        x = x.withColumn("bucket", lsh_bucket(F.col("va"), prefilter_bits))
+        y = y.withColumn("bucket", lsh_bucket(F.col("vb"), prefilter_bits))
+        pairs = x.join(y, "bucket").where(F.col("a") < F.col("b"))
+    else:
+        pairs = x.join(y, F.col("a") < F.col("b"))
+    return (
+        pairs.select(
+            "a", "b", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("sim")
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def simhash_signatures(
     docs: DataFrame,
     bits: int = 32,

@@ -403,11 +403,26 @@ def ann_lsh_topk_sql(k: int = 3, num_bits: int = 8, num_queries: int = 20) -> st
 # ---------------------------------------------------------------------------
 
 def token_count_sql() -> str:
+    # n_bpe_tokens: BPE-ish pre-tokenization — alnum runs or single
+    # non-alnum marks (same RE2/Java-regex-safe pattern on both engines)
     return (
         f"WITH {TOKS_CTE}\n"
-        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,\n"
-        "       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct\n"
-        "FROM toks_t"
+        "SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,\n"
+        "       CAST(len(list_distinct(t.toks)) AS BIGINT) AS n_distinct,\n"
+        "       CAST(len(regexp_extract_all(lower(d.text),\n"
+        "            '[a-z0-9]+|[^a-z0-9 \\t\\n]')) AS BIGINT) AS n_bpe_tokens\n"
+        "FROM toks_t t JOIN documents d ON d.doc_id = t.doc_id"
+    )
+
+
+def embedding_near_dups_sql(threshold: float = 0.95) -> str:
+    return (
+        f"WITH {_EMB_D}\n"
+        "SELECT a, b, sim FROM (\n"
+        "  SELECT q.vec_id AS a, c.vec_id AS b,\n"
+        f"         {_COS} AS sim\n"
+        "  FROM e q JOIN e c ON q.vec_id < c.vec_id)\n"
+        f"WHERE sim >= {threshold}"
     )
 
 
