@@ -28,6 +28,7 @@ from graphlite_spark.functions.text import (
     fingerprint_expr,
     lang_id_expr,
     quality_exprs,
+    rolling_hash_expr,
     tokens_expr,
 )
 from graphlite_spark.operators.dedup import (
@@ -225,6 +226,11 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash_expr("text").alias("rhash"))
+
+
 def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
     return extract_binary_meta(docs)
@@ -268,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
         "text_fingerprint": q_fingerprint,
+        "text_rolling_fp": q_rolling_fingerprint,
         "multimodal_extract": q_multimodal_extract,
         "events_windowed": q_events_windowed,
     }
@@ -299,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": O.lang_id_sql(),
         "text_quality": O.quality_sql(),
         "text_fingerprint": O.fingerprint_sql(),
+        "text_rolling_fp": O.rolling_fingerprint_sql(),
         "multimodal_extract": O.multimodal_extract_sql(),
         "events_windowed": O.events_windowed_sql(),
     }

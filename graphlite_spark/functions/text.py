@@ -75,3 +75,22 @@ def quality_exprs(tokens: Column) -> dict[str, Column]:
 def fingerprint_expr(tokens: Column) -> Column:
     """md5 of the sorted distinct token set — content-defined doc identity."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens)), " "))
+
+
+def rolling_hash_expr(text: Column | str = "text", base: int = 31,
+                      mod: int = 2147483647) -> Column:
+    """Polynomial rolling hash over the character stream:
+    ``h = fold(chars, 0, (a, c) -> (a*base + ascii(c)) % mod)``.
+
+    Order-sensitive (unlike :func:`fingerprint_expr`), all JVM-side
+    (regexp char split + F.aggregate fold); DuckDB mirror via
+    list_reduce (see oracle.rolling_fingerprint_sql).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.regexp_extract_all(c, F.lit("."), 0)
+    codes = F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % F.lit(mod).cast("long"),
+    )

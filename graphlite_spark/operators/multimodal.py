@@ -59,6 +59,79 @@ def extract_binary_meta(docs_with_payload: DataFrame, id_col: str = "doc_id") ->
     )
 
 
+RESIZE_SCHEMA = "doc_id long, width int, height int, payload binary"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_digest string"
+
+
+def resize_stub(
+    decoded_meta: DataFrame, target_w: int = 224, target_h: int = 224,
+    fake: bool = False,
+) -> DataFrame:
+    """(doc_id, width, height, payload) — resize step.
+
+    STUB: real resizing needs an image codec; ``fake=True`` emits the
+    target dimensions with a deterministic payload (md5 of the input
+    digest + size) so the pipeline's shape survives end-to-end.  The Spark
+    plumbing — grouped Arrow batches, binary out — is real.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "resize requires image codecs absent from this environment"
+                )
+            digests = pdf["digest"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": digests.map(
+                        lambda d: hashlib.md5(
+                            f"{d}:{target_w}x{target_h}".encode()
+                        ).digest()
+                    ),
+                }
+            )
+
+    return decoded_meta.select("doc_id", "digest").mapInPandas(
+        kernel, schema=RESIZE_SCHEMA
+    )
+
+
+def frame_sample_stub(
+    decoded: DataFrame, every: int = 8, fake: bool = False
+) -> DataFrame:
+    """(doc_id, frame_idx, frame_digest) — sample every Nth frame of a
+    decoded video.  STUB decode; the fan-out (one row per sampled frame,
+    bounded per Arrow batch) is the real plumbing under test.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame extraction requires video codecs absent from this "
+                    "environment"
+                )
+            rows = {"doc_id": [], "frame_idx": [], "frame_digest": []}
+            for doc_id, n_frames in zip(pdf["doc_id"], pdf["n_frames"]):
+                for i in range(0, int(n_frames), every):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(i)
+                    rows["frame_digest"].append(
+                        hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows).astype(
+                {"doc_id": "int64", "frame_idx": "int32"}
+            )
+
+    return decoded.select("doc_id", "n_frames").mapInPandas(
+        kernel, schema=FRAMES_SCHEMA
+    )
+
+
 def decode_image_stub(
     docs_with_payload: DataFrame, id_col: str = "doc_id", fake: bool = False
 ) -> DataFrame:

@@ -467,6 +467,17 @@ def fingerprint_sql() -> str:
     )
 
 
+def rolling_fingerprint_sql(base: int = 31, mod: int = 2147483647) -> str:
+    return (
+        "SELECT doc_id, list_reduce(\n"
+        "  list_prepend(CAST(0 AS BIGINT),\n"
+        "    list_transform(regexp_extract_all(text, '.', 0),\n"
+        "                   c -> CAST(ascii(c) AS BIGINT))),\n"
+        f"  (a, x) -> (a * {base} + x) % {mod}) AS rhash\n"
+        "FROM documents"
+    )
+
+
 def multimodal_extract_sql() -> str:
     return (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,\n"
