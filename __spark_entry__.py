@@ -23,6 +23,7 @@ from graphlite_spark.algos.bfs import bfs
 from graphlite_spark.algos.components import connected_components
 from graphlite_spark.algos.lpa import label_propagation
 from graphlite_spark.algos.pagerank import pagerank
+from graphlite_spark.algos.sssp import INF as SSSP_INF, sssp
 from graphlite_spark.algos.triangles import triangle_count, triangle_count_per_vertex
 from graphlite_spark.functions.text import (
     fingerprint_expr,
@@ -144,6 +145,31 @@ def q_bfs_7ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.col("value").alias("dist"))
 
 
+def _weighted_edges(e: DataFrame) -> DataFrame:
+    # deterministic non-unit weights (mirrored in oracle._WEDGES_CTE): the
+    # derived table carries weight=1.0, so SSSP derives varied weights to
+    # actually exercise per-edge values through the min-combiner
+    return e.withColumn(
+        "weight", (F.lit(1) + (F.col("src") + F.col("dst")) % 4).cast("double")
+    )
+
+
+def q_sssp_7ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, v, e = graph_tables(spark, sf_dir)
+    res = sssp(v, _weighted_edges(e), source=0, fixed_supersteps=7)
+    return res.state.select(
+        "id",
+        F.when(F.col("value") < SSSP_INF, F.round("value", 6)).alias("dist"),
+    )
+
+
+def q_sssp_maxdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, v, e = graph_tables(spark, sf_dir)
+    res = sssp(v, _weighted_edges(e), source=0, fixed_supersteps=7)
+    val = res.metrics[-1].aggregates["max_dist"]
+    return spark.range(1).select(F.round(F.lit(val), 6).alias("max_dist"))
+
+
 def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full convergence run — iterative with data-dependent halt, not
     # SQL-expressible; driver records the weaker rows-only check
@@ -198,9 +224,13 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # synthetic embeddings top out near cosine 0.51 — 0.35 marks the
-    # near-dup tail while still returning a non-trivial pair set
-    return embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.35)
+    # the scale path: sign-bit LSH prefilter (bucket equi-join) ON — the
+    # brute-force a<b nested-loop join never runs; synthetic embeddings top
+    # out near cosine 0.51, so 0.3 marks the near-dup tail with a
+    # non-trivial pair set surviving the 8-bit bucket filter
+    return embedding_near_dups(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, prefilter_bits=8
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,6 +292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_total": q_triangles_total,
         "triangles_per_vertex": q_triangles_per_vertex,
         "bfs_7ss": q_bfs_7ss,
+        "sssp_7ss": q_sssp_7ss,
+        "sssp_maxdist_ss7": q_sssp_maxdist,
         "pagerank_converged": q_pagerank_converged,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -294,14 +326,19 @@ def oracle_sql() -> dict[str, str]:
         "triangles_total": O.triangles_total_sql(),
         "triangles_per_vertex": O.triangles_per_vertex_sql(),
         "bfs_7ss": O.bfs_sql(0, 7),
-        # pagerank_converged: data-dependent halt — rows-only check
+        "sssp_7ss": O.sssp_sql(0, 7),
+        "sssp_maxdist_ss7": O.sssp_maxdist_sql(0, 7),
+        # data-dependent halt, yet SQL-expressible: the unroll FREEZES
+        # values once sum-delta crosses eps (the reference's voteToHalt
+        # branch) and derives the superstep count from the first crossing
+        "pagerank_converged": O.pagerank_converged_sql(),
         "dedup_exact": O.dedup_exact_sql(),
         "dedup_ngram_jaccard": O.ngram_jaccard_sql(0.3),
         "dedup_minhash_lsh": O.minhash_lsh_sql(),
         "simhash32": O.simhash_sql(32),
         "ann_cosine_topk": O.ann_cosine_topk_sql(5, 20),
         "ann_lsh_topk": O.ann_lsh_topk_sql(3, 8, 20),
-        "dedup_embedding_cosine": O.embedding_near_dups_sql(0.35),
+        "dedup_embedding_cosine": O.embedding_near_dups_sql(0.3, prefilter_bits=8),
         "text_token_count": O.token_count_sql(),
         "text_lang_id": O.lang_id_sql(),
         "text_quality": O.quality_sql(),

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from graphlite_spark.operators.pregel import PregelAlgorithm, PregelEngine, PregelResult
+from graphlite_spark.operators.pregel import (
+    PregelAlgorithm,
+    PregelEngine,
+    PregelResult,
+    warn_if_not_converged,
+)
 
 INF = (1 << 62) - 1
 
@@ -78,4 +83,7 @@ def bfs(
     algo = BFS(source=source, fixed_supersteps=fixed_supersteps)
     eng = PregelEngine(num_partitions=num_partitions, checkpointer=checkpointer,
                        run_id=run_id)
-    return eng.run(vertices, edges, algo)
+    res = eng.run(vertices, edges, algo)
+    if fixed_supersteps is None:
+        warn_if_not_converged(res, "bfs")
+    return res

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from graphlite_spark.operators.pregel import PregelAlgorithm, PregelEngine, PregelResult
+from graphlite_spark.operators.pregel import (
+    PregelAlgorithm,
+    PregelEngine,
+    PregelResult,
+    warn_if_not_converged,
+)
 
 
 def symmetrize(edges: DataFrame) -> DataFrame:
@@ -83,4 +88,6 @@ def connected_components(
     und = edges if already_undirected else symmetrize(edges)
     eng = PregelEngine(num_partitions=num_partitions, checkpointer=checkpointer,
                        run_id=run_id)
-    return eng.run(vertices, und, ConnectedComponents())
+    return warn_if_not_converged(
+        eng.run(vertices, und, ConnectedComponents()), "connected_components"
+    )

@@ -1,0 +1,103 @@
+"""Single-source shortest paths over WEIGHTED edges (min-plus Pregel).
+
+The reference stores an arbitrary per-edge value (include/Node.h:47-54 —
+``m_e_value_size`` bytes per out-edge) which its shipped PageRank never
+consults; SSSP is the canonical program that does.  This is the 6th vertex
+program on the engine contract and the first to exercise
+
+* non-unit messages through the min-combiner: ``msg = value + weight``
+  reads the edge table's ``weight`` column inside the scatter join;
+* a **non-sum global aggregator**: ``max_dist`` merges with ``F.max``
+  (the reference's user-definable ``Aggregator::merge``,
+  include/AggregatorBase.h:44-84) — the maximum finite distance settled
+  so far, a natural progress/eccentricity gauge.
+
+Semantics per superstep (classic Pregel SSSP):
+  ss0   : source adopts 0.0 and relaxes its out-edges; everyone halts.
+  ss>=1 : a reactivated vertex takes m = min(inbox); if m < dist it adopts
+          m and relaxes; always votes to halt.
+Unreached vertices keep the ``INF`` sentinel.  Converges via the engine's
+``act==0 && sent==0`` test; ``fixed_supersteps`` bounds the run for the
+unrolled min-plus SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphlite_spark.operators.pregel import (
+    PregelAlgorithm,
+    PregelEngine,
+    PregelResult,
+    warn_if_not_converged,
+)
+
+#: unreachable sentinel — large but far from double overflow under +weight
+INF = 1.0e18
+
+
+class SSSP(PregelAlgorithm):
+    name = "sssp"
+    value_type = "double"
+    combine_expr = staticmethod(F.min)
+
+    def __init__(self, source: int = 0, max_supersteps: int = 200,
+                 fixed_supersteps: int | None = None):
+        self.source = source
+        self.fixed = fixed_supersteps
+        self.max_supersteps = (
+            fixed_supersteps if fixed_supersteps is not None else max_supersteps
+        )
+
+    def init_value(self) -> Column:
+        return F.lit(INF)
+
+    def update_value(self, superstep: int, aggr: dict[str, float]) -> Column:
+        if superstep == 0:
+            return F.when(F.col("id") == self.source, F.lit(0.0)).otherwise(
+                F.col("value")
+            )
+        return F.when(
+            F.col("has_msg") & (F.col("msg") < F.col("value")), F.col("msg")
+        ).otherwise(F.col("value"))
+
+    def update_send(self, superstep: int, aggr: dict[str, float]) -> Column:
+        if superstep == 0:
+            return F.col("id") == self.source
+        return F.col("has_msg") & (F.col("msg") < F.col("value"))
+
+    def update_halt(self, superstep: int, aggr: dict[str, float]) -> Column:
+        return F.lit(True)
+
+    def message(self, superstep: int, aggr: dict[str, float]) -> Column:
+        # value + per-edge weight: the scatter join exposes the edge
+        # table's weight column (operators/pregel.PregelEngine._scatter)
+        return F.col("value") + F.col("weight")
+
+    def aggregators(self, superstep: int, aggr: dict[str, float]):
+        # max-merge aggregator: largest settled (finite) distance
+        return {
+            "max_dist": (
+                F.when(F.col("value") < F.lit(INF), F.col("value")),
+                F.max,
+            )
+        }
+
+
+def sssp(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source: int = 0,
+    num_partitions: int | None = None,
+    checkpointer=None,
+    run_id: str = "sssp",
+    fixed_supersteps: int | None = None,
+) -> PregelResult:
+    algo = SSSP(source=source, fixed_supersteps=fixed_supersteps)
+    eng = PregelEngine(num_partitions=num_partitions, checkpointer=checkpointer,
+                       run_id=run_id)
+    res = eng.run(vertices, edges, algo)
+    if fixed_supersteps is None:
+        warn_if_not_converged(res, "sssp")
+    return res

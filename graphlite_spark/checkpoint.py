@@ -70,6 +70,12 @@ class ParquetCheckpointer:
         spark = df.sparkSession
         step_dir = self._run_dir(run_id) / f"superstep={superstep:06d}"
         data_path = str(step_dir / "state")
+        # a restarted run may overwrite a superstep that already published a
+        # manifest; retract it BEFORE touching the data so a crash mid-write
+        # can never leave a complete manifest pointing at torn files
+        old_manifest = step_dir / "manifest.json"
+        if old_manifest.exists():
+            old_manifest.unlink()
         # keep every column the engine reads after _truncate (stats agg uses
         # old_value/participate/has_msg) so the round-trip is transparent
         df.write.mode("overwrite").parquet(data_path)

@@ -87,7 +87,10 @@ def rolling_hash_expr(text: Column | str = "text", base: int = 31,
     list_reduce (see oracle.rolling_fingerprint_sql).
     """
     c = F.col(text) if isinstance(text, str) else text
-    chars = F.regexp_extract_all(c, F.lit("."), 0)
+    # explicit [^\n] char class: Java-regex '.' also skips \r and unicode
+    # line separators while DuckDB's RE2 '.' skips only \n — [^\n] means
+    # the same thing in both engines, so \r-bearing docs hash identically
+    chars = F.regexp_extract_all(c, F.lit("[^\n]"), 0)
     codes = F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
     return F.aggregate(
         codes,

@@ -124,6 +124,7 @@ class CSRPregelEngine(PregelEngine):
         state, e = super().prepare(vertices, edges, algo)
         P = self.num_partitions
         self._csr = build_csr_blocks(e, P).persist()
+        self._owned.append(self._csr)
         self._csr.count()  # build once, reuse every superstep
         return state, e
 

@@ -62,31 +62,53 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_freq: float | None = None,
 ) -> DataFrame:
-    """(a, b, jaccard) for pairs with Jaccard >= threshold over n-gram sets."""
+    """(a, b, jaccard) for pairs with Jaccard >= threshold over n-gram sets.
+
+    ``max_doc_freq``: drop shingles appearing in more than that fraction of
+    docs *from the self-join only* (set sizes keep every shingle, so
+    Jaccard of surviving pairs is exact as long as dropped shingles are
+    noise).  Stop-shingles (boilerplate) carry ~no dedup signal but
+    quadratic join cost — a shingle shared by k docs contributes k^2 join
+    rows.  Default off so the oracle SQL stays an exact mirror.
+    """
     sh = _doc_shingles(docs, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    left = sh.select(F.col("doc_id").alias("a"), "shingle")
-    right = sh.select(F.col("doc_id").alias("b"), "shingle")
+    joinable = sh
+    if max_doc_freq is not None:
+        n_docs = docs.count()
+        cap = int(max_doc_freq * n_docs)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > cap)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    left = joinable.select(F.col("doc_id").alias("a"), "shingle")
+    right = joinable.select(F.col("doc_id").alias("b"), "shingle")
     inter = (
         left.join(right, "shingle")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return _jaccard_from_intersections(inter, sizes).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _jaccard_from_intersections(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """(a, b, c) + per-doc set sizes -> (a, b, jaccard)."""
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6).alias(
-                "jaccard"
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
+    return inter.join(sa, "a").join(sb, "b").select(
+        "a",
+        "b",
+        F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6).alias(
+            "jaccard"
+        ),
     )
 
 
@@ -154,10 +176,22 @@ def minhash_lsh_candidates(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (threshold 0: report all)
-    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n, id_col=id_col,
-                                text_col=text_col)
-    return cand.join(exact, ["a", "b"], "left").select(
+    # candidate-only verify: exact Jaccard computed ONLY for LSH candidate
+    # pairs — never the all-pairs shingle self-join.  cand ⋈ shingles(a)
+    # ⋈ shingles(b) on (b, shingle) counts each pair's intersection; cost
+    # is Σ_cand |shingles(a)|, proportional to candidates, not docs².
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(sha, "a")
+        .join(shb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    verified = _jaccard_from_intersections(inter, sizes)
+    return cand.join(verified, ["a", "b"], "left").select(
         "a", "b", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
     )
 

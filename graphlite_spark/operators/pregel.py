@@ -72,6 +72,25 @@ class PregelResult:
     converged: bool
 
 
+def warn_if_not_converged(res: PregelResult, algo_name: str) -> PregelResult:
+    """For convergence-DEFINED algorithms (CC, BFS, converged PageRank) a
+    max_supersteps cutoff silently returns wrong labels — e.g. min-label
+    propagation along a conversation chain longer than the cap never
+    finishes while the fixpoint oracle does.  Loud, not fatal: partial
+    results are still useful for diagnostics."""
+    if not res.converged:
+        import warnings
+
+        warnings.warn(
+            f"{algo_name}: hit max_supersteps ({res.supersteps}) before "
+            "convergence — results are a PARTIAL fixpoint; raise "
+            "max_supersteps (graph diameter bound) for exact output",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return res
+
+
 class PregelAlgorithm:
     """Vertex-program contract — the Spark analogue of the ``dlopen``'d user
     program surface (include/Vertex.h:122-258, include/Graph.h:147-149).
@@ -138,10 +157,18 @@ class PregelAlgorithm:
     combine_expr: Callable[[Column], Column] = staticmethod(F.sum)
 
     # -- aggregators (Pregel UDAF surface) -------------------------------
-    def aggregators(self, superstep: int, aggr: dict[str, float]) -> dict[str, Column]:
-        """Per-superstep global aggregates, summed over the updated state.
-        Columns: id, value (new), old_value, out_degree, participate,
-        send, active, has_msg."""
+    def aggregators(
+        self, superstep: int, aggr: dict[str, float]
+    ) -> dict[str, Column | tuple[Column, Callable[[Column], Column]]]:
+        """Per-superstep global aggregates over the updated state.
+
+        Each entry is either a bare Column (merged with ``F.sum``, the
+        common case) or a ``(column, merge_fn)`` pair for arbitrary merge
+        semantics — ``F.min`` / ``F.max`` / any commutative+associative
+        SQL aggregate, matching the reference's user-definable
+        ``Aggregator::merge`` (include/AggregatorBase.h:44-84).  Columns:
+        id, value (new), old_value, out_degree, participate, send, active,
+        has_msg."""
         return {}
 
     # -- master compute (Graph.h:147-149) ---------------------------------
@@ -189,6 +216,8 @@ class PregelEngine:
         self.hub_threshold = hub_threshold
         self._hub_edges: DataFrame | None = None
         self._hub_ids: DataFrame | None = None
+        #: engine-owned persisted frames, released at the end of run()
+        self._owned: list[DataFrame] = []
 
     def _truncate(self, df: DataFrame, superstep: int, aggr: dict[str, float]) -> DataFrame:
         if self.checkpointer is not None:
@@ -258,6 +287,7 @@ class PregelEngine:
             P = max(1, min(max_p, n_e // self.TARGET_EDGES_PER_PARTITION + 1))
             self.num_partitions = P
         e = e.repartition(P, "src").persist()
+        self._owned.append(e)
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         if self.hub_threshold is not None:
             self._hub_ids = (
@@ -271,6 +301,7 @@ class PregelEngine:
             e = e.join(
                 self._hub_ids, e["src"] == self._hub_ids["id"], "left_anti"
             ).persist()
+            self._owned += [self._hub_ids, self._hub_edges, e]
         state = (
             vertices.select("id")
             .join(deg, vertices["id"] == deg["src"], "left")
@@ -311,6 +342,14 @@ class PregelEngine:
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
+            # release engine-owned caches: the result state is already
+            # lineage-truncated (localCheckpoint / durable round-trip), so
+            # nothing the caller holds depends on these blocks — without
+            # this, repeated runs in one session (bench runs 4+ engines)
+            # accumulate cached edge tables until storage eviction thrashes
+            for df in self._owned:
+                df.unpersist()
+            self._owned.clear()
         return result
 
     def _run_loop(
@@ -389,13 +428,16 @@ class PregelEngine:
             new_state = self._truncate(new_state, superstep, aggr)
 
             # ---- the superstep barrier: ONE action -----------------------
-            aggr_exprs = algo.aggregators(superstep, aggr)
+            aggr_exprs = {
+                k: (spec if isinstance(spec, tuple) else (spec, F.sum))
+                for k, spec in algo.aggregators(superstep, aggr).items()
+            }
             stats_row = new_state.agg(
                 F.sum(F.col("active").cast("long")).alias("_act"),
                 F.sum(F.when(F.col("send"), F.col("out_degree")).otherwise(F.lit(0))).alias(
                     "_sent"
                 ),
-                *[F.sum(c).alias(k) for k, c in aggr_exprs.items()],
+                *[merge(c).alias(k) for k, (c, merge) in aggr_exprs.items()],
             ).first()
             active_cnt = int(stats_row["_act"] or 0)
             sent_cnt = int(stats_row["_sent"] or 0)

@@ -165,6 +165,68 @@ def pagerank_fixed_sql(supersteps: int = 10) -> str:
     return _graph_query(body)
 
 
+def pagerank_converged_sql(eps: float = 1e-6, max_rounds: int = 120) -> str:
+    """Converged PageRank WITH the reference's halting timeline baked in —
+    no engine run needed to parameterize the unroll.
+
+    The engine halts at superstep H = min s>=2 with sum_delta(s-1) < eps
+    (the voteToHalt branch, example/PageRankVertex.cc:152-157), reporting
+    ``supersteps = H + 1`` (the halted superstep H still executes, then the
+    master's act==0 && sent==0 test ends the run).  The SQL mirrors that
+    exactly: each round k >= 2 FREEZES values when the previous round's
+    Σ|Δ| dropped below eps, so unrolling past convergence is a no-op, and
+    the reported superstep count is the first crossing + 1.  Contraction
+    is ~0.85^k, so convergence lands near round 86 at any graph size —
+    ``max_rounds`` = 120 gives margin; a graph that genuinely needs more
+    would mismatch loudly, not silently.
+    """
+    parts = [
+        "pr0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS rank, out_degree FROM deg)",
+        # round 1 always updates (halting starts at s >= 2)
+        "pr1 AS MATERIALIZED (\n"
+        "  SELECT p.id, 0.15 + 0.85 * COALESCE(m.s, 0.0) AS rank, p.out_degree\n"
+        "  FROM pr0 p LEFT JOIN (\n"
+        "    SELECT e.dst AS id, sum(q.rank / q.out_degree) AS s\n"
+        "    FROM edges e JOIN pr0 q ON q.id = e.src GROUP BY e.dst) m\n"
+        "  ON m.id = p.id)",
+        "d1 AS MATERIALIZED (SELECT sum(abs(a.rank - b.rank)) AS v\n"
+        "  FROM pr1 a JOIN pr0 b ON a.id = b.id)",
+    ]
+    for k in range(2, max_rounds + 1):
+        prev = f"pr{k - 1}"
+        parts.append(
+            f"pr{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id,\n"
+            f"         CASE WHEN (SELECT v FROM d{k - 1}) < {eps} THEN p.rank\n"
+            f"              ELSE 0.15 + 0.85 * COALESCE(m.s, 0.0) END AS rank,\n"
+            f"         p.out_degree\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, sum(q.rank / q.out_degree) AS s\n"
+            f"    FROM edges e JOIN {prev} q ON q.id = e.src GROUP BY e.dst) m\n"
+            f"  ON m.id = p.id)"
+        )
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT sum(abs(a.rank - b.rank)) AS v\n"
+            f"  FROM pr{k} a JOIN pr{k - 1} b ON a.id = b.id)"
+        )
+    deltas = " UNION ALL ".join(
+        f"SELECT {s} AS s, (SELECT v FROM d{s - 1}) AS v"
+        for s in range(2, max_rounds + 1)
+    )
+    parts.append(
+        f"halt AS MATERIALIZED (SELECT min(s) + 1 AS supersteps FROM ({deltas}) "
+        f"WHERE v < {eps})"
+    )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT p.id, round(p.rank, 6) AS rank,\n"
+        f"       CAST(h.supersteps AS INTEGER) AS supersteps\n"
+        f"FROM pr{max_rounds} p CROSS JOIN halt h"
+    )
+    return _graph_query(body)
+
+
 def pagerank_sumdelta_sql(at_superstep: int = 2) -> str:
     body = (
         f", {_pagerank_ctes(at_superstep)}\n"
@@ -200,6 +262,56 @@ def bfs_sql(source: int = 0, supersteps: int = 7, inf: int = (1 << 62) - 1) -> s
         f", {joined}\n"
         f"SELECT id, CAST(COALESCE(dist, {inf}) AS BIGINT) AS dist "
         f"FROM b{supersteps - 1}"
+    )
+    return _graph_query(body)
+
+
+_WEDGES_CTE = (
+    "wedges AS MATERIALIZED (SELECT src, dst,\n"
+    "  CAST(1 + (src + dst) % 4 AS DOUBLE) AS w FROM edges)"
+)
+
+
+def _sssp_ctes(source: int, rounds: int) -> str:
+    """s0..s{rounds}: unrolled min-plus relaxation over weighted edges
+    (weights = 1 + (src+dst)%4, the same derivation the Spark query uses).
+    NULL dist = unreached."""
+    parts = [
+        _WEDGES_CTE,
+        f"s0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} "
+        "THEN CAST(0.0 AS DOUBLE) END AS dist FROM vertices)",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"s{k - 1}"
+        parts.append(
+            f"s{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id,\n"
+            f"         CASE WHEN m.d IS NULL THEN p.dist\n"
+            f"              WHEN p.dist IS NULL THEN m.d\n"
+            f"              ELSE least(p.dist, m.d) END AS dist\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, min(q.dist + e.w) AS d\n"
+            f"    FROM wedges e JOIN {prev} q ON q.id = e.src AND q.dist IS NOT NULL\n"
+            f"    GROUP BY e.dst) m ON m.id = p.id)"
+        )
+    return ",\n".join(parts)
+
+
+def sssp_sql(source: int = 0, supersteps: int = 7) -> str:
+    """Weighted SSSP after ``supersteps`` (rounds = supersteps - 1, same
+    ss0-initializes convention as bfs_sql)."""
+    body = (
+        f", {_sssp_ctes(source, supersteps - 1)}\n"
+        f"SELECT id, round(dist, 6) AS dist FROM s{supersteps - 1}"
+    )
+    return _graph_query(body)
+
+
+def sssp_maxdist_sql(source: int = 0, supersteps: int = 7) -> str:
+    """The max-merge global aggregator: largest finite distance settled."""
+    body = (
+        f", {_sssp_ctes(source, supersteps - 1)}\n"
+        f"SELECT round(max(dist), 6) AS max_dist FROM s{supersteps - 1}"
     )
     return _graph_query(body)
 
@@ -415,7 +527,27 @@ def token_count_sql() -> str:
     )
 
 
-def embedding_near_dups_sql(threshold: float = 0.95) -> str:
+def embedding_near_dups_sql(
+    threshold: float = 0.95, prefilter_bits: int | None = None
+) -> str:
+    """Mirror of operators.dedup.embedding_near_dups.  With
+    ``prefilter_bits`` the pair space is the sign-bit LSH bucket equi-join
+    (the checked scale path); without, the brute-force a<b join."""
+    if prefilter_bits:
+        bucket = " + ".join(
+            f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(prefilter_bits)
+        )
+        return (
+            "WITH e AS MATERIALIZED (SELECT vec_id,\n"
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,\n"
+            f"  CAST({bucket} AS BIGINT) AS bucket FROM embeddings)\n"
+            "SELECT a, b, sim FROM (\n"
+            "  SELECT q.vec_id AS a, c.vec_id AS b,\n"
+            f"         {_COS} AS sim\n"
+            "  FROM e q JOIN e c ON c.bucket = q.bucket AND q.vec_id < c.vec_id)\n"
+            f"WHERE sim >= {threshold}"
+        )
     return (
         f"WITH {_EMB_D}\n"
         "SELECT a, b, sim FROM (\n"
@@ -471,7 +603,7 @@ def rolling_fingerprint_sql(base: int = 31, mod: int = 2147483647) -> str:
     return (
         "SELECT doc_id, list_reduce(\n"
         "  list_prepend(CAST(0 AS BIGINT),\n"
-        "    list_transform(regexp_extract_all(text, '.', 0),\n"
+        "    list_transform(regexp_extract_all(text, '[^\\n]', 0),\n"
         "                   c -> CAST(ascii(c) AS BIGINT))),\n"
         f"  (a, x) -> (a * {base} + x) % {mod}) AS rhash\n"
         "FROM documents"

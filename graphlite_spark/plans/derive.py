@@ -11,19 +11,85 @@ The graph the engine computes over (FIXTURES.md §2):
 * ``tool`` edges: each *assistant* turn -> the next turn in the same
   conversation whose ``tool`` is non-null (the tool call it triggers).
 
-Dense-id assignment uses ``row_number() - 1`` over a global
-``(conv_id, turn_idx)`` sort.  This is a one-time global sort; at 10^12
-turns it is the single most expensive derivation step, but it runs once,
-is embarrassingly range-partitionable (Spark range-shuffles the sort), and
-the result is checkpointed — every superstep afterwards touches only dense
-longs.  Both edge kinds are windowed *within* a conversation, so the only
-shuffle the edge derivation needs is a hash partition on ``conv_id``.
+Dense-id assignment is **fully distributed** (:func:`assign_dense_ids`):
+a range shuffle establishes the global (conv_id, turn_idx) order across P
+partitions, ``monotonically_increasing_id`` encodes (partition, local row)
+without any further shuffle, and a P-row per-partition count (broadcast
+back as exclusive prefix-sum offsets) turns local row numbers into global
+dense ids.  No single-partition window anywhere — the old
+``row_number() over (order by ...)`` formulation funneled the whole table
+through ONE task, the definitive bottleneck at 10^12 turns.  Both edge
+kinds are windowed *within* a conversation, so the only shuffle the edge
+derivation needs is a hash partition on ``conv_id``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: monotonically_increasing_id() = (partition_id << 33) | local_row_counter
+_MID_LOCAL_MASK = (1 << 33) - 1
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed zipWithIndex: ``id`` = global rank of ``order_cols``.
+
+    Semantically identical to ``row_number() over (order by order_cols) - 1``
+    but never materializes a single-partition window:
+
+    1. ``repartitionByRange(P, *order_cols)`` + ``sortWithinPartitions`` —
+       one range shuffle fixes a total order (partition i's keys all sort
+       before partition i+1's; ``order_cols`` must be a unique key so no
+       tie can straddle a boundary);
+    2. ``monotonically_increasing_id()`` stamps (pid << 33) | local_row in
+       that order, shuffle-free;
+    3. a groupBy on pid (P result rows, collected) yields per-partition
+       counts; their exclusive prefix sums are joined back broadcast-style
+       so ``id = offset[pid] + local_row``.
+
+    The frame is persisted before step 3 so the nondeterministic pieces
+    (range-sample boundaries, mid counters) are materialized exactly once.
+    Cost at scale: one full range shuffle + one P-row driver collect —
+    vs the old plan's single-task global sort.
+    """
+    spark = df.sparkSession
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = (
+        df.repartitionByRange(P, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    pid = F.shiftright("_mid", 33)
+    counts = part.groupBy(pid.alias("_pid")).count().collect()
+    offsets, acc = [], 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((int(r["_pid"]), acc))
+        acc += int(r["count"])
+    offs = spark.createDataFrame(offsets or [(0, 0)], "_pid long, _off long")
+    out = (
+        part.withColumn("_pid", pid)
+        .join(F.broadcast(offs), "_pid")
+        .withColumn(
+            id_col,
+            (F.col("_off") + F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK))).cast(
+                "long"
+            ),
+        )
+        .drop("_pid", "_off", "_mid")
+    )
+    # freeze the assignment (mid counters are nondeterministic on recompute)
+    # and release the intermediate cache; at cluster scale this is where a
+    # durable parquet/Iceberg write of the vertex table would go instead
+    out = out.localCheckpoint(eager=True)
+    part.unpersist()
+    return out
 
 
 def derive_vertices(transcripts: DataFrame) -> DataFrame:
@@ -32,12 +98,9 @@ def derive_vertices(transcripts: DataFrame) -> DataFrame:
     Keeps ``text`` so the per-row invariant (per-turn text equality under
     stable turn ordering) is checkable after derivation.
     """
-    w = Window.orderBy("conv_id", "turn_idx")
-    return transcripts.select(
-        (F.row_number().over(w) - 1).cast("long").alias("id"),
-        "conv_id",
-        "turn_idx",
-        "text",
+    t = transcripts.select("conv_id", "turn_idx", "text")
+    return assign_dense_ids(t, ["conv_id", "turn_idx"]).select(
+        "id", "conv_id", "turn_idx", "text"
     )
 
 
