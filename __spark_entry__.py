@@ -14,16 +14,20 @@ top-k ties order by (rounded value, id).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graphlite_spark import oracle as O
 from graphlite_spark.algos.bfs import bfs
-from graphlite_spark.algos.components import connected_components
+from graphlite_spark.algos.components import (
+    connected_components,
+    connected_components_fast,
+)
 from graphlite_spark.algos.lpa import label_propagation
 from graphlite_spark.algos.pagerank import pagerank
-from graphlite_spark.algos.sssp import INF as SSSP_INF, sssp
+from graphlite_spark.algos.sssp import INF as SSSP_INF, sssp, sssp_with_parents
 from graphlite_spark.algos.triangles import triangle_count, triangle_count_per_vertex
 from graphlite_spark.functions.text import (
     fingerprint_expr,
@@ -41,9 +45,17 @@ from graphlite_spark.operators.dedup import (
 )
 from graphlite_spark.operators.multimodal import extract_binary_meta, with_binary_payload
 from graphlite_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from graphlite_spark.sources.edgelist import read_edge_list
 from graphlite_spark.sources.tables import graph_tables, load_table
 
 SF0001 = "/root/testdata/sf0.001"
+
+# reference-format edge-list fixture (header V, header E, then `src dst`
+# rows) — the committed stand-in for GraphLite's Input/* files
+EDGELIST_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "data", "edgelist_small.txt"
+)
+EDGELIST_FIXTURE_V = 100
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -123,6 +135,12 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.col("value").alias("component"))
 
 
+def q_components_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O(log d) label-doubling variant — same fixpoint as the Pregel run
+    _, v, e = graph_tables(spark, sf_dir)
+    return connected_components_fast(v, e)
+
+
 def q_lpa3(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v, e = graph_tables(spark, sf_dir)
     res = label_propagation(v, e, iterations=3)
@@ -143,6 +161,15 @@ def q_bfs_7ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v, e = graph_tables(spark, sf_dir)
     res = bfs(v, e, source=0, fixed_supersteps=7)
     return res.state.select("id", F.col("value").alias("dist"))
+
+
+def q_edgelist_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # generic text edge-list source (engine/InputFormatter.cc:34-140): the
+    # committed fixture plays the role of Input/tinygraph|facebookcombined;
+    # sf_dir is unused — the source under test is the file format itself
+    v, e = read_edge_list(spark, EDGELIST_FIXTURE)
+    res = pagerank(v, e, fixed_supersteps=10)
+    return res.state.select("id", F.round("value", 6).alias("rank"))
 
 
 def _weighted_edges(e: DataFrame) -> DataFrame:
@@ -168,6 +195,19 @@ def q_sssp_maxdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = sssp(v, _weighted_edges(e), source=0, fixed_supersteps=7)
     val = res.metrics[-1].aggregates["max_dist"]
     return spark.range(1).select(F.round(F.lit(val), 6).alias("max_dist"))
+
+
+def q_sssp_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # struct-valued vertex state (dist, parent) through the whole engine
+    _, v, e = graph_tables(spark, sf_dir)
+    res = sssp_with_parents(v, _weighted_edges(e), source=0, fixed_supersteps=7)
+    st = F.col("value")
+    reached = st.getField("dist") < SSSP_INF
+    return res.state.select(
+        "id",
+        F.when(reached, F.round(st.getField("dist"), 6)).alias("dist"),
+        F.when(reached, st.getField("parent")).alias("parent"),
+    )
 
 
 def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,12 +328,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed10": q_pagerank_fixed10,
         "pagerank_sumdelta_ss2": q_pagerank_sumdelta,
         "connected_components": q_components,
+        "connected_components_fast": q_components_fast,
         "lpa_3iter": q_lpa3,
         "triangles_total": q_triangles_total,
         "triangles_per_vertex": q_triangles_per_vertex,
         "bfs_7ss": q_bfs_7ss,
         "sssp_7ss": q_sssp_7ss,
         "sssp_maxdist_ss7": q_sssp_maxdist,
+        "sssp_parents_7ss": q_sssp_parents,
+        "edgelist_pagerank10": q_edgelist_pagerank,
         "pagerank_converged": q_pagerank_converged,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
@@ -322,12 +365,17 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixed10": O.pagerank_fixed_sql(10),
         "pagerank_sumdelta_ss2": O.pagerank_sumdelta_sql(2),
         "connected_components": O.components_sql(),
+        "connected_components_fast": O.components_sql(),
         "lpa_3iter": O.lpa_sql(3),
         "triangles_total": O.triangles_total_sql(),
         "triangles_per_vertex": O.triangles_per_vertex_sql(),
         "bfs_7ss": O.bfs_sql(0, 7),
         "sssp_7ss": O.sssp_sql(0, 7),
         "sssp_maxdist_ss7": O.sssp_maxdist_sql(0, 7),
+        "sssp_parents_7ss": O.sssp_parents_sql(0, 7),
+        "edgelist_pagerank10": O.edgelist_pagerank_sql(
+            EDGELIST_FIXTURE, EDGELIST_FIXTURE_V, 10
+        ),
         # data-dependent halt, yet SQL-expressible: the unroll FREEZES
         # values once sum-delta crosses eps (the reference's voteToHalt
         # branch) and derives the superstep count from the first crossing

@@ -77,6 +77,84 @@ class ConnectedComponents(PregelAlgorithm):
         return values
 
 
+def connected_components_fast(
+    vertices: DataFrame,
+    edges: DataFrame,
+    num_partitions: int | None = None,
+    max_rounds: int = 64,
+    already_undirected: bool = False,
+) -> DataFrame:
+    """(id, component) in **O(log diameter) rounds** via min-label
+    relaxation + pointer shortcutting (label doubling).
+
+    The Pregel variant above is reference-faithful BSP but needs
+    O(diameter) supersteps — 73 on the sf0.1 transcript graph, 10^3+ on a
+    10^12-turn conversation chain.  This variant adds one shortcut pass
+    per round (``label(v) <- label(label(v))``), the classic pointer-
+    jumping trick: effective propagation distance roughly doubles per
+    round, so chains converge in ~log2(chain length) rounds.
+
+    Invariants (correctness): a vertex's label is always the id of a
+    vertex in its own component, and labels never increase — relaxation
+    uses real edges, shortcutting composes two same-component facts.  The
+    fixpoint (no label changed in a full round) therefore equals the
+    Pregel/recursive-CTE fixpoint: component = min reachable id.
+
+    Per round: 2 shuffles (neighbor-min gather; shortcut self-join) + the
+    one change-count action; lineage truncated per round.  Labels are
+    monotone, so the change count is computed from columns already in the
+    round's plan — no extra comparison join.
+    """
+    spark = edges.sparkSession
+    und = edges if already_undirected else symmetrize(edges)
+    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    e = und.select("src", "dst").repartition(P, "dst").persist()
+    a = vertices.select(F.col("id"), F.col("id").alias("comp"))
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(P))
+        for _ in range(max_rounds):
+            # relax: comp'(v) = min(comp(v), min over incoming neighbors)
+            nbr = (
+                e.join(a, e["src"] == a["id"])
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.min("comp").alias("nmin"))
+            )
+            b = a.join(nbr, a["id"] == nbr["v"], "left").select(
+                "id",
+                F.col("comp").alias("old"),
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias(
+                    "relaxed"
+                ),
+            )
+            # shortcut: comp''(v) = comp'(comp'(v)) — labels name vertices,
+            # so one equi-join composes the pointer (never increases: the
+            # relaxed label of u is <= u for every u)
+            lab = b.select(
+                F.col("id").alias("lid"), F.col("relaxed").alias("lcomp")
+            )
+            nxt = (
+                b.join(lab, b["relaxed"] == lab["lid"])
+                .select("id", "old", F.col("lcomp").alias("comp"))
+                .localCheckpoint(eager=False)
+            )
+            changed = nxt.agg(
+                F.sum((F.col("comp") != F.col("old")).cast("long")).alias("n")
+            ).first()["n"]
+            a = nxt.select("id", "comp")
+            if not changed:
+                break
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        e.unpersist()
+    return a.select("id", F.col("comp").alias("component"))
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,

@@ -85,6 +85,73 @@ class SSSP(PregelAlgorithm):
         }
 
 
+class SSSPWithParents(PregelAlgorithm):
+    """SSSP with STRUCT-valued vertex state: value = (dist, parent).
+
+    Exercises the reference's arbitrary-POD vertex value types
+    (include/Vertex.h:142-160) through the Spark engine: every cast,
+    message, combine and update runs on ``struct<dist:double,parent:bigint>``.
+    The min-combiner orders structs lexicographically, so the combined
+    inbox is "shortest distance, then smallest parent id" — a
+    deterministic parent tree with zero extra passes.
+    """
+
+    name = "sssp_parents"
+    value_type = "struct<dist:double,parent:bigint>"
+    combine_expr = staticmethod(F.min)
+
+    def __init__(self, source: int = 0, max_supersteps: int = 200,
+                 fixed_supersteps: int | None = None):
+        self.source = source
+        self.max_supersteps = (
+            fixed_supersteps if fixed_supersteps is not None else max_supersteps
+        )
+
+    @staticmethod
+    def _mk(dist: Column, parent: Column) -> Column:
+        return F.struct(dist.alias("dist"), parent.cast("long").alias("parent"))
+
+    def init_value(self) -> Column:
+        return self._mk(F.lit(INF), F.lit(-1))
+
+    def update_value(self, superstep: int, aggr: dict[str, float]) -> Column:
+        if superstep == 0:
+            return F.when(
+                F.col("id") == self.source, self._mk(F.lit(0.0), F.lit(-1))
+            ).otherwise(F.col("value"))
+        return F.when(
+            F.col("has_msg") & (F.col("msg") < F.col("value")), F.col("msg")
+        ).otherwise(F.col("value"))
+
+    def update_send(self, superstep: int, aggr: dict[str, float]) -> Column:
+        if superstep == 0:
+            return F.col("id") == self.source
+        return F.col("has_msg") & (F.col("msg") < F.col("value"))
+
+    def update_halt(self, superstep: int, aggr: dict[str, float]) -> Column:
+        return F.lit(True)
+
+    def message(self, superstep: int, aggr: dict[str, float]) -> Column:
+        return self._mk(
+            F.col("value").getField("dist") + F.col("weight"), F.col("id")
+        )
+
+
+def sssp_with_parents(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source: int = 0,
+    num_partitions: int | None = None,
+    fixed_supersteps: int | None = None,
+) -> PregelResult:
+    algo = SSSPWithParents(source=source, fixed_supersteps=fixed_supersteps)
+    eng = PregelEngine(num_partitions=num_partitions)
+    res = eng.run(vertices, edges, algo)
+    if fixed_supersteps is None:
+        warn_if_not_converged(res, "sssp_parents")
+    return res
+
+
 def sssp(
     vertices: DataFrame,
     edges: DataFrame,

@@ -165,6 +165,25 @@ def pagerank_fixed_sql(supersteps: int = 10) -> str:
     return _graph_query(body)
 
 
+def edgelist_pagerank_sql(path: str, n_vertices: int, supersteps: int = 10) -> str:
+    """PageRank (fixed supersteps) over a reference-format edge-list text
+    file — DuckDB parses the same file the Spark source reads
+    (sources/edgelist.read_edge_list), skipping the 2-line header."""
+    rounds = supersteps - 1
+    return (
+        "WITH edges AS MATERIALIZED (\n"
+        f"  SELECT src, dst FROM read_csv('{path}', delim=' ', header=false,\n"
+        "    skip=2, columns={'src': 'BIGINT', 'dst': 'BIGINT'})),\n"
+        f"verts AS (SELECT range AS id FROM range({n_vertices})),\n"
+        "deg AS MATERIALIZED (\n"
+        "  SELECT v.id, CAST(COALESCE(d.outdeg, 0) AS BIGINT) AS out_degree\n"
+        "  FROM verts v LEFT JOIN (\n"
+        "    SELECT src, count(*) AS outdeg FROM edges GROUP BY src) d ON d.src = v.id),\n"
+        f"{_pagerank_ctes(rounds)}\n"
+        f"SELECT id, round(rank, 6) AS rank FROM pr{rounds}"
+    )
+
+
 def pagerank_converged_sql(eps: float = 1e-6, max_rounds: int = 120) -> str:
     """Converged PageRank WITH the reference's halting timeline baked in —
     no engine run needed to parameterize the unroll.
@@ -312,6 +331,40 @@ def sssp_maxdist_sql(source: int = 0, supersteps: int = 7) -> str:
     body = (
         f", {_sssp_ctes(source, supersteps - 1)}\n"
         f"SELECT round(max(dist), 6) AS max_dist FROM s{supersteps - 1}"
+    )
+    return _graph_query(body)
+
+
+def sssp_parents_sql(source: int = 0, supersteps: int = 7) -> str:
+    """Struct-state SSSP mirror: per-vertex (dist, parent) evolves as a
+    lexicographic struct-min in BOTH engines (DuckDB orders STRUCTs
+    field-wise exactly like Spark), so the parent tree is deterministic."""
+    rounds = supersteps - 1
+    parts = [
+        _WEDGES_CTE,
+        f"p0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} THEN\n"
+        "  {'dist': CAST(0.0 AS DOUBLE), 'parent': CAST(-1 AS BIGINT)} END AS st\n"
+        "FROM vertices)",
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"p{k - 1}"
+        parts.append(
+            f"p{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id,\n"
+            f"         CASE WHEN m.st IS NULL THEN p.st\n"
+            f"              WHEN p.st IS NULL THEN m.st\n"
+            f"              WHEN m.st < p.st THEN m.st ELSE p.st END AS st\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id,\n"
+            f"           min({{'dist': (q.st).dist + e.w, 'parent': q.id}}) AS st\n"
+            f"    FROM wedges e JOIN {prev} q ON q.id = e.src AND q.st IS NOT NULL\n"
+            f"    GROUP BY e.dst) m ON m.id = p.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT id, round((st).dist, 6) AS dist, (st).parent AS parent "
+        f"FROM p{rounds}"
     )
     return _graph_query(body)
 

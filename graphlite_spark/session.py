@@ -22,11 +22,18 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cores]`` — pass
+    ``local-cluster[N,cores,mem_mb]`` to spawn N separate executor JVMs
+    (the sandbox stand-in for a real N-executor cluster: per-executor
+    heaps, real serialized shuffle fetches, no shared-JVM scheduling).
+    Env override: ``SPARK_GRAFT_MASTER``."""
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or cores
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
@@ -46,6 +53,17 @@ def get_spark(
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    if master.startswith("local-cluster"):
+        # executor JVMs are separate processes: size their heap inside the
+        # worker's memory bracket, make the repo importable for any pandas
+        # UDF kernels, and don't let locality waits serialize the tiny-task
+        # supersteps on a zero-latency localhost "network"
+        mem_mb = int(master.rstrip("]").split(",")[-1])
+        builder = (
+            builder.config("spark.executor.memory", f"{max(1024, mem_mb - 512)}m")
+            .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+            .config("spark.locality.wait", "0")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,61 +34,98 @@ EDGE_SCHEMA = "conv_id string, src_turn int, dst_turn int"
 STATE_SCHEMA = "max_turn int"
 
 
-def _make_pair_turns(idle_timeout_ms: int | None):
+def _make_pair_turns(idle_timeout_ms: int | None, event_time_gap_ms: int | None):
     def pair_turns(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         """Emit (i -> i+1) reply edges as turns of a conversation arrive.
 
-        State keeps the highest turn index seen; arriving turns are sorted
-        per batch, paired internally, and joined to the stored frontier.
-        Turns arrive in order per conversation (ts-ordered source); an
-        out-of-order turn at/below the frontier is ignored (late policy).
+        State keeps the highest turn index seen (the frontier).  The
+        pairing is vectorized per Arrow batch: sorted-unique turn indices
+        above the frontier, frontier prepended, then a shift — consecutive
+        pairs ARE the reply edges.  Python touches arrays, never rows.
+        Out-of-order turns at/below the frontier are dropped (late policy).
         """
         (conv_id,) = key
         if state.hasTimedOut:
             state.remove()
             return
         max_turn = state.get[0] if state.exists else None
-        rows = []
+        max_ts_ms = None
+        chunks = []
         for pdf in pdfs:
-            for turn in sorted(int(x) for x in pdf["turn_idx"]):
-                if max_turn is None:
-                    max_turn = turn
-                    continue
-                if turn <= max_turn:
-                    continue  # duplicate / late
-                rows.append((conv_id, max_turn, turn))
-                max_turn = turn
+            chunks.append(pdf)
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            turns = np.unique(batch["turn_idx"].to_numpy(dtype="int64"))
+            if max_turn is not None:
+                turns = turns[turns > max_turn]
+                turns = np.concatenate(([max_turn], turns))
+            if event_time_gap_ms and "ts" in batch.columns:
+                max_ts_ms = int(batch["ts"].max().value // 1_000_000)
+            if len(turns) >= 2:
+                yield pd.DataFrame(
+                    {
+                        "conv_id": conv_id,
+                        "src_turn": turns[:-1].astype("int32"),
+                        "dst_turn": turns[1:].astype("int32"),
+                    }
+                )
+            max_turn = int(turns[-1]) if len(turns) else max_turn
         if max_turn is not None:
             state.update((int(max_turn),))
             if idle_timeout_ms:
                 state.setTimeoutDuration(idle_timeout_ms)
-        if rows:
-            yield pd.DataFrame(rows, columns=["conv_id", "src_turn", "dst_turn"])
+            elif event_time_gap_ms and max_ts_ms is not None:
+                # evict once the watermark passes the conversation's last
+                # event time + gap: bounded state on unbounded streams.
+                # Clamp above the current watermark — a conversation whose
+                # events lag the global watermark may otherwise request a
+                # timeout in the past, which the state store rejects.
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(max_ts_ms + event_time_gap_ms, wm + 1))
 
     return pair_turns
 
 
 def streaming_reply_edges(
-    turns: DataFrame, idle_timeout_ms: int | None = None
+    turns: DataFrame,
+    idle_timeout_ms: int | None = None,
+    event_time_gap: str | None = None,
+    watermark: str = "10 seconds",
 ) -> DataFrame:
     """Streaming DF of reply edges from a streaming transcript source.
 
-    ``idle_timeout_ms`` evicts conversations idle that long (bounds state
-    size on unbounded streams).  It is None by default because processing-
-    time timeouts make the engine schedule wake-up batches forever, which
-    prevents ``processAllAvailable()`` from settling in finite-input tests.
+    State-eviction knobs (both bound state size on unbounded streams):
+
+    * ``event_time_gap`` (e.g. ``"30 seconds"``) — PREFERRED: watermark the
+      stream on ``ts`` and evict a conversation once the watermark passes
+      its last event time + gap.  Deterministic w.r.t. the data, and
+      finite-input tests settle (`processAllAvailable` completes once the
+      watermark stops advancing).
+    * ``idle_timeout_ms`` — processing-time idle eviction.  None by default
+      because processing-time timeouts make the engine schedule wake-up
+      batches forever, which prevents ``processAllAvailable()`` from
+      settling in finite-input tests.
     """
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if idle_timeout_ms
-        else GroupStateTimeout.NoTimeout
-    )
+    gap_ms = None
+    if event_time_gap is not None:
+        parts = event_time_gap.split()
+        unit = {"millisecond": 1, "second": 1000, "minute": 60_000,
+                "hour": 3_600_000}[parts[1].rstrip("s")]
+        gap_ms = int(parts[0]) * unit
+        turns = turns.withWatermark("ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = (
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms
+            else GroupStateTimeout.NoTimeout
+        )
     return (
         turns.groupBy("conv_id")
         .applyInPandasWithState(
-            _make_pair_turns(idle_timeout_ms),
+            _make_pair_turns(idle_timeout_ms, gap_ms),
             outputStructType=EDGE_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -38,3 +38,46 @@ def test_hub_split_parity(spark):
     for i in range(n):
         assert math.isclose(got_s[i], expected[i], abs_tol=1e-6)
         assert math.isclose(got_s[i], got_p[i], abs_tol=1e-9)
+
+
+def test_lpa_mode_combine_is_two_stage_partial(spark):
+    """Hub-dst gather in LPA's mode combine is skew-bounded WITHOUT explicit
+    salting (SURVEY §7.1.6): demonstrates, on a hub with max fan-in and
+    all-distinct labels,
+
+    * stage 1 hashes on (dst, msg) — a hub's distinct labels spread across
+      reducers instead of funneling into one;
+    * stage 2 (`max_by` per dst) is a declarative aggregate with MAP-SIDE
+      partial aggregation, so the hub's reducer receives at most P partial
+      rows, not one row per distinct label.
+
+    Checks both the physical plan (partial->final HashAggregate pairs, no
+    single-stage fallback) and the result on the worst-case input.
+    """
+    from graphlite_spark.algos.lpa import LabelPropagation
+
+    n = 5000  # every vertex sends a DISTINCT label to the one hub dst
+    msgs = spark.range(n).select(
+        F.lit(0).alias("dst"), F.col("id").alias("msg")
+    ).repartition(8)
+    combined = LabelPropagation().combine(msgs)
+
+    plan = combined._sc._jvm.PythonSQLUtils.explainString(
+        combined._jdf.queryExecution(), "formatted"
+    )
+    # two aggregations, each split partial/final = 4 HashAggregate nodes
+    assert plan.count("HashAggregate") == 4, plan
+    assert "partial_" in plan or "Partial" in plan, plan
+
+    rows = combined.collect()
+    # all counts are 1 -> tie-break picks the MINIMUM label
+    assert rows == [type(rows[0])(dst=0, msg=0)] or (
+        len(rows) == 1 and rows[0]["dst"] == 0 and rows[0]["msg"] == 0
+    )
+
+    # and a mixed case: label 7 appears twice, everything else once
+    msgs2 = msgs.unionByName(
+        spark.createDataFrame([(0, 7), (0, 7)], "dst long, msg long")
+    )
+    out2 = LabelPropagation().combine(msgs2).collect()
+    assert len(out2) == 1 and out2[0]["msg"] == 7

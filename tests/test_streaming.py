@@ -67,3 +67,72 @@ def test_streaming_windowed_counts_match_batch(spark, turn_stream):
         .collect()
     }
     assert got == want
+
+
+TURN_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def _turn(conv, idx, ts):
+    from datetime import datetime
+
+    return (conv, idx, "user", f"{conv}:{idx}", None, datetime.fromisoformat(ts))
+
+
+def test_event_time_state_eviction(spark, tmp_path):
+    """Event-time timeout EVICTS idle conversation state: after the
+    watermark passes conv A's last event + gap, a later A turn starts a
+    fresh frontier instead of pairing with the evicted one."""
+    path = str(tmp_path / "turns")
+
+    def write(rows):
+        spark.createDataFrame(rows, TURN_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    write([_turn("A", 0, "2024-01-01 10:00:00"), _turn("A", 1, "2024-01-01 10:00:05")])
+    stream = spark.readStream.schema(TURN_SCHEMA).parquet(path)
+    q = (
+        streaming_reply_edges(stream, event_time_gap="30 seconds",
+                              watermark="10 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evict_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # b1: edge (A,0,1); A timeout = 10:00:35
+        write([_turn("B", 0, "2024-01-01 11:00:00")])
+        q.processAllAvailable()  # b2: watermark -> 10:59:50 (past A timeout)
+        write([_turn("C", 0, "2024-01-01 12:00:00")])
+        q.processAllAvailable()  # b3: A's timer fires -> state removed
+        write([_turn("A", 2, "2024-01-01 12:00:05")])
+        q.processAllAvailable()  # b4: A re-initializes; must NOT pair 1->2
+    finally:
+        q.stop()
+    got = {
+        (r["conv_id"], r["src_turn"], r["dst_turn"])
+        for r in spark.sql("SELECT * FROM evict_out").collect()
+    }
+    assert got == {("A", 0, 1)}, got
+
+    # control: same files, no eviction -> one batch sees everything and the
+    # frontier survives, so (A,1,2) IS paired
+    stream2 = spark.readStream.schema(TURN_SCHEMA).parquet(path)
+    q2 = (
+        streaming_reply_edges(stream2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evict_ctl")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    ctl = {
+        (r["conv_id"], r["src_turn"], r["dst_turn"])
+        for r in spark.sql("SELECT * FROM evict_ctl").collect()
+    }
+    assert ("A", 1, 2) in ctl, ctl
