@@ -155,6 +155,54 @@ def connected_components_fast(
     return a.select("id", F.col("comp").alias("component"))
 
 
+def k_core(
+    vertices: DataFrame,
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 40,
+    already_undirected: bool = False,
+) -> DataFrame:
+    """(id, in_core) — iterative k-core peeling over the undirected graph.
+
+    Each round drops vertices whose degree *within the surviving subgraph*
+    is < k; stable set = the k-core.  Both the Spark loop and the unrolled
+    SQL oracle run the identical round rule with the same ``max_rounds``
+    cap, so equality holds even if the cap binds (both sides are then the
+    same "R-round partial peel").  Per round: two semi-joins (edge
+    filtering) + one map-side-combined degree count; survivors only ever
+    shrink, so round cost is monotonically decreasing.
+    """
+    spark = edges.sparkSession
+    und = edges if already_undirected else symmetrize(edges)
+    e0 = und.select("src", "dst").persist()
+    alive = vertices.select("id")
+    prev_n = alive.count()
+    try:
+        for _ in range(max_rounds):
+            ea = e0.join(
+                alive.select(F.col("id").alias("src")), "src", "left_semi"
+            ).join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
+            deg = ea.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+            alive = (
+                alive.join(
+                    deg.where(F.col("c") >= k).select(F.col("src").alias("id")),
+                    "id",
+                    "left_semi",
+                )
+                .localCheckpoint(eager=False)
+            )
+            n = alive.count()
+            if n == prev_n:
+                break
+            prev_n = n
+    finally:
+        e0.unpersist()
+    core = alive.select(F.col("id").alias("cid"))
+    return vertices.select("id").join(
+        core, vertices["id"] == core["cid"], "left"
+    ).select("id", F.col("cid").isNotNull().alias("in_core"))
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,

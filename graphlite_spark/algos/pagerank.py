@@ -89,6 +89,49 @@ class PageRank(PregelAlgorithm):
         }
 
 
+class PersonalizedPageRank(PageRank):
+    """PageRank with teleport mass concentrated on one source vertex:
+    ``val = 0.15*[v == source] + 0.85 * Σ msgs`` (random walk with
+    restart).  Same engine surface as PageRank — only the teleport term
+    changes — which is exactly the per-program extension story the
+    reference's dlopen'd vertex programs tell (include/Vertex.h:122-258).
+    """
+
+    name = "personalized_pagerank"
+
+    def __init__(self, source: int = 0, **kw):
+        super().__init__(**kw)
+        self.source = source
+
+    def update_value(self, superstep: int, aggr: dict[str, float]):
+        if superstep == 0:
+            # walk starts at the source: mass 1 there, 0 elsewhere
+            return F.when(F.col("id") == self.source, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            )
+        if self._halted_branch(superstep, aggr):
+            return F.col("value")
+        teleport = F.when(F.col("id") == self.source, F.lit(0.15)).otherwise(
+            F.lit(0.0)
+        )
+        return teleport + F.lit(0.85) * F.coalesce(F.col("msg"), F.lit(0.0))
+
+
+def personalized_pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source: int = 0,
+    fixed_supersteps: int | None = None,
+    num_partitions: int | None = None,
+) -> PregelResult:
+    algo = PersonalizedPageRank(source=source, fixed_supersteps=fixed_supersteps)
+    eng = PregelEngine(num_partitions=num_partitions)
+    res = eng.run(vertices, edges, algo)
+    if fixed_supersteps is None:
+        warn_if_not_converged(res, "personalized_pagerank")
+    return res
+
+
 def pagerank(
     vertices: DataFrame,
     edges: DataFrame,

@@ -28,7 +28,8 @@ from graphlite_spark.metrics import edges_per_second, write_metrics
 from graphlite_spark.plans.derive import derive_edges, derive_vertices
 from graphlite_spark.sources.transcripts import transcripts_from_events
 
-ALGOS = {"pagerank", "components", "lpa", "triangles"}
+ALGOS = {"pagerank", "ppr", "components", "components-fast", "lpa",
+         "triangles", "bfs", "sssp", "kcore"}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -49,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from the latest complete checkpoint manifest")
     p.add_argument("--iterations", type=int, default=5, help="LPA iterations")
     p.add_argument("--eps", type=float, default=1e-6)
+    p.add_argument("--source", type=int, default=0, help="bfs/sssp/ppr source")
+    p.add_argument("--k", type=int, default=2, help="kcore k")
     return p
 
 
@@ -78,16 +81,36 @@ def main(argv: list[str] | None = None) -> int:
         total = triangle_count(e).collect()[0]["triangles"]
         print(json.dumps({"algo": "triangles", "total": int(total)}))
         return 0
+    if args.algo == "components-fast":
+        from graphlite_spark.algos.components import connected_components_fast
 
+        out = connected_components_fast(v, e, num_partitions=args.partitions)
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"algo": "components-fast", "rows": out.count()}))
+        return 0
+    if args.algo == "kcore":
+        from graphlite_spark.algos.components import k_core
+
+        out = k_core(v, e, k=args.k)
+        out.write.mode("overwrite").parquet(args.output)
+        n_core = out.where("in_core").count()
+        print(json.dumps({"algo": "kcore", "k": args.k, "in_core": n_core}))
+        return 0
+
+    from graphlite_spark.algos.bfs import BFS
     from graphlite_spark.algos.components import ConnectedComponents, symmetrize
     from graphlite_spark.algos.lpa import LabelPropagation
-    from graphlite_spark.algos.pagerank import PageRank
+    from graphlite_spark.algos.pagerank import PageRank, PersonalizedPageRank
+    from graphlite_spark.algos.sssp import SSSP
     from graphlite_spark.operators.pregel import PregelEngine
 
     algo_obj = {"pagerank": PageRank(eps=args.eps),
+                "ppr": PersonalizedPageRank(source=args.source, eps=args.eps),
                 "components": ConnectedComponents(),
-                "lpa": LabelPropagation(args.iterations)}[args.algo]
-    graph_e = e if args.algo == "pagerank" else symmetrize(e)
+                "lpa": LabelPropagation(args.iterations),
+                "bfs": BFS(source=args.source),
+                "sssp": SSSP(source=args.source)}[args.algo]
+    graph_e = e if args.algo in ("pagerank", "ppr", "bfs", "sssp") else symmetrize(e)
     res = PregelEngine(num_partitions=args.partitions, checkpointer=ck,
                        run_id=args.run_id).run(v, graph_e, algo_obj,
                                                resume_from=resume_from)

@@ -165,6 +165,34 @@ def pagerank_fixed_sql(supersteps: int = 10) -> str:
     return _graph_query(body)
 
 
+def ppr_fixed_sql(source: int = 0, supersteps: int = 8) -> str:
+    """Personalized PageRank (teleport to ``source`` only), unrolled."""
+    rounds = supersteps - 1
+    tele = f"CASE WHEN p.id = {source} THEN 0.15 ELSE 0.0 END"
+    parts = [
+        f"pp0 AS MATERIALIZED (SELECT id,\n"
+        f"  CASE WHEN id = {source} THEN CAST(1.0 AS DOUBLE)\n"
+        f"       ELSE CAST(0.0 AS DOUBLE) END AS rank, out_degree FROM deg)"
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"pp{k - 1}"
+        parts.append(
+            f"pp{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id, {tele} + 0.85 * COALESCE(m.s, 0.0) AS rank,\n"
+            f"         p.out_degree\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, sum(q.rank / q.out_degree) AS s\n"
+            f"    FROM edges e JOIN {prev} q ON q.id = e.src GROUP BY e.dst) m\n"
+            f"  ON m.id = p.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT id, round(rank, 6) AS rank FROM pp{rounds}"
+    )
+    return _graph_query(body)
+
+
 def edgelist_pagerank_sql(path: str, n_vertices: int, supersteps: int = 10) -> str:
     """PageRank (fixed supersteps) over a reference-format edge-list text
     file — DuckDB parses the same file the Spark source reads
@@ -380,6 +408,29 @@ def components_sql() -> str:
     return _graph_query(body, recursive=True)
 
 
+def kcore_sql(k: int = 3, max_rounds: int = 40) -> str:
+    """Unrolled k-core peel — identical round rule + cap as algos.k_core,
+    so SQL/Spark equality holds whether or not the cap binds."""
+    parts = ["kc0 AS MATERIALIZED (SELECT id FROM vertices)"]
+    for r in range(1, max_rounds + 1):
+        prev = f"kc{r - 1}"
+        parts.append(
+            f"kc{r} AS MATERIALIZED (\n"
+            f"  SELECT v.id FROM {prev} v JOIN (\n"
+            f"    SELECT u.src, count(*) AS c FROM und u\n"
+            f"    JOIN {prev} x ON x.id = u.src\n"
+            f"    JOIN {prev} y ON y.id = u.dst\n"
+            f"    GROUP BY u.src) d ON d.src = v.id AND d.c >= {k})"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT v.id, c.id IS NOT NULL AS in_core\n"
+        f"FROM vertices v LEFT JOIN kc{max_rounds} c ON c.id = v.id"
+    )
+    return _graph_query(body)
+
+
 def lpa_sql(iterations: int = 3) -> str:
     parts = ["l0 AS MATERIALIZED (SELECT id, id AS label FROM vertices)"]
     for k in range(1, iterations + 1):
@@ -473,7 +524,8 @@ def ngram_jaccard_sql(threshold: float = 0.3) -> str:
     )
 
 
-def minhash_lsh_sql(num_hashes: int = 8, bands: int = 4) -> str:
+def _minhash_lsh_ctes(num_hashes: int = 8, bands: int = 4) -> str:
+    """CTE chain ending in ``cand`` (LSH candidate pairs) + ``jac``."""
     rows = num_hashes // bands
     hcols = ",\n    ".join(
         "min({h}) AS h{k}".format(h=_h48(f"'{k}' || chr(31) || shingle"), k=k)
@@ -490,15 +542,43 @@ def minhash_lsh_sql(num_hashes: int = 8, bands: int = 4) -> str:
     )
     band_list = ", ".join(f"band{b}" for b in range(bands))
     return (
-        f"WITH {_JACCARD_CTES},\n"
+        f"{_JACCARD_CTES},\n"
         f"sig AS MATERIALIZED (SELECT doc_id,\n    {hcols}\n  FROM sh GROUP BY doc_id),\n"
         f"banded AS MATERIALIZED (SELECT doc_id,\n    {band_exprs}\n  FROM sig),\n"
         f"stacked AS MATERIALIZED (SELECT doc_id, unnest([{band_list}]) AS bucket FROM banded),\n"
         "cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b\n"
         "         FROM stacked x JOIN stacked y ON y.bucket = x.bucket\n"
-        "         AND x.doc_id < y.doc_id)\n"
+        "         AND x.doc_id < y.doc_id)"
+    )
+
+
+def minhash_lsh_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    return (
+        f"WITH {_minhash_lsh_ctes(num_hashes, bands)}\n"
         "SELECT cand.a, cand.b, COALESCE(j.jaccard, 0.0) AS jaccard\n"
         "FROM cand LEFT JOIN jac j ON j.a = cand.a AND j.b = cand.b"
+    )
+
+
+def dedup_clusters_sql(threshold: float = 0.3, num_hashes: int = 8,
+                       bands: int = 4) -> str:
+    """Near-dup clusters: transitive closure (recursive CTE) over the LSH
+    candidate pairs that verify at >= threshold — the fixpoint the Spark
+    side computes with connected_components_fast over the pair graph."""
+    return (
+        f"WITH RECURSIVE {_minhash_lsh_ctes(num_hashes, bands)},\n"
+        "dpairs AS MATERIALIZED (\n"
+        "  SELECT cand.a, cand.b FROM cand\n"
+        "  LEFT JOIN jac j ON j.a = cand.a AND j.b = cand.b\n"
+        f"  WHERE COALESCE(j.jaccard, 0.0) >= {threshold}),\n"
+        "du AS MATERIALIZED (SELECT a AS s, b AS d FROM dpairs\n"
+        "  UNION SELECT b AS s, a AS d FROM dpairs),\n"
+        "reach(id, r) AS (\n"
+        "  SELECT doc_id, doc_id FROM documents\n"
+        "  UNION\n"
+        "  SELECT u.d, reach.r FROM reach JOIN du u ON u.s = reach.id)\n"
+        "SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster\n"
+        "FROM reach GROUP BY id"
     )
 
 

