@@ -28,6 +28,7 @@ from graphlite_spark.algos.components import (
 )
 from graphlite_spark.algos.lpa import label_propagation
 from graphlite_spark.algos.pagerank import pagerank, personalized_pagerank
+from graphlite_spark.algos.rotate import ring_rotate
 from graphlite_spark.algos.sssp import INF as SSSP_INF, sssp, sssp_with_parents
 from graphlite_spark.algos.triangles import triangle_count, triangle_count_per_vertex
 from graphlite_spark.functions.text import (
@@ -44,7 +45,12 @@ from graphlite_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from graphlite_spark.operators.multimodal import extract_binary_meta, with_binary_payload
+from graphlite_spark.operators.multimodal import (
+    decode_ppm,
+    encode_ppm_kernel,
+    extract_binary_meta,
+    with_binary_payload,
+)
 from graphlite_spark.operators.similarity import cosine_topk, lsh_bucket_topk
 from graphlite_spark.sources.edgelist import read_edge_list
 from graphlite_spark.sources.tables import graph_tables, load_table
@@ -185,6 +191,13 @@ def q_triangles_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v, e = graph_tables(spark, sf_dir)
     return triangle_count_per_vertex(v, e, orient="degree")
+
+
+def q_point_rotate3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pure sendMessageTo program (op #5): 3-round ring rotation, no edges
+    _, v, _ = graph_tables(spark, sf_dir)
+    res = ring_rotate(v, rounds=3)
+    return res.state.select("id", F.col("value").alias("rotated_from"))
 
 
 def q_bfs_7ss(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,6 +349,14 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_binary_meta(docs)
 
 
+def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL image decode (pure-numpy P6 parser, no codec library): encode a
+    # deterministic PPM per doc, decode it back, check dims vs closed form
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = encode_ppm_kernel(docs)
+    return decode_ppm(imgs).select("doc_id", "width", "height", "n_pixels")
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -364,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_3iter": q_lpa3,
         "triangles_total": q_triangles_total,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "point_rotate3": q_point_rotate3,
         "bfs_7ss": q_bfs_7ss,
         "sssp_7ss": q_sssp_7ss,
         "sssp_maxdist_ss7": q_sssp_maxdist,
@@ -384,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_fingerprint,
         "text_rolling_fp": q_rolling_fingerprint,
         "multimodal_extract": q_multimodal_extract,
+        "multimodal_decode_ppm": q_multimodal_decode_ppm,
         "events_windowed": q_events_windowed,
     }
 
@@ -404,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_3iter": O.lpa_sql(3),
         "triangles_total": O.triangles_total_sql(),
         "triangles_per_vertex": O.triangles_per_vertex_sql(),
+        "point_rotate3": O.ring_rotate_sql(3),
         "bfs_7ss": O.bfs_sql(0, 7),
         "sssp_7ss": O.sssp_sql(0, 7),
         "sssp_maxdist_ss7": O.sssp_maxdist_sql(0, 7),
@@ -429,5 +453,6 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": O.fingerprint_sql(),
         "text_rolling_fp": O.rolling_fingerprint_sql(),
         "multimodal_extract": O.multimodal_extract_sql(),
+        "multimodal_decode_ppm": O.multimodal_decode_ppm_sql(),
         "events_windowed": O.events_windowed_sql(),
     }

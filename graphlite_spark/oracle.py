@@ -397,6 +397,17 @@ def sssp_parents_sql(source: int = 0, supersteps: int = 7) -> str:
     return _graph_query(body)
 
 
+def ring_rotate_sql(rounds: int = 3) -> str:
+    """Closed form of the K-round point-send rotation: value(id) =
+    (id - K) mod V over the derived vertex set."""
+    return _graph_query(
+        "SELECT id, CAST((id - {k} + n.v) % n.v AS BIGINT) AS rotated_from\n"
+        "FROM vertices CROSS JOIN (SELECT count(*) AS v FROM vertices) n".format(
+            k=rounds
+        )
+    )
+
+
 def components_sql() -> str:
     body = (
         ", reach(id, r) AS (\n"
@@ -739,6 +750,21 @@ def rolling_fingerprint_sql(base: int = 31, mod: int = 2147483647) -> str:
         "    list_transform(regexp_extract_all(text, '[^\\n]', 0),\n"
         "                   c -> CAST(ascii(c) AS BIGINT))),\n"
         f"  (a, x) -> (a * {base} + x) % {mod}) AS rhash\n"
+        "FROM documents"
+    )
+
+
+def multimodal_decode_ppm_sql() -> str:
+    """Closed form of the synthetic-PPM round trip: the encoder derives
+    (width, height) from md5(text) bytes 0/1; the REAL decoder must read
+    exactly those back out of the P6 header."""
+    w = "4 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 29"
+    h = "4 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 23"
+    return (
+        "SELECT doc_id,\n"
+        f"  CAST({w} AS INTEGER) AS width,\n"
+        f"  CAST({h} AS INTEGER) AS height,\n"
+        f"  CAST(({w}) * ({h}) AS BIGINT) AS n_pixels\n"
         "FROM documents"
     )
 

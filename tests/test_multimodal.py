@@ -51,3 +51,93 @@ def test_fake_decode_resize_frames_pipeline(spark, docs):
     want = len(range(0, drows[1]["n_frames"], 8))
     assert got == want
     assert all(r["frame_idx"] % 8 == 0 for r in frows)
+
+
+# ---------------------------------------------------------------------------
+# REAL kernels (pure-numpy parsers — no codec libraries)
+# ---------------------------------------------------------------------------
+
+def _make_ppm(w, h, value=7):
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import _ppm_bytes
+
+    px = np.full((h, w, 3), value, dtype=np.uint8)
+    px[0, 0] = [255, 0, 0]  # a marker pixel
+    return _ppm_bytes(px)
+
+
+def test_decode_ppm_real(spark):
+    from graphlite_spark.operators.multimodal import decode_ppm
+
+    df = spark.createDataFrame(
+        [(1, _make_ppm(10, 6)), (2, _make_ppm(3, 4, value=100))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_ppm(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_pixels"]) == (10, 6, 60)
+    assert (got[2]["width"], got[2]["height"]) == (3, 4)
+    # mean_r of doc 2: 11 pixels of 100 + one 255 marker
+    assert abs(got[2]["mean_r"] - (100 * 11 + 255) / 12) < 1e-6
+
+
+def test_resize_ppm_real_roundtrip(spark):
+    from graphlite_spark.operators.multimodal import decode_ppm, resize_ppm
+
+    df = spark.createDataFrame(
+        [(1, _make_ppm(20, 12))], "doc_id long, payload binary"
+    )
+    resized = resize_ppm(df, target_w=5, target_h=3)
+    out = decode_ppm(resized).collect()[0]
+    assert (out["width"], out["height"]) == (5, 3)
+
+
+def test_sample_ppm_frames_real(spark):
+    from graphlite_spark.operators.multimodal import sample_ppm_frames
+
+    video = _make_ppm(4, 4, 1) + _make_ppm(4, 4, 2) + _make_ppm(4, 4, 3) + \
+        _make_ppm(4, 4, 4) + _make_ppm(4, 4, 5)
+    df = spark.createDataFrame([(9, video)], "doc_id long, payload binary")
+    rows = sample_ppm_frames(df, every=2).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert len({r["frame_digest"] for r in rows}) == 3  # distinct frames
+
+
+def test_decode_wav_meta_real(spark):
+    import struct
+
+    from graphlite_spark.operators.multimodal import decode_wav_meta
+
+    def make_wav(sr, ch, bits, n):
+        data = b"\x00" * (n * ch * bits // 8)
+        fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * bits // 8,
+                          ch * bits // 8, bits)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + \
+            b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    df = spark.createDataFrame(
+        [(1, make_wav(16000, 1, 16, 32000)), (2, make_wav(44100, 2, 16, 44100))],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in decode_wav_meta(df).collect()}
+    assert (got[1]["sample_rate"], got[1]["channels"], got[1]["n_samples"]) == (
+        16000, 1, 32000)
+    assert abs(got[1]["duration_s"] - 2.0) < 1e-9
+    assert (got[2]["sample_rate"], got[2]["channels"]) == (44100, 2)
+    assert abs(got[2]["duration_s"] - 1.0) < 1e-9
+
+
+def test_encode_decode_ppm_closed_form(spark):
+    import hashlib
+
+    from graphlite_spark.operators.multimodal import decode_ppm, encode_ppm_kernel
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in decode_ppm(encode_ppm_kernel(docs)).collect()}
+    for i in range(20):
+        d = hashlib.md5(f"text {i}".encode()).digest()
+        assert got[i]["width"] == 4 + d[0] % 29
+        assert got[i]["height"] == 4 + d[1] % 23
