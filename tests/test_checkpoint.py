@@ -111,3 +111,30 @@ def test_metrics_df_and_throughput(spark, graph):
     assert rows[0]["sent"] == 300
     assert json.loads(rows[1]["aggregates"])["sum_delta"] > 0
     assert edges_per_second(res.metrics) > 0
+
+
+def test_restart_retracts_manifest_before_overwrite(spark, tmp_path):
+    """A restarted run that re-saves an already-published superstep must
+    retract the old manifest BEFORE touching the data: a crash mid-rewrite
+    can then never leave a complete manifest pointing at torn files."""
+    import pyspark.sql.functions as F
+
+    ck = ParquetCheckpointer(str(tmp_path), every=1)
+    df = spark.range(10).select(
+        F.col("id"), F.lit(1).alias("out_degree"), F.lit(0.0).alias("value"),
+        F.lit(True).alias("active"), F.lit(True).alias("send"),
+    )
+    ck.save(df, 0, {}, "r")
+    ck.commit(0, {"a": 1.0}, "r")
+    step_dir = tmp_path / "r" / "superstep=000000"
+    assert (step_dir / "manifest.json").exists()
+
+    # restart: save the same superstep again — manifest must vanish the
+    # moment phase-1 starts, and only reappear at phase-2 commit
+    ck2 = ParquetCheckpointer(str(tmp_path), every=1)
+    ck2.save(df, 0, {}, "r")
+    assert not (step_dir / "manifest.json").exists()
+    assert ck2.latest(spark, "r") is None  # torn window: resume ignores it
+    ck2.commit(0, {"a": 2.0}, "r")
+    got = ck2.latest(spark, "r")
+    assert got is not None and got[2] == {"a": 2.0}

@@ -75,3 +75,19 @@ def test_write_read_roundtrip(spark, tmp_path):
     assert sorted((r["src"], r["dst"]) for r in e2.collect()) == sorted(
         (r["src"], r["dst"]) for r in e.collect()
     )
+
+
+@pytest.mark.skipif(
+    not os.path.exists(f"{REF_INPUT}/facebookcombined"),
+    reason="reference Input/ absent",
+)
+def test_facebookcombined_triangle_count(spark):
+    """External ground truth: SNAP publishes 1,612,010 triangles for the
+    ego-Facebook graph the reference ships — the strongest possible
+    correctness anchor for the triangle operator (no simulator, no oracle
+    SQL: the published number)."""
+    from graphlite_spark.algos import triangle_count
+
+    _, e = read_edge_list(spark, f"{REF_INPUT}/facebookcombined")
+    total = triangle_count(e, orient="degree").collect()[0]["triangles"]
+    assert total == 1_612_010
