@@ -51,6 +51,7 @@ from graphlite_spark.operators.multimodal import (
     extract_binary_meta,
     with_binary_payload,
 )
+from graphlite_spark.operators.sessions import sessionize
 from graphlite_spark.operators.similarity import cosine_topk, lsh_bucket_topk
 from graphlite_spark.sources.edgelist import read_edge_list
 from graphlite_spark.sources.tables import graph_tables, load_table
@@ -357,6 +358,10 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_ppm(imgs).select("doc_id", "width", "height", "n_pixels")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -407,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rolling_fp": q_rolling_fingerprint,
         "multimodal_extract": q_multimodal_extract,
         "multimodal_decode_ppm": q_multimodal_decode_ppm,
+        "events_sessionize": q_sessionize,
         "events_windowed": q_events_windowed,
     }
 
@@ -454,5 +460,6 @@ def oracle_sql() -> dict[str, str]:
         "text_rolling_fp": O.rolling_fingerprint_sql(),
         "multimodal_extract": O.multimodal_extract_sql(),
         "multimodal_decode_ppm": O.multimodal_decode_ppm_sql(),
+        "events_sessionize": O.sessionize_sql(30),
         "events_windowed": O.events_windowed_sql(),
     }

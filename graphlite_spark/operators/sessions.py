@@ -1,0 +1,51 @@
+"""Gap-based sessionization of event streams.
+
+The standard web-scale session operator: events of a user belong to the
+same session while consecutive gaps stay under ``gap``; a larger gap
+starts a new session.  Expressed as two window passes partitioned by
+``user_id`` (bounded per-user state — parallel across users, the only
+shuffle is one hash partition on user_id), then one aggregation per
+session.  All JVM expressions; DuckDB mirrors the same two windows for
+the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """(user_id, session_seq, n_events, start_us, end_us) per session."""
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    # parquet timestamps are TIMESTAMP_NTZ in Spark 4; session TZ is pinned
+    # UTC so the cast is value-preserving and matches DuckDB's epoch_us
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap_us = gap_minutes * 60 * 1_000_000
+    marked = events.select(
+        F.col(user_col),
+        ts_us.alias("ts_us"),
+        F.when(
+            F.lag(ts_us).over(w).isNull()
+            | ((ts_us - F.lag(ts_us).over(w)) > gap_us),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+        *[F.col(c) for c in order_cols if c not in (ts_col, user_col)],
+    )
+    w2 = Window.partitionBy(user_col).orderBy(
+        *[c if c != ts_col else "ts_us" for c in order_cols]
+    )
+    seq = marked.withColumn("session_seq", F.sum("is_new").over(w2))
+    return seq.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )

@@ -777,6 +777,28 @@ def multimodal_extract_sql() -> str:
     )
 
 
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        "WITH m AS MATERIALIZED (\n"
+        "  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,\n"
+        "         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL\n"
+        f"              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}\n"
+        "              THEN 1 ELSE 0 END AS is_new\n"
+        "  FROM events\n"
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),\n"
+        "s AS MATERIALIZED (\n"
+        "  SELECT user_id, ts_us,\n"
+        "         sum(is_new) OVER (PARTITION BY user_id\n"
+        "           ORDER BY ts_us, event_id) AS session_seq\n"
+        "  FROM m)\n"
+        "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,\n"
+        "       CAST(count(*) AS BIGINT) AS n_events,\n"
+        "       min(ts_us) AS start_us, max(ts_us) AS end_us\n"
+        "FROM s GROUP BY user_id, session_seq"
+    )
+
+
 def events_windowed_sql() -> str:
     return (
         "SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,\n"
