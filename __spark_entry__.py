@@ -47,8 +47,12 @@ from graphlite_spark.operators.dedup import (
 )
 from graphlite_spark.operators.multimodal import (
     decode_ppm,
+    decode_wav_meta,
     encode_ppm_kernel,
+    encode_ppm_video_kernel,
+    encode_wav_kernel,
     extract_binary_meta,
+    sample_ppm_frames,
     with_binary_payload,
 )
 from graphlite_spark.operators.sessions import sessionize
@@ -358,6 +362,25 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_ppm(imgs).select("doc_id", "width", "height", "n_pixels")
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL frame sampling over a raw concatenated-P6 "video" container
+    docs = load_table(spark, sf_dir, "documents")
+    vids = encode_ppm_video_kernel(docs)
+    return sample_ppm_frames(vids, every=2).select("doc_id", "frame_idx")
+
+
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL RIFF/PCM header decode round trip
+    docs = load_table(spark, sf_dir, "documents")
+    # duration as exact integer microseconds: (n * 1e6) div sr — float
+    # rounding of n/sr ties at the 6th decimal differently across engines
+    # (Spark rounds the shortest decimal repr, DuckDB the binary double)
+    return decode_wav_meta(encode_wav_kernel(docs)).select(
+        "doc_id", "sample_rate", "channels", "n_samples",
+        F.expr("(n_samples * 1000000L) div sample_rate").alias("duration_us"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
@@ -412,6 +435,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rolling_fp": q_rolling_fingerprint,
         "multimodal_extract": q_multimodal_extract,
         "multimodal_decode_ppm": q_multimodal_decode_ppm,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_wav_meta": q_multimodal_wav,
         "events_sessionize": q_sessionize,
         "events_windowed": q_events_windowed,
     }
@@ -460,6 +485,8 @@ def oracle_sql() -> dict[str, str]:
         "text_rolling_fp": O.rolling_fingerprint_sql(),
         "multimodal_extract": O.multimodal_extract_sql(),
         "multimodal_decode_ppm": O.multimodal_decode_ppm_sql(),
+        "multimodal_frames": O.multimodal_frames_sql(2),
+        "multimodal_wav_meta": O.multimodal_wav_sql(),
         "events_sessionize": O.sessionize_sql(30),
         "events_windowed": O.events_windowed_sql(),
     }

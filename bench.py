@@ -10,10 +10,11 @@ and print::
 Extra keys carry the north metric: PageRank edges/sec, iterations-to-1e-6,
 and per-algorithm throughput.
 
-``--scaling`` additionally re-runs the PageRank job in two fresh
-subprocesses at N and 4N cores (local[8] vs local[32]) on the identical
-input — the sandbox evidence protocol for the >=0.8 scaling-efficiency
-criterion (BASELINE.md) — and appends the result to BENCH.md.
+``--scaling`` re-runs the PageRank job in fresh subprocesses at N and 4N
+executor JVMs (local-cluster[1,4,8g] vs local-cluster[4,4,8g] by default)
+on the identical input, scoring steady-state per-superstep percentiles —
+the sandbox evidence protocol for the >=0.8 scaling-efficiency criterion
+(BENCH.md §2 documents the methodology and the rejected alternatives).
 ``--pagerank-only`` is the subprocess entry used by --scaling.
 """
 
@@ -160,8 +161,8 @@ def pagerank_throughput(sf_dir: str, cores: int) -> dict:
     # run executes thousands of supersteps.
     steady = sorted(m.wall_ms / 1000.0 for m in res.metrics[2:]) or [wall]
     min_ss = steady[0]
-    p25_ss = steady[max(0, len(steady) // 4 - 1)]
-    med_ss = steady[len(steady) // 2]
+    p25_ss = steady[(len(steady) - 1) // 4]
+    med_ss = steady[(len(steady) - 1) // 2]
     out = {
         "cores": cores,
         "wall_sec": round(wall, 3),

@@ -112,7 +112,11 @@ def connected_components_fast(
         "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
         "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
     }
-    e = und.select("src", "dst").repartition(P, "dst").persist()
+    # partition by src: the per-round relax join keys on e.src, so the
+    # cached layout is reused every round — only the (smaller) label
+    # frame shuffles; partitioning by anything else would re-shuffle the
+    # full edge table once per round
+    e = und.select("src", "dst").repartition(P, "src").persist()
     a = vertices.select(F.col("id"), F.col("id").alias("comp"))
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -177,6 +181,14 @@ def k_core(
     e0 = und.select("src", "dst").persist()
     alive = vertices.select("id")
     prev_n = alive.count()
+    # iterative-loop discipline (same as the Pregel engine): AQE re-plans
+    # the identical round shape every iteration — pure overhead — and the
+    # shuffle width should match the data, not the session default
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for _ in range(max_rounds):
             ea = e0.join(
@@ -196,6 +208,8 @@ def k_core(
                 break
             prev_n = n
     finally:
+        for k_, v_ in saved.items():
+            spark.conf.set(k_, v_)
         e0.unpersist()
     core = alive.select(F.col("id").alias("cid"))
     return vertices.select("id").join(

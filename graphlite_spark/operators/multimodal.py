@@ -70,26 +70,34 @@ FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_digest string"
 # REAL kernels: uncompressed formats, pure numpy — no codec libraries
 # ---------------------------------------------------------------------------
 
-def _ppm_parse(b: bytes) -> tuple[int, int, np.ndarray, int]:
-    """Parse one binary PPM (P6): returns (w, h, HxWx3 uint8 array,
-    bytes consumed) — supports a stream of concatenated frames."""
-    if b[:2] != b"P6":
+def _ppm_parse(b: bytes, offset: int = 0) -> tuple[int, int, np.ndarray, int]:
+    """Parse one binary PPM (P6) starting at ``offset``: returns (w, h,
+    HxWx3 uint8 array, next offset) — supports a stream of concatenated
+    frames without re-slicing the payload (no O(F²) copies).  Truncated
+    or malformed headers raise ValueError; the loops are bounds-checked
+    so a corrupt payload can never spin a task forever."""
+    end = len(b)
+    if b[offset : offset + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     # header = 3 whitespace-separated ints after the magic; comments (#)
     # are legal PPM but our encoder never writes them
-    pos, fields = 2, []
+    pos, fields = offset + 2, []
     while len(fields) < 3:
-        while b[pos : pos + 1].isspace():
+        while pos < end and b[pos : pos + 1].isspace():
             pos += 1
         start = pos
-        while not b[pos : pos + 1].isspace():
+        while pos < end and not b[pos : pos + 1].isspace():
             pos += 1
+        if pos == start or pos >= end:
+            raise ValueError("truncated PPM header")
         fields.append(int(b[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
     n = w * h * 3
+    if pos + n > end:
+        raise ValueError("truncated PPM pixel data")
     px = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos).reshape(h, w, 3)
     return w, h, px, pos + n
 
@@ -117,6 +125,66 @@ def encode_ppm_kernel(
                     dtype=np.uint8,
                 )[: w * h * 3]
                 payloads.append(_ppm_bytes(rng.reshape(h, w, 3)))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id long, payload binary"
+    )
+
+
+def encode_ppm_video_kernel(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, payload) — synthetic raw "video": 1 + md5(text)[2] % 6
+    concatenated 4x4 P6 frames, pixels derived per frame index."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                d = hashlib.md5(str(text).encode()).digest()
+                n_frames = 1 + d[2] % 6
+                frames = []
+                for i in range(n_frames):
+                    fd = hashlib.md5(d + bytes([i])).digest() * 3
+                    frames.append(
+                        _ppm_bytes(
+                            np.frombuffer(fd, dtype=np.uint8)[: 4 * 4 * 3]
+                            .reshape(4, 4, 3)
+                        )
+                    )
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id long, payload binary"
+    )
+
+
+def encode_wav_kernel(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, payload) — synthetic RIFF/PCM WAV: sample rate, channels
+    and length derived from md5(text) bytes 3-5 (silence payload)."""
+    import struct
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                d = hashlib.md5(str(text).encode()).digest()
+                sr, ch, bits = 8000 * (1 + d[3] % 6), 1 + d[4] % 2, 16
+                n = 500 + d[5] * 7
+                data = b"\x00" * (n * ch * bits // 8)
+                fmt = struct.pack("<HHIIHH", 1, ch, sr, sr * ch * bits // 8,
+                                  ch * bits // 8, bits)
+                body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", len(data)) + data)
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
             )
@@ -197,14 +265,13 @@ def sample_ppm_frames(
                 b = bytes(b)
                 pos = idx = 0
                 while pos < len(b):
-                    w, h, px, consumed = _ppm_parse(b[pos:])
+                    w, h, px, pos = _ppm_parse(b, pos)
                     if idx % every == 0:
                         out["doc_id"].append(int(doc_id))
                         out["frame_idx"].append(idx)
                         out["frame_digest"].append(
                             hashlib.md5(px.tobytes()).hexdigest()
                         )
-                    pos += consumed
                     idx += 1
             yield pd.DataFrame(out).astype(
                 {"doc_id": "int64", "frame_idx": "int32"}
@@ -247,7 +314,10 @@ def decode_wav_meta(
                 out["channels"].append(ch)
                 out["bits"].append(bits)
                 out["n_samples"].append(n)
-                out["duration_s"].append(round(n / sr, 6))
+                # no Python round() here: banker's rounding ties-to-even
+                # differs from SQL half-away-from-zero — callers round
+                # with F.round (JVM == DuckDB) when they need 6dp
+                out["duration_s"].append(n / sr)
             yield pd.DataFrame(out).astype(
                 {"doc_id": "int64", "sample_rate": "int32", "channels": "int32",
                  "bits": "int32", "n_samples": "int64"}

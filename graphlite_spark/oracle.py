@@ -769,6 +769,36 @@ def multimodal_decode_ppm_sql() -> str:
     )
 
 
+def multimodal_frames_sql(every: int = 2) -> str:
+    """Closed form of the raw-video frame sampling: the encoder writes
+    1 + md5(text)[2] % 6 frames; the REAL parser walks them and keeps
+    every Nth index."""
+    f = "1 + CAST('0x' || substr(md5(text), 5, 2) AS INT) % 6"
+    return (
+        f"WITH v AS (SELECT doc_id, {f} AS f FROM documents)\n"
+        f"SELECT doc_id, CAST(unnest(range(0, f, {every})) AS INTEGER) AS frame_idx\n"
+        "FROM v"
+    )
+
+
+def multimodal_wav_sql() -> str:
+    """Closed form of the WAV header round trip (encoder params from
+    md5(text) bytes 3-5; decoder must read them back from the RIFF)."""
+    sr = "8000 * (1 + CAST('0x' || substr(md5(text), 7, 2) AS INT) % 6)"
+    ch = "1 + CAST('0x' || substr(md5(text), 9, 2) AS INT) % 2"
+    n = "500 + CAST('0x' || substr(md5(text), 11, 2) AS INT) * 7"
+    return (
+        "SELECT doc_id,\n"
+        f"  CAST({sr} AS INTEGER) AS sample_rate,\n"
+        f"  CAST({ch} AS INTEGER) AS channels,\n"
+        f"  CAST({n} AS BIGINT) AS n_samples,\n"
+        # integer microseconds — exact in both engines (float round of
+        # n/sr ties at 6dp differently: decimal-repr vs binary rounding)
+        f"  CAST((CAST({n} AS BIGINT) * 1000000) // ({sr}) AS BIGINT) AS duration_us\n"
+        "FROM documents"
+    )
+
+
 def multimodal_extract_sql() -> str:
     return (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,\n"

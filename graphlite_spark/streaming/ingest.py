@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 EDGE_SCHEMA = "conv_id string, src_turn int, dst_turn int"
-STATE_SCHEMA = "max_turn int"
+# (frontier turn, max event-time ms seen) — the latter keeps the
+# event-time timeout MONOTONE: a late-arriving duplicate must never
+# re-register an earlier eviction than the frontier already earned
+STATE_SCHEMA = "max_turn int, last_ts_ms long"
 
 
 def _make_pair_turns(idle_timeout_ms: int | None, event_time_gap_ms: int | None):
@@ -50,8 +53,9 @@ def _make_pair_turns(idle_timeout_ms: int | None, event_time_gap_ms: int | None)
         if state.hasTimedOut:
             state.remove()
             return
-        max_turn = state.get[0] if state.exists else None
-        max_ts_ms = None
+        max_turn = last_ts_ms = None
+        if state.exists:
+            max_turn, last_ts_ms = state.get
         chunks = []
         for pdf in pdfs:
             chunks.append(pdf)
@@ -62,7 +66,10 @@ def _make_pair_turns(idle_timeout_ms: int | None, event_time_gap_ms: int | None)
                 turns = turns[turns > max_turn]
                 turns = np.concatenate(([max_turn], turns))
             if event_time_gap_ms and "ts" in batch.columns:
-                max_ts_ms = int(batch["ts"].max().value // 1_000_000)
+                # monotone max over the life of the conversation — a batch
+                # of only-late rows cannot pull the timeout earlier
+                batch_ms = int(batch["ts"].max().value // 1_000_000)
+                last_ts_ms = max(batch_ms, last_ts_ms or 0)
             if len(turns) >= 2:
                 yield pd.DataFrame(
                     {
@@ -73,17 +80,19 @@ def _make_pair_turns(idle_timeout_ms: int | None, event_time_gap_ms: int | None)
                 )
             max_turn = int(turns[-1]) if len(turns) else max_turn
         if max_turn is not None:
-            state.update((int(max_turn),))
-            if idle_timeout_ms:
-                state.setTimeoutDuration(idle_timeout_ms)
-            elif event_time_gap_ms and max_ts_ms is not None:
+            state.update((int(max_turn), int(last_ts_ms or 0)))
+            if event_time_gap_ms and last_ts_ms is not None:
                 # evict once the watermark passes the conversation's last
                 # event time + gap: bounded state on unbounded streams.
                 # Clamp above the current watermark — a conversation whose
                 # events lag the global watermark may otherwise request a
                 # timeout in the past, which the state store rejects.
                 wm = state.getCurrentWatermarkMs()
-                state.setTimeoutTimestamp(max(max_ts_ms + event_time_gap_ms, wm + 1))
+                state.setTimeoutTimestamp(
+                    max(last_ts_ms + event_time_gap_ms, wm + 1)
+                )
+            elif idle_timeout_ms:
+                state.setTimeoutDuration(idle_timeout_ms)
 
     return pair_turns
 
@@ -108,6 +117,10 @@ def streaming_reply_edges(
       batches forever, which prevents ``processAllAvailable()`` from
       settling in finite-input tests.
     """
+    if event_time_gap is not None and idle_timeout_ms is not None:
+        # one timeout mode per query: mixing them would make the kernel
+        # call setTimeoutDuration under EventTimeTimeout (batch failure)
+        raise ValueError("pass either idle_timeout_ms or event_time_gap, not both")
     gap_ms = None
     if event_time_gap is not None:
         parts = event_time_gap.split()
