@@ -281,6 +281,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3)
 
 
+def q_ngram_jaccard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the scale path CHECKED: stop-shingles (docfreq > 1% — drops the
+    # hottest shingles in this corpus) leave the self-join; the oracle
+    # mirrors the filter exactly so equality holds whatever is dropped
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.1, max_doc_freq=0.01
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
 
@@ -422,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_converged": q_pagerank_converged,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_ngram_jaccard_filtered": q_ngram_jaccard_filtered,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "simhash32": q_simhash,
@@ -472,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_converged": O.pagerank_converged_sql(),
         "dedup_exact": O.dedup_exact_sql(),
         "dedup_ngram_jaccard": O.ngram_jaccard_sql(0.3),
+        "dedup_ngram_jaccard_filtered": O.ngram_jaccard_sql(0.1, max_doc_freq=0.01),
         "dedup_minhash_lsh": O.minhash_lsh_sql(),
         "dedup_clusters": O.dedup_clusters_sql(0.3),
         "simhash32": O.simhash_sql(32),

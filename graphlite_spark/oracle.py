@@ -528,9 +528,36 @@ _JACCARD_CTES = (
 )
 
 
-def ngram_jaccard_sql(threshold: float = 0.3) -> str:
+def ngram_jaccard_sql(threshold: float = 0.3,
+                      max_doc_freq: float | None = None) -> str:
+    """``max_doc_freq`` mirrors the Spark stop-shingle filter exactly
+    (drop shingles in > floor(f·N) docs from the self-join; set sizes keep
+    every shingle), so Spark/SQL equality holds whatever gets dropped."""
+    if max_doc_freq is None:
+        return (
+            f"WITH {_JACCARD_CTES}\n"
+            f"SELECT a, b, jaccard FROM jac WHERE jaccard >= {threshold}"
+        )
+    cap = (
+        f"CAST(floor({max_doc_freq} * (SELECT count(*) FROM documents)) AS BIGINT)"
+    )
+    filtered = _JACCARD_CTES.replace(
+        "inter AS MATERIALIZED (\n"
+        "  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c\n"
+        "  FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.doc_id < y.doc_id\n"
+        "  GROUP BY x.doc_id, y.doc_id),",
+        "hot AS MATERIALIZED (\n"
+        f"  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {cap}),\n"
+        "shf AS MATERIALIZED (\n"
+        "  SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),\n"
+        "inter AS MATERIALIZED (\n"
+        "  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c\n"
+        "  FROM shf x JOIN shf y ON y.shingle = x.shingle AND x.doc_id < y.doc_id\n"
+        "  GROUP BY x.doc_id, y.doc_id),",
+    )
+    assert "hot AS MATERIALIZED" in filtered
     return (
-        f"WITH {_JACCARD_CTES}\n"
+        f"WITH {filtered}\n"
         f"SELECT a, b, jaccard FROM jac WHERE jaccard >= {threshold}"
     )
 
