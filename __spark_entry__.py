@@ -117,6 +117,15 @@ def q_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _degrees(spark, sf_dir)
 
 
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the analytics primitive behind partition sizing and skew detection:
+    # how many vertices have each out-degree (two map-side-combined aggs)
+    deg = _degrees(spark, sf_dir)
+    return deg.groupBy("out_degree").agg(
+        F.count(F.lit(1)).alias("n_vertices")
+    )
+
+
 def q_msg_gather_ss1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one scatter+gather+combine pass (ops #5-#8): superstep-0 messages
     _, _, e = graph_tables(spark, sf_dir)
@@ -412,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertices_dense_ids": q_vertices,
         "edges_derive": q_edges,
         "out_degrees": q_out_degrees,
+        "degree_histogram": q_degree_histogram,
         "msg_gather_ss1": q_msg_gather_ss1,
         "pagerank_fixed10": q_pagerank_fixed10,
         "ppr_fixed8": q_ppr_fixed8,
@@ -458,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "vertices_dense_ids": O.vertices_sql(),
         "edges_derive": O.edges_sql(),
         "out_degrees": O.out_degrees_sql(),
+        "degree_histogram": O.degree_histogram_sql(),
         "msg_gather_ss1": O.msg_gather_ss1_sql(),
         "pagerank_fixed10": O.pagerank_fixed_sql(10),
         "ppr_fixed8": O.ppr_fixed_sql(0, 8),

@@ -128,6 +128,13 @@ def out_degrees_sql() -> str:
     return _graph_query("SELECT id, out_degree FROM deg")
 
 
+def degree_histogram_sql() -> str:
+    return _graph_query(
+        "SELECT out_degree, CAST(count(*) AS BIGINT) AS n_vertices\n"
+        "FROM deg GROUP BY out_degree"
+    )
+
+
 def msg_gather_ss1_sql() -> str:
     # superstep-0 scatter: every vertex sends 1.0/out_degree along each
     # out-edge; gather+combine = sum per destination
