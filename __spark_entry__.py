@@ -27,6 +27,7 @@ from graphlite_spark.algos.components import (
     k_core,
 )
 from graphlite_spark.algos.lpa import label_propagation
+from graphlite_spark.algos.hits import hits
 from graphlite_spark.algos.pagerank import pagerank, personalized_pagerank
 from graphlite_spark.algos.rotate import ring_rotate
 from graphlite_spark.algos.sssp import INF as SSSP_INF, sssp, sssp_with_parents
@@ -175,6 +176,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("id").alias("doc_id"), F.col("component").alias("cluster")
     )
+
+
+def q_hits3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, v, e = graph_tables(spark, sf_dir)
+    return hits(v, e, iterations=3)
 
 
 def q_components_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msg_gather_ss1": q_msg_gather_ss1,
         "pagerank_fixed10": q_pagerank_fixed10,
         "ppr_fixed8": q_ppr_fixed8,
+        "hits_3iter": q_hits3,
         "pagerank_sumdelta_ss2": q_pagerank_sumdelta,
         "connected_components": q_components,
         "connected_components_fast": q_components_fast,
@@ -472,6 +479,7 @@ def oracle_sql() -> dict[str, str]:
         "msg_gather_ss1": O.msg_gather_ss1_sql(),
         "pagerank_fixed10": O.pagerank_fixed_sql(10),
         "ppr_fixed8": O.ppr_fixed_sql(0, 8),
+        "hits_3iter": O.hits_sql(3),
         "pagerank_sumdelta_ss2": O.pagerank_sumdelta_sql(2),
         "connected_components": O.components_sql(),
         "connected_components_fast": O.components_sql(),

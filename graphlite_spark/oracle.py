@@ -404,6 +404,33 @@ def sssp_parents_sql(source: int = 0, supersteps: int = 7) -> str:
     return _graph_query(body)
 
 
+def hits_sql(iterations: int = 3) -> str:
+    """Unrolled HITS (unnormalized — all-integer, bit-exact)."""
+    parts = ["h0 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS hub FROM vertices)"]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"a{k} AS MATERIALIZED (\n"
+            f"  SELECT v.id, CAST(COALESCE(m.s, 0) AS BIGINT) AS auth\n"
+            f"  FROM vertices v LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, sum(h.hub) AS s FROM edges e\n"
+            f"    JOIN h{k - 1} h ON h.id = e.src GROUP BY e.dst) m ON m.id = v.id)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (\n"
+            f"  SELECT v.id, CAST(COALESCE(m.s, 0) AS BIGINT) AS hub\n"
+            f"  FROM vertices v LEFT JOIN (\n"
+            f"    SELECT e.src AS id, sum(a.auth) AS s FROM edges e\n"
+            f"    JOIN a{k} a ON a.id = e.dst GROUP BY e.src) m ON m.id = v.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT a.id, a.auth, h.hub FROM a{iterations} a "
+        f"JOIN h{iterations} h ON h.id = a.id"
+    )
+    return _graph_query(body)
+
+
 def ring_rotate_sql(rounds: int = 3) -> str:
     """Closed form of the K-round point-send rotation: value(id) =
     (id - K) mod V over the derived vertex set."""
