@@ -274,8 +274,11 @@ def q_sssp_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # full convergence run — iterative with data-dependent halt, not
-    # SQL-expressible; driver records the weaker rows-only check
+    # full convergence run with a data-dependent halt — and a FULL
+    # hash-checked oracle: pagerank_converged_sql unrolls the halting
+    # timeline (values freeze once sum-delta crosses eps, superstep count
+    # derived from the first crossing), so ranks AND the superstep column
+    # are value-matched, not just row-counted
     _, v, e = graph_tables(spark, sf_dir)
     res = pagerank(v, e)
     return res.state.select(
@@ -293,13 +296,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # runs the DEFAULT path — which since round 3 carries the stop-shingle
+    # filter (max_doc_freq=0.01): the first API a user reaches is never the
+    # quadratic raw shingle self-join; the oracle mirrors the same filter
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.3)
 
 
 def q_ngram_jaccard_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the scale path CHECKED: stop-shingles (docfreq > 1% — drops the
-    # hottest shingles in this corpus) leave the self-join; the oracle
-    # mirrors the filter exactly so equality holds whatever is dropped
+    # same filter at a looser threshold — exercises the docfreq cap against
+    # a pair set where dropped stop-shingles actually change membership
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.1, max_doc_freq=0.01
     )
@@ -500,7 +505,7 @@ def oracle_sql() -> dict[str, str]:
         # branch) and derives the superstep count from the first crossing
         "pagerank_converged": O.pagerank_converged_sql(),
         "dedup_exact": O.dedup_exact_sql(),
-        "dedup_ngram_jaccard": O.ngram_jaccard_sql(0.3),
+        "dedup_ngram_jaccard": O.ngram_jaccard_sql(0.3, max_doc_freq=0.01),
         "dedup_ngram_jaccard_filtered": O.ngram_jaccard_sql(0.1, max_doc_freq=0.01),
         "dedup_minhash_lsh": O.minhash_lsh_sql(),
         "dedup_clusters": O.dedup_clusters_sql(0.3),

@@ -173,23 +173,42 @@ def pagerank_throughput(sf_dir: str, cores: int) -> dict:
         "p25_ss_sec": round(p25_ss, 3),
         "median_ss_sec": round(med_ss, 3),
         "steady_edges_per_sec": round(n_e / min_ss, 1),
+        # every steady superstep (warmup excluded) so the parent can POOL
+        # samples across interleaved repeats instead of trusting one run
+        "steady_ss_secs": [round(s, 3) for s in steady],
+        "n_edges": n_e,
     }
     spark.stop()
     return out
 
 
-def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, repeats: int = 3) -> dict:
+def _pctile(sorted_xs: list[float], q: float) -> float:
+    return sorted_xs[int((len(sorted_xs) - 1) * q)]
+
+
+def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, repeats: int | None = None) -> dict:
     """Same job, same input, two executor counts (N and 4N), fresh JVMs.
 
     Default mode is ``local-cluster`` with 4-core executor JVMs: lo=4 →
     1 executor, hi=16 → 4 executors — the north rule's N vs 4N executors,
-    as close as a single box gets to a cluster at two sizes.  Efficiency
-    is computed on STEADY-STATE per-superstep throughput (min superstep,
-    warmup excluded): the host carries external load (observed loadavg ~7
-    with zero local processes), so the least-contaminated superstep is
-    the machine-capability estimate, and one-time warmup is noise against
-    a production run's thousands of supersteps.
+    as close as a single box gets to a cluster at two sizes.
+
+    Protocol (round-3 hardening): ``repeats`` INTERLEAVED N/4N runs
+    (N, 4N, N, 4N, ... — so slow external-load phases of the shared host
+    hit both levels alike, not whichever level happened to run then);
+    every steady-state superstep time (warmup excluded) from every repeat
+    is POOLED per level, and min / p25 / median throughput plus the
+    efficiency at each statistic are reported.  Rationale for
+    steady-state percentiles rather than whole-run wall: the host carries
+    external load outside our control (observed loadavg ~7 with zero
+    local processes), so individual supersteps are contaminated at
+    random; low percentiles of a large pooled sample estimate machine
+    capability, and one-time warmup is noise against a production run's
+    thousands of supersteps.  The headline claim is the p25 efficiency
+    (min is reported but is a generous estimator under noise).
     """
+    if repeats is None:
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
     env = {
         **os.environ,
         "SPARK_GRAFT_SF_DIR": sf_dir,
@@ -200,29 +219,65 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, repeats: int = 3) -> dic
             "SPARK_GRAFT_SCALE_FIXED_SS", "20"
         ),
     }
-    results = {}
-    for cores in (lo, hi):
-        best = None
-        for _ in range(repeats):
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for rep in range(repeats):
+        for cores in (lo, hi):  # interleaved: N, 4N, N, 4N, ...
             proc = subprocess.run(
                 [sys.executable, __file__, "--pagerank-only", str(cores)],
                 capture_output=True, text=True, env=env, check=True,
             )
             r = json.loads(proc.stdout.strip().splitlines()[-1])
-            if best is None or r["min_ss_sec"] < best["min_ss_sec"]:
-                best = r
-        results[cores] = best
-    tl = results[lo]["steady_edges_per_sec"]
-    th = results[hi]["steady_edges_per_sec"]
-    eff = th / (tl * (hi / lo)) if tl > 0 else 0.0
-    wl, wh = results[lo]["edges_per_sec"], results[hi]["edges_per_sec"]
+            r["repeat"] = rep
+            runs[cores].append(r)
+            print(
+                f"# scaling repeat {rep} cores={cores}: "
+                f"min_ss={r['min_ss_sec']} p25_ss={r['p25_ss_sec']} "
+                f"wall={r['wall_sec']}",
+                file=sys.stderr,
+            )
+    n_edges = runs[lo][0]["n_edges"]
+    levels = {}
+    for cores in (lo, hi):
+        pooled = sorted(s for r in runs[cores] for s in r["steady_ss_secs"])
+        levels[cores] = {
+            "cores": cores,
+            "n_runs": len(runs[cores]),
+            "n_steady_supersteps": len(pooled),
+            "min_ss_sec": pooled[0],
+            "p25_ss_sec": _pctile(pooled, 0.25),
+            "median_ss_sec": _pctile(pooled, 0.5),
+            "min_edges_per_sec": round(n_edges / pooled[0], 1),
+            "p25_edges_per_sec": round(n_edges / _pctile(pooled, 0.25), 1),
+            "median_edges_per_sec": round(n_edges / _pctile(pooled, 0.5), 1),
+            "per_run": [
+                {k: r[k] for k in ("repeat", "wall_sec", "min_ss_sec",
+                                   "p25_ss_sec", "median_ss_sec")}
+                for r in runs[cores]
+            ],
+        }
+    ratio = hi / lo
+
+    def eff(stat: str) -> float:
+        tl, th = levels[lo][stat], levels[hi][stat]
+        return round(th / (tl * ratio), 3) if tl else 0.0
+
+    wl = sum(r["wall_sec"] for r in runs[lo]) / len(runs[lo])
+    wh = sum(r["wall_sec"] for r in runs[hi]) / len(runs[hi])
     return {
+        "protocol": (
+            f"interleaved best-of-{repeats} fresh-JVM subprocess runs, "
+            "PageRank fixed supersteps, pooled steady-state per-superstep "
+            "samples (2 warmup supersteps excluded per run)"
+        ),
         "mode": env["SPARK_GRAFT_SCALE_MODE"],
-        "lo": results[lo],
-        "hi": results[hi],
-        "speedup": round(th / tl, 3) if tl else 0.0,
-        "efficiency": round(eff, 3),
-        "whole_run_efficiency": round(wh / (wl * (hi / lo)), 3) if wl else 0.0,
+        "fixed_supersteps": int(env["SPARK_GRAFT_SCALE_FIXED_SS"]),
+        "n_edges": n_edges,
+        "lo": levels[lo],
+        "hi": levels[hi],
+        "efficiency_min": eff("min_edges_per_sec"),
+        "efficiency_p25": eff("p25_edges_per_sec"),
+        "efficiency_median": eff("median_edges_per_sec"),
+        "whole_run_efficiency": round(wl / (wh * ratio), 3) if wh else 0.0,
     }
 
 
@@ -230,6 +285,18 @@ def main() -> None:
     if "--pagerank-only" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--pagerank-only") + 1])
         print(json.dumps(pagerank_throughput(SF_DIR, cores)))
+        return
+
+    if "--scaling-only" in sys.argv:
+        # just the N/4N protocol + SCALING.json artifact, no headline suite
+        scaling = run_scaling(SF_DIR)
+        scaling["recorded_unix"] = int(time.time())
+        scaling["scale_convs"] = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "0"))
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SCALING.json")
+        with open(path, "w") as f:
+            json.dump(scaling, f, indent=1)
+        print(json.dumps(scaling))
         return
 
     from graphlite_spark.session import get_spark
@@ -248,8 +315,21 @@ def main() -> None:
         "sf": _sf_of(SF_DIR),
         **extra,
     }
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
     if "--scaling" in sys.argv:
-        result["scaling"] = run_scaling(SF_DIR)
+        scaling = run_scaling(SF_DIR)
+        scaling["recorded_unix"] = int(time.time())
+        scaling["scale_convs"] = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "0"))
+        with open(scaling_path, "w") as f:
+            json.dump(scaling, f, indent=1)
+        result["scaling"] = scaling
+    elif os.path.exists(scaling_path):
+        # surface the committed machine-readable scaling artifact in every
+        # bench line (the full interleaved N/4N protocol takes ~1 h on the
+        # 11.8M-edge graph — too long to re-run inside the per-round bench)
+        with open(scaling_path) as f:
+            result["scaling"] = json.load(f)
     print(json.dumps(result))
 
 

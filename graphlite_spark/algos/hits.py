@@ -22,32 +22,31 @@ from pyspark.sql import functions as F
 
 def hits(vertices: DataFrame, edges: DataFrame, iterations: int = 3) -> DataFrame:
     """(id, auth, hub) after ``iterations`` rounds (exact longs)."""
+    if iterations < 1:
+        raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
     e = edges.select("src", "dst").persist()
     v = vertices.select("id")
     hub = v.select("id", F.lit(1).cast("long").alias("hub"))
     auth = None
-    try:
-        for _ in range(iterations):
-            ag = (
-                e.join(hub, e["src"] == hub["id"])
-                .groupBy(F.col("dst").alias("vid"))
-                .agg(F.sum("hub").alias("s"))
-            )
-            auth = v.join(ag, v["id"] == ag["vid"], "left").select(
-                "id", F.coalesce("s", F.lit(0)).cast("long").alias("auth")
-            )
-            hg = (
-                e.join(auth, e["dst"] == auth["id"])
-                .groupBy(F.col("src").alias("vid"))
-                .agg(F.sum("auth").alias("s"))
-            )
-            hub = v.join(hg, v["id"] == hg["vid"], "left").select(
-                "id", F.coalesce("s", F.lit(0)).cast("long").alias("hub")
-            )
-            hub = hub.localCheckpoint(eager=False)
-            auth = auth.localCheckpoint(eager=False)
-    finally:
-        pass
+    for _ in range(iterations):
+        ag = (
+            e.join(hub, e["src"] == hub["id"])
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        auth = v.join(ag, v["id"] == ag["vid"], "left").select(
+            "id", F.coalesce("s", F.lit(0)).cast("long").alias("auth")
+        )
+        hg = (
+            e.join(auth, e["dst"] == auth["id"])
+            .groupBy(F.col("src").alias("vid"))
+            .agg(F.sum("auth").alias("s"))
+        )
+        hub = v.join(hg, v["id"] == hg["vid"], "left").select(
+            "id", F.coalesce("s", F.lit(0)).cast("long").alias("hub")
+        )
+        hub = hub.localCheckpoint(eager=False)
+        auth = auth.localCheckpoint(eager=False)
     out = auth.join(hub, "id").select("id", "auth", "hub")
     # materialize before releasing the cached edges the lazy checkpoints
     # still reference

@@ -62,16 +62,21 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_doc_freq: float | None = None,
+    max_doc_freq: float | None = 0.01,
 ) -> DataFrame:
     """(a, b, jaccard) for pairs with Jaccard >= threshold over n-gram sets.
 
     ``max_doc_freq``: drop shingles appearing in more than that fraction of
-    docs *from the self-join only* (set sizes keep every shingle, so
-    Jaccard of surviving pairs is exact as long as dropped shingles are
-    noise).  Stop-shingles (boilerplate) carry ~no dedup signal but
+    docs *from the self-join only*; set sizes (the Jaccard denominator)
+    keep every shingle.  The reported Jaccard is therefore EXACT for pairs
+    sharing no dropped shingle and a LOWER BOUND for pairs that do share
+    one (their intersection count is understated, so such a pair can fall
+    below ``threshold``) — an approximation, mirrored exactly by the
+    oracle SQL.  Stop-shingles (boilerplate) carry ~no dedup signal but
     quadratic join cost — a shingle shared by k docs contributes k^2 join
-    rows.  Default off so the oracle SQL stays an exact mirror.
+    rows, the one all-pairs blowup in the module — so the filter is ON by
+    default (1% of docs); pass ``max_doc_freq=None`` for the
+    exactness-at-all-costs opt-out.
     """
     sh = _doc_shingles(docs, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -308,6 +308,12 @@ def decode_wav_meta(
                     elif cid == b"data":
                         data_len = sz
                     pos += 8 + sz + (sz & 1)
+                if not sr or not ch or not bits or data_len is None:
+                    raise ValueError(
+                        f"doc {doc_id}: RIFF/WAVE payload missing or zeroed "
+                        f"fmt/data chunk (sample_rate={sr}, channels={ch}, "
+                        f"bits={bits}, data_len={data_len})"
+                    )
                 n = data_len // (ch * bits // 8)
                 out["doc_id"].append(int(doc_id))
                 out["sample_rate"].append(sr)

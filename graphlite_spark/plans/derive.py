@@ -57,25 +57,50 @@ def assign_dense_ids(
     (range-sample boundaries, mid counters) are materialized exactly once.
     Cost at scale: one full range shuffle + one P-row driver collect —
     vs the old plan's single-task global sort.
+
+    Overflow safety: ``monotonically_increasing_id``'s local row counter
+    occupies the low 33 bits — a partition holding >= 2^33 rows would bleed
+    into the partition bits and silently corrupt ids.  The partition id is
+    therefore stamped with ``spark_partition_id()`` (exact regardless of
+    counter width), the per-partition counts collected in step 3 are
+    checked against the 2^33 bound, and on violation P is auto-rescaled so
+    rows/partition lands well under the mask (one retry, then a hard
+    error).  With the default P=32, 10^12 rows is ~3·10^10 rows/partition —
+    past the bound — so this guard is load-bearing at exactly the
+    advertised scale, not defensive fluff.
     """
     spark = df.sparkSession
     P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    part = (
-        df.repartitionByRange(P, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .persist()
-    )
-    pid = F.shiftright("_mid", 33)
-    counts = part.groupBy(pid.alias("_pid")).count().collect()
+    part = None
+    for _attempt in range(2):
+        part = (
+            df.repartitionByRange(P, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn("_mid", F.monotonically_increasing_id())
+            .persist()
+        )
+        counts = part.groupBy("_pid").count().collect()
+        biggest = max((int(r["count"]) for r in counts), default=0)
+        if biggest < (1 << 33):
+            break
+        total = sum(int(r["count"]) for r in counts)
+        part.unpersist()
+        # target <= 2^32 rows/partition: half the mask, so even 2x range
+        # skew stays safely inside the 33-bit local counter
+        P = max(P * 2, -(-total // (1 << 32)))
+    else:
+        raise ValueError(
+            f"assign_dense_ids: a range partition still holds {biggest} rows "
+            f">= 2^33 after rescaling to P={P}; pass num_partitions explicitly"
+        )
     offsets, acc = [], 0
     for r in sorted(counts, key=lambda r: r["_pid"]):
         offsets.append((int(r["_pid"]), acc))
         acc += int(r["count"])
-    offs = spark.createDataFrame(offsets or [(0, 0)], "_pid long, _off long")
+    offs = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
     out = (
-        part.withColumn("_pid", pid)
-        .join(F.broadcast(offs), "_pid")
+        part.join(F.broadcast(offs), "_pid")
         .withColumn(
             id_col,
             (F.col("_off") + F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK))).cast(

@@ -22,6 +22,7 @@ drive them with a file source + ``processAllAvailable()``.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -123,10 +124,18 @@ def streaming_reply_edges(
         raise ValueError("pass either idle_timeout_ms or event_time_gap, not both")
     gap_ms = None
     if event_time_gap is not None:
-        parts = event_time_gap.split()
+        m = re.fullmatch(
+            r"\s*(\d+)\s+(millisecond|second|minute|hour)s?\s*", event_time_gap
+        )
+        if m is None:
+            raise ValueError(
+                f"event_time_gap {event_time_gap!r}: expected "
+                "'<integer> millisecond[s]|second[s]|minute[s]|hour[s]', "
+                "e.g. '30 seconds'"
+            )
         unit = {"millisecond": 1, "second": 1000, "minute": 60_000,
-                "hour": 3_600_000}[parts[1].rstrip("s")]
-        gap_ms = int(parts[0]) * unit
+                "hour": 3_600_000}[m.group(2)]
+        gap_ms = int(m.group(1)) * unit
         turns = turns.withWatermark("ts", watermark)
         timeout = GroupStateTimeout.EventTimeTimeout
     else:
