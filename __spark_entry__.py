@@ -28,7 +28,11 @@ from graphlite_spark.algos.components import (
 )
 from graphlite_spark.algos.lpa import label_propagation
 from graphlite_spark.algos.hits import hits
-from graphlite_spark.algos.pagerank import pagerank, personalized_pagerank
+from graphlite_spark.algos.pagerank import (
+    pagerank,
+    pagerank_argmax_delta,
+    personalized_pagerank,
+)
 from graphlite_spark.algos.rotate import ring_rotate
 from graphlite_spark.algos.sssp import INF as SSSP_INF, sssp, sssp_with_parents
 from graphlite_spark.algos.triangles import triangle_count, triangle_count_per_vertex
@@ -149,6 +153,20 @@ def q_pagerank_sumdelta(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = pagerank(v, e, fixed_supersteps=3)
     val = res.metrics[-1].aggregates["sum_delta"]
     return spark.range(1).select(F.round(F.lit(val), 6).alias("sum_delta"))
+
+
+def q_pagerank_argmax_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TYPED (non-numeric) global aggregator: F.max over struct(delta, id)
+    # = argmax with larger-id tie-break, merged in the same single stats
+    # action; the driver-side value is a struct Row, not a float —
+    # AggregatorBase.h:44-84 arbitrary-POD parity
+    _, v, e = graph_tables(spark, sf_dir)
+    res = pagerank_argmax_delta(v, e, fixed_supersteps=3)
+    row = res.metrics[-1].aggregates["argmax_delta"]
+    return spark.range(1).select(
+        F.lit(int(row["i"])).cast("long").alias("argmax_id"),
+        F.lit(float(row["d"])).alias("max_delta"),
+    )
 
 
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_fixed8": q_ppr_fixed8,
         "hits_3iter": q_hits3,
         "pagerank_sumdelta_ss2": q_pagerank_sumdelta,
+        "pagerank_argmax_delta_ss2": q_pagerank_argmax_delta,
         "connected_components": q_components,
         "connected_components_fast": q_components_fast,
         "kcore_2": q_kcore2,
@@ -486,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_fixed8": O.ppr_fixed_sql(0, 8),
         "hits_3iter": O.hits_sql(3),
         "pagerank_sumdelta_ss2": O.pagerank_sumdelta_sql(2),
+        "pagerank_argmax_delta_ss2": O.pagerank_argmax_delta_sql(2),
         "connected_components": O.components_sql(),
         "connected_components_fast": O.components_sql(),
         "kcore_2": O.kcore_sql(2, 64),

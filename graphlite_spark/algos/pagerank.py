@@ -89,6 +89,48 @@ class PageRank(PregelAlgorithm):
         }
 
 
+class PageRankArgmaxDelta(PageRank):
+    """PageRank plus a TYPED aggregator: the (delta, id) argmax — "which
+    vertex moved the most this superstep".  Exercises the arbitrary-POD
+    aggregator value of the reference (AggregatorBase.h:44-84) through the
+    engine's ``(column, merge_fn)`` surface: the merged value is a struct
+    Row, not a float — ``F.max`` over ``struct(delta, id)`` is an argmax
+    with larger-id tie-break (lexicographic struct comparison), all
+    JVM-side in the same single stats action."""
+
+    name = "pagerank_argmax_delta"
+
+    def aggregators(self, superstep: int, aggr: dict) -> dict:
+        out = super().aggregators(superstep, aggr)
+        if superstep == 0 or self._halted_branch(superstep, aggr):
+            delta = F.lit(0.0)
+        else:
+            delta = F.when(
+                F.col("participate"), F.abs(F.col("old_value") - F.col("value"))
+            ).otherwise(F.lit(0.0))
+        # round BEFORE comparing so argmax ties resolve identically to the
+        # SQL oracle's ORDER BY round(delta, 6) DESC, id DESC
+        out["argmax_delta"] = (
+            F.struct(F.round(delta, 6).alias("d"), F.col("id").alias("i")),
+            F.max,
+        )
+        return out
+
+
+def pagerank_argmax_delta(
+    vertices: DataFrame,
+    edges: DataFrame,
+    fixed_supersteps: int | None = None,
+    num_partitions: int | None = None,
+) -> PregelResult:
+    algo = PageRankArgmaxDelta(fixed_supersteps=fixed_supersteps)
+    eng = PregelEngine(num_partitions=num_partitions)
+    res = eng.run(vertices, edges, algo)
+    if fixed_supersteps is None:
+        warn_if_not_converged(res, "pagerank_argmax_delta")
+    return res
+
+
 class PersonalizedPageRank(PageRank):
     """PageRank with teleport mass concentrated on one source vertex:
     ``val = 0.15*[v == source] + 0.85 * Σ msgs`` (random walk with

@@ -52,6 +52,12 @@ class RingRotate(PregelAlgorithm):
             ((F.col("id") + 1) % self.n).alias("dst"), F.col("value").alias("msg")
         )
 
+    def point_sent_count(self, superstep, aggr):
+        # one targeted send per vertex per rotation round — folding this
+        # into the stats action keeps the one-action-per-superstep
+        # invariant (no pm.count() job)
+        return F.lit(1)
+
 
 def ring_rotate(
     vertices: DataFrame, rounds: int = 1, num_partitions: int | None = None

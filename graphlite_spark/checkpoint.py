@@ -36,6 +36,22 @@ from pyspark.sql import functions as F
 STATE_COLS = ["id", "out_degree", "value", "active", "send"]
 
 
+def _aggr_json(aggr: dict) -> dict:
+    """Aggregator globals → JSON-safe manifest values.  Numeric stays
+    float; typed values (struct Rows from argmax-style aggregators) become
+    dicts — resumed programs see the dict form, documented on
+    ``PregelAlgorithm.aggregators``."""
+    out = {}
+    for k, v in aggr.items():
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            out[k] = float(v)
+        elif hasattr(v, "asDict"):
+            out[k] = v.asDict(recursive=True)
+        else:
+            out[k] = v
+    return out
+
+
 class LocalCheckpointer:
     """Lineage truncation only (no durability) — the default."""
 
@@ -102,7 +118,7 @@ class ParquetCheckpointer:
             "partition_lineage": lineage,
             # the global visible DURING this superstep (needed to re-derive
             # its outgoing messages exactly on resume)
-            "aggregates_in": {k: float(v) for k, v in aggr.items()},
+            "aggregates_in": _aggr_json(aggr),
         }
         return reread
 
@@ -116,7 +132,7 @@ class ParquetCheckpointer:
         step_dir = Path(pending["state_path"]).parent
         manifest = {
             **pending,
-            "aggregates": {k: float(v) for k, v in aggr.items()},
+            "aggregates": _aggr_json(aggr),
             "wall_time": time.time(),
             "complete": True,
         }

@@ -53,15 +53,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _coerce_aggr(v):
+    """Driver-side aggregator value: numeric merges stay floats (the
+    engine's historical contract — `0.0` on an all-null/empty frame); typed
+    merges (struct Rows from argmax-style aggregators, strings) pass
+    through untouched, completing AggregatorBase.h:44-84's arbitrary-POD
+    parity.  Typed values serialize to checkpoint manifests as dicts."""
+    if v is None:
+        return 0.0
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    return v
+
+
 @dataclass
 class SuperstepMetrics:
-    """Per-superstep counters, mirroring WM.curss_finish.proto:10-19."""
+    """Per-superstep counters, mirroring WM.curss_finish.proto:10-19.
+
+    ``aggregates`` values are floats for numeric merges and pass through
+    unchanged for typed merges (struct Rows, strings) — the reference's
+    aggregator value is an arbitrary POD (AggregatorBase.h:44-84), so the
+    engine must not flatten e.g. an argmax struct to a float."""
 
     superstep: int
     active: int
     sent: int
     wall_ms: float
-    aggregates: dict[str, float] = field(default_factory=dict)
+    aggregates: dict[str, object] = field(default_factory=dict)
 
 
 @dataclass
@@ -145,6 +165,17 @@ class PregelAlgorithm:
         or None.  Unioned with the edge scatter before combining."""
         return None
 
+    def point_sent_count(self, superstep: int, aggr: dict) -> Column | None:
+        """Per-vertex count of point messages this vertex sends at this
+        superstep (same column vocabulary as :meth:`aggregators`).  When
+        provided, the engine folds Σ(point_sent_count) into the single
+        per-superstep stats action — keeping the one-action-per-superstep
+        invariant for point-send programs; when None (default) the engine
+        falls back to materializing and counting the point-message frame
+        (a second action).  Must equal the row count
+        :meth:`point_messages` produces for the same superstep."""
+        return None
+
     def combine(self, msgs: DataFrame) -> DataFrame:
         """(dst, msg) -> one combined (dst, msg) row per dst.
 
@@ -166,9 +197,13 @@ class PregelAlgorithm:
         common case) or a ``(column, merge_fn)`` pair for arbitrary merge
         semantics — ``F.min`` / ``F.max`` / any commutative+associative
         SQL aggregate, matching the reference's user-definable
-        ``Aggregator::merge`` (include/AggregatorBase.h:44-84).  Columns:
-        id, value (new), old_value, out_degree, participate, send, active,
-        has_msg."""
+        ``Aggregator::merge`` (include/AggregatorBase.h:44-84).  Values
+        need not be numeric: ``(F.struct(delta, id), F.max)`` is an argmax
+        aggregator (struct comparison is lexicographic), and the driver
+        passes the merged Row through ``aggr`` untouched — the arbitrary-
+        POD aggregator value of the reference.  Typed values serialize to
+        checkpoint manifests as dicts.  Columns: id, value (new),
+        old_value, out_degree, participate, send, active, has_msg."""
         return {}
 
     # -- master compute (Graph.h:147-149) ---------------------------------
@@ -432,26 +467,47 @@ class PregelEngine:
                 k: (spec if isinstance(spec, tuple) else (spec, F.sum))
                 for k, spec in algo.aggregators(superstep, aggr).items()
             }
+            # targeted sends (sendMessageTo) must count toward `sent`
+            # BEFORE the termination test, or act==0 && sent==0 would end
+            # the run with point messages still in flight.  When the
+            # program declares point_sent_count, Σ of it rides the same
+            # stats action; the frame itself stays lazy (it materializes
+            # inside the next superstep's combine, like the edge scatter).
+            pm = algo.point_messages(new_state, superstep, aggr_in)
+            pm_cnt_expr = (
+                algo.point_sent_count(superstep, aggr_in) if pm is not None else None
+            )
+            psent_agg = (
+                [F.sum(pm_cnt_expr.cast("long")).alias("_psent")]
+                if pm_cnt_expr is not None
+                else []
+            )
             stats_row = new_state.agg(
                 F.sum(F.col("active").cast("long")).alias("_act"),
                 F.sum(F.when(F.col("send"), F.col("out_degree")).otherwise(F.lit(0))).alias(
                     "_sent"
                 ),
+                *psent_agg,
                 *[merge(c).alias(k) for k, (c, merge) in aggr_exprs.items()],
             ).first()
             active_cnt = int(stats_row["_act"] or 0)
             sent_cnt = int(stats_row["_sent"] or 0)
-            aggr = {k: float(stats_row[k] or 0.0) for k in aggr_exprs}
-            # targeted sends (sendMessageTo) must count toward `sent`
-            # BEFORE the termination test, or act==0 && sent==0 would end
-            # the run with point messages still in flight
-            pm = algo.point_messages(new_state, superstep, aggr_in)
+            aggr = {k: _coerce_aggr(stats_row[k]) for k in aggr_exprs}
             if pm is not None:
                 pm = pm.select(
                     F.col("dst").cast("long").alias("dst"),
                     F.col("msg").cast(algo.value_type).alias("msg"),
-                ).localCheckpoint(eager=True)
-                sent_cnt += pm.count()
+                )
+                if pm_cnt_expr is not None:
+                    # no checkpoint needed: pm's lineage is one projection
+                    # over the already-truncated new_state, so it stays a
+                    # pure lazy plan consumed inside the next superstep's
+                    # combine — exactly like the edge scatter
+                    sent_cnt += int(stats_row["_psent"] or 0)
+                else:
+                    # legacy path: no count expression — one extra action
+                    pm = pm.localCheckpoint(eager=True)
+                    sent_cnt += pm.count()
             metrics.append(
                 SuperstepMetrics(
                     superstep=superstep,

@@ -281,6 +281,20 @@ def pagerank_converged_sql(eps: float = 1e-6, max_rounds: int = 120) -> str:
     return _graph_query(body)
 
 
+def pagerank_argmax_delta_sql(at_superstep: int = 2) -> str:
+    """Mirror of the engine's TYPED argmax aggregator: the vertex whose
+    rank moved the most at ``at_superstep`` (tie-break: larger id), rounded
+    to 6dp BEFORE comparison on both sides."""
+    body = (
+        f", {_pagerank_ctes(at_superstep)}\n"
+        f"SELECT CAST(a.id AS BIGINT) AS argmax_id,\n"
+        f"       round(abs(a.rank - b.rank), 6) AS max_delta\n"
+        f"FROM pr{at_superstep} a JOIN pr{at_superstep - 1} b ON a.id = b.id\n"
+        f"ORDER BY round(abs(a.rank - b.rank), 6) DESC, a.id DESC LIMIT 1"
+    )
+    return _graph_query(body)
+
+
 def pagerank_sumdelta_sql(at_superstep: int = 2) -> str:
     body = (
         f", {_pagerank_ctes(at_superstep)}\n"
