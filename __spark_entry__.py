@@ -24,6 +24,7 @@ from graphlite_spark.algos.bfs import bfs
 from graphlite_spark.algos.components import (
     connected_components,
     connected_components_fast,
+    coreness,
     k_core,
 )
 from graphlite_spark.algos.lpa import label_propagation
@@ -213,6 +214,15 @@ def q_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the peel needs here, and the oracle runs the identical cap
     _, v, e = graph_tables(spark, sf_dir)
     return k_core(v, e, k=2, max_rounds=64)
+
+
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full core decomposition (k_core gives membership at one k; this is
+    # the per-vertex core NUMBER users usually want).  max_k=4 > the
+    # transcript graph's max coreness (2 — the 3-core is empty), and the
+    # oracle unrolls the identical levels/rounds, so caps can't diverge
+    _, v, e = graph_tables(spark, sf_dir)
+    return coreness(v, e, max_k=4, max_rounds=64)
 
 
 def q_lpa3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_components,
         "connected_components_fast": q_components_fast,
         "kcore_2": q_kcore2,
+        "coreness": q_coreness,
         "lpa_3iter": q_lpa3,
         "triangles_total": q_triangles_total,
         "triangles_per_vertex": q_triangles_per_vertex,
@@ -509,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": O.components_sql(),
         "connected_components_fast": O.components_sql(),
         "kcore_2": O.kcore_sql(2, 64),
+        "coreness": O.coreness_sql(4, 64),
         "lpa_3iter": O.lpa_sql(3),
         "triangles_total": O.triangles_total_sql(),
         "triangles_per_vertex": O.triangles_per_vertex_sql(),

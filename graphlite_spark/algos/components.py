@@ -217,6 +217,80 @@ def k_core(
     ).select("id", F.col("cid").isNotNull().alias("in_core"))
 
 
+def coreness(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_k: int = 4,
+    max_rounds: int = 64,
+    already_undirected: bool = False,
+) -> DataFrame:
+    """(id, coreness) — full core decomposition: coreness(v) = the largest
+    k such that v survives the k-core peel (0 for isolated vertices).
+
+    Iterated peeling: level k starts from the (k-1)-core's survivors
+    (k-core ⊆ (k-1)-core, so each level peels a shrinking set) and runs the
+    identical round rule as :func:`k_core`.  ``max_k`` caps the
+    decomposition — vertices in a core deeper than ``max_k`` report
+    ``max_k`` — and the SQL oracle unrolls the same levels/rounds, so
+    equality holds even where a cap binds (both sides are then the same
+    capped peel).  Levels are inherently sequential, but real link graphs
+    have tiny max coreness relative to V (the chain-heavy transcript graph
+    tops out at 2), and each level's work shrinks monotonically; the
+    per-round shape is k_core's two semi-joins + one map-side-combined
+    degree count on the surviving subgraph.
+    """
+    spark = edges.sparkSession
+    und = edges if already_undirected else symmetrize(edges)
+    e0 = und.select("src", "dst").persist()
+    out = vertices.select("id", F.lit(0).cast("long").alias("coreness"))
+    alive = vertices.select("id")
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for k in range(1, max_k + 1):
+            prev_n = alive.count()
+            if prev_n == 0:
+                break
+            for _ in range(max_rounds):
+                ea = e0.join(
+                    alive.select(F.col("id").alias("src")), "src", "left_semi"
+                ).join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
+                deg = ea.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+                alive = (
+                    alive.join(
+                        deg.where(F.col("c") >= k).select(F.col("src").alias("id")),
+                        "id",
+                        "left_semi",
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                n = alive.count()
+                if n == prev_n:
+                    break
+                prev_n = n
+            if prev_n == 0:
+                break
+            survivors = alive.select(F.col("id").alias("kid"))
+            out = (
+                out.join(survivors, out["id"] == survivors["kid"], "left")
+                .select(
+                    "id",
+                    F.when(F.col("kid").isNotNull(), F.lit(k))
+                    .otherwise(F.col("coreness"))
+                    .cast("long")
+                    .alias("coreness"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    finally:
+        for k_, v_ in saved.items():
+            spark.conf.set(k_, v_)
+        e0.unpersist()
+    return out
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,

@@ -490,6 +490,48 @@ def kcore_sql(k: int = 3, max_rounds: int = 40) -> str:
     return _graph_query(body)
 
 
+def coreness_sql(max_k: int = 4, max_rounds: int = 64) -> str:
+    """Unrolled iterated-peel core decomposition — level k peels from
+    level k-1's survivors with the identical round rule and caps as
+    algos.components.coreness, so Spark/SQL equality holds even where a
+    cap binds.  Rounds past a level's fixpoint are no-ops (the peel is
+    monotone), matching the Spark side's early exit."""
+    parts = ["c1_0 AS MATERIALIZED (SELECT id FROM vertices)"]
+    for k in range(1, max_k + 1):
+        if k > 1:
+            parts.append(
+                f"c{k}_0 AS MATERIALIZED (SELECT id FROM c{k - 1}_{max_rounds})"
+            )
+        for r in range(1, max_rounds + 1):
+            prev = f"c{k}_{r - 1}"
+            parts.append(
+                f"c{k}_{r} AS MATERIALIZED (\n"
+                f"  SELECT v.id FROM {prev} v JOIN (\n"
+                f"    SELECT u.src, count(*) AS c FROM und u\n"
+                f"    JOIN {prev} x ON x.id = u.src\n"
+                f"    JOIN {prev} y ON y.id = u.dst\n"
+                f"    GROUP BY u.src) d ON d.src = v.id AND d.c >= {k})"
+            )
+    joined = ",\n".join(parts)
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN c{k}.id IS NOT NULL THEN {k}" for k in range(max_k, 0, -1)
+        )
+        + " ELSE 0 END"
+    )
+    joins = "\n".join(
+        f"LEFT JOIN c{k}_{max_rounds} c{k} ON c{k}.id = v.id"
+        for k in range(1, max_k + 1)
+    )
+    body = (
+        f", {joined}\n"
+        f"SELECT v.id, CAST({case} AS BIGINT) AS coreness\n"
+        f"FROM vertices v\n{joins}"
+    )
+    return _graph_query(body)
+
+
 def lpa_sql(iterations: int = 3) -> str:
     parts = ["l0 AS MATERIALIZED (SELECT id, id AS label FROM vertices)"]
     for k in range(1, iterations + 1):

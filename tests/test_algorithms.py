@@ -202,6 +202,48 @@ def test_kcore_properties(spark):
         assert deg >= 2, (u, deg)
 
 
+def test_coreness_decomposition(spark):
+    """Full core numbers: hand-checked toy graph, exact agreement with the
+    boolean k_core at k=2, and a brute-force oracle on a random graph."""
+    from graphlite_spark.algos.components import coreness, k_core
+
+    # triangle 0-1-2 plus tail 2-3-4 plus isolated 5:
+    # coreness = 2,2,2 (triangle), 1,1 (tail), 0 (isolated)
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    v, e = make_graph(spark, edges, 6)
+    got = {r["id"]: r["coreness"] for r in coreness(v, e).collect()}
+    assert got == {0: 2, 1: 2, 2: 2, 3: 1, 4: 1, 5: 0}
+
+    # agreement with k_core membership at k=2 on a random graph
+    edges, n = GRAPHS["random_100"]
+    v, e = make_graph(spark, edges, n)
+    core2 = {r["id"]: r["in_core"] for r in k_core(v, e, k=2).collect()}
+    cn = {r["id"]: r["coreness"] for r in coreness(v, e).collect()}
+    assert all((cn[i] >= 2) == core2[i] for i in range(n))
+
+    # brute-force peel oracle (pure python) for every k
+    und = {}
+    for s, d in edges:
+        if s != d:
+            und.setdefault(s, set()).add(d)
+            und.setdefault(d, set()).add(s)
+    expected = {i: 0 for i in range(n)}
+    alive = {i for i in range(n)}
+    k = 1
+    while alive:
+        while True:
+            drop = {u for u in alive if len(und.get(u, set()) & alive) < k}
+            if not drop:
+                break
+            alive -= drop
+        for u in alive:
+            expected[u] = k
+        k += 1
+        if k > 4:  # mirrors the query's max_k cap
+            break
+    assert cn == expected
+
+
 def test_personalized_pagerank_source_mass(spark):
     """PPR: all rank mass reachable only from the source; vertices not
     reachable from it score 0."""
