@@ -52,8 +52,10 @@ from graphlite_spark.operators.dedup import (
     simhash_signatures,
 )
 from graphlite_spark.operators.multimodal import (
+    decode_png,
     decode_ppm,
     decode_wav_meta,
+    encode_png_kernel,
     encode_ppm_kernel,
     encode_ppm_video_kernel,
     encode_wav_kernel,
@@ -419,6 +421,16 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_ppm(imgs).select("doc_id", "width", "height", "n_pixels")
 
 
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL compressed-image decode (stdlib zlib inflate + numpy
+    # un-filtering, all 5 PNG filters exercised by the cycling encoder);
+    # pixel_digest proves the DECODED BYTES round-trip, not just the header
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_png(encode_png_kernel(docs)).select(
+        "doc_id", "width", "height", "n_pixels", "pixel_digest"
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL frame sampling over a raw concatenated-P6 "video" container
     docs = load_table(spark, sf_dir, "documents")
@@ -497,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rolling_fp": q_rolling_fingerprint,
         "multimodal_extract": q_multimodal_extract,
         "multimodal_decode_ppm": q_multimodal_decode_ppm,
+        "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_wav_meta": q_multimodal_wav,
         "events_sessionize": q_sessionize,
@@ -552,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         "text_rolling_fp": O.rolling_fingerprint_sql(),
         "multimodal_extract": O.multimodal_extract_sql(),
         "multimodal_decode_ppm": O.multimodal_decode_ppm_sql(),
+        "multimodal_decode_png": O.multimodal_decode_png_sql(),
         "multimodal_frames": O.multimodal_frames_sql(2),
         "multimodal_wav_meta": O.multimodal_wav_sql(),
         "events_sessionize": O.sessionize_sql(30),

@@ -5,16 +5,19 @@ metadata extracted by Arrow-batched pandas kernels over ``mapInPandas``.
 
 Two tiers, honestly separated:
 
-* **REAL kernels** (no codec library needed — pure numpy byte parsing):
-  ``extract_binary_meta`` (length + md5), ``decode_ppm`` /
-  ``encode_ppm_kernel`` (binary PPM "P6" images), ``decode_wav_meta``
-  (RIFF/PCM WAV headers), ``resize_ppm`` (nearest-neighbor resample,
-  re-encoded to PPM), ``sample_ppm_frames`` (raw video = concatenated P6
-  frames; every-Nth-frame digest).
-* **codec-gated STUBS** for compressed formats (JPEG/MP4/Opus — PIL and
-  ffmpeg are not in this container): ``decode_image_stub``,
-  ``resize_stub``, ``frame_sample_stub`` raise ``NotImplementedError``
-  unless ``fake=True`` (deterministic fake for plumbing tests).
+* **REAL kernels** (no codec library needed): ``extract_binary_meta``
+  (length + md5), ``decode_ppm`` / ``encode_ppm_kernel`` (binary PPM "P6"
+  images), ``decode_png`` / ``encode_png_kernel`` (REAL compressed
+  decode: full chunk/CRC parse, stdlib-zlib inflate, all five PNG
+  filters un-filtered in numpy), ``decode_wav_meta`` (RIFF/PCM WAV
+  headers), ``resize_ppm`` (nearest-neighbor resample, re-encoded to
+  PPM), ``sample_ppm_frames`` (raw video = concatenated P6 frames;
+  every-Nth-frame digest).
+* **codec-gated STUBS** for formats whose codecs genuinely need external
+  libraries (JPEG's DCT/Huffman, MP4/Opus — PIL and ffmpeg are not in
+  this container): ``decode_image_stub``, ``resize_stub``,
+  ``frame_sample_stub`` raise ``NotImplementedError`` unless
+  ``fake=True`` (deterministic fake for plumbing tests).
 
 Batch shape: one pandas DataFrame per Arrow batch (bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch``), so payload memory per
@@ -191,6 +194,221 @@ def encode_wav_kernel(
 
     return docs.select(id_col, text_col).mapInPandas(
         kernel, schema="doc_id long, payload binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-image codec: PNG via stdlib zlib + numpy un-filtering.
+# No codec library — DEFLATE is the stdlib, filters are byte arithmetic.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized (a=left, b=up, c=up-left)."""
+    a16, b16, c16 = a.astype(np.int16), b.astype(np.int16), c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    ).astype(np.uint8)
+
+
+def _png_encode(px: np.ndarray) -> bytes:
+    """REAL minimal PNG encoder (8-bit RGB, color type 2, no interlace).
+
+    The per-row filter type cycles 0..4, so a decoder of this output must
+    implement ALL five PNG filters (None/Sub/Up/Average/Paeth) — the
+    encoder exists to exercise the decoder, not to compress well.  All
+    filter math is vectorized uint8 (wrap-around mod 256 is the spec's
+    arithmetic)."""
+    import struct
+    import zlib
+
+    h, w = px.shape[0], px.shape[1]
+    bpp = 3
+    rows = px.reshape(h, w * bpp).astype(np.uint8)
+    out = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for r in range(h):
+        cur = rows[r]
+        left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
+        f = r % 5
+        if f == 0:
+            line = cur
+        elif f == 1:
+            line = cur - left
+        elif f == 2:
+            line = cur - prev
+        elif f == 3:
+            line = cur - (
+                (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        else:
+            upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            line = cur - _paeth(left, prev, upleft)
+        out.append(f)
+        out.extend(line.tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(b: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL PNG decode (8-bit RGB): signature + chunk walk with CRC
+    verification, IDAT concatenation, zlib inflate, scanline un-filtering.
+
+    Un-filtering: None/Up are pure vector ops; Sub is a per-channel-lane
+    cumulative sum (uint8 cumsum wraps mod 256, the spec's arithmetic);
+    Average/Paeth depend on the just-reconstructed left pixel, so they run
+    a per-pixel loop over the row with the 3 channels vectorized — the
+    left-dependency is inherent to the format (every scalar decoder pays
+    it), and rows above never re-enter Python."""
+    import struct
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, end = 8, len(b)
+    w = h = depth = ctype_ihdr = None
+    idat = bytearray()
+    while pos + 12 <= end:
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(b[pos + 8 + ln : pos + 12 + ln], "big")
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, ctype_ihdr = struct.unpack(">IIBB", data[:10])
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    if depth != 8 or ctype_ihdr != 2:
+        raise ValueError(f"only 8-bit RGB PNG supported (depth={depth}, color={ctype_ihdr})")
+    bpp, stride = 3, 3 * w
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    raw = raw.reshape(h, stride + 1)
+    px = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        f = int(raw[r, 0])
+        line = raw[r, 1:]
+        if f == 0:
+            cur = line.copy()
+        elif f == 1:  # Sub: per-lane cumsum, uint8 wrap
+            cur = np.cumsum(
+                line.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif f == 2:  # Up
+            cur = line + prev
+        elif f in (3, 4):  # Average / Paeth: left-dependent, per-pixel loop
+            cur = np.zeros(stride, dtype=np.uint8)
+            left = np.zeros(bpp, dtype=np.uint8)
+            upleft = np.zeros(bpp, dtype=np.uint8)
+            for x in range(0, stride, bpp):
+                up = prev[x : x + bpp]
+                if f == 3:
+                    pred = (
+                        (left.astype(np.uint16) + up.astype(np.uint16)) // 2
+                    ).astype(np.uint8)
+                else:
+                    pred = _paeth(left, up, upleft)
+                left = line[x : x + bpp] + pred
+                cur[x : x + bpp] = left
+                upleft = up
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        px[r] = cur
+        prev = cur
+    return int(w), int(h), px.reshape(h, w, bpp)
+
+
+def encode_png_kernel(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, payload) — deterministic synthetic PNG per doc: dims from
+    md5(text) (same formulas as the PPM kernel), pixels from
+    unhex(md5(md5(text))) repeated — a chain the SQL oracle can replay in
+    pure VARCHAR md5 (DuckDB's md5 takes strings only)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                d_hex = hashlib.md5(str(text).encode()).hexdigest()
+                w = 4 + int(d_hex[0:2], 16) % 29
+                h = 4 + int(d_hex[2:4], 16) % 23
+                seed = bytes.fromhex(hashlib.md5(d_hex.encode()).hexdigest())
+                n = w * h * 3
+                buf = (seed * (n // 16 + 1))[:n]
+                px = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+                payloads.append(_png_encode(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "payload": payloads}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id long, payload binary"
+    )
+
+
+def decode_png(
+    imgs: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL compressed-image decode: (doc_id, width, height, n_pixels,
+    pixel_digest) from PNG payloads — full parse + inflate + un-filter;
+    ``pixel_digest`` = md5 of the reconstructed raw RGB bytes' hex form,
+    so the oracle can verify the DECODED PIXELS, not just the header."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "n_pixels": [],
+                   "pixel_digest": []}
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = _png_decode(bytes(b))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["pixel_digest"].append(
+                    hashlib.md5(px.tobytes().hex().encode()).hexdigest()
+                )
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "width": "int32", "height": "int32",
+                 "n_pixels": "int64"}
+            )
+
+    return imgs.select(id_col, payload_col).mapInPandas(
+        kernel,
+        schema="doc_id long, width int, height int, n_pixels long, "
+               "pixel_digest string",
     )
 
 

@@ -886,6 +886,27 @@ def multimodal_decode_ppm_sql() -> str:
     )
 
 
+def multimodal_decode_png_sql() -> str:
+    """Closed form of the synthetic-PNG round trip.  The encoder derives
+    dims from md5(text) and pixels from unhex(md5(md5(text))) repeated;
+    the REAL decoder must inflate + un-filter back to exactly those bytes,
+    verified by md5 over the pixel buffer's (lowercase) hex form — DuckDB's
+    md5 takes VARCHAR only, so the digest chain stays in hex strings on
+    both sides."""
+    return (
+        "WITH p AS (SELECT doc_id,\n"
+        "  4 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 29 AS w,\n"
+        "  4 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 23 AS h,\n"
+        "  md5(md5(text)) AS seed\n"
+        "  FROM documents)\n"
+        "SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,\n"
+        "  CAST(w * h AS BIGINT) AS n_pixels,\n"
+        "  md5(substring(repeat(seed, (w * h * 3) // 16 + 1), 1, w * h * 3 * 2))\n"
+        "    AS pixel_digest\n"
+        "FROM p"
+    )
+
+
 def multimodal_frames_sql(every: int = 2) -> str:
     """Closed form of the raw-video frame sampling: the encoder writes
     1 + md5(text)[2] % 6 frames; the REAL parser walks them and keeps
