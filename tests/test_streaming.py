@@ -136,3 +136,64 @@ def test_event_time_state_eviction(spark, tmp_path):
         for r in spark.sql("SELECT * FROM evict_ctl").collect()
     }
     assert ("A", 1, 2) in ctl, ctl
+
+
+def test_streaming_snapshot_feeds_batch_cc(spark, tmp_path):
+    """The lambda shape the module docstring promises, demonstrated
+    end-to-end: turns stream in (two waves), the accumulated reply-edge
+    table is snapshotted after each wave, and the batch Pregel engine
+    recomputes connected components over the snapshot — components equal
+    the conversation grouping (min dense id per conversation), i.e. the
+    same answer a pure-batch run over the same turns gives."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.algos.components import connected_components
+    from graphlite_spark.plans.derive import derive_vertices
+    from graphlite_spark.sources.transcripts import generate_transcripts
+
+    t = generate_transcripts(spark, n_convs=10, max_turns=8, seed=7)
+    path = str(tmp_path / "turns")
+    t.where("turn_idx < 4").write.mode("append").parquet(path)
+    schema = spark.read.parquet(path).schema
+    q = (
+        streaming_reply_edges(spark.readStream.schema(schema).parquet(path))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("snap_edges")
+        .start()
+    )
+
+    def snapshot_cc(turns):
+        # snapshot the accumulated streaming edge table and hand it to the
+        # batch engine: (conv_id, turn) -> dense ids -> Pregel CC
+        v = derive_vertices(turns)
+        snap = spark.sql("SELECT * FROM snap_edges")
+        s = v.select("conv_id", F.col("turn_idx").alias("src_turn"),
+                     F.col("id").alias("src"))
+        d = v.select("conv_id", F.col("turn_idx").alias("dst_turn"),
+                     F.col("id").alias("dst"))
+        e = (
+            snap.join(s, ["conv_id", "src_turn"])
+            .join(d, ["conv_id", "dst_turn"])
+            .select("src", "dst", F.lit(1.0).alias("weight"))
+        )
+        res = connected_components(v.select("id"), e)
+        comp = {r["id"]: r["value"] for r in res.state.collect()}
+        meta = {r["id"]: r["conv_id"] for r in v.collect()}
+        # truth: component = min dense id within the conversation (ids are
+        # assigned in (conv_id, turn_idx) order, so that's the first turn)
+        first = {}
+        for vid, conv in meta.items():
+            first[conv] = min(first.get(conv, vid), vid)
+        return comp, {vid: first[conv] for vid, conv in meta.items()}
+
+    try:
+        q.processAllAvailable()
+        comp1, want1 = snapshot_cc(t.where("turn_idx < 4"))
+        assert comp1 == want1  # mid-stream recompute already correct
+        t.where("turn_idx >= 4").write.mode("append").parquet(path)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    comp2, want2 = snapshot_cc(t)
+    assert comp2 == want2  # final snapshot == pure-batch answer
