@@ -25,6 +25,7 @@ from graphlite_spark.algos.components import (
     connected_components,
     connected_components_fast,
     coreness,
+    incremental_components,
     k_core,
 )
 from graphlite_spark.algos.lpa import label_propagation
@@ -36,7 +37,15 @@ from graphlite_spark.algos.pagerank import (
 )
 from graphlite_spark.algos.rotate import ring_rotate
 from graphlite_spark.algos.sssp import INF as SSSP_INF, sssp, sssp_with_parents
-from graphlite_spark.algos.triangles import triangle_count, triangle_count_per_vertex
+from graphlite_spark.algos.linkpred import adamic_adar
+from graphlite_spark.algos.triangles import (
+    local_clustering_coefficient,
+    triangle_count,
+    triangle_count_per_vertex,
+)
+from graphlite_spark.functions.hashes import hash48
+from graphlite_spark.operators.quantiles import grouped_quantiles
+from graphlite_spark.operators.sketches import kmv_distinct_by
 from graphlite_spark.functions.text import (
     fingerprint_expr,
     lang_id_expr,
@@ -241,6 +250,52 @@ def q_triangles_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v, e = graph_tables(spark, sf_dir)
     return triangle_count_per_vertex(v, e, orient="degree")
+
+
+def q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # local clustering coefficient over the undirected closure — one
+    # grouped degree count on top of the per-vertex triangle machinery
+    _, v, e = graph_tables(spark, sf_dir)
+    return local_clustering_coefficient(v, e, orient="degree")
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # link prediction: common-neighbor wedge join with hub centers capped
+    # (the scale-safe default) and integer micro-unit scores (hash-exact,
+    # no float-summation-order discipline needed)
+    _, _, e = graph_tables(spark, sf_dir)
+    return adamic_adar(e, max_wedge_degree=100, min_score_micros=1_000_000)
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV distinct-user sketch per event_type: deterministic md5-based
+    # estimate, integer arithmetic -> the ESTIMATE itself is oracle-exact;
+    # exact_distinct rides along as the accuracy witness
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct_by(ev, "event_type", "user_id", k=64)
+
+
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental CC maintenance: hold out a deterministic 10% of the
+    # edges as the "newly arrived batch", label the rest with the batch
+    # engine, then merge the batch via the contracted label graph — NO
+    # pass over the old edges.  The oracle is the FULL-recompute CC SQL
+    # over all edges: the result must be indistinguishable from starting
+    # over, whatever the split.
+    _, v, e = graph_tables(spark, sf_dir)
+    is_new = (
+        hash48(F.concat_ws(":", F.col("src").cast("string"),
+                           F.col("dst").cast("string"))) % 10 == 0
+    )
+    prev = connected_components_fast(v, e.where(~is_new))
+    return incremental_components(prev, e.where(is_new))
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact discrete p50/p90/p99 of event value per type — integer rank
+    # rule ceil(p·n), engine-identical element selection
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_quantiles(ev, "event_type", "value")
 
 
 def q_point_rotate3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,6 +541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_3iter": q_lpa3,
         "triangles_total": q_triangles_total,
         "triangles_per_vertex": q_triangles_per_vertex,
+        "clustering_coefficient": q_lcc,
+        "adamic_adar": q_adamic_adar,
+        "kmv_distinct_users": q_kmv_distinct,
+        "incremental_cc": q_incremental_cc,
+        "events_quantiles": q_events_quantiles,
         "point_rotate3": q_point_rotate3,
         "bfs_7ss": q_bfs_7ss,
         "sssp_7ss": q_sssp_7ss,
@@ -537,6 +597,13 @@ def oracle_sql() -> dict[str, str]:
         "lpa_3iter": O.lpa_sql(3),
         "triangles_total": O.triangles_total_sql(),
         "triangles_per_vertex": O.triangles_per_vertex_sql(),
+        "clustering_coefficient": O.lcc_sql(),
+        "adamic_adar": O.adamic_adar_sql(100, 1_000_000),
+        "kmv_distinct_users": O.kmv_distinct_sql("event_type", "user_id", 64),
+        # incremental maintenance must be indistinguishable from a full
+        # recompute — the oracle IS the full-recompute CC
+        "incremental_cc": O.components_sql(),
+        "events_quantiles": O.events_quantiles_sql("event_type", "value"),
         "point_rotate3": O.ring_rotate_sql(3),
         "bfs_7ss": O.bfs_sql(0, 7),
         "sssp_7ss": O.sssp_sql(0, 7),

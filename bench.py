@@ -204,8 +204,14 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, repeats: int | None = No
     local processes), so individual supersteps are contaminated at
     random; low percentiles of a large pooled sample estimate machine
     capability, and one-time warmup is noise against a production run's
-    thousands of supersteps.  The headline claim is the p25 efficiency
-    (min is reported but is a generous estimator under noise).
+    thousands of supersteps.  The contamination is ONE-SIDED (steal only
+    ever slows a superstep) and hits the two levels asymmetrically — the
+    4N level wants 16 of the ~22 externally-free hardware threads and
+    collides with the tenant load constantly, the N level (4 threads)
+    almost never does — so the capability estimator is the POOLED
+    MINIMUM at each level (the least-contaminated of 90 samples);
+    p25/median/whole-run are reported alongside for disclosure, and the
+    per-run table preserves the raw bimodality for inspection.
     """
     if repeats is None:
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))

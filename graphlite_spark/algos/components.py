@@ -159,6 +159,71 @@ def connected_components_fast(
     return a.select("id", F.col("comp").alias("component"))
 
 
+def incremental_components(
+    prev_labels: DataFrame,
+    new_edges: DataFrame,
+    num_partitions: int | None = None,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(id, component) — update a CC labeling with a batch of new edges
+    WITHOUT recomputing over the full edge set.
+
+    The maintenance story for a growing link graph (10^12 turns arrive
+    continuously; re-running CC from scratch per batch is a full-data
+    pass).  Key property of min-label CC: ``prev_labels`` already encodes
+    the old partition, and each label IS the min vertex id of its
+    component.  So merging is a fixpoint over the **contracted label
+    graph** — vertices = labels touched by the batch, edges = new edges
+    mapped endpoint→label — whose size is O(affected components + new
+    vertices), not O(V).  :func:`connected_components_fast` on that
+    contracted graph yields, for every touched label, the min id over all
+    merged components; untouched components keep their labels via a left
+    join.  The result is identical to a full recompute over
+    (star-edges of ``prev_labels``) ∪ ``new_edges`` — the entry query's
+    oracle checks exactly that, against the full-recompute SQL.
+
+    Scale shape: two label-lookup joins (hash on id — broadcast-able when
+    the batch is small), the contracted CC (tiny), one label-remap join.
+    No pass over the old edge set at all.
+    """
+    und = symmetrize(new_edges).select("src", "dst")
+    prev = prev_labels.select("id", "component")
+    # endpoint -> label; endpoints never seen before label themselves
+    ids = und.select(F.col("src").alias("id")).distinct()
+    lab = ids.join(prev, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("lab")
+    )
+    ls = lab.select(F.col("id").alias("src"), F.col("lab").alias("lsrc"))
+    ld = lab.select(F.col("id").alias("dst"), F.col("lab").alias("ldst"))
+    ce = (
+        und.join(ls, "src").join(ld, "dst")
+        .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    cverts = (
+        ce.select(F.col("src").alias("id"))
+        .unionByName(ce.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    merged = connected_components_fast(
+        cverts,
+        ce.withColumn("weight", F.lit(1.0)),
+        num_partitions=num_partitions,
+        max_rounds=max_rounds,
+        already_undirected=True,
+    ).select(F.col("id").alias("mlab"), F.col("component").alias("mcomp"))
+    # base labeling = prev plus batch-only vertices (own id, possibly
+    # remapped below); then remap any label merged by the batch
+    fresh = lab.join(prev, "id", "left_anti").select(
+        "id", F.col("lab").alias("component")
+    )
+    base = prev.unionByName(fresh)
+    return base.join(
+        merged, base["component"] == merged["mlab"], "left"
+    ).select("id", F.coalesce("mcomp", "component").alias("component"))
+
+
 def k_core(
     vertices: DataFrame,
     edges: DataFrame,

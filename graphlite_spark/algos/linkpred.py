@@ -1,0 +1,65 @@
+"""Link prediction over the undirected closure: Adamic-Adar scores.
+
+The classic common-neighbor predictor for link graphs:
+``AA(u, v) = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w))`` for non-adjacent pairs
+(u, v).  Spark shape: wedge enumeration through the common neighbor
+(``(w,u) ⋈ (w,v)`` on the symmetric edge table) followed by one grouped
+sum — the same wedge-join shape as triangle counting.
+
+Scale discipline (the lesson of the dedup tier): the wedge join is
+quadratic in the center's degree, so super-hub centers are EXCLUDED by
+default (``max_wedge_degree=100``).  That is also statistically standard
+— a w shared by thousands of vertices contributes ~no signal
+(1/ln(deg) → 0) at quadratic cost.  Pass ``None`` to opt out.
+
+Scores are integer-exact: the per-center weight is
+``round(1e6 / ln(deg(w)))`` micro-units summed as BIGINT, so the oracle
+comparison is hash-exact with no float-summation-order discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphlite_spark.algos.components import symmetrize
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_wedge_degree: int | None = 100,
+    min_score_micros: int = 1_000_000,
+) -> DataFrame:
+    """(u, v, aa_micros) — Adamic-Adar scores in exact micro-units for
+    non-adjacent pairs u < v with at least one (non-hub) common neighbor
+    and score >= ``min_score_micros``."""
+    und = symmetrize(edges).select("src", "dst")
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ctr = deg.where(F.col("deg") >= 2)
+    if max_wedge_degree is not None:
+        ctr = ctr.where(F.col("deg") <= max_wedge_degree)
+    ctr = ctr.select(
+        F.col("src").alias("w"),
+        F.round(F.lit(1_000_000.0) / F.log(F.col("deg")), 0)
+        .cast("long")
+        .alias("wt"),
+    )
+    e1 = und.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    e2 = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    # join the capped center table BEFORE the wedge self-join: hub
+    # centers must be excluded ahead of the quadratic fan-out, not
+    # filtered out of its output
+    wedges = (
+        e1.join(ctr, "w")
+        .join(e2, "w")
+        .where(F.col("u") < F.col("v"))
+    )
+    pairs = wedges.groupBy("u", "v").agg(
+        F.sum("wt").cast("long").alias("aa_micros")
+    )
+    existing = und.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return pairs.join(existing, ["u", "v"], "left_anti").where(
+        F.col("aa_micros") >= min_score_micros
+    )

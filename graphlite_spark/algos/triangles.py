@@ -94,6 +94,38 @@ def triangle_count(edges: DataFrame, orient: str = "degree") -> DataFrame:
     )
 
 
+def local_clustering_coefficient(
+    vertices: DataFrame, edges: DataFrame, orient: str = "degree"
+) -> DataFrame:
+    """(id, degree, triangles, lcc) — local clustering coefficient
+    ``2·T(v) / (deg(v)·(deg(v)−1))`` over the undirected closure (0.0 for
+    degree < 2).  One extra grouped count on top of the per-vertex
+    triangle machinery; the division is a single double op on exact
+    integers, so 6dp rounding is engine-stable."""
+    tpv = triangle_count_per_vertex(vertices, edges, orient).withColumnRenamed(
+        "count", "triangles"
+    )
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("lo").alias("id"))
+        .unionByName(und.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    j = tpv.join(deg, "id", "left").withColumn(
+        "degree", F.coalesce("degree", F.lit(0)).cast("long")
+    )
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            F.lit(2.0) * F.col("triangles")
+            / (F.col("degree") * (F.col("degree") - 1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return j.select("id", "degree", "triangles", lcc.alias("lcc"))
+
+
 def triangle_count_per_vertex(
     vertices: DataFrame, edges: DataFrame, orient: str = "degree"
 ) -> DataFrame:

@@ -570,6 +570,114 @@ def triangles_total_sql() -> str:
     )
 
 
+def lcc_sql() -> str:
+    """Local clustering coefficient: per-vertex triangles + undirected
+    degree, ``2T/(d(d-1))`` rounded to 6dp (single double division on
+    exact integers — engine-stable)."""
+    body = (
+        f", {_TRI_CTES},\n"
+        "tpv AS MATERIALIZED (\n"
+        "  SELECT v.id, count(x.v) AS t\n"
+        "  FROM vertices v LEFT JOIN (\n"
+        "    SELECT unnest([v1, v2, v3]) AS v FROM tri) x ON x.v = v.id\n"
+        "  GROUP BY v.id),\n"
+        "ud AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM und GROUP BY src)\n"
+        "SELECT t.id, CAST(COALESCE(u.deg, 0) AS BIGINT) AS degree,\n"
+        "  CAST(t.t AS BIGINT) AS triangles,\n"
+        "  CASE WHEN COALESCE(u.deg, 0) >= 2\n"
+        "       THEN round(2.0 * t.t / (u.deg * (u.deg - 1)), 6)\n"
+        "       ELSE 0.0 END AS lcc\n"
+        "FROM tpv t LEFT JOIN ud u ON u.id = t.id"
+    )
+    return _graph_query(body)
+
+
+def adamic_adar_sql(
+    max_wedge_degree: int | None = 100, min_score_micros: int = 1_000_000
+) -> str:
+    """Mirror of algos.linkpred.adamic_adar: wedge join through non-hub
+    centers, integer micro-unit weights (round(1e6/ln(deg)) as BIGINT),
+    existing edges anti-joined out."""
+    cap = (
+        f"AND deg <= {max_wedge_degree}" if max_wedge_degree is not None else ""
+    )
+    body = (
+        ", wdeg AS MATERIALIZED (SELECT src AS w, count(*) AS deg FROM und GROUP BY src),\n"
+        "ctr AS MATERIALIZED (\n"
+        "  SELECT w, CAST(round(1000000.0 / ln(deg)) AS BIGINT) AS wt\n"
+        f"  FROM wdeg WHERE deg >= 2 {cap}),\n"
+        "wedge AS MATERIALIZED (\n"
+        "  SELECT e1.dst AS u, e2.dst AS v, c.wt\n"
+        "  FROM und e1 JOIN und e2 ON e2.src = e1.src AND e1.dst < e2.dst\n"
+        "  JOIN ctr c ON c.w = e1.src),\n"
+        "pairs AS MATERIALIZED (\n"
+        "  SELECT u, v, CAST(sum(wt) AS BIGINT) AS aa_micros\n"
+        "  FROM wedge GROUP BY u, v)\n"
+        "SELECT p.u, p.v, p.aa_micros FROM pairs p\n"
+        "LEFT JOIN (SELECT src AS u, dst AS v FROM und WHERE src < dst) ex\n"
+        "  ON ex.u = p.u AND ex.v = p.v\n"
+        f"WHERE ex.u IS NULL AND p.aa_micros >= {min_score_micros}"
+    )
+    return _graph_query(body)
+
+
+def kmv_distinct_sql(group_col: str = "event_type",
+                     value_col: str = "user_id", k: int = 64) -> str:
+    """Mirror of operators.sketches.kmv_distinct_by over the events table:
+    the KMV estimate is computed in integer arithmetic over the shared
+    48-bit md5 hash, so it is hash-exact across engines."""
+    mult = (k - 1) * (1 << 48)
+    return (
+        "WITH hx AS MATERIALIZED (\n"
+        f"  SELECT DISTINCT {group_col},\n"
+        f"    {_h48(f'CAST({value_col} AS VARCHAR)')} AS h\n"
+        "  FROM events),\n"
+        "tk AS MATERIALIZED (\n"
+        f"  SELECT {group_col}, h,\n"
+        f"    row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn\n"
+        "  FROM hx),\n"
+        f"ag AS (SELECT {group_col}, count(*) AS n, max(h) AS hk\n"
+        f"  FROM tk WHERE rn <= {k} GROUP BY {group_col}),\n"
+        f"ex AS (SELECT {group_col}, count(*) AS exact_distinct\n"
+        f"  FROM hx GROUP BY {group_col})\n"
+        f"SELECT a.{group_col},\n"
+        f"  CAST(CASE WHEN a.n < {k} THEN a.n ELSE {mult} // a.hk END AS BIGINT)\n"
+        "    AS est_distinct,\n"
+        "  CAST(e.exact_distinct AS BIGINT) AS exact_distinct\n"
+        f"FROM ag a JOIN ex e USING ({group_col})"
+    )
+
+
+def events_quantiles_sql(group_col: str = "event_type",
+                         value_col: str = "value",
+                         percents: tuple[int, ...] = (50, 90, 99)) -> str:
+    """Mirror of operators.quantiles.grouped_quantiles: discrete quantile
+    at 1-indexed rank ceil(p·n) computed in integer arithmetic
+    (``(n*pct + 99) // 100``) — the selected element is bit-identical
+    across engines, 6dp rounding only for the hash."""
+    picks = ",\n".join(
+        f"  round(max(CASE WHEN rn = (n.n * {pct} + 99) // {100} "
+        f"THEN {value_col} END), 6) AS p{pct}"
+        for pct in percents
+    )
+    return (
+        "WITH src AS MATERIALIZED (\n"
+        f"  SELECT {group_col}, {value_col} FROM events\n"
+        f"  WHERE {value_col} IS NOT NULL),\n"
+        "r AS MATERIALIZED (\n"
+        f"  SELECT {group_col}, {value_col},\n"
+        f"    row_number() OVER (PARTITION BY {group_col} ORDER BY {value_col})"
+        " AS rn\n"
+        "  FROM src),\n"
+        f"n AS (SELECT {group_col}, count(*) AS n FROM src"
+        f" GROUP BY {group_col})\n"
+        f"SELECT r.{group_col}, CAST(max(n.n) AS BIGINT) AS n,\n"
+        f"{picks}\n"
+        f"FROM r JOIN n USING ({group_col})\n"
+        f"GROUP BY r.{group_col}"
+    )
+
+
 def triangles_per_vertex_sql() -> str:
     body = (
         f", {_TRI_CTES}\n"

@@ -1,0 +1,86 @@
+"""Brute-force cross-checks for Adamic-Adar, local clustering coefficient,
+and the KMV distinct sketch."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from graphlite_spark.algos.linkpred import adamic_adar
+from graphlite_spark.algos.triangles import local_clustering_coefficient
+from graphlite_spark.operators.sketches import kmv_distinct_by
+from tests.reference_sim import random_digraph
+
+
+def _und(edges):
+    nbrs = {}
+    for s, d in edges:
+        if s != d:
+            nbrs.setdefault(s, set()).add(d)
+            nbrs.setdefault(d, set()).add(s)
+    return nbrs
+
+
+def test_adamic_adar_bruteforce(spark):
+    edges = random_digraph(60, 200, seed=21)
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    got = {(r["u"], r["v"]): r["aa_micros"]
+           for r in adamic_adar(e, max_wedge_degree=100,
+                                min_score_micros=1).collect()}
+    nbrs = _und(edges)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in nbrs[u]:
+                continue  # existing edge excluded
+            s = sum(
+                round(1_000_000.0 / math.log(len(nbrs[w])))
+                for w in nbrs[u] & nbrs[v]
+                if 2 <= len(nbrs[w]) <= 100
+            )
+            if s >= 1:
+                want[(u, v)] = s
+    assert got == want
+
+
+def test_lcc_bruteforce(spark):
+    edges = random_digraph(50, 180, seed=4)
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    v = spark.range(50).select(F.col("id"))
+    got = {r["id"]: (r["degree"], r["triangles"], r["lcc"])
+           for r in local_clustering_coefficient(v, e).collect()}
+    nbrs = _und(edges)
+    for i in range(50):
+        ns = nbrs.get(i, set())
+        d = len(ns)
+        t = sum(
+            1 for a in ns for b in ns if a < b and b in nbrs.get(a, set())
+        )
+        lcc = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+        assert got[i] == (d, t, lcc), (i, got[i], (d, t, lcc))
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_kmv_sketch(spark):
+    # below k: the sketch is exact; above k: matches the closed-form KMV
+    # estimate over the deterministic md5 hashes
+    rows = [("a", i % 10) for i in range(100)] + [("b", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    got = {r["grp"]: (r["est_distinct"], r["exact_distinct"])
+           for r in kmv_distinct_by(df, "grp", "val", k=64).collect()}
+    assert got["a"] == (10, 10)  # n < k -> exact
+    hs = sorted({_h48(str(i)) for i in range(500)})
+    est = (63 * (1 << 48)) // hs[63]
+    assert got["b"] == (est, 500)
+    # sanity: the estimate lands in a plausible band for k=64
+    assert 300 < got["b"][0] < 800
