@@ -43,6 +43,7 @@ from graphlite_spark.algos.triangles import (
     triangle_count,
     triangle_count_per_vertex,
 )
+from graphlite_spark.algos.walks import random_walks
 from graphlite_spark.functions.hashes import hash48
 from graphlite_spark.operators.quantiles import grouped_quantiles
 from graphlite_spark.operators.sketches import kmv_distinct_by
@@ -289,6 +290,15 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = connected_components_fast(v, e.where(~is_new))
     return incremental_components(prev, e.where(is_new))
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DeepWalk-style corpus: 2 deterministic walks of length 8 per
+    # vertex, neighbor choice = hash48(walk_id:step) % deg over the
+    # dst-ranked adjacency — reproducible across runs/engines, so the
+    # full corpus is hash-checked
+    _, v, e = graph_tables(spark, sf_dir)
+    return random_walks(v, e, walks_per_vertex=2, walk_length=8)
 
 
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": q_kmv_distinct,
         "incremental_cc": q_incremental_cc,
         "events_quantiles": q_events_quantiles,
+        "random_walks_corpus": q_random_walks,
         "point_rotate3": q_point_rotate3,
         "bfs_7ss": q_bfs_7ss,
         "sssp_7ss": q_sssp_7ss,
@@ -604,6 +615,7 @@ def oracle_sql() -> dict[str, str]:
         # recompute — the oracle IS the full-recompute CC
         "incremental_cc": O.components_sql(),
         "events_quantiles": O.events_quantiles_sql("event_type", "value"),
+        "random_walks_corpus": O.random_walks_sql(2, 8),
         "point_rotate3": O.ring_rotate_sql(3),
         "bfs_7ss": O.bfs_sql(0, 7),
         "sssp_7ss": O.sssp_sql(0, 7),

@@ -648,6 +648,42 @@ def kmv_distinct_sql(group_col: str = "event_type",
     )
 
 
+def random_walks_sql(walks_per_vertex: int = 2, walk_length: int = 8) -> str:
+    """Mirror of algos.walks.random_walks (undirected): the L steps
+    unrolled as CTEs, each picking neighbor index
+    ``hash48(walk_id ':' t) % deg`` over the dst-ranked adjacency —
+    the same deterministic choice rule, so every visited vertex is
+    hash-exact."""
+    W = walks_per_vertex
+    ctes = [
+        ", adj AS MATERIALIZED (\n"
+        "  SELECT src, dst,\n"
+        "    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx\n"
+        "  FROM und),\n"
+        "dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM und"
+        " GROUP BY src),\n"
+        f"s0 AS MATERIALIZED (\n"
+        f"  SELECT v.id * {W} + w.w AS walk_id, v.id AS cur\n"
+        f"  FROM vertices v CROSS JOIN"
+        f" (SELECT unnest(range({W})) AS w) w)"
+    ]
+    for t in range(1, walk_length + 1):
+        pick = _h48(f"s.walk_id || ':' || {t}")
+        ctes.append(
+            f"s{t} AS MATERIALIZED (\n"
+            f"  SELECT s.walk_id, a.dst AS cur\n"
+            f"  FROM s{t - 1} s\n"
+            "  JOIN dg ON dg.src = s.cur\n"
+            f"  JOIN adj a ON a.src = s.cur AND a.idx = {pick} % dg.deg)"
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS vertex"
+        f" FROM s{t}"
+        for t in range(walk_length + 1)
+    )
+    return _graph_query(",\n".join(ctes) + "\n" + selects)
+
+
 def events_quantiles_sql(group_col: str = "event_type",
                          value_col: str = "value",
                          percents: tuple[int, ...] = (50, 90, 99)) -> str:

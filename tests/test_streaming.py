@@ -197,3 +197,68 @@ def test_streaming_snapshot_feeds_batch_cc(spark, tmp_path):
         q.stop()
     comp2, want2 = snapshot_cc(t)
     assert comp2 == want2  # final snapshot == pure-batch answer
+
+
+def test_streaming_incremental_cc_maintenance(spark, tmp_path):
+    """The true streaming-maintenance shape: the first wave is labeled
+    once with the batch engine; when the second wave arrives, ONLY the
+    newly streamed edges are folded in via incremental_components (the
+    old edge set is never rescanned) — and the maintained labels equal a
+    full batch recompute over everything streamed so far."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.algos.components import (
+        connected_components_fast,
+        incremental_components,
+    )
+    from graphlite_spark.plans.derive import derive_vertices
+
+    t = generate_transcripts(spark, n_convs=10, max_turns=8, seed=11)
+    path = str(tmp_path / "turns_inc")
+    t.where("turn_idx < 4").write.mode("append").parquet(path)
+    schema = spark.read.parquet(path).schema
+    q = (
+        streaming_reply_edges(spark.readStream.schema(schema).parquet(path))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("inc_edges")
+        .start()
+    )
+
+    def dense_edges(turns, snap):
+        v = derive_vertices(turns)
+        s = v.select("conv_id", F.col("turn_idx").alias("src_turn"),
+                     F.col("id").alias("src"))
+        d = v.select("conv_id", F.col("turn_idx").alias("dst_turn"),
+                     F.col("id").alias("dst"))
+        return v, (
+            snap.join(s, ["conv_id", "src_turn"])
+            .join(d, ["conv_id", "dst_turn"])
+            .select("src", "dst", F.lit(1.0).alias("weight"))
+        )
+
+    try:
+        q.processAllAvailable()
+        snap1 = spark.sql("SELECT * FROM inc_edges")
+        # rebuild the first snapshot as an independent frame so the later
+        # exceptAll against a second read of the same view doesn't
+        # self-reference the memory sink's attributes
+        wave1 = spark.createDataFrame(snap1.collect(), snap1.schema)
+        v1, e1 = dense_edges(t, wave1)
+        prev = incremental_components(
+            v1.select("id", F.col("id").alias("component")), e1
+        )
+        prev = spark.createDataFrame(prev.collect(), prev.schema)
+        t.where("turn_idx >= 4").write.mode("append").parquet(path)
+        q.processAllAvailable()
+        # only the edges that arrived AFTER the first labeling
+        new = spark.sql("SELECT * FROM inc_edges").exceptAll(wave1)
+        _, e_new = dense_edges(t, new)
+        got = {r["id"]: r["component"]
+               for r in incremental_components(prev, e_new).collect()}
+    finally:
+        q.stop()
+    v_all, e_all = dense_edges(t, spark.sql("SELECT * FROM inc_edges"))
+    want = {r["id"]: r["component"]
+            for r in connected_components_fast(v_all.select("id"), e_all).collect()}
+    assert got == want
