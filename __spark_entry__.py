@@ -27,6 +27,7 @@ from graphlite_spark.algos.components import (
     coreness,
     incremental_components,
     k_core,
+    symmetrize,
 )
 from graphlite_spark.algos.lpa import label_propagation
 from graphlite_spark.algos.hits import hits
@@ -45,6 +46,7 @@ from graphlite_spark.algos.triangles import (
 )
 from graphlite_spark.algos.walks import random_walks
 from graphlite_spark.functions.hashes import hash48
+from graphlite_spark.operators.neighborhood import neighborhood_agg
 from graphlite_spark.operators.quantiles import grouped_quantiles
 from graphlite_spark.operators.sketches import kmv_distinct_by
 from graphlite_spark.functions.text import (
@@ -290,6 +292,18 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = connected_components_fast(v, e.where(~is_new))
     return incremental_components(prev, e.where(is_new))
+
+
+def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one materialized message-passing layer (GNN feature prep): the
+    # undirected degree table fed back in as the neighbor attribute =
+    # average neighbor degree, the raw ingredient of degree assortativity
+    _, v, e = graph_tables(spark, sf_dir)
+    und = symmetrize(e)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("value")).select(
+        F.col("src").alias("id"), "value"
+    )
+    return neighborhood_agg(v, e, deg, "value", "both")
 
 
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc": q_incremental_cc,
         "events_quantiles": q_events_quantiles,
         "random_walks_corpus": q_random_walks,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
         "point_rotate3": q_point_rotate3,
         "bfs_7ss": q_bfs_7ss,
         "sssp_7ss": q_sssp_7ss,
@@ -616,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_cc": O.components_sql(),
         "events_quantiles": O.events_quantiles_sql("event_type", "value"),
         "random_walks_corpus": O.random_walks_sql(2, 8),
+        "avg_neighbor_degree": O.avg_neighbor_degree_sql(),
         "point_rotate3": O.ring_rotate_sql(3),
         "bfs_7ss": O.bfs_sql(0, 7),
         "sssp_7ss": O.sssp_sql(0, 7),

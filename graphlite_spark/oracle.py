@@ -648,6 +648,26 @@ def kmv_distinct_sql(group_col: str = "event_type",
     )
 
 
+def avg_neighbor_degree_sql() -> str:
+    """Mirror of operators.neighborhood.neighborhood_agg with the
+    undirected degree table fed back in as the neighbor attribute —
+    integer sums/min/max, the mean is one double division rounded 6dp."""
+    body = (
+        ", dg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM und"
+        " GROUP BY src),\n"
+        "na AS MATERIALIZED (\n"
+        "  SELECT u.src AS id, count(*) AS n_nbrs, sum(d.deg) AS s,\n"
+        "    min(d.deg) AS mn, max(d.deg) AS mx\n"
+        "  FROM und u JOIN dg d ON d.id = u.dst GROUP BY u.src)\n"
+        "SELECT v.id, CAST(COALESCE(na.n_nbrs, 0) AS BIGINT) AS n_nbrs,\n"
+        "  CAST(na.s AS BIGINT) AS sum_val, CAST(na.mn AS BIGINT) AS min_val,\n"
+        "  CAST(na.mx AS BIGINT) AS max_val,\n"
+        "  round(na.s * 1.0 / na.n_nbrs, 6) AS mean_val\n"
+        "FROM vertices v LEFT JOIN na ON na.id = v.id"
+    )
+    return _graph_query(body)
+
+
 def random_walks_sql(walks_per_vertex: int = 2, walk_length: int = 8) -> str:
     """Mirror of algos.walks.random_walks (undirected): the L steps
     unrolled as CTEs, each picking neighbor index

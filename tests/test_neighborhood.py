@@ -1,0 +1,52 @@
+"""Brute-force cross-check for neighborhood feature aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphlite_spark.operators.neighborhood import neighborhood_agg
+from tests.reference_sim import random_digraph
+
+
+def test_neighborhood_agg_directions(spark):
+    edges = random_digraph(40, 90, seed=17)
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    v = spark.range(40).select("id")
+    vals = spark.createDataFrame(
+        [(i, (7 * i + 3) % 23) for i in range(40)], "id long, value long"
+    )
+    und: dict[int, set[int]] = {i: set() for i in range(40)}
+    outs: dict[int, set[int]] = {i: set() for i in range(40)}
+    ins: dict[int, set[int]] = {i: set() for i in range(40)}
+    for s, d in edges:
+        if s != d:
+            und[s].add(d), und[d].add(s)
+            outs[s].add(d), ins[d].add(s)
+    val = {i: (7 * i + 3) % 23 for i in range(40)}
+    for direction, nbrs in (("both", und), ("out", outs), ("in", ins)):
+        got = {r["id"]: (r["n_nbrs"], r["sum_val"], r["min_val"],
+                         r["max_val"], r["mean_val"])
+               for r in neighborhood_agg(v, e, vals, "value",
+                                         direction).collect()}
+        for i in range(40):
+            ns = nbrs[i]
+            if not ns:
+                assert got[i] == (0, None, None, None, None), (direction, i)
+            else:
+                vs = [val[j] for j in ns]
+                want = (len(vs), sum(vs), min(vs), max(vs),
+                        round(sum(vs) / len(vs), 6))
+                assert got[i] == want, (direction, i, got[i], want)
+
+
+def test_neighborhood_agg_bad_direction(spark):
+    import pytest
+
+    e = spark.createDataFrame([(0, 1, 1.0)],
+                              "src long, dst long, weight double")
+    v = spark.range(2).select("id")
+    vals = v.withColumn("value", F.lit(1).cast("long"))
+    with pytest.raises(ValueError, match="direction"):
+        neighborhood_agg(v, e, vals, "value", "sideways")
