@@ -46,6 +46,7 @@ from graphlite_spark.algos.triangles import (
 )
 from graphlite_spark.algos.walks import random_walks
 from graphlite_spark.functions.hashes import hash48
+from graphlite_spark.operators.cooccurrence import token_cooccurrence
 from graphlite_spark.operators.neighborhood import neighborhood_agg
 from graphlite_spark.operators.quantiles import grouped_quantiles
 from graphlite_spark.operators.sketches import kmv_distinct_by
@@ -292,6 +293,14 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = connected_components_fast(v, e.where(~is_new))
     return incremental_components(prev, e.where(is_new))
+
+
+def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # word2vec/GloVe co-occurrence matrix over documents: per-doc
+    # bounded pair fan-out (distinct non-stop tokens), map-side-combined
+    # count, min_count output filter
+    docs = load_table(spark, sf_dir, "documents")
+    return token_cooccurrence(docs, "text", min_count=2)
 
 
 def q_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "random_walks_corpus": q_random_walks,
         "avg_neighbor_degree": q_avg_neighbor_degree,
+        "token_cooccurrence": q_token_cooccurrence,
         "point_rotate3": q_point_rotate3,
         "bfs_7ss": q_bfs_7ss,
         "sssp_7ss": q_sssp_7ss,
@@ -632,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": O.events_quantiles_sql("event_type", "value"),
         "random_walks_corpus": O.random_walks_sql(2, 8),
         "avg_neighbor_degree": O.avg_neighbor_degree_sql(),
+        "token_cooccurrence": O.token_cooccurrence_sql(2),
         "point_rotate3": O.ring_rotate_sql(3),
         "bfs_7ss": O.bfs_sql(0, 7),
         "sssp_7ss": O.sssp_sql(0, 7),

@@ -648,6 +648,24 @@ def kmv_distinct_sql(group_col: str = "event_type",
     )
 
 
+def token_cooccurrence_sql(min_count: int = 2) -> str:
+    """Mirror of operators.cooccurrence.token_cooccurrence: distinct
+    non-stop tokens per doc, per-doc ordered pair self-join, grouped
+    count with the ``min_count`` output filter."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "tk AS MATERIALIZED (\n"
+        "  SELECT DISTINCT doc_id, tok FROM (\n"
+        "    SELECT doc_id, unnest(toks) AS tok FROM toks_t)\n"
+        f"  WHERE NOT list_contains({_STOPLIST}, tok))\n"
+        "SELECT a.tok AS tok_a, b.tok AS tok_b,\n"
+        "  CAST(count(*) AS BIGINT) AS n_docs\n"
+        "FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.tok < b.tok\n"
+        "GROUP BY a.tok, b.tok\n"
+        f"HAVING count(*) >= {min_count}"
+    )
+
+
 def avg_neighbor_degree_sql() -> str:
     """Mirror of operators.neighborhood.neighborhood_agg with the
     undirected degree table fed back in as the neighbor attribute —

@@ -50,3 +50,31 @@ def test_neighborhood_agg_bad_direction(spark):
     vals = v.withColumn("value", F.lit(1).cast("long"))
     with pytest.raises(ValueError, match="direction"):
         neighborhood_agg(v, e, vals, "value", "sideways")
+
+
+def test_token_cooccurrence_bruteforce(spark):
+    from itertools import combinations
+
+    from graphlite_spark.functions.text import STOPWORDS
+    from graphlite_spark.operators.cooccurrence import token_cooccurrence
+
+    rows = [
+        (0, "red fox the red dog"),
+        (1, "fox dog"),
+        (2, "red cat"),
+        (3, "dog cat red"),
+        (4, "the the the"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["tok_a"], r["tok_b"]): r["n_docs"]
+           for r in token_cooccurrence(docs, min_count=1).collect()}
+    want: dict[tuple[str, str], int] = {}
+    for _, text in rows:
+        toks = sorted({t for t in text.split() if t not in STOPWORDS})
+        for a, b in combinations(toks, 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+    # min_count filters the tail
+    got2 = {(r["tok_a"], r["tok_b"]): r["n_docs"]
+            for r in token_cooccurrence(docs, min_count=2).collect()}
+    assert got2 == {k: v for k, v in want.items() if v >= 2}
