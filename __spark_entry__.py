@@ -49,6 +49,7 @@ from graphlite_spark.functions.hashes import hash48
 from graphlite_spark.operators.cooccurrence import token_cooccurrence
 from graphlite_spark.operators.neighborhood import neighborhood_agg
 from graphlite_spark.operators.quantiles import grouped_quantiles
+from graphlite_spark.operators.tfidf import tf_idf
 from graphlite_spark.operators.sketches import kmv_distinct_by
 from graphlite_spark.functions.text import (
     fingerprint_expr,
@@ -293,6 +294,13 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = connected_components_fast(v, e.where(~is_new))
     return incremental_components(prev, e.where(is_new))
+
+
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # baseline text feature weighting: integer micro-unit idf rounded
+    # once per term x integer tf -> BIGINT-exact scores
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_idf(docs, "text")
 
 
 def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks_corpus": q_random_walks,
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "token_cooccurrence": q_token_cooccurrence,
+        "tf_idf": q_tf_idf,
         "point_rotate3": q_point_rotate3,
         "bfs_7ss": q_bfs_7ss,
         "sssp_7ss": q_sssp_7ss,
@@ -643,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_corpus": O.random_walks_sql(2, 8),
         "avg_neighbor_degree": O.avg_neighbor_degree_sql(),
         "token_cooccurrence": O.token_cooccurrence_sql(2),
+        "tf_idf": O.tf_idf_sql(),
         "point_rotate3": O.ring_rotate_sql(3),
         "bfs_7ss": O.bfs_sql(0, 7),
         "sssp_7ss": O.sssp_sql(0, 7),

@@ -648,6 +648,29 @@ def kmv_distinct_sql(group_col: str = "event_type",
     )
 
 
+def tf_idf_sql(min_df: int = 1) -> str:
+    """Mirror of operators.tfidf.tf_idf: integer micro-unit idf rounded
+    once per term, multiplied by the integer tf — BIGINT-exact scores."""
+    flt = f"WHERE d.df >= {min_df}\n" if min_df > 1 else ""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "tk AS MATERIALIZED (SELECT doc_id, unnest(toks) AS term"
+        " FROM toks_t),\n"
+        "tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tk"
+        " GROUP BY doc_id, term),\n"
+        "dfx AS MATERIALIZED (SELECT term, count(*) AS df FROM tf"
+        " GROUP BY term),\n"
+        "nn AS (SELECT count(*) AS n FROM documents)\n"
+        "SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,\n"
+        "  CAST(d.df AS BIGINT) AS df,\n"
+        "  CAST(t.tf * CAST(round(1000000.0 *\n"
+        "    ln((SELECT n FROM nn) * 1.0 / d.df)) AS BIGINT) AS BIGINT)\n"
+        "    AS tfidf_micros\n"
+        "FROM tf t JOIN dfx d USING (term)\n"
+        f"{flt}"
+    )
+
+
 def token_cooccurrence_sql(min_count: int = 2) -> str:
     """Mirror of operators.cooccurrence.token_cooccurrence: distinct
     non-stop tokens per doc, per-doc ordered pair self-join, grouped

@@ -78,3 +78,26 @@ def test_token_cooccurrence_bruteforce(spark):
     got2 = {(r["tok_a"], r["tok_b"]): r["n_docs"]
             for r in token_cooccurrence(docs, min_count=2).collect()}
     assert got2 == {k: v for k, v in want.items() if v >= 2}
+
+
+def test_tf_idf_bruteforce(spark):
+    import math
+
+    from graphlite_spark.operators.tfidf import tf_idf
+
+    rows = [(0, "red fox red"), (1, "fox dog"), (2, "red cat dog dog")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["df"], r["tfidf_micros"])
+           for r in tf_idf(docs).collect()}
+    tf: dict[tuple[int, str], int] = {}
+    for did, text in rows:
+        for t in text.split():
+            tf[(did, t)] = tf.get((did, t), 0) + 1
+    df_: dict[str, int] = {}
+    for (_, t) in tf:
+        df_[t] = df_.get(t, 0) + 1
+    want = {
+        (did, t): (c, df_[t], c * round(1_000_000.0 * math.log(3.0 / df_[t])))
+        for (did, t), c in tf.items()
+    }
+    assert got == want
