@@ -35,6 +35,7 @@ from graphlite_spark.algos.pagerank import (
     pagerank,
     pagerank_argmax_delta,
     personalized_pagerank,
+    weighted_pagerank,
 )
 from graphlite_spark.algos.rotate import ring_rotate
 from graphlite_spark.algos.sssp import INF as SSSP_INF, sssp, sssp_with_parents
@@ -294,6 +295,24 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = connected_components_fast(v, e.where(~is_new))
     return incremental_components(prev, e.where(is_new))
+
+
+def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-point weighted PageRank: rank distributed proportional to
+    # integer edge weight; the derived weights are all 1.0, so
+    # deterministic synthetic weights 1 + hash48(src:dst) % 3 (mirrored
+    # in SQL) exercise the weighted path for real
+    _, v, e = graph_tables(spark, sf_dir)
+    w = (
+        F.lit(1)
+        + hash48(
+            F.concat_ws(":", F.col("src").cast("string"),
+                        F.col("dst").cast("string"))
+        )
+        % 3
+    ).cast("long")
+    ew = e.select("src", "dst", w.alias("weight"))
+    return weighted_pagerank(v, ew, supersteps=10)
 
 
 def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "token_cooccurrence": q_token_cooccurrence,
         "tf_idf": q_tf_idf,
+        "weighted_pagerank10": q_weighted_pagerank,
         "point_rotate3": q_point_rotate3,
         "bfs_7ss": q_bfs_7ss,
         "sssp_7ss": q_sssp_7ss,
@@ -653,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "avg_neighbor_degree": O.avg_neighbor_degree_sql(),
         "token_cooccurrence": O.token_cooccurrence_sql(2),
         "tf_idf": O.tf_idf_sql(),
+        "weighted_pagerank10": O.weighted_pagerank_sql(10),
         "point_rotate3": O.ring_rotate_sql(3),
         "bfs_7ss": O.bfs_sql(0, 7),
         "sssp_7ss": O.sssp_sql(0, 7),

@@ -163,6 +163,43 @@ def _pagerank_ctes(rounds: int) -> str:
     return ",\n".join(parts)
 
 
+def weighted_pagerank_sql(supersteps: int = 10) -> str:
+    """Mirror of algos.pagerank.weighted_pagerank over edges carrying the
+    entry query's deterministic synthetic weights ``1 + h48(src:dst)%3``:
+    FIXED-POINT micro-unit rounds with per-term integer division, so the
+    unrolled CTEs are BIGINT-exact — no float summation order to
+    diverge (DuckDB ``//`` == Spark ``div`` on non-negative longs)."""
+    rounds = supersteps - 1
+    wexpr = _h48("e.src || ':' || e.dst")
+    parts = [
+        f"we AS MATERIALIZED (SELECT src, dst,\n"
+        f"  CAST(1 + {wexpr} % 3 AS BIGINT) AS w FROM edges e),\n"
+        "ws AS MATERIALIZED (SELECT src, sum(w) AS wsum FROM we"
+        " GROUP BY src),\n"
+        "ew AS MATERIALIZED (SELECT src, dst, w, wsum FROM we"
+        " JOIN ws USING (src)),\n"
+        "wp0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS rank_m"
+        " FROM vertices)"
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"wp{k} AS MATERIALIZED (\n"
+            f"  SELECT v.id,\n"
+            f"    CAST(150000 + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT)"
+            f" AS rank_m\n"
+            f"  FROM vertices v LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, sum((q.rank_m * e.w) // e.wsum) AS s\n"
+            f"    FROM ew e JOIN wp{k - 1} q ON q.id = e.src"
+            f" GROUP BY e.dst) m\n"
+            f"  ON m.id = v.id)"
+        )
+    body = (
+        ", " + ",\n".join(parts)
+        + f"\nSELECT id, rank_m AS rank_micros FROM wp{rounds}"
+    )
+    return _graph_query(body)
+
+
 def pagerank_fixed_sql(supersteps: int = 10) -> str:
     rounds = supersteps - 1  # superstep 0 initializes, 1..S-1 update
     body = (

@@ -101,3 +101,36 @@ def test_tf_idf_bruteforce(spark):
         for (did, t), c in tf.items()
     }
     assert got == want
+
+
+def test_weighted_pagerank_equals_uniform_at_equal_weights(spark):
+    from graphlite_spark.algos.pagerank import pagerank, weighted_pagerank
+    from pyspark.sql import functions as F
+
+    edges = random_digraph(50, 140, seed=3)
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    ).distinct()
+    v = spark.range(50).select("id")
+    got = {r["id"]: r["rank_micros"] / 1e6
+           for r in weighted_pagerank(v, e, supersteps=6).collect()}
+    res = pagerank(v, e, fixed_supersteps=6)
+    want = {r["id"]: r["value"] for r in res.state.collect()}
+    assert set(got) == set(want)
+    for k in got:
+        # fixed-point floor truncation: <= ~1 micro per in-edge per round
+        assert abs(got[k] - want[k]) < 1e-4, (k, got[k], want[k])
+
+
+def test_weighted_pagerank_weights_matter(spark):
+    from graphlite_spark.algos.pagerank import weighted_pagerank
+
+    # 0 -> 1 (heavy), 0 -> 2 (light): rank must follow the weight
+    e = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    v = spark.range(3).select("id")
+    got = {r["id"]: r["rank_micros"]
+           for r in weighted_pagerank(v, e, supersteps=8).collect()}
+    assert got[1] > got[2]
