@@ -188,8 +188,16 @@ def incremental_components(
     """
     und = symmetrize(new_edges).select("src", "dst")
     prev = prev_labels.select("id", "component")
-    # endpoint -> label; endpoints never seen before label themselves
-    ids = und.select(F.col("src").alias("id")).distinct()
+    # endpoint -> label; endpoints never seen before label themselves.
+    # ids comes from the RAW batch endpoints, not the symmetrized closure:
+    # symmetrize() drops self-loops, so a brand-new vertex whose only batch
+    # edges are self-loops would otherwise vanish from the output labeling
+    # — a full recompute over vertices ∪ endpoints labels it with its own id
+    ids = (
+        new_edges.select(F.col("src").alias("id"))
+        .unionByName(new_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
     lab = ids.join(prev, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("lab")
     )

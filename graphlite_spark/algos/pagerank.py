@@ -225,7 +225,13 @@ def weighted_pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    return r.select("id", F.col("rank_m").alias("rank_micros"))
+    # materialize before releasing the cached edge frame (hits() pattern):
+    # the returned frame must not depend on ew after unpersist, or repeated
+    # calls accumulate cached blocks until storage eviction thrashes
+    out = r.select("id", F.col("rank_m").alias("rank_micros"))
+    out = out.localCheckpoint(eager=True)
+    ew.unpersist()
+    return out
 
 
 def pagerank(

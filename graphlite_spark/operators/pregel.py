@@ -233,7 +233,8 @@ class PregelEngine:
     TARGET_EDGES_PER_PARTITION = 100_000
 
     def __init__(self, num_partitions: int | None = None, checkpointer=None,
-                 run_id: str = "run0", hub_threshold: int | None = None):
+                 run_id: str = "run0", hub_threshold: int | None = None,
+                 validate_point_sends: bool = False):
         """``hub_threshold``: out-degree above which a vertex is treated as
         a hub for skew handling.  A hub's edges all hash to one partition
         (edges are partitioned by src, the reference's placement), so one
@@ -249,6 +250,13 @@ class PregelEngine:
         self.checkpointer = checkpointer
         self.run_id = run_id
         self.hub_threshold = hub_threshold
+        #: debug/CI guard: cross-check each superstep's declared
+        #: Σ(point_sent_count) against the actual point_messages row count.
+        #: The declaration is load-bearing for termination (act==0 &&
+        #: sent==0), so an algorithm whose two hooks drift would otherwise
+        #: halt early with messages in flight — or never halt.  Costs one
+        #: extra action per superstep, so off outside tests.
+        self.validate_point_sends = validate_point_sends
         self._hub_edges: DataFrame | None = None
         self._hub_ids: DataFrame | None = None
         #: engine-owned persisted frames, released at the end of run()
@@ -503,7 +511,18 @@ class PregelEngine:
                     # over the already-truncated new_state, so it stays a
                     # pure lazy plan consumed inside the next superstep's
                     # combine — exactly like the edge scatter
-                    sent_cnt += int(stats_row["_psent"] or 0)
+                    declared = int(stats_row["_psent"] or 0)
+                    if self.validate_point_sends:
+                        actual = pm.count()
+                        if actual != declared:
+                            raise ValueError(
+                                f"superstep {superstep}: point_sent_count "
+                                f"declares {declared} sends but "
+                                f"point_messages produced {actual} rows — "
+                                "the two hooks must agree or the act==0 && "
+                                "sent==0 termination test is corrupted"
+                            )
+                    sent_cnt += declared
                 else:
                     # legacy path: no count expression — one extra action
                     pm = pm.localCheckpoint(eager=True)

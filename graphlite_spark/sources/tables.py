@@ -19,7 +19,7 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-_GRAPH_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+_GRAPH_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -29,9 +29,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def graph_tables(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(transcripts, vertices, edges) for sf_dir, cached per session."""
-    key = (id(spark), sf_dir)
+    """(transcripts, vertices, edges) for sf_dir, cached per session.
+
+    Keyed by ``applicationId`` (unique per SparkContext), not ``id(spark)``:
+    a stopped-and-recreated session can reuse the same Python object
+    address, which would hand back DataFrames bound to a dead context."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _GRAPH_CACHE:
+        # evict graphs of other (stopped) applications — their DataFrames
+        # are bound to dead contexts and can never be served again
+        for stale in [k for k in _GRAPH_CACHE if k[0] != key[0]]:
+            del _GRAPH_CACHE[stale]
         t = transcripts_from_events(load_table(spark, sf_dir, "events"))
         v = derive_vertices(t).persist()
         e = derive_edges(t, v).persist()
