@@ -45,7 +45,7 @@ from graphlite_spark.algos.triangles import (
     triangle_count,
     triangle_count_per_vertex,
 )
-from graphlite_spark.algos.walks import random_walks
+from graphlite_spark.algos.walks import node2vec_walks, random_walks
 from graphlite_spark.functions.hashes import hash48
 from graphlite_spark.operators.cooccurrence import token_cooccurrence
 from graphlite_spark.operators.neighborhood import neighborhood_agg
@@ -67,9 +67,11 @@ from graphlite_spark.operators.dedup import (
     simhash_signatures,
 )
 from graphlite_spark.operators.multimodal import (
+    decode_jpeg,
     decode_png,
     decode_ppm,
     decode_wav_meta,
+    encode_jpeg_kernel,
     encode_png_kernel,
     encode_ppm_kernel,
     encode_ppm_video_kernel,
@@ -79,7 +81,11 @@ from graphlite_spark.operators.multimodal import (
     with_binary_payload,
 )
 from graphlite_spark.operators.sessions import sessionize
-from graphlite_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from graphlite_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+    lsh_recall,
+)
 from graphlite_spark.sources.edgelist import read_edge_list
 from graphlite_spark.sources.tables import graph_tables, load_table
 
@@ -351,6 +357,26 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(v, e, walks_per_vertex=2, walk_length=8)
 
 
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # node2vec second-order biased walks (p=2, q=0.5 in micro-units:
+    # return 0.5e6, distance-1 1e6, distance-2 2e6) on the deterministic
+    # hash machinery — the oracle unrolls the identical cumulative-weight
+    # bucket rule, so the whole corpus is hash-exact
+    _, v, e = graph_tables(spark, sf_dir)
+    return node2vec_walks(
+        v, e, walks_per_vertex=1, walk_length=5,
+        return_micros=500_000, inout_micros=2_000_000,
+    )
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured recall@5 of the LSH-bucket ANN path vs brute-force ground
+    # truth — the tuning number a production pipeline reads before picking
+    # num_bits; integer hit counts, hash-exact
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_recall(emb, emb.where(F.col("vec_id") < 20), k=5, num_bits=8)
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact discrete p50/p90/p99 of event value per type — integer rank
     # rule ceil(p·n), engine-identical element selection
@@ -546,6 +572,17 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL baseline-JPEG decode (pure numpy: Huffman + dequant + IDCT from
+    # the public T.81 spec); encoder emits the exact-round-trip subset
+    # (block-constant, all-ones quantization) so pixel_digest verifies the
+    # DECODED BYTES against the oracle's closed form
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_jpeg(encode_jpeg_kernel(docs)).select(
+        "doc_id", "width", "height", "n_pixels", "pixel_digest"
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL frame sampling over a raw concatenated-P6 "video" container
     docs = load_table(spark, sf_dir, "documents")
@@ -582,7 +619,44 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING IS LOAD-BEARING: the driver iterates this dict in order
+    # under a time budget — round 3's run stopped after 50 of 56 entries,
+    # starving the trailing six (all sub-second) of CORRECTNESS rows.
+    # Cheap / previously-unchecked queries therefore run FIRST; the
+    # multi-minute graph fixpoints run LAST.
     return {
+        # -- never/least-recently driver-checked (all sub-second) ---------
+        "multimodal_decode_png": q_multimodal_decode_png,
+        "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+        "multimodal_decode_ppm": q_multimodal_decode_ppm,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_wav_meta": q_multimodal_wav,
+        "events_sessionize": q_sessionize,
+        "events_windowed": q_events_windowed,
+        # -- new this round ----------------------------------------------
+        "node2vec_walks": q_node2vec_walks,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        # -- cheap pipeline queries (no graph derivation needed) ----------
+        "multimodal_extract": q_multimodal_extract,
+        "text_token_count": q_token_count,
+        "text_lang_id": q_lang_id,
+        "text_quality": q_quality,
+        "text_fingerprint": q_fingerprint,
+        "text_rolling_fp": q_rolling_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_ngram_jaccard_filtered": q_ngram_jaccard_filtered,
+        "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash32": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "dedup_embedding_cosine": q_embedding_near_dups,
+        "kmv_distinct_users": q_kmv_distinct,
+        "events_quantiles": q_events_quantiles,
+        "tf_idf": q_tf_idf,
+        "token_cooccurrence": q_token_cooccurrence,
+        # -- graph derivation + bounded-superstep graph queries -----------
         "transcripts_adapt": q_transcripts,
         "vertices_dense_ids": q_vertices,
         "edges_derive": q_edges,
@@ -594,22 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_3iter": q_hits3,
         "pagerank_sumdelta_ss2": q_pagerank_sumdelta,
         "pagerank_argmax_delta_ss2": q_pagerank_argmax_delta,
-        "connected_components": q_components,
-        "connected_components_fast": q_components_fast,
-        "kcore_2": q_kcore2,
-        "coreness": q_coreness,
         "lpa_3iter": q_lpa3,
-        "triangles_total": q_triangles_total,
-        "triangles_per_vertex": q_triangles_per_vertex,
-        "clustering_coefficient": q_lcc,
-        "adamic_adar": q_adamic_adar,
-        "kmv_distinct_users": q_kmv_distinct,
-        "incremental_cc": q_incremental_cc,
-        "events_quantiles": q_events_quantiles,
-        "random_walks_corpus": q_random_walks,
-        "avg_neighbor_degree": q_avg_neighbor_degree,
-        "token_cooccurrence": q_token_cooccurrence,
-        "tf_idf": q_tf_idf,
         "weighted_pagerank10": q_weighted_pagerank,
         "point_rotate3": q_point_rotate3,
         "bfs_7ss": q_bfs_7ss,
@@ -617,28 +676,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_maxdist_ss7": q_sssp_maxdist,
         "sssp_parents_7ss": q_sssp_parents,
         "edgelist_pagerank10": q_edgelist_pagerank,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        "adamic_adar": q_adamic_adar,
+        "triangles_total": q_triangles_total,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "clustering_coefficient": q_lcc,
+        "random_walks_corpus": q_random_walks,
+        # -- multi-minute fixpoints last ----------------------------------
+        "connected_components_fast": q_components_fast,
+        "kcore_2": q_kcore2,
+        "coreness": q_coreness,
+        "incremental_cc": q_incremental_cc,
+        "connected_components": q_components,
         "pagerank_converged": q_pagerank_converged,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_ngram_jaccard,
-        "dedup_ngram_jaccard_filtered": q_ngram_jaccard_filtered,
-        "dedup_minhash_lsh": q_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash32": q_simhash,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "dedup_embedding_cosine": q_embedding_near_dups,
-        "text_token_count": q_token_count,
-        "text_lang_id": q_lang_id,
-        "text_quality": q_quality,
-        "text_fingerprint": q_fingerprint,
-        "text_rolling_fp": q_rolling_fingerprint,
-        "multimodal_extract": q_multimodal_extract,
-        "multimodal_decode_ppm": q_multimodal_decode_ppm,
-        "multimodal_decode_png": q_multimodal_decode_png,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_wav_meta": q_multimodal_wav,
-        "events_sessionize": q_sessionize,
-        "events_windowed": q_events_windowed,
     }
 
 
@@ -670,6 +720,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_cc": O.components_sql(),
         "events_quantiles": O.events_quantiles_sql("event_type", "value"),
         "random_walks_corpus": O.random_walks_sql(2, 8),
+        "node2vec_walks": O.node2vec_walks_sql(1, 5, 500_000, 2_000_000),
+        "ann_lsh_recall": O.ann_lsh_recall_sql(5, 8, 20),
         "avg_neighbor_degree": O.avg_neighbor_degree_sql(),
         "token_cooccurrence": O.token_cooccurrence_sql(2),
         "tf_idf": O.tf_idf_sql(),
@@ -703,6 +755,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_extract": O.multimodal_extract_sql(),
         "multimodal_decode_ppm": O.multimodal_decode_ppm_sql(),
         "multimodal_decode_png": O.multimodal_decode_png_sql(),
+        "multimodal_decode_jpeg": O.multimodal_decode_jpeg_sql(),
         "multimodal_frames": O.multimodal_frames_sql(2),
         "multimodal_wav_meta": O.multimodal_wav_sql(),
         "events_sessionize": O.sessionize_sql(30),

@@ -1,9 +1,13 @@
-"""Deterministic random-walk corpus generation (DeepWalk-style).
+"""Deterministic random-walk corpus generation (DeepWalk + node2vec).
 
-Embedding pipelines (DeepWalk, node2vec) train on a corpus of short
-random walks.  At 100 TB the walk generation — not the training — is
-the data-engine job: W walks of length L from every vertex, with the
+Embedding pipelines (DeepWalk, node2vec — both public literature:
+Perozzi 2014, Grover & Leskovec 2016) train on a corpus of short random
+walks.  At 100 TB the walk generation — not the training — is the
+data-engine job: W walks of length L from every vertex, with the
 per-step neighbor choice made INSIDE the engine, no driver loop.
+:func:`random_walks` is the uniform (first-order) corpus;
+:func:`node2vec_walks` adds the second-order p/q bias with integer
+micro-unit weights so determinism survives.
 
 Determinism instead of RNG: step t of walk w picks neighbor index
 ``hash48(walk_id ':' t) mod deg(cur)`` over the neighbor list ranked by
@@ -33,6 +37,26 @@ from graphlite_spark.algos.components import symmetrize
 from graphlite_spark.functions.hashes import hash48
 
 
+def _ranked_adjacency(
+    edges: DataFrame, undirected: bool, num_partitions: int
+) -> tuple[DataFrame, DataFrame]:
+    """(adj, deg): adjacency ranked by dst per src (idx 0..deg-1), cached
+    hash-partitioned by src, plus the per-src degree table."""
+    und = (
+        symmetrize(edges).select("src", "dst")
+        if undirected
+        else edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        und.withColumn("idx", F.row_number().over(w) - F.lit(1))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    return adj, deg
+
+
 def random_walks(
     vertices: DataFrame,
     edges: DataFrame,
@@ -40,27 +64,26 @@ def random_walks(
     walk_length: int = 8,
     undirected: bool = True,
     num_partitions: int | None = None,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """(walk_id, step, vertex) — ``walks_per_vertex`` deterministic walks
     of up to ``walk_length`` steps from every vertex; ``walk_id =
     id * walks_per_vertex + w``.  Step 0 is the start vertex; walks end
-    early at sinks."""
+    early at sinks.
+
+    Lineage discipline: the per-step plan chains two joins onto ``cur``
+    and a union onto ``out``; without truncation the analyzed plan grows
+    O(L) and long walks (L=64+) hit hundreds of operators.  Every
+    ``checkpoint_every`` steps both frames are lazily localCheckpoint'ed
+    (same discipline as every other iterative loop in the repo); the
+    returned corpus is eagerly materialized so the cached adjacency can
+    be released before returning — callers reuse the result without
+    holding engine-owned cache blocks alive."""
     spark = edges.sparkSession
-    und = (
-        symmetrize(edges).select("src", "dst")
-        if undirected
-        else edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    )
     P = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    w = Window.partitionBy("src").orderBy("dst")
-    adj = (
-        und.withColumn("idx", F.row_number().over(w) - F.lit(1))
-        .repartition(P, "src")
-        .persist()
-    )
-    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    adj, deg = _ranked_adjacency(edges, undirected, P)
     W_ = walks_per_vertex
     cur = vertices.select(
         F.explode(F.sequence(F.lit(0), F.lit(W_ - 1))).alias("w"),
@@ -70,9 +93,6 @@ def random_walks(
         F.col("id").alias("vertex"),
     )
     out = cur.select("walk_id", F.lit(0).cast("long").alias("step"), "vertex")
-    # adj/deg stay cached for the caller's action (the union references
-    # them L times; within one action the InMemoryRelation materializes
-    # once) — corpus generation is one-shot, the cache dies with the df
     for t in range(1, walk_length + 1):
         pick = cur.join(deg, cur["vertex"] == deg["src"]).select(
             "walk_id",
@@ -95,4 +115,130 @@ def random_walks(
                 "walk_id", F.lit(t).cast("long").alias("step"), "vertex"
             )
         )
+        if t % checkpoint_every == 0 and t < walk_length:
+            # lazy: materializes inside the next step's jobs, truncating
+            # the O(L) join/union lineage without an extra action
+            cur = cur.localCheckpoint(eager=False)
+            out = out.localCheckpoint(eager=False)
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    deg.unpersist()
+    return out
+
+
+def node2vec_walks(
+    vertices: DataFrame,
+    edges: DataFrame,
+    walks_per_vertex: int = 1,
+    walk_length: int = 5,
+    return_micros: int = 500_000,
+    inout_micros: int = 2_000_000,
+    undirected: bool = True,
+    num_partitions: int | None = None,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(walk_id, step, vertex) — second-order BIASED walks (node2vec,
+    Grover & Leskovec 2016, public literature) on the same deterministic
+    hash machinery as :func:`random_walks` (DeepWalk is the special case
+    of uniform transition weights).
+
+    Transition rule at step t>=2 with previous vertex ``prev`` and
+    current ``cur``: each neighbor x of cur gets an INTEGER micro-unit
+    weight — ``return_micros`` if x == prev (the 1/p return bias),
+    1_000_000 if x is also a neighbor of prev (graph distance 1, the BFS
+    direction), else ``inout_micros`` (distance 2, the DFS direction,
+    1/q).  The pick is the cumulative-weight bucket containing
+    ``hash48(walk_id ':' t) mod total_weight`` over the dst-ranked
+    neighbor list — all-integer, so the corpus is a pure function of the
+    graph and hash-exact across engines (the oracle unrolls the same
+    rule in SQL).  Step 1 has no prev and picks uniformly.
+
+    Scale shape: node2vec inherently SCORES the whole neighborhood of
+    cur each step (the distance test needs every candidate), so step
+    cost is O(Σ deg(cur) over active walks) — the same frontier the
+    classic per-edge alias-table precompute pays, but without
+    materializing O(Σ_e deg) state up front.  The distance-1 test is one
+    left-semi-style join of candidates against the cached adjacency on
+    (prev, x); the cumulative pick is a per-walk window (each walk's
+    partition is one neighbor list, never the graph).  Hubs: a walk
+    visiting a hub scores deg(hub) candidates once — bounded per walk,
+    and the candidate frame is hash-partitioned by walk_id so no
+    reducer owns more than one neighborhood per walk."""
+    spark = edges.sparkSession
+    P = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    adj, deg = _ranked_adjacency(edges, undirected, P)
+    W_ = walks_per_vertex
+    start = vertices.select(
+        F.explode(F.sequence(F.lit(0), F.lit(W_ - 1))).alias("w"),
+        F.col("id"),
+    ).select(
+        (F.col("id") * W_ + F.col("w")).cast("long").alias("walk_id"),
+        F.col("id").alias("vertex"),
+    )
+    out = start.select("walk_id", F.lit(0).cast("long").alias("step"), "vertex")
+    # step 1: uniform (no prev yet) — identical rule to random_walks
+    s1 = start.join(deg, start["vertex"] == deg["src"]).select(
+        "walk_id",
+        F.col("vertex").alias("prev"),
+        (
+            hash48(F.concat_ws(":", F.col("walk_id").cast("string"), F.lit("1")))
+            % F.col("deg")
+        ).alias("pick"),
+    )
+    cur = s1.join(
+        adj, (s1["prev"] == adj["src"]) & (s1["pick"] == adj["idx"])
+    ).select("walk_id", "prev", F.col("dst").alias("vertex"))
+    out = out.unionByName(
+        cur.select("walk_id", F.lit(1).cast("long").alias("step"), "vertex")
+    )
+    prev_edge = adj.select(
+        F.col("src").alias("p_src"), F.col("dst").alias("p_dst")
+    )
+    for t in range(2, walk_length + 1):
+        # candidates: the FULL ranked neighborhood of cur (second-order
+        # bias needs every neighbor's distance-to-prev classification)
+        cand = cur.join(adj, cur["vertex"] == adj["src"]).select(
+            "walk_id", "prev", F.col("vertex"),
+            F.col("dst").alias("x"), F.col("idx"),
+        )
+        # distance-1 test: is (prev, x) an edge?  left join against the
+        # cached adjacency; non-null marker = yes
+        cand = cand.join(
+            prev_edge,
+            (cand["prev"] == prev_edge["p_src"]) & (cand["x"] == prev_edge["p_dst"]),
+            "left",
+        ).select(
+            "walk_id", "prev", "vertex", "x", "idx",
+            F.when(F.col("x") == F.col("prev"), F.lit(return_micros))
+            .when(F.col("p_src").isNotNull(), F.lit(1_000_000))
+            .otherwise(F.lit(inout_micros))
+            .cast("long")
+            .alias("wt"),
+        )
+        wsum = Window.partitionBy("walk_id").orderBy("idx")
+        scored = cand.select(
+            "walk_id", "vertex", "x",
+            (F.sum("wt").over(wsum) - F.col("wt")).alias("cum_lo"),
+            F.sum("wt").over(wsum).alias("cum_hi"),
+            F.sum("wt").over(Window.partitionBy("walk_id")).alias("total"),
+        )
+        r = hash48(
+            F.concat_ws(":", F.col("walk_id").cast("string"), F.lit(str(t)))
+        ) % F.col("total")
+        # the walk's current vertex rides along as the next step's prev —
+        # no rejoin against cur (a per-step self-join) needed
+        cur = scored.where((r >= F.col("cum_lo")) & (r < F.col("cum_hi"))).select(
+            "walk_id", F.col("vertex").alias("prev"), F.col("x").alias("vertex")
+        )
+        out = out.unionByName(
+            cur.select("walk_id", F.lit(t).cast("long").alias("step"), "vertex")
+        )
+        if t % checkpoint_every == 0 and t < walk_length:
+            cur = cur.localCheckpoint(eager=False)
+            out = out.localCheckpoint(eager=False)
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    deg.unpersist()
     return out

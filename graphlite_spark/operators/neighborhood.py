@@ -59,11 +59,22 @@ def neighborhood_agg(
         F.max("v").alias("max_val"),
     )
     out = vertices.select("id").join(agg, "id", "left")
+    # preserve the attribute's numeric family: integral inputs stay exact
+    # BIGINT (sum of longs can't be narrowed silently), fractional inputs
+    # come back as rounded doubles — a blanket long cast would silently
+    # truncate fractional attribute values
+    integral = dict(values.dtypes)[value_col] in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+    if integral:
+        svals = [F.col(c).cast("long").alias(c)
+                 for c in ("sum_val", "min_val", "max_val")]
+    else:
+        svals = [F.round(F.col(c).cast("double"), 6).alias(c)
+                 for c in ("sum_val", "min_val", "max_val")]
     return out.select(
         "id",
         F.coalesce("n_nbrs", F.lit(0)).cast("long").alias("n_nbrs"),
-        F.col("sum_val").cast("long").alias("sum_val"),
-        F.col("min_val").cast("long").alias("min_val"),
-        F.col("max_val").cast("long").alias("max_val"),
+        *svals,
         F.round(F.col("sum_val") / F.col("n_nbrs"), 6).alias("mean_val"),
     )

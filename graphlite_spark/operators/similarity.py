@@ -73,6 +73,58 @@ def cosine_topk(
     )
 
 
+def lsh_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, n_truth, n_approx, n_hits, recall) — measured recall@k
+    of the LSH-bucketed path against the brute-force ground truth.
+
+    Turns the recall-vs-num_bits tradeoff into a checked number: n_hits
+    is the intersection size between :func:`lsh_bucket_topk` and
+    :func:`cosine_topk` per query (integer, hash-exact across engines);
+    recall = n_hits / n_truth rounded to 6dp.  Queries whose bucket holds
+    no other vector report n_approx = 0, recall 0 — they count, since a
+    production tuning loop must see empty-bucket misses, not drop them.
+
+    Scale shape: both top-k paths are the operators under test (bucket
+    equi-join / broadcast cross join, WindowGroupLimit top-k); the
+    comparison itself is one equi-join on (query_id, neighbor_id) plus a
+    map-side-combined groupBy — negligible next to the searches.  At
+    100 TB this runs on a sampled query set, never the full corpus (the
+    ground-truth side is the brute-force scan)."""
+    truth = cosine_topk(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+    approx = lsh_bucket_topk(
+        embeddings, queries, k=k, num_bits=num_bits, id_col=id_col, vec_col=vec_col
+    )
+    t = truth.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = (
+        t.join(a, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    nt = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    na = a.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    return (
+        nt.join(na, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def lsh_bucket(vec: Column, num_bits: int = 8) -> Column:
     """Deterministic sign-bit bucket: bit j set iff vec[j] >= 0."""
     out = F.lit(0)

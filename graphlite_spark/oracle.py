@@ -782,6 +782,74 @@ def random_walks_sql(walks_per_vertex: int = 2, walk_length: int = 8) -> str:
     return _graph_query(",\n".join(ctes) + "\n" + selects)
 
 
+def node2vec_walks_sql(
+    walks_per_vertex: int = 1,
+    walk_length: int = 5,
+    return_micros: int = 500_000,
+    inout_micros: int = 2_000_000,
+) -> str:
+    """Mirror of algos.walks.node2vec_walks: the L steps unrolled, step 1
+    uniform, steps >= 2 picking the cumulative-integer-weight bucket
+    containing ``hash48(walk_id ':' t) mod total`` over the dst-ranked
+    neighborhood of cur — weight = return_micros when the candidate is
+    prev, 1e6 when (prev, candidate) is an edge, else inout_micros."""
+    W = walks_per_vertex
+    ctes = [
+        ", adj AS MATERIALIZED (\n"
+        "  SELECT src, dst,\n"
+        "    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx\n"
+        "  FROM und),\n"
+        "dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM und"
+        " GROUP BY src),\n"
+        f"s0 AS MATERIALIZED (\n"
+        f"  SELECT v.id * {W} + w.w AS walk_id, v.id AS cur\n"
+        f"  FROM vertices v CROSS JOIN"
+        f" (SELECT unnest(range({W})) AS w) w)"
+    ]
+    if walk_length >= 1:
+        p1 = _h48("s.walk_id || ':' || 1")
+        ctes.append(
+            "s1 AS MATERIALIZED (\n"
+            "  SELECT s.walk_id, s.cur AS prev, a.dst AS cur\n"
+            "  FROM s0 s\n"
+            "  JOIN dg ON dg.src = s.cur\n"
+            f"  JOIN adj a ON a.src = s.cur AND a.idx = {p1} % dg.deg)"
+        )
+    for t in range(2, walk_length + 1):
+        r = _h48(f"walk_id || ':' || {t}")
+        ctes.append(
+            f"c{t} AS MATERIALIZED (\n"
+            "  SELECT s.walk_id, s.prev, s.cur, a.dst AS x, a.idx,\n"
+            f"    CAST(CASE WHEN a.dst = s.prev THEN {return_micros}\n"
+            "         WHEN pe.src IS NOT NULL THEN 1000000\n"
+            f"         ELSE {inout_micros} END AS BIGINT) AS wt\n"
+            f"  FROM s{t - 1} s\n"
+            "  JOIN adj a ON a.src = s.cur\n"
+            "  LEFT JOIN adj pe ON pe.src = s.prev AND pe.dst = a.dst)"
+        )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (\n"
+            "  SELECT walk_id, cur, x,\n"
+            "    sum(wt) OVER (PARTITION BY walk_id ORDER BY idx) - wt"
+            " AS cum_lo,\n"
+            "    sum(wt) OVER (PARTITION BY walk_id ORDER BY idx) AS cum_hi,\n"
+            "    sum(wt) OVER (PARTITION BY walk_id) AS total\n"
+            f"  FROM c{t})"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (\n"
+            "  SELECT walk_id, cur AS prev, x AS cur\n"
+            f"  FROM w{t}\n"
+            f"  WHERE {r} % total >= cum_lo AND {r} % total < cum_hi)"
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS vertex"
+        f" FROM s{t}"
+        for t in range(walk_length + 1)
+    )
+    return _graph_query(",\n".join(ctes) + "\n" + selects)
+
+
 def events_quantiles_sql(group_col: str = "event_type",
                          value_col: str = "value",
                          percents: tuple[int, ...] = (50, 90, 99)) -> str:
@@ -1013,6 +1081,50 @@ def ann_lsh_topk_sql(k: int = 3, num_bits: int = 8, num_queries: int = 20) -> st
     )
 
 
+def ann_lsh_recall_sql(k: int = 5, num_bits: int = 8, num_queries: int = 20) -> str:
+    """Mirror of operators.similarity.lsh_recall: brute-force top-k and
+    LSH-bucket top-k as CTEs, intersected per query.  Integer hit counts
+    are hash-exact; recall rides as one rounded division."""
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(num_bits)
+    )
+    return (
+        "WITH eb AS MATERIALIZED (SELECT vec_id,\n"
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,\n"
+        f"  CAST({bucket} AS BIGINT) AS bucket FROM embeddings),\n"
+        f"q AS MATERIALIZED (SELECT * FROM eb WHERE vec_id < {num_queries}),\n"
+        "truth AS MATERIALIZED (\n"
+        "  SELECT query_id, neighbor_id FROM (\n"
+        f"    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS sim,\n"
+        "      row_number() OVER (PARTITION BY q.vec_id\n"
+        "        ORDER BY "
+        f"{_COS} DESC, c.vec_id ASC) AS rank\n"
+        "    FROM q JOIN eb c ON c.vec_id <> q.vec_id)\n"
+        f"  WHERE rank <= {k}),\n"
+        "approx AS MATERIALIZED (\n"
+        "  SELECT query_id, neighbor_id FROM (\n"
+        f"    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS sim,\n"
+        "      row_number() OVER (PARTITION BY q.vec_id\n"
+        "        ORDER BY "
+        f"{_COS} DESC, c.vec_id ASC) AS rank\n"
+        "    FROM q JOIN eb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)\n"
+        f"  WHERE rank <= {k}),\n"
+        "nt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id),\n"
+        "na AS (SELECT query_id, count(*) AS n_approx FROM approx GROUP BY query_id),\n"
+        "h AS (SELECT t.query_id, count(*) AS n_hits\n"
+        "  FROM truth t JOIN approx a\n"
+        "    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id\n"
+        "  GROUP BY t.query_id)\n"
+        "SELECT nt.query_id, CAST(nt.n_truth AS BIGINT) AS n_truth,\n"
+        "  CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,\n"
+        "  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,\n"
+        "  round(COALESCE(h.n_hits, 0) / nt.n_truth, 6) AS recall\n"
+        "FROM nt LEFT JOIN na ON na.query_id = nt.query_id\n"
+        "LEFT JOIN h ON h.query_id = nt.query_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1146,6 +1258,42 @@ def multimodal_decode_png_sql() -> str:
         "  md5(substring(repeat(seed, (w * h * 3) // 16 + 1), 1, w * h * 3 * 2))\n"
         "    AS pixel_digest\n"
         "FROM p"
+    )
+
+
+def multimodal_decode_jpeg_sql() -> str:
+    """Closed form of the baseline-JPEG round trip: the encoder draws a
+    (1 + md5[0]%3) x (1 + md5[1]%3) grid of constant 8x8 blocks with
+    values from md5(md5(text)) bytes cycled; the all-ones quantization
+    table makes the lossy pipeline exact on this subset, so the DECODED
+    grayscale bytes (hex) must hash to the encoder input's closed form —
+    the Spark side earns this only by running real Huffman + dequant +
+    IDCT."""
+    return (
+        "WITH p AS MATERIALIZED (SELECT doc_id,\n"
+        "  1 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 3 AS bx,\n"
+        "  1 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 3 AS by,\n"
+        "  md5(md5(text)) AS seed\n"
+        "  FROM documents),\n"
+        "rows_ AS MATERIALIZED (\n"
+        "  SELECT p.doc_id, p.bx, p.seed, r.rby\n"
+        "  FROM p, (SELECT unnest(range(3)) AS rby) r WHERE r.rby < p.by),\n"
+        "cells AS MATERIALIZED (\n"
+        "  SELECT doc_id, rby, c.cbx,\n"
+        "    substr(seed, 1 + 2 * ((rby * bx + c.cbx) % 16), 2) AS vhex\n"
+        "  FROM rows_, (SELECT unnest(range(3)) AS cbx) c WHERE c.cbx < bx),\n"
+        "rowhex AS MATERIALIZED (\n"
+        "  SELECT doc_id, rby,\n"
+        "    string_agg(repeat(vhex, 8), '' ORDER BY cbx) AS rh\n"
+        "  FROM cells GROUP BY doc_id, rby),\n"
+        "img AS MATERIALIZED (\n"
+        "  SELECT doc_id, string_agg(repeat(rh, 8), '' ORDER BY rby) AS hx\n"
+        "  FROM rowhex GROUP BY doc_id)\n"
+        "SELECT p.doc_id, CAST(p.bx * 8 AS INTEGER) AS width,\n"
+        "  CAST(p.by * 8 AS INTEGER) AS height,\n"
+        "  CAST(p.bx * 8 * p.by * 8 AS BIGINT) AS n_pixels,\n"
+        "  md5(img.hx) AS pixel_digest\n"
+        "FROM p JOIN img ON img.doc_id = p.doc_id"
     )
 
 

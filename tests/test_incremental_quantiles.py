@@ -53,6 +53,19 @@ def test_incremental_cc_new_vertices(spark):
     assert got[99] == got[14] == 14
 
 
+def test_incremental_cc_self_loop_only_vertex(spark):
+    # a brand-new vertex whose ONLY batch edges are self-loops must still
+    # appear in the output, labeled with its own id — exactly what a full
+    # recompute over vertices ∪ endpoints produces (round-3 advisory)
+    v = spark.range(2).select("id")
+    mk = lambda es: spark.createDataFrame(
+        [(s, d, 1.0) for s, d in es], "src long, dst long, weight double"
+    )
+    prev = connected_components_fast(v, mk([(0, 1)]))
+    got = _labels(incremental_components(prev, mk([(7, 7), (0, 1)])))
+    assert got == {0: 0, 1: 0, 7: 7}
+
+
 def test_grouped_quantiles_bruteforce(spark):
     rows = [("a", float(i * i % 97)) for i in range(40)] + [
         ("b", float(i)) for i in range(7)

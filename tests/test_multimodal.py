@@ -182,3 +182,63 @@ def test_encode_decode_png_closed_form(spark):
         assert got[i]["pixel_digest"] == hashlib.md5(
             buf.hex().encode()
         ).hexdigest()
+
+
+def test_jpeg_codec_roundtrip_pure():
+    """Baseline-JPEG codec, no Spark: block-constant grayscale images
+    round-trip EXACTLY (DC-only blocks, all-ones quantization); malformed
+    or non-baseline payloads raise instead of mis-decoding."""
+    import numpy as np
+
+    from graphlite_spark.operators.multimodal import (
+        _jpeg_decode_gray,
+        _jpeg_encode_gray,
+    )
+
+    rng = np.random.default_rng(9)
+    for _ in range(8):
+        by, bx = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        vals = rng.integers(0, 256, size=(by, bx), dtype=np.uint8)
+        w, h, px = _jpeg_decode_gray(_jpeg_encode_gray(vals))
+        assert (w, h) == (bx * 8, by * 8)
+        assert np.array_equal(px, np.repeat(np.repeat(vals, 8, 0), 8, 1))
+    # extremes: full DC swings incl. 0 and 255
+    vals = np.array([[0, 255, 1], [254, 128, 127]], dtype=np.uint8)
+    _, _, px = _jpeg_decode_gray(_jpeg_encode_gray(vals))
+    assert np.array_equal(px, np.repeat(np.repeat(vals, 8, 0), 8, 1))
+    good = _jpeg_encode_gray(vals)
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    for bad in (b"nope", good[:30], progressive):
+        with pytest.raises(ValueError):
+            _jpeg_decode_gray(bad)
+
+
+def test_encode_decode_jpeg_closed_form(spark):
+    """Spark round trip: decoded dims AND pixel digest match the encoder's
+    closed form — earned only by real Huffman + dequant + IDCT."""
+    import hashlib
+
+    from graphlite_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_kernel,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r
+           for r in decode_jpeg(encode_jpeg_kernel(docs)).collect()}
+    for i in range(20):
+        d_hex = hashlib.md5(f"text {i}".encode()).hexdigest()
+        bx, by = 1 + int(d_hex[0:2], 16) % 3, 1 + int(d_hex[2:4], 16) % 3
+        seed = hashlib.md5(d_hex.encode()).hexdigest()
+        hx = "".join(
+            "".join(
+                seed[2 * ((r * bx + c) % 16): 2 * ((r * bx + c) % 16) + 2] * 8
+                for c in range(bx)
+            ) * 8
+            for r in range(by)
+        )
+        assert (got[i]["width"], got[i]["height"]) == (bx * 8, by * 8)
+        assert got[i]["n_pixels"] == bx * 8 * by * 8
+        assert got[i]["pixel_digest"] == hashlib.md5(hx.encode()).hexdigest()

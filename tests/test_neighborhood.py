@@ -41,6 +41,29 @@ def test_neighborhood_agg_directions(spark):
                 assert got[i] == want, (direction, i, got[i], want)
 
 
+def test_neighborhood_agg_fractional_values(spark):
+    """Fractional attributes must come back as doubles, not silently
+    truncated to long (the round-3 advisory)."""
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0)], "src long, dst long, weight double"
+    )
+    v = spark.range(3).select("id")
+    vals = spark.createDataFrame(
+        [(0, 0.5), (1, 1.25), (2, 2.5)], "id long, value double"
+    )
+    got = {r["id"]: (r["n_nbrs"], r["sum_val"], r["min_val"],
+                     r["max_val"], r["mean_val"])
+           for r in neighborhood_agg(v, e, vals, "value", "out").collect()}
+    assert got[0] == (2, 3.75, 1.25, 2.5, 1.875)
+    out_schema = dict(neighborhood_agg(v, e, vals, "value", "out").dtypes)
+    assert out_schema["sum_val"] == "double"
+    # integral inputs keep the exact BIGINT surface
+    ivals = spark.createDataFrame([(0, 5), (1, 7), (2, 9)],
+                                  "id long, value long")
+    ischema = dict(neighborhood_agg(v, e, ivals, "value", "out").dtypes)
+    assert ischema["sum_val"] == "bigint"
+
+
 def test_neighborhood_agg_bad_direction(spark):
     import pytest
 

@@ -29,3 +29,41 @@ def test_multi_round_rotation(spark):
     got = [r["value"] for r in res.state.orderBy("id").collect()]
     assert got == [(i - 4) % n for i in range(n)]
     assert res.converged
+
+
+def test_point_sent_count_validated_consistent(spark):
+    """validate_point_sends cross-checks the declared Σ(point_sent_count)
+    against the actual point_messages row count — RingRotate's hooks
+    agree, so the validated run must match the unvalidated one."""
+    n = 12
+    v = spark.range(n).select(F.col("id"))
+    e = spark.createDataFrame([], "src long, dst long, weight double")
+    res = PregelEngine(num_partitions=2, validate_point_sends=True).run(
+        v, e, RingRotate(n, rounds=2)
+    )
+    got = [r["value"] for r in res.state.orderBy("id").collect()]
+    assert got == [(i - 2) % n for i in range(n)]
+
+
+class _LyingRotate(RingRotate):
+    """Declares one send per vertex but actually emits messages for only
+    half the vertices — the inconsistency the validator must catch (an
+    unvalidated engine would silently corrupt the termination test)."""
+
+    def point_messages(self, state, superstep, aggr):
+        pm = super().point_messages(state, superstep, aggr)
+        if pm is None:
+            return None
+        return pm.where(F.col("dst") % 2 == 0)
+
+
+def test_point_sent_count_mismatch_raises(spark):
+    import pytest
+
+    n = 10
+    v = spark.range(n).select(F.col("id"))
+    e = spark.createDataFrame([], "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="point_sent_count"):
+        PregelEngine(num_partitions=2, validate_point_sends=True).run(
+            v, e, _LyingRotate(n, rounds=2)
+        )
