@@ -59,10 +59,13 @@ from graphlite_spark.functions.text import (
     rolling_hash_expr,
     tokens_expr,
 )
+from graphlite_spark.algos.stats import degree_assortativity
 from graphlite_spark.operators.dedup import (
     dedup_exact,
+    dedup_representatives,
     embedding_near_dups,
     minhash_lsh_candidates,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
@@ -209,15 +212,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the graph engine powering the data pipeline: near-dup clusters =
     # connected components (O(log d) variant) over the verified LSH pairs
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_candidates(docs).where(F.col("jaccard") >= 0.3)
-    verts = docs.select(F.col("doc_id").alias("id"))
-    dedges = pairs.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
-    )
-    cc = connected_components_fast(verts, dedges)
-    return cc.select(
-        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
-    )
+    return near_dup_clusters(docs, threshold=0.3)
+
+
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the step that actually deduplicates: per near-dup cluster keep the
+    # highest-quality doc (6dp-rounded score, doc_id tie-break)
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_representatives(docs, threshold=0.3)
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # whole-graph scalar: Pearson r of endpoint degrees over the und
+    # closure — exact integer sums, one float expression, 6dp
+    _, _, e = graph_tables(spark, sf_dir)
+    return degree_assortativity(e)
 
 
 def q_hits3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,6 +645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round ----------------------------------------------
         "node2vec_walks": q_node2vec_walks,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "dedup_representatives": q_dedup_representatives,
+        "degree_assortativity": q_degree_assortativity,
         # -- cheap pipeline queries (no graph derivation needed) ----------
         "multimodal_extract": q_multimodal_extract,
         "text_token_count": q_token_count,
@@ -722,6 +733,8 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_corpus": O.random_walks_sql(2, 8),
         "node2vec_walks": O.node2vec_walks_sql(1, 5, 500_000, 2_000_000),
         "ann_lsh_recall": O.ann_lsh_recall_sql(5, 8, 20),
+        "dedup_representatives": O.dedup_representatives_sql(0.3),
+        "degree_assortativity": O.degree_assortativity_sql(),
         "avg_neighbor_degree": O.avg_neighbor_degree_sql(),
         "token_cooccurrence": O.token_cooccurrence_sql(2),
         "tf_idf": O.tf_idf_sql(),

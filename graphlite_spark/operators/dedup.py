@@ -260,3 +260,78 @@ def simhash_signatures(
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, cluster) — near-duplicate clusters: connected components
+    (the O(log d) label-doubling variant) over the LSH candidate pairs
+    that verify at >= ``threshold`` Jaccard.
+
+    The graph engine powering the pipeline: cluster ids are the min
+    doc_id of each transitive near-dup group, so singletons keep their
+    own id.  Scale shape: pair generation is the banded-LSH path (never
+    all-pairs), and the clustering rides O(log d) rounds over a pair
+    graph that is tiny relative to the corpus."""
+    from graphlite_spark.algos.components import connected_components_fast
+
+    pairs = minhash_lsh_candidates(docs, id_col=id_col, text_col=text_col).where(
+        F.col("jaccard") >= threshold
+    )
+    verts = docs.select(F.col(id_col).alias("id"))
+    dedges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.lit(1.0).alias("weight")
+    )
+    cc = connected_components_fast(verts, dedges)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+
+
+def dedup_representatives(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(cluster, rep_doc_id, n_docs, rep_quality) — the doc a pipeline
+    KEEPS per near-dup cluster: highest quality score, doc_id as the
+    deterministic tie-break (quality is 6dp-rounded on both engines, so
+    sub-1e-6 float noise cannot flip the winner).
+
+    This is the step that actually deduplicates: clustering alone only
+    labels; selection turns labels into a kept set.  Scale shape: one
+    window partitioned BY CLUSTER (clusters are near-dup groups — small
+    by construction; never a global window) computing rank and group
+    size in one pass over the cluster-joined quality table."""
+    from pyspark.sql import Window
+
+    from graphlite_spark.functions.text import quality_exprs
+
+    clusters = near_dup_clusters(docs, threshold, id_col=id_col, text_col=text_col)
+    q = quality_exprs(tokens_expr(text_col))
+    scored = docs.select(F.col(id_col).alias("doc_id"), q["quality"].alias("quality"))
+    j = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.select(
+            "cluster",
+            "doc_id",
+            "quality",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("n_docs"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("quality").alias("rep_quality"),
+        )
+    )

@@ -726,6 +726,31 @@ def token_cooccurrence_sql(min_count: int = 2) -> str:
     )
 
 
+def degree_assortativity_sql() -> str:
+    """Mirror of algos.stats.degree_assortativity: exact integer sums
+    over the und closure, floats only in the final Pearson expression —
+    written with the identical cast structure as the Spark side (each
+    long subexpression cast to double before the one overflow-capable
+    multiply), so the 6dp rounding cannot diverge."""
+    return _graph_query(
+        ", dg AS MATERIALIZED (SELECT src, count(*) AS d FROM und"
+        " GROUP BY src),\n"
+        "ee AS MATERIALIZED (\n"
+        "  SELECT a.d AS dx, b.d AS dy\n"
+        "  FROM und JOIN dg a ON a.src = und.src JOIN dg b ON b.src = und.dst),\n"
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS m,\n"
+        "  CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,\n"
+        "  CAST(sum(dx * dy) AS BIGINT) AS sxy,\n"
+        "  CAST(sum(dx * dx) AS BIGINT) AS sxx,\n"
+        "  CAST(sum(dy * dy) AS BIGINT) AS syy\n"
+        "  FROM ee)\n"
+        "SELECT m, round(CAST(m * sxy - sx * sy AS DOUBLE) /\n"
+        "  sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *"
+        " CAST(m * syy - sy * sy AS DOUBLE)), 6) AS assortativity\n"
+        "FROM s"
+    )
+
+
 def avg_neighbor_degree_sql() -> str:
     """Mirror of operators.neighborhood.neighborhood_agg with the
     undirected degree table fed back in as the neighbor attribute —
@@ -1017,6 +1042,46 @@ def dedup_clusters_sql(threshold: float = 0.3, num_hashes: int = 8,
         "  SELECT u.d, reach.r FROM reach JOIN du u ON u.s = reach.id)\n"
         "SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster\n"
         "FROM reach GROUP BY id"
+    )
+
+
+def dedup_representatives_sql(threshold: float = 0.3, num_hashes: int = 8,
+                              bands: int = 4) -> str:
+    """Mirror of operators.dedup.dedup_representatives: the cluster
+    recursive CTE plus the quality score, ranked per cluster by (quality
+    DESC, doc_id ASC) — both engines rank the 6dp-rounded score, so the
+    winner is deterministic."""
+    mean_len = (
+        "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)"
+        " / greatest(len(toks), 1)"
+    )
+    return (
+        f"WITH RECURSIVE {_minhash_lsh_ctes(num_hashes, bands)},\n"
+        "dpairs AS MATERIALIZED (\n"
+        "  SELECT cand.a, cand.b FROM cand\n"
+        "  LEFT JOIN jac j ON j.a = cand.a AND j.b = cand.b\n"
+        f"  WHERE COALESCE(j.jaccard, 0.0) >= {threshold}),\n"
+        "du AS MATERIALIZED (SELECT a AS s, b AS d FROM dpairs\n"
+        "  UNION SELECT b AS s, a AS d FROM dpairs),\n"
+        "reach(id, r) AS (\n"
+        "  SELECT doc_id, doc_id FROM documents\n"
+        "  UNION\n"
+        "  SELECT u.d, reach.r FROM reach JOIN du u ON u.s = reach.id),\n"
+        "clus AS MATERIALIZED (SELECT id AS doc_id,"
+        " CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY id),\n"
+        # toks_t already exists inside _minhash_lsh_ctes — reuse it
+        "qual AS MATERIALIZED (SELECT doc_id,\n"
+        f"  round(0.2 + 1.5 * ({_STOP_RATIO}) + 0.02 * ({mean_len})\n"
+        "        + 0.1 * ln(1 + len(toks)), 6) AS quality\n"
+        "  FROM toks_t),\n"
+        "ranked AS (SELECT c.cluster, c.doc_id, q.quality,\n"
+        "  row_number() OVER (PARTITION BY c.cluster\n"
+        "    ORDER BY q.quality DESC, c.doc_id ASC) AS rn,\n"
+        "  count(*) OVER (PARTITION BY c.cluster) AS n_docs\n"
+        "  FROM clus c JOIN qual q ON q.doc_id = c.doc_id)\n"
+        "SELECT cluster, doc_id AS rep_doc_id,\n"
+        "  CAST(n_docs AS BIGINT) AS n_docs, quality AS rep_quality\n"
+        "FROM ranked WHERE rn = 1"
     )
 
 

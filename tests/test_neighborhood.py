@@ -157,3 +157,74 @@ def test_weighted_pagerank_weights_matter(spark):
     got = {r["id"]: r["rank_micros"]
            for r in weighted_pagerank(v, e, supersteps=8).collect()}
     assert got[1] > got[2]
+
+
+def test_degree_assortativity_bruteforce(spark):
+    import math
+
+    from graphlite_spark.algos.stats import degree_assortativity
+
+    edges = random_digraph(40, 90, seed=21)
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    und = {(s, d) for s, d in edges if s != d} | {
+        (d, s) for s, d in edges if s != d
+    }
+    deg: dict[int, int] = {}
+    for s, _ in und:
+        deg[s] = deg.get(s, 0) + 1
+    xs = [deg[s] for s, d in und]
+    ys = [deg[d] for s, d in und]
+    m = len(und)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    want = (m * sxy - sx * sy) / math.sqrt(
+        float(m * sxx - sx * sx) * float(m * syy - sy * sy)
+    )
+    row = degree_assortativity(e).collect()[0]
+    assert row["m"] == m
+    assert abs(row["assortativity"] - round(want, 6)) < 1e-9
+
+
+def test_dedup_representatives_bruteforce(spark):
+    from graphlite_spark.functions.text import quality_exprs, tokens_expr
+    from graphlite_spark.operators.dedup import (
+        dedup_representatives,
+        near_dup_clusters,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again!"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different text about graph engines and sparks"),
+        (4, "completely different text about graph engines and sparks too"),
+        (5, "a lone unrelated document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = {r["doc_id"]: r["cluster"]
+                for r in near_dup_clusters(docs, threshold=0.3).collect()}
+    q = {r["doc_id"]: r["q"]
+         for r in docs.select(
+             "doc_id", quality_exprs(tokens_expr("text"))["quality"].alias("q")
+         ).collect()}
+    want: dict[int, tuple] = {}
+    for did, cl in clusters.items():
+        key = (-q[did], did)
+        if cl not in want or key < want[cl][0]:
+            want[cl] = (key, did)
+    sizes: dict[int, int] = {}
+    for cl in clusters.values():
+        sizes[cl] = sizes.get(cl, 0) + 1
+    got = {r["cluster"]: (r["rep_doc_id"], r["n_docs"], r["rep_quality"])
+           for r in dedup_representatives(docs, threshold=0.3).collect()}
+    assert set(got) == set(sizes)
+    for cl, (rep, n, rq) in got.items():
+        assert rep == want[cl][1], (cl, rep, want[cl])
+        assert n == sizes[cl]
+        assert rq == q[rep]
+    # the dup groups must actually cluster (the test is vacuous otherwise)
+    assert clusters[0] == clusters[1]
+    assert len(set(clusters.values())) < len(rows)
