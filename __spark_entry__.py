@@ -83,6 +83,7 @@ from graphlite_spark.operators.multimodal import (
     sample_ppm_frames,
     with_binary_payload,
 )
+from graphlite_spark.operators.packing import build_vocab, pack_documents
 from graphlite_spark.operators.sessions import sessionize
 from graphlite_spark.operators.similarity import (
     cosine_topk,
@@ -386,6 +387,20 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_recall(emb, emb.where(F.col("vec_id") < 20), k=5, num_bits=8)
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GPT-style concat-and-slice packing manifest: per-shard token spans
+    # + the context windows each doc touches; only per-shard windows
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(docs, max_tokens=256, num_shards=8)
+
+
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frequency-ranked dense term ids via the distributed dense-id
+    # machinery (range shuffle — no global row_number window)
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, min_df=2)
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact discrete p50/p90/p99 of event value per type — integer rank
     # rule ceil(p·n), engine-identical element selection
@@ -647,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "dedup_representatives": q_dedup_representatives,
         "degree_assortativity": q_degree_assortativity,
+        "pack_documents": q_pack_documents,
+        "build_vocab": q_build_vocab,
         # -- cheap pipeline queries (no graph derivation needed) ----------
         "multimodal_extract": q_multimodal_extract,
         "text_token_count": q_token_count,
@@ -735,6 +752,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": O.ann_lsh_recall_sql(5, 8, 20),
         "dedup_representatives": O.dedup_representatives_sql(0.3),
         "degree_assortativity": O.degree_assortativity_sql(),
+        "pack_documents": O.pack_documents_sql(256, 8),
+        "build_vocab": O.build_vocab_sql(2),
         "avg_neighbor_degree": O.avg_neighbor_degree_sql(),
         "token_cooccurrence": O.token_cooccurrence_sql(2),
         "tf_idf": O.tf_idf_sql(),

@@ -1,0 +1,105 @@
+"""Sequence packing + vocabulary construction — LLM training-data prep.
+
+``pack_documents`` produces the GPT-style packing manifest: documents are
+concatenated per shard in doc_id order and sliced into fixed
+``max_tokens`` context windows; the manifest records each document's
+token span in the shard stream and which windows it touches (documents
+straddle window boundaries — that IS concat-and-slice packing; pipelines
+that forbid straddling read ``first_bin != last_bin`` from this same
+manifest and re-cut).  Scale shape: the only window is
+``partitionBy(shard)`` — shard count is a knob (≈ one shard per
+executor-task's worth of docs at scale), so no global ordering, no
+single-partition window; everything else is expression-only.
+
+``build_vocab`` assigns dense integer ids to terms by global frequency
+rank — the token→id table an embedding/tokenizer pipeline trains
+against.  The ranking reuses :func:`assign_dense_ids` (range shuffle +
+per-partition offsets), so a 10^8-term vocabulary never funnels through
+a single-partition ``row_number`` window.
+
+Both outputs are integer-exact, making the DuckDB oracles hash-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphlite_spark.functions.hashes import hash48
+from graphlite_spark.functions.text import tokens_expr
+
+
+def pack_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    num_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, start_tok, end_tok, first_bin, last_bin)
+    — the packing manifest.  ``shard = hash48(doc_id) mod num_shards``
+    balances docs across shards deterministically; within a shard, docs
+    concatenate in doc_id order; ``[start_tok, end_tok)`` is the doc's
+    token span in the shard stream and ``first_bin``/``last_bin`` the
+    ``max_tokens``-sized context windows its first/last token land in.
+    Token-less docs carry nothing into the stream and are excluded."""
+    if max_tokens < 1 or num_shards < 1:
+        raise ValueError("max_tokens and num_shards must be >= 1")
+    nt = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_expr(text_col)).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    sh = nt.withColumn(
+        "shard", hash48(F.col("doc_id").cast("string")) % num_shards
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    c = sh.withColumn("end_tok", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("end_tok") - F.col("n_tokens")).alias("start_tok"),
+        "end_tok",
+        F.expr(f"(end_tok - n_tokens) div {max_tokens}").alias("first_bin"),
+        F.expr(f"(end_tok - 1) div {max_tokens}").alias("last_bin"),
+    )
+
+
+def build_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(term, tf_total, df, vocab_id) — dense term ids by global
+    frequency rank (tf_total DESC, term ASC as the deterministic
+    tie-break), computed with the distributed dense-id machinery.
+
+    Two map-side-combined aggregations (per-doc term counts, then global
+    term totals) and one range shuffle for the rank — no global window
+    anywhere, so a web-scale vocabulary ranks without a single-task
+    bottleneck."""
+    from graphlite_spark.plans.derive import assign_dense_ids
+
+    per_doc = (
+        docs.select(
+            F.col("doc_id"), F.explode(tokens_expr(text_col)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    terms = (
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("c").cast("long").alias("tf_total"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+    ranked = assign_dense_ids(
+        terms.withColumn("neg_tf", -F.col("tf_total")),
+        ["neg_tf", "term"],
+        id_col="vocab_id",
+        num_partitions=num_partitions,
+    )
+    return ranked.select("term", "tf_total", "df", "vocab_id")

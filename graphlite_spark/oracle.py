@@ -1194,6 +1194,45 @@ def ann_lsh_recall_sql(k: int = 5, num_bits: int = 8, num_queries: int = 20) -> 
 # text analysis
 # ---------------------------------------------------------------------------
 
+def pack_documents_sql(max_tokens: int = 512, num_shards: int = 8) -> str:
+    """Mirror of operators.packing.pack_documents: shard by
+    hash48(doc_id), per-shard running token sum in doc_id order, window
+    indices by integer division."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "nt AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n\n"
+        "  FROM toks_t WHERE len(toks) > 0),\n"
+        "sh AS MATERIALIZED (SELECT doc_id, n,\n"
+        f"  {_h48('CAST(doc_id AS VARCHAR)')} % {num_shards} AS shard"
+        " FROM nt),\n"
+        "c AS (SELECT doc_id, shard, n,\n"
+        "  sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS e FROM sh)\n"
+        "SELECT doc_id, shard, n AS n_tokens,\n"
+        "  CAST(e - n AS BIGINT) AS start_tok, CAST(e AS BIGINT) AS end_tok,\n"
+        f"  CAST((e - n) // {max_tokens} AS BIGINT) AS first_bin,\n"
+        f"  CAST((e - 1) // {max_tokens} AS BIGINT) AS last_bin\n"
+        "FROM c"
+    )
+
+
+def build_vocab_sql(min_df: int = 1) -> str:
+    """Mirror of operators.packing.build_vocab: global frequency rank
+    (tf_total DESC, term ASC) as row_number - 1 — semantically identical
+    to the distributed dense-id assignment."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "tok AS MATERIALIZED (SELECT doc_id, unnest(toks) AS term FROM toks_t),\n"
+        "terms AS MATERIALIZED (\n"
+        "  SELECT term, CAST(count(*) AS BIGINT) AS tf_total,\n"
+        "    CAST(count(DISTINCT doc_id) AS BIGINT) AS df\n"
+        f"  FROM tok GROUP BY term HAVING count(DISTINCT doc_id) >= {min_df})\n"
+        "SELECT term, tf_total, df,\n"
+        "  CAST(row_number() OVER (ORDER BY tf_total DESC, term ASC) - 1"
+        " AS BIGINT) AS vocab_id\n"
+        "FROM terms"
+    )
+
+
 def token_count_sql() -> str:
     # n_bpe_tokens: BPE-ish pre-tokenization — alnum runs or single
     # non-alnum marks (same RE2/Java-regex-safe pattern on both engines)
