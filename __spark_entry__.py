@@ -85,6 +85,7 @@ from graphlite_spark.operators.multimodal import (
 )
 from graphlite_spark.operators.packing import build_vocab, pack_documents
 from graphlite_spark.operators.sessions import sessionize
+from graphlite_spark.operators.temporal import asof_join, range_join
 from graphlite_spark.operators.similarity import (
     cosine_topk,
     lsh_bucket_topk,
@@ -401,6 +402,54 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(docs, min_df=2)
 
 
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join (named in the brief): each purchase joined to the user's
+    # latest click at-or-before it — union + per-key window on the Spark
+    # side, DuckDB's NATIVE ASOF JOIN as the oracle
+    ev = _events_us(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    out = asof_join(
+        left, right, on="user_id", ts_col="ts_us",
+        left_cols=["event_id"], right_cols=["event_id", "value"],
+        tie_col="event_id",
+    )
+    return out.select(
+        "user_id", "ts_us", "event_id", "r_ts_us", "r_event_id", "r_value",
+        (F.col("ts_us") - F.col("r_ts_us")).alias("gap_us"),
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # range join (named in the brief): purchase-error pairs per user
+    # within 1 hour — 3-adjacent-bucket equi-join, never an
+    # inequality-only nested loop; oracle states the predicate directly
+    ev = _events_us(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    right = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    return range_join(
+        left, right, on="user_id", ts_col="ts_us",
+        max_gap=3_600_000_000,
+        left_cols=["event_id"], right_cols=["event_id", "value"],
+    )
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact discrete p50/p90/p99 of event value per type — integer rank
     # rule ceil(p·n), engine-identical element selection
@@ -664,6 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "pack_documents": q_pack_documents,
         "build_vocab": q_build_vocab,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         # -- cheap pipeline queries (no graph derivation needed) ----------
         "multimodal_extract": q_multimodal_extract,
         "text_token_count": q_token_count,
@@ -754,6 +805,10 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": O.degree_assortativity_sql(),
         "pack_documents": O.pack_documents_sql(256, 8),
         "build_vocab": O.build_vocab_sql(2),
+        "events_asof": O.events_asof_sql("purchase", "click"),
+        "events_range_join": O.events_range_join_sql(
+            "purchase", "error", 3_600_000_000
+        ),
         "avg_neighbor_degree": O.avg_neighbor_degree_sql(),
         "token_cooccurrence": O.token_cooccurrence_sql(2),
         "tf_idf": O.tf_idf_sql(),

@@ -1,0 +1,136 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Both named by the builder brief as operators to re-express Spark-first.
+Neither needs a UDF or a cross product:
+
+* **as-of join** — for each left row, the latest right row (same key)
+  with ``right.ts <= left.ts``.  Expressed as a tagged UNION + one
+  per-key window with ``last(..., ignorenulls=True)``: one hash shuffle
+  on the key, a per-key sort, zero joins.  This is the classic
+  union-scan formulation (kdb/Flink lineage); Spark's Catalyst has no
+  ASOF node, but the window plan it compiles to is exactly the
+  merge-scan an ASOF engine runs.  DuckDB HAS a native ``ASOF JOIN`` —
+  the oracle uses it, so the two formulations check each other.
+* **range join** — all pairs (same key) with ``|l.ts - r.ts| <= gap``.
+  The scale-sound plan is a TIME-BUCKET equi-join: bucket both sides by
+  ``ts div gap``, explode one side to its 3 adjacent buckets, equi-join
+  on (key, bucket), then filter the exact predicate.  Every true pair
+  lands in exactly one bucket pairing (no dedup needed), and the join
+  stays an equi-join the optimizer can hash — never the
+  inequality-only nested loop a naive ``ON |Δt| <= gap`` degrades to.
+
+Determinism discipline: ties among right rows at the same (key, ts) are
+broken by largest ``event_id`` on both engines (the window orders by it;
+the oracle pre-reduces right to one row per (key, ts) with max id — the
+formulations are equivalent because ``last`` in (ts, id) order IS the
+max-id row of the max ts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts_us",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    right_prefix: str = "r_",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """For each left row: key col, ``left_cols``, and the ``right_cols``
+    of the latest right row with ``right.ts <= left.ts`` (NULLs when no
+    right row precedes).  One shuffle on ``on``; per-key window.
+    ``tie_col``: right column whose LARGEST value wins among right rows
+    tied on (key, ts) — pass one whenever such ties can exist, or the
+    winner is partition-order-dependent."""
+    left_cols = left_cols or [c for c in left.columns if c not in (on, ts_col)]
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
+    lp = F.struct(*[F.col(c) for c in left_cols]).alias("_lp")
+    rp = F.struct(
+        F.col(ts_col).alias("_rts"), *[F.col(c) for c in right_cols]
+    ).alias("_rp")
+    tie = (F.col(tie_col).cast("long") if tie_col else F.lit(0)).alias("_rid")
+    l = left.select(
+        F.col(on), F.col(ts_col).alias("_ts"), F.lit(1).alias("_tag"),
+        F.lit(None).cast("long").alias("_rid"), lp,
+        F.lit(None).cast(
+            f"struct<_rts:{dict(right.dtypes)[ts_col]},"
+            + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_cols)
+            + ">"
+        ).alias("_rp"),
+    )
+    r = right.select(
+        F.col(on), F.col(ts_col).alias("_ts"), F.lit(0).alias("_tag"),
+        tie,
+        F.lit(None).cast(l.schema["_lp"].dataType.simpleString()).alias("_lp"),
+        rp,
+    )
+    u = l.unionByName(r)
+    # right rows sort BEFORE left at equal ts (tag 0 < 1) so <= holds;
+    # among same-ts right rows the largest _rid is last → wins
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_tag", "_rid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
+    out = matched.where(F.col("_tag") == 1).select(
+        on,
+        F.col("_ts").alias(ts_col),
+        *[F.col("_lp").getField(c).alias(c) for c in left_cols],
+        F.col("_m").getField("_rts").alias(f"{right_prefix}{ts_col}"),
+        *[F.col("_m").getField(c).alias(f"{right_prefix}{c}")
+          for c in right_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts_us",
+    max_gap: int = 300_000_000,
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """All (left, right) pairs sharing ``on`` with ``|l.ts - r.ts| <=
+    max_gap``, via the 3-adjacent-bucket equi-join (never an
+    inequality-only join).  ``max_gap`` in the ``ts_col`` unit."""
+    if max_gap < 1:
+        raise ValueError("max_gap must be >= 1")
+    left_cols = left_cols or [c for c in left.columns if c not in (on, ts_col)]
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
+    l = left.select(
+        F.col(on), F.col(ts_col).alias("_lts"),
+        *[F.col(c) for c in left_cols],
+        F.expr(f"{ts_col} div {max_gap}").alias("_bin"),
+    )
+    r = right.select(
+        F.col(on).alias("_rk"), F.col(ts_col).alias("_rts"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right_cols],
+        F.explode(
+            F.array(
+                F.expr(f"{ts_col} div {max_gap} - 1"),
+                F.expr(f"{ts_col} div {max_gap}"),
+                F.expr(f"{ts_col} div {max_gap} + 1"),
+            )
+        ).alias("_rbin"),
+    )
+    joined = l.join(
+        r, (l[on] == r["_rk"]) & (l["_bin"] == r["_rbin"])
+    ).where(F.abs(F.col("_lts") - F.col("_rts")) <= max_gap)
+    return joined.select(
+        on,
+        F.col("_lts").alias(ts_col),
+        *left_cols,
+        F.col("_rts").alias(f"{right_prefix}{ts_col}"),
+        *[f"{right_prefix}{c}" for c in right_cols],
+        (F.col("_rts") - F.col("_lts")).alias("gap"),
+    )

