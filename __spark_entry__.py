@@ -45,6 +45,7 @@ from graphlite_spark.algos.triangles import (
     triangle_count,
     triangle_count_per_vertex,
 )
+from graphlite_spark.algos.sampling import sample_neighbors
 from graphlite_spark.algos.walks import node2vec_walks, random_walks
 from graphlite_spark.functions.hashes import hash48
 from graphlite_spark.operators.cooccurrence import token_cooccurrence
@@ -83,7 +84,11 @@ from graphlite_spark.operators.multimodal import (
     sample_ppm_frames,
     with_binary_payload,
 )
-from graphlite_spark.operators.packing import build_vocab, pack_documents
+from graphlite_spark.operators.packing import (
+    build_vocab,
+    pack_documents,
+    sample_stratified,
+)
 from graphlite_spark.operators.sessions import sessionize
 from graphlite_spark.operators.temporal import asof_join, range_join
 from graphlite_spark.operators.similarity import (
@@ -450,6 +455,27 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_RATES = {"purchase": 1.0, "click": 0.5, "view": 0.1}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic corpus-mix sampling: pure filter, no shuffle, stable
+    # across runs/engines/partitionings (hash48 threshold per stratum)
+    ev = load_table(spark, sf_dir, "events")
+    return sample_stratified(
+        ev, "event_type", SAMPLE_RATES, key_col="event_id"
+    ).select("event_id", "event_type")
+
+
+def q_sample_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GraphSAGE-style bounded ego-net sampling for 50 seeds, fanouts
+    # (3,2) — deterministic hash ranks, WindowGroupLimit per frontier
+    # vertex; the whole sampled edge set is hash-exact vs the unroll
+    _, v, e = graph_tables(spark, sf_dir)
+    seeds = v.select("id").where(F.col("id") < 50)
+    return sample_neighbors(e, seeds, fanouts=(3, 2))
+
+
 def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact discrete p50/p90/p99 of event value per type — integer rank
     # rule ceil(p·n), engine-identical element selection
@@ -715,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": q_build_vocab,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
+        "sample_neighbors": q_sample_neighbors,
+        "sample_stratified": q_sample_stratified,
         # -- cheap pipeline queries (no graph derivation needed) ----------
         "multimodal_extract": q_multimodal_extract,
         "text_token_count": q_token_count,
@@ -809,6 +837,8 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": O.events_range_join_sql(
             "purchase", "error", 3_600_000_000
         ),
+        "sample_neighbors": O.sample_neighbors_sql(50, (3, 2)),
+        "sample_stratified": O.sample_stratified_sql(SAMPLE_RATES),
         "avg_neighbor_degree": O.avg_neighbor_degree_sql(),
         "token_cooccurrence": O.token_cooccurrence_sql(2),
         "tf_idf": O.tf_idf_sql(),

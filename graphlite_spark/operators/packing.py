@@ -1,4 +1,4 @@
-"""Sequence packing + vocabulary construction — LLM training-data prep.
+"""Dataset assembly: sampling, sequence packing, vocabulary construction.
 
 ``pack_documents`` produces the GPT-style packing manifest: documents are
 concatenated per shard in doc_id order and sliced into fixed
@@ -27,6 +27,38 @@ from pyspark.sql import functions as F
 
 from graphlite_spark.functions.hashes import hash48
 from graphlite_spark.functions.text import tokens_expr
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: a row survives iff
+    ``hash48(salt ':' key) < rate(stratum) * 2^48``.
+
+    The downsampling/upweighting step every corpus mix runs (keep 100%
+    of code, 10% of crawl, ...), expressed as a pure FILTER: no shuffle,
+    no RNG state, fully pushdown-friendly, and the kept set is a
+    function of (salt, key) alone — stable across runs, engines, and
+    partitionings, and composable (the same salt samples consistently
+    across derived tables sharing the key).  Rates are exact to 2^-48."""
+    thresh = F.lit(None).cast("long")
+    expr = None
+    for stratum, rate in rates.items():
+        t = F.lit(int(rate * (1 << 48)))
+        cond = F.col(strata_col) == stratum
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thresh = (
+        expr.otherwise(F.lit(int(default_rate * (1 << 48))))
+        if expr is not None
+        else F.lit(int(default_rate * (1 << 48)))
+    )
+    h = hash48(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
+    return df.where(h < thresh)
 
 
 def pack_documents(

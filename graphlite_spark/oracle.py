@@ -875,6 +875,39 @@ def node2vec_walks_sql(
     return _graph_query(",\n".join(ctes) + "\n" + selects)
 
 
+def sample_neighbors_sql(
+    n_seeds: int = 50, fanouts: tuple[int, ...] = (3, 2)
+) -> str:
+    """Mirror of algos.sampling.sample_neighbors: hops unrolled, each
+    keeping the fanout smallest-ranked neighbors per (seed, frontier
+    vertex) by the identical hash48(seed:hop:src:dst) rank."""
+    ctes = [
+        f", s0 AS MATERIALIZED (SELECT id AS seed, id AS v FROM vertices"
+        f" WHERE id < {n_seeds})"
+    ]
+    for h, f in enumerate(fanouts, start=1):
+        rank = _h48(
+            f"s.seed || ':' || {h} || ':' || a.src || ':' || a.dst"
+        )
+        ctes.append(
+            f"h{h} AS MATERIALIZED (\n"
+            "  SELECT seed, src, dst FROM (\n"
+            "    SELECT s.seed, a.src, a.dst,\n"
+            "      row_number() OVER (PARTITION BY s.seed, a.src\n"
+            f"        ORDER BY {rank}, a.dst) AS rn\n"
+            f"    FROM s{h - 1} s JOIN und a ON a.src = s.v)\n"
+            f"  WHERE rn <= {f})"
+        )
+        ctes.append(
+            f"s{h} AS MATERIALIZED (SELECT DISTINCT seed, dst AS v FROM h{h})"
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT seed, CAST({h} AS BIGINT) AS hop, src, dst FROM h{h}"
+        for h in range(1, len(fanouts) + 1)
+    )
+    return _graph_query(",\n".join(ctes) + "\n" + selects)
+
+
 def events_quantiles_sql(group_col: str = "event_type",
                          value_col: str = "value",
                          percents: tuple[int, ...] = (50, 90, 99)) -> str:
@@ -1193,6 +1226,21 @@ def ann_lsh_recall_sql(k: int = 5, num_bits: int = 8, num_queries: int = 20) -> 
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
+
+def sample_stratified_sql(rates: dict[str, float], salt: str = "sample") -> str:
+    """Mirror of operators.packing.sample_stratified over events
+    stratified by event_type, keyed by event_id."""
+    whens = "\n".join(
+        f"    WHEN '{s}' THEN CAST({int(r * (1 << 48))} AS BIGINT)"
+        for s, r in rates.items()
+    )
+    h = _h48(f"'{salt}' || ':' || CAST(event_id AS VARCHAR)")
+    return (
+        "SELECT event_id, event_type FROM events\n"
+        f"WHERE {h} < CASE event_type\n{whens}\n"
+        "    ELSE CAST(0 AS BIGINT) END"
+    )
+
 
 def pack_documents_sql(max_tokens: int = 512, num_shards: int = 8) -> str:
     """Mirror of operators.packing.pack_documents: shard by

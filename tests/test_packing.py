@@ -83,3 +83,30 @@ def test_build_vocab_bruteforce(spark):
             for r in build_vocab(docs, min_df=2).collect()}
     keep = sorted((t for t in tf if df[t] >= 2), key=lambda t: (-tf[t], t))
     assert got2 == {t: i for i, t in enumerate(keep)}
+
+
+def test_sample_stratified_bruteforce(spark):
+    from graphlite_spark.operators.packing import sample_stratified
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, stratum string")
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+    got = {r["k"] for r in sample_stratified(
+        df, "stratum", rates, key_col="k").collect()}
+    want = set()
+    for k, s in rows:
+        h = _h48(f"sample:{k}")
+        if h < int(rates[s] * (1 << 48)):
+            want.add(k)
+    assert got == want
+    # rate 1.0 keeps everything in the stratum; 0.0 keeps nothing
+    assert {k for k, s in rows if s == "a"} <= got
+    assert not any(s == "c" for k, s in rows if k in got)
+    # determinism: same salt+key → identical sample on a rerun
+    again = {r["k"] for r in sample_stratified(
+        df, "stratum", rates, key_col="k").collect()}
+    assert again == got
+    # unlisted strata fall back to default_rate
+    got_d = {r["k"] for r in sample_stratified(
+        df, "stratum", {"a": 1.0}, key_col="k", default_rate=1.0).collect()}
+    assert got_d == {k for k, _ in rows}
