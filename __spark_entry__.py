@@ -45,6 +45,7 @@ from graphlite_spark.algos.triangles import (
     triangle_count,
     triangle_count_per_vertex,
 )
+from graphlite_spark.algos.centrality import harmonic_centrality
 from graphlite_spark.algos.sampling import sample_neighbors
 from graphlite_spark.algos.walks import node2vec_walks, random_walks
 from graphlite_spark.functions.hashes import hash48
@@ -490,6 +491,24 @@ def q_point_rotate3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.col("value").alias("rotated_from"))
 
 
+def q_harmonic_msbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MS-BFS: 4 sources traverse simultaneously, one bit each, bit_or
+    # combiner; harmonic micro-units accumulate in-engine — k BFS for
+    # the price of one, the closeness-centrality estimator's substrate.
+    # Sources spread across conversations (ids 0/100/200/300 land in
+    # different chains at every sf) so the four frontiers are disjoint
+    _, v, e = graph_tables(spark, sf_dir)
+    res = harmonic_centrality(
+        v, e, sources=[0, 100, 200, 300], fixed_supersteps=8
+    )
+    st = F.col("value")
+    return res.state.select(
+        "id",
+        st.getField("mask").alias("mask"),
+        st.getField("h").alias("harmonic_micros"),
+    )
+
+
 def q_bfs_7ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v, e = graph_tables(spark, sf_dir)
     res = bfs(v, e, source=0, fixed_supersteps=7)
@@ -779,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_pagerank10": q_weighted_pagerank,
         "point_rotate3": q_point_rotate3,
         "bfs_7ss": q_bfs_7ss,
+        "harmonic_msbfs": q_harmonic_msbfs,
         "sssp_7ss": q_sssp_7ss,
         "sssp_maxdist_ss7": q_sssp_maxdist,
         "sssp_parents_7ss": q_sssp_parents,
@@ -845,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_pagerank10": O.weighted_pagerank_sql(10),
         "point_rotate3": O.ring_rotate_sql(3),
         "bfs_7ss": O.bfs_sql(0, 7),
+        "harmonic_msbfs": O.harmonic_sql((0, 100, 200, 300), 8),
         "sssp_7ss": O.sssp_sql(0, 7),
         "sssp_maxdist_ss7": O.sssp_maxdist_sql(0, 7),
         "sssp_parents_7ss": O.sssp_parents_sql(0, 7),

@@ -1,0 +1,131 @@
+"""Multi-source BFS with bitmask propagation → harmonic centrality.
+
+Closeness-style centralities need distances from many sources; running
+k separate BFS passes costs k full traversals.  MS-BFS (Then et al.,
+VLDB 2014 — public literature) runs up to 64 sources SIMULTANEOUSLY by
+giving each source one bit of a 64-bit mask: a vertex's state is the
+set of sources that have reached it, messages are masks, and the
+combiner is bitwise OR — one traversal, k frontiers.
+
+Expressed on the repo's Pregel contract as one more user program (the
+extension point SURVEY.md §2.1 #21 exists for): struct state
+``(mask, h)``, a custom ``combine`` overriding the default aggregate
+with ``bit_or`` (commutative+associative ⇒ Spark's map-side partial agg
+still pre-combines — a hub's reducer sees ≤P partial masks), and the
+harmonic sum accumulated IN-ENGINE: when ``c`` new source bits arrive
+at superstep ``d``, the vertex adds ``c · (10^6 div d)`` micro-units —
+integer arithmetic, so the result is hash-exact against the unrolled
+SQL oracle.  harmonic(v) = Σ_s 1/d(s,v) over the sampled sources
+(the standard estimator; sources are the sampled subset, self-distance
+excluded).
+
+Scale shape: identical to one BFS — the k-fold win is the point.  The
+per-superstep message volume is one long per frontier edge regardless
+of k ≤ 64; beyond 64 sources, batches of 64 reuse the same program.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from graphlite_spark.operators.pregel import (
+    PregelAlgorithm,
+    PregelEngine,
+    PregelResult,
+)
+
+MICRO = 1_000_000
+
+
+class MultiSourceBFS(PregelAlgorithm):
+    name = "msbfs_harmonic"
+    value_type = "struct<mask:bigint,h:bigint>"
+
+    def __init__(self, sources: list[int], max_supersteps: int = 64,
+                 fixed_supersteps: int | None = None):
+        if not sources or len(sources) > 64:
+            raise ValueError("1..64 sources per MS-BFS batch")
+        if len(set(sources)) != len(sources):
+            raise ValueError("sources must be distinct")
+        self.sources = list(sources)
+        self.max_supersteps = (
+            fixed_supersteps if fixed_supersteps is not None else max_supersteps
+        )
+
+    def _init_mask(self) -> Column:
+        expr = F.lit(0).cast("long")
+        for i, s in enumerate(self.sources):
+            expr = F.when(F.col("id") == s, F.lit(1 << i).cast("long")).otherwise(expr)
+        return expr
+
+    @staticmethod
+    def _mk(mask: Column, h: Column) -> Column:
+        return F.struct(
+            mask.cast("long").alias("mask"), h.cast("long").alias("h")
+        )
+
+    def init_value(self) -> Column:
+        return self._mk(F.lit(0), F.lit(0))
+
+    def _newly(self) -> Column:
+        return F.col("msg").getField("mask").bitwiseAND(
+            F.bitwise_not(F.col("value").getField("mask"))
+        )
+
+    def update_value(self, superstep: int, aggr: dict[str, float]) -> Column:
+        if superstep == 0:
+            return self._mk(self._init_mask(), F.lit(0))
+        mask = F.col("value").getField("mask")
+        h = F.col("value").getField("h")
+        newly = self._newly()
+        # c new sources arriving at hop-distance `superstep` contribute
+        # c * (1e6 div superstep) micro-units to the harmonic sum
+        return F.when(
+            F.col("has_msg") & (newly != 0),
+            self._mk(
+                mask.bitwiseOR(newly),
+                h + F.bit_count(newly).cast("long") * F.lit(MICRO // superstep),
+            ),
+        ).otherwise(F.col("value"))
+
+    def update_send(self, superstep: int, aggr: dict[str, float]) -> Column:
+        if superstep == 0:
+            # update_send evaluates against the PRE-update row (engine
+            # contract: `value` here is the old value), so test the init
+            # mask expression, not the state — the BFS `id == source`
+            # pattern generalized to k sources
+            return self._init_mask() != 0
+        return F.col("has_msg") & (self._newly() != 0)
+
+    def update_halt(self, superstep: int, aggr: dict[str, float]) -> Column:
+        return F.lit(True)
+
+    def message(self, superstep: int, aggr: dict[str, float]) -> Column:
+        # full current mask: receivers OR-in only what's new to them
+        return self._mk(F.col("value").getField("mask"), F.lit(0))
+
+    def combine(self, msgs: DataFrame) -> DataFrame:
+        # bitwise-OR combiner over the mask field (h rides as 0) —
+        # commutative + associative, so map-side partial agg pre-combines
+        return msgs.groupBy("dst").agg(
+            F.struct(
+                F.bit_or(F.col("msg").getField("mask")).alias("mask"),
+                F.lit(0).cast("long").alias("h"),
+            ).alias("msg")
+        )
+
+
+def harmonic_centrality(
+    vertices: DataFrame,
+    edges: DataFrame,
+    sources: list[int],
+    fixed_supersteps: int | None = None,
+    num_partitions: int | None = None,
+) -> PregelResult:
+    """MS-BFS over the directed edge table from ``sources`` (≤64); the
+    result state's ``h`` field is harmonic-centrality micro-units
+    Σ_s (10^6 div d(s, v)) and ``mask`` the reached-by set."""
+    algo = MultiSourceBFS(sources, fixed_supersteps=fixed_supersteps)
+    eng = PregelEngine(num_partitions=num_partitions)
+    return eng.run(vertices, edges, algo)

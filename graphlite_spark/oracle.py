@@ -371,6 +371,43 @@ def bfs_sql(source: int = 0, supersteps: int = 7, inf: int = (1 << 62) - 1) -> s
     return _graph_query(body)
 
 
+MICRO_UNIT = 1_000_000
+
+
+def harmonic_sql(sources: tuple[int, ...] = (0, 1, 2, 3),
+                 supersteps: int = 8) -> str:
+    """Mirror of algos.centrality.harmonic_centrality (MS-BFS): bitmask
+    levels unrolled (rounds = supersteps - 1 per the engine's ss0
+    convention), each level OR-ing in-neighbor masks and accumulating
+    bit_count(new bits) * (1e6 div level) micro-units."""
+    cases = " ".join(
+        f"WHEN {s} THEN {1 << i}" for i, s in enumerate(sources)
+    )
+    parts = [
+        f"m0 AS MATERIALIZED (SELECT id,\n"
+        f"  CAST(CASE id {cases} ELSE 0 END AS BIGINT) AS mask,\n"
+        "  CAST(0 AS BIGINT) AS h FROM vertices)"
+    ]
+    for t in range(1, supersteps):
+        prev = f"m{t - 1}"
+        parts.append(
+            f"m{t} AS MATERIALIZED (\n"
+            "  SELECT v.id, v.mask | COALESCE(i.im, 0) AS mask,\n"
+            "    v.h + CAST(bit_count(COALESCE(i.im, 0) & ~v.mask)"
+            f" AS BIGINT) * {MICRO_UNIT // t} AS h\n"
+            f"  FROM {prev} v LEFT JOIN (\n"
+            "    SELECT e.dst AS id, bit_or(s.mask) AS im\n"
+            f"    FROM edges e JOIN {prev} s ON s.id = e.src"
+            " AND s.mask <> 0\n"
+            "    GROUP BY e.dst) i ON i.id = v.id)"
+        )
+    body = (
+        ", " + ",\n".join(parts) + "\n"
+        f"SELECT id, mask, h AS harmonic_micros FROM m{supersteps - 1}"
+    )
+    return _graph_query(body)
+
+
 _WEDGES_CTE = (
     "wedges AS MATERIALIZED (SELECT src, dst,\n"
     "  CAST(1 + (src + dst) % 4 AS DOUBLE) AS w FROM edges)"

@@ -67,3 +67,56 @@ def test_bfs_csr_engine(spark):
     res = CSRPregelEngine(num_partitions=3).run(v, e, BFS(source=0))
     got = [r["value"] for r in res.state.orderBy("id").collect()]
     assert got == py_bfs(edges, n, 0)
+
+
+def test_harmonic_msbfs_bruteforce(spark):
+    """MS-BFS harmonic centrality vs per-source Python BFS."""
+    from collections import deque
+
+    from graphlite_spark.algos.centrality import harmonic_centrality
+    from tests.reference_sim import random_digraph
+
+    edges = random_digraph(40, 100, seed=29)
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    v = spark.range(40).select("id")
+    sources = [0, 5, 9]
+    res = harmonic_centrality(v, e, sources=sources, fixed_supersteps=10)
+    got = {r["id"]: (r["value"]["mask"], r["value"]["h"])
+           for r in res.state.collect()}
+
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    want_h = {i: 0 for i in range(40)}
+    want_m = {i: 0 for i in range(40)}
+    for bit, src in enumerate(sources):
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        for vid, d in dist.items():
+            if 0 < d <= 9:  # fixed_supersteps=10 -> max distance 9
+                want_h[vid] += 1_000_000 // d
+            if d <= 9:
+                want_m[vid] |= 1 << bit
+    assert got == {i: (want_m[i], want_h[i]) for i in range(40)}
+
+
+def test_msbfs_source_validation(spark):
+    import pytest
+
+    from graphlite_spark.algos.centrality import MultiSourceBFS
+
+    with pytest.raises(ValueError):
+        MultiSourceBFS([])
+    with pytest.raises(ValueError):
+        MultiSourceBFS([1, 1])
+    with pytest.raises(ValueError):
+        MultiSourceBFS(list(range(65)))
