@@ -724,6 +724,26 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_events_windowed_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hopping windows (1h window, 30min slide): each event lands in
+    # window/slide overlapping windows — the other half of the windowed
+    # aggregation surface (events_windowed covers tumbling)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "window_start_us"
+            ),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -751,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_meta": q_multimodal_wav,
         "events_sessionize": q_sessionize,
         "events_windowed": q_events_windowed,
+        "events_windowed_sliding": q_events_windowed_sliding,
         # -- new this round ----------------------------------------------
         "node2vec_walks": q_node2vec_walks,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -898,4 +919,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_wav_meta": O.multimodal_wav_sql(),
         "events_sessionize": O.sessionize_sql(30),
         "events_windowed": O.events_windowed_sql(),
+        "events_windowed_sliding": O.events_windowed_sliding_sql(),
     }

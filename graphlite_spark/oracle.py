@@ -1570,6 +1570,27 @@ def events_range_join_sql(left_type: str = "purchase",
     )
 
 
+def events_windowed_sliding_sql(window_us: int = 3_600_000_000,
+                                slide_us: int = 1_800_000_000) -> str:
+    """Mirror of the sliding-window entry query: each event joins every
+    window whose epoch-aligned start covers it (window/slide overlapping
+    copies generated via unnest(range) — the relational statement of
+    what Spark's F.window(slide) expands to)."""
+    k = window_us // slide_us
+    ws = f"(tsu // {slide_us} - k.k) * {slide_us}"
+    return (
+        "WITH ev AS MATERIALIZED (SELECT event_type, value,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS tsu FROM events),\n"
+        "w AS (SELECT event_type, value,\n"
+        f"  CAST({ws} AS BIGINT) AS window_start_us\n"
+        f"  FROM ev, (SELECT unnest(range({k})) AS k) k\n"
+        f"  WHERE tsu >= {ws} AND tsu < {ws} + {window_us})\n"
+        "SELECT window_start_us, event_type,\n"
+        "  CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value\n"
+        "FROM w GROUP BY window_start_us, event_type"
+    )
+
+
 def sessionize_sql(gap_minutes: int = 30) -> str:
     gap_us = gap_minutes * 60 * 1_000_000
     return (
