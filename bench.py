@@ -281,8 +281,14 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, repeats: int | None = No
     loads_seen: list[float] = []
     for rep in range(repeats):
         for cores in (lo, hi):  # interleaved: N, 4N, N, 4N, ...
-            if max_load1 > 0:
-                _wait_for_quiet(max_load1)
+            if max_load1 > 0 and not _wait_for_quiet(max_load1):
+                # fail CLOSED: recording a contaminated repeat would
+                # poison the pooled artifact the gate exists to protect
+                raise RuntimeError(
+                    f"quiet window never opened (load1 >= {max_load1} for "
+                    "30 min) — rerun later or raise "
+                    "SPARK_GRAFT_SCALE_MAX_LOAD1"
+                )
             load_before = _loadavg()
             loads_seen.append(load_before[0])
             r = None

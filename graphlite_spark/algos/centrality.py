@@ -2,8 +2,9 @@
 
 Closeness-style centralities need distances from many sources; running
 k separate BFS passes costs k full traversals.  MS-BFS (Then et al.,
-VLDB 2014 — public literature) runs up to 64 sources SIMULTANEOUSLY by
-giving each source one bit of a 64-bit mask: a vertex's state is the
+VLDB 2014 — public literature) runs up to 63 sources SIMULTANEOUSLY by
+giving each source one bit of a 64-bit mask (bit 63 stays unused — it
+is the sign bit of a BIGINT on both engines): a vertex's state is the
 set of sources that have reached it, messages are masks, and the
 combiner is bitwise OR — one traversal, k frontiers.
 
@@ -21,7 +22,7 @@ excluded).
 
 Scale shape: identical to one BFS — the k-fold win is the point.  The
 per-superstep message volume is one long per frontier edge regardless
-of k ≤ 64; beyond 64 sources, batches of 64 reuse the same program.
+of k ≤ 63; beyond 63 sources, batches of 63 reuse the same program.
 """
 
 from __future__ import annotations
@@ -44,8 +45,10 @@ class MultiSourceBFS(PregelAlgorithm):
 
     def __init__(self, sources: list[int], max_supersteps: int = 64,
                  fixed_supersteps: int | None = None):
-        if not sources or len(sources) > 64:
-            raise ValueError("1..64 sources per MS-BFS batch")
+        # 63, not 64: bit 63 is the sign bit of a Spark/DuckDB BIGINT —
+        # the literal 1 << 63 overflows a signed long on both engines
+        if not sources or len(sources) > 63:
+            raise ValueError("1..63 sources per MS-BFS batch")
         if len(set(sources)) != len(sources):
             raise ValueError("sources must be distinct")
         self.sources = list(sources)
@@ -123,7 +126,7 @@ def harmonic_centrality(
     fixed_supersteps: int | None = None,
     num_partitions: int | None = None,
 ) -> PregelResult:
-    """MS-BFS over the directed edge table from ``sources`` (≤64); the
+    """MS-BFS over the directed edge table from ``sources`` (≤63); the
     result state's ``h`` field is harmonic-centrality micro-units
     Σ_s (10^6 div d(s, v)) and ``mask`` the reached-by set."""
     algo = MultiSourceBFS(sources, fixed_supersteps=fixed_supersteps)

@@ -163,7 +163,12 @@ def node2vec_walks(
     partition is one neighbor list, never the graph).  Hubs: a walk
     visiting a hub scores deg(hub) candidates once — bounded per walk,
     and the candidate frame is hash-partitioned by walk_id so no
-    reducer owns more than one neighborhood per walk."""
+    reducer owns more than one neighborhood per walk.
+
+    ``walk_length`` must be >= 1: the second-order rule needs at least
+    the uniform first step (step-1 rows are always emitted)."""
+    if walk_length < 1 or walks_per_vertex < 1:
+        raise ValueError("walk_length and walks_per_vertex must be >= 1")
     spark = edges.sparkSession
     P = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")

@@ -796,7 +796,12 @@ def _jpeg_decode_gray(b: bytes) -> tuple[int, int, np.ndarray]:
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline (SOF0) JPEG supported")
         elif marker == 0xDA:  # SOS — entropy data follows
-            dc_id, ac_id = seg[3] >> 4, seg[3] & 15
+            # seg layout: Ns, then (Cs, Td<<4|Ta) per component, then
+            # Ss/Se/AhAl — the table selectors live in seg[2], NOT the
+            # spectral-selection byte that follows
+            if seg[0] != 1:
+                raise ValueError("only single-component scans supported")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 15
             pos += ln
             break
         pos += ln

@@ -46,7 +46,6 @@ def sample_stratified(
     function of (salt, key) alone — stable across runs, engines, and
     partitionings, and composable (the same salt samples consistently
     across derived tables sharing the key).  Rates are exact to 2^-48."""
-    thresh = F.lit(None).cast("long")
     expr = None
     for stratum, rate in rates.items():
         t = F.lit(int(rate * (1 << 48)))

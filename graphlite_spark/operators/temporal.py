@@ -50,6 +50,15 @@ def asof_join(
     winner is partition-order-dependent."""
     left_cols = left_cols or [c for c in left.columns if c not in (on, ts_col)]
     right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
+    if not left_cols or not right_cols:
+        # zero payload columns would build F.struct() / a malformed
+        # trailing-comma DDL cast; an existence-style probe should carry
+        # the id or ts column explicitly
+        raise ValueError(
+            "asof_join needs at least one payload column per side beyond "
+            "(on, ts_col) — pass left_cols/right_cols explicitly (e.g. the "
+            "id column) for existence-style probes"
+        )
     lp = F.struct(*[F.col(c) for c in left_cols]).alias("_lp")
     rp = F.struct(
         F.col(ts_col).alias("_rts"), *[F.col(c) for c in right_cols]

@@ -118,5 +118,27 @@ def test_msbfs_source_validation(spark):
         MultiSourceBFS([])
     with pytest.raises(ValueError):
         MultiSourceBFS([1, 1])
+    # bit 63 would overflow a signed BIGINT literal on both engines, so
+    # the batch cap is 63 — and 63 itself must WORK (1 << 62 is legal)
     with pytest.raises(ValueError):
-        MultiSourceBFS(list(range(65)))
+        MultiSourceBFS(list(range(64)))
+
+
+def test_msbfs_63_source_boundary(spark):
+    from graphlite_spark.algos.centrality import harmonic_centrality
+
+    n = 63
+    v = spark.range(n).select("id")
+    # ring: every vertex reaches its successor at distance 1
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n, 1.0) for i in range(n)],
+        "src long, dst long, weight double",
+    )
+    res = harmonic_centrality(v, e, sources=list(range(n)),
+                              fixed_supersteps=2)
+    rows = {r["id"]: r["value"] for r in res.state.collect()}
+    # each vertex: own bit at d=0 plus predecessor's bit at d=1
+    for i in range(n):
+        pred = (i - 1) % n
+        assert rows[i]["mask"] == (1 << i) | (1 << pred)
+        assert rows[i]["h"] == 1_000_000

@@ -211,6 +211,20 @@ def test_jpeg_codec_roundtrip_pure():
     for bad in (b"nope", good[:30], progressive):
         with pytest.raises(ValueError):
             _jpeg_decode_gray(bad)
+    # the decoder must honor the SOS table SELECTORS (Td/Ta live in the
+    # component byte, not the spectral-selection byte): legally move the
+    # AC table to id 1 and point the scan at it — decode must still be
+    # bit-exact
+    import struct
+
+    ac_len = struct.pack(">H", 2 + 1 + 16 + 4)
+    moved = good.replace(b"\xff\xc4" + ac_len + b"\x10",
+                         b"\xff\xc4" + ac_len + b"\x11", 1)
+    moved = moved.replace(b"\x01\x01\x00\x00\x3f\x00",
+                          b"\x01\x01\x01\x00\x3f\x00", 1)
+    assert moved != good
+    w, h, px = _jpeg_decode_gray(moved)
+    assert np.array_equal(px, np.repeat(np.repeat(vals, 8, 0), 8, 1))
 
 
 def test_encode_decode_jpeg_closed_form(spark):

@@ -51,8 +51,7 @@ def test_range_join_bruteforce(spark):
             if lu == ru and abs(lt - rt) <= gap:
                 want[(le, re_)] = rt - lt
     assert got == want
-    # boundary inclusivity: at least one pair sits exactly at |gap|
-    assert any(abs(g) == gap for g in want.values()) or True
+    # (boundary inclusivity is pinned by test_range_join_exact_boundary)
 
 
 def test_range_join_exact_boundary(spark):
@@ -68,3 +67,15 @@ def test_range_join_exact_boundary(spark):
     ).collect()}
     # inclusive at exactly max_gap on both sides; exclusive one past it
     assert got == {2, 4}
+
+
+def test_asof_join_rejects_empty_payload(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 5, 100)],
+                                 "event_id long, user_id long, ts_us long")
+    right = spark.createDataFrame([(5, 90)], "user_id long, ts_us long")
+    with pytest.raises(ValueError, match="payload column"):
+        from graphlite_spark.operators.temporal import asof_join
+
+        asof_join(left, right, on="user_id", ts_col="ts_us")

@@ -134,3 +134,15 @@ def test_node2vec_walks_bruteforce(spark):
                                    return_micros=d1,
                                    inout_micros=d1).collect()}
     assert any(want.get(k) != uni.get(k) for k in want)
+
+
+def test_node2vec_rejects_zero_length(spark):
+    import pytest
+
+    e = spark.createDataFrame([(0, 1, 1.0)],
+                              "src long, dst long, weight double")
+    v = spark.range(2).select("id")
+    with pytest.raises(ValueError):
+        node2vec_walks(v, e, walk_length=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(v, e, walks_per_vertex=0)
