@@ -61,7 +61,7 @@ from graphlite_spark.functions.text import (
     rolling_hash_expr,
     tokens_expr,
 )
-from graphlite_spark.algos.stats import degree_assortativity
+from graphlite_spark.algos.stats import degree_assortativity, modularity
 from graphlite_spark.operators.dedup import (
     dedup_exact,
     dedup_representatives,
@@ -235,6 +235,15 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closure — exact integer sums, one float expression, 6dp
     _, _, e = graph_tables(spark, sf_dir)
     return degree_assortativity(e)
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newman modularity of the CONVERSATION partition (label = conv_id):
+    # how community-like the conv structure is once tool edges cross it —
+    # exact rational (m2·Σe_c − Σd_c²)/m2², one float division
+    _, v, e = graph_tables(spark, sf_dir)
+    labels = v.select("id", F.col("conv_id").alias("label"))
+    return modularity(e, labels)
 
 
 def q_hits3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "dedup_representatives": q_dedup_representatives,
         "degree_assortativity": q_degree_assortativity,
+        "modularity_conv": q_modularity,
         "pack_documents": q_pack_documents,
         "build_vocab": q_build_vocab,
         "events_asof": q_events_asof,
@@ -872,6 +882,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": O.ann_lsh_recall_sql(5, 8, 20),
         "dedup_representatives": O.dedup_representatives_sql(0.3),
         "degree_assortativity": O.degree_assortativity_sql(),
+        "modularity_conv": O.modularity_sql(),
         "pack_documents": O.pack_documents_sql(256, 8),
         "build_vocab": O.build_vocab_sql(2),
         "events_asof": O.events_asof_sql("purchase", "click"),

@@ -59,3 +59,47 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         "m",
         F.round(num / F.sqrt(varx * vary), 6).alias("assortativity"),
     )
+
+
+def modularity(
+    edges: DataFrame, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """One row (m2, modularity) — Newman modularity Q of the vertex
+    partition given by ``labels (id, label)`` over the undirected
+    closure (Newman 2004, public literature).
+
+    Computed as the exact RATIONAL ``(m2·Σe_c − Σd_c²) / m2²`` where m2
+    counts directed representations of undirected edges, Σe_c the
+    within-community representations, and d_c each community's degree
+    sum — all exact integer aggregates; the single float division is the
+    only rounding point, so the 6dp result cannot diverge across
+    engines (the per-community float-sum formulation would be
+    summation-order-dependent).  Same scale shape as assortativity: two
+    vertex-sized label joins + map-side-combined global aggregates."""
+    und = symmetrize(edges).select("src", "dst")
+    ls = labels.select(F.col("id").alias("u"), F.col(label_col).alias("la"))
+    ld = labels.select(F.col("id").alias("v"), F.col(label_col).alias("lb"))
+    ee = (
+        und.join(ls, und["src"] == ls["u"])
+        .join(ld, und["dst"] == ld["v"])
+        .select("la", "lb")
+    )
+    # one aggregation chain (no 1-row cross join): per-community partials
+    # first (map-side combined), then a single global reduce over them
+    per_c = ee.groupBy("la").agg(
+        F.count(F.lit(1)).cast("long").alias("dc"),
+        F.sum((F.col("la") == F.col("lb")).cast("long")).alias("same_c"),
+    )
+    s = per_c.agg(
+        F.sum("dc").alias("m2"),
+        F.sum("same_c").alias("same"),
+        F.sum(F.col("dc") * F.col("dc")).alias("sdd"),
+    )
+    m2 = F.col("m2")
+    num = (m2 * F.col("same") - F.col("sdd")).cast("double")
+    return s.select(
+        "m2",
+        F.round(num / (m2.cast("double") * m2.cast("double")), 6).alias(
+            "modularity"
+        ),
+    )

@@ -788,6 +788,26 @@ def degree_assortativity_sql() -> str:
     )
 
 
+def modularity_sql() -> str:
+    """Mirror of algos.stats.modularity over the conversation partition
+    (label = conv_id): the exact rational (m2·Σe_c − Σd_c²)/m2² with
+    integer aggregates and one float division, cast-identically."""
+    return _graph_query(
+        ", lab AS MATERIALIZED (SELECT id, conv_id AS lb FROM vertices),\n"
+        "ee AS MATERIALIZED (\n"
+        "  SELECT a.lb AS la, b.lb AS lbb\n"
+        "  FROM und JOIN lab a ON a.id = und.src JOIN lab b ON b.id = und.dst),\n"
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS m2,\n"
+        "  CAST(sum(CASE WHEN la = lbb THEN 1 ELSE 0 END) AS BIGINT) AS same\n"
+        "  FROM ee),\n"
+        "d AS (SELECT la, count(*) AS dc FROM ee GROUP BY la),\n"
+        "sq AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sdd FROM d)\n"
+        "SELECT s.m2, round(CAST(s.m2 * s.same - sq.sdd AS DOUBLE) /\n"
+        "  (CAST(s.m2 AS DOUBLE) * CAST(s.m2 AS DOUBLE)), 6) AS modularity\n"
+        "FROM s, sq"
+    )
+
+
 def avg_neighbor_degree_sql() -> str:
     """Mirror of operators.neighborhood.neighborhood_agg with the
     undirected degree table fed back in as the neighbor attribute —

@@ -228,3 +228,35 @@ def test_dedup_representatives_bruteforce(spark):
     # the dup groups must actually cluster (the test is vacuous otherwise)
     assert clusters[0] == clusters[1]
     assert len(set(clusters.values())) < len(rows)
+
+
+def test_modularity_bruteforce(spark):
+    from graphlite_spark.algos.stats import modularity
+
+    edges = random_digraph(30, 70, seed=33)
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    labels = spark.createDataFrame(
+        [(i, i % 4) for i in range(30)], "id long, label long"
+    )
+    und = {(s, d) for s, d in edges if s != d} | {
+        (d, s) for s, d in edges if s != d
+    }
+    lab = {i: i % 4 for i in range(30)}
+    m2 = len(und)
+    same = sum(1 for s, d in und if lab[s] == lab[d])
+    dc: dict[int, int] = {}
+    for s, _ in und:
+        dc[lab[s]] = dc.get(lab[s], 0) + 1
+    sdd = sum(c * c for c in dc.values())
+    want = round((m2 * same - sdd) / (m2 * m2), 6)
+    row = modularity(e, labels).collect()[0]
+    assert row["m2"] == m2
+    assert abs(row["modularity"] - want) < 1e-9
+    # a perfectly modular partition (each community one component) beats
+    # the random partition above when communities align with edges: the
+    # all-in-one partition scores exactly 0
+    one = spark.createDataFrame([(i, 0) for i in range(30)],
+                                "id long, label long")
+    assert modularity(e, one).collect()[0]["modularity"] == 0.0
