@@ -52,7 +52,7 @@ from graphlite_spark.functions.hashes import hash48
 from graphlite_spark.operators.cooccurrence import token_cooccurrence
 from graphlite_spark.operators.neighborhood import neighborhood_agg
 from graphlite_spark.operators.quantiles import grouped_quantiles
-from graphlite_spark.operators.tfidf import tf_idf
+from graphlite_spark.operators.tfidf import tf_idf, tfidf_cosine_pairs
 from graphlite_spark.operators.sketches import kmv_distinct_by
 from graphlite_spark.functions.text import (
     fingerprint_expr,
@@ -352,6 +352,14 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per term x integer tf -> BIGINT-exact scores
     docs = load_table(spark, sf_dir, "documents")
     return tf_idf(docs, "text")
+
+
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # retrieval-style near-dup pairs: TF-IDF cosine via the inverted-
+    # index term join, df-capped with a pure-integer predicate; exact
+    # BIGINT dot/norm sums, one float expression
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, min_cos=0.3, max_df_permille=100)
 
 
 def q_token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -812,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": q_kmv_distinct,
         "events_quantiles": q_events_quantiles,
         "tf_idf": q_tf_idf,
+        "tfidf_cosine_pairs": q_tfidf_cosine,
         "token_cooccurrence": q_token_cooccurrence,
         # -- graph derivation + bounded-superstep graph queries -----------
         "transcripts_adapt": q_transcripts,
@@ -894,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "avg_neighbor_degree": O.avg_neighbor_degree_sql(),
         "token_cooccurrence": O.token_cooccurrence_sql(2),
         "tf_idf": O.tf_idf_sql(),
+        "tfidf_cosine_pairs": O.tfidf_cosine_sql(0.3, 100),
         "weighted_pagerank10": O.weighted_pagerank_sql(10),
         "point_rotate3": O.ring_rotate_sql(3),
         "bfs_7ss": O.bfs_sql(0, 7),

@@ -52,3 +52,60 @@ def tf_idf(
         "df",
         (F.col("tf") * F.col("idf_micros")).cast("long").alias("tfidf_micros"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_cos: float = 0.3,
+    max_df_permille: int | None = 100,
+    min_df: int = 1,
+) -> DataFrame:
+    """(a, b, cos) — document pairs with TF-IDF cosine similarity >=
+    ``min_cos``: the retrieval-style near-duplicate/related-doc path,
+    complementary to shingle Jaccard (word-weight overlap instead of
+    exact n-gram overlap).
+
+    Scale shape: the classic sparse similarity join — an INVERTED-INDEX
+    equi-join on the term, never an all-pairs product.  Each term with
+    document frequency df contributes O(df²) candidate rows, so the
+    ``max_df_permille`` cap (default 100‰ = 10% of the corpus) drops
+    stop-like terms BEFORE the self-join — the same structural bound as
+    the n-gram path's ``max_doc_freq`` (high-df terms carry ~zero idf
+    weight anyway, so the cosine loss is second-order; pass ``None`` to
+    opt out).  The cap is the pure-integer predicate
+    ``df * 1000 <= N * permille`` so no float-truncation boundary can
+    diverge across engines.  Dot products and squared norms are exact BIGINT sums of
+    micro-unit scores; the single float expression (one division, two
+    sqrts over exact ints) is identical on both engines, so the
+    6dp-rounded cosine is oracle-exact.  At >> 1e9-doc scale the
+    squared-micro sums approach 2^63 — move the two Σw² aggregates to
+    DECIMAL(38,0) there; the join shape is already the right one."""
+    w = tf_idf(docs, text_col, min_df)
+    if max_df_permille is not None:
+        n_docs = docs.count()
+        w = w.where(F.col("df") * 1000 <= F.lit(n_docs * max_df_permille))
+    w = w.select("doc_id", "term", F.col("tfidf_micros").alias("wt"))
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wt") * F.col("wt")).alias("nsq")
+    )
+    wa = w.select(F.col("term"), F.col("doc_id").alias("a"), F.col("wt").alias("wa"))
+    wb = w.select(F.col("term"), F.col("doc_id").alias("b"), F.col("wt").alias("wb"))
+    dots = (
+        wa.join(wb, "term")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("a"), F.col("nsq").alias("nsqa"))
+    nb = norms.select(F.col("doc_id").alias("b"), F.col("nsq").alias("nsqb"))
+    out = dots.join(na, "a").join(nb, "b").select(
+        "a", "b",
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("nsqa").cast("double"))
+               * F.sqrt(F.col("nsqb").cast("double"))),
+            6,
+        ).alias("cos"),
+    )
+    return out.where(F.col("cos") >= min_cos)

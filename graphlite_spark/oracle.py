@@ -745,6 +745,47 @@ def tf_idf_sql(min_df: int = 1) -> str:
     )
 
 
+def tfidf_cosine_sql(min_cos: float = 0.3, max_df_permille: int = 100,
+                     min_df: int = 1) -> str:
+    """Mirror of operators.tfidf.tfidf_cosine_pairs: the inverted-index
+    pair join over the df-capped weight table, exact integer dot/norm
+    sums, one identically-structured float expression."""
+    extra = f" AND d.df >= {min_df}" if min_df > 1 else ""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "tk AS MATERIALIZED (SELECT doc_id, unnest(toks) AS term"
+        " FROM toks_t),\n"
+        "tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tk"
+        " GROUP BY doc_id, term),\n"
+        "dfx AS MATERIALIZED (SELECT term, count(*) AS df FROM tf"
+        " GROUP BY term),\n"
+        "nn AS (SELECT count(*) AS n FROM documents),\n"
+        "w AS MATERIALIZED (\n"
+        "  SELECT t.doc_id, t.term,\n"
+        "    CAST(t.tf * CAST(round(1000000.0 *\n"
+        "      ln((SELECT n FROM nn) * 1.0 / d.df)) AS BIGINT) AS BIGINT)"
+        " AS wt\n"
+        "  FROM tf t JOIN dfx d USING (term)\n"
+        f"  WHERE d.df * 1000 <= (SELECT n FROM nn) * {max_df_permille}"
+        f"{extra}),\n"
+        "norms AS MATERIALIZED (SELECT doc_id,"
+        " CAST(sum(wt * wt) AS BIGINT) AS nsq FROM w GROUP BY doc_id),\n"
+        "dots AS MATERIALIZED (\n"
+        "  SELECT x.doc_id AS a, y.doc_id AS b,"
+        " CAST(sum(x.wt * y.wt) AS BIGINT) AS dot\n"
+        "  FROM w x JOIN w y ON y.term = x.term AND x.doc_id < y.doc_id\n"
+        "  GROUP BY x.doc_id, y.doc_id)\n"
+        "SELECT a, b, cos FROM (\n"
+        "  SELECT d.a, d.b,\n"
+        "    round(CAST(d.dot AS DOUBLE) /\n"
+        "      (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))),"
+        " 6) AS cos\n"
+        "  FROM dots d JOIN norms na ON na.doc_id = d.a\n"
+        "  JOIN norms nb ON nb.doc_id = d.b)\n"
+        f"WHERE cos >= {min_cos}"
+    )
+
+
 def token_cooccurrence_sql(min_count: int = 2) -> str:
     """Mirror of operators.cooccurrence.token_cooccurrence: distinct
     non-stop tokens per doc, per-doc ordered pair self-join, grouped

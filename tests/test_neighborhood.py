@@ -260,3 +260,48 @@ def test_modularity_bruteforce(spark):
     one = spark.createDataFrame([(i, 0) for i in range(30)],
                                 "id long, label long")
     assert modularity(e, one).collect()[0]["modularity"] == 0.0
+
+
+def test_tfidf_cosine_pairs_bruteforce(spark):
+    import math
+
+    from graphlite_spark.operators.tfidf import tfidf_cosine_pairs
+
+    rows = [
+        (0, "red fox jumps high"),
+        (1, "red fox jumps low"),
+        (2, "blue whale swims deep"),
+        (3, "blue whale swims deep today"),
+        (4, "unrelated words entirely here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["a"], r["b"]): r["cos"]
+           for r in tfidf_cosine_pairs(docs, min_cos=0.01,
+                                       max_df_permille=1000).collect()}
+    n = len(rows)
+    tf: dict[tuple[int, str], int] = {}
+    for did, text in rows:
+        for t in text.split():
+            tf[(did, t)] = tf.get((did, t), 0) + 1
+    df: dict[str, int] = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    w = {(did, t): c * round(1_000_000.0 * math.log(n / df[t]))
+         for (did, t), c in tf.items()}
+    want = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            dot = sum(w[(a, t)] * w[(b, t)]
+                      for t in {t for (d, t) in w if d == a}
+                      if (b, t) in w)
+            if dot == 0:
+                continue
+            na = math.sqrt(sum(v * v for (d, _), v in w.items() if d == a))
+            nb = math.sqrt(sum(v * v for (d, _), v in w.items() if d == b))
+            c = round(dot / (na * nb), 6)
+            if c >= 0.01:
+                want[(a, b)] = c
+    assert got == want
+    # sibling pairs score high, cross-topic pairs are absent or tiny
+    assert got[(0, 1)] > 0.4 and got[(2, 3)] > 0.5
+    assert (0, 2) not in got

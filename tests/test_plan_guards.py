@@ -33,6 +33,7 @@ GUARDED = [
     "avg_neighbor_degree",
     "token_cooccurrence",
     "tf_idf",
+    "tfidf_cosine_pairs",
     "triangles_total",
     "triangles_per_vertex",
     "clustering_coefficient",
