@@ -41,6 +41,7 @@ from graphlite_spark.algos.rotate import ring_rotate
 from graphlite_spark.algos.sssp import INF as SSSP_INF, sssp, sssp_with_parents
 from graphlite_spark.algos.linkpred import adamic_adar
 from graphlite_spark.algos.triangles import (
+    k_truss,
     local_clustering_coefficient,
     triangle_count,
     triangle_count_per_vertex,
@@ -295,6 +296,16 @@ def q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouped degree count on top of the per-vertex triangle machinery
     _, v, e = graph_tables(spark, sf_dir)
     return local_clustering_coefficient(v, e, orient="degree")
+
+
+def q_ktruss3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-truss: edges in >= 1 triangle within the surviving subgraph —
+    # the edge analogue of k-core.  The transcript graph's triangles come
+    # from tool edges short-circuiting reply chains, so the 3-truss is
+    # sparse but non-empty; 8 rounds >> the ~2 the peel needs, and the
+    # oracle unrolls the identical cap (no-op rounds past the fixpoint)
+    _, _, e = graph_tables(spark, sf_dir)
+    return k_truss(e, k=3, max_rounds=8)
 
 
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_total": q_triangles_total,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_lcc,
+        "ktruss_3": q_ktruss3,
         "random_walks_corpus": q_random_walks,
         # -- multi-minute fixpoints last ----------------------------------
         "connected_components_fast": q_components_fast,
@@ -880,6 +892,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_total": O.triangles_total_sql(),
         "triangles_per_vertex": O.triangles_per_vertex_sql(),
         "clustering_coefficient": O.lcc_sql(),
+        "ktruss_3": O.ktruss_sql(3, 8),
         "adamic_adar": O.adamic_adar_sql(100, 1_000_000),
         "kmv_distinct_users": O.kmv_distinct_sql("event_type", "user_id", 64),
         # incremental maintenance must be indistinguishable from a full

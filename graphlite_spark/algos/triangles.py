@@ -141,3 +141,94 @@ def triangle_count_per_vertex(
         .join(exploded, "id", "left")
         .select("id", F.coalesce("count", F.lit(0)).cast("long").alias("count"))
     )
+
+
+def _edge_support(und_edges: DataFrame, orient: str) -> DataFrame:
+    """(lo, hi, support) — triangles through each surviving undirected
+    edge.  Reuses the oriented triangle enumeration (degree orientation
+    bounds wedge fan-out by O(sqrt(E)) under hub skew), then explodes each
+    triangle into its three undirected edges and counts — one
+    map-side-combined groupBy, no per-edge neighbor-set intersection."""
+    tri = _triangle_rows(und_edges, orient)
+    pairs = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("v1", "v2").alias("lo"),
+                    F.greatest("v1", "v2").alias("hi"),
+                ),
+                F.struct(
+                    F.least("v1", "v3").alias("lo"),
+                    F.greatest("v1", "v3").alias("hi"),
+                ),
+                F.struct(
+                    F.least("v2", "v3").alias("lo"),
+                    F.greatest("v2", "v3").alias("hi"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.lo", "e.hi")
+    return pairs.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 3,
+    max_rounds: int = 8,
+    orient: str = "degree",
+) -> DataFrame:
+    """(lo, hi, in_truss) — k-truss membership for every undirected edge.
+
+    The k-truss is the maximal subgraph in which every edge participates
+    in >= k-2 triangles *within the subgraph* (Cohen 2008; the edge
+    analogue of the k-core).  Iterative peel: each round recounts edge
+    support over the surviving edge set and drops under-supported edges;
+    stable set = the truss.  Both the Spark loop and the unrolled SQL
+    oracle run the identical round rule with the same ``max_rounds`` cap,
+    so equality holds even if the cap binds (both are then the same
+    R-round partial peel) — the peel is monotone, so rounds past the
+    fixpoint are no-ops on both sides.
+
+    Scale shape per round: one oriented triangle enumeration (the same
+    two equi-joins as :func:`triangle_count`, hub fan-out bounded by the
+    degree orientation) + one map-side-combined support count + one
+    semi-join; the surviving set only shrinks, so round cost is
+    monotonically decreasing.  Loop discipline matches k_core: AQE off,
+    lazy localCheckpoint per round, one count action per round.
+    """
+    if k < 3:
+        raise ValueError("k-truss requires k >= 3 (k=2 is the whole graph)")
+    spark = edges.sparkSession
+    base = _undirected(edges).localCheckpoint(eager=False)
+    alive = base
+    prev_n = alive.count()
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(max_rounds):
+            sup = _edge_support(
+                alive.select(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+                orient,
+            )
+            alive = (
+                alive.join(
+                    sup.where(F.col("support") >= k - 2).select("lo", "hi"),
+                    ["lo", "hi"],
+                    "left_semi",
+                )
+                .localCheckpoint(eager=False)
+            )
+            n = alive.count()
+            if n == prev_n:
+                break
+            prev_n = n
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+    kept = alive.select(
+        F.col("lo").alias("klo"), F.col("hi").alias("khi")
+    )
+    return base.join(
+        kept, (base["lo"] == kept["klo"]) & (base["hi"] == kept["khi"]), "left"
+    ).select("lo", "hi", F.col("klo").isNotNull().alias("in_truss"))

@@ -644,6 +644,45 @@ def triangles_total_sql() -> str:
     )
 
 
+def ktruss_sql(k: int = 3, max_rounds: int = 8) -> str:
+    """Unrolled k-truss peel — identical round rule + cap as
+    algos.triangles.k_truss, so SQL/Spark equality holds whether or not
+    the cap binds (the peel is monotone: rounds past the fixpoint are
+    no-ops on both sides).  Triangles are enumerated with the id
+    orientation; the Spark side's degree orientation yields the identical
+    triangle set."""
+    parts = [
+        "te0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src <> dst)"
+    ]
+    for r in range(1, max_rounds + 1):
+        prev = f"te{r - 1}"
+        parts.append(
+            f"tr{r} AS MATERIALIZED (\n"
+            f"  SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3\n"
+            f"  FROM {prev} e1\n"
+            f"  JOIN {prev} e2 ON e2.a = e1.a AND e1.b < e2.b\n"
+            f"  JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b)"
+        )
+        parts.append(
+            f"te{r} AS MATERIALIZED (\n"
+            f"  SELECT e.a, e.b FROM {prev} e JOIN (\n"
+            f"    SELECT a, b, count(*) AS c FROM (\n"
+            f"      SELECT v1 AS a, v2 AS b FROM tr{r}\n"
+            f"      UNION ALL SELECT v1, v3 FROM tr{r}\n"
+            f"      UNION ALL SELECT v2, v3 FROM tr{r})\n"
+            f"    GROUP BY a, b) s\n"
+            f"  ON s.a = e.a AND s.b = e.b AND s.c >= {k - 2})"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT e.a AS lo, e.b AS hi, t.a IS NOT NULL AS in_truss\n"
+        f"FROM te0 e LEFT JOIN te{max_rounds} t ON t.a = e.a AND t.b = e.b"
+    )
+    return _graph_query(body)
+
+
 def lcc_sql() -> str:
     """Local clustering coefficient: per-vertex triangles + undirected
     degree, ``2T/(d(d-1))`` rounded to 6dp (single double division on

@@ -258,3 +258,51 @@ def test_personalized_pagerank_source_mass(spark):
     assert got[3] == 0.0 and got[4] == 0.0
     # source retains the teleport term exactly (no in-edges to 0)
     assert math.isclose(got[0], 0.15, rel_tol=0, abs_tol=1e-12)
+
+
+def test_ktruss_membership(spark):
+    """Hand-checked toy graphs + a brute-force peel oracle on random_100;
+    degree and id orientations agree."""
+    from graphlite_spark.algos.triangles import k_truss
+
+    # two triangles sharing edge (1,2), plus a tail 3-4:
+    # 3-truss = the five triangle edges; (3,4) peels off
+    edges = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3), (3, 4)]
+    v, e = make_graph(spark, edges, 5)
+    got = {(r["lo"], r["hi"]): r["in_truss"] for r in k_truss(e, k=3).collect()}
+    assert got == {
+        (0, 1): True, (1, 2): True, (0, 2): True,
+        (1, 3): True, (2, 3): True, (3, 4): False,
+    }
+    # 4-truss: only (1,2) has support 2, but alone it has no triangles
+    # left after the first peel -> empty
+    got4 = {(r["lo"], r["hi"]): r["in_truss"] for r in k_truss(e, k=4).collect()}
+    assert not any(got4.values())
+
+    # brute-force peel oracle on a random graph, both orientations
+    edges, n = GRAPHS["random_100"]
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    alive = set(und)
+    while True:
+        support = {ed: 0 for ed in alive}
+        al = sorted({x for ed in alive for x in ed})
+        nbrs = {u: set() for u in al}
+        for a, b in alive:
+            nbrs[a].add(b); nbrs[b].add(a)
+        for a, b in alive:
+            support[(a, b)] = len(nbrs[a] & nbrs[b])
+        drop = {ed for ed, s_ in support.items() if s_ < 1}
+        if not drop:
+            break
+        alive -= drop
+    v, e = make_graph(spark, edges, n)
+    for orient in ("id", "degree"):
+        got = {
+            (r["lo"], r["hi"]): r["in_truss"]
+            for r in k_truss(e, k=3, max_rounds=16, orient=orient).collect()
+        }
+        assert set(got) == und
+        assert {ed for ed, m in got.items() if m} == alive, orient
