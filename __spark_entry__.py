@@ -47,6 +47,7 @@ from graphlite_spark.algos.triangles import (
     triangle_count_per_vertex,
 )
 from graphlite_spark.algos.centrality import harmonic_centrality
+from graphlite_spark.algos.mis import greedy_coloring, maximal_independent_set
 from graphlite_spark.algos.sampling import sample_neighbors
 from graphlite_spark.algos.walks import node2vec_walks, random_walks
 from graphlite_spark.functions.hashes import hash48
@@ -296,6 +297,22 @@ def q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouped degree count on top of the per-vertex triangle machinery
     _, v, e = graph_tables(spark, sf_dir)
     return local_clustering_coefficient(v, e, orient="degree")
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Luby MIS with deterministic hash48 priorities — reproducible
+    # symmetry breaking; 32 rounds >> the O(log V) the hash priorities
+    # need, and the oracle unrolls the identical cap
+    _, v, e = graph_tables(spark, sf_dir)
+    return maximal_independent_set(v, e, max_rounds=32)
+
+
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Jones-Plassmann greedy coloring (<= maxdeg+1 colors), same
+    # deterministic priorities; the lowest-missing-color ladder is one
+    # generated CASE string evaluated by BOTH engines
+    _, v, e = graph_tables(spark, sf_dir)
+    return greedy_coloring(v, e, max_rounds=32)
 
 
 def q_ktruss3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_lcc,
         "ktruss_3": q_ktruss3,
+        "mis_luby": q_mis,
+        "coloring_jp": q_coloring,
         "random_walks_corpus": q_random_walks,
         # -- multi-minute fixpoints last ----------------------------------
         "connected_components_fast": q_components_fast,
@@ -893,6 +912,8 @@ def oracle_sql() -> dict[str, str]:
         "triangles_per_vertex": O.triangles_per_vertex_sql(),
         "clustering_coefficient": O.lcc_sql(),
         "ktruss_3": O.ktruss_sql(3, 8),
+        "mis_luby": O.mis_sql(32),
+        "coloring_jp": O.coloring_sql(32),
         "adamic_adar": O.adamic_adar_sql(100, 1_000_000),
         "kmv_distinct_users": O.kmv_distinct_sql("event_type", "user_id", 64),
         # incremental maintenance must be indistinguishable from a full

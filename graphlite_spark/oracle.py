@@ -683,6 +683,89 @@ def ktruss_sql(k: int = 3, max_rounds: int = 8) -> str:
     return _graph_query(body)
 
 
+_MIS_PRI_CTE = (
+    "pri AS MATERIALIZED (SELECT id, "
+    + _h48("'mis:' || CAST(id AS VARCHAR)")
+    + " AS h FROM vertices)"
+)
+
+
+def mis_sql(max_rounds: int = 32) -> str:
+    """Unrolled Luby MIS — identical priority (hash48('mis:'||id), id
+    tie-break), round rule and cap as algos.mis.maximal_independent_set;
+    rounds past the fixpoint are no-ops on both sides."""
+    parts = [
+        _MIS_PRI_CTE,
+        "s0 AS MATERIALIZED (SELECT id, h, -1 AS st FROM pri)",
+    ]
+    for r in range(1, max_rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"sel{r} AS MATERIALIZED (\n"
+            f"  SELECT v.id FROM {prev} v\n"
+            f"  WHERE v.st = -1 AND NOT EXISTS (\n"
+            f"    SELECT 1 FROM und u JOIN {prev} w ON w.id = u.src\n"
+            f"    WHERE u.dst = v.id AND w.st = -1\n"
+            f"      AND (w.h < v.h OR (w.h = v.h AND w.id < v.id))))"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (\n"
+            f"  SELECT v.id, v.h,\n"
+            f"    CASE WHEN v.st <> -1 THEN v.st\n"
+            f"         WHEN sl.id IS NOT NULL THEN 1\n"
+            f"         WHEN nb.id IS NOT NULL THEN 0\n"
+            f"         ELSE -1 END AS st\n"
+            f"  FROM {prev} v\n"
+            f"  LEFT JOIN sel{r} sl ON sl.id = v.id\n"
+            f"  LEFT JOIN (SELECT DISTINCT u.dst AS id FROM und u\n"
+            f"             JOIN sel{r} x ON x.id = u.src) nb ON nb.id = v.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT id, CAST(st AS BIGINT) AS status FROM s{max_rounds}"
+    )
+    return _graph_query(body)
+
+
+def coloring_sql(max_rounds: int = 32) -> str:
+    """Unrolled Jones–Plassmann coloring — identical priority, color-mask
+    ladder (the SAME generated CASE string the Spark side evaluates) and
+    cap as algos.mis.greedy_coloring."""
+    from graphlite_spark.algos.mis import lowest_missing_color_sql
+
+    ladder = lowest_missing_color_sql("COALESCE(a.mask, 0)")
+    parts = [
+        _MIS_PRI_CTE,
+        "g0 AS MATERIALIZED (SELECT id, h, -1 AS color FROM pri)",
+    ]
+    for r in range(1, max_rounds + 1):
+        prev = f"g{r - 1}"
+        parts.append(
+            f"a{r} AS MATERIALIZED (\n"
+            f"  SELECT u.dst AS id,\n"
+            f"    bool_or(w.color = -1 AND (w.h > v.h OR (w.h = v.h AND w.id > v.id))) AS has_higher,\n"
+            f"    bit_or(CASE WHEN w.color >= 0 THEN (CAST(1 AS BIGINT) << w.color) END) AS mask\n"
+            f"  FROM und u JOIN {prev} w ON w.id = u.src\n"
+            f"  JOIN {prev} v ON v.id = u.dst\n"
+            f"  GROUP BY u.dst)"
+        )
+        parts.append(
+            f"g{r} AS MATERIALIZED (\n"
+            f"  SELECT v.id, v.h,\n"
+            f"    CASE WHEN v.color >= 0 THEN v.color\n"
+            f"         WHEN NOT COALESCE(a.has_higher, FALSE) THEN {ladder}\n"
+            f"         ELSE -1 END AS color\n"
+            f"  FROM {prev} v LEFT JOIN a{r} a ON a.id = v.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT id, CAST(color AS BIGINT) AS color FROM g{max_rounds}"
+    )
+    return _graph_query(body)
+
+
 def lcc_sql() -> str:
     """Local clustering coefficient: per-vertex triangles + undirected
     degree, ``2T/(d(d-1))`` rounded to 6dp (single double division on
