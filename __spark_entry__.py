@@ -55,6 +55,7 @@ from graphlite_spark.operators.cooccurrence import token_cooccurrence
 from graphlite_spark.operators.neighborhood import neighborhood_agg
 from graphlite_spark.operators.quantiles import grouped_quantiles
 from graphlite_spark.operators.tfidf import tf_idf, tfidf_cosine_pairs
+from graphlite_spark.operators.bloomjoin import bloom_semi_join_stats
 from graphlite_spark.operators.sketches import kmv_distinct_by
 from graphlite_spark.functions.text import (
     fingerprint_expr,
@@ -339,6 +340,24 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact_distinct rides along as the accuracy witness
     ev = load_table(spark, sf_dir, "events")
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom-pruned semi-join of ALL events against purchasing users: the
+    # broadcast-bitmap join-reduction a 100 TB probe side needs, with the
+    # false-positive count measured per event_type.  num_bits=256 is
+    # deliberately small so the FPR is non-zero at test scale — the
+    # report is the artifact, and every count is an exact integer.
+    # Build side = big-ticket purchasers (value > 200): a strict subset
+    # of users at every SF, so the pruning is non-trivial
+    ev = load_table(spark, sf_dir, "events")
+    build = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 200)
+    ).select("user_id")
+    return bloom_semi_join_stats(
+        ev, "user_id", build, "user_id", "event_type",
+        num_hashes=2, num_bits=256,
+    )
 
 
 def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -846,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_embedding_cosine": q_embedding_near_dups,
         "kmv_distinct_users": q_kmv_distinct,
+        "bloom_semijoin": q_bloom_semijoin,
         "events_quantiles": q_events_quantiles,
         "tf_idf": q_tf_idf,
         "tfidf_cosine_pairs": q_tfidf_cosine,
@@ -916,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "coloring_jp": O.coloring_sql(32),
         "adamic_adar": O.adamic_adar_sql(100, 1_000_000),
         "kmv_distinct_users": O.kmv_distinct_sql("event_type", "user_id", 64),
+        "bloom_semijoin": O.bloom_semijoin_sql("purchase", 2, 256),
         # incremental maintenance must be indistinguishable from a full
         # recompute — the oracle IS the full-recompute CC
         "incremental_cc": O.components_sql(),

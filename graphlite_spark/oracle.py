@@ -1447,6 +1447,59 @@ def ann_lsh_recall_sql(k: int = 5, num_bits: int = 8, num_queries: int = 20) -> 
 # text analysis
 # ---------------------------------------------------------------------------
 
+def bloom_semijoin_sql(
+    build_type: str = "purchase",
+    num_hashes: int = 2,
+    num_bits: int = 256,
+    salt: str = "bloom",
+    min_value: float = 200.0,
+) -> str:
+    """Mirror of operators.bloomjoin.bloom_semi_join_stats: the bitmap
+    test 'all k positions set' is expressed as k IN-subqueries against
+    the distinct build-side position set — bit-for-bit the same admitted
+    rows as the Spark side's literal-bitmap filter."""
+    def pos(i: int, key: str = "user_id") -> str:
+        return (
+            _h48(f"'{salt}:{i}:' || CAST({key} AS VARCHAR)") + f" % {num_bits}"
+        )
+
+    build_pos = "\n    UNION ALL\n    ".join(
+        f"SELECT {pos(i)} AS pos FROM small" for i in range(num_hashes)
+    )
+    probe_pos = ",\n    ".join(
+        f"{pos(i)} AS p{i}" for i in range(num_hashes)
+    )
+    cand_cond = " AND ".join(
+        f"p{i} IN (SELECT pos FROM bits)" for i in range(num_hashes)
+    )
+    return f"""
+WITH small AS MATERIALIZED (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = '{build_type}' AND value > {min_value}),
+bits AS MATERIALIZED (
+  SELECT DISTINCT pos FROM (
+    {build_pos})),
+pe AS MATERIALIZED (
+  SELECT event_type, user_id,
+    {probe_pos}
+  FROM events),
+cand AS MATERIALIZED (SELECT event_type FROM pe WHERE {cand_cond}),
+ex AS MATERIALIZED (
+  SELECT event_type FROM events
+  WHERE user_id IN (SELECT user_id FROM small))
+SELECT t.event_type,
+  CAST(t.total AS BIGINT) AS total,
+  CAST(COALESCE(c.n, 0) AS BIGINT) AS bloom_candidates,
+  CAST(COALESCE(e.n, 0) AS BIGINT) AS exact_matches,
+  CAST(COALESCE(c.n, 0) - COALESCE(e.n, 0) AS BIGINT) AS false_positives
+FROM (SELECT event_type, count(*) AS total FROM events GROUP BY event_type) t
+LEFT JOIN (SELECT event_type, count(*) AS n FROM cand GROUP BY event_type) c
+  ON c.event_type = t.event_type
+LEFT JOIN (SELECT event_type, count(*) AS n FROM ex GROUP BY event_type) e
+  ON e.event_type = t.event_type
+"""
+
+
 def sample_stratified_sql(rates: dict[str, float], salt: str = "sample") -> str:
     """Mirror of operators.packing.sample_stratified over events
     stratified by event_type, keyed by event_id."""
