@@ -47,6 +47,7 @@ from graphlite_spark.algos.triangles import (
     triangle_count_per_vertex,
 )
 from graphlite_spark.algos.centrality import harmonic_centrality
+from graphlite_spark.algos.anf import neighborhood_function
 from graphlite_spark.algos.mis import greedy_coloring, maximal_independent_set
 from graphlite_spark.algos.sampling import sample_neighbors
 from graphlite_spark.algos.walks import node2vec_walks, random_walks
@@ -298,6 +299,16 @@ def q_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grouped degree count on top of the per-vertex triangle machinery
     _, v, e = graph_tables(spark, sf_dir)
     return local_clustering_coefficient(v, e, orient="degree")
+
+
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperANF with the deterministic KMV sketch instead of HLL: N(h) =
+    # Σ_v est|B(v,h)| for h=0..8 — the distance-distribution /
+    # effective-diameter primitive.  k=8 deliberately exercises the
+    # ESTIMATION regime (chain balls outgrow 8 by h≈4) while small
+    # balls stay exact; the estimate is integer arithmetic, hash-exact
+    _, v, e = graph_tables(spark, sf_dir)
+    return neighborhood_function(v, e, max_h=8, k=8)
 
 
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_lcc,
         "ktruss_3": q_ktruss3,
+        "neighborhood_function": q_neighborhood_function,
         "mis_luby": q_mis,
         "coloring_jp": q_coloring,
         "random_walks_corpus": q_random_walks,
@@ -932,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_per_vertex": O.triangles_per_vertex_sql(),
         "clustering_coefficient": O.lcc_sql(),
         "ktruss_3": O.ktruss_sql(3, 8),
+        "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "mis_luby": O.mis_sql(32),
         "coloring_jp": O.coloring_sql(32),
         "adamic_adar": O.adamic_adar_sql(100, 1_000_000),

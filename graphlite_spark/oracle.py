@@ -683,6 +683,42 @@ def ktruss_sql(k: int = 3, max_rounds: int = 8) -> str:
     return _graph_query(body)
 
 
+def neighborhood_function_sql(max_h: int = 8, k: int = 8) -> str:
+    """Unrolled KMV-ANF — identical sketch rule (k smallest md5 hashes of
+    the ball, merged through neighbors each iteration) and the identical
+    integer estimate as algos.anf.neighborhood_function."""
+    mult = (k - 1) * (1 << 48)
+    parts = [
+        "nf0 AS MATERIALIZED (SELECT id, "
+        + _h48("'nf:' || CAST(id AS VARCHAR)")
+        + " AS hv FROM vertices)"
+    ]
+    for r in range(1, max_h + 1):
+        prev = f"nf{r - 1}"
+        parts.append(
+            f"nfu{r} AS MATERIALIZED (\n"
+            f"  SELECT DISTINCT id, hv FROM (\n"
+            f"    SELECT u.dst AS id, s.hv FROM und u JOIN {prev} s ON s.id = u.src\n"
+            f"    UNION ALL SELECT id, hv FROM {prev}))"
+        )
+        parts.append(
+            f"nf{r} AS MATERIALIZED (\n"
+            f"  SELECT id, hv FROM (\n"
+            f"    SELECT id, hv, row_number() OVER (PARTITION BY id ORDER BY hv) AS rn\n"
+            f"    FROM nfu{r})\n"
+            f"  WHERE rn <= {k})"
+        )
+    ests = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS h, CAST(SUM(CASE WHEN n < {k} THEN n "
+        f"ELSE {mult} // hk END) AS BIGINT) AS est_pairs FROM "
+        f"(SELECT id, count(*) AS n, max(hv) AS hk FROM nf{r} GROUP BY id)"
+        for r in range(0, max_h + 1)
+    )
+    joined = ",\n".join(parts)
+    body = f", {joined}\n{ests}"
+    return _graph_query(body)
+
+
 _MIS_PRI_CTE = (
     "pri AS MATERIALIZED (SELECT id, "
     + _h48("'mis:' || CAST(id AS VARCHAR)")
