@@ -79,11 +79,13 @@ from graphlite_spark.operators.multimodal import (
     decode_jpeg,
     decode_png,
     decode_ppm,
+    decode_mp4_meta,
     decode_wav_meta,
     encode_jpeg_kernel,
     encode_png_kernel,
     encode_ppm_kernel,
     encode_ppm_video_kernel,
+    encode_mp4_kernel,
     encode_wav_kernel,
     extract_binary_meta,
     sample_ppm_frames,
@@ -795,6 +797,14 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL ISO BMFF (MP4) container parse round trip: box tree walked
+    # back to brands/timescale/duration/dimensions/sample count —
+    # container structure real, frame decode honestly codec-gated
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_mp4_meta(encode_mp4_kernel(docs))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
@@ -844,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_ppm": q_multimodal_decode_ppm,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_wav_meta": q_multimodal_wav,
+        "multimodal_mp4_meta": q_multimodal_mp4,
         "events_sessionize": q_sessionize,
         "events_windowed": q_events_windowed,
         "events_windowed_sliding": q_events_windowed_sliding,
@@ -1006,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_jpeg": O.multimodal_decode_jpeg_sql(),
         "multimodal_frames": O.multimodal_frames_sql(2),
         "multimodal_wav_meta": O.multimodal_wav_sql(),
+        "multimodal_mp4_meta": O.multimodal_mp4_sql(),
         "events_sessionize": O.sessionize_sql(30),
         "events_windowed": O.events_windowed_sql(),
         "events_windowed_sliding": O.events_windowed_sliding_sql(),

@@ -15,9 +15,13 @@ Two tiers, honestly separated:
   public T.81 spec), ``decode_wav_meta`` (RIFF/PCM WAV headers),
   ``resize_ppm`` (nearest-neighbor resample, re-encoded to PPM),
   ``sample_ppm_frames`` (raw video = concatenated P6 frames;
-  every-Nth-frame digest).
-* **codec-gated STUBS** for formats whose codecs genuinely need external
-  libraries (MP4/Opus — ffmpeg is not in this container):
+  every-Nth-frame digest), ``decode_mp4_meta`` / ``encode_mp4_kernel``
+  (REAL ISO BMFF box-tree parse: brands, movie timescale/duration,
+  track dimensions, sample counts — 64-bit largesize and v0/v1 headers
+  handled; public ISO/IEC 14496-12 layout).
+* **codec-gated STUBS** for the frame/sample DECODE of formats whose
+  codecs genuinely need external libraries (H.264-in-MP4 / Opus —
+  ffmpeg is not in this container):
   ``decode_image_stub``, ``resize_stub``, ``frame_sample_stub`` raise
   ``NotImplementedError`` unless ``fake=True`` (deterministic fake for
   plumbing tests).
@@ -1021,4 +1025,222 @@ def decode_image_stub(
 
     return docs_with_payload.select(id_col, "payload").mapInPandas(
         kernel, schema=DECODE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL video-container parse: ISO BMFF (MP4) box structure, pure stdlib.
+# No codec needed: the container metadata a 100 TB ingest pipeline reads
+# first — brands, movie timescale/duration, track dimensions, sample
+# counts — lives in the box tree (public ISO/IEC 14496-12 layout), fully
+# parseable without decoding a single frame.  Frame DECODE stays behind
+# the codec-gated stubs above; this closes the "MP4 is a black box" gap
+# honestly: structure real, entropy decode still out of scope.
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4_build(text: str) -> bytes:
+    """Structurally valid minimal MP4 (ftyp + moov + mdat), parameters
+    derived from md5(text) bytes 6-10 — the encode side of the
+    round-trip oracle, same discipline as the WAV/PNG/JPEG encoders."""
+    import struct
+
+    d = hashlib.md5(str(text).encode()).digest()
+    timescale = 600 * (1 + d[6] % 5)
+    n_samples = 24 + d[7] % 240
+    delta = 10 + d[8] % 90
+    duration = n_samples * delta
+    width, height = 16 * (4 + d[9] % 60), 16 * (3 + d[10] % 45)
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">I", 0)                       # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">i", 0x00010000)            # rate 1.0
+        + struct.pack(">h", 0x0100)                # volume 1.0
+        + b"\x00" * 10                             # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24                             # pre_defined
+        + struct.pack(">I", 2),                    # next_track_ID
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        struct.pack(">I", 7)                       # version 0, flags: enabled
+        + struct.pack(">IIII", 0, 0, 1, 0)         # times, track_ID, reserved
+        + struct.pack(">I", duration)
+        + b"\x00" * 8                              # reserved
+        + struct.pack(">hhhh", 0, 0, 0, 0)         # layer/group/volume/rsvd
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),  # 16.16 fixed
+    )
+    mdhd = _mp4_box(
+        b"mdhd",
+        struct.pack(">I", 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),           # language 'und'
+    )
+    hdlr = _mp4_box(
+        b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    stts = _mp4_box(
+        b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", n_samples, delta)
+    )
+    stsz = _mp4_box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n_samples)
+        + b"".join(struct.pack(">I", 8) for _ in range(n_samples)),
+    )
+    stsd = _mp4_box(b"stsd", struct.pack(">II", 0, 0))
+    stco = _mp4_box(b"stco", struct.pack(">II", 0, 0))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsz + stco)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    mdat_payload = (d * ((n_samples * 8) // len(d) + 1))[: n_samples * 8]
+    mdat = _mp4_box(b"mdat", mdat_payload)
+    return ftyp + moov + mdat
+
+
+def _mp4_walk(b: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) at one nesting level;
+    handles 64-bit largesize (size==1) and to-end-of-file (size==0)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", b[pos : pos + 4])[0]
+        btype = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = struct.unpack(">Q", b[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"box {btype!r} size {size} overruns buffer")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_parse(b: bytes) -> dict:
+    """Recursive box-tree parse -> the metadata dict.  General over the
+    v0/v1 mvhd/mdhd layouts and any box ordering; unknown boxes are
+    skipped by size, containers recursed."""
+    import struct
+
+    meta = {
+        "major_brand": None, "timescale": None, "duration_units": None,
+        "track_count": 0, "width": None, "height": None, "n_samples": None,
+    }
+
+    def visit(start: int, end: int) -> None:
+        for btype, ps, pe in _mp4_walk(b, start, end):
+            if btype == b"ftyp":
+                meta["major_brand"] = b[ps : ps + 4].decode("ascii")
+            elif btype == b"mvhd":
+                ver = b[ps]
+                if ver == 1:
+                    meta["timescale"] = struct.unpack(">I", b[ps + 20 : ps + 24])[0]
+                    meta["duration_units"] = struct.unpack(
+                        ">Q", b[ps + 24 : ps + 32]
+                    )[0]
+                else:
+                    meta["timescale"] = struct.unpack(">I", b[ps + 12 : ps + 16])[0]
+                    meta["duration_units"] = struct.unpack(
+                        ">I", b[ps + 16 : ps + 20]
+                    )[0]
+            elif btype == b"trak":
+                meta["track_count"] += 1
+                visit(ps, pe)
+            elif btype == b"tkhd":
+                ver = b[ps]
+                off = pe - ps - 8  # width/height are the LAST 8 bytes
+                w, h = struct.unpack(">II", b[ps + off : ps + off + 8])
+                if meta["width"] is None and (w or h):
+                    meta["width"], meta["height"] = w >> 16, h >> 16
+            elif btype == b"stsz":
+                meta["n_samples"] = struct.unpack(">I", b[ps + 8 : ps + 12])[0]
+            elif btype in _MP4_CONTAINERS:
+                visit(ps, pe)
+
+    visit(0, len(b))
+    return meta
+
+
+def encode_mp4_kernel(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, payload) — minimal structurally-valid ISO BMFF files."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        _mp4_build(str(t)) for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id long, payload binary"
+    )
+
+
+def decode_mp4_meta(
+    video: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL container parse: (doc_id, major_brand, timescale,
+    duration_units, track_count, width, height, n_samples, duration_us)
+    read back from the box tree — duration as exact integer microseconds
+    (duration·10^6 div timescale; float division ties at 6dp differ
+    across engines)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "major_brand": [], "timescale": [],
+                "duration_units": [], "track_count": [], "width": [],
+                "height": [], "n_samples": [], "duration_us": [],
+            }
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                m = _mp4_parse(bytes(b))
+                if m["timescale"] is None or m["major_brand"] is None:
+                    raise ValueError(f"doc {doc_id}: not an ISO BMFF payload")
+                rows["doc_id"].append(int(doc_id))
+                rows["major_brand"].append(m["major_brand"])
+                rows["timescale"].append(m["timescale"])
+                rows["duration_units"].append(m["duration_units"])
+                rows["track_count"].append(m["track_count"])
+                rows["width"].append(m["width"] or 0)
+                rows["height"].append(m["height"] or 0)
+                rows["n_samples"].append(m["n_samples"] or 0)
+                rows["duration_us"].append(
+                    m["duration_units"] * 1_000_000 // m["timescale"]
+                )
+            yield pd.DataFrame(rows).astype(
+                {"doc_id": "int64", "timescale": "int32",
+                 "duration_units": "int64", "track_count": "int32",
+                 "width": "int32", "height": "int32", "n_samples": "int64",
+                 "duration_us": "int64"}
+            )
+
+    return video.select(id_col, payload_col).mapInPandas(
+        kernel,
+        schema="doc_id long, major_brand string, timescale int, "
+               "duration_units long, track_count int, width int, height int, "
+               "n_samples long, duration_us long",
     )

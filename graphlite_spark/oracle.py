@@ -1788,6 +1788,30 @@ def multimodal_wav_sql() -> str:
     )
 
 
+def multimodal_mp4_sql() -> str:
+    """Closed form of the ISO BMFF round trip (encoder params from
+    md5(text) bytes 6-10; decoder must read them back from the box
+    tree)."""
+    ts = "600 * (1 + CAST('0x' || substr(md5(text), 13, 2) AS INT) % 5)"
+    n = "24 + CAST('0x' || substr(md5(text), 15, 2) AS INT) % 240"
+    delta = "10 + CAST('0x' || substr(md5(text), 17, 2) AS INT) % 90"
+    w = "16 * (4 + CAST('0x' || substr(md5(text), 19, 2) AS INT) % 60)"
+    h = "16 * (3 + CAST('0x' || substr(md5(text), 21, 2) AS INT) % 45)"
+    return (
+        "SELECT doc_id,\n"
+        "  'isom' AS major_brand,\n"
+        f"  CAST({ts} AS INTEGER) AS timescale,\n"
+        f"  CAST(({n}) * ({delta}) AS BIGINT) AS duration_units,\n"
+        "  CAST(1 AS INTEGER) AS track_count,\n"
+        f"  CAST({w} AS INTEGER) AS width,\n"
+        f"  CAST({h} AS INTEGER) AS height,\n"
+        f"  CAST({n} AS BIGINT) AS n_samples,\n"
+        f"  CAST((CAST(({n}) * ({delta}) AS BIGINT) * 1000000) // ({ts}) AS BIGINT)"
+        " AS duration_us\n"
+        "FROM documents"
+    )
+
+
 def multimodal_extract_sql() -> str:
     return (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,\n"

@@ -256,3 +256,79 @@ def test_encode_decode_jpeg_closed_form(spark):
         assert (got[i]["width"], got[i]["height"]) == (bx * 8, by * 8)
         assert got[i]["n_pixels"] == bx * 8 * by * 8
         assert got[i]["pixel_digest"] == hashlib.md5(hx.encode()).hexdigest()
+
+
+def test_mp4_box_parse_pure():
+    """Pure-python MP4 round trip + robustness: 64-bit largesize headers,
+    size==0 (to end of file), v1 mvhd, unknown boxes skipped."""
+    import struct
+
+    from graphlite_spark.operators.multimodal import (
+        _mp4_build,
+        _mp4_parse,
+    )
+
+    b = _mp4_build("hello world")
+    m = _mp4_parse(b)
+    d = hashlib.md5(b"hello world").digest()
+    assert m["timescale"] == 600 * (1 + d[6] % 5)
+    assert m["n_samples"] == 24 + d[7] % 240
+    assert m["duration_units"] == m["n_samples"] * (10 + d[8] % 90)
+    assert m["width"] == 16 * (4 + d[9] % 60)
+    assert m["height"] == 16 * (3 + d[10] % 45)
+    assert m["major_brand"] == "isom" and m["track_count"] == 1
+
+    # rebuild the same tree with a largesize mdat and a v1 mvhd
+    def box(t, p):
+        return struct.pack(">I", 8 + len(p)) + t + p
+
+    mvhd_v1 = box(
+        b"mvhd",
+        struct.pack(">I", 1 << 24)          # version 1
+        + struct.pack(">QQIQ", 0, 0, 1000, 77777)
+        + b"\x00" * 80,
+    )
+    moov = box(b"moov", mvhd_v1)
+    ftyp = box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42")
+    payload = b"\xab" * 10
+    largesize_mdat = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(payload))
+        + payload
+    )
+    free = box(b"free", b"junk")            # unknown box: skipped by size
+    m2 = _mp4_parse(ftyp + free + moov + largesize_mdat)
+    assert m2["major_brand"] == "mp42"
+    assert m2["timescale"] == 1000 and m2["duration_units"] == 77777
+    assert m2["track_count"] == 0
+    # size==0: box extends to EOF
+    tail0 = struct.pack(">I", 0) + b"mdat" + b"\x00" * 5
+    m3 = _mp4_parse(ftyp + moov + tail0)
+    assert m3["timescale"] == 1000
+    # truncated/overrunning size must raise, not mis-parse
+    bad = struct.pack(">I", 999) + b"mdat" + b"\x00" * 4
+    try:
+        _mp4_parse(ftyp + bad)
+        assert False, "overrun not detected"
+    except ValueError:
+        pass
+
+
+def test_encode_decode_mp4_closed_form(spark):
+    from graphlite_spark.operators.multimodal import (
+        decode_mp4_meta,
+        encode_mp4_kernel,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(30)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in decode_mp4_meta(encode_mp4_kernel(docs)).collect()}
+    for i in range(30):
+        d = hashlib.md5(f"doc text {i}".encode()).digest()
+        ts = 600 * (1 + d[6] % 5)
+        n = 24 + d[7] % 240
+        dur = n * (10 + d[8] % 90)
+        r = got[i]
+        assert (r["timescale"], r["n_samples"], r["duration_units"]) == (ts, n, dur)
+        assert r["duration_us"] == dur * 1_000_000 // ts
+        assert r["track_count"] == 1 and r["major_brand"] == "isom"
