@@ -48,6 +48,7 @@ from graphlite_spark.algos.triangles import (
 )
 from graphlite_spark.algos.centrality import harmonic_centrality
 from graphlite_spark.algos.anf import neighborhood_function
+from graphlite_spark.algos.community import louvain_move
 from graphlite_spark.algos.mis import greedy_coloring, maximal_independent_set
 from graphlite_spark.algos.sampling import sample_neighbors
 from graphlite_spark.algos.walks import node2vec_walks, random_walks
@@ -284,6 +285,16 @@ def q_lpa3(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v, e = graph_tables(spark, sf_dir)
     res = label_propagation(v, e, iterations=3)
     return res.state.select("id", F.col("value").alias("label"))
+
+
+def q_louvain_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one synchronized Louvain best-gain move round refining the LPA-3
+    # partition: the gain is the exact integer m2·(e_vc − e_va) −
+    # d_v·(S_c − S_a + d_v), so signs/ties are engine-independent
+    _, v, e = graph_tables(spark, sf_dir)
+    res = label_propagation(v, e, iterations=3)
+    labels = res.state.select("id", F.col("value").alias("label"))
+    return louvain_move(e, labels)
 
 
 def q_triangles_total(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_lcc,
         "ktruss_3": q_ktruss3,
         "neighborhood_function": q_neighborhood_function,
+        "louvain_refine_lpa3": q_louvain_refine,
         "mis_luby": q_mis,
         "coloring_jp": q_coloring,
         "random_walks_corpus": q_random_walks,
@@ -956,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient": O.lcc_sql(),
         "ktruss_3": O.ktruss_sql(3, 8),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
+        "louvain_refine_lpa3": O.louvain_move_sql(3),
         "mis_luby": O.mis_sql(32),
         "coloring_jp": O.coloring_sql(32),
         "adamic_adar": O.adamic_adar_sql(100, 1_000_000),

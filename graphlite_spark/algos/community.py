@@ -1,0 +1,97 @@
+"""Louvain-style community refinement — one exact best-gain move round.
+
+Louvain (Blondel et al. 2008, public literature) greedily moves each
+vertex to the neighboring community with the largest modularity gain.
+The sequential algorithm is order-dependent; the parallel variant here
+is the synchronized round big-graph systems actually run: every vertex
+evaluates its move against the SAME input partition and all moves apply
+at once.  Determinism comes from exact integer arithmetic — with
+m2 = |directed representations| = 2m, the gain of moving v from its
+community a to a neighboring community c, scaled by 2m² (a positive
+constant), is
+
+    score(v, c) = m2·(e_vc − e_va) − d_v·(S_c − S_a + d_v)
+
+with e_vx = edges from v into x, S_x = degree sum of x, all BIGINT-exact
+(no float gain ever exists, so ties and signs cannot flip across
+engines; at 10^12 edges the m2·e product needs DECIMAL — documented
+bound: |score| < m2·d_v).  v moves iff the best score is positive;
+tie-break = smallest community id.
+
+Scale shape: one degree count, one per-community strength aggregate
+(map-side combined), one (v, neighbor-community) edge-count groupBy, one
+`partitionBy(v)` window for the argmax (WindowGroupLimit — partial top-1
+before the exchange).  No global window, no cartesian; the single
+driver-side scalar is m2 (one count action).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphlite_spark.algos.components import symmetrize
+
+
+def louvain_move(
+    edges: DataFrame, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """(id, label) — the partition after one synchronized best-gain move
+    round from ``labels (id, label)``; vertices with no positive-gain
+    move (or no neighbors) keep their label."""
+    und = symmetrize(edges).select("src", "dst").persist()
+    try:
+        m2 = und.count()
+        lab = labels.select("id", F.col(label_col).alias("label"))
+        deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        strength = (
+            lab.join(deg, lab["id"] == deg["src"])
+            .groupBy("label")
+            .agg(F.sum("d").alias("s"))
+        )
+        evc = (
+            und.join(
+                lab.select(F.col("id").alias("dst"), F.col("label").alias("c")),
+                "dst",
+            )
+            .groupBy("src", "c")
+            .agg(F.count(F.lit(1)).alias("e"))
+        )
+        own = lab.select(F.col("id").alias("src"), F.col("label").alias("a"))
+        ev = evc.join(own, "src")
+        eva = ev.where(F.col("c") == F.col("a")).select(
+            "src", F.col("e").alias("ea")
+        )
+        sc = strength.select(F.col("label").alias("c"), F.col("s").alias("s_c"))
+        sa = strength.select(F.col("label").alias("a"), F.col("s").alias("s_a"))
+        cand = (
+            ev.where(F.col("c") != F.col("a"))
+            .join(eva, "src", "left")
+            .join(sc, "c")
+            .join(sa, "a")
+            .join(deg, "src")
+            .select(
+                "src",
+                "c",
+                (
+                    F.lit(m2) * (F.col("e") - F.coalesce("ea", F.lit(0)))
+                    - F.col("d") * (F.col("s_c") - F.col("s_a") + F.col("d"))
+                ).alias("score"),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col("score").desc(), F.col("c").asc()
+        )
+        best = (
+            cand.where(F.col("score") > 0)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("src").alias("id"), F.col("c").alias("new_label"))
+        )
+        out = lab.join(best, "id", "left").select(
+            "id", F.coalesce("new_label", F.col("label")).alias("label")
+        )
+        # materialize before releasing the undirected closure
+        return out.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()

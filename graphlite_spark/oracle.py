@@ -606,7 +606,7 @@ def coreness_sql(max_k: int = 4, max_rounds: int = 64) -> str:
     return _graph_query(body)
 
 
-def lpa_sql(iterations: int = 3) -> str:
+def _lpa_parts(iterations: int) -> list[str]:
     parts = ["l0 AS MATERIALIZED (SELECT id, id AS label FROM vertices)"]
     for k in range(1, iterations + 1):
         prev = f"l{k - 1}"
@@ -622,8 +622,68 @@ def lpa_sql(iterations: int = 3) -> str:
             f"      GROUP BY u.dst, p.label)\n"
             f"    WHERE rn = 1) b ON b.id = l.id)"
         )
-    joined = ",\n".join(parts)
+    return parts
+
+
+def lpa_sql(iterations: int = 3) -> str:
+    joined = ",\n".join(_lpa_parts(iterations))
     body = f", {joined}\nSELECT id, label FROM l{iterations}"
+    return _graph_query(body)
+
+
+def louvain_move_sql(lpa_iterations: int = 3) -> str:
+    """Mirror of algos.community.louvain_move over the LPA-N labeling:
+    the identical integer gain score m2·(e_vc − e_va) − d_v·(S_c − S_a +
+    d_v), positive-gain argmax, (score DESC, c ASC) tie-break."""
+    parts = _lpa_parts(lpa_iterations)
+    parts.append(
+        f"lab AS MATERIALIZED (SELECT id, label FROM l{lpa_iterations})"
+    )
+    parts.append(
+        "dv AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM und GROUP BY src)"
+    )
+    parts.append("m2t AS MATERIALIZED (SELECT count(*) AS m2 FROM und)")
+    parts.append(
+        "strn AS MATERIALIZED (\n"
+        "  SELECT l.label, SUM(d.d) AS s FROM lab l\n"
+        "  JOIN dv d ON d.id = l.id GROUP BY l.label)"
+    )
+    parts.append(
+        "evc AS MATERIALIZED (\n"
+        "  SELECT u.src AS v, l.label AS c, count(*) AS e\n"
+        "  FROM und u JOIN lab l ON l.id = u.dst GROUP BY u.src, l.label)"
+    )
+    parts.append(
+        "eva AS MATERIALIZED (\n"
+        "  SELECT e.v, e.e AS ea FROM evc e\n"
+        "  JOIN lab o ON o.id = e.v AND e.c = o.label)"
+    )
+    parts.append(
+        "cand AS MATERIALIZED (\n"
+        "  SELECT e.v, e.c,\n"
+        "    (SELECT m2 FROM m2t) * (e.e - COALESCE(a.ea, 0))\n"
+        "      - d.d * (sc.s - sa.s + d.d) AS score\n"
+        "  FROM evc e\n"
+        "  JOIN lab o ON o.id = e.v AND e.c <> o.label\n"
+        "  LEFT JOIN eva a ON a.v = e.v\n"
+        "  JOIN strn sc ON sc.label = e.c\n"
+        "  JOIN strn sa ON sa.label = o.label\n"
+        "  JOIN dv d ON d.id = e.v)"
+    )
+    parts.append(
+        "best AS MATERIALIZED (\n"
+        "  SELECT v, c FROM (\n"
+        "    SELECT v, c, row_number() OVER (\n"
+        "      PARTITION BY v ORDER BY score DESC, c ASC) AS rn\n"
+        "    FROM cand WHERE score > 0)\n"
+        "  WHERE rn = 1)"
+    )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        "SELECT l.id, COALESCE(b.c, l.label) AS label\n"
+        "FROM lab l LEFT JOIN best b ON b.v = l.id"
+    )
     return _graph_query(body)
 
 

@@ -48,6 +48,12 @@ GUARDED = [
     "pack_documents",
     "sample_stratified",
     "kmv_distinct_users",
+    # loop queries checkpoint per round (plan truncation), so only the
+    # FINAL join shape is visible here — ktruss's membership join and
+    # bloom's literal-bitmap filter + stats joins; mis/coloring/anf end
+    # in a checkpoint scan with nothing left to guard
+    "ktruss_3",
+    "bloom_semijoin",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
