@@ -58,6 +58,7 @@ from graphlite_spark.operators.neighborhood import neighborhood_agg
 from graphlite_spark.operators.quantiles import grouped_quantiles
 from graphlite_spark.operators.tfidf import tf_idf, tfidf_cosine_pairs
 from graphlite_spark.operators.bloomjoin import bloom_semi_join_stats
+from graphlite_spark.operators.profiling import heavy_hitters, partition_histogram
 from graphlite_spark.operators.sketches import kmv_distinct_by
 from graphlite_spark.functions.text import (
     fingerprint_expr,
@@ -382,6 +383,21 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", build, "user_id", "event_type",
         num_hashes=2, num_bits=256,
     )
+
+
+def q_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash-partition preview for the events.user_id key: rows + distinct
+    # keys per bucket — the report behind every salting decision
+    ev = load_table(spark, sf_dir, "events")
+    return partition_histogram(ev, "user_id", num_buckets=32)
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact global top-20 users by event count via TakeOrderedAndProject
+    # (partial top-k per partition, k-row driver merge — never a global
+    # sort or single-partition window); deterministic tie-break
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", k=20)
 
 
 def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,6 +915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_embedding_near_dups,
         "kmv_distinct_users": q_kmv_distinct,
         "bloom_semijoin": q_bloom_semijoin,
+        "skew_histogram_users": q_skew_histogram,
+        "heavy_hitters_users": q_heavy_hitters,
         "events_quantiles": q_events_quantiles,
         "tf_idf": q_tf_idf,
         "tfidf_cosine_pairs": q_tfidf_cosine,
@@ -974,6 +992,8 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": O.adamic_adar_sql(100, 1_000_000),
         "kmv_distinct_users": O.kmv_distinct_sql("event_type", "user_id", 64),
         "bloom_semijoin": O.bloom_semijoin_sql("purchase", 2, 256),
+        "skew_histogram_users": O.partition_histogram_sql("user_id", 32),
+        "heavy_hitters_users": O.heavy_hitters_sql("user_id", 20),
         # incremental maintenance must be indistinguishable from a full
         # recompute — the oracle IS the full-recompute CC
         "incremental_cc": O.components_sql(),

@@ -1596,6 +1596,27 @@ LEFT JOIN (SELECT event_type, count(*) AS n FROM ex GROUP BY event_type) e
 """
 
 
+def partition_histogram_sql(key: str = "user_id", buckets: int = 32) -> str:
+    """Mirror of operators.profiling.partition_histogram over events."""
+    b = _h48(f"CAST({key} AS VARCHAR)") + f" % {buckets}"
+    return (
+        "SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,\n"
+        "  CAST(count(DISTINCT k) AS BIGINT) AS n_keys\n"
+        f"FROM (SELECT {b} AS bucket, {key} AS k FROM events)\n"
+        "GROUP BY bucket"
+    )
+
+
+def heavy_hitters_sql(key: str = "user_id", k: int = 20) -> str:
+    """Mirror of operators.profiling.heavy_hitters over events — the
+    (count DESC, key ASC) tie-break makes the k-row SET engine-exact."""
+    return (
+        f"SELECT {key} AS key, CAST(count(*) AS BIGINT) AS n_rows\n"
+        f"FROM events GROUP BY {key}\n"
+        f"ORDER BY n_rows DESC, key ASC LIMIT {k}"
+    )
+
+
 def sample_stratified_sql(rates: dict[str, float], salt: str = "sample") -> str:
     """Mirror of operators.packing.sample_stratified over events
     stratified by event_type, keyed by event_id."""

@@ -1,0 +1,30 @@
+"""Profiling operators: exactness + the TakeOrderedAndProject plan shape
+(the scalable global top-k — regression-guard against a global sort)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from graphlite_spark.operators.profiling import heavy_hitters, partition_histogram
+
+
+def test_partition_histogram_partitions_everything(spark):
+    df = spark.createDataFrame(
+        [(i % 17, i) for i in range(500)], "k long, v long"
+    )
+    rows = partition_histogram(df, "k", num_buckets=8).collect()
+    assert sum(r["n_rows"] for r in rows) == 500
+    assert sum(r["n_keys"] for r in rows) == 17  # buckets partition the keys
+    assert all(0 <= r["bucket"] < 8 for r in rows)
+
+
+def test_heavy_hitters_exact_and_plan(spark):
+    data = [(i % 10,) for i in range(100)] + [(99,)] * 50 + [(98,)] * 30
+    df = spark.createDataFrame(data, "k long")
+    hh = heavy_hitters(df, "k", k=3)
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:500]
+    got = [(r["key"], r["n_rows"]) for r in hh.collect()]
+    truth = Counter(k for (k,) in data)
+    expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expect
