@@ -59,6 +59,7 @@ from graphlite_spark.operators.quantiles import grouped_quantiles
 from graphlite_spark.operators.tfidf import tf_idf, tfidf_cosine_pairs
 from graphlite_spark.operators.bloomjoin import bloom_semi_join_stats
 from graphlite_spark.operators.profiling import heavy_hitters, partition_histogram
+from graphlite_spark.operators.ngram_lm import bigram_next_topk
 from graphlite_spark.operators.sketches import kmv_distinct_by
 from graphlite_spark.functions.text import (
     fingerprint_expr,
@@ -383,6 +384,13 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", build, "user_id", "event_type",
         num_hashes=2, num_bits=256,
     )
+
+
+def q_bigram_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered-bigram LM table: top-3 next tokens per word, pure-expression
+    # bigram extraction (no posexplode/self-join), per-w1 WindowGroupLimit
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_next_topk(docs, k=3, min_count=2)
 
 
 def q_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": q_kmv_distinct,
         "bloom_semijoin": q_bloom_semijoin,
         "skew_histogram_users": q_skew_histogram,
+        "bigram_next_topk": q_bigram_next,
         "heavy_hitters_users": q_heavy_hitters,
         "events_quantiles": q_events_quantiles,
         "tf_idf": q_tf_idf,
@@ -993,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_users": O.kmv_distinct_sql("event_type", "user_id", 64),
         "bloom_semijoin": O.bloom_semijoin_sql("purchase", 2, 256),
         "skew_histogram_users": O.partition_histogram_sql("user_id", 32),
+        "bigram_next_topk": O.bigram_next_topk_sql(3, 2),
         "heavy_hitters_users": O.heavy_hitters_sql("user_id", 20),
         # incremental maintenance must be indistinguishable from a full
         # recompute — the oracle IS the full-recompute CC

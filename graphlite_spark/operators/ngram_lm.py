@@ -1,0 +1,65 @@
+"""Sequence n-gram statistics — the language-model side of corpus prep.
+
+:mod:`cooccurrence` counts unordered document-level pairs; training-data
+work also needs ORDERED adjacency: bigram counts and the top next-tokens
+per word (the classic count-based LM table, and the quick corpus-quality
+probe — a corpus whose bigram table is dominated by boilerplate
+continuations is template spam).
+
+Scale shape: bigram extraction is a PURE EXPRESSION — ``transform`` over
+the token array zips each token with its successor inside whole-stage
+codegen, no posexplode+self-join, no per-document window.  The only
+shuffles are the map-side-combined (w1, w2) count and the per-w1 top-k
+window (``partitionBy(w1)`` — WindowGroupLimit, partial top-k before the
+exchange)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graphlite_spark.functions.text import tokens_expr
+
+
+def bigram_counts(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(w1, w2, n_pairs) — ordered adjacent-token pair counts over the
+    corpus, kept when ``n_pairs >= min_count``."""
+    t = tokens_expr(text_col)
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    out = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    if min_count > 1:
+        out = out.where(F.col("n_pairs") >= min_count)
+    return out
+
+
+def bigram_next_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """(w1, w2, n_pairs, rn) — the k most frequent next-tokens per word,
+    (count DESC, w2 ASC) tie-break; rare pairs (< min_count) dropped
+    BEFORE ranking so the table stays vocabulary-sized."""
+    counts = bigram_counts(docs, text_col, min_count)
+    w = Window.partitionBy("w1").orderBy(F.col("n_pairs").desc(), F.col("w2").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("w1", "w2", "n_pairs", F.col("rn").cast("long").alias("rn"))
+    )

@@ -1596,6 +1596,26 @@ LEFT JOIN (SELECT event_type, count(*) AS n FROM ex GROUP BY event_type) e
 """
 
 
+def bigram_next_topk_sql(k: int = 3, min_count: int = 2) -> str:
+    """Mirror of operators.ngram_lm.bigram_next_topk over documents."""
+    return f"""
+WITH {TOKS_CTE},
+bg AS MATERIALIZED (
+  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM toks_t, UNNEST(range(1, len(toks))) AS t(i)),
+cnt AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM bg GROUP BY w1, w2
+  HAVING count(*) >= {min_count})
+SELECT w1, w2, n_pairs, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT w1, w2, n_pairs,
+         row_number() OVER (PARTITION BY w1
+           ORDER BY n_pairs DESC, w2 ASC) AS rn
+  FROM cnt)
+WHERE rn <= {k}
+"""
+
+
 def partition_histogram_sql(key: str = "user_id", buckets: int = 32) -> str:
     """Mirror of operators.profiling.partition_histogram over events."""
     b = _h48(f"CAST({key} AS VARCHAR)") + f" % {buckets}"
