@@ -386,6 +386,22 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-conversation summary (turn/role/tool counts, wall duration):
+    # one map-side-combined groupBy over the transcript adapter — the
+    # first table a transcripts user materializes
+    t, _, _ = graph_tables(spark, sf_dir)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
+        F.sum((F.col("role") == "tool").cast("long")).alias("n_tool"),
+        F.countDistinct("tool").cast("long").alias("n_distinct_tools"),
+        (F.max(ts_us) - F.min(ts_us)).cast("long").alias("duration_us"),
+    )
+
+
 def q_bigram_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ordered-bigram LM table: top-3 next tokens per word, pure-expression
     # bigram extraction (no posexplode/self-join), per-w1 WindowGroupLimit
@@ -923,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_embedding_near_dups,
         "kmv_distinct_users": q_kmv_distinct,
         "bloom_semijoin": q_bloom_semijoin,
+        "conversation_stats": q_conversation_stats,
         "skew_histogram_users": q_skew_histogram,
         "bigram_next_topk": q_bigram_next,
         "heavy_hitters_users": q_heavy_hitters,
@@ -1001,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": O.adamic_adar_sql(100, 1_000_000),
         "kmv_distinct_users": O.kmv_distinct_sql("event_type", "user_id", 64),
         "bloom_semijoin": O.bloom_semijoin_sql("purchase", 2, 256),
+        "conversation_stats": O.conversation_stats_sql(),
         "skew_histogram_users": O.partition_histogram_sql("user_id", 32),
         "bigram_next_topk": O.bigram_next_topk_sql(3, 2),
         "heavy_hitters_users": O.heavy_hitters_sql("user_id", 20),

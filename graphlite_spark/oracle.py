@@ -1596,6 +1596,25 @@ LEFT JOIN (SELECT event_type, count(*) AS n FROM ex GROUP BY event_type) e
 """
 
 
+def conversation_stats_sql() -> str:
+    """Per-conversation summary over the transcript adapter — the first
+    table a transcripts user materializes."""
+    return _graph_query(
+        "SELECT conv_id,\n"
+        "  CAST(count(*) AS BIGINT) AS n_turns,\n"
+        "  CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_user,\n"
+        "  CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_assistant,\n"
+        "  CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_tool,\n"
+        "  CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools,\n"
+        "  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)"
+        " AS duration_us\n"
+        "FROM transcripts GROUP BY conv_id"
+    )
+
+
 def bigram_next_topk_sql(k: int = 3, min_count: int = 2) -> str:
     """Mirror of operators.ngram_lm.bigram_next_topk over documents."""
     return f"""
