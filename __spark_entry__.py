@@ -55,7 +55,7 @@ from graphlite_spark.algos.walks import node2vec_walks, random_walks
 from graphlite_spark.functions.hashes import hash48
 from graphlite_spark.operators.cooccurrence import token_cooccurrence
 from graphlite_spark.operators.neighborhood import neighborhood_agg
-from graphlite_spark.operators.quantiles import grouped_quantiles
+from graphlite_spark.operators.quantiles import grouped_quantiles, quantile_bucketize
 from graphlite_spark.operators.tfidf import tf_idf, tfidf_cosine_pairs
 from graphlite_spark.operators.bloomjoin import bloom_semi_join_stats
 from graphlite_spark.operators.profiling import heavy_hitters, partition_histogram
@@ -384,6 +384,14 @@ def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", build, "user_id", "event_type",
         num_hashes=2, num_bits=256,
     )
+
+
+def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-event-type equal-frequency quartile assignment on the exact
+    # discrete-quantile cut points — QuantileDiscretizer re-expressed
+    # integer-exact; cuts broadcast back to the rows
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_bucketize(ev, "event_type", "value", "event_id", 4)
 
 
 def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_next_topk": q_bigram_next,
         "heavy_hitters_users": q_heavy_hitters,
         "events_quantiles": q_events_quantiles,
+        "quantile_buckets": q_quantile_bucketize,
         "tf_idf": q_tf_idf,
         "tfidf_cosine_pairs": q_tfidf_cosine,
         "token_cooccurrence": q_token_cooccurrence,
@@ -1026,6 +1035,7 @@ def oracle_sql() -> dict[str, str]:
         # recompute — the oracle IS the full-recompute CC
         "incremental_cc": O.components_sql(),
         "events_quantiles": O.events_quantiles_sql("event_type", "value"),
+        "quantile_buckets": O.quantile_bucketize_sql("event_type", "value", "event_id", 4),
         "random_walks_corpus": O.random_walks_sql(2, 8),
         "node2vec_walks": O.node2vec_walks_sql(1, 5, 500_000, 2_000_000),
         "ann_lsh_recall": O.ann_lsh_recall_sql(5, 8, 20),

@@ -48,3 +48,42 @@ def grouped_quantiles(
             ).alias(f"p{pct}")
         )
     return j.groupBy(group_col).agg(*aggs)
+
+
+def quantile_bucketize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    num_buckets: int = 4,
+) -> DataFrame:
+    """(id, group, value, bucket) — per-group equal-frequency binning:
+    bucket(v) = how many of the group's B-1 discrete quantile cut points
+    v strictly exceeds (0..B-1).  The ML feature-prep step
+    (``QuantileDiscretizer``) re-expressed on the exact,
+    engine-portable rank rule of :func:`grouped_quantiles`, so bucket
+    assignments are integer-exact across engines — the oracle anchor for
+    an approximate discretizer at 100 TB.
+
+    Scale shape: the quantile pass (one per-group sort window), then one
+    broadcast-able join of the tiny per-group cut table back to the
+    rows; the bucket expression is pure whole-stage codegen.
+    ``num_buckets`` must divide 100 (integer percents keep the rank rule
+    exact)."""
+    if 100 % num_buckets != 0:
+        raise ValueError("num_buckets must divide 100")
+    percents = tuple(
+        (100 // num_buckets) * i for i in range(1, num_buckets)
+    )
+    cuts = grouped_quantiles(df, group_col, value_col, percents)
+    src = df.select(id_col, group_col, value_col).where(
+        F.col(value_col).isNotNull()
+    )
+    j = src.join(cuts.drop("n"), group_col)
+    bucket = None
+    for pct in percents:
+        term = (F.col(value_col) > F.col(f"p{pct}")).cast("long")
+        bucket = term if bucket is None else bucket + term
+    return j.select(
+        id_col, group_col, value_col, bucket.cast("long").alias("bucket")
+    )

@@ -1254,6 +1254,44 @@ def events_quantiles_sql(group_col: str = "event_type",
     )
 
 
+def quantile_bucketize_sql(group_col: str = "event_type",
+                           value_col: str = "value",
+                           id_col: str = "event_id",
+                           num_buckets: int = 4) -> str:
+    """Mirror of operators.quantiles.quantile_bucketize: bucket = count
+    of per-group discrete quantile cuts the value strictly exceeds."""
+    percents = tuple((100 // num_buckets) * i for i in range(1, num_buckets))
+    picks = ",\n".join(
+        f"  round(max(CASE WHEN rn = (n.n * {pct} + 99) // {100} "
+        f"THEN {value_col} END), 6) AS p{pct}"
+        for pct in percents
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN e.{value_col} > c.p{pct} THEN 1 ELSE 0 END)"
+        for pct in percents
+    )
+    return (
+        "WITH src AS MATERIALIZED (\n"
+        f"  SELECT {group_col}, {value_col} FROM events\n"
+        f"  WHERE {value_col} IS NOT NULL),\n"
+        "r AS MATERIALIZED (\n"
+        f"  SELECT {group_col}, {value_col},\n"
+        f"    row_number() OVER (PARTITION BY {group_col} ORDER BY {value_col})"
+        " AS rn\n"
+        "  FROM src),\n"
+        f"n AS (SELECT {group_col}, count(*) AS n FROM src"
+        f" GROUP BY {group_col}),\n"
+        "cuts AS MATERIALIZED (\n"
+        f"  SELECT r.{group_col},\n{picks}\n"
+        f"  FROM r JOIN n USING ({group_col})\n"
+        f"  GROUP BY r.{group_col})\n"
+        f"SELECT e.{id_col}, e.{group_col}, e.{value_col},\n"
+        f"  CAST({bucket} AS BIGINT) AS bucket\n"
+        f"FROM events e JOIN cuts c ON c.{group_col} = e.{group_col}\n"
+        f"WHERE e.{value_col} IS NOT NULL"
+    )
+
+
 def triangles_per_vertex_sql() -> str:
     body = (
         f", {_TRI_CTES}\n"

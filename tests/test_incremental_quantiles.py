@@ -85,3 +85,32 @@ def test_grouped_quantiles_bruteforce(spark):
         )
         assert got[g] == (n, *want), (g, got[g], (n, *want))
     assert math.isclose(got["c"][1], 3.5)  # single non-null value
+
+
+def test_quantile_bucketize_equal_frequency(spark):
+    """Quartile assignment: each group's buckets are balanced to within
+    the discrete-tie slack, and the bucket rule replays in python."""
+    from graphlite_spark.operators.quantiles import quantile_bucketize
+
+    rows = [(i, "g%d" % (i % 2), float((i * 37) % 101)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = quantile_bucketize(df, "g", "v", "id", 4).collect()
+    assert len(got) == 400
+    import math
+    by_group = {}
+    for (i, g, v) in rows:
+        by_group.setdefault(g, []).append(v)
+    cuts = {}
+    for g, vs in by_group.items():
+        vs = sorted(vs)
+        n = len(vs)
+        cuts[g] = [round(vs[math.ceil(n * p / 100) - 1], 6) for p in (25, 50, 75)]
+    for r in got:
+        expect = sum(1 for c in cuts[r["g"]] if r["v"] > c)
+        assert r["bucket"] == expect, (r, cuts[r["g"]])
+    # balance: each bucket holds ~25% (ties can skew by duplicates only)
+    from collections import Counter
+    for g in by_group:
+        c = Counter(r["bucket"] for r in got if r["g"] == g)
+        assert set(c) == {0, 1, 2, 3}
+        assert max(c.values()) - min(c.values()) <= 4
