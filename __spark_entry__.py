@@ -46,7 +46,7 @@ from graphlite_spark.algos.triangles import (
     triangle_count,
     triangle_count_per_vertex,
 )
-from graphlite_spark.algos.centrality import harmonic_centrality
+from graphlite_spark.algos.centrality import harmonic_centrality, katz_centrality
 from graphlite_spark.algos.anf import neighborhood_function
 from graphlite_spark.algos.community import louvain_move
 from graphlite_spark.algos.mis import greedy_coloring, maximal_independent_set
@@ -340,6 +340,14 @@ def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generated CASE string evaluated by BOTH engines
     _, v, e = graph_tables(spark, sf_dir)
     return greedy_coloring(v, e, max_rounds=32)
+
+
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Katz prestige over DIRECTED in-edges, 6 fixed rounds, integer
+    # micro-units with per-term div — bit-identical across engines and
+    # partitionings (same discipline as weighted_pagerank)
+    _, v, e = graph_tables(spark, sf_dir)
+    return katz_centrality(v, e, iterations=6, alpha_den=8)
 
 
 def q_ktruss3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_lcc,
         "ktruss_3": q_ktruss3,
+        "katz_6iter": q_katz,
         "neighborhood_function": q_neighborhood_function,
         "louvain_refine_lpa3": q_louvain_refine,
         "mis_luby": q_mis,
@@ -1020,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_per_vertex": O.triangles_per_vertex_sql(),
         "clustering_coefficient": O.lcc_sql(),
         "ktruss_3": O.ktruss_sql(3, 8),
+        "katz_6iter": O.katz_sql(6, 8),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),
         "mis_luby": O.mis_sql(32),

@@ -132,3 +132,62 @@ def harmonic_centrality(
     algo = MultiSourceBFS(sources, fixed_supersteps=fixed_supersteps)
     eng = PregelEngine(num_partitions=num_partitions)
     return eng.run(vertices, edges, algo)
+
+
+def katz_centrality(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iterations: int = 6,
+    alpha_den: int = 8,
+) -> DataFrame:
+    """(id, katz) — Katz prestige (Katz 1953) in integer micro-units:
+    ``katz_{t+1}(v) = 10^6 + Σ_{u→v} katz_t(u) div alpha_den`` over
+    DIRECTED in-edges, ``iterations`` fixed rounds from katz_0 = 10^6.
+
+    α = 1/alpha_den as per-term INTEGER division — the same
+    reproducibility discipline as weighted_pagerank: a float α·x sum
+    would be summation-order-dependent across partitionings/engines, the
+    integer form is bit-identical and the truncation error (< 1 micro
+    per in-edge per round) is far below any ranking use.  Convergence
+    needs α < 1/λ_max; 1/8 is comfortably inside it for the sparse
+    transcript graph (spectral radius ≈ max chain branching).  Per
+    round: one equi-join + one map-side-combined groupBy — rank-sized
+    shuffles; loop discipline matches the engine (AQE off, lazy
+    localCheckpoint per round)."""
+    MICRO = 1_000_000
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").persist()
+    state = vertices.select(
+        "id", F.lit(MICRO).cast("long").alias("katz")
+    ).localCheckpoint(eager=False)
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(iterations):
+            msg = (
+                e.join(
+                    state.select(F.col("id").alias("src"), "katz"), "src"
+                )
+                .select(
+                    F.col("dst").alias("id"),
+                    F.expr(f"katz div {alpha_den}").alias("m"),
+                )
+                .groupBy("id")
+                .agg(F.sum("m").alias("s"))
+            )
+            state = (
+                state.select("id")
+                .join(msg, "id", "left")
+                .select(
+                    "id",
+                    (F.lit(MICRO) + F.coalesce("s", F.lit(0)))
+                    .cast("long")
+                    .alias("katz"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        state.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+        e.unpersist()
+    return state

@@ -743,6 +743,29 @@ def ktruss_sql(k: int = 3, max_rounds: int = 8) -> str:
     return _graph_query(body)
 
 
+def katz_sql(iterations: int = 6, alpha_den: int = 8) -> str:
+    """Unrolled Katz fixed-point — identical integer micro-unit rule as
+    algos.centrality.katz_centrality (per-term `div`, then exact sum)."""
+    parts = [
+        "k0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS katz "
+        "FROM vertices)"
+    ]
+    for r in range(1, iterations + 1):
+        prev = f"k{r - 1}"
+        parts.append(
+            f"k{r} AS MATERIALIZED (\n"
+            f"  SELECT v.id,\n"
+            f"    CAST(1000000 + COALESCE(m.s, 0) AS BIGINT) AS katz\n"
+            f"  FROM {prev} v LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, SUM(p.katz // {alpha_den}) AS s\n"
+            f"    FROM edges e JOIN {prev} p ON p.id = e.src\n"
+            f"    GROUP BY e.dst) m ON m.id = v.id)"
+        )
+    joined = ",\n".join(parts)
+    body = f", {joined}\nSELECT id, katz FROM k{iterations}"
+    return _graph_query(body)
+
+
 def neighborhood_function_sql(max_h: int = 8, k: int = 8) -> str:
     """Unrolled KMV-ANF — identical sketch rule (k smallest md5 hashes of
     the ball, merged through neighbors each iteration) and the identical

@@ -306,3 +306,26 @@ def test_ktruss_membership(spark):
         }
         assert set(got) == und
         assert {ed for ed, m in got.items() if m} == alive, orient
+
+
+def test_katz_centrality_replay(spark):
+    """Exact python replay of the integer micro-unit Katz rounds, plus
+    the prestige ordering on a simple chain-with-hub graph."""
+    from graphlite_spark.algos.centrality import katz_centrality
+
+    edges = [(0, 2), (1, 2), (2, 3), (3, 4), (0, 4)]
+    v, e = make_graph(spark, edges, 5)
+    got = {r["id"]: r["katz"] for r in
+           katz_centrality(v, e, iterations=6, alpha_den=8).collect()}
+    MICRO = 1_000_000
+    k = {i: MICRO for i in range(5)}
+    for _ in range(6):
+        nxt = {i: MICRO for i in range(5)}
+        for s, d in edges:
+            nxt[d] += k[s] // 8
+        k = nxt
+    assert got == k
+    # sources have no in-edges -> base score; receivers accumulate
+    assert got[0] == got[1] == MICRO
+    assert min(got[2], got[3], got[4]) > MICRO
+    assert got[4] > got[3]  # 4 hears 3's (already-boosted) score plus 0's
