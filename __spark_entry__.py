@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graphlite_spark import oracle as O
-from graphlite_spark.algos.bfs import bfs
+from graphlite_spark.algos.bfs import bfs, shortest_path_counts
 from graphlite_spark.algos.components import (
     connected_components,
     connected_components_fast,
@@ -340,6 +340,13 @@ def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generated CASE string evaluated by BOTH engines
     _, v, e = graph_tables(spark, sf_dir)
     return greedy_coloring(v, e, max_rounds=32)
+
+
+def q_sp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shortest-path COUNTS from source 0 (Brandes' integer forward pass):
+    # layered sigma sums, depth-7 cap shared with the unrolled oracle
+    _, v, e = graph_tables(spark, sf_dir)
+    return shortest_path_counts(v, e, source=0, depth=7)
 
 
 def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -992,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_lcc,
         "ktruss_3": q_ktruss3,
         "katz_6iter": q_katz,
+        "sp_counts_7": q_sp_counts,
         "neighborhood_function": q_neighborhood_function,
         "louvain_refine_lpa3": q_louvain_refine,
         "mis_luby": q_mis,
@@ -1030,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient": O.lcc_sql(),
         "ktruss_3": O.ktruss_sql(3, 8),
         "katz_6iter": O.katz_sql(6, 8),
+        "sp_counts_7": O.sp_counts_sql(0, 7),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),
         "mis_luby": O.mis_sql(32),

@@ -87,3 +87,71 @@ def bfs(
     if fixed_supersteps is None:
         warn_if_not_converged(res, "bfs")
     return res
+
+
+def shortest_path_counts(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source: int = 0,
+    depth: int = 7,
+) -> DataFrame:
+    """(id, dist, sigma) — hop distance AND the number of distinct
+    shortest paths from ``source`` over directed edges (σ in Brandes'
+    betweenness notation — the integer-exact forward pass; the backward
+    dependency pass needs rational accumulation and is out of the
+    hash-exact oracle's reach).  Layered propagation: every shortest
+    path to a depth-d vertex arrives through a depth-(d-1) in-neighbor,
+    so σ(v) = Σ σ(u) over those — one equi-join + one map-side-combined
+    sum per layer, rounds capped at ``depth`` (identical cap in the
+    oracle; rounds past the eccentricity are no-ops).  Unreached
+    vertices report dist = INF, σ = 0.  σ can overflow 2^63 beyond
+    ~depth-90 dense graphs — at that point the count is a research
+    question, not a pipeline statistic."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").persist()
+    state = vertices.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0)).cast("long").alias("dist"),
+        F.when(F.col("id") == source, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("sigma"),
+    ).localCheckpoint(eager=False)
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for d in range(1, depth + 1):
+            frontier = state.where(F.col("dist") == d - 1).select(
+                F.col("id").alias("src"), "sigma"
+            )
+            msg = (
+                e.join(frontier, "src")
+                .groupBy("dst")
+                .agg(F.sum("sigma").alias("s"))
+                .select(F.col("dst").alias("mid"), "s")
+            )
+            state = (
+                state.join(msg, state["id"] == msg["mid"], "left")
+                .select(
+                    "id",
+                    F.when(F.col("dist").isNotNull(), F.col("dist"))
+                    .when(F.col("mid").isNotNull(), F.lit(d))
+                    .cast("long")
+                    .alias("dist"),
+                    F.when(F.col("dist").isNotNull(), F.col("sigma"))
+                    .when(F.col("mid").isNotNull(), F.col("s"))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    .alias("sigma"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        state.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+        e.unpersist()
+    return state.select(
+        "id",
+        F.coalesce("dist", F.lit(INF)).cast("long").alias("dist"),
+        "sigma",
+    )

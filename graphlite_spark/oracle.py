@@ -371,6 +371,40 @@ def bfs_sql(source: int = 0, supersteps: int = 7, inf: int = (1 << 62) - 1) -> s
     return _graph_query(body)
 
 
+def sp_counts_sql(source: int = 0, depth: int = 7,
+                  inf: int = (1 << 62) - 1) -> str:
+    """Unrolled layered σ propagation — identical rule and cap as
+    algos.bfs.shortest_path_counts."""
+    parts = [
+        f"s0 AS MATERIALIZED (SELECT id,\n"
+        f"  CASE WHEN id = {source} THEN 0 END AS dist,\n"
+        f"  CAST(CASE WHEN id = {source} THEN 1 ELSE 0 END AS BIGINT) AS sigma\n"
+        f"  FROM vertices)"
+    ]
+    for r in range(1, depth + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"s{r} AS MATERIALIZED (\n"
+            f"  SELECT p.id,\n"
+            f"    CASE WHEN p.dist IS NOT NULL THEN p.dist\n"
+            f"         WHEN m.id IS NOT NULL THEN {r} END AS dist,\n"
+            f"    CAST(CASE WHEN p.dist IS NOT NULL THEN p.sigma\n"
+            f"         WHEN m.id IS NOT NULL THEN m.s\n"
+            f"         ELSE 0 END AS BIGINT) AS sigma\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, SUM(q.sigma) AS s\n"
+            f"    FROM edges e JOIN {prev} q ON q.id = e.src AND q.dist = {r - 1}\n"
+            f"    GROUP BY e.dst) m ON m.id = p.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT id, CAST(COALESCE(dist, {inf}) AS BIGINT) AS dist, sigma "
+        f"FROM s{depth}"
+    )
+    return _graph_query(body)
+
+
 MICRO_UNIT = 1_000_000
 
 

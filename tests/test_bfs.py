@@ -142,3 +142,45 @@ def test_msbfs_63_source_boundary(spark):
         pred = (i - 1) % n
         assert rows[i]["mask"] == (1 << i) | (1 << pred)
         assert rows[i]["h"] == 1_000_000
+
+
+def test_shortest_path_counts_replay(spark):
+    """sigma on a diamond (two shortest paths) + python BFS replay on a
+    random digraph; dist agrees with plain BFS semantics."""
+    from graphlite_spark.algos.bfs import INF, shortest_path_counts
+    from tests.test_algorithms import make_graph
+    from tests.reference_sim import random_digraph
+
+    # diamond 0->1->3, 0->2->3 then 3->4: sigma(3)=2, sigma(4)=2
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    v, e = make_graph(spark, edges, 6)  # vertex 5 unreachable
+    got = {r["id"]: (r["dist"], r["sigma"])
+           for r in shortest_path_counts(v, e, source=0, depth=7).collect()}
+    assert got == {0: (0, 1), 1: (1, 1), 2: (1, 1), 3: (2, 2), 4: (3, 2),
+                   5: (INF, 0)}
+
+    edges, n = random_digraph(80, 300, seed=13), 80
+    v, e = make_graph(spark, edges, n)
+    got = {r["id"]: (r["dist"], r["sigma"])
+           for r in shortest_path_counts(v, e, source=0, depth=7).collect()}
+    # python replay (layered)
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {0: 0}
+    sigma = {0: 1}
+    frontier = [0]
+    depth = 0
+    while frontier and depth < 7:
+        depth += 1
+        nxt = {}
+        for u in frontier:
+            for w in adj.get(u, []):
+                if w not in dist:
+                    nxt[w] = nxt.get(w, 0) + sigma[u]
+        for w, s_ in nxt.items():
+            dist[w] = depth
+            sigma[w] = s_
+        frontier = list(nxt)
+    expect = {i: (dist.get(i, INF), sigma.get(i, 0)) for i in range(n)}
+    assert got == expect
