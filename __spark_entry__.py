@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from graphlite_spark import oracle as O
-from graphlite_spark.algos.bfs import bfs, shortest_path_counts
+from graphlite_spark.algos.bfs import bfs, shortest_path_counts, stress_from_source
 from graphlite_spark.algos.components import (
     connected_components,
     connected_components_fast,
@@ -347,6 +347,14 @@ def q_sp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layered sigma sums, depth-7 cap shared with the unrolled oracle
     _, v, e = graph_tables(spark, sf_dir)
     return shortest_path_counts(v, e, source=0, depth=7)
+
+
+def q_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stress centrality from source 0 within the 7-hop ball: integer
+    # forward sigma + reverse-layer continuation counts — the
+    # BIGINT-exact cousin of betweenness
+    _, v, e = graph_tables(spark, sf_dir)
+    return stress_from_source(v, e, source=0, depth=7)
 
 
 def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1000,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktruss_3": q_ktruss3,
         "katz_6iter": q_katz,
         "sp_counts_7": q_sp_counts,
+        "stress_source0": q_stress,
         "neighborhood_function": q_neighborhood_function,
         "louvain_refine_lpa3": q_louvain_refine,
         "mis_luby": q_mis,
@@ -1039,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_3": O.ktruss_sql(3, 8),
         "katz_6iter": O.katz_sql(6, 8),
         "sp_counts_7": O.sp_counts_sql(0, 7),
+        "stress_source0": O.stress_sql(0, 7),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),
         "mis_luby": O.mis_sql(32),

@@ -155,3 +155,78 @@ def shortest_path_counts(
         F.coalesce("dist", F.lit(INF)).cast("long").alias("dist"),
         "sigma",
     )
+
+
+def stress_from_source(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source: int = 0,
+    depth: int = 7,
+) -> DataFrame:
+    """(id, dist, sigma, n_paths_through) — single-source STRESS
+    centrality within the depth-d horizon: the number of shortest paths
+    from ``source`` that pass THROUGH each vertex (Shimbel 1953; the
+    integer cousin of betweenness — betweenness normalizes by σ_st and
+    needs rational accumulation, stress counts paths and stays
+    BIGINT-exact, so the oracle is hash-exact).
+
+    Forward pass = :func:`shortest_path_counts` (σ).  Backward pass over
+    the shortest-path DAG in reverse layers: g(v) = Σ over DAG edges
+    v→w (dist w = dist v + 1) of (1 + g(w)) — the number of shortest
+    continuations from v; then paths through v = σ(v) · g(v) (0 for the
+    horizon layer and the source's own terminal count excluded by
+    construction).  Both passes are ``depth`` capped, identically in the
+    oracle — results count paths within the d-ball, stated in the
+    column name's contract.  Per layer: one equi-join + one map-side
+    combined sum; multi-edges count as distinct continuations on both
+    sides, consistent with σ."""
+    spark = edges.sparkSession
+    fwd = shortest_path_counts(vertices, edges, source, depth)
+    e = edges.select("src", "dst").persist()
+    state = fwd.withColumn("g", F.lit(0).cast("long")).localCheckpoint(
+        eager=False
+    )
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for d in range(depth - 1, -1, -1):
+            nxt = state.where(F.col("dist") == d + 1).select(
+                F.col("id").alias("dst"), F.col("g").alias("gw")
+            )
+            contrib = (
+                e.join(nxt, "dst")
+                .groupBy("src")
+                .agg(F.sum(F.lit(1) + F.col("gw")).alias("gs"))
+                .select(F.col("src").alias("cid"), "gs")
+            )
+            state = (
+                state.join(contrib, state["id"] == contrib["cid"], "left")
+                .select(
+                    "id",
+                    "dist",
+                    "sigma",
+                    F.when(
+                        F.col("dist") == d,
+                        F.coalesce("gs", F.lit(0)),
+                    )
+                    .otherwise(F.col("g"))
+                    .cast("long")
+                    .alias("g"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        state.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+        e.unpersist()
+    return state.select(
+        "id",
+        "dist",
+        "sigma",
+        # endpoints are not interior: the source's σ·g would count every
+        # path leaving it, so it reports 0 (standard stress convention)
+        F.when(F.col("id") == source, F.lit(0))
+        .otherwise(F.col("sigma") * F.col("g"))
+        .cast("long")
+        .alias("n_paths_through"),
+    )

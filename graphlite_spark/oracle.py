@@ -405,6 +405,59 @@ def sp_counts_sql(source: int = 0, depth: int = 7,
     return _graph_query(body)
 
 
+def stress_sql(source: int = 0, depth: int = 7,
+               inf: int = (1 << 62) - 1) -> str:
+    """Unrolled stress centrality — the sp_counts forward unroll plus a
+    reverse-layer backward unroll of g(v) = Σ DAG-edges (1 + g(w));
+    identical caps and the source-reports-0 endpoint convention."""
+    parts = [
+        f"s0 AS MATERIALIZED (SELECT id,\n"
+        f"  CASE WHEN id = {source} THEN 0 END AS dist,\n"
+        f"  CAST(CASE WHEN id = {source} THEN 1 ELSE 0 END AS BIGINT) AS sigma\n"
+        f"  FROM vertices)"
+    ]
+    for r in range(1, depth + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"s{r} AS MATERIALIZED (\n"
+            f"  SELECT p.id,\n"
+            f"    CASE WHEN p.dist IS NOT NULL THEN p.dist\n"
+            f"         WHEN m.id IS NOT NULL THEN {r} END AS dist,\n"
+            f"    CAST(CASE WHEN p.dist IS NOT NULL THEN p.sigma\n"
+            f"         WHEN m.id IS NOT NULL THEN m.s\n"
+            f"         ELSE 0 END AS BIGINT) AS sigma\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, SUM(q.sigma) AS s\n"
+            f"    FROM edges e JOIN {prev} q ON q.id = e.src AND q.dist = {r - 1}\n"
+            f"    GROUP BY e.dst) m ON m.id = p.id)"
+        )
+    parts.append(
+        f"g{depth} AS MATERIALIZED (SELECT id, dist, sigma, "
+        f"CAST(0 AS BIGINT) AS g FROM s{depth})"
+    )
+    for d in range(depth - 1, -1, -1):
+        prev = f"g{d + 1}"
+        parts.append(
+            f"g{d} AS MATERIALIZED (\n"
+            f"  SELECT p.id, p.dist, p.sigma,\n"
+            f"    CAST(CASE WHEN p.dist = {d} THEN COALESCE(c.gs, 0)\n"
+            f"         ELSE p.g END AS BIGINT) AS g\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.src AS id, SUM(1 + w.g) AS gs\n"
+            f"    FROM edges e JOIN {prev} w ON w.id = e.dst AND w.dist = {d + 1}\n"
+            f"    GROUP BY e.src) c ON c.id = p.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT id, CAST(COALESCE(dist, {inf}) AS BIGINT) AS dist, sigma,\n"
+        f"  CAST(CASE WHEN id = {source} THEN 0 ELSE sigma * g END AS BIGINT)"
+        f" AS n_paths_through\n"
+        f"FROM g0"
+    )
+    return _graph_query(body)
+
+
 MICRO_UNIT = 1_000_000
 
 

@@ -184,3 +184,61 @@ def test_shortest_path_counts_replay(spark):
         frontier = list(nxt)
     expect = {i: (dist.get(i, INF), sigma.get(i, 0)) for i in range(n)}
     assert got == expect
+
+
+def test_stress_from_source_replay(spark):
+    """Diamond hand-check + exhaustive path enumeration on a random
+    digraph (within the depth horizon)."""
+    from itertools import product
+
+    from graphlite_spark.algos.bfs import stress_from_source
+    from tests.test_algorithms import make_graph
+    from tests.reference_sim import random_digraph
+
+    # diamond + tail: paths 0->{1,2}->3->4; through 3: 0..4 via 1 and 2
+    # to 3 itself? no — THROUGH means interior: to 4 (2 paths) plus
+    # ending at... paths through 3 = s->...->3->4 continuations: 2
+    # (via 1, via 2); plus paths ending AT 3 don't count 3 as interior.
+    edges = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)]
+    v, e = make_graph(spark, edges, 5)
+    got = {r["id"]: r["n_paths_through"]
+           for r in stress_from_source(v, e, source=0, depth=7).collect()}
+    # through 1: 0->1->3 and 0->1->3->4 => 2; same for 2
+    assert got == {0: 0, 1: 2, 2: 2, 3: 2, 4: 0}
+
+    # random digraph: enumerate all shortest paths from 0 up to depth 5
+    edges, n = random_digraph(40, 120, seed=17), 40
+    depth = 5
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    # BFS layers
+    dist = {0: 0}
+    frontier = [0]
+    dd = 0
+    while frontier and dd < depth:
+        dd += 1
+        nxt = []
+        for u in frontier:
+            for w in adj.get(u, []):
+                if w not in dist:
+                    dist[w] = dd
+                    nxt.append(w)
+        frontier = nxt
+    # enumerate shortest paths by DFS over the DAG
+    through = {i: 0 for i in range(n)}
+
+    def walk(path):
+        u = path[-1]
+        for w in adj.get(u, []):
+            if dist.get(w, 10**9) == dist[u] + 1:
+                p2 = path + [w]
+                for interior in p2[1:-1]:
+                    through[interior] += 1
+                walk(p2)
+
+    walk([0])
+    v, e = make_graph(spark, edges, n)
+    got = {r["id"]: r["n_paths_through"]
+           for r in stress_from_source(v, e, source=0, depth=depth).collect()}
+    assert got == through
