@@ -986,6 +986,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degrees": q_out_degrees,
         "degree_histogram": q_degree_histogram,
         "msg_gather_ss1": q_msg_gather_ss1,
+        # new-in-round-4 graph queries run BEFORE the r3-green ones:
+        # a starved tail should starve previously-evidenced entries first
+        "ktruss_3": q_ktruss3,
+        "katz_6iter": q_katz,
+        "sp_counts_7": q_sp_counts,
+        "stress_source0": q_stress,
+        "neighborhood_function": q_neighborhood_function,
+        "louvain_refine_lpa3": q_louvain_refine,
+        "mis_luby": q_mis,
+        "coloring_jp": q_coloring,
         "pagerank_fixed10": q_pagerank_fixed10,
         "ppr_fixed8": q_ppr_fixed8,
         "hits_3iter": q_hits3,
@@ -1005,14 +1015,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_total": q_triangles_total,
         "triangles_per_vertex": q_triangles_per_vertex,
         "clustering_coefficient": q_lcc,
-        "ktruss_3": q_ktruss3,
-        "katz_6iter": q_katz,
-        "sp_counts_7": q_sp_counts,
-        "stress_source0": q_stress,
-        "neighborhood_function": q_neighborhood_function,
-        "louvain_refine_lpa3": q_louvain_refine,
-        "mis_luby": q_mis,
-        "coloring_jp": q_coloring,
         "random_walks_corpus": q_random_walks,
         # -- multi-minute fixpoints last ----------------------------------
         "connected_components_fast": q_components_fast,
