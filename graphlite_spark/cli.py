@@ -29,7 +29,8 @@ from graphlite_spark.plans.derive import derive_edges, derive_vertices
 from graphlite_spark.sources.transcripts import transcripts_from_events
 
 ALGOS = {"pagerank", "ppr", "components", "components-fast", "lpa",
-         "triangles", "bfs", "sssp", "kcore"}
+         "triangles", "bfs", "sssp", "kcore", "ktruss", "mis", "coloring",
+         "katz", "stress"}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -95,6 +96,45 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.output)
         n_core = out.where("in_core").count()
         print(json.dumps({"algo": "kcore", "k": args.k, "in_core": n_core}))
+        return 0
+    if args.algo == "ktruss":
+        from graphlite_spark.algos.triangles import k_truss
+
+        out = k_truss(e, k=max(args.k, 3))
+        out.write.mode("overwrite").parquet(args.output)
+        n_in = out.where("in_truss").count()
+        print(json.dumps({"algo": "ktruss", "k": max(args.k, 3),
+                          "in_truss": n_in}))
+        return 0
+    if args.algo == "mis":
+        from graphlite_spark.algos.mis import maximal_independent_set
+
+        out = maximal_independent_set(v, e)
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"algo": "mis",
+                          "in_mis": out.where("status = 1").count()}))
+        return 0
+    if args.algo == "coloring":
+        from graphlite_spark.algos.mis import greedy_coloring
+
+        out = greedy_coloring(v, e)
+        out.write.mode("overwrite").parquet(args.output)
+        ncol = out.agg({"color": "max"}).collect()[0][0] + 1
+        print(json.dumps({"algo": "coloring", "colors": int(ncol)}))
+        return 0
+    if args.algo == "katz":
+        from graphlite_spark.algos.centrality import katz_centrality
+
+        out = katz_centrality(v, e, iterations=args.iterations)
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"algo": "katz", "rows": out.count()}))
+        return 0
+    if args.algo == "stress":
+        from graphlite_spark.algos.bfs import stress_from_source
+
+        out = stress_from_source(v, e, source=args.source)
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"algo": "stress", "rows": out.count()}))
         return 0
 
     from graphlite_spark.algos.bfs import BFS
