@@ -168,3 +168,111 @@ def streaming_edge_counts(
         .agg(F.count(F.lit(1)).alias("n_turns"))
         .select(F.col("w.start").alias("window_start"), "role", "n_turns")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionization — the incremental analogue of
+# operators/sessions.sessionize (same gap rule, same output columns)
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_seq bigint, n_events bigint, "
+    "start_us bigint, end_us bigint"
+)
+SESSION_STATE_SCHEMA = (
+    "session_seq bigint, start_us bigint, end_us bigint, n_events bigint"
+)
+
+
+def _make_sessionizer(gap_us: int, gap_ms: int):
+    def kern(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Fold arriving event times into gap-separated sessions.
+
+        State = the one OPEN session (seq, start, end, count).  A batch's
+        event times are sorted and split where the gap exceeds the
+        threshold (vectorized diff — Python loops only over the handful
+        of resulting chunks); chunks merge into the open session when
+        within the gap, otherwise the open session is emitted CLOSED and
+        a new one opens.  The open session emits on event-time timeout —
+        once the watermark passes its end + gap nothing can extend it, so
+        the emission is final (exactly the batch operator's session).
+        Late rows that would land inside or before the open session
+        extend/clamp it (count kept; start may move back) — in-order
+        streams never hit that path.
+        """
+        (user_id,) = key
+
+        def row(seq, st, en, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [int(user_id)],
+                    "session_seq": [int(seq)],
+                    "n_events": [int(n)],
+                    "start_us": [int(st)],
+                    "end_us": [int(en)],
+                }
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                seq, st, en, n = state.get
+                yield row(seq, st, en, n)
+            state.remove()
+            return
+        parts = []
+        for pdf in pdfs:
+            parts.append(
+                pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            )
+        ts = np.sort(np.concatenate(parts)) if parts else np.empty(0, "int64")
+        if len(ts) == 0:
+            return
+        if state.exists:
+            seq, st, en, n = state.get
+        else:
+            seq, st, en, n = 0, None, None, 0
+        splits = np.flatnonzero(np.diff(ts) > gap_us)
+        starts = np.concatenate(([0], splits + 1))
+        ends = np.concatenate((splits, [len(ts) - 1]))
+        for s_i, e_i in zip(starts, ends):
+            c_st, c_en, c_n = int(ts[s_i]), int(ts[e_i]), int(e_i - s_i + 1)
+            if st is not None and c_st - en <= gap_us:
+                st, en, n = min(st, c_st), max(en, c_en), n + c_n
+            else:
+                if st is not None:
+                    yield row(seq, st, en, n)
+                seq, st, en, n = seq + 1, c_st, c_en, c_n
+        state.update((int(seq), int(st), int(en), int(n)))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(en // 1000 + gap_ms, wm + 1))
+
+    return kern
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming (user_id, session_seq, n_events, start_us, end_us) —
+    sessions emit as soon as the event-time watermark proves them closed
+    (end + gap behind the watermark).  Same gap rule and columns as the
+    batch ``sessionize``; the integration test snapshots both and checks
+    every emitted session equals its batch counterpart.  State per user =
+    one open session (4 longs) — bounded regardless of stream length."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
+    return (
+        events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionizer(gap_us, gap_ms),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

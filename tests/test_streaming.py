@@ -262,3 +262,78 @@ def test_streaming_incremental_cc_maintenance(spark, tmp_path):
     want = {r["id"]: r["component"]
             for r in connected_components_fast(v_all.select("id"), e_all).collect()}
     assert got == want
+
+
+EVENT_SCHEMA = "user_id bigint, event_id bigint, ts timestamp"
+
+
+def _ev(uid, eid, ts):
+    from datetime import datetime
+
+    return (uid, eid, datetime.fromisoformat(ts))
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Every session the streaming operator emits equals its batch
+    counterpart; sessions emit exactly when the watermark proves them
+    closed, and the still-open tail session is withheld."""
+    from graphlite_spark.operators.sessions import sessionize
+    from graphlite_spark.streaming import streaming_sessionize
+
+    path = str(tmp_path / "events")
+
+    def write(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    # u1: two sessions (09:00-09:10, then 10:00); u2: one session
+    write([
+        _ev(1, 1, "2024-01-01 09:00:00"),
+        _ev(1, 2, "2024-01-01 09:05:00"),
+        _ev(1, 3, "2024-01-01 09:10:00"),
+        _ev(2, 4, "2024-01-01 09:02:00"),
+    ])
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    q = (
+        streaming_sessionize(stream, gap_minutes=30, watermark="10 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: u1 starts session 2; sentinel u99 far in the
+        # future drives the watermark past everyone's end + gap
+        write([
+            _ev(1, 5, "2024-01-01 10:00:00"),
+            _ev(99, 6, "2024-01-01 23:00:00"),
+        ])
+        q.processAllAvailable()
+        write([_ev(99, 7, "2024-01-01 23:30:00")])  # timers fire this batch
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_seq"], r["n_events"], r["start_us"],
+         r["end_us"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    batch = spark.createDataFrame(
+        [
+            _ev(1, 1, "2024-01-01 09:00:00"),
+            _ev(1, 2, "2024-01-01 09:05:00"),
+            _ev(1, 3, "2024-01-01 09:10:00"),
+            _ev(2, 4, "2024-01-01 09:02:00"),
+            _ev(1, 5, "2024-01-01 10:00:00"),
+        ],
+        EVENT_SCHEMA,
+    )
+    want = {
+        (r["user_id"], r["session_seq"], r["n_events"], r["start_us"],
+         r["end_us"])
+        for r in sessionize(batch, gap_minutes=30).collect()
+    }
+    # u99's own session never closes (nothing outlasts it by gap+watermark)
+    assert got == want, (sorted(got), sorted(want))
