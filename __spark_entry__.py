@@ -42,6 +42,7 @@ from graphlite_spark.algos.sssp import INF as SSSP_INF, sssp, sssp_with_parents
 from graphlite_spark.algos.linkpred import adamic_adar
 from graphlite_spark.algos.triangles import (
     k_truss,
+    rectangle_count,
     local_clustering_coefficient,
     triangle_count,
     triangle_count_per_vertex,
@@ -324,6 +325,13 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     # balls stay exact; the estimate is integer arithmetic, hash-exact
     _, v, e = graph_tables(spark, sf_dir)
     return neighborhood_function(v, e, max_h=8, k=8)
+
+
+def q_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # global 4-cycle count: R = sum C(cn,2) / 2 over common-neighbor
+    # pairs, all integer arithmetic
+    _, _, e = graph_tables(spark, sf_dir)
+    return rectangle_count(e)
 
 
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -992,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_6iter": q_katz,
         "sp_counts_7": q_sp_counts,
         "stress_source0": q_stress,
+        "rectangles_total": q_rectangles,
         "neighborhood_function": q_neighborhood_function,
         "louvain_refine_lpa3": q_louvain_refine,
         "mis_luby": q_mis,
@@ -1051,6 +1060,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_6iter": O.katz_sql(6, 8),
         "sp_counts_7": O.sp_counts_sql(0, 7),
         "stress_source0": O.stress_sql(0, 7),
+        "rectangles_total": O.rectangles_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),
         "mis_luby": O.mis_sql(32),

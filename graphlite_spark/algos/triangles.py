@@ -232,3 +232,35 @@ def k_truss(
     return base.join(
         kept, (base["lo"] == kept["klo"]) & (base["hi"] == kept["khi"]), "left"
     ).select("lo", "hi", F.col("klo").isNotNull().alias("in_truss"))
+
+
+def rectangle_count(edges: DataFrame) -> DataFrame:
+    """One row ``(rectangles)`` — the number of 4-cycles in the
+    undirected closure (chorded cycles included, the standard C4 count).
+
+    Every 4-cycle a–x–b–y contributes one common-neighbor pair {x, y} to
+    the endpoint pair {a, b} and vice versa, so R = Σ_{a<b} C(cn(a,b), 2)
+    / 2 — the rectangle-counting identity large-graph mining uses.  Shape:
+    one wedge self-join through the center (quadratic per center degree —
+    on hub-heavy graphs sparsify or cap first; a cap is NOT applied here
+    because it would break the count-each-cycle-twice symmetry the /2
+    relies on) + one map-side-combined count + one global reduce, all
+    integer-exact."""
+    und = _undirected(edges)
+    sym = und.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).unionByName(
+        und.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    e1 = sym.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    e2 = sym.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    cn = (
+        e1.join(e2, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # integer div throughout: the pair sum is always even (each cycle
+    # counted via both opposite pairs), and float division would lose
+    # exactness past 2^53
+    return cn.agg(F.sum(F.expr("(c * (c - 1)) div 2")).alias("s")).select(
+        F.coalesce(F.expr("s div 2"), F.lit(0)).cast("long").alias("rectangles")
+    )

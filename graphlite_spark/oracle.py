@@ -791,6 +791,20 @@ def triangles_total_sql() -> str:
     )
 
 
+def rectangles_sql() -> str:
+    """Mirror of algos.triangles.rectangle_count: R = Σ C(cn,2) / 2 in
+    integer arithmetic."""
+    body = (
+        ", cnp AS MATERIALIZED (\n"
+        "  SELECT e1.dst AS u, e2.dst AS v, count(*) AS c\n"
+        "  FROM und e1 JOIN und e2 ON e2.src = e1.src AND e1.dst < e2.dst\n"
+        "  GROUP BY e1.dst, e2.dst)\n"
+        "SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2) // 2, 0) AS BIGINT)"
+        " AS rectangles\nFROM cnp"
+    )
+    return _graph_query(body)
+
+
 def ktruss_sql(k: int = 3, max_rounds: int = 8) -> str:
     """Unrolled k-truss peel — identical round rule + cap as
     algos.triangles.k_truss, so SQL/Spark equality holds whether or not

@@ -329,3 +329,34 @@ def test_katz_centrality_replay(spark):
     assert got[0] == got[1] == MICRO
     assert min(got[2], got[3], got[4]) > MICRO
     assert got[4] > got[3]  # 4 hears 3's (already-boosted) score plus 0's
+
+
+def test_rectangle_count_brute_force(spark):
+    """Square toy graph + brute-force 4-cycle enumeration on random_100."""
+    from itertools import combinations
+
+    from graphlite_spark.algos.triangles import rectangle_count
+
+    # a single square 0-1-2-3 (+ diagonal chord 0-2 must not change R)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    v, e = make_graph(spark, edges, 4)
+    assert rectangle_count(e).collect()[0]["rectangles"] == 1
+    v, e = make_graph(spark, edges + [(0, 2)], 4)
+    assert rectangle_count(e).collect()[0]["rectangles"] == 1
+
+    edges, n = GRAPHS["random_100"]
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    nbr = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    brute = 0
+    for a, b in combinations(sorted(nbr), 2):
+        cn = len(nbr[a] & nbr[b])
+        brute += cn * (cn - 1) // 2
+    brute //= 2
+    v, e = make_graph(spark, edges, n)
+    assert rectangle_count(e).collect()[0]["rectangles"] == brute
