@@ -360,3 +360,29 @@ def test_rectangle_count_brute_force(spark):
     brute //= 2
     v, e = make_graph(spark, edges, n)
     assert rectangle_count(e).collect()[0]["rectangles"] == brute
+
+
+def test_round4_ops_partition_invariance(spark):
+    """The deterministic round-4 operators are pure functions of the
+    graph: identical outputs when the input arrives repartitioned with a
+    different partition count / row order."""
+    from graphlite_spark.algos.bfs import stress_from_source
+    from graphlite_spark.algos.centrality import katz_centrality
+    from graphlite_spark.algos.mis import greedy_coloring, maximal_independent_set
+    from graphlite_spark.algos.triangles import k_truss
+
+    edges, n = GRAPHS["random_100"]
+    v, e = make_graph(spark, edges, n)
+    v3, e3 = v.repartition(3), e.repartition(7, "dst")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for fn in (
+        lambda vv, ee: maximal_independent_set(vv, ee),
+        lambda vv, ee: greedy_coloring(vv, ee),
+        lambda vv, ee: katz_centrality(vv, ee, iterations=4),
+        lambda vv, ee: stress_from_source(vv, ee, source=0, depth=5),
+        lambda vv, ee: k_truss(ee, k=3, max_rounds=16),
+    ):
+        assert rows(fn(v, e)) == rows(fn(v3, e3))
