@@ -50,6 +50,7 @@ from graphlite_spark.algos.triangles import (
 from graphlite_spark.algos.centrality import harmonic_centrality, katz_centrality
 from graphlite_spark.algos.anf import neighborhood_function
 from graphlite_spark.algos.community import louvain_move
+from graphlite_spark.algos.wl import wl_refinement
 from graphlite_spark.algos.mis import greedy_coloring, maximal_independent_set
 from graphlite_spark.algos.sampling import sample_neighbors
 from graphlite_spark.algos.walks import node2vec_walks, random_walks
@@ -325,6 +326,13 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     # balls stay exact; the estimate is integer arithmetic, hash-exact
     _, v, e = graph_tables(spark, sf_dir)
     return neighborhood_function(v, e, max_h=8, k=8)
+
+
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 1-WL color refinement, 3 rounds: per-vertex structural fingerprint
+    # (hash-exact — the refinement string is identical on both engines)
+    _, v, e = graph_tables(spark, sf_dir)
+    return wl_refinement(v, e, iterations=3)
 
 
 def q_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1001,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_counts_7": q_sp_counts,
         "stress_source0": q_stress,
         "rectangles_total": q_rectangles,
+        "wl_colors_3": q_wl_colors,
         "neighborhood_function": q_neighborhood_function,
         "louvain_refine_lpa3": q_louvain_refine,
         "mis_luby": q_mis,
@@ -1061,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         "sp_counts_7": O.sp_counts_sql(0, 7),
         "stress_source0": O.stress_sql(0, 7),
         "rectangles_total": O.rectangles_sql(),
+        "wl_colors_3": O.wl_sql(3),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),
         "mis_luby": O.mis_sql(32),

@@ -791,6 +791,39 @@ def triangles_total_sql() -> str:
     )
 
 
+def wl_sql(iterations: int = 3) -> str:
+    """Unrolled 1-WL refinement — the identical ``wl:<own>:<sorted
+    neighbor colors>`` hash string as algos.wl.wl_refinement."""
+    parts = [
+        "w0 AS MATERIALIZED (SELECT id, "
+        + _h48("'wl:0'")
+        + " AS color FROM vertices)"
+    ]
+    for r in range(1, iterations + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"wn{r} AS MATERIALIZED (\n"
+            f"  SELECT u.dst AS id,\n"
+            f"    string_agg(CAST(c.color AS VARCHAR), ',' ORDER BY c.color)"
+            f" AS nbrs\n"
+            f"  FROM und u JOIN {prev} c ON c.id = u.src\n"
+            f"  GROUP BY u.dst)"
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (\n"
+            f"  SELECT v.id, "
+            + _h48(
+                "'wl:' || CAST(v.color AS VARCHAR) || ':' || "
+                "COALESCE(n.nbrs, '')"
+            )
+            + " AS color\n"
+            f"  FROM {prev} v LEFT JOIN wn{r} n ON n.id = v.id)"
+        )
+    joined = ",\n".join(parts)
+    body = f", {joined}\nSELECT id, color FROM w{iterations}"
+    return _graph_query(body)
+
+
 def rectangles_sql() -> str:
     """Mirror of algos.triangles.rectangle_count: R = Σ C(cn,2) / 2 in
     integer arithmetic."""

@@ -386,3 +386,40 @@ def test_round4_ops_partition_invariance(spark):
         lambda vv, ee: k_truss(ee, k=3, max_rounds=16),
     ):
         assert rows(fn(v, e)) == rows(fn(v3, e3))
+
+
+def test_wl_refinement_properties(spark):
+    """WL invariants: isomorphic placements get equal colors, the
+    refinement distinguishes a path's interior from its ends, and a
+    python replay of the exact hash chain agrees."""
+    import hashlib
+
+    from graphlite_spark.algos.wl import wl_refinement
+
+    def h48(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:12], 16)
+
+    # path 0-1-2-3: ends {0,3} one color, interior {1,2} another
+    edges = [(0, 1), (1, 2), (2, 3)]
+    v, e = make_graph(spark, edges, 4)
+    got = {r["id"]: r["color"] for r in wl_refinement(v, e, 3).collect()}
+    assert got[0] == got[3] and got[1] == got[2] and got[0] != got[1]
+
+    # python replay on random_100
+    edges, n = GRAPHS["random_100"]
+    und = {i: [] for i in range(n)}
+    for s, d in edges:
+        if s != d:
+            und[s].append(d)
+            und[d].append(s)
+    und = {i: sorted(set(ws)) for i, ws in und.items()}
+    col = {i: h48("wl:0") for i in range(n)}
+    for _ in range(3):
+        nxt = {}
+        for i in range(n):
+            nbrs = ",".join(str(c) for c in sorted(col[w] for w in und[i]))
+            nxt[i] = h48(f"wl:{col[i]}:{nbrs}")
+        col = nxt
+    v, e = make_graph(spark, edges, n)
+    got = {r["id"]: r["color"] for r in wl_refinement(v, e, 3).collect()}
+    assert got == col
