@@ -70,7 +70,11 @@ from graphlite_spark.functions.text import (
     rolling_hash_expr,
     tokens_expr,
 )
-from graphlite_spark.algos.stats import degree_assortativity, modularity
+from graphlite_spark.algos.stats import (
+    attribute_assortativity,
+    degree_assortativity,
+    modularity,
+)
 from graphlite_spark.operators.dedup import (
     dedup_exact,
     dedup_representatives,
@@ -326,6 +330,17 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     # balls stay exact; the estimate is integer arithmetic, hash-exact
     _, v, e = graph_tables(spark, sf_dir)
     return neighborhood_function(v, e, max_h=8, k=8)
+
+
+def q_role_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # do reply/tool edges connect like roles? Newman categorical
+    # assortativity over the role labels — exact integer mixing counts,
+    # one float division
+    t, v, e = graph_tables(spark, sf_dir)
+    labels = v.join(t.select("conv_id", "turn_idx", "role"),
+                    ["conv_id", "turn_idx"]).select(
+        "id", F.col("role").alias("label"))
+    return attribute_assortativity(e, labels)
 
 
 def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1010,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stress_source0": q_stress,
         "rectangles_total": q_rectangles,
         "wl_colors_3": q_wl_colors,
+        "role_assortativity": q_role_assortativity,
         "neighborhood_function": q_neighborhood_function,
         "louvain_refine_lpa3": q_louvain_refine,
         "mis_luby": q_mis,
@@ -1071,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "stress_source0": O.stress_sql(0, 7),
         "rectangles_total": O.rectangles_sql(),
         "wl_colors_3": O.wl_sql(3),
+        "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),
         "mis_luby": O.mis_sql(32),

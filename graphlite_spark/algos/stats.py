@@ -103,3 +103,49 @@ def modularity(
             "modularity"
         ),
     )
+
+
+def attribute_assortativity(
+    edges: DataFrame, labels: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """One row (n_edges, assortativity) — Newman's categorical
+    assortativity coefficient over DIRECTED edges whose endpoints carry
+    ``labels (id, label)``:
+
+        r = (m·Σ_i e_ii − Σ_i a_i·b_i) / (m² − Σ_i a_i·b_i)
+
+    with e_ii the same-label edge count, a_i/b_i the per-label src/dst
+    edge counts and m the labeled edge total — all exact integer
+    aggregates, one float division at the end (6dp), so the result
+    cannot diverge across engines.  NULL when every edge shares one
+    label (denominator 0).  Shape: two vertex-sized label joins + two
+    map-side-combined grouped counts + a 1-row reduce."""
+    ls = labels.select(F.col("id").alias("src"), F.col(label_col).alias("la"))
+    ld = labels.select(F.col("id").alias("dst"), F.col(label_col).alias("lb"))
+    ee = edges.select("src", "dst").join(ls, "src").join(ld, "dst")
+    per = ee.groupBy("la", "lb").agg(F.count(F.lit(1)).alias("c"))
+    # per-label partials, then ONE global reduce — the modularity shape
+    # (a 1-row cross join of separate aggregates is plan-guard-banned)
+    a = per.groupBy("la").agg(
+        F.sum("c").alias("ai"),
+        F.sum(
+            F.when(F.col("la") == F.col("lb"), F.col("c")).otherwise(0)
+        ).alias("same_i"),
+    )
+    b = per.groupBy(F.col("lb").alias("la")).agg(F.sum("c").alias("bi"))
+    per_label = a.join(b, "la", "full").select(
+        F.coalesce("ai", F.lit(0)).alias("ai"),
+        F.coalesce("bi", F.lit(0)).alias("bi"),
+        F.coalesce("same_i", F.lit(0)).alias("same_i"),
+    )
+    sums = per_label.agg(
+        F.sum("ai").alias("m"),
+        F.sum("same_i").alias("same"),
+        F.sum(F.col("ai") * F.col("bi")).alias("sab"),
+    )
+    num = (F.col("m") * F.col("same") - F.col("sab")).cast("double")
+    den = (F.col("m") * F.col("m") - F.col("sab")).cast("double")
+    return sums.select(
+        F.col("m").cast("long").alias("n_edges"),
+        F.when(den != 0, F.round(num / den, 6)).alias("assortativity"),
+    )

@@ -1204,6 +1204,34 @@ def degree_assortativity_sql() -> str:
     )
 
 
+def role_assortativity_sql() -> str:
+    """Mirror of algos.stats.attribute_assortativity with role labels
+    from the transcript adapter (tv carries (id, role))."""
+    body = """
+, ee AS MATERIALIZED (
+  SELECT s.role AS la, d.role AS lb
+  FROM edges e JOIN tv s ON s.id = e.src JOIN tv d ON d.id = e.dst),
+per AS MATERIALIZED (SELECT la, lb, count(*) AS c FROM ee GROUP BY la, lb),
+pa AS MATERIALIZED (
+  SELECT la, SUM(c) AS ai,
+         SUM(CASE WHEN la = lb THEN c ELSE 0 END) AS same_i
+  FROM per GROUP BY la),
+pb AS MATERIALIZED (SELECT lb AS la, SUM(c) AS bi FROM per GROUP BY lb),
+pl AS MATERIALIZED (
+  SELECT COALESCE(pa.ai, 0) AS ai, COALESCE(pb.bi, 0) AS bi,
+         COALESCE(pa.same_i, 0) AS same_i
+  FROM pa FULL JOIN pb ON pb.la = pa.la)
+SELECT CAST(SUM(ai) AS BIGINT) AS n_edges,
+  CASE WHEN SUM(ai) * SUM(ai) - SUM(ai * bi) <> 0
+       THEN round(
+         CAST(SUM(ai) * SUM(same_i) - SUM(ai * bi) AS DOUBLE)
+         / CAST(SUM(ai) * SUM(ai) - SUM(ai * bi) AS DOUBLE), 6)
+  END AS assortativity
+FROM pl
+""".strip()
+    return _graph_query(body)
+
+
 def modularity_sql() -> str:
     """Mirror of algos.stats.modularity over the conversation partition
     (label = conv_id): the exact rational (m2·Σe_c − Σd_c²)/m2² with

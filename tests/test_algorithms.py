@@ -423,3 +423,43 @@ def test_wl_refinement_properties(spark):
     v, e = make_graph(spark, edges, n)
     got = {r["id"]: r["color"] for r in wl_refinement(v, e, 3).collect()}
     assert got == col
+
+
+def test_attribute_assortativity_known_values(spark):
+    """Hand-checked mixing: perfectly assortative = 1; a checkerboard
+    bipartite-by-label graph is maximally disassortative; python replay
+    on a random labeled graph."""
+    from graphlite_spark.algos.stats import attribute_assortativity
+
+    def run(edges, labels, n):
+        v, e = make_graph(spark, edges, n)
+        ldf = spark.createDataFrame(list(labels.items()), "id long, label string")
+        return attribute_assortativity(e, ldf).collect()[0]
+
+    # two label-pure components: r = 1
+    r = run([(0, 1), (1, 0), (2, 3), (3, 2)],
+            {0: "a", 1: "a", 2: "b", 3: "b"}, 4)
+    assert r["n_edges"] == 4 and r["assortativity"] == 1.0
+
+    # all edges cross labels: e_ii = 0
+    r = run([(0, 2), (2, 1), (1, 3), (3, 0)],
+            {0: "a", 1: "a", 2: "b", 3: "b"}, 4)
+    assert r["assortativity"] < 0
+
+    # replay
+    edges, n = GRAPHS["random_100"]
+    labels = {i: "lbl%d" % (i % 3) for i in range(n)}
+    got = run(edges, labels, n)
+    per = {}
+    for s, d in edges:
+        per[(labels[s], labels[d])] = per.get((labels[s], labels[d]), 0) + 1
+    m = sum(per.values())
+    same = sum(c for (a, b), c in per.items() if a == b)
+    cats = {x for ab in per for x in ab}
+    sab = sum(
+        sum(c for (a, _), c in per.items() if a == x)
+        * sum(c for (_, b), c in per.items() if b == x)
+        for x in cats
+    )
+    expect = round((m * same - sab) / (m * m - sab), 6)
+    assert got["n_edges"] == m and abs(got["assortativity"] - expect) < 1e-9
