@@ -54,6 +54,12 @@ GUARDED = [
     # in a checkpoint scan with nothing left to guard
     "ktruss_3",
     "bloom_semijoin",
+    "rectangles_total",
+    "role_assortativity",
+    "quantile_buckets",
+    "bigram_next_topk",
+    "heavy_hitters_users",
+    "louvain_refine_lpa3",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
