@@ -68,7 +68,8 @@ def neighborhood_function(
         per_v = s.groupBy("id").agg(
             F.count(F.lit(1)).alias("n"), F.max("hv").alias("hk")
         )
-        return per_v.select(F.sum(est_expr).alias("s")).collect()[0]["s"]
+        total = per_v.select(F.sum(est_expr).alias("s")).collect()[0]["s"]
+        return total if total is not None else 0  # empty vertex set
 
     rows = [(0, int(n_of_h(state)))]
     saved = spark.conf.get("spark.sql.adaptive.enabled")

@@ -49,7 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-id", default="cli")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest complete checkpoint manifest")
-    p.add_argument("--iterations", type=int, default=5, help="LPA iterations")
+    p.add_argument("--iterations", type=int, default=None,
+                   help="iteration count (default: 5 for lpa, 6 for katz)")
     p.add_argument("--eps", type=float, default=1e-6)
     p.add_argument("--source", type=int, default=0, help="bfs/sssp/ppr source")
     p.add_argument("--k", type=int, default=2, help="kcore k")
@@ -100,11 +101,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.algo == "ktruss":
         from graphlite_spark.algos.triangles import k_truss
 
-        out = k_truss(e, k=max(args.k, 3))
+        if args.k < 3:
+            print("ktruss requires --k >= 3 (k=2 is the whole graph)",
+                  file=sys.stderr)
+            return 2
+        out = k_truss(e, k=args.k)
         out.write.mode("overwrite").parquet(args.output)
         n_in = out.where("in_truss").count()
-        print(json.dumps({"algo": "ktruss", "k": max(args.k, 3),
-                          "in_truss": n_in}))
+        print(json.dumps({"algo": "ktruss", "k": args.k, "in_truss": n_in}))
         return 0
     if args.algo == "mis":
         from graphlite_spark.algos.mis import maximal_independent_set
@@ -119,13 +123,14 @@ def main(argv: list[str] | None = None) -> int:
 
         out = greedy_coloring(v, e)
         out.write.mode("overwrite").parquet(args.output)
-        ncol = out.agg({"color": "max"}).collect()[0][0] + 1
+        mx = out.agg({"color": "max"}).collect()[0][0]
+        ncol = (mx + 1) if mx is not None else 0
         print(json.dumps({"algo": "coloring", "colors": int(ncol)}))
         return 0
     if args.algo == "katz":
         from graphlite_spark.algos.centrality import katz_centrality
 
-        out = katz_centrality(v, e, iterations=args.iterations)
+        out = katz_centrality(v, e, iterations=args.iterations or 6)
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"algo": "katz", "rows": out.count()}))
         return 0
@@ -147,7 +152,7 @@ def main(argv: list[str] | None = None) -> int:
     algo_obj = {"pagerank": PageRank(eps=args.eps),
                 "ppr": PersonalizedPageRank(source=args.source, eps=args.eps),
                 "components": ConnectedComponents(),
-                "lpa": LabelPropagation(args.iterations),
+                "lpa": LabelPropagation(args.iterations or 5),
                 "bfs": BFS(source=args.source),
                 "sssp": SSSP(source=args.source)}[args.algo]
     graph_e = e if args.algo in ("pagerank", "ppr", "bfs", "sssp") else symmetrize(e)

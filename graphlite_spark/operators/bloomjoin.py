@@ -45,10 +45,15 @@ def build_bloom_words(
     if num_bits % 64 != 0:
         raise ValueError("num_bits must be a multiple of 64")
     k = keys.select(F.col(key_col).alias("k")).distinct()
-    pos = None
-    for i in range(num_hashes):
-        p = k.select(_pos(F.col("k"), i, num_bits, salt).alias("pos"))
-        pos = p if pos is None else pos.unionByName(p)
+    # all num_hashes positions in ONE pass over the distinct keys (an
+    # exploded array of the k position expressions), preserving the
+    # documented one-distinct + one-groupBy build cost
+    pos = k.select(
+        F.explode(
+            F.array(*[_pos(F.col("k"), i, num_bits, salt)
+                      for i in range(num_hashes)])
+        ).alias("pos")
+    )
     words = (
         pos.distinct()
         .select(
