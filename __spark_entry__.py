@@ -76,6 +76,7 @@ from graphlite_spark.algos.stats import (
     modularity,
 )
 from graphlite_spark.operators.dedup import (
+    contamination_report,
     dedup_exact,
     dedup_representatives,
     embedding_near_dups,
@@ -420,6 +421,16 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact_distinct rides along as the accuracy witness
     ev = load_table(spark, sf_dir, "events")
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: n-gram CONTAINMENT of each training doc
+    # against a (deterministic doc_id%29) held-out "benchmark" subset —
+    # the small side broadcast, the corpus touched once, no self-join
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    corpus = docs.where(F.col("doc_id") % 29 != 0)
+    return contamination_report(corpus, bench, threshold=0.15)
 
 
 def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_fingerprint,
         "text_rolling_fp": q_rolling_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "decontaminate_ngram": q_contamination,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_ngram_jaccard_filtered": q_ngram_jaccard_filtered,
         "dedup_minhash_lsh": q_minhash_lsh,
@@ -1137,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         # branch) and derives the superstep count from the first crossing
         "pagerank_converged": O.pagerank_converged_sql(),
         "dedup_exact": O.dedup_exact_sql(),
+        "decontaminate_ngram": O.contamination_sql(0.15, 29),
         "dedup_ngram_jaccard": O.ngram_jaccard_sql(0.3, max_doc_freq=0.01),
         "dedup_ngram_jaccard_filtered": O.ngram_jaccard_sql(0.1, max_doc_freq=0.01),
         "dedup_minhash_lsh": O.minhash_lsh_sql(),

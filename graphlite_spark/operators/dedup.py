@@ -25,7 +25,7 @@ exploits.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphlite_spark.functions.hashes import SEP, hash48
@@ -334,4 +334,57 @@ def dedup_representatives(
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("quality").alias("rep_quality"),
         )
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bench_id, shared, n_shingles, containment) — benchmark
+    DECONTAMINATION: for each training doc, its best-overlapping
+    benchmark doc by n-gram CONTAINMENT (shared shingles / the doc's own
+    shingle count — the directional measure decontamination uses, not
+    Jaccard: a short benchmark prompt embedded in a long doc must still
+    flag).  Rows only for containment >= threshold; best match picked by
+    (shared DESC, bench_id ASC) per doc.
+
+    Scale shape: the benchmark side is small by definition (an eval
+    suite), so its shingle table broadcast-joins against the corpus
+    shingles — the corpus is touched once, no self-join, no shuffle of
+    the corpus by shingle.  Exact integers + one 6dp division."""
+    sh_docs = _doc_shingles(docs, id_col, text_col, n)
+    sh_bench = _doc_shingles(benchmark, id_col, text_col, n).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    sizes = sh_docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        sh_docs.join(F.broadcast(sh_bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("shared").desc(), F.col("bench_id").asc()
+    )
+    best = (
+        shared.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.round(F.col("shared") / F.col("n_shingles"), 6).alias(
+                "containment"
+            ),
+        )
+        .where(F.col("containment") >= threshold)
     )

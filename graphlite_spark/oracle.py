@@ -1525,6 +1525,35 @@ _JACCARD_CTES = (
 )
 
 
+def contamination_sql(threshold: float = 0.15, bench_mod: int = 29) -> str:
+    """Mirror of operators.dedup.contamination_report with the entry
+    query's deterministic corpus/benchmark split (doc_id % mod == 0 →
+    benchmark)."""
+    return (
+        f"WITH {TOKS_CTE},\n{_SHINGLES_CTE},\n"
+        f"shd AS MATERIALIZED (SELECT * FROM sh WHERE doc_id % {bench_mod} <> 0),\n"
+        f"shb AS MATERIALIZED (SELECT doc_id AS bench_id, shingle FROM sh"
+        f" WHERE doc_id % {bench_mod} = 0),\n"
+        "sizes AS MATERIALIZED (\n"
+        "  SELECT doc_id, count(*) AS n_shingles FROM shd GROUP BY doc_id),\n"
+        "shared AS MATERIALIZED (\n"
+        "  SELECT d.doc_id, b.bench_id, count(*) AS shared\n"
+        "  FROM shd d JOIN shb b ON b.shingle = d.shingle\n"
+        "  GROUP BY d.doc_id, b.bench_id),\n"
+        "best AS MATERIALIZED (\n"
+        "  SELECT doc_id, bench_id, shared FROM (\n"
+        "    SELECT doc_id, bench_id, shared,\n"
+        "      row_number() OVER (PARTITION BY doc_id\n"
+        "        ORDER BY shared DESC, bench_id ASC) AS rn\n"
+        "    FROM shared) WHERE rn = 1)\n"
+        "SELECT b.doc_id, b.bench_id, CAST(b.shared AS BIGINT) AS shared,\n"
+        "  CAST(s.n_shingles AS BIGINT) AS n_shingles,\n"
+        "  round(b.shared / s.n_shingles, 6) AS containment\n"
+        "FROM best b JOIN sizes s ON s.doc_id = b.doc_id\n"
+        f"WHERE round(b.shared / s.n_shingles, 6) >= {threshold}"
+    )
+
+
 def ngram_jaccard_sql(threshold: float = 0.3,
                       max_doc_freq: float | None = None) -> str:
     """``max_doc_freq`` mirrors the Spark stop-shingle filter exactly

@@ -84,3 +84,34 @@ def test_kmv_sketch(spark):
     assert got["b"] == (est, 500)
     # sanity: the estimate lands in a plausible band for k=64
     assert 300 < got["b"][0] < 800
+
+
+def test_contamination_report(spark):
+    """Containment flags a doc embedding a benchmark prompt even when
+    the doc is much longer (the directional case Jaccard misses)."""
+    from graphlite_spark.operators.dedup import contamination_report
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark 4-gram inside a longer doc
+            (1, "x y z alpha beta gamma delta p q r s t u v w"),
+            # no overlap
+            (2, "one two three four five six seven"),
+            # partial: shares one 3-gram
+            (3, "alpha beta gamma nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           contamination_report(docs, bench, threshold=0.05).collect()}
+    assert 2 not in got
+    assert got[1]["bench_id"] == 100 and got[1]["shared"] == 2
+    assert got[3]["shared"] == 1
+    # containment = shared / doc's own shingles
+    assert got[1]["containment"] == round(2 / 13, 6)
+    # jaccard for doc 1 would be 2/(13+2-2)=0.154 vs containment 0.154...
+    # the directional property: lengthen doc 1 and containment falls but
+    # stays proportional to the doc, never diluted by the bench size
