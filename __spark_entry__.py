@@ -47,12 +47,20 @@ from graphlite_spark.algos.triangles import (
     triangle_count,
     triangle_count_per_vertex,
 )
-from graphlite_spark.algos.centrality import harmonic_centrality, katz_centrality
+from graphlite_spark.algos.centrality import (
+    eccentricity,
+    harmonic_centrality,
+    katz_centrality,
+)
 from graphlite_spark.algos.anf import neighborhood_function
 from graphlite_spark.algos.community import louvain_move
 from graphlite_spark.algos.wl import wl_refinement
 from graphlite_spark.algos.mis import greedy_coloring, maximal_independent_set
 from graphlite_spark.algos.sampling import sample_neighbors
+from graphlite_spark.algos.scc import (
+    conversation_loop_edges,
+    strongly_connected_components,
+)
 from graphlite_spark.algos.walks import node2vec_walks, random_walks
 from graphlite_spark.functions.hashes import hash48
 from graphlite_spark.operators.cooccurrence import token_cooccurrence
@@ -61,7 +69,10 @@ from graphlite_spark.operators.quantiles import grouped_quantiles, quantile_buck
 from graphlite_spark.operators.tfidf import tf_idf, tfidf_cosine_pairs
 from graphlite_spark.operators.bloomjoin import bloom_semi_join_stats
 from graphlite_spark.operators.profiling import heavy_hitters, partition_histogram
-from graphlite_spark.operators.ngram_lm import bigram_next_topk
+from graphlite_spark.operators.ngram_lm import (
+    bigram_next_topk,
+    doc_bigram_hit_rate,
+)
 from graphlite_spark.operators.sketches import kmv_distinct_by
 from graphlite_spark.functions.text import (
     fingerprint_expr,
@@ -397,6 +408,29 @@ def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return katz_centrality(v, e, iterations=6, alpha_den=8)
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCC over the directed reply/tool graph + one loop-closure edge per
+    # conversation (last turn -> first turn).  The raw graph is a DAG
+    # (edges always point to a later turn), so raw SCCs are all
+    # singletons; the closure collapses each multi-turn conversation
+    # into one non-trivial SCC — FW/BW min-label peel with pointer
+    # shortcutting on the Spark side, exact recursive closure in the
+    # oracle
+    _, v, e = graph_tables(spark, sf_dir)
+    closed = e.select("src", "dst").unionByName(conversation_loop_edges(v))
+    return strongly_connected_components(v, closed)
+
+
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source eccentricity + reached count from the MS-BFS aggregator
+    # TIMELINE (bit_or of newly-arrived mask bits per superstep) — the
+    # global-aggregator surface (op #12) turned into a query result;
+    # max(eccentricity) is the standard diameter lower bound.  Same
+    # 7-hop horizon as harmonic_msbfs (fixed_supersteps=8, ss0 = seed)
+    _, v, e = graph_tables(spark, sf_dir)
+    return eccentricity(v, e, sources=[0, 100, 200, 300], fixed_supersteps=8)
+
+
 def q_ktruss3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-truss: edges in >= 1 triangle within the surviving subgraph —
     # the edge analogue of k-core.  The transcript graph's triangles come
@@ -473,6 +507,15 @@ def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tool").cast("long").alias("n_distinct_tools"),
         (F.max(ts_us) - F.min(ts_us)).cast("long").alias("duration_us"),
     )
+
+
+def q_lm_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count-based LM quality probe: per-document fraction of bigrams the
+    # corpus has seen >= 2 times, integer micro-units — the BIGINT-exact
+    # stand-in for perplexity filtering (both distribution tails are the
+    # filter targets: garble scores low, boilerplate scores 10^6)
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_bigram_hit_rate(docs, min_count=2)
 
 
 def q_bigram_next(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -990,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_conv": q_modularity,
         "pack_documents": q_pack_documents,
         "build_vocab": q_build_vocab,
+        "lm_hit_rate": q_lm_hit_rate,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "sample_neighbors": q_sample_neighbors,
@@ -1031,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msg_gather_ss1": q_msg_gather_ss1,
         # new-in-round-4 graph queries run BEFORE the r3-green ones:
         # a starved tail should starve previously-evidenced entries first
+        "scc_conv_cycles": q_scc,
+        "eccentricity_msbfs": q_eccentricity,
         "ktruss_3": q_ktruss3,
         "katz_6iter": q_katz,
         "sp_counts_7": q_sp_counts,
@@ -1093,6 +1139,8 @@ def oracle_sql() -> dict[str, str]:
         "triangles_total": O.triangles_total_sql(),
         "triangles_per_vertex": O.triangles_per_vertex_sql(),
         "clustering_coefficient": O.lcc_sql(),
+        "scc_conv_cycles": O.scc_sql(loop_closure=True),
+        "eccentricity_msbfs": O.eccentricity_sql((0, 100, 200, 300), 8),
         "ktruss_3": O.ktruss_sql(3, 8),
         "katz_6iter": O.katz_sql(6, 8),
         "sp_counts_7": O.sp_counts_sql(0, 7),
@@ -1124,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
         "modularity_conv": O.modularity_sql(),
         "pack_documents": O.pack_documents_sql(256, 8),
         "build_vocab": O.build_vocab_sql(2),
+        "lm_hit_rate": O.doc_bigram_hit_rate_sql(2),
         "events_asof": O.events_asof_sql("purchase", "click"),
         "events_range_join": O.events_range_join_sql(
             "purchase", "error", 3_600_000_000

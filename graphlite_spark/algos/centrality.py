@@ -134,6 +134,69 @@ def harmonic_centrality(
     return eng.run(vertices, edges, algo)
 
 
+class MultiSourceBFSEcc(MultiSourceBFS):
+    """MS-BFS + a per-superstep GLOBAL aggregator: the bitwise OR of the
+    mask bits that arrived anywhere this superstep.  Eccentricity needs
+    no per-vertex per-source distance — ecc(s) is simply the LAST
+    superstep at which source s's frontier was non-empty, which is
+    exactly "bit s set in the newly-arrived OR".  One extra column on
+    the existing single stats action (op #12, arbitrary merge fn =
+    ``bit_or``) — zero additional shuffles or actions."""
+
+    name = "msbfs_eccentricity"
+
+    def aggregators(self, superstep: int, aggr: dict):
+        newly = F.col("value").getField("mask").bitwiseAND(
+            F.bitwise_not(F.col("old_value").getField("mask"))
+        )
+        return {"newly_or": (newly, F.bit_or)}
+
+
+def eccentricity(
+    vertices: DataFrame,
+    edges: DataFrame,
+    sources: list[int],
+    fixed_supersteps: int | None = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(source, eccentricity, reached) per BFS source — eccentricity
+    within the ``fixed_supersteps - 1``-hop horizon (the engine's ss0
+    convention; pass None to run to frontier exhaustion, giving the true
+    eccentricity within each source's reachable set), reached = vertices
+    holding the source's bit (self included).  max(eccentricity) over
+    sources is the standard diameter lower bound.
+
+    The per-source values come from the aggregator TIMELINE
+    (res.metrics), not from a second pass over the state: k sources cost
+    one traversal and one k-column popcount aggregate."""
+    algo = MultiSourceBFSEcc(sources, fixed_supersteps=fixed_supersteps)
+    eng = PregelEngine(num_partitions=num_partitions)
+    res = eng.run(vertices, edges, algo)
+    spark = vertices.sparkSession
+    ecc = {i: 0 for i in range(len(sources))}
+    for m in res.metrics:
+        if m.superstep < 1:
+            continue  # ss0 arrivals are the sources themselves (d=0)
+        newly = int(m.aggregates.get("newly_or") or 0)
+        for i in range(len(sources)):
+            if (newly >> i) & 1:
+                ecc[i] = max(ecc[i], m.superstep)
+    mask = F.col("value").getField("mask")
+    reach_row = res.state.agg(
+        *[
+            F.sum(F.shiftright(mask, i).bitwiseAND(F.lit(1))).alias(f"r{i}")
+            for i in range(len(sources))
+        ]
+    ).first()
+    rows = [
+        (int(s), int(ecc[i]), int(reach_row[f"r{i}"]))
+        for i, s in enumerate(sources)
+    ]
+    return spark.createDataFrame(
+        rows, "source long, eccentricity long, reached long"
+    )
+
+
 def katz_centrality(
     vertices: DataFrame,
     edges: DataFrame,

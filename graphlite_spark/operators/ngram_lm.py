@@ -47,6 +47,80 @@ def bigram_counts(
     return out
 
 
+def doc_bigram_hit_rate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """(doc_id, n_bigrams, n_known, hit_micros) — per-document count-based
+    LM probe: the fraction of a document's ordered token bigrams whose
+    corpus-wide count is >= ``min_count``, as integer micro-units
+    (``10^6 * n_known div n_bigrams``; 0 for documents shorter than two
+    tokens).  This is the cheap stand-in for perplexity-based quality
+    filtering in a training-data pipeline: text whose transitions are
+    mostly corpus-novel (low hit rate) is noise/garble, text whose
+    transitions are all ultra-common is boilerplate — both ends of the
+    distribution are the filter targets.  Kept BIGINT-exact (counts and
+    one integer division) so the oracle comparison is hash-exact — the
+    same discipline as tf_idf/katz, instead of a summation-order-
+    dependent float log-prob.
+
+    Scale shape: bigram extraction is the same pure expression as
+    :func:`bigram_counts` (no window, no self-join); per-(doc, pair)
+    multiplicities map-side combine before the corpus-table equi-join
+    (pair-keyed, both sides pair-aggregated so frequent bigrams are one
+    row each, not a skew axis), then one map-side-combined per-doc sum."""
+    t = tokens_expr(text_col)
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, "p.w1", "p.w2"
+    )
+    # per-(doc, pair) multiplicity first: the join input is pair-distinct
+    # per doc, and the count shuffle map-side combines
+    per_pair = bg.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    corpus = bigram_counts(docs, text_col, min_count).select("w1", "w2")
+    per_doc = (
+        per_pair.join(corpus.withColumn("known", F.lit(1)), ["w1", "w2"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("known").isNotNull(), F.col("m")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_known"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_known", F.lit(0)).cast("long").alias("n_known"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.expr("(1000000 * n_known) div n_bigrams")
+            )
+            .cast("long")
+            .alias("hit_micros"),
+        )
+    )
+
+
 def bigram_next_topk(
     docs: DataFrame,
     text_col: str = "text",

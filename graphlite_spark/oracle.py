@@ -495,6 +495,49 @@ def harmonic_sql(sources: tuple[int, ...] = (0, 1, 2, 3),
     return _graph_query(body)
 
 
+def eccentricity_sql(sources: tuple[int, ...] = (0, 100, 200, 300),
+                     supersteps: int = 8) -> str:
+    """Mirror of algos.centrality.eccentricity: the same unrolled MS-BFS
+    mask levels as harmonic_sql; ecc(s) = the max level at which bit i
+    newly appears ANYWHERE (the aggregator-timeline semantics), reached =
+    final popcount of bit i (self included)."""
+    cases = " ".join(
+        f"WHEN {s} THEN {1 << i}" for i, s in enumerate(sources)
+    )
+    parts = [
+        f"m0 AS MATERIALIZED (SELECT id,\n"
+        f"  CAST(CASE id {cases} ELSE 0 END AS BIGINT) AS mask"
+        " FROM vertices)"
+    ]
+    for t in range(1, supersteps):
+        prev = f"m{t - 1}"
+        parts.append(
+            f"m{t} AS MATERIALIZED (\n"
+            "  SELECT v.id, v.mask | COALESCE(i.im, 0) AS mask\n"
+            f"  FROM {prev} v LEFT JOIN (\n"
+            "    SELECT e.dst AS id, bit_or(s.mask) AS im\n"
+            f"    FROM edges e JOIN {prev} s ON s.id = e.src"
+            " AND s.mask <> 0\n"
+            "    GROUP BY e.dst) i ON i.id = v.id)"
+        )
+    lvls = "\n  UNION ALL\n".join(
+        f"  SELECT {t} AS lvl, bit_or(a.mask & ~b.mask) AS nb\n"
+        f"  FROM m{t} a JOIN m{t - 1} b ON b.id = a.id"
+        for t in range(1, supersteps)
+    )
+    parts.append("lv AS MATERIALIZED (\n" + lvls + ")")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({s} AS BIGINT) AS source,\n"
+        f"  CAST(COALESCE((SELECT max(lvl) FROM lv"
+        f" WHERE (nb >> {i}) & 1 = 1), 0) AS BIGINT) AS eccentricity,\n"
+        f"  CAST((SELECT count(*) FROM m{supersteps - 1}"
+        f" WHERE (mask >> {i}) & 1 = 1) AS BIGINT) AS reached"
+        for i, s in enumerate(sources)
+    )
+    body = ", " + ",\n".join(parts) + "\n" + selects
+    return _graph_query(body)
+
+
 _WEDGES_CTE = (
     "wedges AS MATERIALIZED (SELECT src, dst,\n"
     "  CAST(1 + (src + dst) % 4 AS DOUBLE) AS w FROM edges)"
@@ -836,6 +879,40 @@ def rectangles_sql() -> str:
         " AS rectangles\nFROM cnp"
     )
     return _graph_query(body)
+
+
+def scc_sql(loop_closure: bool = True) -> str:
+    """Exact SCC labels via DuckDB's recursive transitive closure:
+    scc(v) = min{u : u ⇝ v AND v ⇝ u} over the DIRECTED edge set (self
+    included, so every vertex gets a label ≤ its own id).  Deliberately
+    a different algorithm from the Spark side's FW/BW min-label peel
+    (algos/scc.py) — the closure is the definition, tractable only at
+    test scale (Σ|SCC-closure| pairs; ~0.7M at sf0.01 with loop
+    closure).  ``loop_closure`` adds the same last→first per-conversation
+    edge as the entry query so cycle collapse is actually exercised
+    (the raw transcript graph is a DAG — every SCC a singleton)."""
+    closure = (
+        "    UNION ALL\n"
+        "    SELECT max(id) AS src, min(id) AS dst FROM vertices"
+        " GROUP BY conv_id\n"
+        if loop_closure
+        else ""
+    )
+    body = (
+        ", dedges AS MATERIALIZED (\n"
+        "  SELECT DISTINCT src, dst FROM (\n"
+        "    SELECT src, dst FROM edges\n"
+        f"{closure}"
+        "  ) u WHERE src <> dst),\n"
+        "fw(v, r) AS (\n"
+        "  SELECT id, id FROM vertices\n"
+        "  UNION\n"
+        "  SELECT e.dst, fw.r FROM fw JOIN dedges e ON e.src = fw.v)\n"
+        "SELECT f.v AS id, CAST(min(f.r) AS BIGINT) AS scc\n"
+        "FROM fw f JOIN fw g ON g.v = f.r AND g.r = f.v\n"
+        "GROUP BY f.v"
+    )
+    return _graph_query(body, recursive=True)
 
 
 def ktruss_sql(k: int = 3, max_rounds: int = 8) -> str:
@@ -1884,6 +1961,31 @@ SELECT w1, w2, n_pairs, CAST(rn AS BIGINT) AS rn FROM (
            ORDER BY n_pairs DESC, w2 ASC) AS rn
   FROM cnt)
 WHERE rn <= {k}
+"""
+
+
+def doc_bigram_hit_rate_sql(min_count: int = 2) -> str:
+    """Mirror of operators.ngram_lm.doc_bigram_hit_rate: per-document
+    known-bigram fraction in integer micro-units."""
+    return f"""
+WITH {TOKS_CTE},
+bg AS MATERIALIZED (
+  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM toks_t, UNNEST(range(1, len(toks))) AS t(i)),
+cnt AS MATERIALIZED (
+  SELECT w1, w2 FROM bg GROUP BY w1, w2 HAVING count(*) >= {min_count}),
+per AS MATERIALIZED (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN c.w1 IS NOT NULL THEN 1 ELSE 0 END) AS n_known
+  FROM bg b LEFT JOIN cnt c ON c.w1 = b.w1 AND c.w2 = b.w2
+  GROUP BY b.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.n_known, 0) AS BIGINT) AS n_known,
+       CAST(CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0
+            ELSE (1000000 * p.n_known) // p.n_bigrams END AS BIGINT)
+         AS hit_micros
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
 """
 
 
