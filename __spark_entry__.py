@@ -39,7 +39,7 @@ from graphlite_spark.algos.pagerank import (
 )
 from graphlite_spark.algos.rotate import ring_rotate
 from graphlite_spark.algos.sssp import INF as SSSP_INF, sssp, sssp_with_parents
-from graphlite_spark.algos.linkpred import adamic_adar
+from graphlite_spark.algos.linkpred import adamic_adar, jaccard_similarity
 from graphlite_spark.algos.triangles import (
     k_truss,
     rectangle_count,
@@ -447,6 +447,14 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no float-summation-order discipline needed)
     _, _, e = graph_tables(spark, sf_dir)
     return adamic_adar(e, max_wedge_degree=100, min_score_micros=1_000_000)
+
+
+def q_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # neighborhood Jaccard link prediction: same capped wedge join as
+    # adamic_adar, but the score is (1e6*cn) div (du+dv-cn) — counts and
+    # one integer division, hash-exact
+    _, _, e = graph_tables(spark, sf_dir)
+    return jaccard_similarity(e, max_wedge_degree=100, min_score_micros=100_000)
 
 
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1077,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a starved tail should starve previously-evidenced entries first
         "scc_conv_cycles": q_scc,
         "eccentricity_msbfs": q_eccentricity,
+        "jaccard_linkpred": q_jaccard_linkpred,
         "ktruss_3": q_ktruss3,
         "katz_6iter": q_katz,
         "sp_counts_7": q_sp_counts,
@@ -1141,6 +1150,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient": O.lcc_sql(),
         "scc_conv_cycles": O.scc_sql(loop_closure=True),
         "eccentricity_msbfs": O.eccentricity_sql((0, 100, 200, 300), 8),
+        "jaccard_linkpred": O.jaccard_linkpred_sql(100, 100_000),
         "ktruss_3": O.ktruss_sql(3, 8),
         "katz_6iter": O.katz_sql(6, 8),
         "sp_counts_7": O.sp_counts_sql(0, 7),

@@ -25,6 +25,55 @@ from pyspark.sql import functions as F
 from graphlite_spark.algos.components import symmetrize
 
 
+def jaccard_similarity(
+    edges: DataFrame,
+    max_wedge_degree: int | None = 100,
+    min_score_micros: int = 100_000,
+) -> DataFrame:
+    """(u, v, cn, jaccard_micros) — neighborhood Jaccard for non-adjacent
+    pairs u < v with at least one (non-hub) common neighbor:
+    ``|N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` as ``(10^6 · cn) div
+    (deg(u) + deg(v) − cn)`` — counts and one integer division, so the
+    oracle comparison is hash-exact.
+
+    Same wedge-enumeration shape and hub discipline as
+    :func:`adamic_adar`: centers with degree > ``max_wedge_degree`` are
+    excluded BEFORE the quadratic self-join, making ``cn`` a lower bound
+    when the cap binds (the union-size denominator stays exact — degrees
+    are computed on the full graph); pass ``None`` to opt out."""
+    und = symmetrize(edges).select("src", "dst")
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ctr = deg.where(F.col("deg") >= 2)
+    if max_wedge_degree is not None:
+        ctr = ctr.where(F.col("deg") <= max_wedge_degree)
+    ctr = ctr.select(F.col("src").alias("w"))
+    e1 = und.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    e2 = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = e1.join(ctr, "w").join(e2, "w").where(F.col("u") < F.col("v"))
+    pairs = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cn")
+    )
+    existing = und.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    cand = pairs.join(existing, ["u", "v"], "left_anti")
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.expr("(1000000 * cn) div (du + dv - cn)")
+            .cast("long")
+            .alias("jaccard_micros"),
+        )
+        .where(F.col("jaccard_micros") >= min_score_micros)
+    )
+
+
 def adamic_adar(
     edges: DataFrame,
     max_wedge_degree: int | None = 100,

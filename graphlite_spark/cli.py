@@ -30,7 +30,7 @@ from graphlite_spark.sources.transcripts import transcripts_from_events
 
 ALGOS = {"pagerank", "ppr", "components", "components-fast", "lpa",
          "triangles", "bfs", "sssp", "kcore", "ktruss", "mis", "coloring",
-         "katz", "stress"}
+         "katz", "stress", "scc", "eccentricity"}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -140,6 +140,27 @@ def main(argv: list[str] | None = None) -> int:
         out = stress_from_source(v, e, source=args.source)
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"algo": "stress", "rows": out.count()}))
+        return 0
+    if args.algo == "scc":
+        from graphlite_spark.algos.scc import strongly_connected_components
+
+        out = strongly_connected_components(v, e,
+                                            num_partitions=args.partitions)
+        out.write.mode("overwrite").parquet(args.output)
+        n_scc = out.select("scc").distinct().count()
+        print(json.dumps({"algo": "scc", "components": n_scc}))
+        return 0
+    if args.algo == "eccentricity":
+        from graphlite_spark.algos.centrality import eccentricity
+
+        out = eccentricity(v, e, sources=[args.source],
+                           fixed_supersteps=args.iterations,
+                           num_partitions=args.partitions)
+        out.write.mode("overwrite").parquet(args.output)
+        row = out.collect()[0]
+        print(json.dumps({"algo": "eccentricity", "source": args.source,
+                          "eccentricity": int(row["eccentricity"]),
+                          "reached": int(row["reached"])}))
         return 0
 
     from graphlite_spark.algos.bfs import BFS

@@ -1147,6 +1147,40 @@ def adamic_adar_sql(
     return _graph_query(body)
 
 
+def jaccard_linkpred_sql(
+    max_wedge_degree: int | None = 100, min_score_micros: int = 100_000
+) -> str:
+    """Mirror of algos.linkpred.jaccard_similarity: common-neighbor count
+    through non-hub centers, exact full-graph degrees in the union-size
+    denominator, one integer division in micro-units."""
+    cap = (
+        f"AND deg <= {max_wedge_degree}" if max_wedge_degree is not None else ""
+    )
+    body = (
+        ", wdeg AS MATERIALIZED (SELECT src, count(*) AS deg"
+        " FROM und GROUP BY src),\n"
+        "ctr AS MATERIALIZED (\n"
+        f"  SELECT src AS w FROM wdeg WHERE deg >= 2 {cap}),\n"
+        "pairs AS MATERIALIZED (\n"
+        "  SELECT e1.dst AS u, e2.dst AS v, CAST(count(*) AS BIGINT) AS cn\n"
+        "  FROM und e1 JOIN und e2 ON e2.src = e1.src AND e1.dst < e2.dst\n"
+        "  JOIN ctr c ON c.w = e1.src\n"
+        "  GROUP BY e1.dst, e2.dst)\n"
+        "SELECT p.u, p.v, p.cn,\n"
+        "  CAST((1000000 * p.cn) // (a.deg + b.deg - p.cn) AS BIGINT)"
+        " AS jaccard_micros\n"
+        "FROM pairs p\n"
+        "JOIN wdeg a ON a.src = p.u\n"
+        "JOIN wdeg b ON b.src = p.v\n"
+        "LEFT JOIN (SELECT src AS u, dst AS v FROM und WHERE src < dst) ex\n"
+        "  ON ex.u = p.u AND ex.v = p.v\n"
+        "WHERE ex.u IS NULL\n"
+        f"  AND (1000000 * p.cn) // (a.deg + b.deg - p.cn)"
+        f" >= {min_score_micros}"
+    )
+    return _graph_query(body)
+
+
 def kmv_distinct_sql(group_col: str = "event_type",
                      value_col: str = "user_id", k: int = 64) -> str:
     """Mirror of operators.sketches.kmv_distinct_by over the events table:

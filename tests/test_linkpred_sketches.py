@@ -115,3 +115,51 @@ def test_contamination_report(spark):
     # jaccard for doc 1 would be 2/(13+2-2)=0.154 vs containment 0.154...
     # the directional property: lengthen doc 1 and containment falls but
     # stays proportional to the doc, never diluted by the bench size
+
+
+def test_jaccard_linkpred_bruteforce(spark):
+    from graphlite_spark.algos.linkpred import jaccard_similarity
+
+    edges = random_digraph(60, 200, seed=33)
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    got = {(r["u"], r["v"]): (r["cn"], r["jaccard_micros"])
+           for r in jaccard_similarity(e, max_wedge_degree=100,
+                                       min_score_micros=1).collect()}
+    nbrs = _und(edges)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in nbrs[u]:
+                continue
+            cn = sum(1 for w in nbrs[u] & nbrs[v] if 2 <= len(nbrs[w]) <= 100)
+            if cn == 0:
+                continue
+            j = (1_000_000 * cn) // (len(nbrs[u]) + len(nbrs[v]) - cn)
+            if j >= 1:
+                want[(u, v)] = (cn, j)
+    assert got == want
+
+
+def test_jaccard_hub_cap_binds(spark):
+    from graphlite_spark.algos.linkpred import jaccard_similarity
+
+    # star center 0 (deg 5) with leaves 1..5 plus a wedge 1-6-2: with the
+    # cap at 4 the star center is excluded BEFORE the wedge join, so the
+    # star's leaf pairs never appear; surviving wedges are 1-6-2 (center
+    # 6, deg 2) giving pair (1,2), and 0-1-6 / 0-2-6 (centers 1 and 2)
+    # giving pair (0,6) with cn=2.  Denominators use FULL degrees even
+    # where the cap binds (deg 0 = 5).
+    edges = [(0, i) for i in range(1, 6)] + [(1, 6), (6, 2)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    got = {(r["u"], r["v"]): (r["cn"], r["jaccard_micros"])
+           for r in jaccard_similarity(e, max_wedge_degree=4,
+                                       min_score_micros=1).collect()}
+    assert got == {
+        (1, 2): (1, 1_000_000 * 1 // (2 + 2 - 1)),
+        (0, 6): (2, 1_000_000 * 2 // (5 + 2 - 2)),
+    }
