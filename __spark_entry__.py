@@ -40,6 +40,7 @@ from graphlite_spark.algos.pagerank import (
 from graphlite_spark.algos.rotate import ring_rotate
 from graphlite_spark.algos.sssp import INF as SSSP_INF, sssp, sssp_with_parents
 from graphlite_spark.algos.linkpred import adamic_adar, jaccard_similarity
+from graphlite_spark.algos.matching import maximal_matching
 from graphlite_spark.algos.triangles import (
     k_truss,
     rectangle_count,
@@ -447,6 +448,15 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no float-summation-order discipline needed)
     _, _, e = graph_tables(spark, sf_dir)
     return adamic_adar(e, max_wedge_degree=100, min_score_micros=1_000_000)
+
+
+def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # greedy maximal matching (Israeli-Itai locally-minimum-edge rule,
+    # deterministic md5 edge priorities) — the multilevel-coarsening
+    # pairing primitive; (id, mate), -1 = unmatched, oracle unrolls the
+    # identical rounds
+    _, v, e = graph_tables(spark, sf_dir)
+    return maximal_matching(v, e, max_rounds=16)
 
 
 def q_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1086,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_conv_cycles": q_scc,
         "eccentricity_msbfs": q_eccentricity,
         "jaccard_linkpred": q_jaccard_linkpred,
+        "maximal_matching": q_matching,
         "ktruss_3": q_ktruss3,
         "katz_6iter": q_katz,
         "sp_counts_7": q_sp_counts,
@@ -1151,6 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         "scc_conv_cycles": O.scc_sql(loop_closure=True),
         "eccentricity_msbfs": O.eccentricity_sql((0, 100, 200, 300), 8),
         "jaccard_linkpred": O.jaccard_linkpred_sql(100, 100_000),
+        "maximal_matching": O.matching_sql(16),
         "ktruss_3": O.ktruss_sql(3, 8),
         "katz_6iter": O.katz_sql(6, 8),
         "sp_counts_7": O.sp_counts_sql(0, 7),

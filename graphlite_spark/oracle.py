@@ -1096,6 +1096,64 @@ def coloring_sql(max_rounds: int = 32) -> str:
     return _graph_query(body)
 
 
+def matching_sql(max_rounds: int = 16) -> str:
+    """Unrolled greedy maximal matching — identical edge priority
+    (hash48('match:'||u||':'||v), (u, v) tie-break), round rule and cap
+    as algos.matching.maximal_matching; rounds past the drained edge set
+    are no-ops on both sides.  Per-endpoint minima via row_number over
+    the unique (h, u, v) key, so every step is a window or an equi-join
+    (no quadratic NOT EXISTS)."""
+    pri = _h48("'match:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)")
+    parts = [
+        "l0 AS MATERIALIZED (SELECT u, v, " + pri + " AS h FROM ("
+        "SELECT src AS u, dst AS v FROM und WHERE src < dst))",
+    ]
+    for r in range(1, max_rounds + 1):
+        prev = f"l{r - 1}"
+        parts.append(
+            f"ends{r} AS MATERIALIZED (\n"
+            f"  SELECT u AS vid, h, u, v FROM {prev}\n"
+            f"  UNION ALL SELECT v AS vid, h, u, v FROM {prev})"
+        )
+        parts.append(
+            f"vmin{r} AS MATERIALIZED (\n"
+            f"  SELECT vid, u, v FROM (\n"
+            f"    SELECT vid, u, v,\n"
+            f"      row_number() OVER (PARTITION BY vid ORDER BY h, u, v) AS rn\n"
+            f"    FROM ends{r}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"sel{r} AS MATERIALIZED (\n"
+            f"  SELECT e.u, e.v FROM {prev} e\n"
+            f"  JOIN vmin{r} a ON a.vid = e.u AND a.u = e.u AND a.v = e.v\n"
+            f"  JOIN vmin{r} b ON b.vid = e.v AND b.u = e.u AND b.v = e.v)"
+        )
+        parts.append(
+            f"m{r} AS MATERIALIZED (\n"
+            f"  SELECT u AS id FROM sel{r} UNION ALL SELECT v AS id FROM sel{r})"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (\n"
+            f"  SELECT e.u, e.v, e.h FROM {prev} e\n"
+            f"  LEFT JOIN m{r} a ON a.id = e.u\n"
+            f"  LEFT JOIN m{r} b ON b.id = e.v\n"
+            f"  WHERE a.id IS NULL AND b.id IS NULL)"
+        )
+    matched = "\n  UNION ALL ".join(
+        f"SELECT u AS id, v AS mate FROM sel{r}\n"
+        f"  UNION ALL SELECT v AS id, u AS mate FROM sel{r}"
+        for r in range(1, max_rounds + 1)
+    )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined},\n"
+        f"matched AS MATERIALIZED (\n  {matched})\n"
+        "SELECT v.id, CAST(COALESCE(m.mate, -1) AS BIGINT) AS mate\n"
+        "FROM vertices v LEFT JOIN matched m ON m.id = v.id"
+    )
+    return _graph_query(body)
+
+
 def lcc_sql() -> str:
     """Local clustering coefficient: per-vertex triangles + undirected
     degree, ``2T/(d(d-1))`` rounded to 6dp (single double division on
