@@ -97,6 +97,7 @@ from graphlite_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
+from graphlite_spark.operators.kmeans import kmeans_embeddings
 from graphlite_spark.operators.multimodal import (
     decode_jpeg,
     decode_png,
@@ -901,6 +902,12 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_embeddings(
+        load_table(spark, sf_dir, "embeddings"), k=8, iterations=3
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id_expr(tokens_expr("text")).alias("lang_pred"))
@@ -1056,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "sample_neighbors": q_sample_neighbors,
         "sample_stratified": q_sample_stratified,
+        "kmeans_embeddings": q_kmeans,
         # -- cheap pipeline queries (no graph derivation needed) ----------
         "multimodal_extract": q_multimodal_extract,
         "text_token_count": q_token_count,
@@ -1201,6 +1209,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sample_neighbors": O.sample_neighbors_sql(50, (3, 2)),
         "sample_stratified": O.sample_stratified_sql(SAMPLE_RATES),
+        "kmeans_embeddings": O.kmeans_sql(8, 3),
         "avg_neighbor_degree": O.avg_neighbor_degree_sql(),
         "token_cooccurrence": O.token_cooccurrence_sql(2),
         "tf_idf": O.tf_idf_sql(),

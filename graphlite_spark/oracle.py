@@ -2169,6 +2169,66 @@ def token_count_sql() -> str:
     )
 
 
+def kmeans_sql(k: int = 8, iterations: int = 3, d: int = 64) -> str:
+    """Mirror of operators.kmeans.kmeans_embeddings: identical micro-unit
+    quantization, hash-min seeding, BIGINT distances with
+    smallest-cluster tie-break, truncating-division centroid updates
+    (DuckDB ``//`` and Spark ``div`` both truncate toward zero), empty
+    clusters keep their previous centroid.  ``d`` pins the embedding
+    dimensionality (the query targets the 64-dim embeddings table)."""
+    h = _h48("'kmeans:' || CAST(vec_id AS VARCHAR)")
+    parts = [
+        "qe AS MATERIALIZED (\n"
+        f"  SELECT vec_id, t.i - 1 AS pos,\n"
+        "    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0)"
+        " AS BIGINT) AS qv\n"
+        f"  FROM embeddings, range(1, {d + 1}) t(i))",
+        "sd AS MATERIALIZED (\n"
+        "  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS cl\n"
+        f"  FROM (SELECT vec_id, {h} AS h FROM embeddings)\n"
+        f"  ORDER BY h, vec_id LIMIT {k})",
+        "cent0 AS MATERIALIZED (\n"
+        "  SELECT s.cl, q.pos, q.qv AS cv\n"
+        "  FROM sd s JOIN qe q ON q.vec_id = s.vec_id)",
+    ]
+    for r in range(1, iterations + 1):
+        prev = f"cent{r - 1}"
+        parts.append(
+            f"asg{r} AS MATERIALIZED (\n"
+            f"  SELECT vec_id, cl FROM (\n"
+            f"    SELECT q.vec_id, c.cl,\n"
+            f"      row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+            f"        sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+            f"    FROM qe q JOIN {prev} c ON c.pos = q.pos\n"
+            f"    GROUP BY q.vec_id, c.cl) WHERE rn = 1)"
+        )
+        parts.append(
+            f"sums{r} AS MATERIALIZED (\n"
+            f"  SELECT a.cl, q.pos, sum(q.qv) AS s, count(*) AS n\n"
+            f"  FROM asg{r} a JOIN qe q ON q.vec_id = a.vec_id\n"
+            f"  GROUP BY a.cl, q.pos)"
+        )
+        parts.append(
+            f"cent{r} AS MATERIALIZED (\n"
+            f"  SELECT p.cl, p.pos,\n"
+            f"    CAST(COALESCE(s.s // s.n, p.cv) AS BIGINT) AS cv\n"
+            f"  FROM {prev} p LEFT JOIN sums{r} s\n"
+            f"    ON s.cl = p.cl AND s.pos = p.pos)"
+        )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        "SELECT vec_id, CAST(cl AS BIGINT) AS cluster,\n"
+        "  CAST(d2 AS BIGINT) AS dist_sq FROM (\n"
+        "  SELECT q.vec_id, c.cl,\n"
+        "    sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        "      sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+        f"  FROM qe q JOIN cent{iterations} c ON c.pos = q.pos\n"
+        "  GROUP BY q.vec_id, c.cl) WHERE rn = 1"
+    )
+
+
 def embedding_near_dups_sql(
     threshold: float = 0.95, prefilter_bits: int | None = None
 ) -> str:

@@ -1,0 +1,101 @@
+"""Integer-exact k-means vs a Python replay of the identical algorithm
+(micro-unit quantization, hash-min seeding, smallest-cluster tie-break,
+truncating-division updates), plus partition-count invariance and the
+empty-cluster contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+from graphlite_spark.operators.kmeans import _tdiv, kmeans_embeddings
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _make_vectors(n: int, d: int) -> list[tuple[int, list[float]]]:
+    # components are exact multiples of 1e-3 so round(x*1e6) is exact in
+    # both engines (no rounding-mode sensitivity in the fixture)
+    out = []
+    for i in range(n):
+        vec = [((_h48(f"v:{i}:{j}") % 2001) - 1000) / 1000.0 for j in range(d)]
+        out.append((i, vec))
+    return out
+
+
+def _replay(rows: list[tuple[int, list[float]]], k: int, iterations: int):
+    q = {i: [round(x * 1_000_000) for x in vec] for i, vec in rows}
+    seeds = sorted(q, key=lambda i: (_h48(f"kmeans:{i}"), i))[:k]
+    cents = [list(q[i]) for i in seeds]
+
+    def dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def assign():
+        out = {}
+        for i, v in q.items():
+            ds = [dist(v, c) for c in cents]
+            m = min(ds)
+            cl = ds.index(m)  # smallest cluster index on ties
+            out[i] = (cl, m)
+        return out
+
+    for _ in range(iterations):
+        asg = assign()
+        sums: dict[int, list[int]] = {}
+        cnts: dict[int, int] = {}
+        for i, (cl, _) in asg.items():
+            cnts[cl] = cnts.get(cl, 0) + 1
+            s = sums.setdefault(cl, [0] * len(q[i]))
+            for p, x in enumerate(q[i]):
+                s[p] += x
+        cents = [
+            [_tdiv(sums[ci][p], cnts[ci]) for p in range(len(c))]
+            if ci in cnts else list(c)  # empty cluster keeps its centroid
+            for ci, c in enumerate(cents)
+        ]
+    return assign()
+
+
+def test_kmeans_matches_replay(spark):
+    rows = _make_vectors(60, 6)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist_sq"])
+        for r in kmeans_embeddings(df, k=5, iterations=3).collect()
+    }
+    want = _replay(rows, k=5, iterations=3)
+    assert got == want
+    assert len({cl for cl, _ in got.values()}) > 1  # non-degenerate fixture
+
+
+def test_kmeans_partition_invariance(spark):
+    rows = _make_vectors(40, 4)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    a = sorted(map(tuple, kmeans_embeddings(df, k=3, iterations=2).collect()))
+    b = sorted(
+        map(tuple, kmeans_embeddings(df.repartition(13), k=3, iterations=2).collect())
+    )
+    assert a == b
+
+
+def test_kmeans_fewer_vectors_than_k(spark):
+    rows = _make_vectors(3, 4)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    out = kmeans_embeddings(df, k=8, iterations=2).collect()
+    assert len(out) == 3
+    # every vector is its own seed -> sits on its own centroid at dist 0
+    assert sorted(r["dist_sq"] for r in out) == [0, 0, 0]
+
+
+def test_tdiv_truncates_toward_zero():
+    assert _tdiv(7, 2) == 3
+    assert _tdiv(-7, 2) == -3
+    assert _tdiv(-1, 3) == 0
