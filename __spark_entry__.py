@@ -79,6 +79,7 @@ from graphlite_spark.functions.text import (
     fingerprint_expr,
     lang_id_expr,
     quality_exprs,
+    repetition_exprs,
     rolling_hash_expr,
     tokens_expr,
 )
@@ -123,6 +124,8 @@ from graphlite_spark.operators.sessions import sessionize
 from graphlite_spark.operators.temporal import asof_join, range_join
 from graphlite_spark.operators.similarity import (
     cosine_topk,
+    ivf_recall,
+    ivf_topk,
     lsh_bucket_topk,
     lsh_recall,
 )
@@ -284,6 +287,20 @@ def q_components_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(log d) label-doubling variant — same fixpoint as the Pregel run
     _, v, e = graph_tables(spark, sf_dir)
     return connected_components_fast(v, e)
+
+
+def q_component_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the web-graph "component size distribution" report: fast CC labels,
+    # then two map-side-combined grouped counts
+    _, v, e = graph_tables(spark, sf_dir)
+    sizes = (
+        connected_components_fast(v, e)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+    return sizes.groupBy("n_vertices").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    ).select(F.col("n_vertices").cast("long").alias("n_vertices"), "n_components")
 
 
 def q_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,9 +925,40 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=3, nprobe=2,
+        n_clusters=8, iterations=2,
+    )
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_recall(
+        emb, emb.where(F.col("vec_id") < 20), k=5, nprobe=2,
+        n_clusters=8, iterations=2,
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id_expr(tokens_expr("text")).alias("lang_pred"))
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    re_ = repetition_exprs(tokens_expr("text"), n=2)
+    return docs.select("doc_id", *[re_[c].alias(c) for c in re_])
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id_expr(tokens_expr("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,6 +1112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_neighbors": q_sample_neighbors,
         "sample_stratified": q_sample_stratified,
         "kmeans_embeddings": q_kmeans,
+        "ann_ivf_topk": q_ivf_topk,
+        "ann_ivf_recall": q_ivf_recall,
+        "text_repetition": q_repetition,
+        "lang_id_confusion": q_lang_confusion,
         # -- cheap pipeline queries (no graph derivation needed) ----------
         "multimodal_extract": q_multimodal_extract,
         "text_token_count": q_token_count,
@@ -1101,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msg_gather_ss1": q_msg_gather_ss1,
         # new-in-round-4 graph queries run BEFORE the r3-green ones:
         # a starved tail should starve previously-evidenced entries first
+        "component_size_histogram": q_component_histogram,
         "scc_conv_cycles": q_scc,
         "eccentricity_msbfs": q_eccentricity,
         "jaccard_linkpred": q_jaccard_linkpred,
@@ -1167,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_total": O.triangles_total_sql(),
         "triangles_per_vertex": O.triangles_per_vertex_sql(),
         "clustering_coefficient": O.lcc_sql(),
+        "component_size_histogram": O.component_histogram_sql(),
         "scc_conv_cycles": O.scc_sql(loop_closure=True),
         "eccentricity_msbfs": O.eccentricity_sql((0, 100, 200, 300), 8),
         "jaccard_linkpred": O.jaccard_linkpred_sql(100, 100_000),
@@ -1210,6 +1264,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_neighbors": O.sample_neighbors_sql(50, (3, 2)),
         "sample_stratified": O.sample_stratified_sql(SAMPLE_RATES),
         "kmeans_embeddings": O.kmeans_sql(8, 3),
+        "ann_ivf_topk": O.ivf_topk_sql(3, 2, 8, 2, 20),
+        "ann_ivf_recall": O.ivf_recall_sql(5, 2, 8, 2, 20),
+        "text_repetition": O.repetition_sql(2),
+        "lang_id_confusion": O.lang_id_confusion_sql(),
         "avg_neighbor_degree": O.avg_neighbor_degree_sql(),
         "token_cooccurrence": O.token_cooccurrence_sql(2),
         "tf_idf": O.tf_idf_sql(),

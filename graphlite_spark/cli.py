@@ -21,6 +21,7 @@ import json
 import sys
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from graphlite_spark.algos import triangle_count, triangle_count_per_vertex
 from graphlite_spark.checkpoint import ParquetCheckpointer
@@ -30,15 +31,21 @@ from graphlite_spark.sources.transcripts import transcripts_from_events
 
 ALGOS = {"pagerank", "ppr", "components", "components-fast", "lpa",
          "triangles", "bfs", "sssp", "kcore", "ktruss", "mis", "coloring",
-         "katz", "stress", "scc", "eccentricity"}
+         "katz", "stress", "scc", "eccentricity", "component-histogram",
+         "kmeans"}
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="graphlite_spark")
     p.add_argument("algo", choices=sorted(ALGOS))
-    p.add_argument("--events", required=True,
+    p.add_argument("--events", default=None,
                    help="parquet path (or Iceberg table with --format iceberg) "
-                        "of the transcripts-shaped events input")
+                        "of the transcripts-shaped events input (required for "
+                        "every graph algo)")
+    p.add_argument("--embeddings", default=None,
+                   help="parquet path of an (vec_id, embedding) table "
+                        "(kmeans only)")
+    p.add_argument("--clusters", type=int, default=8, help="kmeans k")
     p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     p.add_argument("--output", required=True)
     p.add_argument("--partitions", type=int, default=None,
@@ -58,8 +65,29 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.algo == "kmeans":
+        if not args.embeddings:
+            parser.error("kmeans requires --embeddings")
+    elif not args.events:
+        parser.error(f"{args.algo} requires --events")
     spark = _session()
+
+    if args.algo == "kmeans":
+        from graphlite_spark.operators.kmeans import kmeans_embeddings
+
+        emb = spark.read.parquet(args.embeddings)
+        out = kmeans_embeddings(emb, k=args.clusters,
+                                iterations=args.iterations or 3)
+        out.write.mode("overwrite").parquet(args.output)
+        sizes = {int(r["cluster"]): int(r["n"])
+                 for r in out.groupBy("cluster")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        print(json.dumps({"algo": "kmeans", "k": args.clusters,
+                          "cluster_sizes": sizes}))
+        return 0
+
     if args.format == "iceberg":
         # needs the iceberg-spark-runtime jar on the classpath; absent in
         # the sandbox image, so this path is exercised only on clusters
@@ -89,6 +117,21 @@ def main(argv: list[str] | None = None) -> int:
         out = connected_components_fast(v, e, num_partitions=args.partitions)
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"algo": "components-fast", "rows": out.count()}))
+        return 0
+    if args.algo == "component-histogram":
+        from graphlite_spark.algos.components import connected_components_fast
+
+        sizes = (
+            connected_components_fast(v, e, num_partitions=args.partitions)
+            .groupBy("component").agg(F.count(F.lit(1)).alias("n_vertices"))
+        )
+        out = sizes.groupBy("n_vertices").agg(
+            F.count(F.lit(1)).cast("long").alias("n_components")
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        hist = {int(r["n_vertices"]): int(r["n_components"])
+                for r in out.collect()}
+        print(json.dumps({"algo": "component-histogram", "histogram": hist}))
         return 0
     if args.algo == "kcore":
         from graphlite_spark.algos.components import k_core

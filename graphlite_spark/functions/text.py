@@ -72,6 +72,52 @@ def quality_exprs(tokens: Column) -> dict[str, Column]:
     }
 
 
+def repetition_exprs(tokens: Column, n: int = 2) -> dict[str, Column]:
+    """Gopher-style within-document repetition signals (Rae et al. 2021's
+    repetition filters, integer-exact): the fraction of token n-gram
+    INSTANCES that are repeats of an earlier instance, and the frequency
+    share of the single most repeated token.  Both ride as micro-units
+    (``10^6 * x div y``) so the oracle comparison is hash-exact.
+
+    Pure per-row expressions — no shuffle, no join, no UDF: the operator
+    is embarrassingly parallel at any corpus size.  The max-token-count
+    scan is O(distinct × len) per document, bounded by document length."""
+    sep = "\x1f"
+    n_tok = F.size(tokens)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        sep, *[F.element_at(tokens, i + j) for j in range(n)]
+    )
+    grams = F.when(
+        n_tok >= n, F.transform(F.sequence(F.lit(1), n_tok - (n - 1)), gram)
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    n_dup = n_grams - F.size(F.array_distinct(grams))
+    top_cnt = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(tokens),
+                lambda u: F.size(F.filter(tokens, lambda x: x == u)),
+            )
+        ),
+        F.lit(0),
+    )
+    def micros(num: Column, den: Column) -> Column:
+        # exact truncating division on BIGINTs: subtract the remainder
+        # first so the one float division is between exact multiples
+        num1m = (F.lit(1_000_000).cast("long") * num.cast("long"))
+        return F.when(den == 0, F.lit(0).cast("long")).otherwise(
+            ((num1m - num1m % den) / den).cast("long")
+        )
+
+    return {
+        "n_tokens": n_tok.cast("long"),
+        "n_grams": n_grams.cast("long"),
+        "n_dup_grams": n_dup.cast("long"),
+        "dup_gram_micros": micros(n_dup, n_grams),
+        "top_token_micros": micros(top_cnt, n_tok),
+    }
+
+
 def fingerprint_expr(tokens: Column) -> Column:
     """md5 of the sorted distinct token set — content-defined doc identity."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens)), " "))

@@ -47,13 +47,89 @@ def _tdiv(s: int, n: int) -> int:
     return q if s >= 0 else -q
 
 
-def _dist_expr(centroid: list[int]) -> F.Column:
+def _dist_expr(centroid: list[int], col: str = "qv") -> F.Column:
     arr = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
     return F.aggregate(
-        F.zip_with(F.col("qv"), arr, lambda a, b: (a - b) * (a - b)),
+        F.zip_with(F.col(col), arr, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def quantize_expr(vec: F.Column) -> F.Column:
+    """Micro-unit BIGINT quantization of a float vector (the repo-wide
+    ``round(x * 10^6)`` discipline)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * MICROS).cast("long"))
+
+
+def _quantized(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("id"), quantize_expr(F.col(vec_col)).alias("qv")
+    ).localCheckpoint(eager=False)  # quantize once; every iteration reuses it
+
+
+def _assign(frame: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(id, qv, cluster, dist_sq) — argmin over the centroid LITERALS;
+    ties break to the smallest cluster index."""
+    dists = [_dist_expr(c).alias(f"d{i}") for i, c in enumerate(centroids)]
+    withd = frame.select("id", "qv", *dists)
+    mind = F.least(*[F.col(f"d{i}") for i in range(len(centroids))])
+    pick = F.when(F.col("d0") == F.col("mind"), 0)
+    for i in range(1, len(centroids)):
+        pick = pick.when(F.col(f"d{i}") == F.col("mind"), i)
+    return withd.withColumn("mind", mind).select(
+        "id", "qv",
+        pick.cast("long").alias("cluster"),
+        F.col("mind").alias("dist_sq"),
+    )
+
+
+def _fit(q: DataFrame, k: int, iterations: int) -> list[list[int]]:
+    """Lloyd iterations over a pre-quantized (id, qv) frame; returns the
+    final codebook as k lists of micro-unit longs (cluster index = seed
+    rank).  If fewer than k vectors exist, k shrinks to match."""
+    seeds = (
+        q.select(
+            "id",
+            "qv",
+            hash48(F.concat(F.lit("kmeans:"), F.col("id").cast("string"))).alias("h"),
+        )
+        .orderBy("h", "id")  # with limit(k): TakeOrderedAndProject, k rows
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["qv"]) for r in seeds]
+
+    for _ in range(iterations):
+        parts = (
+            _assign(q, centroids)
+            .select("cluster", F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # <= k*d rows — codebook-sized, independent of N
+        )
+        upd: dict[tuple[int, int], int] = {
+            (r["cluster"], r["pos"]): _tdiv(r["s"], r["n"]) for r in parts
+        }
+        centroids = [
+            [upd.get((ci, p), old) for p, old in enumerate(c)]
+            for ci, c in enumerate(centroids)
+        ]
+    return centroids
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Fit and return the codebook (k centroids in micro-unit longs) —
+    the coarse quantizer an IVF index probes."""
+    return _fit(_quantized(embeddings, id_col, vec_col), k, iterations)
 
 
 def kmeans_embeddings(
@@ -67,55 +143,8 @@ def kmeans_embeddings(
     Lloyd updates from the deterministic hash-min seeds; ``dist_sq`` is
     the BIGINT squared distance (micro-unit space) to the final
     centroid.  If fewer than k vectors exist, k shrinks to match."""
-    q = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.round(x.cast("double") * MICROS).cast("long"),
-        ).alias("qv"),
-    ).localCheckpoint(eager=False)  # quantize once; every iteration reuses it
-
-    seeds = (
-        q.select(
-            "id",
-            "qv",
-            hash48(F.concat(F.lit("kmeans:"), F.col("id").cast("string"))).alias("h"),
-        )
-        .orderBy("h", "id")  # with limit(k): TakeOrderedAndProject, k rows
-        .limit(k)
-        .collect()
-    )
-    centroids = [list(r["qv"]) for r in seeds]  # cluster index = seed rank
-
-    def assign(frame: DataFrame) -> DataFrame:
-        dists = [_dist_expr(c).alias(f"d{i}") for i, c in enumerate(centroids)]
-        withd = frame.select("id", "qv", *dists)
-        mind = F.least(*[F.col(f"d{i}") for i in range(len(centroids))])
-        pick = F.when(F.col("d0") == F.col("mind"), 0)
-        for i in range(1, len(centroids)):
-            pick = pick.when(F.col(f"d{i}") == F.col("mind"), i)
-        return withd.withColumn("mind", mind).select(
-            "id", "qv",
-            pick.cast("long").alias("cluster"),
-            F.col("mind").alias("dist_sq"),
-        )
-
-    for _ in range(iterations):
-        asg = assign(q)
-        parts = (
-            asg.select("cluster", F.posexplode("qv").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()  # <= k*d rows — codebook-sized, independent of N
-        )
-        upd: dict[tuple[int, int], int] = {
-            (r["cluster"], r["pos"]): _tdiv(r["s"], r["n"]) for r in parts
-        }
-        centroids = [
-            [upd.get((ci, p), old) for p, old in enumerate(c)]
-            for ci, c in enumerate(centroids)
-        ]
-
-    return assign(q).select(
+    q = _quantized(embeddings, id_col, vec_col)
+    centroids = _fit(q, k, iterations)
+    return _assign(q, centroids).select(
         F.col("id").alias(id_col), "cluster", "dist_sq"
     )

@@ -101,6 +101,36 @@ def lsh_recall(
     approx = lsh_bucket_topk(
         embeddings, queries, k=k, num_bits=num_bits, id_col=id_col, vec_col=vec_col
     )
+    return _recall_compare(truth, approx)
+
+
+def ivf_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, n_truth, n_approx, n_hits, recall) — measured recall@k
+    of the IVF path against the brute-force ground truth, the tuning
+    number for the nprobe/n_clusters tradeoff (same contract as
+    :func:`lsh_recall`)."""
+    truth = cosine_topk(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+    approx = ivf_topk(
+        embeddings, queries, k=k, nprobe=nprobe, n_clusters=n_clusters,
+        iterations=iterations, id_col=id_col, vec_col=vec_col,
+    )
+    return _recall_compare(truth, approx)
+
+
+def _recall_compare(truth: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query intersection stats of two (query_id, neighbor_id, ...)
+    top-k frames: one equi-join + map-side-combined groupBys (negligible
+    next to the searches).  Queries with an empty approx set report
+    recall 0 — a tuning loop must see empty-cell misses, not drop them."""
     t = truth.select("query_id", "neighbor_id")
     a = approx.select("query_id", "neighbor_id")
     hits = (
@@ -122,6 +152,99 @@ def lsh_recall(
                 F.coalesce("n_hits", F.lit(0)) / F.col("n_truth"), 6
             ).alias("recall"),
         )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, sim) — IVF-style ANN: top-k by cosine
+    among corpus vectors whose k-means cell is one of the query's
+    ``nprobe`` nearest cells.
+
+    The learned counterpart of :func:`lsh_bucket_topk`: the coarse
+    quantizer is the :mod:`~graphlite_spark.operators.kmeans` codebook
+    (deterministic hash-min seeding, integer-exact Lloyd updates), so the
+    whole index is reproducible cross-engine and the DuckDB oracle
+    re-derives the identical cells.  Scale shape: the codebook is k·d
+    driver-side longs embedded as LITERALS — cell assignment for both
+    corpus and queries is a pure whole-stage-codegen expression (no join,
+    no shuffle over the N·d data); the search itself is one equi-join on
+    the cell id (queries replicated nprobe×, corpus once) followed by the
+    usual WindowGroupLimit top-k.  Each corpus vector lives in exactly one
+    cell, so probing several cells never duplicates a candidate pair.
+    Probe order ties break to the smaller cell index (micro-unit BIGINT
+    distances — exact, no float noise)."""
+    from graphlite_spark.operators.kmeans import (
+        _dist_expr, _fit, _quantized, quantize_expr,
+    )
+
+    cents = _fit(_quantized(embeddings, id_col, vec_col), n_clusters, iterations)
+    nprobe = min(nprobe, len(cents))
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        quantize_expr(F.col(vec_col)).alias("qv"),
+    )
+    dists = [_dist_expr(cc).alias(f"d{i}") for i, cc in enumerate(cents)]
+    mind = F.least(*[F.col(f"d{i}") for i in range(len(cents))])
+    pick = F.when(F.col("d0") == F.col("mind"), 0)
+    for i in range(1, len(cents)):
+        pick = pick.when(F.col(f"d{i}") == F.col("mind"), i)
+    c = (
+        c.select("neighbor_id", "cv", *dists)
+        .withColumn("mind", mind)
+        .select("neighbor_id", "cv", pick.cast("long").alias("cell"))
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        quantize_expr(F.col(vec_col)).alias("qv"),
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.array(*[
+                F.struct(
+                    _dist_expr(cc).alias("d"),
+                    F.lit(i).cast("long").alias("cell"),
+                )
+                for i, cc in enumerate(cents)
+            ])
+        ),
+        1,
+        nprobe,
+    )
+    probes = (
+        q.select("query_id", "qvec", ranked.alias("pr"))
+        .select("query_id", "qvec", F.explode("pr").alias("p"))
+        .select("query_id", "qvec", F.col("p.cell").alias("cell"))
+    )
+
+    scored = (
+        probes.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qvec"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
     )
 
 

@@ -671,6 +671,24 @@ def components_sql() -> str:
     return _graph_query(body, recursive=True)
 
 
+def component_histogram_sql() -> str:
+    """Component-size distribution: the recursive min-label CC as a CTE,
+    then two grouped counts (size per component, components per size)."""
+    body = (
+        ", reach(id, r) AS (\n"
+        "  SELECT id, id FROM vertices\n"
+        "  UNION\n"
+        "  SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id),\n"
+        "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),\n"
+        "sizes AS (SELECT component, count(*) AS n_vertices\n"
+        "  FROM comp GROUP BY component)\n"
+        "SELECT CAST(n_vertices AS BIGINT) AS n_vertices,\n"
+        "  CAST(count(*) AS BIGINT) AS n_components\n"
+        "FROM sizes GROUP BY n_vertices"
+    )
+    return _graph_query(body, recursive=True)
+
+
 def kcore_sql(k: int = 3, max_rounds: int = 40) -> str:
     """Unrolled k-core peel — identical round rule + cap as algos.k_core,
     so SQL/Spark equality holds whether or not the cap binds."""
@@ -2169,13 +2187,10 @@ def token_count_sql() -> str:
     )
 
 
-def kmeans_sql(k: int = 8, iterations: int = 3, d: int = 64) -> str:
-    """Mirror of operators.kmeans.kmeans_embeddings: identical micro-unit
-    quantization, hash-min seeding, BIGINT distances with
-    smallest-cluster tie-break, truncating-division centroid updates
-    (DuckDB ``//`` and Spark ``div`` both truncate toward zero), empty
-    clusters keep their previous centroid.  ``d`` pins the embedding
-    dimensionality (the query targets the 64-dim embeddings table)."""
+def _kmeans_ctes(k: int, iterations: int, d: int) -> list[str]:
+    """CTE chain ending in ``cent{iterations}`` (cl, pos, cv): the
+    quantized vertical form ``qe``, hash-min seeds, and the unrolled
+    Lloyd iterations — shared by kmeans_sql and ivf_topk_sql."""
     h = _h48("'kmeans:' || CAST(vec_id AS VARCHAR)")
     parts = [
         "qe AS MATERIALIZED (\n"
@@ -2215,7 +2230,17 @@ def kmeans_sql(k: int = 8, iterations: int = 3, d: int = 64) -> str:
             f"  FROM {prev} p LEFT JOIN sums{r} s\n"
             f"    ON s.cl = p.cl AND s.pos = p.pos)"
         )
-    joined = ",\n".join(parts)
+    return parts
+
+
+def kmeans_sql(k: int = 8, iterations: int = 3, d: int = 64) -> str:
+    """Mirror of operators.kmeans.kmeans_embeddings: identical micro-unit
+    quantization, hash-min seeding, BIGINT distances with
+    smallest-cluster tie-break, truncating-division centroid updates
+    (DuckDB ``//`` and Spark ``div`` both truncate toward zero), empty
+    clusters keep their previous centroid.  ``d`` pins the embedding
+    dimensionality (the query targets the 64-dim embeddings table)."""
+    joined = ",\n".join(_kmeans_ctes(k, iterations, d))
     return (
         f"WITH {joined}\n"
         "SELECT vec_id, CAST(cl AS BIGINT) AS cluster,\n"
@@ -2226,6 +2251,132 @@ def kmeans_sql(k: int = 8, iterations: int = 3, d: int = 64) -> str:
         "      sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
         f"  FROM qe q JOIN cent{iterations} c ON c.pos = q.pos\n"
         "  GROUP BY q.vec_id, c.cl) WHERE rn = 1"
+    )
+
+
+def ivf_topk_sql(
+    k: int = 3,
+    nprobe: int = 2,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    num_queries: int = 20,
+    d: int = 64,
+) -> str:
+    """Mirror of operators.similarity.ivf_topk: the k-means CTE chain
+    re-derives the identical codebook, corpus vectors take their argmin
+    cell, queries probe their ``nprobe`` nearest cells (BIGINT distances,
+    smaller-cell tie-break), and cosine top-k runs only within probed
+    cells."""
+    cents = f"cent{iterations}"
+    parts = _kmeans_ctes(n_clusters, iterations, d)
+    parts.append(
+        "celld AS MATERIALIZED (\n"
+        "  SELECT q.vec_id, c.cl,\n"
+        "    sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        "      sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+        f"  FROM qe q JOIN {cents} c ON c.pos = q.pos\n"
+        "  GROUP BY q.vec_id, c.cl)"
+    )
+    parts.append(
+        "corp AS MATERIALIZED (SELECT vec_id, cl AS cell FROM celld WHERE rn = 1)"
+    )
+    parts.append(
+        "probe AS MATERIALIZED (SELECT vec_id, cl AS cell FROM celld\n"
+        f"  WHERE vec_id < {num_queries} AND rn <= {nprobe})"
+    )
+    parts.append(_EMB_D)
+    parts.append(
+        "scored AS MATERIALIZED (\n"
+        f"  SELECT p.vec_id AS query_id, co.vec_id AS neighbor_id, {_COS} AS sim\n"
+        "  FROM probe p JOIN corp co ON co.cell = p.cell"
+        " AND co.vec_id <> p.vec_id\n"
+        "  JOIN e q ON q.vec_id = p.vec_id\n"
+        "  JOIN e c ON c.vec_id = co.vec_id)"
+    )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        "SELECT query_id, neighbor_id, rank, sim FROM (\n"
+        "  SELECT *, CAST(row_number() OVER (PARTITION BY query_id\n"
+        "    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank FROM scored)\n"
+        f"WHERE rank <= {k}"
+    )
+
+
+def ivf_recall_sql(
+    k: int = 5,
+    nprobe: int = 2,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    num_queries: int = 20,
+    d: int = 64,
+) -> str:
+    """Mirror of operators.similarity.ivf_recall: brute-force top-k and
+    IVF top-k as CTEs, intersected per query (integer hit counts are
+    hash-exact; recall is one rounded division)."""
+    cents = f"cent{iterations}"
+    parts = _kmeans_ctes(n_clusters, iterations, d)
+    parts.append(
+        "celld AS MATERIALIZED (\n"
+        "  SELECT q.vec_id, c.cl,\n"
+        "    sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        "      sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+        f"  FROM qe q JOIN {cents} c ON c.pos = q.pos\n"
+        "  GROUP BY q.vec_id, c.cl)"
+    )
+    parts.append(
+        "corp AS MATERIALIZED (SELECT vec_id, cl AS cell FROM celld WHERE rn = 1)"
+    )
+    parts.append(
+        "probe AS MATERIALIZED (SELECT vec_id, cl AS cell FROM celld\n"
+        f"  WHERE vec_id < {num_queries} AND rn <= {nprobe})"
+    )
+    parts.append(_EMB_D)
+    parts.append(
+        "truth AS MATERIALIZED (\n"
+        "  SELECT query_id, neighbor_id FROM (\n"
+        f"    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,\n"
+        "      row_number() OVER (PARTITION BY q.vec_id\n"
+        f"        ORDER BY {_COS} DESC, c.vec_id ASC) AS rank\n"
+        f"    FROM e q JOIN e c ON c.vec_id <> q.vec_id\n"
+        f"    WHERE q.vec_id < {num_queries})\n"
+        f"  WHERE rank <= {k})"
+    )
+    parts.append(
+        "approx AS MATERIALIZED (\n"
+        "  SELECT query_id, neighbor_id FROM (\n"
+        f"    SELECT p.vec_id AS query_id, co.vec_id AS neighbor_id,\n"
+        "      row_number() OVER (PARTITION BY p.vec_id\n"
+        f"        ORDER BY {_COS} DESC, co.vec_id ASC) AS rank\n"
+        "    FROM probe p JOIN corp co ON co.cell = p.cell"
+        " AND co.vec_id <> p.vec_id\n"
+        "    JOIN e q ON q.vec_id = p.vec_id\n"
+        "    JOIN e c ON c.vec_id = co.vec_id)\n"
+        f"  WHERE rank <= {k})"
+    )
+    parts.append(
+        "nt AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY query_id)"
+    )
+    parts.append(
+        "na AS (SELECT query_id, count(*) AS n_approx FROM approx GROUP BY query_id)"
+    )
+    parts.append(
+        "h AS (SELECT t.query_id, count(*) AS n_hits\n"
+        "  FROM truth t JOIN approx a\n"
+        "    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id\n"
+        "  GROUP BY t.query_id)"
+    )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        "SELECT nt.query_id, CAST(nt.n_truth AS BIGINT) AS n_truth,\n"
+        "  CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,\n"
+        "  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,\n"
+        "  round(COALESCE(h.n_hits, 0) / nt.n_truth, 6) AS recall\n"
+        "FROM nt LEFT JOIN na ON na.query_id = nt.query_id\n"
+        "LEFT JOIN h ON h.query_id = nt.query_id"
     )
 
 
@@ -2264,6 +2415,47 @@ _STOP_RATIO = (
     f"CAST(len(list_filter(toks, t -> list_contains({_STOPLIST}, t))) AS DOUBLE)"
     " / greatest(len(toks), 1)"
 )
+
+
+def repetition_sql(n: int = 2) -> str:
+    """Mirror of functions.text.repetition_exprs: n-gram instance repeats
+    and top-token frequency share, exact micro-units (both engines
+    truncate the nonnegative division)."""
+    gram = " || chr(31) || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "g AS MATERIALIZED (SELECT doc_id, toks,\n"
+        f"  CASE WHEN len(toks) >= {n} THEN\n"
+        f"    list_transform(range(1, len(toks) - {n} + 2), i -> {gram})\n"
+        "  ELSE CAST([] AS VARCHAR[]) END AS grams\n"
+        "  FROM toks_t)\n"
+        "SELECT doc_id,\n"
+        "  CAST(len(toks) AS BIGINT) AS n_tokens,\n"
+        "  CAST(len(grams) AS BIGINT) AS n_grams,\n"
+        "  CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_grams,\n"
+        "  CAST(CASE WHEN len(grams) = 0 THEN 0 ELSE\n"
+        "    (1000000 * (len(grams) - len(list_distinct(grams)))) // len(grams)\n"
+        "  END AS BIGINT) AS dup_gram_micros,\n"
+        "  CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE\n"
+        "    (1000000 * COALESCE(list_max(list_transform(list_distinct(toks),\n"
+        "      u -> len(list_filter(toks, x -> x = u)))), 0)) // len(toks)\n"
+        "  END AS BIGINT) AS top_token_micros\n"
+        "FROM g"
+    )
+
+
+def lang_id_confusion_sql() -> str:
+    """Mirror of the lang-ID confusion-matrix query: predicted label vs
+    the generator's ground-truth ``lang`` column."""
+    return (
+        "WITH t AS MATERIALIZED (SELECT lang,\n"
+        "  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+        " AS toks FROM documents)\n"
+        f"SELECT lang, CASE WHEN {_STOP_RATIO} >= {LANG_EN_THRESHOLD}\n"
+        "    THEN 'en' ELSE 'und' END AS lang_pred,\n"
+        "  CAST(count(*) AS BIGINT) AS n_docs\n"
+        "FROM t GROUP BY 1, 2"
+    )
 
 
 def lang_id_sql() -> str:
