@@ -262,6 +262,18 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_representatives(docs, threshold=0.3)
 
 
+def q_curate_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the end-to-end curation pipeline as ONE declarative plan: near-dup
+    # dedup (LSH + CC + per-cluster best-quality selection) -> absolute
+    # quality floor -> GPT-style packing manifest over the survivors
+    docs = load_table(spark, sf_dir, "documents")
+    reps = dedup_representatives(docs, threshold=0.3)
+    keep = reps.where(F.col("rep_quality") >= 0.75).select(
+        F.col("rep_doc_id").alias("doc_id")
+    )
+    return pack_documents(docs.join(keep, "doc_id"), max_tokens=256, num_shards=4)
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole-graph scalar: Pearson r of endpoint degrees over the und
     # closure — exact integer sums, one float expression, 6dp
@@ -1116,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall": q_ivf_recall,
         "text_repetition": q_repetition,
         "lang_id_confusion": q_lang_confusion,
+        "curate_and_pack": q_curate_and_pack,
         # -- cheap pipeline queries (no graph derivation needed) ----------
         "multimodal_extract": q_multimodal_extract,
         "text_token_count": q_token_count,
@@ -1268,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": O.ivf_recall_sql(5, 2, 8, 2, 20),
         "text_repetition": O.repetition_sql(2),
         "lang_id_confusion": O.lang_id_confusion_sql(),
+        "curate_and_pack": O.curate_pack_sql(0.3, 0.75, 256, 4),
         "avg_neighbor_degree": O.avg_neighbor_degree_sql(),
         "token_cooccurrence": O.token_cooccurrence_sql(2),
         "tf_idf": O.tf_idf_sql(),

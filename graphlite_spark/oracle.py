@@ -1873,6 +1873,40 @@ def dedup_representatives_sql(threshold: float = 0.3, num_hashes: int = 8,
     )
 
 
+def curate_pack_sql(
+    threshold: float = 0.3,
+    min_quality: float = 0.75,
+    max_tokens: int = 256,
+    num_shards: int = 4,
+) -> str:
+    """Mirror of the end-to-end curation pipeline: near-dup
+    representatives (the full dedup_representatives_sql as a nested CTE),
+    an absolute quality floor on the 6dp-rounded score, then the packing
+    manifest over the surviving docs only."""
+    reps = dedup_representatives_sql(threshold)
+    return (
+        f"WITH reps AS MATERIALIZED (\n{reps}\n),\n"
+        "keep AS MATERIALIZED (SELECT rep_doc_id AS doc_id FROM reps\n"
+        f"  WHERE rep_quality >= {min_quality}),\n"
+        "kt AS MATERIALIZED (SELECT d.doc_id,\n"
+        "  list_filter(string_split_regex(lower(d.text), '\\s+'), x -> x <> '')"
+        " AS toks\n"
+        "  FROM documents d JOIN keep k ON k.doc_id = d.doc_id),\n"
+        "nt AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n\n"
+        "  FROM kt WHERE len(toks) > 0),\n"
+        "sh AS MATERIALIZED (SELECT doc_id, n,\n"
+        f"  {_h48('CAST(doc_id AS VARCHAR)')} % {num_shards} AS shard"
+        " FROM nt),\n"
+        "c AS (SELECT doc_id, shard, n,\n"
+        "  sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS e FROM sh)\n"
+        "SELECT doc_id, shard, n AS n_tokens,\n"
+        "  CAST(e - n AS BIGINT) AS start_tok, CAST(e AS BIGINT) AS end_tok,\n"
+        f"  CAST((e - n) // {max_tokens} AS BIGINT) AS first_bin,\n"
+        f"  CAST((e - 1) // {max_tokens} AS BIGINT) AS last_bin\n"
+        "FROM c"
+    )
+
+
 def simhash_sql(bits: int = 32) -> str:
     votes = ",\n    ".join(
         f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(bits)
