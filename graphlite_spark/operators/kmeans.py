@@ -47,12 +47,26 @@ def _tdiv(s: int, n: int) -> int:
     return q if s >= 0 else -q
 
 
-def _dist_expr(centroid: list[int], col: str = "qv") -> F.Column:
-    arr = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
-    return F.aggregate(
-        F.zip_with(F.col(col), arr, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+def _cents_lit(centroids: list[list[int]]) -> F.Column:
+    """The k×d codebook as ONE nested array literal — k lives in the
+    DATA of a single expression, not in k unrolled expression trees, so
+    whole-stage codegen stays small and compiles once regardless of k
+    (8 separate 64-dim aggregate(zip_with) columns cost ~100 s of Janino
+    compilation across the fit/assign/probe plans at k=8)."""
+    return F.array(
+        *[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in centroids]
+    )
+
+
+def _dists_expr(centroids: list[list[int]], col: str = "qv") -> F.Column:
+    """array<long> of squared micro-unit distances to every centroid."""
+    return F.transform(
+        _cents_lit(centroids),
+        lambda c: F.aggregate(
+            F.zip_with(F.col(col), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
@@ -72,17 +86,14 @@ def _quantized(
 
 def _assign(frame: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """(id, qv, cluster, dist_sq) — argmin over the centroid LITERALS;
-    ties break to the smallest cluster index."""
-    dists = [_dist_expr(c).alias(f"d{i}") for i, c in enumerate(centroids)]
-    withd = frame.select("id", "qv", *dists)
-    mind = F.least(*[F.col(f"d{i}") for i in range(len(centroids))])
-    pick = F.when(F.col("d0") == F.col("mind"), 0)
-    for i in range(1, len(centroids)):
-        pick = pick.when(F.col(f"d{i}") == F.col("mind"), i)
-    return withd.withColumn("mind", mind).select(
+    ``array_position`` of the minimum returns the FIRST match, so ties
+    break to the smallest cluster index."""
+    withd = frame.select("id", "qv", _dists_expr(centroids).alias("ds"))
+    return withd.select(
         "id", "qv",
-        pick.cast("long").alias("cluster"),
-        F.col("mind").alias("dist_sq"),
+        (F.array_position("ds", F.array_min("ds")) - 1)
+        .cast("long").alias("cluster"),
+        F.array_min("ds").alias("dist_sq"),
     )
 
 

@@ -183,7 +183,7 @@ def ivf_topk(
     Probe order ties break to the smaller cell index (micro-unit BIGINT
     distances — exact, no float noise)."""
     from graphlite_spark.operators.kmeans import (
-        _dist_expr, _fit, _quantized, quantize_expr,
+        _dists_expr, _fit, _quantized, quantize_expr,
     )
 
     cents = _fit(_quantized(embeddings, id_col, vec_col), n_clusters, iterations)
@@ -193,16 +193,12 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         quantize_expr(F.col(vec_col)).alias("qv"),
-    )
-    dists = [_dist_expr(cc).alias(f"d{i}") for i, cc in enumerate(cents)]
-    mind = F.least(*[F.col(f"d{i}") for i in range(len(cents))])
-    pick = F.when(F.col("d0") == F.col("mind"), 0)
-    for i in range(1, len(cents)):
-        pick = pick.when(F.col(f"d{i}") == F.col("mind"), i)
-    c = (
-        c.select("neighbor_id", "cv", *dists)
-        .withColumn("mind", mind)
-        .select("neighbor_id", "cv", pick.cast("long").alias("cell"))
+    ).select(
+        "neighbor_id", "cv", _dists_expr(cents).alias("ds")
+    ).select(
+        "neighbor_id", "cv",
+        (F.array_position("ds", F.array_min("ds")) - 1)
+        .cast("long").alias("cell"),
     )
 
     q = queries.select(
@@ -210,15 +206,16 @@ def ivf_topk(
         F.col(vec_col).alias("qvec"),
         quantize_expr(F.col(vec_col)).alias("qv"),
     )
+    # (dist, cell) structs sort ascending lexicographically — nearest
+    # first, smaller cell index on ties — then keep the nprobe head
     ranked = F.slice(
         F.array_sort(
-            F.array(*[
-                F.struct(
-                    _dist_expr(cc).alias("d"),
-                    F.lit(i).cast("long").alias("cell"),
-                )
-                for i, cc in enumerate(cents)
-            ])
+            F.transform(
+                _dists_expr(cents),
+                lambda d, i: F.struct(
+                    d.alias("d"), i.cast("long").alias("cell")
+                ),
+            )
         ),
         1,
         nprobe,
