@@ -74,7 +74,10 @@ from graphlite_spark.operators.ngram_lm import (
     bigram_next_topk,
     doc_bigram_hit_rate,
 )
-from graphlite_spark.operators.sketches import kmv_distinct_by
+from graphlite_spark.operators.sketches import (
+    cms_estimate_heavy_hitters,
+    kmv_distinct_by,
+)
 from graphlite_spark.functions.text import (
     fingerprint_expr,
     lang_id_expr,
@@ -115,13 +118,20 @@ from graphlite_spark.operators.multimodal import (
     sample_ppm_frames,
     with_binary_payload,
 )
+from graphlite_spark.operators.bpe import bpe_merges
 from graphlite_spark.operators.packing import (
     build_vocab,
+    mix_corpus,
     pack_documents,
     sample_stratified,
 )
 from graphlite_spark.operators.sessions import sessionize
-from graphlite_spark.operators.temporal import asof_join, range_join
+from graphlite_spark.operators.temporal import (
+    asof_join,
+    contact_edges,
+    range_join,
+    temporal_reachability,
+)
 from graphlite_spark.operators.similarity import (
     cosine_topk,
     ivf_recall,
@@ -505,6 +515,14 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min point queries for the top-20 users: the sketch is
+    # depth*width longs of state no matter the input size; exact counts
+    # ride along as the never-underestimates witness
+    ev = load_table(spark, sf_dir, "events")
+    return cms_estimate_heavy_hitters(ev, "user_id", k=20)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark decontamination: n-gram CONTAINMENT of each training doc
     # against a (deterministic doc_id%29) held-out "benchmark" subset —
@@ -700,6 +718,24 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(docs, min_df=2)
 
 
+MIX_WEIGHTS = {"src0": 30, "src1": 3, "src2": 2}
+
+
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-count mixture via largest-remainder targets + per-stratum
+    # hash ranks; src0's target deliberately exceeds its population so
+    # the shortfall contract (fewer rows, never substitution) is checked
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_corpus(docs, "source", MIX_WEIGHTS, total=70)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer training: the first 8 BPE merge rules, frequency-weighted
+    # over the distinct-word table (the standard corpus->vocab reduction)
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, n_merges=8)
+
+
 def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
@@ -745,6 +781,20 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, on="user_id", ts_col="ts_us",
         max_gap=3_600_000_000,
         left_cols=["event_id"], right_cols=["event_id", "value"],
+    )
+
+
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-respecting earliest arrival over per-type contact chains:
+    # an edge forwards only at t >= arr(src) — structural-but-backwards
+    # paths excluded (what separates this from BFS); 8 relaxation rounds
+    ev = _events_us(spark, sf_dir)
+    edges = contact_edges(ev)
+    seed = ev.orderBy("ts_us", "event_id").limit(1).collect()[0]
+    actors = ev.select("user_id").distinct()
+    return temporal_reachability(
+        edges, actors, source=int(seed["user_id"]),
+        source_ts=int(seed["ts_us"]), rounds=8,
     )
 
 
@@ -1111,6 +1161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_windowed_sliding": q_events_windowed_sliding,
         # -- new this round ----------------------------------------------
+        "bpe_merges": q_bpe_merges,
+        "mix_corpus": q_mix_corpus,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "temporal_reach": q_temporal_reach,
         "node2vec_walks": q_node2vec_walks,
         "ann_lsh_recall": q_ann_lsh_recall,
         "dedup_representatives": q_dedup_representatives,
@@ -1251,6 +1305,7 @@ def oracle_sql() -> dict[str, str]:
         "coloring_jp": O.coloring_sql(32),
         "adamic_adar": O.adamic_adar_sql(100, 1_000_000),
         "kmv_distinct_users": O.kmv_distinct_sql("event_type", "user_id", 64),
+        "cms_heavy_hitters": O.cms_heavy_hitters_sql("user_id", 20),
         "bloom_semijoin": O.bloom_semijoin_sql("purchase", 2, 256),
         "conversation_stats": O.conversation_stats_sql(),
         "skew_histogram_users": O.partition_histogram_sql("user_id", 32),
@@ -1269,8 +1324,11 @@ def oracle_sql() -> dict[str, str]:
         "modularity_conv": O.modularity_sql(),
         "pack_documents": O.pack_documents_sql(256, 8),
         "build_vocab": O.build_vocab_sql(2),
+        "bpe_merges": O.bpe_merges_sql(8),
+        "mix_corpus": O.mix_corpus_sql(MIX_WEIGHTS, 70),
         "lm_hit_rate": O.doc_bigram_hit_rate_sql(2),
         "events_asof": O.events_asof_sql("purchase", "click"),
+        "temporal_reach": O.temporal_reach_sql(8),
         "events_range_join": O.events_range_join_sql(
             "purchase", "error", 3_600_000_000
         ),

@@ -134,3 +134,65 @@ def build_vocab(
         num_partitions=num_partitions,
     )
     return ranked.select("term", "tf_total", "df", "vocab_id")
+
+
+def mixture_targets(
+    weights: dict[str, int], total: int
+) -> dict[str, int]:
+    """Largest-remainder apportionment of ``total`` rows across strata
+    with integer weights: floor shares first, then one extra row per
+    stratum in remainder-DESC (stratum-ASC tie) order until the targets
+    sum to exactly ``total``.  Pure integer arithmetic — a function of
+    the mixture config alone, independent of the data."""
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    wsum = sum(weights.values())
+    if wsum <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative with a positive sum")
+    base = {s: (w * total) // wsum for s, w in weights.items()}
+    rem = {s: w * total - base[s] * wsum for s, w in weights.items()}
+    extras = total - sum(base.values())
+    for s in sorted(weights, key=lambda s: (-rem[s], s))[:extras]:
+        base[s] += 1
+    return base
+
+
+def mix_corpus(
+    docs: DataFrame,
+    strata_col: str,
+    weights: dict[str, int],
+    total: int,
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """(key, stratum, mix_rank) — an EXACT-count corpus mixture: the
+    ``mixture_targets`` share of each stratum, filled with that stratum's
+    rows in deterministic hash48(salt:key) order (key ASC tie-break).
+    An under-populated stratum yields fewer rows than its target — the
+    caller sees the shortfall instead of silent substitution.
+
+    Contrast with :func:`sample_stratified`: the threshold filter gives
+    EXPECTED proportions with zero shuffle (the 100 TB first pass); this
+    gives exact row counts via one per-stratum rank — use it for the
+    final fixed-size mixture (strata there are the handful of named
+    sources, so the per-stratum window partitions are as wide as the
+    cluster; for a single colossal stratum, thin first with
+    sample_stratified, then exact-cut here)."""
+    targets = mixture_targets(weights, total)
+    expr = None
+    for stratum, t in targets.items():
+        cond = F.col(strata_col) == stratum
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    if expr is None:
+        raise ValueError("weights must name at least one stratum")
+    h = hash48(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy("h", key_col)
+    return (
+        docs.select(
+            F.col(key_col), F.col(strata_col), h.alias("h"),
+            expr.otherwise(F.lit(0)).alias("target"),
+        )
+        .withColumn("mix_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("mix_rank") <= F.col("target"))
+        .select(key_col, strata_col, "mix_rank")
+    )

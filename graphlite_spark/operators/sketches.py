@@ -60,3 +60,77 @@ def kmv_distinct_by(
         F.count(F.lit(1)).cast("long").alias("exact_distinct")
     )
     return est.join(exact, group_col)
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """(row, cell, n) — a Count-Min sketch (Cormode & Muthukrishnan 2005)
+    of the key's frequency distribution.  ``depth`` independent hash rows
+    come from salting the shared 48-bit md5, so the sketch — and every
+    estimate read from it — is deterministic and engine-identical.
+
+    Scale shape: one explode(depth) + map-side-combined groupBy; the
+    whole sketch is ``depth * width`` longs regardless of input size, the
+    point of a sketch.  Heavy keys create NO reducer skew: each hot key
+    folds into ``depth`` cells via the partial aggregation."""
+    keyed = df.select(F.col(key_col).cast("string").alias("k")).select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    )
+    cell = hash48(
+        F.concat_ws(":", F.lit(salt), F.col("row").cast("string"), F.col("k"))
+    ) % width
+    return (
+        keyed.select(F.col("row").cast("long").alias("row"), cell.alias("cell"))
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def cms_estimate_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> DataFrame:
+    """(key, exact_n, cms_est) for the k most frequent keys — the
+    sketch's point-query ``min`` over its rows, joined against the exact
+    counts as the accuracy witness (CMS never underestimates, so
+    ``cms_est >= exact_n`` is an invariant the tests assert).  The exact
+    side is affordable here by construction (top-k only); at 100 TB the
+    sketch answers point queries the exact plan can't."""
+    sketch = cms_build(df, key_col, depth, width, salt)
+    exact = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc(key_col))
+        .limit(k)
+    )
+    probes = exact.select(
+        F.col(key_col),
+        F.col("exact_n"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    ).select(
+        key_col, "exact_n", F.col("row").cast("long").alias("row"),
+        (
+            hash48(
+                F.concat_ws(
+                    ":", F.lit(salt), F.col("row").cast("string"),
+                    F.col(key_col).cast("string"),
+                )
+            ) % width
+        ).alias("cell"),
+    )
+    # the probe side is k*depth rows — broadcast it into the sketch
+    joined = sketch.join(
+        F.broadcast(probes), ["row", "cell"], "inner"
+    )
+    return joined.groupBy(key_col, "exact_n").agg(
+        F.min("n").alias("cms_est")
+    )

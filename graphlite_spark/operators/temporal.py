@@ -143,3 +143,77 @@ def range_join(
         *[f"{right_prefix}{c}" for c in right_cols],
         (F.col("_rts") - F.col("_lts")).alias("gap"),
     )
+
+
+def contact_edges(
+    events: DataFrame,
+    key_col: str = "event_type",
+    actor_col: str = "user_id",
+    ts_col: str = "ts_us",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(src, dst, t) — the temporal contact sequence: within each key
+    stream, each event links the PREVIOUS actor to the current one at the
+    current timestamp (self-contacts dropped).  One edge per event, so
+    the contact graph is |events|-sparse no matter how bursty a stream
+    gets — the degenerate-window blowup a same-key range join risks
+    cannot happen by construction.  One hash shuffle on the key; the lag
+    window is per-key, never global."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    return (
+        events.select(
+            F.lag(actor_col).over(w).alias("src"),
+            F.col(actor_col).alias("dst"),
+            F.col(ts_col).alias("t"),
+        )
+        .where(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    actors: DataFrame,
+    source: int,
+    source_ts: int,
+    rounds: int = 8,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(user_id, arr_us) — earliest-arrival times over the time-respecting
+    contact edges after ``rounds`` synchronous relaxations: an edge
+    (u, v, t) forwards only when ``t >= arr(u)`` (information cannot ride
+    a contact that happened before it arrived) and delivers arrival ``t``.
+    This ordering constraint is what distinguishes temporal reachability
+    from plain BFS — a path that exists structurally but runs backwards
+    in time is NOT a path here (Holme & Saramäki, Phys. Rep. 519, 2012).
+
+    ``edges`` is (src, dst, t); ``actors`` one row per user_id.  Per
+    round: one equi-join on src + one map-side-combined min-groupBy on
+    dst — the same shuffle shape as a Pregel superstep; arrival state is
+    one long per actor.  Lineage is truncated every ``checkpoint_every``
+    rounds, the repo-wide loop discipline."""
+    arr = actors.select(
+        F.col("user_id"),
+        F.when(F.col("user_id") == source, F.lit(source_ts))
+        .cast("long")
+        .alias("arr"),
+    )
+    for r in range(1, rounds + 1):
+        msgs = (
+            edges.alias("e")
+            .join(
+                arr.where(F.col("arr").isNotNull()).alias("a"),
+                (F.col("e.src") == F.col("a.user_id"))
+                & (F.col("e.t") >= F.col("a.arr")),
+            )
+            .groupBy(F.col("e.dst").alias("user_id"))
+            .agg(F.min("e.t").alias("m"))
+        )
+        arr = (
+            arr.join(msgs, "user_id", "left")
+            .select("user_id", F.least("arr", "m").alias("arr"))
+        )
+        if r % checkpoint_every == 0:
+            arr = arr.localCheckpoint(eager=False)
+    return arr.where(F.col("arr").isNotNull()).select(
+        "user_id", F.col("arr").alias("arr_us")
+    )

@@ -1284,6 +1284,42 @@ def kmv_distinct_sql(group_col: str = "event_type",
     )
 
 
+def cms_heavy_hitters_sql(
+    key: str = "user_id",
+    k: int = 20,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "cms",
+) -> str:
+    """Mirror of operators.sketches.cms_estimate_heavy_hitters over
+    events: the Count-Min sketch over the salted 48-bit md5 is
+    deterministic, so the point-query min is hash-exact across engines."""
+    cell = _h48(
+        f"'{salt}' || ':' || CAST(t.row AS VARCHAR) || ':' || ks.k"
+    )
+    pcell = _h48(
+        f"'{salt}' || ':' || CAST(t.row AS VARCHAR) || ':' "
+        f"|| CAST(e.{key} AS VARCHAR)"
+    )
+    return (
+        "WITH ks AS MATERIALIZED (\n"
+        f"  SELECT CAST({key} AS VARCHAR) AS k FROM events),\n"
+        "sketch AS MATERIALIZED (\n"
+        f"  SELECT t.row, {cell} % {width} AS cell,"
+        " CAST(count(*) AS BIGINT) AS n\n"
+        f"  FROM ks, range(0, {depth}) AS t(row) GROUP BY 1, 2),\n"
+        "ex AS MATERIALIZED (\n"
+        f"  SELECT {key}, CAST(count(*) AS BIGINT) AS exact_n FROM events\n"
+        f"  GROUP BY {key} ORDER BY exact_n DESC, {key} ASC LIMIT {k}),\n"
+        "probes AS MATERIALIZED (\n"
+        f"  SELECT e.{key}, e.exact_n, t.row, {pcell} % {width} AS cell\n"
+        f"  FROM ex e, range(0, {depth}) AS t(row))\n"
+        f"SELECT p.{key}, p.exact_n, min(s.n) AS cms_est\n"
+        "FROM probes p JOIN sketch s ON s.row = p.row AND s.cell = p.cell\n"
+        f"GROUP BY p.{key}, p.exact_n"
+    )
+
+
 def tf_idf_sql(min_df: int = 1) -> str:
     """Mirror of operators.tfidf.tf_idf: integer micro-unit idf rounded
     once per term, multiplied by the integer tf — BIGINT-exact scores."""
@@ -2208,6 +2244,96 @@ def build_vocab_sql(min_df: int = 1) -> str:
     )
 
 
+def _bpe_merge_step(step: int) -> list[str]:
+    """CTEs for ONE BPE merge step: weighted adjacent-pair counts from
+    ``s{step-1}``, the argmax rule ``best{step}``, then leftmost-greedy
+    non-overlapping application as run-parity selection (gaps-and-islands
+    over the match positions; within each run of consecutive matches the
+    even offsets are the greedily-executed merges)."""
+    p = f"s{step - 1}"
+    return [
+        f"pc{step} AS MATERIALIZED (SELECT a, b, sum(f) AS cnt FROM (\n"
+        f"  SELECT w, f, seg[i] AS a, seg[i+1] AS b\n"
+        f"  FROM {p}, unnest(range(1, len(seg))) AS t(i)) GROUP BY a, b)",
+        f"best{step} AS MATERIALIZED (SELECT a, b, a || b AS m,\n"
+        f"  CAST(cnt AS BIGINT) AS cnt\n"
+        f"  FROM pc{step} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)",
+        f"x{step} AS MATERIALIZED (SELECT w, f, i, s,\n"
+        f"  (s = (SELECT a FROM best{step}) AND\n"
+        f"   lead(s) OVER (PARTITION BY w ORDER BY i)"
+        f" = (SELECT b FROM best{step})) AS mt\n"
+        f"  FROM (SELECT w, f, unnest(seg) AS s,\n"
+        f"        generate_subscripts(seg, 1) AS i FROM {p}))",
+        f"g{step} AS MATERIALIZED (SELECT w, f, i, s, mt,\n"
+        f"  CASE WHEN mt THEN i -"
+        f" row_number() OVER (PARTITION BY w, mt ORDER BY i) END AS grp\n"
+        f"  FROM x{step})",
+        f"r{step} AS MATERIALIZED (SELECT w, f, i, s,\n"
+        f"  coalesce(mt AND (i - min(i) OVER (PARTITION BY w, grp)) % 2 = 0,\n"
+        f"           FALSE) AS sel\n"
+        f"  FROM g{step})",
+        f"d{step} AS MATERIALIZED (SELECT w, f, i, s, sel,\n"
+        f"  coalesce(lag(sel) OVER (PARTITION BY w ORDER BY i), FALSE)"
+        f" AS drop_me\n"
+        f"  FROM r{step})",
+        f"s{step} AS MATERIALIZED (SELECT w, f,\n"
+        f"  list(CASE WHEN sel THEN (SELECT m FROM best{step}) ELSE s END"
+        f" ORDER BY i) AS seg\n"
+        f"  FROM d{step} WHERE NOT drop_me GROUP BY w, f)",
+    ]
+
+
+def bpe_merges_sql(n_merges: int = 8) -> str:
+    """Mirror of operators.bpe.bpe_merges: the distinct-word frequency
+    table, char-initial segmentation, and ``n_merges`` unrolled
+    count-argmax-apply steps.  The Spark side applies each merge as a
+    codegen'd leftmost-greedy fold; this side as window-function
+    run-parity — same semantics, both validated against a plain-Python
+    reference in tests/test_bpe.py."""
+    parts = [
+        TOKS_CTE,
+        "wf AS MATERIALIZED (SELECT term AS w, CAST(count(*) AS BIGINT) AS f\n"
+        "  FROM (SELECT unnest(toks) AS term FROM toks_t) GROUP BY term)",
+        "s0 AS MATERIALIZED (SELECT w, f,\n"
+        "  list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS seg\n"
+        "  FROM wf)",
+    ]
+    for step in range(1, n_merges + 1):
+        parts.extend(_bpe_merge_step(step))
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({s} AS BIGINT) AS step, a AS left_sym,"
+        f" b AS right_sym, m AS merged, cnt FROM best{s}"
+        for s in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+def mix_corpus_sql(
+    weights: dict[str, int],
+    total: int,
+    salt: str = "mix",
+) -> str:
+    """Mirror of operators.packing.mix_corpus over documents: the same
+    ``mixture_targets`` Python computes the per-source targets for both
+    engines (no drift possible), and the per-stratum hash ranks are the
+    shared 48-bit md5."""
+    from graphlite_spark.operators.packing import mixture_targets
+
+    targets = mixture_targets(weights, total)
+    whens = "\n".join(
+        f"    WHEN '{s}' THEN {t}" for s, t in targets.items()
+    )
+    h = _h48(f"'{salt}' || ':' || CAST(doc_id AS VARCHAR)")
+    return (
+        "WITH r AS (SELECT doc_id, source,\n"
+        f"  CASE source\n{whens}\n    ELSE 0 END AS target,\n"
+        f"  CAST(row_number() OVER (PARTITION BY source\n"
+        f"    ORDER BY {h}, doc_id) AS BIGINT) AS mix_rank\n"
+        "  FROM documents)\n"
+        "SELECT doc_id, source, mix_rank FROM r WHERE mix_rank <= target"
+    )
+
+
 def token_count_sql() -> str:
     # n_bpe_tokens: BPE-ish pre-tokenization — alnum runs or single
     # non-alnum marks (same RE2/Java-regex-safe pattern on both engines)
@@ -2715,6 +2841,49 @@ def events_range_join_sql(left_type: str = "purchase",
         "  r.ts_us - l.ts_us AS gap\n"
         "FROM l JOIN r ON l.user_id = r.user_id\n"
         f"  AND abs(l.ts_us - r.ts_us) <= {max_gap_us}"
+    )
+
+
+def temporal_reach_sql(rounds: int = 8) -> str:
+    """Mirror of operators.temporal.contact_edges + temporal_reachability:
+    per-event_type contact chains (lag over (ts, event_id) order), then
+    ``rounds`` unrolled time-respecting earliest-arrival relaxations from
+    the globally-earliest event's user.  The t >= arr(u) constraint in
+    the join is the temporal-path condition; min-combining is
+    NULL-handled with the explicit CASE (DuckDB/Spark least() NULL
+    semantics differ — the CASE is engine-identical)."""
+    parts = [
+        "ev AS MATERIALIZED (SELECT event_id, user_id, event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events)",
+        "ce AS MATERIALIZED (SELECT src, dst, t FROM (\n"
+        "  SELECT lag(user_id) OVER (PARTITION BY event_type\n"
+        "           ORDER BY ts_us, event_id) AS src,\n"
+        "         user_id AS dst, ts_us AS t FROM ev)\n"
+        "  WHERE src IS NOT NULL AND src <> dst)",
+        "seed AS MATERIALIZED (SELECT user_id, ts_us FROM ev\n"
+        "  ORDER BY ts_us, event_id LIMIT 1)",
+        "a0 AS MATERIALIZED (SELECT u.user_id,\n"
+        "  CASE WHEN u.user_id = (SELECT user_id FROM seed)\n"
+        "       THEN (SELECT ts_us FROM seed) END AS arr\n"
+        "  FROM (SELECT DISTINCT user_id FROM ev) u)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"a{r - 1}"
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT p.user_id,\n"
+            f"  CASE WHEN m.m IS NULL THEN p.arr\n"
+            f"       WHEN p.arr IS NULL THEN m.m\n"
+            f"       WHEN m.m < p.arr THEN m.m ELSE p.arr END AS arr\n"
+            f"  FROM {p} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS user_id, min(e.t) AS m\n"
+            f"    FROM ce e JOIN {p} q ON q.user_id = e.src\n"
+            f"      AND q.arr IS NOT NULL AND e.t >= q.arr\n"
+            f"    GROUP BY e.dst) m ON m.user_id = p.user_id)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        f"SELECT user_id, CAST(arr AS BIGINT) AS arr_us FROM a{rounds}\n"
+        "WHERE arr IS NOT NULL"
     )
 
 

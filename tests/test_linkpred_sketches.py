@@ -10,7 +10,11 @@ from pyspark.sql import functions as F
 
 from graphlite_spark.algos.linkpred import adamic_adar
 from graphlite_spark.algos.triangles import local_clustering_coefficient
-from graphlite_spark.operators.sketches import kmv_distinct_by
+from graphlite_spark.operators.sketches import (
+    cms_build,
+    cms_estimate_heavy_hitters,
+    kmv_distinct_by,
+)
 from tests.reference_sim import random_digraph
 
 
@@ -163,3 +167,42 @@ def test_jaccard_hub_cap_binds(spark):
         (1, 2): (1, 1_000_000 * 1 // (2 + 2 - 1)),
         (0, 6): (2, 1_000_000 * 2 // (5 + 2 - 2)),
     }
+
+
+def test_cms_point_queries(spark):
+    # skewed key distribution; narrow width forces real collisions so the
+    # test exercises overestimation, and the Python replay must agree
+    from collections import Counter
+
+    rows = [(i % 7,) for i in range(200)] + [(100 + i % 40,) for i in range(80)]
+    df = spark.createDataFrame(rows, "user_id long")
+    depth, width = 4, 16
+    got = {
+        r["user_id"]: (r["exact_n"], r["cms_est"])
+        for r in cms_estimate_heavy_hitters(
+            df, "user_id", k=10, depth=depth, width=width
+        ).collect()
+    }
+    cnt = Counter(u for (u,) in rows)
+    sketch = Counter()
+    for u, n in cnt.items():
+        for r in range(depth):
+            sketch[(r, _h48(f"cms:{r}:{u}") % width)] += n
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want = {
+        u: (n, min(sketch[(r, _h48(f"cms:{r}:{u}") % width)] for r in range(depth)))
+        for u, n in top
+    }
+    assert got == want
+    # CMS never underestimates
+    assert all(est >= exact for exact, est in got.values())
+    # with width 16 and 47 distinct keys, at least one probe must collide
+    assert any(est > exact for exact, est in got.values())
+
+
+def test_cms_sketch_size_bounded(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "user_id long")
+    sk = cms_build(df, "user_id", depth=3, width=8)
+    assert sk.count() <= 3 * 8
+    total = sk.groupBy("row").agg(F.sum("n").alias("t")).collect()
+    assert {r["t"] for r in total} == {1000}  # each row sees every key once

@@ -110,3 +110,57 @@ def test_sample_stratified_bruteforce(spark):
     got_d = {r["k"] for r in sample_stratified(
         df, "stratum", {"a": 1.0}, key_col="k", default_rate=1.0).collect()}
     assert got_d == {k for k, _ in rows}
+
+
+def test_mixture_targets_largest_remainder():
+    from graphlite_spark.operators.packing import mixture_targets
+
+    # floors 21/12/12/8/4 = 57; extras by remainder (12,12,8) -> b,c,d
+    got = mixture_targets({"a": 5, "b": 3, "c": 3, "d": 2, "e": 1}, 60)
+    assert got == {"a": 21, "b": 13, "c": 13, "d": 9, "e": 4}
+    assert sum(got.values()) == 60
+    # remainder tie between b and c broken by stratum ASC when only one
+    # extra is available
+    got2 = mixture_targets({"b": 1, "c": 1}, 3)
+    assert got2 == {"b": 2, "c": 1}
+    # exact division: no extras
+    assert mixture_targets({"x": 1, "y": 1}, 4) == {"x": 2, "y": 2}
+    assert mixture_targets({"x": 1}, 0) == {"x": 0}
+    with pytest.raises(ValueError):
+        mixture_targets({"x": 0}, 5)
+    with pytest.raises(ValueError):
+        mixture_targets({"x": -1, "y": 2}, 5)
+
+
+def test_mix_corpus_bruteforce_and_shortfall(spark):
+    from graphlite_spark.operators.packing import mix_corpus, mixture_targets
+
+    def h48(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    # stratum a: only 3 docs but weighted to want far more (shortfall);
+    # strata b, c populated enough
+    rows = (
+        [(i, "a") for i in range(3)]
+        + [(100 + i, "b") for i in range(20)]
+        + [(200 + i, "c") for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"a": 10, "b": 2, "c": 1}
+    got = sorted(
+        (r["doc_id"], r["source"], r["mix_rank"])
+        for r in mix_corpus(docs, "source", weights, total=26).collect()
+    )
+    targets = mixture_targets(weights, 26)  # a:20, b:4, c:2
+    assert targets == {"a": 20, "b": 4, "c": 2}
+    want = []
+    for s, t in targets.items():
+        pop = sorted(
+            (d for d, src in rows if src == s),
+            key=lambda d: (h48(f"mix:{d}"), d),
+        )
+        want += [(d, s, i + 1) for i, d in enumerate(pop[:t])]
+    assert got == sorted(want)
+    # the shortfall contract: stratum a contributes all 3 of its docs
+    assert sum(1 for _, s, _ in got if s == "a") == 3
+    assert len(got) == 3 + 4 + 2

@@ -60,6 +60,11 @@ GUARDED = [
     "bigram_next_topk",
     "heavy_hitters_users",
     "louvain_refine_lpa3",
+    # round-4 additions: the CMS probe join and the temporal-reach
+    # relaxation joins (equality on src + t>=arr residual — must stay a
+    # hash join); bpe_merges/mix_corpus have no data-data join to guard
+    "cms_heavy_hitters",
+    "temporal_reach",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the

@@ -79,3 +79,65 @@ def test_asof_join_rejects_empty_payload(spark):
         from graphlite_spark.operators.temporal import asof_join
 
         asof_join(left, right, on="user_id", ts_col="ts_us")
+
+
+def test_contact_edges_chains_and_drops_self(spark):
+    from graphlite_spark.operators.temporal import contact_edges
+
+    ev = spark.createDataFrame(
+        [
+            # one stream 'a': users 1,1,2,3 -> edges 1->2@30, 2->3@40
+            (10, 1, "a", 10), (11, 1, "a", 20), (12, 2, "a", 30),
+            (13, 3, "a", 40),
+            # stream 'b': tie on ts broken by event_id: 5 then 6
+            (20, 5, "b", 100), (21, 6, "b", 100),
+        ],
+        "event_id long, user_id long, event_type string, ts_us long",
+    )
+    got = sorted(
+        (r["src"], r["dst"], r["t"]) for r in contact_edges(ev).collect()
+    )
+    assert got == [(1, 2, 30), (2, 3, 40), (5, 6, 100)]
+
+
+def test_temporal_reachability_respects_time(spark):
+    """The defining case: 1->2@t=50 then 2->3@t=10 is structurally a
+    path 1..3 but runs BACKWARDS in time — plain BFS reaches 3, temporal
+    reachability must not.  4 is reached via a forward chain."""
+    from graphlite_spark.operators.temporal import temporal_reachability
+
+    edges = spark.createDataFrame(
+        [(1, 2, 50), (2, 3, 10), (2, 4, 60), (9, 1, 5)],
+        "src long, dst long, t long",
+    )
+    actors = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 9)], "user_id long"
+    )
+    got = {
+        r["user_id"]: r["arr_us"]
+        for r in temporal_reachability(
+            edges, actors, source=1, source_ts=0, rounds=5
+        ).collect()
+    }
+    assert got == {1: 0, 2: 50, 4: 60}  # 3 unreachable, 9 never seeded
+
+
+def test_temporal_reachability_waits_for_arrival(spark):
+    """An edge whose contact time precedes the arrival at its source
+    cannot forward even though the source IS eventually reached."""
+    from graphlite_spark.operators.temporal import temporal_reachability
+
+    # source 1 reaches 2 only at t=100; the 2->3 contact at t=90 is too
+    # early, but a later 2->3 contact at t=120 delivers
+    edges = spark.createDataFrame(
+        [(1, 2, 100), (2, 3, 90), (2, 3, 120)],
+        "src long, dst long, t long",
+    )
+    actors = spark.createDataFrame([(1,), (2,), (3,)], "user_id long")
+    got = {
+        r["user_id"]: r["arr_us"]
+        for r in temporal_reachability(
+            edges, actors, source=1, source_ts=0, rounds=4
+        ).collect()
+    }
+    assert got == {1: 0, 2: 100, 3: 120}
