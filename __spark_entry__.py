@@ -784,6 +784,39 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOWTIE_PERMILLE = 25
+
+
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Broder bow-tie macro-structure of the (hash-sparsified) user
+    # contact graph: all six classes populated at sf0.01 — the classic
+    # web-graph analysis, composed from SCC + weak CC + four O(log D)
+    # set-reachability fixpoints
+    from graphlite_spark.algos.bowtie import bowtie_decomposition
+    from graphlite_spark.functions.hashes import hash48
+
+    ev = _events_us(spark, sf_dir)
+    thr = BOWTIE_PERMILLE * (1 << 48) // 1000
+    edges = (
+        contact_edges(ev)
+        .select("src", "dst")
+        .distinct()
+        .where(
+            hash48(
+                F.concat_ws(
+                    ":", F.lit("bowtie"),
+                    F.col("src").cast("string"), F.col("dst").cast("string"),
+                )
+            )
+            < thr
+        )
+    )
+    verts = ev.select(F.col("user_id").alias("id")).distinct()
+    return bowtie_decomposition(verts, edges).select(
+        F.col("id").alias("user_id"), "cls"
+    )
+
+
 def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time-respecting earliest arrival over per-type contact chains:
     # an edge forwards only at t >= arr(src) — structural-but-backwards
@@ -1165,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": q_mix_corpus,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "temporal_reach": q_temporal_reach,
+        "bowtie_contact_graph": q_bowtie,
         "node2vec_walks": q_node2vec_walks,
         "ann_lsh_recall": q_ann_lsh_recall,
         "dedup_representatives": q_dedup_representatives,
@@ -1329,6 +1363,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_hit_rate": O.doc_bigram_hit_rate_sql(2),
         "events_asof": O.events_asof_sql("purchase", "click"),
         "temporal_reach": O.temporal_reach_sql(8),
+        "bowtie_contact_graph": O.bowtie_sql(BOWTIE_PERMILLE),
         "events_range_join": O.events_range_join_sql(
             "purchase", "error", 3_600_000_000
         ),

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from graphlite_spark.checkpoint import truncate_plan
 from graphlite_spark.operators.pregel import (
     PregelAlgorithm,
     PregelEngine,
@@ -141,10 +142,9 @@ def connected_components_fast(
             lab = b.select(
                 F.col("id").alias("lid"), F.col("relaxed").alias("lcomp")
             )
-            nxt = (
+            nxt = truncate_plan(
                 b.join(lab, b["relaxed"] == lab["lid"])
                 .select("id", "old", F.col("lcomp").alias("comp"))
-                .localCheckpoint(eager=False)
             )
             changed = nxt.agg(
                 F.sum((F.col("comp") != F.col("old")).cast("long")).alias("n")

@@ -58,6 +58,8 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphlite_spark.checkpoint import truncate_plan
+
 
 def _min_reach_fixpoint(
     verts: DataFrame, e: DataFrame, max_rounds: int
@@ -133,8 +135,8 @@ def _min_reach_fixpoint(
                 F.least(F.col("relaxed"), F.col("plab")).alias("lab"),
                 F.col("jj").alias("j"),
             )
-            .localCheckpoint(eager=False)
         )
+        nxt = truncate_plan(nxt)
         changed = nxt.agg(
             F.sum((F.col("lab") != F.col("old")).cast("long")).alias("n")
         ).first()["n"]
@@ -208,13 +210,13 @@ def strongly_connected_components(
                 bwd.select(F.col("id").alias("bid"), F.col("lab").alias("b")),
                 fwd["id"] == F.col("bid"),
             ).select("id", F.col("lab").alias("f"), "b")
-            lab = lab.localCheckpoint(eager=False)
+            lab = truncate_plan(lab)
             done = lab.where(F.col("f") == F.col("b")).select(
                 "id", F.col("f").alias("scc")
             )
-            assigned = (
+            assigned = truncate_plan(
                 done if assigned is None else assigned.unionByName(done)
-            ).localCheckpoint(eager=False)
+            )
             surv = lab.where(F.col("f") != F.col("b"))
             n_rem = surv.count()  # also materializes lab + assigned
             ef.unpersist()
@@ -242,8 +244,8 @@ def strongly_connected_components(
                     & (F.col("sb") == F.col("db"))
                 )
                 .select("src", "dst")
-                .localCheckpoint(eager=False)
             )
+            de = truncate_plan(de)
             rem = surv.select("id")
         if not converged:
             warnings.warn(

@@ -52,6 +52,35 @@ def _aggr_json(aggr: dict) -> dict:
     return out
 
 
+def truncate_plan(df: DataFrame, eager: bool = False) -> DataFrame:
+    """``localCheckpoint`` that ALSO drops inherited plan statistics.
+
+    ``DataFrame.localCheckpoint`` truncates lineage but the resulting
+    ``LogicalRDD`` keeps the optimized plan's ``originStats`` (Spark
+    preserves them through checkpoints).  ``sizeInBytes`` is the PRODUCT
+    of the children's sizes for every join, so a loop whose evolving
+    frame joins *itself* (pointer doubling: ``lab(v) <- lab(lab(v))``)
+    squares the statistic every round — after r rounds the BigInteger is
+    ~2^r bits, and Catalyst's stats visitor ends up Toom-Cook-multiplying
+    megabyte-sized integers: planning ONE round of the bow-tie
+    reachability chain was measured at 30+ s on a 4-row input (the
+    squaring compounds ACROSS chained fixpoints because checkpoint
+    outputs feed the next fixpoint's leaves).  Rebuilding the DataFrame
+    from the checkpointed RDD via ``internalCreateDataFrame`` yields a
+    ``LogicalRDD`` with DEFAULT leaf stats — growth resets to a constant
+    per round (measured flat at 63 bits over 15 rounds).
+
+    Linear-growth loops (the Pregel gather: ~13 bits/superstep, 1109
+    bits after 80 supersteps) don't need this; every self-joining
+    fixpoint (components_fast, scc, bowtie) does."""
+    jdf = df._jdf.localCheckpoint(eager)
+    spark = df.sparkSession
+    jds = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(jds, spark)
+
+
 class LocalCheckpointer:
     """Lineage truncation only (no durability) — the default."""
 

@@ -2887,6 +2887,72 @@ def temporal_reach_sql(rounds: int = 8) -> str:
     )
 
 
+def bowtie_sql(permille: int = 25, salt: str = "bowtie") -> str:
+    """Mirror of __spark_entry__.q_bowtie / algos.bowtie: the Broder
+    bow-tie classes over the hash-sparsified user contact graph, via
+    DuckDB recursive transitive closures (the definition) — deliberately
+    a different algorithm from the Spark side's SCC-peel +
+    pointer-doubling reachability.  fw(v, r) reads "r reaches v"."""
+    thr = permille * (1 << 48) // 1000
+    h = _h48(
+        f"'{salt}' || ':' || CAST(src AS VARCHAR) || ':' "
+        "|| CAST(dst AS VARCHAR)"
+    )
+    return (
+        "WITH RECURSIVE\n"
+        "ev AS MATERIALIZED (SELECT event_id, user_id, event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),\n"
+        "ce AS MATERIALIZED (SELECT src, dst FROM (\n"
+        "  SELECT DISTINCT src, dst FROM (\n"
+        "    SELECT lag(user_id) OVER (PARTITION BY event_type\n"
+        "             ORDER BY ts_us, event_id) AS src, user_id AS dst\n"
+        "    FROM ev) WHERE src IS NOT NULL AND src <> dst)\n"
+        f"  WHERE {h} < {thr}),\n"
+        "users AS MATERIALIZED (SELECT DISTINCT user_id AS id FROM ev),\n"
+        "fw(v, r) AS (\n"
+        "  SELECT id, id FROM users\n"
+        "  UNION\n"
+        "  SELECT e.dst, fw.r FROM fw JOIN ce e ON e.src = fw.v),\n"
+        "scc AS MATERIALIZED (SELECT f.v AS id, min(f.r) AS scc\n"
+        "  FROM fw f JOIN fw g ON g.v = f.r AND g.r = f.v GROUP BY f.v),\n"
+        "core AS MATERIALIZED (SELECT scc AS lab FROM (\n"
+        "  SELECT scc, count(*) AS n FROM scc GROUP BY scc\n"
+        "  ORDER BY n DESC, scc ASC LIMIT 1)),\n"
+        "rp AS MATERIALIZED (SELECT DISTINCT f.v AS id FROM fw f\n"
+        "  JOIN scc s ON s.id = f.r WHERE s.scc = (SELECT lab FROM core)),\n"
+        "rm AS MATERIALIZED (SELECT DISTINCT f.r AS id FROM fw f\n"
+        "  JOIN scc s ON s.id = f.v WHERE s.scc = (SELECT lab FROM core)),\n"
+        "ins AS MATERIALIZED (SELECT rm.id FROM rm JOIN scc s ON s.id = rm.id\n"
+        "  WHERE s.scc <> (SELECT lab FROM core)),\n"
+        "outs AS MATERIALIZED (SELECT rp.id FROM rp JOIN scc s ON s.id = rp.id\n"
+        "  WHERE s.scc <> (SELECT lab FROM core)),\n"
+        "fin AS MATERIALIZED (SELECT DISTINCT f.v AS id FROM fw f\n"
+        "  JOIN ins ON ins.id = f.r),\n"
+        "bout AS MATERIALIZED (SELECT DISTINCT f.r AS id FROM fw f\n"
+        "  JOIN outs ON outs.id = f.v),\n"
+        "ue AS MATERIALIZED (SELECT src, dst FROM ce\n"
+        "  UNION SELECT dst, src FROM ce),\n"
+        "wf(v, r) AS (\n"
+        "  SELECT id, id FROM users\n"
+        "  UNION\n"
+        "  SELECT e.dst, wf.r FROM wf JOIN ue e ON e.src = wf.v),\n"
+        "wcc AS MATERIALIZED (SELECT v AS id, min(r) AS comp FROM wf"
+        " GROUP BY v)\n"
+        "SELECT u.id AS user_id,\n"
+        "  CASE WHEN s.scc = (SELECT lab FROM core) THEN 'CORE'\n"
+        "       WHEN rm.id IS NOT NULL THEN 'IN'\n"
+        "       WHEN rp.id IS NOT NULL THEN 'OUT'\n"
+        "       WHEN w.comp <> (SELECT comp FROM wcc\n"
+        "                       WHERE id = (SELECT lab FROM core))\n"
+        "         THEN 'DISCONNECTED'\n"
+        "       WHEN fin.id IS NOT NULL AND bout.id IS NOT NULL THEN 'TUBE'\n"
+        "       ELSE 'TENDRIL' END AS cls\n"
+        "FROM users u JOIN scc s ON s.id = u.id JOIN wcc w ON w.id = u.id\n"
+        "LEFT JOIN rm ON rm.id = u.id LEFT JOIN rp ON rp.id = u.id\n"
+        "LEFT JOIN fin ON fin.id = u.id LEFT JOIN bout ON bout.id = u.id"
+    )
+
+
 def events_windowed_sliding_sql(window_us: int = 3_600_000_000,
                                 slide_us: int = 1_800_000_000) -> str:
     """Mirror of the sliding-window entry query: each event joins every
