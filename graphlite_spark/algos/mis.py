@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graphlite_spark.checkpoint import truncate_plan
+
 from graphlite_spark.algos.components import symmetrize
 from graphlite_spark.functions.hashes import hash48
 
@@ -72,9 +74,9 @@ def maximal_independent_set(
     self-loop-free closure of ``edges``."""
     spark = edges.sparkSession
     und = symmetrize(edges).select("src", "dst").persist()
-    state = vertices.select(
+    state = truncate_plan(vertices.select(
         "id", _priority().alias("h"), F.lit(-1).cast("int").alias("st")
-    ).localCheckpoint(eager=False)
+    ))
     saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -118,7 +120,11 @@ def maximal_independent_set(
             )
             s = sel.select(F.col("id").alias("sid"))
             d = dominated.select(F.col("id").alias("did"))
-            state = (
+            # truncate_plan, not bare localCheckpoint: the round joins
+            # `state` against two frames derived from it, which multiplies
+            # the inherited sizeInBytes stats each round (see
+            # checkpoint.truncate_plan)
+            state = truncate_plan(
                 state.join(s, state["id"] == s["sid"], "left")
                 .join(d, state["id"] == d["did"], "left")
                 .select(
@@ -131,7 +137,6 @@ def maximal_independent_set(
                     .cast("int")
                     .alias("st"),
                 )
-                .localCheckpoint(eager=False)
             )
             remaining = state.where(F.col("st") == -1).count()
     finally:
@@ -151,9 +156,9 @@ def greedy_coloring(
     spark = edges.sparkSession
     und = symmetrize(edges).select("src", "dst").persist()
     pick = F.expr(lowest_missing_color_sql("coalesce(mask, 0)"))
-    state = vertices.select(
+    state = truncate_plan(vertices.select(
         "id", _priority().alias("h"), F.lit(-1).cast("int").alias("color")
-    ).localCheckpoint(eager=False)
+    ))
     saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -196,7 +201,9 @@ def greedy_coloring(
             a = agg.select(
                 F.col("dst").alias("aid"), "has_higher", "mask"
             )
-            state = (
+            # truncate_plan for the same stats-squaring reason as the MIS
+            # loop above (state appears on both sides of the nbr join)
+            state = truncate_plan(
                 state.join(a, state["id"] == a["aid"], "left")
                 .select(
                     "id",
@@ -209,7 +216,6 @@ def greedy_coloring(
                     .cast("int")
                     .alias("color"),
                 )
-                .localCheckpoint(eager=False)
             )
             remaining = state.where(F.col("color") == -1).count()
     finally:
