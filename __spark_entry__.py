@@ -53,7 +53,7 @@ from graphlite_spark.algos.centrality import (
     harmonic_centrality,
     katz_centrality,
 )
-from graphlite_spark.algos.anf import neighborhood_function
+from graphlite_spark.algos.anf import effective_diameter, neighborhood_function
 from graphlite_spark.algos.community import louvain_move
 from graphlite_spark.algos.wl import wl_refinement
 from graphlite_spark.algos.mis import greedy_coloring, maximal_independent_set
@@ -89,6 +89,8 @@ from graphlite_spark.functions.text import (
 from graphlite_spark.algos.stats import (
     attribute_assortativity,
     degree_assortativity,
+    reciprocity,
+    rich_club,
     modularity,
 )
 from graphlite_spark.operators.dedup import (
@@ -282,6 +284,28 @@ def q_curate_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep_doc_id").alias("doc_id")
     )
     return pack_documents(docs.join(keep, "doc_id"), max_tokens=256, num_shards=4)
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # directed-graph reciprocity of the user contact graph: do contact
+    # chains double back? exact integer counts, one 6dp division
+    ce = contact_edges(_events_us(spark, sf_dir)).select("src", "dst")
+    return reciprocity(ce)
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rich-club coefficient phi(k) of the transcript graph's undirected
+    # closure for k in 1,2,4,8 — do tool hubs interconnect? exact club
+    # sizes/edge counts, one 6dp division per row
+    _, _, e = graph_tables(spark, sf_dir)
+    return rich_club(e, ks=(1, 2, 4, 8))
+
+
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 90%-effective diameter within the measured ANF horizon (h<=8, k=8
+    # KMV sketches) — integer threshold est*1000 >= 900*NF(8), hash-exact
+    _, v, e = graph_tables(spark, sf_dir)
+    return effective_diameter(v, e, max_h=8, k=8, permille=900)
 
 
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1203,6 +1227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "dedup_representatives": q_dedup_representatives,
         "degree_assortativity": q_degree_assortativity,
+        "reciprocity_contacts": q_reciprocity,
+        "rich_club": q_rich_club,
+        "effective_diameter": q_effective_diameter,
         "modularity_conv": q_modularity,
         "pack_documents": q_pack_documents,
         "build_vocab": q_build_vocab,
@@ -1355,6 +1382,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": O.ann_lsh_recall_sql(5, 8, 20),
         "dedup_representatives": O.dedup_representatives_sql(0.3),
         "degree_assortativity": O.degree_assortativity_sql(),
+        "reciprocity_contacts": O.reciprocity_sql(),
+        "rich_club": O.rich_club_sql((1, 2, 4, 8)),
+        "effective_diameter": O.effective_diameter_sql(8, 8, 900),
         "modularity_conv": O.modularity_sql(),
         "pack_documents": O.pack_documents_sql(256, 8),
         "build_vocab": O.build_vocab_sql(2),

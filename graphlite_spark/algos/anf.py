@@ -98,3 +98,34 @@ def neighborhood_function(
     return spark.createDataFrame(
         [(int(h), int(n)) for h, n in rows], "h bigint, est_pairs bigint"
     )
+
+
+def effective_diameter(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_h: int = 8,
+    k: int = 8,
+    permille: int = 900,
+) -> DataFrame:
+    """One row (eff_diameter, nf_max) — the smallest h within the
+    measured horizon where the neighborhood function reaches
+    ``permille``/1000 of NF(max_h) (the classic 90%-effective-diameter
+    readout of ANF / HyperANF, Palmer et al. 2002, public literature).
+
+    NF is monotone nondecreasing in h, so the row always exists
+    (h = max_h qualifies trivially).  Integer comparison
+    ``est·1000 >= permille·nf_max`` keeps the threshold exact — no float
+    enters at all.  Cost: the neighborhood_function run itself; this
+    readout adds one broadcast of the (max_h+1)-row NF table."""
+    nf = neighborhood_function(vertices, edges, max_h=max_h, k=k)
+    mx = nf.where(F.col("h") == max_h).select(
+        F.col("est_pairs").alias("nf_max")
+    )
+    return (
+        nf.crossJoin(F.broadcast(mx))
+        .where(F.col("est_pairs") * 1000 >= permille * F.col("nf_max"))
+        .agg(
+            F.min("h").cast("long").alias("eff_diameter"),
+            F.max("nf_max").cast("long").alias("nf_max"),
+        )
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graphlite_spark.algos.components import symmetrize
+from graphlite_spark.checkpoint import truncate_plan
 
 
 def degree_assortativity(edges: DataFrame) -> DataFrame:
@@ -148,4 +149,102 @@ def attribute_assortativity(
     return sums.select(
         F.col("m").cast("long").alias("n_edges"),
         F.when(den != 0, F.round(num / den, 6)).alias("assortativity"),
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One row (n_edges, n_recip, reciprocity) — the fraction of distinct
+    directed edges (self-loops dropped) whose reverse edge also exists
+    (Garlaschelli & Loffredo 2004, public literature).  Exact integer
+    counts; the single float division is the only rounding point (6dp).
+
+    Shape: one distinct + one self-equi-join on the swapped key + a 1-row
+    map-side-combined aggregate.  The join keys on (src, dst) both sides,
+    so at scale it co-partitions after one hash exchange each — never a
+    cartesian."""
+    de = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = de.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(1).alias("r"),
+    )
+    return (
+        de.join(rev, ["src", "dst"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum(F.coalesce("r", F.lit(0))).cast("long").alias("n_recip"),
+        )
+        .select(
+            "n_edges",
+            "n_recip",
+            F.round(
+                F.col("n_recip").cast("double") / F.col("n_edges"), 6
+            ).alias("reciprocity"),
+        )
+    )
+
+
+def rich_club(edges: DataFrame, ks: tuple[int, ...] = (1, 2, 4, 8)) -> DataFrame:
+    """(k, n_nodes, e_among, phi) per k — the rich-club coefficient
+    φ(k) = E_{>k} / (N_{>k}·(N_{>k}−1)/2) over the undirected closure
+    (Zhou & Mondragón 2004, public literature): how densely the vertices
+    of degree > k connect among themselves.
+
+    Exactness: node and edge counts are exact integers (`reps` counts
+    directed representations, always even, halved with integer div);
+    φ is the one float division (6dp).  Every k gets a row (zeros when
+    no vertex qualifies).
+
+    Shape: degree table (vertex-sized, broadcast-able) joined onto the
+    edge list once; the tiny k-list is crossJoin-broadcast AFTER a
+    pre-filter to degree > min(k), so the multiplied row count is
+    |edges among the sparsest club| × |ks|, not |E| × |ks|."""
+    spark = edges.sparkSession
+    kmin = min(ks)
+    und = symmetrize(edges).select("src", "dst")
+    # vertex-sized and referenced three times (club sizes + both edge
+    # endpoints) — materialize once instead of re-aggregating und per use
+    deg = truncate_plan(
+        und.groupBy("src").agg(F.count(F.lit(1)).alias("d")), eager=True
+    )
+    kdf = spark.createDataFrame([(int(k),) for k in sorted(ks)], "k long")
+    nodes_k = (
+        deg.where(F.col("d") > kmin)
+        .crossJoin(F.broadcast(kdf))
+        .where(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    ds = deg.select(F.col("src"), F.col("d").alias("ds"))
+    dd = deg.select(F.col("src").alias("dst"), F.col("d").alias("dd"))
+    reps_k = (
+        und.join(ds, "src")
+        .join(dd, "dst")
+        .where((F.col("ds") > kmin) & (F.col("dd") > kmin))
+        .crossJoin(F.broadcast(kdf))
+        .where((F.col("ds") > F.col("k")) & (F.col("dd") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("reps"))
+    )
+    n = F.coalesce("n_nodes", F.lit(0)).cast("long")
+    reps = F.coalesce("reps", F.lit(0)).cast("long")
+    return (
+        kdf.join(nodes_k, "k", "left")
+        .join(reps_k, "k", "left")
+        .select(
+            "k",
+            n.alias("n_nodes"),
+            F.expr("coalesce(reps, 0) div 2").cast("long").alias("e_among"),
+            F.when(
+                n >= 2,
+                F.round(
+                    reps.cast("double")
+                    / (n.cast("double") * (n.cast("double") - 1.0)),
+                    6,
+                ),
+            ).alias("phi"),
+        )
     )

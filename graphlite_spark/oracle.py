@@ -995,10 +995,9 @@ def katz_sql(iterations: int = 6, alpha_den: int = 8) -> str:
     return _graph_query(body)
 
 
-def neighborhood_function_sql(max_h: int = 8, k: int = 8) -> str:
-    """Unrolled KMV-ANF — identical sketch rule (k smallest md5 hashes of
-    the ball, merged through neighbors each iteration) and the identical
-    integer estimate as algos.anf.neighborhood_function."""
+def _anf_parts(max_h: int, k: int) -> tuple[str, str]:
+    """(joined CTE chain, per-h estimate UNION) of the unrolled KMV-ANF —
+    shared by neighborhood_function_sql and effective_diameter_sql."""
     mult = (k - 1) * (1 << 48)
     parts = [
         "nf0 AS MATERIALIZED (SELECT id, "
@@ -1026,9 +1025,81 @@ def neighborhood_function_sql(max_h: int = 8, k: int = 8) -> str:
         f"(SELECT id, count(*) AS n, max(hv) AS hk FROM nf{r} GROUP BY id)"
         for r in range(0, max_h + 1)
     )
-    joined = ",\n".join(parts)
+    return ",\n".join(parts), ests
+
+
+def neighborhood_function_sql(max_h: int = 8, k: int = 8) -> str:
+    """Unrolled KMV-ANF — identical sketch rule (k smallest md5 hashes of
+    the ball, merged through neighbors each iteration) and the identical
+    integer estimate as algos.anf.neighborhood_function."""
+    joined, ests = _anf_parts(max_h, k)
     body = f", {joined}\n{ests}"
     return _graph_query(body)
+
+
+def effective_diameter_sql(
+    max_h: int = 8, k: int = 8, permille: int = 900
+) -> str:
+    """Mirror of algos.anf.effective_diameter: smallest h whose KMV-ANF
+    estimate reaches permille/1000 of NF(max_h) — integer threshold
+    comparison, no float anywhere."""
+    joined, ests = _anf_parts(max_h, k)
+    body = (
+        f", {joined},\n"
+        f"nf_all AS MATERIALIZED ({ests}),\n"
+        f"mx AS MATERIALIZED (SELECT est_pairs AS nf_max FROM nf_all"
+        f" WHERE h = {max_h})\n"
+        f"SELECT CAST(min(h) AS BIGINT) AS eff_diameter,\n"
+        f"       CAST(max(nf_max) AS BIGINT) AS nf_max\n"
+        f"FROM nf_all, mx WHERE est_pairs * 1000 >= {permille} * nf_max"
+    )
+    return _graph_query(body)
+
+
+def rich_club_sql(ks: tuple[int, ...] = (1, 2, 4, 8)) -> str:
+    """Mirror of algos.stats.rich_club over the transcript graph's
+    undirected closure: exact club sizes / among-club edge counts
+    (directed representations halved with integer div), one float
+    division for phi (6dp), zeros when a club is empty."""
+    vals = ", ".join(f"({int(x)})" for x in sorted(ks))
+    body = (
+        ", udeg AS MATERIALIZED (SELECT src AS id, count(*) AS d"
+        " FROM und GROUP BY src),\n"
+        f"ks AS MATERIALIZED (SELECT k FROM (VALUES {vals}) t(k)),\n"
+        "nk AS MATERIALIZED (SELECT k, count(*) AS n_nodes FROM ks\n"
+        "  JOIN udeg ON udeg.d > ks.k GROUP BY k),\n"
+        "rr AS MATERIALIZED (SELECT k, count(*) AS reps FROM ks JOIN (\n"
+        "    SELECT a.d AS ds, b.d AS dd FROM und u\n"
+        "    JOIN udeg a ON a.id = u.src JOIN udeg b ON b.id = u.dst) e\n"
+        "  ON e.ds > ks.k AND e.dd > ks.k GROUP BY k)\n"
+        "SELECT CAST(ks.k AS BIGINT) AS k,\n"
+        "  CAST(coalesce(n_nodes, 0) AS BIGINT) AS n_nodes,\n"
+        "  CAST(coalesce(reps, 0) // 2 AS BIGINT) AS e_among,\n"
+        "  CASE WHEN coalesce(n_nodes, 0) >= 2 THEN\n"
+        "    round(coalesce(reps, 0) * 1.0 /\n"
+        "          (n_nodes * (n_nodes - 1.0)), 6) END AS phi\n"
+        "FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN rr ON rr.k = ks.k"
+    )
+    return _graph_query(body)
+
+
+def reciprocity_sql() -> str:
+    """Mirror of algos.stats.reciprocity over the (unsparsified) user
+    contact graph: distinct directed contacts, self-loops dropped; a
+    reverse-key self-join counts reciprocated edges; one 6dp float
+    division."""
+    return (
+        "WITH ev AS MATERIALIZED (SELECT event_id, user_id, event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),\n"
+        "ce AS MATERIALIZED (SELECT DISTINCT src, dst FROM (\n"
+        "  SELECT lag(user_id) OVER (PARTITION BY event_type\n"
+        "           ORDER BY ts_us, event_id) AS src, user_id AS dst\n"
+        "  FROM ev) WHERE src IS NOT NULL AND src <> dst)\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n_edges,\n"
+        "  CAST(count(r.src) AS BIGINT) AS n_recip,\n"
+        "  round(count(r.src) * 1.0 / count(*), 6) AS reciprocity\n"
+        "FROM ce LEFT JOIN ce r ON r.src = ce.dst AND r.dst = ce.src"
+    )
 
 
 _MIS_PRI_CTE = (
