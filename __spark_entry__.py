@@ -103,7 +103,7 @@ from graphlite_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from graphlite_spark.operators.kmeans import kmeans_embeddings
+from graphlite_spark.operators.kmeans import kmeans_embeddings, pq_encode
 from graphlite_spark.operators.multimodal import (
     decode_jpeg,
     decode_png,
@@ -299,6 +299,15 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sizes/edge counts, one 6dp division per row
     _, _, e = graph_tables(spark, sf_dir)
     return rich_club(e, ks=(1, 2, 4, 8))
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-quantization codes over the embeddings table: 4 subspaces
+    # x 8 codewords, 2 Lloyd iterations each — the compression half of
+    # an IVF-PQ ANN index; long form (vec_id, sub, code, dist_sq),
+    # integer-exact
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, m=4, k=8, iterations=2)
 
 
 def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1230,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity_contacts": q_reciprocity,
         "rich_club": q_rich_club,
         "effective_diameter": q_effective_diameter,
+        "pq_codes": q_pq_codes,
         "modularity_conv": q_modularity,
         "pack_documents": q_pack_documents,
         "build_vocab": q_build_vocab,
@@ -1385,6 +1395,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity_contacts": O.reciprocity_sql(),
         "rich_club": O.rich_club_sql((1, 2, 4, 8)),
         "effective_diameter": O.effective_diameter_sql(8, 8, 900),
+        "pq_codes": O.pq_sql(4, 8, 2, 64),
         "modularity_conv": O.modularity_sql(),
         "pack_documents": O.pack_documents_sql(256, 8),
         "build_vocab": O.build_vocab_sql(2),

@@ -159,3 +159,86 @@ def kmeans_embeddings(
     return _assign(q, centroids).select(
         F.col("id").alias(id_col), "cluster", "dist_sq"
     )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, sub, code, dist_sq) — product quantization (Jégou,
+    Douze & Schmid 2011, public literature): the vector is split into
+    ``m`` contiguous subspaces, each with its own ``k``-codeword
+    codebook fit by the SAME deterministic integer Lloyd machinery as
+    :func:`kmeans_embeddings`; every vector emits m rows, one per
+    subspace, with its argmin codeword and the BIGINT squared
+    micro-unit distance (the per-subspace reconstruction error —
+    Σ over sub = total PQ error).  Long/relational output by design:
+    exact-integer rows the oracle can hash, and the codes-per-vector
+    array is one groupBy away.
+
+    This is the missing piece between the IVF coarse quantizer
+    (operators/similarity.ivf_topk) and a real 100 TB ANN index: IVF
+    routes to cells, PQ compresses residents to m·log2(k) bits.  Seeds
+    reuse the k smallest (hash48('kmeans:'||id), id) vectors in every
+    subspace — same seed IDs, different subvectors, fully deterministic.
+
+    Scale shape: m independent fits, each the kmeans shape (assignment
+    is a codebook-literal expression — no join touches the N·d data;
+    update collects ≤ k·(d/m) codebook-sized rows per iteration);
+    the final encode is ONE pass emitting m expression-only columns,
+    exploded to long form."""
+    dim_row = embeddings.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).limit(1).collect()
+    if not dim_row:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{id_col} long, sub long, code long, dist_sq long"
+        )
+    d = dim_row[0]["d"]
+    if d % m != 0:
+        raise ValueError(f"pq_encode: d={d} not divisible by m={m}")
+    sub = d // m
+    q = _quantized(embeddings, id_col, vec_col)
+    books = []
+    for s in range(m):
+        qs = q.select("id", F.slice("qv", s * sub + 1, sub).alias("qv"))
+        books.append(_fit(qs, k, iterations))
+    sl = q.select(
+        "id",
+        *[F.slice("qv", s * sub + 1, sub).alias(f"qv{s}") for s in range(m)],
+    )
+    withd = sl.select(
+        "id",
+        *[_dists_expr(books[s], f"qv{s}").alias(f"ds{s}") for s in range(m)],
+    )
+    per_sub = withd.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        (
+                            F.array_position(
+                                F.col(f"ds{s}"), F.array_min(f"ds{s}")
+                            )
+                            - 1
+                        )
+                        .cast("long")
+                        .alias("code"),
+                        F.array_min(f"ds{s}").cast("long").alias("dist_sq"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sub", "st"),
+    )
+    return per_sub.select(
+        F.col("id").alias(id_col),
+        F.col("sub").cast("long").alias("sub"),
+        F.col("st.code").alias("code"),
+        F.col("st.dist_sq").alias("dist_sq"),
+    )

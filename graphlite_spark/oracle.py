@@ -2418,50 +2418,92 @@ def token_count_sql() -> str:
     )
 
 
-def _kmeans_ctes(k: int, iterations: int, d: int) -> list[str]:
-    """CTE chain ending in ``cent{iterations}`` (cl, pos, cv): the
-    quantized vertical form ``qe``, hash-min seeds, and the unrolled
-    Lloyd iterations — shared by kmeans_sql and ivf_topk_sql."""
+def _kmeans_ctes(
+    k: int,
+    iterations: int,
+    d: int,
+    sfx: str = "",
+    pos_lo: int = 0,
+) -> list[str]:
+    """CTE chain ending in ``cent{iterations}{sfx}`` (cl, pos, cv): the
+    quantized vertical form ``qe{sfx}``, hash-min seeds, and the unrolled
+    Lloyd iterations — shared by kmeans_sql, ivf_topk_sql and pq_sql.
+    ``sfx``/``pos_lo`` carve one PQ subspace: positions
+    [pos_lo, pos_lo + d) of the full vector, CTE names suffixed so m
+    independent chains coexist in one query (seed ids identical across
+    subspaces, exactly like operators.kmeans.pq_encode)."""
     h = _h48("'kmeans:' || CAST(vec_id AS VARCHAR)")
     parts = [
-        "qe AS MATERIALIZED (\n"
+        f"qe{sfx} AS MATERIALIZED (\n"
         f"  SELECT vec_id, t.i - 1 AS pos,\n"
         "    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0)"
         " AS BIGINT) AS qv\n"
-        f"  FROM embeddings, range(1, {d + 1}) t(i))",
-        "sd AS MATERIALIZED (\n"
+        f"  FROM embeddings, range({pos_lo + 1}, {pos_lo + d + 1}) t(i))",
+        f"sd{sfx} AS MATERIALIZED (\n"
         "  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS cl\n"
         f"  FROM (SELECT vec_id, {h} AS h FROM embeddings)\n"
         f"  ORDER BY h, vec_id LIMIT {k})",
-        "cent0 AS MATERIALIZED (\n"
+        f"cent0{sfx} AS MATERIALIZED (\n"
         "  SELECT s.cl, q.pos, q.qv AS cv\n"
-        "  FROM sd s JOIN qe q ON q.vec_id = s.vec_id)",
+        f"  FROM sd{sfx} s JOIN qe{sfx} q ON q.vec_id = s.vec_id)",
     ]
     for r in range(1, iterations + 1):
-        prev = f"cent{r - 1}"
+        prev = f"cent{r - 1}{sfx}"
         parts.append(
-            f"asg{r} AS MATERIALIZED (\n"
+            f"asg{r}{sfx} AS MATERIALIZED (\n"
             f"  SELECT vec_id, cl FROM (\n"
             f"    SELECT q.vec_id, c.cl,\n"
             f"      row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
             f"        sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
-            f"    FROM qe q JOIN {prev} c ON c.pos = q.pos\n"
+            f"    FROM qe{sfx} q JOIN {prev} c ON c.pos = q.pos\n"
             f"    GROUP BY q.vec_id, c.cl) WHERE rn = 1)"
         )
         parts.append(
-            f"sums{r} AS MATERIALIZED (\n"
+            f"sums{r}{sfx} AS MATERIALIZED (\n"
             f"  SELECT a.cl, q.pos, sum(q.qv) AS s, count(*) AS n\n"
-            f"  FROM asg{r} a JOIN qe q ON q.vec_id = a.vec_id\n"
+            f"  FROM asg{r}{sfx} a JOIN qe{sfx} q ON q.vec_id = a.vec_id\n"
             f"  GROUP BY a.cl, q.pos)"
         )
         parts.append(
-            f"cent{r} AS MATERIALIZED (\n"
+            f"cent{r}{sfx} AS MATERIALIZED (\n"
             f"  SELECT p.cl, p.pos,\n"
             f"    CAST(COALESCE(s.s // s.n, p.cv) AS BIGINT) AS cv\n"
-            f"  FROM {prev} p LEFT JOIN sums{r} s\n"
+            f"  FROM {prev} p LEFT JOIN sums{r}{sfx} s\n"
             f"    ON s.cl = p.cl AND s.pos = p.pos)"
         )
     return parts
+
+
+def pq_sql(
+    m: int = 4, k: int = 8, iterations: int = 2, d: int = 64
+) -> str:
+    """Mirror of operators.kmeans.pq_encode: m independent subspace
+    codebooks (identical quantization, seeding, tie-breaks and
+    truncating centroid division as kmeans_sql), each vector emitting
+    one (sub, code, dist_sq) row per subspace."""
+    if d % m:
+        raise ValueError(f"pq_sql: d={d} not divisible by m={m}")
+    sub = d // m
+    parts: list[str] = []
+    finals = []
+    for s in range(m):
+        parts.extend(
+            _kmeans_ctes(k, iterations, sub, sfx=f"_{s}", pos_lo=s * sub)
+        )
+        finals.append(
+            f"SELECT vec_id, CAST({s} AS BIGINT) AS sub,\n"
+            f"  CAST(cl AS BIGINT) AS code, CAST(d2 AS BIGINT) AS dist_sq\n"
+            f"FROM (\n"
+            f"  SELECT q.vec_id, c.cl,\n"
+            f"    sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2,\n"
+            f"    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+            f"      sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+            f"  FROM qe_{s} q JOIN cent{iterations}_{s} c ON c.pos = q.pos\n"
+            f"  GROUP BY q.vec_id, c.cl) WHERE rn = 1"
+        )
+    joined = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(finals)
+    return f"WITH {joined}\n{union}"
 
 
 def kmeans_sql(k: int = 8, iterations: int = 3, d: int = 64) -> str:

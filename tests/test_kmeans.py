@@ -99,3 +99,68 @@ def test_tdiv_truncates_toward_zero():
     assert _tdiv(7, 2) == 3
     assert _tdiv(-7, 2) == -3
     assert _tdiv(-1, 3) == 0
+
+
+def _pq_replay(rows, m, k, iterations):
+    """Python replay of pq_encode: per-subspace hash-min-seeded integer
+    Lloyd + argmin codes."""
+    d = len(rows[0][1])
+    sub = d // m
+    q = {i: [round(x * 1_000_000) for x in vec] for i, vec in rows}
+
+    def dist(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    out = {}
+    for s in range(m):
+        qs = {i: v[s * sub:(s + 1) * sub] for i, v in q.items()}
+        seeds = sorted(qs, key=lambda i: (_h48(f"kmeans:{i}"), i))[:k]
+        cents = [list(qs[i]) for i in seeds]
+        for _ in range(iterations):
+            groups = {}
+            for i, v in qs.items():
+                ds = [dist(v, c) for c in cents]
+                groups.setdefault(ds.index(min(ds)), []).append(v)
+            cents = [
+                [
+                    _tdiv(sum(v[p] for v in g), len(g))
+                    for p in range(sub)
+                ]
+                if (g := groups.get(ci))
+                else c
+                for ci, c in enumerate(cents)
+            ]
+        for i, v in qs.items():
+            ds = [dist(v, c) for c in cents]
+            mn = min(ds)
+            out[(i, s)] = (ds.index(mn), mn)
+    return out
+
+
+def test_pq_encode_matches_replay(spark):
+    from graphlite_spark.operators.kmeans import pq_encode
+
+    rows = _make_vectors(30, 16)
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["vec_id"], r["sub"]): (r["code"], r["dist_sq"])
+        for r in pq_encode(emb, m=4, k=4, iterations=2).collect()
+    }
+    want = _pq_replay(rows, m=4, k=4, iterations=2)
+    assert got == want
+    assert len(got) == 30 * 4  # one row per (vector, subspace)
+
+
+def test_pq_encode_guards(spark):
+    from graphlite_spark.operators.kmeans import pq_encode
+    import pytest
+
+    emb = spark.createDataFrame(
+        _make_vectors(4, 10), "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_encode(emb, m=4)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert pq_encode(empty, m=4).count() == 0
