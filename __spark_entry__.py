@@ -34,6 +34,7 @@ from graphlite_spark.algos.hits import hits
 from graphlite_spark.algos.pagerank import (
     pagerank,
     pagerank_argmax_delta,
+    pagerank_warm_restart,
     personalized_pagerank,
     weighted_pagerank,
 )
@@ -653,6 +654,22 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = connected_components_fast(v, e.where(~is_new))
     return incremental_components(prev, e.where(is_new))
+
+
+def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PageRank maintenance: hold out the incremental_cc batch split
+    # (hash % 10 == 0), warm-run fixed-10 on the rest, then 5 refine
+    # supersteps over ALL edges from the warm scores — the PageRank
+    # analogue of incremental_cc's "fold in the batch" story
+    _, v, e = graph_tables(spark, sf_dir)
+    is_new = (
+        hash48(F.concat_ws(":", F.col("src").cast("string"),
+                           F.col("dst").cast("string"))) % 10 == 0
+    )
+    return pagerank_warm_restart(
+        v, e.where(~is_new), e.where(is_new),
+        warm_supersteps=10, refine_supersteps=5,
+    )
 
 
 def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1314,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_argmax_delta_ss2": q_pagerank_argmax_delta,
         "lpa_3iter": q_lpa3,
         "weighted_pagerank10": q_weighted_pagerank,
+        "pagerank_warm_restart": q_pagerank_warm,
         "point_rotate3": q_point_rotate3,
         "bfs_7ss": q_bfs_7ss,
         "harmonic_msbfs": q_harmonic_msbfs,
@@ -1421,6 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         "tf_idf": O.tf_idf_sql(),
         "tfidf_cosine_pairs": O.tfidf_cosine_sql(0.3, 100),
         "weighted_pagerank10": O.weighted_pagerank_sql(10),
+        "pagerank_warm_restart": O.pagerank_warm_sql(10, 5, 10),
         "point_rotate3": O.ring_rotate_sql(3),
         "bfs_7ss": O.bfs_sql(0, 7),
         "harmonic_msbfs": O.harmonic_sql((0, 100, 200, 300), 8),

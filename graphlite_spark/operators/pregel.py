@@ -345,11 +345,15 @@ class PregelEngine:
                 self._hub_ids, e["src"] == self._hub_ids["id"], "left_anti"
             ).persist()
             self._owned += [self._hub_ids, self._hub_edges, e]
+        # an optional ``init_value`` vertex column rides into init_value()
+        # expressions (warm-start programs); dropped from the state after
+        extra = [c for c in ("init_value",) if c in vertices.columns]
         state = (
-            vertices.select("id")
+            vertices.select("id", *extra)
             .join(deg, vertices["id"] == deg["src"], "left")
             .select(
                 "id",
+                *extra,
                 F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
             )
         )

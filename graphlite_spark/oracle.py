@@ -200,6 +200,61 @@ def weighted_pagerank_sql(supersteps: int = 10) -> str:
     return _graph_query(body)
 
 
+def pagerank_warm_sql(
+    warm_supersteps: int = 10,
+    refine_supersteps: int = 5,
+    batch_mod: int = 10,
+) -> str:
+    """Mirror of algos.pagerank.pagerank_warm_restart: a fixed warm
+    chain over the old edges (hash48(src:dst) % batch_mod <> 0 — the
+    incremental_cc split convention), then ``refine_supersteps`` rounds
+    over ALL edges seeded from the warm scores with full-edge degrees."""
+    h = _h48("e.src || ':' || e.dst")
+    wr = warm_supersteps - 1  # superstep 0 initializes to 1.0
+    parts = [
+        f"eold AS MATERIALIZED (SELECT src, dst FROM edges e\n"
+        f"  WHERE {h} % {batch_mod} <> 0)",
+        "dold AS MATERIALIZED (SELECT v.id,"
+        " CAST(COALESCE(c.n, 0) AS BIGINT) AS out_degree\n"
+        "  FROM vertices v LEFT JOIN (SELECT src, count(*) AS n"
+        " FROM eold GROUP BY src) c ON c.src = v.id)",
+        "w0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS rank,"
+        " out_degree FROM dold)",
+    ]
+    for k in range(1, wr + 1):
+        parts.append(
+            f"w{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id, 0.15 + 0.85 * COALESCE(m.s, 0.0) AS rank,"
+            f" p.out_degree\n"
+            f"  FROM w{k - 1} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, sum(q.rank / q.out_degree) AS s\n"
+            f"    FROM eold e JOIN w{k - 1} q ON q.id = e.src"
+            f" GROUP BY e.dst) m\n"
+            f"  ON m.id = p.id)"
+        )
+    parts.append(
+        f"r0 AS MATERIALIZED (SELECT d.id, w.rank, d.out_degree\n"
+        f"  FROM deg d JOIN w{wr} w ON w.id = d.id)"
+    )
+    for k in range(1, refine_supersteps + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id, 0.15 + 0.85 * COALESCE(m.s, 0.0) AS rank,"
+            f" p.out_degree\n"
+            f"  FROM r{k - 1} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, sum(q.rank / q.out_degree) AS s\n"
+            f"    FROM edges e JOIN r{k - 1} q ON q.id = e.src"
+            f" GROUP BY e.dst) m\n"
+            f"  ON m.id = p.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT id, round(rank, 6) AS rank FROM r{refine_supersteps}"
+    )
+    return _graph_query(body)
+
+
 def pagerank_fixed_sql(supersteps: int = 10) -> str:
     rounds = supersteps - 1  # superstep 0 initializes, 1..S-1 update
     body = (

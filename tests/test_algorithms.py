@@ -463,3 +463,48 @@ def test_attribute_assortativity_known_values(spark):
     )
     expect = round((m * same - sab) / (m * m - sab), 6)
     assert got["n_edges"] == m and abs(got["assortativity"] - expect) < 1e-9
+
+
+def test_pagerank_warm_restart_reconverges_faster(spark):
+    # the maintenance claim, stated honestly for a diameter-bound chain
+    # graph: warm restart reaches the SAME fixpoint, never needs more
+    # supersteps than cold, and starts from a perturbation (first-update
+    # global sum_delta) orders of magnitude below the cold start's —
+    # the log(delta0) savings a 0.85-contraction can actually deliver
+    from graphlite_spark.algos.pagerank import WarmPageRank, pagerank
+    from graphlite_spark.functions.hashes import hash48
+    from graphlite_spark.operators.pregel import PregelEngine
+    from graphlite_spark.plans.derive import derive_edges, derive_vertices
+    from graphlite_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tr = transcripts_from_events(ev)
+    v, e = derive_vertices(tr), derive_edges(tr)
+    is_new = (
+        hash48(
+            F.concat_ws(
+                ":", F.col("src").cast("string"), F.col("dst").cast("string")
+            )
+        )
+        % 100
+        == 0
+    )
+    cold = pagerank(v, e, eps=1e-6, num_partitions=4)
+    old = pagerank(v, e.where(~is_new), eps=1e-6, num_partitions=4)
+    init = old.state.select("id", F.col("value").alias("init_value"))
+    warm = PregelEngine(num_partitions=4, run_id="warm_test").run(
+        v.select("id").join(init, "id", "left"),
+        e,
+        WarmPageRank(eps=1e-6),
+    )
+    assert cold.converged and warm.converged
+    # same fixpoint (1e-6 halting -> agree well past 6dp)
+    a = {r["id"]: r["value"] for r in cold.state.collect()}
+    b = {r["id"]: r["value"] for r in warm.state.collect()}
+    assert all(abs(a[i] - b[i]) < 1e-4 for i in a)
+    assert warm.supersteps <= cold.supersteps
+    # the warm start's first real update moves a fraction of the rank
+    # mass the cold start moves (cold: every vertex jumps from 1.0)
+    cold_d0 = cold.metrics[1].aggregates["sum_delta"]
+    warm_d0 = warm.metrics[1].aggregates["sum_delta"]
+    assert warm_d0 < cold_d0 / 10, (warm_d0, cold_d0)
