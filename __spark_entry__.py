@@ -30,7 +30,7 @@ from graphlite_spark.algos.components import (
     symmetrize,
 )
 from graphlite_spark.algos.lpa import label_propagation
-from graphlite_spark.algos.hits import hits
+from graphlite_spark.algos.hits import hits, salsa
 from graphlite_spark.algos.pagerank import (
     pagerank,
     pagerank_argmax_delta,
@@ -104,6 +104,7 @@ from graphlite_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
+from graphlite_spark.operators.chunking import chunk_documents
 from graphlite_spark.operators.kmeans import kmeans_embeddings, pq_encode
 from graphlite_spark.operators.multimodal import (
     decode_jpeg,
@@ -300,6 +301,14 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sizes/edge counts, one 6dp division per row
     _, _, e = graph_tables(spark, sf_dir)
     return rich_club(e, ks=(1, 2, 4, 8))
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # context-window chunking with overlap: the split half of the
+    # packing story — 64-token chunks, 16 shared; pure expressions,
+    # zero shuffle
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
 
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,6 +663,14 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev = connected_components_fast(v, e.where(~is_new))
     return incremental_components(prev, e.where(is_new))
+
+
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SALSA hubs/authorities: the degree-normalized HITS sibling in
+    # fixed-point micro-units with per-vertex truncating division —
+    # bit-identical across engines and partitionings
+    _, v, e = graph_tables(spark, sf_dir)
+    return salsa(v, e, iterations=3)
 
 
 def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1257,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "effective_diameter": q_effective_diameter,
         "pq_codes": q_pq_codes,
+        "chunk_documents": q_chunk_documents,
         "modularity_conv": q_modularity,
         "pack_documents": q_pack_documents,
         "build_vocab": q_build_vocab,
@@ -1327,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed10": q_pagerank_fixed10,
         "ppr_fixed8": q_ppr_fixed8,
         "hits_3iter": q_hits3,
+        "salsa_3iter": q_salsa,
         "pagerank_sumdelta_ss2": q_pagerank_sumdelta,
         "pagerank_argmax_delta_ss2": q_pagerank_argmax_delta,
         "lpa_3iter": q_lpa3,
@@ -1366,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixed10": O.pagerank_fixed_sql(10),
         "ppr_fixed8": O.ppr_fixed_sql(0, 8),
         "hits_3iter": O.hits_sql(3),
+        "salsa_3iter": O.salsa_sql(3),
         "pagerank_sumdelta_ss2": O.pagerank_sumdelta_sql(2),
         "pagerank_argmax_delta_ss2": O.pagerank_argmax_delta_sql(2),
         "connected_components": O.components_sql(),
@@ -1414,6 +1434,7 @@ def oracle_sql() -> dict[str, str]:
         "rich_club": O.rich_club_sql((1, 2, 4, 8)),
         "effective_diameter": O.effective_diameter_sql(8, 8, 900),
         "pq_codes": O.pq_sql(4, 8, 2, 64),
+        "chunk_documents": O.chunk_documents_sql(64, 16),
         "modularity_conv": O.modularity_sql(),
         "pack_documents": O.pack_documents_sql(256, 8),
         "build_vocab": O.build_vocab_sql(2),

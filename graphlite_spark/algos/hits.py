@@ -53,3 +53,61 @@ def hits(vertices: DataFrame, edges: DataFrame, iterations: int = 3) -> DataFram
     out = out.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def salsa(vertices: DataFrame, edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """(id, auth_m, hub_m) after ``iterations`` SALSA rounds (Lempel &
+    Moran 2000, public literature) — the degree-normalized sibling of
+    HITS: the authority walk takes one backward step through a
+    column-normalized edge and one forward step through a row-normalized
+    one.  FIXED-POINT integer micro-units with per-VERTEX truncating
+    division (each score is divided by its vertex's degree once, then
+    summed over edges — Spark ``div`` == DuckDB ``//``), so results are
+    bit-identical across engines and partitionings, like
+    weighted_pagerank.  Degrees count edge-table rows (multi-edges weigh
+    like parallel links, consistently on both sides).
+
+    Per iteration: two vertex-sized degree joins + two edge-gather
+    map-side-combined sums — the exact HITS shuffle shape; at 10^12
+    edges the degree frames broadcast and only the score frame moves."""
+    if iterations < 1:
+        raise ValueError(f"salsa: iterations must be >= 1, got {iterations}")
+    e = edges.select("src", "dst").persist()
+    v = vertices.select("id")
+    ind = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("ind")
+    )
+    outd = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outd")
+    )
+    auth = v.select("id", F.lit(1_000_000).cast("long").alias("auth_m"))
+    hub = None
+    for _ in range(iterations):
+        av = auth.join(ind, "id").select(
+            "id", F.expr("auth_m div ind").cast("long").alias("adiv")
+        )
+        hg = (
+            e.join(av, e["dst"] == av["id"])
+            .groupBy(F.col("src").alias("vid"))
+            .agg(F.sum("adiv").alias("s"))
+        )
+        hub = v.join(hg, v["id"] == hg["vid"], "left").select(
+            "id", F.coalesce("s", F.lit(0)).cast("long").alias("hub_m")
+        )
+        hv = hub.join(outd, "id").select(
+            "id", F.expr("hub_m div outd").cast("long").alias("hdiv")
+        )
+        ag = (
+            e.join(hv, e["src"] == hv["id"])
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum("hdiv").alias("s"))
+        )
+        auth = v.join(ag, v["id"] == ag["vid"], "left").select(
+            "id", F.coalesce("s", F.lit(0)).cast("long").alias("auth_m")
+        )
+        hub = hub.localCheckpoint(eager=False)
+        auth = auth.localCheckpoint(eager=False)
+    out = auth.join(hub, "id").select("id", "auth_m", "hub_m")
+    out = out.localCheckpoint(eager=True)  # materialize before unpersist
+    e.unpersist()
+    return out

@@ -704,6 +704,46 @@ def hits_sql(iterations: int = 3) -> str:
     return _graph_query(body)
 
 
+def salsa_sql(iterations: int = 3) -> str:
+    """Unrolled SALSA — identical fixed-point micro-units and per-vertex
+    truncating division as algos.hits.salsa (DuckDB ``//`` == Spark
+    ``div`` on the non-negative longs these chains produce)."""
+    parts = [
+        "ind AS MATERIALIZED (SELECT dst AS id, count(*) AS ind"
+        " FROM edges GROUP BY dst)",
+        "outd AS MATERIALIZED (SELECT src AS id, count(*) AS outd"
+        " FROM edges GROUP BY src)",
+        "sa0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS auth_m"
+        " FROM vertices)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f"sh{k} AS MATERIALIZED (\n"
+            f"  SELECT v.id, CAST(COALESCE(m.s, 0) AS BIGINT) AS hub_m\n"
+            f"  FROM vertices v LEFT JOIN (\n"
+            f"    SELECT e.src AS id, sum(q.adiv) AS s FROM edges e JOIN (\n"
+            f"      SELECT a.id, a.auth_m // i.ind AS adiv\n"
+            f"      FROM sa{k - 1} a JOIN ind i ON i.id = a.id) q\n"
+            f"    ON q.id = e.dst GROUP BY e.src) m ON m.id = v.id)"
+        )
+        parts.append(
+            f"sa{k} AS MATERIALIZED (\n"
+            f"  SELECT v.id, CAST(COALESCE(m.s, 0) AS BIGINT) AS auth_m\n"
+            f"  FROM vertices v LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, sum(q.hdiv) AS s FROM edges e JOIN (\n"
+            f"      SELECT h.id, h.hub_m // o.outd AS hdiv\n"
+            f"      FROM sh{k} h JOIN outd o ON o.id = h.id) q\n"
+            f"    ON q.id = e.src GROUP BY e.dst) m ON m.id = v.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT a.id, a.auth_m, h.hub_m FROM sa{iterations} a\n"
+        f"JOIN sh{iterations} h ON h.id = a.id"
+    )
+    return _graph_query(body)
+
+
 def ring_rotate_sql(rounds: int = 3) -> str:
     """Closed form of the K-round point-send rotation: value(id) =
     (id - K) mod V over the derived vertex set."""
@@ -3009,6 +3049,24 @@ def events_range_join_sql(left_type: str = "purchase",
         "  r.ts_us - l.ts_us AS gap\n"
         "FROM l JOIN r ON l.user_id = r.user_id\n"
         f"  AND abs(l.ts_us - r.ts_us) <= {max_gap_us}"
+    )
+
+
+def chunk_documents_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """Mirror of operators.chunking.chunk_documents: identical tokenizer
+    (TOKS_CTE), identical chunk-start rule (i*step while i*step < n),
+    list_slice/slice both clamp the trailing chunk."""
+    step = chunk_tokens - overlap
+    return (
+        f"WITH {TOKS_CTE}\n"
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,\n"
+        f"  CAST(len(list_slice(toks, i * {step} + 1,"
+        f" i * {step} + {chunk_tokens})) AS BIGINT) AS n_tokens,\n"
+        f"  array_to_string(list_slice(toks, i * {step} + 1,"
+        f" i * {step} + {chunk_tokens}), ' ') AS chunk_text\n"
+        "FROM (SELECT doc_id, toks,\n"
+        f"  unnest(range(0, (len(toks) - 1) // {step} + 1)) AS i\n"
+        "  FROM toks_t WHERE len(toks) >= 1)"
     )
 
 

@@ -508,3 +508,35 @@ def test_pagerank_warm_restart_reconverges_faster(spark):
     cold_d0 = cold.metrics[1].aggregates["sum_delta"]
     warm_d0 = warm.metrics[1].aggregates["sum_delta"]
     assert warm_d0 < cold_d0 / 10, (warm_d0, cold_d0)
+
+
+def test_salsa_matches_python_replay(spark):
+    # fixed-point SALSA vs a plain-python replay of the identical
+    # per-vertex truncating-division recurrence
+    from graphlite_spark.algos.hits import salsa
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (1, 2)]
+    vs = [0, 1, 2, 3, 9]  # 9 isolated
+    v = spark.createDataFrame([(i,) for i in vs], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    ind, outd = {}, {}
+    for s, d in edges:
+        outd[s] = outd.get(s, 0) + 1
+        ind[d] = ind.get(d, 0) + 1
+    a = {i: 1_000_000 for i in vs}
+    h = {}
+    for _ in range(3):
+        adiv = {i: a[i] // ind[i] for i in vs if i in ind}
+        h = {i: 0 for i in vs}
+        for s, d in edges:
+            h[s] += adiv.get(d, 0)
+        hdiv = {i: h[i] // outd[i] for i in vs if i in outd}
+        a = {i: 0 for i in vs}
+        for s, d in edges:
+            a[d] += hdiv.get(s, 0)
+    got = {
+        r["id"]: (r["auth_m"], r["hub_m"])
+        for r in salsa(v, e, iterations=3).collect()
+    }
+    assert got == {i: (a[i], h[i]) for i in vs}

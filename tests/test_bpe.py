@@ -126,3 +126,32 @@ def test_oracle_sql_matches_reference_on_testdata():
     texts = [t for (t,) in con.execute("SELECT text FROM documents").fetchall()]
     want, _ = _ref_bpe(texts, 6)
     assert sorted(got) == sorted(want)
+
+
+def test_chunk_documents_windows(spark):
+    # overlap rule, trailing-chunk clamp, empty-doc drop, guard
+    import pytest
+
+    from graphlite_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),       # 7 toks, chunk 4 step 2 -> starts 0,2,4,6
+            (2, "x y"),                  # 2 toks -> one chunk
+            (3, "   "),                  # empty -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    }
+    assert got == {
+        (1, 0): (4, "a b c d"),
+        (1, 1): (4, "c d e f"),
+        (1, 2): (3, "e f g"),
+        (1, 3): (1, "g"),
+        (2, 0): (2, "x y"),
+    }
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)

@@ -65,12 +65,25 @@ GUARDED = [
     # hash join); bpe_merges/mix_corpus have no data-data join to guard
     "cms_heavy_hitters",
     "temporal_reach",
+    # round-4 late additions: reciprocity's swapped-key self-join must
+    # stay an equi hash join; rich_club / effective_diameter join a
+    # literal-sized broadcast side (k-list / 1-row NF max) by design
+    "reciprocity_contacts",
+    "rich_club",
+    "effective_diameter",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
 # exact cosine top-k (and the recall query that embeds it as ground
 # truth); every other query must stay equi-join/hashable
-BNLJ_ALLOWED = {"ann_cosine_topk", "ann_lsh_recall"}
+BNLJ_ALLOWED = {
+    "ann_cosine_topk",
+    "ann_lsh_recall",
+    # tiny-literal broadcast sides (4-row k-list / 1-row NF(max)):
+    # the nested-loop side is constant-sized, never data-sized
+    "rich_club",
+    "effective_diameter",
+}
 
 
 @pytest.mark.parametrize("name", GUARDED)
