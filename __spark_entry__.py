@@ -90,8 +90,10 @@ from graphlite_spark.functions.text import (
 from graphlite_spark.algos.stats import (
     attribute_assortativity,
     degree_assortativity,
+    powerlaw_alpha,
     reciprocity,
     rich_club,
+    transitivity,
     modularity,
 )
 from graphlite_spark.operators.dedup import (
@@ -140,6 +142,7 @@ from graphlite_spark.operators.similarity import (
     cosine_topk,
     ivf_recall,
     ivf_topk,
+    ivfpq_topk,
     lsh_bucket_topk,
     lsh_recall,
 )
@@ -286,6 +289,21 @@ def q_curate_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep_doc_id").alias("doc_id")
     )
     return pack_documents(docs.join(keep, "doc_id"), max_tokens=256, num_shards=4)
+
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # global clustering coefficient 3T/W — one-row whole-graph summary;
+    # the oracle counts triangles with a DIFFERENT enumeration, so the
+    # two formulations check each other
+    _, _, e = graph_tables(spark, sf_dir)
+    return transitivity(e)
+
+
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Clauset-style MLE exponent of the degree tail (d >= 2) — per-vertex
+    # micro-unit log terms summed exactly, one float division
+    _, _, e = graph_tables(spark, sf_dir)
+    return powerlaw_alpha(e, dmin=2)
 
 
 def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1095,6 +1113,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-PQ: route to nprobe cells, rank candidates by asymmetric
+    # distance against m=4 subspace codebooks (8 codewords each) — the
+    # compressed-index ANN search; BIGINT micro-unit distances
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=3, nprobe=2,
+        n_clusters=8, m=4, pq_k=8, iterations=2,
+    )
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_recall(
@@ -1271,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "degree_assortativity": q_degree_assortativity,
         "reciprocity_contacts": q_reciprocity,
+        "transitivity": q_transitivity,
+        "powerlaw_alpha": q_powerlaw_alpha,
         "rich_club": q_rich_club,
         "effective_diameter": q_effective_diameter,
         "pq_codes": q_pq_codes,
@@ -1285,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "kmeans_embeddings": q_kmeans,
         "ann_ivf_topk": q_ivf_topk,
+        "ann_ivfpq_topk": q_ivfpq_topk,
         "ann_ivf_recall": q_ivf_recall,
         "text_repetition": q_repetition,
         "lang_id_confusion": q_lang_confusion,
@@ -1431,6 +1463,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_representatives": O.dedup_representatives_sql(0.3),
         "degree_assortativity": O.degree_assortativity_sql(),
         "reciprocity_contacts": O.reciprocity_sql(),
+        "transitivity": O.transitivity_sql(),
+        "powerlaw_alpha": O.powerlaw_alpha_sql(2),
         "rich_club": O.rich_club_sql((1, 2, 4, 8)),
         "effective_diameter": O.effective_diameter_sql(8, 8, 900),
         "pq_codes": O.pq_sql(4, 8, 2, 64),
@@ -1451,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": O.sample_stratified_sql(SAMPLE_RATES),
         "kmeans_embeddings": O.kmeans_sql(8, 3),
         "ann_ivf_topk": O.ivf_topk_sql(3, 2, 8, 2, 20),
+        "ann_ivfpq_topk": O.ivfpq_topk_sql(3, 2, 8, 4, 8, 2, 20, 64),
         "ann_ivf_recall": O.ivf_recall_sql(5, 2, 8, 2, 20),
         "text_repetition": O.repetition_sql(2),
         "lang_id_confusion": O.lang_id_confusion_sql(),

@@ -248,3 +248,76 @@ def rich_club(edges: DataFrame, ks: tuple[int, ...] = (1, 2, 4, 8)) -> DataFrame
             ).alias("phi"),
         )
     )
+
+
+def transitivity(edges: DataFrame) -> DataFrame:
+    """One row (n_triangles, n_wedges, transitivity) — the GLOBAL
+    clustering coefficient 3·T / W over the undirected closure, where W
+    = Σ_v deg(v)·(deg(v)−1)/2 counts wedges (paths of length 2 centered
+    anywhere).  Exact integer counts (the triangle count reuses the
+    degree-oriented enumeration, wedges are one aggregate over the
+    degree table); the single float division is the one rounding point
+    (6dp).  NULL when the graph has no wedges."""
+    from graphlite_spark.algos.triangles import triangle_count
+
+    und = symmetrize(edges).select("src", "dst")
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    wedges = deg.agg(
+        F.sum(
+            (F.col("d") * (F.col("d") - 1)).cast("long")
+        ).alias("w2")  # 2·wedges (each wedge counted at its center once
+        # per ordered pair); divide by 2 exactly below
+    )
+    tri = triangle_count(edges)
+    n3 = F.col("triangles").cast("long")
+    w = F.expr("coalesce(w2, 0) div 2").cast("long")
+    return (
+        tri.join(F.broadcast(wedges))
+        .select(
+            n3.alias("n_triangles"),
+            w.alias("n_wedges"),
+            F.when(
+                w > 0,
+                F.round(F.lit(3.0) * n3.cast("double") / w.cast("double"), 6),
+            ).alias("transitivity"),
+        )
+    )
+
+
+def powerlaw_alpha(edges: DataFrame, dmin: int = 2) -> DataFrame:
+    """One row (n_tail, alpha) — the continuous-approximation MLE for a
+    power-law degree-distribution exponent (Clauset, Shalizi & Newman
+    2009, public literature): alpha = 1 + n / Σ ln(d / (dmin − 1/2))
+    over the undirected-closure degrees d >= dmin.
+
+    Cross-engine determinism: each log term is rounded to integer
+    MICRO-units BEFORE the sum (one round per VERTEX, then an exact
+    BIGINT sum — no float summation-order dependence); the final alpha
+    is the single float division, 6dp.  NULL when no vertex reaches
+    dmin."""
+    und = symmetrize(edges).select("src", "dst")
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    tail = deg.where(F.col("d") >= dmin)
+    terms = tail.select(
+        F.round(
+            F.log(F.col("d").cast("double") / (dmin - 0.5)) * 1_000_000
+        )
+        .cast("long")
+        .alias("lt")
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum("lt").alias("slt"),
+    )
+    return s.select(
+        "n_tail",
+        F.when(
+            F.col("slt") > 0,
+            F.round(
+                F.lit(1.0)
+                + F.col("n_tail").cast("double") * 1_000_000.0
+                / F.col("slt").cast("double"),
+                6,
+            ),
+        ).alias("alpha"),
+    )

@@ -291,3 +291,155 @@ def lsh_bucket_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    n_clusters: int = 8,
+    m: int = 4,
+    pq_k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, adc) — IVF-PQ ANN search (Jégou,
+    Douze & Schmid 2011): IVF routes each query to its ``nprobe``
+    nearest k-means cells, then candidates are ranked by ASYMMETRIC
+    distance — the query's exact subvectors against each candidate's PQ
+    CODES (m codebook indices, the operators/kmeans.pq_encode
+    compression), so the candidate side never touches its full vector at
+    search time.  ``adc`` is the BIGINT micro-unit squared L2 — exact
+    integers end to end, reproducible cross-engine.
+
+    Simplification, stated: codebooks quantize RAW subvectors (not
+    IVF-cell residuals) — the variant several production systems run;
+    residual encoding is a quality knob, not a plan-shape change.
+
+    Scale shape: corpus cell + m codes are pure codebook-literal
+    expressions (the N·d data is never joined or shuffled to be
+    indexed); each query carries its m per-codeword distance tables
+    (m·pq_k longs) as expression-built arrays; search = ONE equi-join
+    on the cell id + per-candidate array lookups + WindowGroupLimit
+    top-k.  At 100 TB the index side stores m·log2(pq_k) bits per
+    vector — the memory story that makes billion-scale ANN fit."""
+    from graphlite_spark.operators.kmeans import (
+        _dists_expr, _fit, _quantized, quantize_expr,
+    )
+
+    dim_row = embeddings.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).limit(1).collect()
+    if not dim_row:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, adc long"
+        )
+    d = dim_row[0]["d"]
+    if d % m != 0:
+        raise ValueError(f"ivfpq_topk: d={d} not divisible by m={m}")
+    sub = d // m
+    qz = _quantized(embeddings, id_col, vec_col)
+    cents = _fit(qz, n_clusters, iterations)
+    nprobe = min(nprobe, len(cents))
+    books = [
+        _fit(
+            qz.select("id", F.slice("qv", s * sub + 1, sub).alias("qv")),
+            pq_k,
+            iterations,
+        )
+        for s in range(m)
+    ]
+
+    corpus = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantize_expr(F.col(vec_col)).alias("qv"),
+        )
+        .select(
+            "neighbor_id",
+            _dists_expr(cents).alias("ds"),
+            *[
+                F.slice("qv", s * sub + 1, sub).alias(f"sv{s}")
+                for s in range(m)
+            ],
+        )
+        .select(
+            "neighbor_id",
+            (F.array_position("ds", F.array_min("ds")) - 1)
+            .cast("long")
+            .alias("cell"),
+            *[
+                (
+                    F.array_position(
+                        _dists_expr(books[s], f"sv{s}"),
+                        F.array_min(_dists_expr(books[s], f"sv{s}")),
+                    )
+                    - 1
+                )
+                .cast("int")
+                .alias(f"code{s}")
+                for s in range(m)
+            ],
+        )
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_expr(F.col(vec_col)).alias("qv"),
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                _dists_expr(cents),
+                lambda dd, i: F.struct(
+                    dd.alias("d"), i.cast("long").alias("cell")
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = (
+        q.select(
+            "query_id",
+            ranked.alias("pr"),
+            *[
+                F.slice("qv", s * sub + 1, sub).alias(f"sv{s}")
+                for s in range(m)
+            ],
+        )
+        .select(
+            "query_id",
+            F.explode("pr").alias("p"),
+            *[
+                _dists_expr(books[s], f"sv{s}").alias(f"qd{s}")
+                for s in range(m)
+            ],
+        )
+        .select(
+            "query_id", F.col("p.cell").alias("cell"),
+            *[f"qd{s}" for s in range(m)],
+        )
+    )
+
+    adc = None
+    for s in range(m):
+        term = F.expr(f"element_at(qd{s}, CAST(code{s} + 1 AS INT))")
+        adc = term if adc is None else adc + term
+    scored = (
+        probes.join(corpus, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", adc.cast("long").alias("adc")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )

@@ -947,6 +947,42 @@ def triangles_total_sql() -> str:
     )
 
 
+def transitivity_sql() -> str:
+    """Mirror of algos.stats.transitivity: 3·T / W with the triangle
+    count from the shared tri CTE (a DIFFERENT enumeration from the
+    Spark side's degree-oriented one — counts must agree regardless)
+    and wedges from the undirected degree table."""
+    return _graph_query(
+        f", {_TRI_CTES},\n"
+        "udeg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM und"
+        " GROUP BY src),\n"
+        "wx AS MATERIALIZED (SELECT COALESCE(sum(d * (d - 1)), 0) // 2"
+        " AS w FROM udeg),\n"
+        "tc AS MATERIALIZED (SELECT count(*) AS t FROM tri)\n"
+        "SELECT CAST(t AS BIGINT) AS n_triangles,"
+        " CAST(w AS BIGINT) AS n_wedges,\n"
+        "  CASE WHEN w > 0 THEN round(3.0 * t / w, 6) END AS transitivity\n"
+        "FROM tc, wx"
+    )
+
+
+def powerlaw_alpha_sql(dmin: int = 2) -> str:
+    """Mirror of algos.stats.powerlaw_alpha: per-vertex micro-unit
+    rounding of each log term BEFORE the exact BIGINT sum, one float
+    division at the end."""
+    return _graph_query(
+        ", udeg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM und"
+        " GROUP BY src),\n"
+        "terms AS MATERIALIZED (SELECT CAST(round(ln(d * 1.0 /"
+        f" {dmin - 0.5}) * 1000000, 0) AS BIGINT) AS lt\n"
+        f"  FROM udeg WHERE d >= {dmin})\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n_tail,\n"
+        "  CASE WHEN COALESCE(sum(lt), 0) > 0 THEN\n"
+        "    round(1.0 + count(*) * 1000000.0 / sum(lt), 6) END AS alpha\n"
+        "FROM terms"
+    )
+
+
 def wl_sql(iterations: int = 3) -> str:
     """Unrolled 1-WL refinement — the identical ``wl:<own>:<sorted
     neighbor colors>`` hash string as algos.wl.wl_refinement."""
@@ -2668,6 +2704,89 @@ def ivf_topk_sql(
         "SELECT query_id, neighbor_id, rank, sim FROM (\n"
         "  SELECT *, CAST(row_number() OVER (PARTITION BY query_id\n"
         "    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank FROM scored)\n"
+        f"WHERE rank <= {k}"
+    )
+
+
+def ivfpq_topk_sql(
+    k: int = 3,
+    nprobe: int = 2,
+    n_clusters: int = 8,
+    m: int = 4,
+    pq_k: int = 8,
+    iterations: int = 2,
+    num_queries: int = 20,
+    d: int = 64,
+) -> str:
+    """Mirror of operators.similarity.ivfpq_topk: the coarse k-means
+    chain routes probes, the m subspace chains (identical to pq_sql)
+    give every corpus vector its codes, and the asymmetric distance is
+    the query's exact subvector against each candidate's codeword —
+    BIGINT micro-units throughout, (adc ASC, neighbor_id ASC) top-k."""
+    if d % m:
+        raise ValueError(f"ivfpq_topk_sql: d={d} not divisible by m={m}")
+    sub = d // m
+    cents = f"cent{iterations}"
+    parts = _kmeans_ctes(n_clusters, iterations, d)
+    parts.append(
+        "celld AS MATERIALIZED (\n"
+        "  SELECT q.vec_id, c.cl,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        "      sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+        f"  FROM qe q JOIN {cents} c ON c.pos = q.pos\n"
+        "  GROUP BY q.vec_id, c.cl)"
+    )
+    parts.append(
+        "corp AS MATERIALIZED (SELECT vec_id, cl AS cell FROM celld"
+        " WHERE rn = 1)"
+    )
+    parts.append(
+        "probe AS MATERIALIZED (SELECT vec_id, cl AS cell FROM celld\n"
+        f"  WHERE vec_id < {num_queries} AND rn <= {nprobe})"
+    )
+    adc_terms, joins = [], []
+    for sp in range(m):
+        parts.extend(
+            _kmeans_ctes(pq_k, iterations, sub, sfx=f"_{sp}", pos_lo=sp * sub)
+        )
+        parts.append(
+            f"codes_{sp} AS MATERIALIZED (SELECT vec_id, cl AS code FROM (\n"
+            f"  SELECT q.vec_id, c.cl,\n"
+            f"    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+            f"      sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+            f"  FROM qe_{sp} q JOIN cent{iterations}_{sp} c ON c.pos = q.pos\n"
+            f"  GROUP BY q.vec_id, c.cl) WHERE rn = 1)"
+        )
+        parts.append(
+            f"qd_{sp} AS MATERIALIZED (\n"
+            f"  SELECT q.vec_id, c.cl,\n"
+            f"    sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2\n"
+            f"  FROM qe_{sp} q JOIN cent{iterations}_{sp} c ON c.pos = q.pos\n"
+            f"  WHERE q.vec_id < {num_queries}\n"
+            f"  GROUP BY q.vec_id, c.cl)"
+        )
+        joins.append(
+            f"  JOIN codes_{sp} cs{sp} ON cs{sp}.vec_id = co.vec_id\n"
+            f"  JOIN qd_{sp} qs{sp} ON qs{sp}.vec_id = p.vec_id"
+            f" AND qs{sp}.cl = cs{sp}.code\n"
+        )
+        adc_terms.append(f"qs{sp}.d2")
+    parts.append(
+        "scored AS MATERIALIZED (\n"
+        "  SELECT p.vec_id AS query_id, co.vec_id AS neighbor_id,\n"
+        f"    CAST({' + '.join(adc_terms)} AS BIGINT) AS adc\n"
+        "  FROM probe p JOIN corp co ON co.cell = p.cell"
+        " AND co.vec_id <> p.vec_id\n"
+        + "".join(joins)
+        + ")"
+    )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        "SELECT query_id, neighbor_id, rank, adc FROM (\n"
+        "  SELECT *, CAST(row_number() OVER (PARTITION BY query_id\n"
+        "    ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank"
+        " FROM scored)\n"
         f"WHERE rank <= {k}"
     )
 
