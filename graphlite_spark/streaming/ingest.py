@@ -276,3 +276,28 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_dedup_documents(
+    docs: DataFrame,
+    watermark: str = "10 seconds",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact-dedup of an unbounded document stream: the first
+    arrival of each md5(text) fingerprint passes, later copies are
+    dropped — the in-stream counterpart of operators/dedup.exact_dedup
+    for an ingest pipeline that must not re-admit yesterday's crawl.
+
+    Built on Structured Streaming's watermarked ``dropDuplicates``: state
+    holds one (fingerprint) key per distinct doc inside the watermark
+    horizon and is evicted once the event-time watermark passes — bounded
+    state on an unbounded stream, the same eviction contract as the
+    reply-edge pairer above.  Exactly-once semantics within the horizon;
+    duplicates farther apart than the watermark are the stated residual
+    (batch dedup downstream catches them — the standard two-tier
+    design)."""
+    fp = docs.withColumn(
+        "fingerprint", F.md5(F.col(text_col).cast("string"))
+    ).withWatermark(ts_col, watermark)
+    return fp.dropDuplicates(["fingerprint"])

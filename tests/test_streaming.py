@@ -337,3 +337,48 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     }
     # u99's own session never closes (nothing outlasts it by gap+watermark)
     assert got == want, (sorted(got), sorted(want))
+
+
+def test_streaming_dedup_documents(spark, tmp_path):
+    """First arrival of each distinct text passes, later exact copies are
+    dropped across micro-batches; distinct texts all survive."""
+    from graphlite_spark.streaming.ingest import streaming_dedup_documents
+
+    schema = "doc_id long, text string, ts timestamp"
+    path = str(tmp_path / "docs")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    from datetime import datetime
+
+    def d(i, text, s):
+        return (i, text, datetime(2024, 1, 1, 9, 0, s))
+
+    write([d(1, "alpha beta", 0), d(2, "gamma", 1), d(3, "alpha beta", 2)])
+    stream = spark.readStream.schema(schema).parquet(path)
+    q = (
+        streaming_dedup_documents(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # later micro-batch: one repeat (dropped) + one new doc (kept)
+        write([d(4, "gamma", 3), d(5, "delta", 4)])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT doc_id, text FROM dedup_out ORDER BY doc_id"
+        ).collect()
+    finally:
+        q.stop()
+    kept_texts = sorted(r["text"] for r in rows)
+    assert kept_texts == ["alpha beta", "delta", "gamma"]
+    # the kept copy of each text is its first arrival
+    assert {r["text"]: r["doc_id"] for r in rows} == {
+        "alpha beta": 1, "gamma": 2, "delta": 5,
+    }
