@@ -124,7 +124,7 @@ from graphlite_spark.operators.multimodal import (
     sample_ppm_frames,
     with_binary_payload,
 )
-from graphlite_spark.operators.bpe import bpe_merges
+from graphlite_spark.operators.bpe import bpe_merges, bpe_tokenize
 from graphlite_spark.operators.packing import (
     build_vocab,
     mix_corpus,
@@ -319,6 +319,15 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sizes/edge counts, one 6dp division per row
     _, _, e = graph_tables(spark, sf_dir)
     return rich_club(e, ks=(1, 2, 4, 8))
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # apply the trained BPE merges corpus-wide: train on the distinct
+    # words, join every document's word sequence to the final
+    # segmentation, explode pieces in order — train + APPLY, the full
+    # tokenizer story
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_tokenize(docs, n_merges=8)
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1291,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_sliding": q_events_windowed_sliding,
         # -- new this round ----------------------------------------------
         "bpe_merges": q_bpe_merges,
+        "bpe_tokenize": q_bpe_tokenize,
         "mix_corpus": q_mix_corpus,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "temporal_reach": q_temporal_reach,
@@ -1473,6 +1483,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": O.pack_documents_sql(256, 8),
         "build_vocab": O.build_vocab_sql(2),
         "bpe_merges": O.bpe_merges_sql(8),
+        "bpe_tokenize": O.bpe_tokenize_sql(8),
         "mix_corpus": O.mix_corpus_sql(MIX_WEIGHTS, 70),
         "lm_hit_rate": O.doc_bigram_hit_rate_sql(2),
         "events_asof": O.events_asof_sql("purchase", "click"),

@@ -96,19 +96,14 @@ def apply_merge_expr(seg, left: str, right: str, merged: str) -> F.Column:
     )
 
 
-def bpe_merges(
+def _train(
     docs: DataFrame,
-    n_merges: int = 8,
-    text_col: str = "text",
+    n_merges: int,
+    text_col: str,
     checkpoint_every: int = 4,
-) -> DataFrame:
-    """Train ``n_merges`` BPE merge rules; returns the ordered merge
-    table (step, left_sym, right_sym, merged, cnt) — step is 1-based.
-
-    One 1-row collect per step (the argmax is a scalar, like every
-    fixpoint loop's convergence check); all counting and rewriting stays
-    distributed and expression-only."""
-    spark = docs.sparkSession
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """(rules, seg_words) — the ordered merge rules AND the final
+    per-distinct-word segmentation frame they produce (w, f, seg)."""
     seg_words = word_frequencies(docs, text_col).select(
         "w", "f", _char_seg("w").alias("seg")
     )
@@ -129,7 +124,61 @@ def bpe_merges(
         )
         if step % checkpoint_every == 0:
             seg_words = seg_words.localCheckpoint(eager=False)
+    return rules, seg_words
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Train ``n_merges`` BPE merge rules; returns the ordered merge
+    table (step, left_sym, right_sym, merged, cnt) — step is 1-based.
+
+    One 1-row collect per step (the argmax is a scalar, like every
+    fixpoint loop's convergence check); all counting and rewriting stays
+    distributed and expression-only."""
+    spark = docs.sparkSession
+    rules, _ = _train(docs, n_merges, text_col, checkpoint_every)
     return spark.createDataFrame(
         rules, "step BIGINT, left_sym STRING, right_sym STRING, "
                "merged STRING, cnt BIGINT",
+    )
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, word_pos, piece_idx, piece) — the corpus tokenized with
+    the merges trained on it: every document's word sequence joined to
+    the vocabulary's FINAL segmentation (the train loop's end state),
+    pieces exploded in order.  Completes the BPE story: bpe_merges
+    learns the rules, this applies them corpus-wide.
+
+    Scale shape: training touches only the DISTINCT-word table; apply is
+    one equi-join of (doc, word_pos, word) against that vocabulary-sized
+    table (broadcastable at any corpus size) + one ordered explode —
+    the corpus text is scanned once and never shuffled by content."""
+    _, seg_words = _train(docs, n_merges, text_col)
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens_expr(F.col(text_col))).alias("word_pos", "w"),
+    )
+    return (
+        words.join(seg_words.select("w", "seg"), "w")
+        .select(
+            id_col,
+            F.col("word_pos").cast("long").alias("word_pos"),
+            F.posexplode("seg").alias("piece_idx", "piece"),
+        )
+        .select(
+            id_col,
+            "word_pos",
+            F.col("piece_idx").cast("long").alias("piece_idx"),
+            "piece",
+        )
     )

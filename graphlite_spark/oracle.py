@@ -2510,6 +2510,40 @@ def bpe_merges_sql(n_merges: int = 8) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + sel
 
 
+def bpe_tokenize_sql(n_merges: int = 8) -> str:
+    """Mirror of operators.bpe.bpe_tokenize: the identical unrolled
+    training chain as bpe_merges_sql, then every document's word
+    sequence joined to the final segmentation and exploded in order."""
+    parts = [
+        TOKS_CTE,
+        "wf AS MATERIALIZED (SELECT term AS w, CAST(count(*) AS BIGINT) AS f\n"
+        "  FROM (SELECT unnest(toks) AS term FROM toks_t) GROUP BY term)",
+        "s0 AS MATERIALIZED (SELECT w, f,\n"
+        "  list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS seg\n"
+        "  FROM wf)",
+    ]
+    for step in range(1, n_merges + 1):
+        parts.extend(_bpe_merge_step(step))
+    parts.append(
+        "dw AS MATERIALIZED (SELECT doc_id,\n"
+        "  unnest(range(1, len(toks) + 1)) AS i, toks FROM toks_t)"
+    )
+    parts.append(
+        "dwp AS MATERIALIZED (SELECT doc_id,"
+        " CAST(i - 1 AS BIGINT) AS word_pos, toks[i] AS w FROM dw)"
+    )
+    parts.append(
+        f"pieces AS MATERIALIZED (SELECT d.doc_id, d.word_pos,\n"
+        f"  unnest(range(1, len(sw.seg) + 1)) AS j, sw.seg\n"
+        f"  FROM dwp d JOIN s{n_merges} sw ON sw.w = d.w)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT doc_id, word_pos, CAST(j - 1 AS BIGINT) AS piece_idx,\n"
+        "  seg[j] AS piece FROM pieces"
+    )
+
+
 def mix_corpus_sql(
     weights: dict[str, int],
     total: int,
