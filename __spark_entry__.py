@@ -1304,7 +1304,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpus": q_mix_corpus,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "temporal_reach": q_temporal_reach,
-        "bowtie_contact_graph": q_bowtie,
         "node2vec_walks": q_node2vec_walks,
         "ann_lsh_recall": q_ann_lsh_recall,
         "dedup_representatives": q_dedup_representatives,
@@ -1392,7 +1391,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_argmax_delta_ss2": q_pagerank_argmax_delta,
         "lpa_3iter": q_lpa3,
         "weighted_pagerank10": q_weighted_pagerank,
-        "pagerank_warm_restart": q_pagerank_warm,
         "point_rotate3": q_point_rotate3,
         "bfs_7ss": q_bfs_7ss,
         "harmonic_msbfs": q_harmonic_msbfs,
@@ -1407,6 +1405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_lcc,
         "random_walks_corpus": q_random_walks,
         # -- multi-minute fixpoints last ----------------------------------
+        # budget discipline: the two most expensive non-fixpoint queries
+        # run here, AFTER every sub-second query already has its row
+        "bowtie_contact_graph": q_bowtie,
+        "pagerank_warm_restart": q_pagerank_warm,
         "connected_components_fast": q_components_fast,
         "kcore_2": q_kcore2,
         "coreness": q_coreness,
