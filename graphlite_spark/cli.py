@@ -32,7 +32,7 @@ from graphlite_spark.sources.transcripts import transcripts_from_events
 ALGOS = {"pagerank", "ppr", "components", "components-fast", "lpa",
          "triangles", "bfs", "sssp", "kcore", "ktruss", "mis", "coloring",
          "katz", "stress", "scc", "eccentricity", "component-histogram",
-         "kmeans"}
+         "kmeans", "salsa", "bowtie", "transitivity"}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -132,6 +132,37 @@ def main(argv: list[str] | None = None) -> int:
         hist = {int(r["n_vertices"]): int(r["n_components"])
                 for r in out.collect()}
         print(json.dumps({"algo": "component-histogram", "histogram": hist}))
+        return 0
+    if args.algo == "salsa":
+        from graphlite_spark.algos.hits import salsa
+
+        out = salsa(v, e, iterations=args.iterations or 3)
+        out.write.mode("overwrite").parquet(args.output)
+        top = out.orderBy(F.desc("auth_m"), F.asc("id")).limit(1).collect()
+        print(json.dumps({"algo": "salsa",
+                          "top_authority": int(top[0]["id"]) if top else None}))
+        return 0
+    if args.algo == "bowtie":
+        from graphlite_spark.algos.bowtie import bowtie_decomposition
+
+        out = bowtie_decomposition(
+            v.select("id"), e, num_partitions=args.partitions
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        sizes = {r["cls"]: int(r["n"]) for r in out.groupBy("cls")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        print(json.dumps({"algo": "bowtie", "class_sizes": sizes}))
+        return 0
+    if args.algo == "transitivity":
+        from graphlite_spark.algos.stats import transitivity
+
+        out = transitivity(e)
+        out.write.mode("overwrite").parquet(args.output)
+        row = out.collect()[0]
+        print(json.dumps({"algo": "transitivity",
+                          "n_triangles": int(row["n_triangles"]),
+                          "n_wedges": int(row["n_wedges"]),
+                          "transitivity": row["transitivity"]}))
         return 0
     if args.algo == "kcore":
         from graphlite_spark.algos.components import k_core

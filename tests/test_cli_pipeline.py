@@ -60,3 +60,31 @@ def test_cli_kmeans_requires_embeddings():
     res = _cli(["kmeans", "--output", "/tmp/never"])
     assert res.returncode == 2
     assert "requires --embeddings" in res.stderr
+
+
+def test_cli_bowtie_and_transitivity(tmp_path):
+    ev = "/root/testdata/sf0.001/events.parquet"
+    out1 = str(tmp_path / "bt")
+    res = _cli(["bowtie", "--events", ev, "--output", out1])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = json.loads(res.stdout.strip().splitlines()[-1])
+    assert line["algo"] == "bowtie"
+    # transcript graph: 1000 vertices, every class count non-negative and
+    # totals match the vertex count
+    assert sum(line["class_sizes"].values()) == 1000
+
+    out2 = str(tmp_path / "tr")
+    res = _cli(["transitivity", "--events", ev, "--output", out2])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = json.loads(res.stdout.strip().splitlines()[-1])
+    assert line["algo"] == "transitivity"
+    assert line["n_wedges"] > 0 and line["n_triangles"] >= 0
+
+
+def test_cli_salsa(tmp_path):
+    ev = "/root/testdata/sf0.001/events.parquet"
+    out = str(tmp_path / "sa")
+    res = _cli(["salsa", "--events", ev, "--output", out, "--iterations", "2"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = json.loads(res.stdout.strip().splitlines()[-1])
+    assert line["algo"] == "salsa" and line["top_authority"] is not None
