@@ -291,6 +291,15 @@ def q_curate_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(docs.join(keep, "doc_id"), max_tokens=256, num_shards=4)
 
 
+def q_partition_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the explicit-partitioning claim as a checked number: conv-contiguous
+    # dense ids make RANGE placement co-locate conversations (reply edges
+    # cut ~0) while hash placement cuts ~(P-1)/P of them
+    _, _, e = graph_tables(spark, sf_dir)
+    from graphlite_spark.operators.partitioning import partition_cut_report
+    return partition_cut_report(e.select("src", "dst"), num_partitions=8)
+
+
 def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global clustering coefficient 3T/W — one-row whole-graph summary;
     # the oracle counts triangles with a DIFFERENT enumeration, so the
@@ -1310,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "reciprocity_contacts": q_reciprocity,
         "transitivity": q_transitivity,
+        "partition_cut": q_partition_cut,
         "powerlaw_alpha": q_powerlaw_alpha,
         "rich_club": q_rich_club,
         "effective_diameter": q_effective_diameter,
@@ -1476,6 +1486,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": O.degree_assortativity_sql(),
         "reciprocity_contacts": O.reciprocity_sql(),
         "transitivity": O.transitivity_sql(),
+        "partition_cut": O.partition_cut_sql(8),
         "powerlaw_alpha": O.powerlaw_alpha_sql(2),
         "rich_club": O.rich_club_sql((1, 2, 4, 8)),
         "effective_diameter": O.effective_diameter_sql(8, 8, 900),

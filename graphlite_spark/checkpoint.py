@@ -73,12 +73,18 @@ def truncate_plan(df: DataFrame, eager: bool = False) -> DataFrame:
     Linear-growth loops (the Pregel gather: ~13 bits/superstep, 1109
     bits after 80 supersteps) don't need this; every self-joining
     fixpoint (components_fast, scc, bowtie) does."""
-    jdf = df._jdf.localCheckpoint(eager)
-    spark = df.sparkSession
-    jds = spark._jsparkSession.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False
-    )
-    return DataFrame(jds, spark)
+    try:
+        jdf = df._jdf.localCheckpoint(eager)
+        spark = df.sparkSession
+        jds = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(jds, spark)
+    except AttributeError:
+        # classic-JVM internals unavailable (e.g. Spark Connect): fall
+        # back to the plain checkpoint — correct, but inherited stats
+        # make self-joining loops slow past ~20 rounds
+        return df.localCheckpoint(eager=eager)
 
 
 class LocalCheckpointer:

@@ -947,6 +947,35 @@ def triangles_total_sql() -> str:
     )
 
 
+def partition_cut_sql(num_partitions: int = 8, salt: str = "cut") -> str:
+    """Mirror of operators.partitioning.partition_cut_report over the
+    derived edge table: shared 48-bit md5 placement vs contiguous id
+    blocks, exact cut counts, one 6dp division per strategy row."""
+    hs = _h48(f"'{salt}' || ':' || CAST(src AS VARCHAR)")
+    hd = _h48(f"'{salt}' || ':' || CAST(dst AS VARCHAR)")
+    P = num_partitions
+    return _graph_query(
+        ", b AS MATERIALIZED (SELECT min(least(src, dst)) AS mn,\n"
+        "    max(greatest(src, dst)) AS mx FROM edges),\n"
+        "blk AS MATERIALIZED (SELECT mn,"
+        f" (mx - mn + {P}) // {P} AS block FROM b),\n"
+        "cuts AS MATERIALIZED (SELECT\n"
+        "  CAST(count(*) AS BIGINT) AS n,\n"
+        f"  CAST(sum(CASE WHEN {hs} % {P} <> {hd} % {P}"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS hc,\n"
+        "  CAST(sum(CASE WHEN (e.src - blk.mn) // blk.block <>\n"
+        "    (e.dst - blk.mn) // blk.block THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS rc\n"
+        "  FROM edges e, blk)\n"
+        "SELECT 'hash' AS strategy, n AS n_edges, hc AS cut_edges,\n"
+        "  CASE WHEN n > 0 THEN round(hc * 1.0 / n, 6) END AS cut_fraction"
+        " FROM cuts\n"
+        "UNION ALL\n"
+        "SELECT 'range', n, rc,"
+        " CASE WHEN n > 0 THEN round(rc * 1.0 / n, 6) END FROM cuts"
+    )
+
+
 def transitivity_sql() -> str:
     """Mirror of algos.stats.transitivity: 3·T / W with the triangle
     count from the shared tri CTE (a DIFFERENT enumeration from the
