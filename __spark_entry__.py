@@ -126,6 +126,7 @@ from graphlite_spark.operators.multimodal import (
 )
 from graphlite_spark.operators.bpe import bpe_merges, bpe_tokenize
 from graphlite_spark.operators.packing import (
+    weighted_sample,
     build_vocab,
     mix_corpus,
     pack_documents,
@@ -337,6 +338,14 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer story
     docs = load_table(spark, sf_dir, "documents")
     return bpe_tokenize(docs, n_merges=8)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic Efraimidis-Spirakis weighted sampling: 100 docs drawn
+    # proportional to length (n_chars), hash-derived uniforms so both
+    # engines select the identical rows
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, n=100, weight_col="n_chars")
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1325,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": q_effective_diameter,
         "pq_codes": q_pq_codes,
         "chunk_documents": q_chunk_documents,
+        "weighted_sample": q_weighted_sample,
         "modularity_conv": q_modularity,
         "pack_documents": q_pack_documents,
         "build_vocab": q_build_vocab,
@@ -1492,6 +1502,7 @@ def oracle_sql() -> dict[str, str]:
         "effective_diameter": O.effective_diameter_sql(8, 8, 900),
         "pq_codes": O.pq_sql(4, 8, 2, 64),
         "chunk_documents": O.chunk_documents_sql(64, 16),
+        "weighted_sample": O.weighted_sample_sql(100),
         "modularity_conv": O.modularity_sql(),
         "pack_documents": O.pack_documents_sql(256, 8),
         "build_vocab": O.build_vocab_sql(2),

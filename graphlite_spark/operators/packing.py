@@ -196,3 +196,50 @@ def mix_corpus(
         .where(F.col("mix_rank") <= F.col("target"))
         .select(key_col, strata_col, "mix_rank")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """(id_col, weight, priority_micros) — a DETERMINISTIC
+    weight-proportional sample of ``n`` rows without replacement
+    (Efraimidis & Spirakis 2006, public literature): each row draws the
+    hash-derived uniform u = (hash48(salt:id)+1) / 2^48 and keeps
+    priority ln(u) / w — the top-n priorities are exactly an
+    E-S weighted sample, but the "randomness" is the repo-wide shared
+    md5, so both engines select the identical rows.  The priority is
+    micro-unit-rounded per row BEFORE ranking (the repo's float
+    discipline — ln enters exactly as in tf_idf/powerlaw_alpha); ties
+    break on id.  Rows with weight <= 0 never qualify.
+
+    Scale shape: one expression pass + one TakeOrderedAndProject
+    (partial top-n on every partition before the single reduce) — no
+    window, no full sort.  The length-proportional corpus subsample a
+    training-mix pipeline draws, made reproducible."""
+    from graphlite_spark.functions.hashes import hash48
+
+    u = (
+        hash48(
+            F.concat_ws(
+                ":", F.lit(salt), F.col(id_col).cast("string")
+            )
+        )
+        + 1
+    ).cast("double") / F.lit(float(1 << 48))
+    pri = F.round(
+        F.log(u) / F.col(weight_col).cast("double") * 1_000_000
+    ).cast("long")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            pri.alias("priority_micros"),
+        )
+        .orderBy(F.desc("priority_micros"), F.asc(id_col))
+        .limit(n)
+    )

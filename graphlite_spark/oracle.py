@@ -2573,6 +2573,20 @@ def bpe_tokenize_sql(n_merges: int = 8) -> str:
     )
 
 
+def weighted_sample_sql(n: int = 100, salt: str = "wsample") -> str:
+    """Mirror of operators.packing.weighted_sample over documents with
+    n_chars as the weight: identical hash-uniform, identical micro-unit
+    log-priority rounding, identical (priority DESC, doc_id ASC) top-n."""
+    h = _h48(f"'{salt}' || ':' || CAST(doc_id AS VARCHAR)")
+    return (
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,\n"
+        f"  CAST(round(ln(({h} + 1) * 1.0 / {1 << 48}) * 1.0 / n_chars"
+        " * 1000000, 0) AS BIGINT) AS priority_micros\n"
+        "FROM documents WHERE n_chars > 0\n"
+        f"ORDER BY priority_micros DESC, doc_id ASC LIMIT {n}"
+    )
+
+
 def mix_corpus_sql(
     weights: dict[str, int],
     total: int,
