@@ -55,7 +55,7 @@ from graphlite_spark.algos.centrality import (
     katz_centrality,
 )
 from graphlite_spark.algos.anf import effective_diameter, neighborhood_function
-from graphlite_spark.algos.community import louvain_move
+from graphlite_spark.algos.community import conductance, louvain_move
 from graphlite_spark.algos.wl import wl_refinement
 from graphlite_spark.algos.mis import greedy_coloring, maximal_independent_set
 from graphlite_spark.algos.sampling import sample_neighbors
@@ -299,6 +299,16 @@ def q_partition_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, _, e = graph_tables(spark, sf_dir)
     from graphlite_spark.operators.partitioning import partition_cut_report
     return partition_cut_report(e.select("src", "dst"), num_partitions=8)
+
+
+def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # boundary quality of the 5 largest LPA-3 communities: exact
+    # volumes/cuts, phi = cut / min(vol, 2E - vol)
+    _, v, e = graph_tables(spark, sf_dir)
+    labels = label_propagation(v, e, iterations=3).state.select(
+        "id", F.col("value").alias("label")
+    )
+    return conductance(e, labels, top_k=5)
 
 
 def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1401,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_assortativity": q_role_assortativity,
         "neighborhood_function": q_neighborhood_function,
         "louvain_refine_lpa3": q_louvain_refine,
+        "conductance_lpa3": q_conductance,
         "mis_luby": q_mis,
         "coloring_jp": q_coloring,
         "pagerank_fixed10": q_pagerank_fixed10,
@@ -1474,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),
+        "conductance_lpa3": O.conductance_sql(3, 5),
         "mis_luby": O.mis_sql(32),
         "coloring_jp": O.coloring_sql(32),
         "adamic_adar": O.adamic_adar_sql(100, 1_000_000),

@@ -95,3 +95,75 @@ def louvain_move(
         return out.localCheckpoint(eager=True)
     finally:
         und.unpersist()
+
+
+def conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    top_k: int = 5,
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n_vertices, volume, cut_edges, conductance) for the
+    ``top_k`` largest communities of ``labels (id, label)`` — the classic
+    community-quality measure φ(C) = cut(C) / min(vol(C), vol(V)−vol(C))
+    over the undirected closure (Kannan, Vempala & Vetta 2004, public
+    literature): how leaky each community's boundary is.
+
+    Exact integers everywhere (volumes count directed representations,
+    cuts count reps leaving the community — each undirected cut edge
+    contributes exactly one rep from the inside); one 6dp division per
+    row, NULL when the community is the whole volume.  Scale shape: two
+    vertex-sized label joins + three map-side-combined grouped counts;
+    the top-k label list is a TakeOrdered collect (codebook-sized, like
+    the kmeans centroids), never a global window."""
+    und = symmetrize(edges).select("src", "dst")
+    lab = labels.select("id", F.col(label_col).alias("label"))
+    top = [
+        r["label"]
+        for r in labels.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("label"))
+        .limit(top_k)
+        .collect()
+    ]
+    sizes = (
+        lab.where(F.col("label").isin(top))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    )
+    ls = lab.select(F.col("id").alias("src"), F.col("label").alias("sl"))
+    ld = lab.select(F.col("id").alias("dst"), F.col("label").alias("dl"))
+    ee = und.join(ls, "src").join(ld, "dst")
+    m2 = und.count()
+    per = (
+        ee.where(F.col("sl").isin(top))
+        .groupBy(F.col("sl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("volume"),
+            F.sum((F.col("sl") != F.col("dl")).cast("long"))
+            .cast("long")
+            .alias("cut_edges"),
+        )
+    )
+    den = F.least(F.col("volume"), F.lit(m2) - F.col("volume"))
+    return (
+        sizes.join(per, "label", "left")
+        .select(
+            "label",
+            "n_vertices",
+            F.coalesce("volume", F.lit(0)).cast("long").alias("volume"),
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+        )
+        .select(
+            "label",
+            "n_vertices",
+            "volume",
+            "cut_edges",
+            F.when(
+                den > 0,
+                F.round(
+                    F.col("cut_edges").cast("double") / den.cast("double"), 6
+                ),
+            ).alias("conductance"),
+        )
+    )

@@ -874,6 +874,46 @@ def lpa_sql(iterations: int = 3) -> str:
     return _graph_query(body)
 
 
+def conductance_sql(lpa_iterations: int = 3, top_k: int = 5) -> str:
+    """Mirror of algos.community.conductance over the LPA-N labeling:
+    exact volumes/cuts in directed representations, top-k communities by
+    (size DESC, label ASC), phi = cut / min(vol, m2 - vol) at 6dp."""
+    parts = _lpa_parts(lpa_iterations)
+    parts.append(
+        f"lab AS MATERIALIZED (SELECT id, label FROM l{lpa_iterations})"
+    )
+    parts.append(
+        "topk AS MATERIALIZED (SELECT label,"
+        " CAST(count(*) AS BIGINT) AS n_vertices FROM lab\n"
+        f"  GROUP BY label ORDER BY count(*) DESC, label ASC LIMIT {top_k})"
+    )
+    parts.append("m2t AS MATERIALIZED (SELECT count(*) AS m2 FROM und)")
+    parts.append(
+        "per AS MATERIALIZED (\n"
+        "  SELECT ls.label, CAST(count(*) AS BIGINT) AS volume,\n"
+        "    CAST(sum(CASE WHEN ls.label <> ld.label THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS cut_edges\n"
+        "  FROM und u JOIN lab ls ON ls.id = u.src"
+        " JOIN lab ld ON ld.id = u.dst\n"
+        "  JOIN topk t ON t.label = ls.label\n"
+        "  GROUP BY ls.label)"
+    )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        "SELECT t.label, t.n_vertices,\n"
+        "  CAST(COALESCE(p.volume, 0) AS BIGINT) AS volume,\n"
+        "  CAST(COALESCE(p.cut_edges, 0) AS BIGINT) AS cut_edges,\n"
+        "  CASE WHEN least(COALESCE(p.volume, 0),\n"
+        "                  (SELECT m2 FROM m2t) - COALESCE(p.volume, 0)) > 0\n"
+        "    THEN round(COALESCE(p.cut_edges, 0) * 1.0 /\n"
+        "      least(p.volume, (SELECT m2 FROM m2t) - p.volume), 6)\n"
+        "  END AS conductance\n"
+        "FROM topk t LEFT JOIN per p ON p.label = t.label"
+    )
+    return _graph_query(body)
+
+
 def louvain_move_sql(lpa_iterations: int = 3) -> str:
     """Mirror of algos.community.louvain_move over the LPA-N labeling:
     the identical integer gain score m2·(e_vc − e_va) − d_v·(S_c − S_a +
