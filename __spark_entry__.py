@@ -97,6 +97,7 @@ from graphlite_spark.algos.stats import (
     modularity,
 )
 from graphlite_spark.operators.dedup import (
+    jaccard_join_prefix,
     contamination_report,
     dedup_exact,
     dedup_representatives,
@@ -348,6 +349,14 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer story
     docs = load_table(spark, sf_dir, "documents")
     return bpe_tokenize(docs, n_merges=8)
+
+
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT token-set Jaccard similarity join at >= 0.6, prefix-filtered
+    # (AllPairs): the oracle brute-forces every shared-token pair, so a
+    # match proves the filter's completeness
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_join_prefix(docs, threshold_permille=600)
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1345,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "chunk_documents": q_chunk_documents,
         "weighted_sample": q_weighted_sample,
+        "jaccard_join_exact": q_jaccard_join,
         "modularity_conv": q_modularity,
         "pack_documents": q_pack_documents,
         "build_vocab": q_build_vocab,
@@ -1515,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": O.pq_sql(4, 8, 2, 64),
         "chunk_documents": O.chunk_documents_sql(64, 16),
         "weighted_sample": O.weighted_sample_sql(100),
+        "jaccard_join_exact": O.jaccard_join_sql(600),
         "modularity_conv": O.modularity_sql(),
         "pack_documents": O.pack_documents_sql(256, 8),
         "build_vocab": O.build_vocab_sql(2),

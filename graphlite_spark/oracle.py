@@ -3306,6 +3306,31 @@ def chunk_documents_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
     )
 
 
+def jaccard_join_sql(threshold_permille: int = 600) -> str:
+    """BRUTE-FORCE mirror of operators.dedup.jaccard_join_prefix —
+    deliberately no prefix filter: every shared-token pair is verified,
+    so a match proves the Spark side's filter loses no pair.  Identical
+    integer threshold (inter·1000 ≥ t‰·union) and 6dp division."""
+    t = threshold_permille
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "ts AS MATERIALIZED (SELECT doc_id AS doc, unnest(toks) AS tok\n"
+        "  FROM (SELECT doc_id, list_distinct(toks) AS toks FROM toks_t)),\n"
+        "sz AS MATERIALIZED (SELECT doc, CAST(count(*) AS BIGINT) AS n"
+        " FROM ts GROUP BY doc),\n"
+        "pairs AS MATERIALIZED (\n"
+        "  SELECT a.doc AS doc_a, b.doc AS doc_b,"
+        " CAST(count(*) AS BIGINT) AS inter\n"
+        "  FROM ts a JOIN ts b ON b.tok = a.tok AND a.doc < b.doc\n"
+        "  GROUP BY a.doc, b.doc)\n"
+        "SELECT doc_a, doc_b, inter,\n"
+        "  CAST(sa.n + sb.n - inter AS BIGINT) AS union_sz,\n"
+        "  round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard\n"
+        "FROM pairs JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b\n"
+        f"WHERE inter * 1000 >= {t} * (sa.n + sb.n - inter)"
+    )
+
+
 def temporal_reach_sql(rounds: int = 8) -> str:
     """Mirror of operators.temporal.contact_edges + temporal_reachability:
     per-event_type contact chains (lag over (ts, event_id) order), then
