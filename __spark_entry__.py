@@ -293,6 +293,24 @@ def q_curate_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(docs.join(keep, "doc_id"), max_tokens=256, num_shards=4)
 
 
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1 shape over the warehouse tables: per-row micro-unit
+    # rounding before exact BIGINT sums — no float summation order
+    from graphlite_spark.operators.relational import pricing_summary
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape: two hash equi-joins + grouped exact revenue +
+    # deterministic top-10
+    from graphlite_spark.operators.relational import shipping_priority
+    return shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_partition_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the explicit-partitioning claim as a checked number: conv-contiguous
     # dense ids make RANGE placement co-locate conversations (reply edges
@@ -1348,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity_contacts": q_reciprocity,
         "transitivity": q_transitivity,
         "partition_cut": q_partition_cut,
+        "tpch_q1_pricing": q_tpch_pricing,
+        "tpch_q3_shipping": q_tpch_shipping,
         "powerlaw_alpha": q_powerlaw_alpha,
         "rich_club": q_rich_club,
         "effective_diameter": q_effective_diameter,
@@ -1519,6 +1539,8 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity_contacts": O.reciprocity_sql(),
         "transitivity": O.transitivity_sql(),
         "partition_cut": O.partition_cut_sql(8),
+        "tpch_q1_pricing": O.pricing_summary_sql(),
+        "tpch_q3_shipping": O.shipping_priority_sql(),
         "powerlaw_alpha": O.powerlaw_alpha_sql(2),
         "rich_club": O.rich_club_sql((1, 2, 4, 8)),
         "effective_diameter": O.effective_diameter_sql(8, 8, 900),

@@ -1,0 +1,84 @@
+"""TPC-H-shaped relational analytics over the warehouse tables.
+
+The engine's primary surface is the link graph, but the testdata ships
+the classic warehouse tables and Spark's relational layer handles them
+natively — these two queries (the TPC-H Q1 pricing summary and Q3
+shipping-priority shapes) document that coverage with the repo's
+cross-engine exactness discipline: every money expression is computed
+per ROW in double (identical on both engines — same parquet values,
+same one-expression arithmetic), rounded to BIGINT micro-units per row,
+then summed exactly — no float summation-order dependence ever reaches
+an aggregate.
+
+Scale shape: Q1 is one map-side-combined groupBy over a filtered scan
+(predicate pushed to parquet); Q3 is two hash equi-joins (customer is
+the broadcast side at any realistic scale) + one grouped sum + a
+TakeOrdered top-n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICROS = 1_000_000
+
+
+def _micros(col: F.Column) -> F.Column:
+    return F.round(col * MICROS).cast("long")
+
+
+def pricing_summary(
+    lineitem: DataFrame, ship_cutoff: str = "1998-09-01"
+) -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) over lineitem shipped
+    on/before the cutoff — exact micro-unit sums and a row count."""
+    li = lineitem.where(
+        F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_micros(F.col("l_quantity"))).alias("sum_qty_micros"),
+            F.sum(_micros(F.col("l_extendedprice"))).alias(
+                "sum_base_micros"
+            ),
+            F.sum(_micros(disc)).alias("sum_disc_micros"),
+            F.sum(_micros(charge)).alias("sum_charge_micros"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    date: str = "1998-01-01",
+    n: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top-n undelivered orders of one market segment by
+    exact micro-unit revenue; (revenue DESC, orderkey ASC) is a total
+    order, so the top-n is deterministic."""
+    d = F.lit(date).cast("timestamp")
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.where(F.col("o_orderdate") < d).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.where(F.col("l_shipdate") > d).select(
+        "l_orderkey",
+        _micros(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("rev_m"),
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_m").cast("long").alias("revenue_micros"))
+        .orderBy(F.desc("revenue_micros"), F.asc("o_orderkey"))
+        .limit(n)
+    )

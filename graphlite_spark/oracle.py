@@ -1016,6 +1016,45 @@ def partition_cut_sql(num_partitions: int = 8, salt: str = "cut") -> str:
     )
 
 
+def pricing_summary_sql(ship_cutoff: str = "1998-09-01") -> str:
+    """Mirror of operators.relational.pricing_summary: identical per-ROW
+    micro-unit rounding before the exact BIGINT sums."""
+    return (
+        "SELECT l_returnflag, l_linestatus,\n"
+        "  CAST(sum(CAST(round(l_quantity * 1000000, 0) AS BIGINT))"
+        " AS BIGINT) AS sum_qty_micros,\n"
+        "  CAST(sum(CAST(round(l_extendedprice * 1000000, 0) AS BIGINT))"
+        " AS BIGINT) AS sum_base_micros,\n"
+        "  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)"
+        " * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_disc_micros,\n"
+        "  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)"
+        " * (1 + l_tax) * 1000000, 0) AS BIGINT)) AS BIGINT)"
+        " AS sum_charge_micros,\n"
+        "  CAST(count(*) AS BIGINT) AS count_order\n"
+        "FROM lineitem\n"
+        f"WHERE l_shipdate <= TIMESTAMP '{ship_cutoff} 00:00:00'\n"
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def shipping_priority_sql(
+    segment: str = "BUILDING", date: str = "1998-01-01", n: int = 10
+) -> str:
+    """Mirror of operators.relational.shipping_priority."""
+    return (
+        "SELECT o_orderkey, o_orderdate, o_orderpriority,\n"
+        "  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)"
+        " * 1000000, 0) AS BIGINT)) AS BIGINT) AS revenue_micros\n"
+        "FROM customer JOIN orders ON o_custkey = c_custkey\n"
+        "JOIN lineitem ON l_orderkey = o_orderkey\n"
+        f"WHERE c_mktsegment = '{segment}'\n"
+        f"  AND o_orderdate < TIMESTAMP '{date} 00:00:00'\n"
+        f"  AND l_shipdate > TIMESTAMP '{date} 00:00:00'\n"
+        "GROUP BY o_orderkey, o_orderdate, o_orderpriority\n"
+        f"ORDER BY revenue_micros DESC, o_orderkey ASC LIMIT {n}"
+    )
+
+
 def transitivity_sql() -> str:
     """Mirror of algos.stats.transitivity: 3·T / W with the triangle
     count from the shared tri CTE (a DIFFERENT enumeration from the
