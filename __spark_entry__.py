@@ -311,6 +311,20 @@ def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: the six-table join touching every warehouse
+    # dimension; nation/region broadcast, exact micro-unit revenue
+    from graphlite_spark.operators.relational import local_supplier_volume
+    return local_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
 def q_partition_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the explicit-partitioning claim as a checked number: conv-contiguous
     # dense ids make RANGE placement co-locate conversations (reply edges
@@ -1368,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_cut": q_partition_cut,
         "tpch_q1_pricing": q_tpch_pricing,
         "tpch_q3_shipping": q_tpch_shipping,
+        "tpch_q5_local_volume": q_tpch_local_volume,
         "powerlaw_alpha": q_powerlaw_alpha,
         "rich_club": q_rich_club,
         "effective_diameter": q_effective_diameter,
@@ -1541,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "partition_cut": O.partition_cut_sql(8),
         "tpch_q1_pricing": O.pricing_summary_sql(),
         "tpch_q3_shipping": O.shipping_priority_sql(),
+        "tpch_q5_local_volume": O.local_supplier_volume_sql(),
         "powerlaw_alpha": O.powerlaw_alpha_sql(2),
         "rich_club": O.rich_club_sql((1, 2, 4, 8)),
         "effective_diameter": O.effective_diameter_sql(8, 8, 900),

@@ -82,3 +82,45 @@ def shipping_priority(
         .orderBy(F.desc("revenue_micros"), F.asc("o_orderkey"))
         .limit(n)
     )
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: per-nation revenue where customer and supplier
+    share the nation, one region, one order-date year — the six-table
+    join exercising every warehouse dimension.  Revenue in exact
+    micro-units (per-row rounding before the sum); nation/region
+    dimensions are broadcast-sized at any scale."""
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    rev = _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        region.where(F.col("r_name") == region_name)
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supplier, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            customer, F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            orders,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= lo)
+            & (F.col("o_orderdate") < hi),
+        )
+        .join(
+            lineitem,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_suppkey") == F.col("s_suppkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("long").alias("revenue_micros"))
+    )

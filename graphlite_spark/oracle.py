@@ -1055,6 +1055,29 @@ def shipping_priority_sql(
     )
 
 
+def local_supplier_volume_sql(
+    region_name: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> str:
+    """Mirror of operators.relational.local_supplier_volume."""
+    return (
+        "SELECT n_name,\n"
+        "  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)"
+        " * 1000000, 0) AS BIGINT)) AS BIGINT) AS revenue_micros\n"
+        "FROM region JOIN nation ON n_regionkey = r_regionkey\n"
+        "JOIN supplier ON s_nationkey = n_nationkey\n"
+        "JOIN customer ON c_nationkey = n_nationkey\n"
+        "JOIN orders ON o_custkey = c_custkey\n"
+        "JOIN lineitem ON l_orderkey = o_orderkey"
+        " AND l_suppkey = s_suppkey\n"
+        f"WHERE r_name = '{region_name}'\n"
+        f"  AND o_orderdate >= TIMESTAMP '{date_lo} 00:00:00'\n"
+        f"  AND o_orderdate < TIMESTAMP '{date_hi} 00:00:00'\n"
+        "GROUP BY n_name"
+    )
+
+
 def transitivity_sql() -> str:
     """Mirror of algos.stats.transitivity: 3·T / W with the triangle
     count from the shared tri CTE (a DIFFERENT enumeration from the
