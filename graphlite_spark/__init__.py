@@ -18,3 +18,17 @@ streaming/  structured-streaming ingestion of transcripts
 """
 
 __version__ = "0.1.0"
+from graphlite_spark.algos.components import connected_components_fast  # noqa: F401
+from graphlite_spark.algos.scc import strongly_connected_components  # noqa: F401
+from graphlite_spark.algos.bowtie import bowtie_decomposition  # noqa: F401
+from graphlite_spark.algos.hits import hits, salsa  # noqa: F401
+from graphlite_spark.algos.pagerank import pagerank_warm_restart  # noqa: F401
+from graphlite_spark.algos.stats import (  # noqa: F401
+    degree_assortativity,
+    powerlaw_alpha,
+    reciprocity,
+    rich_club,
+    transitivity,
+)
+from graphlite_spark.algos.community import conductance  # noqa: F401
+from graphlite_spark.checkpoint import truncate_plan  # noqa: F401
