@@ -36,6 +36,7 @@ from graphlite_spark.algos.pagerank import (
     pagerank_argmax_delta,
     pagerank_warm_restart,
     personalized_pagerank,
+    trustrank,
     weighted_pagerank,
 )
 from graphlite_spark.algos.rotate import ring_rotate
@@ -785,6 +786,17 @@ def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRUST_SEEDS = [0, 100, 200, 300]
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TrustRank: teleport mass split over a trusted seed set — the
+    # spam-detection PPR variant; PPR is its single-seed case
+    _, v, e = graph_tables(spark, sf_dir)
+    res = trustrank(v, e, seeds=TRUST_SEEDS, fixed_supersteps=8)
+    return res.state.select("id", F.round("value", 6).alias("rank"))
+
+
 def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-point weighted PageRank: rank distributed proportional to
     # integer edge weight; the derived weights are all 1.0, so
@@ -1461,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring_jp": q_coloring,
         "pagerank_fixed10": q_pagerank_fixed10,
         "ppr_fixed8": q_ppr_fixed8,
+        "trustrank_fixed8": q_trustrank,
         "hits_3iter": q_hits3,
         "salsa_3iter": q_salsa,
         "pagerank_sumdelta_ss2": q_pagerank_sumdelta,
@@ -1504,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
         "msg_gather_ss1": O.msg_gather_ss1_sql(),
         "pagerank_fixed10": O.pagerank_fixed_sql(10),
         "ppr_fixed8": O.ppr_fixed_sql(0, 8),
+        "trustrank_fixed8": O.trustrank_fixed_sql(TRUST_SEEDS, 8),
         "hits_3iter": O.hits_sql(3),
         "salsa_3iter": O.salsa_sql(3),
         "pagerank_sumdelta_ss2": O.pagerank_sumdelta_sql(2),

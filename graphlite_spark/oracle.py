@@ -163,6 +163,41 @@ def _pagerank_ctes(rounds: int) -> str:
     return ",\n".join(parts)
 
 
+def trustrank_fixed_sql(seeds: list[int], supersteps: int = 8) -> str:
+    """TrustRank (seed-set PPR), unrolled — teleport 0.15/|seeds| on the
+    sorted deduped seed list, identical literal arithmetic."""
+    ss = sorted(set(int(x) for x in seeds))
+    share = 1.0 / len(ss)
+    inlist = ", ".join(str(x) for x in ss)
+    rounds = supersteps - 1
+    tele = (
+        f"CASE WHEN p.id IN ({inlist}) THEN 0.15 * {share!r}"
+        " ELSE 0.0 END"
+    )
+    parts = [
+        f"tr0 AS MATERIALIZED (SELECT id,\n"
+        f"  CASE WHEN id IN ({inlist}) THEN CAST({share!r} AS DOUBLE)\n"
+        f"       ELSE CAST(0.0 AS DOUBLE) END AS rank, out_degree FROM deg)"
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"tr{k - 1}"
+        parts.append(
+            f"tr{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id, {tele} + 0.85 * COALESCE(m.s, 0.0) AS rank,\n"
+            f"         p.out_degree\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, sum(q.rank / q.out_degree) AS s\n"
+            f"    FROM edges e JOIN {prev} q ON q.id = e.src GROUP BY e.dst) m\n"
+            f"  ON m.id = p.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT id, round(rank, 6) AS rank FROM tr{rounds}"
+    )
+    return _graph_query(body)
+
+
 def weighted_pagerank_sql(supersteps: int = 10) -> str:
     """Mirror of algos.pagerank.weighted_pagerank over edges carrying the
     entry query's deterministic synthetic weights ``1 + h48(src:dst)%3``:
