@@ -175,14 +175,21 @@ def reciprocity(edges: DataFrame) -> DataFrame:
         de.join(rev, ["src", "dst"], "left")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_edges"),
-            F.sum(F.coalesce("r", F.lit(0))).cast("long").alias("n_recip"),
+            # coalesce OUTSIDE the sum too: an empty edge set must report
+            # 0 reciprocated edges, not NULL (found by hypothesis)
+            F.coalesce(F.sum(F.coalesce("r", F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_recip"),
         )
         .select(
             "n_edges",
             "n_recip",
-            F.round(
-                F.col("n_recip").cast("double") / F.col("n_edges"), 6
-            ).alias("reciprocity"),
+            F.when(
+                F.col("n_edges") > 0,
+                F.round(
+                    F.col("n_recip").cast("double") / F.col("n_edges"), 6
+                ),
+            ).alias("reciprocity"),  # NULL (not 0/0) on an empty set
         )
     )
 

@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the pure-expression operators —
+invariants that hold for EVERY input, not just the fixtures:
+
+* chunking covers every token, steps exactly chunk−overlap, and
+  reconstructs the document from the non-overlapped heads;
+* reciprocity is 1.0 on any symmetrized edge set and bounded on any set;
+* truncate_plan never changes the rows it checkpoints.
+
+Each example batches into ONE DataFrame evaluation; max_examples stays
+small because every example costs Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_words = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4),
+    min_size=0,
+    max_size=40,
+)
+
+
+@_SLOW
+@given(words=_words, chunk=st.integers(2, 8), overlap=st.integers(0, 6))
+def test_chunking_invariants(spark, words, chunk, overlap):
+    from graphlite_spark.operators.chunking import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    step = chunk - overlap
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            docs, chunk_tokens=chunk, overlap=overlap
+        ).collect()
+    )
+    toks = [w for w in words if w]  # tokenizer drops empties; lowercase
+    if not toks:
+        assert rows == []
+        return
+    # chunk i starts at i*step while inside the doc
+    n_chunks = (len(toks) - 1) // step + 1
+    assert [r[0] for r in rows] == list(range(n_chunks))
+    for i, n_toks, text in rows:
+        expect = toks[i * step: i * step + chunk]
+        assert n_toks == len(expect)
+        assert text == " ".join(expect)
+    # concatenating each chunk's non-overlapped head reconstructs the doc
+    heads = []
+    for i, _, text in rows:
+        ctoks = text.split(" ")
+        heads.extend(ctoks if i == n_chunks - 1 else ctoks[:step])
+    # the final chunk may re-cover tokens earlier heads already emitted
+    assert heads[: len(toks)] == toks[: len(heads)] or " ".join(
+        heads
+    ).startswith(" ".join(toks[: len(heads)]))
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@_SLOW
+@given(edges=_edges)
+def test_reciprocity_bounds_and_symmetric_case(spark, edges):
+    from graphlite_spark.algos.stats import reciprocity
+
+    e = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    )
+    row = reciprocity(e).collect()[0]
+    n, r = row["n_edges"], row["n_recip"]
+    assert 0 <= r <= n
+    distinct = {(a, b) for a, b in edges if a != b}
+    assert n == len(distinct)
+    assert r == sum(1 for (a, b) in distinct if (b, a) in distinct)
+    if distinct:
+        sym = spark.createDataFrame(
+            list(distinct) + [(b, a) for a, b in distinct],
+            "src long, dst long",
+        )
+        row2 = reciprocity(sym).collect()[0]
+        assert row2["reciprocity"] == 1.0
+
+
+@_SLOW
+@given(rows=st.lists(st.integers(-50, 50), min_size=0, max_size=25))
+def test_truncate_plan_preserves_rows(spark, rows):
+    from graphlite_spark.checkpoint import truncate_plan
+
+    df = spark.createDataFrame([(x,) for x in rows] or [(None,)], "v int")
+    j = df.join(df.withColumnRenamed("v", "w"), F.col("v") == F.col("w"))
+    assert sorted(
+        (r["v"], r["w"]) for r in truncate_plan(j, eager=True).collect()
+    ) == sorted((r["v"], r["w"]) for r in j.collect())
