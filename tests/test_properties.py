@@ -108,3 +108,63 @@ def test_truncate_plan_preserves_rows(spark, rows):
     assert sorted(
         (r["v"], r["w"]) for r in truncate_plan(j, eager=True).collect()
     ) == sorted((r["v"], r["w"]) for r in j.collect())
+
+
+_docs = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=8),
+    min_size=0,
+    max_size=8,
+)
+
+
+@_SLOW
+@given(docs=_docs, t=st.sampled_from([400, 600, 800]))
+def test_jaccard_join_matches_bruteforce(spark, docs, t):
+    # the prefix filter must lose NO pair — checked against a plain
+    # python all-pairs loop on random tiny corpora
+    from graphlite_spark.operators.dedup import jaccard_join_prefix
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows or [(0, "")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"])
+        for r in jaccard_join_prefix(df, threshold_permille=t).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(docs)}
+    want = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * 1000 >= t * union:
+                want[(a, b)] = (inter, union)
+    assert got == want
+
+
+def test_whole_graph_stats_on_empty_graph(spark):
+    # every whole-graph readout must survive a graph with no edges
+    from graphlite_spark.algos.stats import (
+        powerlaw_alpha,
+        reciprocity,
+        rich_club,
+        transitivity,
+    )
+
+    e = spark.createDataFrame([], "src long, dst long")
+    r = reciprocity(e).collect()[0]
+    assert (r["n_edges"], r["n_recip"], r["reciprocity"]) == (0, 0, None)
+    t = transitivity(e).collect()[0]
+    assert (t["n_triangles"], t["n_wedges"], t["transitivity"]) == (
+        0, 0, None,
+    )
+    p = powerlaw_alpha(e).collect()[0]
+    assert (p["n_tail"], p["alpha"]) == (0, None)
+    rc = {r["k"]: r for r in rich_club(e, ks=(1, 2)).collect()}
+    assert all(
+        (rc[k]["n_nodes"], rc[k]["e_among"], rc[k]["phi"]) == (0, 0, None)
+        for k in (1, 2)
+    )
