@@ -345,6 +345,32 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conductance(e, labels, top_k=5)
 
 
+def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Boruvka MSF in O(log V) rounds — the classic beyond-PageRank Pregel
+    # algorithm, avoiding Kruskal's global sort; deterministic synthetic
+    # weights 1 + hash48('msf':lo:hi) % 1e6 (mirrored in SQL), the
+    # (w, lo, hi) total order makes the forest unique
+    from graphlite_spark.algos.msf import boruvka_msf
+    from graphlite_spark.functions.hashes import hash48
+
+    _, v, e = graph_tables(spark, sf_dir)
+    lo, hi = F.least("src", "dst"), F.greatest("src", "dst")
+    we = e.select(
+        "src", "dst",
+        (
+            1
+            + hash48(
+                F.concat_ws(
+                    ":", F.lit("msf"),
+                    lo.cast("string"), hi.cast("string"),
+                )
+            )
+            % 1_000_000
+        ).alias("w"),
+    )
+    return boruvka_msf(v, we, weight_col="w")
+
+
 def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global clustering coefficient 3T/W — one-row whole-graph summary;
     # the oracle counts triangles with a DIFFERENT enumeration, so the
@@ -1391,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "reciprocity_contacts": q_reciprocity,
         "transitivity": q_transitivity,
+        "boruvka_msf": q_boruvka_msf,
         "partition_cut": q_partition_cut,
         "tpch_q1_pricing": q_tpch_pricing,
         "tpch_q3_shipping": q_tpch_shipping,
@@ -1567,6 +1594,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": O.degree_assortativity_sql(),
         "reciprocity_contacts": O.reciprocity_sql(),
         "transitivity": O.transitivity_sql(),
+        "boruvka_msf": O.boruvka_msf_sql(10),
         "partition_cut": O.partition_cut_sql(8),
         "tpch_q1_pricing": O.pricing_summary_sql(),
         "tpch_q3_shipping": O.shipping_priority_sql(),

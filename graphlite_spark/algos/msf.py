@@ -1,0 +1,86 @@
+"""Minimum spanning forest via Borůvka rounds (Borůvka 1926; the
+canonical Pregel-style MSF — Malewicz et al. mention it as the classic
+beyond-PageRank example; public literature).
+
+Each round every component selects its minimum outgoing edge under the
+TOTAL order (w, lo, hi) — totality makes the chosen forest unique even
+with duplicate weights, so both engines derive the identical MSF — the
+chosen edges join the forest, and components contract by running the
+pointer-doubling CC over the forest built so far.  Components at least
+halve every round: O(log V) rounds, like every fixpoint in this repo.
+
+Weights: integer micro-units.  When the edge table has no weight column
+the entry query synthesizes deterministic ``1 + hash48(lo:hi) % 10^6``
+weights (mirrored in SQL) so the MSF is non-trivial on the unweighted
+transcript graph.
+
+Scale shape per round: one comp-label equi-join onto the edge table
+(edges keep their cached layout, only the vertex-sized label frame
+shuffles), one map-side-combined min-of-struct per component, and one
+CC fixpoint over the (tiny) accumulated forest.  No sorting of the full
+edge set ever happens — Borůvka is the MSF algorithm that avoids
+Kruskal's global sort, which is exactly why it is the one that scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphlite_spark.algos.components import connected_components_fast
+from graphlite_spark.checkpoint import truncate_plan
+
+
+def boruvka_msf(
+    vertices: DataFrame,
+    edges: DataFrame,
+    weight_col: str = "w",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """(lo, hi, w) — the minimum spanning forest of the undirected graph
+    given by ``edges (src, dst, weight_col)``; self-loops dropped,
+    parallel edges collapse to their minimum weight, (w, lo, hi) is the
+    total order.  Unique given the total order, so hash-exact."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.min("w").alias("w"))
+    )
+    und = truncate_plan(und, eager=True)
+    spark = edges.sparkSession
+    comp = vertices.select("id", F.col("id").alias("comp"))
+    forest = spark.createDataFrame([], "lo long, hi long, w long")
+    for _ in range(max_rounds):
+        cl = comp.select(F.col("id").alias("lo"), F.col("comp").alias("c1"))
+        ch = comp.select(F.col("id").alias("hi"), F.col("comp").alias("c2"))
+        ec = (
+            und.join(cl, "lo")
+            .join(ch, "hi")
+            .where(F.col("c1") != F.col("c2"))
+        )
+        if ec.limit(1).count() == 0:
+            break
+        cand = ec.select(
+            F.col("c1").alias("comp"), "w", "lo", "hi"
+        ).unionByName(ec.select(F.col("c2").alias("comp"), "w", "lo", "hi"))
+        chosen = (
+            cand.groupBy("comp")
+            .agg(F.min(F.struct("w", "lo", "hi")).alias("m"))
+            .select("m.lo", "m.hi", "m.w")
+            .distinct()
+        )
+        forest = truncate_plan(
+            forest.unionByName(chosen).distinct(), eager=True
+        )
+        labels = connected_components_fast(
+            vertices,
+            forest.select(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+            max_rounds=64,
+        )
+        comp = labels.select("id", F.col("component").alias("comp"))
+    return forest.select("lo", "hi", "w")

@@ -1113,6 +1113,70 @@ def local_supplier_volume_sql(
     )
 
 
+def boruvka_msf_sql(rounds: int = 10, salt: str = "msf") -> str:
+    """Mirror of algos.msf.boruvka_msf over the transcript graph with
+    synthesized 1 + hash48(salt:lo:hi) % 10^6 weights: ``rounds``
+    unrolled Boruvka rounds (no-ops once the forest is complete), each
+    with a min-outgoing-edge pick under the (w, lo, hi) total order and
+    a RECURSIVE-CTE component update over the accumulated forest."""
+    h = _h48(
+        f"'{salt}' || ':' || CAST(least(src, dst) AS VARCHAR) || ':' "
+        "|| CAST(greatest(src, dst) AS VARCHAR)"
+    )
+    parts = [
+        "uw AS MATERIALIZED (SELECT lo, hi, CAST(min(wv) AS BIGINT) AS w"
+        " FROM (\n"
+        "  SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,\n"
+        f"    1 + {h} % 1000000 AS wv\n"
+        "  FROM edges WHERE src <> dst) GROUP BY lo, hi)",
+        "comp0 AS MATERIALIZED (SELECT id, id AS comp FROM vertices)",
+        "forest0 AS MATERIALIZED (SELECT lo, hi, w FROM uw WHERE 1 = 0)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = r - 1
+        parts.append(
+            f"cand{r} AS MATERIALIZED (\n"
+            f"  SELECT c1.comp, e.w, e.lo, e.hi\n"
+            f"  FROM uw e JOIN comp{prev} c1 ON c1.id = e.lo\n"
+            f"  JOIN comp{prev} c2 ON c2.id = e.hi\n"
+            f"  WHERE c1.comp <> c2.comp\n"
+            f"  UNION ALL\n"
+            f"  SELECT c2.comp, e.w, e.lo, e.hi\n"
+            f"  FROM uw e JOIN comp{prev} c1 ON c1.id = e.lo\n"
+            f"  JOIN comp{prev} c2 ON c2.id = e.hi\n"
+            f"  WHERE c1.comp <> c2.comp)"
+        )
+        parts.append(
+            f"chosen{r} AS MATERIALIZED (SELECT DISTINCT lo, hi, w FROM (\n"
+            f"  SELECT lo, hi, w, row_number() OVER (PARTITION BY comp\n"
+            f"    ORDER BY w, lo, hi) AS rn FROM cand{r}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"forest{r} AS MATERIALIZED (\n"
+            f"  SELECT DISTINCT lo, hi, w FROM (\n"
+            f"    SELECT * FROM forest{prev}"
+            f" UNION ALL SELECT * FROM chosen{r}))"
+        )
+        parts.append(
+            f"fu{r} AS MATERIALIZED (SELECT lo AS a, hi AS b FROM forest{r}\n"
+            f"  UNION ALL SELECT hi, lo FROM forest{r})"
+        )
+        parts.append(
+            f"reach{r}(v, s) AS (\n"
+            f"  SELECT id, id FROM vertices\n"
+            f"  UNION\n"
+            f"  SELECT fe.b, q.s FROM reach{r} q JOIN fu{r} fe"
+            f" ON fe.a = q.v)"
+        )
+        parts.append(
+            f"comp{r} AS MATERIALIZED (SELECT v AS id, min(s) AS comp"
+            f" FROM reach{r} GROUP BY v)"
+        )
+    joined = ",\n".join(parts)
+    body = f", {joined}\nSELECT lo, hi, w FROM forest{rounds}"
+    return _graph_query(body, recursive=True)
+
+
 def transitivity_sql() -> str:
     """Mirror of algos.stats.transitivity: 3·T / W with the triangle
     count from the shared tri CTE (a DIFFERENT enumeration from the
