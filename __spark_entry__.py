@@ -345,6 +345,31 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conductance(e, labels, top_k=5)
 
 
+def q_single_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact single-linkage clustering = MSF minus the k-1 heaviest
+    # edges (Gower-Ross equivalence) — distance clustering with no
+    # seeds or iteration knobs; same synthetic weights as boruvka_msf
+    from graphlite_spark.algos.msf import single_linkage_clusters
+    from graphlite_spark.functions.hashes import hash48
+
+    _, v, e = graph_tables(spark, sf_dir)
+    lo, hi = F.least("src", "dst"), F.greatest("src", "dst")
+    we = e.select(
+        "src", "dst",
+        (
+            1
+            + hash48(
+                F.concat_ws(
+                    ":", F.lit("msf"),
+                    lo.cast("string"), hi.cast("string"),
+                )
+            )
+            % 1_000_000
+        ).alias("w"),
+    )
+    return single_linkage_clusters(v, we, k=8, weight_col="w")
+
+
 def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Boruvka MSF in O(log V) rounds — the classic beyond-PageRank Pregel
     # algorithm, avoiding Kruskal's global sort; deterministic synthetic
@@ -1418,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity_contacts": q_reciprocity,
         "transitivity": q_transitivity,
         "boruvka_msf": q_boruvka_msf,
+        "single_linkage_8": q_single_linkage,
         "partition_cut": q_partition_cut,
         "tpch_q1_pricing": q_tpch_pricing,
         "tpch_q3_shipping": q_tpch_shipping,
@@ -1595,6 +1621,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity_contacts": O.reciprocity_sql(),
         "transitivity": O.transitivity_sql(),
         "boruvka_msf": O.boruvka_msf_sql(10),
+        "single_linkage_8": O.single_linkage_sql(8, 10),
         "partition_cut": O.partition_cut_sql(8),
         "tpch_q1_pricing": O.pricing_summary_sql(),
         "tpch_q3_shipping": O.shipping_priority_sql(),

@@ -84,3 +84,39 @@ def boruvka_msf(
         )
         comp = labels.select("id", F.col("component").alias("comp"))
     return forest.select("lo", "hi", "w")
+
+
+def single_linkage_clusters(
+    vertices: DataFrame,
+    edges: DataFrame,
+    k: int = 8,
+    weight_col: str = "w",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """(id, cluster) — exact single-linkage agglomerative clustering into
+    (up to) ``k`` clusters per connected component's share: compute the
+    Borůvka MSF, remove the k−1 globally heaviest forest edges under the
+    (w, lo, hi) total order (ties deterministic), and label the remaining
+    forest's components.  The textbook MSF↔single-linkage equivalence
+    (Gower & Ross 1969, public literature) — the distance-based
+    clustering whose result is EXACT, with no seeding or iteration count
+    to tune.
+
+    Cluster ids are the min vertex id of each cluster (the CC label
+    convention).  If the graph already has ≥ k components, nothing is
+    cut beyond the forest's own gaps.  Scale: the cut is a forest-sized
+    TakeOrdered (V−1 rows at most), then one CC fixpoint."""
+    msf = boruvka_msf(vertices, edges, weight_col=weight_col,
+                      max_rounds=max_rounds)
+    heavy = (
+        msf.orderBy(F.desc("w"), F.desc("lo"), F.desc("hi"))
+        .limit(max(0, k - 1))
+        .select("lo", "hi")
+    )
+    kept = msf.join(heavy, ["lo", "hi"], "left_anti")
+    labels = connected_components_fast(
+        vertices,
+        kept.select(F.col("lo").alias("src"), F.col("hi").alias("dst")),
+        max_rounds=64,
+    )
+    return labels.select("id", F.col("component").alias("cluster"))

@@ -1177,6 +1177,36 @@ def boruvka_msf_sql(rounds: int = 10, salt: str = "msf") -> str:
     return _graph_query(body, recursive=True)
 
 
+def single_linkage_sql(
+    k: int = 8, rounds: int = 10, salt: str = "msf"
+) -> str:
+    """Mirror of algos.msf.single_linkage_clusters over the same
+    synthesized-weight transcript graph as boruvka_msf_sql: drop the
+    k−1 heaviest forest edges (w DESC, lo DESC, hi DESC), then a
+    recursive-CTE CC over the kept forest."""
+    base = boruvka_msf_sql(rounds, salt)
+    # reuse the full boruvka WITH-chain; replace its final SELECT
+    final = f"SELECT lo, hi, w FROM forest{rounds}"
+    assert base.endswith(final)
+    body = base[: -len(final)].rstrip() + ",\n"
+    return (
+        body
+        + f"heavy AS MATERIALIZED (SELECT lo, hi FROM forest{rounds}\n"
+        f"  ORDER BY w DESC, lo DESC, hi DESC LIMIT {max(0, k - 1)}),\n"
+        f"kept AS MATERIALIZED (SELECT f.lo, f.hi FROM forest{rounds} f\n"
+        "  LEFT JOIN heavy h ON h.lo = f.lo AND h.hi = f.hi\n"
+        "  WHERE h.lo IS NULL),\n"
+        "ku AS MATERIALIZED (SELECT lo AS a, hi AS b FROM kept\n"
+        "  UNION ALL SELECT hi, lo FROM kept),\n"
+        "kreach(v, s) AS (\n"
+        "  SELECT id, id FROM vertices\n"
+        "  UNION\n"
+        "  SELECT fe.b, q.s FROM kreach q JOIN ku fe ON fe.a = q.v)\n"
+        "SELECT v AS id, CAST(min(s) AS BIGINT) AS cluster"
+        " FROM kreach GROUP BY v"
+    )
+
+
 def transitivity_sql() -> str:
     """Mirror of algos.stats.transitivity: 3·T / W with the triangle
     count from the shared tri CTE (a DIFFERENT enumeration from the
