@@ -32,7 +32,7 @@ from graphlite_spark.sources.transcripts import transcripts_from_events
 ALGOS = {"pagerank", "ppr", "components", "components-fast", "lpa",
          "triangles", "bfs", "sssp", "kcore", "ktruss", "mis", "coloring",
          "katz", "stress", "scc", "eccentricity", "component-histogram",
-         "kmeans", "salsa", "bowtie", "transitivity"}
+         "kmeans", "salsa", "bowtie", "transitivity", "msf"}
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -132,6 +132,24 @@ def main(argv: list[str] | None = None) -> int:
         hist = {int(r["n_vertices"]): int(r["n_components"])
                 for r in out.collect()}
         print(json.dumps({"algo": "component-histogram", "histogram": hist}))
+        return 0
+    if args.algo == "msf":
+        from graphlite_spark.algos.msf import boruvka_msf
+        from graphlite_spark.functions.hashes import hash48
+
+        lo, hi = F.least("src", "dst"), F.greatest("src", "dst")
+        we = e.select(
+            "src", "dst",
+            (1 + hash48(F.concat_ws(":", F.lit("msf"), lo.cast("string"),
+                                    hi.cast("string"))) % 1_000_000
+             ).alias("w"),
+        )
+        out = boruvka_msf(v, we, weight_col="w")
+        out.write.mode("overwrite").parquet(args.output)
+        stats = out.agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("w").alias("tw")).collect()[0]
+        print(json.dumps({"algo": "msf", "n_edges": int(stats["n"]),
+                          "total_weight": int(stats["tw"] or 0)}))
         return 0
     if args.algo == "salsa":
         from graphlite_spark.algos.hits import salsa

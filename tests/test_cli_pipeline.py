@@ -88,3 +88,14 @@ def test_cli_salsa(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     line = json.loads(res.stdout.strip().splitlines()[-1])
     assert line["algo"] == "salsa" and line["top_authority"] is not None
+
+
+def test_cli_msf(tmp_path):
+    ev = "/root/testdata/sf0.001/events.parquet"
+    out = str(tmp_path / "msf")
+    res = _cli(["msf", "--events", ev, "--output", out])
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = json.loads(res.stdout.strip().splitlines()[-1])
+    # forest size = V - #components = 1000 - 15 conversations
+    assert line["algo"] == "msf" and line["n_edges"] == 985
+    assert line["total_weight"] > 0
