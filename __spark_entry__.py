@@ -1442,8 +1442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "reciprocity_contacts": q_reciprocity,
         "transitivity": q_transitivity,
-        "boruvka_msf": q_boruvka_msf,
-        "single_linkage_8": q_single_linkage,
         "partition_cut": q_partition_cut,
         "tpch_q1_pricing": q_tpch_pricing,
         "tpch_q3_shipping": q_tpch_shipping,
@@ -1549,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- multi-minute fixpoints last ----------------------------------
         # budget discipline: the two most expensive non-fixpoint queries
         # run here, AFTER every sub-second query already has its row
+        "boruvka_msf": q_boruvka_msf,
+        "single_linkage_8": q_single_linkage,
         "bowtie_contact_graph": q_bowtie,
         "pagerank_warm_restart": q_pagerank_warm,
         "connected_components_fast": q_components_fast,
