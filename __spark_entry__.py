@@ -134,7 +134,7 @@ from graphlite_spark.operators.packing import (
     pack_documents,
     sample_stratified,
 )
-from graphlite_spark.operators.sessions import sessionize
+from graphlite_spark.operators.sessions import funnel_conversion, sessionize
 from graphlite_spark.operators.temporal import (
     asof_join,
     contact_edges,
@@ -970,6 +970,14 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-analytics funnel: of the users with a first click, how
+    # many purchased within 24h — two per-user min-aggregates + one
+    # equi-join, no window
+    ev = _events_us(spark, sf_dir)
+    return funnel_conversion(ev, "click", "purchase")
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of join (named in the brief): each purchase joined to the user's
     # latest click at-or-before it — union + per-key window on the Spark
@@ -1458,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": q_build_vocab,
         "lm_hit_rate": q_lm_hit_rate,
         "events_asof": q_events_asof,
+        "funnel_click_purchase": q_funnel,
         "events_range_join": q_events_range_join,
         "sample_neighbors": q_sample_neighbors,
         "sample_stratified": q_sample_stratified,
@@ -1641,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_corpus": O.mix_corpus_sql(MIX_WEIGHTS, 70),
         "lm_hit_rate": O.doc_bigram_hit_rate_sql(2),
         "events_asof": O.events_asof_sql("purchase", "click"),
+        "funnel_click_purchase": O.funnel_sql("click", "purchase"),
         "temporal_reach": O.temporal_reach_sql(8),
         "bowtie_contact_graph": O.bowtie_sql(BOWTIE_PERMILLE),
         "events_range_join": O.events_range_join_sql(

@@ -49,3 +49,63 @@ def sessionize(
         F.min("ts_us").alias("start_us"),
         F.max("ts_us").alias("end_us"),
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    horizon_us: int = 86_400_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """One row (n_entered, n_converted, conversion) — the classic funnel:
+    of the users whose FIRST ``first_type`` event exists, how many
+    performed a ``then_type`` event strictly after it and within
+    ``horizon_us``.  Exact integer counts (per-user min timestamps, one
+    exists-join), a single 6dp division; NULL conversion when nobody
+    entered.
+
+    Shape: two map-side-combined per-user min-aggregates + one equi-join
+    on the user + a 1-row reduce — no window, no ordering pass; at
+    10^12 events both aggregates combine map-side and only user-sized
+    frames shuffle."""
+    first = (
+        events.where(F.col(type_col) == first_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t0"))
+    )
+    hits = (
+        events.where(F.col(type_col) == then_type)
+        .select(user_col, F.col(ts_col).alias("t1"))
+        .join(first, user_col)
+        .where(
+            (F.col("t1") > F.col("t0"))
+            & (F.col("t1") <= F.col("t0") + horizon_us)
+        )
+        .select(user_col)
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        first.join(hits, user_col, "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entered"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias(
+                "n_converted"
+            ),
+        )
+        .select(
+            "n_entered",
+            "n_converted",
+            F.when(
+                F.col("n_entered") > 0,
+                F.round(
+                    F.col("n_converted").cast("double")
+                    / F.col("n_entered"),
+                    6,
+                ),
+            ).alias("conversion"),
+        )
+    )

@@ -3631,6 +3631,29 @@ def bowtie_sql(permille: int = 25, salt: str = "bowtie") -> str:
     )
 
 
+def funnel_sql(
+    first_type: str = "click",
+    then_type: str = "purchase",
+    horizon_us: int = 86_400_000_000,
+) -> str:
+    """Mirror of operators.sessions.funnel_conversion."""
+    return (
+        "WITH ev AS MATERIALIZED (SELECT user_id, event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),\n"
+        "first AS MATERIALIZED (SELECT user_id, min(ts_us) AS t0 FROM ev\n"
+        f"  WHERE event_type = '{first_type}' GROUP BY user_id),\n"
+        "hits AS MATERIALIZED (SELECT DISTINCT e.user_id FROM ev e\n"
+        "  JOIN first f ON f.user_id = e.user_id\n"
+        f"  WHERE e.event_type = '{then_type}' AND e.ts_us > f.t0\n"
+        f"    AND e.ts_us <= f.t0 + {horizon_us})\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n_entered,\n"
+        "  CAST(count(h.user_id) AS BIGINT) AS n_converted,\n"
+        "  CASE WHEN count(*) > 0 THEN\n"
+        "    round(count(h.user_id) * 1.0 / count(*), 6) END AS conversion\n"
+        "FROM first f LEFT JOIN hits h ON h.user_id = f.user_id"
+    )
+
+
 def events_windowed_sliding_sql(window_us: int = 3_600_000_000,
                                 slide_us: int = 1_800_000_000) -> str:
     """Mirror of the sliding-window entry query: each event joins every
