@@ -98,6 +98,7 @@ from graphlite_spark.algos.stats import (
     modularity,
 )
 from graphlite_spark.operators.dedup import (
+    duplicate_ngram_spans,
     jaccard_join_prefix,
     contamination_report,
     dedup_exact,
@@ -433,6 +434,13 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer story
     docs = load_table(spark, sf_dir, "documents")
     return bpe_tokenize(docs, n_merges=8)
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ExactSubstr-style dedup marking: maximal per-doc token spans
+    # covered by any 8-gram occurring more than once in the corpus
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(docs, n=8)
 
 
 def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1461,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "weighted_sample": q_weighted_sample,
         "jaccard_join_exact": q_jaccard_join,
+        "duplicate_ngram_spans": q_duplicate_spans,
         "modularity_conv": q_modularity,
         "pack_documents": q_pack_documents,
         "build_vocab": q_build_vocab,
@@ -1642,6 +1651,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": O.chunk_documents_sql(64, 16),
         "weighted_sample": O.weighted_sample_sql(100),
         "jaccard_join_exact": O.jaccard_join_sql(600),
+        "duplicate_ngram_spans": O.duplicate_spans_sql(8),
         "modularity_conv": O.modularity_sql(),
         "pack_documents": O.pack_documents_sql(256, 8),
         "build_vocab": O.build_vocab_sql(2),

@@ -470,3 +470,79 @@ def jaccard_join_prefix(
             ).alias("jaccard"),
         )
     )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, span_start, span_end, span_tokens) — the token spans of
+    each document covered by an n-gram that occurs MORE THAN ONCE in the
+    corpus (anywhere — another doc or elsewhere in the same doc): the
+    marking pass of ExactSubstr-style training-data dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    public literature).  Overlapping covered windows merge into maximal
+    spans (gaps-and-islands with a per-document window — never global).
+    Span bounds are 0-based inclusive token positions.
+
+    Shape: one explode to positioned n-grams, one map-side-combined
+    global gram count, one semi-join back (gram-keyed — the dedup-exact
+    shape), then per-doc windows for the merge.  At 100 TB the gram
+    count table is the big intermediate — the same footprint ExactSubstr
+    pays for its suffix array, here as a hash aggregate."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"), tokens_expr(F.col(text_col)).alias("ts")
+    )
+    grams = toks.select(
+        "doc",
+        F.posexplode(shingles_expr(F.col("ts"), n)).alias("pos", "gram"),
+    )
+    dupg = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("gram")
+    )
+    covered = grams.join(dupg, "gram", "left_semi").select(
+        "doc",
+        F.col("pos").cast("long").alias("start"),
+        (F.col("pos") + n - 1).cast("long").alias("end"),
+    )
+    w_ord = Window.partitionBy("doc").orderBy("start", "end")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = covered.select(
+        "doc",
+        "start",
+        "end",
+        # a new span starts only at a genuine GAP in coverage: adjacent
+        # windows ([0,7],[8,15]) cover contiguous tokens and must merge
+        F.when(
+            F.col("start") > F.coalesce(
+                F.max("end").over(w_prev), F.lit(-2)
+            )
+            + 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(w_ord)
+    )
+    return (
+        islands.groupBy("doc", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )

@@ -3497,6 +3497,40 @@ def chunk_documents_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
     )
 
 
+def duplicate_spans_sql(n: int = 8) -> str:
+    """Mirror of operators.dedup.duplicate_ngram_spans: identical
+    positioned n-grams, global gram-count filter, and per-document
+    gaps-and-islands merge (adjacent coverage merges)."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "g AS MATERIALIZED (SELECT doc_id AS doc,\n"
+        "  CAST(i - 1 AS BIGINT) AS pos,\n"
+        f"  array_to_string(list_slice(toks, i, i + {n - 1}), ' ')"
+        " AS gram\n"
+        f"  FROM (SELECT doc_id, toks,"
+        f" unnest(range(1, len(toks) - {n - 2})) AS i\n"
+        f"        FROM toks_t WHERE len(toks) >= {n})),\n"
+        "dup AS MATERIALIZED (SELECT gram FROM g GROUP BY gram"
+        " HAVING count(*) > 1),\n"
+        "cov AS MATERIALIZED (SELECT doc, pos AS s,"
+        f" pos + {n - 1} AS e FROM g\n"
+        "  WHERE gram IN (SELECT gram FROM dup)),\n"
+        "fl AS MATERIALIZED (SELECT doc, s, e,\n"
+        "  CASE WHEN s > COALESCE(max(e) OVER (PARTITION BY doc ORDER BY"
+        " s, e\n"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1\n"
+        "    THEN 1 ELSE 0 END AS ni FROM cov),\n"
+        "isl AS MATERIALIZED (SELECT doc, s, e,\n"
+        "  sum(ni) OVER (PARTITION BY doc ORDER BY s, e\n"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island\n"
+        "  FROM fl)\n"
+        "SELECT doc AS doc_id, CAST(min(s) AS BIGINT) AS span_start,\n"
+        "  CAST(max(e) AS BIGINT) AS span_end,\n"
+        "  CAST(max(e) - min(s) + 1 AS BIGINT) AS span_tokens\n"
+        "FROM isl GROUP BY doc, island"
+    )
+
+
 def jaccard_join_sql(threshold_permille: int = 600) -> str:
     """BRUTE-FORCE mirror of operators.dedup.jaccard_join_prefix —
     deliberately no prefix filter: every shared-token pair is verified,

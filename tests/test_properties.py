@@ -168,3 +168,25 @@ def test_whole_graph_stats_on_empty_graph(spark):
         (rc[k]["n_nodes"], rc[k]["e_among"], rc[k]["phi"]) == (0, 0, None)
         for k in (1, 2)
     )
+
+
+def test_duplicate_spans_merge_semantics(spark):
+    # hand-built corpus: 'a b c d' repeats across docs -> every covering
+    # 2-gram window is duplicated; adjacent windows merge to ONE span
+    from graphlite_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y z"),
+            (2, "q a b c d r s"),
+            (3, "unique tokens only here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["span_tokens"]
+        for r in duplicate_ngram_spans(docs, n=2).collect()
+    }
+    # doc1: grams (a b),(b c),(c d) duplicated -> tokens 0..3 one span
+    # doc2: same grams at positions 1..3 -> tokens 1..4
+    assert got == {(1, 0, 3): 4, (2, 1, 4): 4}
