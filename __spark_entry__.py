@@ -44,6 +44,7 @@ from graphlite_spark.algos.sssp import INF as SSSP_INF, sssp, sssp_with_parents
 from graphlite_spark.algos.linkpred import adamic_adar, jaccard_similarity
 from graphlite_spark.algos.matching import maximal_matching
 from graphlite_spark.algos.triangles import (
+    directed_triangle_census,
     k_truss,
     rectangle_count,
     local_clustering_coefficient,
@@ -395,6 +396,15 @@ def q_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w"),
     )
     return boruvka_msf(v, we, weight_col="w")
+
+
+def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # directed-triangle motif census over the reply/tool graph + the
+    # per-conversation loop-closure edges (the scc entry's convention —
+    # a raw DAG has zero cycles): cyclic vs feed-forward counts
+    _, v, e = graph_tables(spark, sf_dir)
+    closed = e.select("src", "dst").unionByName(conversation_loop_edges(v))
+    return directed_triangle_census(closed)
 
 
 def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1458,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "reciprocity_contacts": q_reciprocity,
         "transitivity": q_transitivity,
+        "triad_census": q_triad_census,
         "partition_cut": q_partition_cut,
         "tpch_q1_pricing": q_tpch_pricing,
         "tpch_q3_shipping": q_tpch_shipping,
@@ -1638,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": O.degree_assortativity_sql(),
         "reciprocity_contacts": O.reciprocity_sql(),
         "transitivity": O.transitivity_sql(),
+        "triad_census": O.triad_census_sql(True),
         "boruvka_msf": O.boruvka_msf_sql(10),
         "single_linkage_8": O.single_linkage_sql(8, 10),
         "partition_cut": O.partition_cut_sql(8),

@@ -264,3 +264,47 @@ def rectangle_count(edges: DataFrame) -> DataFrame:
     return cn.agg(F.sum(F.expr("(c * (c - 1)) div 2")).alias("s")).select(
         F.coalesce(F.expr("s div 2"), F.lit(0)).cast("long").alias("rectangles")
     )
+
+
+def directed_triangle_census(edges: DataFrame) -> DataFrame:
+    """One row (n_cyclic, n_transitive) — the directed-triangle motif
+    census (Milo et al. 2002 network motifs, public literature): how
+    many closed directed triangles cycle (i→j→k→i) vs how many are
+    transitive (i→j, j→k AND i→k, the feed-forward loop).  Self-loops
+    and duplicate arcs dropped; a triangle with arcs both ways on some
+    side contributes to every pattern its arcs realize (the standard
+    census-by-pattern-instance convention).
+
+    Exactness: cyclic instances are anchored at their minimum vertex
+    (each 3-cycle counted exactly once); transitive instances carry
+    unique source/middle/sink roles, so the pattern join counts each
+    exactly once.  Shape: two self-equi-joins on the arc table (the
+    wedge join of triangle counting, here without orientation — the
+    in×out wedge at a hub is the cost driver; at web scale one
+    degree-orients first, stated rather than hidden)."""
+    de = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e1 = de.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = de.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = de.select(F.col("src").alias("c"), F.col("dst").alias("a2"))
+    cyc = (
+        e1.join(e2, "b")
+        .join(e3, "c")
+        .where(
+            (F.col("a2") == F.col("a"))
+            & (F.col("a") < F.col("b"))
+            & (F.col("a") < F.col("c"))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cyclic"))
+    )
+    e3t = de.select(F.col("src").alias("a"), F.col("dst").alias("c2"))
+    trans = (
+        e1.join(e2, "b")
+        .join(e3t, "a")
+        .where(F.col("c2") == F.col("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitive"))
+    )
+    return cyc.join(F.broadcast(trans)).select("n_cyclic", "n_transitive")

@@ -1207,6 +1207,36 @@ def single_linkage_sql(
     )
 
 
+def triad_census_sql(loop_closure: bool = True) -> str:
+    """Mirror of algos.triangles.directed_triangle_census over the
+    directed edge set plus the per-conversation loop-closure edges (the
+    scc entry's convention — the raw graph is a DAG, cyclic would be
+    trivially 0 without them): cyclic anchored at the minimum vertex,
+    transitive counted by its unique source/middle/sink roles."""
+    closure = (
+        "  UNION ALL\n"
+        "  SELECT max(id) AS src, min(id) AS dst FROM vertices"
+        " GROUP BY conv_id HAVING max(id) <> min(id)\n"
+        if loop_closure
+        else ""
+    )
+    return _graph_query(
+        ", darc AS MATERIALIZED (SELECT DISTINCT src, dst FROM (\n"
+        "  SELECT src, dst FROM edges\n"
+        f"{closure}"
+        ") WHERE src <> dst),\n"
+        "cyc AS MATERIALIZED (SELECT count(*) AS n FROM darc e1\n"
+        "  JOIN darc e2 ON e2.src = e1.dst\n"
+        "  JOIN darc e3 ON e3.src = e2.dst AND e3.dst = e1.src\n"
+        "  WHERE e1.src < e1.dst AND e1.src < e2.dst),\n"
+        "tr AS MATERIALIZED (SELECT count(*) AS n FROM darc e1\n"
+        "  JOIN darc e2 ON e2.src = e1.dst\n"
+        "  JOIN darc e3 ON e3.src = e1.src AND e3.dst = e2.dst)\n"
+        "SELECT CAST(cyc.n AS BIGINT) AS n_cyclic,\n"
+        "  CAST(tr.n AS BIGINT) AS n_transitive FROM cyc, tr"
+    )
+
+
 def transitivity_sql() -> str:
     """Mirror of algos.stats.transitivity: 3·T / W with the triangle
     count from the shared tri CTE (a DIFFERENT enumeration from the
