@@ -55,6 +55,7 @@ def boruvka_msf(
     spark = edges.sparkSession
     comp = vertices.select("id", F.col("id").alias("comp"))
     forest = spark.createDataFrame([], "lo long, hi long, w long")
+    converged = False
     for _ in range(max_rounds):
         cl = comp.select(F.col("id").alias("lo"), F.col("comp").alias("c1"))
         ch = comp.select(F.col("id").alias("hi"), F.col("comp").alias("c2"))
@@ -64,6 +65,7 @@ def boruvka_msf(
             .where(F.col("c1") != F.col("c2"))
         )
         if ec.limit(1).count() == 0:
+            converged = True
             break
         cand = ec.select(
             F.col("c1").alias("comp"), "w", "lo", "hi"
@@ -83,6 +85,31 @@ def boruvka_msf(
             max_rounds=64,
         )
         comp = labels.select("id", F.col("component").alias("comp"))
+    if not converged:
+        # Same loud-PARTIAL convention as scc / connected_components
+        # (round-4 advisor): Borůvka needs up to log2(V) rounds — if the
+        # cap binds, cross-component edges remain and the forest does NOT
+        # span.  single_linkage_clusters inherits the truncation (it would
+        # over-fragment), so the warning must be loud, not fatal.
+        cl = comp.select(F.col("id").alias("lo"), F.col("comp").alias("c1"))
+        ch = comp.select(F.col("id").alias("hi"), F.col("comp").alias("c2"))
+        remaining = (
+            und.join(cl, "lo").join(ch, "hi")
+            .where(F.col("c1") != F.col("c2"))
+            .limit(1)
+            .count()
+        )
+        if remaining:
+            import warnings
+
+            warnings.warn(
+                f"boruvka_msf: hit max_rounds ({max_rounds}) with "
+                "cross-component edges remaining — the forest is PARTIAL "
+                "(non-spanning); raise max_rounds (log2(V) bounds the "
+                "rounds needed) for an exact MSF",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return forest.select("lo", "hi", "w")
 
 

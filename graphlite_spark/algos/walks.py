@@ -38,15 +38,45 @@ from graphlite_spark.functions.hashes import hash48
 
 
 def _ranked_adjacency(
-    edges: DataFrame, undirected: bool, num_partitions: int
+    edges: DataFrame,
+    undirected: bool,
+    num_partitions: int,
+    max_degree: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(adj, deg): adjacency ranked by dst per src (idx 0..deg-1), cached
-    hash-partitioned by src, plus the per-src degree table."""
+    hash-partitioned by src, plus the per-src degree table.
+
+    ``max_degree`` (None = exact) deterministically pre-sparsifies hub
+    neighborhoods: each src keeps its ``max_degree`` lowest
+    ``hash48(src ':' dst)``-ranked neighbors (a fixed uniform sample —
+    the same neighbors every run, every engine), then idx re-ranks the
+    kept list by dst.  The documented bias: walks through a capped hub
+    can only continue along the kept sample, so transition probabilities
+    at vertices with deg > max_degree are those of the sampled subgraph,
+    not the full graph — the standard degree-capping trade large-scale
+    node2vec makes so one 10^6-degree hub cannot dominate a step's
+    candidate scoring."""
     und = (
         symmetrize(edges).select("src", "dst")
         if undirected
         else edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     )
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError("max_degree must be >= 1 (or None for exact)")
+        wcap = Window.partitionBy("src").orderBy(
+            hash48(
+                F.concat_ws(
+                    ":", F.col("src").cast("string"), F.col("dst").cast("string")
+                )
+            ),
+            "dst",
+        )
+        und = (
+            und.withColumn("hrank", F.row_number().over(wcap))
+            .where(F.col("hrank") <= max_degree)
+            .drop("hrank")
+        )
     w = Window.partitionBy("src").orderBy("dst")
     adj = (
         und.withColumn("idx", F.row_number().over(w) - F.lit(1))
@@ -136,6 +166,7 @@ def node2vec_walks(
     undirected: bool = True,
     num_partitions: int | None = None,
     checkpoint_every: int = 8,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """(walk_id, step, vertex) — second-order BIASED walks (node2vec,
     Grover & Leskovec 2016, public literature) on the same deterministic
@@ -163,7 +194,13 @@ def node2vec_walks(
     partition is one neighbor list, never the graph).  Hubs: a walk
     visiting a hub scores deg(hub) candidates once — bounded per walk,
     and the candidate frame is hash-partitioned by walk_id so no
-    reducer owns more than one neighborhood per walk.
+    reducer owns more than one neighborhood per walk.  For graphs where
+    even one neighborhood is too much (a 10^6-degree hub), ``max_degree``
+    (default None = exact) deterministically caps each vertex's ranked
+    neighbor list to a fixed hash-rank sample BEFORE any walk starts —
+    see :func:`_ranked_adjacency` for the exact rule and the documented
+    bias; the exact path stays the default because it is what the DuckDB
+    oracle unrolls.
 
     ``walk_length`` must be >= 1: the second-order rule needs at least
     the uniform first step (step-1 rows are always emitted)."""
@@ -173,7 +210,7 @@ def node2vec_walks(
     P = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    adj, deg = _ranked_adjacency(edges, undirected, P)
+    adj, deg = _ranked_adjacency(edges, undirected, P, max_degree=max_degree)
     W_ = walks_per_vertex
     start = vertices.select(
         F.explode(F.sequence(F.lit(0), F.lit(W_ - 1))).alias("w"),

