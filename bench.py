@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -362,7 +363,229 @@ def run_scaling(sf_dir: str, lo: int = 4, hi: int = 16, repeats: int | None = No
     }
 
 
+def _guarded(spark, name: str, fn, timeout_sec: float) -> dict:
+    """Run ``fn`` with a hard wall-clock cap: on timeout the Spark job
+    group is cancelled and the entry records DNF instead of hanging the
+    whole protocol.  A DNF **is** a result here — the naive baselines are
+    expected to be infeasible on a skewed graph; that infeasibility is the
+    number the oriented paths are measured against."""
+    import threading
+
+    out: dict = {}
+
+    def work():
+        spark.sparkContext.setJobGroup(
+            f"skew-{name}", name, interruptOnCancel=True
+        )
+        try:
+            t0 = time.perf_counter()
+            val = fn()
+            out["sec"] = round(time.perf_counter() - t0, 3)
+            out["value"] = val
+        except Exception as ex:  # cancelled or failed
+            out.setdefault("error", str(ex)[:200])
+
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    deadline = time.time() + timeout_sec
+    aborted = None
+    while th.is_alive() and time.time() < deadline:
+        th.join(15.0)
+        # disk watchdog: a hub-quadratic shuffle can fill /tmp with spill
+        # long before the wall-clock cap — abort while the host is usable
+        free_gb = shutil.disk_usage("/tmp").free / 1e9
+        if th.is_alive() and free_gb < 25.0:
+            aborted = f"disk guard: {free_gb:.1f} GB free"
+            break
+    if th.is_alive():
+        spark.sparkContext.cancelJobGroup(f"skew-{name}")
+        th.join(60)
+        dnf = {"sec": None, "dnf_after_sec": round(timeout_sec, 1)}
+        if aborted:
+            dnf["aborted"] = aborted
+        return dnf
+    return out
+
+
+def run_skew() -> dict:
+    """Skew-stress protocol (round-4 judge item #4): measure the wedge
+    family and a Pregel fixpoint on a genuinely power-law graph — the
+    transcript graphs are chain-like, so until this protocol the hub code
+    paths (degree orientation, ``hub_threshold`` broadcast scatter) were
+    parity-tested but never MEASURED under the skew they exist for.
+
+    Graph: ``zipf_edges`` (log-uniform Zipf-tail endpoints, deterministic
+    xxhash64 — sources/synthetic.py), default 10^7 arcs over 10^6
+    vertices with max degree ≈3·10^4 on BOTH sides (the in×out worst
+    case).  Baselines measured against the shipped paths:
+
+    * triangles: degree orientation (shipped) vs id orientation (the
+      fan-out-unbounded variant);
+    * triad census: oriented closed-triple classification (shipped) vs
+      the round-4 unoriented arc self-join it replaced;
+    * rectangles: anchored degree-ordered enumeration (shipped) vs the
+      round-4 ΣC(cn,2)/2 wedge self-join it replaced;
+    * k-truss support rounds (oriented only — there is no naive tier);
+    * PageRank ×5 supersteps with hub_threshold=1000 vs None.
+
+    Naive tiers run under a hard timeout (default 900 s,
+    ``SPARK_GRAFT_SKEW_TIMEOUT``); DNF is recorded as such.  Results →
+    SKEW.json + one summary line."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.session import get_spark
+
+    n_edges = int(os.environ.get("SPARK_GRAFT_SKEW_EDGES", "10000000"))
+    n_vertices = int(os.environ.get("SPARK_GRAFT_SKEW_VERTICES",
+                                    str(max(n_edges // 10, 1000))))
+    hub_rank = int(os.environ.get("SPARK_GRAFT_SKEW_HUB_RANK", "30"))
+    timeout = float(os.environ.get("SPARK_GRAFT_SKEW_TIMEOUT", "900"))
+    seed = 5
+
+    spark = get_spark(app_name="bench-skew", cores=CPUS,
+                      shuffle_partitions=CPUS)
+    from graphlite_spark.algos.triangles import (
+        directed_triangle_census,
+        k_truss,
+        rectangle_count,
+        triangle_count,
+    )
+    from graphlite_spark.sources.synthetic import zipf_edges
+
+    path = f"/tmp/skew_graph_e{n_edges}_v{n_vertices}_h{hub_rank}_s{seed}"
+    if not os.path.exists(path):
+        zipf_edges(spark, n_vertices, n_edges, hub_rank=hub_rank,
+                   seed=seed).write.mode("overwrite").parquet(path)
+    edges = spark.read.parquet(path)
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("arcs"),
+        F.countDistinct("src", "dst").alias("distinct_arcs"),
+    ).collect()[0]
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("dmax"), F.count(F.lit(1)).alias("nv"))
+        .collect()[0]
+    )
+    result: dict = {
+        "protocol": "skew-stress",
+        "n_edges_requested": n_edges,
+        "arcs": stats["arcs"],
+        "distinct_arcs": stats["distinct_arcs"],
+        "n_vertices": deg["nv"],
+        "max_degree": deg["dmax"],
+        "hub_rank": hub_rank,
+        "timeout_sec": timeout,
+        "cores": CPUS,
+        "runs": {},
+    }
+    runs = result["runs"]
+
+    def one(name, fn):
+        runs[name] = _guarded(spark, name, fn, timeout)
+        print(f"# skew {name}: {runs[name]}", file=sys.stderr)
+
+    one("triangles_degree_oriented",
+        lambda: triangle_count(edges, orient="degree").collect()[0][0])
+    one("triangles_id_oriented",
+        lambda: triangle_count(edges, orient="id").collect()[0][0])
+
+    one("triad_census_oriented",
+        lambda: directed_triangle_census(edges).collect()[0].asDict())
+
+    def naive_census():
+        # the round-4 implementation this round replaced: unoriented arc
+        # self-joins (in×out wedges at every hub) — baseline only, kept
+        # OUT of the library so no API path can reach it
+        de = edges.select("src", "dst").where(
+            F.col("src") != F.col("dst")).distinct()
+        e1 = de.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        e2 = de.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+        e3 = de.select(F.col("src").alias("c"), F.col("dst").alias("a2"))
+        cyc = (
+            e1.join(e2, "b").join(e3, "c")
+            .where((F.col("a2") == F.col("a")) & (F.col("a") < F.col("b"))
+                   & (F.col("a") < F.col("c")))
+            .agg(F.count(F.lit(1)).alias("n_cyclic"))
+        )
+        e3t = de.select(F.col("src").alias("a"), F.col("dst").alias("c2"))
+        trans = (
+            e1.join(e2, "b").join(e3t, "a")
+            .where(F.col("c2") == F.col("c"))
+            .agg(F.count(F.lit(1)).alias("n_transitive"))
+        )
+        return cyc.join(trans).collect()[0].asDict()
+
+    one("triad_census_naive_unoriented", naive_census)
+
+    one("rectangles_oriented",
+        lambda: rectangle_count(edges).collect()[0][0])
+
+    def naive_rectangles():
+        # round-4 ΣC(cn,2)/2 identity: deg² wedges at every hub center
+        und = (
+            edges.select(F.least("src", "dst").alias("lo"),
+                         F.greatest("src", "dst").alias("hi"))
+            .where(F.col("lo") != F.col("hi")).distinct()
+        )
+        sym = und.select(F.col("lo").alias("s"), F.col("hi").alias("t")) \
+            .unionAll(und.select(F.col("hi").alias("s"), F.col("lo").alias("t")))
+        e1 = sym.select(F.col("s").alias("w"), F.col("t").alias("u"))
+        e2 = sym.select(F.col("s").alias("w"), F.col("t").alias("v"))
+        cn = (e1.join(e2, "w").where(F.col("u") < F.col("v"))
+              .groupBy("u", "v").agg(F.count(F.lit(1)).alias("c")))
+        row = cn.agg(
+            F.sum(F.expr("(c * (c - 1)) div 2")).alias("s")).collect()[0]
+        return int((row["s"] or 0) // 2)
+
+    one("rectangles_naive_wedge", naive_rectangles)
+
+    one("ktruss3_2rounds",
+        lambda: k_truss(edges, k=3, max_rounds=2).where(
+            F.col("in_truss")).count())
+
+    # Pregel fixpoint: 5 fixed supersteps with and without hub handling
+    from graphlite_spark.algos.pagerank import PageRank
+    from graphlite_spark.operators.pregel import PregelEngine
+
+    verts = spark.range(n_vertices).select(
+        F.col("id").cast("long").alias("id"))
+    pedges = edges.select("src", "dst").withColumn(
+        "weight", F.lit(1.0))
+
+    def pr(hub_threshold):
+        def go():
+            eng = PregelEngine(hub_threshold=hub_threshold,
+                               run_id=f"skew-pr-{hub_threshold}")
+            res = eng.run(verts, pedges,
+                          PageRank(fixed_supersteps=5))
+            return {"supersteps": res.supersteps}
+        return go
+
+    one("pagerank5_hub_threshold_1000", pr(1000))
+    one("pagerank5_no_hub_handling", pr(None))
+
+    spark.stop()
+    return result
+
+
 def main() -> None:
+    if "--skew-only" in sys.argv:
+        skew = run_skew()
+        skew["recorded_unix"] = int(time.time())
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SKEW.json")
+        with open(path, "w") as f:
+            json.dump(skew, f, indent=1)
+        brief = {k: (v.get("sec") if isinstance(v, dict) else v)
+                 for k, v in skew["runs"].items()}
+        print(json.dumps({"metric": "skew_stress", "unit": "sec",
+                          "arcs": skew["arcs"],
+                          "max_degree": skew["max_degree"],
+                          "runs": brief}))
+        return
+
     if "--pagerank-only" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--pagerank-only") + 1])
         print(json.dumps(pagerank_throughput(SF_DIR, cores)))

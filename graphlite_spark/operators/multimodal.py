@@ -1057,8 +1057,16 @@ def _mp4_build(text: str) -> bytes:
     timescale = 600 * (1 + d[6] % 5)
     n_samples = 24 + d[7] % 240
     delta = 10 + d[8] % 90
-    duration = n_samples * delta
     width, height = 16 * (4 + d[9] % 60), 16 * (3 + d[10] % 45)
+    # sample table (round-5): TWO stts runs (so the decoder must actually
+    # walk the entry list, not special-case one run) and a real stco
+    # chunk-offset table — all parameters closed-form from the digest so
+    # the DuckDB oracle can mirror them
+    n1 = 1 + d[11] % (n_samples - 1)
+    delta2 = delta + 1 + d[12] % 30
+    duration = n1 * delta + (n_samples - n1) * delta2
+    chunk_count = 1 + d[13] % 7
+    first_chunk_offset = 64 + 8 * (d[14] % 32)
 
     ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
     mvhd = _mp4_box(
@@ -1092,7 +1100,10 @@ def _mp4_build(text: str) -> bytes:
         b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12 + b"\x00"
     )
     stts = _mp4_box(
-        b"stts", struct.pack(">II", 0, 1) + struct.pack(">II", n_samples, delta)
+        b"stts",
+        struct.pack(">II", 0, 2)
+        + struct.pack(">II", n1, delta)
+        + struct.pack(">II", n_samples - n1, delta2),
     )
     stsz = _mp4_box(
         b"stsz",
@@ -1100,7 +1111,14 @@ def _mp4_build(text: str) -> bytes:
         + b"".join(struct.pack(">I", 8) for _ in range(n_samples)),
     )
     stsd = _mp4_box(b"stsd", struct.pack(">II", 0, 0))
-    stco = _mp4_box(b"stco", struct.pack(">II", 0, 0))
+    stco = _mp4_box(
+        b"stco",
+        struct.pack(">II", 0, chunk_count)
+        + b"".join(
+            struct.pack(">I", first_chunk_offset + 64 * i)
+            for i in range(chunk_count)
+        ),
+    )
     stbl = _mp4_box(b"stbl", stsd + stts + stsz + stco)
     minf = _mp4_box(b"minf", stbl)
     mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
@@ -1143,6 +1161,9 @@ def _mp4_parse(b: bytes) -> dict:
     meta = {
         "major_brand": None, "timescale": None, "duration_units": None,
         "track_count": 0, "width": None, "height": None, "n_samples": None,
+        "stts_entry_count": None, "stts_sample_count": None,
+        "stts_duration_units": None, "chunk_count": None,
+        "first_chunk_offset": None,
     }
 
     def visit(start: int, end: int) -> None:
@@ -1172,6 +1193,33 @@ def _mp4_parse(b: bytes) -> dict:
                     meta["width"], meta["height"] = w >> 16, h >> 16
             elif btype == b"stsz":
                 meta["n_samples"] = struct.unpack(">I", b[ps + 8 : ps + 12])[0]
+            elif btype == b"stts":
+                # decoding-time table (ISO 14496-12 §8.6.1.2): run-length
+                # (sample_count, sample_delta) entries — walked in full,
+                # yielding an INDEPENDENT sample count and total media
+                # duration to cross-check stsz/mvhd against
+                ec = struct.unpack(">I", b[ps + 4 : ps + 8])[0]
+                if ps + 8 + 8 * ec > pe:
+                    raise ValueError("stts entry list overruns box")
+                cnt = dur = 0
+                for i in range(ec):
+                    c, dlt = struct.unpack(
+                        ">II", b[ps + 8 + 8 * i : ps + 16 + 8 * i]
+                    )
+                    cnt += c
+                    dur += c * dlt
+                meta["stts_entry_count"] = ec
+                meta["stts_sample_count"] = cnt
+                meta["stts_duration_units"] = dur
+            elif btype == b"stco":
+                # chunk-offset table (§8.7.5): 32-bit file offsets
+                ec = struct.unpack(">I", b[ps + 4 : ps + 8])[0]
+                if ps + 8 + 4 * ec > pe:
+                    raise ValueError("stco entry list overruns box")
+                meta["chunk_count"] = ec
+                meta["first_chunk_offset"] = (
+                    struct.unpack(">I", b[ps + 8 : ps + 12])[0] if ec else 0
+                )
             elif btype in _MP4_CONTAINERS:
                 visit(ps, pe)
 
@@ -1204,10 +1252,15 @@ def decode_mp4_meta(
     video: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """REAL container parse: (doc_id, major_brand, timescale,
-    duration_units, track_count, width, height, n_samples, duration_us)
-    read back from the box tree — duration as exact integer microseconds
-    (duration·10^6 div timescale; float division ties at 6dp differ
-    across engines)."""
+    duration_units, track_count, width, height, n_samples, duration_us,
+    stts_entry_count, stts_sample_count, stts_duration_units,
+    chunk_count, first_chunk_offset) read back from the box tree —
+    duration as exact integer microseconds (duration·10^6 div timescale;
+    float division ties at 6dp differ across engines).  The stts/stco
+    columns come from walking the SAMPLE TABLE entry lists (run-length
+    timing runs, chunk offsets) — an independent read of the same
+    quantities mvhd/stsz summarize, so a corrupt table shows up as a
+    column mismatch rather than passing unnoticed."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1215,6 +1268,9 @@ def decode_mp4_meta(
                 "doc_id": [], "major_brand": [], "timescale": [],
                 "duration_units": [], "track_count": [], "width": [],
                 "height": [], "n_samples": [], "duration_us": [],
+                "stts_entry_count": [], "stts_sample_count": [],
+                "stts_duration_units": [], "chunk_count": [],
+                "first_chunk_offset": [],
             }
             for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
                 m = _mp4_parse(bytes(b))
@@ -1231,16 +1287,30 @@ def decode_mp4_meta(
                 rows["duration_us"].append(
                     m["duration_units"] * 1_000_000 // m["timescale"]
                 )
+                rows["stts_entry_count"].append(m["stts_entry_count"] or 0)
+                rows["stts_sample_count"].append(m["stts_sample_count"] or 0)
+                rows["stts_duration_units"].append(
+                    m["stts_duration_units"] or 0
+                )
+                rows["chunk_count"].append(m["chunk_count"] or 0)
+                rows["first_chunk_offset"].append(
+                    m["first_chunk_offset"] or 0
+                )
             yield pd.DataFrame(rows).astype(
                 {"doc_id": "int64", "timescale": "int32",
                  "duration_units": "int64", "track_count": "int32",
                  "width": "int32", "height": "int32", "n_samples": "int64",
-                 "duration_us": "int64"}
+                 "duration_us": "int64", "stts_entry_count": "int32",
+                 "stts_sample_count": "int64",
+                 "stts_duration_units": "int64", "chunk_count": "int32",
+                 "first_chunk_offset": "int64"}
             )
 
     return video.select(id_col, payload_col).mapInPandas(
         kernel,
         schema="doc_id long, major_brand string, timescale int, "
                "duration_units long, track_count int, width int, height int, "
-               "n_samples long, duration_us long",
+               "n_samples long, duration_us long, stts_entry_count int, "
+               "stts_sample_count long, stts_duration_units long, "
+               "chunk_count int, first_chunk_offset long",
     )

@@ -3440,17 +3440,29 @@ def multimodal_mp4_sql() -> str:
     delta = "10 + CAST('0x' || substr(md5(text), 17, 2) AS INT) % 90"
     w = "16 * (4 + CAST('0x' || substr(md5(text), 19, 2) AS INT) % 60)"
     h = "16 * (3 + CAST('0x' || substr(md5(text), 21, 2) AS INT) % 45)"
+    # round-5 sample-table parameters (encoder digest bytes 11-14):
+    # two stts runs (n1 @ delta, n-n1 @ delta2) and a chunk-offset table
+    n1 = f"1 + CAST('0x' || substr(md5(text), 23, 2) AS INT) % (({n}) - 1)"
+    d2 = f"({delta}) + 1 + CAST('0x' || substr(md5(text), 25, 2) AS INT) % 30"
+    dur = f"(({n1})) * ({delta}) + (({n}) - ({n1})) * ({d2})"
+    cc = "1 + CAST('0x' || substr(md5(text), 27, 2) AS INT) % 7"
+    fco = "64 + 8 * (CAST('0x' || substr(md5(text), 29, 2) AS INT) % 32)"
     return (
         "SELECT doc_id,\n"
         "  'isom' AS major_brand,\n"
         f"  CAST({ts} AS INTEGER) AS timescale,\n"
-        f"  CAST(({n}) * ({delta}) AS BIGINT) AS duration_units,\n"
+        f"  CAST({dur} AS BIGINT) AS duration_units,\n"
         "  CAST(1 AS INTEGER) AS track_count,\n"
         f"  CAST({w} AS INTEGER) AS width,\n"
         f"  CAST({h} AS INTEGER) AS height,\n"
         f"  CAST({n} AS BIGINT) AS n_samples,\n"
-        f"  CAST((CAST(({n}) * ({delta}) AS BIGINT) * 1000000) // ({ts}) AS BIGINT)"
-        " AS duration_us\n"
+        f"  CAST((CAST({dur} AS BIGINT) * 1000000) // ({ts}) AS BIGINT)"
+        " AS duration_us,\n"
+        "  CAST(2 AS INTEGER) AS stts_entry_count,\n"
+        f"  CAST({n} AS BIGINT) AS stts_sample_count,\n"
+        f"  CAST({dur} AS BIGINT) AS stts_duration_units,\n"
+        f"  CAST({cc} AS INTEGER) AS chunk_count,\n"
+        f"  CAST({fco} AS BIGINT) AS first_chunk_offset\n"
         "FROM documents"
     )
 

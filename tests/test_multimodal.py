@@ -272,11 +272,22 @@ def test_mp4_box_parse_pure():
     m = _mp4_parse(b)
     d = hashlib.md5(b"hello world").digest()
     assert m["timescale"] == 600 * (1 + d[6] % 5)
-    assert m["n_samples"] == 24 + d[7] % 240
-    assert m["duration_units"] == m["n_samples"] * (10 + d[8] % 90)
+    n = 24 + d[7] % 240
+    delta = 10 + d[8] % 90
+    assert m["n_samples"] == n
+    # two-run stts (round 5): n1 samples at delta, the rest at delta2
+    n1 = 1 + d[11] % (n - 1)
+    delta2 = delta + 1 + d[12] % 30
+    assert m["duration_units"] == n1 * delta + (n - n1) * delta2
     assert m["width"] == 16 * (4 + d[9] % 60)
     assert m["height"] == 16 * (3 + d[10] % 45)
     assert m["major_brand"] == "isom" and m["track_count"] == 1
+    # the sample-table read is INDEPENDENT of mvhd/stsz yet must agree
+    assert m["stts_entry_count"] == 2
+    assert m["stts_sample_count"] == m["n_samples"]
+    assert m["stts_duration_units"] == m["duration_units"]
+    assert m["chunk_count"] == 1 + d[13] % 7
+    assert m["first_chunk_offset"] == 64 + 8 * (d[14] % 32)
 
     # rebuild the same tree with a largesize mdat and a v1 mvhd
     def box(t, p):
@@ -327,8 +338,15 @@ def test_encode_decode_mp4_closed_form(spark):
         d = hashlib.md5(f"doc text {i}".encode()).digest()
         ts = 600 * (1 + d[6] % 5)
         n = 24 + d[7] % 240
-        dur = n * (10 + d[8] % 90)
+        delta = 10 + d[8] % 90
+        n1 = 1 + d[11] % (n - 1)
+        delta2 = delta + 1 + d[12] % 30
+        dur = n1 * delta + (n - n1) * delta2
         r = got[i]
         assert (r["timescale"], r["n_samples"], r["duration_units"]) == (ts, n, dur)
         assert r["duration_us"] == dur * 1_000_000 // ts
         assert r["track_count"] == 1 and r["major_brand"] == "isom"
+        assert (r["stts_entry_count"], r["stts_sample_count"],
+                r["stts_duration_units"]) == (2, n, dur)
+        assert r["chunk_count"] == 1 + d[13] % 7
+        assert r["first_chunk_offset"] == 64 + 8 * (d[14] % 32)
