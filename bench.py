@@ -438,9 +438,20 @@ def run_skew() -> dict:
     n_edges = int(os.environ.get("SPARK_GRAFT_SKEW_EDGES", "10000000"))
     n_vertices = int(os.environ.get("SPARK_GRAFT_SKEW_VERTICES",
                                     str(max(n_edges // 10, 1000))))
+    # exact C4 counting is OUTPUT-bound on a rich-club graph: the Zipf
+    # core (≈2k vertices of degree >10^3 at 10^7 arcs) makes the true
+    # 4-cycle count itself ~10^10, so no exact counter finishes at the
+    # full scale — the rectangle A/B runs on its own smaller graph where
+    # exactness is feasible and the oriented-vs-naive gap is measurable
+    rect_edges = int(os.environ.get("SPARK_GRAFT_SKEW_RECT_EDGES",
+                                    "2000000"))
     hub_rank = int(os.environ.get("SPARK_GRAFT_SKEW_HUB_RANK", "30"))
     timeout = float(os.environ.get("SPARK_GRAFT_SKEW_TIMEOUT", "900"))
     seed = 5
+    # a 32-task local JVM needs more than the library default 8g once the
+    # naive tiers start hash-aggregating wedge sets — an executor OOM in
+    # local mode kills the ONE JVM and with it the whole protocol
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     spark = get_spark(app_name="bench-skew", cores=CPUS,
                       shuffle_partitions=CPUS)
@@ -452,11 +463,35 @@ def run_skew() -> dict:
     )
     from graphlite_spark.sources.synthetic import zipf_edges
 
-    path = f"/tmp/skew_graph_e{n_edges}_v{n_vertices}_h{hub_rank}_s{seed}"
-    if not os.path.exists(path):
-        zipf_edges(spark, n_vertices, n_edges, hub_rank=hub_rank,
-                   seed=seed).write.mode("overwrite").parquet(path)
-    edges = spark.read.parquet(path)
+    def _alive(s) -> bool:
+        try:
+            return not s.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            return False
+
+    def _ensure_spark(s):
+        # an OOM-killed local JVM takes the SparkContext with it; the
+        # protocol recovers by restarting the session so later runs
+        # still produce numbers (the killed run keeps its error row)
+        if _alive(s):
+            return s
+        print("# skew: SparkContext died — restarting session",
+              file=sys.stderr)
+        try:
+            s.stop()
+        except Exception:
+            pass
+        return get_spark(app_name="bench-skew", cores=CPUS,
+                         shuffle_partitions=CPUS)
+
+    def _graph(s, ne, nv):
+        p = f"/tmp/skew_graph_e{ne}_v{nv}_h{hub_rank}_s{seed}"
+        if not os.path.exists(p):
+            zipf_edges(s, nv, ne, hub_rank=hub_rank,
+                       seed=seed).write.mode("overwrite").parquet(p)
+        return s.read.parquet(p)
+
+    edges = _graph(spark, n_edges, n_vertices)
     stats = edges.agg(
         F.count(F.lit(1)).alias("arcs"),
         F.countDistinct("src", "dst").alias("distinct_arcs"),
@@ -481,20 +516,24 @@ def run_skew() -> dict:
         "runs": {},
     }
     runs = result["runs"]
+    result["rect_edges_requested"] = rect_edges
+    state = {"spark": spark}
 
-    def one(name, fn):
-        runs[name] = _guarded(spark, name, fn, timeout)
+    def one(name, make_fn, ne=n_edges, nv=n_vertices):
+        s = state["spark"] = _ensure_spark(state["spark"])
+        e = _graph(s, ne, nv)
+        runs[name] = _guarded(s, name, lambda: make_fn(s, e), timeout)
         print(f"# skew {name}: {runs[name]}", file=sys.stderr)
 
     one("triangles_degree_oriented",
-        lambda: triangle_count(edges, orient="degree").collect()[0][0])
+        lambda s, e: triangle_count(e, orient="degree").collect()[0][0])
     one("triangles_id_oriented",
-        lambda: triangle_count(edges, orient="id").collect()[0][0])
+        lambda s, e: triangle_count(e, orient="id").collect()[0][0])
 
     one("triad_census_oriented",
-        lambda: directed_triangle_census(edges).collect()[0].asDict())
+        lambda s, e: directed_triangle_census(e).collect()[0].asDict())
 
-    def naive_census():
+    def naive_census(s, edges):
         # the round-4 implementation this round replaced: unoriented arc
         # self-joins (in×out wedges at every hub) — baseline only, kept
         # OUT of the library so no API path can reach it
@@ -519,10 +558,13 @@ def run_skew() -> dict:
 
     one("triad_census_naive_unoriented", naive_census)
 
+    # rectangle A/B at its own feasible scale (see rect_edges note above)
+    rect_nv = max(rect_edges // 10, 1000)
     one("rectangles_oriented",
-        lambda: rectangle_count(edges).collect()[0][0])
+        lambda s, e: rectangle_count(e).collect()[0][0],
+        ne=rect_edges, nv=rect_nv)
 
-    def naive_rectangles():
+    def naive_rectangles(s, edges):
         # round-4 ΣC(cn,2)/2 identity: deg² wedges at every hub center
         und = (
             edges.select(F.least("src", "dst").alias("lo"),
@@ -539,23 +581,23 @@ def run_skew() -> dict:
             F.sum(F.expr("(c * (c - 1)) div 2")).alias("s")).collect()[0]
         return int((row["s"] or 0) // 2)
 
-    one("rectangles_naive_wedge", naive_rectangles)
+    one("rectangles_naive_wedge", naive_rectangles,
+        ne=rect_edges, nv=rect_nv)
 
     one("ktruss3_2rounds",
-        lambda: k_truss(edges, k=3, max_rounds=2).where(
+        lambda s, e: k_truss(e, k=3, max_rounds=2).where(
             F.col("in_truss")).count())
 
     # Pregel fixpoint: 5 fixed supersteps with and without hub handling
     from graphlite_spark.algos.pagerank import PageRank
     from graphlite_spark.operators.pregel import PregelEngine
 
-    verts = spark.range(n_vertices).select(
-        F.col("id").cast("long").alias("id"))
-    pedges = edges.select("src", "dst").withColumn(
-        "weight", F.lit(1.0))
-
     def pr(hub_threshold):
-        def go():
+        def go(s, e):
+            verts = s.range(n_vertices).select(
+                F.col("id").cast("long").alias("id"))
+            pedges = e.select("src", "dst").withColumn(
+                "weight", F.lit(1.0))
             eng = PregelEngine(hub_threshold=hub_threshold,
                                run_id=f"skew-pr-{hub_threshold}")
             res = eng.run(verts, pedges,
@@ -566,7 +608,7 @@ def run_skew() -> dict:
     one("pagerank5_hub_threshold_1000", pr(1000))
     one("pagerank5_no_hub_handling", pr(None))
 
-    spark.stop()
+    state["spark"].stop()
     return result
 
 
