@@ -328,3 +328,53 @@ def powerlaw_alpha(edges: DataFrame, dmin: int = 2) -> DataFrame:
             ),
         ).alias("alpha"),
     )
+
+
+def dyad_census(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """One row (n_mutual, n_asym, n_null) — the dyad census (Holland &
+    Leinhardt 1976, public literature): every unordered vertex pair is
+    mutual (arcs both ways), asymmetric (exactly one arc) or null (no
+    arc).  The M/A/N triple is the dyad-level complement of the triad
+    census and the standard first readout of a directed graph's
+    reciprocity structure.
+
+    Exact integers throughout: per-pair direction bitmask (bit 1 =
+    lo→hi, bit 2 = hi→lo, map-side-combined ``bit_or``), one 1-row
+    aggregate, and n_null = C(V,2) − mutual − asym from the vertex
+    count — no pair-level materialization of non-edges (the null set is
+    ~V²/2 at scale and must never be enumerated).
+
+    Shape: one hash aggregate over E pairs + two 1-row frames broadcast
+    into a literal-sized join — the reciprocity() cost envelope."""
+    de = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pm = (
+        de.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+            F.when(F.col("src") < F.col("dst"), F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("m"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    counts = pm.agg(
+        F.coalesce(
+            F.sum((F.col("mask") == 3).cast("long")), F.lit(0)
+        ).alias("n_mutual"),
+        F.coalesce(
+            F.sum((F.col("mask") != 3).cast("long")), F.lit(0)
+        ).alias("n_asym"),
+    )
+    nv = vertices.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return counts.join(F.broadcast(nv)).select(
+        F.col("n_mutual").cast("long").alias("n_mutual"),
+        F.col("n_asym").cast("long").alias("n_asym"),
+        (
+            F.expr("v * (v - 1) div 2") - F.col("n_mutual") - F.col("n_asym")
+        ).cast("long").alias("n_null"),
+    )

@@ -52,3 +52,54 @@ def heavy_hitters(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
     return counts.orderBy(F.col("n_rows").desc(), F.col("key").asc()).limit(k)
+
+
+def vocab_zipf_alpha(
+    docs: DataFrame, fmin: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """One row (n_tail, alpha) — the continuous-approximation MLE for the
+    token-frequency power-law exponent (Clauset, Shalizi & Newman 2009,
+    public literature — the same estimator algos.stats.powerlaw_alpha
+    applies to degrees, here over the corpus vocabulary): alpha =
+    1 + n / Σ ln(f / (fmin − 1/2)) over term totals f >= fmin.  Zipf's
+    law over the vocabulary is the standard sanity readout of a text
+    corpus before training (a truncated or template-heavy crawl shows up
+    as a broken tail).
+
+    Determinism discipline (the powerlaw_alpha rules): one 6dp-stable
+    micro-unit rounding per TERM before an exact BIGINT sum, then a
+    single float division.  NULL alpha when no term reaches fmin.
+
+    Shape: one tokenize+explode pass, one map-side-combined term count,
+    one 1-row aggregate — no window, no join."""
+    from graphlite_spark.functions.text import tokens_expr
+
+    counts = (
+        docs.select(F.explode(tokens_expr(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .where(F.col("f") >= fmin)
+    )
+    terms = counts.select(
+        F.round(
+            F.log(F.col("f").cast("double") / (fmin - 0.5)) * 1_000_000
+        )
+        .cast("long")
+        .alias("lt")
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum("lt").alias("slt"),
+    )
+    return s.select(
+        "n_tail",
+        F.when(
+            F.col("slt") > 0,
+            F.round(
+                F.lit(1.0)
+                + F.col("n_tail").cast("double") * 1_000_000.0
+                / F.col("slt").cast("double"),
+                6,
+            ),
+        ).alias("alpha"),
+    )

@@ -3780,3 +3780,103 @@ def events_windowed_sql() -> str:
         "       round(sum(value), 4) AS sum_value\n"
         "FROM events GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: dyad census, vocabulary Zipf, tool transitions, SNM
+# ---------------------------------------------------------------------------
+
+def dyad_census_sql(loop_closure: bool = True) -> str:
+    """Mirror of algos.stats.dyad_census over the directed edge set plus
+    the per-conversation loop-closure edges (the triad census's graph, so
+    the M/A/N triple complements the cyclic/transitive counts): per-pair
+    direction bitmask, 1-row aggregate, n_null from C(V,2)."""
+    closure = (
+        "  UNION ALL\n"
+        "  SELECT max(id) AS src, min(id) AS dst FROM vertices"
+        " GROUP BY conv_id HAVING max(id) <> min(id)\n"
+        if loop_closure
+        else ""
+    )
+    return _graph_query(
+        ", darc AS MATERIALIZED (SELECT DISTINCT src, dst FROM (\n"
+        "  SELECT src, dst FROM edges\n"
+        f"{closure}"
+        ") WHERE src <> dst),\n"
+        "pm AS MATERIALIZED (SELECT least(src, dst) AS lo,"
+        " greatest(src, dst) AS hi,\n"
+        "  bit_or(CASE WHEN src < dst THEN 1 ELSE 2 END) AS mask\n"
+        "  FROM darc GROUP BY 1, 2),\n"
+        "cnts AS MATERIALIZED (SELECT\n"
+        "  COALESCE(SUM(CASE WHEN mask = 3 THEN 1 ELSE 0 END), 0) AS m,\n"
+        "  COALESCE(SUM(CASE WHEN mask <> 3 THEN 1 ELSE 0 END), 0) AS a\n"
+        "  FROM pm),\n"
+        "nv AS (SELECT count(*) AS v FROM vertices)\n"
+        "SELECT CAST(m AS BIGINT) AS n_mutual, CAST(a AS BIGINT) AS n_asym,\n"
+        "  CAST(v * (v - 1) // 2 - m - a AS BIGINT) AS n_null\n"
+        "FROM cnts, nv"
+    )
+
+
+def vocab_zipf_alpha_sql(fmin: int = 2) -> str:
+    """Mirror of operators.profiling.vocab_zipf_alpha: per-term
+    micro-unit rounding before the exact BIGINT sum (the powerlaw_alpha
+    discipline, applied to token frequencies)."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "tok AS MATERIALIZED (SELECT unnest(toks) AS term FROM toks_t),\n"
+        "f AS MATERIALIZED (SELECT term, count(*) AS f FROM tok"
+        f" GROUP BY term HAVING count(*) >= {fmin}),\n"
+        "terms AS MATERIALIZED (SELECT CAST(round(ln(f * 1.0 /"
+        f" {fmin - 0.5}) * 1000000, 0) AS BIGINT) AS lt FROM f)\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n_tail,\n"
+        "  CASE WHEN COALESCE(sum(lt), 0) > 0 THEN\n"
+        "    round(1.0 + count(*) * 1000000.0 / sum(lt), 6) END AS alpha\n"
+        "FROM terms"
+    )
+
+
+def tool_transitions_sql() -> str:
+    """Mirror of sources.transcripts.tool_transitions: per-conversation
+    lag over tool turns, pair counts, row-conditional 6dp probability."""
+    return _graph_query(
+        ", tt AS MATERIALIZED (SELECT conv_id, turn_idx, tool"
+        " FROM transcripts WHERE tool IS NOT NULL),\n"
+        "pr AS MATERIALIZED (SELECT\n"
+        "  lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+        " AS prev_tool, tool FROM tt),\n"
+        "n AS MATERIALIZED (SELECT prev_tool, tool,"
+        " CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM pr WHERE prev_tool IS NOT NULL GROUP BY 1, 2),\n"
+        "tot AS MATERIALIZED (SELECT prev_tool, sum(n) AS tot FROM n"
+        " GROUP BY prev_tool)\n"
+        "SELECT n.prev_tool, n.tool, n.n,\n"
+        "  round(n.n * 1.0 / tot.tot, 6) AS p\n"
+        "FROM n JOIN tot USING (prev_tool)"
+    )
+
+
+def sorted_neighborhood_sql(
+    window: int = 4, key_len: int = 16, threshold: float = 0.3
+) -> str:
+    """Mirror of operators.dedup.sorted_neighborhood_pairs.  The oracle
+    ranks with a plain global window (fine at sf0.01; the Spark side uses
+    the distributed dense-id machinery) and verifies candidates against
+    the module's shared brute-force Jaccard CTEs — pairs ride
+    (least, greatest) into the doc_id-ordered jac table."""
+    return (
+        f"WITH {_JACCARD_CTES},\n"
+        "rk AS MATERIALIZED (SELECT doc_id,\n"
+        "  row_number() OVER (ORDER BY"
+        " substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),"
+        f" 1, {key_len}), doc_id) - 1 AS rank\n"
+        "  FROM documents),\n"
+        "cand AS MATERIALIZED (SELECT x.doc_id AS a, y.doc_id AS b,\n"
+        "  CAST(y.rank - x.rank AS BIGINT) AS rank_gap\n"
+        "  FROM rk x JOIN rk y ON y.rank > x.rank"
+        f" AND y.rank <= x.rank + {window})\n"
+        "SELECT c.a, c.b, c.rank_gap, j.jaccard\n"
+        "FROM cand c JOIN jac j ON j.a = least(c.a, c.b)"
+        " AND j.b = greatest(c.a, c.b)\n"
+        f"WHERE j.jaccard >= {threshold}"
+    )

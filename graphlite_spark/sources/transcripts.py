@@ -182,3 +182,38 @@ def load_tinygraph(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     )
     vertices = spark.range(TINYGRAPH_NUM_VERTICES).select(F.col("id").alias("id"))
     return vertices, edges
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """(prev_tool, tool, n, p) — the first-order Markov transition counts
+    between consecutive TOOL turns of each conversation (ordered by
+    turn_idx), with the row-conditional probability p = n / Σ_b n(a, b).
+    The transition matrix is the standard readout of agent tool-usage
+    structure (which tool follows which) and the input to any
+    Markov-chain simulation of tool traffic.
+
+    Exactness: counts are integers; each probability is ONE 6dp-rounded
+    division of two exact BIGINTs (the repo's float discipline).
+
+    Shape: one per-conversation window (partitioned by conv_id — never
+    global), one map-side-combined pair count, and a broadcast-sized
+    join of the per-prev_tool totals (|tools|² rows at most — the
+    transition matrix is codebook-sized by definition)."""
+    t = transcripts.where(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    p = t.select(
+        F.lag("tool").over(w).alias("prev_tool"), F.col("tool")
+    ).where(F.col("prev_tool").isNotNull())
+    n = p.groupBy("prev_tool", "tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = n.groupBy("prev_tool").agg(F.sum("n").cast("long").alias("tot"))
+    return n.join(F.broadcast(tot), "prev_tool").select(
+        "prev_tool",
+        "tool",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6)
+        .alias("p"),
+    )

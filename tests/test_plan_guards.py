@@ -56,6 +56,11 @@ GUARDED = [
     "bloom_semijoin",
     "rectangles_total",
     "triad_census",
+    # round-5 additions: SNM's rank join + candidate verify, the dyad
+    # bitmask join, the transition-total broadcast join
+    "dedup_sorted_neighborhood",
+    "dyad_census",
+    "tool_transitions",
     "role_assortativity",
     "quantile_buckets",
     "bigram_next_topk",
@@ -84,6 +89,8 @@ BNLJ_ALLOWED = {
     # the nested-loop side is constant-sized, never data-sized
     "rich_club",
     "effective_diameter",
+    # 1-row (M/A counts) x 1-row (vertex count) assembly join
+    "dyad_census",
 }
 
 

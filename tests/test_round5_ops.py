@@ -1,0 +1,124 @@
+"""Round-5 operators vs Python brute force: dyad census, vocabulary Zipf
+MLE, tool transition matrix, sorted-neighborhood dedup."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_dyad_census_bruteforce(spark):
+    from graphlite_spark.algos.stats import dyad_census
+
+    random.seed(11)
+    n = 12
+    arcs = [(a, b) for a in range(n) for b in range(n)
+            if a != b and random.random() < 0.3]
+    v = spark.range(n).select("id")
+    e = spark.createDataFrame(arcs, "src long, dst long")
+    got = dyad_census(v, e).collect()[0]
+    arcset = set(arcs)
+    m = a = 0
+    for x, y in itertools.combinations(range(n), 2):
+        fwd, rev = (x, y) in arcset, (y, x) in arcset
+        if fwd and rev:
+            m += 1
+        elif fwd or rev:
+            a += 1
+    null = n * (n - 1) // 2 - m - a
+    assert (got["n_mutual"], got["n_asym"], got["n_null"]) == (m, a, null)
+
+    # empty graph: all dyads null, one row
+    e0 = spark.createDataFrame([], "src long, dst long")
+    g0 = dyad_census(v, e0).collect()[0]
+    assert (g0["n_mutual"], g0["n_asym"], g0["n_null"]) == (0, 0, n * (n - 1) // 2)
+
+
+def test_vocab_zipf_alpha_bruteforce(spark):
+    from graphlite_spark.operators.profiling import vocab_zipf_alpha
+
+    docs = [
+        (0, "the the the cat cat sat"),
+        (1, "the cat ran far"),
+        (2, "a dog sat sat the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = vocab_zipf_alpha(df, fmin=2).collect()[0]
+    counts: dict[str, int] = {}
+    for _, t in docs:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    tail = [c for c in counts.values() if c >= 2]
+    slt = sum(round(math.log(c / 1.5) * 1_000_000) for c in tail)
+    assert got["n_tail"] == len(tail)
+    assert got["alpha"] == pytest.approx(
+        round(1.0 + len(tail) * 1_000_000.0 / slt, 6), abs=1e-9)
+
+    # no term reaches fmin -> NULL alpha, 0 tail
+    tiny = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    g0 = vocab_zipf_alpha(tiny, fmin=2).collect()[0]
+    assert g0["n_tail"] == 0 and g0["alpha"] is None
+
+
+def test_tool_transitions_bruteforce(spark):
+    from graphlite_spark.sources.transcripts import tool_transitions
+
+    rows = [
+        # conv A: a -> b -> a  (tool turns 1, 3, 7; non-tool turns between)
+        ("A", 0, None), ("A", 1, "a"), ("A", 2, None), ("A", 3, "b"),
+        ("A", 7, "a"),
+        # conv B: a -> a
+        ("B", 1, "a"), ("B", 2, "a"),
+        # conv C: single tool turn -> no transition
+        ("C", 5, "b"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string")
+    got = {(r["prev_tool"], r["tool"]): (r["n"], r["p"])
+           for r in tool_transitions(t).collect()}
+    # transitions: a->b (A), b->a (A), a->a (B)
+    assert got[("a", "b")] == (1, 0.5)
+    assert got[("a", "a")] == (1, 0.5)
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 3
+
+
+def test_sorted_neighborhood_bruteforce(spark):
+    from graphlite_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon common tail"),
+        (1, "alpha beta gamma delta epsilon common tail!"),  # near-dup of 0
+        (2, "alpha beta gamma delta zeta other words"),      # shares prefix
+        (3, "zzz completely different text entirely here"),
+        (4, "zzz completely different text entirely here"),  # exact dup of 3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = sorted_neighborhood_pairs(df, window=2, threshold=0.3).collect()
+    pairs = {(r["a"], r["b"]): r for r in out}
+    # replicate: sort key = first 16 alnum chars of lowercased text
+    def key(t):
+        return "".join(c for c in t.lower() if c.isalnum())[:16]
+    order = sorted(range(5), key=lambda i: (key(docs[i][1]), i))
+    # doc 1 strips to the same key as doc 0 -> adjacent; 3/4 adjacent
+    i0, i1 = order.index(0), order.index(1)
+    assert abs(i0 - i1) <= 2
+    lo, hi = (0, 1) if i0 < i1 else (1, 0)
+    assert (lo, hi) in pairs and pairs[(lo, hi)]["jaccard"] > 0.5
+    i3, i4 = order.index(3), order.index(4)
+    lo, hi = (3, 4) if i3 < i4 else (4, 3)
+    assert (lo, hi) in pairs and pairs[(lo, hi)]["jaccard"] == 1.0
+    # every reported pair is within the rank window and above threshold
+    for r in out:
+        assert 1 <= r["rank_gap"] <= 2 and r["jaccard"] >= 0.3
+    # determinism
+    out2 = sorted_neighborhood_pairs(df, window=2, threshold=0.3).collect()
+    assert sorted(map(str, out)) == sorted(map(str, out2))
+
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, window=0)
