@@ -122,3 +122,47 @@ def test_sorted_neighborhood_bruteforce(spark):
 
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, window=0)
+
+
+def test_round5_ops_partition_invariance(spark):
+    """The round-5 operators are pure functions of their inputs:
+    identical outputs when the input arrives repartitioned with a
+    different partition count / row order (the determinism property the
+    whole oracle design rests on)."""
+    import random
+
+    from graphlite_spark.algos.stats import dyad_census
+    from graphlite_spark.operators.dedup import sorted_neighborhood_pairs
+    from graphlite_spark.operators.profiling import vocab_zipf_alpha
+    from graphlite_spark.sources.transcripts import tool_transitions
+
+    random.seed(23)
+    arcs = [(a, b) for a in range(40) for b in range(40)
+            if a != b and random.random() < 0.08]
+    v = spark.range(40).select("id")
+    e = spark.createDataFrame(arcs, "src long, dst long")
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "common"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(random.choice(words) for _ in range(12)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [(f"c{i % 5}", i, random.choice(["a", "b", None])) for i in range(80)],
+        "conv_id string, turn_idx int, tool string",
+    )
+
+    def rows(df):
+        return sorted(map(str, df.collect()))
+
+    for build, frame in (
+        (lambda f: dyad_census(v, f), e),
+        (lambda f: vocab_zipf_alpha(f), docs),
+        (lambda f: tool_transitions(f), tr),
+        (lambda f: sorted_neighborhood_pairs(f, window=3, threshold=0.1), docs),
+    ):
+        a = rows(build(frame))
+        b = rows(build(frame.repartition(7)))
+        c = rows(build(frame.repartition(3, frame.columns[0])))
+        assert a == b == c and a  # non-empty and partition-invariant
