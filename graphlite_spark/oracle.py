@@ -3880,3 +3880,47 @@ def sorted_neighborhood_sql(
         " AND j.b = greatest(c.a, c.b)\n"
         f"WHERE j.jaccard >= {threshold}"
     )
+
+
+def eigenvector_sql(iterations: int = 6, loop_closure: bool = True) -> str:
+    """Unrolled max-normalized power iteration — identical integer rule
+    as algos.centrality.eigenvector_centrality (exact BIGINT gather,
+    (10^6·s) // max per round), over the loop-closed arc set the entry
+    query feeds it (the scc/triad convention — cycles sustain spectral
+    mass; the raw reply DAG decays)."""
+    closure = (
+        "  UNION ALL\n"
+        "  SELECT max(id) AS src, min(id) AS dst FROM vertices"
+        " GROUP BY conv_id HAVING max(id) <> min(id)\n"
+        if loop_closure
+        else ""
+    )
+    parts = [
+        "earc AS MATERIALIZED (SELECT src, dst FROM (\n"
+        "  SELECT src, dst FROM edges\n"
+        f"{closure}"
+        "))",
+        "x0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS eig "
+        "FROM vertices)",
+    ]
+    for r in range(1, iterations + 1):
+        prev = f"x{r - 1}"
+        parts.append(
+            f"s{r} AS MATERIALIZED (\n"
+            f"  SELECT v.id, CAST(COALESCE(m.s, 0) AS BIGINT) AS s\n"
+            f"  FROM {prev} v LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, SUM(p.eig) AS s\n"
+            f"    FROM earc e JOIN {prev} p ON p.id = e.src\n"
+            f"    GROUP BY e.dst) m ON m.id = v.id)"
+        )
+        parts.append(
+            f"mx{r} AS MATERIALIZED (SELECT max(s) AS mx FROM s{r})"
+        )
+        parts.append(
+            f"x{r} AS MATERIALIZED (\n"
+            f"  SELECT id, CAST(CASE WHEN mx > 0 THEN (1000000 * s) // mx\n"
+            f"    ELSE 0 END AS BIGINT) AS eig\n"
+            f"  FROM s{r}, mx{r})"
+        )
+    joined = ",\n".join(parts)
+    return _graph_query(f", {joined}\nSELECT id, eig FROM x{iterations}")

@@ -61,6 +61,7 @@ GUARDED = [
     "dedup_sorted_neighborhood",
     "dyad_census",
     "tool_transitions",
+    "eigenvector_6iter",
     "role_assortativity",
     "quantile_buckets",
     "bigram_next_topk",

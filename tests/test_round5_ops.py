@@ -156,8 +156,11 @@ def test_round5_ops_partition_invariance(spark):
     def rows(df):
         return sorted(map(str, df.collect()))
 
+    from graphlite_spark.algos.centrality import eigenvector_centrality
+
     for build, frame in (
         (lambda f: dyad_census(v, f), e),
+        (lambda f: eigenvector_centrality(v, f, iterations=4), e),
         (lambda f: vocab_zipf_alpha(f), docs),
         (lambda f: tool_transitions(f), tr),
         (lambda f: sorted_neighborhood_pairs(f, window=3, threshold=0.1), docs),
@@ -166,3 +169,33 @@ def test_round5_ops_partition_invariance(spark):
         b = rows(build(frame.repartition(7)))
         c = rows(build(frame.repartition(3, frame.columns[0])))
         assert a == b == c and a  # non-empty and partition-invariant
+
+
+def test_eigenvector_centrality_bruteforce(spark):
+    from graphlite_spark.algos.centrality import eigenvector_centrality
+
+    random.seed(31)
+    n = 25
+    arcs = [(a, b) for a in range(n) for b in range(n)
+            if a != b and random.random() < 0.12]
+    # guarantee a cycle so mass survives
+    arcs += [(0, 1), (1, 2), (2, 0)]
+    arcs = sorted(set(arcs))
+    v = spark.range(n).select("id")
+    e = spark.createDataFrame(arcs, "src long, dst long")
+    got = {r["id"]: r["eig"]
+           for r in eigenvector_centrality(v, e, iterations=5).collect()}
+    x = {i: 1_000_000 for i in range(n)}
+    for _ in range(5):
+        s = {i: 0 for i in range(n)}
+        for a, b in arcs:
+            s[b] += x[a]
+        mx = max(s.values())
+        x = {i: (1_000_000 * s[i]) // mx if mx > 0 else 0 for i in range(n)}
+    assert got == x
+    assert max(got.values()) == 1_000_000  # max-normalized each round
+
+    # empty edge set: everything decays to zero after one round
+    e0 = spark.createDataFrame([], "src long, dst long")
+    z = eigenvector_centrality(v, e0, iterations=2).collect()
+    assert all(r["eig"] == 0 for r in z)
