@@ -143,6 +143,12 @@ from graphlite_spark.operators.packing import (
     pack_documents,
     sample_stratified,
 )
+from graphlite_spark.operators.analytics import (
+    events_pivot,
+    events_rollup,
+    retention_cohorts,
+    value_outliers_mad,
+)
 from graphlite_spark.operators.sessions import funnel_conversion, sessionize
 from graphlite_spark.operators.temporal import (
     asof_join,
@@ -1447,6 +1453,30 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # classic retention triangle: cohort = first-seen absolute week
+    # (epoch_us div WEEK_US — pure BIGINT, no date arithmetic)
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROLLUP(event_type, day) lattice with explicit grouping-id —
+    # the grouping-sets surface (Spark expands the lattice map-side)
+    return events_rollup(load_table(spark, sf_dir, "events"))
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-user activity profile; pivot values EXPLICIT (no discovery
+    # scan — Spark's pivot without a value list reads the input twice)
+    return events_pivot(load_table(spark, sf_dir, "events"))
+
+
+def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust median/MAD outlier counts in integer cents — both medians
+    # use the engine-portable discrete rank rule (quantiles.py)
+    return value_outliers_mad(load_table(spark, sf_dir, "events"), k=3)
+
+
 def q_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dyad-level M/A/N complement of the triad census, over the SAME
     # loop-closed reply/tool graph so the two censuses read together
@@ -1525,33 +1555,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_linkage_8": q_single_linkage,
         "bowtie_contact_graph": q_bowtie,
         "pagerank_warm_restart": q_pagerank_warm,
-        # -- 4 new this round (driver rows on first appearance) -----------
+        # -- new this round (driver rows on first appearance) -------------
         "dyad_census": q_dyad_census,
         "vocab_zipf_alpha": q_vocab_zipf,
         "tool_transitions": q_tool_transitions,
         "dedup_sorted_neighborhood": q_sorted_neighborhood,
-        # -- 14 re-confirmations (positions 37-50) ------------------------
+        "eigenvector_6iter": q_eigenvector,
+        "retention_cohorts": q_retention_cohorts,
+        "events_rollup": q_events_rollup,
+        "events_pivot": q_events_pivot,
+        "value_outliers_mad": q_value_outliers_mad,
+        # -- re-confirmations (filling the 50-row cap; green in r4) -------
         "triad_census": q_triad_census,
         "edges_derive": q_edges,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_minhash_lsh,
+        "triangles_total": q_triangles_total,
+        "connected_components": q_components,
+        "pagerank_converged": q_pagerank_converged,
+        # -- displaced re-confirmations (past the cap; green in r4) -------
+        "dedup_exact": q_dedup_exact,
         "dedup_representatives": q_dedup_representatives,
         "jaccard_join_exact": q_jaccard_join,
         "duplicate_ngram_spans": q_duplicate_spans,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_recall": q_ivf_recall,
         "bpe_merges": q_bpe_merges,
-        "triangles_total": q_triangles_total,
         "connected_components_fast": q_components_fast,
-        "connected_components": q_components,
-        "pagerank_converged": q_pagerank_converged,
-        # -- displaced re-confirmations (past the cap; green in r4) -------
         "bpe_tokenize": q_bpe_tokenize,
         "chunk_documents": q_chunk_documents,
         "pack_documents": q_pack_documents,
         "lpa_3iter": q_lpa3,
-        # -- beyond the 50-row cap: first in line for the NEXT rotation ---
-        "eigenvector_6iter": q_eigenvector,
         # -- 81 queries green in earlier rounds ---------------------------
         "multimodal_decode_png": q_multimodal_decode_png,
         "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
@@ -1645,6 +1678,10 @@ def oracle_sql() -> dict[str, str]:
         "tool_transitions": O.tool_transitions_sql(),
         "dedup_sorted_neighborhood": O.sorted_neighborhood_sql(),
         "eigenvector_6iter": O.eigenvector_sql(6),
+        "retention_cohorts": O.retention_cohorts_sql(),
+        "events_rollup": O.events_rollup_sql(),
+        "events_pivot": O.events_pivot_sql(),
+        "value_outliers_mad": O.value_outliers_mad_sql(3),
         "vertices_dense_ids": O.vertices_sql(),
         "edges_derive": O.edges_sql(),
         "out_degrees": O.out_degrees_sql(),

@@ -1,0 +1,186 @@
+"""Cohort / OLAP-cube analytics over the event stream.
+
+Four classic warehouse shapes the engine had not yet exposed:
+
+* **Retention cohorts** — users grouped by first-seen week, activity
+  counted per week offset.  The week index is an absolute integer
+  (``epoch_us div WEEK_US``), so cohort arithmetic is BIGINT-exact and
+  the DuckDB oracle hashes bit-identically.
+* **Rollup** — ``GROUP BY ROLLUP(event_type, day)`` with an explicit
+  grouping-id column.  Spark's ``rollup`` and DuckDB's ``ROLLUP`` emit
+  the same lattice; the subtotal rows' NULL keys are coalesced to
+  sentinels on BOTH engines so the hash compare never sees NULL-vs-NULL
+  ambiguity.
+* **Pivot** — per-user event-type counts as columns.  The pivot value
+  list is EXPLICIT (no discovery pass over the data — at 100 TB a
+  ``pivot`` without a value list is a full extra scan).
+* **MAD outliers** — robust per-type outlier counts via the median /
+  median-absolute-deviation rule, using the repo's engine-portable
+  discrete-quantile rank (``quantiles.py``): median = the element at
+  1-indexed rank ``ceil(n/2)`` of the sorted integer cents, MAD = the
+  same rank over ``|x - median|``.  Pure BIGINT throughout.
+
+Scale shapes: cohorts are two map-side-combined aggregates plus one
+equi-join on ``user_id``; rollup is one shuffle producing the whole
+lattice (Spark expands grouping sets map-side); pivot is one groupBy
+with conditional counts (no per-value scans); MAD is two per-group sort
+windows (spillable, never global) — the exact tier, with
+``percentile_approx`` as the documented 100 TB drop-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+DAY_US = 24 * 3600 * 1_000_000
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _ts_us(col: str = "ts") -> F.Column:
+    # parquet timestamps arrive TIMESTAMP_NTZ in Spark 4 — cast first
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_users) — classic retention triangle:
+    each user joins the cohort of their first active week (absolute
+    ``epoch_us div WEEK_US`` index); every (user, active week) pair then
+    counts toward (cohort, week - cohort) exactly once.
+
+    ``week_offset = 0`` rows give cohort sizes; the n_users at larger
+    offsets over that base is the retention curve.  All-integer: no
+    dates, no sessions, no floats."""
+    wk = events.select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {WEEK_US}").alias(
+            "week"
+        ),
+    )
+    active = wk.distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def events_rollup(events: DataFrame) -> DataFrame:
+    """(event_type, day_us, gid, n, sum_value_micros) — the ROLLUP
+    lattice over (event_type, day): per-type-per-day rows, per-type
+    subtotals, and the grand total, tagged by an explicit grouping id
+    (``grouping(event_type)*2 + grouping(day)``).  Subtotal NULL keys
+    are coalesced to sentinels ('(all)' / -1) so the cross-engine hash
+    is well-defined.  Money is per-row micro-units summed as BIGINT."""
+    src = events.select(
+        "event_type",
+        F.expr(
+            f"unix_micros(date_trunc('day', cast(ts as timestamp))) "
+        ).alias("day_us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_micros"),
+    )
+    return (
+        src.rollup("event_type", "day_us")
+        .agg(
+            (
+                F.grouping("event_type").cast("long") * 2
+                + F.grouping("day_us").cast("long")
+            ).alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_micros").cast("long").alias("sum_value_micros"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("day_us", F.lit(-1)).cast("long").alias("day_us"),
+            "gid",
+            "n",
+            "sum_value_micros",
+        )
+    )
+
+
+def events_pivot(
+    events: DataFrame, event_types: tuple[str, ...] = EVENT_TYPES
+) -> DataFrame:
+    """(user_id, n_<type>..., n_total) — per-user activity profile with
+    one count column per event type.  The value list is explicit:
+    Spark's ``pivot`` without one runs a distinct-discovery job over the
+    full input first — a whole extra 100 TB scan for schema inference."""
+    piv = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(event_types))
+        .agg(F.count(F.lit(1)))
+    )
+    out = [F.col("user_id")]
+    total = F.lit(0).cast("long")
+    for t in event_types:
+        c = F.coalesce(F.col(t), F.lit(0)).cast("long")
+        out.append(c.alias(f"n_{t}"))
+        total = total + c
+    return piv.select(*out, total.alias("n_total"))
+
+
+def _disc_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(group, n, median) — the engine-portable lower median: the element
+    at 1-indexed rank ``ceil(n/2)`` of the sorted values (quantiles.py's
+    percentile_disc(50) rank rule — the picked VALUE is identical
+    whichever duplicate wins the row_number ordering).  One shuffle on
+    the group key; the rank and count windows share its sort."""
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cw = Window.partitionBy(group_col)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(cw))
+        .where(F.col("rn") * 2 == F.col("n") + F.col("n") % 2)
+        .select(
+            group_col,
+            F.col("n").cast("long").alias("n"),
+            F.col(value_col).alias("median"),
+        )
+    )
+
+
+def value_outliers_mad(events: DataFrame, k: int = 3) -> DataFrame:
+    """(event_type, n, median_cents, mad_cents, n_outliers) — robust
+    outlier profile per event type: an event is an outlier when its
+    integer-cents value deviates from the type median by more than
+    ``k``·MAD (median absolute deviation).  Median and MAD both use the
+    discrete rank-``ceil(n/2)`` rule, so every number here is BIGINT
+    and hash-exact against the oracle.
+
+    MAD = 0 (over half the values identical) makes only exact-median
+    values inliers — the standard degenerate case, same on both sides."""
+    cents = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    med = _disc_median(cents, "event_type", "cents").withColumnRenamed(
+        "median", "median_cents"
+    )
+    dev = cents.join(med, "event_type").select(
+        "event_type",
+        "n",
+        "median_cents",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("dev"),
+    )
+    mad = (
+        _disc_median(dev.select("event_type", "dev"), "event_type", "dev")
+        .select("event_type", F.col("median").alias("mad_cents"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type", "n", "median_cents", "mad_cents")
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > k * F.col("mad_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )

@@ -3924,3 +3924,86 @@ def eigenvector_sql(iterations: int = 6, loop_closure: bool = True) -> str:
         )
     joined = ",\n".join(parts)
     return _graph_query(f", {joined}\nSELECT id, eig FROM x{iterations}")
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions (wave 2): cohorts, rollup, pivot, MAD outliers
+# ---------------------------------------------------------------------------
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def retention_cohorts_sql() -> str:
+    """Mirror of operators.analytics.retention_cohorts: absolute integer
+    week index (epoch_us // WEEK_US), cohort = each user's min week."""
+    return (
+        f"WITH wk AS (SELECT user_id, epoch_us(ts) // {WEEK_US} AS week "
+        f"FROM events),\n"
+        "act AS (SELECT DISTINCT user_id, week FROM wk),\n"
+        "coh AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1)\n"
+        "SELECT CAST(cohort_week AS BIGINT) AS cohort_week,\n"
+        "       CAST(week - cohort_week AS BIGINT) AS week_offset,\n"
+        "       CAST(count(*) AS BIGINT) AS n_users\n"
+        "FROM act JOIN coh USING (user_id) GROUP BY 1, 2"
+    )
+
+
+def events_rollup_sql() -> str:
+    """Mirror of operators.analytics.events_rollup: the ROLLUP lattice
+    with the same sentinel coalesces and grouping-id bit layout."""
+    return (
+        "SELECT COALESCE(event_type, '(all)') AS event_type,\n"
+        "       CAST(COALESCE(day_us, -1) AS BIGINT) AS day_us,\n"
+        "       CAST(GROUPING(event_type) * 2 + GROUPING(day_us) AS BIGINT)"
+        " AS gid,\n"
+        "       CAST(count(*) AS BIGINT) AS n,\n"
+        "       CAST(sum(v_micros) AS BIGINT) AS sum_value_micros\n"
+        "FROM (SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,\n"
+        "             CAST(round(value * 1000000) AS BIGINT) AS v_micros\n"
+        "      FROM events)\n"
+        "GROUP BY ROLLUP (event_type, day_us)"
+    )
+
+
+def events_pivot_sql(event_types: tuple[str, ...] = (
+        "click", "error", "purchase", "signup", "view")) -> str:
+    """Mirror of operators.analytics.events_pivot: conditional counts —
+    DuckDB's PIVOT statement can't nest in a view-body CTE, and the
+    conditional-aggregate form is the same plan anyway."""
+    cols = ",\n".join(
+        f"       CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{t}"
+        for t in event_types
+    )
+    return (
+        "SELECT user_id,\n"
+        f"{cols},\n"
+        "       CAST(count(*) AS BIGINT) AS n_total\n"
+        "FROM events GROUP BY user_id"
+    )
+
+
+def value_outliers_mad_sql(k: int = 3) -> str:
+    """Mirror of operators.analytics.value_outliers_mad: integer cents,
+    lower-median rank rn*2 = n + n%2 for both the median and the MAD."""
+    return (
+        "WITH cents AS (SELECT event_type,"
+        " CAST(round(value * 100) AS BIGINT) AS cents FROM events),\n"
+        "r AS (SELECT event_type, cents,\n"
+        "  row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,\n"
+        "  count(*) OVER (PARTITION BY event_type) AS n FROM cents),\n"
+        "med AS (SELECT event_type, CAST(n AS BIGINT) AS n,"
+        " cents AS median_cents FROM r WHERE rn * 2 = n + n % 2),\n"
+        "dev AS MATERIALIZED (SELECT c.event_type, m.n, m.median_cents,\n"
+        "  abs(c.cents - m.median_cents) AS dev\n"
+        "  FROM cents c JOIN med m USING (event_type)),\n"
+        "rd AS (SELECT event_type, dev,\n"
+        "  row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,\n"
+        "  count(*) OVER (PARTITION BY event_type) AS n2 FROM dev),\n"
+        "madt AS (SELECT event_type, dev AS mad_cents FROM rd"
+        " WHERE rn * 2 = n2 + n2 % 2)\n"
+        "SELECT d.event_type, d.n, d.median_cents, t.mad_cents,\n"
+        f"  CAST(sum(CASE WHEN d.dev > {k} * t.mad_cents THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_outliers\n"
+        "FROM dev d JOIN madt t USING (event_type) GROUP BY 1, 2, 3, 4"
+    )
