@@ -149,6 +149,7 @@ from graphlite_spark.operators.analytics import (
     retention_cohorts,
     value_outliers_mad,
 )
+from graphlite_spark.operators.pii import pii_scan, with_contact_suffix
 from graphlite_spark.operators.sessions import funnel_conversion, sessionize
 from graphlite_spark.operators.temporal import (
     asof_join,
@@ -1477,6 +1478,13 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_outliers_mad(load_table(spark, sf_dir, "events"), k=3)
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc PII counts + md5 of the sequentially-redacted text; the
+    # digit-free synthetic corpus gets a deterministic doc_id-derived
+    # contact suffix on BOTH engines so the patterns actually fire
+    return pii_scan(with_contact_suffix(load_table(spark, sf_dir, "documents")))
+
+
 def q_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dyad-level M/A/N complement of the triad census, over the SAME
     # loop-closed reply/tool graph so the two censuses read together
@@ -1565,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_pivot": q_events_pivot,
         "value_outliers_mad": q_value_outliers_mad,
+        "pii_redact": q_pii_redact,
         # -- re-confirmations (filling the 50-row cap; green in r4) -------
         "triad_census": q_triad_census,
         "edges_derive": q_edges,
@@ -1682,6 +1691,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": O.events_rollup_sql(),
         "events_pivot": O.events_pivot_sql(),
         "value_outliers_mad": O.value_outliers_mad_sql(3),
+        "pii_redact": O.pii_scan_sql(),
         "vertices_dense_ids": O.vertices_sql(),
         "edges_derive": O.edges_sql(),
         "out_degrees": O.out_degrees_sql(),

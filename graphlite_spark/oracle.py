@@ -4007,3 +4007,46 @@ def value_outliers_mad_sql(k: int = 3) -> str:
         " AS BIGINT) AS n_outliers\n"
         "FROM dev d JOIN madt t USING (event_type) GROUP BY 1, 2, 3, 4"
     )
+
+
+def pii_scan_sql() -> str:
+    """Mirror of operators.pii: same contact suffix, same pattern set,
+    same sequential redaction order (URL -> EMAIL -> SSN -> PHONE ->
+    IPV4).  Patterns are written in the Java-regex/RE2 common subset;
+    DuckDB's regexp_replace needs the explicit 'g' flag to match
+    Spark's replace-all default."""
+    pats = {
+        "url": "https?://[A-Za-z0-9._/%-]+",
+        "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "ssn": "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+        "phone": "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+        "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    }
+    counts = ",\n".join(
+        f"  CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{n}"
+        for n, p in pats.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))" for p in pats.values()
+    )
+    red = "text"
+    for n, p in pats.items():
+        tok = "<IP>" if n == "ipv4" else f"<{n.upper()}>"
+        red = f"regexp_replace({red}, '{p}', '{tok}', 'g')"
+    return (
+        "WITH src AS (SELECT doc_id,\n"
+        "  text || ' reach user' || CAST(doc_id AS VARCHAR)\n"
+        "    || '@example.com or https://host' || CAST(doc_id AS VARCHAR)\n"
+        "    || '.example/path tel 415-555-'\n"
+        "    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')\n"
+        "    || ' ssn 123-45-6789 ip 10.' || CAST(doc_id % 200 AS VARCHAR)\n"
+        "    || '.0.' || CAST(doc_id % 250 AS VARCHAR)\n"
+        "    || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@example.org'\n"
+        "            ELSE '' END AS text\n"
+        "  FROM documents)\n"
+        "SELECT doc_id,\n"
+        f"{counts},\n"
+        f"  CAST({total} AS BIGINT) AS n_pii,\n"
+        f"  md5({red}) AS redacted_md5\n"
+        "FROM src"
+    )
