@@ -81,6 +81,7 @@ from graphlite_spark.operators.profiling import (
 from graphlite_spark.operators.ngram_lm import (
     bigram_next_topk,
     doc_bigram_hit_rate,
+    doc_lm_cost,
 )
 from graphlite_spark.operators.sketches import (
     cms_estimate_heavy_hitters,
@@ -1478,6 +1479,12 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_outliers_mad(load_table(spark, sf_dir, "events"), k=3)
 
 
+def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # add-one-smoothed bigram LM cost per document (micro-nats) — the
+    # perplexity-style quality filter; exp(avg/1e6) is the perplexity
+    return doc_lm_cost(load_table(spark, sf_dir, "documents"))
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc PII counts + md5 of the sequentially-redacted text; the
     # digit-free synthetic corpus gets a deterministic doc_id-derived
@@ -1574,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "value_outliers_mad": q_value_outliers_mad,
         "pii_redact": q_pii_redact,
+        "lm_doc_cost": q_lm_doc_cost,
         # -- re-confirmations (filling the 50-row cap; green in r4) -------
         "triad_census": q_triad_census,
         "edges_derive": q_edges,
@@ -1692,6 +1700,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": O.events_pivot_sql(),
         "value_outliers_mad": O.value_outliers_mad_sql(3),
         "pii_redact": O.pii_scan_sql(),
+        "lm_doc_cost": O.doc_lm_cost_sql(),
         "vertices_dense_ids": O.vertices_sql(),
         "edges_derive": O.edges_sql(),
         "out_degrees": O.out_degrees_sql(),

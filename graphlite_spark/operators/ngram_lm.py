@@ -137,3 +137,97 @@ def bigram_next_topk(
         .where(F.col("rn") <= k)
         .select("w1", "w2", "n_pairs", F.col("rn").cast("long").alias("rn"))
     )
+
+
+def doc_lm_cost(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_bigrams, sum_cost_micros, avg_cost_micros) — per-
+    document cost under the add-one-smoothed corpus bigram model: each
+    ordered bigram costs ``-ln p(w2|w1)`` with
+    ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`` (V = corpus vocabulary
+    size), i.e. the CCNet-style perplexity filter with counts in place
+    of a trained LM — perplexity is ``exp(avg_cost_micros / 1e6)``.
+
+    Exactness discipline (same as tf_idf/adamic_adar): the cost is
+    rounded ONCE per distinct corpus bigram to integer micro-nats
+    (``round(1e6 * ln((c1 + V) / (c12 + 1)))`` — both operands exact
+    BIGINTs, so the double quotient is engine-identical); per-document
+    totals are then BIGINT sums and the average an exact integer
+    division — no summation-order float drift anywhere.
+
+    Scale shape: the model table is observed-bigram-sized (vocab-ish,
+    not corpus-sized); V folds in as a literal (one count action, the
+    tf_idf N pattern); per-(doc, pair) multiplicities map-side combine
+    before the pair-keyed model join; one map-side-combined per-doc sum.
+    Scoring a held-out corpus against a frozen model is the same join
+    with ``docs`` swapped for the held-out frame (unseen bigrams would
+    need the left-join backoff row — this corpus-self-scoring variant
+    keeps the inner join because every document bigram is by
+    construction in the model)."""
+    vocab_size = (
+        docs.select(F.explode(tokens_expr(text_col)).alias("tok"))
+        .select("tok")
+        .distinct()
+        .count()
+    )
+    t = tokens_expr(text_col)
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, "p.w1", "p.w2"
+    )
+    per_pair = bg.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    c12 = bigram_counts(docs, text_col, min_count=1).withColumnRenamed(
+        "n_pairs", "n12"
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    model = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.log(
+                (F.col("n1") + F.lit(vocab_size)).cast("double")
+                / (F.col("n12") + F.lit(1.0))
+            )
+        )
+        .cast("long")
+        .alias("cost"),
+    )
+    per_doc = (
+        per_pair.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.sum(F.col("m") * F.col("cost")).cast("long").alias("sum_cost"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("sum_cost", F.lit(0))
+            .cast("long")
+            .alias("sum_cost_micros"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.expr("sum_cost div n_bigrams"))
+            .cast("long")
+            .alias("avg_cost_micros"),
+        )
+    )

@@ -4050,3 +4050,35 @@ def pii_scan_sql() -> str:
         f"  md5({red}) AS redacted_md5\n"
         "FROM src"
     )
+
+
+def doc_lm_cost_sql() -> str:
+    """Mirror of operators.ngram_lm.doc_lm_cost: add-one-smoothed bigram
+    cost in integer micro-nats, rounded once per distinct corpus bigram
+    (both ln operands exact BIGINTs, so the double is engine-identical)."""
+    return f"""
+WITH {TOKS_CTE},
+bg AS MATERIALIZED (
+  SELECT doc_id, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM toks_t, UNNEST(range(1, len(toks))) AS t(i)),
+pp AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+  FROM bg GROUP BY 1, 2, 3),
+c12 AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+  FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(toks) AS tok FROM toks_t)),
+model AS MATERIALIZED (
+  SELECT w1, w2,
+         CAST(round(1000000 * ln(CAST(n1 + v AS DOUBLE) / (n12 + 1.0)))
+              AS BIGINT) AS cost
+  FROM c12 JOIN c1 USING (w1) CROSS JOIN vocab),
+pd AS (SELECT doc_id, sum(m) AS n_bigrams, sum(m * cost) AS sum_cost
+  FROM pp JOIN model USING (w1, w2) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(sum_cost, 0) AS BIGINT) AS sum_cost_micros,
+  CAST(CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0
+       ELSE sum_cost // n_bigrams END AS BIGINT) AS avg_cost_micros
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
