@@ -36,6 +36,7 @@ from graphlite_spark.algos.pagerank import (
     pagerank_argmax_delta,
     pagerank_warm_restart,
     personalized_pagerank,
+    spam_mass,
     trustrank,
     weighted_pagerank,
 )
@@ -1479,6 +1480,13 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_outliers_mad(load_table(spark, sf_dir, "events"), k=3)
 
 
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # relative spam mass (Gyongyi et al.): the PageRank fraction not
+    # explained by TrustRank flow from the seed set, trust scaled by V
+    _, v, e = graph_tables(spark, sf_dir)
+    return spam_mass(v, e, seeds=TRUST_SEEDS, fixed_supersteps=8)
+
+
 def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     # add-one-smoothed bigram LM cost per document (micro-nats) — the
     # perplexity-style quality filter; exp(avg/1e6) is the perplexity
@@ -1582,6 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers_mad": q_value_outliers_mad,
         "pii_redact": q_pii_redact,
         "lm_doc_cost": q_lm_doc_cost,
+        "spam_mass": q_spam_mass,
         # -- re-confirmations (filling the 50-row cap; green in r4) -------
         "triad_census": q_triad_census,
         "edges_derive": q_edges,
@@ -1701,6 +1710,7 @@ def oracle_sql() -> dict[str, str]:
         "value_outliers_mad": O.value_outliers_mad_sql(3),
         "pii_redact": O.pii_scan_sql(),
         "lm_doc_cost": O.doc_lm_cost_sql(),
+        "spam_mass": O.spam_mass_sql(TRUST_SEEDS, 8),
         "vertices_dense_ids": O.vertices_sql(),
         "edges_derive": O.edges_sql(),
         "out_degrees": O.out_degrees_sql(),

@@ -360,3 +360,50 @@ def trustrank(
     if fixed_supersteps is None:
         warn_if_not_converged(res, "trustrank")
     return res
+
+
+def spam_mass(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seeds: list[int],
+    fixed_supersteps: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, pagerank, trustrank, spam_mass) — relative spam mass
+    (Gyongyi, Berkhin, Garcia-Molina, Pedersen, VLDB'06 §4): the
+    fraction of a page's PageRank NOT accounted for by rank flowing
+    from the trusted seed set.  PageRank here is the reference's
+    unnormalized recurrence (init 1.0, total mass ~V) while TrustRank
+    distributes unit mass over the seeds, so the trust score is scaled
+    by V before comparison: ``spam_mass = (pr - V*tr) / pr``.  High
+    values (near 1) mean rank earned almost entirely outside the
+    trust neighborhood — the link-spam signal; trusted cores go
+    negative (trust-rich relative to their raw rank), which the metric
+    keeps rather than clamping so the ordering is informative.
+
+    Scale shape: two independent fixed-superstep Pregel chains over the
+    SAME graph (each one action per superstep, map-side-combined
+    message sums) and one final id-equi-join; V folds in as a literal
+    (one count action)."""
+    n_v = vertices.count()
+    pr = pagerank(
+        vertices,
+        edges,
+        fixed_supersteps=fixed_supersteps,
+        num_partitions=num_partitions,
+    ).state.select("id", F.col("value").alias("pr"))
+    tr = trustrank(
+        vertices,
+        edges,
+        seeds=seeds,
+        fixed_supersteps=fixed_supersteps,
+        num_partitions=num_partitions,
+    ).state.select("id", F.col("value").alias("tr"))
+    return pr.join(tr, "id").select(
+        "id",
+        F.round("pr", 6).alias("pagerank"),
+        F.round("tr", 6).alias("trustrank"),
+        F.round(
+            (F.col("pr") - F.lit(float(n_v)) * F.col("tr")) / F.col("pr"), 6
+        ).alias("spam_mass"),
+    )

@@ -163,13 +163,12 @@ def _pagerank_ctes(rounds: int) -> str:
     return ",\n".join(parts)
 
 
-def trustrank_fixed_sql(seeds: list[int], supersteps: int = 8) -> str:
-    """TrustRank (seed-set PPR), unrolled — teleport 0.15/|seeds| on the
-    sorted deduped seed list, identical literal arithmetic."""
+def _trustrank_ctes(seeds: list[int], rounds: int) -> str:
+    """tr0..tr{rounds}: unit mass over the sorted deduped seed list,
+    then `rounds` update rounds of seed-teleport 0.15/|seeds|."""
     ss = sorted(set(int(x) for x in seeds))
     share = 1.0 / len(ss)
     inlist = ", ".join(str(x) for x in ss)
-    rounds = supersteps - 1
     tele = (
         f"CASE WHEN p.id IN ({inlist}) THEN 0.15 * {share!r}"
         " ELSE 0.0 END"
@@ -190,10 +189,33 @@ def trustrank_fixed_sql(seeds: list[int], supersteps: int = 8) -> str:
             f"    FROM edges e JOIN {prev} q ON q.id = e.src GROUP BY e.dst) m\n"
             f"  ON m.id = p.id)"
         )
-    joined = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def trustrank_fixed_sql(seeds: list[int], supersteps: int = 8) -> str:
+    """TrustRank (seed-set PPR), unrolled — teleport 0.15/|seeds| on the
+    sorted deduped seed list, identical literal arithmetic."""
+    rounds = supersteps - 1
     body = (
-        f", {joined}\n"
+        f", {_trustrank_ctes(seeds, rounds)}\n"
         f"SELECT id, round(rank, 6) AS rank FROM tr{rounds}"
+    )
+    return _graph_query(body)
+
+
+def spam_mass_sql(seeds: list[int], supersteps: int = 8) -> str:
+    """Mirror of algos.pagerank.spam_mass: both unrolled rank chains
+    (same literal arithmetic as their standalone oracles) joined on id,
+    trust scaled by the vertex count."""
+    rounds = supersteps - 1
+    body = (
+        f", {_pagerank_ctes(rounds)},\n"
+        f"{_trustrank_ctes(seeds, rounds)},\n"
+        "nv AS (SELECT count(*) AS n FROM vertices)\n"
+        f"SELECT p.id, round(p.rank, 6) AS pagerank,\n"
+        f"       round(t.rank, 6) AS trustrank,\n"
+        f"       round((p.rank - nv.n * t.rank) / p.rank, 6) AS spam_mass\n"
+        f"FROM pr{rounds} p JOIN tr{rounds} t ON t.id = p.id CROSS JOIN nv"
     )
     return _graph_query(body)
 
