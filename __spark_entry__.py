@@ -59,7 +59,11 @@ from graphlite_spark.algos.centrality import (
     katz_centrality,
 )
 from graphlite_spark.algos.anf import effective_diameter, neighborhood_function
-from graphlite_spark.algos.community import conductance, louvain_move
+from graphlite_spark.algos.community import (
+    conductance,
+    contract_graph,
+    louvain_move,
+)
 from graphlite_spark.algos.wl import wl_refinement
 from graphlite_spark.algos.mis import greedy_coloring, maximal_independent_set
 from graphlite_spark.algos.sampling import sample_neighbors
@@ -157,6 +161,7 @@ from graphlite_spark.operators.temporal import (
     asof_join,
     contact_edges,
     range_join,
+    snapshot_delta,
     temporal_reachability,
 )
 from graphlite_spark.operators.similarity import (
@@ -1480,6 +1485,22 @@ def q_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_outliers_mad(load_table(spark, sf_dir, "events"), k=3)
 
 
+def q_graph_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quotient graph over the LPA-3 communities: the Louvain next-level
+    # input; intra-community rows kept (modularity numerator)
+    _, v, e = graph_tables(spark, sf_dir)
+    labels = label_propagation(v, e, iterations=3).state.select(
+        "id", F.col("value").alias("label")
+    )
+    return contract_graph(e.select("src", "dst"), labels)
+
+
+def q_contact_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # crawl-to-crawl link churn: per-user kept/added/removed distinct
+    # out-contacts across the temporal midpoint of the event window
+    return snapshot_delta(contact_edges(_events_us(spark, sf_dir)))
+
+
 def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relative spam mass (Gyongyi et al.): the PageRank fraction not
     # explained by TrustRank flow from the seed set, trust scaled by V
@@ -1591,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "lm_doc_cost": q_lm_doc_cost,
         "spam_mass": q_spam_mass,
+        "graph_contract_lpa3": q_graph_contract,
+        "contact_graph_delta": q_contact_delta,
         # -- re-confirmations (filling the 50-row cap; green in r4) -------
         "triad_census": q_triad_census,
         "edges_derive": q_edges,
@@ -1711,6 +1734,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": O.pii_scan_sql(),
         "lm_doc_cost": O.doc_lm_cost_sql(),
         "spam_mass": O.spam_mass_sql(TRUST_SEEDS, 8),
+        "graph_contract_lpa3": O.contract_graph_sql(3),
+        "contact_graph_delta": O.snapshot_delta_sql(),
         "vertices_dense_ids": O.vertices_sql(),
         "edges_derive": O.edges_sql(),
         "out_degrees": O.out_degrees_sql(),

@@ -167,3 +167,35 @@ def conductance(
             ).alias("conductance"),
         )
     )
+
+
+def contract_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(c_src, c_dst, n_edges) — the quotient (contracted) graph over a
+    vertex labeling: every directed edge is re-keyed to its endpoints'
+    community labels and multiplicities summed.  Self-rows
+    (``c_src == c_dst``) are the intra-community edge counts — kept,
+    because they are the modularity/coarsening numerator; the
+    Louvain-style next level runs on exactly this frame.
+
+    Scale shape: two vertex-keyed equi-joins (src then dst) and one
+    map-side-combined count on the label pair — label frames are
+    vertex-sized, so at web scale both joins co-locate with the
+    engine's src-hash partitioning and the pair count collapses the
+    billion-edge frame to the community-pair table."""
+    ls = labels.select(
+        F.col(id_col).alias("src"), F.col(label_col).alias("c_src")
+    )
+    ld = labels.select(
+        F.col(id_col).alias("dst"), F.col(label_col).alias("c_dst")
+    )
+    return (
+        edges.join(ls, "src")
+        .join(ld, "dst")
+        .groupBy("c_src", "c_dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )

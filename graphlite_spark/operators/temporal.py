@@ -217,3 +217,58 @@ def temporal_reachability(
     return arr.where(F.col("arr").isNotNull()).select(
         "user_id", F.col("arr").alias("arr_us")
     )
+
+
+def snapshot_delta(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "t",
+) -> DataFrame:
+    """(id, n_kept, n_added, n_removed, deg_old, deg_new) — per-source
+    edge churn between the two halves of the observation window: the
+    distinct out-neighbor set seen before the temporal midpoint
+    (``(min t + max t) div 2`` — BIGINT-exact) vs the set seen at or
+    after it.  ``kept`` appears in both snapshots, ``removed`` only
+    before, ``added`` only after — the crawl-to-crawl link-churn
+    profile (dead links, new links, stable core) per page.
+
+    Scale shape: the midpoint is a 1-row aggregate broadcast into the
+    scan (no driver action, no second pass); then ONE map-side-combined
+    (src, dst) aggregate collapses multiplicity before the per-src
+    count — timestamps never survive past the first shuffle, so a
+    bursty pair is one row, not a skew axis."""
+    mid = edges.agg(
+        F.expr(f"(min({ts_col}) + max({ts_col})) div 2").alias("mid")
+    )
+    st = (
+        edges.crossJoin(F.broadcast(mid))
+        .groupBy(src_col, dst_col)
+        .agg(
+            F.max(
+                F.when(F.col(ts_col) < F.col("mid"), 1).otherwise(0)
+            ).alias("has_old"),
+            F.max(
+                F.when(F.col(ts_col) >= F.col("mid"), 1).otherwise(0)
+            ).alias("has_new"),
+        )
+    )
+    out = st.groupBy(F.col(src_col).alias("id")).agg(
+        F.sum(F.col("has_old") * F.col("has_new"))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum((1 - F.col("has_old")) * F.col("has_new"))
+        .cast("long")
+        .alias("n_added"),
+        F.sum(F.col("has_old") * (1 - F.col("has_new")))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    return out.select(
+        "id",
+        "n_kept",
+        "n_added",
+        "n_removed",
+        (F.col("n_kept") + F.col("n_removed")).cast("long").alias("deg_old"),
+        (F.col("n_kept") + F.col("n_added")).cast("long").alias("deg_new"),
+    )

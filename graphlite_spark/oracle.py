@@ -4104,3 +4104,47 @@ SELECT d.doc_id,
        ELSE sum_cost // n_bigrams END AS BIGINT) AS avg_cost_micros
 FROM documents d LEFT JOIN pd USING (doc_id)
 """
+
+
+def contract_graph_sql(lpa_iterations: int = 3) -> str:
+    """Mirror of algos.community.contract_graph over the LPA-N labels:
+    both endpoints re-keyed to their community, multiplicities summed,
+    intra-community rows kept."""
+    it = lpa_iterations
+    parts = _lpa_parts(it)
+    body = (
+        ", " + ",\n".join(parts) + "\n"
+        "SELECT ls.label AS c_src, ld.label AS c_dst,\n"
+        "       CAST(count(*) AS BIGINT) AS n_edges\n"
+        f"FROM edges e JOIN l{it} ls ON ls.id = e.src\n"
+        f"             JOIN l{it} ld ON ld.id = e.dst\n"
+        "GROUP BY 1, 2"
+    )
+    return _graph_query(body)
+
+
+def snapshot_delta_sql() -> str:
+    """Mirror of operators.temporal.contact_edges + snapshot_delta:
+    per-type contact chains, BIGINT midpoint split, per-src distinct-
+    neighbor churn (DuckDB // == Spark div on non-negative ts)."""
+    return (
+        "WITH ev AS MATERIALIZED (SELECT event_id, user_id, event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),\n"
+        "ce AS MATERIALIZED (SELECT src, dst, t FROM (\n"
+        "  SELECT lag(user_id) OVER (PARTITION BY event_type\n"
+        "           ORDER BY ts_us, event_id) AS src,\n"
+        "         user_id AS dst, ts_us AS t FROM ev)\n"
+        "  WHERE src IS NOT NULL AND src <> dst),\n"
+        "mid AS (SELECT (min(t) + max(t)) // 2 AS mid FROM ce),\n"
+        "st AS (SELECT src, dst,\n"
+        "  max(CASE WHEN t < mid THEN 1 ELSE 0 END) AS has_old,\n"
+        "  max(CASE WHEN t >= mid THEN 1 ELSE 0 END) AS has_new\n"
+        "  FROM ce CROSS JOIN mid GROUP BY src, dst)\n"
+        "SELECT src AS id,\n"
+        "  CAST(sum(has_old * has_new) AS BIGINT) AS n_kept,\n"
+        "  CAST(sum((1 - has_old) * has_new) AS BIGINT) AS n_added,\n"
+        "  CAST(sum(has_old * (1 - has_new)) AS BIGINT) AS n_removed,\n"
+        "  CAST(sum(has_old) AS BIGINT) AS deg_old,\n"
+        "  CAST(sum(has_new) AS BIGINT) AS deg_new\n"
+        "FROM st GROUP BY src"
+    )
