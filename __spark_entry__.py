@@ -1501,6 +1501,26 @@ def q_contact_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_delta(contact_edges(_events_us(spark, sf_dir)))
 
 
+def q_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-bounded longest-path (critical-path) layer per vertex — the
+    # max-plus dual of bfs_7ss on the same vertex-program contract; the
+    # transcript graph is a DAG by construction so layers are exact
+    # wherever the deepest chain into a vertex is <= 8
+    from graphlite_spark.algos.dag import dag_layers
+
+    _, v, e = graph_tables(spark, sf_dir)
+    res = dag_layers(v, e, depth=8)
+    return res.state.select("id", F.col("value").alias("layer"))
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q6 shape: fully pushed-down filter + one map-side-combined
+    # global sum — the scan-bound best case, exact micro-units
+    from graphlite_spark.operators.relational import revenue_forecast
+
+    return revenue_forecast(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relative spam mass (Gyongyi et al.): the PageRank fraction not
     # explained by TrustRank flow from the seed set, trust scaled by V
@@ -1614,6 +1634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": q_spam_mass,
         "graph_contract_lpa3": q_graph_contract,
         "contact_graph_delta": q_contact_delta,
+        "dag_layers_8": q_dag_layers,
+        "tpch_q6_forecast": q_tpch_q6,
         # -- re-confirmations (filling the 50-row cap; green in r4) -------
         "triad_census": q_triad_census,
         "edges_derive": q_edges,
@@ -1736,6 +1758,8 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass": O.spam_mass_sql(TRUST_SEEDS, 8),
         "graph_contract_lpa3": O.contract_graph_sql(3),
         "contact_graph_delta": O.snapshot_delta_sql(),
+        "dag_layers_8": O.dag_layers_sql(8),
+        "tpch_q6_forecast": O.revenue_forecast_sql(),
         "vertices_dense_ids": O.vertices_sql(),
         "edges_derive": O.edges_sql(),
         "out_degrees": O.out_degrees_sql(),

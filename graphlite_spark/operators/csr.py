@@ -262,6 +262,10 @@ class CSRPregelEngine(PregelEngine):
                 acc = np.full(len(ud), np.iinfo(np.int64).max
                               if msg_dtype == "int64" else np.inf, dtype=msg_dtype)
                 np.minimum.at(acc, inv, m)
+            elif reduce_kind == "max":
+                acc = np.full(len(ud), np.iinfo(np.int64).min
+                              if msg_dtype == "int64" else -np.inf, dtype=msg_dtype)
+                np.maximum.at(acc, inv, m)
             else:  # pragma: no cover
                 raise ValueError(f"unsupported reduce {reduce_kind!r}")
             return pd.DataFrame({"dst": ud, "msg": acc})

@@ -124,3 +124,40 @@ def local_supplier_volume(
         .groupBy("n_name")
         .agg(F.sum(rev).cast("long").alias("revenue_micros"))
     )
+
+
+def revenue_forecast(
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    discount: float = 0.05,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: the would-be revenue delta of dropping discounts
+    in a band (discount +/- 0.01) for small orders over one shipping
+    year — ONE row, sum(extendedprice * discount) in exact micro-units.
+
+    Scale shape: the best case the engine can present — every predicate
+    (shipdate range, discount band, quantity cap) pushes to the parquet
+    scan, the projection prunes to three columns, and the single global
+    sum is map-side-combined to one partial per task.  No join, no wide
+    shuffle, no skew axis; at 100 TB this is I/O-bound by construction.
+    Discount bounds compare the same parquet doubles against the same
+    decimal literals on both engines, so the band is bit-identical."""
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    li = lineitem.where(
+        (F.col("l_shipdate") >= lo)
+        & (F.col("l_shipdate") < hi)
+        & (F.col("l_discount") >= discount - 0.01)
+        & (F.col("l_discount") <= discount + 0.01)
+        & (F.col("l_quantity") < max_qty)
+    )
+    return li.agg(
+        F.coalesce(
+            F.sum(_micros(F.col("l_extendedprice") * F.col("l_discount"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("revenue_micros")
+    )

@@ -4148,3 +4148,50 @@ def snapshot_delta_sql() -> str:
         "  CAST(sum(has_new) AS BIGINT) AS deg_new\n"
         "FROM st GROUP BY src"
     )
+
+
+def dag_layers_sql(depth: int = 8) -> str:
+    """Mirror of algos.dag.dag_layers: unrolled max-plus longest-path
+    layering over the transcript DAG — ``depth`` delivery rounds, exactly
+    the naive iterate the engine's send-on-update propagation equals
+    (monotone max: a non-updating vertex has nothing new to send)."""
+    parts = [
+        "d0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS layer "
+        "FROM vertices)"
+    ]
+    for k in range(1, depth + 1):
+        prev = f"d{k - 1}"
+        parts.append(
+            f"d{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id,\n"
+            f"    CAST(CASE WHEN m.d IS NOT NULL AND m.d > p.layer\n"
+            f"         THEN m.d ELSE p.layer END AS BIGINT) AS layer\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, max(q.layer) + 1 AS d\n"
+            f"    FROM edges e JOIN {prev} q ON q.id = e.src\n"
+            f"    GROUP BY e.dst) m ON m.id = p.id)"
+        )
+    joined = ",\n".join(parts)
+    body = f", {joined}\nSELECT id, layer FROM d{depth}"
+    return _graph_query(body)
+
+
+def revenue_forecast_sql(
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    discount: float = 0.05,
+    max_qty: int = 24,
+) -> str:
+    """Mirror of operators.relational.revenue_forecast (TPC-H Q6 shape):
+    identical per-row micro-unit rounding, identical decimal literals in
+    the discount band (same nearest-double on both engines)."""
+    return (
+        "SELECT CAST(COALESCE(sum(CAST(round(l_extendedprice * l_discount"
+        " * 1000000, 0) AS BIGINT)), 0) AS BIGINT) AS revenue_micros\n"
+        "FROM lineitem\n"
+        f"WHERE l_shipdate >= TIMESTAMP '{date_lo} 00:00:00'\n"
+        f"  AND l_shipdate < TIMESTAMP '{date_hi} 00:00:00'\n"
+        f"  AND l_discount >= {discount} - 0.01\n"
+        f"  AND l_discount <= {discount} + 0.01\n"
+        f"  AND l_quantity < {max_qty}"
+    )
