@@ -9,6 +9,8 @@ only where it is the DOCUMENTED brute-force baseline.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import __spark_entry__ as entrymod
@@ -78,6 +80,12 @@ GUARDED = [
     "reciprocity_contacts",
     "rich_club",
     "effective_diameter",
+    # round-5 additions: the quotient-graph label joins and the snapshot
+    # churn (whose only non-equi join is the 1-row midpoint broadcast);
+    # Q6 is join-free but must never degrade to anything but a scan+agg
+    "graph_contract_lpa3",
+    "contact_graph_delta",
+    "tpch_q6_forecast",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -92,6 +100,8 @@ BNLJ_ALLOWED = {
     "effective_diameter",
     # 1-row (M/A counts) x 1-row (vertex count) assembly join
     "dyad_census",
+    # 1-row temporal-midpoint aggregate broadcast into the edge scan
+    "contact_graph_delta",
 }
 
 
@@ -141,3 +151,24 @@ def test_wedge_family_degree_oriented(spark, monkeypatch):
     assert ("oriented", "degree") in seen, "rectangles no longer degree-oriented"
     # undirected closure is K4 on {1,2,3,4}: exactly 3 distinct 4-cycles
     assert rect == 3
+
+
+def test_q6_filters_push_to_scan(spark):
+    """TPC-H Q6's whole predicate set must reach the parquet scan
+    (PushedFilters) and the projection must prune to the three used
+    columns — the scan-bound contract its docstring claims."""
+    df = entrymod.queries()["tpch_q6_forecast"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the PushedFilters list is elided past ~100 chars in toString, so
+    # assert the stable prefix: every filtered column registered, and the
+    # range predicates start pushing (IsNotNull + GreaterThanOrEqual)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)", plan)
+    assert pushed is not None, plan[:1200]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({frag})" in pushed.group(1), \
+            f"{frag} not in PushedFilters: {pushed.group(1)}"
+    assert "GreaterThanOrEqual(l_shipda" in pushed.group(1), pushed.group(1)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_extendedprice", "l_discount", "l_quantity", "l_shipdate"}, cols
