@@ -1521,6 +1521,18 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_forecast(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # entity resolution: CC over shared extracted identifiers (email/
+    # phone), df-capped stop-identifiers, star edges; the deterministic
+    # shared-contact suffix gives the digit-free corpus real collisions
+    from graphlite_spark.operators.entity import entity_resolution
+    from graphlite_spark.operators.pii import with_shared_contacts
+
+    return entity_resolution(
+        with_shared_contacts(load_table(spark, sf_dir, "documents"))
+    )
+
+
 def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relative spam mass (Gyongyi et al.): the PageRank fraction not
     # explained by TrustRank flow from the seed set, trust scaled by V
@@ -1636,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contact_graph_delta": q_contact_delta,
         "dag_layers_8": q_dag_layers,
         "tpch_q6_forecast": q_tpch_q6,
+        "entity_resolution": q_entity_resolution,
         # -- re-confirmations (filling the 50-row cap; green in r4) -------
         "triad_census": q_triad_census,
         "edges_derive": q_edges,
@@ -1760,6 +1773,7 @@ def oracle_sql() -> dict[str, str]:
         "contact_graph_delta": O.snapshot_delta_sql(),
         "dag_layers_8": O.dag_layers_sql(8),
         "tpch_q6_forecast": O.revenue_forecast_sql(),
+        "entity_resolution": O.entity_resolution_sql(),
         "vertices_dense_ids": O.vertices_sql(),
         "edges_derive": O.edges_sql(),
         "out_degrees": O.out_degrees_sql(),

@@ -95,3 +95,36 @@ def with_contact_suffix(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
     return docs.withColumn(text_col, s)
+
+
+def with_shared_contacts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a deterministic contact suffix with CROSS-document
+    collisions — the entity-resolution test bed (the digit-free
+    synthetic corpus shares no identifiers at all).
+
+    * docs with ``doc_id % 3 == 0`` carry email ``user<doc_id div 6>@…``
+      — ids 6k and 6k+3 share an address (pairs);
+    * docs with ``doc_id % 5 == 0`` carry phone ``415-555-<doc_id div
+      10 mod 10000>`` — ids 10k and 10k+5 share a number (pairs);
+    * ids divisible by both 3 and 5 bridge their email-pair and
+      phone-pair into a chain — real transitive-merge structure with
+      bounded cluster size, plus singletons (ids carrying nothing).
+
+    Pure column expressions mirrored verbatim by the DuckDB oracle."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit(" mail user"),
+            F.expr("doc_id div 6").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" tel 415-555-"),
+            F.lpad(F.expr("(doc_id div 10) % 10000").cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.withColumn(text_col, F.concat(F.col(text_col), email, phone))

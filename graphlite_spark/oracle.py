@@ -4195,3 +4195,43 @@ def revenue_forecast_sql(
         f"  AND l_discount <= {discount} + 0.01\n"
         f"  AND l_quantity < {max_qty}"
     )
+
+
+def entity_resolution_sql(max_df: int = 16) -> str:
+    """Mirror of operators.entity.entity_resolution over the
+    with_shared_contacts corpus: same suffix expressions (DuckDB // ==
+    Spark div on non-negative ids), same PII-dialect extraction, same
+    df-capped star edges, transitive closure via recursive reach."""
+    email_pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_pat = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    return (
+        "WITH RECURSIVE src AS MATERIALIZED (SELECT doc_id,\n"
+        "  text\n"
+        "  || CASE WHEN doc_id % 3 = 0 THEN ' mail user'\n"
+        "       || CAST(doc_id // 6 AS VARCHAR) || '@example.com'\n"
+        "     ELSE '' END\n"
+        "  || CASE WHEN doc_id % 5 = 0 THEN ' tel 415-555-'\n"
+        "       || lpad(CAST((doc_id // 10) % 10000 AS VARCHAR), 4, '0')\n"
+        "     ELSE '' END AS text\n"
+        "  FROM documents),\n"
+        "idents AS MATERIALIZED (SELECT DISTINCT doc_id, ident FROM (\n"
+        "  SELECT doc_id, 'email:' || lower(x) AS ident FROM (\n"
+        f"    SELECT doc_id, unnest(regexp_extract_all(text, '{email_pat}'))"
+        " AS x FROM src)\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id, 'phone:' || lower(x) AS ident FROM (\n"
+        f"    SELECT doc_id, unnest(regexp_extract_all(text, '{phone_pat}'))"
+        " AS x FROM src))),\n"
+        "g AS MATERIALIZED (SELECT ident, min(doc_id) AS m, count(*) AS df\n"
+        "  FROM idents GROUP BY ident),\n"
+        "se AS MATERIALIZED (SELECT g.m AS s, i.doc_id AS d\n"
+        "  FROM idents i JOIN g USING (ident)\n"
+        f"  WHERE g.df BETWEEN 2 AND {max_df} AND i.doc_id <> g.m),\n"
+        "du AS MATERIALIZED (SELECT s, d FROM se UNION SELECT d, s FROM se),\n"
+        "reach(id, r) AS (\n"
+        "  SELECT doc_id, doc_id FROM documents\n"
+        "  UNION\n"
+        "  SELECT u.d, reach.r FROM reach JOIN du u ON u.s = reach.id)\n"
+        "SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS entity\n"
+        "FROM reach GROUP BY id"
+    )
