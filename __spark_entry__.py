@@ -53,6 +53,7 @@ from graphlite_spark.algos.triangles import (
     triangle_count_per_vertex,
 )
 from graphlite_spark.algos.centrality import (
+    lin_centrality,
     eccentricity,
     eigenvector_centrality,
     harmonic_centrality,
@@ -1158,6 +1159,15 @@ def q_harmonic_msbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lin_msbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lin's closeness index (Lin 1976 / Boldi-Vigna): the same MS-BFS
+    # traversal as harmonic_msbfs accumulating (reached, sum_dist) per
+    # vertex; lin = (1e6 * reached^2) div sum_dist, exact BIGINT ratio
+    _, v, e = graph_tables(spark, sf_dir)
+    return lin_centrality(v, e, sources=[0, 100, 200, 300],
+                          fixed_supersteps=8)
+
+
 def q_bfs_7ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v, e = graph_tables(spark, sf_dir)
     res = bfs(v, e, source=0, fixed_supersteps=7)
@@ -1751,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_2": q_kcore2,
         "coreness": q_coreness,
         "incremental_cc": q_incremental_cc,
+        # -- round-5 late wave (past the 50-row cap; r6 rotation) ----
+        "lin_centrality_msbfs": q_lin_msbfs,
     }
 
 
@@ -1913,4 +1925,5 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": O.sessionize_sql(30),
         "events_windowed": O.events_windowed_sql(),
         "events_windowed_sliding": O.events_windowed_sliding_sql(),
+        "lin_centrality_msbfs": O.lin_sql((0, 100, 200, 300), 8),
     }

@@ -197,6 +197,95 @@ def eccentricity(
     )
 
 
+class MultiSourceBFSLin(MultiSourceBFS):
+    """MS-BFS accumulating the closeness substrate per VERTEX: ``cnt``
+    (how many sampled sources reached it) and ``sd`` (sum of hop
+    distances from those sources) — the two integers behind both
+    classic closeness ``cnt / sd`` and Lin's index ``cnt² / sd``
+    (Lin 1976; Boldi & Vigna, "Axioms for Centrality", 2014 — Lin's
+    repair of closeness for disconnected/partially-reached graphs).
+    Same traversal cost as harmonic: one BFS for k ≤ 63 sources."""
+
+    name = "msbfs_lin"
+    value_type = "struct<mask:bigint,sd:bigint,cnt:bigint>"
+
+    @staticmethod
+    def _mk3(mask: Column, sd: Column, cnt: Column) -> Column:
+        return F.struct(
+            mask.cast("long").alias("mask"),
+            sd.cast("long").alias("sd"),
+            cnt.cast("long").alias("cnt"),
+        )
+
+    def init_value(self) -> Column:
+        return self._mk3(F.lit(0), F.lit(0), F.lit(0))
+
+    def update_value(self, superstep: int, aggr: dict[str, float]) -> Column:
+        if superstep == 0:
+            # a source reaches itself at distance 0: contributes 0 to
+            # sd and 1 to cnt (Lin counts the vertex's own closed ball)
+            m = self._init_mask()
+            return self._mk3(m, F.lit(0), F.bit_count(m).cast("long"))
+        mask = F.col("value").getField("mask")
+        sd = F.col("value").getField("sd")
+        cnt = F.col("value").getField("cnt")
+        newly = self._newly()
+        c = F.bit_count(newly).cast("long")
+        return F.when(
+            F.col("has_msg") & (newly != 0),
+            self._mk3(
+                mask.bitwiseOR(newly),
+                sd + c * F.lit(superstep),
+                cnt + c,
+            ),
+        ).otherwise(F.col("value"))
+
+    def message(self, superstep: int, aggr: dict[str, float]) -> Column:
+        return self._mk3(
+            F.col("value").getField("mask"), F.lit(0), F.lit(0)
+        )
+
+    def combine(self, msgs: DataFrame) -> DataFrame:
+        return msgs.groupBy("dst").agg(
+            F.struct(
+                F.bit_or(F.col("msg").getField("mask")).alias("mask"),
+                F.lit(0).cast("long").alias("sd"),
+                F.lit(0).cast("long").alias("cnt"),
+            ).alias("msg")
+        )
+
+
+def lin_centrality(
+    vertices: DataFrame,
+    edges: DataFrame,
+    sources: list[int],
+    fixed_supersteps: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(id, reached, sum_dist, lin_micros) — Lin's closeness index from
+    the sampled sources, integer micro-units:
+    ``lin = (10^6 · reached²) div sum_dist`` (exact BIGINT div, the
+    repo's determinism discipline), with the Boldi–Vigna convention
+    ``lin = 10^6`` for vertices whose only reacher is themselves
+    (sum_dist = 0) and 0 for vertices no source reaches."""
+    algo = MultiSourceBFSLin(sources, fixed_supersteps=fixed_supersteps)
+    eng = PregelEngine(num_partitions=num_partitions)
+    res = eng.run(vertices, edges, algo)
+    st = F.col("value")
+    cnt = st.getField("cnt")
+    sd = st.getField("sd")
+    return res.state.select(
+        "id",
+        cnt.alias("reached"),
+        sd.alias("sum_dist"),
+        F.when(cnt == 0, F.lit(0).cast("long"))
+        .when(sd == 0, F.lit(MICRO).cast("long"))
+        .otherwise(F.expr(f"({MICRO} * value.cnt * value.cnt) div value.sd"))
+        .cast("long")
+        .alias("lin_micros"),
+    )
+
+
 def katz_centrality(
     vertices: DataFrame,
     edges: DataFrame,

@@ -607,6 +607,48 @@ def harmonic_sql(sources: tuple[int, ...] = (0, 1, 2, 3),
     return _graph_query(body)
 
 
+def lin_sql(sources: tuple[int, ...] = (0, 100, 200, 300),
+            supersteps: int = 8) -> str:
+    """Mirror of algos.centrality.lin_centrality: harmonic_sql's
+    unrolled MS-BFS levels accumulating cnt (bit_count of new bits) and
+    sd (cnt · level) instead of the harmonic sum; final Lin index is the
+    identical exact BIGINT division with the same 0 / 10^6 edge cases."""
+    cases = " ".join(
+        f"WHEN {s} THEN {1 << i}" for i, s in enumerate(sources)
+    )
+    parts = [
+        f"m0 AS MATERIALIZED (SELECT id,\n"
+        f"  CAST(CASE id {cases} ELSE 0 END AS BIGINT) AS mask,\n"
+        "  CAST(0 AS BIGINT) AS sd,\n"
+        f"  CAST(bit_count(CAST(CASE id {cases} ELSE 0 END AS BIGINT))"
+        " AS BIGINT) AS cnt FROM vertices)"
+    ]
+    for t in range(1, supersteps):
+        prev = f"m{t - 1}"
+        parts.append(
+            f"m{t} AS MATERIALIZED (\n"
+            "  SELECT v.id, v.mask | COALESCE(i.im, 0) AS mask,\n"
+            "    v.sd + CAST(bit_count(COALESCE(i.im, 0) & ~v.mask)"
+            f" AS BIGINT) * {t} AS sd,\n"
+            "    v.cnt + CAST(bit_count(COALESCE(i.im, 0) & ~v.mask)"
+            " AS BIGINT) AS cnt\n"
+            f"  FROM {prev} v LEFT JOIN (\n"
+            "    SELECT e.dst AS id, bit_or(s.mask) AS im\n"
+            f"    FROM edges e JOIN {prev} s ON s.id = e.src"
+            " AND s.mask <> 0\n"
+            "    GROUP BY e.dst) i ON i.id = v.id)"
+        )
+    body = (
+        ", " + ",\n".join(parts) + "\n"
+        "SELECT id, cnt AS reached, sd AS sum_dist,\n"
+        "  CAST(CASE WHEN cnt = 0 THEN 0 WHEN sd = 0 THEN "
+        f"{MICRO_UNIT} ELSE ({MICRO_UNIT} * cnt * cnt) // sd END"
+        " AS BIGINT) AS lin_micros\n"
+        f"FROM m{supersteps - 1}"
+    )
+    return _graph_query(body)
+
+
 def eccentricity_sql(sources: tuple[int, ...] = (0, 100, 200, 300),
                      supersteps: int = 8) -> str:
     """Mirror of algos.centrality.eccentricity: the same unrolled MS-BFS

@@ -242,3 +242,49 @@ def test_stress_from_source_replay(spark):
     got = {r["id"]: r["n_paths_through"]
            for r in stress_from_source(v, e, source=0, depth=depth).collect()}
     assert got == through
+
+
+def test_lin_centrality_bruteforce(spark):
+    """MS-BFS Lin index vs per-source Python BFS (reached/sum_dist and
+    the exact integer ratio, incl. the sd=0 and cnt=0 edge cases)."""
+    from collections import deque
+
+    from graphlite_spark.algos.centrality import lin_centrality
+    from tests.reference_sim import random_digraph
+
+    edges = random_digraph(40, 100, seed=31)
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    v = spark.range(40).select("id")
+    sources = [0, 5, 9]
+    got = {
+        r["id"]: (r["reached"], r["sum_dist"], r["lin_micros"])
+        for r in lin_centrality(v, e, sources, fixed_supersteps=10).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    cnt = {i: 0 for i in range(40)}
+    sd = {i: 0 for i in range(40)}
+    for src in sources:
+        dist = {src: 0}
+        dq = deque([src])
+        while dq:
+            u = dq.popleft()
+            for w in adj.get(u, ()):
+                if w not in dist and dist[u] + 1 <= 9:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        for vtx, d in dist.items():
+            cnt[vtx] += 1
+            sd[vtx] += d
+    for i in range(40):
+        lin = (
+            0 if cnt[i] == 0
+            else 1_000_000 if sd[i] == 0
+            else (1_000_000 * cnt[i] * cnt[i]) // sd[i]
+        )
+        assert got[i] == (cnt[i], sd[i], lin), i
