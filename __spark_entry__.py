@@ -1168,6 +1168,18 @@ def q_lin_msbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
                           fixed_supersteps=8)
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sampled-source bounded-distance Brandes betweenness (Brandes &
+    # Pich 2007): forward sigma BFS + backward dependency levels, all
+    # integer micro-units; 8 sources, 6-hop horizon
+    from graphlite_spark.algos.betweenness import betweenness_sampled
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return betweenness_sampled(
+        v, e, sources=[0, 100, 200, 300, 400, 500, 600, 700], max_depth=6
+    )
+
+
 def q_bfs_7ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v, e = graph_tables(spark, sf_dir)
     res = bfs(v, e, source=0, fixed_supersteps=7)
@@ -1763,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc": q_incremental_cc,
         # -- round-5 late wave (past the 50-row cap; r6 rotation) ----
         "lin_centrality_msbfs": q_lin_msbfs,
+        "betweenness_sampled6": q_betweenness,
     }
 
 
@@ -1926,4 +1939,6 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": O.events_windowed_sql(),
         "events_windowed_sliding": O.events_windowed_sliding_sql(),
         "lin_centrality_msbfs": O.lin_sql((0, 100, 200, 300), 8),
+        "betweenness_sampled6": O.betweenness_sql(
+            (0, 100, 200, 300, 400, 500, 600, 700), 6),
     }

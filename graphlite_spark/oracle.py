@@ -649,6 +649,72 @@ def lin_sql(sources: tuple[int, ...] = (0, 100, 200, 300),
     return _graph_query(body)
 
 
+def betweenness_sql(sources: tuple[int, ...], max_depth: int = 6) -> str:
+    """Mirror of algos.betweenness.betweenness_sampled: the forward BFS
+    levels (sigma path counts, first-arrival anti joins) and backward
+    Brandes dependency levels unrolled, each delta term the identical
+    exact BIGINT expression ``(sigma_v * (1e6 + delta_w)) // sigma_w``.
+    DuckDB SUM returns HUGEINT — every aggregate is cast back to BIGINT
+    to keep the arithmetic in the engine-shared type."""
+    vals = ", ".join(f"({s})" for s in sources)
+    parts = [
+        "arcs AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges"
+        " WHERE src <> dst)",
+        f"f0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma"
+        f" FROM (VALUES {vals}) AS S(s))",
+        "r0 AS MATERIALIZED (SELECT s, v FROM f0)",
+    ]
+    for t in range(1, max_depth + 1):
+        parts.append(
+            f"f{t} AS MATERIALIZED (\n"
+            "  SELECT c.s, c.v, c.sigma FROM (\n"
+            "    SELECT f.s, a.dst AS v, CAST(SUM(f.sigma) AS BIGINT)"
+            " AS sigma\n"
+            f"    FROM f{t - 1} f JOIN arcs a ON a.src = f.v\n"
+            "    GROUP BY f.s, a.dst) c\n"
+            f"  ANTI JOIN r{t - 1} r ON r.s = c.s AND r.v = c.v)"
+        )
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT * FROM r{t - 1}"
+            f" UNION ALL SELECT s, v FROM f{t})"
+        )
+    parts.append(
+        f"d{max_depth} AS MATERIALIZED (SELECT s, v, sigma,"
+        f" CAST(0 AS BIGINT) AS delta FROM f{max_depth})"
+    )
+    for t in range(max_depth - 1, 0, -1):
+        parts.append(
+            f"d{t} AS MATERIALIZED (\n"
+            "  SELECT ft.s, ft.v, ft.sigma,"
+            " CAST(COALESCE(x.dl, 0) AS BIGINT) AS delta\n"
+            f"  FROM f{t} ft LEFT JOIN (\n"
+            "    SELECT g.s, g.v, CAST(SUM((g.sigma *"
+            f" ({MICRO_UNIT} + dn.delta)) // dn.sigma) AS BIGINT) AS dl\n"
+            f"    FROM f{t} g JOIN arcs a ON a.src = g.v\n"
+            f"    JOIN d{t + 1} dn ON dn.s = g.s AND dn.v = a.dst\n"
+            "    GROUP BY g.s, g.v) x ON x.s = ft.s AND x.v = ft.v)"
+        )
+    if max_depth >= 2:
+        alld = "\n  UNION ALL\n".join(
+            f"  SELECT v, delta FROM d{t}" for t in range(1, max_depth)
+        )
+        parts.append("alld AS MATERIALIZED (\n" + alld + ")")
+        bexpr = (
+            "LEFT JOIN (SELECT v, CAST(SUM(delta) AS BIGINT) AS bm"
+            " FROM alld GROUP BY v) b ON b.v = vt.id"
+        )
+    else:
+        bexpr = "LEFT JOIN (SELECT CAST(NULL AS BIGINT) AS v," \
+                " CAST(NULL AS BIGINT) AS bm) b ON b.v = vt.id"
+    body = (
+        ", " + ",\n".join(parts) + "\n"
+        "SELECT vt.id, CAST(COALESCE(b.bm, 0) AS BIGINT)"
+        " AS betweenness_micros\n"
+        f"FROM vertices vt {bexpr}"
+    )
+    return _graph_query(body)
+
+
 def eccentricity_sql(sources: tuple[int, ...] = (0, 100, 200, 300),
                      supersteps: int = 8) -> str:
     """Mirror of algos.centrality.eccentricity: the same unrolled MS-BFS
