@@ -1180,6 +1180,86 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q4 shape: left-semi EXISTS join (late-shipped orders per priority)
+    from graphlite_spark.operators.relational import priority_late_orders
+
+    return priority_late_orders(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q7 shape: nation enters twice (supplier-side + customer-side
+    # broadcast), per ordered nation pair and ship year
+    from graphlite_spark.operators.relational import nation_pair_volume
+
+    return nation_pair_volume(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q10 shape: returned-item revenue top-20, filters pushed pre-join
+    from graphlite_spark.operators.relational import returned_item_report
+
+    return returned_item_report(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q13 shape: outer-join order-count histogram incl. the zero bucket
+    from graphlite_spark.operators.relational import (
+        customer_order_distribution,
+    )
+
+    return customer_order_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q14 shape: promo revenue share; pct is a 128-bit exact quotient
+    from graphlite_spark.operators.relational import promo_revenue_effect
+
+    return promo_revenue_effect(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q15 shape: top supplier(s) by quarter revenue, max broadcast back
+    from graphlite_spark.operators.relational import top_supplier
+
+    return top_supplier(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q18 shape: HAVING-filtered quantity rollup before dimension joins
+    from graphlite_spark.operators.relational import large_volume_customers
+
+    return large_volume_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        min_qty=300,
+    )
+
+
 def q_bfs_7ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v, e = graph_tables(spark, sf_dir)
     res = bfs(v, e, source=0, fixed_supersteps=7)
@@ -1776,6 +1856,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 late wave (past the 50-row cap; r6 rotation) ----
         "lin_centrality_msbfs": q_lin_msbfs,
         "betweenness_sampled6": q_betweenness,
+        "tpch_q4_late_orders": q_tpch_q4,
+        "tpch_q7_nation_volume": q_tpch_q7,
+        "tpch_q10_returns": q_tpch_q10,
+        "tpch_q13_order_dist": q_tpch_q13,
+        "tpch_q14_promo": q_tpch_q14,
+        "tpch_q15_top_supplier": q_tpch_q15,
+        "tpch_q18_large_orders": q_tpch_q18,
     }
 
 
@@ -1941,4 +2028,11 @@ def oracle_sql() -> dict[str, str]:
         "lin_centrality_msbfs": O.lin_sql((0, 100, 200, 300), 8),
         "betweenness_sampled6": O.betweenness_sql(
             (0, 100, 200, 300, 400, 500, 600, 700), 6),
+        "tpch_q4_late_orders": O.priority_late_orders_sql(),
+        "tpch_q7_nation_volume": O.nation_pair_volume_sql(),
+        "tpch_q10_returns": O.returned_item_report_sql(),
+        "tpch_q13_order_dist": O.customer_order_distribution_sql(),
+        "tpch_q14_promo": O.promo_revenue_effect_sql(),
+        "tpch_q15_top_supplier": O.top_supplier_sql(),
+        "tpch_q18_large_orders": O.large_volume_customers_sql(),
     }

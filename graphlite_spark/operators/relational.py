@@ -161,3 +161,292 @@ def revenue_forecast(
         .cast("long")
         .alias("revenue_micros")
     )
+
+
+def priority_late_orders(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q4 shape: orders placed in one quarter that had at least
+    one lineitem shipped AFTER the order date (the schema's late-ship
+    indicator — the testdata carries no commit/receipt dates), counted
+    per order priority.
+
+    Scale shape: the EXISTS is a LEFT SEMI hash join on l_orderkey —
+    the probe side never duplicates orders however many lineitems
+    match; both date predicates push to the parquet scans."""
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    o = orders.where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+def nation_pair_volume(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between every ORDERED pair of
+    distinct nations (supplier nation -> customer nation) per ship
+    year — the two-sided dimension join (nation enters twice under
+    different roles).
+
+    Scale shape: nation is broadcast on both sides; the fact-side work
+    is two fact-fact equi-joins (lineitem->orders, ->supplier rosters)
+    keyed on their natural keys; the final groupBy is map-side combined
+    over a (nation, nation, year) key space that is dimension-sized."""
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = lineitem.where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        _micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_m"
+        ),
+    )
+    return (
+        li.join(supplier.select("s_suppkey", "s_nationkey"),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_m").cast("long").alias("revenue_micros"))
+    )
+
+
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+    n: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-n customers by revenue lost to returns
+    (l_returnflag = 'R') on orders from one quarter.
+
+    Scale shape: order-date predicate pushes to the orders scan and the
+    returnflag predicate to the lineitem scan BEFORE either join;
+    nation broadcasts; (revenue DESC, custkey ASC) is a total order so
+    the TakeOrderedAndProject top-n is deterministic."""
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    o = orders.where(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        _micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_m"
+        ),
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_name", "c_acctbal",
+                              "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum("rev_m").cast("long").alias("revenue_micros"),
+            F.max(_micros(F.col("c_acctbal"))).alias("acctbal_micros"),
+        )
+        .orderBy(F.desc("revenue_micros"), F.asc("c_custkey"))
+        .limit(n)
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly k orders, for
+    every k INCLUDING ZERO — the outer-join histogram.
+
+    Scale shape: one LEFT OUTER equi-join (never-ordered customers kept
+    as null order keys), one per-customer count, one map-side-combined
+    histogram groupBy whose key space is the max order count."""
+    per = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def promo_revenue_effect(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-02-01",
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14 shape: the share of one month's revenue that came from
+    promotional parts — one row (promo_micros, total_micros,
+    promo_pct_micros).
+
+    The percentage is the exact 128-bit integral quotient
+    ``(100 · 10^6 · promo) div total`` — Spark evaluates it in
+    DECIMAL(38,0) ``div``, DuckDB in HUGEINT ``//``; the result fits a
+    BIGINT (≤ 10^8), so both engines agree bit-for-bit where a float
+    ratio would not.
+
+    Scale shape: the ship-date predicate pushes to the lineitem scan;
+    part joins on its key (broadcast-sized next to the fact side); one
+    global conditional sum, map-side combined."""
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    li = lineitem.where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select(
+        "l_partkey",
+        _micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_m"
+        ),
+    )
+    j = li.join(
+        part.select("p_partkey", "p_type"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    agg = j.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("p_type") == promo_type, F.col("rev_m"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("promo_micros"),
+        F.coalesce(F.sum("rev_m"), F.lit(0)).cast("long").alias(
+            "total_micros"
+        ),
+    )
+    return agg.select(
+        "promo_micros",
+        "total_micros",
+        F.when(F.col("total_micros") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST((CAST(promo_micros AS DECIMAL(38,0)) * 100000000)"
+                " div total_micros AS BIGINT)"
+            )
+        )
+        .alias("promo_pct_micros"),
+    )
+
+
+def top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose one-quarter revenue equals
+    the maximum — ties all kept, per the spec.
+
+    Scale shape: one filtered fact aggregate per supplier, then a 1-ROW
+    global max broadcast back as the filter (the eigenvector-
+    normalization pattern) — no window over the full supplier set, no
+    second fact scan."""
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                _micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("total_revenue_micros")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue_micros").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue_micros") == F.col("mx"))
+        .join(
+            supplier.select("s_suppkey", "s_name"),
+            F.col("suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue_micros")
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = 300,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds the
+    threshold, with their customer — the HAVING-filtered fact rollup.
+
+    Scale shape: the quantity rollup groups the fact table on its own
+    primary-key prefix (l_orderkey) — map-side combined, no skew axis
+    (order sizes are bounded); the HAVING filter shrinks the result to
+    a sliver BEFORE the dimension joins."""
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_micros(F.col("l_quantity"))).alias("sum_qty_micros"))
+        .where(F.col("sum_qty_micros") > min_qty * MICROS)
+    )
+    return (
+        qty.join(
+            orders.select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            _micros(F.col("o_totalprice")).alias("totalprice_micros"),
+            F.col("sum_qty_micros").cast("long").alias("sum_qty_micros"),
+        )
+    )

@@ -4343,3 +4343,143 @@ def entity_resolution_sql(max_df: int = 16) -> str:
         "SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS entity\n"
         "FROM reach GROUP BY id"
     )
+
+
+_REV_M = (
+    "CAST(round(l_extendedprice * (1 - l_discount) * 1000000, 0) AS BIGINT)"
+)
+
+
+def priority_late_orders_sql(
+    date_lo: str = "1996-01-01", date_hi: str = "1996-04-01"
+) -> str:
+    """Mirror of operators.relational.priority_late_orders (Q4 shape):
+    EXISTS lineitem shipped after the order date, counted per priority."""
+    return (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count\n"
+        "FROM orders o\n"
+        f"WHERE o_orderdate >= TIMESTAMP '{date_lo} 00:00:00'\n"
+        f"  AND o_orderdate < TIMESTAMP '{date_hi} 00:00:00'\n"
+        "  AND EXISTS (SELECT 1 FROM lineitem l\n"
+        "    WHERE l.l_orderkey = o.o_orderkey"
+        " AND l.l_shipdate > o.o_orderdate)\n"
+        "GROUP BY o_orderpriority"
+    )
+
+
+def nation_pair_volume_sql(
+    date_lo: str = "1996-01-01", date_hi: str = "1998-01-01"
+) -> str:
+    """Mirror of operators.relational.nation_pair_volume (Q7 shape)."""
+    return (
+        "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,\n"
+        "  CAST(year(l_shipdate) AS BIGINT) AS l_year,\n"
+        f"  CAST(sum({_REV_M}) AS BIGINT) AS revenue_micros\n"
+        "FROM lineitem\n"
+        "JOIN supplier ON s_suppkey = l_suppkey\n"
+        "JOIN nation sn ON sn.n_nationkey = s_nationkey\n"
+        "JOIN orders ON o_orderkey = l_orderkey\n"
+        "JOIN customer ON c_custkey = o_custkey\n"
+        "JOIN nation cn ON cn.n_nationkey = c_nationkey\n"
+        f"WHERE l_shipdate >= TIMESTAMP '{date_lo} 00:00:00'\n"
+        f"  AND l_shipdate < TIMESTAMP '{date_hi} 00:00:00'\n"
+        "  AND sn.n_name <> cn.n_name\n"
+        "GROUP BY sn.n_name, cn.n_name, year(l_shipdate)"
+    )
+
+
+def returned_item_report_sql(
+    date_lo: str = "1996-01-01", date_hi: str = "1996-04-01", n: int = 20
+) -> str:
+    """Mirror of operators.relational.returned_item_report (Q10 shape)."""
+    return (
+        "SELECT c_custkey, c_name, n_name,\n"
+        f"  CAST(sum({_REV_M}) AS BIGINT) AS revenue_micros,\n"
+        "  CAST(max(CAST(round(c_acctbal * 1000000, 0) AS BIGINT))"
+        " AS BIGINT) AS acctbal_micros\n"
+        "FROM lineitem\n"
+        "JOIN orders ON o_orderkey = l_orderkey\n"
+        "JOIN customer ON c_custkey = o_custkey\n"
+        "JOIN nation ON n_nationkey = c_nationkey\n"
+        "WHERE l_returnflag = 'R'\n"
+        f"  AND o_orderdate >= TIMESTAMP '{date_lo} 00:00:00'\n"
+        f"  AND o_orderdate < TIMESTAMP '{date_hi} 00:00:00'\n"
+        "GROUP BY c_custkey, c_name, n_name\n"
+        f"ORDER BY revenue_micros DESC, c_custkey ASC LIMIT {n}"
+    )
+
+
+def customer_order_distribution_sql() -> str:
+    """Mirror of operators.relational.customer_order_distribution (Q13
+    shape): zero-order customers kept by the LEFT join."""
+    return (
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (\n"
+        "  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count\n"
+        "  FROM customer LEFT JOIN orders ON o_custkey = c_custkey\n"
+        "  GROUP BY c_custkey)\n"
+        "GROUP BY c_count"
+    )
+
+
+def promo_revenue_effect_sql(
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-02-01",
+    promo_type: str = "PROMO",
+) -> str:
+    """Mirror of operators.relational.promo_revenue_effect (Q14 shape):
+    the percentage is the identical 128-bit integral quotient (HUGEINT
+    here, DECIMAL(38,0) div on Spark), cast back to BIGINT."""
+    return (
+        "WITH a AS (SELECT\n"
+        f"  CAST(COALESCE(sum(CASE WHEN p_type = '{promo_type}'"
+        f" THEN {_REV_M} END), 0) AS BIGINT) AS promo_micros,\n"
+        f"  CAST(COALESCE(sum({_REV_M}), 0) AS BIGINT) AS total_micros\n"
+        "  FROM lineitem JOIN part ON p_partkey = l_partkey\n"
+        f"  WHERE l_shipdate >= TIMESTAMP '{date_lo} 00:00:00'\n"
+        f"    AND l_shipdate < TIMESTAMP '{date_hi} 00:00:00')\n"
+        "SELECT promo_micros, total_micros,\n"
+        "  CAST(CASE WHEN total_micros = 0 THEN 0 ELSE\n"
+        "    (CAST(promo_micros AS HUGEINT) * 100000000) // total_micros\n"
+        "  END AS BIGINT) AS promo_pct_micros\n"
+        "FROM a"
+    )
+
+
+def top_supplier_sql(
+    date_lo: str = "1996-01-01", date_hi: str = "1996-04-01"
+) -> str:
+    """Mirror of operators.relational.top_supplier (Q15 shape): ties at
+    the max all kept."""
+    return (
+        "WITH rev AS MATERIALIZED (\n"
+        "  SELECT l_suppkey AS suppkey,\n"
+        f"    CAST(sum({_REV_M}) AS BIGINT) AS total_revenue_micros\n"
+        "  FROM lineitem\n"
+        f"  WHERE l_shipdate >= TIMESTAMP '{date_lo} 00:00:00'\n"
+        f"    AND l_shipdate < TIMESTAMP '{date_hi} 00:00:00'\n"
+        "  GROUP BY l_suppkey)\n"
+        "SELECT s_suppkey, s_name, total_revenue_micros\n"
+        "FROM rev JOIN supplier ON s_suppkey = suppkey\n"
+        "WHERE total_revenue_micros = (SELECT max(total_revenue_micros)"
+        " FROM rev)"
+    )
+
+
+def large_volume_customers_sql(min_qty: int = 300) -> str:
+    """Mirror of operators.relational.large_volume_customers (Q18
+    shape)."""
+    return (
+        "WITH qty AS (\n"
+        "  SELECT l_orderkey,\n"
+        "    CAST(sum(CAST(round(l_quantity * 1000000, 0) AS BIGINT))"
+        " AS BIGINT) AS sum_qty_micros\n"
+        "  FROM lineitem GROUP BY l_orderkey\n"
+        f"  HAVING sum(CAST(round(l_quantity * 1000000, 0) AS BIGINT))"
+        f" > {min_qty} * 1000000)\n"
+        "SELECT c_custkey, c_name, o_orderkey, o_orderdate,\n"
+        "  CAST(round(o_totalprice * 1000000, 0) AS BIGINT)"
+        " AS totalprice_micros,\n"
+        "  sum_qty_micros\n"
+        "FROM qty JOIN orders ON o_orderkey = l_orderkey\n"
+        "JOIN customer ON c_custkey = o_custkey"
+    )
