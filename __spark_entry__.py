@@ -1260,6 +1260,17 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inter-turn latency quantiles per role transition: one lead window
+    # + the exact rank-rule quantiles — conversation-dynamics profile
+    from graphlite_spark.operators.analytics import (
+        response_latency_quantiles,
+    )
+
+    t, _, _ = graph_tables(spark, sf_dir)
+    return response_latency_quantiles(t)
+
+
 def q_bfs_7ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v, e = graph_tables(spark, sf_dir)
     res = bfs(v, e, source=0, fixed_supersteps=7)
@@ -1863,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo": q_tpch_q14,
         "tpch_q15_top_supplier": q_tpch_q15,
         "tpch_q18_large_orders": q_tpch_q18,
+        "response_latency_quantiles": q_response_latency,
     }
 
 
@@ -2035,4 +2047,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14_promo": O.promo_revenue_effect_sql(),
         "tpch_q15_top_supplier": O.top_supplier_sql(),
         "tpch_q18_large_orders": O.large_volume_customers_sql(),
+        "response_latency_quantiles": O.response_latency_sql(),
     }

@@ -184,3 +184,48 @@ def value_outliers_mad(events: DataFrame, k: int = 3) -> DataFrame:
             .alias("n_outliers")
         )
     )
+
+
+def response_latency_quantiles(
+    transcripts: DataFrame,
+    percents: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """(transition, n, p50, p90, p99) — exact discrete quantiles of the
+    inter-turn latency (microseconds) per ROLE TRANSITION (``user >
+    assistant``, ``assistant > tool``, …): the conversation-dynamics
+    profile (how fast assistants answer, how long tool calls stall a
+    thread) a transcript corpus is usually interrogated for first.
+
+    One ``lead`` window over (conv_id, turn_idx) builds the adjacent-
+    pair frame — no self-join — then the exact rank-rule quantiles of
+    :func:`graphlite_spark.operators.quantiles.grouped_quantiles`
+    (ceil(p·n), integer arithmetic, engine-portable).  Latencies ride
+    BIGINT micros from ``unix_micros`` (parquet timestamps are NTZ in
+    Spark 4 — cast first), so every selected element is bit-identical.
+
+    Scale shape: the window partitions by conv_id (conversations are
+    small and numerous — no skew axis), the quantile pass partitions by
+    the ~9-key transition space after a map-side-combined count; at
+    100 TB the transition groups are large but the rank rule stays one
+    sort per group member, the same shape Spark uses for any
+    percentile_exact."""
+    from graphlite_spark.operators.quantiles import grouped_quantiles
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pairs = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            ts_us.alias("ts_us"),
+        )
+        .withColumn("next_role", F.lead("role").over(w))
+        .withColumn("next_ts_us", F.lead("ts_us").over(w))
+        .where(F.col("next_role").isNotNull())
+        .select(
+            F.concat_ws(" > ", "role", "next_role").alias("transition"),
+            (F.col("next_ts_us") - F.col("ts_us")).alias("gap_us"),
+        )
+    )
+    return grouped_quantiles(pairs, "transition", "gap_us", percents)

@@ -4483,3 +4483,37 @@ def large_volume_customers_sql(min_qty: int = 300) -> str:
         "FROM qty JOIN orders ON o_orderkey = l_orderkey\n"
         "JOIN customer ON c_custkey = o_custkey"
     )
+
+
+def response_latency_sql(percents: tuple[int, ...] = (50, 90, 99)) -> str:
+    """Mirror of operators.analytics.response_latency_quantiles: one
+    lead window over (conv_id, turn_idx), then the grouped_quantiles
+    rank rule per role transition; gaps in BIGINT epoch micros."""
+    picks = ",\n".join(
+        f"  round(max(CASE WHEN rn = (n.n * {pct} + 99) // 100 "
+        f"THEN gap_us END), 6) AS p{pct}"
+        for pct in percents
+    )
+    body = (
+        ", pairs AS MATERIALIZED (\n"
+        "  SELECT role || ' > ' || lead(role) OVER w AS transition,\n"
+        "    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us,\n"
+        "    lead(role) OVER w AS next_role\n"
+        "  FROM transcripts\n"
+        "  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),\n"
+        "src AS MATERIALIZED (\n"
+        "  SELECT transition, gap_us FROM pairs\n"
+        "  WHERE next_role IS NOT NULL AND gap_us IS NOT NULL),\n"
+        "r AS MATERIALIZED (\n"
+        "  SELECT transition, gap_us,\n"
+        "    row_number() OVER (PARTITION BY transition ORDER BY gap_us)"
+        " AS rn\n"
+        "  FROM src),\n"
+        "n AS (SELECT transition, count(*) AS n FROM src"
+        " GROUP BY transition)\n"
+        "SELECT r.transition, CAST(max(n.n) AS BIGINT) AS n,\n"
+        f"{picks}\n"
+        "FROM r JOIN n USING (transition)\n"
+        "GROUP BY r.transition"
+    )
+    return _graph_query(body)
