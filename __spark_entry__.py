@@ -1271,6 +1271,15 @@ def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return response_latency_quantiles(t)
 
 
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fuzzy dedup tier: ED-Join rarest-prefix q-gram filter + exact
+    # JVM-side levenshtein verify; the oracle brute-forces the length
+    # band, so a green row proves the filter complete
+    from graphlite_spark.operators.dedup import edit_distance_join
+
+    return edit_distance_join(load_table(spark, sf_dir, "documents"), k=8)
+
+
 def q_bfs_7ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v, e = graph_tables(spark, sf_dir)
     res = bfs(v, e, source=0, fixed_supersteps=7)
@@ -1875,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": q_tpch_q15,
         "tpch_q18_large_orders": q_tpch_q18,
         "response_latency_quantiles": q_response_latency,
+        "edit_distance_join": q_edit_distance_join,
     }
 
 
@@ -2048,4 +2058,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q15_top_supplier": O.top_supplier_sql(),
         "tpch_q18_large_orders": O.large_volume_customers_sql(),
         "response_latency_quantiles": O.response_latency_sql(),
+        "edit_distance_join": O.edit_distance_join_sql(8),
     }

@@ -4517,3 +4517,18 @@ def response_latency_sql(percents: tuple[int, ...] = (50, 90, 99)) -> str:
         "GROUP BY r.transition"
     )
     return _graph_query(body)
+
+
+def edit_distance_join_sql(k: int = 8) -> str:
+    """Oracle for operators.dedup.edit_distance_join: brute-force every
+    length-banded pair with exact levenshtein — deliberately NOT the
+    prefix filter, so a green row proves the filter's COMPLETENESS
+    (the jaccard_join_exact discipline)."""
+    return (
+        "SELECT a.doc_id AS a, b.doc_id AS b,\n"
+        "  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist\n"
+        "FROM documents a JOIN documents b\n"
+        "  ON a.doc_id < b.doc_id\n"
+        f" AND abs(length(a.text) - length(b.text)) <= {k}\n"
+        f"WHERE levenshtein(a.text, b.text) <= {k}"
+    )

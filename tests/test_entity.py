@@ -49,3 +49,38 @@ def test_entity_resolution_stop_identifier_cap(spark):
         for r in entity_resolution(docs, max_df=3).collect()
     }
     assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+
+
+def test_edit_distance_join_hand(spark):
+    from graphlite_spark.operators.dedup import edit_distance_join
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "qvack")),          # dist 2
+        (3, base + " tail"),                          # dist 5 from 1
+        (4, "completely different text with nothing shared at all ok"),
+        (5, base),                                    # dist 0 from 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["dist"]
+        for r in edit_distance_join(docs, k=5).collect()
+    }
+    assert got[(1, 2)] == 2 and got[(1, 5)] == 0 and got[(1, 3)] == 5
+    assert got[(2, 5)] == 2 and got[(3, 5)] == 5
+    # 2-3: quick->quack (2) plus " tail" (5) = 7 > k; 4 pairs with nobody
+    assert (2, 3) not in got
+    assert not any(4 in p for p in got)
+
+
+def test_edit_distance_join_short_string_guard(spark):
+    import pytest
+
+    from graphlite_spark.operators.dedup import edit_distance_join
+
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "abcdef")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="shorter than q"):
+        edit_distance_join(docs, k=2)

@@ -104,6 +104,8 @@ GUARDED = [
     "tpch_q14_promo",
     "tpch_q15_top_supplier",
     "tpch_q18_large_orders",
+    # ED-Join: prefix-gram equi-join + candidate-only levenshtein
+    "edit_distance_join",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
