@@ -1280,6 +1280,16 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(load_table(spark, sf_dir, "documents"), k=8)
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JL/Achlioptas +-1 random projection 64 -> 16: zero-shuffle codegen
+    # dot products in exact BIGINT micro-units, long-form output
+    from graphlite_spark.operators.similarity import random_projection
+
+    return random_projection(
+        load_table(spark, sf_dir, "embeddings"), out_dim=16
+    )
+
+
 def q_bfs_7ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v, e = graph_tables(spark, sf_dir)
     res = bfs(v, e, source=0, fixed_supersteps=7)
@@ -1885,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18,
         "response_latency_quantiles": q_response_latency,
         "edit_distance_join": q_edit_distance_join,
+        "jl_random_projection": q_random_projection,
     }
 
 
@@ -2059,4 +2070,5 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18_large_orders": O.large_volume_customers_sql(),
         "response_latency_quantiles": O.response_latency_sql(),
         "edit_distance_join": O.edit_distance_join_sql(8),
+        "jl_random_projection": O.random_projection_sql(16),
     }

@@ -443,3 +443,44 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc")
     )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, dim, value_micros) — Johnson–Lindenstrauss random
+    projection with a deterministic ±1 sign matrix (Achlioptas 2003:
+    Rademacher entries satisfy the JL guarantee), the dimensionality-
+    reduction step a pipeline runs before ANN / clustering when the
+    embedding width dominates cost.
+
+    Exactness discipline: inputs quantize to BIGINT micro-units per
+    coordinate (``round(x · 10^6)`` — the ANN modules' float handling),
+    the sign is pure integer arithmetic
+    ``1 − 2·(((i·1103515245 + j·12345) div 2^16) mod 2)`` (an LCG-mixed
+    parity — deterministic, engine-portable, no md5 in the hot loop),
+    and each output coordinate is an exact BIGINT dot product — no
+    float summation order anywhere.  The output is unnormalized (no
+    1/√m): downstream cosine is scale-invariant, stated rather than
+    hidden.
+
+    Scale shape: a ZERO-SHUFFLE whole-stage-codegen projection — one
+    nested higher-order expression (transform over output dims,
+    aggregate over input dims) per row; no join, no groupBy, no UDF.
+    At 100 TB this is scan-bound, the best shape a row-wise transform
+    can have."""
+    y = F.expr(
+        f"transform(sequence(0, {out_dim - 1}), j ->\n"
+        f"  aggregate(sequence(1, size({vec_col})), cast(0 as bigint),"
+        " (acc, i) ->\n"
+        f"    acc + cast(round(cast(element_at({vec_col}, i) as double)"
+        " * 1000000, 0) as bigint)\n"
+        "        * (1 - 2 * ((((cast(i as bigint) - 1) * 1103515245"
+        " + cast(j as bigint) * 12345) div 65536) % 2))))"
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), y.alias("ys")
+    ).select("vec_id", F.posexplode("ys").alias("dim", "value_micros"))

@@ -4532,3 +4532,25 @@ def edit_distance_join_sql(k: int = 8) -> str:
         f" AND abs(length(a.text) - length(b.text)) <= {k}\n"
         f"WHERE levenshtein(a.text, b.text) <= {k}"
     )
+
+
+def random_projection_sql(out_dim: int = 16) -> str:
+    """Mirror of operators.similarity.random_projection: the relational
+    formulation (parallel-unnest the coordinates with a scalar range()
+    index list, cross the output dims, sum per (vec_id, j)) of the
+    identical integer arithmetic — micro-quantized coordinates times
+    the LCG-parity Rademacher sign."""
+    return (
+        "WITH xs AS MATERIALIZED (\n"
+        "  SELECT vec_id, unnest(embedding) AS x,\n"
+        "    unnest(range(1, len(embedding) + 1)) AS i\n"
+        "  FROM embeddings)\n"
+        "SELECT xs.vec_id, CAST(j.range AS INT) AS dim,\n"
+        "  CAST(SUM(\n"
+        "    CAST(round(CAST(xs.x AS DOUBLE) * 1000000, 0) AS BIGINT)\n"
+        "    * (1 - 2 * ((((xs.i - 1) * 1103515245 + j.range * 12345)"
+        " // 65536) % 2))\n"
+        "  ) AS BIGINT) AS value_micros\n"
+        f"FROM xs, range(0, {out_dim}) j\n"
+        "GROUP BY xs.vec_id, j.range"
+    )
