@@ -319,3 +319,59 @@ def streaming_dedup_documents(
         "fingerprint", F.md5(F.col(text_col).cast("string"))
     ).withWatermark(ts_col, watermark)
     return fp.dropDuplicatesWithinWatermark(["fingerprint"])
+
+
+def streaming_click_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAM-STREAM event-time interval join: every purchase paired
+    with the SAME user's clicks at most ``horizon`` before it — the
+    attribution query (batch sibling: operators/temporal.py's funnel),
+    and the one Structured Streaming join shape with bounded state.
+
+    Both inputs carry watermarks and the join condition bounds
+    ``click_ts`` to ``[purchase_ts − horizon, purchase_ts]``, which is
+    exactly what lets Spark EVICT buffered rows: a click older than
+    (watermark + horizon) can never match a future purchase and is
+    dropped from the state store; same for purchases past the
+    watermark.  Without the time-range conjunct the state grows without
+    bound — the dropDuplicates lesson (streaming_dedup_documents) in
+    join form.
+
+    Output: (user_id, click_id, purchase_id, click_ts, purchase_ts),
+    append-mode safe.  ALL in-horizon clicks attribute (multi-touch);
+    a last-touch policy is a batch groupBy over the sink, kept out of
+    the stream so the streaming state stays row-bounded."""
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            "c_user = p_user AND click_ts <= purchase_ts "
+            f"AND click_ts >= purchase_ts - INTERVAL {horizon}"
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )

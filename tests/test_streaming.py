@@ -382,3 +382,51 @@ def test_streaming_dedup_documents(spark, tmp_path):
     assert {r["text"]: r["doc_id"] for r in rows} == {
         "alpha beta": 1, "gamma": 2, "delta": 5,
     }
+
+
+def test_streaming_click_attribution_matches_batch(spark, tmp_path):
+    """Stream-stream interval join == the batch join on the same rows,
+    incl. the horizon boundary (exactly-30-min click attributes; 31-min
+    click does not) and multi-touch (two in-horizon clicks, two rows)."""
+    from datetime import datetime as DT
+
+    from graphlite_spark.streaming import streaming_click_attribution
+
+    EV = "event_id long, ts timestamp, user_id long, event_type string"
+
+    def ev(eid, ts, uid, et):
+        return (eid, DT.fromisoformat(ts), uid, et)
+
+    rows = [
+        # user 1: click 10:00 and 10:20, purchase 10:30 -> both attribute
+        ev(1, "2024-01-01 10:00:00", 1, "click"),
+        ev(2, "2024-01-01 10:20:00", 1, "click"),
+        ev(3, "2024-01-01 10:30:00", 1, "purchase"),
+        # user 2: click exactly horizon before purchase -> attributes
+        ev(4, "2024-01-01 09:00:00", 2, "click"),
+        ev(5, "2024-01-01 09:30:00", 2, "purchase"),
+        # user 3: click 31 min before -> outside horizon
+        ev(6, "2024-01-01 08:00:00", 3, "click"),
+        ev(7, "2024-01-01 08:31:00", 3, "purchase"),
+        # user 4: click AFTER purchase -> no attribution
+        ev(8, "2024-01-01 12:10:00", 4, "click"),
+        ev(9, "2024-01-01 12:00:00", 4, "purchase"),
+        # cross-user within horizon -> must not join
+        ev(10, "2024-01-01 10:29:00", 5, "click"),
+    ]
+    batch = spark.createDataFrame(rows, EV)
+    path = str(tmp_path / "events")
+    batch.write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = streaming_click_attribution(
+        stream.where("event_type = 'click'"),
+        stream.where("event_type = 'purchase'"),
+        horizon="30 minutes",
+    )
+    _run_to_memory(out, "attr_out", "append")
+    got = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+    assert got == {(1, 1, 3), (1, 2, 3), (2, 4, 5)}
