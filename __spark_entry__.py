@@ -1260,6 +1260,68 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q8 shape: one nation's market share per order year; share is a
+    # 128-bit exact quotient (DECIMAL div / HUGEINT //)
+    from graphlite_spark.operators.relational import market_share
+
+    return market_share(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q17 shape: correlated per-part avg as an exact BIGINT cross-
+    # product test (qty*cnt*5 < sum) — no float division either side
+    from graphlite_spark.operators.relational import small_quantity_revenue
+
+    return small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q19 shape: disjunctive (brand, size, qty) cases with the hull
+    # predicates pushed to both scans; equi-join key stays pure
+    from graphlite_spark.operators.relational import disjunctive_revenue
+
+    return disjunctive_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q21 shape: sole-late-supplier on multi-supplier orders — the
+    # double correlated EXISTS rewritten as one grouped pass
+    from graphlite_spark.operators.relational import waiting_suppliers
+
+    return waiting_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q22 shape: above-exact-average balance + recent-order anti-join
+    from graphlite_spark.operators.relational import dormant_customers
+
+    return dormant_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
 def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inter-turn latency quantiles per role transition: one lead window
     # + the exact rank-rule quantiles — conversation-dynamics profile
@@ -1896,6 +1958,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_latency_quantiles": q_response_latency,
         "edit_distance_join": q_edit_distance_join,
         "jl_random_projection": q_random_projection,
+        "tpch_q8_market_share": q_tpch_q8,
+        "tpch_q17_small_qty": q_tpch_q17,
+        "tpch_q19_disjunctive": q_tpch_q19,
+        "tpch_q21_waiting": q_tpch_q21,
+        "tpch_q22_dormant": q_tpch_q22,
     }
 
 
@@ -2071,4 +2138,9 @@ def oracle_sql() -> dict[str, str]:
         "response_latency_quantiles": O.response_latency_sql(),
         "edit_distance_join": O.edit_distance_join_sql(8),
         "jl_random_projection": O.random_projection_sql(16),
+        "tpch_q8_market_share": O.market_share_sql(),
+        "tpch_q17_small_qty": O.small_quantity_revenue_sql(),
+        "tpch_q19_disjunctive": O.disjunctive_revenue_sql(),
+        "tpch_q21_waiting": O.waiting_suppliers_sql(),
+        "tpch_q22_dormant": O.dormant_customers_sql(),
     }

@@ -412,6 +412,331 @@ def top_supplier(
     )
 
 
+def market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    nation_name: str = "NATION_3",
+    region_name: str = "ASIA",
+    part_type: str = "ECONOMY",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a region's revenue
+    for one part type, per order year — the conditional-share rollup
+    over the full dimension snowflake.
+
+    The share is the exact 128-bit integral quotient
+    ``(10^6 · nation) div total`` (DECIMAL(38,0) ``div`` on Spark,
+    HUGEINT ``//`` in DuckDB) so both engines agree bit-for-bit.
+
+    Scale shape: part/region/nation filters prune their scans BEFORE
+    any fact work; part, supplier-roster, nation, and region all
+    broadcast next to the fact side; one (year)-keyed map-side-combined
+    rollup at the end.  No predicate touches more than one fact pass."""
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    p = part.where(F.col("p_type") == part_type).select("p_partkey")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cust_region = (
+        region.where(F.col("r_name") == region_name)
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    li = lineitem.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        _micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_m"
+        ),
+    )
+    j = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(cust_region),
+            F.col("c_nationkey") == F.col("cn_key"),
+            "left_semi",
+        )
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    agg = j.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("supp_nation") == nation_name, F.col("rev_m"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("nation_micros"),
+        F.sum("rev_m").cast("long").alias("total_micros"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_micros",
+        "total_micros",
+        F.when(F.col("total_micros") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST((CAST(nation_micros AS DECIMAL(38,0)) * 1000000)"
+                " div total_micros AS BIGINT)"
+            )
+        )
+        .alias("share_micros"),
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#11",
+    frac_den: int = 5,
+    years: int = 7,
+) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders — lineitems whose
+    quantity is below 1/``frac_den`` of their part's average quantity,
+    one row of (total, per-year) micros.
+
+    The correlated ``avg`` is made exact: ``qty < (1/5)·(sum/cnt)``
+    is evaluated as the BIGINT cross-product test
+    ``qty_m · cnt · 5 < sum_qty_m`` — no float division on either
+    engine, so the boundary rows agree bit-for-bit.  The per-year figure
+    is the exact integral quotient (DECIMAL(38,0) div / HUGEINT //).
+
+    Scale shape: the brand filter prunes part to a broadcast sliver;
+    the fact table is touched twice but both passes are brand-semi-
+    joined first (a fraction of a percent of the fact rows); the
+    per-part average is a map-side-combined rollup on l_partkey."""
+    p = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    ).select(
+        "l_partkey",
+        _micros(F.col("l_quantity")).alias("qty_m"),
+        _micros(F.col("l_extendedprice")).alias("price_m"),
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("qty_m").cast("long").alias("sum_qty_m"),
+    )
+    small = li.join(per_part, F.col("l_partkey") == F.col("pk")).where(
+        F.col("qty_m") * F.col("cnt") * frac_den < F.col("sum_qty_m")
+    )
+    agg = small.agg(
+        F.coalesce(F.sum("price_m"), F.lit(0))
+        .cast("long")
+        .alias("total_micros")
+    )
+    return agg.select(
+        "total_micros",
+        F.expr(
+            f"CAST(CAST(total_micros AS DECIMAL(38,0)) div {years}"
+            " AS BIGINT)"
+        ).alias("avg_yearly_micros"),
+    )
+
+
+def disjunctive_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    cases: tuple[tuple[str, int, int, int], ...] = (
+        ("Brand#12", 15, 1, 11),
+        ("Brand#21", 20, 10, 20),
+        ("Brand#25", 25, 20, 30),
+    ),
+) -> DataFrame:
+    """TPC-H Q19 shape: one revenue sum under a DISJUNCTION of
+    (brand, size-range, quantity-range) cases — the classic test that
+    an OR-of-conjunctions still pushes its hull predicates down instead
+    of degrading to a full-scan join.
+
+    Scale shape: the hull of the disjunction (brand IN-list, size ≤
+    max, quantity within the overall band) is applied to each side
+    BEFORE the equi-join — those hull predicates reach the parquet
+    scans — and part broadcasts; the exact OR is then a post-join
+    filter over the already-pruned sliver.  The join key stays the pure
+    p_partkey equi-join (no OR in the join condition, so no nested
+    loop)."""
+    brands = [b for b, _, _, _ in cases]
+    max_size = max(sz for _, sz, _, _ in cases)
+    qty_lo = min(lo for _, _, lo, _ in cases)
+    qty_hi = max(hi for _, _, _, hi in cases)
+    p = part.where(
+        F.col("p_brand").isin(brands)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = lineitem.where(
+        (F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi)
+    ).select(
+        "l_partkey",
+        "l_quantity",
+        _micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_m"
+        ),
+    )
+    disj = None
+    for brand, size_hi, lo, hi in cases:
+        arm = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") <= size_hi)
+            & (F.col("l_quantity") >= lo)
+            & (F.col("l_quantity") <= hi)
+        )
+        disj = arm if disj is None else (disj | arm)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(disj)
+        .agg(
+            F.coalesce(F.sum("rev_m"), F.lit(0))
+            .cast("long")
+            .alias("revenue_micros")
+        )
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    late_days: int = 30,
+    status: str = "F",
+    n: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finalized order ("kept the order waiting"), counted
+    and top-n'd.  Lateness is ``l_shipdate > o_orderdate + late_days``
+    (the schema carries no commit/receipt dates — same adaptation as
+    Q4, stated).
+
+    The spec's EXISTS(other supplier) / NOT EXISTS(other LATE supplier)
+    double correlated subquery is rewritten as one grouped pass: per
+    (order, supplier) fold lateness with bool_or, per order count
+    suppliers and late suppliers, and a supplier qualifies where it is
+    late, the order has >1 suppliers, and exactly 1 late one.  Exact —
+    same set as the double EXISTS — and hash-joinable.
+
+    Scale shape: the status filter pushes to the orders scan; the only
+    fact-fact work is one equi-join + two map-side-combined rollups on
+    l_orderkey prefixes (bounded per-order group sizes, no skew axis);
+    supplier and nation broadcast; (numwait DESC, s_name ASC) is a
+    total order so the top-n is deterministic."""
+    o = orders.where(F.col("o_orderstatus") == status).select(
+        "o_orderkey", "o_orderdate"
+    )
+    per_pair = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.bool_or(
+                F.col("l_shipdate")
+                > F.expr(f"o_orderdate + INTERVAL {int(late_days)} DAY")
+            ).alias("late")
+        )
+    )
+    per_order = per_pair.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_supp"),
+        F.sum(F.col("late").cast("long")).cast("long").alias("n_late"),
+    )
+    qualifying = per_pair.join(
+        per_order, F.col("l_orderkey") == F.col("ok")
+    ).where(
+        F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    return (
+        qualifying.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(
+            F.broadcast(
+                supplier.select("s_suppkey", "s_name", "s_nationkey").join(
+                    F.broadcast(nation.select("n_nationkey", "n_name")),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "n_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(n)
+    )
+
+
+def dormant_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    cutoff: str = "1999-01-01",
+    nation_keys: tuple[int, ...] = (0, 2, 4, 6, 8, 10, 12),
+) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count and balance of above-average-
+    balance customers with NO recent orders — the scalar-subquery +
+    anti-join acquisition report.  (The spec's phone-prefix IN-list
+    becomes a nationkey IN-list; the schema carries no phone column.)
+
+    The global average is made exact: ``acctbal > avg(positive
+    acctbals)`` is evaluated as ``acctbal_m · cnt > sum_m`` in BIGINT —
+    the 1-row (sum, cnt) aggregate broadcasts back (the Q15 /
+    eigenvector-normalization pattern), so no float average is ever
+    compared on either engine.
+
+    Scale shape: the nation IN-list prunes the customer scan; the
+    recent-order anti-join is a LEFT ANTI hash join on o_custkey with
+    the date predicate pushed to the orders scan; the only non-equi
+    join is the 1-row stats broadcast."""
+    d = F.lit(cutoff).cast("timestamp")
+    c = customer.where(
+        F.col("c_nationkey").isin(list(nation_keys))
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        _micros(F.col("c_acctbal")).alias("acctbal_m"),
+    )
+    stats = c.where(F.col("acctbal_m") > 0).agg(
+        F.coalesce(F.sum("acctbal_m"), F.lit(0)).cast("long").alias("sum_m"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    recent = orders.where(F.col("o_orderdate") >= d).select("o_custkey")
+    return (
+        c.join(F.broadcast(stats))
+        .where(F.col("acctbal_m") * F.col("cnt") > F.col("sum_m"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("acctbal_m").cast("long").alias("totacctbal_micros"),
+        )
+    )
+
+
 def large_volume_customers(
     customer: DataFrame,
     orders: DataFrame,

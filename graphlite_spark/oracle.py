@@ -4485,6 +4485,149 @@ def large_volume_customers_sql(min_qty: int = 300) -> str:
     )
 
 
+def market_share_sql(
+    nation_name: str = "NATION_3",
+    region_name: str = "ASIA",
+    part_type: str = "ECONOMY",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+) -> str:
+    """Mirror of operators.relational.market_share (Q8 shape): the
+    share is the identical 128-bit integral quotient (HUGEINT here,
+    DECIMAL(38,0) div on Spark)."""
+    return (
+        "WITH a AS (\n"
+        "  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,\n"
+        f"    CAST(COALESCE(sum(CASE WHEN sn.n_name = '{nation_name}'"
+        f" THEN {_REV_M} END), 0) AS BIGINT) AS nation_micros,\n"
+        f"    CAST(sum({_REV_M}) AS BIGINT) AS total_micros\n"
+        "  FROM lineitem\n"
+        f"  JOIN part ON p_partkey = l_partkey AND p_type = '{part_type}'\n"
+        "  JOIN orders ON o_orderkey = l_orderkey\n"
+        f"    AND o_orderdate >= TIMESTAMP '{date_lo} 00:00:00'\n"
+        f"    AND o_orderdate < TIMESTAMP '{date_hi} 00:00:00'\n"
+        "  JOIN customer ON c_custkey = o_custkey\n"
+        "  JOIN nation cn ON cn.n_nationkey = c_nationkey\n"
+        "  JOIN region ON r_regionkey = cn.n_regionkey"
+        f" AND r_name = '{region_name}'\n"
+        "  JOIN supplier ON s_suppkey = l_suppkey\n"
+        "  JOIN nation sn ON sn.n_nationkey = s_nationkey\n"
+        "  GROUP BY year(o_orderdate))\n"
+        "SELECT o_year, nation_micros, total_micros,\n"
+        "  CAST(CASE WHEN total_micros = 0 THEN 0 ELSE\n"
+        "    (CAST(nation_micros AS HUGEINT) * 1000000) // total_micros\n"
+        "  END AS BIGINT) AS share_micros\n"
+        "FROM a"
+    )
+
+
+_QTY_M = "CAST(round(l_quantity * 1000000, 0) AS BIGINT)"
+
+
+def small_quantity_revenue_sql(
+    brand: str = "Brand#11", frac_den: int = 5, years: int = 7
+) -> str:
+    """Mirror of operators.relational.small_quantity_revenue (Q17
+    shape): the correlated avg is the same exact BIGINT cross-product
+    test (qty_m * cnt * den < sum_qty_m)."""
+    return (
+        "WITH b AS MATERIALIZED (\n"
+        f"  SELECT l_partkey, {_QTY_M} AS qty_m,\n"
+        "    CAST(round(l_extendedprice * 1000000, 0) AS BIGINT)"
+        " AS price_m\n"
+        "  FROM lineitem JOIN part ON p_partkey = l_partkey"
+        f" AND p_brand = '{brand}'),\n"
+        "a AS (SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS cnt,\n"
+        "    CAST(sum(qty_m) AS BIGINT) AS sum_qty_m\n"
+        "  FROM b GROUP BY l_partkey),\n"
+        "t AS (SELECT CAST(COALESCE(sum(price_m), 0) AS BIGINT)"
+        " AS total_micros\n"
+        "  FROM b JOIN a ON pk = l_partkey\n"
+        f"  WHERE qty_m * cnt * {frac_den} < sum_qty_m)\n"
+        "SELECT total_micros,\n"
+        f"  CAST(CAST(total_micros AS HUGEINT) // {years} AS BIGINT)"
+        " AS avg_yearly_micros\n"
+        "FROM t"
+    )
+
+
+def disjunctive_revenue_sql(
+    cases: tuple[tuple[str, int, int, int], ...] = (
+        ("Brand#12", 15, 1, 11),
+        ("Brand#21", 20, 10, 20),
+        ("Brand#25", 25, 20, 30),
+    ),
+) -> str:
+    """Mirror of operators.relational.disjunctive_revenue (Q19 shape)."""
+    arms = "\n   OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {sz}"
+        f" AND l_quantity BETWEEN {lo} AND {hi})"
+        for b, sz, lo, hi in cases
+    )
+    return (
+        f"SELECT CAST(COALESCE(sum({_REV_M}), 0) AS BIGINT)"
+        " AS revenue_micros\n"
+        "FROM lineitem JOIN part ON p_partkey = l_partkey\n"
+        f"WHERE {arms}"
+    )
+
+
+def waiting_suppliers_sql(
+    late_days: int = 30, status: str = "F", n: int = 20
+) -> str:
+    """Mirror of operators.relational.waiting_suppliers (Q21 shape):
+    the same grouped rewrite of the double correlated EXISTS."""
+    return (
+        "WITH pp AS MATERIALIZED (\n"
+        "  SELECT l_orderkey, l_suppkey,\n"
+        "    bool_or(l_shipdate > o_orderdate"
+        f" + INTERVAL {int(late_days)} DAY) AS late\n"
+        "  FROM lineitem JOIN orders ON o_orderkey = l_orderkey\n"
+        f"  WHERE o_orderstatus = '{status}'\n"
+        "  GROUP BY l_orderkey, l_suppkey),\n"
+        "po AS (SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT)"
+        " AS n_supp,\n"
+        "    CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_late\n"
+        "  FROM pp GROUP BY l_orderkey)\n"
+        "SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait\n"
+        "FROM pp JOIN po ON ok = l_orderkey\n"
+        "JOIN supplier ON s_suppkey = l_suppkey\n"
+        "JOIN nation ON n_nationkey = s_nationkey\n"
+        "WHERE late AND n_supp > 1 AND n_late = 1\n"
+        "GROUP BY s_name, n_name\n"
+        f"ORDER BY numwait DESC, s_name ASC LIMIT {n}"
+    )
+
+
+def dormant_customers_sql(
+    cutoff: str = "1999-01-01",
+    nation_keys: tuple[int, ...] = (0, 2, 4, 6, 8, 10, 12),
+) -> str:
+    """Mirror of operators.relational.dormant_customers (Q22 shape):
+    the scalar avg is the same exact BIGINT cross-product test."""
+    keys = ", ".join(str(k) for k in nation_keys)
+    return (
+        "WITH c AS MATERIALIZED (\n"
+        "  SELECT c_custkey, c_nationkey,\n"
+        "    CAST(round(c_acctbal * 1000000, 0) AS BIGINT) AS acctbal_m\n"
+        f"  FROM customer WHERE c_nationkey IN ({keys})),\n"
+        "s AS (SELECT CAST(COALESCE(sum(acctbal_m), 0) AS BIGINT)"
+        " AS sum_m,\n"
+        "    CAST(count(*) AS BIGINT) AS cnt\n"
+        "  FROM c WHERE acctbal_m > 0)\n"
+        "SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,\n"
+        "  CAST(sum(acctbal_m) AS BIGINT) AS totacctbal_micros\n"
+        "FROM c, s\n"
+        "JOIN nation ON n_nationkey = c_nationkey\n"
+        "WHERE acctbal_m * cnt > sum_m\n"
+        "  AND NOT EXISTS (SELECT 1 FROM orders o\n"
+        "    WHERE o.o_custkey = c.c_custkey\n"
+        f"      AND o.o_orderdate >= TIMESTAMP '{cutoff} 00:00:00')\n"
+        "GROUP BY n_name"
+    )
+
+
 def response_latency_sql(percents: tuple[int, ...] = (50, 90, 99)) -> str:
     """Mirror of operators.analytics.response_latency_quantiles: one
     lead window over (conv_id, turn_idx), then the grouped_quantiles

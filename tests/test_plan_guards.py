@@ -106,6 +106,15 @@ GUARDED = [
     "tpch_q18_large_orders",
     # ED-Join: prefix-gram equi-join + candidate-only levenshtein
     "edit_distance_join",
+    # round-5 continuation: the rest of the expressible TPC-H tier —
+    # snowflake share (Q8), correlated-avg rewrite (Q17), disjunctive
+    # predicate hull (Q19 — the OR must NOT reach the join condition),
+    # double-EXISTS grouped rewrite (Q21), scalar-avg + anti-join (Q22)
+    "tpch_q8_market_share",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q21_waiting",
+    "tpch_q22_dormant",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -122,6 +131,9 @@ BNLJ_ALLOWED = {
     "dyad_census",
     # 1-row temporal-midpoint aggregate broadcast into the edge scan
     "contact_graph_delta",
+    # 1-row (sum, cnt) balance-stats aggregate broadcast back into the
+    # pruned customer sliver (the Q15 max-broadcast-back pattern)
+    "tpch_q22_dormant",
 }
 
 
@@ -171,6 +183,23 @@ def test_wedge_family_degree_oriented(spark, monkeypatch):
     assert ("oriented", "degree") in seen, "rectangles no longer degree-oriented"
     # undirected closure is K4 on {1,2,3,4}: exactly 3 distinct 4-cycles
     assert rect == 3
+
+
+def test_q19_disjunction_hull_pushes_to_scan(spark):
+    """TPC-H Q19's OR-of-conjunctions must not poison the plan: the
+    hull predicates (quantity band, brand IN-list, size range) must
+    reach BOTH parquet scans and the join must remain a hash equi-join
+    on the pure partkey (the OR only as a post-join residual)."""
+    df = entrymod.queries()["tpch_q19_disjunctive"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [l_partkey" in plan, plan[:1200]
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", plan)
+    flat = " ".join(pushed)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in flat, flat
+    assert "LessThanOrEqual(l_quantity,30.0)" in flat, flat
+    # toString elides PushedFilters past ~100 chars, so assert the
+    # stable prefix of the part-side list (IsNotNull + the brand IN)
+    assert "IsNotNull(p_size)" in flat and "In(p_brand" in flat, flat
 
 
 def test_q6_filters_push_to_scan(spark):
