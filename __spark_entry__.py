@@ -91,6 +91,7 @@ from graphlite_spark.operators.ngram_lm import (
 )
 from graphlite_spark.operators.sketches import (
     cms_estimate_heavy_hitters,
+    hll_distinct_by,
     kmv_distinct_by,
 )
 from graphlite_spark.functions.text import (
@@ -745,6 +746,15 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact_distinct rides along as the accuracy witness
     ev = load_table(spark, sf_dir, "events")
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog distinct-user sketch per event_type over the shared
+    # 48-bit md5: register max is integer arithmetic, the harmonic sum
+    # is exact in double (dyadic terms), so the 6dp-rounded estimate is
+    # oracle-exact; exact_distinct rides along as the accuracy witness
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct_by(ev, "event_type", "user_id", b=6)
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1917,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "dedup_embedding_cosine": q_embedding_near_dups,
         "kmv_distinct_users": q_kmv_distinct,
+        "hll_distinct_users": q_hll_distinct,
         "events_quantiles": q_events_quantiles,
         "tf_idf": q_tf_idf,
         "token_cooccurrence": q_token_cooccurrence,
@@ -2025,6 +2036,7 @@ def oracle_sql() -> dict[str, str]:
         "coloring_jp": O.coloring_sql(32),
         "adamic_adar": O.adamic_adar_sql(100, 1_000_000),
         "kmv_distinct_users": O.kmv_distinct_sql("event_type", "user_id", 64),
+        "hll_distinct_users": O.hll_distinct_sql("event_type", "user_id", 6),
         "cms_heavy_hitters": O.cms_heavy_hitters_sql("user_id", 20),
         "bloom_semijoin": O.bloom_semijoin_sql("purchase", 2, 256),
         "conversation_stats": O.conversation_stats_sql(),

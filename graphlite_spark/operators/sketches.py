@@ -62,6 +62,84 @@ def kmv_distinct_by(
     return est.join(exact, group_col)
 
 
+#: HLL bias-correction constant for m buckets: 0.7213 / (1 + 1.079/m).
+#: Embedded as a full-precision literal on BOTH engines so the estimate
+#: arithmetic is bit-identical.
+def _hll_alpha(m: int) -> float:
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_distinct_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    b: int = 6,
+    include_exact: bool = True,
+) -> DataFrame:
+    """(group, est_hll, n_zero_buckets[, exact_distinct]) — a
+    HyperLogLog distinct estimate per group (Flajolet et al., AofA
+    2007) over the engine-portable 48-bit md5 hash, DETERMINISTIC and
+    engine-identical (the reason not to use ``approx_count_distinct``:
+    Spark's and DuckDB's native HLLs disagree, useless for the gate).
+
+    Register construction is pure integer/string arithmetic: bucket =
+    ``h % m`` (bottom ``b`` bits), rho = leading zeros of the remaining
+    ``48-b`` bits + 1 via ``length(bin(w))`` (both engines render bin()
+    without leading zeros).  The harmonic sum Σ 2^-M_j is EXACT in
+    double — every term is a dyadic rational ≥ 2^-43 and the total is
+    < m, so all partial sums fit the 53-bit mantissa and the float sum
+    is order-independent.  The only rounding-sensitive steps are the
+    final one multiply + one divide (+ one ln in the small-range
+    branch), identical single expressions on both engines, then
+    rounded to 6dp per the house float discipline.
+
+    Scale shape: one map-side-combined groupBy to (group, bucket)
+    max-registers — sketch state is m longs per group however many
+    rows feed it; no window, no shuffle beyond the grouped max.  The
+    exact witness is one distinct-count, disabled at 100 TB."""
+    m = 1 << b
+    rho_max = 48 - b + 1
+    h = hash48(F.col(value_col).cast("string"))
+    keyed = df.select(group_col, h.alias("h")).select(
+        group_col,
+        (F.col("h") % m).alias("bucket"),
+        F.expr(f"h div {m}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(rho_max)).otherwise(
+        F.lit(rho_max) - F.length(F.expr("bin(w)"))
+    )
+    regs = keyed.select(group_col, "bucket", rho.alias("rho")).groupBy(
+        group_col, "bucket"
+    ).agg(F.max("rho").alias("reg"))
+    alpha = _hll_alpha(m)
+    per_group = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("nonzero"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("sum_pow"),
+    )
+    zeros = (F.lit(m) - F.col("nonzero")).cast("long")
+    raw = F.lit(alpha * m * m) / (
+        F.col("sum_pow") + zeros.cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    out = per_group.select(
+        group_col,
+        F.round(est, 6).alias("est_hll"),
+        zeros.alias("n_zero_buckets"),
+    )
+    if not include_exact:
+        return out
+    exact = (
+        df.select(group_col, F.col(value_col).cast("string").alias("v"))
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_distinct"))
+    )
+    return out.join(exact, group_col)
+
+
 def cms_build(
     df: DataFrame,
     key_col: str,

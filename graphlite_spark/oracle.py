@@ -1906,6 +1906,54 @@ def kmv_distinct_sql(group_col: str = "event_type",
     )
 
 
+def hll_distinct_sql(group_col: str = "event_type",
+                     value_col: str = "user_id", b: int = 6) -> str:
+    """Mirror of operators.sketches.hll_distinct_by over the events
+    table: registers are integer/string arithmetic over the shared
+    48-bit md5 (bucket = bottom b bits, rho via length(bin(w)) — both
+    engines render bin() without leading zeros), the harmonic sum is
+    exact in double (dyadic terms), and the one multiply/divide (+ ln
+    in the small-range branch) is the identical expression with the
+    identical alpha literal, rounded to 6dp."""
+    m = 1 << b
+    rho_max = 48 - b + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = _h48(f"CAST({value_col} AS VARCHAR)")
+    return (
+        "WITH keyed AS MATERIALIZED (\n"
+        f"  SELECT {group_col}, h % {m} AS bucket, h // {m} AS w\n"
+        f"  FROM (SELECT {group_col}, {h} AS h FROM events)),\n"
+        "regs AS MATERIALIZED (\n"
+        f"  SELECT {group_col}, bucket,\n"
+        f"    max(CASE WHEN w = 0 THEN {rho_max}\n"
+        f"        ELSE {rho_max} - length(bin(w)) END) AS reg\n"
+        f"  FROM keyed GROUP BY {group_col}, bucket),\n"
+        "pg AS (\n"
+        f"  SELECT {group_col}, CAST(count(*) AS BIGINT) AS nonzero,\n"
+        "    sum(pow(2.0, -reg)) AS sum_pow\n"
+        f"  FROM regs GROUP BY {group_col}),\n"
+        "est AS (\n"
+        f"  SELECT {group_col}, CAST({m} - nonzero AS BIGINT)"
+        " AS n_zero_buckets,\n"
+        f"    CAST({alpha * m * m!r} AS DOUBLE) / (sum_pow +"
+        f" CAST({m} - nonzero AS DOUBLE)) AS raw\n"
+        "  FROM pg),\n"
+        "ex AS (\n"
+        f"  SELECT {group_col}, CAST(count(*) AS BIGINT)"
+        " AS exact_distinct\n"
+        f"  FROM (SELECT DISTINCT {group_col},"
+        f" CAST({value_col} AS VARCHAR) AS v FROM events)\n"
+        f"  GROUP BY {group_col})\n"
+        f"SELECT e.{group_col},\n"
+        f"  round(CASE WHEN raw <= {2.5 * m!r} AND n_zero_buckets > 0\n"
+        f"    THEN {float(m)!r} * ln({float(m)!r}"
+        " / CAST(n_zero_buckets AS DOUBLE))\n"
+        "    ELSE raw END, 6) AS est_hll,\n"
+        "  n_zero_buckets, exact_distinct\n"
+        f"FROM est e JOIN ex USING ({group_col})"
+    )
+
+
 def cms_heavy_hitters_sql(
     key: str = "user_id",
     k: int = 20,

@@ -13,6 +13,7 @@ from graphlite_spark.algos.triangles import local_clustering_coefficient
 from graphlite_spark.operators.sketches import (
     cms_build,
     cms_estimate_heavy_hitters,
+    hll_distinct_by,
     kmv_distinct_by,
 )
 from tests.reference_sim import random_digraph
@@ -167,6 +168,38 @@ def test_jaccard_hub_cap_binds(spark):
         (1, 2): (1, 1_000_000 * 1 // (2 + 2 - 1)),
         (0, 6): (2, 1_000_000 * 2 // (5 + 2 - 2)),
     }
+
+
+def test_hll_sketch(spark):
+    # bit-identical to a pure-Python HLL over the same 48-bit md5
+    # hashes (bucket = bottom b bits, rho = leading-zero count of the
+    # top 48-b bits + 1), and the estimate lands within the standard
+    # 1.04/sqrt(m) error band of the truth
+    b, m = 6, 64
+    rows = [("a", i % 10) for i in range(100)] + [("b", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    got = {r["grp"]: (r["est_hll"], r["n_zero_buckets"], r["exact_distinct"])
+           for r in hll_distinct_by(df, "grp", "val", b=b).collect()}
+
+    def sim(values):
+        regs = [0] * m
+        for v in values:
+            h = _h48(str(v))
+            bucket, w = h % m, h // m
+            rho = (48 - b + 1) if w == 0 else (48 - b + 1) - w.bit_length()
+            regs[bucket] = max(regs[bucket], rho)
+        zeros = sum(1 for r in regs if r == 0)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        raw = alpha * m * m / (sum(2.0 ** -r for r in regs if r) + float(zeros))
+        if raw <= 2.5 * m and zeros > 0:
+            return round(float(m) * math.log(float(m) / zeros), 6), zeros
+        return round(raw, 6), zeros
+
+    for grp, vals in (("a", range(10)), ("b", range(2000))):
+        est, zeros = sim(vals)
+        assert got[grp][0] == est and got[grp][1] == zeros, (grp, got[grp], est, zeros)
+    # accuracy: within 3 standard errors of exact (1.04/sqrt(64) = 13%)
+    assert abs(got["b"][0] - 2000) < 3 * 1.04 / math.sqrt(m) * 2000
 
 
 def test_cms_point_queries(spark):
