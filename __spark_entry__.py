@@ -1332,6 +1332,99 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphlite_spark.operators.relational import derive_partsupp
+
+    return derive_partsupp(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_partsupp_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the derived partsupp itself: deterministic supplier assignment
+    # UNION observed lineitem pairs, md5-carved attributes — checked as
+    # a result set so the 5 queries built on it rest on a signed base
+    return _partsupp(spark, sf_dir)
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q2 shape: correlated min-cost-supplier subquery as grouped min
+    from graphlite_spark.operators.relational import min_cost_supplier
+
+    return min_cost_supplier(
+        load_table(spark, sf_dir, "part"),
+        _partsupp(spark, sf_dir),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q9 shape: profit = revenue - supplycost*qty per nation and year
+    from graphlite_spark.operators.relational import product_type_profit
+
+    return product_type_profit(
+        load_table(spark, sf_dir, "part"),
+        _partsupp(spark, sf_dir),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q11 shape: per-part stock value vs an exact global threshold
+    from graphlite_spark.operators.relational import important_stock
+
+    return important_stock(
+        _partsupp(spark, sf_dir),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q12 shape: two-way conditional priority count per line category
+    from graphlite_spark.operators.relational import (
+        returnflag_priority_counts,
+    )
+
+    return returnflag_priority_counts(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q16 shape: distinct-supplier counts with complaint anti-join
+    from graphlite_spark.operators.relational import parts_supplier_counts
+
+    return parts_supplier_counts(
+        load_table(spark, sf_dir, "part"),
+        _partsupp(spark, sf_dir),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q20 shape: excess-stock suppliers (availqty > 2 * shipped qty)
+    from graphlite_spark.operators.relational import (
+        potential_promotion_suppliers,
+    )
+
+    return potential_promotion_suppliers(
+        load_table(spark, sf_dir, "part"),
+        _partsupp(spark, sf_dir),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inter-turn latency quantiles per role transition: one lead window
     # + the exact rank-rule quantiles — conversation-dynamics profile
@@ -1974,6 +2067,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunctive": q_tpch_q19,
         "tpch_q21_waiting": q_tpch_q21,
         "tpch_q22_dormant": q_tpch_q22,
+        "tpch_partsupp_derived": q_partsupp_derived,
+        "tpch_q2_min_cost_supp": q_tpch_q2,
+        "tpch_q9_product_profit": q_tpch_q9,
+        "tpch_q11_important_stock": q_tpch_q11,
+        "tpch_q12_priority_counts": q_tpch_q12,
+        "tpch_q16_supplier_counts": q_tpch_q16,
+        "tpch_q20_excess_stock": q_tpch_q20,
     }
 
 
@@ -2155,4 +2255,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19_disjunctive": O.disjunctive_revenue_sql(),
         "tpch_q21_waiting": O.waiting_suppliers_sql(),
         "tpch_q22_dormant": O.dormant_customers_sql(),
+        "tpch_partsupp_derived": O.derive_partsupp_sql(),
+        "tpch_q2_min_cost_supp": O.min_cost_supplier_sql(),
+        "tpch_q9_product_profit": O.product_type_profit_sql(),
+        "tpch_q11_important_stock": O.important_stock_sql(),
+        "tpch_q12_priority_counts": O.returnflag_priority_counts_sql(),
+        "tpch_q16_supplier_counts": O.parts_supplier_counts_sql(),
+        "tpch_q20_excess_stock": O.potential_promotion_suppliers_sql(),
     }

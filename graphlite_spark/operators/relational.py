@@ -775,3 +775,376 @@ def large_volume_customers(
             F.col("sum_qty_micros").cast("long").alias("sum_qty_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# derived partsupp + the TPC-H shapes that need it (Q2/Q9/Q11/Q16/Q20)
+# ---------------------------------------------------------------------------
+#
+# The testdata carries no partsupp table, so the engine DERIVES one,
+# deterministically and engine-identically, from the tables it has:
+#
+#   * assignment — each part gets 4 suppliers at consecutive residues
+#     (p_partkey*4 + i) % S, i in 0..3 (distinct for any S >= 4; the
+#     dbgen idea of a fixed per-part supplier set without its modular
+#     collision edge cases), UNIONed with every (l_partkey, l_suppkey)
+#     pair observed in lineitem — preserving TPC-H's invariant that a
+#     lineitem's pair always exists in partsupp.
+#   * attributes — ps_availqty in [1, 9999] and ps_supplycost_micros in
+#     [1.00, 1000.00] carved from the shared 48-bit md5 of the pair, so
+#     the DuckDB oracle re-derives bit-identical values from the same
+#     parquet keys.
+#
+# Scale shape: the assignment arm is a zero-shuffle projection of part
+# x 4 (explode over a 4-literal array; the supplier count rides as a
+# broadcast single-row frame); the observed arm is one map-side-combined
+# distinct over a 2-column projection of the fact table.
+
+_PS_SEP = "\x1f"
+
+
+def _ps_hash_attr(tag: str, lo: int, span: int) -> F.Column:
+    from graphlite_spark.functions.hashes import hash48
+
+    h = hash48(
+        F.concat_ws(
+            _PS_SEP,
+            F.lit(tag),
+            F.col("ps_partkey").cast("string"),
+            F.col("ps_suppkey").cast("string"),
+        )
+    )
+    return (h % span + lo).cast("long")
+
+
+def derive_partsupp(
+    part: DataFrame, supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_micros) —
+    the deterministic derived partsupp described in the module notes."""
+    s_cnt = supplier.agg(
+        F.count(F.lit(1)).cast("long").alias("s_cnt")
+    )
+    assigned = (
+        part.select("p_partkey")
+        .crossJoin(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+            "s_cnt",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 4 + F.col("i")) % F.col("s_cnt"))
+            .cast("long")
+            .alias("ps_suppkey"),
+        )
+    )
+    observed = lineitem.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").cast("long").alias("ps_suppkey"),
+    )
+    pairs = assigned.unionByName(observed).distinct()
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        _ps_hash_attr("psav", 1, 9999).alias("ps_availqty"),
+        _ps_hash_attr("pscost", MICROS, 999 * MICROS + 1).alias(
+            "ps_supplycost_micros"
+        ),
+    )
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    partsupp: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    p_type: str = "ECONOMY",
+    max_size: int = 25,
+) -> DataFrame:
+    """TPC-H Q2 shape: for every qualifying part, the region's
+    suppliers quoting the MINIMUM supplycost (the correlated min
+    subquery), with supplier/nation detail.
+
+    Scale shape: nation+region collapse to a broadcast nationkey
+    filter on supplier; the min is a groupBy on ps_partkey over the
+    region-filtered partsupp (map-side combined) joined back — no
+    window over the full pair table; part's predicates push to its
+    scan and the join to parts is LEFT SEMI-sized (qualifying parts
+    only)."""
+    nat = (
+        nation.join(
+            F.broadcast(
+                region.where(F.col("r_name") == region_name)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    sup = supplier.join(
+        F.broadcast(nat),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    pts = part.where(
+        (F.col("p_type") == p_type) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand")
+    ps = partsupp.join(
+        F.broadcast(sup),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    ).join(pts, F.col("ps_partkey") == F.col("p_partkey"))
+    best = ps.groupBy(F.col("ps_partkey").alias("bk")).agg(
+        F.min("ps_supplycost_micros").alias("min_cost_micros")
+    )
+    return (
+        ps.join(
+            best,
+            (F.col("ps_partkey") == F.col("bk"))
+            & (
+                F.col("ps_supplycost_micros")
+                == F.col("min_cost_micros")
+            ),
+        )
+        .select(
+            _micros(F.col("s_acctbal")).alias("acctbal_micros"),
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            F.col("ps_suppkey").alias("s_suppkey"),
+            F.col("ps_supplycost_micros").alias("supplycost_micros"),
+        )
+    )
+
+
+def product_type_profit(
+    part: DataFrame,
+    partsupp: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    name_contains: str = "red",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) over
+    parts whose name contains the token — revenue minus the derived
+    supplycost * quantity, all in exact micro-units.
+
+    Scale shape: the fact table joins partsupp on its OWN (partkey,
+    suppkey) pair — every lineitem pair exists by construction; part's
+    LIKE filter semi-shrinks the fact side first; supplier->nation and
+    orders' year are broadcast/equi joins; one grouped exact sum."""
+    pts = part.where(
+        F.col("p_name").contains(name_contains)
+    ).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    li = li.join(
+        partsupp,
+        (F.col("l_partkey") == F.col("ps_partkey"))
+        & (F.col("l_suppkey") == F.col("ps_suppkey")),
+    )
+    amount = _micros(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - F.col("ps_supplycost_micros") * F.col("l_quantity").cast(
+        "long"
+    )
+    sup = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("long").alias("profit_micros"))
+    )
+
+
+def important_stock(
+    partsupp: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_15",
+    fraction_den: int = 500,
+) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value (supplycost * availqty)
+    over one nation's suppliers, keeping parts whose value exceeds
+    total/fraction_den — the global-scalar HAVING.
+
+    Scale shape: nation filter broadcasts onto supplier then partsupp;
+    one map-side-combined groupBy; the total is a 1-row frame
+    broadcast back (no second pass over pairs). The threshold compare
+    is exact integer: value > total div den (both BIGINT)."""
+    sup = supplier.join(
+        F.broadcast(
+            nation.where(F.col("n_name") == nation_name).select(
+                "n_nationkey"
+            )
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    ps = partsupp.join(
+        F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select(
+        "ps_partkey",
+        (F.col("ps_supplycost_micros") * F.col("ps_availqty")).alias(
+            "v"
+        ),
+    )
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.sum("v").cast("long").alias("value_micros")
+    )
+    total = per_part.agg(
+        F.sum("value_micros").cast("long").alias("total_micros")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_micros")
+            > F.expr(f"total_micros div {fraction_den}")
+        )
+        .select("ps_partkey", "value_micros")
+    )
+
+
+def parts_supplier_counts(
+    part: DataFrame,
+    partsupp: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#17",
+    excl_type_prefix: str = "PROMO",
+    sizes: tuple = (1, 4, 9, 16, 25, 36, 49),
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) outside the excluded brand/type, minus "complaint" suppliers
+    (the deterministic stand-in: s_name ending in '7' — the schema has
+    no comment column).
+
+    Scale shape: the complaint exclusion is a broadcast ANTI join
+    before the count; part predicates push to its scan; the distinct
+    count groups on low-cardinality keys (brand x type x 7 sizes)."""
+    bad = supplier.where(F.col("s_name").endswith("7")).select(
+        F.col("s_suppkey").alias("bad_key")
+    )
+    pts = part.where(
+        (F.col("p_brand") != excl_brand)
+        & (~F.col("p_type").startswith(excl_type_prefix))
+        & (F.col("p_size").isin(*sizes))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ps = partsupp.join(
+        pts, F.col("ps_partkey") == F.col("p_partkey")
+    ).join(
+        F.broadcast(bad),
+        F.col("ps_suppkey") == F.col("bad_key"),
+        "left_anti",
+    )
+    return ps.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt")
+    )
+
+
+def potential_promotion_suppliers(
+    part: DataFrame,
+    partsupp: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    name_prefix: str = "red",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding EXCESS stock of the named
+    parts — ps_availqty > 2 * the pair's quantity shipped in the year
+    (the nested correlated subqueries rewritten as one grouped join).
+
+    Scale shape: the part-name filter broadcasts onto both partsupp
+    and the fact scan; shipped quantity is one map-side-combined
+    groupBy on the (partkey, suppkey) pair; the excess test is an
+    exact integer compare; nation detail broadcasts at the end."""
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    pts = part.where(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    shipped = (
+        lineitem.where(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        )
+        .join(F.broadcast(pts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("qty")
+        )
+    )
+    excess = (
+        partsupp.join(
+            F.broadcast(pts), F.col("ps_partkey") == F.col("p_partkey")
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .where(F.col("ps_availqty") > 2 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        excess.join(
+            supplier, F.col("ps_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def returnflag_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape: per lineitem category, how many HIGH-priority
+    vs lower-priority orders shipped in the window — the conditional
+    two-way count after the fact-dimension join.  The schema carries
+    no shipmode/commitdate/receiptdate, so the category is
+    l_returnflag and the window is on l_shipdate (same adaptation
+    notes as priority_late_orders).
+
+    Scale shape: the date predicate pushes to the fact scan; one hash
+    equi-join on orderkey; map-side-combined conditional counts."""
+    lo = F.lit(date_lo).cast("timestamp")
+    hi = F.lit(date_hi).cast("timestamp")
+    li = lineitem.where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).cast("long").alias("high_line_count"),
+            F.sum((~high).cast("long"))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )

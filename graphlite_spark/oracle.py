@@ -4676,6 +4676,194 @@ def dormant_customers_sql(
     )
 
 
+def _ps_attr(tag: str, lo: int, span: int) -> str:
+    h = _h48(
+        f"concat_ws(chr(31), '{tag}', CAST(ps_partkey AS VARCHAR),"
+        " CAST(ps_suppkey AS VARCHAR))"
+    )
+    return f"{h} % {span} + {lo}"
+
+
+#: Mirror of operators.relational.derive_partsupp: 4 consecutive-residue
+#: suppliers per part UNION the observed lineitem pairs, attributes
+#: carved from the shared 48-bit md5 of the pair.
+_PARTSUPP_CTE = (
+    "partsupp AS MATERIALIZED (\n"
+    "  SELECT ps_partkey, ps_suppkey,\n"
+    f"    {_ps_attr('psav', 1, 9999)} AS ps_availqty,\n"
+    f"    {_ps_attr('pscost', 1_000_000, 999_000_001)}"
+    " AS ps_supplycost_micros\n"
+    "  FROM (SELECT DISTINCT ps_partkey, ps_suppkey FROM (\n"
+    "    SELECT p_partkey AS ps_partkey,\n"
+    "      (p_partkey * 4 + i) % s_cnt AS ps_suppkey\n"
+    "    FROM part\n"
+    "    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS s_cnt"
+    " FROM supplier)\n"
+    "    CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(i)\n"
+    "    UNION ALL\n"
+    "    SELECT l_partkey, CAST(l_suppkey AS BIGINT) FROM lineitem)))"
+)
+
+
+def derive_partsupp_sql() -> str:
+    """The derived partsupp itself as a checkable result set."""
+    return (
+        f"WITH {_PARTSUPP_CTE}\n"
+        "SELECT ps_partkey, ps_suppkey, ps_availqty,"
+        " ps_supplycost_micros FROM partsupp"
+    )
+
+
+def min_cost_supplier_sql(
+    region_name: str = "EUROPE",
+    p_type: str = "ECONOMY",
+    max_size: int = 25,
+) -> str:
+    """Mirror of operators.relational.min_cost_supplier (Q2 shape):
+    the correlated min-cost subquery as a grouped min joined back."""
+    return (
+        f"WITH {_PARTSUPP_CTE},\n"
+        "sup AS MATERIALIZED (\n"
+        "  SELECT s_suppkey, s_name,\n"
+        "    CAST(round(s_acctbal * 1000000, 0) AS BIGINT)"
+        " AS acctbal_micros, n_name\n"
+        "  FROM supplier JOIN nation ON n_nationkey = s_nationkey\n"
+        "  JOIN region ON r_regionkey = n_regionkey\n"
+        f"  WHERE r_name = '{region_name}'),\n"
+        "ps AS MATERIALIZED (\n"
+        "  SELECT ps_partkey, ps_suppkey, ps_supplycost_micros,\n"
+        "    s_name, acctbal_micros, n_name, p_brand\n"
+        "  FROM partsupp JOIN sup ON s_suppkey = ps_suppkey\n"
+        "  JOIN part ON p_partkey = ps_partkey\n"
+        f"  WHERE p_type = '{p_type}' AND p_size <= {max_size}),\n"
+        "best AS (SELECT ps_partkey AS bk,"
+        " min(ps_supplycost_micros) AS mc\n"
+        "  FROM ps GROUP BY ps_partkey)\n"
+        "SELECT acctbal_micros, s_name, n_name,\n"
+        "  ps_partkey AS p_partkey, p_brand,\n"
+        "  ps_suppkey AS s_suppkey,\n"
+        "  ps_supplycost_micros AS supplycost_micros\n"
+        "FROM ps JOIN best\n"
+        "  ON ps_partkey = bk AND ps_supplycost_micros = mc"
+    )
+
+
+def product_type_profit_sql(name_contains: str = "red") -> str:
+    """Mirror of operators.relational.product_type_profit (Q9 shape):
+    revenue minus derived supplycost * quantity, exact micro-units."""
+    return (
+        f"WITH {_PARTSUPP_CTE}\n"
+        "SELECT n_name AS nation,\n"
+        "  CAST(year(o_orderdate) AS BIGINT) AS o_year,\n"
+        f"  CAST(sum({_REV_M}\n"
+        "      - ps_supplycost_micros * CAST(l_quantity AS BIGINT))"
+        " AS BIGINT) AS profit_micros\n"
+        "FROM lineitem\n"
+        "JOIN part ON p_partkey = l_partkey\n"
+        "JOIN partsupp ON ps_partkey = l_partkey"
+        " AND ps_suppkey = l_suppkey\n"
+        "JOIN supplier ON s_suppkey = l_suppkey\n"
+        "JOIN nation ON n_nationkey = s_nationkey\n"
+        "JOIN orders ON o_orderkey = l_orderkey\n"
+        f"WHERE p_name LIKE '%{name_contains}%'\n"
+        "GROUP BY n_name, year(o_orderdate)"
+    )
+
+
+def important_stock_sql(
+    nation_name: str = "NATION_15", fraction_den: int = 500
+) -> str:
+    """Mirror of operators.relational.important_stock (Q11 shape):
+    exact integer threshold — value > total // den."""
+    return (
+        f"WITH {_PARTSUPP_CTE},\n"
+        "ps AS MATERIALIZED (\n"
+        "  SELECT ps_partkey,"
+        " ps_supplycost_micros * ps_availqty AS v\n"
+        "  FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey\n"
+        "  JOIN nation ON n_nationkey = s_nationkey\n"
+        f"  WHERE n_name = '{nation_name}'),\n"
+        "pp AS MATERIALIZED (\n"
+        "  SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_micros\n"
+        "  FROM ps GROUP BY ps_partkey),\n"
+        "t AS (SELECT CAST(sum(value_micros) AS BIGINT)"
+        " AS total FROM pp)\n"
+        "SELECT ps_partkey, value_micros FROM pp, t\n"
+        f"WHERE value_micros > total // {fraction_den}"
+    )
+
+
+def parts_supplier_counts_sql(
+    excl_brand: str = "Brand#17",
+    excl_type_prefix: str = "PROMO",
+    sizes: tuple = (1, 4, 9, 16, 25, 36, 49),
+) -> str:
+    """Mirror of operators.relational.parts_supplier_counts (Q16
+    shape): complaint suppliers (s_name LIKE '%7') anti-joined out."""
+    size_list = ", ".join(str(s) for s in sizes)
+    return (
+        f"WITH {_PARTSUPP_CTE}\n"
+        "SELECT p_brand, p_type, p_size,\n"
+        "  CAST(count(DISTINCT ps_suppkey) AS BIGINT)"
+        " AS supplier_cnt\n"
+        "FROM partsupp JOIN part ON p_partkey = ps_partkey\n"
+        f"WHERE p_brand <> '{excl_brand}'\n"
+        f"  AND p_type NOT LIKE '{excl_type_prefix}%'\n"
+        f"  AND p_size IN ({size_list})\n"
+        "  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier\n"
+        "    WHERE s_name LIKE '%7')\n"
+        "GROUP BY p_brand, p_type, p_size"
+    )
+
+
+def potential_promotion_suppliers_sql(
+    name_prefix: str = "red",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> str:
+    """Mirror of operators.relational.potential_promotion_suppliers
+    (Q20 shape): availqty > 2 * the pair's shipped quantity."""
+    return (
+        f"WITH {_PARTSUPP_CTE},\n"
+        "pts AS MATERIALIZED (SELECT p_partkey FROM part\n"
+        f"  WHERE p_name LIKE '{name_prefix}%'),\n"
+        "shipped AS MATERIALIZED (\n"
+        "  SELECT l_partkey, l_suppkey,\n"
+        "    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty\n"
+        "  FROM lineitem JOIN pts ON p_partkey = l_partkey\n"
+        f"  WHERE l_shipdate >= TIMESTAMP '{date_lo} 00:00:00'\n"
+        f"    AND l_shipdate < TIMESTAMP '{date_hi} 00:00:00'\n"
+        "  GROUP BY l_partkey, l_suppkey),\n"
+        "ex AS (SELECT DISTINCT ps_suppkey\n"
+        "  FROM partsupp JOIN pts ON p_partkey = ps_partkey\n"
+        "  JOIN shipped ON l_partkey = ps_partkey"
+        " AND l_suppkey = ps_suppkey\n"
+        "  WHERE ps_availqty > 2 * qty)\n"
+        "SELECT s_suppkey, s_name, n_name\n"
+        "FROM ex JOIN supplier ON s_suppkey = ps_suppkey\n"
+        "JOIN nation ON n_nationkey = s_nationkey"
+    )
+
+
+def returnflag_priority_counts_sql(
+    date_lo: str = "1996-01-01", date_hi: str = "1997-01-01"
+) -> str:
+    """Mirror of operators.relational.returnflag_priority_counts (Q12
+    shape): two-way conditional count per lineitem category."""
+    high = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return (
+        "SELECT l_returnflag,\n"
+        f"  CAST(sum(CASE WHEN {high} THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS high_line_count,\n"
+        f"  CAST(sum(CASE WHEN {high} THEN 0 ELSE 1 END) AS BIGINT)"
+        " AS low_line_count\n"
+        "FROM lineitem JOIN orders ON o_orderkey = l_orderkey\n"
+        f"WHERE l_shipdate >= TIMESTAMP '{date_lo} 00:00:00'\n"
+        f"  AND l_shipdate < TIMESTAMP '{date_hi} 00:00:00'\n"
+        "GROUP BY l_returnflag"
+    )
+
+
 def response_latency_sql(percents: tuple[int, ...] = (50, 90, 99)) -> str:
     """Mirror of operators.analytics.response_latency_quantiles: one
     lead window over (conv_id, turn_idx), then the grouped_quantiles

@@ -115,6 +115,14 @@ GUARDED = [
     "tpch_q19_disjunctive",
     "tpch_q21_waiting",
     "tpch_q22_dormant",
+    # derived-partsupp tier (Q2/Q9/Q11/Q16/Q20 + the base table + Q12)
+    "tpch_partsupp_derived",
+    "tpch_q2_min_cost_supp",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_counts",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_excess_stock",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -134,6 +142,15 @@ BNLJ_ALLOWED = {
     # 1-row (sum, cnt) balance-stats aggregate broadcast back into the
     # pruned customer sliver (the Q15 max-broadcast-back pattern)
     "tpch_q22_dormant",
+    # derive_partsupp rides a 1-row supplier-count scalar into the
+    # part x 4 projection (constant-sized build side); Q11 adds the
+    # 1-row stock total broadcast back over the per-part values
+    "tpch_partsupp_derived",
+    "tpch_q2_min_cost_supp",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_excess_stock",
 }
 
 
