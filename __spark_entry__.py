@@ -65,7 +65,7 @@ from graphlite_spark.algos.community import (
     contract_graph,
     louvain_move,
 )
-from graphlite_spark.algos.wl import wl_refinement
+from graphlite_spark.algos.wl import wl_conv_fingerprints, wl_refinement
 from graphlite_spark.algos.mis import greedy_coloring, maximal_independent_set
 from graphlite_spark.algos.sampling import sample_neighbors
 from graphlite_spark.algos.scc import (
@@ -634,6 +634,14 @@ def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (hash-exact — the refinement string is identical on both engines)
     _, v, e = graph_tables(spark, sf_dir)
     return wl_refinement(v, e, iterations=3)
+
+
+def q_conv_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-conversation WL structural fingerprint + duplicate-class
+    # size: structural near-isomorphism dedup of agent traces (same
+    # reply/tool shape regardless of text)
+    _, v, e = graph_tables(spark, sf_dir)
+    return wl_conv_fingerprints(v, e, iterations=3)
 
 
 def q_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2074,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_priority_counts": q_tpch_q12,
         "tpch_q16_supplier_counts": q_tpch_q16,
         "tpch_q20_excess_stock": q_tpch_q20,
+        "conv_structure_classes": q_conv_structure,
     }
 
 
@@ -2128,6 +2137,7 @@ def oracle_sql() -> dict[str, str]:
         "stress_source0": O.stress_sql(0, 7),
         "rectangles_total": O.rectangles_sql(),
         "wl_colors_3": O.wl_sql(3),
+        "conv_structure_classes": O.wl_conv_fingerprints_sql(3),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

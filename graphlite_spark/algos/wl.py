@@ -84,3 +84,54 @@ def wl_refinement(
         spark.conf.set("spark.sql.adaptive.enabled", saved)
         und.unpersist()
     return state
+
+
+def wl_conv_fingerprints(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iterations: int = 3,
+) -> DataFrame:
+    """(conv_id, n_vertices, fingerprint, class_size) — a structural
+    fingerprint per CONVERSATION: the md5 of the numerically-sorted
+    1-WL color multiset of its turns.  Two conversations share a
+    fingerprint iff their h-round WL refinements agree — structural
+    near-isomorphism dedup of agent traces (same reply/tool shape
+    regardless of text), the graph-shaped sibling of the content
+    dedup family.  ``class_size`` is the number of conversations in
+    the fingerprint's duplicate class.
+
+    Engine-portable: colors are the 48-bit md5 WL colors (hash-exact
+    on both engines) and the fingerprint string is the comma-joined
+    ascending color list — DuckDB's ``string_agg(... ORDER BY color)``
+    builds the identical string.
+
+    Scale shape: conversation graphs are disjoint components of the
+    transcript graph, so the GLOBAL refinement (one equi-join + one
+    grouped sort per round) IS the per-conversation refinement; the
+    collect_list here is bounded by conversation length (turns per
+    conv), not by any global quantity; class sizes are one groupBy
+    over one-row-per-conv."""
+    colors = wl_refinement(vertices, edges, iterations)
+    per_conv = (
+        vertices.select("id", "conv_id")
+        .join(colors, "id")
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list("color")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("fingerprint"),
+        )
+    )
+    sizes = per_conv.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    return per_conv.join(sizes, "fingerprint").select(
+        "conv_id", "n_vertices", "fingerprint", "class_size"
+    )

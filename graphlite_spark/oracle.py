@@ -1403,9 +1403,10 @@ def powerlaw_alpha_sql(dmin: int = 2) -> str:
     )
 
 
-def wl_sql(iterations: int = 3) -> str:
-    """Unrolled 1-WL refinement — the identical ``wl:<own>:<sorted
-    neighbor colors>`` hash string as algos.wl.wl_refinement."""
+def _wl_parts(iterations: int) -> str:
+    """The unrolled 1-WL refinement CTE chain (w0..w<iterations>) —
+    the identical ``wl:<own>:<sorted neighbor colors>`` hash string as
+    algos.wl.wl_refinement."""
     parts = [
         "w0 AS MATERIALIZED (SELECT id, "
         + _h48("'wl:0'")
@@ -1431,8 +1432,34 @@ def wl_sql(iterations: int = 3) -> str:
             + " AS color\n"
             f"  FROM {prev} v LEFT JOIN wn{r} n ON n.id = v.id)"
         )
-    joined = ",\n".join(parts)
-    body = f", {joined}\nSELECT id, color FROM w{iterations}"
+    return ",\n".join(parts)
+
+
+def wl_sql(iterations: int = 3) -> str:
+    """Mirror of algos.wl.wl_refinement."""
+    body = (
+        f", {_wl_parts(iterations)}\n"
+        f"SELECT id, color FROM w{iterations}"
+    )
+    return _graph_query(body)
+
+
+def wl_conv_fingerprints_sql(iterations: int = 3) -> str:
+    """Mirror of algos.wl.wl_conv_fingerprints: md5 of the ascending
+    per-conversation WL color list, plus the duplicate-class size."""
+    body = (
+        f", {_wl_parts(iterations)},\n"
+        "pc AS MATERIALIZED (\n"
+        "  SELECT v.conv_id, CAST(count(*) AS BIGINT) AS n_vertices,\n"
+        "    md5(string_agg(CAST(c.color AS VARCHAR), ','"
+        " ORDER BY c.color)) AS fingerprint\n"
+        f"  FROM w{iterations} c JOIN vertices v ON v.id = c.id\n"
+        "  GROUP BY v.conv_id)\n"
+        "SELECT conv_id, n_vertices, fingerprint, class_size\n"
+        "FROM pc JOIN (SELECT fingerprint,"
+        " CAST(count(*) AS BIGINT) AS class_size\n"
+        "  FROM pc GROUP BY fingerprint) cs USING (fingerprint)"
+    )
     return _graph_query(body)
 
 

@@ -425,6 +425,31 @@ def test_wl_refinement_properties(spark):
     assert got == col
 
 
+def test_wl_conv_fingerprints(spark):
+    """Structurally identical conversations share a fingerprint (and a
+    duplicate class); a structurally different one does not."""
+    from graphlite_spark.algos.wl import wl_conv_fingerprints
+
+    # conv a: chain of 3; conv b: chain of 3 (isomorphic); conv c:
+    # star of 4 (different shape, different vertex count)
+    v = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "a"),
+         (3, "b"), (4, "b"), (5, "b"),
+         (6, "c"), (7, "c"), (8, "c"), (9, "c")],
+        "id long, conv_id string",
+    )
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (6, 8), (6, 9)],
+        "src long, dst long",
+    ).withColumn("weight", F.lit(1.0))
+    got = {r["conv_id"]: r for r in wl_conv_fingerprints(v, e, 3).collect()}
+    assert got["a"]["fingerprint"] == got["b"]["fingerprint"]
+    assert got["a"]["class_size"] == 2 and got["b"]["class_size"] == 2
+    assert got["c"]["fingerprint"] != got["a"]["fingerprint"]
+    assert got["c"]["class_size"] == 1
+    assert got["a"]["n_vertices"] == 3 and got["c"]["n_vertices"] == 4
+
+
 def test_attribute_assortativity_known_values(spark):
     """Hand-checked mixing: perfectly assortative = 1; a checkerboard
     bipartite-by-label graph is maximally disassortative; python replay
