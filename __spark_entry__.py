@@ -756,6 +756,19 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-pass column profiler over events: null/distinct/min/max per
+    # column, numerics in exact micros, timestamps in epoch micros
+    from graphlite_spark.operators.profiling import profile_columns
+
+    return profile_columns(
+        load_table(spark, sf_dir, "events"),
+        numeric=("event_id", "user_id", "value"),
+        string=("event_type", "props"),
+        timestamp=("ts",),
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyperLogLog distinct-user sketch per event_type over the shared
     # 48-bit md5: register max is integer arithmetic, the harmonic sum
@@ -2083,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16_supplier_counts": q_tpch_q16,
         "tpch_q20_excess_stock": q_tpch_q20,
         "conv_structure_classes": q_conv_structure,
+        "profile_events": q_profile_events,
     }
 
 
@@ -2138,6 +2152,7 @@ def oracle_sql() -> dict[str, str]:
         "rectangles_total": O.rectangles_sql(),
         "wl_colors_3": O.wl_sql(3),
         "conv_structure_classes": O.wl_conv_fingerprints_sql(3),
+        "profile_events": O.profile_columns_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -103,3 +103,66 @@ def vocab_zipf_alpha(
             ),
         ).alias("alpha"),
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric: tuple = (),
+    string: tuple = (),
+    timestamp: tuple = (),
+) -> DataFrame:
+    """One row per profiled column: (column, n_rows, n_null,
+    n_distinct, min_num, max_num, min_str, max_str) — the data-quality
+    pass a pipeline runs before trusting a new table.  Numerics are
+    normalized to BIGINT micro-units and timestamps to epoch micros
+    (min/max land in min_num/max_num, exact on both engines); strings
+    compare lexicographically in min_str/max_str.  n_distinct counts
+    distinct NON-NULL values.
+
+    Scale shape: the table is melted once to (column, value) — rows x
+    n_cols, one projection, no Expand — then ONE groupBy("column")
+    computes every statistic; the distinct count is the only two-phase
+    aggregate, keyed by (column, value) so it partial-aggregates
+    map-side.  At 100 TB swap the exact distinct for the HLL register
+    path in sketches.hll_distinct_by — same melt, bounded state."""
+    kinds: list[tuple[str, str]] = (
+        [(c, "num") for c in numeric]
+        + [(c, "str") for c in string]
+        + [(c, "ts") for c in timestamp]
+    )
+    structs = []
+    for c, kind in kinds:
+        if kind == "num":
+            v_num = F.round(F.col(c).cast("double") * 1_000_000).cast(
+                "long"
+            )
+            v_str = F.lit(None).cast("string")
+        elif kind == "ts":
+            v_num = F.unix_micros(F.col(c).cast("timestamp"))
+            v_str = F.lit(None).cast("string")
+        else:
+            v_num = F.lit(None).cast("long")
+            v_str = F.col(c).cast("string")
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).isNull().cast("long").alias("is_null"),
+                v_num.alias("v_num"),
+                v_str.alias("v_str"),
+                F.coalesce(
+                    v_num.cast("string"), v_str
+                ).alias("v_key"),
+            )
+        )
+    melted = df.select(
+        F.explode(F.array(*structs)).alias("m")
+    ).select("m.*")
+    return melted.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("is_null").cast("long").alias("n_null"),
+        F.countDistinct("v_key").cast("long").alias("n_distinct"),
+        F.min("v_num").alias("min_num"),
+        F.max("v_num").alias("max_num"),
+        F.min("v_str").alias("min_str"),
+        F.max("v_str").alias("max_str"),
+    )

@@ -1933,6 +1933,49 @@ def kmv_distinct_sql(group_col: str = "event_type",
     )
 
 
+def profile_columns_sql(
+    table: str = "events",
+    numeric: tuple = ("event_id", "user_id", "value"),
+    string: tuple = ("event_type", "props"),
+    timestamp: tuple = ("ts",),
+) -> str:
+    """Mirror of operators.profiling.profile_columns: one UNION ALL arm
+    per column (test scale; the Spark side melts instead), numerics in
+    BIGINT micros, timestamps in epoch micros, strings lexicographic."""
+    arms = []
+    kinds = (
+        [(c, "num") for c in numeric]
+        + [(c, "str") for c in string]
+        + [(c, "ts") for c in timestamp]
+    )
+    for c, kind in kinds:
+        if kind == "num":
+            vn = f"CAST(round(CAST({c} AS DOUBLE) * 1000000, 0) AS BIGINT)"
+        elif kind == "ts":
+            vn = f"CAST(epoch_us({c}) AS BIGINT)"
+        else:
+            vn = None
+        if vn is not None:
+            dis = f"count(DISTINCT {vn})"
+            mn, mx = f"min({vn})", f"max({vn})"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:
+            dis = f"count(DISTINCT {c})"
+            mn, mx = "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)"
+            ms, xs = f"min({c})", f"max({c})"
+        arms.append(
+            f"SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n_rows,\n"
+            f"  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_null,\n"
+            f"  CAST({dis} AS BIGINT) AS n_distinct,\n"
+            f"  CAST({mn} AS BIGINT) AS min_num,"
+            f" CAST({mx} AS BIGINT) AS max_num,\n"
+            f"  {ms} AS min_str, {xs} AS max_str\n"
+            f"FROM {table}"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
 def hll_distinct_sql(group_col: str = "event_type",
                      value_col: str = "user_id", b: int = 6) -> str:
     """Mirror of operators.sketches.hll_distinct_by over the events

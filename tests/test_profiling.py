@@ -28,3 +28,24 @@ def test_heavy_hitters_exact_and_plan(spark):
     truth = Counter(k for (k,) in data)
     expect = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expect
+
+
+def test_profile_columns_nulls_and_kinds(spark):
+    """Null counting, per-kind normalization (micros / epoch / lex),
+    and distinct-ignores-null semantics; no Expand in the plan (the
+    melt + single distinct agg, not a multi-countDistinct)."""
+    from graphlite_spark.operators.profiling import profile_columns
+
+    t = spark.createDataFrame(
+        [(1, "x", None), (2, None, 3.5), (None, "x", 3.5)],
+        "a long, b string, c double",
+    )
+    df = profile_columns(t, numeric=("a", "c"), string=("b",))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    p = {r["column"]: r for r in df.collect()}
+    assert p["a"]["n_rows"] == 3 and p["a"]["n_null"] == 1
+    assert p["a"]["n_distinct"] == 2 and p["a"]["min_num"] == 1_000_000
+    assert p["b"]["n_null"] == 1 and p["b"]["n_distinct"] == 1
+    assert p["b"]["min_str"] == "x" and p["b"]["min_num"] is None
+    assert p["c"]["n_distinct"] == 1 and p["c"]["max_num"] == 3_500_000
