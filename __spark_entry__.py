@@ -1606,6 +1606,14 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # greedy k-center coreset selection (farthest-first traversal):
+    # k maximally-spread exemplars + the coverage-radius certificate
+    from graphlite_spark.operators.kmeans import kcenter_select
+
+    return kcenter_select(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_embeddings(
         load_table(spark, sf_dir, "embeddings"), k=8, iterations=3
@@ -2097,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_excess_stock": q_tpch_q20,
         "conv_structure_classes": q_conv_structure,
         "profile_events": q_profile_events,
+        "coreset_kcenter_8": q_kcenter,
     }
 
 
@@ -2153,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
         "wl_colors_3": O.wl_sql(3),
         "conv_structure_classes": O.wl_conv_fingerprints_sql(3),
         "profile_events": O.profile_columns_sql(),
+        "coreset_kcenter_8": O.kcenter_select_sql(8, 64),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

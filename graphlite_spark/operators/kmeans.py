@@ -242,3 +242,59 @@ def pq_encode(
         F.col("st.code").alias("code"),
         F.col("st.dist_sq").alias("dist_sq"),
     )
+
+
+def kcenter_select(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(center_rank, vec_id, radius_sq) — greedy k-center selection
+    (farthest-first traversal, Gonzalez 1985): start from the hash-min
+    seed, then repeatedly add the vector FARTHEST from the selected
+    set.  The coreset/diversity-sampling primitive of a training-data
+    pipeline (pick k maximally-spread exemplars; radius_sq is the
+    2-approximation certificate — every vector is within sqrt of it of
+    some center at selection time).
+
+    Deterministic and engine-exact: micro-unit BIGINT distances, the
+    argmax breaks ties to the smallest id, seed is the smallest
+    ``(hash48('kcenter:' || id), id)``.
+
+    Scale shape: k rounds, each ONE codegen scan (min-distance over
+    the selected centers as a nested array LITERAL — no join, no
+    shuffle over N·d) + a TakeOrdered(1) action; driver state is k·d
+    longs, the kmeans-codebook bound."""
+    spark = embeddings.sparkSession
+    q = _quantized(embeddings, id_col, vec_col)
+    first = (
+        q.select(
+            "id",
+            "qv",
+            hash48(
+                F.concat(F.lit("kcenter:"), F.col("id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy("h", "id")
+        .limit(1)
+        .collect()
+    )
+    rows = [(0, int(first[0]["id"]), 0)]
+    cvecs = [list(first[0]["qv"])]
+    for r in range(1, k):
+        far = (
+            q.select(
+                "id", "qv", F.array_min(_dists_expr(cvecs)).alias("md")
+            )
+            .orderBy(F.desc("md"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        rows.append((r, int(far[0]["id"]), int(far[0]["md"])))
+        cvecs.append(list(far[0]["qv"]))
+    return spark.createDataFrame(
+        rows, "center_rank long, vec_id long, radius_sq long"
+    )

@@ -3223,6 +3223,53 @@ def pq_sql(
     return f"WITH {joined}\n{union}"
 
 
+def kcenter_select_sql(k: int = 8, d: int = 64) -> str:
+    """Mirror of operators.kmeans.kcenter_select: unrolled greedy
+    farthest-first rounds — identical micro-unit quantization, hash-min
+    seed, BIGINT distances, (dist DESC, id ASC) argmax tie-break."""
+    h = _h48("'kcenter:' || CAST(vec_id AS VARCHAR)")
+    parts = [
+        "qe AS MATERIALIZED (\n"
+        "  SELECT vec_id, t.i - 1 AS pos,\n"
+        "    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0)"
+        " AS BIGINT) AS qv\n"
+        f"  FROM embeddings, range(1, {d + 1}) t(i))",
+        "s0 AS MATERIALIZED (\n"
+        f"  SELECT vec_id FROM (SELECT vec_id, {h} AS h"
+        " FROM embeddings)\n"
+        "  ORDER BY h, vec_id LIMIT 1)",
+        "d1 AS MATERIALIZED (\n"
+        "  SELECT q.vec_id,"
+        " CAST(sum((q.qv - c.qv) * (q.qv - c.qv)) AS BIGINT) AS md\n"
+        "  FROM qe q JOIN qe c ON c.pos = q.pos\n"
+        "  JOIN s0 ON c.vec_id = s0.vec_id\n"
+        "  GROUP BY q.vec_id)",
+        "s1 AS MATERIALIZED (SELECT vec_id, md FROM d1\n"
+        "  ORDER BY md DESC, vec_id LIMIT 1)",
+    ]
+    for r in range(2, k):
+        parts.extend([
+            f"d{r} AS MATERIALIZED (\n"
+            f"  SELECT p.vec_id, LEAST(p.md, n.nd) AS md\n"
+            f"  FROM d{r - 1} p JOIN (\n"
+            "    SELECT q.vec_id,"
+            " CAST(sum((q.qv - c.qv) * (q.qv - c.qv)) AS BIGINT) AS nd\n"
+            "    FROM qe q JOIN qe c ON c.pos = q.pos\n"
+            f"    JOIN s{r - 1} s ON c.vec_id = s.vec_id\n"
+            "    GROUP BY q.vec_id) n USING (vec_id))",
+            f"s{r} AS MATERIALIZED (SELECT vec_id, md FROM d{r}\n"
+            "  ORDER BY md DESC, vec_id LIMIT 1)",
+        ])
+    sel = [
+        "SELECT CAST(0 AS BIGINT) AS center_rank, vec_id,"
+        " CAST(0 AS BIGINT) AS radius_sq FROM s0"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT), vec_id, md FROM s{r}"
+        for r in range(1, k)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
 def kmeans_sql(k: int = 8, iterations: int = 3, d: int = 64) -> str:
     """Mirror of operators.kmeans.kmeans_embeddings: identical micro-unit
     quantization, hash-min seeding, BIGINT distances with

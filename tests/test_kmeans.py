@@ -164,3 +164,42 @@ def test_pq_encode_guards(spark):
         pq_encode(emb, m=4)
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert pq_encode(empty, m=4).count() == 0
+
+
+def test_kcenter_select_replay(spark):
+    """Exact numpy replay of greedy farthest-first: same hash-min seed,
+    same micro-unit BIGINT distances, same (dist DESC, id ASC) argmax;
+    radius is non-increasing (the greedy certificate)."""
+    import numpy as np
+
+    from graphlite_spark.operators.kmeans import kcenter_select
+
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.randn(8).astype("float32") for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r["center_rank"], r["vec_id"], r["radius_sq"])
+        for r in kcenter_select(df, k=5).orderBy("center_rank").collect()
+    ]
+
+    q = {
+        i: np.array(
+            [int(round(float(x) * 1_000_000)) for x in v], dtype=object
+        )
+        for i, v in vecs.items()
+    }
+    seed = min(vecs, key=lambda i: (_h48(f"kcenter:{i}"), i))
+    sel = [(0, seed, 0)]
+    md = {i: int(((q[i] - q[seed]) ** 2).sum()) for i in vecs}
+    for r in range(1, 5):
+        far = max(md, key=lambda i: (md[i], -i))
+        sel.append((r, far, md[far]))
+        md = {
+            i: min(md[i], int(((q[i] - q[far]) ** 2).sum())) for i in vecs
+        }
+    assert got == sel
+    radii = [c[2] for c in got[1:]]
+    assert radii == sorted(radii, reverse=True)
