@@ -93,6 +93,7 @@ from graphlite_spark.operators.sketches import (
     cms_estimate_heavy_hitters,
     hll_distinct_by,
     kmv_distinct_by,
+    kmv_set_overlap,
 )
 from graphlite_spark.functions.text import (
     fingerprint_expr,
@@ -754,6 +755,14 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact_distinct rides along as the accuracy witness
     ev = load_table(spark, sf_dir, "events")
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # audience overlap for every event-type pair from MERGED KMV
+    # sketches: union/intersection/Jaccard estimated from k longs per
+    # group — the raw data is touched once, never per pair
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_set_overlap(ev, "event_type", "user_id", k=64)
 
 
 def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2106,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_structure_classes": q_conv_structure,
         "profile_events": q_profile_events,
         "coreset_kcenter_8": q_kcenter,
+        "kmv_audience_overlap": q_kmv_overlap,
     }
 
 
@@ -2163,6 +2173,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_structure_classes": O.wl_conv_fingerprints_sql(3),
         "profile_events": O.profile_columns_sql(),
         "coreset_kcenter_8": O.kcenter_select_sql(8, 64),
+        "kmv_audience_overlap": O.kmv_set_overlap_sql("event_type", "user_id", 64),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

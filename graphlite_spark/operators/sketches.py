@@ -212,3 +212,142 @@ def cms_estimate_heavy_hitters(
     return joined.groupBy(key_col, "exact_n").agg(
         F.min("n").alias("cms_est")
     )
+
+
+def kmv_set_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    include_exact: bool = True,
+) -> DataFrame:
+    """(group_a, group_b, est_union, est_intersection, jaccard_micros
+    [, exact_union, exact_intersection]) — set-operation estimates for
+    every ORDERED pair of groups (group_a < group_b) from MERGED KMV
+    sketches (Beyer et al., SIGMOD 2007): the union sketch is the k
+    smallest of the two sketches' union, est_union the usual KMV
+    estimate over it, and with rho = |both-members among the union
+    sketch| the intersection estimate is ``rho * est_union div L`` and
+    Jaccard ``10^6 * rho div L`` (L = union sketch size, < k when the
+    union is small — then everything is exact).  All integer
+    arithmetic over the shared 48-bit md5 — hash-exact cross-engine.
+
+    The sketch-ALGEBRA story is the scale point: per-group state is k
+    longs, and every pairwise overlap is computed from sketches alone
+    — the raw data is touched once, never per pair.
+
+    Scale shape: one map-side-combined distinct + one per-group window
+    builds the sketches (group-partitioned); the pair stage fans each
+    sketch row out to the other groups via a broadcast inequality join
+    (G^2/2 pairs x k rows — group-count-sized, not data-sized; the
+    nested-loop build side is the G-row group list); exact witnesses
+    are one distinct self-join, disabled at 100 TB."""
+    h = hash48(F.col(value_col).cast("string"))
+    hashes = df.select(
+        F.col(group_col).alias("g"), h.alias("h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    sk = hashes.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    ).select("g", "h")
+    groups = sk.select("g").distinct()
+    # membership-tagged union rows per pair: each sketch row fans out
+    # to every pair it belongs to, then (pair, h) rows merge the tags
+    pair_rows = (
+        sk.join(
+            F.broadcast(groups.select(F.col("g").alias("g2"))),
+            F.col("g") < F.col("g2"),
+        )
+        .select(
+            F.col("g").alias("group_a"),
+            F.col("g2").alias("group_b"),
+            "h",
+            F.lit(1).alias("in_a"),
+            F.lit(0).alias("in_b"),
+        )
+        .unionByName(
+            sk.join(
+                F.broadcast(groups.select(F.col("g").alias("g2"))),
+                F.col("g2") < F.col("g"),
+            ).select(
+                F.col("g2").alias("group_a"),
+                F.col("g").alias("group_b"),
+                "h",
+                F.lit(0).alias("in_a"),
+                F.lit(1).alias("in_b"),
+            )
+        )
+        .groupBy("group_a", "group_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("group_a", "group_b").orderBy("h")
+    union_sk = pair_rows.withColumn(
+        "rn", F.row_number().over(wp)
+    ).where(F.col("rn") <= k)
+    mult = (k - 1) * HASH_SPACE
+    agg = union_sk.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("L"),
+        F.max("h").alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("rho"),
+    ).withColumn(
+        "est_union",
+        F.when(F.col("L") < k, F.col("L"))
+        .otherwise(F.expr(f"{mult} div hk"))
+        .cast("long"),
+    )
+    out = agg.select(
+        "group_a",
+        "group_b",
+        "est_union",
+        F.expr("(rho * est_union) div L")
+        .cast("long")
+        .alias("est_intersection"),
+        F.expr("(1000000 * rho) div L")
+        .cast("long")
+        .alias("jaccard_micros"),
+    )
+    if not include_exact:
+        return out
+    ex_i = (
+        hashes.select(F.col("g").alias("group_a"), "h")
+        .join(hashes.select(F.col("g").alias("group_b"), "h"), "h")
+        .where(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    sizes = hashes.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        out.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("g").alias("group_a"), F.col("n").alias("na")
+                )
+            ),
+            "group_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("g").alias("group_b"), F.col("n").alias("nb")
+                )
+            ),
+            "group_b",
+        )
+        .join(ex_i, ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            "est_union",
+            "est_intersection",
+            "jaccard_micros",
+            (
+                F.col("na") + F.col("nb")
+                - F.coalesce("exact_intersection", F.lit(0))
+            )
+            .cast("long")
+            .alias("exact_union"),
+            F.coalesce("exact_intersection", F.lit(0))
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+    )

@@ -1976,6 +1976,68 @@ def profile_columns_sql(
     return "\nUNION ALL\n".join(arms)
 
 
+def kmv_set_overlap_sql(
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 64,
+) -> str:
+    """Mirror of operators.sketches.kmv_set_overlap: merged KMV union
+    sketch per group pair, rho-scaled intersection/Jaccard, exact
+    witnesses — all integer arithmetic over the shared 48-bit md5."""
+    h = _h48(f"CAST({value_col} AS VARCHAR)")
+    mult = (k - 1) * (1 << 48)
+    return (
+        "WITH hs AS MATERIALIZED (\n"
+        f"  SELECT DISTINCT {group_col} AS g, {h} AS h FROM events),\n"
+        "sk AS MATERIALIZED (\n"
+        "  SELECT g, h FROM (SELECT g, h,\n"
+        "    row_number() OVER (PARTITION BY g ORDER BY h) AS rn"
+        " FROM hs)\n"
+        f"  WHERE rn <= {k}),\n"
+        "gs AS MATERIALIZED (SELECT DISTINCT g FROM sk),\n"
+        "pr AS MATERIALIZED (\n"
+        "  SELECT group_a, group_b, h,\n"
+        "    max(in_a) AS in_a, max(in_b) AS in_b FROM (\n"
+        "    SELECT s.g AS group_a, g2.g AS group_b, h,"
+        " 1 AS in_a, 0 AS in_b\n"
+        "    FROM sk s JOIN gs g2 ON s.g < g2.g\n"
+        "    UNION ALL\n"
+        "    SELECT g2.g, s.g, h, 0, 1\n"
+        "    FROM sk s JOIN gs g2 ON g2.g < s.g)\n"
+        "  GROUP BY group_a, group_b, h),\n"
+        "us AS MATERIALIZED (\n"
+        "  SELECT * FROM (SELECT *,\n"
+        "    row_number() OVER (PARTITION BY group_a, group_b"
+        " ORDER BY h) AS rn\n"
+        f"    FROM pr) WHERE rn <= {k}),\n"
+        "ag AS MATERIALIZED (\n"
+        "  SELECT group_a, group_b, count(*) AS L, max(h) AS hk,\n"
+        "    sum(in_a * in_b) AS rho\n"
+        "  FROM us GROUP BY group_a, group_b),\n"
+        "e AS MATERIALIZED (SELECT group_a, group_b,\n"
+        f"  CAST(CASE WHEN L < {k} THEN L ELSE {mult} // hk END"
+        " AS BIGINT) AS est_union, L, rho FROM ag),\n"
+        "exi AS MATERIALIZED (\n"
+        "  SELECT a.g AS group_a, b.g AS group_b,\n"
+        "    CAST(count(*) AS BIGINT) AS exact_intersection\n"
+        "  FROM hs a JOIN hs b ON a.h = b.h AND a.g < b.g\n"
+        "  GROUP BY a.g, b.g),\n"
+        "sz AS MATERIALIZED (SELECT g, count(*) AS n FROM hs"
+        " GROUP BY g)\n"
+        "SELECT e.group_a, e.group_b, est_union,\n"
+        "  CAST((rho * est_union) // L AS BIGINT)"
+        " AS est_intersection,\n"
+        "  CAST((1000000 * rho) // L AS BIGINT) AS jaccard_micros,\n"
+        "  CAST(sa.n + sb.n - COALESCE(exact_intersection, 0)"
+        " AS BIGINT) AS exact_union,\n"
+        "  CAST(COALESCE(exact_intersection, 0) AS BIGINT)"
+        " AS exact_intersection\n"
+        "FROM e JOIN sz sa ON sa.g = e.group_a\n"
+        "JOIN sz sb ON sb.g = e.group_b\n"
+        "LEFT JOIN exi USING (group_a, group_b)"
+    )
+
+
 def hll_distinct_sql(group_col: str = "event_type",
                      value_col: str = "user_id", b: int = 6) -> str:
     """Mirror of operators.sketches.hll_distinct_by over the events

@@ -15,6 +15,7 @@ from graphlite_spark.operators.sketches import (
     cms_estimate_heavy_hitters,
     hll_distinct_by,
     kmv_distinct_by,
+    kmv_set_overlap,
 )
 from tests.reference_sim import random_digraph
 
@@ -239,3 +240,35 @@ def test_cms_sketch_size_bounded(spark):
     assert sk.count() <= 3 * 8
     total = sk.groupBy("row").agg(F.sum("n").alias("t")).collect()
     assert {r["t"] for r in total} == {1000}  # each row sees every key once
+
+
+def test_kmv_set_overlap_merge_property(spark):
+    """The merged union sketch equals the sketch OF the union (the KMV
+    mergeability theorem) — est_union from the pair operator must match
+    the plain KMV estimate computed directly on A | B; exact witnesses
+    and the rho-scaled intersection/Jaccard are replayed in python."""
+    k = 16
+    A = set(range(0, 300))          # 300 values
+    B = set(range(200, 450))        # 250 values, 100 shared
+    rows = [("a", v) for v in A] + [("b", v) for v in B]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    got = kmv_set_overlap(df, "grp", "val", k=k).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["group_a"], r["group_b"]) == ("a", "b")
+    assert r["exact_union"] == len(A | B)
+    assert r["exact_intersection"] == len(A & B)
+
+    hs_a = sorted({_h48(str(v)) for v in A})
+    hs_b = sorted({_h48(str(v)) for v in B})
+    union_sk = sorted(set(hs_a[:k]) | set(hs_b[:k]))[:k]
+    direct = sorted({_h48(str(v)) for v in A | B})[:k]
+    assert union_sk == direct  # mergeability
+    est_union = (k - 1) * (1 << 48) // union_sk[-1]
+    assert r["est_union"] == est_union
+    rho = sum(1 for h in union_sk if h in set(hs_a[:k]) and h in set(hs_b[:k]))
+    assert r["est_intersection"] == rho * est_union // k
+    assert r["jaccard_micros"] == 1_000_000 * rho // k
+    # accuracy sanity: jaccard within 3 standard errors for k=16
+    true_j = len(A & B) / len(A | B)
+    assert abs(r["jaccard_micros"] / 1e6 - true_j) < 3 * (true_j * (1 - true_j) / k) ** 0.5 + 0.1

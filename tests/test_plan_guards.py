@@ -123,6 +123,11 @@ GUARDED = [
     "tpch_q12_priority_counts",
     "tpch_q16_supplier_counts",
     "tpch_q20_excess_stock",
+    # column profiler (melt + one groupBy, no Expand) and the KMV pair
+    # overlap (sketch-row joins only); kcenter/conv_structure run their
+    # engines eagerly — nothing left to guard (the lin/betweenness rule)
+    "profile_events",
+    "kmv_audience_overlap",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -151,6 +156,9 @@ BNLJ_ALLOWED = {
     "tpch_q11_important_stock",
     "tpch_q16_supplier_counts",
     "tpch_q20_excess_stock",
+    # the pair fan-out joins sketch rows against the G-row group list
+    # on an inequality — the nested-loop build side is group-count-sized
+    "kmv_audience_overlap",
 }
 
 
