@@ -757,6 +757,15 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic 90/5/5 train/val/test assignment: pure hash CASE,
+    # leakage-safe across tables sharing the key, re-splittable by salt
+    from graphlite_spark.operators.packing import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_splits(docs, "doc_id").select("doc_id", "lang", "split")
+
+
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audience overlap for every event-type pair from MERGED KMV
     # sketches: union/intersection/Jaccard estimated from k longs per
@@ -2116,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "coreset_kcenter_8": q_kcenter,
         "kmv_audience_overlap": q_kmv_overlap,
+        "dataset_split": q_dataset_split,
     }
 
 
@@ -2174,6 +2184,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": O.profile_columns_sql(),
         "coreset_kcenter_8": O.kcenter_select_sql(8, 64),
         "kmv_audience_overlap": O.kmv_set_overlap_sql("event_type", "user_id", 64),
+        "dataset_split": O.assign_splits_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

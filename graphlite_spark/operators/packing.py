@@ -243,3 +243,37 @@ def weighted_sample(
         .orderBy(F.desc("priority_micros"), F.asc(id_col))
         .limit(n)
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: tuple = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split",
+) -> DataFrame:
+    """All input columns plus ``split`` — the deterministic train/val/
+    test assignment: the key's 48-bit hash against CUMULATIVE fraction
+    thresholds (the last split absorbs the rounding tail).  Like
+    sample_stratified, membership is a pure function of (salt, key):
+    stable across runs, engines and partitionings, leakage-safe across
+    derived tables sharing the key (a document and its chunks land in
+    the same split), and re-splittable by salt.
+
+    Scale shape: one codegen CASE over a hash — no shuffle, no RNG
+    state, nothing to persist."""
+    h = hash48(
+        F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    expr = None
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        cond = h < F.lit(int(cum * (1 << 48)))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = splits[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", split)

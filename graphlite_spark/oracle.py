@@ -1976,6 +1976,29 @@ def profile_columns_sql(
     return "\nUNION ALL\n".join(arms)
 
 
+def assign_splits_sql(
+    key_col: str = "doc_id",
+    splits: tuple = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split",
+) -> str:
+    """Mirror of operators.packing.assign_splits over documents: the
+    identical cumulative 2^48 thresholds, last split as the ELSE."""
+    h = _h48(f"'{salt}:' || CAST({key_col} AS VARCHAR)")
+    cases, cum = [], 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        cases.append(
+            f"WHEN h < {int(cum * (1 << 48))} THEN '{name}'"
+        )
+    case = (
+        "CASE " + " ".join(cases) + f" ELSE '{splits[-1][0]}' END"
+    )
+    return (
+        f"SELECT doc_id, lang, {case} AS split\n"
+        f"FROM (SELECT doc_id, lang, {h} AS h FROM documents)"
+    )
+
+
 def kmv_set_overlap_sql(
     group_col: str = "event_type",
     value_col: str = "user_id",

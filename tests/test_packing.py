@@ -164,3 +164,34 @@ def test_mix_corpus_bruteforce_and_shortfall(spark):
     # the shortfall contract: stratum a contributes all 3 of its docs
     assert sum(1 for _, s, _ in got if s == "a") == 3
     assert len(got) == 3 + 4 + 2
+
+
+def test_assign_splits(spark):
+    """Cumulative-threshold semantics replayed in python; fractions
+    land near 90/5/5; membership is a pure function of (salt, key) —
+    a derived table sharing the key gets the identical assignment."""
+    from graphlite_spark.operators.packing import assign_splits
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(2000)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["split"]
+           for r in assign_splits(df, "doc_id").collect()}
+    t1, t2 = int(0.9 * (1 << 48)), int(0.95 * (1 << 48))
+    for i in range(2000):
+        h = _h48(f"split:{i}")
+        want = "train" if h < t1 else ("val" if h < t2 else "test")
+        assert got[i] == want
+    from collections import Counter
+    c = Counter(got.values())
+    assert 0.88 < c["train"] / 2000 < 0.92
+    assert 0.03 < c["val"] / 2000 < 0.07
+    assert 0.03 < c["test"] / 2000 < 0.07
+    # leakage safety: chunks table keyed by the same doc_id splits same
+    chunks = spark.createDataFrame(
+        [(i % 2000, j) for i in range(0, 4000) for j in (0, 1)],
+        "doc_id long, chunk int",
+    )
+    got2 = {(r["doc_id"], r["chunk"]): r["split"]
+            for r in assign_splits(chunks, "doc_id").collect()}
+    assert all(got2[(d, c)] == got[d] for d, c in got2)
