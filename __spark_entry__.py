@@ -757,6 +757,14 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_behavior_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pearson correlation of per-user activity counts for every event-
+    # type pair: exact BIGINT moments, the one sqrt/divide rounded 6dp
+    from graphlite_spark.operators.analytics import behavior_correlations
+
+    return behavior_correlations(load_table(spark, sf_dir, "events"))
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic 90/5/5 train/val/test assignment: pure hash CASE,
     # leakage-safe across tables sharing the key, re-splittable by salt
@@ -2126,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreset_kcenter_8": q_kcenter,
         "kmv_audience_overlap": q_kmv_overlap,
         "dataset_split": q_dataset_split,
+        "behavior_correlations": q_behavior_corr,
     }
 
 
@@ -2185,6 +2194,7 @@ def oracle_sql() -> dict[str, str]:
         "coreset_kcenter_8": O.kcenter_select_sql(8, 64),
         "kmv_audience_overlap": O.kmv_set_overlap_sql("event_type", "user_id", 64),
         "dataset_split": O.assign_splits_sql(),
+        "behavior_correlations": O.behavior_correlations_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -229,3 +229,100 @@ def response_latency_quantiles(
         )
     )
     return grouped_quantiles(pairs, "transition", "gap_us", percents)
+
+
+def behavior_correlations(
+    events: DataFrame,
+    group_col: str = "event_type",
+    unit_col: str = "user_id",
+) -> DataFrame:
+    """(type_a, type_b, n_units, sum_xy, corr) — the Pearson
+    correlation of per-unit activity counts for every group pair (do
+    users who click also purchase?).  Units absent from a group count
+    as 0, so the moments are over the FULL unit universe: with
+    n = |units|, Sx = Σ x_u, Sxx = Σ x_u², Sxy = Σ x_u·y_u (all exact
+    BIGINT — only present units contribute, zeros vanish from every
+    sum),
+
+        corr = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²))
+
+    The numerator and both radicands are exact integers (≤ ~1e13 at
+    sf0.1 — well inside the 2^53 double-exact range); the two sqrt,
+    one multiply, one divide are identical IEEE single operations on
+    both engines, rounded to 6dp per the house float discipline.
+    Constant columns (zero variance) yield NULL.
+
+    Scale shape: ONE map-side-combined groupBy builds the counts
+    table; per-group moments are a second tiny groupBy; Sxy joins the
+    counts table to itself ON THE UNIT (co-present units only — never
+    a unit×group dense matrix); the pair frame is group-count-sized
+    and broadcast."""
+    cnts = (
+        events.groupBy(
+            F.col(unit_col).alias("u"), F.col(group_col).alias("g")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    stats = cnts.groupBy("g").agg(
+        F.sum("c").cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sxx"),
+    )
+    n = events.select(F.col(unit_col)).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_units")
+    )
+    sxy = (
+        cnts.select(F.col("u"), F.col("g").alias("ga"), F.col("c").alias("ca"))
+        .join(
+            cnts.select(
+                F.col("u"), F.col("g").alias("gb"), F.col("c").alias("cb")
+            ),
+            "u",
+        )
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("sum_xy"))
+    )
+    pairs = (
+        stats.select(
+            F.col("g").alias("ga"),
+            F.col("sx").alias("sxa"),
+            F.col("sxx").alias("sxxa"),
+        )
+        .join(
+            stats.select(
+                F.col("g").alias("gb"),
+                F.col("sx").alias("sxb"),
+                F.col("sxx").alias("sxxb"),
+            ),
+            F.col("ga") < F.col("gb"),
+        )
+        .join(sxy, ["ga", "gb"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ga", "gb", "n_units",
+            F.coalesce("sum_xy", F.lit(0)).cast("long").alias("sum_xy"),
+            "sxa", "sxb", "sxxa", "sxxb",
+        )
+    )
+    vara = F.col("n_units") * F.col("sxxa") - F.col("sxa") * F.col("sxa")
+    varb = F.col("n_units") * F.col("sxxb") - F.col("sxb") * F.col("sxb")
+    num = (
+        F.col("n_units") * F.col("sum_xy") - F.col("sxa") * F.col("sxb")
+    ).cast("double")
+    corr = F.when(
+        (vara > 0) & (varb > 0),
+        F.round(
+            num
+            / (
+                F.sqrt(vara.cast("double")) * F.sqrt(varb.cast("double"))
+            ),
+            6,
+        ),
+    )
+    return pairs.select(
+        F.col("ga").alias("type_a"),
+        F.col("gb").alias("type_b"),
+        "n_units",
+        "sum_xy",
+        corr.alias("corr"),
+    )

@@ -1976,6 +1976,42 @@ def profile_columns_sql(
     return "\nUNION ALL\n".join(arms)
 
 
+def behavior_correlations_sql(
+    group_col: str = "event_type", unit_col: str = "user_id"
+) -> str:
+    """Mirror of operators.analytics.behavior_correlations: exact
+    BIGINT moments over the full unit universe, the identical
+    sqrt/divide expression rounded to 6dp."""
+    va = "n_units * sa.sxx - sa.sx * sa.sx"
+    vb = "n_units * sb.sxx - sb.sx * sb.sx"
+    return (
+        "WITH cnts AS MATERIALIZED (\n"
+        f"  SELECT {unit_col} AS u, {group_col} AS g,\n"
+        "    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),\n"
+        "st AS MATERIALIZED (\n"
+        "  SELECT g, CAST(sum(c) AS BIGINT) AS sx,\n"
+        "    CAST(sum(c * c) AS BIGINT) AS sxx FROM cnts GROUP BY g),\n"
+        "n AS (SELECT CAST(count(DISTINCT"
+        f" {unit_col}) AS BIGINT) AS n_units FROM events),\n"
+        "sxy AS MATERIALIZED (\n"
+        "  SELECT a.g AS ga, b.g AS gb,\n"
+        "    CAST(sum(a.c * b.c) AS BIGINT) AS sum_xy\n"
+        "  FROM cnts a JOIN cnts b ON a.u = b.u AND a.g < b.g\n"
+        "  GROUP BY a.g, b.g)\n"
+        "SELECT sa.g AS type_a, sb.g AS type_b, n_units,\n"
+        "  CAST(COALESCE(sum_xy, 0) AS BIGINT) AS sum_xy,\n"
+        f"  CASE WHEN {va} > 0 AND {vb} > 0\n"
+        "    THEN round(CAST(n_units * COALESCE(sum_xy, 0)"
+        " - sa.sx * sb.sx AS DOUBLE)\n"
+        f"      / (sqrt(CAST({va} AS DOUBLE))"
+        f" * sqrt(CAST({vb} AS DOUBLE))), 6)\n"
+        "  END AS corr\n"
+        "FROM st sa JOIN st sb ON sa.g < sb.g\n"
+        "LEFT JOIN sxy ON ga = sa.g AND gb = sb.g\n"
+        "CROSS JOIN n"
+    )
+
+
 def assign_splits_sql(
     key_col: str = "doc_id",
     splits: tuple = (("train", 0.9), ("val", 0.05), ("test", 0.05)),

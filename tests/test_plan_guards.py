@@ -128,6 +128,7 @@ GUARDED = [
     # engines eagerly — nothing left to guard (the lin/betweenness rule)
     "profile_events",
     "kmv_audience_overlap",
+    "behavior_correlations",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -159,6 +160,9 @@ BNLJ_ALLOWED = {
     # the pair fan-out joins sketch rows against the G-row group list
     # on an inequality — the nested-loop build side is group-count-sized
     "kmv_audience_overlap",
+    # group-stats pair frame (G rows x G rows) + the 1-row unit-count
+    # broadcast — both constant-sized build sides
+    "behavior_correlations",
 }
 
 

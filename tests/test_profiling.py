@@ -49,3 +49,40 @@ def test_profile_columns_nulls_and_kinds(spark):
     assert p["b"]["n_null"] == 1 and p["b"]["n_distinct"] == 1
     assert p["b"]["min_str"] == "x" and p["b"]["min_num"] is None
     assert p["c"]["n_distinct"] == 1 and p["c"]["max_num"] == 3_500_000
+
+
+def test_behavior_correlations_numpy(spark):
+    """Exact agreement with numpy's corrcoef over the dense per-unit
+    count matrix (zeros included), to 6dp; constant columns -> NULL."""
+    import numpy as np
+
+    from graphlite_spark.operators.analytics import behavior_correlations
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for u in range(30):
+        for g, lam in (("a", 3), ("b", 5), ("c", 1)):
+            for _ in range(int(rng.poisson(lam))):
+                rows.append((u, g))
+    rows += [(u, "const") for u in range(30)]  # every unit exactly once
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {(r["type_a"], r["type_b"]): r["corr"]
+           for r in behavior_correlations(df).collect()}
+
+    units = sorted({u for u, _ in rows})
+    groups = sorted({g for _, g in rows})
+    from collections import Counter
+    cnt = Counter(rows)
+    mat = np.array(
+        [[cnt[(u, g)] for g in groups] for u in units], dtype=float
+    )
+    cc = np.corrcoef(mat, rowvar=False)
+    for i, ga in enumerate(groups):
+        for j, gb in enumerate(groups):
+            if ga >= gb:
+                continue
+            if ga == "const" or gb == "const":
+                assert got[(ga, gb)] is None
+            else:
+                assert got[(ga, gb)] == round(float(cc[i, j]), 6), (
+                    ga, gb, got[(ga, gb)], cc[i, j])
