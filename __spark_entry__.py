@@ -757,6 +757,15 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-event-type OLS slope of daily counts (growing or fading?):
+    # closed-form x-moments make missing days real zeros with no
+    # calendar join; exact integer micro-slope
+    from graphlite_spark.operators.analytics import activity_trend
+
+    return activity_trend(load_table(spark, sf_dir, "events"))
+
+
 def q_behavior_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pearson correlation of per-user activity counts for every event-
     # type pair: exact BIGINT moments, the one sqrt/divide rounded 6dp
@@ -2135,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_audience_overlap": q_kmv_overlap,
         "dataset_split": q_dataset_split,
         "behavior_correlations": q_behavior_corr,
+        "activity_trend": q_activity_trend,
     }
 
 
@@ -2195,6 +2205,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_audience_overlap": O.kmv_set_overlap_sql("event_type", "user_id", 64),
         "dataset_split": O.assign_splits_sql(),
         "behavior_correlations": O.behavior_correlations_sql(),
+        "activity_trend": O.activity_trend_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -326,3 +326,67 @@ def behavior_correlations(
         "sum_xy",
         corr.alias("corr"),
     )
+
+
+def activity_trend(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(group, n_days, sum_y, slope_micros) — the OLS slope of DAILY
+    event counts over the day index, per group, in exact integer
+    arithmetic (micro-units per day): is this event type growing or
+    fading?
+
+    Days with no events are REAL zeros, not gaps: the x-moments over
+    the full [first_day, last_day] range are closed forms
+    (Sx = n(n−1)/2, Sxx = n(n−1)(2n−1)/6 with x normalized to 0..n−1),
+    so absent days never need materializing — they contribute nothing
+    to Sy/Sxy and the closed forms carry the rest.  slope =
+    (n·Sxy − Sx·Sy) / (n·Sxx − Sx²), emitted as the exact integer
+    ``10^6 · num div den``.
+
+    Scale shape: one map-side-combined groupBy((group, day)) over the
+    fact table, one tiny per-group rollup, and the 1-row global day
+    range broadcast back — no calendar join, no window."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {24 * 3600 * 1_000_000}"
+    )
+    daily = (
+        events.groupBy(F.col(group_col).alias("g"), day.alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    rng = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    per = (
+        daily.crossJoin(F.broadcast(rng))
+        .select(
+            "g", "y", (F.col("d") - F.col("lo")).alias("x"),
+            (F.col("hi") - F.col("lo") + 1).alias("n"),
+        )
+        .groupBy("g", "n")
+        .agg(
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    tmp = per.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sy").alias("sum_y"),
+        F.expr("(n * (n - 1)) div 2").alias("sx"),
+        F.expr("(n * (n - 1) * (2 * n - 1)) div 6").alias("sxx"),
+        F.col("n"), F.col("sxy"), F.col("sy"),
+    ).select(
+        group_col, "n_days", "sum_y",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long").alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long").alias("den"),
+    )
+    return tmp.select(
+        group_col, "n_days", "sum_y",
+        F.when(F.col("den") > 0, F.expr("(1000000 * num) div den"))
+        .cast("long").alias("slope_micros"),
+    )

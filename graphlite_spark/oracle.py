@@ -1976,6 +1976,35 @@ def profile_columns_sql(
     return "\nUNION ALL\n".join(arms)
 
 
+def activity_trend_sql(
+    group_col: str = "event_type", ts_col: str = "ts"
+) -> str:
+    """Mirror of operators.analytics.activity_trend: per-group OLS
+    slope of daily counts, closed-form x-moments, exact integer div."""
+    return (
+        "WITH daily AS MATERIALIZED (\n"
+        f"  SELECT {group_col} AS g,\n"
+        f"    CAST(epoch_us({ts_col}) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1, 2),\n"
+        "rng AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),\n"
+        "per AS MATERIALIZED (\n"
+        "  SELECT g, hi - lo + 1 AS n, CAST(sum(y) AS BIGINT) AS sy,\n"
+        "    CAST(sum((d - lo) * y) AS BIGINT) AS sxy\n"
+        "  FROM daily, rng GROUP BY g, hi - lo + 1)\n"
+        f"SELECT {group_col}, n_days, sum_y,\n"
+        "  CAST(CASE WHEN den > 0 THEN (1000000 * num) // den END"
+        " AS BIGINT) AS slope_micros\n"
+        "FROM (\n"
+        f"  SELECT g AS {group_col}, CAST(n AS BIGINT) AS n_days,"
+        " sy AS sum_y,\n"
+        "    n * sxy - ((n * (n - 1)) // 2) * sy AS num,\n"
+        "    n * ((n * (n - 1) * (2 * n - 1)) // 6)\n"
+        "      - ((n * (n - 1)) // 2) * ((n * (n - 1)) // 2) AS den\n"
+        "  FROM per)"
+    )
+
+
 def behavior_correlations_sql(
     group_col: str = "event_type", unit_col: str = "user_id"
 ) -> str:

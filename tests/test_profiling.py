@@ -86,3 +86,40 @@ def test_behavior_correlations_numpy(spark):
             else:
                 assert got[(ga, gb)] == round(float(cc[i, j]), 6), (
                     ga, gb, got[(ga, gb)], cc[i, j])
+
+
+def test_activity_trend_numpy(spark):
+    """Slope matches numpy polyfit over the dense daily series (absent
+    days = 0) to the exact integer micro-floor; a constant single-day
+    group yields NULL (zero x-variance)."""
+    import numpy as np
+
+    from graphlite_spark.operators.analytics import activity_trend
+
+    day_us = 86_400_000_000
+    rows = []
+    # "up": counts 1,2,3,...,8 across 8 days; "down": 8,...,1;
+    # "gap": day 0 and day 7 only (zeros between)
+    import datetime
+    base = datetime.datetime(2024, 1, 1)
+    def ts(d):
+        return base + datetime.timedelta(days=d)
+    for d in range(8):
+        rows += [("up", ts(d))] * (d + 1)
+        rows += [("down", ts(d))] * (8 - d)
+    rows += [("gap", ts(0))] * 4 + [("gap", ts(7))] * 4
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["event_type"]: (r["n_days"], r["sum_y"], r["slope_micros"])
+           for r in activity_trend(df).collect()}
+    x = np.arange(8)
+    for g, ys in (("up", np.arange(1, 9)),
+                  ("down", np.arange(8, 0, -1)),
+                  ("gap", np.array([4, 0, 0, 0, 0, 0, 0, 4]))):
+        slope = np.polyfit(x, ys, 1)[0]
+        n, sx, sxx = 8, 28, 140
+        num = n * int((x * ys).sum()) - sx * int(ys.sum())
+        den = n * sxx - sx * sx
+        # Spark `div` / DuckDB `//` truncate toward zero
+        want = (1_000_000 * num) // den if num >= 0 else -((1_000_000 * -num) // den)
+        assert got[g] == (8, int(ys.sum()), want), (g, got[g], want, slope)
+        assert abs(want / 1e6 - slope) < 1e-5
