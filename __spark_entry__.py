@@ -757,6 +757,16 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic negative sampling for link prediction / GNN
+    # training: k hash-mod candidates per positive edge, collisions
+    # with real neighbors dropped by ONE anti-join
+    from graphlite_spark.algos.sampling import negative_edges
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return negative_edges(e, v, k=3)
+
+
 def q_activity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-event-type OLS slope of daily counts (growing or fading?):
     # closed-form x-moments make missing days real zeros with no
@@ -2145,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "behavior_correlations": q_behavior_corr,
         "activity_trend": q_activity_trend,
+        "negative_sampling_3": q_negative_edges,
     }
 
 
@@ -2206,6 +2217,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": O.assign_splits_sql(),
         "behavior_correlations": O.behavior_correlations_sql(),
         "activity_trend": O.activity_trend_sql(),
+        "negative_sampling_3": O.negative_edges_sql(3),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -81,3 +81,68 @@ def sample_neighbors(
     out = out.localCheckpoint(eager=True)
     adj.unpersist()
     return out
+
+
+def negative_edges(
+    edges: DataFrame,
+    vertices: DataFrame,
+    k: int = 3,
+    undirected: bool = True,
+    salt: str = "neg",
+) -> DataFrame:
+    """(src, dst, slot, neg_dst) — up to ``k`` deterministic NEGATIVE
+    samples per positive edge, the contrastive pairs link-prediction /
+    GNN training consumes next to the sampled ego-nets.  Candidate
+    ``slot`` for edge (src, dst) is ``hash48(salt:src:dst:slot) mod V``
+    over the dense vertex-id space; candidates that collide with a
+    real neighbor of src (or src itself) are DROPPED rather than
+    re-drawn — the standard bounded-loss convention (expected loss is
+    degree/V per slot, negligible on sparse graphs), which keeps the
+    sample a pure function of the graph: reproducible across runs,
+    engines and partitionings, hash-exact against the SQL oracle.
+
+    Scale shape: one codegen projection fans each edge to k candidate
+    rows (the vertex count rides as a 1-row broadcast); the collision
+    filter is ONE LEFT ANTI hash join against the (symmetrized) edge
+    set on (src, candidate) — no per-row retries, no RNG state."""
+    und = symmetrize(edges) if undirected else edges
+    vcnt = vertices.agg(F.count(F.lit(1)).cast("long").alias("n_v"))
+    cands = (
+        edges.select("src", "dst")
+        .crossJoin(F.broadcast(vcnt))
+        .select(
+            "src",
+            "dst",
+            F.explode(F.array(*[F.lit(i) for i in range(k)])).alias(
+                "slot"
+            ),
+            "n_v",
+        )
+        .select(
+            "src",
+            "dst",
+            "slot",
+            (
+                hash48(
+                    F.concat_ws(
+                        ":",
+                        F.lit(salt),
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
+                        F.col("slot").cast("string"),
+                    )
+                )
+                % F.col("n_v")
+            ).alias("neg_dst"),
+        )
+        .where(F.col("neg_dst") != F.col("src"))
+    )
+    real = und.select(
+        F.col("src").alias("r_src"), F.col("dst").alias("r_dst")
+    ).distinct()
+    return cands.join(
+        real,
+        (F.col("src") == F.col("r_src"))
+        & (F.col("neg_dst") == F.col("r_dst")),
+        "left_anti",
+    )

@@ -1463,6 +1463,28 @@ def wl_conv_fingerprints_sql(iterations: int = 3) -> str:
     return _graph_query(body)
 
 
+def negative_edges_sql(k: int = 3, salt: str = "neg") -> str:
+    """Mirror of algos.sampling.negative_edges: hash-mod candidates
+    over the dense id space, collision slots dropped via NOT EXISTS."""
+    slots = ", ".join(f"({i})" for i in range(k))
+    h = _h48(
+        f"concat_ws(':', '{salt}', CAST(src AS VARCHAR),"
+        " CAST(dst AS VARCHAR), CAST(t.i AS VARCHAR))"
+    )
+    body = (
+        ", vc AS (SELECT CAST(count(*) AS BIGINT) AS n_v"
+        " FROM vertices),\n"
+        "cands AS MATERIALIZED (\n"
+        f"  SELECT src, dst, t.i AS slot, {h} % n_v AS neg_dst\n"
+        f"  FROM edges, vc, (VALUES {slots}) AS t(i))\n"
+        "SELECT src, dst, slot, neg_dst FROM cands c\n"
+        "WHERE neg_dst <> src AND NOT EXISTS (\n"
+        "  SELECT 1 FROM und u WHERE u.src = c.src"
+        " AND u.dst = c.neg_dst)"
+    )
+    return _graph_query(body)
+
+
 def rectangles_sql() -> str:
     """Mirror of algos.triangles.rectangle_count: R = Σ C(cn,2) / 2 in
     integer arithmetic."""

@@ -129,6 +129,7 @@ GUARDED = [
     "profile_events",
     "kmv_audience_overlap",
     "behavior_correlations",
+    "negative_sampling_3",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -163,6 +164,8 @@ BNLJ_ALLOWED = {
     # group-stats pair frame (G rows x G rows) + the 1-row unit-count
     # broadcast — both constant-sized build sides
     "behavior_correlations",
+    # 1-row vertex-count broadcast into the candidate projection
+    "negative_sampling_3",
 }
 
 

@@ -60,3 +60,35 @@ def test_sample_neighbors_bad_fanouts(spark):
         sample_neighbors(e, seeds, fanouts=())
     with pytest.raises(ValueError):
         sample_neighbors(e, seeds, fanouts=(2, 0))
+
+
+def test_negative_edges_replay(spark):
+    """Exact python replay: candidate = h48('neg:src:dst:slot') mod V,
+    dropped iff self or a real (symmetrized) neighbor; nothing else is
+    dropped and every surviving row matches the replay."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.algos.sampling import negative_edges
+
+    edges = random_digraph(25, 60, seed=9)
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    v = spark.range(25).select(F.col("id"))
+    got = {(r["src"], r["dst"], r["slot"], r["neg_dst"])
+           for r in negative_edges(e, v, k=3).collect()}
+
+    sym = set()
+    for s, d in edges:
+        if s != d:
+            sym.add((s, d))
+            sym.add((d, s))
+    want = set()
+    for s, d in edges:
+        for slot in range(3):
+            nd = _h48(f"neg:{s}:{d}:{slot}") % 25
+            if nd != s and (s, nd) not in sym:
+                want.add((s, d, slot, nd))
+    assert got == want
+    # no sampled pair is a real edge or a self-loop
+    assert all((s, nd) not in sym and nd != s for s, _, _, nd in got)
