@@ -371,19 +371,15 @@ def activity_trend(
             F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         )
     )
+    sx = F.expr("(n * (n - 1)) div 2")
+    sxx = F.expr("(n * (n - 1) * (2 * n - 1)) div 6")
     tmp = per.select(
         F.col("g").alias(group_col),
         F.col("n").cast("long").alias("n_days"),
         F.col("sy").alias("sum_y"),
-        F.expr("(n * (n - 1)) div 2").alias("sx"),
-        F.expr("(n * (n - 1) * (2 * n - 1)) div 6").alias("sxx"),
-        F.col("n"), F.col("sxy"), F.col("sy"),
-    ).select(
-        group_col, "n_days", "sum_y",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        (F.col("n") * F.col("sxy") - sx * F.col("sy"))
         .cast("long").alias("num"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        .cast("long").alias("den"),
+        (F.col("n") * sxx - sx * sx).cast("long").alias("den"),
     )
     return tmp.select(
         group_col, "n_days", "sum_y",
