@@ -757,6 +757,15 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-edge triangle support (the k-truss inner quantity as a
+    # readout): degree-oriented enumeration, zero-support edges kept
+    from graphlite_spark.algos.triangles import edge_support
+
+    _, _, e = graph_tables(spark, sf_dir)
+    return edge_support(e)
+
+
 def q_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic negative sampling for link prediction / GNN
     # training: k hash-mod candidates per positive edge, collisions
@@ -2156,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "behavior_correlations": q_behavior_corr,
         "activity_trend": q_activity_trend,
         "negative_sampling_3": q_negative_edges,
+        "edge_support": q_edge_support,
     }
 
 
@@ -2218,6 +2228,7 @@ def oracle_sql() -> dict[str, str]:
         "behavior_correlations": O.behavior_correlations_sql(),
         "activity_trend": O.activity_trend_sql(),
         "negative_sampling_3": O.negative_edges_sql(3),
+        "edge_support": O.edge_support_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -1152,6 +1152,24 @@ def triangles_total_sql() -> str:
     )
 
 
+def edge_support_sql() -> str:
+    """Mirror of algos.triangles.edge_support: per-edge triangle count
+    over the undirected closure, zero-support edges kept."""
+    body = (
+        f", {_TRI_CTES},\n"
+        "sup AS MATERIALIZED (\n"
+        "  SELECT lo, hi, CAST(count(*) AS BIGINT) AS s FROM (\n"
+        "    SELECT v1 AS lo, v2 AS hi FROM tri\n"
+        "    UNION ALL SELECT v1, v3 FROM tri\n"
+        "    UNION ALL SELECT v2, v3 FROM tri)\n"
+        "  GROUP BY lo, hi)\n"
+        "SELECT o.a AS lo, o.b AS hi,\n"
+        "  CAST(COALESCE(s, 0) AS BIGINT) AS support\n"
+        "FROM o LEFT JOIN sup ON sup.lo = o.a AND sup.hi = o.b"
+    )
+    return _graph_query(body)
+
+
 def partition_cut_sql(num_partitions: int = 8, salt: str = "cut") -> str:
     """Mirror of operators.partitioning.partition_cut_report over the
     derived edge table: shared 48-bit md5 placement vs contiguous id

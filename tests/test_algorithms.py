@@ -565,3 +565,18 @@ def test_salsa_matches_python_replay(spark):
         for r in salsa(v, e, iterations=3).collect()
     }
     assert got == {i: (a[i], h[i]) for i in vs}
+
+
+def test_edge_support_known_values(spark):
+    """K4 minus one edge: the shared edge of the two triangles has
+    support 2, the other four edges support 1, and a pendant edge
+    surfaces with support 0."""
+    from graphlite_spark.algos.triangles import edge_support
+
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)]
+    _, e = make_graph(spark, edges, 6)
+    got = {(r["lo"], r["hi"]): r["support"]
+           for r in edge_support(e).collect()}
+    assert got == {
+        (1, 2): 1, (1, 3): 1, (2, 3): 2, (2, 4): 1, (3, 4): 1, (4, 5): 0,
+    }

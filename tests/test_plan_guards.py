@@ -207,6 +207,10 @@ def test_wedge_family_degree_oriented(spark, monkeypatch):
     seen.clear()
     row = T.directed_triangle_census(df).collect()[0]
     assert ("rows", "degree") in seen, "census no longer degree-oriented"
+
+    seen.clear()
+    T.edge_support(df).collect()
+    assert ("rows", "degree") in seen, "edge_support no longer degree-oriented"
     # 1→2→3→1 cyclic; transitive instances incl. (1,2,3) via 1→3 etc.
     assert row["n_cyclic"] >= 1 and row["n_transitive"] >= 1
 
