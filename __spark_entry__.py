@@ -757,6 +757,14 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DAU / rolling-7-day WAU / stickiness per day: presence fan-out
+    # rolling distinct (never events x window), silent days kept
+    from graphlite_spark.operators.analytics import dau_wau
+
+    return dau_wau(load_table(spark, sf_dir, "events"))
+
+
 def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-edge triangle support (the k-truss inner quantity as a
     # readout): degree-oriented enumeration, zero-support edges kept
@@ -2166,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_trend": q_activity_trend,
         "negative_sampling_3": q_negative_edges,
         "edge_support": q_edge_support,
+        "dau_wau_stickiness": q_dau_wau,
     }
 
 
@@ -2229,6 +2238,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_trend": O.activity_trend_sql(),
         "negative_sampling_3": O.negative_edges_sql(3),
         "edge_support": O.edge_support_sql(),
+        "dau_wau_stickiness": O.dau_wau_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

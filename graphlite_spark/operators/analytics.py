@@ -386,3 +386,64 @@ def activity_trend(
         F.when(F.col("den") > 0, F.expr("(1000000 * num) div den"))
         .cast("long").alias("slope_micros"),
     )
+
+
+def dau_wau(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """(day, dau, wau, stickiness_micros) — daily active units, rolling
+    ``window_days`` active units, and the DAU/WAU stickiness ratio in
+    exact integer micro-units, for every day in the data's range.
+
+    The rolling distinct is NOT a window over raw events: the (day,
+    unit) presence table is deduplicated first (one combined groupBy),
+    then each presence row fans out to the ``window_days`` days it
+    supports (one explode of a literal-sized sequence) and a second
+    combined distinct-count per day absorbs overlaps.  State is
+    presence-rows × window_days — never events × window_days — and no
+    per-day self-join or global window appears.  Days inside the range
+    with zero activity still surface (dau 0) via the day spine joined
+    from the 1-row range broadcast."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp))"
+        f" div {24 * 3600 * 1_000_000}"
+    )
+    pres = (
+        events.select(day.alias("d"), F.col(unit_col).alias("u"))
+        .distinct()
+    )
+    dau = pres.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    support = pres.select(
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + (window_days - 1))
+        ).alias("d"),
+        "u",
+    )
+    wau = support.groupBy("d").agg(
+        F.countDistinct("u").cast("long").alias("wau")
+    )
+    rng = pres.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    return (
+        spine.join(dau, "d", "left")
+        .join(wau, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+            F.when(
+                F.coalesce("wau", F.lit(0)) > 0,
+                F.expr("(1000000 * coalesce(dau, 0)) div wau"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("stickiness_micros"),
+        )
+    )

@@ -2016,6 +2016,37 @@ def profile_columns_sql(
     return "\nUNION ALL\n".join(arms)
 
 
+def dau_wau_sql(
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> str:
+    """Mirror of operators.analytics.dau_wau: presence fan-out rolling
+    distinct (DuckDB range() end-exclusive == Spark sequence inclusive
+    over the same window), day spine keeps silent days."""
+    return (
+        "WITH pres AS MATERIALIZED (\n"
+        f"  SELECT DISTINCT CAST(epoch_us({ts_col}) AS BIGINT)"
+        " // 86400000000 AS d,\n"
+        f"    {unit_col} AS u FROM events),\n"
+        "dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau\n"
+        "  FROM pres GROUP BY d),\n"
+        "support AS MATERIALIZED (\n"
+        f"  SELECT unnest(range(d, d + {window_days})) AS d, u"
+        " FROM pres),\n"
+        "wau AS (SELECT d, CAST(count(DISTINCT u) AS BIGINT) AS wau\n"
+        "  FROM support GROUP BY d),\n"
+        "rng AS (SELECT min(d) AS lo, max(d) AS hi FROM pres),\n"
+        "spine AS (SELECT unnest(range(lo, hi + 1)) AS d FROM rng)\n"
+        "SELECT s.d AS day, CAST(COALESCE(dau, 0) AS BIGINT) AS dau,\n"
+        "  CAST(COALESCE(wau, 0) AS BIGINT) AS wau,\n"
+        "  CAST(CASE WHEN COALESCE(wau, 0) > 0\n"
+        "    THEN (1000000 * COALESCE(dau, 0)) // wau ELSE 0 END"
+        " AS BIGINT) AS stickiness_micros\n"
+        "FROM spine s LEFT JOIN dau USING (d) LEFT JOIN wau USING (d)"
+    )
+
+
 def activity_trend_sql(
     group_col: str = "event_type", ts_col: str = "ts"
 ) -> str:

@@ -123,3 +123,30 @@ def test_activity_trend_numpy(spark):
         want = (1_000_000 * num) // den if num >= 0 else -((1_000_000 * -num) // den)
         assert got[g] == (8, int(ys.sum()), want), (g, got[g], want, slope)
         assert abs(want / 1e6 - slope) < 1e-5
+
+
+def test_dau_wau_replay(spark):
+    """Python replay of the rolling-distinct semantics: WAU(d) =
+    |union of active sets over [d-6, d]|; silent days surface with
+    dau 0 and a correct trailing WAU."""
+    import datetime
+
+    from graphlite_spark.operators.analytics import dau_wau
+
+    base = datetime.datetime(2024, 3, 1)
+    act = {0: {1, 2, 3}, 1: {2}, 4: {4, 5}, 10: {1}}  # gaps: 2-3, 5-9
+    rows = [(u, base + datetime.timedelta(days=d))
+            for d, us in act.items() for u in us]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["day"]: (r["dau"], r["wau"], r["stickiness_micros"])
+           for r in dau_wau(df).collect()}
+    d0 = min(got)
+    assert len(got) == 11  # full spine incl. silent days
+    for off in range(11):
+        dau = len(act.get(off, set()))
+        wau_set = set()
+        for k in range(max(0, off - 6), off + 1):
+            wau_set |= act.get(k, set())
+        wau = len(wau_set)
+        stick = (1_000_000 * dau) // wau if wau else 0
+        assert got[d0 + off] == (dau, wau, stick), (off, got[d0 + off])
