@@ -757,6 +757,14 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gini coefficient of per-user activity (exact rank-sum identity
+    # over the distributed dense-id rank — no single-partition window)
+    from graphlite_spark.operators.analytics import activity_gini
+
+    return activity_gini(load_table(spark, sf_dir, "events"))
+
+
 def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DAU / rolling-7-day WAU / stickiness per day: presence fan-out
     # rolling distinct (never events x window), silent days kept
@@ -2175,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sampling_3": q_negative_edges,
         "edge_support": q_edge_support,
         "dau_wau_stickiness": q_dau_wau,
+        "activity_gini": q_activity_gini,
     }
 
 
@@ -2239,6 +2248,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_sampling_3": O.negative_edges_sql(3),
         "edge_support": O.edge_support_sql(),
         "dau_wau_stickiness": O.dau_wau_sql(),
+        "activity_gini": O.activity_gini_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -447,3 +447,47 @@ def dau_wau(
             .alias("stickiness_micros"),
         )
     )
+
+
+def activity_gini(
+    events: DataFrame,
+    unit_col: str = "user_id",
+) -> DataFrame:
+    """One row (n_units, total_events, gini_micros) — the Gini
+    coefficient of per-unit activity, the inequality readout of a
+    traffic/contribution distribution (0 = uniform, →1 = one unit does
+    everything), via the exact rank-sum identity over counts sorted
+    ascending with 1-based rank i:
+
+        G = (2·Σ i·x_i) / (n·Σ x) − (n + 1) / n
+
+    emitted as ``gini_micros = (10^6·(2·Σi·x_i − Σx)) div (n·Σx)
+    − 10^6``  — a single exact integer expression (the two terms share
+    the common denominator n·Σx: G = (2Σix − (n+1)Σx) / (nΣx), and
+    10^6·that is computed with one BIGINT div; ties are rank-order
+    independent within equal x, so the tie-break by unit id changes
+    nothing).
+
+    Scale shape: one combined count per unit, then the repo's
+    distributed dense-id rank (one range shuffle + a P-row collect —
+    never a single-partition window), one grouped sum."""
+    from graphlite_spark.plans.derive import assign_dense_ids
+
+    cnts = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    ranked = assign_dense_ids(cnts, ["x", "u"], id_col="r")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("x").cast("long").alias("total_events"),
+        F.sum((F.col("r") + 1) * F.col("x")).cast("long").alias("six"),
+    ).select(
+        "n_units",
+        "total_events",
+        F.expr(
+            "(1000000 * (2 * six - (n_units + 1) * total_events))"
+            " div (n_units * total_events)"
+        )
+        .cast("long")
+        .alias("gini_micros"),
+    )

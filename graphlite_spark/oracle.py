@@ -2016,6 +2016,25 @@ def profile_columns_sql(
     return "\nUNION ALL\n".join(arms)
 
 
+def activity_gini_sql(unit_col: str = "user_id") -> str:
+    """Mirror of operators.analytics.activity_gini: rank-sum Gini over
+    per-unit counts sorted (x, u) ascending — the numerator is
+    non-negative by the rearrangement inequality, so the single BIGINT
+    div is tie-safe and sign-safe."""
+    return (
+        "WITH cnts AS MATERIALIZED (\n"
+        f"  SELECT {unit_col} AS u, CAST(count(*) AS BIGINT) AS x\n"
+        "  FROM events GROUP BY 1),\n"
+        "rk AS (SELECT x,\n"
+        "  row_number() OVER (ORDER BY x, u) AS r FROM cnts)\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n_units,\n"
+        "  CAST(sum(x) AS BIGINT) AS total_events,\n"
+        "  CAST((1000000 * (2 * sum(r * x) - (count(*) + 1) * sum(x)))\n"
+        "    // (count(*) * sum(x)) AS BIGINT) AS gini_micros\n"
+        "FROM rk"
+    )
+
+
 def dau_wau_sql(
     unit_col: str = "user_id",
     ts_col: str = "ts",

@@ -150,3 +150,39 @@ def test_dau_wau_replay(spark):
         wau = len(wau_set)
         stick = (1_000_000 * dau) // wau if wau else 0
         assert got[d0 + off] == (dau, wau, stick), (off, got[d0 + off])
+
+
+def test_activity_gini_known_values(spark):
+    """Closed-form cases: uniform counts -> G = 0; one unit holding
+    everything of n -> G = (n-1)/n (both exact in micro-floor); a
+    numpy replay of the rank-sum identity on a random profile."""
+    import numpy as np
+
+    from graphlite_spark.operators.analytics import activity_gini
+
+    def gini_of(counts):
+        rows = [(u, 0) for u, c in enumerate(counts) for _ in range(c)]
+        df = spark.createDataFrame(rows, "user_id long, pad int")
+        return activity_gini(df).collect()[0]
+
+    r = gini_of([5, 5, 5, 5])
+    assert (r["n_units"], r["total_events"], r["gini_micros"]) == (4, 20, 0)
+
+    r = gini_of([1, 1, 1, 97])  # near-total concentration
+    xs = np.array(sorted([1, 1, 1, 97]))
+    i = np.arange(1, 5)
+    num = 2 * int((i * xs).sum()) - 5 * int(xs.sum())
+    want = (1_000_000 * num) // (4 * int(xs.sum()))
+    assert r["gini_micros"] == want
+
+    rng = np.random.RandomState(11)
+    counts = [int(c) for c in rng.randint(1, 50, size=40)]
+    r = gini_of(counts)
+    xs = np.array(sorted(counts)); n = len(xs)
+    i = np.arange(1, n + 1)
+    num = 2 * int((i * xs).sum()) - (n + 1) * int(xs.sum())
+    want = (1_000_000 * num) // (n * int(xs.sum()))
+    assert r["gini_micros"] == want
+    # sanity: matches the textbook float formula to the micro-floor
+    g = num / (n * xs.sum())
+    assert abs(r["gini_micros"] / 1e6 - g) < 1e-6
