@@ -757,6 +757,22 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shannon entropy of each user's activity mix (behavioral
+    # diversity): per-term micro-rounding, exact BIGINT sum
+    from graphlite_spark.operators.analytics import user_type_entropy
+
+    return user_type_entropy(load_table(spark, sf_dir, "events"))
+
+
+def q_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # type-token ratio per document (lexical diversity) over the
+    # shared tokenizer; one explode + one combined groupBy
+    from graphlite_spark.operators.analytics import text_type_token_ratio
+
+    return text_type_token_ratio(load_table(spark, sf_dir, "documents"))
+
+
 def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gini coefficient of per-user activity (exact rank-sum identity
     # over the distributed dense-id rank — no single-partition window)
@@ -2184,6 +2200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_support": q_edge_support,
         "dau_wau_stickiness": q_dau_wau,
         "activity_gini": q_activity_gini,
+        "user_type_entropy": q_user_entropy,
+        "text_ttr": q_text_ttr,
     }
 
 
@@ -2249,6 +2267,8 @@ def oracle_sql() -> dict[str, str]:
         "edge_support": O.edge_support_sql(),
         "dau_wau_stickiness": O.dau_wau_sql(),
         "activity_gini": O.activity_gini_sql(),
+        "user_type_entropy": O.user_type_entropy_sql(),
+        "text_ttr": O.text_ttr_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

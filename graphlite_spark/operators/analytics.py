@@ -491,3 +491,76 @@ def activity_gini(
         .cast("long")
         .alias("gini_micros"),
     )
+
+
+def user_type_entropy(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """(user_id, n_events, n_types, entropy_micros) — the Shannon
+    entropy of each unit's activity mix in nats (0 = single-type,
+    ln(k) = uniform over k types): the behavioral-diversity signal a
+    segmentation or bot-detection pass reads.
+
+    Float discipline: the per-(unit, type) term ``-p·ln p`` is ONE
+    identical expression on both engines, rounded to integer micros
+    PER TERM, then summed exactly — no float-summation-order
+    dependence ever reaches the aggregate (the repo-wide rule).
+
+    Scale shape: two map-side-combined groupBys (unit×type counts,
+    then per-unit totals joined back on the unit key)."""
+    cnts = events.groupBy(
+        F.col(unit_col).alias("u"), F.col(group_col).alias("g")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = cnts.groupBy("u").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(-(p * F.log(p)) * 1_000_000).cast("long")
+    return (
+        cnts.join(totals, "u")
+        .groupBy(
+            F.col("u").alias(unit_col),
+            F.col("n").alias("n_events"),
+            "n_types",
+        )
+        .agg(F.sum(term).cast("long").alias("entropy_micros"))
+    )
+
+
+def text_type_token_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr_micros) — type-token ratio per
+    document (lexical diversity: 10^6 = every token distinct, low =
+    repetitive), the standard corpus-quality signal next to the
+    repetition and LM-cost filters.  Uses the repo tokenizer
+    (lowercase, whitespace runs, empties dropped); the ratio is one
+    exact BIGINT div.
+
+    Scale shape: one explode + one combined groupBy per doc — token
+    state never leaves the doc's rows."""
+    from graphlite_spark.functions.text import tokens_expr
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("t")
+    )
+    return (
+        toks.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("t").cast("long").alias("n_types"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_types",
+            F.expr("(1000000 * n_types) div n_tokens")
+            .cast("long")
+            .alias("ttr_micros"),
+        )
+    )

@@ -2016,6 +2016,41 @@ def profile_columns_sql(
     return "\nUNION ALL\n".join(arms)
 
 
+def user_type_entropy_sql(
+    unit_col: str = "user_id", group_col: str = "event_type"
+) -> str:
+    """Mirror of operators.analytics.user_type_entropy: the identical
+    -p*ln(p) term rounded to micros PER TERM, summed exactly."""
+    p = "(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    return (
+        "WITH cnts AS MATERIALIZED (\n"
+        f"  SELECT {unit_col} AS u, {group_col} AS g,\n"
+        "    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),\n"
+        "tot AS MATERIALIZED (\n"
+        "  SELECT u, CAST(sum(c) AS BIGINT) AS n,\n"
+        "    CAST(count(*) AS BIGINT) AS n_types FROM cnts GROUP BY u)\n"
+        f"SELECT u AS {unit_col}, n AS n_events, n_types,\n"
+        f"  CAST(sum(CAST(round(-({p} * ln({p})) * 1000000, 0)"
+        " AS BIGINT)) AS BIGINT) AS entropy_micros\n"
+        "FROM cnts JOIN tot USING (u)\n"
+        "GROUP BY u, n, n_types"
+    )
+
+
+def text_ttr_sql() -> str:
+    """Mirror of operators.analytics.text_type_token_ratio over the
+    shared tokenizer CTE; the ratio is one exact integer div."""
+    return (
+        f"WITH {TOKS_CTE}\n"
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,\n"
+        "  CAST(count(DISTINCT t) AS BIGINT) AS n_types,\n"
+        "  CAST((1000000 * count(DISTINCT t)) // count(*) AS BIGINT)"
+        " AS ttr_micros\n"
+        "FROM (SELECT doc_id, unnest(toks) AS t FROM toks_t)\n"
+        "GROUP BY doc_id"
+    )
+
+
 def activity_gini_sql(unit_col: str = "user_id") -> str:
     """Mirror of operators.analytics.activity_gini: rank-sum Gini over
     per-unit counts sorted (x, u) ascending — the numerator is

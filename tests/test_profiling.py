@@ -186,3 +186,38 @@ def test_activity_gini_known_values(spark):
     # sanity: matches the textbook float formula to the micro-floor
     g = num / (n * xs.sum())
     assert abs(r["gini_micros"] / 1e6 - g) < 1e-6
+
+
+def test_user_type_entropy_and_ttr(spark):
+    """Entropy: single-type user -> 0; uniform over k -> ln(k) within a
+    per-term rounding ulp; python replay of the per-term micro-rounding.
+    TTR: all-distinct doc -> 10^6; repetitive doc -> exact ratio."""
+    import math
+
+    from graphlite_spark.operators.analytics import (
+        text_type_token_ratio,
+        user_type_entropy,
+    )
+
+    rows = ([(1, "a")] * 10
+            + [(2, "a"), (2, "b"), (2, "c"), (2, "d")]
+            + [(3, "a")] * 3 + [(3, "b")] * 1)
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {r["user_id"]: (r["n_events"], r["n_types"], r["entropy_micros"])
+           for r in user_type_entropy(ev).collect()}
+    assert got[1] == (10, 1, 0)
+    assert got[2][2] == 4 * round(-(0.25 * math.log(0.25)) * 1e6)
+    assert abs(got[2][2] / 1e6 - math.log(4)) < 4e-6
+    want3 = (round(-(0.75 * math.log(0.75)) * 1e6)
+             + round(-(0.25 * math.log(0.25)) * 1e6))
+    assert got[3] == (4, 2, want3)
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four"), (2, "a a a a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    ttr = {r["doc_id"]: (r["n_tokens"], r["n_types"], r["ttr_micros"])
+           for r in text_type_token_ratio(docs).collect()}
+    assert ttr[1] == (4, 4, 1_000_000)
+    assert ttr[2] == (5, 2, (1_000_000 * 2) // 5)
+    assert ttr[3] == (1, 1, 1_000_000)
