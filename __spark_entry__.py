@@ -176,7 +176,10 @@ from graphlite_spark.operators.similarity import (
     lsh_recall,
 )
 from graphlite_spark.sources.edgelist import read_edge_list
-from graphlite_spark.sources.transcripts import tool_transitions
+from graphlite_spark.sources.transcripts import (
+    tool_cooccurrence_pmi,
+    tool_transitions,
+)
 from graphlite_spark.sources.tables import graph_tables, load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -755,6 +758,21 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact_distinct rides along as the accuracy witness
     ev = load_table(spark, sf_dir, "events")
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
+
+
+def q_tool_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PMI of tool co-presence per conversation (which tools co-fire):
+    # the association sibling of the sequential tool_transitions
+    t, _, _ = graph_tables(spark, sf_dir)
+    return tool_cooccurrence_pmi(t)
+
+
+def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Goh-Barabasi burstiness of inter-event times per user: exact
+    # integer moments, B = (sqrt(r)-s1)/(sqrt(r)+s1), n cancels
+    from graphlite_spark.operators.analytics import user_burstiness
+
+    return user_burstiness(load_table(spark, sf_dir, "events"))
 
 
 def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2202,6 +2220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_gini": q_activity_gini,
         "user_type_entropy": q_user_entropy,
         "text_ttr": q_text_ttr,
+        "tool_cooccurrence_pmi": q_tool_pmi,
+        "user_burstiness": q_user_burstiness,
     }
 
 
@@ -2269,6 +2289,8 @@ def oracle_sql() -> dict[str, str]:
         "activity_gini": O.activity_gini_sql(),
         "user_type_entropy": O.user_type_entropy_sql(),
         "text_ttr": O.text_ttr_sql(),
+        "tool_cooccurrence_pmi": O.tool_cooccurrence_pmi_sql(),
+        "user_burstiness": O.user_burstiness_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

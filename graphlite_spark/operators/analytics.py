@@ -564,3 +564,61 @@ def text_type_token_ratio(
             .alias("ttr_micros"),
         )
     )
+
+
+def user_burstiness(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user_id, n_gaps, sum_gap_s, burstiness) — the Goh–Barabási
+    burstiness of each unit's inter-event times, B = (σ−μ)/(σ+μ)
+    (−1 = perfectly regular, 0 = Poisson, →1 = bursty), computed from
+    exact integer moments: with gaps in whole SECONDS (headroom: the
+    BIGINT r = n·Σg² − (Σg)² needs n·range_s² < 2^63 — 10^6 gaps over
+    a 30-year range still fit), n cancels out of the ratio:
+
+        B = (√r − Σg) / (√r + Σg)
+
+    one sqrt + one divide, identical IEEE ops on both engines, rounded
+    6dp; NULL when every gap is zero (σ = μ = 0).
+
+    Shape: one per-unit lag window (partitioned by the unit, never
+    global) + one combined groupBy."""
+    gaps = (
+        events.select(
+            unit_col,
+            "event_id",
+            F.expr(
+                f"(unix_micros(cast({ts_col} as timestamp))"
+                f" - lag(unix_micros(cast({ts_col} as timestamp)))"
+                f" over (partition by {unit_col}"
+                f" order by unix_micros(cast({ts_col} as timestamp)),"
+                " event_id)) div 1000000"
+            ).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
+    )
+    agg = gaps.groupBy(unit_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("s2"),
+    )
+    r = (F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    b = F.round(
+        (F.sqrt(r) - F.col("s1").cast("double"))
+        / (F.sqrt(r) + F.col("s1").cast("double")),
+        6,
+    )
+    return agg.select(
+        unit_col,
+        "n_gaps",
+        F.col("s1").alias("sum_gap_s"),
+        F.when(
+            (F.col("s1") > 0)
+            | (F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1") > 0),
+            b,
+        ).alias("burstiness"),
+    )

@@ -2016,6 +2016,58 @@ def profile_columns_sql(
     return "\nUNION ALL\n".join(arms)
 
 
+def tool_cooccurrence_pmi_sql() -> str:
+    """Mirror of sources.transcripts.tool_cooccurrence_pmi: exact-int
+    counts, one ln of the one-division ratio, rounded 6dp."""
+    body = (
+        ", pres AS MATERIALIZED (\n"
+        "  SELECT DISTINCT conv_id, tool FROM transcripts\n"
+        "  WHERE tool IS NOT NULL),\n"
+        "nv AS (SELECT CAST(count(DISTINCT conv_id) AS BIGINT)"
+        " AS n_convs FROM pres),\n"
+        "ct AS MATERIALIZED (SELECT tool,"
+        " CAST(count(*) AS BIGINT) AS c FROM pres GROUP BY tool),\n"
+        "p2 AS MATERIALIZED (\n"
+        "  SELECT a.tool AS tool_a, b.tool AS tool_b,\n"
+        "    CAST(count(*) AS BIGINT) AS n_both\n"
+        "  FROM pres a JOIN pres b\n"
+        "    ON a.conv_id = b.conv_id AND a.tool < b.tool\n"
+        "  GROUP BY a.tool, b.tool)\n"
+        "SELECT tool_a, tool_b, n_both,\n"
+        "  round(ln(CAST(n_both * n_convs AS DOUBLE)\n"
+        "    / CAST(ca.c * cb.c AS DOUBLE)), 6) AS pmi\n"
+        "FROM p2 JOIN ct ca ON ca.tool = tool_a\n"
+        "JOIN ct cb ON cb.tool = tool_b CROSS JOIN nv"
+    )
+    return _graph_query(body)
+
+
+def user_burstiness_sql(unit_col: str = "user_id") -> str:
+    """Mirror of operators.analytics.user_burstiness: whole-second
+    gaps, exact integer moments, B = (sqrt(r) - s1)/(sqrt(r) + s1)."""
+    r = "CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)"
+    return (
+        "WITH g AS MATERIALIZED (\n"
+        f"  SELECT {unit_col},\n"
+        "    (ts_us - lag(ts_us) OVER (\n"
+        f"      PARTITION BY {unit_col} ORDER BY ts_us, event_id))"
+        " // 1000000 AS g\n"
+        f"  FROM (SELECT {unit_col}, event_id,\n"
+        "    CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events)),\n"
+        "a AS (\n"
+        f"  SELECT {unit_col}, CAST(count(*) AS BIGINT) AS n_gaps,\n"
+        "    CAST(sum(g) AS BIGINT) AS s1,\n"
+        "    CAST(sum(g * g) AS BIGINT) AS s2\n"
+        "  FROM g WHERE g IS NOT NULL GROUP BY 1)\n"
+        f"SELECT {unit_col}, n_gaps, s1 AS sum_gap_s,\n"
+        "  CASE WHEN s1 > 0 OR n_gaps * s2 - s1 * s1 > 0 THEN\n"
+        f"    round((sqrt({r}) - CAST(s1 AS DOUBLE))\n"
+        f"      / (sqrt({r}) + CAST(s1 AS DOUBLE)), 6)\n"
+        "  END AS burstiness\n"
+        "FROM a"
+    )
+
+
 def user_type_entropy_sql(
     unit_col: str = "user_id", group_col: str = "event_type"
 ) -> str:

@@ -217,3 +217,67 @@ def tool_transitions(transcripts: DataFrame) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6)
         .alias("p"),
     )
+
+
+def tool_cooccurrence_pmi(transcripts: DataFrame) -> DataFrame:
+    """(tool_a, tool_b, n_both, pmi) — pointwise mutual information of
+    tool PRESENCE per conversation (which tools co-fire in the same
+    trace):  pmi = ln(N·c_ab / (c_a·c_b)) over conversation-level
+    presence sets — the association readout behind tool-bundle
+    discovery, complementary to the sequential ``tool_transitions``.
+
+    Exactness: N·c_ab and c_a·c_b are exact BIGINTs (≤ 2^53, exactly
+    representable in double); the ln of their one-division ratio is a
+    single IEEE expression on both engines, rounded to 6dp.
+
+    Shape: one combined distinct builds (conv, tool) presence; the
+    pair join is per-conversation (fan-out bounded by tools-per-conv,
+    codebook-sized); totals and N are broadcast-sized."""
+    pres = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    n = pres.select("conv_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs")
+    )
+    ct = pres.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pairs = (
+        pres.select("conv_id", F.col("tool").alias("tool_a"))
+        .join(
+            pres.select("conv_id", F.col("tool").alias("tool_b")),
+            "conv_id",
+        )
+        .where(F.col("tool_a") < F.col("tool_b"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                ct.select(F.col("tool").alias("tool_a"), F.col("c").alias("ca"))
+            ),
+            "tool_a",
+        )
+        .join(
+            F.broadcast(
+                ct.select(F.col("tool").alias("tool_b"), F.col("c").alias("cb"))
+            ),
+            "tool_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tool_a",
+            "tool_b",
+            "n_both",
+            F.round(
+                F.log(
+                    (F.col("n_both") * F.col("n_convs")).cast("double")
+                    / (F.col("ca") * F.col("cb")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -221,3 +221,57 @@ def test_user_type_entropy_and_ttr(spark):
     assert ttr[1] == (4, 4, 1_000_000)
     assert ttr[2] == (5, 2, (1_000_000 * 2) // 5)
     assert ttr[3] == (1, 1, 1_000_000)
+
+
+def test_user_burstiness_known_values(spark):
+    """Perfectly regular gaps -> B = -0? (sigma=0, mu>0 => B=-1);
+    python replay of the exact-moment identity on irregular gaps."""
+    import datetime
+    import math
+
+    from graphlite_spark.operators.analytics import user_burstiness
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    # user 1: regular 60 s gaps -> sigma 0, B = -1
+    for i in range(5):
+        rows.append((1, i, base + datetime.timedelta(seconds=60 * i)))
+    # user 2: bursty: gaps 1,1,1,597 s
+    offs = [0, 1, 2, 3, 600]
+    for i, o in enumerate(offs):
+        rows.append((2, 10 + i, base + datetime.timedelta(seconds=o)))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {r["user_id"]: (r["n_gaps"], r["sum_gap_s"], r["burstiness"])
+           for r in user_burstiness(df).collect()}
+    assert got[1] == (4, 240, -1.0)
+    gaps = [1, 1, 1, 597]
+    n, s1, s2 = 4, sum(gaps), sum(g * g for g in gaps)
+    r = n * s2 - s1 * s1
+    want = round((math.sqrt(r) - s1) / (math.sqrt(r) + s1), 6)
+    assert got[2] == (4, 600, want)
+    # near the n=4 ceiling B_max = (sqrt(3)-1)/(sqrt(3)+1) ~= 0.268
+    assert want > 0.25
+
+
+def test_tool_pmi_known_values(spark):
+    """Hand-computed PMI on 4 conversations: co-present pair above
+    independence gets pmi > 0, anti-associated pair < 0."""
+    import math
+
+    from graphlite_spark.sources.transcripts import tool_cooccurrence_pmi
+
+    rows = []
+    # convs 1,2: {a, b} together; conv 3: {a, c}; conv 4: {b, c}
+    for conv, tools in (("c1", "ab"), ("c2", "ab"), ("c3", "ac"), ("c4", "bc")):
+        for i, t in enumerate(tools):
+            rows.append((conv, i, "assistant", "x", t, None))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp")
+    got = {(r["tool_a"], r["tool_b"]): (r["n_both"], r["pmi"])
+           for r in tool_cooccurrence_pmi(df).collect()}
+    # N=4, c_a=3, c_b=3, c_c=2
+    assert got[("a", "b")] == (2, round(math.log(2 * 4 / (3 * 3)), 6))
+    assert got[("a", "c")] == (1, round(math.log(1 * 4 / (3 * 2)), 6))
+    assert got[("b", "c")] == (1, round(math.log(1 * 4 / (3 * 2)), 6))
+    assert got[("a", "b")][1] < 0 or got[("a", "b")][1] > -0.2  # ln(8/9)
