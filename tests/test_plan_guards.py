@@ -130,6 +130,16 @@ GUARDED = [
     "kmv_audience_overlap",
     "behavior_correlations",
     "negative_sampling_3",
+    # behavioral/engagement readouts (gini and kcenter/conv_structure
+    # run eagerly — nothing left to guard there)
+    "dataset_split",
+    "activity_trend",
+    "dau_wau_stickiness",
+    "user_type_entropy",
+    "text_ttr",
+    "tool_cooccurrence_pmi",
+    "user_burstiness",
+    "edge_support",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -166,6 +176,10 @@ BNLJ_ALLOWED = {
     "behavior_correlations",
     # 1-row vertex-count broadcast into the candidate projection
     "negative_sampling_3",
+    # 1-row day-range / conversation-count broadcasts
+    "activity_trend",
+    "dau_wau_stickiness",
+    "tool_cooccurrence_pmi",
 }
 
 
