@@ -375,3 +375,28 @@ def streaming_click_attribution(
         "click_ts",
         "purchase_ts",
     )
+
+
+def streaming_enrich_events(
+    events: DataFrame,
+    dimension: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """STREAM-STATIC enrichment join — the remaining join shape in the
+    streaming taxonomy (next to the stream-stream interval join and
+    the stateful pairings): each micro-batch of the event stream hash-
+    joins a STATIC dimension table (user attributes, allow/deny lists,
+    experiment assignments).
+
+    State story: a stream-static join keeps NO streaming join state at
+    all — the static side is just re-planned per micro-batch (and
+    broadcast when small), so there is nothing to watermark and
+    nothing to evict; left join keeps unmatched events flowing with
+    NULL attributes rather than silently dropping them (admission
+    decisions belong to a filter, not a join).
+
+    At 100 TB the dimension side should be a bucketed/broadcastable
+    table; the stream side is never shuffled by this join when the
+    dimension broadcasts."""
+    dim = F.broadcast(dimension)
+    return events.join(dim, key, "left")

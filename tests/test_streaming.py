@@ -430,3 +430,43 @@ def test_streaming_click_attribution_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM attr_out").collect()
     }
     assert got == {(1, 1, 3), (1, 2, 3), (2, 4, 5)}
+
+
+def test_streaming_enrich_matches_batch(spark, tmp_path):
+    """Stream-static left enrichment equals the batch join, keeps
+    unmatched rows (NULL attributes), and holds no streaming state
+    (no stateful operator in the progress metrics)."""
+    import pyspark.sql.functions as F
+
+    from graphlite_spark.streaming.ingest import streaming_enrich_events
+
+    ev = spark.createDataFrame(
+        [(i, i % 5, f"e{i}") for i in range(40)],
+        "event_id long, user_id long, kind string",
+    )
+    path = str(tmp_path / "ev")
+    ev.write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(path)
+    dim = spark.createDataFrame(
+        [(0, "gold"), (1, "silver"), (2, "gold")],  # users 3,4 unmatched
+        "user_id long, tier string",
+    )
+    q = (
+        streaming_enrich_events(stream, dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .start()
+    )
+    q.processAllAvailable()
+    progress = q.lastProgress
+    q.stop()
+    got = {(r["event_id"], r["tier"])
+           for r in spark.sql("SELECT event_id, tier FROM enriched").collect()}
+    want = {(r["event_id"], r["tier"])
+            for r in ev.join(F.broadcast(dim), "user_id", "left")
+            .select("event_id", "tier").collect()}
+    assert got == want
+    assert any(t is None for _, t in got)  # unmatched kept
+    assert not progress["stateOperators"]  # stream-static: zero state
