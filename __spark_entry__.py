@@ -760,6 +760,27 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_conv_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CONTENT near-dup of conversations (the sibling of the WL
+    # STRUCTURAL dedup): turns concatenated in order, then the standard
+    # MinHash-LSH candidates + exact-Jaccard verify, unchanged
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import minhash_lsh_candidates
+
+    t, _, _ = graph_tables(spark, sf_dir)
+    convdocs = t.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s.text,
+            ),
+            " ",
+        ).alias("text")
+    )
+    return minhash_lsh_candidates(convdocs, id_col="conv_id")
+
+
 def q_tool_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PMI of tool co-presence per conversation (which tools co-fire):
     # the association sibling of the sequential tool_transitions
@@ -2221,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_entropy": q_user_entropy,
         "text_ttr": q_text_ttr,
         "tool_cooccurrence_pmi": q_tool_pmi,
+        "conv_dedup_minhash": q_conv_dedup_minhash,
         "user_burstiness": q_user_burstiness,
     }
 
@@ -2290,6 +2312,7 @@ def oracle_sql() -> dict[str, str]:
         "user_type_entropy": O.user_type_entropy_sql(),
         "text_ttr": O.text_ttr_sql(),
         "tool_cooccurrence_pmi": O.tool_cooccurrence_pmi_sql(),
+        "conv_dedup_minhash": O.conv_dedup_minhash_sql(),
         "user_burstiness": O.user_burstiness_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),

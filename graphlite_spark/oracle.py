@@ -2906,6 +2906,26 @@ def _minhash_lsh_ctes(num_hashes: int = 8, bands: int = 4) -> str:
     )
 
 
+def conv_dedup_minhash_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    """Mirror of the conv_dedup_minhash entry: conversations become
+    documents (turns concatenated in turn_idx order), then the shared
+    MinHash-LSH CTE chain runs verbatim — the ``documents`` CTE
+    deliberately SHADOWS the base view, so the whole dedup oracle is
+    reused untouched."""
+    conv_doc = (
+        "documents AS MATERIALIZED (\n"
+        "  SELECT conv_id AS doc_id,\n"
+        "    string_agg(text, ' ' ORDER BY turn_idx) AS text\n"
+        "  FROM transcripts GROUP BY conv_id)"
+    )
+    body = (
+        f", {conv_doc},\n{_minhash_lsh_ctes(num_hashes, bands)}\n"
+        "SELECT cand.a, cand.b, COALESCE(j.jaccard, 0.0) AS jaccard\n"
+        "FROM cand LEFT JOIN jac j ON j.a = cand.a AND j.b = cand.b"
+    )
+    return _graph_query(body)
+
+
 def minhash_lsh_sql(num_hashes: int = 8, bands: int = 4) -> str:
     return (
         f"WITH {_minhash_lsh_ctes(num_hashes, bands)}\n"

@@ -199,3 +199,38 @@ def test_eigenvector_centrality_bruteforce(spark):
     e0 = spark.createDataFrame([], "src long, dst long")
     z = eigenvector_centrality(v, e0, iterations=2).collect()
     assert all(r["eig"] == 0 for r in z)
+
+
+def test_conv_dedup_minhash_finds_near_dup_convs(spark):
+    """Two conversations sharing most turn text land in the same LSH
+    bucket with high verified Jaccard; an unrelated one never pairs.
+    (The entry query's sf parity runs on diverse synthetic convs where
+    0 pairs is the truth — this test proves the positive path.)"""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.operators.dedup import minhash_lsh_candidates
+
+    base = ("please run the data pipeline now and report the status "
+            "of every stage including shuffle spill and skew").split()
+    rows = []
+    for i, w in enumerate(base):
+        rows.append(("ca", i, " ".join(base[max(0, i - 2):i + 3])))
+        # cb: same turns, one word tweaked at the end
+        rows.append(("cb", i, " ".join(base[max(0, i - 2):i + 3])))
+    rows.append(("cb", len(base), "one extra closing turn"))
+    for i in range(8):
+        rows.append(("cx", i, f"completely different topic {i} about cooking recipes"))
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    convdocs = t.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s.text,
+            ),
+            " ",
+        ).alias("text")
+    )
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in minhash_lsh_candidates(convdocs, id_col="conv_id").collect()}
+    assert ("ca", "cb") in got and got[("ca", "cb")] > 0.8
+    assert not any("cx" in pair for pair in got)
