@@ -92,6 +92,7 @@ from graphlite_spark.operators.ngram_lm import (
 from graphlite_spark.operators.sketches import (
     cms_estimate_heavy_hitters,
     hll_distinct_by,
+    hll_union_overlap,
     kmv_distinct_by,
     kmv_set_overlap,
 )
@@ -871,6 +872,13 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return assign_splits(docs, "doc_id").select("doc_id", "lang", "split")
+
+
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL set algebra per event-type pair: register-wise max merge
+    # (lossless union), inclusion-exclusion intersection clamped at 0
+    ev = load_table(spark, sf_dir, "events")
+    return hll_union_overlap(ev, "event_type", "user_id", b=6)
 
 
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2232,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_events": q_profile_events,
         "coreset_kcenter_8": q_kcenter,
         "kmv_audience_overlap": q_kmv_overlap,
+        "hll_audience_overlap": q_hll_overlap,
         "dataset_split": q_dataset_split,
         "behavior_correlations": q_behavior_corr,
         "activity_trend": q_activity_trend,
@@ -2302,6 +2311,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": O.profile_columns_sql(),
         "coreset_kcenter_8": O.kcenter_select_sql(8, 64),
         "kmv_audience_overlap": O.kmv_set_overlap_sql("event_type", "user_id", 64),
+        "hll_audience_overlap": O.hll_union_overlap_sql("event_type", "user_id", 6),
         "dataset_split": O.assign_splits_sql(),
         "behavior_correlations": O.behavior_correlations_sql(),
         "activity_trend": O.activity_trend_sql(),

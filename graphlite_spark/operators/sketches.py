@@ -351,3 +351,156 @@ def kmv_set_overlap(
             .alias("exact_intersection"),
         )
     )
+
+
+def hll_union_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    b: int = 6,
+    include_exact: bool = True,
+) -> DataFrame:
+    """(group_a, group_b, est_a, est_b, est_union, est_intersection
+    [, exact_union]) — HLL set algebra for every ordered group pair:
+    the union sketch is the REGISTER-WISE MAX of the two groups'
+    registers (the HLL mergeability property — lossless, unlike any
+    intersection trick), the union estimate is the standard formula
+    over the merged registers, and the intersection estimate is
+    inclusion-exclusion est_a + est_b − est_union (can be noisy-low,
+    clamped at 0 — stated).  Deterministic md5 registers as in
+    hll_distinct_by, so every estimate is oracle-exact.
+
+    Scale shape: registers build once per group (map-side-combined max
+    over (group, bucket)); the pair stage joins REGISTER rows only
+    (G·m longs — group-count-sized); exact witness disabled at
+    100 TB."""
+    m = 1 << b
+    rho_max = 48 - b + 1
+    h = hash48(F.col(value_col).cast("string"))
+    keyed = df.select(
+        F.col(group_col).alias("g"), h.alias("h")
+    ).select(
+        "g",
+        (F.col("h") % m).alias("bucket"),
+        F.expr(f"h div {m}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(rho_max)).otherwise(
+        F.lit(rho_max) - F.length(F.expr("bin(w)"))
+    )
+    regs = (
+        keyed.select("g", "bucket", rho.alias("rho"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+    def _estimate(reg_col: str, nz_col: str) -> F.Column:
+        alpha = _hll_alpha(m)
+        zeros = (F.lit(m) - F.col(nz_col)).cast("double")
+        raw = F.lit(alpha * m * m) / (F.col(reg_col) + zeros)
+        return F.when(
+            (raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+        ).otherwise(raw)
+
+    def _per_group(r: DataFrame) -> DataFrame:
+        return r.groupBy("g").agg(
+            F.count(F.lit(1)).alias("nz"),
+            F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("sp"),
+        )
+
+    est_g = _per_group(regs).select(
+        "g", F.round(_estimate("sp", "nz"), 6).alias("est")
+    )
+    # fan each group's registers to its pairs, grouped max = merged
+    # registers (a naive bucket full-outer would cross-join groups)
+    gs = regs.select("g").distinct()
+    fan = (
+        regs.join(
+            F.broadcast(gs.select(F.col("g").alias("g2"))),
+            F.col("g") < F.col("g2"),
+        )
+        .select(
+            F.col("g").alias("group_a"),
+            F.col("g2").alias("group_b"),
+            "bucket",
+            "reg",
+        )
+        .unionByName(
+            regs.join(
+                F.broadcast(gs.select(F.col("g").alias("g2"))),
+                F.col("g2") < F.col("g"),
+            ).select(
+                F.col("g2").alias("group_a"),
+                F.col("g").alias("group_b"),
+                "bucket",
+                "reg",
+            )
+        )
+        .groupBy("group_a", "group_b", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est_u = fan.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("sp"),
+    ).select(
+        "group_a",
+        "group_b",
+        F.round(_estimate("sp", "nz"), 6).alias("est_union"),
+    )
+    out = (
+        est_u.join(
+            F.broadcast(
+                est_g.select(
+                    F.col("g").alias("group_a"), F.col("est").alias("est_a")
+                )
+            ),
+            "group_a",
+        )
+        .join(
+            F.broadcast(
+                est_g.select(
+                    F.col("g").alias("group_b"), F.col("est").alias("est_b")
+                )
+            ),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.greatest(
+                    F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("est_intersection"),
+        )
+    )
+    if not include_exact:
+        return out
+    hs = df.select(
+        F.col(group_col).alias("g"), h.alias("h")
+    ).distinct()
+    exu = (
+        hs.join(
+            F.broadcast(gs.select(F.col("g").alias("g2"))),
+            F.col("g") < F.col("g2"),
+        )
+        .select(F.col("g").alias("group_a"), F.col("g2").alias("group_b"), "h")
+        .unionByName(
+            hs.join(
+                F.broadcast(gs.select(F.col("g").alias("g2"))),
+                F.col("g2") < F.col("g"),
+            ).select(
+                F.col("g2").alias("group_a"),
+                F.col("g").alias("group_b"),
+                "h",
+            )
+        )
+        .groupBy("group_a", "group_b")
+        .agg(F.countDistinct("h").cast("long").alias("exact_union"))
+    )
+    return out.join(exu, ["group_a", "group_b"])

@@ -2351,6 +2351,73 @@ def hll_distinct_sql(group_col: str = "event_type",
     )
 
 
+def hll_union_overlap_sql(
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    b: int = 6,
+) -> str:
+    """Mirror of operators.sketches.hll_union_overlap: register-wise
+    max merge per pair, the standard estimate over merged registers,
+    inclusion-exclusion intersection clamped at 0."""
+    m = 1 << b
+    rho_max = 48 - b + 1
+    amm = 0.7213 / (1 + 1.079 / m) * m * m
+    h = _h48(f"CAST({value_col} AS VARCHAR)")
+    est = (
+        "round(CASE WHEN raw <= {lim!r} AND zeros > 0\n"
+        "    THEN {mf!r} * ln({mf!r} / zeros) ELSE raw END, 6)"
+    ).format(lim=2.5 * m, mf=float(m))
+    inner = (
+        "SELECT {keys}, CAST({m} - count(*) AS DOUBLE) AS zeros,\n"
+        "      CAST({amm!r} AS DOUBLE) / (sum(pow(2.0, -reg))"
+        " + CAST({m} - count(*) AS DOUBLE)) AS raw\n"
+        "    FROM {src} GROUP BY {keys}"
+    )
+    return (
+        "WITH keyed AS MATERIALIZED (\n"
+        f"  SELECT g, h % {m} AS bucket, h // {m} AS w\n"
+        f"  FROM (SELECT {group_col} AS g, {h} AS h FROM events)),\n"
+        "regs AS MATERIALIZED (\n"
+        "  SELECT g, bucket,\n"
+        f"    max(CASE WHEN w = 0 THEN {rho_max}\n"
+        f"        ELSE {rho_max} - length(bin(w)) END) AS reg\n"
+        "  FROM keyed GROUP BY g, bucket),\n"
+        "gs AS MATERIALIZED (SELECT DISTINCT g FROM regs),\n"
+        "eg AS MATERIALIZED (\n"
+        f"  SELECT g, {est} AS est FROM (\n"
+        f"    {inner.format(keys='g', m=m, amm=amm, src='regs')})),\n"
+        "fan AS MATERIALIZED (\n"
+        "  SELECT group_a, group_b, bucket, max(reg) AS reg FROM (\n"
+        "    SELECT r.g AS group_a, g2.g AS group_b, bucket, reg\n"
+        "    FROM regs r JOIN gs g2 ON r.g < g2.g\n"
+        "    UNION ALL\n"
+        "    SELECT g2.g, r.g, bucket, reg\n"
+        "    FROM regs r JOIN gs g2 ON g2.g < r.g)\n"
+        "  GROUP BY group_a, group_b, bucket),\n"
+        "eu AS MATERIALIZED (\n"
+        f"  SELECT group_a, group_b, {est} AS est_union FROM (\n"
+        f"    {inner.format(keys='group_a, group_b', m=m, amm=amm, src='fan')})),\n"
+        "hs AS MATERIALIZED (\n"
+        f"  SELECT DISTINCT {group_col} AS g, {h} AS h FROM events),\n"
+        "exu AS MATERIALIZED (\n"
+        "  SELECT group_a, group_b,\n"
+        "    CAST(count(DISTINCT h) AS BIGINT) AS exact_union FROM (\n"
+        "    SELECT a.g AS group_a, g2.g AS group_b, h\n"
+        "    FROM hs a JOIN gs g2 ON a.g < g2.g\n"
+        "    UNION ALL\n"
+        "    SELECT g2.g, a.g, h FROM hs a JOIN gs g2 ON g2.g < a.g)\n"
+        "  GROUP BY group_a, group_b)\n"
+        "SELECT eu.group_a, eu.group_b, ea.est AS est_a,\n"
+        "  eb.est AS est_b, est_union,\n"
+        "  round(greatest(ea.est + eb.est - est_union, 0.0), 6)"
+        " AS est_intersection,\n"
+        "  exact_union\n"
+        "FROM eu JOIN eg ea ON ea.g = eu.group_a\n"
+        "JOIN eg eb ON eb.g = eu.group_b\n"
+        "JOIN exu USING (group_a, group_b)"
+    )
+
+
 def cms_heavy_hitters_sql(
     key: str = "user_id",
     k: int = 20,

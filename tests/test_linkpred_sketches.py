@@ -14,6 +14,7 @@ from graphlite_spark.operators.sketches import (
     cms_build,
     cms_estimate_heavy_hitters,
     hll_distinct_by,
+    hll_union_overlap,
     kmv_distinct_by,
     kmv_set_overlap,
 )
@@ -272,3 +273,26 @@ def test_kmv_set_overlap_merge_property(spark):
     # accuracy sanity: jaccard within 3 standard errors for k=16
     true_j = len(A & B) / len(A | B)
     assert abs(r["jaccard_micros"] / 1e6 - true_j) < 3 * (true_j * (1 - true_j) / k) ** 0.5 + 0.1
+
+
+def test_hll_union_merge_property(spark):
+    """The merged (register-max) union estimate equals the plain HLL
+    estimate computed directly on A | B — HLL mergeability as a test —
+    and inclusion-exclusion lands within the combined error band."""
+    b, m = 6, 64
+    A = set(range(0, 1200))
+    B = set(range(800, 1800))  # 400 shared
+    rows = [("a", v) for v in A] + [("b", v) for v in B]
+    df = spark.createDataFrame(rows, "grp string, val long")
+    got = hll_union_overlap(df, "grp", "val", b=b).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["exact_union"] == len(A | B)
+
+    direct = {x["grp"]: x["est_hll"] for x in hll_distinct_by(
+        spark.createDataFrame([("u", v) for v in A | B], "grp string, val long"),
+        "grp", "val", b=b, include_exact=False).collect()}
+    assert r["est_union"] == direct["u"]  # mergeability, bit-exact
+    # inclusion-exclusion intersection within 3 combined standard errors
+    se = 3 * 1.04 / (m ** 0.5)
+    assert abs(r["est_intersection"] - len(A & B)) < se * (len(A) + len(B))
