@@ -140,6 +140,8 @@ GUARDED = [
     "tool_cooccurrence_pmi",
     "user_burstiness",
     "edge_support",
+    "conv_dedup_minhash",
+    "hll_audience_overlap",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -180,6 +182,8 @@ BNLJ_ALLOWED = {
     "activity_trend",
     "dau_wau_stickiness",
     "tool_cooccurrence_pmi",
+    # register-row fan-out against the G-row group list
+    "hll_audience_overlap",
 }
 
 
