@@ -761,6 +761,15 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hamming-1 multiprobe over simhash signatures: recall above the
+    # exact-bucket query while staying an equi-join (never a Hamming
+    # nested loop); xor bit_count rides as the witness
+    from graphlite_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_conv_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CONTENT near-dup of conversations (the sibling of the WL
     # STRUCTURAL dedup): turns concatenated in order, then the standard
@@ -2252,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ttr": q_text_ttr,
         "tool_cooccurrence_pmi": q_tool_pmi,
         "conv_dedup_minhash": q_conv_dedup_minhash,
+        "simhash_hamming1": q_simhash_hamming,
         "user_burstiness": q_user_burstiness,
     }
 
@@ -2323,6 +2333,7 @@ def oracle_sql() -> dict[str, str]:
         "text_ttr": O.text_ttr_sql(),
         "tool_cooccurrence_pmi": O.tool_cooccurrence_pmi_sql(),
         "conv_dedup_minhash": O.conv_dedup_minhash_sql(),
+        "simhash_hamming1": O.simhash_hamming_sql(32),
         "user_burstiness": O.user_burstiness_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),

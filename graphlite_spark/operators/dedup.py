@@ -706,3 +706,53 @@ def edit_distance_join(
         )
         .where(F.col("dist") <= k)
     )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, hamming) — document pairs whose simhash signatures differ
+    in AT MOST ONE bit, found by Hamming-1 MULTIPROBE: each doc emits
+    its signature plus the ``bits`` single-bit flips (bits+1 probe rows
+    per doc), and a probe hitting another doc's EXACT signature is a
+    candidate.  Probing raises recall over the exact-bucket simhash
+    query (hamming-1 near-dups are invisible to equality buckets) while
+    keeping the equi-join — never a Hamming nested loop.  ``hamming``
+    (bit_count of the xor) rides along as the verification witness,
+    and the equality dedupes the double discovery (a's flip hits b AND
+    b's flip hits a).
+
+    Scale shape: probes = (bits+1)·N rows with one codegen explode;
+    one hash equi-join on the probe value; candidate-only xor verify —
+    the multiprobe-LSH pattern (Lv et al., VLDB 2007) on the simhash
+    family."""
+    sig = simhash_signatures(docs, bits=bits, id_col=id_col, text_col=text_col)
+    probes = sig.select(
+        F.col("doc_id").alias("a"),
+        F.col("simhash").alias("sig_a"),
+        F.explode(
+            F.array(
+                F.col("simhash"),
+                *[
+                    F.col("simhash").bitwiseXOR(F.lit(1 << j))
+                    for j in range(bits)
+                ],
+            )
+        ).alias("probe"),
+    )
+    other = sig.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("probe")
+    )
+    return (
+        probes.join(other, "probe")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.expr("bit_count(sig_a ^ probe)").cast("long").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -3097,7 +3097,8 @@ def curate_pack_sql(
     )
 
 
-def simhash_sql(bits: int = 32) -> str:
+def _simhash_ctes(bits: int = 32) -> str:
+    """CTE chain ending in ``sig`` (doc_id, simhash)."""
     votes = ",\n    ".join(
         f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(bits)
     )
@@ -3105,11 +3106,36 @@ def simhash_sql(bits: int = 32) -> str:
         f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
     )
     return (
-        f"WITH {TOKS_CTE},\n"
+        f"{TOKS_CTE},\n"
         "tok AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM toks_t),\n"
         f"h AS MATERIALIZED (SELECT doc_id, {_h48('t')} AS h FROM tok),\n"
-        f"votes AS MATERIALIZED (SELECT doc_id,\n    {votes}\n  FROM h GROUP BY doc_id)\n"
-        f"SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes"
+        f"votes AS MATERIALIZED (SELECT doc_id,\n    {votes}\n  FROM h GROUP BY doc_id),\n"
+        f"sig AS MATERIALIZED (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes)"
+    )
+
+
+def simhash_sql(bits: int = 32) -> str:
+    return (
+        f"WITH {_simhash_ctes(bits)}\n"
+        "SELECT doc_id, simhash FROM sig"
+    )
+
+
+def simhash_hamming_sql(bits: int = 32) -> str:
+    """Mirror of operators.dedup.simhash_hamming_pairs: signature +
+    single-bit-flip probes equi-joined against exact signatures, xor
+    bit_count as the witness, double discovery deduped."""
+    flips = ", ".join(f"xor(simhash, {1 << j})" for j in range(bits))
+    return (
+        f"WITH {_simhash_ctes(bits)},\n"
+        "probes AS MATERIALIZED (\n"
+        "  SELECT doc_id AS a, simhash AS sig_a,\n"
+        f"    unnest([simhash, {flips}]) AS probe\n"
+        "  FROM sig)\n"
+        "SELECT DISTINCT p.a, o.doc_id AS b,\n"
+        "  CAST(bit_count(xor(sig_a, probe)) AS BIGINT) AS hamming\n"
+        "FROM probes p JOIN sig o ON o.simhash = p.probe\n"
+        "WHERE p.a < o.doc_id"
     )
 
 

@@ -142,6 +142,7 @@ GUARDED = [
     "edge_support",
     "conv_dedup_minhash",
     "hll_audience_overlap",
+    "simhash_hamming1",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the

@@ -234,3 +234,34 @@ def test_conv_dedup_minhash_finds_near_dup_convs(spark):
            for r in minhash_lsh_candidates(convdocs, id_col="conv_id").collect()}
     assert ("ca", "cb") in got and got[("ca", "cb")] > 0.8
     assert not any("cx" in pair for pair in got)
+
+
+def test_simhash_hamming1_multiprobe(spark):
+    """Multiprobe finds hamming-0 AND hamming-1 pairs that exact
+    buckets alone would split, never a pair at distance >= 2; verified
+    against a python brute force over the same signatures."""
+    from graphlite_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        simhash_signatures,
+    )
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    for d in range(12):
+        # heavy overlap between consecutive docs -> small hamming gaps
+        rows.append((d, " ".join(words[(d % 4):(d % 4) + 14])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs).collect()}
+    got = {(r["a"], r["b"]): r["hamming"]
+           for r in simhash_hamming_pairs(docs).collect()}
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 1:
+                want[(a, b)] = h
+    assert got == want
+    assert any(h == 0 for h in got.values())  # identical-sig docs exist
