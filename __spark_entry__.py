@@ -761,6 +761,22 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-type daily counts scored against the trailing 7-day window
+    # (zero-filled day spine; exact window moments; z NULL until full)
+    from graphlite_spark.operators.analytics import daily_anomaly
+
+    return daily_anomaly(load_table(spark, sf_dir, "events"))
+
+
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic global training order (quality DESC, id) via the
+    # distributed dense-id rank — curriculum between curation and pack
+    from graphlite_spark.operators.packing import curriculum_order
+
+    return curriculum_order(load_table(spark, sf_dir, "documents"))
+
+
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hamming-1 multiprobe over simhash signatures: recall above the
     # exact-bucket query while staying an equi-join (never a Hamming
@@ -2262,6 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_cooccurrence_pmi": q_tool_pmi,
         "conv_dedup_minhash": q_conv_dedup_minhash,
         "simhash_hamming1": q_simhash_hamming,
+        "curriculum_order": q_curriculum,
+        "daily_anomaly_z": q_daily_anomaly,
         "user_burstiness": q_user_burstiness,
     }
 
@@ -2334,6 +2352,8 @@ def oracle_sql() -> dict[str, str]:
         "tool_cooccurrence_pmi": O.tool_cooccurrence_pmi_sql(),
         "conv_dedup_minhash": O.conv_dedup_minhash_sql(),
         "simhash_hamming1": O.simhash_hamming_sql(32),
+        "curriculum_order": O.curriculum_order_sql(),
+        "daily_anomaly_z": O.daily_anomaly_sql(),
         "user_burstiness": O.user_burstiness_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),

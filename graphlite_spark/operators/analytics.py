@@ -622,3 +622,73 @@ def user_burstiness(
             b,
         ).alias("burstiness"),
     )
+
+
+def daily_anomaly(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    window: int = 7,
+) -> DataFrame:
+    """(group, day, y, z) — each day's event count scored against the
+    TRAILING ``window`` days' mean/std (sample variance), per group:
+    the ops-dashboard anomaly readout.  Absent days are real zeros (a
+    day spine per group guarantees consecutive rows, so the trailing
+    ROWS frame is a trailing DAYS frame); z is NULL until a full
+    window exists or when the window is flat (zero variance).
+
+    Exactness: the window sums are exact BIGINTs; z is the identical
+    (div, sqrt, div) chain on both engines over those integers,
+    rounded 6dp.
+
+    Scale shape: one map-side-combined (group, day) count, a
+    spine×groups frame that is day-grain tiny at ANY event volume,
+    and one per-group ordered window over that tiny frame."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp))"
+        f" div {24 * 3600 * 1_000_000}"
+    )
+    daily = events.groupBy(
+        F.col(group_col).alias("g"), day.alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        rng.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+        )
+        .crossJoin(F.broadcast(daily.select("g").distinct()))
+    )
+    full = spine.join(daily, ["g", "day"], "left").select(
+        "g", "day", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("day")
+        .rowsBetween(-window, -1)
+    )
+    stats = full.select(
+        "g",
+        "day",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("y").over(w).cast("long").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("s2"),
+    )
+    r = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    z = F.round(
+        ((F.col("n") * F.col("y") - F.col("s1")).cast("double") / F.col("n"))
+        / F.sqrt(r / (F.col("n") * (F.col("n") - 1))),
+        6,
+    )
+    return stats.select(
+        F.col("g").alias(group_col),
+        "day",
+        "y",
+        F.when(
+            (F.col("n") == window)
+            & (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0),
+            z,
+        ).alias("z"),
+    )

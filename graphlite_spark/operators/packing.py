@@ -277,3 +277,29 @@ def assign_splits(
     last = splits[-1][0]
     split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", split)
+
+
+def curriculum_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, quality, order_idx) — a deterministic GLOBAL
+    training order: highest-quality documents first (ties by id), the
+    curriculum / data-ordering step between curation and packing.
+
+    The rank rides the repo's distributed dense-id machinery (one
+    range shuffle + a P-row collect — never a single-partition
+    window); the sort key is the 6dp-rounded quality score, identical
+    on both engines, so the order index is hash-exact."""
+    from graphlite_spark.functions.text import quality_exprs, tokens_expr
+    from graphlite_spark.plans.derive import assign_dense_ids
+
+    q = quality_exprs(tokens_expr(text_col))
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality"].alias("quality"),
+    ).withColumn("neg_q", -F.col("quality"))
+    ranked = assign_dense_ids(scored, ["neg_q", "doc_id"], id_col="order_idx")
+    return ranked.select("doc_id", "n_tokens", "quality", "order_idx")

@@ -2122,6 +2122,40 @@ def activity_gini_sql(unit_col: str = "user_id") -> str:
     )
 
 
+def daily_anomaly_sql(
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    window: int = 7,
+) -> str:
+    """Mirror of operators.analytics.daily_anomaly: trailing ROWS
+    window over the zero-filled day spine, same (div, sqrt, div)."""
+    return (
+        "WITH daily AS MATERIALIZED (\n"
+        f"  SELECT {group_col} AS g,\n"
+        f"    CAST(epoch_us({ts_col}) AS BIGINT) // 86400000000 AS day,\n"
+        "    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),\n"
+        "rng AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),\n"
+        "spine AS (SELECT unnest(range(lo, hi + 1)) AS day, g\n"
+        "  FROM rng, (SELECT DISTINCT g FROM daily)),\n"
+        "val AS MATERIALIZED (\n"
+        "  SELECT s.g, s.day, COALESCE(y, 0) AS y\n"
+        "  FROM spine s LEFT JOIN daily USING (g, day)),\n"
+        "st AS MATERIALIZED (\n"
+        "  SELECT g, day, y,\n"
+        "    count(*) OVER w AS n, CAST(sum(y) OVER w AS BIGINT) AS s1,\n"
+        "    CAST(sum(y * y) OVER w AS BIGINT) AS s2\n"
+        "  FROM val WINDOW w AS (PARTITION BY g ORDER BY day\n"
+        f"    ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING))\n"
+        f"SELECT g AS {group_col}, day, y,\n"
+        f"  CASE WHEN n = {window} AND n * s2 - s1 * s1 > 0 THEN\n"
+        "    round((CAST(n * y - s1 AS DOUBLE) / n)\n"
+        "      / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)"
+        " / (n * (n - 1))), 6)\n"
+        "  END AS z\n"
+        "FROM st"
+    )
+
+
 def dau_wau_sql(
     unit_col: str = "user_id",
     ts_col: str = "ts",
@@ -4041,6 +4075,18 @@ def quality_sql() -> str:
         f"  round(0.2 + 1.5 * ({_STOP_RATIO}) + 0.02 * ({mean_len})\n"
         "        + 0.1 * ln(1 + len(toks)), 6) AS quality\n"
         "FROM toks_t"
+    )
+
+
+def curriculum_order_sql() -> str:
+    """Mirror of operators.packing.curriculum_order: global rank by
+    (quality DESC, doc_id) over the identical 6dp quality score."""
+    return (
+        f"WITH q AS MATERIALIZED ({quality_sql()})\n"
+        "SELECT doc_id, n_tokens, quality,\n"
+        "  CAST(row_number() OVER (ORDER BY quality DESC, doc_id) - 1"
+        " AS BIGINT) AS order_idx\n"
+        "FROM q"
     )
 
 

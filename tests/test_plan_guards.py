@@ -143,6 +143,7 @@ GUARDED = [
     "conv_dedup_minhash",
     "hll_audience_overlap",
     "simhash_hamming1",
+    "daily_anomaly_z",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -185,6 +186,8 @@ BNLJ_ALLOWED = {
     "tool_cooccurrence_pmi",
     # register-row fan-out against the G-row group list
     "hll_audience_overlap",
+    # 1-row day-range broadcast builds the spine
+    "daily_anomaly_z",
 }
 
 

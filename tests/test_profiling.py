@@ -275,3 +275,36 @@ def test_tool_pmi_known_values(spark):
     assert got[("a", "c")] == (1, round(math.log(1 * 4 / (3 * 2)), 6))
     assert got[("b", "c")] == (1, round(math.log(1 * 4 / (3 * 2)), 6))
     assert got[("a", "b")][1] < 0 or got[("a", "b")][1] > -0.2  # ln(8/9)
+
+
+def test_daily_anomaly_replay(spark):
+    """numpy replay: z = (y - trailing-mean)/trailing-sample-std; NULL
+    until the window is full and when the window is flat; a spiked day
+    scores > 3 sigma."""
+    import datetime
+
+    import numpy as np
+
+    from graphlite_spark.operators.analytics import daily_anomaly
+
+    base = datetime.datetime(2024, 6, 1)
+    counts = [5, 6, 5, 4, 5, 6, 5, 5, 50, 5, 6, 4, 5, 7]  # spike day 8
+    rows = [("a", base + datetime.timedelta(days=d))
+            for d, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["day"]: (r["y"], r["z"])
+           for r in daily_anomaly(df).collect()}
+    d0 = min(got)
+    for off in range(len(counts)):
+        y, z = got[d0 + off]
+        assert y == counts[off]
+        if off < 7:
+            assert z is None  # window not full
+            continue
+        win = np.array(counts[off - 7:off], dtype=float)
+        if win.std(ddof=1) == 0:
+            assert z is None  # flat window
+        else:
+            want = round(float((counts[off] - win.mean()) / win.std(ddof=1)), 6)
+            assert z == want, (off, z, want)
+    assert got[d0 + 8][1] > 3  # the spike is flagged
