@@ -761,6 +761,15 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_by(ev, "event_type", "user_id", k=64)
 
 
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 80/20 concentration: minimal heavy-user set covering 4/5 of all
+    # events — exact DISTRIBUTED ordered prefix-sum (bucketed prefix,
+    # never a global cumsum window)
+    from graphlite_spark.operators.analytics import pareto_concentration
+
+    return pareto_concentration(load_table(spark, sf_dir, "events"))
+
+
 def q_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-type daily counts scored against the trailing 7-day window
     # (zero-filled day spine; exact window moments; z NULL until full)
@@ -2280,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming1": q_simhash_hamming,
         "curriculum_order": q_curriculum,
         "daily_anomaly_z": q_daily_anomaly,
+        "pareto_80_20": q_pareto,
         "user_burstiness": q_user_burstiness,
     }
 
@@ -2354,6 +2364,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_hamming1": O.simhash_hamming_sql(32),
         "curriculum_order": O.curriculum_order_sql(),
         "daily_anomaly_z": O.daily_anomaly_sql(),
+        "pareto_80_20": O.pareto_concentration_sql(),
         "user_burstiness": O.user_burstiness_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),

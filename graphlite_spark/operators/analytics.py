@@ -692,3 +692,76 @@ def daily_anomaly(
             z,
         ).alias("z"),
     )
+
+
+def pareto_concentration(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    num_den: tuple = (4, 5),
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """One row (n_units, total_events, k_units, unit_share_micros) —
+    the Pareto/80-20 readout: the MINIMUM number of heaviest units
+    covering ``num/den`` (default 4/5) of all events, found by an
+    exact DISTRIBUTED ordered prefix-sum (the pattern a naive
+    implementation writes as one global cumsum window — a
+    single-partition sort at scale):
+
+    1. per-unit counts, ranked descending by the distributed dense-id
+       machinery (range shuffle, no global window);
+    2. rank buckets of ``bucket_size``; per-bucket sums; the running
+       bucket prefix is a window over n/bucket_size SUMMARY rows
+       (bucket-grain — 1e9 units at B=4096 is a 244k-row summary,
+       partition-safe and documented);
+    3. each unit's cumulative = its bucket's exclusive prefix + an
+       IN-BUCKET window (partitioned by bucket — never global);
+    4. the crossing is the exact integer test ``cum · den ≥ num ·
+       total`` — no floats anywhere until the final share ratio."""
+    from graphlite_spark.plans.derive import assign_dense_ids
+
+    num, den = num_den
+    cnts = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    ranked = assign_dense_ids(
+        cnts.withColumn("neg_x", -F.col("x")), ["neg_x", "u"], id_col="r"
+    )
+    b = ranked.withColumn("bucket", F.expr(f"r div {bucket_size}"))
+    bsum = b.groupBy("bucket").agg(F.sum("x").cast("long").alias("bs"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = bsum.select(
+        "bucket",
+        F.coalesce(F.sum("bs").over(wb), F.lit(0))
+        .cast("long")
+        .alias("before"),
+    )
+    win = Window.partitionBy("bucket").orderBy("r")
+    cum = (
+        b.join(F.broadcast(prefix), "bucket")
+        .withColumn(
+            "cum",
+            (F.col("before") + F.sum("x").over(win)).cast("long"),
+        )
+    )
+    total = cnts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("x").cast("long").alias("total_events"),
+    )
+    k = (
+        cum.crossJoin(F.broadcast(total))
+        .where(F.col("cum") * den >= F.col("total_events") * num)
+        .agg(F.min("r").alias("rmin"))
+    )
+    return (
+        k.crossJoin(F.broadcast(total))
+        .select(
+            "n_units",
+            "total_events",
+            (F.col("rmin") + 1).cast("long").alias("k_units"),
+            F.expr("(1000000 * (rmin + 1)) div n_units")
+            .cast("long")
+            .alias("unit_share_micros"),
+        )
+    )

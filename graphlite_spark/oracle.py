@@ -2122,6 +2122,31 @@ def activity_gini_sql(unit_col: str = "user_id") -> str:
     )
 
 
+def pareto_concentration_sql(
+    unit_col: str = "user_id", num: int = 4, den: int = 5
+) -> str:
+    """Mirror of operators.analytics.pareto_concentration: plain
+    ordered cumsum at test scale (the Spark side distributes it),
+    same exact integer crossing test."""
+    return (
+        "WITH cnts AS MATERIALIZED (\n"
+        f"  SELECT {unit_col} AS u, CAST(count(*) AS BIGINT) AS x\n"
+        "  FROM events GROUP BY 1),\n"
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n_units,\n"
+        "  CAST(sum(x) AS BIGINT) AS total_events FROM cnts),\n"
+        "c AS MATERIALIZED (SELECT x,\n"
+        "  row_number() OVER (ORDER BY x DESC, u) - 1 AS r,\n"
+        "  CAST(sum(x) OVER (ORDER BY x DESC, u) AS BIGINT) AS cum\n"
+        "  FROM cnts)\n"
+        "SELECT n_units, total_events,\n"
+        "  CAST(rmin + 1 AS BIGINT) AS k_units,\n"
+        "  CAST((1000000 * (rmin + 1)) // n_units AS BIGINT)"
+        " AS unit_share_micros\n"
+        "FROM (SELECT min(r) AS rmin FROM c, t\n"
+        f"  WHERE cum * {den} >= total_events * {num}), t"
+    )
+
+
 def daily_anomaly_sql(
     group_col: str = "event_type",
     ts_col: str = "ts",

@@ -308,3 +308,30 @@ def test_daily_anomaly_replay(spark):
             want = round(float((counts[off] - win.mean()) / win.std(ddof=1)), 6)
             assert z == want, (off, z, want)
     assert got[d0 + 8][1] > 3  # the spike is flagged
+
+
+def test_pareto_concentration_replay(spark):
+    """The distributed bucketed prefix-sum equals the plain sorted
+    cumsum, incl. with a bucket size smaller than the unit count (so
+    the bucket-boundary path actually exercises); exact 80% crossing."""
+    import numpy as np
+
+    from graphlite_spark.operators.analytics import pareto_concentration
+
+    rng = np.random.RandomState(5)
+    counts = [int(c) for c in rng.zipf(1.6, size=200).clip(1, 500)]
+    rows = [(u, 0) for u, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "user_id long, pad int")
+    r = pareto_concentration(df, bucket_size=16).collect()[0]
+
+    xs = sorted(counts, reverse=True)
+    total = sum(xs)
+    cum, k = 0, None
+    for i, x in enumerate(xs):
+        cum += x
+        if cum * 5 >= total * 4:
+            k = i + 1
+            break
+    assert (r["n_units"], r["total_events"], r["k_units"]) == (200, total, k)
+    assert r["unit_share_micros"] == (1_000_000 * k) // 200
+    assert k < 200 * 0.5  # zipf: few units dominate
