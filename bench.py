@@ -665,6 +665,24 @@ def main() -> None:
     t0 = time.perf_counter()
     timings, extra = run_headline(spark, SF_DIR)
     total = round(time.perf_counter() - t0, 3)
+    # relational-tier throughput: the full TPC-H family (22 shapes +
+    # the derived partsupp base) in one number — extra keys only, the
+    # headline "queries"/"value" series stays comparable across rounds
+    try:
+        import __spark_entry__ as entrymod
+
+        tq = [
+            (n, fn)
+            for n, fn in entrymod.queries().items()
+            if n.startswith("tpch_")
+        ]
+        t1 = time.perf_counter()
+        for _, fn in tq:
+            fn(spark, SF_DIR).count()
+        extra["tpch_family_sec"] = round(time.perf_counter() - t1, 3)
+        extra["tpch_family_n"] = len(tq)
+    except Exception as exc:  # never sink the headline line
+        extra["tpch_family_error"] = str(exc)[:200]
     spark.stop()
 
     result = {
