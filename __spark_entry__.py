@@ -84,6 +84,7 @@ from graphlite_spark.operators.profiling import (
     partition_histogram,
     vocab_zipf_alpha,
 )
+from graphlite_spark.operators.dsir import dsir_weights
 from graphlite_spark.operators.ngram_lm import (
     bigram_next_topk,
     doc_bigram_hit_rate,
@@ -2039,6 +2040,12 @@ def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lm_cost(load_table(spark, sf_dir, "documents"))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR (Xie et al. 2023): hashed-bigram importance log-weight of
+    # every document toward the lang='en' target set, micro-nats exact
+    return dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc PII counts + md5 of the sequentially-redacted text; the
     # digit-free synthetic corpus gets a deterministic doc_id-derived
@@ -2291,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_anomaly_z": q_daily_anomaly,
         "pareto_80_20": q_pareto,
         "user_burstiness": q_user_burstiness,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -2366,6 +2374,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_anomaly_z": O.daily_anomaly_sql(),
         "pareto_80_20": O.pareto_concentration_sql(),
         "user_burstiness": O.user_burstiness_sql(),
+        "dsir_weights": O.dsir_weights_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

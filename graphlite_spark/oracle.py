@@ -4890,6 +4890,45 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def dsir_weights_sql(target_lang: str = "en", n_buckets: int = 4096) -> str:
+    """Mirror of operators.dsir.dsir_weights: hashed-bigram importance
+    log-weight toward the ``lang = target_lang`` subset, add-one smoothed
+    over ``n_buckets`` buckets; the per-bucket log-ratio is rounded once
+    to micro-nats (single double division of exact BIGINT products, so
+    the ln argument is engine-identical)."""
+    b = n_buckets
+    bucket = _h48("toks[CAST(i AS INT)] || chr(31) || toks[CAST(i AS INT) + 1]")
+    return f"""
+WITH {TOKS_CTE},
+bg AS MATERIALIZED (
+  SELECT doc_id, {bucket} % {b} AS bucket
+  FROM toks_t, UNNEST(range(1, len(toks))) AS t(i)),
+pm AS MATERIALIZED (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS m
+  FROM bg GROUP BY 1, 2),
+bk AS MATERIALIZED (
+  SELECT bucket,
+         CAST(sum(CASE WHEN d.lang = '{target_lang}' THEN m ELSE 0 END)
+              AS BIGINT) AS ct,
+         CAST(sum(m) AS BIGINT) AS cr
+  FROM pm JOIN documents d USING (doc_id) GROUP BY 1),
+tot AS (SELECT CAST(COALESCE(sum(ct), 0) AS BIGINT) AS nt,
+               CAST(COALESCE(sum(cr), 0) AS BIGINT) AS nr FROM bk),
+model AS MATERIALIZED (
+  SELECT bucket,
+         CAST(round(1000000 * ln(CAST((ct + 1) * (nr + {b}) AS DOUBLE)
+                                 / CAST((cr + 1) * (nt + {b}) AS DOUBLE)))
+              AS BIGINT) AS lw
+  FROM bk CROSS JOIN tot),
+pd AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+              CAST(sum(m * lw) AS BIGINT) AS w
+  FROM pm JOIN model USING (bucket) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(w, 0) AS BIGINT) AS logweight_micros
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 def contract_graph_sql(lpa_iterations: int = 3) -> str:
     """Mirror of algos.community.contract_graph over the LPA-N labels:
     both endpoints re-keyed to their community, multiplicities summed,
