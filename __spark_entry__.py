@@ -84,6 +84,7 @@ from graphlite_spark.operators.profiling import (
     partition_histogram,
     vocab_zipf_alpha,
 )
+from graphlite_spark.algos.features import smooth_features
 from graphlite_spark.operators.dsir import dsir_weights
 from graphlite_spark.operators.ngram_lm import (
     bigram_next_topk,
@@ -2040,6 +2041,26 @@ def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lm_cost(load_table(spark, sf_dir, "documents"))
 
 
+def q_sgc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SGC precompute (Wu et al. 2019): 2-hop exact mean smoothing of
+    # per-user event-type count features over the undirected contact
+    # graph — the distributed A^k·X GNN feature precompute, long-form
+    ev = _events_us(spark, sf_dir)
+    ce = contact_edges(ev).select("src", "dst")
+    und = ce.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    sym = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    feats = ev.groupBy(
+        F.col("user_id"), F.col("event_type").alias("feature")
+    ).agg((F.count(F.lit(1)) * 1_000_000).cast("long").alias("val_micros"))
+    return smooth_features(feats, sym, hops=2, id_col="user_id").select(
+        "user_id", "feature", F.col("val_micros").alias("sgc_micros")
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR (Xie et al. 2023): hashed-bigram importance log-weight of
     # every document toward the lang='en' target set, micro-nats exact
@@ -2299,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_80_20": q_pareto,
         "user_burstiness": q_user_burstiness,
         "dsir_weights": q_dsir_weights,
+        "sgc_features_2": q_sgc_features,
     }
 
 
@@ -2375,6 +2397,7 @@ def oracle_sql() -> dict[str, str]:
         "pareto_80_20": O.pareto_concentration_sql(),
         "user_burstiness": O.user_burstiness_sql(),
         "dsir_weights": O.dsir_weights_sql(),
+        "sgc_features_2": O.sgc_features_sql(2),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

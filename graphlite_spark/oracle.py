@@ -4929,6 +4929,50 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def sgc_features_sql(hops: int = 2) -> str:
+    """Mirror of algos.features.smooth_features over the undirected
+    distinct contact graph with per-user event-type count features:
+    each hop is sum over neighbors ∪ self then the exact integer
+    division by (deg + 1).  All values non-negative, so DuckDB's floor
+    ``//`` and Spark's toward-zero ``div`` agree."""
+    parts = [
+        "ev AS MATERIALIZED (SELECT event_id, user_id, event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events)",
+        "ce AS MATERIALIZED (SELECT src, dst FROM (\n"
+        "  SELECT lag(user_id) OVER (PARTITION BY event_type\n"
+        "           ORDER BY ts_us, event_id) AS src,\n"
+        "         user_id AS dst FROM ev)\n"
+        "  WHERE src IS NOT NULL AND src <> dst)",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,\n"
+        "  greatest(src, dst) AS b FROM ce)",
+        "sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM und\n"
+        "  UNION ALL SELECT b AS src, a AS dst FROM und)",
+        "deg AS MATERIALIZED (SELECT src AS user_id,\n"
+        "  CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1)",
+        "f0 AS MATERIALIZED (SELECT user_id, event_type AS feature,\n"
+        "  CAST(count(*) * 1000000 AS BIGINT) AS v FROM ev GROUP BY 1, 2)",
+    ]
+    for k in range(hops):
+        parts.append(
+            f"g{k} AS (SELECT user_id, feature, CAST(sum(v) AS BIGINT) AS s\n"
+            f"  FROM (SELECT user_id, feature, v FROM f{k}\n"
+            f"        UNION ALL\n"
+            f"        SELECT s.dst AS user_id, f.feature, f.v\n"
+            f"        FROM f{k} f JOIN sym s ON s.src = f.user_id)\n"
+            f"  GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"f{k + 1} AS MATERIALIZED (SELECT g.user_id, g.feature,\n"
+            f"  CAST(g.s // (COALESCE(d.deg, 0) + 1) AS BIGINT) AS v\n"
+            f"  FROM g{k} g LEFT JOIN deg d USING (user_id))"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT user_id, feature, v AS sgc_micros FROM f{hops}"
+    )
+
+
 def contract_graph_sql(lpa_iterations: int = 3) -> str:
     """Mirror of algos.community.contract_graph over the LPA-N labels:
     both endpoints re-keyed to their community, multiplicities summed,
