@@ -2041,6 +2041,16 @@ def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lm_cost(load_table(spark, sf_dir, "documents"))
 
 
+def q_linkpred_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact Mann-Whitney AUC of the Jaccard link-predictor over the
+    # contact graph's wedge-candidate pairs (positives = actual edges):
+    # the training-eval readout next to the sampler and the scorers
+    from graphlite_spark.algos.linkpred import linkpred_auc
+
+    ce = contact_edges(_events_us(spark, sf_dir)).select("src", "dst")
+    return linkpred_auc(ce)
+
+
 def q_sgc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SGC precompute (Wu et al. 2019): 2-hop exact mean smoothing of
     # per-user event-type count features over the undirected contact
@@ -2321,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_burstiness": q_user_burstiness,
         "dsir_weights": q_dsir_weights,
         "sgc_features_2": q_sgc_features,
+        "linkpred_auc": q_linkpred_auc,
     }
 
 
@@ -2398,6 +2409,7 @@ def oracle_sql() -> dict[str, str]:
         "user_burstiness": O.user_burstiness_sql(),
         "dsir_weights": O.dsir_weights_sql(),
         "sgc_features_2": O.sgc_features_sql(2),
+        "linkpred_auc": O.linkpred_auc_sql(100),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -112,3 +112,83 @@ def adamic_adar(
     return pairs.join(existing, ["u", "v"], "left_anti").where(
         F.col("aa_micros") >= min_score_micros
     )
+
+
+def linkpred_auc(
+    edges: DataFrame,
+    max_wedge_degree: int | None = 100,
+) -> DataFrame:
+    """One row (n_pos, n_neg, auc_micros) — exact Mann-Whitney AUC of
+    the neighborhood-Jaccard score over the wedge-candidate pairs: can
+    the score separate actual edges (positives) from non-adjacent
+    2-hop pairs (negatives)?  The standard candidate-restricted
+    link-prediction evaluation — the training-eval readout next to the
+    sampler (:func:`~graphlite_spark.algos.sampling.negative_edges`)
+    and the scorers above.
+
+    Exactness: scores are the integer ``jaccard_micros``; ties are
+    handled by MIDRANKS computed from per-score counts, and the U
+    statistic rides the identity ``2·Σ_pos midrank − P(P+1) = 2U ≥ 0``
+    so the final division is over non-negative BIGINTs (Spark ``div``
+    and DuckDB ``//`` agree) — the 6-figure AUC is oracle-exact.
+    ``auc_micros`` is NULL when either class is empty.
+
+    Scale shape: the same capped wedge enumeration as
+    :func:`jaccard_similarity` (hub centers excluded before the
+    quadratic join); the rank pass groups pairs BY SCORE first, so the
+    cumulative window runs over at most 1e6+1 rows (micro-quantized
+    scores are value-bounded) — never over the data-sized pair frame."""
+    from pyspark.sql import Window
+
+    und = symmetrize(edges).select("src", "dst")
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ctr = deg.where(F.col("deg") >= 2)
+    if max_wedge_degree is not None:
+        ctr = ctr.where(F.col("deg") <= max_wedge_degree)
+    ctr = ctr.select(F.col("src").alias("w"))
+    e1 = und.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    e2 = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = e1.join(ctr, "w").join(e2, "w").where(F.col("u") < F.col("v"))
+    pairs = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cn")
+    )
+    existing = und.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).alias("pos")
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    scored = (
+        pairs.join(existing, ["u", "v"], "left")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.expr("(1000000 * cn) div (du + dv - cn)").alias("score"),
+            F.coalesce("pos", F.lit(0)).alias("pos"),
+        )
+    )
+    sc = scored.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = sc.withColumn(
+        "c_less", (F.sum("n_all").over(w) - F.col("n_all")).cast("long")
+    )
+    return ranked.agg(
+        F.sum("n_pos").cast("long").alias("p"),
+        F.sum(F.col("n_all") - F.col("n_pos")).cast("long").alias("n"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("c_less") + F.col("n_all") + 1)
+        )
+        .cast("long")
+        .alias("s"),
+    ).select(
+        F.coalesce("p", F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_neg"),
+        F.when(
+            (F.col("p") > 0) & (F.col("n") > 0),
+            F.expr("(1000000 * (s - p * (p + 1))) div (2 * p * n)"),
+        )
+        .cast("long")
+        .alias("auc_micros"),
+    )

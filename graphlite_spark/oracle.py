@@ -4973,6 +4973,56 @@ def sgc_features_sql(hops: int = 2) -> str:
     )
 
 
+def linkpred_auc_sql(max_wedge_degree: int = 100) -> str:
+    """Mirror of algos.linkpred.linkpred_auc over the contact graph:
+    midrank Mann-Whitney AUC of jaccard_micros separating actual edges
+    from non-adjacent wedge pairs.  The 2U identity keeps every
+    division over non-negative BIGINTs (// == Spark div)."""
+    return f"""
+WITH ev AS MATERIALIZED (SELECT event_id, user_id, event_type,
+  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+ce0 AS MATERIALIZED (SELECT src, dst FROM (
+  SELECT lag(user_id) OVER (PARTITION BY event_type
+           ORDER BY ts_us, event_id) AS src,
+         user_id AS dst FROM ev)
+  WHERE src IS NOT NULL AND src <> dst),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM ce0 UNION ALL SELECT dst AS src, src AS dst FROM ce0)
+  WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+  FROM und GROUP BY 1),
+ctr AS (SELECT src AS w FROM deg WHERE deg >= 2 AND deg <= {max_wedge_degree}),
+pairs AS MATERIALIZED (
+  SELECT e1.dst AS u, e2.dst AS v, CAST(count(*) AS BIGINT) AS cn
+  FROM und e1 JOIN ctr c ON c.w = e1.src JOIN und e2 ON e2.src = e1.src
+  WHERE e1.dst < e2.dst GROUP BY 1, 2),
+scored AS (
+  SELECT (1000000 * p.cn) // (du.deg + dv.deg - p.cn) AS score,
+         CASE WHEN x.src IS NOT NULL THEN 1 ELSE 0 END AS pos
+  FROM pairs p
+  LEFT JOIN und x ON x.src = p.u AND x.dst = p.v
+  JOIN deg du ON du.src = p.u JOIN deg dv ON dv.src = p.v),
+sc AS (SELECT score, CAST(sum(pos) AS BIGINT) AS n_pos,
+              CAST(count(*) AS BIGINT) AS n_all
+  FROM scored GROUP BY 1),
+ranked AS (SELECT score, n_pos, n_all,
+  CAST(sum(n_all) OVER (ORDER BY score
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_all
+       AS BIGINT) AS c_less
+  FROM sc),
+agg AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+               CAST(sum(n_all - n_pos) AS BIGINT) AS n,
+               CAST(sum(n_pos * (2 * c_less + n_all + 1)) AS BIGINT) AS s
+  FROM ranked)
+SELECT CAST(COALESCE(p, 0) AS BIGINT) AS n_pos,
+  CAST(COALESCE(n, 0) AS BIGINT) AS n_neg,
+  CAST(CASE WHEN p > 0 AND n > 0
+       THEN (1000000 * (s - p * (p + 1))) // (2 * p * n) END AS BIGINT)
+  AS auc_micros
+FROM agg
+"""
+
+
 def contract_graph_sql(lpa_iterations: int = 3) -> str:
     """Mirror of algos.community.contract_graph over the LPA-N labels:
     both endpoints re-keyed to their community, multiplicities summed,
