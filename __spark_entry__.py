@@ -2041,6 +2041,18 @@ def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lm_cost(load_table(spark, sf_dir, "documents"))
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contrastive hard-negative mining: per query vector, the k most
+    # similar DIFFERENT-label vectors the IVF probes reach — the filter
+    # runs BEFORE the top-k window so same-label neighbors can't eat
+    # the slots
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=3, nprobe=2,
+        n_clusters=8, iterations=2, label_col="label",
+    )
+
+
 def q_linkpred_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact Mann-Whitney AUC of the Jaccard link-predictor over the
     # contact graph's wedge-candidate pairs (positives = actual edges):
@@ -2332,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "sgc_features_2": q_sgc_features,
         "linkpred_auc": q_linkpred_auc,
+        "hard_negatives_ann": q_hard_negatives,
     }
 
 
@@ -2410,6 +2423,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": O.dsir_weights_sql(),
         "sgc_features_2": O.sgc_features_sql(2),
         "linkpred_auc": O.linkpred_auc_sql(100),
+        "hard_negatives_ann": O.ivf_topk_sql(3, 2, 8, 2, 20, label_filter=True),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -164,10 +164,19 @@ def ivf_topk(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    label_col: str | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, sim) — IVF-style ANN: top-k by cosine
     among corpus vectors whose k-means cell is one of the query's
     ``nprobe`` nearest cells.
+
+    ``label_col`` turns the search into HARD-NEGATIVE MINING (the
+    contrastive-training data step): only candidates with a DIFFERENT
+    label compete for the k slots — the filter runs BEFORE the top-k
+    window (filtering afterwards would let same-label neighbors eat the
+    slots), and the output gains (query_label, neighbor_label).  Same
+    index, same probes, same exactness; the per-query hardest negatives
+    are the highest-cosine different-label vectors the probes reach.
 
     The learned counterpart of :func:`lsh_bucket_topk`: the coarse
     quantizer is the :mod:`~graphlite_spark.operators.kmeans` codebook
@@ -189,22 +198,30 @@ def ivf_topk(
     cents = _fit(_quantized(embeddings, id_col, vec_col), n_clusters, iterations)
     nprobe = min(nprobe, len(cents))
 
+    c_lab = (
+        [F.col(label_col).alias("neighbor_label")] if label_col else []
+    )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         quantize_expr(F.col(vec_col)).alias("qv"),
+        *c_lab,
     ).select(
-        "neighbor_id", "cv", _dists_expr(cents).alias("ds")
+        "neighbor_id", "cv", _dists_expr(cents).alias("ds"),
+        *(["neighbor_label"] if label_col else []),
     ).select(
         "neighbor_id", "cv",
         (F.array_position("ds", F.array_min("ds")) - 1)
         .cast("long").alias("cell"),
+        *(["neighbor_label"] if label_col else []),
     )
 
+    q_lab = [F.col(label_col).alias("query_label")] if label_col else []
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         quantize_expr(F.col(vec_col)).alias("qv"),
+        *q_lab,
     )
     # (dist, cell) structs sort ascending lexicographically — nearest
     # first, smaller cell index on ties — then keep the nprobe head
@@ -220,20 +237,27 @@ def ivf_topk(
         1,
         nprobe,
     )
+    ql = ["query_label"] if label_col else []
+    nl = ["neighbor_label"] if label_col else []
     probes = (
-        q.select("query_id", "qvec", ranked.alias("pr"))
-        .select("query_id", "qvec", F.explode("pr").alias("p"))
-        .select("query_id", "qvec", F.col("p.cell").alias("cell"))
+        q.select("query_id", "qvec", ranked.alias("pr"), *ql)
+        .select("query_id", "qvec", F.explode("pr").alias("p"), *ql)
+        .select("query_id", "qvec", F.col("p.cell").alias("cell"), *ql)
     )
 
-    scored = (
-        probes.join(c, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_expr(F.col("qvec"), F.col("cv")), 6).alias("sim"),
+    scored = probes.join(c, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    if label_col:
+        scored = scored.where(
+            F.col("query_label") != F.col("neighbor_label")
         )
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("qvec"), F.col("cv")), 6).alias("sim"),
+        *ql,
+        *nl,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -241,7 +265,7 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
+        .select("query_id", *ql, "neighbor_id", *nl, "rank", "sim")
     )
 
 

@@ -3797,12 +3797,14 @@ def ivf_topk_sql(
     iterations: int = 2,
     num_queries: int = 20,
     d: int = 64,
+    label_filter: bool = False,
 ) -> str:
     """Mirror of operators.similarity.ivf_topk: the k-means CTE chain
     re-derives the identical codebook, corpus vectors take their argmin
     cell, queries probe their ``nprobe`` nearest cells (BIGINT distances,
     smaller-cell tie-break), and cosine top-k runs only within probed
-    cells."""
+    cells.  ``label_filter`` mirrors the hard-negative-mining variant:
+    only different-label candidates compete, labels in the output."""
     cents = f"cent{iterations}"
     parts = _kmeans_ctes(n_clusters, iterations, d)
     parts.append(
@@ -3822,18 +3824,38 @@ def ivf_topk_sql(
         f"  WHERE vec_id < {num_queries} AND rn <= {nprobe})"
     )
     parts.append(_EMB_D)
+    lab_sel = (
+        "    lq.label AS query_label, lc.label AS neighbor_label,\n"
+        if label_filter
+        else ""
+    )
+    lab_join = (
+        "  JOIN embeddings lq ON lq.vec_id = p.vec_id\n"
+        "  JOIN embeddings lc ON lc.vec_id = co.vec_id"
+        " AND lq.label <> lc.label\n"
+        if label_filter
+        else ""
+    )
     parts.append(
         "scored AS MATERIALIZED (\n"
-        f"  SELECT p.vec_id AS query_id, co.vec_id AS neighbor_id, {_COS} AS sim\n"
+        f"  SELECT p.vec_id AS query_id, co.vec_id AS neighbor_id,\n"
+        f"{lab_sel}"
+        f"    {_COS} AS sim\n"
         "  FROM probe p JOIN corp co ON co.cell = p.cell"
         " AND co.vec_id <> p.vec_id\n"
+        f"{lab_join}"
         "  JOIN e q ON q.vec_id = p.vec_id\n"
         "  JOIN e c ON c.vec_id = co.vec_id)"
     )
     joined = ",\n".join(parts)
+    out_cols = (
+        "query_id, query_label, neighbor_id, neighbor_label, rank, sim"
+        if label_filter
+        else "query_id, neighbor_id, rank, sim"
+    )
     return (
         f"WITH {joined}\n"
-        "SELECT query_id, neighbor_id, rank, sim FROM (\n"
+        f"SELECT {out_cols} FROM (\n"
         "  SELECT *, CAST(row_number() OVER (PARTITION BY query_id\n"
         "    ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank FROM scored)\n"
         f"WHERE rank <= {k}"

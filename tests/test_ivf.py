@@ -111,3 +111,39 @@ def test_ivf_full_probe_equals_bruteforce(spark):
     )
     b = sorted(map(tuple, cosine_topk(df, qs, k=4).collect()))
     assert a == b
+
+
+def test_hard_negatives_label_filter(spark):
+    # two tight same-label pairs per label: without the filter each
+    # vector's nearest neighbor is its same-label twin; with label_col
+    # the twin must vanish and different-label vectors fill ALL slots
+    # (filter-before-window, not a post-hoc drop)
+    vecs = [
+        (0, [1.00, 0.00], 0), (1, [0.99, 0.01], 0),
+        (2, [0.00, 1.00], 1), (3, [0.01, 0.99], 1),
+        (4, [0.70, 0.70], 2), (5, [0.71, 0.69], 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in vecs],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = ivf_topk(
+        df, df, k=2, nprobe=3, n_clusters=3, iterations=2,
+        label_col="label",
+    ).collect()
+    assert out, "hard-negative search returned nothing"
+    labels = {i: l for i, _, l in vecs}
+    by_q: dict[int, list] = {}
+    for r in out:
+        assert r["query_label"] == labels[r["query_id"]]
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+        assert r["query_label"] != r["neighbor_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    # every query got its k=2 different-label slots filled (the twin
+    # did not consume a slot) and ranks are contiguous from 1
+    for qid, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == [1, 2], qid
+    # vector 4's hardest negatives are the diagonal-adjacent ones from
+    # labels 0 and 1, not its twin 5
+    top4 = {r["neighbor_id"] for r in by_q[4]}
+    assert 5 not in top4 and top4 <= {0, 1, 2, 3}
