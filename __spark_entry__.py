@@ -2041,6 +2041,17 @@ def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lm_cost(load_table(spark, sf_dir, "documents"))
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # word2vec/GloVe training-pair extraction: directed (center,
+    # context) counts with a 2-token window — a pure codegen fan-out,
+    # the only shuffle is the map-side-combined pair count
+    from graphlite_spark.operators.cooccurrence import skipgram_pairs
+
+    return skipgram_pairs(
+        load_table(spark, sf_dir, "documents"), window=2, min_count=2
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contrastive hard-negative mining: per query vector, the k most
     # similar DIFFERENT-label vectors the IVF probes reach — the filter
@@ -2345,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sgc_features_2": q_sgc_features,
         "linkpred_auc": q_linkpred_auc,
         "hard_negatives_ann": q_hard_negatives,
+        "skipgram_pairs": q_skipgram_pairs,
     }
 
 
@@ -2424,6 +2436,7 @@ def oracle_sql() -> dict[str, str]:
         "sgc_features_2": O.sgc_features_sql(2),
         "linkpred_auc": O.linkpred_auc_sql(100),
         "hard_negatives_ann": O.ivf_topk_sql(3, 2, 8, 2, 20, label_filter=True),
+        "skipgram_pairs": O.skipgram_pairs_sql(2, 2),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

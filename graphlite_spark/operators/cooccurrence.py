@@ -45,3 +45,54 @@ def token_cooccurrence(
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .where(F.col("n_docs") >= min_count)
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """(center, context, n_pairs) — ordered skip-gram pair counts with a
+    ``window``-token context (center at position i pairs with every
+    token at i±1..i±window): the word2vec / GloVe training-pair
+    extraction, the WINDOW-level sibling of the document-level
+    :func:`token_cooccurrence`.  Directed counts — (a, b) and (b, a)
+    are separate rows, the standard (center, context) convention.
+
+    Scale shape: pair extraction is a PURE EXPRESSION (nested
+    ``transform`` over the token positions inside whole-stage codegen —
+    no posexplode self-join, no window function), fanning each token to
+    at most 2·window rows; the only shuffle is the map-side-combined
+    (center, context) count.  ``min_count`` prunes the long tail after
+    the combine."""
+    t = tokens_expr(text_col)
+    n = F.size(t)
+    inner = lambda i: F.transform(  # noqa: E731
+        F.filter(
+            F.sequence(
+                F.greatest(F.lit(1), i - window),
+                F.least(n, i + window),
+            ),
+            lambda j: j != i,
+        ),
+        lambda j: F.struct(
+            F.element_at(t, i.cast("int")).alias("center"),
+            F.element_at(t, j.cast("int")).alias("context"),
+        ),
+    )
+    pairs = F.when(
+        n >= 2,
+        F.flatten(F.transform(F.sequence(F.lit(1), n), inner)),
+    ).otherwise(
+        F.array().cast("array<struct<center:string,context:string>>")
+    )
+    out = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.center", "p.context")
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("n_pairs") >= min_count)
+    return out

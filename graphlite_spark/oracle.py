@@ -4912,6 +4912,28 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def skipgram_pairs_sql(window: int = 2, min_count: int = 2) -> str:
+    """Mirror of operators.cooccurrence.skipgram_pairs: window-level
+    directed (center, context) skip-gram pair counts via the identical
+    nested list-transform fan-out."""
+    w = window
+    having = f"HAVING count(*) >= {min_count}" if min_count > 1 else ""
+    return f"""
+WITH {TOKS_CTE},
+pairs AS (
+  SELECT unnest(flatten(list_transform(range(1, len(toks) + 1), i ->
+    list_transform(list_filter(range(greatest(1, i - {w}),
+                                     least(len(toks), i + {w}) + 1),
+                               j -> j <> i),
+                   j -> {{'center': toks[CAST(i AS INT)],
+                          'context': toks[CAST(j AS INT)]}})))) AS p
+  FROM toks_t WHERE len(toks) >= 2)
+SELECT p.center AS center, p.context AS context,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1, 2 {having}
+"""
+
+
 def dsir_weights_sql(target_lang: str = "en", n_buckets: int = 4096) -> str:
     """Mirror of operators.dsir.dsir_weights: hashed-bigram importance
     log-weight toward the ``lang = target_lang`` subset, add-one smoothed

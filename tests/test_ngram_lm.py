@@ -32,3 +32,34 @@ def test_bigram_counts_and_topk(spark):
         ("b", "a", 1, 1), ("b", "c", 1, 2),
         ("c", "a", 1, 1),
     ]
+
+
+def test_skipgram_pairs_bruteforce(spark):
+    from collections import Counter
+
+    from graphlite_spark.operators.cooccurrence import skipgram_pairs
+
+    texts = [
+        "a b c d",
+        "a a b",       # repeated center tokens -> multiplicities
+        "solo",        # 1 token -> no pairs
+        "x y",
+    ]
+    exp = Counter()
+    for t in texts:
+        ts = t.split()
+        for i, c in enumerate(ts):
+            for j in range(max(0, i - 2), min(len(ts), i + 3)):
+                if j != i:
+                    exp[(c, ts[j])] += 1
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(df, window=2, min_count=1).collect()
+    }
+    assert got == dict(exp)
+    # directed convention: (a, b) appears 2x ("a b c", "a a b" pos2)
+    # while ("d", "a") never does (outside the window)
+    assert ("d", "a") not in got
