@@ -2041,6 +2041,15 @@ def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lm_cost(load_table(spark, sf_dir, "documents"))
 
 
+def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language percentile calibration of the quality score (one
+    # threshold fair across languages): distributed dense rank with
+    # lang leading + a G-row broadcast — no per-group window
+    from graphlite_spark.operators.packing import quality_calibrated
+
+    return quality_calibrated(load_table(spark, sf_dir, "documents"))
+
+
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word2vec/GloVe training-pair extraction: directed (center,
     # context) counts with a 2-token window — a pure codegen fan-out,
@@ -2357,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred_auc": q_linkpred_auc,
         "hard_negatives_ann": q_hard_negatives,
         "skipgram_pairs": q_skipgram_pairs,
+        "quality_calibrated": q_quality_calibrated,
     }
 
 
@@ -2437,6 +2447,7 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_auc": O.linkpred_auc_sql(100),
         "hard_negatives_ann": O.ivf_topk_sql(3, 2, 8, 2, 20, label_filter=True),
         "skipgram_pairs": O.skipgram_pairs_sql(2, 2),
+        "quality_calibrated": O.quality_calibrated_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -303,3 +303,52 @@ def curriculum_order(
     ).withColumn("neg_q", -F.col("quality"))
     ranked = assign_dense_ids(scored, ["neg_q", "doc_id"], id_col="order_idx")
     return ranked.select("doc_id", "n_tokens", "quality", "order_idx")
+
+
+def quality_calibrated(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, <group>, quality, pct_micros) — per-group percentile
+    calibration of the quality score: ``pct_micros`` is the document's
+    rank position within its group scaled to [0, 1e6] (ascending — the
+    group's best document scores 1e6; singleton groups score 0).  The
+    curation step that makes one quality threshold fair ACROSS groups
+    (a 90th-percentile French doc survives the same cut as a
+    90th-percentile English doc) instead of letting the absolute score
+    distribution of the dominant language set the bar.
+
+    Exactness: rank key is (group, 6dp quality, doc_id) — engine-
+    identical — and the percentile is one integer division.
+
+    Scale shape: ONE distributed dense-id rank with the group as the
+    leading sort key; within-group position is then ``global_rank −
+    min(global_rank of the group)``, recovered via a G-row broadcast
+    (per-group min + count) — no per-group window, so a language with
+    10^10 documents never lands on a single reducer."""
+    from graphlite_spark.functions.text import quality_exprs, tokens_expr
+    from graphlite_spark.plans.derive import assign_dense_ids
+
+    q = quality_exprs(tokens_expr(text_col))
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col),
+        q["quality"].alias("quality"),
+    )
+    ranked = assign_dense_ids(
+        scored, [group_col, "quality", "doc_id"], id_col="grank"
+    )
+    gc = ranked.groupBy(group_col).agg(
+        F.min("grank").alias("goff"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    )
+    return ranked.join(F.broadcast(gc), group_col).select(
+        "doc_id",
+        group_col,
+        "quality",
+        F.expr("((grank - goff) * 1000000) div greatest(gn - 1, 1)")
+        .cast("long")
+        .alias("pct_micros"),
+    )

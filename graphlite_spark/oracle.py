@@ -4137,6 +4137,21 @@ def curriculum_order_sql() -> str:
     )
 
 
+def quality_calibrated_sql() -> str:
+    """Mirror of operators.packing.quality_calibrated: per-lang
+    percentile position of the 6dp quality score, one integer div
+    (ranks non-negative, // == Spark div)."""
+    return (
+        f"WITH q AS MATERIALIZED ({quality_sql()})\n"
+        "SELECT q.doc_id, d.lang, q.quality,\n"
+        "  CAST(((row_number() OVER (PARTITION BY d.lang\n"
+        "           ORDER BY q.quality, q.doc_id) - 1) * 1000000)\n"
+        "       // greatest(count(*) OVER (PARTITION BY d.lang) - 1, 1)\n"
+        "       AS BIGINT) AS pct_micros\n"
+        "FROM q JOIN documents d USING (doc_id)"
+    )
+
+
 def fingerprint_sql() -> str:
     return (
         f"WITH {TOKS_CTE}\n"

@@ -195,3 +195,45 @@ def test_assign_splits(spark):
     got2 = {(r["doc_id"], r["chunk"]): r["split"]
             for r in assign_splits(chunks, "doc_id").collect()}
     assert all(got2[(d, c)] == got[d] for d, c in got2)
+
+
+def test_quality_calibrated_bruteforce(spark):
+    from graphlite_spark.operators.packing import quality_calibrated
+
+    rows = [
+        (0, "the cat sat on the mat today", "en"),
+        (1, "short", "en"),
+        (2, "a much longer english sentence with many common words", "en"),
+        (3, "le chat noir", "fr"),
+        (4, "le chat noir dort bien ce soir", "fr"),
+        (5, "solo", "de"),  # singleton group -> pct 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["lang"], r["pct_micros"])
+        for r in quality_calibrated(df).collect()
+    }
+    # replay: rank within lang by (6dp quality, doc_id) ascending
+    import math
+
+    from graphlite_spark.functions.text import STOPWORDS
+
+    def qual(t):
+        ts = t.lower().split()
+        stop = sum(1 for x in ts if x in STOPWORDS) / max(len(ts), 1)
+        ml = sum(len(x) for x in ts) / max(len(ts), 1)
+        return round(0.2 + 1.5 * stop + 0.02 * ml + 0.1 * math.log1p(len(ts)), 6)
+
+    by_lang: dict[str, list] = {}
+    for i, t, lang in rows:
+        by_lang.setdefault(lang, []).append((qual(t), i))
+    exp = {}
+    for lang, docs in by_lang.items():
+        docs.sort()
+        n = len(docs)
+        for pos, (_, i) in enumerate(docs):
+            exp[i] = (lang, (pos * 1_000_000) // max(n - 1, 1))
+    assert got == exp
+    # singleton group pinned to 0; each multi-doc group tops out at 1e6
+    assert got[5][1] == 0
+    assert max(p for lang, p in got.values() if lang == "en") == 1_000_000
