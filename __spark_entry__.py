@@ -2041,6 +2041,14 @@ def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lm_cost(load_table(spark, sf_dir, "documents"))
 
 
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairwise vocabulary Jaccard between ingestion sources — the
+    # corpus-composition diagnostic; per-token fan-out bounded C(S,2)
+    from graphlite_spark.operators.cooccurrence import source_vocab_overlap
+
+    return source_vocab_overlap(load_table(spark, sf_dir, "documents"))
+
+
 def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-language percentile calibration of the quality score (one
     # threshold fair across languages): distributed dense rank with
@@ -2367,6 +2375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_ann": q_hard_negatives,
         "skipgram_pairs": q_skipgram_pairs,
         "quality_calibrated": q_quality_calibrated,
+        "source_vocab_overlap": q_source_vocab_overlap,
     }
 
 
@@ -2448,6 +2457,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives_ann": O.ivf_topk_sql(3, 2, 8, 2, 20, label_filter=True),
         "skipgram_pairs": O.skipgram_pairs_sql(2, 2),
         "quality_calibrated": O.quality_calibrated_sql(),
+        "source_vocab_overlap": O.source_vocab_overlap_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

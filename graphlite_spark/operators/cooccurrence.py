@@ -96,3 +96,50 @@ def skipgram_pairs(
     if min_count > 1:
         out = out.where(F.col("n_pairs") >= min_count)
     return out
+
+
+def source_vocab_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_a, n_b, overlap, jaccard) — pairwise
+    vocabulary Jaccard between ingestion sources (source_a < source_b):
+    the corpus-composition diagnostic that flags sources drawing on the
+    same generator/domain (near-identical vocabularies) or mislabeled
+    splits, upstream of any per-document dedup.
+
+    Exactness: three distinct counts and one 6dp-rounded division of
+    exact BIGINTs.  Scale shape: one (group, token) distinct (map-side
+    combined), then the pair stage SELF-JOINS ON THE TOKEN — per-token
+    fan-out is C(sources-sharing-it, 2) ≤ C(S, 2), a constant bound in
+    the source count S, so the join is linear in the vocabulary no
+    matter how large the corpus; the S-row per-source totals broadcast
+    back."""
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.array_distinct(tokens_expr(text_col))).alias("tok"),
+    ).distinct()
+    nv = toks.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = toks.select(F.col("tok"), F.col("g").alias("source_a"))
+    b = toks.select(F.col("tok"), F.col("g").alias("source_b"))
+    pairs = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    na = nv.select(F.col("g").alias("source_a"), F.col("n").alias("n_a"))
+    nb = nv.select(F.col("g").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a", "source_b", "n_a", "n_b", "overlap",
+            F.round(
+                F.col("overlap").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("overlap")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -4949,6 +4949,29 @@ FROM pairs GROUP BY 1, 2 {having}
 """
 
 
+def source_vocab_overlap_sql() -> str:
+    """Mirror of operators.cooccurrence.source_vocab_overlap: pairwise
+    per-source vocabulary Jaccard, identical tokenizer, 6dp division."""
+    return """
+WITH toks AS MATERIALIZED (
+  SELECT DISTINCT source AS g, tok FROM (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents)),
+nv AS MATERIALIZED (SELECT g, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY 1),
+pairs AS (
+  SELECT a.g AS source_a, b.g AS source_b, CAST(count(*) AS BIGINT) AS overlap
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.g < b.g
+  GROUP BY 1, 2)
+SELECT p.source_a, p.source_b, na.n AS n_a, nb.n AS n_b, p.overlap,
+       round(CAST(p.overlap AS DOUBLE) / (na.n + nb.n - p.overlap), 6)
+         AS jaccard
+FROM pairs p JOIN nv na ON na.g = p.source_a JOIN nv nb ON nb.g = p.source_b
+"""
+
+
 def dsir_weights_sql(target_lang: str = "en", n_buckets: int = 4096) -> str:
     """Mirror of operators.dsir.dsir_weights: hashed-bigram importance
     log-weight toward the ``lang = target_lang`` subset, add-one smoothed

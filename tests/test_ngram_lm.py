@@ -63,3 +63,36 @@ def test_skipgram_pairs_bruteforce(spark):
     # directed convention: (a, b) appears 2x ("a b c", "a a b" pos2)
     # while ("d", "a") never does (outside the window)
     assert ("d", "a") not in got
+
+
+def test_source_vocab_overlap_bruteforce(spark):
+    from graphlite_spark.operators.cooccurrence import source_vocab_overlap
+
+    rows = [
+        (0, "alpha beta gamma", "s1"),
+        (1, "beta gamma delta", "s1"),
+        (2, "alpha beta epsilon", "s2"),
+        (3, "zeta eta", "s3"),          # disjoint from s1 vocabulary
+        (4, "beta zeta", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]):
+            (r["n_a"], r["n_b"], r["overlap"], r["jaccard"])
+        for r in source_vocab_overlap(df).collect()
+    }
+    vocab = {}
+    for _, t, s in rows:
+        vocab.setdefault(s, set()).update(t.split())
+    exp = {}
+    for a in sorted(vocab):
+        for b in sorted(vocab):
+            if a < b and vocab[a] & vocab[b]:
+                o = len(vocab[a] & vocab[b])
+                exp[(a, b)] = (
+                    len(vocab[a]), len(vocab[b]), o,
+                    round(o / len(vocab[a] | vocab[b]), 6),
+                )
+    assert got == exp
+    # disjoint pair (s1, s3) produces NO row (inner join on shared tokens)
+    assert ("s1", "s3") not in got
