@@ -2041,6 +2041,24 @@ def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lm_cost(load_table(spark, sf_dir, "documents"))
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reciprocal Rank Fusion of the three ANN rankers (brute cosine +
+    # sign-bit LSH + IVF) — the standard hybrid-retrieval combiner;
+    # each 1/(60+rank) term rounded once to micros, summed as BIGINT
+    from graphlite_spark.operators.similarity import rrf_fuse
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    return rrf_fuse(
+        [
+            cosine_topk(emb, q, k=5),
+            lsh_bucket_topk(emb, q, k=3, num_bits=8),
+            ivf_topk(emb, q, k=3, nprobe=2, n_clusters=8, iterations=2),
+        ],
+        k=5,
+    )
+
+
 def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairwise vocabulary Jaccard between ingestion sources — the
     # corpus-composition diagnostic; per-token fan-out bounded C(S,2)
@@ -2376,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "quality_calibrated": q_quality_calibrated,
         "source_vocab_overlap": q_source_vocab_overlap,
+        "rrf_fusion": q_rrf_fusion,
     }
 
 
@@ -2458,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_pairs": O.skipgram_pairs_sql(2, 2),
         "quality_calibrated": O.quality_calibrated_sql(),
         "source_vocab_overlap": O.source_vocab_overlap_sql(),
+        "rrf_fusion": O.rrf_fusion_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -508,3 +508,46 @@ def random_projection(
     return embeddings.select(
         F.col(id_col).alias("vec_id"), y.alias("ys")
     ).select("vec_id", F.posexplode("ys").alias("dim", "value_micros"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """(query_id, neighbor_id, rrf_micros, n_lists, rank) — Reciprocal
+    Rank Fusion (Cormack et al., SIGIR 2009) of per-query rankings:
+    ``score = Σ_lists 1/(c + rank)``, the standard hybrid-retrieval
+    combiner (e.g. brute cosine + LSH + IVF, or dense + lexical).
+    ``n_lists`` reports how many input rankings surfaced the pair.
+
+    Exactness: each reciprocal term is rounded ONCE to micros — terms
+    come from the tiny set {1/(c+1)..1/(c+k_in)} so the rounding is a
+    fixed lookup, engine-identical — then summed as BIGINT (the repo
+    float rule); top-k ties break (rrf_micros DESC, neighbor_id ASC).
+
+    Scale shape: inputs are already top-k frames (query-count-sized);
+    one union + one map-side-combined groupBy + the WindowGroupLimit
+    top-k — nothing here touches the N·d corpus."""
+    u = None
+    for r in rankings:
+        t = r.select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.lit(1_000_000.0) / (F.lit(c) + F.col("rank")))
+            .cast("long")
+            .alias("m"),
+        )
+        u = t if u is None else u.unionByName(t)
+    f = u.groupBy("query_id", "neighbor_id").agg(
+        F.sum("m").cast("long").alias("rrf_micros"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micros").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        f.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rrf_micros", "n_lists", "rank")
+    )

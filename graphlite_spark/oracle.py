@@ -4949,6 +4949,37 @@ FROM pairs GROUP BY 1, 2 {having}
 """
 
 
+def rrf_fusion_sql(k: int = 5, c: int = 60, num_queries: int = 20) -> str:
+    """Mirror of operators.similarity.rrf_fuse over the three ANN
+    rankers: each full ranker statement nests as a CTE body (DuckDB
+    allows a WITH inside a CTE), reciprocal terms rounded once to
+    micros, BIGINT sum, (rrf DESC, neighbor ASC) top-k."""
+    r1 = ann_cosine_topk_sql(5, num_queries)
+    r2 = ann_lsh_topk_sql(3, 8, num_queries)
+    r3 = ivf_topk_sql(3, 2, 8, 2, num_queries)
+    return f"""
+WITH r1 AS MATERIALIZED ({r1}),
+r2 AS MATERIALIZED ({r2}),
+r3 AS MATERIALIZED ({r3}),
+u AS (
+  SELECT query_id, neighbor_id,
+         CAST(round(1000000.0 / ({c} + rank)) AS BIGINT) AS m FROM r1
+  UNION ALL
+  SELECT query_id, neighbor_id,
+         CAST(round(1000000.0 / ({c} + rank)) AS BIGINT) AS m FROM r2
+  UNION ALL
+  SELECT query_id, neighbor_id,
+         CAST(round(1000000.0 / ({c} + rank)) AS BIGINT) AS m FROM r3),
+f AS (SELECT query_id, neighbor_id, CAST(sum(m) AS BIGINT) AS rrf_micros,
+             CAST(count(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY 1, 2)
+SELECT query_id, neighbor_id, rrf_micros, n_lists, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY rrf_micros DESC, neighbor_id ASC) AS INT) AS rank FROM f)
+WHERE rank <= {k}
+"""
+
+
 def source_vocab_overlap_sql() -> str:
     """Mirror of operators.cooccurrence.source_vocab_overlap: pairwise
     per-source vocabulary Jaccard, identical tokenizer, 6dp division."""

@@ -147,3 +147,32 @@ def test_hard_negatives_label_filter(spark):
     # labels 0 and 1, not its twin 5
     top4 = {r["neighbor_id"] for r in by_q[4]}
     assert 5 not in top4 and top4 <= {0, 1, 2, 3}
+
+
+def test_rrf_fuse_bruteforce(spark):
+    from graphlite_spark.operators.similarity import rrf_fuse
+
+    # two hand-built rankings with a shared pair, a ranking-only pair,
+    # and a tie broken by neighbor_id
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (2, 21, 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    out = {
+        (r["query_id"], r["neighbor_id"]):
+            (r["rrf_micros"], r["n_lists"], r["rank"])
+        for r in rrf_fuse([r1, r2], k=3, c=60).collect()
+    }
+    m1 = round(1e6 / 61)   # rank 1 term
+    m2 = round(1e6 / 62)   # rank 2 term
+    assert out[(1, 11)] == (m1 + m2, 2, 1)   # in both lists -> wins
+    # 10 and 12 tie at m1... no: 10 has m1 (rank1 in r1), 12 has m2
+    assert out[(1, 10)] == (m1, 1, 2)
+    assert out[(1, 12)] == (m2, 1, 3)
+    # query 2: both singles score m1 — tie breaks to smaller neighbor
+    assert out[(2, 20)] == (m1, 1, 1)
+    assert out[(2, 21)] == (m1, 1, 2)
