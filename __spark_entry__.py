@@ -2041,6 +2041,17 @@ def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lm_cost(load_table(spark, sf_dir, "documents"))
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # asymmetric shingle containment c/min(|A|,|B|): excerpt/quote
+    # detection — the near-dup axis symmetric Jaccard structurally
+    # misses; same df-capped candidate machinery as the Jaccard path
+    from graphlite_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reciprocal Rank Fusion of the three ANN rankers (brute cosine +
     # sign-bit LSH + IVF) — the standard hybrid-retrieval combiner;
@@ -2395,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_calibrated": q_quality_calibrated,
         "source_vocab_overlap": q_source_vocab_overlap,
         "rrf_fusion": q_rrf_fusion,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -2478,6 +2490,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_calibrated": O.quality_calibrated_sql(),
         "source_vocab_overlap": O.source_vocab_overlap_sql(),
         "rrf_fusion": O.rrf_fusion_sql(),
+        "containment_pairs": O.containment_pairs_sql(0.5, 0.01),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

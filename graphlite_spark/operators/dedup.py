@@ -756,3 +756,64 @@ def simhash_hamming_pairs(
         )
         .distinct()
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: float | None = 0.01,
+) -> DataFrame:
+    """(a, b, na, nb, c, containment) — ASYMMETRIC near-dup pairs by
+    shingle containment ``|A∩B| / min(|A|, |B|)`` (Broder's containment
+    on the smaller side): catches a short document quoted/excerpted
+    inside a long one, which symmetric Jaccard structurally misses (a
+    500-shingle doc fully contained in a 50,000-shingle doc has Jaccard
+    ≈ 0.01 but containment 1.0).  The excerpt-detection axis of the
+    dedup tier, next to the symmetric Jaccard/MinHash family.
+
+    Same candidate machinery and stop-shingle discipline as
+    :func:`ngram_jaccard_pairs` (df-capped shingles leave the self-join;
+    set sizes keep every shingle, so the reported containment is exact
+    for pairs sharing no dropped shingle and a lower bound otherwise —
+    mirrored exactly by the oracle).  Per-shingle join fan-out stays
+    df-capped; nothing here is all-pairs."""
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    joinable = sh
+    if max_doc_freq is not None:
+        n_docs = docs.count()
+        cap = int(max_doc_freq * n_docs)
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > cap)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    left = joinable.select(F.col("doc_id").alias("a"), "shingle")
+    right = joinable.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a", "b",
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            "c",
+            F.round(
+                F.col("c").cast("double") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -3004,6 +3004,53 @@ def ngram_jaccard_sql(threshold: float = 0.3,
     )
 
 
+def containment_pairs_sql(
+    threshold: float = 0.5, max_doc_freq: float | None = 0.01
+) -> str:
+    """Mirror of operators.dedup.containment_pairs: asymmetric shingle
+    containment c / least(na, nb) with the identical df-cap discipline
+    (capped shingles leave the self-join, sizes keep every shingle)."""
+    if max_doc_freq is None:
+        inter = (
+            "inter AS MATERIALIZED (\n"
+            "  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c\n"
+            "  FROM sh x JOIN sh y ON y.shingle = x.shingle"
+            " AND x.doc_id < y.doc_id\n"
+            "  GROUP BY x.doc_id, y.doc_id)"
+        )
+    else:
+        cap = (
+            f"CAST(floor({max_doc_freq} * (SELECT count(*) FROM documents))"
+            " AS BIGINT)"
+        )
+        inter = (
+            "hot AS MATERIALIZED (\n"
+            f"  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {cap}),\n"
+            "shf AS MATERIALIZED (\n"
+            "  SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),\n"
+            "inter AS MATERIALIZED (\n"
+            "  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c\n"
+            "  FROM shf x JOIN shf y ON y.shingle = x.shingle"
+            " AND x.doc_id < y.doc_id\n"
+            "  GROUP BY x.doc_id, y.doc_id)"
+        )
+    return (
+        f"WITH {TOKS_CTE},\n{_SHINGLES_CTE},\n"
+        "sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh"
+        " FROM sh GROUP BY doc_id),\n"
+        f"{inter}\n"
+        "SELECT i.a, i.b,\n"
+        "  CAST(sa.n_sh AS BIGINT) AS na, CAST(sb.n_sh AS BIGINT) AS nb,\n"
+        "  CAST(i.c AS BIGINT) AS c,\n"
+        "  round(CAST(i.c AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)"
+        " AS containment\n"
+        "FROM inter i JOIN sizes sa ON sa.doc_id = i.a\n"
+        "             JOIN sizes sb ON sb.doc_id = i.b\n"
+        f"WHERE round(CAST(i.c AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)"
+        f" >= {threshold}"
+    )
+
+
 def _minhash_lsh_ctes(num_hashes: int = 8, bands: int = 4) -> str:
     """CTE chain ending in ``cand`` (LSH candidate pairs) + ``jac``."""
     rows = num_hashes // bands

@@ -190,3 +190,32 @@ def test_duplicate_spans_merge_semantics(spark):
     # doc1: grams (a b),(b c),(c d) duplicated -> tokens 0..3 one span
     # doc2: same grams at positions 1..3 -> tokens 1..4
     assert got == {(1, 0, 3): 4, (2, 1, 4): 4}
+
+
+def test_containment_pairs_excerpt(spark):
+    """A short doc fully quoted inside a long one: Jaccard misses it
+    (low union ratio), containment flags it at 1.0."""
+    from graphlite_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        (0, quote),                       # the excerpt
+        (1, filler + " " + quote),        # quotes doc 0 verbatim
+        (2, "completely different text about other things entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["a"], r["b"]): (r["na"], r["nb"], r["c"], r["containment"])
+        for r in containment_pairs(df, threshold=0.5, max_doc_freq=None).collect()
+    }
+    # every shingle of doc 0 appears in doc 1 -> containment exactly 1
+    assert (0, 1) in cont
+    na, nb, c, containment = cont[(0, 1)]
+    assert c == na and containment == 1.0
+    assert (0, 2) not in cont and (1, 2) not in cont
+    # symmetric Jaccard on the same pair is far below its threshold
+    jac = ngram_jaccard_pairs(df, threshold=0.3, max_doc_freq=None).collect()
+    assert all((r["a"], r["b"]) != (0, 1) for r in jac)
