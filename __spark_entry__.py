@@ -2041,6 +2041,15 @@ def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lm_cost(load_table(spark, sf_dir, "documents"))
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token coverage of the top-V frequency-ranked vocab at each cutoff
+    # (1e6 - coverage = OOV rate): the vocab-design readout; rides the
+    # distributed vocab rank, ≤4-row fan-out per term
+    from graphlite_spark.operators.packing import vocab_coverage
+
+    return vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asymmetric shingle containment c/min(|A|,|B|): excerpt/quote
     # detection — the near-dup axis symmetric Jaccard structurally
@@ -2407,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_overlap": q_source_vocab_overlap,
         "rrf_fusion": q_rrf_fusion,
         "containment_pairs": q_containment_pairs,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -2491,6 +2501,7 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_overlap": O.source_vocab_overlap_sql(),
         "rrf_fusion": O.rrf_fusion_sql(),
         "containment_pairs": O.containment_pairs_sql(0.5, 0.01),
+        "vocab_coverage": O.vocab_coverage_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -352,3 +352,49 @@ def quality_calibrated(
         .cast("long")
         .alias("pct_micros"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    cutoffs: tuple[int, ...] = (256, 1024, 4096, 16384),
+    text_col: str = "text",
+) -> DataFrame:
+    """(vocab_size, n_types, covered_tokens, coverage_micros) — corpus
+    token coverage of the top-V frequency-ranked vocabulary at each
+    cutoff V (coverage = covered div total in micros; 1e6 − coverage is
+    the OOV rate): the tokenizer/vocab-design readout that says how big
+    a word-level vocabulary must be before the UNK rate is acceptable.
+
+    Exactness: integer token counts and one division per cutoff row.
+    Scale shape: rides :func:`build_vocab`'s distributed frequency rank
+    (no global window); each vocabulary row then fans out ONLY to the
+    cutoffs it falls under (≤ len(cutoffs) rows, a literal-array filter
+    + explode inside codegen) and one map-side-combined groupBy(cutoff)
+    reduces to len(cutoffs) result rows; the corpus total folds in as a
+    literal (one extra action, the tf_idf N pattern)."""
+    vocab = build_vocab(docs, text_col=text_col)
+    total = int(
+        vocab.agg(F.sum("tf_total").alias("t")).first()["t"] or 0
+    )
+    cut_arr = F.array(*[F.lit(int(c)) for c in sorted(cutoffs)])
+    fanned = vocab.select(
+        "tf_total",
+        F.explode(
+            F.filter(cut_arr, lambda c: F.col("vocab_id") < c)
+        ).alias("vocab_size"),
+    )
+    return (
+        fanned.groupBy("vocab_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("tf_total").cast("long").alias("covered_tokens"),
+        )
+        .select(
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+            "n_types",
+            "covered_tokens",
+            F.expr(f"(1000000 * covered_tokens) div {max(total, 1)}")
+            .cast("long")
+            .alias("coverage_micros"),
+        )
+    )

@@ -3530,6 +3530,27 @@ def build_vocab_sql(min_df: int = 1) -> str:
     )
 
 
+def vocab_coverage_sql(cutoffs: tuple[int, ...] = (256, 1024, 4096, 16384)) -> str:
+    """Mirror of operators.packing.vocab_coverage: per-cutoff covered
+    token mass of the frequency-ranked vocabulary, one integer div."""
+    cuts = ", ".join(str(int(c)) for c in sorted(cutoffs))
+    return (
+        f"WITH v AS MATERIALIZED ({build_vocab_sql()}),\n"
+        "tot AS (SELECT CAST(greatest(COALESCE(sum(tf_total), 0), 1)"
+        " AS BIGINT) AS t FROM v),\n"
+        "fanned AS (\n"
+        "  SELECT CAST(c AS BIGINT) AS vocab_size, tf_total\n"
+        f"  FROM v, UNNEST([{cuts}]) AS u(c)\n"
+        "  WHERE vocab_id < c)\n"
+        "SELECT vocab_size,\n"
+        "  CAST(count(*) AS BIGINT) AS n_types,\n"
+        "  CAST(sum(tf_total) AS BIGINT) AS covered_tokens,\n"
+        "  CAST((1000000 * sum(tf_total)) // (SELECT t FROM tot)"
+        " AS BIGINT) AS coverage_micros\n"
+        "FROM fanned GROUP BY 1"
+    )
+
+
 def _bpe_merge_step(step: int) -> list[str]:
     """CTEs for ONE BPE merge step: weighted adjacent-pair counts from
     ``s{step-1}``, the argmax rule ``best{step}``, then leftmost-greedy

@@ -237,3 +237,35 @@ def test_quality_calibrated_bruteforce(spark):
     # singleton group pinned to 0; each multi-doc group tops out at 1e6
     assert got[5][1] == 0
     assert max(p for lang, p in got.values() if lang == "en") == 1_000_000
+
+
+def test_vocab_coverage_bruteforce(spark):
+    from collections import Counter
+
+    from graphlite_spark.operators.packing import vocab_coverage
+
+    texts = [
+        "a a a a b b c",
+        "a b b d e",
+        "a c f",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["vocab_size"]: (
+            r["n_types"], r["covered_tokens"], r["coverage_micros"]
+        )
+        for r in vocab_coverage(df, cutoffs=(2, 4, 100)).collect()
+    }
+    counts = Counter(w for t in texts for w in t.split())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    exp = {}
+    for v in (2, 4, 100):
+        top = ranked[:v]
+        cov = sum(c for _, c in top)
+        exp[v] = (len(top), cov, (1_000_000 * cov) // total)
+    assert got == exp
+    # coverage is monotone in the cutoff and saturates at 1e6
+    assert got[2][2] < got[4][2] < got[100][2] == 1_000_000
