@@ -2041,6 +2041,15 @@ def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lm_cost(load_table(spark, sf_dir, "documents"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
+    # selection with the w+k-1 shared-run detection guarantee — one
+    # codegen expression per doc, zero shuffles
+    from graphlite_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token coverage of the top-V frequency-ranked vocab at each cutoff
     # (1e6 - coverage = OOV rate): the vocab-design readout; rides the
@@ -2417,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "containment_pairs": q_containment_pairs,
         "vocab_coverage": q_vocab_coverage,
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -2502,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": O.rrf_fusion_sql(),
         "containment_pairs": O.containment_pairs_sql(0.5, 0.01),
         "vocab_coverage": O.vocab_coverage_sql(),
+        "winnow_fingerprints": O.winnow_fingerprints_sql(3, 4),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

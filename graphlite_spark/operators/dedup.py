@@ -817,3 +817,71 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, n_fps, winnow_md5) — winnowing fingerprints
+    (Schleimer-Wilkerson-Aiken, SIGMOD 2003 — the MOSS scheme): hash
+    every token k-gram, slide a w-gram window, select each window's
+    RIGHTMOST minimum hash; the distinct (position, hash) selections
+    are the document's fingerprints, digested here as the md5 of the
+    sorted ``pos:hash`` strings.  Guarantee: any shared token run of
+    length >= w + k - 1 between two documents yields at least one
+    shared fingerprint, with only ~2/(w+1) of grams retained — the
+    principled density/detection tradeoff the ad-hoc rolling hash
+    (`text_rolling_fp`) lacks; the local-exactness sibling of
+    `containment_pairs`.
+
+    Documents shorter than k tokens report (0, 0, NULL).  Scale shape:
+    the selection is pure per-row expression work (nested transform
+    over the gram array — no explode, no window function, no join),
+    O(tokens · w) per document, zero shuffles.  Each stage (tokens →
+    gram hashes → selection) is materialized as its OWN projection:
+    referencing a Column object inlines its whole expression tree at
+    every use site, so a single nested expression here would duplicate
+    the gram computation ~5× inside the window lambda (measured 250 s
+    for 500 docs; the staged form takes seconds)."""
+    d1 = docs.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    t = F.col("_toks")
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: hash48(F.concat_ws(SEP, F.slice(t, i, F.lit(k)))),
+    )
+    d2 = d1.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.when(n >= k, grams).alias("_hs"),
+    )
+    h = F.col("_hs")
+    g = F.size(h)
+    we = F.least(F.lit(w), g)
+
+    def one(j):
+        win = F.slice(h, j, we)
+        mv = F.array_min(win)
+        pos = j + we - F.array_position(F.reverse(win), mv)
+        return F.concat(pos.cast("string"), F.lit(":"), mv.cast("string"))
+
+    sel = F.array_sort(
+        F.array_distinct(F.transform(F.sequence(F.lit(1), g - we + 1), one))
+    )
+    d3 = d2.select(
+        F.col(id_col),
+        F.col("_n"),
+        F.when(F.col("_n") >= k, sel).alias("_sel"),
+    )
+    return d3.select(
+        F.col(id_col),
+        F.when(F.col("_n") >= k, (F.col("_n") - k + 1).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("n_grams"),
+        F.coalesce(F.size("_sel"), F.lit(0)).cast("long").alias("n_fps"),
+        F.md5(F.array_join("_sel", SEP)).alias("winnow_md5"),
+    )

@@ -3051,6 +3051,43 @@ def containment_pairs_sql(
     )
 
 
+def winnow_fingerprints_sql(k: int = 3, w: int = 4) -> str:
+    """Mirror of operators.dedup.winnow_fingerprints: identical k-gram
+    hash48 array, rightmost-window-min selection, sorted pos:hash
+    digest (list slices are 1-based inclusive on both engines here)."""
+    win = (
+        f"hs[CAST(j AS INT):CAST(j AS INT) + least({w}, len(hs)) - 1]"
+    )
+    sel = (
+        f"list_sort(list_distinct(list_transform("
+        f"range(1, len(hs) - least({w}, len(hs)) + 2), j ->\n"
+        f"  CAST(j + least({w}, len(hs)) -"
+        f" list_position(list_reverse({win}), list_min({win}))"
+        f" AS VARCHAR)\n"
+        f"  || ':' || CAST(list_min({win}) AS VARCHAR))))"
+    )
+    gram = _h48(
+        f"array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + {k - 1}],"
+        " chr(31))"
+    )
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "h AS MATERIALIZED (SELECT doc_id, len(toks) AS n,\n"
+        f"  list_transform(range(1, len(toks) - {k} + 2), i -> {gram})"
+        " AS hs\n"
+        "  FROM toks_t),\n"
+        "s AS (SELECT doc_id, n,\n"
+        f"  CASE WHEN n >= {k} THEN {sel} END AS sel\n"
+        "  FROM h)\n"
+        "SELECT doc_id,\n"
+        f"  CAST(CASE WHEN n >= {k} THEN n - {k} + 1 ELSE 0 END AS BIGINT)"
+        " AS n_grams,\n"
+        "  CAST(COALESCE(len(sel), 0) AS BIGINT) AS n_fps,\n"
+        "  md5(array_to_string(sel, chr(31))) AS winnow_md5\n"
+        "FROM s"
+    )
+
+
 def _minhash_lsh_ctes(num_hashes: int = 8, bands: int = 4) -> str:
     """CTE chain ending in ``cand`` (LSH candidate pairs) + ``jac``."""
     rows = num_hashes // bands

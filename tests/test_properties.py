@@ -219,3 +219,57 @@ def test_containment_pairs_excerpt(spark):
     # symmetric Jaccard on the same pair is far below its threshold
     jac = ngram_jaccard_pairs(df, threshold=0.3, max_doc_freq=None).collect()
     assert all((r["a"], r["b"]) != (0, 1) for r in jac)
+
+
+def test_winnow_fingerprints_bruteforce(spark):
+    import hashlib
+
+    from graphlite_spark.operators.dedup import winnow_fingerprints
+
+    SEP = "\x1f"
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def brute(text, k=3, w=4):
+        ts = text.lower().split()
+        if len(ts) < k:
+            return 0, 0, None
+        h = [h48(SEP.join(ts[i:i + k])) for i in range(len(ts) - k + 1)]
+        g = len(h)
+        we = min(w, g)
+        sel = set()
+        for j in range(g - we + 1):
+            win = h[j:j + we]
+            mv = min(win)
+            pos = j + max(i for i, x in enumerate(win) if x == mv)
+            sel.add(f"{pos + 1}:{mv}")
+        ss = sorted(sel)
+        return g, len(ss), hashlib.md5(SEP.join(ss).encode()).hexdigest()
+
+    shared = "one two three four five six seven eight"
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "prefix words here " + shared + " suffix tail words",
+        "other opening text " + shared + " different ending",
+        "tiny doc",                 # < k tokens -> (0, 0, NULL)
+        "aa aa aa aa aa aa",        # all-equal hashes: rightmost-min ties
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_fps"], r["winnow_md5"])
+        for r in winnow_fingerprints(df).collect()
+    }
+    assert got == {i: brute(t) for i, t in enumerate(texts)}
+    # detection guarantee: docs 1 and 2 share a run of 8 >= w+k-1 = 6
+    # tokens, so their selected fingerprint HASHES must intersect
+    def fps(text, k=3, w=4):
+        ts = text.lower().split()
+        h = [h48(SEP.join(ts[i:i + k])) for i in range(len(ts) - k + 1)]
+        g = len(h); we = min(w, g)
+        return {
+            min(h[j:j + we]) for j in range(g - we + 1)
+        }
+    assert fps(texts[1]) & fps(texts[2])
