@@ -2041,6 +2041,15 @@ def q_lm_doc_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lm_cost(load_table(spark, sf_dir, "documents"))
 
 
+def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mixed-language / code-switch detection: fraction of 16-token
+    # windows whose lang-id disagrees with the doc-level lang-id —
+    # pure per-row expression work, zero shuffles
+    from graphlite_spark.operators.tfidf import code_switch_score
+
+    return code_switch_score(load_table(spark, sf_dir, "documents"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2427,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "vocab_coverage": q_vocab_coverage,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "code_switch_score": q_code_switch,
     }
 
 
@@ -2513,6 +2523,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": O.containment_pairs_sql(0.5, 0.01),
         "vocab_coverage": O.vocab_coverage_sql(),
         "winnow_fingerprints": O.winnow_fingerprints_sql(3, 4),
+        "code_switch_score": O.code_switch_sql(16),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -143,3 +143,27 @@ def rolling_hash_expr(text: Column | str = "text", base: int = 31,
         F.lit(0).cast("long"),
         lambda acc, x: (acc * base + x) % F.lit(mod).cast("long"),
     )
+
+
+def window_langs_expr(tokens: Column, window: int = 16) -> Column:
+    """Array of per-window lang-ids over non-overlapping ``window``-token
+    chunks (same stopword-ratio rule as :func:`lang_id_expr`, applied
+    per chunk) — the building block for code-switch / mixed-language
+    detection.  NOTE: materialize ``tokens`` as its own projection
+    before calling (Column reuse inlines trees — see CLAUDE.md)."""
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(tokens)
+    n_win = F.ceil(n / F.lit(window)).cast("int")
+
+    def one(i):
+        win = F.slice(tokens, (i - 1) * window + 1, F.lit(window))
+        ratio = F.size(
+            F.filter(win, lambda t: F.array_contains(stop, t))
+        ) / F.greatest(F.size(win), F.lit(1))
+        return F.when(
+            ratio >= F.lit(LANG_EN_THRESHOLD), F.lit("en")
+        ).otherwise(F.lit("und"))
+
+    return F.when(
+        n >= 1, F.transform(F.sequence(F.lit(1), n_win), one)
+    ).otherwise(F.array().cast("array<string>"))

@@ -109,3 +109,47 @@ def tfidf_cosine_pairs(
         ).alias("cos"),
     )
     return out.where(F.col("cos") >= min_cos)
+
+
+def code_switch_score(
+    docs: DataFrame,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, doc_lang, n_windows, n_divergent, divergence_micros) —
+    mixed-language / code-switching detection: the fraction (micros) of
+    non-overlapping ``window``-token chunks whose lang-id disagrees
+    with the whole document's lang-id.  A document that is globally
+    'en' but has a run of windows scoring 'und' is code-switched,
+    machine-garbled, or a concatenation artifact — a quality signal the
+    doc-level lang-id alone cannot see (the chunks average out).
+
+    Exactness: integer window counts, one integer division.  Scale
+    shape: pure per-row expression work, zero shuffles; tokens and the
+    window-lang array are staged projections (the Column-reuse
+    inlining rule)."""
+    from graphlite_spark.functions.text import (
+        lang_id_expr, tokens_expr, window_langs_expr,
+    )
+
+    d1 = docs.select(F.col(id_col), tokens_expr(text_col).alias("_toks"))
+    d2 = d1.select(
+        F.col(id_col),
+        lang_id_expr(F.col("_toks")).alias("doc_lang"),
+        window_langs_expr(F.col("_toks"), window).alias("_wl"),
+    )
+    n_win = F.size("_wl")
+    n_div = F.size(
+        F.filter(F.col("_wl"), lambda l: l != F.col("doc_lang"))
+    )
+    return d2.select(
+        F.col(id_col),
+        "doc_lang",
+        n_win.cast("long").alias("n_windows"),
+        n_div.cast("long").alias("n_divergent"),
+        F.when(n_win == 0, F.lit(0))
+        .otherwise(F.expr(f"(1000000 * size(filter(_wl, l -> l != doc_lang))) div size(_wl)"))
+        .cast("long")
+        .alias("divergence_micros"),
+    )

@@ -4213,6 +4213,38 @@ def lang_id_sql() -> str:
     )
 
 
+def code_switch_sql(window: int = 16) -> str:
+    """Mirror of operators.tfidf.code_switch_score: per-window lang-id
+    over non-overlapping token chunks vs the doc-level lang-id, one
+    integer division."""
+    w = window
+    win = f"toks[CAST((i - 1) * {w} + 1 AS INT):CAST((i - 1) * {w} + {w} AS INT)]"
+    win_ratio = (
+        f"CAST(len(list_filter({win}, t -> list_contains({_STOPLIST}, t)))"
+        f" AS DOUBLE) / greatest(len({win}), 1)"
+    )
+    return f"""
+WITH {TOKS_CTE},
+base AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN {_STOP_RATIO} >= {LANG_EN_THRESHOLD}
+         THEN 'en' ELSE 'und' END AS doc_lang,
+    CASE WHEN len(toks) >= 1 THEN
+      list_transform(range(1, CAST(ceil(len(toks) / {w}.0) AS BIGINT) + 1),
+        i -> CASE WHEN {win_ratio} >= {LANG_EN_THRESHOLD}
+                  THEN 'en' ELSE 'und' END)
+      ELSE [] END AS wl
+  FROM toks_t)
+SELECT doc_id, doc_lang,
+  CAST(len(wl) AS BIGINT) AS n_windows,
+  CAST(len(list_filter(wl, l -> l <> doc_lang)) AS BIGINT) AS n_divergent,
+  CAST(CASE WHEN len(wl) = 0 THEN 0
+       ELSE (1000000 * len(list_filter(wl, l -> l <> doc_lang))) // len(wl)
+       END AS BIGINT) AS divergence_micros
+FROM base
+"""
+
+
 def quality_sql() -> str:
     mean_len = (
         "CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)"

@@ -273,3 +273,55 @@ def test_winnow_fingerprints_bruteforce(spark):
             min(h[j:j + we]) for j in range(g - we + 1)
         }
     assert fps(texts[1]) & fps(texts[2])
+
+
+def test_code_switch_score_bruteforce(spark):
+    from graphlite_spark.functions.text import (
+        LANG_EN_THRESHOLD, STOPWORDS,
+    )
+    from graphlite_spark.operators.tfidf import code_switch_score
+
+    # exactly 16 tokens per window, every window holding stopwords
+    en = "the cat is on the mat and the dog is in the house with all cats"
+    und = "zork blat frum quux glorp wibble snark jolt vex murk plon drif quar telt yop hazz"
+    texts = [
+        en + " " + en,           # pure en, 2 whole windows -> 0 divergence
+        und,                     # pure und -> 0 divergence
+        en + " " + und,          # code-switched -> the und window diverges
+        "",                      # empty -> 0 windows
+        en + " them",            # 17 tokens: the 1-token tail window is
+                                 # stopword-free -> divergence (inherent
+                                 # chunk-tail noise, pinned here)
+    ]
+    W = 16
+
+    def lang(ts):
+        if not ts:
+            return "und"
+        r = sum(1 for t in ts if t in STOPWORDS) / max(len(ts), 1)
+        return "en" if r >= LANG_EN_THRESHOLD else "und"
+
+    def brute(text):
+        ts = text.lower().split()
+        wl = [lang(ts[i:i + W]) for i in range(0, len(ts), W)]
+        dl = lang(ts)
+        nd = sum(1 for l in wl if l != dl)
+        return (dl, len(wl), nd,
+                0 if not wl else (1_000_000 * nd) // len(wl))
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["doc_lang"], r["n_windows"], r["n_divergent"],
+            r["divergence_micros"],
+        )
+        for r in code_switch_score(df, window=W).collect()
+    }
+    assert got == {i: brute(t) for i, t in enumerate(texts)}
+    # the pure docs are self-consistent; the concatenation diverges;
+    # the ragged tail window surfaces as (documented) chunk-tail noise
+    assert got[0][3] == 0 and got[1][3] == 0
+    assert got[2][3] > 0
+    assert got[4][3] > 0
