@@ -2050,6 +2050,16 @@ def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_switch_score(load_table(spark, sf_dir, "documents"))
 
 
+def q_lt_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear-Threshold influence cascade (Kempe-Kleinberg-Tardos) over
+    # the undirected transcript graph: hash-derived thresholds/seeds,
+    # exact-integer activation test, frontier-incremental rounds
+    from graphlite_spark.algos.cascade import lt_cascade
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return lt_cascade(v, e, rounds=6)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2437,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "winnow_fingerprints": q_winnow_fingerprints,
         "code_switch_score": q_code_switch,
+        "lt_cascade_6": q_lt_cascade,
     }
 
 
@@ -2524,6 +2535,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": O.vocab_coverage_sql(),
         "winnow_fingerprints": O.winnow_fingerprints_sql(3, 4),
         "code_switch_score": O.code_switch_sql(16),
+        "lt_cascade_6": O.lt_cascade_sql(6, 8),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -1613,6 +1613,50 @@ def katz_sql(iterations: int = 6, alpha_den: int = 8) -> str:
     return _graph_query(body)
 
 
+def lt_cascade_sql(rounds: int = 6, seed_mod: int = 8) -> str:
+    """Unrolled Linear-Threshold cascade — identical hash-derived
+    thresholds/seeds and the identical exact-integer activation test
+    (active_nbrs * 1e6 >= theta_micros * deg) as algos.cascade.lt_cascade;
+    frontier-incremental accumulator recurrence mirrored round by round."""
+    h_theta = _h48("'lt:' || CAST(v.id AS VARCHAR)")
+    h_seed = _h48("'ltseed:' || CAST(v.id AS VARCHAR)")
+    theta = f"1 + {h_theta} % 1000000"
+    seed = f"{h_seed} % {seed_mod} = 0"
+    parts = [
+        "udeg AS MATERIALIZED (SELECT src AS id, count(*) AS deg "
+        "FROM und GROUP BY src)",
+        f"lt0 AS MATERIALIZED (\n"
+        f"  SELECT v.id, CAST({theta} AS BIGINT) AS theta,\n"
+        f"    CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,\n"
+        f"    CASE WHEN {seed} THEN CAST(0 AS BIGINT) END AS rnd,\n"
+        f"    CAST(0 AS BIGINT) AS acc\n"
+        f"  FROM vertices v LEFT JOIN udeg d ON d.id = v.id)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"lt{r - 1}"
+        parts.append(
+            f"lt{r} AS MATERIALIZED (\n"
+            f"  SELECT s.id, s.theta, s.deg,\n"
+            f"    CASE WHEN s.rnd IS NOT NULL THEN s.rnd\n"
+            f"         WHEN s.deg > 0 AND (s.acc + COALESCE(i.c, 0)) * 1000000\n"
+            f"              >= s.theta * s.deg THEN CAST({r} AS BIGINT)\n"
+            f"         END AS rnd,\n"
+            f"    s.acc + COALESCE(i.c, 0) AS acc\n"
+            f"  FROM {prev} s LEFT JOIN (\n"
+            f"    SELECT u.dst AS id, count(*) AS c\n"
+            f"    FROM und u JOIN {prev} f ON f.id = u.src AND f.rnd = {r - 1}\n"
+            f"    GROUP BY u.dst) i ON i.id = s.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT id, theta AS theta_micros, deg,\n"
+        f"  CAST(COALESCE(rnd, -1) AS BIGINT) AS active_round\n"
+        f"FROM lt{rounds}"
+    )
+    return _graph_query(body)
+
+
 def _anf_parts(max_h: int, k: int) -> tuple[str, str]:
     """(joined CTE chain, per-h estimate UNION) of the unrolled KMV-ANF —
     shared by neighborhood_function_sql and effective_diameter_sql."""

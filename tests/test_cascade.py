@@ -1,0 +1,73 @@
+"""Linear-Threshold cascade: pure-python replay of the identical
+deterministic recurrence (hash thresholds/seeds, exact-integer
+activation) plus monotonicity/seed invariants."""
+
+from __future__ import annotations
+
+import hashlib
+
+from graphlite_spark.algos.cascade import lt_cascade
+from tests.reference_sim import random_digraph
+from tests.test_algorithms import make_graph
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def _brute(edges, n, rounds=6, seed_mod=8):
+    und = {}
+    for s, d in edges:
+        if s != d:
+            und.setdefault(s, set()).add(d)
+            und.setdefault(d, set()).add(s)
+    theta = {i: 1 + _h48(f"lt:{i}") % 1_000_000 for i in range(n)}
+    deg = {i: len(und.get(i, ())) for i in range(n)}
+    rnd = {
+        i: (0 if _h48(f"ltseed:{i}") % seed_mod == 0 else None)
+        for i in range(n)
+    }
+    acc = {i: 0 for i in range(n)}
+    for r in range(1, rounds + 1):
+        frontier = [i for i in range(n) if rnd[i] == r - 1]
+        for f in frontier:
+            for w in und.get(f, ()):
+                acc[w] += 1
+        for i in range(n):
+            if rnd[i] is None and deg[i] > 0 and (
+                acc[i] * 1_000_000 >= theta[i] * deg[i]
+            ):
+                rnd[i] = r
+    return {
+        i: (theta[i], deg[i], -1 if rnd[i] is None else rnd[i])
+        for i in range(n)
+    }
+
+
+def test_lt_cascade_replay(spark):
+    edges, n = random_digraph(120, 420, seed=11), 120
+    v, e = make_graph(spark, edges, n)
+    got = {
+        r["id"]: (r["theta_micros"], r["deg"], r["active_round"])
+        for r in lt_cascade(v, e, rounds=6).collect()
+    }
+    want = _brute(edges, n, rounds=6)
+    assert got == want
+    rounds_seen = {r for (_, _, r) in got.values()}
+    # seeds exist, the cascade actually propagates past them, and some
+    # vertex stays inactive (thresholds bite) — fixture is non-trivial
+    assert 0 in rounds_seen
+    assert rounds_seen & {1, 2, 3, 4, 5, 6}
+    assert -1 in rounds_seen
+    # monotone sanity: an activated non-seed has at least one neighbor
+    # activated strictly earlier
+    und = {}
+    for s, d in edges:
+        if s != d:
+            und.setdefault(s, set()).add(d)
+            und.setdefault(d, set()).add(s)
+    for i, (_, _, r) in got.items():
+        if r > 0:
+            assert any(
+                0 <= got[w][2] < r for w in und.get(i, ())
+            ), i
