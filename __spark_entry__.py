@@ -2060,6 +2060,16 @@ def q_lt_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lt_cascade(v, e, rounds=6)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup (Abbas et al. 2023): k-means the embeddings, drop any
+    # vector whose cosine to a closer-to-centroid clustermate >= tau —
+    # pairwise cosine never leaves a cluster
+    from graphlite_spark.operators.dedup import semdedup
+
+    return semdedup(load_table(spark, sf_dir, "embeddings"), k=8,
+                    iterations=3, tau=0.3)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2448,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "code_switch_score": q_code_switch,
         "lt_cascade_6": q_lt_cascade,
+        "semdedup_embeddings": q_semdedup,
     }
 
 
@@ -2536,6 +2547,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": O.winnow_fingerprints_sql(3, 4),
         "code_switch_score": O.code_switch_sql(16),
         "lt_cascade_6": O.lt_cascade_sql(6, 8),
+        "semdedup_embeddings": O.semdedup_sql(8, 3, 0.3),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

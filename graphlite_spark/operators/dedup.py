@@ -885,3 +885,74 @@ def winnow_fingerprints(
         F.coalesce(F.size("_sel"), F.lit(0)).cast("long").alias("n_fps"),
         F.md5(F.array_join("_sel", SEP)).alias("winnow_md5"),
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, dist_sq, keep) — SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): semantic deduplication by embedding.  Cluster
+    with the deterministic integer k-means, then within each cluster
+    drop any vector whose cosine to a LOWER-RANKED clustermate reaches
+    ``tau`` (rank = (dist_sq to centroid ASC, id ASC) — the
+    closest-to-centroid representative survives; the paper's keep rule
+    is a free parameter, this one is deterministic and oracle-exact).
+    ``keep`` is 1/0.
+
+    Scale shape: the pairwise cosine never leaves a cluster — the
+    candidate join is an equi-join on the cluster id (AQE splits a
+    skewed cluster), and k is chosen ∝ N in the paper precisely so
+    cluster populations stay bounded; the k-means stage itself never
+    shuffles the N·d embedding data (centroid literals).  Cosines are
+    doubles rounded to 6dp (house float rule); ranks and distances are
+    exact BIGINTs."""
+    from graphlite_spark.operators.kmeans import kmeans_embeddings
+    from graphlite_spark.operators.similarity import cosine_expr
+
+    assign = kmeans_embeddings(
+        embeddings, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    a = assign.join(
+        embeddings.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(
+        F.col(id_col).alias("id"),
+        "cluster",
+        "dist_sq",
+        F.col(vec_col).alias("v"),
+    )
+    x, y = a.alias("x"), a.alias("y")
+    dominated = (
+        x.join(
+            y,
+            (F.col("y.cluster") == F.col("x.cluster"))
+            & (
+                (F.col("y.dist_sq") < F.col("x.dist_sq"))
+                | (
+                    (F.col("y.dist_sq") == F.col("x.dist_sq"))
+                    & (F.col("y.id") < F.col("x.id"))
+                )
+            ),
+        )
+        .where(
+            F.round(cosine_expr(F.col("x.v"), F.col("y.v")), 6) >= tau
+        )
+        .select(F.col("x.id").alias("did"))
+        .distinct()
+    )
+    return (
+        a.join(dominated, a["id"] == dominated["did"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            "dist_sq",
+            F.when(F.col("did").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep"),
+        )
+    )

@@ -3939,6 +3939,42 @@ def kmeans_sql(k: int = 8, iterations: int = 3, d: int = 64) -> str:
     )
 
 
+def semdedup_sql(
+    k: int = 8, iterations: int = 3, tau: float = 0.3, d: int = 64
+) -> str:
+    """Mirror of operators.dedup.semdedup: the kmeans_sql assignment as a
+    CTE, then within-cluster dominance — drop x when a clustermate y with
+    (dist_sq, id) rank below x has round(cos(x,y),6) >= tau."""
+    joined = ",\n".join(_kmeans_ctes(k, iterations, d))
+    return (
+        f"WITH {joined},\n"
+        "asgF AS MATERIALIZED (\n"
+        "  SELECT vec_id, CAST(cl AS BIGINT) AS cluster,\n"
+        "    CAST(d2 AS BIGINT) AS dist_sq FROM (\n"
+        "    SELECT q.vec_id, c.cl,\n"
+        "      sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2,\n"
+        "      row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        "        sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+        f"    FROM qe q JOIN cent{iterations} c ON c.pos = q.pos\n"
+        "    GROUP BY q.vec_id, c.cl) WHERE rn = 1),\n"
+        "ev AS MATERIALIZED (SELECT vec_id,\n"
+        "  list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v\n"
+        "  FROM embeddings),\n"
+        "dom AS MATERIALIZED (\n"
+        "  SELECT DISTINCT x.vec_id FROM asgF x\n"
+        "  JOIN asgF y ON y.cluster = x.cluster AND (\n"
+        "    y.dist_sq < x.dist_sq OR\n"
+        "    (y.dist_sq = x.dist_sq AND y.vec_id < x.vec_id))\n"
+        "  JOIN ev q ON q.vec_id = x.vec_id\n"
+        "  JOIN ev c ON c.vec_id = y.vec_id\n"
+        f"  WHERE {_COS} >= {tau})\n"
+        "SELECT a.vec_id, a.cluster, a.dist_sq,\n"
+        "  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)\n"
+        "    AS keep\n"
+        "FROM asgF a LEFT JOIN dom d ON d.vec_id = a.vec_id"
+    )
+
+
 def ivf_topk_sql(
     k: int = 3,
     nprobe: int = 2,

@@ -1,0 +1,77 @@
+"""SemDeDup: numpy replay of the within-cluster dominance rule over the
+(already oracle-pinned) k-means assignment, plus a planted-duplicate
+fixture where the expected survivors are known."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from graphlite_spark.operators.dedup import semdedup
+from graphlite_spark.operators.kmeans import kmeans_embeddings
+
+
+def _frame(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semdedup_replay_and_planted_dups(spark):
+    rng = np.random.RandomState(3)
+    # three well-separated directions; each with a planted near-duplicate
+    base = rng.randn(3, 16).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = []
+    for b in base:
+        vecs.append(b)
+        vecs.append(b + rng.randn(16).astype(np.float32) * 0.01)  # near-dup
+    for _ in range(6):  # fillers
+        v = rng.randn(16).astype(np.float32)
+        vecs.append(v / np.linalg.norm(v))
+    df = _frame(spark, vecs)
+    tau, k, iters = 0.9, 4, 2
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist_sq"], r["keep"])
+        for r in semdedup(df, k=k, iterations=iters, tau=tau).collect()
+    }
+    assert set(got) == set(range(len(vecs)))
+
+    # replay dominance over the Spark k-means assignment (itself pinned
+    # by kmeans_embeddings' own oracle tests): float32-cast then double
+    # cosine, rounded to 6dp, rank = (dist_sq, id)
+    assign = {
+        r["vec_id"]: (r["cluster"], r["dist_sq"])
+        for r in kmeans_embeddings(df, k=k, iterations=iters).collect()
+    }
+    V = [np.asarray(v, dtype=np.float32).astype(np.float64) for v in vecs]
+
+    def cos(a, b):
+        return round(
+            float(V[a] @ V[b])
+            / (float(np.sqrt(V[a] @ V[a])) * float(np.sqrt(V[b] @ V[b]))),
+            6,
+        )
+
+    for x in range(len(vecs)):
+        cx, dx = assign[x]
+        dominated = any(
+            assign[y][0] == cx
+            and (assign[y][1], y) < (dx, x)
+            and cos(x, y) >= tau
+            for y in range(len(vecs))
+            if y != x
+        )
+        assert got[x] == (cx, dx, 0 if dominated else 1), x
+
+    # each planted pair loses exactly its farther-from-centroid member
+    # whenever the pair landed in one cluster (cos ~0.9999 >> tau)
+    for i in (0, 2, 4):
+        a, b = got[i], got[i + 1]
+        if a[0] == b[0]:
+            assert a[2] + b[2] == 1, (i, a, b)
+    # something survives in every cluster
+    for cl in {c for (c, _, _) in got.values()}:
+        assert any(c == cl and kp == 1 for (c, _, kp) in got.values())
