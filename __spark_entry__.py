@@ -2070,6 +2070,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     iterations=3, tau=0.3)
 
 
+def q_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured recall of the MinHash-LSH dedup path vs the exact
+    # unfiltered shingle-Jaccard truth at tau=0.05 — deliberately in the
+    # banding curve's weak tail so misses actually register
+    from graphlite_spark.operators.dedup import minhash_lsh_recall
+
+    return minhash_lsh_recall(load_table(spark, sf_dir, "documents"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2459,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_switch_score": q_code_switch,
         "lt_cascade_6": q_lt_cascade,
         "semdedup_embeddings": q_semdedup,
+        "minhash_lsh_recall": q_minhash_lsh_recall,
     }
 
 
@@ -2548,6 +2558,7 @@ def oracle_sql() -> dict[str, str]:
         "code_switch_score": O.code_switch_sql(16),
         "lt_cascade_6": O.lt_cascade_sql(6, 8),
         "semdedup_embeddings": O.semdedup_sql(8, 3, 0.3),
+        "minhash_lsh_recall": O.minhash_lsh_recall_sql(0.05, 8, 4),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -956,3 +956,56 @@ def semdedup(
             .alias("keep"),
         )
     )
+
+
+def minhash_lsh_recall(
+    docs: DataFrame,
+    tau: float = 0.05,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """1 row (n_truth, n_found, n_hits, recall) — measured recall of the
+    MinHash-LSH dedup path against the EXACT shingle-Jaccard ground truth
+    at ``tau`` (the dedup sibling of similarity.lsh_recall: the banding
+    curve becomes a checked number instead of a formula).  ``tau`` sits
+    deliberately in the curve's weak tail — with r=num_hashes/bands rows
+    per band, P(candidate | j) = 1-(1-j^r)^bands is ~1% at j=0.05 for
+    the 8/4 default, so sub-threshold pairs are EXPECTED misses; a
+    recall well under 1 here is the banding knob's tuning signal, while
+    near-exact duplicates (j~1) collide in every band and never miss.
+
+    Exactness: ground truth enumerates every pair sharing >=1 shingle
+    (``max_doc_freq=None`` — any pair with jaccard >= tau > 0 shares a
+    shingle, so the truth set is complete); both sides compute the
+    identical round(c/(na+nb-c), 6).  Scale note: the unfiltered truth
+    join is the quadratic-on-hot-shingles shape the df-capped variant
+    exists to avoid — this is a VALIDATION query one runs on a sample,
+    stated here rather than hidden."""
+    truth = ngram_jaccard_pairs(
+        docs, threshold=tau, n=n, id_col=id_col, text_col=text_col,
+        max_doc_freq=None,
+    ).select("a", "b")
+    found = minhash_lsh_candidates(
+        docs, num_hashes=num_hashes, bands=bands, n=n,
+        id_col=id_col, text_col=text_col,
+    ).where(F.col("jaccard") >= tau).select("a", "b")
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nf = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    nh = found.join(truth, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        nt.crossJoin(nf)
+        .crossJoin(nh)
+        .select(
+            "n_truth",
+            "n_found",
+            "n_hits",
+            F.when(F.col("n_truth") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("n_hits") / F.col("n_truth"), 6))
+            .alias("recall"),
+        )
+    )

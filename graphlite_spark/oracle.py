@@ -3188,6 +3188,32 @@ def minhash_lsh_sql(num_hashes: int = 8, bands: int = 4) -> str:
     )
 
 
+def minhash_lsh_recall_sql(
+    tau: float = 0.05, num_hashes: int = 8, bands: int = 4
+) -> str:
+    """Mirror of operators.dedup.minhash_lsh_recall: exact unfiltered
+    shingle-Jaccard truth at >= tau vs LSH-candidate pairs verifying at
+    >= tau; identical round(.,6) jaccard on both sides of the compare."""
+    return (
+        f"WITH {_minhash_lsh_ctes(num_hashes, bands)},\n"
+        f"truth AS MATERIALIZED (\n"
+        f"  SELECT a, b FROM jac WHERE jaccard >= {tau}),\n"
+        f"found AS MATERIALIZED (\n"
+        f"  SELECT cand.a, cand.b FROM cand\n"
+        f"  LEFT JOIN jac j ON j.a = cand.a AND j.b = cand.b\n"
+        f"  WHERE COALESCE(j.jaccard, 0.0) >= {tau}),\n"
+        f"hits AS MATERIALIZED (\n"
+        f"  SELECT f.a, f.b FROM found f\n"
+        f"  JOIN truth t ON t.a = f.a AND t.b = f.b)\n"
+        f"SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,\n"
+        f"  CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,\n"
+        f"  CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,\n"
+        f"  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0\n"
+        f"       ELSE round((SELECT count(*) FROM hits)\n"
+        f"            / (SELECT count(*) FROM truth), 6) END AS recall"
+    )
+
+
 def dedup_clusters_sql(threshold: float = 0.3, num_hashes: int = 8,
                        bands: int = 4) -> str:
     """Near-dup clusters: transitive closure (recursive CTE) over the LSH

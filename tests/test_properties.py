@@ -325,3 +325,71 @@ def test_code_switch_score_bruteforce(spark):
     assert got[0][3] == 0 and got[1][3] == 0
     assert got[2][3] > 0
     assert got[4][3] > 0
+
+
+def test_minhash_lsh_recall_bruteforce(spark):
+    import hashlib
+
+    from graphlite_spark.operators.dedup import minhash_lsh_recall
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base,                                   # 0: dup of 1 (j = 1)
+        base,                                   # 1
+        base + " lam mu nu",                    # 2: strong overlap with 0/1
+        "alpha beta gamma xx yy zz qq rr ss",   # 3: weak overlap
+        "totally different words here none shared at all ok",  # 4
+    ]
+    TAU, K, B, N = 0.05, 8, 4, 3
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def sh(t):
+        ts = [w for w in t.lower().split() if w]
+        return {" ".join(ts[i:i + N]) for i in range(len(ts) - N + 1)}
+
+    S = [sh(t) for t in texts]
+    truth = {
+        (a, b)
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if S[a] and S[b]
+        and round(len(S[a] & S[b]) / len(S[a] | S[b]), 6) >= TAU
+    }
+
+    def bandkeys(s):
+        sig = [min(h48(f"{k}\x1f{x}") for x in s) for k in range(K)]
+        rows = K // B
+        return {
+            hashlib.md5(
+                "\x1f".join(
+                    [str(b)] + [str(sig[b * rows + r]) for r in range(rows)]
+                ).encode()
+            ).hexdigest()
+            for b in range(B)
+        }
+
+    keys = [bandkeys(s) if s else set() for s in S]
+    cand = {
+        (a, b)
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if keys[a] & keys[b]
+    }
+    found = {
+        (a, b)
+        for (a, b) in cand
+        if round(len(S[a] & S[b]) / len(S[a] | S[b]), 6) >= TAU
+    }
+    hits = truth & found
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    row = minhash_lsh_recall(df, tau=TAU).collect()[0]
+    assert (row["n_truth"], row["n_found"], row["n_hits"]) == (
+        len(truth), len(found), len(hits),
+    )
+    assert row["recall"] == round(len(hits) / len(truth), 6)
+    assert len(truth) >= 3  # fixture non-degenerate
