@@ -2079,6 +2079,15 @@ def q_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_recall(load_table(spark, sf_dir, "documents"))
 
 
+def q_ic_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Independent Cascade (the other KKT diffusion model): deterministic
+    # hash live-arc percolation + multi-source BFS from hash seeds
+    from graphlite_spark.algos.cascade import ic_cascade
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return ic_cascade(v, e, rounds=6, p_micros=300000)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2469,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lt_cascade_6": q_lt_cascade,
         "semdedup_embeddings": q_semdedup,
         "minhash_lsh_recall": q_minhash_lsh_recall,
+        "ic_cascade_6": q_ic_cascade,
     }
 
 
@@ -2559,6 +2569,7 @@ def oracle_sql() -> dict[str, str]:
         "lt_cascade_6": O.lt_cascade_sql(6, 8),
         "semdedup_embeddings": O.semdedup_sql(8, 3, 0.3),
         "minhash_lsh_recall": O.minhash_lsh_recall_sql(0.05, 8, 4),
+        "ic_cascade_6": O.ic_cascade_sql(6, 300000, 8),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -1,6 +1,7 @@
-"""Linear Threshold influence cascade (Kempe-Kleinberg-Tardos, KDD 2003).
+"""Influence cascades (Kempe-Kleinberg-Tardos, KDD 2003): Linear
+Threshold and Independent Cascade, both deterministic.
 
-Deterministic LT variant over the undirected transcript graph: vertex v
+LT variant over the undirected transcript graph: vertex v
 holds a hash-derived threshold theta(v) in (0, 1]; an inactive vertex
 activates in round r when the fraction of its already-active neighbors
 reaches theta — with uniform edge influence 1/deg(v), the classic LT
@@ -122,4 +123,89 @@ def lt_cascade(
         F.col("theta").alias("theta_micros"),
         "deg",
         F.coalesce("rnd", F.lit(-1)).cast("long").alias("active_round"),
+    )
+
+
+def ic_cascade(
+    vertices: DataFrame,
+    edges: DataFrame,
+    rounds: int = 6,
+    p_micros: int = 300000,
+    seed_mod: int = SEED_MOD,
+) -> DataFrame:
+    """(id, active_round) — Independent Cascade (the other KKT model),
+    deterministic live-edge form: arc (u, v) is "live" iff
+    hash48('ic' <SEP> u <SEP> v) % 1e6 < ``p_micros`` (the percolation
+    view of IC — each arc flips one biased coin, here a hash), and the
+    cascade is multi-source BFS from the hash-selected seeds over live
+    arcs only; active_round = hop distance from the nearest seed, -1 if
+    unreached within ``rounds``.  Directed (IC's natural form), exact.
+
+    Scale shape: the live filter is a pure per-row hash predicate pushed
+    into the edge scan (no precomputed coin table); each frontier round
+    is one equi-join + distinct — an arc is joined at most once over the
+    run because its src is in the frontier exactly once."""
+    from graphlite_spark.functions.hashes import SEP
+
+    spark = edges.sparkSession
+    live = (
+        edges.select("src", "dst")
+        .where(
+            hash48(
+                F.concat_ws(
+                    SEP,
+                    F.lit("ic"),
+                    F.col("src").cast("string"),
+                    F.col("dst").cast("string"),
+                )
+            )
+            % 1000000
+            < p_micros
+        )
+        .distinct()
+        .persist()
+    )
+    state = (
+        vertices.select(
+            "id",
+            F.when(
+                hash48(F.concat_ws(SEP, F.lit("icseed"), F.col("id").cast("string")))
+                % seed_mod
+                == 0,
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rnd"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for r in range(1, rounds + 1):
+            frontier = state.where(F.col("rnd") == r - 1).select(
+                F.col("id").alias("src")
+            )
+            reached = (
+                live.join(frontier, "src")
+                .select(F.col("dst").alias("mid"))
+                .distinct()
+            )
+            state = (
+                state.join(reached, state["id"] == reached["mid"], "left")
+                .select(
+                    "id",
+                    F.when(F.col("rnd").isNotNull(), F.col("rnd"))
+                    .when(F.col("mid").isNotNull(), F.lit(r))
+                    .cast("long")
+                    .alias("rnd"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        state.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+        live.unpersist()
+    return state.select(
+        "id", F.coalesce("rnd", F.lit(-1)).cast("long").alias("active_round")
     )

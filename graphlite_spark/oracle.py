@@ -1657,6 +1657,45 @@ def lt_cascade_sql(rounds: int = 6, seed_mod: int = 8) -> str:
     return _graph_query(body)
 
 
+def ic_cascade_sql(
+    rounds: int = 6, p_micros: int = 300000, seed_mod: int = 8
+) -> str:
+    """Unrolled Independent Cascade — identical hash live-arc predicate,
+    seeds and multi-source-BFS rounds as algos.cascade.ic_cascade."""
+    h_live = _h48(
+        "concat_ws(chr(31), 'ic', CAST(src AS VARCHAR), CAST(dst AS VARCHAR))"
+    )
+    h_seed = _h48("concat_ws(chr(31), 'icseed', CAST(id AS VARCHAR))")
+    parts = [
+        f"live AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges\n"
+        f"  WHERE {h_live} % 1000000 < {p_micros})",
+        f"ic0 AS MATERIALIZED (\n"
+        f"  SELECT id, CASE WHEN {h_seed} % {seed_mod} = 0\n"
+        f"    THEN CAST(0 AS BIGINT) END AS rnd\n"
+        f"  FROM vertices)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"ic{r - 1}"
+        parts.append(
+            f"ic{r} AS MATERIALIZED (\n"
+            f"  SELECT s.id,\n"
+            f"    CASE WHEN s.rnd IS NOT NULL THEN s.rnd\n"
+            f"         WHEN m.id IS NOT NULL THEN CAST({r} AS BIGINT)\n"
+            f"         END AS rnd\n"
+            f"  FROM {prev} s LEFT JOIN (\n"
+            f"    SELECT DISTINCT l.dst AS id\n"
+            f"    FROM live l JOIN {prev} f ON f.id = l.src AND f.rnd = {r - 1}\n"
+            f"    ) m ON m.id = s.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        f"SELECT id, CAST(COALESCE(rnd, -1) AS BIGINT) AS active_round\n"
+        f"FROM ic{rounds}"
+    )
+    return _graph_query(body)
+
+
 def _anf_parts(max_h: int, k: int) -> tuple[str, str]:
     """(joined CTE chain, per-h estimate UNION) of the unrolled KMV-ANF —
     shared by neighborhood_function_sql and effective_diameter_sql."""

@@ -71,3 +71,37 @@ def test_lt_cascade_replay(spark):
             assert any(
                 0 <= got[w][2] < r for w in und.get(i, ())
             ), i
+
+
+def test_ic_cascade_replay(spark):
+    from graphlite_spark.algos.cascade import ic_cascade
+
+    edges, n = random_digraph(120, 420, seed=13), 120
+    v, e = make_graph(spark, edges, n)
+    P, R, M = 300_000, 6, 8
+    got = {
+        r["id"]: r["active_round"]
+        for r in ic_cascade(v, e, rounds=R, p_micros=P).collect()
+    }
+
+    live = {}
+    for s, d in set(edges):
+        if _h48(f"ic\x1f{s}\x1f{d}") % 1_000_000 < P:
+            live.setdefault(s, set()).add(d)
+    rnd = {
+        i: (0 if _h48(f"icseed\x1f{i}") % M == 0 else None) for i in range(n)
+    }
+    for r in range(1, R + 1):
+        new = {
+            d
+            for s in range(n)
+            if rnd[s] == r - 1
+            for d in live.get(s, ())
+            if rnd[d] is None
+        }
+        for d in new:
+            rnd[d] = r
+    want = {i: (-1 if rnd[i] is None else rnd[i]) for i in range(n)}
+    assert got == want
+    seen = set(got.values())
+    assert 0 in seen and (seen & {1, 2, 3, 4, 5, 6})  # propagates
