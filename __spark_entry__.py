@@ -2088,6 +2088,16 @@ def q_ic_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ic_cascade(v, e, rounds=6, p_micros=300000)
 
 
+def q_temporal_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # delta-temporal motif counts (Paranjape-Benson-Leskovec): ordered
+    # 2-paths and cyclic triangles within a 1h window over the contact
+    # sequence — bucketed equi-joins, never an inequality-only join
+    from graphlite_spark.operators.temporal import temporal_motifs
+
+    return temporal_motifs(contact_edges(_events_us(spark, sf_dir)),
+                           delta=3_600_000_000)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2479,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_embeddings": q_semdedup,
         "minhash_lsh_recall": q_minhash_lsh_recall,
         "ic_cascade_6": q_ic_cascade,
+        "temporal_motifs_1h": q_temporal_motifs,
     }
 
 
@@ -2570,6 +2581,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_embeddings": O.semdedup_sql(8, 3, 0.3),
         "minhash_lsh_recall": O.minhash_lsh_recall_sql(0.05, 8, 4),
         "ic_cascade_6": O.ic_cascade_sql(6, 300000, 8),
+        "temporal_motifs_1h": O.temporal_motifs_sql(3_600_000_000),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

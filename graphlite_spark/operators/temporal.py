@@ -272,3 +272,82 @@ def snapshot_delta(
         (F.col("n_kept") + F.col("n_removed")).cast("long").alias("deg_old"),
         (F.col("n_kept") + F.col("n_added")).cast("long").alias("deg_new"),
     )
+
+
+def temporal_motifs(
+    edges: DataFrame,
+    delta: int = 3_600_000_000,
+    ts_col: str = "t",
+) -> DataFrame:
+    """(motif, n) — delta-temporal motif counts (Paranjape, Benson &
+    Leskovec, WSDM 2017) over the contact sequence: ``path2`` = ordered
+    2-paths u->v->w with t1 < t2 <= t1+delta and w != u; ``cycle3`` =
+    cyclic triangles whose third arc w->u lands in (t2, t1+delta].
+    Strict time order throughout — arcs with tied timestamps never form
+    a motif (stated; both engines identical), and multi-edges count as
+    distinct instances (PBL instance semantics).
+
+    Scale shape: both joins are EQUI-joins — the wedge keys on the
+    middle vertex + a delta-width time bucket (right side exploded to
+    its 2 adjacent buckets, exact window re-checked as a residual
+    predicate — the range_join discipline, never an inequality-only
+    join), the closure keys on the (w, u) vertex pair + the same
+    buckets.  Wedge fan-out is bounded per (vertex, delta-window), not
+    per vertex: a hub that is merely long-lived never goes quadratic,
+    only a hub bursty WITHIN delta does (AQE skew-split handles that);
+    the PBL counting algorithm replaces enumeration when only totals
+    are needed at extreme scale — this is the exact instance-join form."""
+    e = edges.select(
+        F.col("src"), F.col("dst"), F.col(ts_col).alias("t"),
+        F.expr(f"{ts_col} div {delta}").alias("b"),
+    )
+    e2 = e.select(
+        F.col("src").alias("v2"),
+        F.col("dst").alias("w"),
+        F.col("t").alias("t2"),
+        F.explode(F.array(F.col("b") - 1, F.col("b"))).alias("b2"),
+    )
+    w2 = (
+        e.join(
+            e2,
+            (F.col("v2") == F.col("dst")) & (F.col("b2") == F.col("b")),
+        )
+        .where(
+            (F.col("t2") > F.col("t"))
+            & (F.col("t2") <= F.col("t") + delta)
+            & (F.col("w") != F.col("src"))
+        )
+        .select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            "w",
+            F.col("t").alias("t1"),
+            "t2",
+            F.col("b").alias("b1"),
+        )
+    )
+    e3 = e.select(
+        F.col("src").alias("s3"),
+        F.col("dst").alias("d3"),
+        F.col("t").alias("t3"),
+        F.explode(F.array(F.col("b") - 1, F.col("b"))).alias("b3"),
+    )
+    c3 = (
+        w2.join(
+            e3,
+            (F.col("s3") == F.col("w"))
+            & (F.col("d3") == F.col("u"))
+            & (F.col("b3") == F.col("b1")),
+        )
+        .where(
+            (F.col("t3") > F.col("t2"))
+            & (F.col("t3") <= F.col("t1") + delta)
+        )
+    )
+    np2 = w2.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("path2").alias("motif"), "n"
+    )
+    nc3 = c3.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        F.lit("cycle3").alias("motif"), "n"
+    )
+    return np2.unionByName(nc3)

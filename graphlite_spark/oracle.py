@@ -4766,6 +4766,33 @@ def temporal_reach_sql(rounds: int = 8) -> str:
     )
 
 
+def temporal_motifs_sql(delta_us: int = 3_600_000_000) -> str:
+    """Mirror of operators.temporal.temporal_motifs: delta-windowed
+    2-path and cyclic-triangle motif counts over the contact sequence,
+    strict time order (tied timestamps excluded, both engines)."""
+    return f"""
+WITH ev AS MATERIALIZED (SELECT event_id, user_id, event_type,
+  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+ce AS MATERIALIZED (SELECT src, dst, t FROM (
+  SELECT lag(user_id) OVER (PARTITION BY event_type
+           ORDER BY ts_us, event_id) AS src,
+         user_id AS dst, ts_us AS t FROM ev)
+  WHERE src IS NOT NULL AND src <> dst),
+w2 AS MATERIALIZED (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w, e1.t AS t1, e2.t AS t2
+  FROM ce e1 JOIN ce e2 ON e2.src = e1.dst
+    AND e2.t > e1.t AND e2.t <= e1.t + {delta_us}
+    AND e2.dst <> e1.src),
+c3 AS MATERIALIZED (
+  SELECT count(*) AS n FROM w2 JOIN ce e3
+    ON e3.src = w2.w AND e3.dst = w2.u
+    AND e3.t > w2.t2 AND e3.t <= w2.t1 + {delta_us})
+SELECT 'path2' AS motif, CAST(count(*) AS BIGINT) AS n FROM w2
+UNION ALL
+SELECT 'cycle3' AS motif, CAST(n AS BIGINT) FROM c3
+"""
+
+
 def bowtie_sql(permille: int = 25, salt: str = "bowtie") -> str:
     """Mirror of __spark_entry__.q_bowtie / algos.bowtie: the Broder
     bow-tie classes over the hash-sparsified user contact graph, via
