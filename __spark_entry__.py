@@ -2098,6 +2098,16 @@ def q_temporal_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            delta=3_600_000_000)
 
 
+def q_ppr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # local clustering conductance sweep (Andersen-Chung-Lang): rank by
+    # PPR, cut sizes via a difference array (one pass over the edges,
+    # no per-prefix membership join), windows only on the top-50 spine
+    from graphlite_spark.algos.pagerank import ppr_sweep_cut
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return ppr_sweep_cut(v, e, source=0, supersteps=8, top_l=50)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2490,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_recall": q_minhash_lsh_recall,
         "ic_cascade_6": q_ic_cascade,
         "temporal_motifs_1h": q_temporal_motifs,
+        "ppr_sweep_cut": q_ppr_sweep,
     }
 
 
@@ -2582,6 +2593,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_recall": O.minhash_lsh_recall_sql(0.05, 8, 4),
         "ic_cascade_6": O.ic_cascade_sql(6, 300000, 8),
         "temporal_motifs_1h": O.temporal_motifs_sql(3_600_000_000),
+        "ppr_sweep_cut": O.ppr_sweep_cut_sql(0, 8, 50),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -407,3 +407,106 @@ def spam_mass(
             (F.col("pr") - F.lit(float(n_v)) * F.col("tr")) / F.col("pr"), 6
         ).alias("spam_mass"),
     )
+
+
+def ppr_sweep_cut(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source: int = 0,
+    supersteps: int = 8,
+    top_l: int = 50,
+) -> DataFrame:
+    """(k, cut, vol, conductance) for k = 1..top_l — the conductance
+    sweep of local clustering (Andersen, Chung & Lang, FOCS 2006):
+    rank vertices by personalized PageRank from ``source`` (6dp-rounded
+    score DESC, id ASC — the house cross-engine tie-break), then for
+    every prefix of the top ``top_l`` report the undirected cut size,
+    the volume (sum of undirected degrees), and phi = cut / min(vol,
+    vol_total - vol).  The prefix with minimum phi is the local cluster;
+    the whole curve is returned so the sweep is inspectable.
+
+    Exact distributed form: cut(k) is computed with a DIFFERENCE ARRAY —
+    an undirected edge whose ranked endpoints sit at ranks a < b is cut
+    exactly for prefixes a <= k < b, so it emits (+1 at a, -1 at b), and
+    an edge with one ranked endpoint at a is cut for every k >= a
+    (+1 at a); per-k sums then one prefix-sum give every cut size in one
+    pass over the edges — no per-prefix membership join.  Windows only
+    ever see the top_l spine (driver-bounded), never the graph;
+    conductance reports 0.0 when min(vol, vol_total - vol) = 0
+    (degenerate whole-graph prefix, documented)."""
+    from graphlite_spark.algos.components import symmetrize
+    from pyspark.sql import Window
+
+    res = personalized_pagerank(
+        vertices, edges, source=source, fixed_supersteps=supersteps
+    )
+    scores = res.state.select("id", F.round("value", 6).alias("rank"))
+    top = scores.orderBy(F.col("rank").desc(), F.col("id").asc()).limit(top_l)
+    w = Window.orderBy(F.col("rank").desc(), F.col("id").asc())
+    # res.state is engine-checkpointed, so re-deriving this tiny spine in
+    # each consumer join is cheap — no persist to leak
+    ranked = top.select(
+        "id", F.row_number().over(w).cast("long").alias("r")
+    )
+
+    und = symmetrize(edges).select("src", "dst")
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    vol_total = deg.agg(F.sum("deg").cast("long").alias("vt"))
+
+    pairs = und.where(F.col("src") < F.col("dst"))
+    ra = ranked.select(F.col("id").alias("src"), F.col("r").alias("ra"))
+    rb = ranked.select(F.col("id").alias("dst"), F.col("r").alias("rb"))
+    tagged = pairs.join(ra, "src", "left").join(rb, "dst", "left").where(
+        F.col("ra").isNotNull() | F.col("rb").isNotNull()
+    )
+    lo = F.least(F.coalesce("ra", F.lit(1 << 60)),
+                 F.coalesce("rb", F.lit(1 << 60)))
+    hi = F.greatest(F.coalesce("ra", F.lit(-1)), F.coalesce("rb", F.lit(-1)))
+    both = F.col("ra").isNotNull() & F.col("rb").isNotNull()
+    events = tagged.select(
+        F.explode(
+            F.when(
+                both & (lo < hi),
+                F.array(
+                    F.struct(lo.alias("k"), F.lit(1).alias("d")),
+                    F.struct(hi.alias("k"), F.lit(-1).alias("d")),
+                ),
+            )
+            .when(both, F.array().cast("array<struct<k:long,d:int>>"))
+            .otherwise(F.array(F.struct(lo.alias("k"), F.lit(1).alias("d"))))
+        ).alias("ev")
+    ).select(F.col("ev.k").alias("k"), F.col("ev.d").alias("d"))
+    diffs = events.groupBy("k").agg(F.sum("d").alias("dd"))
+
+    spine = ranked.join(deg, "id", "left").select(
+        F.col("r").alias("k"), F.coalesce("deg", F.lit(0)).alias("deg")
+    )
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        spine.join(diffs, "k", "left")
+        .select("k", "deg", F.coalesce("dd", F.lit(0)).alias("dd"))
+        .select(
+            "k",
+            F.sum("dd").over(wk).cast("long").alias("cut"),
+            F.sum("deg").over(wk).cast("long").alias("vol"),
+        )
+    )
+    out = curve.crossJoin(vol_total).select(
+        "k",
+        "cut",
+        "vol",
+        F.when(
+            F.least(F.col("vol"), F.col("vt") - F.col("vol")) == 0, F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                F.col("cut")
+                / F.least(F.col("vol"), F.col("vt") - F.col("vol")),
+                6,
+            )
+        )
+        .alias("conductance"),
+    )
+    return out

@@ -349,6 +349,71 @@ def ppr_fixed_sql(source: int = 0, supersteps: int = 8) -> str:
     return _graph_query(body)
 
 
+def ppr_sweep_cut_sql(
+    source: int = 0, supersteps: int = 8, top_l: int = 50
+) -> str:
+    """Mirror of algos.pagerank.ppr_sweep_cut: the unrolled PPR chain,
+    the (round(rank,6) DESC, id) top-L spine, and the identical
+    difference-array cut / prefix-sum volume / guarded conductance."""
+    rounds = supersteps - 1
+    tele = f"CASE WHEN p.id = {source} THEN 0.15 ELSE 0.0 END"
+    parts = [
+        f"pp0 AS MATERIALIZED (SELECT id,\n"
+        f"  CASE WHEN id = {source} THEN CAST(1.0 AS DOUBLE)\n"
+        f"       ELSE CAST(0.0 AS DOUBLE) END AS rank, out_degree FROM deg)"
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"pp{k - 1}"
+        parts.append(
+            f"pp{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id, {tele} + 0.85 * COALESCE(m.s, 0.0) AS rank,\n"
+            f"         p.out_degree\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, sum(q.rank / q.out_degree) AS s\n"
+            f"    FROM edges e JOIN {prev} q ON q.id = e.src GROUP BY e.dst) m\n"
+            f"  ON m.id = p.id)"
+        )
+    joined = ",\n".join(parts)
+    big = 1 << 60
+    body = f""", {joined},
+topk AS MATERIALIZED (SELECT id, r FROM (
+  SELECT id, CAST(row_number() OVER (
+    ORDER BY round(rank, 6) DESC, id) AS BIGINT) AS r
+  FROM pp{rounds}) WHERE r <= {top_l}),
+udeg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+  FROM und GROUP BY src),
+vt AS MATERIALIZED (SELECT CAST(sum(deg) AS BIGINT) AS vt FROM udeg),
+tagged AS MATERIALIZED (
+  SELECT a.r AS ra, b.r AS rb
+  FROM (SELECT src, dst FROM und WHERE src < dst) p
+  LEFT JOIN topk a ON a.id = p.src
+  LEFT JOIN topk b ON b.id = p.dst
+  WHERE a.r IS NOT NULL OR b.r IS NOT NULL),
+ev AS MATERIALIZED (
+  SELECT least(coalesce(ra, {big}), coalesce(rb, {big})) AS k, 1 AS d
+  FROM tagged
+  UNION ALL
+  SELECT greatest(ra, rb) AS k, -1 AS d FROM tagged
+  WHERE ra IS NOT NULL AND rb IS NOT NULL),
+diffs AS MATERIALIZED (SELECT k, sum(d) AS dd FROM ev GROUP BY k),
+spine AS MATERIALIZED (
+  SELECT t.r AS k, coalesce(u.deg, 0) AS deg
+  FROM topk t LEFT JOIN udeg u ON u.id = t.id),
+curve AS MATERIALIZED (
+  SELECT s.k,
+    CAST(sum(coalesce(d.dd, 0)) OVER (ORDER BY s.k
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cut,
+    CAST(sum(s.deg) OVER (ORDER BY s.k
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vol
+  FROM spine s LEFT JOIN diffs d ON d.k = s.k)
+SELECT k, cut, vol,
+  CASE WHEN least(vol, (SELECT vt FROM vt) - vol) = 0 THEN 0.0
+       ELSE round(cut / least(vol, (SELECT vt FROM vt) - vol), 6)
+       END AS conductance
+FROM curve"""
+    return _graph_query(body)
+
+
 def edgelist_pagerank_sql(path: str, n_vertices: int, supersteps: int = 10) -> str:
     """PageRank (fixed supersteps) over a reference-format edge-list text
     file — DuckDB parses the same file the Spark source reads
