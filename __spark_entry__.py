@@ -2108,6 +2108,16 @@ def q_ppr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppr_sweep_cut(v, e, source=0, supersteps=8, top_l=50)
 
 
+def q_densest_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # densest subgraph, distributed 2(1+eps)-approx peel (Bahmani et
+    # al.): each round removes every vertex under 2(1+eps) x average
+    # density — exact cross-multiplied integer test, whole trace out
+    from graphlite_spark.algos.densest import densest_subgraph_peel
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return densest_subgraph_peel(v, e, rounds=8, eps_permille=100)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2501,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ic_cascade_6": q_ic_cascade,
         "temporal_motifs_1h": q_temporal_motifs,
         "ppr_sweep_cut": q_ppr_sweep,
+        "densest_peel": q_densest_peel,
     }
 
 
@@ -2594,6 +2605,7 @@ def oracle_sql() -> dict[str, str]:
         "ic_cascade_6": O.ic_cascade_sql(6, 300000, 8),
         "temporal_motifs_1h": O.temporal_motifs_sql(3_600_000_000),
         "ppr_sweep_cut": O.ppr_sweep_cut_sql(0, 8, 50),
+        "densest_peel": O.densest_peel_sql(8, 100),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -1761,6 +1761,46 @@ def ic_cascade_sql(
     return _graph_query(body)
 
 
+def densest_peel_sql(rounds: int = 8, eps_permille: int = 100) -> str:
+    """Unrolled BKV densest-subgraph peel — identical cross-multiplied
+    integer removal test and exact micro-division density as
+    algos.densest.densest_subgraph_peel."""
+    thresh = 2 * (1000 + eps_permille)
+    parts = ["dsp0 AS MATERIALIZED (SELECT id FROM vertices)"]
+    for r in range(rounds + 1):
+        parts.append(
+            f"dse{r} AS MATERIALIZED (\n"
+            f"  SELECT u.src AS lo, u.dst AS hi FROM und u\n"
+            f"  JOIN dsp{r} a ON a.id = u.src\n"
+            f"  JOIN dsp{r} b ON b.id = u.dst\n"
+            f"  WHERE u.src < u.dst)"
+        )
+        parts.append(
+            f"dst{r} AS MATERIALIZED (\n"
+            f"  SELECT CAST((SELECT count(*) FROM dsp{r}) AS BIGINT) AS v_t,\n"
+            f"         CAST((SELECT count(*) FROM dse{r}) AS BIGINT) AS e_t)"
+        )
+        if r == rounds:
+            break
+        parts.append(
+            f"dsp{r + 1} AS MATERIALIZED (\n"
+            f"  SELECT a.id FROM dsp{r} a\n"
+            f"  LEFT JOIN (SELECT v, count(*) AS c FROM (\n"
+            f"      SELECT lo AS v FROM dse{r}\n"
+            f"      UNION ALL SELECT hi AS v FROM dse{r}) GROUP BY v) d\n"
+            f"    ON d.v = a.id, dst{r} s\n"
+            f"  WHERE COALESCE(d.c, 0) * s.v_t * 1000 > {thresh} * s.e_t)"
+        )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, v_t AS n_vertices,\n"
+        f"  e_t AS n_edges, (1000000 * e_t) // v_t AS density_ppm\n"
+        f"FROM dst{r} WHERE v_t > 0"
+        for r in range(rounds + 1)
+    )
+    joined = ",\n".join(parts)
+    return _graph_query(f", {joined}\n{rows}")
+
+
 def _anf_parts(max_h: int, k: int) -> tuple[str, str]:
     """(joined CTE chain, per-h estimate UNION) of the unrolled KMV-ANF —
     shared by neighborhood_function_sql and effective_diameter_sql."""
