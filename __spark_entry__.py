@@ -2118,6 +2118,14 @@ def q_densest_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return densest_subgraph_peel(v, e, rounds=8, eps_permille=100)
 
 
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer-eval readout: BPE fertility (pieces/word) and
+    # chars/piece by source — no per-piece explode, one map-side groupBy
+    from graphlite_spark.operators.bpe import bpe_fertility
+
+    return bpe_fertility(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2512,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_motifs_1h": q_temporal_motifs,
         "ppr_sweep_cut": q_ppr_sweep,
         "densest_peel": q_densest_peel,
+        "bpe_fertility": q_bpe_fertility,
     }
 
 
@@ -2606,6 +2615,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_motifs_1h": O.temporal_motifs_sql(3_600_000_000),
         "ppr_sweep_cut": O.ppr_sweep_cut_sql(0, 8, 50),
         "densest_peel": O.densest_peel_sql(8, 100),
+        "bpe_fertility": O.bpe_fertility_sql(8),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -182,3 +182,55 @@ def bpe_tokenize(
             "piece",
         )
     )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, n_words, n_pieces, n_chars, fertility_micros,
+    chars_per_piece_micros) — the standard tokenizer-evaluation readout:
+    fertility = subword pieces per word (1.0 means every word is one
+    piece; rising fertility on a source flags vocabulary mismatch), and
+    chars-per-piece is its compression dual.  Both are exact integer
+    micro-divisions of exact counts.
+
+    Scale shape: NO per-piece explode — each word row joins the
+    vocabulary-sized final segmentation once and contributes
+    (size(seg), length(w)) to one map-side-combined groupBy; the corpus
+    is scanned once, the segmentation table is broadcastable at any
+    corpus size (same discipline as bpe_tokenize)."""
+    _, seg_words = _train(docs, n_merges, text_col)
+    words = docs.select(
+        F.col(group_col),
+        F.explode(tokens_expr(F.col(text_col))).alias("w"),
+    )
+    per = words.join(seg_words.select("w", "seg"), "w").select(
+        group_col,
+        F.size("seg").cast("long").alias("np"),
+        F.length("w").cast("long").alias("nc"),
+    )
+
+    def _exact_div(num, den):
+        scaled = 1000000 * num
+        return ((scaled - scaled % den) / den).cast("long")
+
+    g = per.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("np").cast("long").alias("n_pieces"),
+        F.sum("nc").cast("long").alias("n_chars"),
+    )
+    return g.select(
+        group_col,
+        "n_words",
+        "n_pieces",
+        "n_chars",
+        _exact_div(F.col("n_pieces"), F.col("n_words")).alias(
+            "fertility_micros"
+        ),
+        _exact_div(F.col("n_chars"), F.col("n_pieces")).alias(
+            "chars_per_piece_micros"
+        ),
+    )

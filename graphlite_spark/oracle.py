@@ -3900,6 +3900,44 @@ def bpe_tokenize_sql(n_merges: int = 8) -> str:
     )
 
 
+def bpe_fertility_sql(n_merges: int = 8) -> str:
+    """Mirror of operators.bpe.bpe_fertility: the identical unrolled
+    training chain, then per-word (size(seg), length(w)) grouped by the
+    document's source with the exact micro-divisions (// floors; all
+    counts nonnegative, matching Spark's remainder-subtract div)."""
+    parts = [
+        TOKS_CTE,
+        "wf AS MATERIALIZED (SELECT term AS w, CAST(count(*) AS BIGINT) AS f\n"
+        "  FROM (SELECT unnest(toks) AS term FROM toks_t) GROUP BY term)",
+        "s0 AS MATERIALIZED (SELECT w, f,\n"
+        "  list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS seg\n"
+        "  FROM wf)",
+    ]
+    for step in range(1, n_merges + 1):
+        parts.extend(_bpe_merge_step(step))
+    parts.append(
+        "dw2 AS MATERIALIZED (SELECT t.doc_id, d.source, unnest(t.toks) AS w\n"
+        "  FROM toks_t t JOIN documents d ON d.doc_id = t.doc_id)"
+    )
+    parts.append(
+        f"per AS MATERIALIZED (SELECT d.source,\n"
+        f"  CAST(len(sw.seg) AS BIGINT) AS np,\n"
+        f"  CAST(length(d.w) AS BIGINT) AS nc\n"
+        f"  FROM dw2 d JOIN s{n_merges} sw ON sw.w = d.w)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_words,\n"
+        "  CAST(sum(np) AS BIGINT) AS n_pieces,\n"
+        "  CAST(sum(nc) AS BIGINT) AS n_chars,\n"
+        "  CAST((1000000 * sum(np)) // count(*) AS BIGINT)\n"
+        "    AS fertility_micros,\n"
+        "  CAST((1000000 * sum(nc)) // sum(np) AS BIGINT)\n"
+        "    AS chars_per_piece_micros\n"
+        "FROM per GROUP BY source"
+    )
+
+
 def weighted_sample_sql(n: int = 100, salt: str = "wsample") -> str:
     """Mirror of operators.packing.weighted_sample over documents with
     n_chars as the weight: identical hash-uniform, identical micro-unit

@@ -155,3 +155,45 @@ def test_chunk_documents_windows(spark):
     }
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_bpe_fertility_matches_reference(spark):
+    from graphlite_spark.operators.bpe import bpe_fertility
+
+    texts = [
+        ("srcA", "aa ab aa abab"),
+        ("srcA", "ab aa"),
+        ("srcB", "zzzz zz xyz"),
+        ("srcB", ""),            # empty doc contributes nothing
+    ]
+    docs = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    n_merges = 4
+    _, seg = _ref_bpe([t for _, t in texts], n_merges)
+    want = {}
+    for s, t in texts:
+        for w in re.split(r"\s+", t.lower()):
+            if not w:
+                continue
+            nw, np_, nc = want.get(s, (0, 0, 0))
+            want[s] = (nw + 1, np_ + len(seg[w]), nc + len(w))
+    want = {
+        s: (
+            nw, np_, nc,
+            (1_000_000 * np_) // nw,
+            (1_000_000 * nc) // np_,
+        )
+        for s, (nw, np_, nc) in want.items()
+    }
+    got = {
+        r["source"]: (
+            r["n_words"], r["n_pieces"], r["n_chars"],
+            r["fertility_micros"], r["chars_per_piece_micros"],
+        )
+        for r in bpe_fertility(docs, n_merges=n_merges).collect()
+    }
+    assert got == want
+    # after 4 merges on this corpus every srcA word is a single piece
+    assert got["srcA"][4] > got["srcB"][4] or got["srcA"][3] <= got["srcB"][3]
