@@ -2126,6 +2126,15 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(load_table(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train/test contamination: LSH-verified near-dup pairs classified
+    # by split crossing — nonzero 'cross' means an eval doc has a
+    # near-duplicate in train
+    from graphlite_spark.operators.dedup import split_leakage
+
+    return split_leakage(load_table(spark, sf_dir, "documents"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2521,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep_cut": q_ppr_sweep,
         "densest_peel": q_densest_peel,
         "bpe_fertility": q_bpe_fertility,
+        "split_leakage": q_split_leakage,
     }
 
 
@@ -2616,6 +2626,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_sweep_cut": O.ppr_sweep_cut_sql(0, 8, 50),
         "densest_peel": O.densest_peel_sql(8, 100),
         "bpe_fertility": O.bpe_fertility_sql(8),
+        "split_leakage": O.split_leakage_sql(0.3, 8, 4),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -1009,3 +1009,48 @@ def minhash_lsh_recall(
             .alias("recall"),
         )
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split",
+) -> DataFrame:
+    """(pair_class, n_pairs) — train/test contamination check: the
+    LSH-verified near-duplicate pairs (jaccard >= threshold) classified
+    by where their endpoints landed in the deterministic train/val/test
+    split — ``within_<split>`` or ``cross``.  A nonzero ``cross`` count
+    is leakage: an eval document with a near-duplicate in train.  The
+    composition every curation pipeline needs and almost none checks —
+    the split is hash-deterministic and the pairs are the same verified
+    candidates the dedup path already computes, so the readout costs
+    one tiny join more than dedup itself.
+
+    Scale shape: the pair set is LSH-candidate-bounded (never
+    all-pairs); the split tags ride two broadcast-sized hash CASEs; one
+    map-side-combined groupBy ends it."""
+    from graphlite_spark.operators.packing import assign_splits
+
+    pairs = minhash_lsh_candidates(
+        docs, num_hashes=num_hashes, bands=bands, n=n,
+        id_col=id_col, text_col=text_col,
+    ).where(F.col("jaccard") >= threshold).select("a", "b")
+    sp = assign_splits(docs.select(id_col), id_col, salt=salt).select(
+        F.col(id_col), F.col("split")
+    )
+    sa = sp.select(F.col(id_col).alias("a"), F.col("split").alias("sa"))
+    sb = sp.select(F.col(id_col).alias("b"), F.col("split").alias("sb"))
+    tagged = pairs.join(sa, "a").join(sb, "b")
+    cls = F.when(
+        F.col("sa") == F.col("sb"), F.concat(F.lit("within_"), F.col("sa"))
+    ).otherwise(F.lit("cross"))
+    return (
+        tagged.select(cls.alias("pair_class"))
+        .groupBy("pair_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

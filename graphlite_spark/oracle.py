@@ -3358,6 +3358,38 @@ def minhash_lsh_recall_sql(
     )
 
 
+def split_leakage_sql(
+    threshold: float = 0.3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    salt: str = "split",
+    splits: tuple = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+) -> str:
+    """Mirror of operators.dedup.split_leakage: LSH-verified pairs at
+    >= threshold classified by the identical hash-split assignment."""
+    h = _h48(f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    cases, cum = [], 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        cases.append(f"WHEN h < {int(cum * (1 << 48))} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{splits[-1][0]}' END"
+    return (
+        f"WITH {_minhash_lsh_ctes(num_hashes, bands)},\n"
+        f"dpairs AS MATERIALIZED (\n"
+        f"  SELECT cand.a, cand.b FROM cand\n"
+        f"  LEFT JOIN jac j ON j.a = cand.a AND j.b = cand.b\n"
+        f"  WHERE COALESCE(j.jaccard, 0.0) >= {threshold}),\n"
+        f"sp AS MATERIALIZED (SELECT doc_id, {case} AS split\n"
+        f"  FROM (SELECT doc_id, {h} AS h FROM documents))\n"
+        f"SELECT pair_class, CAST(count(*) AS BIGINT) AS n_pairs FROM (\n"
+        f"  SELECT CASE WHEN x.split = y.split\n"
+        f"    THEN 'within_' || x.split ELSE 'cross' END AS pair_class\n"
+        f"  FROM dpairs p JOIN sp x ON x.doc_id = p.a\n"
+        f"  JOIN sp y ON y.doc_id = p.b)\n"
+        f"GROUP BY pair_class"
+    )
+
+
 def dedup_clusters_sql(threshold: float = 0.3, num_hashes: int = 8,
                        bands: int = 4) -> str:
     """Near-dup clusters: transitive closure (recursive CTE) over the LSH

@@ -393,3 +393,69 @@ def test_minhash_lsh_recall_bruteforce(spark):
     )
     assert row["recall"] == round(len(hits) / len(truth), 6)
     assert len(truth) >= 3  # fixture non-degenerate
+
+
+def test_split_leakage_bruteforce(spark):
+    import hashlib
+
+    from graphlite_spark.operators.dedup import split_leakage
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    alt = "one two three four five six seven eight nine ten eleven"
+    # several duplicate groups so hash-splits have a chance to differ
+    texts = []
+    for g in range(8):
+        t = (base if g % 2 == 0 else alt) + f" group{g} tail words here"
+        texts += [t, t]  # exact dup pair per group
+    texts.append("totally unrelated filler document with other words")
+    TAU, K, B, N = 0.3, 8, 4, 3
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def sh(t):
+        ts = [w for w in t.lower().split() if w]
+        return {" ".join(ts[i:i + N]) for i in range(len(ts) - N + 1)}
+
+    def bandkeys(s):
+        sig = [min(h48(f"{k}\x1f{x}") for x in s) for k in range(K)]
+        rows = K // B
+        return {
+            hashlib.md5("\x1f".join(
+                [str(b)] + [str(sig[b * rows + r]) for r in range(rows)]
+            ).encode()).hexdigest()
+            for b in range(B)
+        }
+
+    S = [sh(t) for t in texts]
+    keys = [bandkeys(s) if s else set() for s in S]
+    found = {
+        (a, b)
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if keys[a] & keys[b]
+        and round(len(S[a] & S[b]) / len(S[a] | S[b]), 6) >= TAU
+    }
+
+    def split(i):
+        h = h48(f"split:{i}")
+        if h < int(0.9 * (1 << 48)):
+            return "train"
+        if h < int(0.95 * (1 << 48)):
+            return "val"
+        return "test"
+
+    from collections import Counter
+    want = Counter(
+        f"within_{split(a)}" if split(a) == split(b) else "cross"
+        for (a, b) in found
+    )
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["pair_class"]: r["n_pairs"]
+        for r in split_leakage(df, threshold=TAU).collect()
+    }
+    assert got == dict(want)
+    assert sum(want.values()) >= 8  # every planted pair found
