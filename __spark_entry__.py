@@ -2135,6 +2135,14 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage(load_table(spark, sf_dir, "documents"))
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-anonymity risk histogram over the (event_type, day, hour)
+    # quasi-identifier — size-1 classes are unique fingerprints
+    from graphlite_spark.operators.profiling import k_anonymity
+
+    return k_anonymity(load_table(spark, sf_dir, "events"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2531,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_peel": q_densest_peel,
         "bpe_fertility": q_bpe_fertility,
         "split_leakage": q_split_leakage,
+        "k_anonymity": q_k_anonymity,
     }
 
 
@@ -2627,6 +2636,7 @@ def oracle_sql() -> dict[str, str]:
         "densest_peel": O.densest_peel_sql(8, 100),
         "bpe_fertility": O.bpe_fertility_sql(8),
         "split_leakage": O.split_leakage_sql(0.3, 8, 4),
+        "k_anonymity": O.k_anonymity_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

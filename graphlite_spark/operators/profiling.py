@@ -166,3 +166,46 @@ def profile_columns(
         F.min("v_str").alias("min_str"),
         F.max("v_str").alias("max_str"),
     )
+
+
+def k_anonymity(
+    events: DataFrame,
+    qi_cols: list | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(class_size, n_classes, n_rows) — the k-anonymity risk histogram
+    (Sweeney 2002): rows grouped by the quasi-identifier tuple
+    (event_type, day, hour by default) form equivalence classes; a
+    released table is k-anonymous iff every class has size >= k, so the
+    histogram's low end IS the re-identification risk (size-1 classes
+    are unique fingerprints).  n_rows = class_size * n_classes makes
+    rows-at-risk one filter away.
+
+    Scale shape: two map-side-combined groupBys (QI tuple -> class
+    sizes -> histogram), nothing else — the canonical double-aggregation
+    that never materializes per-individual state."""
+    from pyspark.sql import functions as F
+
+    if qi_cols is None:
+        t = F.col(ts_col).cast("timestamp")
+        qi = [
+            F.col("event_type"),
+            F.to_date(t).alias("day"),
+            F.hour(t).alias("hour"),
+        ]
+    else:
+        qi = [F.col(c) for c in qi_cols]
+    classes = events.groupBy(*qi).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes"))
+            .cast("long")
+            .alias("n_rows"),
+        )
+    )

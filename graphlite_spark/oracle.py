@@ -2488,6 +2488,19 @@ def assign_splits_sql(
     )
 
 
+def k_anonymity_sql() -> str:
+    """Mirror of operators.profiling.k_anonymity over events with the
+    (event_type, day, hour) quasi-identifier."""
+    return (
+        "SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,\n"
+        "  CAST(class_size * count(*) AS BIGINT) AS n_rows\n"
+        "FROM (SELECT CAST(count(*) AS BIGINT) AS class_size\n"
+        "      FROM events\n"
+        "      GROUP BY event_type, CAST(ts AS DATE), hour(ts))\n"
+        "GROUP BY class_size"
+    )
+
+
 def kmv_set_overlap_sql(
     group_col: str = "event_type",
     value_col: str = "user_id",

@@ -459,3 +459,33 @@ def test_split_leakage_bruteforce(spark):
     }
     assert got == dict(want)
     assert sum(want.values()) >= 8  # every planted pair found
+
+
+def test_k_anonymity_bruteforce(spark):
+    import datetime as dt
+    from collections import Counter
+
+    from graphlite_spark.operators.profiling import k_anonymity
+
+    rows = [
+        # (event_type, ts): two same-hour 'click's, a lone 'view', three
+        # same-hour 'error's, one 'click' in a different hour
+        ("click", dt.datetime(2024, 1, 1, 10, 5)),
+        ("click", dt.datetime(2024, 1, 1, 10, 55)),
+        ("view", dt.datetime(2024, 1, 1, 10, 10)),
+        ("error", dt.datetime(2024, 1, 2, 3, 1)),
+        ("error", dt.datetime(2024, 1, 2, 3, 2)),
+        ("error", dt.datetime(2024, 1, 2, 3, 59)),
+        ("click", dt.datetime(2024, 1, 1, 11, 0)),
+    ]
+    cls = Counter((t, ts.date(), ts.hour) for t, ts in rows)
+    hist = Counter(cls.values())
+    want = {s: (n, s * n) for s, n in hist.items()}
+
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        r["class_size"]: (r["n_classes"], r["n_rows"])
+        for r in k_anonymity(df).collect()
+    }
+    assert got == want
+    assert got[1] == (2, 2) and got[2] == (1, 2) and got[3] == (1, 3)
