@@ -2143,6 +2143,15 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity(load_table(spark, sf_dir, "events"))
 
 
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stationary distribution of the per-user event-type chain: exact
+    # integer power iteration on the codebook-sized transition matrix
+    from graphlite_spark.operators.cooccurrence import markov_stationary
+
+    return markov_stationary(load_table(spark, sf_dir, "events"),
+                             iterations=8)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2540,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "split_leakage": q_split_leakage,
         "k_anonymity": q_k_anonymity,
+        "markov_stationary": q_markov_stationary,
     }
 
 
@@ -2637,6 +2647,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": O.bpe_fertility_sql(8),
         "split_leakage": O.split_leakage_sql(0.3, 8, 4),
         "k_anonymity": O.k_anonymity_sql(),
+        "markov_stationary": O.markov_stationary_sql(8),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -5196,6 +5196,44 @@ def tool_transitions_sql() -> str:
     )
 
 
+def markov_stationary_sql(iterations: int = 8) -> str:
+    """Mirror of operators.cooccurrence.markov_stationary: identical
+    per-actor lag chain, k x k counts, and per-term truncating-division
+    power iteration from the uniform 1e6 // k start."""
+    parts = [
+        "mpr AS MATERIALIZED (SELECT\n"
+        "  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " AS a,\n"
+        "  event_type AS b FROM events)",
+        "mc AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM mpr WHERE a IS NOT NULL GROUP BY a, b)",
+        "mtot AS MATERIALIZED (SELECT a, CAST(sum(n) AS BIGINT) AS tot\n"
+        "  FROM mc GROUP BY a)",
+        "mcm AS MATERIALIZED (SELECT c.a, c.b, c.n, t.tot\n"
+        "  FROM mc c JOIN mtot t USING (a))",
+        "mst AS MATERIALIZED (SELECT DISTINCT event_type AS state"
+        " FROM events)",
+        "mk AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k FROM mst)",
+        "sp0 AS MATERIALIZED (SELECT state,\n"
+        "  CAST(1000000 // (SELECT k FROM mk) AS BIGINT) AS p FROM mst)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"sp{i - 1}"
+        parts.append(
+            f"sp{i} AS MATERIALIZED (\n"
+            f"  SELECT s.state, CAST(COALESCE(m.p2, 0) AS BIGINT) AS p\n"
+            f"  FROM mst s LEFT JOIN (\n"
+            f"    SELECT cm.b AS state, SUM((q.p * cm.n) // cm.tot) AS p2\n"
+            f"    FROM mcm cm JOIN {prev} q ON q.state = cm.a\n"
+            f"    GROUP BY cm.b) m ON m.state = s.state)"
+        )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT state, p AS stationary_micros FROM sp{iterations}"
+    )
+
+
 def sorted_neighborhood_sql(
     window: int = 4, key_len: int = 16, threshold: float = 0.3
 ) -> str:

@@ -489,3 +489,47 @@ def test_k_anonymity_bruteforce(spark):
     }
     assert got == want
     assert got[1] == (2, 2) and got[2] == (1, 2) and got[3] == (1, 3)
+
+
+def test_markov_stationary_bruteforce(spark):
+    import datetime as dt
+
+    from graphlite_spark.operators.cooccurrence import markov_stationary
+
+    # skewed chain: A mostly goes to B, B mostly stays B, C feeds A
+    seqs = {
+        1: ["A", "B", "B", "B", "A", "B", "B", "C"],
+        2: ["C", "A", "B", "B", "B", "B"],
+        3: ["B", "B", "A", "B", "C", "A"],
+    }
+    rows, eid = [], 0
+    for u, states in seqs.items():
+        for i, s in enumerate(states):
+            rows.append((eid, u, s, dt.datetime(2024, 1, 1, 0, 0, i)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    IT = 8
+
+    c, states = {}, set()
+    for u, sq in seqs.items():
+        states.update(sq)
+        for a, b in zip(sq, sq[1:]):
+            c[(a, b)] = c.get((a, b), 0) + 1
+    tot = {}
+    for (a, _), n in c.items():
+        tot[a] = tot.get(a, 0) + n
+    k = len(states)
+    p = {s: 1_000_000 // k for s in states}
+    for _ in range(IT):
+        nxt = {s: 0 for s in states}
+        for (a, b), n in c.items():
+            nxt[b] += (p[a] * n) // tot[a]
+        p = nxt
+    got = {
+        r["state"]: r["stationary_micros"]
+        for r in markov_stationary(df, iterations=IT).collect()
+    }
+    assert got == p
+    assert got["B"] > got["A"] > 0  # the skew shows up
