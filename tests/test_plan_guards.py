@@ -144,6 +144,24 @@ GUARDED = [
     "hll_audience_overlap",
     "simhash_hamming1",
     "daily_anomaly_z",
+    # round-5 final additions: the temporal-motif bucketed equi-joins
+    # (the exact window must stay a residual on a hash join), the
+    # SemDeDup within-cluster dominance join (equi on cluster id), the
+    # split-leakage pair/split joins, the LSH-recall compare, the
+    # fertility segmentation join, the Markov k x k iteration joins,
+    # and the join-free scans that must never degrade (code-switch,
+    # k-anonymity).  lt/ic cascades + densest_peel run eagerly and end
+    # in checkpoint scans (the lin/betweenness rule); ppr_sweep_cut's
+    # sweep stage is lazy and rides a 1-row volume broadcast.
+    "temporal_motifs_1h",
+    "semdedup_embeddings",
+    "split_leakage",
+    "minhash_lsh_recall",
+    "bpe_fertility",
+    "markov_stationary",
+    "code_switch_score",
+    "k_anonymity",
+    "ppr_sweep_cut",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -188,6 +206,11 @@ BNLJ_ALLOWED = {
     "hll_audience_overlap",
     # 1-row day-range broadcast builds the spine
     "daily_anomaly_z",
+    # 1-row total-volume / truth-found counts / state-count k broadcast
+    # sides (constant-sized build sides by construction)
+    "ppr_sweep_cut",
+    "minhash_lsh_recall",
+    "markov_stationary",
 }
 
 
