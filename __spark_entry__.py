@@ -2152,6 +2152,15 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                              iterations=8)
 
 
+def q_hitting_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # truncated expected hitting time of the 'purchase' state in the
+    # behavior chain: exact-integer value iteration on the k x k matrix
+    from graphlite_spark.operators.cooccurrence import hitting_time
+
+    return hitting_time(load_table(spark, sf_dir, "events"),
+                        target="purchase", iterations=8)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2550,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "k_anonymity": q_k_anonymity,
         "markov_stationary": q_markov_stationary,
+        "hitting_time": q_hitting_time,
     }
 
 
@@ -2648,6 +2658,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": O.split_leakage_sql(0.3, 8, 4),
         "k_anonymity": O.k_anonymity_sql(),
         "markov_stationary": O.markov_stationary_sql(8),
+        "hitting_time": O.hitting_time_sql("purchase", 8),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

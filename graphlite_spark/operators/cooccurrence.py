@@ -201,3 +201,69 @@ def markov_stationary(
             nxt, states["state"] == nxt["state2"], "left"
         ).select("state", F.coalesce("p2", F.lit(0)).cast("long").alias("p"))
     return p.select("state", F.col("p").alias("stationary_micros"))
+
+
+def hitting_time(
+    events: DataFrame,
+    target: str,
+    iterations: int = 8,
+    state_col: str = "event_type",
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(state, hitting_micros) — the ``iterations``-step truncated
+    expected hitting time of ``target`` in the first-order behavior
+    chain (same per-actor lag chain as :func:`markov_stationary`): how
+    many events, on average, until a user whose last event was
+    ``state`` next reaches ``target``.  Value iteration from h=0:
+
+        h'(v) = 0                       if v == target
+        h'(v) = 1 + sum_u P(v,u) h(u)   otherwise
+
+    which converges to the true expectation from below; states that
+    cannot reach ``target`` (or dangling states with no outgoing
+    transition) grow toward the horizon rather than diverging — the
+    truncation is the honest finite-compute answer and is stated, not
+    hidden.
+
+    Exactness: micros with PER-TERM truncating division —
+    ``(h_u * c_vu) div tot_v`` summed — the :func:`markov_stationary` /
+    katz discipline, identical in both engines (all quantities
+    non-negative, so ``div`` vs floor never diverges).
+
+    Scale shape: one per-actor window + one map-side-combined pair
+    count; the value iteration then runs on the k x k transition
+    matrix — codebook-sized, so the 8 rounds cost the same whether the
+    event log has 1e3 or 1e12 rows."""
+    w = Window.partitionBy(actor_col).orderBy(ts_col, tie_col)
+    pr = events.select(
+        F.lag(state_col).over(w).alias("a"),
+        F.col(state_col).alias("b"),
+    ).where(F.col("a").isNotNull())
+    c = pr.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.groupBy("a").agg(F.sum("n").cast("long").alias("tot"))
+    cm = c.join(tot, "a")
+
+    states = events.select(F.col(state_col).alias("state")).distinct()
+    h = states.select("state", F.lit(0).cast("long").alias("h"))
+    for _ in range(iterations):
+        terms = h.join(cm, h["state"] == cm["b"]).select(
+            F.col("a").alias("state2"),
+            F.expr("(h * n) div tot").alias("term"),
+        )
+        nxt = terms.groupBy("state2").agg(
+            F.sum("term").cast("long").alias("s2")
+        )
+        h = states.join(
+            nxt, states["state"] == nxt["state2"], "left"
+        ).select(
+            "state",
+            F.when(F.col("state") == F.lit(target), F.lit(0))
+            .otherwise(
+                F.lit(1000000) + F.coalesce(F.col("s2"), F.lit(0))
+            )
+            .cast("long")
+            .alias("h"),
+        )
+    return h.select("state", F.col("h").alias("hitting_micros"))

@@ -5234,6 +5234,47 @@ def markov_stationary_sql(iterations: int = 8) -> str:
     )
 
 
+def hitting_time_sql(target: str, iterations: int = 8) -> str:
+    """Mirror of operators.cooccurrence.hitting_time: identical lag
+    chain and k x k counts, then the unrolled value iteration
+    h'(v) = [v != target] * (1e6 + sum_u (h_u * c_vu) // tot_v) from
+    h = 0 (all quantities non-negative, so // == div)."""
+    tgt = target.replace("'", "''")
+    parts = [
+        "hpr AS MATERIALIZED (SELECT\n"
+        "  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " AS a,\n"
+        "  event_type AS b FROM events)",
+        "hc AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM hpr WHERE a IS NOT NULL GROUP BY a, b)",
+        "htot AS MATERIALIZED (SELECT a, CAST(sum(n) AS BIGINT) AS tot\n"
+        "  FROM hc GROUP BY a)",
+        "hcm AS MATERIALIZED (SELECT c.a, c.b, c.n, t.tot\n"
+        "  FROM hc c JOIN htot t USING (a))",
+        "hst AS MATERIALIZED (SELECT DISTINCT event_type AS state"
+        " FROM events)",
+        "hh0 AS MATERIALIZED (SELECT state, CAST(0 AS BIGINT) AS h"
+        " FROM hst)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"hh{i - 1}"
+        parts.append(
+            f"hh{i} AS MATERIALIZED (\n"
+            f"  SELECT s.state,\n"
+            f"    CAST(CASE WHEN s.state = '{tgt}' THEN 0\n"
+            f"      ELSE 1000000 + COALESCE(m.s2, 0) END AS BIGINT) AS h\n"
+            f"  FROM hst s LEFT JOIN (\n"
+            f"    SELECT cm.a AS state, SUM((q.h * cm.n) // cm.tot) AS s2\n"
+            f"    FROM hcm cm JOIN {prev} q ON q.state = cm.b\n"
+            f"    GROUP BY cm.a) m ON m.state = s.state)"
+        )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT state, h AS hitting_micros FROM hh{iterations}"
+    )
+
+
 def sorted_neighborhood_sql(
     window: int = 4, key_len: int = 16, threshold: float = 0.3
 ) -> str:

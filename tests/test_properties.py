@@ -533,3 +533,51 @@ def test_markov_stationary_bruteforce(spark):
     }
     assert got == p
     assert got["B"] > got["A"] > 0  # the skew shows up
+
+
+def test_hitting_time_bruteforce(spark):
+    import datetime as dt
+
+    from graphlite_spark.operators.cooccurrence import hitting_time
+
+    # B is the target; C never reaches B directly, only through A
+    seqs = {
+        1: ["A", "B", "A", "A", "B", "C"],
+        2: ["C", "A", "B", "C", "A"],
+        3: ["B", "C", "C", "A", "B"],
+    }
+    rows, eid = [], 0
+    for u, states in seqs.items():
+        for i, s in enumerate(states):
+            rows.append((eid, u, s, dt.datetime(2024, 1, 1, 0, 0, i)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    IT = 8
+
+    c, states = {}, set()
+    for u, sq in seqs.items():
+        states.update(sq)
+        for a, b in zip(sq, sq[1:]):
+            c[(a, b)] = c.get((a, b), 0) + 1
+    tot = {}
+    for (a, _), n in c.items():
+        tot[a] = tot.get(a, 0) + n
+    h = {s: 0 for s in states}
+    for _ in range(IT):
+        s2 = {s: 0 for s in states}
+        for (a, b), n in c.items():
+            s2[a] += (h[b] * n) // tot[a]
+        h = {
+            s: 0 if s == "B" else 1_000_000 + s2[s]
+            for s in states
+        }
+    got = {
+        r["state"]: r["hitting_micros"]
+        for r in hitting_time(df, target="B", iterations=IT).collect()
+    }
+    assert got == h
+    assert got["B"] == 0
+    # C reaches B only via A, so it must sit strictly farther out
+    assert got["C"] > got["A"] > 0
