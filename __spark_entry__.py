@@ -2161,6 +2161,14 @@ def q_hitting_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                         target="purchase", iterations=8)
 
 
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Heaps'-law vocabulary-growth curve + fitted exponent: distinct
+    # types after each corpus decile (doc_id order), log-log OLS slope
+    from graphlite_spark.operators.packing import heaps_law
+
+    return heaps_law(load_table(spark, sf_dir, "documents"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2560,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "markov_stationary": q_markov_stationary,
         "hitting_time": q_hitting_time,
+        "heaps_law": q_heaps_law,
     }
 
 
@@ -2659,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": O.k_anonymity_sql(),
         "markov_stationary": O.markov_stationary_sql(8),
         "hitting_time": O.hitting_time_sql("purchase", 8),
+        "heaps_law": O.heaps_law_sql(10),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -398,3 +398,140 @@ def vocab_coverage(
             .alias("coverage_micros"),
         )
     )
+
+
+def heaps_law(
+    docs: DataFrame,
+    deciles: int = 10,
+    bucket_size: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(decile, tokens_cum, vocab_cum, heaps_beta) — the Heaps'-law
+    vocabulary-growth curve: distinct-type count V(n) after the first
+    n tokens of the corpus (in ``id_col`` order) at each 1/``deciles``
+    checkpoint, plus the fitted growth exponent beta from the log-log
+    OLS slope of V(n) ~ K·n^beta (Heaps 1978, public literature) — the
+    corpus scaling-law readout that says how fast new vocabulary keeps
+    arriving as the corpus grows.
+
+    Exactness: token positions and checkpoint counts are exact BIGINTs
+    (global position = distributed exclusive prefix-sum of per-doc
+    token counts, the pareto_concentration bucket pattern — never one
+    global window); each log term is rounded to integer micros BEFORE
+    the slope sums (the powerlaw_alpha discipline — no float
+    summation-order dependence), and beta is the single final float
+    division, 6dp.
+
+    Scale shape: one per-doc tokenize, the bucket-grain prefix-sum
+    (summary rows = n_docs/bucket_size), one posexplode +
+    map-side-combined min per type, then each TYPE fans out only to
+    the checkpoints at or past its first occurrence (a literal-array
+    filter+explode inside codegen, the vocab_coverage pattern — the
+    checkpoint thresholds ride in as literals from one scalar action,
+    the tf_idf N pattern).  The slope runs on the ``deciles``-row
+    curve."""
+    from graphlite_spark.plans.derive import assign_dense_ids
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"), tokens_expr(text_col).alias("toks")
+    )
+    sized = toks.select(
+        "doc", F.size("toks").cast("long").alias("nt")
+    )
+    n_total = int(
+        sized.agg(F.sum("nt").alias("t")).first()["t"] or 0
+    )
+
+    ranked = assign_dense_ids(sized, ["doc"], id_col="r")
+    b = ranked.withColumn("bucket", F.expr(f"r div {bucket_size}"))
+    bsum = b.groupBy("bucket").agg(F.sum("nt").cast("long").alias("bs"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bsum.select(
+        "bucket",
+        F.coalesce(F.sum("bs").over(wb), F.lit(0)).cast("long").alias(
+            "before"
+        ),
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    starts = (
+        b.join(F.broadcast(prefix), "bucket")
+        .select(
+            "doc",
+            (
+                F.col("before")
+                + F.coalesce(F.sum("nt").over(win), F.lit(0))
+            )
+            .cast("long")
+            .alias("start"),
+        )
+    )
+
+    pos = toks.join(starts, "doc").select(
+        F.posexplode("toks").alias("p", "tok"), "start"
+    )
+    fpos = (
+        pos.select("tok", (F.col("start") + F.col("p") + 1).alias("g"))
+        .groupBy("tok")
+        .agg(F.min("g").cast("long").alias("fpos"))
+    )
+
+    cps = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("decile"),
+                F.lit(n_total * d // deciles).cast("long").alias(
+                    "tokens_cum"
+                ),
+            )
+            for d in range(1, deciles + 1)
+        ]
+    )
+    fanned = fpos.select(
+        F.explode(
+            F.filter(cps, lambda c: F.col("fpos") <= c["tokens_cum"])
+        ).alias("cp")
+    )
+    curve = fanned.groupBy(
+        F.col("cp.decile").alias("decile"),
+        F.col("cp.tokens_cum").alias("tokens_cum"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("vocab_cum"))
+
+    lg = curve.select(
+        "decile",
+        "tokens_cum",
+        "vocab_cum",
+        F.round(F.log(F.col("tokens_cum").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("xl"),
+        F.round(F.log(F.col("vocab_cum").cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("yl"),
+    )
+    beta = lg.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("xl").alias("sx"),
+        F.sum("yl").alias("sy"),
+        F.sum(F.col("xl") * F.col("yl")).alias("sxy"),
+        F.sum(F.col("xl") * F.col("xl")).alias("sxx"),
+    ).select(
+        F.when(
+            F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx") != 0,
+            F.round(
+                (
+                    F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / (
+                    F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double"),
+                6,
+            ),
+        ).alias("heaps_beta")
+    )
+    return lg.crossJoin(F.broadcast(beta)).select(
+        "decile", "tokens_cum", "vocab_cum", "heaps_beta"
+    )

@@ -3847,6 +3847,70 @@ def vocab_coverage_sql(cutoffs: tuple[int, ...] = (256, 1024, 4096, 16384)) -> s
     )
 
 
+def heaps_law_sql(deciles: int = 10) -> str:
+    """Mirror of operators.packing.heaps_law: global token positions
+    from a doc_id-ordered exclusive prefix-sum, first-occurrence
+    positions, the per-decile cumulative type counts, and the log-log
+    OLS slope with each ln term rounded to BIGINT micros BEFORE the
+    sums (the powerlaw_alpha discipline; DuckDB sums BIGINTs in
+    HUGEINT, still exact)."""
+    return (
+        "WITH hl_tok AS MATERIALIZED (\n"
+        "  SELECT doc_id,\n"
+        "    list_filter(string_split_regex(lower(text), '\\s+'),"
+        " x -> x <> '') AS toks\n"
+        "  FROM documents),\n"
+        "hl_sz AS MATERIALIZED (SELECT doc_id,"
+        " CAST(len(toks) AS BIGINT) AS nt FROM hl_tok),\n"
+        "hl_start AS MATERIALIZED (\n"
+        "  SELECT doc_id, CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id\n"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS BIGINT) AS start\n"
+        "  FROM hl_sz),\n"
+        "hl_pos AS MATERIALIZED (\n"
+        "  SELECT x.u.tok AS tok,"
+        " CAST(s.start + x.u.i AS BIGINT) AS g\n"
+        "  FROM (SELECT doc_id, unnest(list_transform(\n"
+        "      range(1, len(toks) + 1),"
+        " i -> {'i': i, 'tok': toks[i]})) AS u\n"
+        "    FROM hl_tok) x\n"
+        "  JOIN hl_start s ON s.doc_id = x.doc_id),\n"
+        "hl_fp AS MATERIALIZED (SELECT tok,"
+        " CAST(MIN(g) AS BIGINT) AS fpos FROM hl_pos GROUP BY tok),\n"
+        "hl_tot AS MATERIALIZED (SELECT"
+        " CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_total FROM hl_sz),\n"
+        "hl_cp AS MATERIALIZED (\n"
+        "  SELECT CAST(d.decile AS BIGINT) AS decile,\n"
+        f"    CAST((t.n_total * d.decile) // {deciles} AS BIGINT)"
+        " AS tokens_cum\n"
+        f"  FROM hl_tot t, range(1, {deciles + 1}) d(decile)),\n"
+        "hl_v AS MATERIALIZED (\n"
+        "  SELECT c.decile, c.tokens_cum,"
+        " CAST(count(*) AS BIGINT) AS vocab_cum\n"
+        "  FROM hl_cp c JOIN hl_fp f ON f.fpos <= c.tokens_cum\n"
+        "  GROUP BY c.decile, c.tokens_cum),\n"
+        "hl_lg AS MATERIALIZED (\n"
+        "  SELECT decile, tokens_cum, vocab_cum,\n"
+        "    CAST(round(ln(CAST(tokens_cum AS DOUBLE)) * 1000000)"
+        " AS BIGINT) AS xl,\n"
+        "    CAST(round(ln(CAST(vocab_cum AS DOUBLE)) * 1000000)"
+        " AS BIGINT) AS yl\n"
+        "  FROM hl_v),\n"
+        "hl_b AS MATERIALIZED (\n"
+        "  SELECT CAST(count(*) AS BIGINT) AS k,\n"
+        "    CAST(SUM(xl) AS BIGINT) AS sx, CAST(SUM(yl) AS BIGINT) AS sy,\n"
+        "    CAST(SUM(xl * yl) AS BIGINT) AS sxy,\n"
+        "    CAST(SUM(xl * xl) AS BIGINT) AS sxx\n"
+        "  FROM hl_lg)\n"
+        "SELECT l.decile, l.tokens_cum, l.vocab_cum,\n"
+        "  CASE WHEN b.k * b.sxx - b.sx * b.sx <> 0 THEN\n"
+        "    round(CAST(b.k * b.sxy - b.sx * b.sy AS DOUBLE)\n"
+        "      / CAST(b.k * b.sxx - b.sx * b.sx AS DOUBLE), 6)\n"
+        "  END AS heaps_beta\n"
+        "FROM hl_lg l, hl_b b"
+    )
+
+
 def _bpe_merge_step(step: int) -> list[str]:
     """CTEs for ONE BPE merge step: weighted adjacent-pair counts from
     ``s{step-1}``, the argmax rule ``best{step}``, then leftmost-greedy

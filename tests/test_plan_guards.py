@@ -162,6 +162,12 @@ GUARDED = [
     "code_switch_score",
     "k_anonymity",
     "ppr_sweep_cut",
+    # hitting_time iterates the same k x k equi-join chain as
+    # markov_stationary but carries no scalar broadcast (no BNLJ at
+    # all); heaps_law's prefix-sum join is equi on bucket and its only
+    # non-equi shape is the 1-row slope broadcast
+    "hitting_time",
+    "heaps_law",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -211,6 +217,8 @@ BNLJ_ALLOWED = {
     "ppr_sweep_cut",
     "minhash_lsh_recall",
     "markov_stationary",
+    # 1-row fitted-slope broadcast back over the decile curve
+    "heaps_law",
 }
 
 

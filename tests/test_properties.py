@@ -581,3 +581,52 @@ def test_hitting_time_bruteforce(spark):
     assert got["B"] == 0
     # C reaches B only via A, so it must sit strictly farther out
     assert got["C"] > got["A"] > 0
+
+
+def test_heaps_law_bruteforce(spark):
+    import math
+
+    from graphlite_spark.operators.packing import heaps_law
+
+    docs = [
+        (0, "alpha beta alpha gamma"),
+        (1, "beta beta delta alpha epsilon"),
+        (2, "zeta alpha eta theta beta iota kappa"),
+        (3, "alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # brute force: global token stream in doc_id order
+    stream = []
+    for _, t in sorted(docs):
+        stream.extend(t.split())
+    n = len(stream)
+    first = {}
+    for i, tok in enumerate(stream, start=1):
+        first.setdefault(tok, i)
+    want = {}
+    for d in range(1, 11):
+        nd = n * d // 10
+        vd = sum(1 for f in first.values() if f <= nd)
+        if vd:
+            want[d] = (nd, vd)
+    pts = [
+        (round(math.log(nd) * 1e6), round(math.log(vd) * 1e6))
+        for nd, vd in want.values()
+    ]
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    beta = round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+
+    rows = heaps_law(df).collect()
+    got = {
+        r["decile"]: (r["tokens_cum"], r["vocab_cum"]) for r in rows
+    }
+    assert got == want
+    assert all(abs(r["heaps_beta"] - beta) < 2e-6 for r in rows)
+    # the curve is a real growth curve: vocab non-decreasing in decile
+    vs = [got[d][1] for d in sorted(got)]
+    assert vs == sorted(vs)
