@@ -2169,6 +2169,37 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_law(load_table(spark, sf_dir, "documents"))
 
 
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dimension-truncation ablation: recall@5 of cosine top-k on the
+    # first 16 of 64 coordinates vs the full-dim ground truth — the
+    # number a Matryoshka-style prefix index is tuned on
+    from graphlite_spark.operators.similarity import matryoshka_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return matryoshka_recall(
+        emb, emb.where(F.col("vec_id") < 20), k=5, dims=16
+    )
+
+
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-space anomaly readout: top-20 vectors farthest (exact
+    # BIGINT micro^2 squared L2) from the corpus centroid; centroid
+    # rides back as a d-long literal, scoring is zero-shuffle codegen
+    from graphlite_spark.operators.similarity import centroid_outliers
+
+    return centroid_outliers(load_table(spark, sf_dir, "embeddings"), k=20)
+
+
+def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-subspace PQ reconstruction error (the codebook-quality curve
+    # from Jegou et al. 2011): exact BIGINT micro^2 totals + truncating
+    # mean — the tuning signal for non-uniform bit allocation
+    from graphlite_spark.operators.kmeans import pq_distortion
+
+    return pq_distortion(load_table(spark, sf_dir, "embeddings"),
+                         m=4, k=8, iterations=2)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2569,6 +2600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_stationary": q_markov_stationary,
         "hitting_time": q_hitting_time,
         "heaps_law": q_heaps_law,
+        "matryoshka_recall": q_matryoshka_recall,
+        "centroid_outliers": q_centroid_outliers,
+        "pq_distortion": q_pq_distortion,
     }
 
 
@@ -2669,6 +2703,9 @@ def oracle_sql() -> dict[str, str]:
         "markov_stationary": O.markov_stationary_sql(8),
         "hitting_time": O.hitting_time_sql("purchase", 8),
         "heaps_law": O.heaps_law_sql(10),
+        "matryoshka_recall": O.matryoshka_recall_sql(5, 16, 20),
+        "centroid_outliers": O.centroid_outliers_sql(20),
+        "pq_distortion": O.pq_distortion_sql(4, 8, 2, 64),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -244,6 +244,44 @@ def pq_encode(
     )
 
 
+def pq_distortion(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, n_vectors, total_err, mean_err) — per-subspace PQ
+    reconstruction error: the quantization-quality readout an ANN
+    pipeline checks BEFORE committing a codebook (Jégou et al. 2011
+    report exactly this curve vs m and k).  A subspace whose mean error
+    dwarfs the others tells you its coordinates need more codewords —
+    the tuning signal for non-uniform bit allocation.
+
+    Everything is exact BIGINT micro² (``dist_sq`` comes straight from
+    :func:`pq_encode`); the mean is a truncating integer division
+    (nonnegative, so Spark ``div`` == DuckDB ``//``) — no float, hash-
+    exact cross-engine.
+
+    Scale shape: :func:`pq_encode`'s one codebook-literal pass + a
+    map-side-combined groupBy on ``m`` keys — m partial rows per task,
+    the cheapest aggregate there is."""
+    enc = pq_encode(
+        embeddings, m=m, k=k, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return enc.groupBy("sub").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("dist_sq").cast("long").alias("total_err"),
+    ).select(
+        "sub",
+        "n_vectors",
+        "total_err",
+        F.expr("total_err div n_vectors").cast("long").alias("mean_err"),
+    )
+
+
 def kcenter_select(
     embeddings: DataFrame,
     k: int = 8,

@@ -104,6 +104,44 @@ def lsh_recall(
     return _recall_compare(truth, approx)
 
 
+def matryoshka_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, n_truth, n_approx, n_hits, recall) — measured recall@k
+    of cosine top-k run on only the FIRST ``dims`` coordinates against
+    the full-dimension ground truth (same contract as :func:`lsh_recall`).
+
+    The dimension-truncation ablation behind Matryoshka-style embeddings
+    (Kusupati et al. 2022, public literature): nested-prefix models are
+    trained so a d/4-wide prefix retrieves nearly as well as the full
+    vector, and THIS readout is the number that decision is made on —
+    how much recall the index gives up by storing/searching the prefix.
+    On non-Matryoshka embeddings it doubles as the honest baseline
+    showing why naive truncation needs the special training.
+
+    Scale shape: both sides are :func:`cosine_topk` (broadcast cross
+    join + WindowGroupLimit top-k) — the truncated side additionally
+    SHRINKS every vector to ``dims`` floats before the join via a pure
+    ``slice`` projection, which is exactly the memory/bandwidth saving
+    the prefix index buys at 100 TB (the d-to-dims ratio comes off the
+    shuffle and the distance arithmetic alike).  The comparison is the
+    shared :func:`_recall_compare` equi-join."""
+    truth = cosine_topk(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+    te = embeddings.select(
+        F.col(id_col).alias(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+    )
+    tq = queries.select(
+        F.col(id_col).alias(id_col), F.slice(F.col(vec_col), 1, dims).alias(vec_col)
+    )
+    approx = cosine_topk(te, tq, k=k, id_col=id_col, vec_col=vec_col)
+    return _recall_compare(truth, approx)
+
+
 def ivf_recall(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -508,6 +546,73 @@ def random_projection(
     return embeddings.select(
         F.col(id_col).alias("vec_id"), y.alias("ys")
     ).select("vec_id", F.posexplode("ys").alias("dim", "value_micros"))
+
+
+def centroid_outliers(
+    embeddings: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, dist_sq, rank) — the ``k`` vectors FARTHEST (squared L2,
+    exact BIGINT micro²) from the corpus centroid: the embedding-space
+    anomaly readout a curation pipeline runs to surface mislabeled /
+    off-distribution / garbage documents before training.
+
+    Exactness: coordinates quantize to BIGINT micros (the repo-wide
+    ``round(x·10⁶)`` rule); the centroid is the per-dimension truncating
+    integer division ``S_j div N`` (Spark ``div`` and DuckDB ``//`` both
+    truncate toward zero — the kmeans oracle discipline), and distances
+    are pure integer sums — no float anywhere, hash-exact cross-engine.
+
+    Scale shape: per-dimension sums ride ONE map-side-combined aggregate
+    (d partial longs per task — a single action collecting one row);
+    the centroid then rides back as a d-long LITERAL array, so scoring
+    is a zero-shuffle whole-stage-codegen expression over the corpus and
+    the top-k is one TakeOrderedAndProject — no join, no groupBy, no
+    window over the N·d data.  The same two-pass shape at 10^12 rows."""
+    from graphlite_spark.operators.kmeans import quantize_expr
+
+    qz = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_expr(F.col(vec_col)).alias("qv")
+    )
+    dim_row = qz.select(F.size("qv").alias("d")).limit(1).collect()
+    if not dim_row:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, dist_sq long, rank int"
+        )
+    d = dim_row[0]["d"]
+    sums = qz.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.element_at("qv", j + 1)).cast("long").alias(f"s{j}")
+            for j in range(d)
+        ],
+    ).first()
+    n = sums["n"]
+    cent = [int(_trunc_div(int(sums[f"s{j}"]), n)) for j in range(d)]
+    c_lit = F.array(*[F.lit(c).cast("long") for c in cent])
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), c_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = qz.select("vec_id", dist.alias("dist_sq"))
+    w = Window.orderBy(F.col("dist_sq").desc(), F.col("vec_id").asc())
+    return (
+        scored.orderBy(F.col("dist_sq").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("vec_id", "dist_sq", "rank")
+    )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero (Spark ``div`` / DuckDB
+    ``//`` semantics) — Python's ``//`` floors, which differs for
+    negative numerators."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
 
 
 def rrf_fuse(

@@ -3630,6 +3630,93 @@ def ann_lsh_recall_sql(k: int = 5, num_bits: int = 8, num_queries: int = 20) -> 
     )
 
 
+def matryoshka_recall_sql(
+    k: int = 5, dims: int = 16, num_queries: int = 20
+) -> str:
+    """Mirror of operators.similarity.matryoshka_recall: brute-force
+    top-k on the full vectors and on the first ``dims`` coordinates as
+    CTEs, intersected per query (the ann_lsh_recall_sql shape with a
+    list-slice instead of a bucket)."""
+    cos_t = (
+        "round(list_inner_product(q.v, c.v) / "
+        "(sqrt(list_inner_product(q.v, q.v)) * "
+        "sqrt(list_inner_product(c.v, c.v))), 6)"
+    )
+    cos_a = (
+        "round(list_inner_product(q.vt, c.vt) / "
+        "(sqrt(list_inner_product(q.vt, q.vt)) * "
+        "sqrt(list_inner_product(c.vt, c.vt))), 6)"
+    )
+    return (
+        "WITH mr_eb AS MATERIALIZED (SELECT vec_id,\n"
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,\n"
+        f"  list_transform(embedding[1:{dims}],"
+        " x -> CAST(x AS DOUBLE)) AS vt\n"
+        "  FROM embeddings),\n"
+        f"mr_q AS MATERIALIZED (SELECT * FROM mr_eb"
+        f" WHERE vec_id < {num_queries}),\n"
+        "mr_truth AS MATERIALIZED (\n"
+        "  SELECT query_id, neighbor_id FROM (\n"
+        "    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,\n"
+        "      row_number() OVER (PARTITION BY q.vec_id\n"
+        f"        ORDER BY {cos_t} DESC, c.vec_id ASC) AS rank\n"
+        "    FROM mr_q q JOIN mr_eb c ON c.vec_id <> q.vec_id)\n"
+        f"  WHERE rank <= {k}),\n"
+        "mr_approx AS MATERIALIZED (\n"
+        "  SELECT query_id, neighbor_id FROM (\n"
+        "    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,\n"
+        "      row_number() OVER (PARTITION BY q.vec_id\n"
+        f"        ORDER BY {cos_a} DESC, c.vec_id ASC) AS rank\n"
+        "    FROM mr_q q JOIN mr_eb c ON c.vec_id <> q.vec_id)\n"
+        f"  WHERE rank <= {k}),\n"
+        "mr_nt AS (SELECT query_id, count(*) AS n_truth"
+        " FROM mr_truth GROUP BY query_id),\n"
+        "mr_na AS (SELECT query_id, count(*) AS n_approx"
+        " FROM mr_approx GROUP BY query_id),\n"
+        "mr_h AS (SELECT t.query_id, count(*) AS n_hits\n"
+        "  FROM mr_truth t JOIN mr_approx a\n"
+        "    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id\n"
+        "  GROUP BY t.query_id)\n"
+        "SELECT nt.query_id, CAST(nt.n_truth AS BIGINT) AS n_truth,\n"
+        "  CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,\n"
+        "  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,\n"
+        "  round(COALESCE(h.n_hits, 0) / nt.n_truth, 6) AS recall\n"
+        "FROM mr_nt nt LEFT JOIN mr_na na ON na.query_id = nt.query_id\n"
+        "LEFT JOIN mr_h h ON h.query_id = nt.query_id"
+    )
+
+
+def centroid_outliers_sql(k: int = 20) -> str:
+    """Mirror of operators.similarity.centroid_outliers: micro-unit
+    quantization, per-dimension HUGEINT-safe sums, truncating centroid
+    division (DuckDB ``//`` == Spark ``div``, toward zero), exact BIGINT
+    squared distances, (dist DESC, vec_id ASC) top-k."""
+    return (
+        "WITH co_q AS MATERIALIZED (SELECT vec_id,\n"
+        "  list_transform(embedding, x ->\n"
+        "    CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v\n"
+        "  FROM embeddings),\n"
+        "co_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM co_q),\n"
+        "co_s AS MATERIALIZED (\n"
+        "  SELECT x.u.i AS i, CAST(SUM(x.u.x) AS BIGINT) AS s\n"
+        "  FROM (SELECT unnest(list_transform(range(1, len(v) + 1),\n"
+        "      i -> {'i': i, 'x': v[i]})) AS u FROM co_q) x\n"
+        "  GROUP BY x.u.i),\n"
+        "co_c AS MATERIALIZED (\n"
+        "  SELECT i, CAST(s // n AS BIGINT) AS c FROM co_s, co_n),\n"
+        "co_cl AS MATERIALIZED (SELECT list(c ORDER BY i) AS cv FROM co_c),\n"
+        "co_d AS MATERIALIZED (\n"
+        "  SELECT vec_id, CAST(list_sum(list_transform(\n"
+        "    range(1, len(v) + 1),"
+        " j -> (v[j] - cv[j]) * (v[j] - cv[j]))) AS BIGINT) AS dist_sq\n"
+        "  FROM co_q, co_cl)\n"
+        "SELECT vec_id, dist_sq,\n"
+        "  CAST(row_number() OVER (ORDER BY dist_sq DESC, vec_id ASC)"
+        " AS INT) AS rank\n"
+        f"FROM co_d ORDER BY dist_sq DESC, vec_id ASC LIMIT {k}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -4186,6 +4273,23 @@ def pq_sql(
     joined = ",\n".join(parts)
     union = "\nUNION ALL\n".join(finals)
     return f"WITH {joined}\n{union}"
+
+
+def pq_distortion_sql(
+    m: int = 4, k: int = 8, iterations: int = 2, d: int = 64
+) -> str:
+    """Mirror of operators.kmeans.pq_distortion: the full pq_sql body
+    nested as a CTE (a CTE body may open its own WITH), aggregated to
+    per-subspace totals with a truncating mean division (all
+    nonnegative, so ``//`` == Spark ``div``)."""
+    return (
+        f"WITH pqd AS MATERIALIZED (\n{pq_sql(m, k, iterations, d)}\n)\n"
+        "SELECT sub, CAST(count(*) AS BIGINT) AS n_vectors,\n"
+        "  CAST(SUM(dist_sq) AS BIGINT) AS total_err,\n"
+        "  CAST(CAST(SUM(dist_sq) AS BIGINT) // count(*) AS BIGINT)"
+        " AS mean_err\n"
+        "FROM pqd GROUP BY sub"
+    )
 
 
 def kcenter_select_sql(k: int = 8, d: int = 64) -> str:
