@@ -2200,6 +2200,26 @@ def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
                          m=4, k=8, iterations=2)
 
 
+def q_conversion_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # absorbing-Markov conversion probability: chance the behavior chain
+    # reaches 'purchase' BEFORE 'error' from each state — exact-integer
+    # value iteration on the k x k matrix (hitting_time's sibling)
+    from graphlite_spark.operators.cooccurrence import conversion_prob
+
+    return conversion_prob(load_table(spark, sf_dir, "events"),
+                           target="purchase", sink="error", iterations=8)
+
+
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interpolated Kneser-Ney bigram probabilities (D=0.75) for the top
+    # 50 bigrams: exact-integer KN statistics, one fixed float
+    # expression tree rounded 6dp
+    from graphlite_spark.operators.ngram_lm import kneser_ney_bigram
+
+    return kneser_ney_bigram(load_table(spark, sf_dir, "documents"),
+                             top=50, min_count=2)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2603,6 +2623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_recall": q_matryoshka_recall,
         "centroid_outliers": q_centroid_outliers,
         "pq_distortion": q_pq_distortion,
+        "conversion_prob": q_conversion_prob,
+        "kneser_ney_bigram": q_kneser_ney,
     }
 
 
@@ -2706,6 +2728,8 @@ def oracle_sql() -> dict[str, str]:
         "matryoshka_recall": O.matryoshka_recall_sql(5, 16, 20),
         "centroid_outliers": O.centroid_outliers_sql(20),
         "pq_distortion": O.pq_distortion_sql(4, 8, 2, 64),
+        "conversion_prob": O.conversion_prob_sql("purchase", "error", 8),
+        "kneser_ney_bigram": O.kneser_ney_sql(50, 2),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

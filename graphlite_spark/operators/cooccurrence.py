@@ -267,3 +267,68 @@ def hitting_time(
             .alias("h"),
         )
     return h.select("state", F.col("h").alias("hitting_micros"))
+
+
+def conversion_prob(
+    events: DataFrame,
+    target: str,
+    sink: str,
+    iterations: int = 8,
+    state_col: str = "event_type",
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(state, p_micros) — the ``iterations``-step probability that the
+    first-order behavior chain reaches ``target`` BEFORE ``sink``,
+    starting from each state: the absorbing-Markov-chain conversion
+    readout (will this user purchase before they error out?) a funnel
+    team reads next to :func:`hitting_time`'s "how long".  Value
+    iteration from p=0 with both absorbing states pinned:
+
+        p'(v) = 1            if v == target
+        p'(v) = 0            if v == sink
+        p'(v) = sum_u P(v,u) p(u)   otherwise
+
+    which converges to the true absorption probability from below;
+    dangling states (no outgoing transition) honestly report 0 at the
+    horizon rather than inventing mass.
+
+    Exactness: micros with PER-TERM truncating division —
+    ``(p_u * c_vu) div tot_v`` summed, the :func:`hitting_time`
+    discipline (all quantities non-negative, so ``div`` == ``//``).
+
+    Scale shape: identical to :func:`hitting_time` — one per-actor
+    window + one map-side-combined pair count, then ``iterations``
+    rounds on the k x k transition matrix (codebook-sized: the rounds
+    cost the same at 1e3 or 1e12 events)."""
+    w = Window.partitionBy(actor_col).orderBy(ts_col, tie_col)
+    pr = events.select(
+        F.lag(state_col).over(w).alias("a"),
+        F.col(state_col).alias("b"),
+    ).where(F.col("a").isNotNull())
+    c = pr.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.groupBy("a").agg(F.sum("n").cast("long").alias("tot"))
+    cm = c.join(tot, "a")
+
+    states = events.select(F.col(state_col).alias("state")).distinct()
+    p = states.select("state", F.lit(0).cast("long").alias("p"))
+    for _ in range(iterations):
+        terms = p.join(cm, p["state"] == cm["b"]).select(
+            F.col("a").alias("state2"),
+            F.expr("(p * n) div tot").alias("term"),
+        )
+        nxt = terms.groupBy("state2").agg(
+            F.sum("term").cast("long").alias("s2")
+        )
+        p = states.join(
+            nxt, states["state"] == nxt["state2"], "left"
+        ).select(
+            "state",
+            F.when(F.col("state") == F.lit(target), F.lit(1000000))
+            .when(F.col("state") == F.lit(sink), F.lit(0))
+            .otherwise(F.coalesce(F.col("s2"), F.lit(0)))
+            .cast("long")
+            .alias("p"),
+        )
+    return p.select("state", F.col("p").alias("p_micros"))

@@ -231,3 +231,62 @@ def doc_lm_cost(
             .alias("avg_cost_micros"),
         )
     )
+
+
+def kneser_ney_bigram(
+    docs: DataFrame,
+    top: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, n_pairs, n1_fwd, n1_rev, p_kn) — interpolated Kneser–Ney
+    bigram probabilities (Kneser & Ney 1995; Chen & Goodman 1998, public
+    literature) with absolute discount D = 0.75, for the ``top`` most
+    frequent bigrams (ties (n_pairs DESC, w1, w2)):
+
+        p_kn(w2|w1) = (c(w1,w2) - D) / c(w1·)
+                    + (D · N1+(w1·) / c(w1·)) · (N1+(·w2) / N1+(··))
+
+    — the smoothing every count-based LM ships with, and the corpus
+    readout that separates genuinely-productive continuations from
+    boilerplate (a high-count bigram whose w2 has tiny continuation
+    probability N1+(·w2)/N1+(··) is template spam).  KN statistics come
+    from ALL bigrams; ``min_count`` only gates the output rows.
+
+    Float discipline: every count is an exact BIGINT; D = 0.75 is
+    exactly representable in binary; the probability is ONE fixed
+    expression tree over exact-integer inputs — identical association
+    in both engines, so the final ``round(·, 6)`` cannot diverge (the
+    repo's recall/ratio rule; no float summation order anywhere).
+
+    Scale shape: bigram extraction is :func:`bigram_counts`' pure
+    codegen expression; the statistics are three map-side-combined
+    groupBys (pair counts, per-w1 totals + distinct continuations,
+    per-w2 distinct left contexts) joined back on their keys; N1+(··)
+    is ONE scalar action riding in as a literal (the tf_idf N pattern);
+    the output is a global TakeOrderedAndProject over ``top`` rows."""
+    bg = bigram_counts(docs, text_col=text_col, min_count=1)
+    tot = bg.groupBy("w1").agg(
+        F.sum("n_pairs").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n1_fwd"),
+    )
+    n1r = bg.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1_rev")
+    )
+    nbt = bg.count()
+    p = (
+        (F.col("n_pairs").cast("double") - F.lit(0.75)) / F.col("tot")
+        + ((F.lit(0.75) * F.col("n1_fwd")) / F.col("tot"))
+        * (F.col("n1_rev").cast("double") / F.lit(float(nbt)))
+    )
+    return (
+        bg.join(tot, "w1")
+        .join(n1r, "w2")
+        .where(F.col("n_pairs") >= min_count)
+        .select(
+            "w1", "w2", "n_pairs", "n1_fwd", "n1_rev",
+            F.round(p, 6).alias("p_kn"),
+        )
+        .orderBy(F.col("n_pairs").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top)
+    )

@@ -5443,6 +5443,77 @@ def hitting_time_sql(target: str, iterations: int = 8) -> str:
     )
 
 
+def conversion_prob_sql(target: str, sink: str, iterations: int = 8) -> str:
+    """Mirror of operators.cooccurrence.conversion_prob: identical lag
+    chain and k x k counts, then the unrolled absorbing-chain value
+    iteration with target pinned to 1e6, sink pinned to 0, and the same
+    per-term truncating division (nonnegative, so ``//`` == ``div``)."""
+    tgt = target.replace("'", "''")
+    snk = sink.replace("'", "''")
+    parts = [
+        "cpr AS MATERIALIZED (SELECT\n"
+        "  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " AS a,\n"
+        "  event_type AS b FROM events)",
+        "cpc AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM cpr WHERE a IS NOT NULL GROUP BY a, b)",
+        "cptot AS MATERIALIZED (SELECT a, CAST(sum(n) AS BIGINT) AS tot\n"
+        "  FROM cpc GROUP BY a)",
+        "cpcm AS MATERIALIZED (SELECT c.a, c.b, c.n, t.tot\n"
+        "  FROM cpc c JOIN cptot t USING (a))",
+        "cpst AS MATERIALIZED (SELECT DISTINCT event_type AS state"
+        " FROM events)",
+        "cpp0 AS MATERIALIZED (SELECT state, CAST(0 AS BIGINT) AS p"
+        " FROM cpst)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"cpp{i - 1}"
+        parts.append(
+            f"cpp{i} AS MATERIALIZED (\n"
+            f"  SELECT s.state,\n"
+            f"    CAST(CASE WHEN s.state = '{tgt}' THEN 1000000\n"
+            f"      WHEN s.state = '{snk}' THEN 0\n"
+            f"      ELSE COALESCE(m.s2, 0) END AS BIGINT) AS p\n"
+            f"  FROM cpst s LEFT JOIN (\n"
+            f"    SELECT cm.a AS state, SUM((q.p * cm.n) // cm.tot) AS s2\n"
+            f"    FROM cpcm cm JOIN {prev} q ON q.state = cm.b\n"
+            f"    GROUP BY cm.a) m ON m.state = s.state)"
+        )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT state, p AS p_micros FROM cpp{iterations}"
+    )
+
+
+def kneser_ney_sql(top: int = 50, min_count: int = 2) -> str:
+    """Mirror of operators.ngram_lm.kneser_ney_bigram: identical bigram
+    extraction, exact-integer KN statistics, and the SAME fixed float
+    expression tree (D = 0.75 exact in binary) rounded once to 6dp."""
+    return f"""
+WITH {TOKS_CTE},
+knb AS MATERIALIZED (
+  SELECT toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM toks_t, UNNEST(range(1, len(toks))) AS t(i)),
+knc AS MATERIALIZED (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM knb GROUP BY w1, w2),
+knt AS MATERIALIZED (
+  SELECT w1, CAST(sum(n_pairs) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n1_fwd
+  FROM knc GROUP BY w1),
+knr AS MATERIALIZED (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1_rev FROM knc GROUP BY w2),
+knn AS (SELECT CAST(count(*) AS DOUBLE) AS nbt FROM knc)
+SELECT w1, w2, n_pairs, n1_fwd, n1_rev,
+  round((CAST(n_pairs AS DOUBLE) - 0.75) / tot
+    + ((0.75 * n1_fwd) / tot) * (CAST(n1_rev AS DOUBLE) / nbt), 6) AS p_kn
+FROM knc JOIN knt USING (w1) JOIN knr USING (w2), knn
+WHERE n_pairs >= {min_count}
+ORDER BY n_pairs DESC, w1 ASC, w2 ASC LIMIT {top}
+"""
+
+
 def sorted_neighborhood_sql(
     window: int = 4, key_len: int = 16, threshold: float = 0.3
 ) -> str:
