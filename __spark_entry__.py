@@ -2220,6 +2220,24 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
                              top=50, min_count=2)
 
 
+def q_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford's-law first-digit screen over event values: integer-exact
+    # digit extraction + exact-ratio shares vs the 9 literal expectations
+    from graphlite_spark.operators.profiling import benford_deviation
+
+    return benford_deviation(load_table(spark, sf_dir, "events"))
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic distributed bootstrap: 64 hash-Bernoulli half-sample
+    # replicates of the mean event value, empirical 95% CI — one codegen
+    # fan-out + a 64-group map-side-combined aggregate
+    from graphlite_spark.operators.profiling import bootstrap_ci
+
+    return bootstrap_ci(load_table(spark, sf_dir, "events"),
+                        replicates=64, rate=0.5, alpha=0.025)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2625,6 +2643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_distortion": q_pq_distortion,
         "conversion_prob": q_conversion_prob,
         "kneser_ney_bigram": q_kneser_ney,
+        "benford_deviation": q_benford_deviation,
+        "bootstrap_ci": q_bootstrap_ci,
     }
 
 
@@ -2730,6 +2750,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_distortion": O.pq_distortion_sql(4, 8, 2, 64),
         "conversion_prob": O.conversion_prob_sql("purchase", "error", 8),
         "kneser_ney_bigram": O.kneser_ney_sql(50, 2),
+        "benford_deviation": O.benford_deviation_sql(),
+        "bootstrap_ci": O.bootstrap_ci_sql(64, 0.5, 0.025),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -20,7 +20,7 @@ decision).  Both are one map-side-combined aggregation:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphlite_spark.functions.hashes import hash48
@@ -208,4 +208,141 @@ def k_anonymity(
             .cast("long")
             .alias("n_rows"),
         )
+    )
+
+
+def benford_deviation(
+    df: DataFrame, value_col: str = "value"
+) -> DataFrame:
+    """(digit, n, share_micros, expected_micros, dev_micros) — the
+    first-significant-digit distribution of a positive numeric column
+    against Benford's law (Newcomb 1881 / Benford 1938, public
+    literature): the classic fabricated-/synthetic-data screen a data-
+    quality pass runs over monetary or count-like columns.  ``dev``
+    is observed-minus-expected share in micros (signed).
+
+    Exactness: the value quantizes to BIGINT micros, and the leading
+    digit is the first character of that INTEGER's decimal rendering —
+    no float log10 anywhere (log10 at a power-of-10 boundary is the
+    classic cross-engine divergence); shares use the exact-ratio
+    subtract-the-remainder division; expected shares are 9 Python-
+    computed literals shared verbatim with the oracle.  Digits with
+    zero observations are absent by construction (stated).
+
+    Scale shape: one map-side-combined 9-group aggregate + one scalar
+    count action riding back as a literal — the cheapest profile
+    there is.  Rows with NULL or non-positive micro values are
+    excluded (a leading digit is undefined for them)."""
+    import math
+
+    vm = F.round(F.col(value_col).cast("double") * 1000000, 0).cast("long")
+    d = df.select(vm.alias("vm")).where(
+        F.col("vm").isNotNull() & (F.col("vm") > 0)
+    ).select(
+        F.substring(F.col("vm").cast("string"), 1, 1).cast("long").alias(
+            "digit"
+        )
+    )
+    tot = d.count()
+    exp = {
+        k: int(round(math.log10(1.0 + 1.0 / k) * 1000000))
+        for k in range(1, 10)
+    }
+    e = None
+    for k in range(1, 10):
+        e = (
+            F.when(F.col("digit") == k, F.lit(exp[k]))
+            if e is None
+            else e.when(F.col("digit") == k, F.lit(exp[k]))
+        )
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.expr(
+                f"(1000000 * n - (1000000 * n) % {tot}) div {tot}"
+            ).cast("long").alias("share_micros"),
+            e.cast("long").alias("expected_micros"),
+        )
+        .withColumn(
+            "dev_micros",
+            (F.col("share_micros") - F.col("expected_micros")).cast("long"),
+        )
+    )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "event_id",
+    replicates: int = 64,
+    rate: float = 0.5,
+    alpha: float = 0.025,
+    salt: str = "boot",
+) -> DataFrame:
+    """(n_events, n_replicates, mean_micros, lo_micros, hi_micros) —
+    a deterministic distributed bootstrap confidence interval for the
+    mean of ``value_col``: each of ``replicates`` half-sample replicates
+    keeps row r iff ``hash48(salt:b:key) < rate·2^48`` (the Bernoulli /
+    Poissonized bootstrap of Kleiner et al.'s BLB lineage, public
+    literature, made deterministic by the repo's hash-sampling rule),
+    and the CI is the empirical [alpha, 1-alpha] percentile of the
+    replicate means (rank ``floor(alpha·B)+1`` and ``B-floor(alpha·B)``
+    under (mean, replicate) ordering — integer-exact, no interpolation).
+
+    Exactness: values quantize to BIGINT micros; each replicate mean is
+    ONE truncating integer division (sum/count, both exact); membership
+    is a pure function of (salt, replicate, key) — stable across runs,
+    engines, and partitionings.
+
+    Scale shape: one pass — the replicate ids fan out INSIDE codegen
+    (explode of a B-literal sequence + the hash filter), then a
+    map-side-combined B-group aggregate, so the shuffle carries B
+    partial rows per task regardless of input size; the percentile
+    picks run on the B-row frame."""
+    if not 0 < alpha < 0.5:
+        raise ValueError("alpha must be in (0, 0.5)")
+    lo_rank = int(alpha * replicates) + 1
+    hi_rank = replicates - int(alpha * replicates)
+    thresh = int(rate * (1 << 48))
+    vm = F.round(F.col(value_col).cast("double") * 1000000, 0).cast("long")
+    base = df.select(
+        F.col(key_col).cast("string").alias("k"), vm.alias("vm")
+    ).where(F.col("vm").isNotNull())
+    full = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vm").cast("long").alias("s"),
+    ).select("n", F.expr("s div n").cast("long").alias("m")).first()
+
+    reps = base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("b"),
+        "k",
+        "vm",
+    )
+    kept = reps.where(
+        hash48(
+            F.concat_ws(
+                ":", F.lit(salt), F.col("b").cast("string"), F.col("k")
+            )
+        )
+        < F.lit(thresh)
+    )
+    means = kept.groupBy("b").agg(
+        F.sum("vm").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+    ).select("b", F.expr("s div nn").cast("long").alias("m"))
+    w = Window.orderBy(F.col("m").asc(), F.col("b").asc())
+    ranked = means.withColumn("r", F.row_number().over(w))
+    return ranked.agg(
+        F.lit(int(full["n"])).cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.lit(int(full["m"])).cast("long").alias("mean_micros"),
+        F.max(F.when(F.col("r") == lo_rank, F.col("m"))).cast("long").alias(
+            "lo_micros"
+        ),
+        F.max(F.when(F.col("r") == hi_rank, F.col("m"))).cast("long").alias(
+            "hi_micros"
+        ),
     )

@@ -5443,6 +5443,81 @@ def hitting_time_sql(target: str, iterations: int = 8) -> str:
     )
 
 
+def benford_deviation_sql() -> str:
+    """Mirror of operators.profiling.benford_deviation: identical micro
+    quantization, leading digit from the INTEGER's decimal rendering,
+    exact-ratio shares, and the same nine Python-computed expected-share
+    literals."""
+    import math
+
+    exp_case = " ".join(
+        f"WHEN {k} THEN {int(round(math.log10(1.0 + 1.0 / k) * 1000000))}"
+        for k in range(1, 10)
+    )
+    return (
+        "WITH bf_d AS MATERIALIZED (\n"
+        "  SELECT CAST(substr(CAST(vm AS VARCHAR), 1, 1) AS BIGINT)"
+        " AS digit\n"
+        "  FROM (SELECT CAST(round(value * 1000000, 0) AS BIGINT) AS vm\n"
+        "    FROM events WHERE value IS NOT NULL)\n"
+        "  WHERE vm > 0),\n"
+        "bf_t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM bf_d),\n"
+        "bf_c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM bf_d"
+        " GROUP BY digit)\n"
+        "SELECT digit, n,\n"
+        "  CAST((1000000 * n - (1000000 * n) % tot) // tot AS BIGINT)"
+        " AS share_micros,\n"
+        f"  CAST(CASE digit {exp_case} END AS BIGINT) AS expected_micros,\n"
+        "  CAST((1000000 * n - (1000000 * n) % tot) // tot\n"
+        f"    - CASE digit {exp_case} END AS BIGINT) AS dev_micros\n"
+        "FROM bf_c, bf_t"
+    )
+
+
+def bootstrap_ci_sql(
+    replicates: int = 64,
+    rate: float = 0.5,
+    alpha: float = 0.025,
+    salt: str = "boot",
+) -> str:
+    """Mirror of operators.profiling.bootstrap_ci: the same hash48
+    Bernoulli membership per (salt, replicate, key), truncating-division
+    replicate means, and integer-rank percentile picks."""
+    lo_rank = int(alpha * replicates) + 1
+    hi_rank = replicates - int(alpha * replicates)
+    thresh = int(rate * (1 << 48))
+    h = _h48(
+        f"'{salt}:' || CAST(b AS VARCHAR) || ':' || CAST(k AS VARCHAR)"
+    )
+    return (
+        "WITH bc_base AS MATERIALIZED (\n"
+        "  SELECT CAST(event_id AS VARCHAR) AS k,\n"
+        "    CAST(round(value * 1000000, 0) AS BIGINT) AS vm\n"
+        "  FROM events WHERE round(value * 1000000, 0) IS NOT NULL),\n"
+        "bc_full AS (SELECT CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(CAST(sum(vm) AS BIGINT) // count(*) AS BIGINT) AS m"
+        " FROM bc_base),\n"
+        "bc_kept AS MATERIALIZED (\n"
+        "  SELECT t.b, vm FROM bc_base,"
+        f" range(0, {replicates}) t(b)\n"
+        f"  WHERE {h} < {thresh}),\n"
+        "bc_means AS MATERIALIZED (\n"
+        "  SELECT b, CAST(CAST(sum(vm) AS BIGINT) // count(*) AS BIGINT)"
+        " AS m\n"
+        "  FROM bc_kept GROUP BY b),\n"
+        "bc_rk AS (SELECT m,"
+        " row_number() OVER (ORDER BY m ASC, b ASC) AS r FROM bc_means)\n"
+        "SELECT (SELECT n FROM bc_full) AS n_events,\n"
+        "  CAST(count(*) AS BIGINT) AS n_replicates,\n"
+        "  (SELECT m FROM bc_full) AS mean_micros,\n"
+        f"  CAST(max(CASE WHEN r = {lo_rank} THEN m END) AS BIGINT)"
+        " AS lo_micros,\n"
+        f"  CAST(max(CASE WHEN r = {hi_rank} THEN m END) AS BIGINT)"
+        " AS hi_micros\n"
+        "FROM bc_rk"
+    )
+
+
 def conversion_prob_sql(target: str, sink: str, iterations: int = 8) -> str:
     """Mirror of operators.cooccurrence.conversion_prob: identical lag
     chain and k x k counts, then the unrolled absorbing-chain value
