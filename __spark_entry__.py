@@ -2238,6 +2238,23 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                         replicates=64, rate=0.5, alpha=0.025)
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc 3-gram novelty (fraction of grams first seen in this doc):
+    # the pairwise-free curation readout between exact dedup and MinHash
+    from graphlite_spark.operators.dedup import doc_novelty
+
+    return doc_novelty(load_table(spark, sf_dir, "documents"), n=3)
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tau=1/2 temperature-scaled source mixture (sqrt is the one
+    # engine-exact exponent): weights rounded once to micros, BIGINT
+    # normalizer, exact-ratio shares
+    from graphlite_spark.operators.packing import temperature_mixture
+
+    return temperature_mixture(load_table(spark, sf_dir, "documents"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2645,6 +2662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_bigram": q_kneser_ney,
         "benford_deviation": q_benford_deviation,
         "bootstrap_ci": q_bootstrap_ci,
+        "doc_novelty": q_doc_novelty,
+        "temperature_mixture": q_temperature_mixture,
     }
 
 
@@ -2752,6 +2771,8 @@ def oracle_sql() -> dict[str, str]:
         "kneser_ney_bigram": O.kneser_ney_sql(50, 2),
         "benford_deviation": O.benford_deviation_sql(),
         "bootstrap_ci": O.bootstrap_ci_sql(64, 0.5, 0.025),
+        "doc_novelty": O.doc_novelty_sql(),
+        "temperature_mixture": O.temperature_mixture_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

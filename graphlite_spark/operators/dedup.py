@@ -1054,3 +1054,52 @@ def split_leakage(
         .groupBy("pair_class")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+def doc_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty_micros) — per-document n-gram
+    novelty: the fraction of a document's DISTINCT word n-grams whose
+    global first occurrence (smallest doc_id) is this document.  The
+    incremental-curation readout between exact dedup and MinHash: a
+    near-zero score means "everything here was already in the corpus"
+    (boilerplate, quote-heavy or templated docs) without needing any
+    pairwise comparison, and ordering by ingestion id makes it the
+    streaming-style novelty curve data-selection papers filter on
+    (e.g. the "new-ngram rate" feature in quality classifiers).
+
+    Exactness: integer counts + the exact-ratio subtract-the-remainder
+    micro division.  Documents with fewer than ``n`` tokens have no
+    grams and are absent by construction (stated).
+
+    Scale shape: one shingle explode, one map-side-combined
+    ``min(doc_id)`` per gram (the global first-occurrence table — the
+    duplicate_ngram_spans aggregate), one equi-join back on the gram,
+    one per-doc count — no self-join, no window, no all-pairs path."""
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    first = sh.groupBy("shingle").agg(
+        F.min("doc_id").cast("long").alias("fd")
+    )
+    per = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.expr(
+            "(1000000 * n_novel - (1000000 * n_novel) % n_grams)"
+            " div n_grams"
+        ).cast("long").alias("novelty_micros"),
+    )

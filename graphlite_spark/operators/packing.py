@@ -535,3 +535,62 @@ def heaps_law(
     return lg.crossJoin(F.broadcast(beta)).select(
         "decile", "tokens_cum", "vocab_cum", "heaps_beta"
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(stratum, n_docs, n_tokens, weight_micros, share_micros) — the
+    temperature-scaled corpus mixture with tau = 1/2: each stratum's
+    sampling weight is sqrt(token count), normalized.  The standard
+    up-weighting of small sources / down-weighting of giant ones
+    (the alpha-smoothed multilingual mix of public LM training recipes,
+    e.g. the exponent-smoothing in the XLM-R / mT5 papers); tau = 1/2 is
+    the one exponent whose float is engine-exact, because IEEE 754
+    requires sqrt to be correctly rounded (pow(x, 0.5) carries no such
+    guarantee — stated, not hidden).
+
+    Exactness: token counts are exact BIGINTs; each weight is rounded
+    ONCE to micros; the normalizer is a BIGINT sum of those micros (no
+    float summation order); shares use the exact-ratio
+    subtract-the-remainder division.
+
+    Scale shape: one tokenize + map-side-combined per-stratum aggregate
+    (stratum-count partial rows per task); the normalizer is one scalar
+    action riding back as a literal (the tf_idf N pattern) — nothing
+    here re-touches the corpus."""
+    per = (
+        docs.select(
+            F.col(strata_col).alias("stratum"),
+            F.size(tokens_expr(text_col)).cast("long").alias("nt"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "stratum",
+            "n_docs",
+            "n_tokens",
+            F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1000000, 0)
+            .cast("long")
+            .alias("weight_micros"),
+        )
+    )
+    denom = int(
+        per.agg(F.sum("weight_micros").alias("d")).first()["d"] or 0
+    )
+    if denom == 0:
+        return per.withColumn(
+            "share_micros", F.lit(None).cast("long")
+        )
+    return per.withColumn(
+        "share_micros",
+        F.expr(
+            f"(1000000 * weight_micros"
+            f" - (1000000 * weight_micros) % {denom}) div {denom}"
+        ).cast("long"),
+    )

@@ -5443,6 +5443,51 @@ def hitting_time_sql(target: str, iterations: int = 8) -> str:
     )
 
 
+def doc_novelty_sql() -> str:
+    """Mirror of operators.dedup.doc_novelty (3-grams): the shared
+    shingle CTEs, min(doc_id) first-occurrence table, per-doc counts,
+    exact-ratio micro division."""
+    return (
+        f"WITH {TOKS_CTE},\n{_SHINGLES_CTE},\n"
+        "nv_f AS MATERIALIZED (SELECT shingle,"
+        " CAST(min(doc_id) AS BIGINT) AS fd FROM sh GROUP BY shingle),\n"
+        "nv_p AS MATERIALIZED (\n"
+        "  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,\n"
+        "    CAST(sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_novel\n"
+        "  FROM sh s JOIN nv_f f USING (shingle) GROUP BY s.doc_id)\n"
+        "SELECT doc_id, n_grams, n_novel,\n"
+        "  CAST((1000000 * n_novel - (1000000 * n_novel) % n_grams)"
+        " // n_grams AS BIGINT) AS novelty_micros\n"
+        "FROM nv_p"
+    )
+
+
+def temperature_mixture_sql() -> str:
+    """Mirror of operators.packing.temperature_mixture: identical
+    tokenize, sqrt (IEEE-correctly-rounded in both engines) rounded once
+    to micros, BIGINT normalizer, exact-ratio shares."""
+    return (
+        "WITH tm_p AS MATERIALIZED (\n"
+        "  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "    CAST(SUM(len(list_filter(string_split_regex(lower(text),"
+        " '\\s+'), x -> x <> ''))) AS BIGINT) AS n_tokens\n"
+        "  FROM documents GROUP BY source),\n"
+        "tm_w AS MATERIALIZED (\n"
+        "  SELECT stratum, n_docs, n_tokens,\n"
+        "    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000, 0)"
+        " AS BIGINT) AS weight_micros\n"
+        "  FROM tm_p),\n"
+        "tm_d AS (SELECT CAST(SUM(weight_micros) AS BIGINT) AS d"
+        " FROM tm_w)\n"
+        "SELECT stratum, n_docs, n_tokens, weight_micros,\n"
+        "  CAST((1000000 * weight_micros"
+        " - (1000000 * weight_micros) % d) // d AS BIGINT)"
+        " AS share_micros\n"
+        "FROM tm_w, tm_d"
+    )
+
+
 def benford_deviation_sql() -> str:
     """Mirror of operators.profiling.benford_deviation: identical micro
     quantization, leading digit from the INTEGER's decimal rendering,
