@@ -1163,6 +1163,22 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metapath_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # metapath2vec-style typed walks (user->assistant->user...): step t
+    # may only land on the metapath's type for t, deterministic
+    # hash48(walk_id:t) % typed_deg picks — hash-exact corpus
+    from graphlite_spark.algos.walks import metapath_walks
+
+    t, v, e = graph_tables(spark, sf_dir)
+    types = v.join(
+        t.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"]
+    ).select("id", F.col("role").alias("vtype"))
+    return metapath_walks(
+        v, e, types, ["user", "assistant"], walk_length=6,
+        walks_per_vertex=1,
+    )
+
+
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured recall@5 of the LSH-bucket ANN path vs brute-force ground
     # truth — the tuning number a production pipeline reads before picking
@@ -2664,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "doc_novelty": q_doc_novelty,
         "temperature_mixture": q_temperature_mixture,
+        "metapath_walks": q_metapath_walks,
     }
 
 
@@ -2773,6 +2790,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci": O.bootstrap_ci_sql(64, 0.5, 0.025),
         "doc_novelty": O.doc_novelty_sql(),
         "temperature_mixture": O.temperature_mixture_sql(),
+        "metapath_walks": O.metapath_walks_sql(["user", "assistant"], 6, 1),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

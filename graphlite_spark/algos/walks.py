@@ -284,3 +284,114 @@ def node2vec_walks(
     adj.unpersist()
     deg.unpersist()
     return out
+
+
+def metapath_walks(
+    vertices: DataFrame,
+    edges: DataFrame,
+    types: DataFrame,
+    metapath: list[str],
+    walk_length: int = 6,
+    walks_per_vertex: int = 1,
+    undirected: bool = True,
+    num_partitions: int | None = None,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(walk_id, step, vertex) — metapath-constrained deterministic
+    walks over a typed graph (metapath2vec, Dong, Chawla & Swami KDD
+    2017, public literature): walks start at every vertex of type
+    ``metapath[0]`` and step ``t`` may only move to a neighbor of type
+    ``metapath[t % len(metapath)]`` — the heterogeneous-graph embedding
+    corpus where plain walks drown minority vertex types (here: a
+    user→assistant→user… path that never wanders into tool vertices).
+    Walks end early when the current vertex has no neighbor of the
+    required type.  ``types`` is (id, vtype); ``walk_id =
+    id * walks_per_vertex + w``.
+
+    Determinism: step ``t`` picks typed-neighbor index
+    ``hash48(walk_id ':' t) % typed_deg`` over the dst-ranked TYPED
+    adjacency — the :func:`random_walks` rule applied per (src, dtype)
+    group, so the full corpus is hash-exact cross-engine.
+
+    Scale shape: the typed adjacency is ranked once (one window per
+    (src, dtype) group — same cost as the untyped ranking), cached
+    hash-partitioned by src; each step is the two-join pick ×
+    typed-degree shape of :func:`random_walks` with the type literal
+    pushed into both joins; lineage truncates every
+    ``checkpoint_every`` steps (the repo's linear-loop discipline)."""
+    if not metapath:
+        raise ValueError("metapath must be non-empty")
+    spark = edges.sparkSession
+    P = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    und = (
+        symmetrize(edges).select("src", "dst")
+        if undirected
+        else edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ty = types.select(F.col("id").alias("tid"), F.col("vtype"))
+    typed = und.join(ty, und["dst"] == ty["tid"]).select(
+        "src", "dst", F.col("vtype").alias("dtype")
+    )
+    w = Window.partitionBy("src", "dtype").orderBy("dst")
+    adj = (
+        typed.withColumn("idx", F.row_number().over(w) - F.lit(1))
+        .repartition(P, "src")
+        .persist()
+    )
+    degt = adj.groupBy("src", "dtype").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).persist()
+
+    W_ = walks_per_vertex
+    L = len(metapath)
+    starts = vertices.select("id").join(
+        ty.where(F.col("vtype") == metapath[0]),
+        vertices["id"] == ty["tid"],
+    )
+    cur = starts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(W_ - 1))).alias("w"),
+        F.col("id"),
+    ).select(
+        (F.col("id") * W_ + F.col("w")).cast("long").alias("walk_id"),
+        F.col("id").alias("vertex"),
+    )
+    out = cur.select("walk_id", F.lit(0).cast("long").alias("step"), "vertex")
+    for t in range(1, walk_length + 1):
+        tt = metapath[t % L]
+        pick = cur.join(
+            degt.where(F.col("dtype") == tt),
+            cur["vertex"] == degt["src"],
+        ).select(
+            "walk_id",
+            F.col("vertex"),
+            (
+                hash48(
+                    F.concat_ws(
+                        ":", F.col("walk_id").cast("string"), F.lit(str(t))
+                    )
+                )
+                % F.col("deg")
+            ).alias("pick"),
+        )
+        step_adj = adj.where(F.col("dtype") == tt)
+        cur = pick.join(
+            step_adj,
+            (pick["vertex"] == step_adj["src"])
+            & (pick["pick"] == step_adj["idx"]),
+        ).select("walk_id", F.col("dst").alias("vertex"))
+        out = out.unionByName(
+            cur.select(
+                "walk_id", F.lit(t).cast("long").alias("step"), "vertex"
+            )
+        )
+        if t % checkpoint_every == 0 and t < walk_length:
+            cur = cur.localCheckpoint(eager=False)
+            out = out.localCheckpoint(eager=False)
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist()
+    degt.unpersist()
+    return out

@@ -2925,6 +2925,48 @@ def random_walks_sql(walks_per_vertex: int = 2, walk_length: int = 8) -> str:
     return _graph_query(",\n".join(ctes) + "\n" + selects)
 
 
+def metapath_walks_sql(
+    metapath: list[str], walk_length: int = 6, walks_per_vertex: int = 1
+) -> str:
+    """Mirror of algos.walks.metapath_walks: the typed dst-ranked
+    adjacency (role from tv), unrolled steps picking typed-neighbor
+    index ``hash48(walk_id ':' t) % typed_deg`` with the step's type
+    literal in both joins."""
+    W = walks_per_vertex
+    L = len(metapath)
+    ctes = [
+        ", ty AS MATERIALIZED (SELECT id, role AS vtype FROM tv),\n"
+        "tadj AS MATERIALIZED (\n"
+        "  SELECT u.src, u.dst, ty.vtype AS dtype,\n"
+        "    row_number() OVER (PARTITION BY u.src, ty.vtype"
+        " ORDER BY u.dst) - 1 AS idx\n"
+        "  FROM und u JOIN ty ON ty.id = u.dst),\n"
+        "tdg AS MATERIALIZED (SELECT src, dtype, count(*) AS deg"
+        " FROM tadj GROUP BY src, dtype),\n"
+        f"m0 AS MATERIALIZED (\n"
+        f"  SELECT t.id * {W} + w.w AS walk_id, t.id AS cur\n"
+        f"  FROM ty t CROSS JOIN (SELECT unnest(range({W})) AS w) w\n"
+        f"  WHERE t.vtype = '{metapath[0]}')"
+    ]
+    for t in range(1, walk_length + 1):
+        tt = metapath[t % L].replace("'", "''")
+        pick = _h48(f"s.walk_id || ':' || {t}")
+        ctes.append(
+            f"m{t} AS MATERIALIZED (\n"
+            f"  SELECT s.walk_id, a.dst AS cur\n"
+            f"  FROM m{t - 1} s\n"
+            f"  JOIN tdg ON tdg.src = s.cur AND tdg.dtype = '{tt}'\n"
+            f"  JOIN tadj a ON a.src = s.cur AND a.dtype = '{tt}'\n"
+            f"    AND a.idx = {pick} % tdg.deg)"
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS vertex"
+        f" FROM m{t}"
+        for t in range(walk_length + 1)
+    )
+    return _graph_query(",\n".join(ctes) + "\n" + selects)
+
+
 def node2vec_walks_sql(
     walks_per_vertex: int = 1,
     walk_length: int = 5,
