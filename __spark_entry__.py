@@ -2271,6 +2271,28 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(load_table(spark, sf_dir, "documents"))
 
 
+def q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conditional next-event entropy H(next|state) of the behavior chain
+    # in micro-nats: per-term ln-then-round, BIGINT sum — predictability
+    # readout next to markov_stationary
+    from graphlite_spark.operators.cooccurrence import behavior_entropy
+
+    return behavior_entropy(load_table(spark, sf_dir, "events"))
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-20 most-coupled coordinate pairs (exact BIGINT centered
+    # products): the redundancy profile read before PQ subspace splits /
+    # prefix truncation (cf. OPQ)
+    from graphlite_spark.operators.similarity import (
+        embedding_covariance_topk,
+    )
+
+    return embedding_covariance_topk(
+        load_table(spark, sf_dir, "embeddings"), k=20
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2681,6 +2703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": q_doc_novelty,
         "temperature_mixture": q_temperature_mixture,
         "metapath_walks": q_metapath_walks,
+        "behavior_entropy": q_behavior_entropy,
+        "embedding_covariance": q_embedding_covariance,
     }
 
 
@@ -2791,6 +2815,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_novelty": O.doc_novelty_sql(),
         "temperature_mixture": O.temperature_mixture_sql(),
         "metapath_walks": O.metapath_walks_sql(["user", "assistant"], 6, 1),
+        "behavior_entropy": O.behavior_entropy_sql(),
+        "embedding_covariance": O.embedding_covariance_sql(20),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

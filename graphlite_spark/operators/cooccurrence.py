@@ -332,3 +332,55 @@ def conversion_prob(
             .alias("p"),
         )
     return p.select("state", F.col("p").alias("p_micros"))
+
+
+def behavior_entropy(
+    events: DataFrame,
+    state_col: str = "event_type",
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(state, n_next, tot, entropy_micros) — the conditional next-event
+    entropy H(next | state) of the first-order behavior chain, in
+    micro-nats: the predictability readout next to
+    :func:`markov_stationary` (a state with near-zero entropy is a
+    deterministic funnel step; a high-entropy state is where user paths
+    actually branch).  ``n_next`` is the number of distinct observed
+    successors, ``tot`` the outgoing transition count.
+
+    Float discipline: each ``p·ln(p)`` term is computed from the exact
+    integer ratio and rounded ONCE to integer micros (the tf_idf /
+    powerlaw_alpha ln-then-round precedent), then summed as BIGINT —
+    no float summation order; the final value is the negated BIGINT
+    sum, exact cross-engine.
+
+    Scale shape: one per-actor window + two map-side-combined
+    aggregations on the k x k transition counts — codebook-sized."""
+    w = Window.partitionBy(actor_col).orderBy(ts_col, tie_col)
+    pr = events.select(
+        F.lag(state_col).over(w).alias("a"),
+        F.col(state_col).alias("b"),
+    ).where(F.col("a").isNotNull())
+    c = pr.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.groupBy("a").agg(F.sum("n").cast("long").alias("tot"))
+    j = c.join(tot, "a").select(
+        "a",
+        "n",
+        "tot",
+        (F.col("n").cast("double") / F.col("tot")).alias("p"),
+    ).select(
+        "a",
+        "n",
+        "tot",
+        F.round(F.col("p") * F.log(F.col("p")) * 1000000, 0)
+        .cast("long")
+        .alias("term"),
+    )
+    return j.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("n_next"),
+        F.max("tot").cast("long").alias("tot"),
+        (-F.sum("term")).cast("long").alias("entropy_micros"),
+    ).select(
+        F.col("a").alias("state"), "n_next", "tot", "entropy_micros"
+    )

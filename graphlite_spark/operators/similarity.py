@@ -576,21 +576,11 @@ def centroid_outliers(
     qz = embeddings.select(
         F.col(id_col).alias("vec_id"), quantize_expr(F.col(vec_col)).alias("qv")
     )
-    dim_row = qz.select(F.size("qv").alias("d")).limit(1).collect()
-    if not dim_row:
+    cent = _centroid_micros(qz)
+    if cent is None:
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id long, dist_sq long, rank int"
         )
-    d = dim_row[0]["d"]
-    sums = qz.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        *[
-            F.sum(F.element_at("qv", j + 1)).cast("long").alias(f"s{j}")
-            for j in range(d)
-        ],
-    ).first()
-    n = sums["n"]
-    cent = [int(_trunc_div(int(sums[f"s{j}"]), n)) for j in range(d)]
     c_lit = F.array(*[F.lit(c).cast("long") for c in cent])
     dist = F.aggregate(
         F.zip_with(F.col("qv"), c_lit, lambda a, b: (a - b) * (a - b)),
@@ -613,6 +603,98 @@ def _trunc_div(a: int, b: int) -> int:
     negative numerators."""
     q = abs(a) // abs(b)
     return q if (a >= 0) == (b >= 0) else -q
+
+
+def _centroid_micros(qz: DataFrame) -> list[int] | None:
+    """Truncating-division per-dimension centroid of a (vec_id, qv)
+    micro-quantized frame: ONE map-side-combined aggregate collecting a
+    single row of d sums + the count; None on an empty frame."""
+    dim_row = qz.select(F.size("qv").alias("d")).limit(1).collect()
+    if not dim_row:
+        return None
+    d = dim_row[0]["d"]
+    sums = qz.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.element_at("qv", j + 1)).cast("long").alias(f"s{j}")
+            for j in range(d)
+        ],
+    ).first()
+    n = sums["n"]
+    return [int(_trunc_div(int(sums[f"s{j}"]), n)) for j in range(d)]
+
+
+def embedding_covariance_topk(
+    embeddings: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(i, j, cov_sum, rank) — the ``k`` most-correlated off-diagonal
+    coordinate pairs of the embedding distribution, by |Σ (x_i − c_i)
+    (x_j − c_j)| over the corpus (an UNNORMALIZED covariance: the
+    argsort is identical to the covariance's and staying in integers
+    keeps it hash-exact).  The redundancy profile a compression pass
+    reads before PQ / dimension truncation: strongly-coupled coordinate
+    pairs mean the subspace split or the prefix cut is leaving easy
+    bits on the table (cf. the rotation/permutation step in OPQ,
+    Ge et al. 2013, public literature).
+
+    Exactness: coordinates quantize to BIGINT micros, centered on the
+    truncating-division centroid (:func:`_centroid_micros`, the
+    :func:`centroid_outliers` discipline); every product and sum is
+    exact BIGINT.  Ties break (|cov| DESC, i, j).
+
+    Scale shape: the centroid is one aggregate action riding back as a
+    LITERAL; the pair products fan out INSIDE codegen (posexplode of
+    the centered vector, then one slice-transform per row — d·(d−1)/2
+    terms) and collapse through a map-side-combined (i, j) aggregate —
+    the shuffle carries at most d²/2 partial rows per task no matter
+    how many vectors; the top-k is a TakeOrderedAndProject."""
+    from graphlite_spark.operators.kmeans import quantize_expr
+
+    qz = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_expr(F.col(vec_col)).alias("qv")
+    )
+    cent = _centroid_micros(qz)
+    if cent is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "i long, j long, cov_sum long, rank int"
+        )
+    d = len(cent)
+    c_lit = F.array(*[F.lit(c).cast("long") for c in cent])
+    centered = qz.select(
+        F.zip_with(F.col("qv"), c_lit, lambda a, b: a - b).alias("xv")
+    )
+    rows = centered.select(
+        F.posexplode("xv").alias("i", "xi"), F.col("xv")
+    ).select(
+        "i",
+        F.posexplode(
+            F.transform(
+                F.slice(F.col("xv"), F.col("i") + 2, F.lit(d)),
+                lambda y: y * F.col("xi"),
+            )
+        ).alias("joff", "prod"),
+    )
+    agg = rows.groupBy("i", "joff").agg(
+        F.sum("prod").cast("long").alias("cov_sum")
+    ).select(
+        F.col("i").cast("long").alias("i"),
+        (F.col("i") + 1 + F.col("joff")).cast("long").alias("j"),
+        "cov_sum",
+    )
+    w = Window.orderBy(
+        F.abs(F.col("cov_sum")).desc(), F.col("i").asc(), F.col("j").asc()
+    )
+    return (
+        agg.orderBy(
+            F.abs(F.col("cov_sum")).desc(), F.col("i").asc(), F.col("j").asc()
+        )
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("i", "j", "cov_sum", "rank")
+    )
 
 
 def rrf_fuse(

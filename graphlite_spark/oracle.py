@@ -3728,25 +3728,32 @@ def matryoshka_recall_sql(
     )
 
 
+# micro-quantized embeddings + truncating-division centroid as a list
+# (shared by centroid_outliers_sql / embedding_covariance_sql)
+_CENTROID_CTES = (
+    "co_q AS MATERIALIZED (SELECT vec_id,\n"
+    "  list_transform(embedding, x ->\n"
+    "    CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v\n"
+    "  FROM embeddings),\n"
+    "co_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM co_q),\n"
+    "co_s AS MATERIALIZED (\n"
+    "  SELECT x.u.i AS i, CAST(SUM(x.u.x) AS BIGINT) AS s\n"
+    "  FROM (SELECT unnest(list_transform(range(1, len(v) + 1),\n"
+    "      i -> {'i': i, 'x': v[i]})) AS u FROM co_q) x\n"
+    "  GROUP BY x.u.i),\n"
+    "co_c AS MATERIALIZED (\n"
+    "  SELECT i, CAST(s // n AS BIGINT) AS c FROM co_s, co_n),\n"
+    "co_cl AS MATERIALIZED (SELECT list(c ORDER BY i) AS cv FROM co_c)"
+)
+
+
 def centroid_outliers_sql(k: int = 20) -> str:
     """Mirror of operators.similarity.centroid_outliers: micro-unit
     quantization, per-dimension HUGEINT-safe sums, truncating centroid
     division (DuckDB ``//`` == Spark ``div``, toward zero), exact BIGINT
     squared distances, (dist DESC, vec_id ASC) top-k."""
     return (
-        "WITH co_q AS MATERIALIZED (SELECT vec_id,\n"
-        "  list_transform(embedding, x ->\n"
-        "    CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v\n"
-        "  FROM embeddings),\n"
-        "co_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM co_q),\n"
-        "co_s AS MATERIALIZED (\n"
-        "  SELECT x.u.i AS i, CAST(SUM(x.u.x) AS BIGINT) AS s\n"
-        "  FROM (SELECT unnest(list_transform(range(1, len(v) + 1),\n"
-        "      i -> {'i': i, 'x': v[i]})) AS u FROM co_q) x\n"
-        "  GROUP BY x.u.i),\n"
-        "co_c AS MATERIALIZED (\n"
-        "  SELECT i, CAST(s // n AS BIGINT) AS c FROM co_s, co_n),\n"
-        "co_cl AS MATERIALIZED (SELECT list(c ORDER BY i) AS cv FROM co_c),\n"
+        f"WITH {_CENTROID_CTES},\n"
         "co_d AS MATERIALIZED (\n"
         "  SELECT vec_id, CAST(list_sum(list_transform(\n"
         "    range(1, len(v) + 1),"
@@ -3756,6 +3763,58 @@ def centroid_outliers_sql(k: int = 20) -> str:
         "  CAST(row_number() OVER (ORDER BY dist_sq DESC, vec_id ASC)"
         " AS INT) AS rank\n"
         f"FROM co_d ORDER BY dist_sq DESC, vec_id ASC LIMIT {k}"
+    )
+
+
+def embedding_covariance_sql(k: int = 20) -> str:
+    """Mirror of operators.similarity.embedding_covariance_topk: the
+    shared centered-micro CTEs, exact BIGINT pair products over j > i,
+    (|cov| DESC, i, j) top-k."""
+    return (
+        f"WITH {_CENTROID_CTES},\n"
+        "ec_x AS MATERIALIZED (\n"
+        "  SELECT list_transform(range(1, len(v) + 1),"
+        " t -> v[t] - cv[t]) AS xv\n"
+        "  FROM co_q, co_cl),\n"
+        "ec_p AS MATERIALIZED (\n"
+        "  SELECT CAST(ti.i - 1 AS BIGINT) AS i,"
+        " CAST(tj.j - 1 AS BIGINT) AS j,\n"
+        "    CAST(SUM(xv[ti.i] * xv[tj.j]) AS BIGINT) AS cov_sum\n"
+        "  FROM ec_x,\n"
+        "    UNNEST(range(1, len(xv) + 1)) AS ti(i),\n"
+        "    UNNEST(range(1, len(xv) + 1)) AS tj(j)\n"
+        "  WHERE tj.j > ti.i GROUP BY ti.i, tj.j)\n"
+        "SELECT i, j, cov_sum,\n"
+        "  CAST(row_number() OVER (ORDER BY abs(cov_sum) DESC, i, j)"
+        " AS INT) AS rank\n"
+        f"FROM ec_p ORDER BY abs(cov_sum) DESC, i, j LIMIT {k}"
+    )
+
+
+def behavior_entropy_sql() -> str:
+    """Mirror of operators.cooccurrence.behavior_entropy: identical lag
+    chain and counts, each p·ln(p) term rounded once to micros from the
+    exact integer ratio, BIGINT sum negated."""
+    return (
+        "WITH be_pr AS MATERIALIZED (SELECT\n"
+        "  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts,"
+        " event_id) AS a,\n"
+        "  event_type AS b FROM events),\n"
+        "be_c AS MATERIALIZED (SELECT a, b,"
+        " CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM be_pr WHERE a IS NOT NULL GROUP BY a, b),\n"
+        "be_t AS MATERIALIZED (SELECT a,"
+        " CAST(sum(n) AS BIGINT) AS tot FROM be_c GROUP BY a),\n"
+        "be_j AS MATERIALIZED (\n"
+        "  SELECT c.a, c.n, t.tot,\n"
+        "    CAST(round((CAST(c.n AS DOUBLE) / t.tot)\n"
+        "      * ln(CAST(c.n AS DOUBLE) / t.tot) * 1000000, 0)"
+        " AS BIGINT) AS term\n"
+        "  FROM be_c c JOIN be_t t USING (a))\n"
+        "SELECT a AS state, CAST(count(*) AS BIGINT) AS n_next,\n"
+        "  CAST(max(tot) AS BIGINT) AS tot,\n"
+        "  CAST(-SUM(term) AS BIGINT) AS entropy_micros\n"
+        "FROM be_j GROUP BY a"
     )
 
 

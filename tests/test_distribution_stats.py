@@ -69,3 +69,82 @@ def test_bootstrap_ci_bruteforce(spark):
     assert got["lo_micros"] == means[lo_rank - 1][0]
     assert got["hi_micros"] == means[hi_rank - 1][0]
     assert got["lo_micros"] <= got["mean_micros"] <= got["hi_micros"]
+
+
+def test_behavior_entropy_bruteforce(spark):
+    import datetime
+
+    from graphlite_spark.operators.cooccurrence import behavior_entropy
+
+    base = datetime.datetime(2024, 1, 1)
+    chains = {
+        1: ["a", "b", "a", "c"],
+        2: ["a", "b", "b"],
+        3: ["c", "a", "b"],
+    }
+    rows = [
+        (u * 100 + i, u, et, base + datetime.timedelta(minutes=i))
+        for u, ch in chains.items()
+        for i, et in enumerate(ch)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r["state"]: r for r in behavior_entropy(df).collect()}
+
+    cnt: dict[tuple[str, str], int] = {}
+    for ch in chains.values():
+        for a, b in zip(ch, ch[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    tot: dict[str, int] = {}
+    for (a, _), n in cnt.items():
+        tot[a] = tot.get(a, 0) + n
+    for a in tot:
+        terms = [
+            round((n / tot[a]) * math.log(n / tot[a]) * 1_000_000)
+            for (x, _), n in cnt.items()
+            if x == a
+        ]
+        nn = sum(1 for (x, _) in cnt if x == a)
+        r = got[a]
+        assert (r["n_next"], r["tot"], r["entropy_micros"]) == (
+            nn, tot[a], -sum(terms),
+        )
+    # 'b' -> {a:1, b:1} is a 2-way uniform branch: entropy = ln 2 micro-nats
+    assert got["b"]["entropy_micros"] == 693148  # 2 * round(0.5*ln(0.5)*1e6)
+
+
+def test_embedding_covariance_bruteforce(spark):
+    from graphlite_spark.operators.similarity import (
+        _trunc_div, embedding_covariance_topk,
+    )
+
+    vecs = {
+        0: [1.0, 1.1, -2.0, 0.3],
+        1: [2.0, 2.2, 1.0, -0.4],
+        2: [-1.0, -0.9, 3.0, 0.1],
+        3: [0.5, 0.4, -1.0, 0.9],
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r["i"], r["j"], r["cov_sum"], r["rank"])
+        for r in embedding_covariance_topk(df, k=3).collect()
+    ]
+    q = {i: [round(x * 1_000_000) for x in v] for i, v in vecs.items()}
+    n, d = len(q), 4
+    cent = [_trunc_div(sum(v[t] for v in q.values()), n) for t in range(d)]
+    cov = {}
+    for i in range(d):
+        for j in range(i + 1, d):
+            cov[(i, j)] = sum(
+                (v[i] - cent[i]) * (v[j] - cent[j]) for v in q.values()
+            )
+    want = sorted(cov.items(), key=lambda t: (-abs(t[1]), t[0]))[:3]
+    assert got == [
+        (i, j, c, rk + 1) for rk, ((i, j), c) in enumerate(want)
+    ]
+    # dims 0 and 1 are nearly collinear by construction: they must lead
+    assert (got[0][0], got[0][1]) == (0, 1) or (got[0][0], got[0][1]) == (0, 2)
