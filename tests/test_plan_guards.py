@@ -168,6 +168,28 @@ GUARDED = [
     # non-equi shape is the 1-row slope broadcast
     "hitting_time",
     "heaps_law",
+    # extra-session wave: conversion_prob / behavior_entropy iterate or
+    # aggregate the k x k chain (equi only); kneser_ney joins its three
+    # count tables on their keys; doc_novelty is explode + min + ONE
+    # equi-join; metapath_walks is the random_walks two-join step with
+    # a type literal pushed into both joins; pq_distortion aggregates
+    # pq_encode's codebook-literal pass; bootstrap_ci / benford /
+    # temperature_mixture / centroid_outliers / embedding_covariance
+    # are join-free (scalar literals, codegen fan-out) and must never
+    # degrade; matryoshka_recall embeds the DECLARED brute-force
+    # cosine baseline twice (BNLJ allowed below)
+    "conversion_prob",
+    "behavior_entropy",
+    "kneser_ney_bigram",
+    "doc_novelty",
+    "metapath_walks",
+    "pq_distortion",
+    "bootstrap_ci",
+    "benford_deviation",
+    "temperature_mixture",
+    "centroid_outliers",
+    "embedding_covariance",
+    "matryoshka_recall",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -219,6 +241,9 @@ BNLJ_ALLOWED = {
     "markov_stationary",
     # 1-row fitted-slope broadcast back over the decile curve
     "heaps_law",
+    # embeds the declared brute-force cosine baseline (ground truth)
+    # on BOTH sides — same standing as ann_cosine_topk / ann_lsh_recall
+    "matryoshka_recall",
 }
 
 
