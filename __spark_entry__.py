@@ -2293,6 +2293,44 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centrality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spearman rho between PageRank@10 and out-degree under the
+    # deterministic (score DESC, id ASC) order: does the cheap ranking
+    # order vertices like the expensive one?  Distributed dense-id
+    # ranks, exact BIGINT sum of squared rank differences
+    from graphlite_spark.algos.stats import rank_agreement
+
+    _, v, e = graph_tables(spark, sf_dir)
+    res = pagerank(v, e, fixed_supersteps=10)
+    pr_scores = res.state.select(
+        "id",
+        F.round(F.round("value", 6) * 1000000, 0).cast("long").alias(
+            "score"
+        ),
+    )
+    deg_scores = _degrees(spark, sf_dir).select(
+        "id", F.col("out_degree").cast("long").alias("score")
+    )
+    return rank_agreement(pr_scores, deg_scores)
+
+
+def q_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chao1 total-vocabulary estimate + Good-Turing unseen mass from the
+    # singleton/doubleton counts: where the Heaps curve is heading
+    from graphlite_spark.operators.profiling import chao1_vocab
+
+    return chao1_vocab(load_table(spark, sf_dir, "documents"))
+
+
+def q_hotset_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day-over-day Jaccard of the top-20 hot users: the cache/skew-list
+    # stability readout; per-day WindowGroupLimit, comparisons on the
+    # k-per-day table only
+    from graphlite_spark.operators.analytics import hotset_churn
+
+    return hotset_churn(load_table(spark, sf_dir, "events"), k=20)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2705,6 +2743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metapath_walks": q_metapath_walks,
         "behavior_entropy": q_behavior_entropy,
         "embedding_covariance": q_embedding_covariance,
+        "centrality_agreement": q_centrality_agreement,
+        "chao1_vocab": q_chao1_vocab,
+        "hotset_churn": q_hotset_churn,
     }
 
 
@@ -2817,6 +2858,9 @@ def oracle_sql() -> dict[str, str]:
         "metapath_walks": O.metapath_walks_sql(["user", "assistant"], 6, 1),
         "behavior_entropy": O.behavior_entropy_sql(),
         "embedding_covariance": O.embedding_covariance_sql(20),
+        "centrality_agreement": O.rank_agreement_sql(10),
+        "chao1_vocab": O.chao1_vocab_sql(),
+        "hotset_churn": O.hotset_churn_sql(20),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -378,3 +378,66 @@ def dyad_census(vertices: DataFrame, edges: DataFrame) -> DataFrame:
             F.expr("v * (v - 1) div 2") - F.col("n_mutual") - F.col("n_asym")
         ).cast("long").alias("n_null"),
     )
+
+
+def rank_agreement(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(n, sum_d2, rho) — Spearman rank correlation between two integer
+    score tables over the same id set (Spearman 1904, public
+    literature): rho = 1 − 6·Σd² / (n·(n²−1)) where d is the per-id
+    rank difference under the deterministic (score DESC, id ASC) total
+    order.  The centrality-agreement readout: does the cheap ranking
+    (degree) order vertices the way the expensive one (PageRank) does —
+    the number a pipeline checks before substituting the proxy.
+
+    Exactness: scores must already be exact integers (micros by repo
+    convention); ranks come from the distributed dense-id machinery
+    (:func:`~graphlite_spark.plans.derive.assign_dense_ids` on
+    (−score, id) — a range shuffle, never a single-partition window);
+    Σd² is an exact BIGINT; n·(n²−1) and 6·Σd² both stay under 2⁵³ for
+    n up to ~10⁶ ranks so the single final division is engine-exact,
+    and the tie-broken total order makes rho itself deterministic.
+    Inner-joins on id: ids present in only one table are excluded
+    (stated).
+
+    Scale shape: two dense-id range shuffles + one id equi-join + one
+    map-side-combined 1-row aggregate."""
+    from graphlite_spark.plans.derive import assign_dense_ids
+
+    def ranked(df: DataFrame, rank_name: str) -> DataFrame:
+        keyed = df.select(
+            F.col(id_col).alias("vid"),
+            (-F.col(score_col)).cast("long").alias("neg"),
+        )
+        return assign_dense_ids(keyed, ["neg", "vid"], id_col=rank_name).select(
+            "vid", rank_name
+        )
+
+    ra = ranked(a, "r1")
+    rb = ranked(b, "r2")
+    j = ra.join(rb, "vid").select(
+        ((F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))).alias("d2")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d2").cast("long").alias("sum_d2"),
+    ).select(
+        "n",
+        "sum_d2",
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                F.lit(1.0)
+                - (F.lit(6.0) * F.col("sum_d2"))
+                / (
+                    F.col("n").cast("double")
+                    * (F.col("n") * F.col("n") - F.lit(1))
+                ),
+                6,
+            ),
+        ).alias("rho"),
+    )

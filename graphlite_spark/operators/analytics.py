@@ -765,3 +765,74 @@ def pareto_concentration(
             .alias("unit_share_micros"),
         )
     )
+
+
+def hotset_churn(
+    events: DataFrame,
+    key_col: str = "user_id",
+    k: int = 20,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(day, n_top, n_prev, n_common, jaccard) — day-over-day churn of
+    the top-``k`` hot keys: each day's top-k (by event count, ties
+    (count DESC, key ASC)) Jaccard-compared to the PREVIOUS day's.  The
+    cache-/shard-stability readout: a hot set that churns daily means
+    yesterday's placement (cache warm set, skew salting list, broadcast
+    hot-key list) is stale tomorrow — the operational number behind
+    every "precompute the heavy hitters" design.
+
+    Exactness: integer counts everywhere; jaccard is ONE rounded
+    division of exact BIGINTs (NULL when no previous-day set exists —
+    stated, the first day and gap days report honestly).
+
+    Scale shape: one map-side-combined (day, key) count, one per-day
+    WindowGroupLimit top-k (never a global window), then all comparison
+    joins run on the k·days-row TOP table — day-grain tiny at any
+    event volume."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp))"
+        f" div {24 * 3600 * 1_000_000}"
+    )
+    counts = events.groupBy(
+        day.alias("day"), F.col(key_col).alias("key")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col("key").asc()
+    )
+    top = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .select("day", "key")
+    )
+    sizes = top.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_top")
+    )
+    prev = top.select((F.col("day") + 1).alias("day"), "key")
+    com = top.join(prev, ["day", "key"]).groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    psz = sizes.select(
+        (F.col("day") + 1).alias("day"), F.col("n_top").alias("n_prev")
+    )
+    return (
+        sizes.join(psz, "day", "left")
+        .join(com, "day", "left")
+        .select(
+            "day",
+            "n_top",
+            F.coalesce("n_prev", F.lit(0)).cast("long").alias("n_prev"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.when(
+                F.col("n_prev").isNotNull(),
+                F.round(
+                    F.coalesce("n_common", F.lit(0)).cast("double")
+                    / (
+                        F.col("n_top")
+                        + F.col("n_prev")
+                        - F.coalesce("n_common", F.lit(0))
+                    ),
+                    6,
+                ),
+            ).alias("jaccard"),
+        )
+    )

@@ -346,3 +346,72 @@ def bootstrap_ci(
             "hi_micros"
         ),
     )
+
+
+def chao1_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(v_obs, f1, f2, n_tokens, chao1, p_unseen_micros) — the Chao1
+    species-richness estimate of the TOTAL vocabulary (Chao 1984) plus
+    the Good–Turing unseen-mass estimate (Good 1953), both public
+    literature: from the observed type count V and the singleton /
+    doubleton counts f1, f2,
+
+        chao1    = V + f1² / (2·f2)        (bias-corrected
+                   V + f1·(f1−1) / 2 when f2 = 0)
+        P(unseen) = f1 / N
+
+    — the "how much vocabulary is this corpus still missing" readout a
+    scaling-law analysis reads next to :func:`heaps_law` (Heaps says
+    how fast types arrive; Chao1 says where the curve is heading).
+
+    Exactness: V/f1/f2/N are exact BIGINTs from one aggregate; chao1 is
+    ONE fixed float expression over those integers rounded 6dp (f1² is
+    exact in double for f1 < 2^26 per operand — the double-precision
+    bound stated rather than hidden); the Good–Turing mass uses the
+    exact-ratio subtract-the-remainder micro division.
+
+    Scale shape: one explode + one map-side-combined term count + one
+    1-row aggregate — the vocab_zipf_alpha shape."""
+    from graphlite_spark.functions.text import tokens_expr
+
+    tf = (
+        docs.select(F.explode(tokens_expr(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = tf.agg(
+        F.count(F.lit(1)).cast("long").alias("v_obs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias(
+            "f1"
+        ),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias(
+            "f2"
+        ),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    chao1 = F.when(
+        F.col("f2") > 0,
+        F.round(
+            F.col("v_obs").cast("double")
+            + (F.col("f1") * F.col("f1")) / (F.lit(2.0) * F.col("f2")),
+            6,
+        ),
+    ).otherwise(
+        F.round(
+            F.col("v_obs").cast("double")
+            + (F.col("f1") * (F.col("f1") - F.lit(1))) / F.lit(2.0),
+            6,
+        )
+    )
+    return g.select(
+        "v_obs",
+        "f1",
+        "f2",
+        "n_tokens",
+        chao1.alias("chao1"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(
+                "(1000000 * f1 - (1000000 * f1) % n_tokens) div n_tokens"
+            ).cast("long"),
+        ).alias("p_unseen_micros"),
+    )

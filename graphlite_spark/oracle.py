@@ -321,6 +321,37 @@ def pagerank_fixed_sql(supersteps: int = 10) -> str:
     return _graph_query(body)
 
 
+def rank_agreement_sql(supersteps: int = 10) -> str:
+    """Mirror of algos.stats.rank_agreement over (PageRank@supersteps,
+    out-degree): identical 6dp-round → micros scores, the same
+    (score DESC, id ASC) total order (expressed as ORDER BY -s, vid),
+    exact BIGINT Σd², one final rounded division."""
+    rounds = supersteps - 1
+    body = (
+        f", {_pagerank_ctes(rounds)},\n"
+        "ca_a AS MATERIALIZED (SELECT id AS vid,\n"
+        "  CAST(round(round(rank, 6) * 1000000, 0) AS BIGINT) AS s"
+        f" FROM pr{rounds}),\n"
+        "ca_b AS MATERIALIZED (SELECT id AS vid,"
+        " out_degree AS s FROM deg),\n"
+        "ca_ra AS MATERIALIZED (SELECT vid,\n"
+        "  row_number() OVER (ORDER BY -s, vid) - 1 AS r1 FROM ca_a),\n"
+        "ca_rb AS MATERIALIZED (SELECT vid,\n"
+        "  row_number() OVER (ORDER BY -s, vid) - 1 AS r2 FROM ca_b),\n"
+        "ca_j AS MATERIALIZED (SELECT (r1 - r2) * (r1 - r2) AS d2\n"
+        "  FROM ca_ra JOIN ca_rb USING (vid))\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(SUM(d2) AS BIGINT) AS sum_d2,\n"
+        "  CASE WHEN count(*) > 1 THEN\n"
+        "    round(1.0 - (6.0 * CAST(SUM(d2) AS BIGINT))\n"
+        "      / (CAST(count(*) AS DOUBLE)\n"
+        "         * (count(*) * count(*) - 1)), 6)\n"
+        "  END AS rho\n"
+        "FROM ca_j"
+    )
+    return _graph_query(body)
+
+
 def ppr_fixed_sql(source: int = 0, supersteps: int = 8) -> str:
     """Personalized PageRank (teleport to ``source`` only), unrolled."""
     rounds = supersteps - 1
@@ -5586,6 +5617,69 @@ def temperature_mixture_sql() -> str:
         " - (1000000 * weight_micros) % d) // d AS BIGINT)"
         " AS share_micros\n"
         "FROM tm_w, tm_d"
+    )
+
+
+def chao1_vocab_sql() -> str:
+    """Mirror of operators.profiling.chao1_vocab: identical tokenize,
+    one aggregate over the term counts, the same fixed float expression
+    for chao1 (f2=0 branch included), exact-ratio Good–Turing mass."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "c1_tf AS MATERIALIZED (\n"
+        "  SELECT term, CAST(count(*) AS BIGINT) AS c FROM (\n"
+        "    SELECT unnest(toks) AS term FROM toks_t) GROUP BY term),\n"
+        "c1_g AS (SELECT CAST(count(*) AS BIGINT) AS v_obs,\n"
+        "  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,\n"
+        "  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,\n"
+        "  CAST(sum(c) AS BIGINT) AS n_tokens FROM c1_tf)\n"
+        "SELECT v_obs, f1, f2, n_tokens,\n"
+        "  CASE WHEN f2 > 0 THEN\n"
+        "    round(CAST(v_obs AS DOUBLE) + (f1 * f1) / (2.0 * f2), 6)\n"
+        "  ELSE round(CAST(v_obs AS DOUBLE) + (f1 * (f1 - 1)) / 2.0, 6)\n"
+        "  END AS chao1,\n"
+        "  CASE WHEN n_tokens > 0 THEN\n"
+        "    CAST((1000000 * f1 - (1000000 * f1) % n_tokens)"
+        " // n_tokens AS BIGINT)\n"
+        "  END AS p_unseen_micros\n"
+        "FROM c1_g"
+    )
+
+
+def hotset_churn_sql(k: int = 20) -> str:
+    """Mirror of operators.analytics.hotset_churn: identical day
+    derivation, per-day (count DESC, key ASC) top-k, previous-day
+    shift join, one rounded Jaccard division (NULL when no previous
+    day exists)."""
+    return (
+        "WITH hc_c AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000"
+        " AS BIGINT) AS day,\n"
+        "    user_id AS key, CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM events GROUP BY 1, 2),\n"
+        "hc_top AS MATERIALIZED (\n"
+        "  SELECT day, key FROM (\n"
+        "    SELECT day, key,\n"
+        "      row_number() OVER (PARTITION BY day"
+        " ORDER BY n DESC, key ASC) AS r\n"
+        f"    FROM hc_c) WHERE r <= {k}),\n"
+        "hc_sz AS MATERIALIZED (SELECT day,"
+        " CAST(count(*) AS BIGINT) AS n_top FROM hc_top GROUP BY day),\n"
+        "hc_com AS MATERIALIZED (\n"
+        "  SELECT t.day, CAST(count(*) AS BIGINT) AS n_common\n"
+        "  FROM hc_top t JOIN (SELECT day + 1 AS day, key FROM hc_top) p\n"
+        "    USING (day, key) GROUP BY t.day),\n"
+        "hc_psz AS MATERIALIZED (SELECT day + 1 AS day,"
+        " n_top AS n_prev FROM hc_sz)\n"
+        "SELECT s.day, s.n_top,\n"
+        "  CAST(COALESCE(p.n_prev, 0) AS BIGINT) AS n_prev,\n"
+        "  CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,\n"
+        "  CASE WHEN p.n_prev IS NOT NULL THEN\n"
+        "    round(CAST(COALESCE(c.n_common, 0) AS DOUBLE)\n"
+        "      / (s.n_top + p.n_prev - COALESCE(c.n_common, 0)), 6)\n"
+        "  END AS jaccard\n"
+        "FROM hc_sz s LEFT JOIN hc_psz p ON p.day = s.day\n"
+        "LEFT JOIN hc_com c ON c.day = s.day"
     )
 
 

@@ -1,0 +1,93 @@
+"""Spearman rank agreement, Chao1 vocabulary richness, hot-set churn vs
+Python brute force."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+
+def test_rank_agreement_bruteforce(spark):
+    from graphlite_spark.algos.stats import rank_agreement
+
+    a = [(0, 100), (1, 90), (2, 80), (3, 70), (4, 60)]
+    b = [(0, 5), (1, 50), (2, 40), (3, 30), (4, 20)]  # 0 drops to last
+    da = spark.createDataFrame(a, "id long, score long")
+    db = spark.createDataFrame(b, "id long, score long")
+    got = rank_agreement(da, db).collect()[0]
+
+    def ranks(rows):
+        ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+        return {i: r for r, (i, _) in enumerate(ordered)}
+
+    ra, rb = ranks(a), ranks(b)
+    d2 = sum((ra[i] - rb[i]) ** 2 for i in ra)
+    n = 5
+    rho = round(1.0 - (6.0 * d2) / (n * (n * n - 1)), 6)
+    assert (got["n"], got["sum_d2"]) == (n, d2)
+    assert got["rho"] == pytest.approx(rho, abs=1e-9)
+
+    # identical scores -> identical ranks -> rho = 1
+    same = rank_agreement(da, da).collect()[0]
+    assert same["sum_d2"] == 0 and same["rho"] == 1.0
+
+    # exactly reversed order -> rho = -1
+    rev = spark.createDataFrame(
+        [(i, 1000 - s) for i, s in a], "id long, score long"
+    )
+    opp = rank_agreement(da, rev).collect()[0]
+    assert opp["rho"] == -1.0
+
+
+def test_chao1_vocab_bruteforce(spark):
+    from graphlite_spark.operators.profiling import chao1_vocab
+
+    docs = [
+        (0, "a a a b b c d e"),   # a:3 b:2 c,d,e singletons
+        (1, "b f"),               # b:3 total, f singleton
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = chao1_vocab(df).collect()[0]
+    # counts: a3 b3 c1 d1 e1 f1 -> V=6, f1=4, f2=0, N=10
+    assert (got["v_obs"], got["f1"], got["f2"], got["n_tokens"]) == (
+        6, 4, 0, 10,
+    )
+    # f2=0 branch: V + f1(f1-1)/2 = 6 + 6 = 12
+    assert got["chao1"] == pytest.approx(12.0, abs=1e-9)
+    assert got["p_unseen_micros"] == 400000
+
+    # f2 > 0 branch
+    docs2 = [(0, "x x y y z")]
+    g2 = chao1_vocab(
+        spark.createDataFrame(docs2, "doc_id long, text string")
+    ).collect()[0]
+    # V=3, f1=1 (z), f2=2 (x,y) -> chao1 = 3 + 1/4
+    assert g2["chao1"] == pytest.approx(3.25, abs=1e-9)
+
+
+def test_hotset_churn_bruteforce(spark):
+    from graphlite_spark.operators.analytics import hotset_churn
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # day 0: users 1,2,3 hot; day 1: users 2,3,4; day 3 (gap!): user 9
+    for day, users in [(0, [1, 1, 2, 2, 3]), (1, [2, 3, 3, 4]),
+                       (3, [9, 9])]:
+        for u in users:
+            rows.append((eid, u, base + datetime.timedelta(days=day)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r["day"]: r for r in hotset_churn(df, k=2).collect()}
+    d0 = int((base - datetime.datetime(1970, 1, 1)).days)
+
+    # day 0 top-2 by (count desc, key asc): {1, 2}; day 1: {3, 2}
+    r0 = got[d0]
+    assert (r0["n_top"], r0["n_prev"], r0["n_common"]) == (2, 0, 0)
+    assert r0["jaccard"] is None  # no previous day
+    r1 = got[d0 + 1]
+    assert (r1["n_top"], r1["n_prev"], r1["n_common"]) == (2, 2, 1)
+    assert r1["jaccard"] == pytest.approx(round(1 / 3, 6), abs=1e-9)
+    r3 = got[d0 + 3]  # gap day: previous day absent
+    assert r3["jaccard"] is None and r3["n_prev"] == 0

@@ -190,6 +190,13 @@ GUARDED = [
     "centroid_outliers",
     "embedding_covariance",
     "matryoshka_recall",
+    # centrality_agreement runs the pagerank engine eagerly, then two
+    # dense-id range shuffles + one id equi-join; chao1 is explode +
+    # two aggregates (join-free); hotset_churn's joins all run on the
+    # k-per-day top table
+    "centrality_agreement",
+    "chao1_vocab",
+    "hotset_churn",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
