@@ -2331,6 +2331,33 @@ def q_hotset_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hotset_churn(load_table(spark, sf_dir, "events"), k=20)
 
 
+def q_pagerank_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # where does the rank mass live? PageRank@10 micros summed per role
+    # (user/assistant/tool) — the aggregated-centrality readout
+    t, v, e = graph_tables(spark, sf_dir)
+    res = pagerank(v, e, fixed_supersteps=10)
+    pm = res.state.select(
+        "id",
+        F.round(F.round("value", 6) * 1000000, 0).cast("long").alias("m"),
+    )
+    roles = v.join(
+        t.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"]
+    ).select("id", "role")
+    return pm.join(roles, "id").groupBy("role").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("m").cast("long").alias("rank_micros"),
+    )
+
+
+def q_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fisher-style per-label scatter decomposition of the labeled
+    # embeddings: within-class SS + between-class terms, exact BIGINT
+    # micro^2 — "are these labels separable or noise?"
+    from graphlite_spark.operators.kmeans import label_separability
+
+    return label_separability(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2746,6 +2773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centrality_agreement": q_centrality_agreement,
         "chao1_vocab": q_chao1_vocab,
         "hotset_churn": q_hotset_churn,
+        "pagerank_by_role": q_pagerank_by_role,
+        "label_separability": q_label_separability,
     }
 
 
@@ -2861,6 +2890,8 @@ def oracle_sql() -> dict[str, str]:
         "centrality_agreement": O.rank_agreement_sql(10),
         "chao1_vocab": O.chao1_vocab_sql(),
         "hotset_churn": O.hotset_churn_sql(20),
+        "pagerank_by_role": O.pagerank_by_role_sql(10),
+        "label_separability": O.label_separability_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

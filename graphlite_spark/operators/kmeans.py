@@ -336,3 +336,99 @@ def kcenter_select(
     return spark.createDataFrame(
         rows, "center_rank long, vec_id long, radius_sq long"
     )
+
+
+def label_separability(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n, within_ss, centroid_dist_sq, between_term) — the
+    per-class scatter decomposition of a labeled embedding table: for
+    each label its population, the within-class sum of squared
+    distances to the CLASS centroid, the squared distance from the
+    class centroid to the GLOBAL centroid, and n·that (the class's
+    term in the between-class scatter) — Fisher's separability
+    bookkeeping (Fisher 1936, public literature): Σ between_term /
+    Σ within_ss is the one-number answer to "are these embeddings
+    linearly separable by label, or is the labeling noise?" — the
+    check a team runs before training a probe/classifier on them.
+
+    Exactness: micro-quantized BIGINTs end-to-end; class and global
+    centroids use the truncating integer division
+    (:func:`~graphlite_spark.operators.similarity._centroid_micros`
+    discipline); every distance is an exact integer sum.
+
+    Scale shape: class centroids come from ONE map-side-combined
+    (label → d sums) aggregate collecting L·(d+2) driver-side longs
+    (codebook-sized); they ride back as a label→array CASE LITERAL, so
+    the within-scatter pass is zero-join whole-stage codegen over the
+    corpus + one L-group aggregate; the L-row between table is
+    assembled driver-side and unioned in — the N·d data is scanned
+    exactly twice (centroid pass, scatter pass), never joined."""
+    qz = embeddings.select(
+        F.col(label_col).alias("label"),
+        quantize_expr(F.col(vec_col)).alias("qv"),
+    )
+    dim_row = qz.select(F.size("qv").alias("d")).limit(1).collect()
+    if not dim_row:
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            "label long, n long, within_ss long,"
+            " centroid_dist_sq long, between_term long",
+        )
+    d = dim_row[0]["d"]
+    per = qz.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.element_at("qv", j + 1)).cast("long").alias(f"s{j}")
+            for j in range(d)
+        ],
+    ).collect()
+    cents = {
+        r["label"]: [
+            _tdiv(int(r[f"s{j}"]), int(r["n"])) for j in range(d)
+        ]
+        for r in per
+    }
+    ns = {r["label"]: int(r["n"]) for r in per}
+    n_tot = sum(ns.values())
+    gsums = [sum(int(r[f"s{j}"]) for r in per) for j in range(d)]
+    gcent = [_tdiv(s, n_tot) for s in gsums]
+
+    cl_expr = None
+    for lab, cv in sorted(cents.items()):
+        arr = F.array(*[F.lit(c).cast("long") for c in cv])
+        cond = F.col("label") == lab
+        cl_expr = (
+            F.when(cond, arr) if cl_expr is None else cl_expr.when(cond, arr)
+        )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), cl_expr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    within = qz.select("label", dist.alias("dsq")).groupBy("label").agg(
+        F.sum("dsq").cast("long").alias("within_ss")
+    )
+    between_rows = [
+        (
+            int(lab),
+            ns[lab],
+            sum((cv[j] - gcent[j]) ** 2 for j in range(d)),
+        )
+        for lab, cv in sorted(cents.items())
+    ]
+    bt = embeddings.sparkSession.createDataFrame(
+        between_rows, "label long, n long, centroid_dist_sq long"
+    )
+    return within.join(F.broadcast(bt), "label").select(
+        "label",
+        "n",
+        "within_ss",
+        "centroid_dist_sq",
+        (F.col("n") * F.col("centroid_dist_sq")).cast("long").alias(
+            "between_term"
+        ),
+    )

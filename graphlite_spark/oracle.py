@@ -352,6 +352,62 @@ def rank_agreement_sql(supersteps: int = 10) -> str:
     return _graph_query(body)
 
 
+def pagerank_by_role_sql(supersteps: int = 10) -> str:
+    """Mirror of the entry's pagerank_by_role: PageRank@supersteps
+    rounded 6dp → micros, joined to the role table, one grouped sum."""
+    rounds = supersteps - 1
+    body = (
+        f", {_pagerank_ctes(rounds)},\n"
+        "pm AS MATERIALIZED (\n"
+        "  SELECT t.role,\n"
+        "    CAST(round(round(p.rank, 6) * 1000000, 0) AS BIGINT) AS m\n"
+        f"  FROM pr{rounds} p JOIN tv t ON t.id = p.id)\n"
+        "SELECT role, CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(SUM(m) AS BIGINT) AS rank_micros\n"
+        "FROM pm GROUP BY role"
+    )
+    return _graph_query(body)
+
+
+def label_separability_sql() -> str:
+    """Mirror of operators.kmeans.label_separability: per-label and
+    global truncating-division centroids from the same micro sums,
+    exact BIGINT scatter terms."""
+    return (
+        "WITH ls_q AS MATERIALIZED (SELECT label,\n"
+        "  list_transform(embedding, x ->\n"
+        "    CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT)) AS v\n"
+        "  FROM embeddings),\n"
+        "ls_s AS MATERIALIZED (\n"
+        "  SELECT label, x.u.i AS i, CAST(SUM(x.u.x) AS BIGINT) AS s,\n"
+        "    CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM (SELECT label, unnest(list_transform(range(1, len(v) + 1),\n"
+        "      i -> {'i': i, 'x': v[i]})) AS u FROM ls_q) x\n"
+        "  GROUP BY label, x.u.i),\n"
+        "ls_cl AS MATERIALIZED (\n"
+        "  SELECT label, list(s // n ORDER BY i) AS cv, MAX(n) AS n\n"
+        "  FROM ls_s GROUP BY label),\n"
+        "ls_g AS MATERIALIZED (\n"
+        "  SELECT list(gs // gn ORDER BY i) AS gcl FROM (\n"
+        "    SELECT i, CAST(SUM(s) AS BIGINT) AS gs,\n"
+        "      CAST(SUM(n) AS BIGINT) AS gn FROM ls_s GROUP BY i)),\n"
+        "ls_w AS MATERIALIZED (\n"
+        "  SELECT q.label, CAST(SUM(list_sum(list_transform(\n"
+        "    range(1, len(v) + 1),"
+        " j -> (v[j] - cv[j]) * (v[j] - cv[j])))) AS BIGINT) AS within_ss\n"
+        "  FROM ls_q q JOIN ls_cl USING (label) GROUP BY q.label),\n"
+        "ls_b AS MATERIALIZED (\n"
+        "  SELECT label, n, CAST(list_sum(list_transform(\n"
+        "    range(1, len(cv) + 1),"
+        " j -> (cv[j] - gcl[j]) * (cv[j] - gcl[j]))) AS BIGINT)"
+        " AS centroid_dist_sq\n"
+        "  FROM ls_cl, ls_g)\n"
+        "SELECT b.label, b.n, w.within_ss, b.centroid_dist_sq,\n"
+        "  CAST(b.n * b.centroid_dist_sq AS BIGINT) AS between_term\n"
+        "FROM ls_b b JOIN ls_w w USING (label)"
+    )
+
+
 def ppr_fixed_sql(source: int = 0, supersteps: int = 8) -> str:
     """Personalized PageRank (teleport to ``source`` only), unrolled."""
     rounds = supersteps - 1

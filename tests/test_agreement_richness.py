@@ -91,3 +91,43 @@ def test_hotset_churn_bruteforce(spark):
     assert r1["jaccard"] == pytest.approx(round(1 / 3, 6), abs=1e-9)
     r3 = got[d0 + 3]  # gap day: previous day absent
     assert r3["jaccard"] is None and r3["n_prev"] == 0
+
+
+def test_label_separability_bruteforce(spark):
+    from graphlite_spark.operators.kmeans import _tdiv, label_separability
+
+    vecs = [
+        (0, [1.0, 1.0], 0), (1, [1.2, 0.8], 0), (2, [0.8, 1.2], 0),
+        (3, [-1.0, -1.0], 1), (4, [-1.2, -0.8], 1),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    got = {r["label"]: r for r in label_separability(df).collect()}
+
+    q = {i: ([round(x * 1_000_000) for x in v], lab) for i, v, lab in vecs}
+    by_lab: dict[int, list] = {}
+    for v, lab in q.values():
+        by_lab.setdefault(lab, []).append(v)
+    cents = {
+        lab: [_tdiv(sum(v[j] for v in vs), len(vs)) for j in range(2)]
+        for lab, vs in by_lab.items()
+    }
+    n_tot = len(q)
+    gcent = [
+        _tdiv(sum(v[j] for v, _ in q.values()), n_tot) for j in range(2)
+    ]
+    for lab, vs in by_lab.items():
+        within = sum(
+            (v[j] - cents[lab][j]) ** 2 for v in vs for j in range(2)
+        )
+        cdist = sum((cents[lab][j] - gcent[j]) ** 2 for j in range(2))
+        r = got[lab]
+        assert (r["n"], r["within_ss"], r["centroid_dist_sq"]) == (
+            len(vs), within, cdist,
+        )
+        assert r["between_term"] == len(vs) * cdist
+    # the two clusters are well separated: between dwarfs within
+    assert sum(r["between_term"] for r in got.values()) > 10 * sum(
+        r["within_ss"] for r in got.values()
+    )

@@ -197,6 +197,11 @@ GUARDED = [
     "centrality_agreement",
     "chao1_vocab",
     "hotset_churn",
+    # pagerank_by_role runs the engine eagerly then one role equi-join
+    # + a grouped sum; label_separability's scatter pass is zero-join
+    # codegen (centroids as CASE literals) + one L-row broadcast join
+    "pagerank_by_role",
+    "label_separability",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
