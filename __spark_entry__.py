@@ -2358,6 +2358,25 @@ def q_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_separability(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_triangle_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # observed triangles vs the configuration-model expectation
+    # (Σd(d-1)/Σd)³/6: is the clustering real structure or just the
+    # degree sequence?  Exact moments, degree-oriented enumeration
+    from graphlite_spark.algos.triangles import triangle_surprise
+
+    _, _, e = graph_tables(spark, sf_dir)
+    return triangle_surprise(e)
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l-diversity histogram over the k-anonymity QI classes: distinct
+    # sensitive values per class — the homogeneity-attack exposure
+    # k-anonymity alone leaves open
+    from graphlite_spark.operators.profiling import l_diversity
+
+    return l_diversity(load_table(spark, sf_dir, "events"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2775,6 +2794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotset_churn": q_hotset_churn,
         "pagerank_by_role": q_pagerank_by_role,
         "label_separability": q_label_separability,
+        "triangle_surprise": q_triangle_surprise,
+        "l_diversity": q_l_diversity,
     }
 
 
@@ -2892,6 +2913,8 @@ def oracle_sql() -> dict[str, str]:
         "hotset_churn": O.hotset_churn_sql(20),
         "pagerank_by_role": O.pagerank_by_role_sql(10),
         "label_separability": O.label_separability_sql(),
+        "triangle_surprise": O.triangle_surprise_sql(),
+        "l_diversity": O.l_diversity_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

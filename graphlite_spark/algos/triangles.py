@@ -413,3 +413,57 @@ def directed_triangle_census(edges: DataFrame) -> DataFrame:
         F.coalesce(F.col("sc"), F.lit(0)).cast("long").alias("n_cyclic"),
         F.coalesce(F.col("st"), F.lit(0)).cast("long").alias("n_transitive"),
     )
+
+
+def triangle_surprise(edges: DataFrame) -> DataFrame:
+    """(triangles, s1, s2x, expected, surprise) — the observed global
+    triangle count against its configuration-model expectation
+    E[T] ≈ (Σd(d−1) / Σd)³ / 6 (Newman 2003's degree-preserving null,
+    public literature): ``surprise`` = observed / expected is the
+    one-number answer to "is this graph's clustering real structure or
+    just what its degree sequence forces?" — >1 means genuine triadic
+    closure (social/conversational structure), ≈1 means the degree
+    sequence explains everything.
+
+    Exactness: the degree moments s1 = Σd, s2x = Σd(d−1) are exact
+    BIGINTs over the undirected closure; the observed count is the
+    degree-oriented exact enumeration (:func:`triangle_count` — wedge
+    fan-out O(√E), hub-safe); expected/surprise are ONE identically
+    staged float expression (r = s2x/s1 computed once, then r³/6)
+    rounded 6dp.
+
+    Scale shape: the triangle path's cost dominates; the null model
+    adds one map-side-combined degree count + a 1-row moment aggregate
+    cross-joined onto the 1-row triangle count (constant-sized — the
+    dyad_census assembly convention)."""
+    from graphlite_spark.algos.components import symmetrize
+
+    t = triangle_count(edges, orient="degree")
+    und = symmetrize(edges)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    mom = deg.agg(
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(F.col("d") * (F.col("d") - 1)).cast("long").alias("s2x"),
+    )
+    staged = t.crossJoin(mom).select(
+        "triangles",
+        "s1",
+        "s2x",
+        (F.col("s2x").cast("double") / F.col("s1")).alias("r"),
+    )
+    return staged.select(
+        "triangles",
+        "s1",
+        "s2x",
+        F.round(F.col("r") * F.col("r") * F.col("r") / 6.0, 6).alias(
+            "expected"
+        ),
+        F.when(
+            F.col("r") > 0,
+            F.round(
+                F.col("triangles")
+                / (F.col("r") * F.col("r") * F.col("r") / 6.0),
+                6,
+            ),
+        ).alias("surprise"),
+    )

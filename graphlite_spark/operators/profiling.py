@@ -415,3 +415,47 @@ def chao1_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).cast("long"),
         ).alias("p_unseen_micros"),
     )
+
+
+def l_diversity(
+    events: DataFrame,
+    sensitive_col: str = "user_id",
+    qi_cols: list | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(l_value, n_classes, n_rows) — the l-diversity histogram
+    (Machanavajjhala et al. 2007, public literature) over the same
+    quasi-identifier classes as :func:`k_anonymity`: per QI class the
+    number of DISTINCT sensitive values l, histogrammed.  k-anonymity
+    alone leaves the homogeneity attack open — a size-50 class whose
+    50 rows all belong to one user re-identifies perfectly; this
+    readout's l=1 bucket IS that exposure.
+
+    Scale shape: one map-side-combined distinct on (QI tuple,
+    sensitive), then the k_anonymity double-aggregation (class → l →
+    histogram) — never per-individual state."""
+    if qi_cols is None:
+        t = F.col(ts_col).cast("timestamp")
+        qi = [
+            F.col("event_type"),
+            F.expr(
+                f"unix_micros(date_trunc('day', cast({ts_col} as"
+                " timestamp)))"
+            ).alias("qi_day"),
+            F.hour(t).alias("qi_hour"),
+        ]
+    else:
+        qi = [F.col(c) for c in qi_cols]
+    classes = (
+        events.select(*qi, F.col(sensitive_col).alias("sv"))
+        .groupBy(*[c for c in ("event_type", "qi_day", "qi_hour")]
+                 if qi_cols is None else qi_cols)
+        .agg(
+            F.countDistinct("sv").cast("long").alias("l_value"),
+            F.count(F.lit(1)).cast("long").alias("rows_in_class"),
+        )
+    )
+    return classes.groupBy("l_value").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("rows_in_class").cast("long").alias("n_rows"),
+    )

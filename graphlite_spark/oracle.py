@@ -2588,6 +2588,42 @@ def k_anonymity_sql() -> str:
     )
 
 
+def l_diversity_sql() -> str:
+    """Mirror of operators.profiling.l_diversity over events with the
+    (event_type, day, hour) quasi-identifier and user_id sensitive."""
+    return (
+        "SELECT l_value, CAST(count(*) AS BIGINT) AS n_classes,\n"
+        "  CAST(SUM(rows_in_class) AS BIGINT) AS n_rows\n"
+        "FROM (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS l_value,\n"
+        "        CAST(count(*) AS BIGINT) AS rows_in_class\n"
+        "      FROM events\n"
+        "      GROUP BY event_type, CAST(ts AS DATE), hour(ts))\n"
+        "GROUP BY l_value"
+    )
+
+
+def triangle_surprise_sql() -> str:
+    """Mirror of algos.triangles.triangle_surprise: exact degree moments
+    over und, the degree-oriented triangle count, the identically
+    staged r = s2x/s1 then r³/6 expression."""
+    body = (
+        f", {_TRI_CTES},\n"
+        "ts_m AS MATERIALIZED (\n"
+        "  SELECT CAST(SUM(d) AS BIGINT) AS s1,\n"
+        "    CAST(SUM(d * (d - 1)) AS BIGINT) AS s2x\n"
+        "  FROM (SELECT count(*) AS d FROM und GROUP BY src)),\n"
+        "ts_t AS (SELECT CAST(count(*) AS BIGINT) AS triangles FROM tri),\n"
+        "ts_r AS (SELECT triangles, s1, s2x,\n"
+        "  CAST(s2x AS DOUBLE) / s1 AS r FROM ts_t, ts_m)\n"
+        "SELECT triangles, s1, s2x,\n"
+        "  round(r * r * r / 6.0, 6) AS expected,\n"
+        "  CASE WHEN r > 0 THEN"
+        " round(triangles / (r * r * r / 6.0), 6) END AS surprise\n"
+        "FROM ts_r"
+    )
+    return _graph_query(body)
+
+
 def kmv_set_overlap_sql(
     group_col: str = "event_type",
     value_col: str = "user_id",

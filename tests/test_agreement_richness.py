@@ -131,3 +131,49 @@ def test_label_separability_bruteforce(spark):
     assert sum(r["between_term"] for r in got.values()) > 10 * sum(
         r["within_ss"] for r in got.values()
     )
+
+
+def test_triangle_surprise_bruteforce(spark):
+    from graphlite_spark.algos.triangles import triangle_surprise
+
+    # K4 plus a pendant: 4 triangles, heavy clustering
+    arcs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in arcs], "src long, dst long, weight double"
+    )
+    got = triangle_surprise(e).collect()[0]
+    deg = {0: 3, 1: 3, 2: 3, 3: 4, 4: 1}
+    s1 = sum(deg.values())
+    s2x = sum(d * (d - 1) for d in deg.values())
+    r = s2x / s1
+    assert (got["triangles"], got["s1"], got["s2x"]) == (4, s1, s2x)
+    assert got["expected"] == pytest.approx(round(r ** 3 / 6.0, 6), abs=1e-9)
+    assert got["surprise"] == pytest.approx(
+        round(4 / (r ** 3 / 6.0), 6), abs=1e-9
+    )
+    assert got["surprise"] > 1.0  # K4 clusters more than its null model
+
+
+def test_l_diversity_bruteforce(spark):
+    import datetime
+
+    from graphlite_spark.operators.profiling import l_diversity
+
+    base = datetime.datetime(2024, 5, 1, 10)
+    rows = [
+        # class (click, day0, h10): users 1,1,2 -> l=2, 3 rows
+        (0, 1, "click", base),
+        (1, 1, "click", base + datetime.timedelta(minutes=5)),
+        (2, 2, "click", base + datetime.timedelta(minutes=10)),
+        # class (view, day0, h10): user 3 alone -> l=1 (the exposure)
+        (3, 3, "view", base),
+        # class (view, day0, h11): users 4,5 -> l=2, 2 rows
+        (4, 4, "view", base + datetime.timedelta(hours=1)),
+        (5, 5, "view", base + datetime.timedelta(hours=1, minutes=2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r["l_value"]: r for r in l_diversity(df).collect()}
+    assert got[1]["n_classes"] == 1 and got[1]["n_rows"] == 1
+    assert got[2]["n_classes"] == 2 and got[2]["n_rows"] == 5

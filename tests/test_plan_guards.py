@@ -202,6 +202,11 @@ GUARDED = [
     # codegen (centroids as CASE literals) + one L-row broadcast join
     "pagerank_by_role",
     "label_separability",
+    # triangle_surprise is the degree-oriented triangle path + a 1-row
+    # moment cross join (BNLJ allowed below); l_diversity is the
+    # k_anonymity double-aggregation with a distinct inside
+    "triangle_surprise",
+    "l_diversity",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -256,6 +261,8 @@ BNLJ_ALLOWED = {
     # embeds the declared brute-force cosine baseline (ground truth)
     # on BOTH sides — same standing as ann_cosine_topk / ann_lsh_recall
     "matryoshka_recall",
+    # 1-row triangle count x 1-row degree moments assembly join
+    "triangle_surprise",
 }
 
 
