@@ -2377,6 +2377,15 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity(load_table(spark, sf_dir, "events"))
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUSUM sustained-shift detection per event type (the complement of
+    # daily_anomaly's spike z-score): exact BIGINT prefix CUSUM over the
+    # zero-filled day spine, deterministic argmax day
+    from graphlite_spark.operators.analytics import cusum_changepoint
+
+    return cusum_changepoint(load_table(spark, sf_dir, "events"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2796,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_separability": q_label_separability,
         "triangle_surprise": q_triangle_surprise,
         "l_diversity": q_l_diversity,
+        "cusum_changepoint": q_cusum_changepoint,
     }
 
 
@@ -2915,6 +2925,7 @@ def oracle_sql() -> dict[str, str]:
         "label_separability": O.label_separability_sql(),
         "triangle_surprise": O.triangle_surprise_sql(),
         "l_diversity": O.l_diversity_sql(),
+        "cusum_changepoint": O.cusum_changepoint_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

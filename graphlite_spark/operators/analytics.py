@@ -836,3 +836,92 @@ def hotset_churn(
             ).alias("jaccard"),
         )
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(group, n_days, total, cp_day, cusum_abs_micros) — CUSUM
+    change-point detection per group (Page 1954, public literature):
+    over the zero-filled day spine, S_d = Σ_{d'≤d} (y_d' − ȳ), and the
+    estimated change-point is the day maximizing |S_d| (earliest day on
+    ties).  The complement of :func:`daily_anomaly`: the z-score flags
+    single-day spikes, CUSUM finds the SUSTAINED level shift (a source
+    turning off, a bot cohort arriving) that never trips a per-day
+    threshold.
+
+    Exactness: ȳ rides as the exact-ratio micro mean, so every prefix
+    statistic is the exact BIGINT ``10⁶·prefix_sum − d·mean_micros`` —
+    no float anywhere; the argmax is a deterministic
+    (|S| DESC, day ASC) pick.
+
+    Scale shape: one map-side-combined (group, day) count, the
+    daily_anomaly day-grain spine, one per-group ordered prefix window
+    over that tiny frame, one per-group argmax."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp))"
+        f" div {24 * 3600 * 1_000_000}"
+    )
+    daily = events.groupBy(
+        F.col(group_col).alias("g"), day.alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = (
+        rng.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+        )
+        .crossJoin(F.broadcast(daily.select("g").distinct()))
+    )
+    full = spine.join(daily, ["g", "day"], "left").select(
+        "g", "day", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    totals = full.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("total"),
+    ).select(
+        "g",
+        "n_days",
+        "total",
+        F.expr(
+            "(1000000 * total - (1000000 * total) % n_days) div n_days"
+        ).cast("long").alias("mean_micros"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = full.select(
+        "g",
+        "day",
+        F.sum("y").over(w).cast("long").alias("ps"),
+        F.row_number().over(
+            Window.partitionBy("g").orderBy("day")
+        ).cast("long").alias("d_idx"),
+    )
+    s = pref.join(totals, "g").select(
+        "g",
+        "n_days",
+        "total",
+        "day",
+        F.abs(
+            F.lit(1000000) * F.col("ps")
+            - F.col("d_idx") * F.col("mean_micros")
+        ).cast("long").alias("sabs"),
+    )
+    wmax = Window.partitionBy("g").orderBy(
+        F.col("sabs").desc(), F.col("day").asc()
+    )
+    return (
+        s.withColumn("r", F.row_number().over(wmax))
+        .where(F.col("r") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            "n_days",
+            "total",
+            F.col("day").alias("cp_day"),
+            F.col("sabs").alias("cusum_abs_micros"),
+        )
+    )

@@ -2456,6 +2456,50 @@ def daily_anomaly_sql(
     )
 
 
+def cusum_changepoint_sql(
+    group_col: str = "event_type", ts_col: str = "ts"
+) -> str:
+    """Mirror of operators.analytics.cusum_changepoint: zero-filled day
+    spine, exact-ratio micro mean, BIGINT prefix CUSUM, (|S| DESC, day
+    ASC) argmax."""
+    return (
+        "WITH daily AS MATERIALIZED (\n"
+        f"  SELECT {group_col} AS g,\n"
+        f"    CAST(epoch_us({ts_col}) AS BIGINT) // 86400000000 AS day,\n"
+        "    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),\n"
+        "rng AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),\n"
+        "spine AS (SELECT unnest(range(lo, hi + 1)) AS day, g\n"
+        "  FROM rng, (SELECT DISTINCT g FROM daily)),\n"
+        "val AS MATERIALIZED (\n"
+        "  SELECT s.g, s.day, CAST(COALESCE(y, 0) AS BIGINT) AS y\n"
+        "  FROM spine s LEFT JOIN daily USING (g, day)),\n"
+        "tot AS MATERIALIZED (\n"
+        "  SELECT g, CAST(count(*) AS BIGINT) AS n_days,\n"
+        "    CAST(SUM(y) AS BIGINT) AS total,\n"
+        "    CAST((1000000 * CAST(SUM(y) AS BIGINT)\n"
+        "      - (1000000 * CAST(SUM(y) AS BIGINT)) % count(*))\n"
+        "      // count(*) AS BIGINT) AS mean_micros\n"
+        "  FROM val GROUP BY g),\n"
+        "pref AS MATERIALIZED (\n"
+        "  SELECT g, day,\n"
+        "    CAST(SUM(y) OVER (PARTITION BY g ORDER BY day\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS ps,\n"
+        "    CAST(row_number() OVER (PARTITION BY g ORDER BY day)"
+        " AS BIGINT) AS d_idx\n"
+        "  FROM val),\n"
+        "sarr AS MATERIALIZED (\n"
+        "  SELECT p.g, t.n_days, t.total, p.day,\n"
+        "    abs(1000000 * p.ps - p.d_idx * t.mean_micros) AS sabs\n"
+        "  FROM pref p JOIN tot t USING (g))\n"
+        f"SELECT g AS {group_col}, n_days, total, day AS cp_day,\n"
+        "  CAST(sabs AS BIGINT) AS cusum_abs_micros\n"
+        "FROM (SELECT *, row_number() OVER (PARTITION BY g\n"
+        "    ORDER BY sabs DESC, day ASC) AS r FROM sarr)\n"
+        "WHERE r = 1"
+    )
+
+
 def dau_wau_sql(
     unit_col: str = "user_id",
     ts_col: str = "ts",

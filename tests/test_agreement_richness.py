@@ -177,3 +177,39 @@ def test_l_diversity_bruteforce(spark):
     got = {r["l_value"]: r for r in l_diversity(df).collect()}
     assert got[1]["n_classes"] == 1 and got[1]["n_rows"] == 1
     assert got[2]["n_classes"] == 2 and got[2]["n_rows"] == 5
+
+
+def test_cusum_changepoint_bruteforce(spark):
+    import datetime
+
+    from graphlite_spark.operators.analytics import cusum_changepoint
+
+    base = datetime.datetime(2024, 6, 1)
+    # type 'a': level shift on day 4 (2/day -> 8/day over 8 days)
+    rows = []
+    eid = 0
+    counts = {0: 2, 1: 2, 2: 2, 3: 2, 4: 8, 5: 8, 6: 8, 7: 8}
+    for d, c in counts.items():
+        for _ in range(c):
+            rows.append((eid, 1, "a", base + datetime.timedelta(days=d)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = cusum_changepoint(df).collect()[0]
+
+    ys = [counts[d] for d in range(8)]
+    total, n = sum(ys), len(ys)
+    mean_m = (1_000_000 * total - (1_000_000 * total) % n) // n
+    best = None
+    ps = 0
+    for d, y in enumerate(ys):
+        ps += y
+        sabs = abs(1_000_000 * ps - (d + 1) * mean_m)
+        if best is None or sabs > best[1]:
+            best = (d, sabs)
+    d0 = int((base - datetime.datetime(1970, 1, 1)).days)
+    assert (got["n_days"], got["total"]) == (8, total)
+    assert got["cp_day"] == d0 + best[0]
+    assert got["cusum_abs_micros"] == best[1]
+    assert best[0] == 3  # the CUSUM minimum sits on the last pre-shift day

@@ -207,6 +207,8 @@ GUARDED = [
     # k_anonymity double-aggregation with a distinct inside
     "triangle_surprise",
     "l_diversity",
+    # cusum: day-grain spine windows + the 1-row day-range broadcast
+    "cusum_changepoint",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -263,6 +265,8 @@ BNLJ_ALLOWED = {
     "matryoshka_recall",
     # 1-row triangle count x 1-row degree moments assembly join
     "triangle_surprise",
+    # 1-row day-range broadcast builds the spine (daily_anomaly rule)
+    "cusum_changepoint",
 }
 
 
