@@ -386,6 +386,12 @@ def label_separability(
             for j in range(d)
         ],
     ).collect()
+    if not per:
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            "label long, n long, within_ss long,"
+            " centroid_dist_sq long, between_term long",
+        )
     cents = {
         r["label"]: [
             _tdiv(int(r[f"s{j}"]), int(r["n"])) for j in range(d)

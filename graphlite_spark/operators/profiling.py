@@ -315,6 +315,12 @@ def bootstrap_ci(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("vm").cast("long").alias("s"),
     ).select("n", F.expr("s div n").cast("long").alias("m")).first()
+    if not full["n"]:
+        return df.sparkSession.createDataFrame(
+            [],
+            "n_events long, n_replicates long, mean_micros long,"
+            " lo_micros long, hi_micros long",
+        )
 
     reps = base.select(
         F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("b"),

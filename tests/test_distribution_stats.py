@@ -148,3 +148,16 @@ def test_embedding_covariance_bruteforce(spark):
     ]
     # dims 0 and 1 are nearly collinear by construction: they must lead
     assert (got[0][0], got[0][1]) == (0, 1) or (got[0][0], got[0][1]) == (0, 2)
+
+
+def test_empty_input_guards(spark):
+    from graphlite_spark.operators.kmeans import label_separability
+    from graphlite_spark.operators.profiling import bootstrap_ci
+
+    empty_ev = spark.createDataFrame([], "event_id long, value double")
+    assert bootstrap_ci(empty_ev).collect() == []
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert label_separability(empty_emb).collect() == []
