@@ -2386,6 +2386,15 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(load_table(spark, sf_dir, "events"))
 
 
+def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairwise Jensen-Shannon divergence between source unigram
+    # DISTRIBUTIONS (the frequency-aware complement of the vocab-overlap
+    # Jaccard): shared-token join only, one-sided mass as exact residual
+    from graphlite_spark.operators.cooccurrence import source_jsd
+
+    return source_jsd(load_table(spark, sf_dir, "documents"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2806,6 +2815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_surprise": q_triangle_surprise,
         "l_diversity": q_l_diversity,
         "cusum_changepoint": q_cusum_changepoint,
+        "source_jsd": q_source_jsd,
     }
 
 
@@ -2926,6 +2936,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_surprise": O.triangle_surprise_sql(),
         "l_diversity": O.l_diversity_sql(),
         "cusum_changepoint": O.cusum_changepoint_sql(),
+        "source_jsd": O.source_jsd_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -384,3 +384,114 @@ def behavior_entropy(
     ).select(
         F.col("a").alias("state"), "n_next", "tot", "entropy_micros"
     )
+
+
+def source_jsd(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_shared, jsd_micros) — pairwise
+    Jensen–Shannon divergence between source UNIGRAM DISTRIBUTIONS (Lin
+    1991, public literature), in micro-nats: the distributional
+    complement of :func:`source_vocab_overlap` (two sources can share
+    90% of their vocabulary yet use it with wildly different
+    frequencies — JSD sees that, set Jaccard cannot).  The
+    corpus-mixing diagnostic read before weighting sources.
+
+    Decomposition that keeps the shared-token join linear: terms
+    present in only one source contribute exactly p·ln 2, so
+    JSD = ½[Σ_shared p·ln(2p/(p+q)) + (1−P_shared)·ln 2] + ½[mirror] —
+    only SHARED tokens are ever joined (the source_vocab_overlap
+    token-keyed self-join, per-token fan-out ≤ C(S,2)); the one-sided
+    residual rides on the exact shared-count sums.  Pairs sharing NO
+    token produce no row (their JSD is exactly ln 2 — absent by
+    construction, stated).
+
+    Exactness discipline: every per-term value is rounded ONCE to
+    integer micros from a fixed float expression over exact BIGINT
+    counts (products routed through double BEFORE multiplication so
+    10¹²-token totals cannot overflow BIGINT — stated), then summed
+    exactly; the two residual terms round once each; the final halving
+    is a truncating integer division (both engines truncate toward
+    zero).
+
+    Scale shape: one (source, token) map-side-combined count, the
+    token-keyed pair join, one pair-grouped aggregate, S-row totals
+    broadcast."""
+    tf = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens_expr(text_col)).alias("tok"),
+        )
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = tf.groupBy("g").agg(F.sum("c").cast("long").alias("t"))
+    a = tf.select(
+        "tok", F.col("g").alias("source_a"), F.col("c").alias("ca")
+    )
+    b = tf.select(
+        "tok", F.col("g").alias("source_b"), F.col("c").alias("cb")
+    )
+    ta = tot.select(F.col("g").alias("source_a"), F.col("t").alias("ta"))
+    tb = tot.select(F.col("g").alias("source_b"), F.col("t").alias("tb"))
+    sh = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+    )
+    denom = (
+        F.col("ca").cast("double") * F.col("tb")
+        + F.col("cb").cast("double") * F.col("ta")
+    )
+    term_a = F.round(
+        (F.col("ca").cast("double") / F.col("ta"))
+        * F.log((F.lit(2.0) * F.col("ca") * F.col("tb")) / denom)
+        * 1000000,
+        0,
+    ).cast("long")
+    term_b = F.round(
+        (F.col("cb").cast("double") / F.col("tb"))
+        * F.log((F.lit(2.0) * F.col("cb") * F.col("ta")) / denom)
+        * 1000000,
+        0,
+    ).cast("long")
+    g = sh.select(
+        "source_a", "source_b", "ta", "tb",
+        term_a.alias("xa"), term_b.alias("xb"),
+        F.col("ca"), F.col("cb"),
+    ).groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared"),
+        F.sum("xa").cast("long").alias("sa"),
+        F.sum("xb").cast("long").alias("sb"),
+        F.sum("ca").cast("long").alias("csa"),
+        F.sum("cb").cast("long").alias("csb"),
+        F.max("ta").cast("long").alias("ta"),
+        F.max("tb").cast("long").alias("tb"),
+    )
+    ra = F.round(
+        (F.lit(1.0) - F.col("csa").cast("double") / F.col("ta"))
+        * F.log(F.lit(2.0))
+        * 1000000,
+        0,
+    ).cast("long")
+    rb = F.round(
+        (F.lit(1.0) - F.col("csb").cast("double") / F.col("tb"))
+        * F.log(F.lit(2.0))
+        * 1000000,
+        0,
+    ).cast("long")
+    return (
+        g.withColumn("xra", ra)
+        .withColumn("xrb", rb)
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.expr("(sa + xra + sb + xrb) div 2").cast("long").alias(
+                "jsd_micros"
+            ),
+        )
+    )

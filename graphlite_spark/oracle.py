@@ -5894,6 +5894,53 @@ def bootstrap_ci_sql(
     )
 
 
+def source_jsd_sql() -> str:
+    """Mirror of operators.cooccurrence.source_jsd: identical per-term
+    fixed float expression (products routed through DOUBLE before
+    multiplication), one micro rounding per term / residual, truncating
+    final halving."""
+    return (
+        "WITH sj_tf AS MATERIALIZED (\n"
+        "  SELECT g, tok, CAST(count(*) AS BIGINT) AS c FROM (\n"
+        "    SELECT source AS g,\n"
+        "      unnest(list_filter(string_split_regex(lower(text),"
+        " '\\s+'), x -> x <> '')) AS tok\n"
+        "    FROM documents) GROUP BY g, tok),\n"
+        "sj_tot AS MATERIALIZED (SELECT g,"
+        " CAST(SUM(c) AS BIGINT) AS t FROM sj_tf GROUP BY g),\n"
+        "sj_sh AS MATERIALIZED (\n"
+        "  SELECT a.g AS source_a, b.g AS source_b, a.c AS ca, b.c AS cb,\n"
+        "    ta.t AS ta, tb.t AS tb\n"
+        "  FROM sj_tf a JOIN sj_tf b ON a.tok = b.tok AND a.g < b.g\n"
+        "  JOIN sj_tot ta ON ta.g = a.g JOIN sj_tot tb ON tb.g = b.g),\n"
+        "sj_terms AS MATERIALIZED (\n"
+        "  SELECT source_a, source_b, ta, tb, ca, cb,\n"
+        "    CAST(round((CAST(ca AS DOUBLE) / ta)\n"
+        "      * ln((2.0 * ca * tb) / (CAST(ca AS DOUBLE) * tb\n"
+        "        + CAST(cb AS DOUBLE) * ta)) * 1000000, 0)"
+        " AS BIGINT) AS xa,\n"
+        "    CAST(round((CAST(cb AS DOUBLE) / tb)\n"
+        "      * ln((2.0 * cb * ta) / (CAST(ca AS DOUBLE) * tb\n"
+        "        + CAST(cb AS DOUBLE) * ta)) * 1000000, 0)"
+        " AS BIGINT) AS xb\n"
+        "  FROM sj_sh),\n"
+        "sj_g AS MATERIALIZED (\n"
+        "  SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared,\n"
+        "    CAST(SUM(xa) AS BIGINT) AS sa, CAST(SUM(xb) AS BIGINT) AS sb,\n"
+        "    CAST(SUM(ca) AS BIGINT) AS csa,"
+        " CAST(SUM(cb) AS BIGINT) AS csb,\n"
+        "    CAST(MAX(ta) AS BIGINT) AS ta, CAST(MAX(tb) AS BIGINT) AS tb\n"
+        "  FROM sj_terms GROUP BY source_a, source_b)\n"
+        "SELECT source_a, source_b, n_shared,\n"
+        "  CAST((sa + CAST(round((1.0 - CAST(csa AS DOUBLE) / ta)\n"
+        "        * ln(2.0) * 1000000, 0) AS BIGINT)\n"
+        "      + sb + CAST(round((1.0 - CAST(csb AS DOUBLE) / tb)\n"
+        "        * ln(2.0) * 1000000, 0) AS BIGINT)) // 2 AS BIGINT)"
+        " AS jsd_micros\n"
+        "FROM sj_g"
+    )
+
+
 def conversion_prob_sql(target: str, sink: str, iterations: int = 8) -> str:
     """Mirror of operators.cooccurrence.conversion_prob: identical lag
     chain and k x k counts, then the unrolled absorbing-chain value

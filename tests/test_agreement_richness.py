@@ -213,3 +213,50 @@ def test_cusum_changepoint_bruteforce(spark):
     assert got["cp_day"] == d0 + best[0]
     assert got["cusum_abs_micros"] == best[1]
     assert best[0] == 3  # the CUSUM minimum sits on the last pre-shift day
+
+
+def test_source_jsd_bruteforce(spark):
+    import math
+
+    from graphlite_spark.operators.cooccurrence import source_jsd
+
+    docs = [
+        (0, "a", "x x x y"),          # a: x:3 y:1, T=4
+        (1, "b", "x y y y z"),        # b: x:1 y:3 z:1, T=5
+        (2, "c", "w w"),              # c: w:2, disjoint from a
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): r for r in source_jsd(df).collect()
+    }
+
+    cnt = {"a": {"x": 3, "y": 1}, "b": {"x": 1, "y": 3, "z": 1},
+           "c": {"w": 2}}
+    tot = {g: sum(c.values()) for g, c in cnt.items()}
+
+    def jsd_micros(ga, gb):
+        shared = set(cnt[ga]) & set(cnt[gb])
+        sa = sb = csa = csb = 0
+        for t in shared:
+            ca, cb = cnt[ga][t], cnt[gb][t]
+            ta, tb = tot[ga], tot[gb]
+            den = ca * tb + cb * ta
+            sa += round((ca / ta) * math.log((2.0 * ca * tb) / den) * 1e6)
+            sb += round((cb / tb) * math.log((2.0 * cb * ta) / den) * 1e6)
+            csa += ca
+            csb += cb
+        ra = round((1.0 - csa / tot[ga]) * math.log(2.0) * 1e6)
+        rb = round((1.0 - csb / tot[gb]) * math.log(2.0) * 1e6)
+        s = sa + ra + sb + rb
+        return abs(s) // 2 if s >= 0 else -(abs(s) // 2), len(shared)
+
+    for pair in [("a", "b"), ("a", "c"), ("b", "c")]:
+        want, n_sh = jsd_micros(*pair)
+        if n_sh == 0:
+            assert pair not in got  # no shared tokens -> no pair row
+        else:
+            assert got[pair]["n_shared"] == n_sh
+            assert got[pair]["jsd_micros"] == want
+    # disjoint sources never surface; the overlapping pair is present
+    # and strictly between 0 and ln2 (the JSD maximum)
+    assert 0 < got[("a", "b")]["jsd_micros"] < 693148

@@ -209,6 +209,8 @@ GUARDED = [
     "l_diversity",
     # cusum: day-grain spine windows + the 1-row day-range broadcast
     "cusum_changepoint",
+    # source_jsd: token-keyed pair self-join + S-row broadcast totals
+    "source_jsd",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
