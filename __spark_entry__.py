@@ -2395,6 +2395,16 @@ def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_jsd(load_table(spark, sf_dir, "documents"))
 
 
+def q_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the elbow curve: exact BIGINT inertia at k=2/4/8 (2 Lloyd rounds
+    # each, shared quantized frame) — how k gets chosen for IVF cells /
+    # SemDeDup clusters / curriculum bins
+    from graphlite_spark.operators.kmeans import kmeans_elbow
+
+    return kmeans_elbow(load_table(spark, sf_dir, "embeddings"),
+                        ks=(2, 4, 8), iterations=2)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2816,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "cusum_changepoint": q_cusum_changepoint,
         "source_jsd": q_source_jsd,
+        "kmeans_elbow": q_kmeans_elbow,
     }
 
 
@@ -2937,6 +2948,7 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity": O.l_diversity_sql(),
         "cusum_changepoint": O.cusum_changepoint_sql(),
         "source_jsd": O.source_jsd_sql(),
+        "kmeans_elbow": O.kmeans_elbow_sql((2, 4, 8), 2, 64),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -438,3 +438,41 @@ def label_separability(
             "between_term"
         ),
     )
+
+
+def kmeans_elbow(
+    embeddings: DataFrame,
+    ks: tuple = (2, 4, 8),
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(k, n_vectors, inertia) — the k-means elbow curve: total BIGINT
+    squared micro-distance to the assigned centroid after
+    ``iterations`` Lloyd rounds, for each candidate ``k``.  THE number
+    the k knob of every downstream consumer (IVF cell count, SemDeDup
+    cluster count, curriculum bins) is chosen from; the marginal-
+    inertia flattening point is the elbow (Thorndike 1953, public
+    literature).
+
+    Exactness: each fit is the deterministic integer Lloyd machinery
+    (:func:`_fit` — hash-min seeds, BIGINT distances, truncating
+    centroid division), so every inertia is an exact BIGINT.
+
+    Scale shape: per k, the kmeans shape (assignment = codebook-literal
+    codegen, update collects ≤ k·d driver rows) plus ONE
+    map-side-combined 1-row aggregate; the quantized frame is
+    localCheckpoint'ed once and shared across all fits, so the corpus
+    is scanned iterations+1 times per k and never joined."""
+    q = _quantized(embeddings, id_col, vec_col)
+    out = None
+    for k in ks:
+        cents = _fit(q, int(k), iterations)
+        row = _assign(q, cents).agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("dist_sq").cast("long").alias("inertia"),
+        ).select(
+            F.lit(int(k)).cast("long").alias("k"), "n_vectors", "inertia"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

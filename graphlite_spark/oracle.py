@@ -7120,3 +7120,32 @@ def random_projection_sql(out_dim: int = 16) -> str:
         f"FROM xs, range(0, {out_dim}) j\n"
         "GROUP BY xs.vec_id, j.range"
     )
+
+
+def kmeans_elbow_sql(
+    ks: tuple = (2, 4, 8), iterations: int = 2, d: int = 64
+) -> str:
+    """Mirror of operators.kmeans.kmeans_elbow: one independent
+    _kmeans_ctes chain per candidate k (identical seeds, distances,
+    tie-breaks, truncating centroid division), each reduced to its
+    1-row (k, n_vectors, inertia) via the rn = 1 assignment."""
+    parts: list[str] = []
+    finals = []
+    for k in ks:
+        sfx = f"_e{k}"
+        parts.extend(_kmeans_ctes(int(k), iterations, d, sfx=sfx))
+        finals.append(
+            f"SELECT CAST({k} AS BIGINT) AS k,\n"
+            f"  CAST(count(*) AS BIGINT) AS n_vectors,\n"
+            f"  CAST(SUM(d2) AS BIGINT) AS inertia FROM (\n"
+            f"  SELECT q.vec_id,\n"
+            f"    sum((q.qv - c.cv) * (q.qv - c.cv)) AS d2,\n"
+            f"    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+            f"      sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+            f"  FROM qe{sfx} q JOIN cent{iterations}{sfx} c"
+            f" ON c.pos = q.pos\n"
+            f"  GROUP BY q.vec_id, c.cl) WHERE rn = 1"
+        )
+    joined = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(finals)
+    return f"WITH {joined}\n{union}"

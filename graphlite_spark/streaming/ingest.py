@@ -400,3 +400,40 @@ def streaming_enrich_events(
     dimension broadcasts."""
     dim = F.broadcast(dimension)
     return events.join(dim, key, "left")
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming (user_id, start_us, end_us, n_events) via Spark's
+    NATIVE ``session_window`` aggregation — the built-in state-store
+    sibling of :func:`streaming_sessionize` (which demonstrates the
+    custom ``applyInPandasWithState`` path).  Two differences, stated:
+    the native operator's session END is last-event-time + gap (Spark's
+    session_window semantics; the custom path reports the last event
+    itself), and output is the aggregate row only (no per-user session
+    sequence number — that ordering needs custom state).  Sessions emit
+    once the watermark passes their end; state is managed by the engine
+    (merging session windows in the state store), bounded per open
+    session.
+
+    Use this form at 100 TB unless the per-session output needs custom
+    shaping: the engine's session merge is JVM-side, incremental, and
+    spill-aware — no Python in the loop."""
+    gap = f"{gap_minutes} minutes"
+    return (
+        events.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+        )
+    )

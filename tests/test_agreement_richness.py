@@ -260,3 +260,25 @@ def test_source_jsd_bruteforce(spark):
     # disjoint sources never surface; the overlapping pair is present
     # and strictly between 0 and ln2 (the JSD maximum)
     assert 0 < got[("a", "b")]["jsd_micros"] < 693148
+
+
+def test_kmeans_elbow_consistent_with_assignment(spark):
+    import random
+
+    from graphlite_spark.operators.kmeans import (
+        kmeans_elbow, kmeans_embeddings,
+    )
+
+    random.seed(3)
+    df = spark.createDataFrame(
+        [(i, [random.uniform(-1, 1) for _ in range(6)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["k"]: r for r in kmeans_elbow(df, ks=(2, 4), iterations=2).collect()}
+    for k in (2, 4):
+        assign = kmeans_embeddings(df, k=k, iterations=2).collect()
+        assert got[k]["n_vectors"] == 50
+        assert got[k]["inertia"] == sum(r["dist_sq"] for r in assign)
+    # more clusters can only tighten the fit (same seeds prefix is NOT
+    # guaranteed, but on this data the elbow must be monotone)
+    assert got[4]["inertia"] <= got[2]["inertia"]

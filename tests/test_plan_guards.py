@@ -211,6 +211,9 @@ GUARDED = [
     "cusum_changepoint",
     # source_jsd: token-keyed pair self-join + S-row broadcast totals
     "source_jsd",
+    # kmeans_elbow: per-k codebook-literal assignment (eager fits) + a
+    # 1-row aggregate per k, unioned — join-free
+    "kmeans_elbow",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the

@@ -470,3 +470,79 @@ def test_streaming_enrich_matches_batch(spark, tmp_path):
     assert got == want
     assert any(t is None for _, t in got)  # unmatched kept
     assert not progress["stateOperators"]  # stream-static: zero state
+
+
+def test_streaming_session_stats_matches_batch(spark, tmp_path):
+    """The NATIVE session_window aggregation emits exactly the closed
+    sessions the same batch session_window expression produces."""
+    from pyspark.sql import functions as F
+
+    from graphlite_spark.streaming import streaming_session_stats
+
+    path = str(tmp_path / "events_native")
+
+    def write(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    write([
+        _ev(1, 1, "2024-01-01 09:00:00"),
+        _ev(1, 2, "2024-01-01 09:05:00"),
+        _ev(2, 3, "2024-01-01 09:02:00"),
+    ])
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    q = (
+        streaming_session_stats(stream, gap_minutes=30,
+                                watermark="10 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("native_sess")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # u1 session 2 + a far-future sentinel to push the watermark
+        write([
+            _ev(1, 4, "2024-01-01 11:00:00"),
+            _ev(99, 5, "2024-01-01 23:00:00"),
+        ])
+        q.processAllAvailable()
+        write([_ev(99, 6, "2024-01-01 23:30:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM native_sess").collect()
+    }
+    batch = spark.createDataFrame(
+        [
+            _ev(1, 1, "2024-01-01 09:00:00"),
+            _ev(1, 2, "2024-01-01 09:05:00"),
+            _ev(2, 3, "2024-01-01 09:02:00"),
+            _ev(1, 4, "2024-01-01 11:00:00"),
+        ],
+        EVENT_SCHEMA,
+    )
+    want = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in (
+            batch.groupBy(
+                "user_id",
+                F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("w.start")).alias("start_us"),
+                F.unix_micros(F.col("w.end")).alias("end_us"),
+                "n_events",
+            )
+            .collect()
+        )
+    }
+    # u99's own session never closes (the watermark never outruns it)
+    assert got == want, (sorted(got), sorted(want))
+    # native semantics: end = last event + gap
+    assert all(e - s >= 30 * 60 * 1_000_000 for _, s, e, _ in got)
