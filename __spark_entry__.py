@@ -2405,6 +2405,14 @@ def q_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ks=(2, 4, 8), iterations=2)
 
 
+def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the pre-index health check: zero-norm / non-finite counts + the
+    # exact-micro norm distribution (sqrt is IEEE-correctly-rounded)
+    from graphlite_spark.operators.similarity import embedding_health
+
+    return embedding_health(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2827,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": q_cusum_changepoint,
         "source_jsd": q_source_jsd,
         "kmeans_elbow": q_kmeans_elbow,
+        "embedding_health": q_embedding_health,
     }
 
 
@@ -2949,6 +2958,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoint": O.cusum_changepoint_sql(),
         "source_jsd": O.source_jsd_sql(),
         "kmeans_elbow": O.kmeans_elbow_sql((2, 4, 8), 2, 64),
+        "embedding_health": O.embedding_health_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

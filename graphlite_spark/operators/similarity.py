@@ -738,3 +738,84 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rrf_micros", "n_lists", "rank")
     )
+
+
+def embedding_health(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(n_vectors, n_zero, n_nonfinite, min_norm, p50_norm, max_norm) —
+    the embedding-table health check a pipeline runs before building any
+    index on it: zero-norm vectors break cosine (division by zero),
+    NaN/Inf coordinates poison every distance they touch, and a
+    degenerate norm distribution (min ≈ max ≈ 0) means the encoder
+    output is broken upstream.
+
+    Exactness: norms are integer micros — ``round(sqrt(Σ qv²))`` where
+    qv is the BIGINT micro quantization, and IEEE requires sqrt to be
+    correctly rounded, so both engines agree exactly; the median is the
+    :func:`~graphlite_spark.operators.quantiles.grouped_quantiles`
+    discrete rank rule (ceil(n/2)-th smallest).  Non-finite coordinates
+    are flagged BEFORE quantization and SANITIZED TO 0 inside the norm
+    (ANSI Spark raises CAST_OVERFLOW casting NaN to BIGINT; the flag
+    column is the report, the sanitized norm keeps the row hashable —
+    stated).
+
+    Scale shape: one zero-shuffle codegen projection computing the norm
+    + finiteness flags, one 1-row aggregate; the median adds the one
+    per-"group" sort window over (constant-group) norms — at 100 TB
+    swap the exact median for the quantile sketch, stated."""
+
+    def _bad(x):
+        xd = x.cast("double")
+        return F.isnan(xd) | (F.abs(xd) > 1e300)
+
+    def _safe_q(x):
+        xd = x.cast("double")
+        return (
+            F.when(_bad(x), F.lit(0).cast("long"))
+            .otherwise(F.round(xd * 1000000, 0).cast("long"))
+        )
+
+    flagged = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0),
+            lambda acc, x: acc + F.when(_bad(x), 1).otherwise(0),
+        ).alias("bad"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col(vec_col), _safe_q),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x,
+                ).cast("double")
+            ),
+            0,
+        ).cast("long").alias("norm_micros"),
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("norm_micros") == 0, 1).otherwise(0))
+        .cast("long").alias("n_zero"),
+        F.sum(F.when(F.col("bad") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_nonfinite"
+        ),
+        F.min("norm_micros").cast("long").alias("min_norm"),
+        F.max("norm_micros").cast("long").alias("max_norm"),
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("norm_micros")
+    ranked = flagged.withColumn("rn", F.row_number().over(w))
+    med = (
+        ranked.crossJoin(
+            F.broadcast(stats.select(F.col("n_vectors").alias("nn")))
+        )
+        .where(F.col("rn") == F.expr("(nn * 50 + 99) div 100"))
+        .agg(F.max("norm_micros").cast("long").alias("p50_norm"))
+    )
+    return stats.crossJoin(F.broadcast(med)).select(
+        "n_vectors", "n_zero", "n_nonfinite",
+        "min_norm", "p50_norm", "max_norm",
+    )

@@ -3839,6 +3839,44 @@ def ann_lsh_recall_sql(k: int = 5, num_bits: int = 8, num_queries: int = 20) -> 
     )
 
 
+def embedding_health_sql() -> str:
+    """Mirror of operators.similarity.embedding_health: micro-quantized
+    norms (sqrt correctly rounded in both engines), pre-quantization
+    finiteness flags, the grouped_quantiles discrete median rank."""
+    qx = (
+        "CASE WHEN isnan(CAST(x AS DOUBLE))"
+        " OR abs(CAST(x AS DOUBLE)) > 1e300 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) END"
+    )
+    return (
+        "WITH eh AS MATERIALIZED (\n"
+        "  SELECT vec_id,\n"
+        "    list_sum(list_transform(embedding, x ->\n"
+        "      CASE WHEN isnan(CAST(x AS DOUBLE))\n"
+        "        OR abs(CAST(x AS DOUBLE)) > 1e300 THEN 1 ELSE 0 END))"
+        " AS bad,\n"
+        "    CAST(round(sqrt(CAST(list_sum(list_transform(\n"
+        f"      list_transform(embedding, x -> {qx}),\n"
+        "      q -> q * q)) AS DOUBLE)), 0) AS BIGINT) AS norm_micros\n"
+        "  FROM embeddings),\n"
+        "eh_st AS MATERIALIZED (SELECT\n"
+        "  CAST(count(*) AS BIGINT) AS n_vectors,\n"
+        "  CAST(SUM(CASE WHEN norm_micros = 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_zero,\n"
+        "  CAST(SUM(CASE WHEN bad > 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_nonfinite,\n"
+        "  CAST(MIN(norm_micros) AS BIGINT) AS min_norm,\n"
+        "  CAST(MAX(norm_micros) AS BIGINT) AS max_norm FROM eh),\n"
+        "eh_rk AS MATERIALIZED (SELECT norm_micros,\n"
+        "  row_number() OVER (ORDER BY norm_micros) AS rn FROM eh),\n"
+        "eh_med AS (SELECT CAST(MAX(norm_micros) AS BIGINT) AS p50_norm\n"
+        "  FROM eh_rk, eh_st WHERE rn = (n_vectors * 50 + 99) // 100)\n"
+        "SELECT n_vectors, n_zero, n_nonfinite,"
+        " min_norm, p50_norm, max_norm\n"
+        "FROM eh_st, eh_med"
+    )
+
+
 def matryoshka_recall_sql(
     k: int = 5, dims: int = 16, num_queries: int = 20
 ) -> str:

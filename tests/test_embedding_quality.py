@@ -119,3 +119,37 @@ def test_pq_distortion_consistent_with_encode(spark):
         assert got[s]["n_vectors"] == len(rows) == 40
         assert got[s]["total_err"] == tot
         assert got[s]["mean_err"] == tot // 40
+
+
+def test_embedding_health_bruteforce(spark):
+    import math
+
+    from graphlite_spark.operators.similarity import embedding_health
+
+    vecs = {
+        0: [3.0, 4.0],     # norm 5.0
+        1: [0.0, 0.0],     # zero-norm
+        2: [1.0, 0.0],
+        3: [float("nan"), 1.0],   # non-finite coordinate
+        4: [6.0, 8.0],     # norm 10.0
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = embedding_health(df).collect()[0]
+    assert got["n_vectors"] == 5
+    assert got["n_zero"] == 1
+    assert got["n_nonfinite"] == 1
+    assert got["min_norm"] == 0
+    assert got["max_norm"] == 10_000_000
+    # sanitized norms: NaN coord -> 0, so row 3's norm = |(0, 1)| = 1e6;
+    # sorted {0, 1e6, 1e6, 5e6, 10e6} -> median (rank 3) = 1e6
+    norms = sorted(
+        round(math.sqrt(sum(
+            (round(x * 1_000_000) if math.isfinite(x) else 0) ** 2
+            for x in v
+        )))
+        for v in vecs.values()
+    )
+    assert got["p50_norm"] == norms[(5 * 50 + 99) // 100 - 1] == 1_000_000

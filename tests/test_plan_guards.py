@@ -214,6 +214,9 @@ GUARDED = [
     # kmeans_elbow: per-k codebook-literal assignment (eager fits) + a
     # 1-row aggregate per k, unioned — join-free
     "kmeans_elbow",
+    # embedding_health: zero-shuffle flag/norm projection + 1-row stats;
+    # the median pass rides 1-row broadcast crossJoins (allowed below)
+    "embedding_health",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -272,6 +275,8 @@ BNLJ_ALLOWED = {
     "triangle_surprise",
     # 1-row day-range broadcast builds the spine (daily_anomaly rule)
     "cusum_changepoint",
+    # 1-row stats / median broadcasts in the assembly joins
+    "embedding_health",
 }
 
 
