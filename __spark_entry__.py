@@ -2413,6 +2413,15 @@ def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_health(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # variance-to-mean ratio of per-user counts per event type: the
+    # Poisson-baseline overdispersion screen (bursty users / bot
+    # cohorts / rate-limited regularity)
+    from graphlite_spark.operators.profiling import dispersion_index
+
+    return dispersion_index(load_table(spark, sf_dir, "events"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2836,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_jsd": q_source_jsd,
         "kmeans_elbow": q_kmeans_elbow,
         "embedding_health": q_embedding_health,
+        "dispersion_index": q_dispersion_index,
     }
 
 
@@ -2959,6 +2969,7 @@ def oracle_sql() -> dict[str, str]:
         "source_jsd": O.source_jsd_sql(),
         "kmeans_elbow": O.kmeans_elbow_sql((2, 4, 8), 2, 64),
         "embedding_health": O.embedding_health_sql(),
+        "dispersion_index": O.dispersion_index_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -465,3 +465,53 @@ def l_diversity(
         F.count(F.lit(1)).cast("long").alias("n_classes"),
         F.sum("rows_in_class").cast("long").alias("n_rows"),
     )
+
+
+def dispersion_index(
+    events: DataFrame,
+    group_col: str = "event_type",
+    unit_col: str = "user_id",
+) -> DataFrame:
+    """(group, n_units, mean_micros, vmr) — the variance-to-mean ratio
+    (index of dispersion, Fisher 1925 / Cox & Lewis 1966, public
+    literature) of per-unit event counts, per group: VMR = 1 is the
+    Poisson baseline, VMR >> 1 is overdispersion (bursty users, bot
+    cohorts, heavy-tail engagement — the same signal NB-vs-Poisson
+    model selection reads), VMR < 1 is suspicious regularity
+    (rate-limited or synthetic traffic).  The population-level sibling
+    of the per-user burstiness index.
+
+    Exactness: the count moments n, Σx, Σx² are exact BIGINTs from two
+    map-side-combined groupBys; the mean is the exact-ratio micro
+    division; VMR = (n·Σx² − (Σx)²) / ((n−1)·Σx) is ONE fixed float
+    expression with every product routed through DOUBLE before
+    multiplication (no BIGINT overflow at any scale — IEEE-identical
+    in both engines), rounded 6dp; NULL when n < 2 (variance
+    undefined).
+
+    Scale shape: groupBy((group, unit)) count → groupBy(group) moments
+    — the canonical double aggregation, no joins, no windows."""
+    per = events.groupBy(
+        F.col(group_col).alias("g"), F.col(unit_col).alias("u")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    mom = per.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    vmr = F.round(
+        (
+            F.col("n_units").cast("double") * F.col("s2")
+            - F.col("s1").cast("double") * F.col("s1")
+        )
+        / ((F.col("n_units") - F.lit(1)) * F.col("s1").cast("double")),
+        6,
+    )
+    return mom.select(
+        F.col("g").alias(group_col),
+        "n_units",
+        F.expr(
+            "(1000000 * s1 - (1000000 * s1) % n_units) div n_units"
+        ).cast("long").alias("mean_micros"),
+        F.when(F.col("n_units") > 1, vmr).alias("vmr"),
+    )

@@ -2632,6 +2632,33 @@ def k_anonymity_sql() -> str:
     )
 
 
+def dispersion_index_sql(
+    group_col: str = "event_type", unit_col: str = "user_id"
+) -> str:
+    """Mirror of operators.profiling.dispersion_index: the same double
+    aggregation, exact-ratio mean, and the identical double-routed VMR
+    expression rounded 6dp."""
+    return (
+        "WITH di_p AS MATERIALIZED (\n"
+        f"  SELECT {group_col} AS g, {unit_col} AS u,\n"
+        "    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),\n"
+        "di_m AS MATERIALIZED (\n"
+        "  SELECT g, CAST(count(*) AS BIGINT) AS n_units,\n"
+        "    CAST(SUM(x) AS BIGINT) AS s1,\n"
+        "    CAST(SUM(x * x) AS BIGINT) AS s2\n"
+        "  FROM di_p GROUP BY g)\n"
+        f"SELECT g AS {group_col}, n_units,\n"
+        "  CAST((1000000 * s1 - (1000000 * s1) % n_units) // n_units"
+        " AS BIGINT) AS mean_micros,\n"
+        "  CASE WHEN n_units > 1 THEN\n"
+        "    round((CAST(n_units AS DOUBLE) * s2"
+        " - CAST(s1 AS DOUBLE) * s1)\n"
+        "      / ((n_units - 1) * CAST(s1 AS DOUBLE)), 6)\n"
+        "  END AS vmr\n"
+        "FROM di_m"
+    )
+
+
 def l_diversity_sql() -> str:
     """Mirror of operators.profiling.l_diversity over events with the
     (event_type, day, hour) quasi-identifier and user_id sensitive."""

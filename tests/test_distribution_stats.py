@@ -161,3 +161,36 @@ def test_empty_input_guards(spark):
         [], "vec_id long, embedding array<float>, label int"
     )
     assert label_separability(empty_emb).collect() == []
+
+
+def test_dispersion_index_bruteforce(spark):
+    import datetime
+
+    from graphlite_spark.operators.profiling import dispersion_index
+
+    base = datetime.datetime(2024, 7, 1)
+    # 'a': counts per user [1, 1, 1, 1] -> variance 0, VMR 0
+    # 'b': counts per user [1, 9]       -> heavy overdispersion
+    rows = []
+    eid = 0
+    for u in (1, 2, 3, 4):
+        rows.append((eid, u, "a", base)); eid += 1
+    rows.append((eid, 5, "b", base)); eid += 1
+    for _ in range(9):
+        rows.append((eid, 6, "b", base)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r["event_type"]: r for r in dispersion_index(df).collect()}
+
+    def want(xs):
+        n, s1, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+        mean = (1_000_000 * s1 - (1_000_000 * s1) % n) // n
+        vmr = round((n * s2 - s1 * s1) / ((n - 1) * s1), 6)
+        return n, mean, vmr
+    na, ma, va = want([1, 1, 1, 1])
+    assert (got["a"]["n_units"], got["a"]["mean_micros"]) == (na, ma)
+    assert got["a"]["vmr"] == 0.0
+    nb, mb, vb = want([1, 9])
+    assert (got["b"]["n_units"], got["b"]["mean_micros"]) == (nb, mb)
+    assert got["b"]["vmr"] == vb and vb > 1.0

@@ -217,6 +217,8 @@ GUARDED = [
     # embedding_health: zero-shuffle flag/norm projection + 1-row stats;
     # the median pass rides 1-row broadcast crossJoins (allowed below)
     "embedding_health",
+    # dispersion_index: the canonical double aggregation, join-free
+    "dispersion_index",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
