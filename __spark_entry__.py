@@ -2422,6 +2422,16 @@ def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispersion_index(load_table(spark, sf_dir, "events"))
 
 
+def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # targeted-attack robustness (Albert-Jeong-Barabasi): remove the 10
+    # highest-degree vertices, report the surviving giant component as
+    # an exact fraction of the original vertex set
+    from graphlite_spark.algos.components import attack_tolerance
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return attack_tolerance(v, e, remove_k=10)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2846,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_elbow": q_kmeans_elbow,
         "embedding_health": q_embedding_health,
         "dispersion_index": q_dispersion_index,
+        "attack_tolerance": q_attack_tolerance,
     }
 
 
@@ -2970,6 +2981,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_elbow": O.kmeans_elbow_sql((2, 4, 8), 2, 64),
         "embedding_health": O.embedding_health_sql(),
         "dispersion_index": O.dispersion_index_sql(),
+        "attack_tolerance": O.attack_tolerance_sql(10),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

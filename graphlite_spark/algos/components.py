@@ -378,3 +378,55 @@ def connected_components(
     return warn_if_not_converged(
         eng.run(vertices, und, ConnectedComponents()), "connected_components"
     )
+
+
+def attack_tolerance(
+    vertices: DataFrame,
+    edges: DataFrame,
+    remove_k: int = 10,
+) -> DataFrame:
+    """(removed, n_vertices, giant_size, giant_micros) — targeted-attack
+    robustness (Albert, Jeong & Barabási 2000, public literature): drop
+    the ``remove_k`` highest-degree vertices (ties (degree DESC, id
+    ASC)) and report the giant connected component of what remains, as
+    a count and as an exact-ratio fraction of the ORIGINAL vertex set.
+    Scale-free graphs shatter under this while random failures barely
+    dent them — the one-number infrastructure-risk readout for a link
+    graph (how much of the network one hub outage, crawler block, or
+    spam takedown disconnects).
+
+    Scale shape: the hub list is a TakeOrderedAndProject(k) over the
+    map-side-combined undirected degree count, collected and pushed
+    back as a k-item literal IN filter (no join); the surviving graph
+    runs :func:`connected_components_fast` (the O(log d) hash-to-min
+    loop); the giant size is one grouped count + a 1-row max."""
+    und = symmetrize(edges)
+    hubs = [
+        int(r["src"])
+        for r in und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.col("d").desc(), F.col("src").asc())
+        .limit(remove_k)
+        .collect()
+    ]
+    n_total = vertices.count()
+    vf = vertices.select("id").where(~F.col("id").isin(hubs))
+    ef = und.where(
+        (~F.col("src").isin(hubs)) & (~F.col("dst").isin(hubs))
+    )
+    cc = connected_components_fast(vf, ef)
+    giant = (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        .agg(F.max("sz").cast("long").alias("giant_size"))
+    )
+    return giant.select(
+        F.lit(len(hubs)).cast("long").alias("removed"),
+        F.lit(int(n_total)).cast("long").alias("n_vertices"),
+        F.coalesce("giant_size", F.lit(0)).cast("long").alias("giant_size"),
+        F.expr(
+            f"(1000000 * coalesce(giant_size, 0)"
+            f" - (1000000 * coalesce(giant_size, 0)) % {n_total})"
+            f" div {n_total}"
+        ).cast("long").alias("giant_micros"),
+    )

@@ -1083,6 +1083,48 @@ def components_sql() -> str:
     return _graph_query(body, recursive=True)
 
 
+def attack_tolerance_sql(remove_k: int = 10) -> str:
+    """Mirror of algos.components.attack_tolerance: the (degree DESC,
+    id ASC) top-k hub pick over und, the surviving subgraph's recursive
+    min-label CC, the exact-ratio giant fraction of the ORIGINAL
+    vertex count."""
+    # DuckDB quirk (measured): under WITH RECURSIVE the plain UNION in
+    # the shared `und` CTE stops DEDUPLICATING (2522 vs 2304 rows on the
+    # sf0.001 graph) — harmless for reach closures (why components_sql
+    # passes) but fatal for degree counts, so the degree CTE re-distincts
+    # explicitly; the top-k rides a window (same guard).
+    body = (
+        ", at_deg AS MATERIALIZED (\n"
+        "  SELECT src AS id, count(*) AS d FROM\n"
+        "    (SELECT DISTINCT src, dst FROM und) GROUP BY src),\n"
+        "at_hub AS MATERIALIZED (SELECT id FROM (\n"
+        "  SELECT id, row_number() OVER (ORDER BY d DESC, id ASC)"
+        " AS rn FROM at_deg)\n"
+        f"  WHERE rn <= {remove_k}),\n"
+        "at_vf AS MATERIALIZED (SELECT id FROM vertices\n"
+        "  WHERE id NOT IN (SELECT id FROM at_hub)),\n"
+        "at_ef AS MATERIALIZED (SELECT src, dst FROM und\n"
+        "  WHERE src NOT IN (SELECT id FROM at_hub)\n"
+        "    AND dst NOT IN (SELECT id FROM at_hub)),\n"
+        "at_reach(id, r) AS (\n"
+        "  SELECT id, id FROM at_vf\n"
+        "  UNION\n"
+        "  SELECT u.dst, at_reach.r FROM at_reach"
+        " JOIN at_ef u ON u.src = at_reach.id),\n"
+        "at_comp AS (SELECT id, min(r) AS component"
+        " FROM at_reach GROUP BY id),\n"
+        "at_g AS (SELECT CAST(COALESCE(max(cnt), 0) AS BIGINT) AS giant\n"
+        "  FROM (SELECT count(*) AS cnt FROM at_comp GROUP BY component)),\n"
+        "at_nh AS (SELECT CAST(count(*) AS BIGINT) AS nh FROM at_hub),\n"
+        "at_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vertices)\n"
+        "SELECT nh AS removed, n AS n_vertices, giant AS giant_size,\n"
+        "  CAST((1000000 * giant - (1000000 * giant) % n) // n"
+        " AS BIGINT) AS giant_micros\n"
+        "FROM at_g, at_n, at_nh"
+    )
+    return _graph_query(body, recursive=True)
+
+
 def component_histogram_sql() -> str:
     """Component-size distribution: the recursive min-label CC as a CTE,
     then two grouped counts (size per component, components per size)."""

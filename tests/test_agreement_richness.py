@@ -282,3 +282,25 @@ def test_kmeans_elbow_consistent_with_assignment(spark):
     # more clusters can only tighten the fit (same seeds prefix is NOT
     # guaranteed, but on this data the elbow must be monotone)
     assert got[4]["inertia"] <= got[2]["inertia"]
+
+
+def test_attack_tolerance_bruteforce(spark):
+    from graphlite_spark.algos.components import attack_tolerance
+
+    # star (hub 0 with 5 leaves) + a 4-chain: removing the hub shatters
+    # the star into singletons, leaving the chain as the giant
+    arcs = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5),
+            (10, 11), (11, 12), (12, 13)]
+    ids = sorted({x for a in arcs for x in a})
+    v = spark.createDataFrame([(i,) for i in ids], "id long")
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in arcs], "src long, dst long, weight double"
+    )
+    got = attack_tolerance(v, e, remove_k=1).collect()[0]
+    n = len(ids)
+    assert got["removed"] == 1
+    assert got["n_vertices"] == n
+    assert got["giant_size"] == 4  # the chain 10-11-12-13
+    assert got["giant_micros"] == (
+        1_000_000 * 4 - (1_000_000 * 4) % n
+    ) // n

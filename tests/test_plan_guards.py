@@ -219,6 +219,9 @@ GUARDED = [
     "embedding_health",
     # dispersion_index: the canonical double aggregation, join-free
     "dispersion_index",
+    # attack_tolerance: eager hub TakeOrdered + literal IN filters, then
+    # the CC engine (checkpoint scan) — the final giant agg is join-free
+    "attack_tolerance",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
