@@ -2432,6 +2432,14 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+def q_error_rate_by_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # error share by user-activity magnitude (length(bin(n)) buckets —
+    # engine-identical): do heavy or casual users hit the failures?
+    from graphlite_spark.operators.analytics import error_rate_by_activity
+
+    return error_rate_by_activity(load_table(spark, sf_dir, "events"))
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing (MOSS) fingerprints: rightmost-min-per-window k-gram
     # selection with the w+k-1 shared-run detection guarantee — one
@@ -2857,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health": q_embedding_health,
         "dispersion_index": q_dispersion_index,
         "attack_tolerance": q_attack_tolerance,
+        "error_rate_by_activity": q_error_rate_by_activity,
     }
 
 
@@ -2982,6 +2991,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_health": O.embedding_health_sql(),
         "dispersion_index": O.dispersion_index_sql(),
         "attack_tolerance": O.attack_tolerance_sql(10),
+        "error_rate_by_activity": O.error_rate_by_activity_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -925,3 +925,52 @@ def cusum_changepoint(
             F.col("sabs").alias("cusum_abs_micros"),
         )
     )
+
+
+def error_rate_by_activity(
+    events: DataFrame,
+    error_type: str = "error",
+    unit_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(bucket, n_units, n_events, n_errors, error_micros) — error rate
+    by user-activity magnitude: units bucketed by floor(log2(events))+1
+    (the binary length of their event count — ``length(bin(n))``, which
+    renders identically in both engines, the HLL register trick), then
+    the exact-ratio error share per bucket.  The reliability-equity
+    readout: do heavy users hit disproportionate failures (rate limits,
+    state bloat) or do casual users (cold caches, onboarding bugs)?
+    Magnitude buckets keep the output log-sized no matter how skewed
+    activity is — the same reason degree histograms bucket by powers.
+
+    Exactness: pure integer counts + one exact-ratio subtract-the-
+    remainder division per bucket.
+
+    Scale shape: one map-side-combined per-unit aggregate (count +
+    conditional error count in the SAME pass), one log-sized bucket
+    aggregate — the dispersion_index double-aggregation shape."""
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col(type_col) == error_type, 1).otherwise(0)
+        ).cast("long").alias("errs"),
+    )
+    return (
+        per.withColumn("bucket", F.expr("length(bin(n))").cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("errs").cast("long").alias("n_errors"),
+        )
+        .select(
+            "bucket",
+            "n_units",
+            "n_events",
+            "n_errors",
+            F.expr(
+                "(1000000 * n_errors - (1000000 * n_errors) % n_events)"
+                " div n_events"
+            ).cast("long").alias("error_micros"),
+        )
+    )

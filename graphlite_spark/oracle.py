@@ -7256,3 +7256,31 @@ def kmeans_elbow_sql(
     joined = ",\n".join(parts)
     union = "\nUNION ALL\n".join(finals)
     return f"WITH {joined}\n{union}"
+
+
+def error_rate_by_activity_sql(
+    error_type: str = "error",
+    unit_col: str = "user_id",
+    type_col: str = "event_type",
+) -> str:
+    """Mirror of operators.analytics.error_rate_by_activity: the same
+    length(bin(n)) magnitude bucket (renders identically in both
+    engines) and exact-ratio shares."""
+    et = error_type.replace("'", "''")
+    return (
+        "WITH er_p AS MATERIALIZED (\n"
+        f"  SELECT {unit_col} AS u, CAST(count(*) AS BIGINT) AS n,\n"
+        f"    CAST(SUM(CASE WHEN {type_col} = '{et}' THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS errs\n"
+        "  FROM events GROUP BY 1),\n"
+        "er_b AS MATERIALIZED (\n"
+        "  SELECT CAST(length(bin(n)) AS BIGINT) AS bucket,\n"
+        "    CAST(count(*) AS BIGINT) AS n_units,\n"
+        "    CAST(SUM(n) AS BIGINT) AS n_events,\n"
+        "    CAST(SUM(errs) AS BIGINT) AS n_errors\n"
+        "  FROM er_p GROUP BY 1)\n"
+        "SELECT bucket, n_units, n_events, n_errors,\n"
+        "  CAST((1000000 * n_errors - (1000000 * n_errors) % n_events)"
+        " // n_events AS BIGINT) AS error_micros\n"
+        "FROM er_b"
+    )

@@ -194,3 +194,38 @@ def test_dispersion_index_bruteforce(spark):
     nb, mb, vb = want([1, 9])
     assert (got["b"]["n_units"], got["b"]["mean_micros"]) == (nb, mb)
     assert got["b"]["vmr"] == vb and vb > 1.0
+
+
+def test_error_rate_by_activity_bruteforce(spark):
+    import datetime
+
+    from graphlite_spark.operators.analytics import error_rate_by_activity
+
+    base = datetime.datetime(2024, 8, 1)
+    rows = []
+    eid = 0
+    # u1: 1 event (bucket 1, no errors); u2: 3 events, 1 error (bucket 2)
+    # u3: 5 events, 2 errors (bucket 3); u4: 4 events 0 errors (bucket 3)
+    plan = {1: ("view",), 2: ("view", "error", "click"),
+            3: ("error", "view", "error", "view", "view"),
+            4: ("view", "click", "view", "click")}
+    for u, seq in plan.items():
+        for et in seq:
+            rows.append((eid, u, et, base)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r["bucket"]: r for r in error_rate_by_activity(df).collect()}
+
+    def share(err, tot):
+        return (1_000_000 * err - (1_000_000 * err) % tot) // tot
+    assert got[1]["n_units"] == 1 and got[1]["error_micros"] == 0
+    assert (got[2]["n_units"], got[2]["n_events"], got[2]["n_errors"]) == (
+        1, 3, 1,
+    )
+    assert got[2]["error_micros"] == share(1, 3)
+    # bucket 3 = counts 4..7: users 3 and 4 pooled
+    assert (got[3]["n_units"], got[3]["n_events"], got[3]["n_errors"]) == (
+        2, 9, 2,
+    )
+    assert got[3]["error_micros"] == share(2, 9)

@@ -222,6 +222,8 @@ GUARDED = [
     # attack_tolerance: eager hub TakeOrdered + literal IN filters, then
     # the CC engine (checkpoint scan) — the final giant agg is join-free
     "attack_tolerance",
+    # error_rate_by_activity: the double aggregation again, join-free
+    "error_rate_by_activity",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
