@@ -2432,6 +2432,16 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+def q_random_failure_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # random-failure robustness (the control arm of attack_tolerance):
+    # remove 10 hash-rank-chosen vertices, report the surviving giant
+    # component — the attack/failure GAP is the hub-dependence readout
+    from graphlite_spark.algos.components import random_failure_tolerance
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return random_failure_tolerance(v, e, remove_k=10)
+
+
 def q_error_rate_by_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # error share by user-activity magnitude (length(bin(n)) buckets —
     # engine-identical): do heavy or casual users hit the failures?
@@ -2866,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_index": q_dispersion_index,
         "attack_tolerance": q_attack_tolerance,
         "error_rate_by_activity": q_error_rate_by_activity,
+        "random_failure_tolerance": q_random_failure_tolerance,
     }
 
 
@@ -2992,6 +3003,7 @@ def oracle_sql() -> dict[str, str]:
         "dispersion_index": O.dispersion_index_sql(),
         "attack_tolerance": O.attack_tolerance_sql(10),
         "error_rate_by_activity": O.error_rate_by_activity_sql(),
+        "random_failure_tolerance": O.random_failure_tolerance_sql(10),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

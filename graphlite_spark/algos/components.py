@@ -430,3 +430,56 @@ def attack_tolerance(
             f" div {n_total}"
         ).cast("long").alias("giant_micros"),
     )
+
+
+def random_failure_tolerance(
+    vertices: DataFrame,
+    edges: DataFrame,
+    remove_k: int = 10,
+) -> DataFrame:
+    """(removed, n_vertices, giant_size, giant_micros) — random-FAILURE
+    robustness, the control arm of :func:`attack_tolerance` (Albert,
+    Jeong & Barabási 2000): drop ``remove_k`` vertices chosen by
+    deterministic hash rank (hash48(id) ASC, id ASC ties — an unbiased,
+    engine-reproducible stand-in for a uniform random sample) and
+    report the giant connected component of what remains.  Scale-free
+    graphs barely notice random failures while shattering under the
+    targeted attack — reading BOTH numbers side by side is the actual
+    robustness diagnostic (a big gap = hub-dependent topology).
+
+    Scale shape: the victim list is a TakeOrderedAndProject(k) over the
+    vertex table (no degree pass needed at all), collected and pushed
+    back as a k-item literal IN filter (no join); the rest is identical
+    to the attack arm — :func:`connected_components_fast` then one
+    grouped count + a 1-row max."""
+    from graphlite_spark.functions.hashes import hash48
+
+    victims = [
+        int(r["id"])
+        for r in vertices.select("id")
+        .orderBy(hash48(F.col("id").cast("string")).asc(), F.col("id").asc())
+        .limit(remove_k)
+        .collect()
+    ]
+    n_total = vertices.count()
+    und = symmetrize(edges)
+    vf = vertices.select("id").where(~F.col("id").isin(victims))
+    ef = und.where(
+        (~F.col("src").isin(victims)) & (~F.col("dst").isin(victims))
+    )
+    cc = connected_components_fast(vf, ef)
+    giant = (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        .agg(F.max("sz").cast("long").alias("giant_size"))
+    )
+    return giant.select(
+        F.lit(len(victims)).cast("long").alias("removed"),
+        F.lit(int(n_total)).cast("long").alias("n_vertices"),
+        F.coalesce("giant_size", F.lit(0)).cast("long").alias("giant_size"),
+        F.expr(
+            f"(1000000 * coalesce(giant_size, 0)"
+            f" - (1000000 * coalesce(giant_size, 0)) % {n_total})"
+            f" div {n_total}"
+        ).cast("long").alias("giant_micros"),
+    )

@@ -7284,3 +7284,40 @@ def error_rate_by_activity_sql(
         " // n_events AS BIGINT) AS error_micros\n"
         "FROM er_b"
     )
+
+
+def random_failure_tolerance_sql(remove_k: int = 10) -> str:
+    """Mirror of algos.components.random_failure_tolerance: the
+    (hash48(id) ASC, id ASC) k-victim pick over VERTICES (no degree
+    pass), the surviving subgraph's recursive min-label CC, the
+    exact-ratio giant fraction of the ORIGINAL vertex count.  The reach
+    closure tolerates the WITH RECURSIVE UNION-dedup quirk (no counting
+    over und here)."""
+    h = _h48("CAST(id AS VARCHAR)")
+    body = (
+        ", rf_vic AS MATERIALIZED (SELECT id FROM (\n"
+        f"  SELECT id, row_number() OVER (ORDER BY {h} ASC, id ASC)"
+        " AS rn FROM vertices)\n"
+        f"  WHERE rn <= {remove_k}),\n"
+        "rf_vf AS MATERIALIZED (SELECT id FROM vertices\n"
+        "  WHERE id NOT IN (SELECT id FROM rf_vic)),\n"
+        "rf_ef AS MATERIALIZED (SELECT src, dst FROM und\n"
+        "  WHERE src NOT IN (SELECT id FROM rf_vic)\n"
+        "    AND dst NOT IN (SELECT id FROM rf_vic)),\n"
+        "rf_reach(id, r) AS (\n"
+        "  SELECT id, id FROM rf_vf\n"
+        "  UNION\n"
+        "  SELECT u.dst, rf_reach.r FROM rf_reach"
+        " JOIN rf_ef u ON u.src = rf_reach.id),\n"
+        "rf_comp AS (SELECT id, min(r) AS component"
+        " FROM rf_reach GROUP BY id),\n"
+        "rf_g AS (SELECT CAST(COALESCE(max(cnt), 0) AS BIGINT) AS giant\n"
+        "  FROM (SELECT count(*) AS cnt FROM rf_comp GROUP BY component)),\n"
+        "rf_nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM rf_vic),\n"
+        "rf_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vertices)\n"
+        "SELECT nv AS removed, n AS n_vertices, giant AS giant_size,\n"
+        "  CAST((1000000 * giant - (1000000 * giant) % n) // n"
+        " AS BIGINT) AS giant_micros\n"
+        "FROM rf_g, rf_n, rf_nv"
+    )
+    return _graph_query(body, recursive=True)

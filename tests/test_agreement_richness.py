@@ -304,3 +304,48 @@ def test_attack_tolerance_bruteforce(spark):
     assert got["giant_micros"] == (
         1_000_000 * 4 - (1_000_000 * 4) % n
     ) // n
+
+
+def test_random_failure_tolerance_bruteforce(spark):
+    import hashlib
+
+    from graphlite_spark.algos.components import random_failure_tolerance
+
+    # same star + chain fixture as the attack test; the victim is the
+    # hash48-smallest vertex, recomputed here independently
+    arcs = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5),
+            (10, 11), (11, 12), (12, 13)]
+    ids = sorted({x for a in arcs for x in a})
+    v = spark.createDataFrame([(i,) for i in ids], "id long")
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in arcs], "src long, dst long, weight double"
+    )
+
+    def h48(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+
+    victim = min(ids, key=lambda i: (h48(i), i))
+    survivors = [i for i in ids if i != victim]
+    # brute-force CC over the surviving subgraph
+    parent = {i: i for i in survivors}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in arcs:
+        if a != victim and b != victim:
+            parent[find(a)] = find(b)
+    from collections import Counter
+
+    giant = max(Counter(find(i) for i in survivors).values())
+    got = random_failure_tolerance(v, e, remove_k=1).collect()[0]
+    n = len(ids)
+    assert got["removed"] == 1
+    assert got["n_vertices"] == n
+    assert got["giant_size"] == giant
+    assert got["giant_micros"] == (
+        1_000_000 * giant - (1_000_000 * giant) % n
+    ) // n

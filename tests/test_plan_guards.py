@@ -224,6 +224,9 @@ GUARDED = [
     "attack_tolerance",
     # error_rate_by_activity: the double aggregation again, join-free
     "error_rate_by_activity",
+    # random_failure_tolerance: eager hash-rank TakeOrdered + literal IN
+    # filters, then the CC engine — same shape as attack_tolerance
+    "random_failure_tolerance",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
