@@ -2432,6 +2432,16 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+def q_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # degree-dependent clustering curve c(k): per-vertex Watts-Strogatz
+    # coefficients (exact micros) averaged over log2 degree buckets —
+    # the hierarchical-modularity fingerprint (c(k) ~ k^-1 on real webs)
+    from graphlite_spark.algos.triangles import clustering_by_degree
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return clustering_by_degree(v, e, orient="degree")
+
+
 def q_random_failure_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # random-failure robustness (the control arm of attack_tolerance):
     # remove 10 hash-rank-chosen vertices, report the surviving giant
@@ -2877,6 +2887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attack_tolerance": q_attack_tolerance,
         "error_rate_by_activity": q_error_rate_by_activity,
         "random_failure_tolerance": q_random_failure_tolerance,
+        "clustering_by_degree": q_clustering_by_degree,
     }
 
 
@@ -3004,6 +3015,7 @@ def oracle_sql() -> dict[str, str]:
         "attack_tolerance": O.attack_tolerance_sql(10),
         "error_rate_by_activity": O.error_rate_by_activity_sql(),
         "random_failure_tolerance": O.random_failure_tolerance_sql(10),
+        "clustering_by_degree": O.clustering_by_degree_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

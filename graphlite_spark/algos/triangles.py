@@ -467,3 +467,67 @@ def triangle_surprise(edges: DataFrame) -> DataFrame:
             ),
         ).alias("surprise"),
     )
+
+
+def clustering_by_degree(
+    vertices: DataFrame, edges: DataFrame, orient: str = "degree"
+) -> DataFrame:
+    """(bucket, n_vertices, n_triangles, avg_cc_micros) — the
+    degree-dependent clustering curve c(k) (Watts–Strogatz per-vertex
+    coefficients averaged over degree classes), with degrees pooled
+    into floor(log2(k))+1 magnitude buckets (``length(bin(degree))``,
+    the engine-portable rendering) so the output stays log-sized no
+    matter how heavy the degree tail is.  A falling c(k) ~ k^-1 is the
+    hierarchical-modularity signature of real link graphs; a flat curve
+    says triangles spread evenly — the one-table topology fingerprint
+    beyond the global transitivity scalar.
+
+    Exactness: per-vertex cc = 2T/(k(k-1)) as an exact subtract-the-
+    remainder micro ratio (degree < 2 contributes 0), bucket average as
+    a second exact integer ratio — no float anywhere.
+
+    Scale shape: per-vertex triangles ride the degree-oriented wedge
+    machinery (O(E^1.5) total work, hub-safe fan-out); degrees are one
+    map-side-combined count; the bucket aggregate is log-sized.  One
+    extra shuffle over :func:`local_clustering_coefficient`."""
+    tpv = triangle_count_per_vertex(vertices, edges, orient).withColumnRenamed(
+        "count", "t"
+    )
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("lo").alias("id"))
+        .unionByName(und.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    per = (
+        tpv.join(deg, "id", "left")
+        .withColumn("degree", F.coalesce("degree", F.lit(0)).cast("long"))
+        .withColumn(
+            "cc",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2000000 * t - (2000000 * t) % (degree * (degree - 1)))"
+                    " div (degree * (degree - 1))"
+                ),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )
+    b = (
+        per.withColumn("bucket", F.expr("length(bin(degree))").cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vertices"),
+            F.sum("t").cast("long").alias("n_triangles"),
+            F.sum("cc").cast("long").alias("s"),
+        )
+    )
+    return b.select(
+        "bucket",
+        "n_vertices",
+        "n_triangles",
+        F.expr("(s - s % n_vertices) div n_vertices")
+        .cast("long")
+        .alias("avg_cc_micros"),
+    )

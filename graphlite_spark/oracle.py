@@ -7321,3 +7321,39 @@ def random_failure_tolerance_sql(remove_k: int = 10) -> str:
         "FROM rf_g, rf_n, rf_nv"
     )
     return _graph_query(body, recursive=True)
+
+
+def clustering_by_degree_sql() -> str:
+    """Mirror of algos.triangles.clustering_by_degree: per-vertex
+    triangles + undirected degree, exact micro cc per vertex, the
+    length(bin(degree)) magnitude bucket, exact-ratio bucket average."""
+    body = (
+        f", {_TRI_CTES},\n"
+        "cbd_tpv AS MATERIALIZED (\n"
+        "  SELECT v.id, CAST(count(x.v) AS BIGINT) AS t\n"
+        "  FROM vertices v LEFT JOIN (\n"
+        "    SELECT unnest([v1, v2, v3]) AS v FROM tri) x ON x.v = v.id\n"
+        "  GROUP BY v.id),\n"
+        "cbd_deg AS MATERIALIZED (\n"
+        "  SELECT src AS id, CAST(count(*) AS BIGINT) AS degree\n"
+        "  FROM und GROUP BY src),\n"
+        "cbd_per AS MATERIALIZED (\n"
+        "  SELECT p.id, COALESCE(d.degree, 0) AS degree, p.t,\n"
+        "    CASE WHEN COALESCE(d.degree, 0) >= 2\n"
+        "      THEN (2000000 * p.t - (2000000 * p.t)"
+        " % (d.degree * (d.degree - 1)))\n"
+        "        // (d.degree * (d.degree - 1))\n"
+        "      ELSE 0 END AS cc\n"
+        "  FROM cbd_tpv p LEFT JOIN cbd_deg d ON d.id = p.id),\n"
+        "cbd_b AS MATERIALIZED (\n"
+        "  SELECT CAST(length(bin(degree)) AS BIGINT) AS bucket,\n"
+        "    CAST(count(*) AS BIGINT) AS n_vertices,\n"
+        "    CAST(SUM(t) AS BIGINT) AS n_triangles,\n"
+        "    CAST(SUM(cc) AS BIGINT) AS s\n"
+        "  FROM cbd_per GROUP BY 1)\n"
+        "SELECT bucket, n_vertices, n_triangles,\n"
+        "  CAST((s - s % n_vertices) // n_vertices AS BIGINT)"
+        " AS avg_cc_micros\n"
+        "FROM cbd_b"
+    )
+    return _graph_query(body)

@@ -296,3 +296,34 @@ def test_hll_union_merge_property(spark):
     # inclusion-exclusion intersection within 3 combined standard errors
     se = 3 * 1.04 / (m ** 0.5)
     assert abs(r["est_intersection"] - len(A & B)) < se * (len(A) + len(B))
+
+
+def test_clustering_by_degree_bruteforce(spark):
+    from graphlite_spark.algos.triangles import clustering_by_degree
+
+    edges = random_digraph(50, 180, seed=4)
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    v = spark.range(50).select(F.col("id"))
+    got = {r["bucket"]: (r["n_vertices"], r["n_triangles"], r["avg_cc_micros"])
+           for r in clustering_by_degree(v, e).collect()}
+    nbrs = _und(edges)
+    per = {}
+    for i in range(50):
+        ns = nbrs.get(i, set())
+        d = len(ns)
+        t = sum(
+            1 for a in ns for b in ns if a < b and b in nbrs.get(a, set())
+        )
+        cc = (
+            (2_000_000 * t - (2_000_000 * t) % (d * (d - 1))) // (d * (d - 1))
+            if d >= 2 else 0
+        )
+        per.setdefault(len(bin(d)) - 2, []).append((t, cc))
+    want = {}
+    for b, vals in per.items():
+        n = len(vals)
+        s = sum(c for _, c in vals)
+        want[b] = (n, sum(t for t, _ in vals), (s - s % n) // n)
+    assert got == want, (got, want)

@@ -227,6 +227,9 @@ GUARDED = [
     # random_failure_tolerance: eager hash-rank TakeOrdered + literal IN
     # filters, then the CC engine — same shape as attack_tolerance
     "random_failure_tolerance",
+    # clustering_by_degree: degree-oriented wedge machinery + two
+    # grouped counts + the log-sized bucket aggregate
+    "clustering_by_degree",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -334,6 +337,11 @@ def test_wedge_family_degree_oriented(spark, monkeypatch):
     assert ("rows", "degree") in seen, "edge_support no longer degree-oriented"
     # 1→2→3→1 cyclic; transitive instances incl. (1,2,3) via 1→3 etc.
     assert row["n_cyclic"] >= 1 and row["n_transitive"] >= 1
+
+    seen.clear()
+    vdf = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    T.clustering_by_degree(vdf, df).collect()
+    assert ("rows", "degree") in seen, "c(k) curve no longer degree-oriented"
 
     seen.clear()
     rect = T.rectangle_count(df).collect()[0]["rectangles"]
