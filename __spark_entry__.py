@@ -2432,6 +2432,18 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+BM25_QUERY = ["spark", "vector", "hash"]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Okapi BM25 ranked retrieval (Lucene idf form) for a 3-term query:
+    # length-normalized, tf-saturating first-stage ranker; integer-micro
+    # scores, TakeOrderedAndProject top-10
+    from graphlite_spark.operators.tfidf import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), BM25_QUERY, k=10)
+
+
 def q_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree-dependent clustering curve c(k): per-vertex Watts-Strogatz
     # coefficients (exact micros) averaged over log2 degree buckets —
@@ -2888,6 +2900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_rate_by_activity": q_error_rate_by_activity,
         "random_failure_tolerance": q_random_failure_tolerance,
         "clustering_by_degree": q_clustering_by_degree,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -3016,6 +3029,7 @@ def oracle_sql() -> dict[str, str]:
         "error_rate_by_activity": O.error_rate_by_activity_sql(),
         "random_failure_tolerance": O.random_failure_tolerance_sql(10),
         "clustering_by_degree": O.clustering_by_degree_sql(),
+        "bm25_topk": O.bm25_topk_sql(BM25_QUERY, 10),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -153,3 +153,91 @@ def code_switch_score(
         .cast("long")
         .alias("divergence_micros"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_terms, score_micros) — Okapi BM25 top-k retrieval for
+    a bag of query terms (Robertson-Spärck Jones idf with the +1 floor,
+    the Lucene form): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b
+    + b·dl/avgdl)).  The ranked-retrieval complement of the flat TF-IDF
+    table — length-normalized, saturating in tf, and the standard
+    first-stage ranker in front of the ANN/rerank stack.
+
+    Exactness discipline: idf is rounded ONCE per term to integer
+    micros; the per-(doc,term) score is one double expression over
+    exact BIGINTs whose constants (k1+1, k1·(1−b), k1·b) are rendered
+    from the SAME Python doubles on both engines, rounded to BIGINT
+    micros; the per-doc score is then an exact BIGINT sum — no float
+    accumulation order anywhere.
+
+    Scale shape: term filter BEFORE the tf aggregate (the explode
+    stream drops every non-query term immediately — a |q|-literal IN,
+    no join); df and the N/avgdl scalars are one tiny agg + one 1-row
+    action; the idf table (≤|q| rows) broadcasts; top-k is a global
+    TakeOrderedAndProject (partial per-partition top-k, never a full
+    sort).  Ties broken (score DESC, doc_id ASC) — deterministic."""
+    from graphlite_spark.functions.text import tokens_expr
+
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    dl = docs.select(
+        "doc_id", F.size(tokens_expr(text_col)).cast("long").alias("dl")
+    )
+    n_docs, total = (
+        dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+    )
+    n_docs, total = int(n_docs), int(total)
+    tf = (
+        docs.select(
+            "doc_id",
+            F.size(tokens_expr(text_col)).cast("long").alias("dl"),
+            F.explode(tokens_expr(text_col)).alias("term"),
+        )
+        .where(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = df_.select(
+        "term",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.log(
+                (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            0,
+        ).cast("long").alias("idf_micros"),
+    )
+    k1p1, c0, c1 = k1 + 1.0, k1 * (1.0 - b), k1 * b
+    denom = (
+        F.col("tf").cast("double")
+        + F.lit(c0)
+        + F.lit(c1) * ((F.col("dl") * F.lit(n_docs)) / F.lit(total))
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        F.round(
+            (F.col("idf_micros") * F.col("tf")).cast("double")
+            * F.lit(k1p1)
+            / denom,
+            0,
+        ).cast("long").alias("sm"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("sm").cast("long").alias("score_micros"),
+        )
+        .orderBy(F.col("score_micros").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -7357,3 +7357,50 @@ def clustering_by_degree_sql() -> str:
         "FROM cbd_b"
     )
     return _graph_query(body)
+
+
+def bm25_topk_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """Mirror of operators.tfidf.bm25_topk: query-term filter BEFORE the
+    tf aggregate, Robertson idf with the +1 floor rounded once to BIGINT
+    micros, the per-(doc,term) score as ONE identically-structured
+    double expression (constants rendered from the same Python doubles
+    via repr), exact BIGINT per-doc sum, (score DESC, doc_id ASC) top-k.
+    N and avgdl ride 1-row CTEs — the same integer values Spark folds in
+    as literals, so the double arithmetic is bit-identical."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    k1p1, c0, c1 = k1 + 1.0, k1 * (1.0 - b), k1 * b
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "bm_dl AS MATERIALIZED (SELECT doc_id,"
+        " CAST(len(toks) AS BIGINT) AS dl FROM toks_t),\n"
+        "bm_n AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(SUM(dl) AS BIGINT) AS tot FROM bm_dl),\n"
+        "bm_tf AS MATERIALIZED (\n"
+        "  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (\n"
+        "    SELECT doc_id, unnest(toks) AS term FROM toks_t)\n"
+        f"  WHERE term IN ({terms}) GROUP BY doc_id, term),\n"
+        "bm_df AS MATERIALIZED (SELECT term,"
+        " CAST(count(*) AS BIGINT) AS df FROM bm_tf GROUP BY term),\n"
+        "bm_idf AS MATERIALIZED (\n"
+        "  SELECT term, CAST(round(1000000.0 *\n"
+        "    ln((n - df + 0.5) / (df + 0.5) + 1.0)) AS BIGINT)"
+        " AS idf_micros\n"
+        "  FROM bm_df, bm_n),\n"
+        "bm_s AS MATERIALIZED (\n"
+        "  SELECT f.doc_id,\n"
+        "    CAST(round(CAST(i.idf_micros * f.tf AS DOUBLE)"
+        f" * {k1p1!r}\n"
+        f"      / (CAST(f.tf AS DOUBLE) + {c0!r}"
+        f" + {c1!r} * ((d.dl * n.n) / n.tot))) AS BIGINT) AS sm\n"
+        "  FROM bm_tf f JOIN bm_idf i USING (term)\n"
+        "  JOIN bm_dl d ON d.doc_id = f.doc_id, bm_n n)\n"
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,\n"
+        "  CAST(SUM(sm) AS BIGINT) AS score_micros\n"
+        "FROM bm_s GROUP BY doc_id\n"
+        f"ORDER BY score_micros DESC, doc_id ASC LIMIT {k}"
+    )

@@ -305,3 +305,41 @@ def test_tfidf_cosine_pairs_bruteforce(spark):
     # sibling pairs score high, cross-topic pairs are absent or tiny
     assert got[(0, 1)] > 0.4 and got[(2, 3)] > 0.5
     assert (0, 2) not in got
+
+
+def test_bm25_topk_bruteforce(spark):
+    import math
+
+    from graphlite_spark.operators.tfidf import bm25_topk
+
+    rows = [
+        (0, "red fox red fox red"),
+        (1, "fox dog"),
+        (2, "red cat dog dog cat cat"),
+        (3, "bird bird bird"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["n_terms"], r["score_micros"])
+           for r in bm25_topk(docs, ["red", "dog"], k=3).collect()]
+
+    k1, b = 1.2, 0.75
+    toks = {d: t.split() for d, t in rows}
+    n = len(rows)
+    tot = sum(len(t) for t in toks.values())
+    tf = {(d, w): toks[d].count(w) for d in toks for w in ("red", "dog")
+          if w in toks[d]}
+    df_ = {w: sum(1 for (d2, w2) in tf if w2 == w) for w in ("red", "dog")}
+    idf = {w: round(1e6 * math.log((n - df_[w] + 0.5) / (df_[w] + 0.5) + 1.0))
+           for w in df_}
+    score: dict[int, list[int]] = {}
+    for (d, w), f in tf.items():
+        denom = f + k1 * (1.0 - b) + k1 * b * (len(toks[d]) * n / tot)
+        score.setdefault(d, []).append(round(idf[w] * f * (k1 + 1.0) / denom))
+    want = sorted(
+        ((d, len(v), sum(v)) for d, v in score.items()),
+        key=lambda r: (-r[2], r[0]),
+    )[:3]
+    assert got == want, (got, want)
+    # the all-"bird" doc never matches; the two-term doc 2 outranks the
+    # saturating single-term docs (BM25's tf saturation doing its job)
+    assert got[0][0] == 2 and all(d != 3 for d, _, _ in got)

@@ -230,6 +230,9 @@ GUARDED = [
     # clustering_by_degree: degree-oriented wedge machinery + two
     # grouped counts + the log-sized bucket aggregate
     "clustering_by_degree",
+    # bm25_topk: literal IN term filter before the tf aggregate,
+    # broadcast idf join, TakeOrderedAndProject top-k — no full sort
+    "bm25_topk",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
