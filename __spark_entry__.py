@@ -2432,6 +2432,17 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+def q_source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-cell PMI + mutual-information decomposition of source x lang:
+    # the categorical-dependence screen (MI ~ 0 = balanced mixture;
+    # MI -> H(lang) = one-source-one-language, stratify before sampling)
+    from graphlite_spark.operators.analytics import mutual_information
+
+    return mutual_information(
+        load_table(spark, sf_dir, "documents"), "source", "lang"
+    )
+
+
 BM25_QUERY = ["spark", "vector", "hash"]
 
 
@@ -2901,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_failure_tolerance": q_random_failure_tolerance,
         "clustering_by_degree": q_clustering_by_degree,
         "bm25_topk": q_bm25_topk,
+        "source_lang_mi": q_source_lang_mi,
     }
 
 
@@ -3030,6 +3042,9 @@ def oracle_sql() -> dict[str, str]:
         "random_failure_tolerance": O.random_failure_tolerance_sql(10),
         "clustering_by_degree": O.clustering_by_degree_sql(),
         "bm25_topk": O.bm25_topk_sql(BM25_QUERY, 10),
+        "source_lang_mi": O.mutual_information_sql(
+            "documents", "source", "lang"
+        ),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -974,3 +974,53 @@ def error_rate_by_activity(
             ).cast("long").alias("error_micros"),
         )
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """(x, y, n, pmi_micros, mi_contrib_micros) — the pointwise mutual
+    information of every observed (x, y) cell and its contribution
+    p(x,y)·ln(p(x,y)/(p(x)p(y))) to the total mutual information
+    I(X;Y) = Σ contributions.  The categorical-dependence screen: is
+    `lang` independent of `source` (MI ≈ 0 — mixtures are balanced) or
+    does one source carry one language (MI → H(lang) — stratify before
+    sampling)?  Complements the pairwise source_jsd (distribution
+    distance) with a single dependence decomposition.
+
+    Exactness: all counts are exact BIGINTs; the two float expressions
+    (one ln over an exact integer ratio, one scaled contribution) are
+    structured identically on both engines and rounded once to micros.
+    PMI can be negative (co-avoidance); HALF_UP rounding is
+    away-from-zero on both engines for negatives too.
+
+    Scale shape: one joint groupBy (map-side combined), two
+    cell-count-sized marginal aggregates broadcast back onto the joint
+    table, N folded in as a literal from a 1-row action.  Output is
+    |X|·|Y| cells — screen-sized by construction.  At >>1e9 rows the
+    n·N BIGINT product approaches 2^63 — lift the ln argument to DOUBLE
+    there (ln is insensitive to the last ulp; the micros round absorbs
+    it)."""
+    joint = df.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_total = int(joint.agg(F.sum("n")).collect()[0][0] or 0)
+    mx = joint.groupBy("x").agg(F.sum("n").cast("long").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("n").cast("long").alias("ny"))
+    j = joint.join(F.broadcast(mx), "x").join(F.broadcast(my), "y")
+    arg = (F.col("n") * F.lit(n_total)) / (F.col("nx") * F.col("ny"))
+    return j.select(
+        "x",
+        "y",
+        "n",
+        F.round(F.lit(1_000_000.0) * F.log(arg), 0)
+        .cast("long")
+        .alias("pmi_micros"),
+        F.round(
+            F.lit(1_000_000.0) * F.col("n") * F.log(arg) / F.lit(n_total), 0
+        )
+        .cast("long")
+        .alias("mi_contrib_micros"),
+    )

@@ -7404,3 +7404,32 @@ def bm25_topk_sql(
         "FROM bm_s GROUP BY doc_id\n"
         f"ORDER BY score_micros DESC, doc_id ASC LIMIT {k}"
     )
+
+
+def mutual_information_sql(
+    table: str = "documents",
+    col_x: str = "source",
+    col_y: str = "lang",
+) -> str:
+    """Mirror of operators.analytics.mutual_information: exact joint and
+    marginal counts, the identically-structured ln-ratio and scaled-
+    contribution expressions, micros rounding.  N rides a 1-row CTE —
+    the same integer Spark folds in as a literal."""
+    return (
+        "WITH mi_j AS MATERIALIZED (\n"
+        f"  SELECT {col_x} AS x, {col_y} AS y,"
+        " CAST(count(*) AS BIGINT) AS n\n"
+        f"  FROM {table} GROUP BY 1, 2),\n"
+        "mi_x AS MATERIALIZED (SELECT x, CAST(SUM(n) AS BIGINT) AS nx"
+        " FROM mi_j GROUP BY x),\n"
+        "mi_y AS MATERIALIZED (SELECT y, CAST(SUM(n) AS BIGINT) AS ny"
+        " FROM mi_j GROUP BY y),\n"
+        "mi_n AS MATERIALIZED (SELECT CAST(SUM(n) AS BIGINT) AS nt"
+        " FROM mi_j)\n"
+        "SELECT j.x, j.y, j.n,\n"
+        "  CAST(round(1000000.0 * ln((j.n * t.nt) / (x.nx * y.ny)))"
+        " AS BIGINT) AS pmi_micros,\n"
+        "  CAST(round(1000000.0 * j.n * ln((j.n * t.nt) / (x.nx * y.ny))"
+        " / t.nt) AS BIGINT) AS mi_contrib_micros\n"
+        "FROM mi_j j JOIN mi_x x USING (x) JOIN mi_y y USING (y), mi_n t"
+    )

@@ -229,3 +229,43 @@ def test_error_rate_by_activity_bruteforce(spark):
         2, 9, 2,
     )
     assert got[3]["error_micros"] == share(2, 9)
+
+
+def test_mutual_information_bruteforce(spark):
+    import math
+
+    from graphlite_spark.operators.analytics import mutual_information
+
+    # source A: 3 en + 1 de; source B: 1 en + 3 de — dependent, MI > 0
+    rows = (
+        [("A", "en")] * 3 + [("A", "de")] * 1
+        + [("B", "en")] * 1 + [("B", "de")] * 3
+    )
+    df = spark.createDataFrame(rows, "source string, lang string")
+    got = {(r["x"], r["y"]): (r["n"], r["pmi_micros"], r["mi_contrib_micros"])
+           for r in mutual_information(df, "source", "lang").collect()}
+    from collections import Counter
+
+    joint = Counter(rows)
+    nx = Counter(s for s, _ in rows)
+    ny = Counter(l for _, l in rows)
+    nt = len(rows)
+    want = {}
+    for (x, y), n in joint.items():
+        arg = (n * nt) / (nx[x] * ny[y])
+        want[(x, y)] = (
+            n,
+            round(1_000_000.0 * math.log(arg)),
+            round(1_000_000.0 * n * math.log(arg) / nt),
+        )
+    assert got == want, (got, want)
+    # total MI positive for the dependent table
+    assert sum(c for _, _, c in got.values()) > 0
+    # independent table -> every cell PMI == 0
+    indep = spark.createDataFrame(
+        [("A", "en"), ("A", "de"), ("B", "en"), ("B", "de")],
+        "source string, lang string",
+    )
+    got0 = mutual_information(indep, "source", "lang").collect()
+    assert all(r["pmi_micros"] == 0 and r["mi_contrib_micros"] == 0
+               for r in got0)

@@ -233,6 +233,8 @@ GUARDED = [
     # bm25_topk: literal IN term filter before the tf aggregate,
     # broadcast idf join, TakeOrderedAndProject top-k — no full sort
     "bm25_topk",
+    # source_lang_mi: one joint groupBy + two broadcast marginal joins
+    "source_lang_mi",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
