@@ -2432,6 +2432,16 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+def q_triadic_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temporal triadic closure: of the contact pairs first seen after
+    # the window midpoint, what fraction closes a pre-existing wedge —
+    # the link-formation mechanism readout and the base rate for the
+    # common-neighbor link predictors
+    from graphlite_spark.operators.temporal import triadic_closure_rate
+
+    return triadic_closure_rate(contact_edges(_events_us(spark, sf_dir)))
+
+
 def q_source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-cell PMI + mutual-information decomposition of source x lang:
     # the categorical-dependence screen (MI ~ 0 = balanced mixture;
@@ -2913,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_by_degree": q_clustering_by_degree,
         "bm25_topk": q_bm25_topk,
         "source_lang_mi": q_source_lang_mi,
+        "triadic_closure": q_triadic_closure,
     }
 
 
@@ -3045,6 +3056,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_mi": O.mutual_information_sql(
             "documents", "source", "lang"
         ),
+        "triadic_closure": O.triadic_closure_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

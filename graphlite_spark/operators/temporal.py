@@ -351,3 +351,95 @@ def temporal_motifs(
         F.lit("cycle3").alias("motif"), "n"
     )
     return np2.unionByName(nc3)
+
+
+def triadic_closure_rate(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "t",
+) -> DataFrame:
+    """(n_added, n_closing, closure_micros) — temporal triadic closure:
+    of the undirected contact pairs that appear only AT/AFTER the
+    window's temporal midpoint (the "new" edges), what fraction closes
+    a wedge that already existed in the BEFORE-midpoint graph (the two
+    endpoints shared a common neighbor)?  The link-formation mechanism
+    readout (Rapoport/Granovetter): a high rate says the graph grows by
+    friend-of-friend closure, a low rate says links arrive exogenously
+    — and it is the base-rate sanity check for any common-neighbor link
+    predictor shipped next to it (jaccard_linkpred, adamic_adar).
+
+    Exactness: distinct-pair set algebra + one exact subtract-the-
+    remainder micro ratio — no floats.
+
+    Scale shape: the midpoint is a 1-row broadcast (no driver action);
+    pair multiplicity collapses in ONE map-side-combined groupBy before
+    any join (bursty pairs are one row); the wedge-existence probe
+    expands each added edge from its LOWER-degree endpoint only (the
+    same √E fan-out bound as the degree-oriented triangle family) and
+    closes with a left-semi equi-join — no unoriented wedge self-join
+    anywhere."""
+    mid = edges.agg(
+        F.expr(f"(min({ts_col}) + max({ts_col})) div 2").alias("mid")
+    )
+    tp = (
+        edges.crossJoin(F.broadcast(mid))
+        .select(
+            F.least(src_col, dst_col).alias("lo"),
+            F.greatest(src_col, dst_col).alias("hi"),
+            F.when(F.col(ts_col) < F.col("mid"), 1).otherwise(0).alias("o"),
+            F.when(F.col(ts_col) >= F.col("mid"), 1).otherwise(0).alias("n"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.max("o").alias("has_old"), F.max("n").alias("has_new"))
+    )
+    old_p = tp.where(F.col("has_old") == 1).select("lo", "hi")
+    added = tp.where(
+        (F.col("has_old") == 0) & (F.col("has_new") == 1)
+    ).select("lo", "hi")
+    adj = old_p.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionByName(
+        old_p.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("dg"))
+    a_deg = (
+        added.join(deg.select(F.col("a").alias("lo"), F.col("dg").alias("dlo")),
+                   "lo", "left")
+        .join(deg.select(F.col("a").alias("hi"), F.col("dg").alias("dhi")),
+              "hi", "left")
+        .select(
+            "lo", "hi",
+            F.coalesce("dlo", F.lit(0)).alias("dlo"),
+            F.coalesce("dhi", F.lit(0)).alias("dhi"),
+        )
+    )
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    picked = a_deg.select(
+        "lo", "hi",
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("e"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("oth"),
+    )
+    w1 = adj.select(F.col("a").alias("e"), F.col("b").alias("w"))
+    cand = picked.join(w1, "e").where(F.col("w") != F.col("oth"))
+    w2 = adj.select(F.col("a").alias("oth"), F.col("b").alias("w"))
+    closing = (
+        cand.join(w2, ["oth", "w"], "left_semi")
+        .select("lo", "hi")
+        .distinct()
+    )
+    na = added.agg(F.count(F.lit(1)).cast("long").alias("n_added"))
+    nc = closing.agg(F.count(F.lit(1)).cast("long").alias("n_closing"))
+    return na.crossJoin(nc).select(
+        "n_added",
+        "n_closing",
+        F.when(F.col("n_added") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                "(1000000 * n_closing - (1000000 * n_closing) % n_added)"
+                " div n_added"
+            )
+        )
+        .cast("long")
+        .alias("closure_micros"),
+    )

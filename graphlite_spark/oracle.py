@@ -7433,3 +7433,44 @@ def mutual_information_sql(
         " / t.nt) AS BIGINT) AS mi_contrib_micros\n"
         "FROM mi_j j JOIN mi_x x USING (x) JOIN mi_y y USING (y), mi_n t"
     )
+
+
+def triadic_closure_sql() -> str:
+    """Mirror of operators.temporal.contact_edges + triadic_closure_rate:
+    the per-type contact chains, BIGINT midpoint split, distinct-pair
+    old/new sets, common-neighbor existence over the old graph (the
+    oracle probes both endpoints — orientation is a Spark-side
+    performance device, not a semantic one), exact-ratio closure."""
+    return (
+        "WITH ev AS MATERIALIZED (SELECT event_id, user_id, event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),\n"
+        "ce AS MATERIALIZED (SELECT src, dst, t FROM (\n"
+        "  SELECT lag(user_id) OVER (PARTITION BY event_type\n"
+        "           ORDER BY ts_us, event_id) AS src,\n"
+        "         user_id AS dst, ts_us AS t FROM ev)\n"
+        "  WHERE src IS NOT NULL AND src <> dst),\n"
+        "mid AS (SELECT (min(t) + max(t)) // 2 AS mid FROM ce),\n"
+        "tp AS MATERIALIZED (SELECT least(src, dst) AS lo,\n"
+        "  greatest(src, dst) AS hi,\n"
+        "  max(CASE WHEN t < mid THEN 1 ELSE 0 END) AS has_old,\n"
+        "  max(CASE WHEN t >= mid THEN 1 ELSE 0 END) AS has_new\n"
+        "  FROM ce CROSS JOIN mid GROUP BY 1, 2),\n"
+        "tc_old AS MATERIALIZED (SELECT lo, hi FROM tp WHERE has_old = 1),\n"
+        "tc_add AS MATERIALIZED (SELECT lo, hi FROM tp\n"
+        "  WHERE has_old = 0 AND has_new = 1),\n"
+        "tc_adj AS MATERIALIZED (SELECT lo AS a, hi AS b FROM tc_old\n"
+        "  UNION ALL SELECT hi, lo FROM tc_old),\n"
+        "tc_close AS MATERIALIZED (\n"
+        "  SELECT DISTINCT ad.lo, ad.hi FROM tc_add ad\n"
+        "  JOIN tc_adj w1 ON w1.a = ad.lo\n"
+        "  JOIN tc_adj w2 ON w2.a = ad.hi AND w2.b = w1.b\n"
+        "  WHERE w1.b <> ad.hi AND w1.b <> ad.lo),\n"
+        "tc_na AS (SELECT CAST(count(*) AS BIGINT) AS n_added FROM tc_add),\n"
+        "tc_nc AS (SELECT CAST(count(*) AS BIGINT) AS n_closing"
+        " FROM tc_close)\n"
+        "SELECT n_added, n_closing,\n"
+        "  CAST(CASE WHEN n_added = 0 THEN 0 ELSE\n"
+        "    (1000000 * n_closing - (1000000 * n_closing) % n_added)"
+        " // n_added END AS BIGINT) AS closure_micros\n"
+        "FROM tc_na, tc_nc"
+    )

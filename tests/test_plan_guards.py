@@ -235,6 +235,9 @@ GUARDED = [
     "bm25_topk",
     # source_lang_mi: one joint groupBy + two broadcast marginal joins
     "source_lang_mi",
+    # triadic_closure: distinct-pair collapse before any join; wedge
+    # probe expands from the lower-degree endpoint + left-semi close
+    "triadic_closure",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -251,6 +254,9 @@ BNLJ_ALLOWED = {
     "dyad_census",
     # 1-row temporal-midpoint aggregate broadcast into the edge scan
     "contact_graph_delta",
+    # same 1-row midpoint broadcast + the 1-row added x 1-row closing
+    # assembly join (both constant-sized by construction)
+    "triadic_closure",
     # 1-row (sum, cnt) balance-stats aggregate broadcast back into the
     # pruned customer sliver (the Q15 max-broadcast-back pattern)
     "tpch_q22_dormant",

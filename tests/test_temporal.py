@@ -141,3 +141,29 @@ def test_temporal_reachability_waits_for_arrival(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 100, 3: 120}
+
+
+def test_triadic_closure_rate_bruteforce(spark):
+    from graphlite_spark.operators.temporal import triadic_closure_rate
+
+    # window 0..9 -> midpoint 4.  Old graph (t<4): 1-2, 2-3, 1-4.
+    # New-only pairs (t>=4): 1-3 (closes the 1-2-3 wedge), 4-5 (vertex 5
+    # unseen before -> cannot close).  Pair 1-2 recurs late -> kept, not
+    # added.
+    rows = [
+        (1, 2, 0), (2, 3, 1), (1, 4, 3),
+        (1, 3, 5), (4, 5, 7), (1, 2, 9),
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, t long")
+    got = triadic_closure_rate(e).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_added"], r["n_closing"], r["closure_micros"]) == (
+        2, 1, 500_000,
+    )
+
+    # no new edges at all -> 0/0 guard
+    e2 = spark.createDataFrame([(1, 2, 0), (2, 3, 1)], "src long, dst long, t long")
+    # midpoint (0+1)//2 = 0 -> everything is new, nothing old
+    r2 = triadic_closure_rate(e2).collect()[0]
+    assert r2["n_closing"] == 0
