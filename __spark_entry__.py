@@ -2432,6 +2432,20 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+FLAG_LEXICON = ["slow", "dup", "error"]
+
+
+def q_lexicon_flag_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocklist content screen by source: share of docs with any
+    # lexicon token + total occurrences — the pre-filter every curation
+    # pipeline runs; the lexicon rides the plan as an array literal
+    from graphlite_spark.operators.profiling import lexicon_flag_rate
+
+    return lexicon_flag_rate(
+        load_table(spark, sf_dir, "documents"), FLAG_LEXICON
+    )
+
+
 def q_triadic_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     # temporal triadic closure: of the contact pairs first seen after
     # the window midpoint, what fraction closes a pre-existing wedge —
@@ -2924,6 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "source_lang_mi": q_source_lang_mi,
         "triadic_closure": q_triadic_closure,
+        "lexicon_flag_rate": q_lexicon_flag_rate,
     }
 
 
@@ -3057,6 +3072,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "source", "lang"
         ),
         "triadic_closure": O.triadic_closure_sql(),
+        "lexicon_flag_rate": O.lexicon_flag_rate_sql(FLAG_LEXICON),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

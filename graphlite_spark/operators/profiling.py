@@ -515,3 +515,57 @@ def dispersion_index(
         ).cast("long").alias("mean_micros"),
         F.when(F.col("n_units") > 1, vmr).alias("vmr"),
     )
+
+
+def lexicon_flag_rate(
+    docs: DataFrame,
+    lexicon: list[str],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, n_flagged, n_hits, flag_micros) — lexicon-based
+    content screening by corpus slice: a document is FLAGGED when any
+    token matches the (lower-cased) lexicon; ``n_hits`` counts total
+    occurrences.  The blocklist/safety-filter primitive every curation
+    pipeline runs before anything smarter — and per-slice rates are the
+    actionable output (drop the slice vs scrub the docs).
+
+    Exactness: pure integer token counts + one exact-ratio division.
+
+    Scale shape: the lexicon rides the plan as an array literal (no
+    join, no broadcast variable); per-doc hit counting is row-local
+    expression work inside codegen; ONE map-side-combined groupBy on
+    the slice key.  Zero extra shuffles over a plain count(*)."""
+    from graphlite_spark.functions.text import tokens_expr
+
+    if not lexicon:
+        raise ValueError("lexicon_flag_rate needs a non-empty lexicon")
+    lex = F.array(*[F.lit(w.lower()) for w in lexicon])
+    d = docs.select(
+        F.col(group_col), tokens_expr(text_col).alias("_toks")
+    ).select(
+        group_col,
+        F.size(
+            F.filter(F.col("_toks"), lambda t: F.array_contains(lex, t))
+        ).cast("long").alias("hits"),
+    )
+    return (
+        d.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("hits").cast("long").alias("n_hits"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_flagged",
+            "n_hits",
+            F.expr(
+                "(1000000 * n_flagged - (1000000 * n_flagged) % n_docs)"
+                " div n_docs"
+            ).cast("long").alias("flag_micros"),
+        )
+    )

@@ -7474,3 +7474,32 @@ def triadic_closure_sql() -> str:
         " // n_added END AS BIGINT) AS closure_micros\n"
         "FROM tc_na, tc_nc"
     )
+
+
+def lexicon_flag_rate_sql(
+    lexicon: list[str],
+    group_col: str = "source",
+) -> str:
+    """Mirror of operators.profiling.lexicon_flag_rate: the same
+    lower-cased lexicon as a list literal, per-doc occurrence counts
+    via list_filter, one grouped aggregate, exact-ratio flag share."""
+    lex = "[" + ", ".join(
+        "'" + w.lower().replace("'", "''") + "'" for w in lexicon
+    ) + "]"
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "lx_d AS MATERIALIZED (\n"
+        f"  SELECT d.{group_col},\n"
+        f"    CAST(len(list_filter(t.toks, x -> list_contains({lex}, x)))"
+        " AS BIGINT) AS hits\n"
+        "  FROM documents d JOIN toks_t t ON t.doc_id = d.doc_id)\n"
+        f"SELECT {group_col},\n"
+        "  CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_flagged,\n"
+        "  CAST(SUM(hits) AS BIGINT) AS n_hits,\n"
+        "  CAST((1000000 * SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END)\n"
+        "    - (1000000 * SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END))\n"
+        "    % count(*)) // count(*) AS BIGINT) AS flag_micros\n"
+        f"FROM lx_d GROUP BY {group_col}"
+    )

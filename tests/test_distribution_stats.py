@@ -269,3 +269,25 @@ def test_mutual_information_bruteforce(spark):
     got0 = mutual_information(indep, "source", "lang").collect()
     assert all(r["pmi_micros"] == 0 and r["mi_contrib_micros"] == 0
                for r in got0)
+
+
+def test_lexicon_flag_rate_bruteforce(spark):
+    from graphlite_spark.operators.profiling import lexicon_flag_rate
+
+    rows = [
+        (0, "the DUP table dup", "a"),
+        (1, "clean text here", "a"),
+        (2, "slow join slow scan slow", "b"),
+        (3, "", "b"),
+        (4, "error", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: (r["n_docs"], r["n_flagged"], r["n_hits"],
+                         r["flag_micros"])
+           for r in lexicon_flag_rate(docs, ["slow", "dup", "error"]).collect()}
+    # source a: doc0 has 2 hits (case-folded dup x2), doc1 clean
+    assert got["a"] == (2, 1, 2, 500_000)
+    # source b: doc2 3x slow, doc3 empty, doc4 error
+    assert got["b"] == (
+        3, 2, 4, (1_000_000 * 2 - (1_000_000 * 2) % 3) // 3,
+    )

@@ -238,6 +238,9 @@ GUARDED = [
     # triadic_closure: distinct-pair collapse before any join; wedge
     # probe expands from the lower-degree endpoint + left-semi close
     "triadic_closure",
+    # lexicon_flag_rate: array-literal lexicon, row-local hit counting,
+    # one map-side-combined groupBy — join-free
+    "lexicon_flag_rate",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
