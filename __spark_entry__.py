@@ -2432,6 +2432,16 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+def q_graph_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ingest-time integrity audit: self-loops, parallel duplicate arcs,
+    # isolated vertices, dangling endpoint references — the readout
+    # that SAYS the invariants every other query assumes actually hold
+    from graphlite_spark.algos.stats import graph_hygiene
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return graph_hygiene(v, e)
+
+
 FLAG_LEXICON = ["slow", "dup", "error"]
 
 
@@ -2939,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lang_mi": q_source_lang_mi,
         "triadic_closure": q_triadic_closure,
         "lexicon_flag_rate": q_lexicon_flag_rate,
+        "graph_hygiene": q_graph_hygiene,
     }
 
 
@@ -3073,6 +3084,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "triadic_closure": O.triadic_closure_sql(),
         "lexicon_flag_rate": O.lexicon_flag_rate_sql(FLAG_LEXICON),
+        "graph_hygiene": O.graph_hygiene_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

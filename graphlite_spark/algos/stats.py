@@ -441,3 +441,58 @@ def rank_agreement(
             ),
         ).alias("rho"),
     )
+
+
+def graph_hygiene(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """One row (n_vertices, n_arcs, n_self_loops, n_parallel_arcs,
+    n_isolated, n_dangling) — the ingest-time integrity audit every
+    link-graph load should run FIRST: self-loops (walk/PageRank
+    degeneracy), parallel duplicate arcs (silent weight inflation),
+    isolated vertices (no arc touches them), and dangling endpoint
+    references (arcs naming vertices absent from the vertex table —
+    the referential break that turns every downstream left join into
+    silent row loss).  Every other query in this engine assumes these
+    are zero or handled; this is the readout that SAYS so.
+
+    Exact integers throughout.  Shape: one map-side-combined aggregate
+    over the arc table (count + conditional count + distinct-pair
+    count), one distinct-endpoint projection with two anti-join counts
+    against the vertex table, assembled via 1-row literal-sized joins —
+    no pair-level or vertex-pair materialization anywhere."""
+    ea = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_arcs"),
+        F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_self_loops"),
+        F.count_distinct(F.col("src"), F.col("dst"))
+        .cast("long")
+        .alias("n_distinct_arcs"),
+    )
+    ends = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    vids = vertices.select("id")
+    nv = vids.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    iso = vids.join(ends, "id", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_isolated")
+    )
+    dang = ends.join(vids, "id", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dangling")
+    )
+    return (
+        nv.crossJoin(ea)
+        .crossJoin(iso)
+        .crossJoin(dang)
+        .select(
+            "n_vertices",
+            "n_arcs",
+            "n_self_loops",
+            (F.col("n_arcs") - F.col("n_distinct_arcs"))
+            .cast("long")
+            .alias("n_parallel_arcs"),
+            "n_isolated",
+            "n_dangling",
+        )
+    )

@@ -7503,3 +7503,35 @@ def lexicon_flag_rate_sql(
         "    % count(*)) // count(*) AS BIGINT) AS flag_micros\n"
         f"FROM lx_d GROUP BY {group_col}"
     )
+
+
+def graph_hygiene_sql() -> str:
+    """Mirror of algos.stats.graph_hygiene over the derived transcript
+    graph: exact arc/self-loop/distinct counts, anti-join isolated and
+    dangling counts, assembled from 1-row CTEs."""
+    body = (
+        ", gh_e AS MATERIALIZED (\n"
+        "  SELECT CAST(count(*) AS BIGINT) AS n_arcs,\n"
+        "    CAST(SUM(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_self_loops,\n"
+        "    CAST(count(DISTINCT (src, dst)) AS BIGINT)"
+        " AS n_distinct_arcs\n"
+        "  FROM edges),\n"
+        "gh_ends AS MATERIALIZED (\n"
+        "  SELECT DISTINCT id FROM (\n"
+        "    SELECT src AS id FROM edges UNION ALL"
+        " SELECT dst AS id FROM edges)),\n"
+        "gh_nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices"
+        " FROM vertices),\n"
+        "gh_iso AS (SELECT CAST(count(*) AS BIGINT) AS n_isolated\n"
+        "  FROM vertices v WHERE NOT EXISTS\n"
+        "    (SELECT 1 FROM gh_ends e WHERE e.id = v.id)),\n"
+        "gh_dang AS (SELECT CAST(count(*) AS BIGINT) AS n_dangling\n"
+        "  FROM gh_ends e WHERE NOT EXISTS\n"
+        "    (SELECT 1 FROM vertices v WHERE v.id = e.id))\n"
+        "SELECT n_vertices, n_arcs, n_self_loops,\n"
+        "  CAST(n_arcs - n_distinct_arcs AS BIGINT) AS n_parallel_arcs,\n"
+        "  n_isolated, n_dangling\n"
+        "FROM gh_nv, gh_e, gh_iso, gh_dang"
+    )
+    return _graph_query(body)

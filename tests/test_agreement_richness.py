@@ -349,3 +349,22 @@ def test_random_failure_tolerance_bruteforce(spark):
     assert got["giant_micros"] == (
         1_000_000 * giant - (1_000_000 * giant) % n
     ) // n
+
+
+def test_graph_hygiene_bruteforce(spark):
+    from graphlite_spark.algos.stats import graph_hygiene
+
+    # vertices 0..5; vertex 5 isolated; arc to 9 dangles; 1->2 repeated;
+    # 3->3 self-loop
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    arcs = [(0, 1), (1, 2), (1, 2), (3, 3), (2, 9)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in arcs], "src long, dst long, weight double"
+    )
+    r = graph_hygiene(v, e).collect()[0]
+    assert r["n_vertices"] == 6
+    assert r["n_arcs"] == 5
+    assert r["n_self_loops"] == 1
+    assert r["n_parallel_arcs"] == 1      # the duplicated 1->2
+    assert r["n_isolated"] == 2           # 4 and 5 touch no arc
+    assert r["n_dangling"] == 1           # endpoint 9 not in vertices

@@ -241,6 +241,9 @@ GUARDED = [
     # lexicon_flag_rate: array-literal lexicon, row-local hit counting,
     # one map-side-combined groupBy — join-free
     "lexicon_flag_rate",
+    # graph_hygiene: one arc aggregate + two anti-join counts + 1-row
+    # assembly joins
+    "graph_hygiene",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -255,6 +258,8 @@ BNLJ_ALLOWED = {
     "effective_diameter",
     # 1-row (M/A counts) x 1-row (vertex count) assembly join
     "dyad_census",
+    # graph_hygiene: four 1-row audit aggregates assembled crosswise
+    "graph_hygiene",
     # 1-row temporal-midpoint aggregate broadcast into the edge scan
     "contact_graph_delta",
     # same 1-row midpoint broadcast + the 1-row added x 1-row closing
