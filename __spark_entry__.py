@@ -2432,6 +2432,16 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+def q_degree_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # degree mixing matrix e(k,k'): each undirected edge counted once
+    # into the unordered pair of endpoint degree-magnitude buckets —
+    # the distribution behind the assortativity scalar
+    from graphlite_spark.algos.stats import degree_mixing_matrix
+
+    _, _, e = graph_tables(spark, sf_dir)
+    return degree_mixing_matrix(e)
+
+
 def q_graph_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ingest-time integrity audit: self-loops, parallel duplicate arcs,
     # isolated vertices, dangling endpoint references — the readout
@@ -2950,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triadic_closure": q_triadic_closure,
         "lexicon_flag_rate": q_lexicon_flag_rate,
         "graph_hygiene": q_graph_hygiene,
+        "degree_mixing": q_degree_mixing,
     }
 
 
@@ -3085,6 +3096,7 @@ def oracle_sql() -> dict[str, str]:
         "triadic_closure": O.triadic_closure_sql(),
         "lexicon_flag_rate": O.lexicon_flag_rate_sql(FLAG_LEXICON),
         "graph_hygiene": O.graph_hygiene_sql(),
+        "degree_mixing": O.degree_mixing_matrix_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

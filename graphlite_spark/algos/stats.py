@@ -496,3 +496,51 @@ def graph_hygiene(vertices: DataFrame, edges: DataFrame) -> DataFrame:
             "n_dangling",
         )
     )
+
+
+def degree_mixing_matrix(edges: DataFrame) -> DataFrame:
+    """(bucket_a, bucket_b, n_edges) — the degree mixing matrix e(k,k'):
+    every undirected edge counted once into the unordered pair of its
+    endpoints' degree-magnitude buckets (floor(log2 k)+1 via
+    ``length(bin(k))`` — the engine-portable rendering).  The
+    DISTRIBUTION behind the assortativity scalar: hub–hub rows
+    (rich-club wiring), hub–leaf rows (star/broadcast wiring), and
+    leaf–leaf rows (chain wiring) are separately visible, where the
+    single correlation number can cancel them against each other.
+
+    Exact integers throughout; log buckets keep the output
+    O(log²(max_degree)) no matter how heavy the degree tail is.
+
+    Shape: one distinct-pair projection, one map-side-combined degree
+    count, two equi-joins of the edge table against the (tiny after
+    bucketing, but joined pre-bucket — vertex-count-sized) degree
+    table, one log²-sized aggregate.  No wedge or pair-pair join
+    anywhere — this is strictly edge-linear."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("v"))
+        .unionByName(und.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    d1 = deg.select(F.col("v").alias("lo"), F.col("d").alias("dlo"))
+    d2 = deg.select(F.col("v").alias("hi"), F.col("d").alias("dhi"))
+    j = und.join(d1, "lo").join(d2, "hi").select(
+        F.expr("length(bin(dlo))").cast("long").alias("blo"),
+        F.expr("length(bin(dhi))").cast("long").alias("bhi"),
+    )
+    return (
+        j.select(
+            F.least("blo", "bhi").alias("bucket_a"),
+            F.greatest("blo", "bhi").alias("bucket_b"),
+        )
+        .groupBy("bucket_a", "bucket_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )

@@ -7535,3 +7535,27 @@ def graph_hygiene_sql() -> str:
         "FROM gh_nv, gh_e, gh_iso, gh_dang"
     )
     return _graph_query(body)
+
+
+def degree_mixing_matrix_sql() -> str:
+    """Mirror of algos.stats.degree_mixing_matrix: the distinct
+    undirected pair set, the same und-based degree count, the same
+    length(bin()) buckets and unordered bucket pair."""
+    body = (
+        ", dm_p AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,\n"
+        "    greatest(src, dst) AS hi FROM edges WHERE src <> dst),\n"
+        "dm_d AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d\n"
+        "  FROM (SELECT lo AS v FROM dm_p UNION ALL"
+        " SELECT hi AS v FROM dm_p)\n"
+        "  GROUP BY v),\n"
+        "dm_b AS MATERIALIZED (\n"
+        "  SELECT CAST(length(bin(a.d)) AS BIGINT) AS blo,\n"
+        "    CAST(length(bin(b.d)) AS BIGINT) AS bhi\n"
+        "  FROM dm_p p JOIN dm_d a ON a.v = p.lo"
+        " JOIN dm_d b ON b.v = p.hi)\n"
+        "SELECT least(blo, bhi) AS bucket_a,"
+        " greatest(blo, bhi) AS bucket_b,\n"
+        "  CAST(count(*) AS BIGINT) AS n_edges\n"
+        "FROM dm_b GROUP BY 1, 2"
+    )
+    return _graph_query(body)

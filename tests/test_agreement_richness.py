@@ -368,3 +368,30 @@ def test_graph_hygiene_bruteforce(spark):
     assert r["n_parallel_arcs"] == 1      # the duplicated 1->2
     assert r["n_isolated"] == 2           # 4 and 5 touch no arc
     assert r["n_dangling"] == 1           # endpoint 9 not in vertices
+
+
+def test_degree_mixing_matrix_bruteforce(spark):
+    from collections import Counter
+
+    from graphlite_spark.algos.stats import degree_mixing_matrix
+
+    # star (hub 0, leaves 1-5) + chain 10-11-12-13 + dup arc + self-loop
+    arcs = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5),
+            (10, 11), (11, 12), (12, 13), (1, 0), (7, 7)]
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in arcs], "src long, dst long, weight double"
+    )
+    got = {(r["bucket_a"], r["bucket_b"]): r["n_edges"]
+           for r in degree_mixing_matrix(e).collect()}
+    pairs = {(min(a, b), max(a, b)) for a, b in arcs if a != b}
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    want = Counter()
+    for a, b in pairs:
+        ba, bb = len(bin(deg[a])) - 2, len(bin(deg[b])) - 2
+        want[(min(ba, bb), max(ba, bb))] += 1
+    assert got == dict(want), (got, want)
+    # hub degree 5 -> bucket 3; leaves bucket 1: the star's 5 edges
+    assert got[(1, 3)] == 5

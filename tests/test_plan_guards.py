@@ -244,6 +244,9 @@ GUARDED = [
     # graph_hygiene: one arc aggregate + two anti-join counts + 1-row
     # assembly joins
     "graph_hygiene",
+    # degree_mixing: distinct-pair projection + two degree equi-joins
+    # + one log^2-sized aggregate — strictly edge-linear
+    "degree_mixing",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
