@@ -2432,6 +2432,15 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+def q_intercontact_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inter-contact time log-histogram per repeating pair: the
+    # burstiness evidence behind temporal reachability (heavy-tailed
+    # gaps = bursts deliver, silences don't)
+    from graphlite_spark.operators.temporal import intercontact_histogram
+
+    return intercontact_histogram(contact_edges(_events_us(spark, sf_dir)))
+
+
 def q_degree_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree mixing matrix e(k,k'): each undirected edge counted once
     # into the unordered pair of endpoint degree-magnitude buckets —
@@ -2961,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexicon_flag_rate": q_lexicon_flag_rate,
         "graph_hygiene": q_graph_hygiene,
         "degree_mixing": q_degree_mixing,
+        "intercontact_hist": q_intercontact_hist,
     }
 
 
@@ -3097,6 +3107,7 @@ def oracle_sql() -> dict[str, str]:
         "lexicon_flag_rate": O.lexicon_flag_rate_sql(FLAG_LEXICON),
         "graph_hygiene": O.graph_hygiene_sql(),
         "degree_mixing": O.degree_mixing_matrix_sql(),
+        "intercontact_hist": O.intercontact_histogram_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

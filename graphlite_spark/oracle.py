@@ -7559,3 +7559,29 @@ def degree_mixing_matrix_sql() -> str:
         "FROM dm_b GROUP BY 1, 2"
     )
     return _graph_query(body)
+
+
+def intercontact_histogram_sql() -> str:
+    """Mirror of operators.temporal.contact_edges + intercontact_histogram:
+    per-type contact chains, per-pair lag gaps, length(bin(gap))
+    magnitude buckets, one grouped aggregate with a distinct-pair
+    count."""
+    return (
+        "WITH ev AS MATERIALIZED (SELECT event_id, user_id, event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),\n"
+        "ce AS MATERIALIZED (SELECT src, dst, t FROM (\n"
+        "  SELECT lag(user_id) OVER (PARTITION BY event_type\n"
+        "           ORDER BY ts_us, event_id) AS src,\n"
+        "         user_id AS dst, ts_us AS t FROM ev)\n"
+        "  WHERE src IS NOT NULL AND src <> dst),\n"
+        "ic_g AS MATERIALIZED (SELECT lo, hi,\n"
+        "    CAST(t - prev AS BIGINT) AS gap FROM (\n"
+        "  SELECT least(src, dst) AS lo, greatest(src, dst) AS hi, t,\n"
+        "    lag(t) OVER (PARTITION BY least(src, dst), greatest(src, dst)\n"
+        "                 ORDER BY t) AS prev\n"
+        "  FROM ce) WHERE prev IS NOT NULL)\n"
+        "SELECT CAST(length(bin(gap)) AS BIGINT) AS bucket,\n"
+        "  CAST(count(*) AS BIGINT) AS n_gaps,\n"
+        "  CAST(count(DISTINCT (lo, hi)) AS BIGINT) AS n_pairs\n"
+        "FROM ic_g GROUP BY 1"
+    )

@@ -247,6 +247,9 @@ GUARDED = [
     # degree_mixing: distinct-pair projection + two degree equi-joins
     # + one log^2-sized aggregate — strictly edge-linear
     "degree_mixing",
+    # intercontact_hist: one pair-partitioned window + one log-sized
+    # aggregate — edge-linear, no global window
+    "intercontact_hist",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the

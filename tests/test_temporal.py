@@ -167,3 +167,28 @@ def test_triadic_closure_rate_bruteforce(spark):
     # midpoint (0+1)//2 = 0 -> everything is new, nothing old
     r2 = triadic_closure_rate(e2).collect()[0]
     assert r2["n_closing"] == 0
+
+
+def test_intercontact_histogram_bruteforce(spark):
+    from collections import Counter
+
+    from graphlite_spark.operators.temporal import intercontact_histogram
+
+    # pair 1-2 meets at 0, 1, 5 (gaps 1, 4); pair 3-4 at 10, 10
+    # (gap 0 -> bucket 1); pair 5-6 meets once (no gap); self-loop
+    # dropped; direction folds (2,1) into (1,2)
+    rows = [
+        (1, 2, 0), (2, 1, 1), (1, 2, 5),
+        (3, 4, 10), (3, 4, 10),
+        (5, 6, 3), (7, 7, 0),
+    ]
+    e = spark.createDataFrame(rows, "src long, dst long, t long")
+    got = {r["bucket"]: (r["n_gaps"], r["n_pairs"])
+           for r in intercontact_histogram(e).collect()}
+    gaps = {(1, 2): [1, 4], (3, 4): [0]}
+    want: dict[int, list] = {}
+    for pair, gs in gaps.items():
+        for g in gs:
+            want.setdefault(len(bin(g)) - 2 if g else 1, []).append(pair)
+    expect = {b: (len(ps), len(set(ps))) for b, ps in want.items()}
+    assert got == expect, (got, expect)
