@@ -2432,6 +2432,14 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+def q_corpus_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Herfindahl concentration of token mass across sources: 1/HHI =
+    # the effective number of sources actually feeding the mixture
+    from graphlite_spark.operators.profiling import corpus_concentration
+
+    return corpus_concentration(load_table(spark, sf_dir, "documents"))
+
+
 def q_intercontact_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inter-contact time log-histogram per repeating pair: the
     # burstiness evidence behind temporal reachability (heavy-tailed
@@ -2971,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hygiene": q_graph_hygiene,
         "degree_mixing": q_degree_mixing,
         "intercontact_hist": q_intercontact_hist,
+        "corpus_concentration": q_corpus_concentration,
     }
 
 
@@ -3108,6 +3117,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hygiene": O.graph_hygiene_sql(),
         "degree_mixing": O.degree_mixing_matrix_sql(),
         "intercontact_hist": O.intercontact_histogram_sql(),
+        "corpus_concentration": O.corpus_concentration_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -569,3 +569,58 @@ def lexicon_flag_rate(
             ).cast("long").alias("flag_micros"),
         )
     )
+
+
+def corpus_concentration(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row (n_sources, total_tokens, hhi_micros, top_share_micros) —
+    the Herfindahl–Hirschman concentration of the corpus's token mass
+    across sources: HHI = Σ_s share_s².  1/HHI is the effective number
+    of sources actually feeding the mixture — a corpus that LOOKS
+    20-source but has HHI 0.5 is really a 2-source corpus, and every
+    diversity argument downstream (dedup risk, topic balance, mixture
+    weights) inherits that.  ``top_share`` is the single-source
+    dominance bound.
+
+    Exactness: token counts and Σn² are exact BIGINTs; the two shares
+    are exact subtract-the-remainder micro ratios.  At >>10^9 total
+    tokens T² approaches 2^63 — lift the Σn²/T² ratio to DECIMAL(38,0)
+    there (stated, same note as the TF-IDF norm sums).
+
+    Scale shape: per-doc token counting is row-local codegen; ONE
+    map-side-combined groupBy on the source key; the final aggregate is
+    source-count-sized — join-free end to end."""
+    from graphlite_spark.functions.text import tokens_expr
+
+    per = (
+        docs.select(
+            F.col(group_col),
+            F.size(tokens_expr(text_col)).cast("long").alias("nt"),
+        )
+        .groupBy(group_col)
+        .agg(F.sum("nt").cast("long").alias("n"))
+    )
+    return (
+        per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(F.col("n") * F.col("n")).cast("long").alias("ssq"),
+            F.max("n").cast("long").alias("top_n"),
+        )
+        .select(
+            "n_sources",
+            "total_tokens",
+            F.expr(
+                "(1000000 * ssq - (1000000 * ssq)"
+                " % (total_tokens * total_tokens))"
+                " div (total_tokens * total_tokens)"
+            ).cast("long").alias("hhi_micros"),
+            F.expr(
+                "(1000000 * top_n - (1000000 * top_n) % total_tokens)"
+                " div total_tokens"
+            ).cast("long").alias("top_share_micros"),
+        )
+    )

@@ -7585,3 +7585,26 @@ def intercontact_histogram_sql() -> str:
         "  CAST(count(DISTINCT (lo, hi)) AS BIGINT) AS n_pairs\n"
         "FROM ic_g GROUP BY 1"
     )
+
+
+def corpus_concentration_sql(group_col: str = "source") -> str:
+    """Mirror of operators.profiling.corpus_concentration: per-source
+    token mass, exact Σn² and max, the two exact-ratio micro shares."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "cc_p AS MATERIALIZED (\n"
+        f"  SELECT d.{group_col}, CAST(SUM(len(t.toks)) AS BIGINT) AS n\n"
+        "  FROM documents d JOIN toks_t t ON t.doc_id = d.doc_id\n"
+        f"  GROUP BY d.{group_col}),\n"
+        "cc_a AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,\n"
+        "  CAST(SUM(n) AS BIGINT) AS total_tokens,\n"
+        "  CAST(SUM(n * n) AS BIGINT) AS ssq,\n"
+        "  CAST(MAX(n) AS BIGINT) AS top_n FROM cc_p)\n"
+        "SELECT n_sources, total_tokens,\n"
+        "  CAST((1000000 * ssq - (1000000 * ssq)"
+        " % (total_tokens * total_tokens))\n"
+        "    // (total_tokens * total_tokens) AS BIGINT) AS hhi_micros,\n"
+        "  CAST((1000000 * top_n - (1000000 * top_n) % total_tokens)"
+        " // total_tokens AS BIGINT) AS top_share_micros\n"
+        "FROM cc_a"
+    )

@@ -291,3 +291,23 @@ def test_lexicon_flag_rate_bruteforce(spark):
     assert got["b"] == (
         3, 2, 4, (1_000_000 * 2 - (1_000_000 * 2) % 3) // 3,
     )
+
+
+def test_corpus_concentration_bruteforce(spark):
+    from graphlite_spark.operators.profiling import corpus_concentration
+
+    rows = [
+        (0, "a b c d", "s1"), (1, "e f", "s1"),      # s1: 6 tokens
+        (2, "g h i", "s2"),                          # s2: 3 tokens
+        (3, "j", "s3"),                              # s3: 1 token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = corpus_concentration(docs).collect()[0]
+    t = 10
+    ssq = 36 + 9 + 1
+    assert r["n_sources"] == 3
+    assert r["total_tokens"] == t
+    assert r["hhi_micros"] == (
+        1_000_000 * ssq - (1_000_000 * ssq) % (t * t)
+    ) // (t * t)
+    assert r["top_share_micros"] == 600_000

@@ -250,6 +250,9 @@ GUARDED = [
     # intercontact_hist: one pair-partitioned window + one log-sized
     # aggregate — edge-linear, no global window
     "intercontact_hist",
+    # corpus_concentration: row-local token counts + two nested
+    # aggregates — join-free
+    "corpus_concentration",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
