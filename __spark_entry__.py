@@ -2432,6 +2432,20 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet/RefinedWeb-style template screen: per-source share of each
+    # doc's distinct 3-gram shingles that are source-boilerplate —
+    # catches template-dominated sources that near-dup dedup misses.
+    # 80 permille here (the synthetic corpus is template-light: max
+    # shingle df is ~3 of 25 docs/source at sf0.01); production default
+    # stays 200
+    from graphlite_spark.operators.dedup import boilerplate_coverage
+
+    return boilerplate_coverage(
+        load_table(spark, sf_dir, "documents"), permille=80
+    )
+
+
 def q_corpus_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Herfindahl concentration of token mass across sources: 1/HHI =
     # the effective number of sources actually feeding the mixture
@@ -2980,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_mixing": q_degree_mixing,
         "intercontact_hist": q_intercontact_hist,
         "corpus_concentration": q_corpus_concentration,
+        "boilerplate_coverage": q_boilerplate_coverage,
     }
 
 
@@ -3118,6 +3133,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_mixing": O.degree_mixing_matrix_sql(),
         "intercontact_hist": O.intercontact_histogram_sql(),
         "corpus_concentration": O.corpus_concentration_sql(),
+        "boilerplate_coverage": O.boilerplate_coverage_sql(80),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

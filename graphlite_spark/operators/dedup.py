@@ -1103,3 +1103,95 @@ def doc_novelty(
             " div n_grams"
         ).cast("long").alias("novelty_micros"),
     )
+
+
+def boilerplate_coverage(
+    docs: DataFrame,
+    permille: int = 200,
+    n: int = 3,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, n_boiler_shingles, mean_coverage_micros) —
+    per-source boilerplate detection (the CCNet/RefinedWeb template
+    screen): a word n-gram shingle is BOILERPLATE within a source when
+    it appears in ≥ ``permille``‰ of that source's documents (nav bars,
+    license footers, prompt templates); each document's coverage is the
+    fraction of its distinct shingles that are boilerplate, and the
+    per-source mean coverage is the curation signal (high mean = the
+    source is template-dominated; dedup won't catch it because the
+    SURROUNDING text differs).
+
+    Exactness: the threshold is the pure-integer predicate
+    ``df · 1000 ≥ n_docs · permille`` (no float cut boundary); coverage
+    and its mean are exact subtract-the-remainder micro ratios.
+    Documents with no shingles (< n tokens) count as coverage 0.
+
+    Scale shape: distinct shingles per doc (row-local), ONE (source,
+    shingle) map-side-combined df aggregate, the source-level doc count
+    broadcast into the threshold filter, one left-semi join to flag
+    each doc's boilerplate shingles — no self-join, no pair
+    materialization; strictly shingle-stream-linear."""
+    sh = docs.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("d"),
+        F.explode(
+            F.array_distinct(shingles_expr(tokens_expr(text_col), n))
+        ).alias("shingle"),
+    )
+    nd = docs.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    df_ = sh.groupBy("g", "shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    boiler = df_.join(F.broadcast(nd), "g").where(
+        F.col("df") * 1000 >= F.col("n_docs") * permille
+    ).select("g", "shingle")
+    per_tot = sh.groupBy("g", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    per_boil = (
+        sh.join(boiler, ["g", "shingle"], "left_semi")
+        .groupBy("g", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    )
+    per_doc = (
+        docs.select(F.col(group_col).alias("g"), F.col(id_col).alias("d"))
+        .join(per_tot, ["g", "d"], "left")
+        .join(per_boil, ["g", "d"], "left")
+        .select(
+            "g",
+            F.coalesce("n_sh", F.lit(0)).alias("n_sh"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .select(
+            "g",
+            F.when(
+                F.col("n_sh") > 0,
+                F.expr("(1000000 * n_b - (1000000 * n_b) % n_sh) div n_sh"),
+            ).otherwise(F.lit(0)).cast("long").alias("cov"),
+        )
+    )
+    nb = boiler.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_boiler_shingles")
+    )
+    out = (
+        per_doc.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("cov").cast("long").alias("s"),
+        )
+        .join(nb, "g", "left")
+    )
+    return out.select(
+        F.col("g").alias(group_col),
+        "n_docs",
+        F.coalesce("n_boiler_shingles", F.lit(0))
+        .cast("long")
+        .alias("n_boiler_shingles"),
+        F.expr("(s - s % n_docs) div n_docs")
+        .cast("long")
+        .alias("mean_coverage_micros"),
+    )

@@ -7608,3 +7608,53 @@ def corpus_concentration_sql(group_col: str = "source") -> str:
         " // total_tokens AS BIGINT) AS top_share_micros\n"
         "FROM cc_a"
     )
+
+
+def boilerplate_coverage_sql(permille: int = 200) -> str:
+    """Mirror of operators.dedup.boilerplate_coverage: per-source
+    distinct 3-gram shingles, the integer df·1000 ≥ n_docs·permille
+    threshold, exact per-doc coverage micros (shingle-less docs = 0),
+    exact per-source mean."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "bp_sh AS MATERIALIZED (\n"
+        "  SELECT d.source AS g, t.doc_id AS d, unnest(list_distinct(\n"
+        "    CASE WHEN len(t.toks) >= 3 THEN\n"
+        "      list_transform(range(len(t.toks) - 2),\n"
+        "                     i -> array_to_string(t.toks[i + 1 : i + 3],"
+        " ' '))\n"
+        "    ELSE CAST([] AS VARCHAR[]) END)) AS shingle\n"
+        "  FROM toks_t t JOIN documents d ON d.doc_id = t.doc_id),\n"
+        "bp_nd AS MATERIALIZED (SELECT source AS g,\n"
+        "  CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),\n"
+        "bp_df AS MATERIALIZED (SELECT g, shingle,\n"
+        "  CAST(count(*) AS BIGINT) AS df FROM bp_sh GROUP BY 1, 2),\n"
+        "bp_b AS MATERIALIZED (SELECT f.g, f.shingle FROM bp_df f\n"
+        f"  JOIN bp_nd n ON n.g = f.g"
+        f" WHERE f.df * 1000 >= n.n_docs * {permille}),\n"
+        "bp_tot AS MATERIALIZED (SELECT g, d,\n"
+        "  CAST(count(*) AS BIGINT) AS n_sh FROM bp_sh GROUP BY 1, 2),\n"
+        "bp_bo AS MATERIALIZED (SELECT s.g, s.d,\n"
+        "  CAST(count(*) AS BIGINT) AS n_b FROM bp_sh s\n"
+        "  WHERE EXISTS (SELECT 1 FROM bp_b b\n"
+        "    WHERE b.g = s.g AND b.shingle = s.shingle)\n"
+        "  GROUP BY 1, 2),\n"
+        "bp_per AS MATERIALIZED (\n"
+        "  SELECT dd.source AS g,\n"
+        "    CASE WHEN COALESCE(t.n_sh, 0) > 0 THEN\n"
+        "      (1000000 * COALESCE(b.n_b, 0)\n"
+        "       - (1000000 * COALESCE(b.n_b, 0)) % t.n_sh) // t.n_sh\n"
+        "    ELSE 0 END AS cov\n"
+        "  FROM documents dd\n"
+        "  LEFT JOIN bp_tot t ON t.g = dd.source AND t.d = dd.doc_id\n"
+        "  LEFT JOIN bp_bo b ON b.g = dd.source AND b.d = dd.doc_id),\n"
+        "bp_nb AS (SELECT g, CAST(count(*) AS BIGINT) AS n_boiler\n"
+        "  FROM bp_b GROUP BY g),\n"
+        "bp_out AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "  CAST(SUM(cov) AS BIGINT) AS s FROM bp_per GROUP BY g)\n"
+        "SELECT o.g AS source, o.n_docs,\n"
+        "  CAST(COALESCE(nb.n_boiler, 0) AS BIGINT) AS n_boiler_shingles,\n"
+        "  CAST((o.s - o.s % o.n_docs) // o.n_docs AS BIGINT)"
+        " AS mean_coverage_micros\n"
+        "FROM bp_out o LEFT JOIN bp_nb nb ON nb.g = o.g"
+    )

@@ -253,6 +253,9 @@ GUARDED = [
     # corpus_concentration: row-local token counts + two nested
     # aggregates — join-free
     "corpus_concentration",
+    # boilerplate_coverage: shingle-stream-linear — one (source,
+    # shingle) df aggregate, broadcast threshold, left-semi flag join
+    "boilerplate_coverage",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the

@@ -75,3 +75,39 @@ def test_semdedup_replay_and_planted_dups(spark):
     # something survives in every cluster
     for cl in {c for (c, _, _) in got.values()}:
         assert any(c == cl and kp == 1 for (c, _, kp) in got.values())
+
+
+def test_boilerplate_coverage_bruteforce(spark):
+    from graphlite_spark.operators.dedup import boilerplate_coverage
+
+    # source A (4 docs): "x y z" appears in 3/4 docs (75% >= 50%o cut of
+    # 200 permille=20%); doc3 has < 3 tokens -> coverage 0
+    rows = [
+        (0, "x y z a b", "A"),      # shingles: xyz, yza, zab
+        (1, "x y z c", "A"),        # xyz, yzc
+        (2, "x y z", "A"),          # xyz
+        (3, "q r", "A"),            # no shingles
+        (4, "u v w t", "B"),        # uvw, vwt (each df=1 of 1 doc=100%)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: (r["n_docs"], r["n_boiler_shingles"],
+                         r["mean_coverage_micros"])
+           for r in boilerplate_coverage(docs, permille=200).collect()}
+
+    def cov(nb, ns):
+        return (1_000_000 * nb - (1_000_000 * nb) % ns) // ns
+
+    # A: boiler shingles = those with df*1000 >= 4*200 (df >= 0.8 -> df>=1)
+    # ... every shingle passes at 20% of 4 docs; distinct types are
+    # {xyz, yza, zab, yzc} = 4
+    a_covs = [cov(3, 3), cov(2, 2), cov(1, 1), 0]
+    sa = sum(a_covs)
+    assert got["A"] == (4, 4, (sa - sa % 4) // 4)
+    assert got["B"] == (1, 2, 1_000_000)
+
+    # stricter cut: 800 permille -> df >= 3.2 -> only xyz (df 3) fails;
+    # nothing is boilerplate in A
+    got2 = {r["source"]: (r["n_boiler_shingles"], r["mean_coverage_micros"])
+            for r in boilerplate_coverage(docs, permille=800).collect()}
+    assert got2["A"] == (0, 0)
+    assert got2["B"] == (2, 1_000_000)
