@@ -2432,6 +2432,37 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+ROBUSTNESS_KS = [5, 10, 20]
+
+
+def q_robustness_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full Albert-Jeong-Barabasi robustness picture in one table:
+    # giant-component survival under targeted hub attack vs random
+    # failure at increasing removal budgets — the attack/failure GAP
+    # per k is the hub-dependence curve (scale-free graphs shatter
+    # under attack while barely noticing failures)
+    from graphlite_spark.algos.components import (
+        attack_tolerance,
+        random_failure_tolerance,
+    )
+
+    _, v, e = graph_tables(spark, sf_dir)
+    parts = []
+    for k in ROBUSTNESS_KS:
+        parts.append(
+            attack_tolerance(v, e, remove_k=k)
+            .select(F.lit("attack").alias("mode"), "*")
+        )
+        parts.append(
+            random_failure_tolerance(v, e, remove_k=k)
+            .select(F.lit("failure").alias("mode"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet/RefinedWeb-style template screen: per-source share of each
     # doc's distinct 3-gram shingles that are source-boilerplate —
@@ -2995,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intercontact_hist": q_intercontact_hist,
         "corpus_concentration": q_corpus_concentration,
         "boilerplate_coverage": q_boilerplate_coverage,
+        "robustness_curve": q_robustness_curve,
     }
 
 
@@ -3134,6 +3166,7 @@ def oracle_sql() -> dict[str, str]:
         "intercontact_hist": O.intercontact_histogram_sql(),
         "corpus_concentration": O.corpus_concentration_sql(),
         "boilerplate_coverage": O.boilerplate_coverage_sql(80),
+        "robustness_curve": O.robustness_curve_sql(ROBUSTNESS_KS),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -7658,3 +7658,24 @@ def boilerplate_coverage_sql(permille: int = 200) -> str:
         " AS mean_coverage_micros\n"
         "FROM bp_out o LEFT JOIN bp_nb nb ON nb.g = o.g"
     )
+
+
+def robustness_curve_sql(ks: list[int]) -> str:
+    """Mirror of the robustness-curve entry query: the attack and
+    random-failure tolerance oracles at each removal budget, stacked
+    with a mode column (each arm is the already-proven standalone
+    query, embedded as a subquery — DuckDB permits a full WITH
+    RECURSIVE inside the parentheses)."""
+    parts = []
+    for k in ks:
+        parts.append(
+            f"SELECT 'attack' AS mode, a{k}.* FROM (\n"
+            + attack_tolerance_sql(k)
+            + f"\n) a{k}"
+        )
+        parts.append(
+            f"SELECT 'failure' AS mode, f{k}.* FROM (\n"
+            + random_failure_tolerance_sql(k)
+            + f"\n) f{k}"
+        )
+    return "\nUNION ALL\n".join(parts)
