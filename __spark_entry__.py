@@ -2463,6 +2463,35 @@ def q_robustness_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_contact_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the robustness curve on the USER contact graph (the transcript
+    # graph is chain-shaped, so its curve is flat by construction;
+    # the contact graph has real hubs): attack vs failure at k=5 and
+    # k=10 over ~N/100 users — here the attack/failure gap is visible
+    from graphlite_spark.algos.components import (
+        attack_tolerance,
+        random_failure_tolerance,
+    )
+
+    ev = _events_us(spark, sf_dir)
+    v = ev.select(F.col("user_id").alias("id")).distinct()
+    e = contact_edges(ev).select("src", "dst")
+    parts = []
+    for k in (5, 10):
+        parts.append(
+            attack_tolerance(v, e, remove_k=k)
+            .select(F.lit("attack").alias("mode"), "*")
+        )
+        parts.append(
+            random_failure_tolerance(v, e, remove_k=k)
+            .select(F.lit("failure").alias("mode"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet/RefinedWeb-style template screen: per-source share of each
     # doc's distinct 3-gram shingles that are source-boilerplate —
@@ -3027,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_concentration": q_corpus_concentration,
         "boilerplate_coverage": q_boilerplate_coverage,
         "robustness_curve": q_robustness_curve,
+        "contact_robustness": q_contact_robustness,
     }
 
 
@@ -3167,6 +3197,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_concentration": O.corpus_concentration_sql(),
         "boilerplate_coverage": O.boilerplate_coverage_sql(80),
         "robustness_curve": O.robustness_curve_sql(ROBUSTNESS_KS),
+        "contact_robustness": O.contact_robustness_sql([5, 10]),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

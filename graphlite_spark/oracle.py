@@ -7679,3 +7679,75 @@ def robustness_curve_sql(ks: list[int]) -> str:
             + f"\n) f{k}"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def _contact_tolerance_sql(mode: str, remove_k: int) -> str:
+    """One arm of the contact-graph robustness curve: attack (top-k
+    undirected degree) or failure (hash48 rank) removal over the USER
+    contact graph, then the recursive min-label CC giant.  Same
+    RECURSIVE-safe discipline as attack_tolerance_sql: every counted
+    set is built with explicit SELECT DISTINCT (never UNION-dedup)."""
+    if mode == "attack":
+        pick = (
+            "ct_pick AS (SELECT id FROM (\n"
+            "  SELECT src AS id, row_number() OVER (ORDER BY d DESC,"
+            " src ASC) AS rn FROM (\n"
+            "    SELECT src, count(*) AS d FROM\n"
+            "      (SELECT DISTINCT src, dst FROM ct_und) GROUP BY src))\n"
+            f"  WHERE rn <= {remove_k}),\n"
+        )
+    else:
+        h = _h48("CAST(id AS VARCHAR)")
+        pick = (
+            "ct_pick AS (SELECT id FROM (\n"
+            f"  SELECT id, row_number() OVER (ORDER BY {h} ASC, id ASC)"
+            " AS rn FROM ct_v)\n"
+            f"  WHERE rn <= {remove_k}),\n"
+        )
+    return (
+        "WITH RECURSIVE ev AS MATERIALIZED (SELECT event_id, user_id,"
+        " event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),\n"
+        "ce AS MATERIALIZED (SELECT src, dst FROM (\n"
+        "  SELECT lag(user_id) OVER (PARTITION BY event_type\n"
+        "           ORDER BY ts_us, event_id) AS src, user_id AS dst\n"
+        "  FROM ev) WHERE src IS NOT NULL AND src <> dst),\n"
+        "ct_v AS MATERIALIZED (SELECT DISTINCT user_id AS id FROM ev),\n"
+        "ct_und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (\n"
+        "  SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce)),\n"
+        + pick
+        + "ct_vf AS MATERIALIZED (SELECT id FROM ct_v\n"
+        "  WHERE id NOT IN (SELECT id FROM ct_pick)),\n"
+        "ct_ef AS MATERIALIZED (SELECT src, dst FROM ct_und\n"
+        "  WHERE src NOT IN (SELECT id FROM ct_pick)\n"
+        "    AND dst NOT IN (SELECT id FROM ct_pick)),\n"
+        "ct_reach(id, r) AS (\n"
+        "  SELECT id, id FROM ct_vf\n"
+        "  UNION\n"
+        "  SELECT u.dst, ct_reach.r FROM ct_reach"
+        " JOIN ct_ef u ON u.src = ct_reach.id),\n"
+        "ct_comp AS (SELECT id, min(r) AS component"
+        " FROM ct_reach GROUP BY id),\n"
+        "ct_g AS (SELECT CAST(COALESCE(max(cnt), 0) AS BIGINT) AS giant\n"
+        "  FROM (SELECT count(*) AS cnt FROM ct_comp GROUP BY component)),\n"
+        "ct_nr AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM ct_pick),\n"
+        "ct_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ct_v)\n"
+        f"SELECT '{mode}' AS mode, nr AS removed, n AS n_vertices,\n"
+        "  giant AS giant_size,\n"
+        "  CAST((1000000 * giant - (1000000 * giant) % n) // n"
+        " AS BIGINT) AS giant_micros\n"
+        "FROM ct_g, ct_n, ct_nr"
+    )
+
+
+def contact_robustness_sql(ks: list[int]) -> str:
+    """Mirror of the contact-graph robustness entry query: both removal
+    modes at each budget, stacked."""
+    parts = []
+    for k in ks:
+        for mode in ("attack", "failure"):
+            parts.append(
+                f"SELECT * FROM (\n{_contact_tolerance_sql(mode, k)}\n)"
+                f" c_{mode}_{k}"
+            )
+    return "\nUNION ALL\n".join(parts)
