@@ -2432,6 +2432,19 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+def q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # who-mirrors-whom: distinct duplicate digests shared per unordered
+    # source pair — syndication/double-ingest detection; per-digest
+    # fan-out bounded by the source roster, never the duplicate count.
+    # 8-token LEAD digests here (this corpus has no cross-source
+    # full-text dups — the shared-opening variant carries the signal)
+    from graphlite_spark.operators.dedup import cross_source_duplication
+
+    return cross_source_duplication(
+        load_table(spark, sf_dir, "documents"), prefix_tokens=8
+    )
+
+
 ROBUSTNESS_KS = [5, 10, 20]
 
 
@@ -3057,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_coverage": q_boilerplate_coverage,
         "robustness_curve": q_robustness_curve,
         "contact_robustness": q_contact_robustness,
+        "cross_source_duplication": q_cross_source_duplication,
     }
 
 
@@ -3198,6 +3212,9 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_coverage": O.boilerplate_coverage_sql(80),
         "robustness_curve": O.robustness_curve_sql(ROBUSTNESS_KS),
         "contact_robustness": O.contact_robustness_sql([5, 10]),
+        "cross_source_duplication": O.cross_source_duplication_sql(
+            prefix_tokens=8
+        ),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -1195,3 +1195,55 @@ def boilerplate_coverage(
         .cast("long")
         .alias("mean_coverage_micros"),
     )
+
+
+def cross_source_duplication(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_tokens: int | None = None,
+) -> DataFrame:
+    """(source_a, source_b, n_shared_digests) — the cross-source
+    duplication matrix: for every unordered source pair, how many
+    DISTINCT exact-duplicate text digests appear in both.  The
+    who-mirrors-whom readout: a corpus-wide dedup rate says duplication
+    exists; this says WHERE it flows (syndication, scraping the same
+    upstream, a pipeline double-ingest) — which decides whether you
+    drop a source or just dedup it.
+
+    Exactness: md5 digests and distinct counts — pure set algebra.
+
+    Scale shape: one distinct (digest, source) projection, then an
+    equi-join on the digest with ``source_a < source_b`` — per-digest
+    fan-out is C(s,2) where s is the number of DISTINCT SOURCES
+    carrying that digest (bounded by the source roster, never by the
+    duplicate count: a digest duplicated 10⁶ times within one source
+    is ONE row here).  With a web-scale domain-level roster, cap s
+    first (the df-cap discipline); at a curated source count this is
+    exact as-is.
+
+    ``prefix_tokens``: digest only the first k tokens instead of the
+    whole text — the shared-LEAD variant (syndicated openings, prompt
+    templates) for corpora whose bodies diverge after the first
+    paragraph."""
+    if prefix_tokens is None:
+        key = F.md5(F.col(text_col))
+    else:
+        key = F.md5(
+            F.concat_ws(
+                " ", F.slice(tokens_expr(text_col), 1, prefix_tokens)
+            )
+        )
+    d = docs.select(
+        key.alias("digest"),
+        F.col(group_col).alias("s"),
+    ).distinct()
+    a = d.select("digest", F.col("s").alias("source_a"))
+    b = d.select("digest", F.col("s").alias("source_b"))
+    return (
+        a.join(b, "digest")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count_distinct("digest").cast("long").alias("n_shared_digests"))
+    )

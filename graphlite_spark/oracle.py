@@ -7751,3 +7751,33 @@ def contact_robustness_sql(ks: list[int]) -> str:
                 f" c_{mode}_{k}"
             )
     return "\nUNION ALL\n".join(parts)
+
+
+def cross_source_duplication_sql(
+    group_col: str = "source",
+    prefix_tokens: int | None = None,
+) -> str:
+    """Mirror of operators.dedup.cross_source_duplication: distinct
+    (digest, source), digest equi-join with the a<b order, distinct
+    digest count per source pair; ``prefix_tokens`` digests only the
+    first-k-token lead (space-rejoined, identical to Spark's concat_ws
+    over the token slice)."""
+    if prefix_tokens is None:
+        key, src, pre = "md5(text)", "documents", ""
+    else:
+        key = f"md5(array_to_string(toks[1:{prefix_tokens}], ' '))"
+        src = "toks_s"
+        pre = (
+            "toks_s AS MATERIALIZED (SELECT doc_id, source,"
+            " list_filter(string_split_regex(lower(text), '\\s+'),"
+            " x -> x <> '') AS toks FROM documents),\n"
+        )
+    return (
+        f"WITH {pre}xd AS MATERIALIZED (\n"
+        f"  SELECT DISTINCT {key} AS digest, {group_col} AS s\n"
+        f"  FROM {src})\n"
+        "SELECT a.s AS source_a, b.s AS source_b,\n"
+        "  CAST(count(DISTINCT a.digest) AS BIGINT) AS n_shared_digests\n"
+        "FROM xd a JOIN xd b ON b.digest = a.digest AND a.s < b.s\n"
+        "GROUP BY 1, 2"
+    )

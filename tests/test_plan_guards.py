@@ -256,6 +256,9 @@ GUARDED = [
     # boilerplate_coverage: shingle-stream-linear — one (source,
     # shingle) df aggregate, broadcast threshold, left-semi flag join
     "boilerplate_coverage",
+    # cross_source_duplication: distinct (digest, source) projection +
+    # digest equi-join (fan-out bounded by the source roster)
+    "cross_source_duplication",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the

@@ -111,3 +111,36 @@ def test_boilerplate_coverage_bruteforce(spark):
             for r in boilerplate_coverage(docs, permille=800).collect()}
     assert got2["A"] == (0, 0)
     assert got2["B"] == (2, 1_000_000)
+
+
+def test_cross_source_duplication_bruteforce(spark):
+    from graphlite_spark.operators.dedup import cross_source_duplication
+
+    rows = [
+        (0, "same text", "A"), (1, "same text", "B"),   # shared digest
+        (2, "same text", "B"),                           # dup WITHIN B: no extra pair
+        (3, "other", "A"), (4, "other", "C"),            # A-C share one
+        (5, "only a", "A"), (6, "same text", "C"),       # A-C and B-C via "same text"
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r["n_shared_digests"]
+           for r in cross_source_duplication(docs).collect()}
+    assert got == {("A", "B"): 1, ("A", "C"): 2, ("B", "C"): 1}, got
+
+
+def test_cross_source_duplication_prefix_mode(spark):
+    from graphlite_spark.operators.dedup import cross_source_duplication
+
+    # full texts differ, but the first-2-token leads collide across
+    # sources ("breaking news ..." syndicated opening)
+    rows = [
+        (0, "breaking news body one", "A"),
+        (1, "breaking news body two", "B"),
+        (2, "totally different text", "B"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    full = cross_source_duplication(docs).collect()
+    assert full == []  # no full-text dup anywhere
+    pre = {(r["source_a"], r["source_b"]): r["n_shared_digests"]
+           for r in cross_source_duplication(docs, prefix_tokens=2).collect()}
+    assert pre == {("A", "B"): 1}
