@@ -2432,6 +2432,14 @@ def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attack_tolerance(v, e, remove_k=10)
 
 
+def q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-3 TF-IDF keywords per doc (deterministic ties): the cheap
+    # doc-labeling step; row_number <= k compiles to WindowGroupLimit
+    from graphlite_spark.operators.tfidf import top_terms_per_doc
+
+    return top_terms_per_doc(load_table(spark, sf_dir, "documents"), k=3)
+
+
 def q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     # who-mirrors-whom: distinct duplicate digests shared per unordered
     # source pair — syndication/double-ingest detection; per-digest
@@ -3071,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robustness_curve": q_robustness_curve,
         "contact_robustness": q_contact_robustness,
         "cross_source_duplication": q_cross_source_duplication,
+        "top_terms_per_doc": q_top_terms_per_doc,
     }
 
 
@@ -3215,6 +3224,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_duplication": O.cross_source_duplication_sql(
             prefix_tokens=8
         ),
+        "top_terms_per_doc": O.top_terms_per_doc_sql(3),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

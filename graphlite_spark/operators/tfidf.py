@@ -241,3 +241,33 @@ def bm25_topk(
         .orderBy(F.col("score_micros").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def top_terms_per_doc(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """(doc_id, rank, term, tf, tfidf_micros) — the top-k TF-IDF
+    keywords of every document: the cheap doc-labeling / topic-tagging
+    step (faceting, routing, weak supervision) on top of the
+    integer-exact TF-IDF table.  Ties broken (score DESC, term ASC) —
+    fully deterministic.
+
+    Scale shape: rides :func:`tf_idf` (two grouped counts + one join),
+    then a PER-DOC window — Catalyst compiles the ``row_number ≤ k``
+    predicate into WindowGroupLimit (partial per-partition top-k BEFORE
+    the exchange), so no document's full term list is ever sorted in
+    one reducer.  Never a global window."""
+    w = tf_idf(docs, text_col, min_df)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf_micros").desc(), F.col("term").asc()
+    )
+    return (
+        w.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "tfidf_micros")
+    )

@@ -7781,3 +7781,29 @@ def cross_source_duplication_sql(
         "FROM xd a JOIN xd b ON b.digest = a.digest AND a.s < b.s\n"
         "GROUP BY 1, 2"
     )
+
+
+def top_terms_per_doc_sql(k: int = 3) -> str:
+    """Mirror of operators.tfidf.top_terms_per_doc: the tf_idf table
+    plus a per-doc row_number over (score DESC, term ASC)."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "tk AS MATERIALIZED (SELECT doc_id, unnest(toks) AS term"
+        " FROM toks_t),\n"
+        "tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tk"
+        " GROUP BY doc_id, term),\n"
+        "dfx AS MATERIALIZED (SELECT term, count(*) AS df FROM tf"
+        " GROUP BY term),\n"
+        "nn AS (SELECT count(*) AS n FROM documents),\n"
+        "tw AS MATERIALIZED (\n"
+        "  SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,\n"
+        "    CAST(t.tf * CAST(round(1000000.0 *\n"
+        "      ln((SELECT n FROM nn) * 1.0 / d.df)) AS BIGINT) AS BIGINT)\n"
+        "      AS tfidf_micros\n"
+        "  FROM tf t JOIN dfx d USING (term))\n"
+        "SELECT doc_id, rank, term, tf, tfidf_micros FROM (\n"
+        "  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id\n"
+        "    ORDER BY tfidf_micros DESC, term ASC) AS BIGINT) AS rank\n"
+        "  FROM tw)\n"
+        f"WHERE rank <= {k}"
+    )

@@ -343,3 +343,31 @@ def test_bm25_topk_bruteforce(spark):
     # the all-"bird" doc never matches; the two-term doc 2 outranks the
     # saturating single-term docs (BM25's tf saturation doing its job)
     assert got[0][0] == 2 and all(d != 3 for d, _, _ in got)
+
+
+def test_top_terms_per_doc_bruteforce(spark):
+    import math
+
+    from graphlite_spark.operators.tfidf import top_terms_per_doc
+
+    rows = [(0, "red fox red"), (1, "fox dog"), (2, "red cat dog dog")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r["doc_id"], r["rank"], r["term"], r["tf"], r["tfidf_micros"])
+           for r in top_terms_per_doc(docs, k=2).collect()]
+    tf: dict[tuple[int, str], int] = {}
+    for did, text in rows:
+        for t in text.split():
+            tf[(did, t)] = tf.get((did, t), 0) + 1
+    df_: dict[str, int] = {}
+    for (_, t) in tf:
+        df_[t] = df_.get(t, 0) + 1
+    scored: dict[int, list] = {}
+    for (did, t), c in tf.items():
+        s = c * round(1_000_000.0 * math.log(3.0 / df_[t]))
+        scored.setdefault(did, []).append((t, c, s))
+    want = []
+    for did in sorted(scored):
+        ordered = sorted(scored[did], key=lambda x: (-x[2], x[0]))[:2]
+        for i, (t, c, s) in enumerate(ordered, 1):
+            want.append((did, i, t, c, s))
+    assert sorted(got) == sorted(want), (got, want)

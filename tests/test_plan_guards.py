@@ -259,6 +259,9 @@ GUARDED = [
     # cross_source_duplication: distinct (digest, source) projection +
     # digest equi-join (fan-out bounded by the source roster)
     "cross_source_duplication",
+    # top_terms_per_doc: tf_idf + per-doc WindowGroupLimit — never a
+    # global window
+    "top_terms_per_doc",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
