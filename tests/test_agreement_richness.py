@@ -395,3 +395,45 @@ def test_degree_mixing_matrix_bruteforce(spark):
     assert got == dict(want), (got, want)
     # hub degree 5 -> bucket 3; leaves bucket 1: the star's 5 edges
     assert got[(1, 3)] == 5
+
+
+def test_closing_wave_invariants_random_graph(spark):
+    """Cross-operator consistency on a random digraph: the closing-wave
+    readouts must agree with each other and with the older operators on
+    the same graph."""
+    from graphlite_spark.algos.stats import (
+        degree_mixing_matrix,
+        graph_hygiene,
+    )
+    from graphlite_spark.algos.triangles import (
+        clustering_by_degree,
+        triangle_count,
+    )
+    from tests.reference_sim import random_digraph
+
+    edges = random_digraph(60, 220, seed=11)
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in edges], "src long, dst long, weight double"
+    )
+    v = spark.range(60).select("id")
+
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+
+    # hygiene: arcs/self-loop/parallel bookkeeping is exact
+    h = graph_hygiene(v, e).collect()[0]
+    n_self = sum(1 for s, d in edges if s == d)
+    assert h["n_arcs"] == len(edges)
+    assert h["n_self_loops"] == n_self
+    assert h["n_parallel_arcs"] == len(edges) - len(set(edges))
+    assert h["n_dangling"] == 0  # ids all within range(60)
+
+    # mixing matrix covers every undirected edge exactly once
+    mm = degree_mixing_matrix(e).collect()
+    assert sum(r["n_edges"] for r in mm) == len(und)
+
+    # c(k) buckets partition the vertex set; triangle mass is consistent
+    cbd = clustering_by_degree(v, e).collect()
+    assert sum(r["n_vertices"] for r in cbd) == 60
+    tri_total = triangle_count(e, orient="degree").collect()[0][0]
+    # Σ per-vertex triangles = 3 · #triangles
+    assert sum(r["n_triangles"] for r in cbd) == 3 * tri_total
