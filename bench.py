@@ -588,6 +588,19 @@ def run_skew() -> dict:
         lambda s, e: k_truss(e, k=3, max_rounds=2).where(
             F.col("in_truss")).count())
 
+    # the closing-wave c(k) curve rides the same degree-oriented wedge
+    # machinery — measure it on the full Zipf graph (no naive tier: the
+    # per-vertex path has no unoriented variant in the library)
+    def ck_curve(s, e):
+        from graphlite_spark.algos.triangles import clustering_by_degree
+
+        verts = s.range(n_vertices).select(
+            F.col("id").cast("long").alias("id"))
+        return {int(r["bucket"]): int(r["n_triangles"])
+                for r in clustering_by_degree(verts, e).collect()}
+
+    one("clustering_by_degree_curve", ck_curve)
+
     # Pregel fixpoint: 5 fixed supersteps with and without hub handling
     from graphlite_spark.algos.pagerank import PageRank
     from graphlite_spark.operators.pregel import PregelEngine
