@@ -2453,6 +2453,15 @@ def q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Z-ORDER vs linear data layout, measured: per-bucket min/max span
+    # on both dims of the (user_id, day) plane — the file-skipping
+    # effectiveness number behind OPTIMIZE ZORDER / Iceberg sort orders
+    from graphlite_spark.operators.partitioning import zorder_layout
+
+    return zorder_layout(load_table(spark, sf_dir, "events"))
+
+
 ROBUSTNESS_KS = [5, 10, 20]
 
 
@@ -3080,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contact_robustness": q_contact_robustness,
         "cross_source_duplication": q_cross_source_duplication,
         "top_terms_per_doc": q_top_terms_per_doc,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -3225,6 +3235,7 @@ def oracle_sql() -> dict[str, str]:
             prefix_tokens=8
         ),
         "top_terms_per_doc": O.top_terms_per_doc_sql(3),
+        "zorder_layout": O.zorder_layout_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -7807,3 +7807,69 @@ def top_terms_per_doc_sql(k: int = 3) -> str:
         "  FROM tw)\n"
         f"WHERE rank <= {k}"
     )
+
+
+def zorder_layout_sql(
+    x_col: str = "user_id", bits: int = 8, files: int = 64
+) -> str:
+    """Mirror of operators.partitioning.zorder_layout: scale both dims
+    to 2**bits integer ranks (exact floor division), Morton-interleave
+    via a list_transform bit-fold, range-bucket the interleaved key
+    (and, for the linear baseline, the x rank alone) into ``files``
+    buckets, and roll each layout up to its per-dim mean/max bucket
+    span (mean as an exact millionths-of-domain integer ratio)."""
+    dom = 1 << bits
+    zstep = (dom * dom) // files
+    lstep = dom // files
+    fold = (
+        f"list_sum(list_transform(range(0, {bits}), i ->\n"
+        "      (((xs >> i) & 1) << (2 * i))\n"
+        "    + (((ys >> i) & 1) << (2 * i + 1))))"
+    )
+    return (
+        "WITH ev AS (\n"
+        f"  SELECT CAST({x_col} AS BIGINT) AS x,\n"
+        "         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        " AS y\n"
+        f"  FROM events WHERE {x_col} IS NOT NULL AND ts IS NOT NULL\n"
+        "), b AS (\n"
+        "  SELECT MIN(x) AS xmn, MAX(x) AS xmx,"
+        " MIN(y) AS ymn, MAX(y) AS ymx FROM ev\n"
+        "), s AS MATERIALIZED (\n"
+        "  SELECT\n"
+        f"    CASE WHEN xmx = xmn THEN 0"
+        f" ELSE ((x - xmn) * {dom - 1}) // (xmx - xmn) END AS xs,\n"
+        f"    CASE WHEN ymx = ymn THEN 0"
+        f" ELSE ((y - ymn) * {dom - 1}) // (ymx - ymn) END AS ys\n"
+        "  FROM ev, b\n"
+        "), k AS MATERIALIZED (\n"
+        f"  SELECT xs, ys, ({fold}) // {zstep} AS zb,"
+        f" xs // {lstep} AS lb FROM s\n"
+        "), zs AS (\n"
+        "  SELECT zb, MAX(xs) - MIN(xs) + 1 AS sx,"
+        " MAX(ys) - MIN(ys) + 1 AS sy FROM k GROUP BY zb\n"
+        "), ls AS (\n"
+        "  SELECT lb, MAX(xs) - MIN(xs) + 1 AS sx,"
+        " MAX(ys) - MIN(ys) + 1 AS sy FROM k GROUP BY lb\n"
+        "), zr AS MATERIALIZED (\n"
+        "  SELECT COUNT(*) AS nb, SUM(sx) AS tx, MAX(sx) AS mx,"
+        " SUM(sy) AS ty, MAX(sy) AS my FROM zs\n"
+        "), lr AS MATERIALIZED (\n"
+        "  SELECT COUNT(*) AS nb, SUM(sx) AS tx, MAX(sx) AS mx,"
+        " SUM(sy) AS ty, MAX(sy) AS my FROM ls\n"
+        ")\n"
+        f"SELECT 'zorder' AS layout, '{x_col}' AS dim,\n"
+        "  CAST(nb AS BIGINT) AS n_buckets,\n"
+        f"  CAST((1000000 * tx) // (nb * {dom}) AS BIGINT)"
+        " AS avg_span_micros,\n"
+        "  CAST(mx AS BIGINT) AS max_span FROM zr\n"
+        "UNION ALL SELECT 'zorder', 'day', CAST(nb AS BIGINT),\n"
+        f"  CAST((1000000 * ty) // (nb * {dom}) AS BIGINT),"
+        " CAST(my AS BIGINT) FROM zr\n"
+        f"UNION ALL SELECT 'linear', '{x_col}', CAST(nb AS BIGINT),\n"
+        f"  CAST((1000000 * tx) // (nb * {dom}) AS BIGINT),"
+        " CAST(mx AS BIGINT) FROM lr\n"
+        "UNION ALL SELECT 'linear', 'day', CAST(nb AS BIGINT),\n"
+        f"  CAST((1000000 * ty) // (nb * {dom}) AS BIGINT),"
+        " CAST(my AS BIGINT) FROM lr"
+    )

@@ -262,6 +262,7 @@ GUARDED = [
     # top_terms_per_doc: tf_idf + per-doc WindowGroupLimit — never a
     # global window
     "top_terms_per_doc",
+    "zorder_layout",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the

@@ -265,3 +265,107 @@ def test_simhash_hamming1_multiprobe(spark):
                 want[(a, b)] = h
     assert got == want
     assert any(h == 0 for h in got.values())  # identical-sig docs exist
+
+
+def test_zorder_layout_grid(spark):
+    """16x16 full grid, bits=4, files=16: every z bucket is a 4x4
+    Morton tile (span 4 on BOTH dims), every linear bucket one x value
+    (span 1 on x, 16 on day) — hand-computed exact micro ratios."""
+    import datetime
+
+    from graphlite_spark.operators.partitioning import zorder_layout
+
+    rows = [
+        (x, datetime.datetime(1970, 1, 1) + datetime.timedelta(days=d))
+        for x in range(16)
+        for d in range(16)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["layout"], r["dim"]): (
+            r["n_buckets"], r["avg_span_micros"], r["max_span"]
+        )
+        for r in zorder_layout(df, bits=4, files=16).collect()
+    }
+    assert got == {
+        ("zorder", "user_id"): (16, 250000, 4),
+        ("zorder", "day"): (16, 250000, 4),
+        ("linear", "user_id"): (16, 62500, 1),
+        ("linear", "day"): (16, 1000000, 16),
+    }
+
+
+def test_zorder_layout_brute(spark):
+    """Scattered deterministic points vs a python brute force of the
+    identical scale/interleave/bucket/rollup math."""
+    import datetime
+
+    from graphlite_spark.operators.partitioning import zorder_layout
+
+    bits, files, dom = 5, 8, 32
+    pts = [((i * 37) % 200, (i * 91) % 150) for i in range(300)]
+    rows = [
+        (x, datetime.datetime(1970, 1, 1) + datetime.timedelta(days=d))
+        for x, d in pts
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["layout"], r["dim"]): (
+            r["n_buckets"], r["avg_span_micros"], r["max_span"]
+        )
+        for r in zorder_layout(df, bits=bits, files=files).collect()
+    }
+
+    xmn, xmx = min(p[0] for p in pts), max(p[0] for p in pts)
+    ymn, ymx = min(p[1] for p in pts), max(p[1] for p in pts)
+    scaledpts = [
+        (
+            ((x - xmn) * (dom - 1)) // (xmx - xmn),
+            ((y - ymn) * (dom - 1)) // (ymx - ymn),
+        )
+        for x, y in pts
+    ]
+
+    def morton(xs, ys):
+        return sum(
+            (((xs >> i) & 1) << (2 * i)) + (((ys >> i) & 1) << (2 * i + 1))
+            for i in range(bits)
+        )
+
+    def rollup(bucket_of):
+        buckets: dict = {}
+        for xs, ys in scaledpts:
+            buckets.setdefault(bucket_of(xs, ys), []).append((xs, ys))
+        spans = [
+            (
+                max(x for x, _ in v) - min(x for x, _ in v) + 1,
+                max(y for _, y in v) - min(y for _, y in v) + 1,
+            )
+            for v in buckets.values()
+        ]
+        nb = len(spans)
+        return {
+            "user_id": (
+                nb,
+                (1000000 * sum(s[0] for s in spans)) // (nb * dom),
+                max(s[0] for s in spans),
+            ),
+            "day": (
+                nb,
+                (1000000 * sum(s[1] for s in spans)) // (nb * dom),
+                max(s[1] for s in spans),
+            ),
+        }
+
+    zstep, lstep = (dom * dom) // files, dom // files
+    want = {}
+    for dim, v in rollup(lambda xs, ys: morton(xs, ys) // zstep).items():
+        want[("zorder", dim)] = v
+    for dim, v in rollup(lambda xs, ys: xs // lstep).items():
+        want[("linear", dim)] = v
+    assert got == want
+    # the layout story itself: z-order must bound the day span strictly
+    # below the linear layout's (which can't cluster the second key)
+    assert (
+        got[("zorder", "day")][1] < got[("linear", "day")][1]
+    )
