@@ -2453,6 +2453,16 @@ def q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the third leg of the release-risk triad (k-anonymity size,
+    # l-diversity variety, t-closeness representativeness): per-QI-class
+    # variational distance to the global sensitive distribution,
+    # histogrammed in 0.1-wide buckets — the skewness-attack exposure
+    from graphlite_spark.operators.profiling import t_closeness
+
+    return t_closeness(load_table(spark, sf_dir, "events"))
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Z-ORDER vs linear data layout, measured: per-bucket min/max span
     # on both dims of the (user_id, day) plane — the file-skipping
@@ -3090,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_duplication": q_cross_source_duplication,
         "top_terms_per_doc": q_top_terms_per_doc,
         "zorder_layout": q_zorder_layout,
+        "t_closeness": q_t_closeness,
     }
 
 
@@ -3236,6 +3247,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "top_terms_per_doc": O.top_terms_per_doc_sql(3),
         "zorder_layout": O.zorder_layout_sql(),
+        "t_closeness": O.t_closeness_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

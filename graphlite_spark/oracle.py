@@ -7873,3 +7873,42 @@ def zorder_layout_sql(
         f"  CAST((1000000 * ty) // (nb * {dom}) AS BIGINT),"
         " CAST(my AS BIGINT) FROM lr"
     )
+
+
+def t_closeness_sql(bucket_micros: int = 100000) -> str:
+    """Mirror of operators.profiling.t_closeness over events with the
+    (event_type, day, hour) quasi-identifier and user_id sensitive:
+    identical micro-share quantization, present-value |p-q| sum plus
+    the S_q complement for absent values, div 2, histogram."""
+    return (
+        "WITH tc_rows AS MATERIALIZED (\n"
+        "  SELECT event_type AS et, CAST(ts AS DATE) AS d,"
+        " hour(ts) AS h, user_id AS sv FROM events),\n"
+        "tc_cu AS MATERIALIZED (\n"
+        "  SELECT et, d, h, sv, CAST(count(*) AS BIGINT) AS c\n"
+        "  FROM tc_rows GROUP BY 1, 2, 3, 4),\n"
+        "tc_gu AS MATERIALIZED (\n"
+        "  SELECT sv, CAST(count(*) AS BIGINT) AS g"
+        " FROM tc_rows GROUP BY sv),\n"
+        "tc_n AS (SELECT CAST(SUM(g) AS BIGINT) AS n FROM tc_gu),\n"
+        "tc_qh AS MATERIALIZED (\n"
+        "  SELECT sv, (1000000 * g) // (SELECT n FROM tc_n) AS qh\n"
+        "  FROM tc_gu),\n"
+        "tc_sq AS (SELECT CAST(SUM(qh) AS BIGINT) AS s_q FROM tc_qh),\n"
+        "tc_nc AS MATERIALIZED (\n"
+        "  SELECT et, d, h, CAST(SUM(c) AS BIGINT) AS n_c\n"
+        "  FROM tc_cu GROUP BY 1, 2, 3),\n"
+        "tc_per AS MATERIALIZED (\n"
+        "  SELECT\n"
+        "    (SUM(ABS((1000000 * c) // n_c - qh))\n"
+        "     + ((SELECT s_q FROM tc_sq) - SUM(qh))) // 2 AS t_micros,\n"
+        "    MAX(n_c) AS rows_in_class\n"
+        "  FROM tc_cu JOIN tc_qh USING (sv)"
+        " JOIN tc_nc USING (et, d, h)\n"
+        "  GROUP BY et, d, h)\n"
+        f"SELECT CAST(t_micros // {bucket_micros} AS BIGINT)"
+        " AS t_bucket,\n"
+        "  CAST(count(*) AS BIGINT) AS n_classes,\n"
+        "  CAST(SUM(rows_in_class) AS BIGINT) AS n_rows\n"
+        "FROM tc_per GROUP BY 1"
+    )

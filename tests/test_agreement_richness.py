@@ -437,3 +437,62 @@ def test_closing_wave_invariants_random_graph(spark):
     tri_total = triangle_count(e, orient="degree").collect()[0][0]
     # Σ per-vertex triangles = 3 · #triangles
     assert sum(r["n_triangles"] for r in cbd) == 3 * tri_total
+
+
+def test_t_closeness_hand_computed(spark):
+    """Two 5-row classes against a 6/3/1 global sensitive distribution:
+    micro shares, present |p-q| sums and the absent-value complement
+    all hand-computed (both classes land at t=0.2 -> bucket 2)."""
+    from graphlite_spark.operators.profiling import t_closeness
+
+    rows = (
+        [(0, "a")] * 4 + [(0, "b")]
+        + [(1, "a")] * 2 + [(1, "b")] * 2 + [(1, "c")]
+    )
+    df = spark.createDataFrame(rows, "grp long, sv string")
+    got = [
+        (r["t_bucket"], r["n_classes"], r["n_rows"])
+        for r in t_closeness(
+            df, sensitive_col="sv", qi_cols=["grp"]
+        ).collect()
+    ]
+    # class 0: p=(.8,.2,0) vs q=(.6,.3,.1): dev 300000, complement
+    # 100000 -> t 200000; class 1: p=(.4,.4,.2): dev 400000,
+    # complement 0 -> t 200000
+    assert got == [(2, 2, 10)]
+
+
+def test_t_closeness_bruteforce(spark):
+    """Scattered deterministic rows vs a python brute force of the
+    identical quantize/sum/complement/bucket math."""
+    from graphlite_spark.operators.profiling import t_closeness
+
+    rows = [((i * 7) % 5, f"u{(i * i * 13) % 9}") for i in range(97)]
+    df = spark.createDataFrame(rows, "grp long, sv string")
+    got = {
+        r["t_bucket"]: (r["n_classes"], r["n_rows"])
+        for r in t_closeness(
+            df, sensitive_col="sv", qi_cols=["grp"], bucket_micros=50000
+        ).collect()
+    }
+
+    n = len(rows)
+    from collections import Counter
+
+    g = Counter(sv for _, sv in rows)
+    qh = {sv: (1000000 * c) // n for sv, c in g.items()}
+    s_q = sum(qh.values())
+    hist: dict = {}
+    for grp in sorted({gr for gr, _ in rows}):
+        cl = Counter(sv for gr, sv in rows if gr == grp)
+        n_c = sum(cl.values())
+        dev = sum(
+            abs((1000000 * c) // n_c - qh[sv]) for sv, c in cl.items()
+        )
+        present_q = sum(qh[sv] for sv in cl)
+        t = (dev + (s_q - present_q)) // 2
+        b = t // 50000
+        nc_, nr_ = hist.get(b, (0, 0))
+        hist[b] = (nc_ + 1, nr_ + n_c)
+    assert got == hist
+    assert sum(nr for _, nr in got.values()) == n

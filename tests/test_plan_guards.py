@@ -263,6 +263,7 @@ GUARDED = [
     # global window
     "top_terms_per_doc",
     "zorder_layout",
+    "t_closeness",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
