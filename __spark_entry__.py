@@ -2453,6 +2453,19 @@ def q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # removal-effect channel attribution: rerun the absorbing-chain
+    # conversion iteration with each intermediate channel redirected to
+    # the sink; the start-weighted conversion drop is the channel's
+    # credit (conversion_prob's causal-flavored sibling)
+    from graphlite_spark.operators.cooccurrence import markov_attribution
+
+    return markov_attribution(
+        load_table(spark, sf_dir, "events"),
+        target="purchase", sink="error", iterations=8,
+    )
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3101,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_per_doc": q_top_terms_per_doc,
         "zorder_layout": q_zorder_layout,
         "t_closeness": q_t_closeness,
+        "markov_attribution": q_markov_attribution,
     }
 
 
@@ -3248,6 +3262,9 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_per_doc": O.top_terms_per_doc_sql(3),
         "zorder_layout": O.zorder_layout_sql(),
         "t_closeness": O.t_closeness_sql(),
+        "markov_attribution": O.markov_attribution_sql(
+            "purchase", "error", 8
+        ),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -495,3 +495,150 @@ def source_jsd(
             ),
         )
     )
+
+
+def markov_attribution(
+    events: DataFrame,
+    target: str,
+    sink: str,
+    iterations: int = 8,
+    state_col: str = "event_type",
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(channel, p_full_micros, p_removed_micros,
+    removal_effect_micros) — Markov removal-effect attribution
+    (Anderl et al. 2016's data-driven attribution, public literature):
+    how much of overall conversion each intermediate channel is
+    RESPONSIBLE for, measured by deleting it.  For every non-absorbing
+    state c, visits to c are redirected to the null sink (pinned
+    p(c)=0) and the :func:`conversion_prob` value iteration reruns on
+    the modified chain; the start-weighted conversion drop
+
+        effect(c) = (P_full − P_without_c) / P_full
+
+    is the channel's credit — the causal-flavored alternative to
+    last-touch that a growth team reads next to the raw funnel.
+    P is the absorption probability weighted by each actor's FIRST
+    state (the journey entry distribution).
+
+    Exactness: one value iteration over the (removed-channel × state)
+    PRODUCT space — the '__full__' sentinel row carries the unmodified
+    chain so full and counterfactuals share every code path; per-term
+    truncating micro division throughout (:func:`hitting_time`
+    discipline; removal is monotone under truncation, so the effect
+    numerator is provably non-negative).  No float anywhere.
+
+    Scale shape: the per-actor lag window and first-state row_number
+    are the only passes over the event table; everything after is
+    codebook-sized ((k+1)·k rows for k states) — the k×k matrix joins
+    cost the same at 10^3 or 10^12 events.  One 1-row scalar action
+    (actor count) rides back as a literal."""
+    FULL = "__full__"
+    w = Window.partitionBy(actor_col).orderBy(ts_col, tie_col)
+    pr = events.select(
+        F.lag(state_col).over(w).alias("a"),
+        F.col(state_col).alias("b"),
+    ).where(F.col("a").isNotNull())
+    c = pr.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = c.groupBy("a").agg(F.sum("n").cast("long").alias("tot"))
+    cm = c.join(tot, "a")
+
+    states = events.select(F.col(state_col).alias("state")).distinct()
+    chans = (
+        states.where(~F.col("state").isin(target, sink))
+        .select(F.col("state").alias("rm"))
+        .unionAll(
+            events.sparkSession.createDataFrame(
+                [(FULL,)], "rm string"
+            )
+        )
+    )
+    grid = chans.crossJoin(F.broadcast(states))
+
+    def pin(expr):
+        return (
+            F.when(F.col("state") == F.lit(target), F.lit(1000000))
+            .when(F.col("state") == F.lit(sink), F.lit(0))
+            .when(F.col("state") == F.col("rm"), F.lit(0))
+            .otherwise(expr)
+            .cast("long")
+            .alias("p")
+        )
+
+    # plain-zero init (NOT pinned): 'iterations' then means the same
+    # horizon as conversion_prob's — the two readouts stay comparable
+    p = grid.select(
+        "rm", "state", F.lit(0).cast("long").alias("p")
+    )
+    for _ in range(iterations):
+        terms = p.join(cm, p["state"] == cm["b"]).select(
+            F.col("rm").alias("rm2"),
+            F.col("a").alias("state2"),
+            F.expr("(p * n) div tot").alias("term"),
+        )
+        nxt = terms.groupBy("rm2", "state2").agg(
+            F.sum("term").cast("long").alias("s2")
+        )
+        p = grid.join(
+            nxt,
+            (grid["rm"] == nxt["rm2"])
+            & (grid["state"] == nxt["state2"]),
+            "left",
+        ).select(
+            "rm", "state", pin(F.coalesce(F.col("s2"), F.lit(0)))
+        )
+
+    fw = Window.partitionBy(actor_col).orderBy(ts_col, tie_col)
+    firsts = (
+        events.select(
+            F.col(actor_col).alias("u"),
+            F.col(state_col).alias("state"),
+            F.row_number().over(fw).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .groupBy("state")
+        .agg(F.count(F.lit(1)).cast("long").alias("fcnt"))
+    )
+    n_actors = int(
+        firsts.agg(F.sum("fcnt").alias("n")).first()["n"] or 0
+    )
+    if n_actors == 0:
+        return events.sparkSession.createDataFrame(
+            [],
+            "channel string, p_full_micros long,"
+            " p_removed_micros long, removal_effect_micros long",
+        )
+    pstart = (
+        p.join(firsts, "state")
+        .groupBy("rm")
+        .agg(
+            F.sum(F.expr(f"(fcnt * p) div {n_actors}"))
+            .cast("long")
+            .alias("p_start")
+        )
+    )
+    full = pstart.where(F.col("rm") == FULL).select(
+        F.col("p_start").alias("p_full_micros")
+    )
+    return (
+        pstart.where(F.col("rm") != FULL)
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("rm").alias("channel"),
+            "p_full_micros",
+            F.col("p_start").alias("p_removed_micros"),
+            F.when(
+                F.col("p_full_micros") > 0,
+                F.expr(
+                    "((p_full_micros - p_start) * 1000000)"
+                    " div p_full_micros"
+                ),
+            )
+            .cast("long")
+            .alias("removal_effect_micros"),
+        )
+    )

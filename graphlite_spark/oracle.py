@@ -7912,3 +7912,85 @@ def t_closeness_sql(bucket_micros: int = 100000) -> str:
         "  CAST(SUM(rows_in_class) AS BIGINT) AS n_rows\n"
         "FROM tc_per GROUP BY 1"
     )
+
+
+def markov_attribution_sql(
+    target: str, sink: str, iterations: int = 8
+) -> str:
+    """Mirror of operators.cooccurrence.markov_attribution: the
+    conversion_prob lag chain and k x k counts, the value iteration
+    unrolled over the (removed-channel x state) product space (the
+    '__full__' sentinel carries the unmodified chain; removed channels
+    pin p=0), then the first-state-weighted start sums and the exact
+    removal-effect ratio."""
+    tgt = target.replace("'", "''")
+    snk = sink.replace("'", "''")
+    parts = [
+        "mar AS MATERIALIZED (SELECT\n"
+        "  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts,"
+        " event_id) AS a,\n"
+        "  event_type AS b FROM events)",
+        "mac AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT)"
+        " AS n\n"
+        "  FROM mar WHERE a IS NOT NULL GROUP BY a, b)",
+        "matot AS MATERIALIZED (SELECT a, CAST(sum(n) AS BIGINT)"
+        " AS tot\n"
+        "  FROM mac GROUP BY a)",
+        "macm AS MATERIALIZED (SELECT c.a, c.b, c.n, t.tot\n"
+        "  FROM mac c JOIN matot t USING (a))",
+        "mast AS MATERIALIZED (SELECT DISTINCT event_type AS state"
+        " FROM events)",
+        "mach AS MATERIALIZED (\n"
+        f"  SELECT state AS rm FROM mast WHERE state NOT IN"
+        f" ('{tgt}', '{snk}')\n"
+        "  UNION ALL SELECT '__full__')",
+        "mag AS MATERIALIZED (SELECT rm, state FROM mach, mast)",
+        "map0 AS MATERIALIZED (SELECT rm, state,"
+        " CAST(0 AS BIGINT) AS p FROM mag)",
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"map{i - 1}"
+        parts.append(
+            f"map{i} AS MATERIALIZED (\n"
+            f"  SELECT g.rm, g.state,\n"
+            f"    CAST(CASE WHEN g.state = '{tgt}' THEN 1000000\n"
+            f"      WHEN g.state = '{snk}' THEN 0\n"
+            "      WHEN g.state = g.rm THEN 0\n"
+            "      ELSE COALESCE(m.s2, 0) END AS BIGINT) AS p\n"
+            "  FROM mag g LEFT JOIN (\n"
+            "    SELECT q.rm, cm.a AS state,"
+            " SUM((q.p * cm.n) // cm.tot) AS s2\n"
+            f"    FROM macm cm JOIN {prev} q ON q.state = cm.b\n"
+            "    GROUP BY q.rm, cm.a) m\n"
+            "  ON m.rm = g.rm AND m.state = g.state)"
+        )
+    parts.append(
+        "mafir AS MATERIALIZED (\n"
+        "  SELECT state, CAST(count(*) AS BIGINT) AS fcnt FROM (\n"
+        "    SELECT event_type AS state, row_number() OVER (\n"
+        "      PARTITION BY user_id ORDER BY ts, event_id) AS rn\n"
+        "    FROM events) WHERE rn = 1 GROUP BY state)"
+    )
+    parts.append(
+        "mann AS (SELECT CAST(SUM(fcnt) AS BIGINT) AS na FROM mafir)"
+    )
+    parts.append(
+        "maps AS MATERIALIZED (\n"
+        "  SELECT p.rm, CAST(SUM(\n"
+        "    (f.fcnt * p.p) // (SELECT na FROM mann)) AS BIGINT)"
+        " AS p_start\n"
+        f"  FROM map{iterations} p JOIN mafir f USING (state)\n"
+        "  GROUP BY p.rm)"
+    )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        "SELECT c.rm AS channel,\n"
+        "  f.p_start AS p_full_micros,\n"
+        "  c.p_start AS p_removed_micros,\n"
+        "  CAST(CASE WHEN f.p_start > 0 THEN\n"
+        "    ((f.p_start - c.p_start) * 1000000) // f.p_start\n"
+        "  END AS BIGINT) AS removal_effect_micros\n"
+        "FROM maps c, maps f\n"
+        "WHERE f.rm = '__full__' AND c.rm <> '__full__'"
+    )

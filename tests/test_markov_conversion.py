@@ -114,3 +114,84 @@ def test_kneser_ney_bruteforce(spark):
         assert r["n1_fwd"] == n1f[key[0]] and r["n1_rev"] == n1r[key[1]]
     # ('the','cat') appears 3x with rich continuations: sanity-check one
     assert got[("the", "cat")]["n_pairs"] == 3
+
+
+def test_markov_attribution_bruteforce(spark):
+    """Removal-effect attribution vs a python brute force of the full
+    product-space iteration, start weighting, and effect ratio."""
+    from graphlite_spark.operators.cooccurrence import markov_attribution
+
+    chains = [
+        ["view", "click", "purchase"],
+        ["view", "click", "error"],
+        ["view", "purchase"],
+        ["click", "view", "click", "purchase"],
+        ["signup", "view", "purchase"],
+        ["signup", "error"],
+    ]
+    rows = []
+    for u, ch in enumerate(chains, start=1):
+        rows += _ev(u, ch)
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r["channel"]: (
+            r["p_full_micros"],
+            r["p_removed_micros"],
+            r["removal_effect_micros"],
+        )
+        for r in markov_attribution(
+            df, target="purchase", sink="error", iterations=8
+        ).collect()
+    }
+
+    cnt: dict[tuple[str, str], int] = {}
+    for ch in chains:
+        for a, b in zip(ch, ch[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    tot: dict[str, int] = {}
+    for (a, _), n in cnt.items():
+        tot[a] = tot.get(a, 0) + n
+    states = {"view", "click", "purchase", "error", "signup"}
+
+    def absorb(removed):
+        p = {s: 0 for s in states}
+        for _ in range(8):
+            nxt = {}
+            for s in states:
+                if s == "purchase":
+                    nxt[s] = 1_000_000
+                elif s == "error" or s == removed:
+                    nxt[s] = 0
+                else:
+                    nxt[s] = sum(
+                        (p[b] * n) // tot[a]
+                        for (a, b), n in cnt.items()
+                        if a == s
+                    )
+            p = nxt
+        return p
+
+    firsts: dict[str, int] = {}
+    for ch in chains:
+        firsts[ch[0]] = firsts.get(ch[0], 0) + 1
+    na = len(chains)
+
+    def start_p(removed):
+        p = absorb(removed)
+        return sum((fc * p[s]) // na for s, fc in firsts.items())
+
+    p_full = start_p(None)
+    want = {}
+    for c in sorted(states - {"purchase", "error"}):
+        p_rm = start_p(c)
+        eff = (
+            ((p_full - p_rm) * 1_000_000) // p_full if p_full > 0 else None
+        )
+        want[c] = (p_full, p_rm, eff)
+    assert got == want
+    # removal can only hurt conversion; the effects must be ordered
+    # by how load-bearing each channel is on these journeys
+    assert all(v[1] <= v[0] for v in got.values())
+    assert got["view"][2] > got["signup"][2]
