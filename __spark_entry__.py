@@ -2466,6 +2466,55 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-limit survival of user lifetime (right-censored at the
+    # corpus horizon): the churn curve next to retention_cohorts
+    from graphlite_spark.operators.analytics import kaplan_meier
+
+    return kaplan_meier(load_table(spark, sf_dir, "events"))
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recency/frequency/monetary quartile lattice via the distributed
+    # dense-rank machinery (closed-form bucket rule, not ntile)
+    from graphlite_spark.operators.analytics import rfm_segments
+
+    return rfm_segments(load_table(spark, sf_dir, "events"))
+
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly seasonality screen: exact integer autocorrelation of the
+    # zero-filled daily count series at lags 1..7
+    from graphlite_spark.operators.analytics import acf_daily
+
+    return acf_daily(load_table(spark, sf_dir, "events"), max_lag=7)
+
+
+def q_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-document Flesch reading ease (vowel-run syllable heuristic),
+    # the classic quality signal next to text_quality's blend
+    from graphlite_spark.functions.text import (
+        flesch_exprs,
+        flesch_micros_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "text", tokens_expr("text").alias("toks"))
+    fe = flesch_exprs(F.col("text"), F.col("toks"))
+    counts = toks.select(
+        "doc_id",
+        fe["n_words"].alias("n_words"),
+        fe["n_sentences"].alias("n_sentences"),
+        fe["n_syllables"].alias("n_syllables"),
+    )
+    return counts.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        flesch_micros_expr(
+            F.col("n_words"), F.col("n_sentences"), F.col("n_syllables")
+        ).alias("flesch_micros"),
+    )
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3115,6 +3164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "t_closeness": q_t_closeness,
         "markov_attribution": q_markov_attribution,
+        "kaplan_meier": q_kaplan_meier,
+        "rfm_segments": q_rfm_segments,
+        "acf_daily": q_acf_daily,
+        "readability_flesch": q_readability_flesch,
     }
 
 
@@ -3265,6 +3318,10 @@ def oracle_sql() -> dict[str, str]:
         "markov_attribution": O.markov_attribution_sql(
             "purchase", "error", 8
         ),
+        "kaplan_meier": O.kaplan_meier_sql(),
+        "rfm_segments": O.rfm_segments_sql(4),
+        "acf_daily": O.acf_daily_sql(7),
+        "readability_flesch": O.readability_flesch_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -167,3 +167,57 @@ def window_langs_expr(tokens: Column, window: int = 16) -> Column:
     return F.when(
         n >= 1, F.transform(F.sequence(F.lit(1), n_win), one)
     ).otherwise(F.array().cast("array<string>"))
+
+
+def flesch_exprs(
+    text: Column | str, tokens: Column
+) -> dict[str, Column]:
+    """Flesch reading-ease counts (Flesch 1948, public literature) with
+    the classic heuristics — sentences = number of ``[.!?]+`` runs in
+    the raw text (min 1), syllables = vowel-run count per token (min
+    1/token, ``[aeiouy]+`` on the lowercased tokens).  Pure per-row
+    expressions — codegen'd, shuffle-free, UDF-free; the oracle mirrors
+    the identical regexes (simple classes, identical in Java regex and
+    RE2).  Pass a STAGED ``tokens`` projection (Column reuse inlines
+    trees — CLAUDE.md), then stage these three counts and finish with
+    :func:`flesch_micros_expr` over the staged columns."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_words": F.size(tokens).cast("long"),
+        "n_sentences": F.greatest(
+            F.size(F.regexp_extract_all(c, F.lit("[.!?]+"), 0)),
+            F.lit(1),
+        ).cast("long"),
+        "n_syllables": F.aggregate(
+            tokens,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.greatest(
+                F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0)),
+                F.lit(1),
+            ).cast("long"),
+        ),
+    }
+
+
+def flesch_micros_expr(
+    n_words: Column, n_sentences: Column, n_syllables: Column
+) -> Column:
+    """206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) in
+    exact integer micro-units: both ratio terms are non-negative
+    truncating divisions via the remainder-subtract device (products
+    ≤ 8.5·10^13 for million-token documents — well inside the 53-bit
+    exact window); the score itself may go negative on dense prose,
+    plain BIGINT subtraction.  NULL when the document has no words."""
+
+    def div(num: Column, den: Column) -> Column:
+        return ((num - num % den) / den).cast("long")
+
+    t1 = F.lit(1_015_000).cast("long") * n_words
+    t2 = F.lit(84_600_000).cast("long") * n_syllables
+    return F.when(
+        n_words > 0,
+        F.lit(206_835_000).cast("long")
+        - div(t1, n_sentences)
+        - div(t2, n_words),
+    ).cast("long")

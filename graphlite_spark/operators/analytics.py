@@ -1024,3 +1024,253 @@ def mutual_information(
         .cast("long")
         .alias("mi_contrib_micros"),
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(duration_days, n_risk, n_deaths, survival_micros) — the
+    Kaplan–Meier product-limit survival estimate (Kaplan & Meier 1958,
+    public literature) of unit lifetime, with right-censoring at the
+    observation horizon: a unit's lifetime is last-active-day minus
+    first-active-day, and units whose last activity falls on the
+    corpus's final day are CENSORED (still alive as far as the data can
+    tell), not dead.  S(t) = Π_{t_i <= t} (1 − d_i/n_i) over the
+    distinct death times, in exact integer micro-units with per-step
+    truncating division — the standard churn readout next to
+    :func:`retention_cohorts` (which counts raw activity, not
+    lifetimes).
+
+    Exactness: the fold ``s ← (s·(n_i−d_i)) div n_i`` starts at 10^6
+    and shrinks monotonically, so every product is < 10^6·N — exact in
+    a double's 53-bit mantissa up to N ≈ 9·10^9 units (stated bound;
+    the remainder-subtract division is therefore exact, same discipline
+    as :func:`~graphlite_spark.functions.text.repetition_exprs`).
+
+    Scale shape: one map-side-combined per-unit aggregate over the fact
+    table and a 1-row horizon broadcast; everything after lives on the
+    duration-level table, whose size is bounded by the CALENDAR (one
+    row per distinct lifetime-in-days), so the ordered at-risk window
+    and the single collected step array are day-granularity small at
+    any event scale.  No per-unit window, no self-join."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.min(day).alias("first_d"), F.max(day).alias("last_d")
+    )
+    hi = events.agg(F.max(day).alias("hi"))
+    lives = per.crossJoin(F.broadcast(hi)).select(
+        (F.col("last_d") - F.col("first_d")).alias("t"),
+        (F.col("last_d") == F.col("hi")).cast("int").alias("censored"),
+    )
+    durs = lives.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.lit(1) - F.col("censored")).cast("long").alias("d"),
+    )
+    # at-risk = units with lifetime >= t: running sum over the
+    # duration-level table, descending — calendar-bounded rows, so the
+    # unpartitioned window is a non-issue at any scale (stated above)
+    wd = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = durs.select(
+        "t", "d", F.sum("c").over(wd).cast("long").alias("n")
+    ).where(F.col("d") > 0)
+    arr = risk.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "d", "n"))
+        ).alias("arr")
+    )
+    # prefix products: stage `arr` as its own projection (Column reuse
+    # inlines trees — CLAUDE.md), then fold each prefix; O(k^2) lambda
+    # work over k = distinct death days (calendar-bounded)
+    steps = arr.select(
+        F.explode(
+            F.transform(
+                F.col("arr"),
+                lambda x, i: F.struct(
+                    x["t"].alias("t"),
+                    x["n"].alias("n"),
+                    x["d"].alias("d"),
+                    F.aggregate(
+                        F.slice(F.col("arr"), F.lit(1), i + 1),
+                        F.lit(1_000_000).cast("long"),
+                        lambda acc, y: (
+                            (
+                                acc * (y["n"] - y["d"])
+                                - (acc * (y["n"] - y["d"])) % y["n"]
+                            )
+                            / y["n"]
+                        ).cast("long"),
+                    ).alias("s"),
+                ),
+            )
+        ).alias("st")
+    )
+    return steps.select(
+        F.col("st.t").alias("duration_days"),
+        F.col("st.n").alias("n_risk"),
+        F.col("st.d").alias("n_deaths"),
+        F.col("st.s").alias("survival_micros"),
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    buckets: int = 4,
+) -> DataFrame:
+    """(r_quartile, f_quartile, m_quartile, n_users, sum_events,
+    sum_monetary_cents) — classic RFM segmentation: each unit's Recency
+    (days since last activity), Frequency (event count), and Monetary
+    (integer-cents value sum, same rounding convention as
+    :func:`value_outliers_mad`) are each bucketed into ``buckets``
+    rank quantiles, and the segment lattice is counted.
+
+    The bucket rule is the closed form ``((rank−1)·B) div N + 1`` over
+    the unique rank of (metric, unit) — NOT SQL ``ntile`` (whose
+    remainder distribution differs); the same form computes on both
+    engines, and ranks come from the distributed
+    :func:`~graphlite_spark.plans.derive.assign_dense_ids` machinery
+    (range shuffle + offsets), never a single-partition global window —
+    three rank passes over the N-row per-unit table, then one
+    segment-lattice groupBy (≤ B^3 rows)."""
+    from graphlite_spark.plans.derive import assign_dense_ids
+
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.max(day).alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum(
+            F.round(F.col(value_col) * 100).cast("long")
+        ).cast("long").alias("m"),
+    )
+    hi = events.agg(F.max(day).alias("hi"))
+    per = per.crossJoin(F.broadcast(hi)).select(
+        "u", (F.col("hi") - F.col("last_d")).cast("long").alias("r"),
+        "f", "m",
+    )
+    n = per.count()
+    if n == 0:
+        return events.sparkSession.createDataFrame(
+            [],
+            "r_quartile int, f_quartile int, m_quartile int,"
+            " n_users long, sum_events long, sum_monetary_cents long",
+        )
+
+    def bucket(metric: str, out: str) -> DataFrame:
+        ranked = assign_dense_ids(
+            per.select(F.col(metric).alias("x"), "u"), ["x", "u"],
+            id_col="rk",
+        )
+        return ranked.select(
+            "u",
+            (
+                F.expr(f"(rk * {buckets}) div {n}") + 1
+            ).cast("int").alias(out),
+        )
+
+    seg = (
+        per.join(bucket("r", "r_quartile"), "u")
+        .join(bucket("f", "f_quartile"), "u")
+        .join(bucket("m", "m_quartile"), "u")
+    )
+    return seg.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("f").cast("long").alias("sum_events"),
+        F.sum("m").cast("long").alias("sum_monetary_cents"),
+    )
+
+
+def acf_daily(
+    events: DataFrame,
+    max_lag: int = 7,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(lag, n_days, acf_micros) — the sample autocorrelation of the
+    DAILY event-count series at lags 1..``max_lag``, exact to the
+    truncated micro: is traffic periodic (weekly seasonality shows as a
+    lag-7 peak) or memoryless?  Days with no events are REAL zeros via
+    the day spine (same device as :func:`dau_wau`), and the classic
+    estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² is computed on
+    the n²-scaled integer deviations ``dev_t = n·x_t − S`` (both sums
+    pick up the same n² factor, which cancels) so no float or rational
+    mean ever appears.
+
+    Exactness: dev products stay within BIGINT for any single-digit-
+    billions daily volume; the one place the 10^6 scaling could
+    overflow (num·10^6 with num ≈ 10^13 at very large n·x) rides
+    DECIMAL(38,0) `div` on Spark and HUGEINT `//` on DuckDB — measured
+    identical truncation toward zero, including negatives.
+
+    Scale shape: one map-side-combined daily groupBy over the facts;
+    the spine, deviations, lag join (equi-join on shifted day), and
+    moment sums all live on the calendar-bounded daily table."""
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+        (F.col("hi") - F.col("lo") + 1).cast("long").alias("n"),
+        "s",
+    )
+    dev = (
+        spine.join(daily, "d", "left")
+        .select(
+            "d",
+            (
+                F.col("n") * F.coalesce(F.col("y"), F.lit(0))
+                - F.col("s")
+            ).cast("long").alias("dev"),
+            "n",
+        )
+    )
+    den = dev.agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("long").alias("den"),
+        F.max("n").alias("n"),
+    )
+    pairs = dev.select(
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag"),
+        "d",
+        F.col("dev").alias("dev_a"),
+    ).select(
+        "lag", (F.col("d") + F.col("lag")).alias("d2"), "dev_a"
+    )
+    num = (
+        pairs.join(
+            dev.select(F.col("d").alias("d2"), F.col("dev").alias("dev_b")),
+            "d2",
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("dev_a") * F.col("dev_b"))
+            .cast("long").alias("num")
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").alias("n_days"),
+            F.when(
+                F.col("den") > 0,
+                F.expr(
+                    "CAST((CAST(num AS DECIMAL(38,0)) * 1000000)"
+                    " div CAST(den AS DECIMAL(38,0)) AS BIGINT)"
+                ),
+            ).alias("acf_micros"),
+        )
+    )

@@ -7994,3 +7994,149 @@ def markov_attribution_sql(
         "FROM maps c, maps f\n"
         "WHERE f.rm = '__full__' AND c.rm <> '__full__'"
     )
+
+
+def kaplan_meier_sql() -> str:
+    """Mirror of operators.analytics.kaplan_meier: per-unit lifetime in
+    days with horizon censoring, the descending at-risk running sum on
+    the duration-level table, and the product-limit fold as a recursive
+    CTE over the row-numbered death times (// truncation == Spark's
+    remainder-subtract on these non-negative longs)."""
+    return (
+        "WITH RECURSIVE km_per AS MATERIALIZED (\n"
+        "  SELECT user_id AS u,\n"
+        "    min(CAST(epoch_us(ts) AS BIGINT) // 86400000000)"
+        " AS first_d,\n"
+        "    max(CAST(epoch_us(ts) AS BIGINT) // 86400000000)"
+        " AS last_d\n"
+        "  FROM events GROUP BY 1),\n"
+        "km_hi AS (SELECT max(last_d) AS hi FROM km_per),\n"
+        "km_durs AS MATERIALIZED (\n"
+        "  SELECT last_d - first_d AS t,\n"
+        "    CAST(count(*) AS BIGINT) AS c,\n"
+        "    CAST(sum(CASE WHEN last_d = (SELECT hi FROM km_hi)"
+        " THEN 0 ELSE 1 END) AS BIGINT) AS d\n"
+        "  FROM km_per GROUP BY 1),\n"
+        "km_idx AS MATERIALIZED (\n"
+        "  SELECT t, d, n, row_number() OVER (ORDER BY t) AS i FROM (\n"
+        "    SELECT t, d, CAST(sum(c) OVER (ORDER BY t DESC\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS n\n"
+        "    FROM km_durs) WHERE d > 0),\n"
+        "km_fold(i, t, d, n, s) AS (\n"
+        "  SELECT i, t, d, n,\n"
+        "    CAST((1000000 * (n - d)) // n AS BIGINT) AS s\n"
+        "  FROM km_idx WHERE i = 1\n"
+        "  UNION ALL\n"
+        "  SELECT k.i, k.t, k.d, k.n,\n"
+        "    CAST((f.s * (k.n - k.d)) // k.n AS BIGINT)\n"
+        "  FROM km_fold f JOIN km_idx k ON k.i = f.i + 1)\n"
+        "SELECT t AS duration_days, n AS n_risk, d AS n_deaths,\n"
+        "  s AS survival_micros\n"
+        "FROM km_fold"
+    )
+
+
+def rfm_segments_sql(buckets: int = 4) -> str:
+    """Mirror of operators.analytics.rfm_segments: per-unit
+    recency/frequency/monetary (identical per-event cents rounding),
+    the closed-form bucket rule ((rank-1)*B) // N + 1 over
+    row_number(ORDER BY metric, u) — the same total order
+    assign_dense_ids fixes — then the segment-lattice rollup."""
+    B = int(buckets)
+    return (
+        "WITH rfm_per AS MATERIALIZED (\n"
+        "  SELECT user_id AS u,\n"
+        "    max(CAST(epoch_us(ts) AS BIGINT) // 86400000000)"
+        " AS last_d,\n"
+        "    CAST(count(*) AS BIGINT) AS f,\n"
+        "    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        " AS m\n"
+        "  FROM events GROUP BY 1),\n"
+        "rfm_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm_per),\n"
+        "rfm_base AS MATERIALIZED (\n"
+        "  SELECT u, (SELECT max(last_d) FROM rfm_per) - last_d AS r,"
+        " f, m\n"
+        "  FROM rfm_per),\n"
+        "rfm_seg AS MATERIALIZED (\n"
+        "  SELECT u, f, m,\n"
+        f"    CAST(((row_number() OVER (ORDER BY r, u) - 1) * {B})\n"
+        "      // (SELECT n FROM rfm_n) + 1 AS INT) AS r_quartile,\n"
+        f"    CAST(((row_number() OVER (ORDER BY f, u) - 1) * {B})\n"
+        "      // (SELECT n FROM rfm_n) + 1 AS INT) AS f_quartile,\n"
+        f"    CAST(((row_number() OVER (ORDER BY m, u) - 1) * {B})\n"
+        "      // (SELECT n FROM rfm_n) + 1 AS INT) AS m_quartile\n"
+        "  FROM rfm_base)\n"
+        "SELECT r_quartile, f_quartile, m_quartile,\n"
+        "  CAST(count(*) AS BIGINT) AS n_users,\n"
+        "  CAST(sum(f) AS BIGINT) AS sum_events,\n"
+        "  CAST(sum(m) AS BIGINT) AS sum_monetary_cents\n"
+        "FROM rfm_seg GROUP BY 1, 2, 3"
+    )
+
+
+def acf_daily_sql(max_lag: int = 7) -> str:
+    """Mirror of operators.analytics.acf_daily: zero-filled day spine,
+    n^2-scaled integer deviations, lag equi-join, HUGEINT final ratio
+    (measured: HUGEINT // == Spark DECIMAL(38,0) div, truncation toward
+    zero including negatives)."""
+    L = int(max_lag)
+    return (
+        "WITH acfd AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "acfr AS (SELECT min(d) AS lo, max(d) AS hi,\n"
+        "  CAST(sum(y) AS BIGINT) AS s FROM acfd),\n"
+        "acfs AS MATERIALIZED (\n"
+        "  SELECT unnest(range(lo, hi + 1)) AS d,\n"
+        "    CAST(hi - lo + 1 AS BIGINT) AS n, s FROM acfr),\n"
+        "acfv AS MATERIALIZED (\n"
+        "  SELECT sp.d,\n"
+        "    CAST(sp.n * COALESCE(dl.y, 0) - sp.s AS BIGINT) AS dev,\n"
+        "    sp.n\n"
+        "  FROM acfs sp LEFT JOIN acfd dl USING (d)),\n"
+        "acfden AS (SELECT CAST(sum(dev * dev) AS BIGINT) AS den,\n"
+        "  max(n) AS n FROM acfv),\n"
+        "acfnum AS MATERIALIZED (\n"
+        "  SELECT l.lag, CAST(sum(a.dev * b.dev) AS BIGINT) AS num\n"
+        f"  FROM acfv a CROSS JOIN (SELECT unnest(range(1, {L + 1}))"
+        " AS lag) l\n"
+        "  JOIN acfv b ON b.d = a.d + l.lag\n"
+        "  GROUP BY l.lag)\n"
+        "SELECT CAST(m.lag AS INT) AS lag, q.n AS n_days,\n"
+        "  CAST(CASE WHEN q.den > 0 THEN\n"
+        "    (CAST(m.num AS HUGEINT) * 1000000)"
+        " // CAST(q.den AS HUGEINT)\n"
+        "  END AS BIGINT) AS acf_micros\n"
+        "FROM acfnum m, acfden q"
+    )
+
+
+def readability_flesch_sql() -> str:
+    """Mirror of functions.text.flesch_exprs + flesch_micros_expr: the
+    repo-standard whitespace tokens, [.!?]+ sentence runs (min 1),
+    [aeiouy]+ vowel-run syllables (min 1/token), and the two
+    non-negative truncating micro terms."""
+    return (
+        "WITH rf_tok AS MATERIALIZED (\n"
+        "  SELECT doc_id, text,\n"
+        "    list_filter(string_split_regex(lower(text), '\\s+'),"
+        " x -> x <> '') AS toks\n"
+        "  FROM documents),\n"
+        "rf_cnt AS MATERIALIZED (\n"
+        "  SELECT doc_id,\n"
+        "    CAST(len(toks) AS BIGINT) AS n_words,\n"
+        "    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)"
+        " AS BIGINT) AS n_sentences,\n"
+        "    CAST(COALESCE(list_sum(list_transform(toks,\n"
+        "      t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')),"
+        " 1))), 0) AS BIGINT) AS n_syllables\n"
+        "  FROM rf_tok)\n"
+        "SELECT doc_id, n_words, n_sentences, n_syllables,\n"
+        "  CAST(CASE WHEN n_words > 0 THEN 206835000\n"
+        "    - (1015000 * n_words) // n_sentences\n"
+        "    - (84600000 * n_syllables) // n_words\n"
+        "  END AS BIGINT) AS flesch_micros\n"
+        "FROM rf_cnt"
+    )
