@@ -2515,6 +2515,45 @@ def q_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_four_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # degree-oriented K4 enumeration (Chiba–Nishizeki) — the wedge
+    # family's 4-vertex member, same hub-safe orientation discipline
+    from graphlite_spark.algos.triangles import four_clique_count
+
+    _, _, e = graph_tables(spark, sf_dir)
+    return four_clique_count(e, orient="degree")
+
+
+def q_widest_path_7ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max-min semiring on the same engine contract (third semiring
+    # after sum-product PageRank and min-plus SSSP); 1e18 = source
+    # sentinel, NULL = unreached — both mirrored in the oracle
+    from graphlite_spark.algos.sssp import widest_path
+
+    _, v, e = graph_tables(spark, sf_dir)
+    res = widest_path(v, _weighted_edges(e), source=0, fixed_supersteps=7)
+    return res.state.select(
+        "id",
+        F.when(F.col("value") > 0, F.round("value", 6)).alias("width"),
+    )
+
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recency-weighted daily baseline + surprise residuals (the EWMA
+    # sibling of cusum_changepoint / daily_anomaly_z)
+    from graphlite_spark.operators.analytics import ewma_daily
+
+    return ewma_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-axis mixture rebalance: rake (lang x source) cell weights to
+    # a uniform language margin while holding source sizes
+    from graphlite_spark.operators.packing import ipf_raking
+
+    return ipf_raking(load_table(spark, sf_dir, "documents"))
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3168,6 +3207,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "acf_daily": q_acf_daily,
         "readability_flesch": q_readability_flesch,
+        "four_cliques": q_four_cliques,
+        "widest_path_7ss": q_widest_path_7ss,
+        "ewma_daily": q_ewma_daily,
+        "ipf_raking": q_ipf_raking,
     }
 
 
@@ -3322,6 +3365,10 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": O.rfm_segments_sql(4),
         "acf_daily": O.acf_daily_sql(7),
         "readability_flesch": O.readability_flesch_sql(),
+        "four_cliques": O.four_cliques_sql(),
+        "widest_path_7ss": O.widest_path_sql(0, 7),
+        "ewma_daily": O.ewma_daily_sql(1, 4),
+        "ipf_raking": O.ipf_raking_sql(4),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

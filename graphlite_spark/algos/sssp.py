@@ -178,3 +178,72 @@ def sssp(
     if fixed_supersteps is None:
         warn_if_not_converged(res, "sssp")
     return res
+
+
+class WidestPath(PregelAlgorithm):
+    """Widest path (max-min semiring): value = the maximum over paths
+    from the source of the minimum edge weight along the path — the
+    bottleneck-capacity dual of SSSP's min-plus, and the third semiring
+    the same engine contract carries (sum-product PageRank, min-plus
+    SSSP, max-min here).  Classic network-capacity readout (Pollack
+    1960, public literature).
+
+    ss0: the source adopts the +INF sentinel (its own capacity is
+    unbounded by convention) and relaxes; afterwards a vertex adopts
+    ``max(inbox)`` whenever it beats the current width, where each
+    message is ``least(sender width, edge weight)``.  0.0 = unreached
+    sentinel (capacities are strictly positive).  Converges by the
+    engine's ``act==0 && sent==0`` test; ``fixed_supersteps`` bounds
+    the run for the unrolled max-min SQL oracle."""
+
+    name = "widest_path"
+    value_type = "double"
+    combine_expr = staticmethod(F.max)
+
+    def __init__(self, source: int = 0, max_supersteps: int = 200,
+                 fixed_supersteps: int | None = None):
+        self.source = source
+        self.max_supersteps = (
+            fixed_supersteps if fixed_supersteps is not None else max_supersteps
+        )
+
+    def init_value(self) -> Column:
+        return F.lit(0.0)
+
+    def update_value(self, superstep: int, aggr: dict[str, float]) -> Column:
+        if superstep == 0:
+            return F.when(
+                F.col("id") == self.source, F.lit(INF)
+            ).otherwise(F.col("value"))
+        return F.when(
+            F.col("has_msg") & (F.col("msg") > F.col("value")), F.col("msg")
+        ).otherwise(F.col("value"))
+
+    def update_send(self, superstep: int, aggr: dict[str, float]) -> Column:
+        if superstep == 0:
+            return F.col("id") == self.source
+        return F.col("has_msg") & (F.col("msg") > F.col("value"))
+
+    def update_halt(self, superstep: int, aggr: dict[str, float]) -> Column:
+        return F.lit(True)
+
+    def message(self, superstep: int, aggr: dict[str, float]) -> Column:
+        return F.least(F.col("value"), F.col("weight"))
+
+
+def widest_path(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source: int = 0,
+    num_partitions: int | None = None,
+    checkpointer=None,
+    run_id: str = "widest_path",
+    fixed_supersteps: int | None = None,
+) -> PregelResult:
+    algo = WidestPath(source=source, fixed_supersteps=fixed_supersteps)
+    eng = PregelEngine(num_partitions=num_partitions,
+                       checkpointer=checkpointer, run_id=run_id)
+    res = eng.run(vertices, edges, algo)
+    if fixed_supersteps is None:
+        warn_if_not_converged(res, "widest_path")
+    return res

@@ -531,3 +531,36 @@ def clustering_by_degree(
         .cast("long")
         .alias("avg_cc_micros"),
     )
+
+
+def four_clique_count(
+    edges: DataFrame, orient: str = "degree"
+) -> DataFrame:
+    """One row, column ``cliques4`` — the number of K4 subgraphs in the
+    undirected closure, each counted exactly once by ordered
+    enumeration (Chiba–Nishizeki 1985's clique listing, public
+    literature): a 4-clique {v1 < v2 < v3 < d} in the orientation's
+    total order is found by extending its ordered triangle (v1,v2,v3)
+    with a vertex d that all three point to.
+
+    Scale shape: the same degree-orientation discipline as
+    :func:`triangle_count` — every join fans out along oriented
+    out-neighborhoods, which degree orientation bounds by O(√E), so no
+    hub can materialize a quadratic wedge/extension set (the
+    wedge-family rule `test_plan_guards` pins).  Three equi-joins past
+    the triangle rows: extensions from v3, then two hash semi-checks
+    against the oriented arc table."""
+    tri = _triangle_rows(edges, orient)
+    o = _oriented(edges, orient).select("a", "b")
+    ext = tri.join(
+        o.select(F.col("a").alias("v3"), F.col("b").alias("d")), "v3"
+    )
+    ext = ext.join(
+        o.select(F.col("a").alias("v2"), F.col("b").alias("d")),
+        ["v2", "d"],
+    )
+    ext = ext.join(
+        o.select(F.col("a").alias("v1"), F.col("b").alias("d")),
+        ["v1", "d"],
+    )
+    return ext.agg(F.count(F.lit(1)).cast("long").alias("cliques4"))

@@ -1274,3 +1274,87 @@ def acf_daily(
             ).alias("acf_micros"),
         )
     )
+
+
+def ewma_daily(
+    events: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(d, y, ewma_micros, resid_micros) — exponentially weighted
+    moving average of the zero-filled DAILY count series with rational
+    α = ``alpha_num/alpha_den`` (default 1/4), exact to the truncated
+    micro: s_0 = 10^6·y_0 and
+    ``s_t = (num·10^6·y_t + (den−num)·s_{t−1}) div den`` — the
+    one-step-ahead forecast baseline whose residual
+    ``10^6·y_t − s_{t−1}`` (NULL at t=0) is the surprise signal next
+    to :func:`daily anomaly z-scores <...>` and CUSUM, but with
+    recency weighting neither of those has.
+
+    Scale shape: one map-side-combined daily groupBy over the facts;
+    the fold runs over the single collected calendar-bounded day array
+    (same device as :func:`kaplan_meier` — O(k²) prefix lambdas over
+    k = calendar days).  Exactness: 10^6·y ≤ 2^53 for up to ~9·10^9
+    events/day, and each fold step is remainder-subtract division."""
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("alpha must be a proper positive fraction")
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
+    )
+    arr = filled.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "y"))).alias("arr")
+    )
+    a, b = alpha_num, alpha_den - alpha_num
+
+    def step(acc, x):
+        raw = (
+            F.lit(a).cast("long") * F.lit(1_000_000) * x["y"]
+            + F.lit(b).cast("long") * acc
+        )
+        return (
+            (raw - raw % F.lit(alpha_den)) / F.lit(alpha_den)
+        ).cast("long")
+
+    steps = arr.select(
+        F.explode(
+            F.transform(
+                F.col("arr"),
+                lambda x, i: F.struct(
+                    x["d"].alias("d"),
+                    x["y"].alias("y"),
+                    F.aggregate(
+                        F.slice(F.col("arr"), F.lit(2), i),
+                        F.element_at(F.col("arr"), 1)["y"]
+                        * F.lit(1_000_000).cast("long"),
+                        step,
+                    ).alias("s"),
+                    F.when(
+                        i > 0,
+                        x["y"] * F.lit(1_000_000).cast("long")
+                        - F.aggregate(
+                            F.slice(F.col("arr"), F.lit(2), i - 1),
+                            F.element_at(F.col("arr"), 1)["y"]
+                            * F.lit(1_000_000).cast("long"),
+                            step,
+                        ),
+                    ).alias("r"),
+                ),
+            )
+        ).alias("st")
+    )
+    return steps.select(
+        F.col("st.d").alias("d"),
+        F.col("st.y").alias("y"),
+        F.col("st.s").alias("ewma_micros"),
+        F.col("st.r").alias("resid_micros"),
+    )

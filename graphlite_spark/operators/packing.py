@@ -594,3 +594,73 @@ def temperature_mixture(
             f" - (1000000 * weight_micros) % {denom}) div {denom}"
         ).cast("long"),
     )
+
+
+def ipf_raking(
+    docs: DataFrame,
+    row_col: str = "lang",
+    col_col: str = "source",
+    iterations: int = 4,
+) -> DataFrame:
+    """(lang, source, n_docs, weight_micros) — iterative proportional
+    fitting / raking (Deming & Stephan 1940, public literature) of
+    per-cell sampling weights over the (row, col) contingency table:
+    after ``iterations`` alternating row/column scalings the weighted
+    counts match a UNIFORM row-margin target (``total div |rows|``,
+    truncated — the "rebalance the language mix") while holding the
+    observed column margins (source sizes) — the two-axis mixture
+    rebalance that per-axis reweighting (mix_corpus, temperature_
+    mixture) cannot express, since scaling languages naively would
+    distort source proportions.
+
+    Exactness: weights live in micros; each scaling is
+    ``w ← (w · target · 10^6) div margin_sum`` computed on DECIMAL(38,0)
+    `div` (== DuckDB HUGEINT `//`, measured identical truncation), so
+    no float appears and giant corpora can't overflow.
+
+    Scale shape: ONE map-side-combined groupBy over the corpus; every
+    subsequent join/aggregate runs on the |rows|·|cols| cell table
+    (codebook-sized), and the uniform target rides a 1-row broadcast —
+    the iteration costs the same at 10^3 or 10^12 documents."""
+    cells = docs.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.countDistinct("r").cast("long").alias("n_rows"),
+    )
+    # uniform row target (micros): (total div |rows|) · 10^6
+    w = cells.crossJoin(F.broadcast(tot)).select(
+        "r", "c", "n",
+        F.lit(1_000_000).cast("long").alias("w"),
+        F.expr("(total - total % n_rows) div n_rows").cast("long")
+        .alias("t_row"),
+    )
+    col_target = cells.groupBy("c").agg(
+        F.sum("n").cast("long").alias("t_col")
+    )
+    w = w.join(F.broadcast(col_target), "c")
+
+    def rescale(frame: DataFrame, key: str, target: str) -> DataFrame:
+        marg = frame.groupBy(key).agg(
+            F.sum(F.col("n").cast("decimal(38,0)") * F.col("w"))
+            .cast("decimal(38,0)").alias("ms")
+        )
+        scale_num = f"CAST(w AS DECIMAL(38,0)) * {target} * 1000000"
+        return frame.join(F.broadcast(marg), key).select(
+            "r", "c", "n", "t_row", "t_col",
+            F.expr(
+                f"CAST(CASE WHEN ms > 0 THEN ({scale_num})"
+                " div CAST(ms AS DECIMAL(38,0)) ELSE w END AS BIGINT)"
+            ).alias("w"),
+        )
+
+    for _ in range(iterations):
+        w = rescale(w, "r", "t_row")
+        w = rescale(w, "c", "t_col")
+    return w.select(
+        F.col("r").alias(row_col),
+        F.col("c").alias(col_col),
+        F.col("n").alias("n_docs"),
+        F.col("w").alias("weight_micros"),
+    )

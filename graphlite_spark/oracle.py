@@ -8140,3 +8140,136 @@ def readability_flesch_sql() -> str:
         "  END AS BIGINT) AS flesch_micros\n"
         "FROM rf_cnt"
     )
+
+
+def four_cliques_sql() -> str:
+    """Mirror of algos.triangles.four_clique_count: ordered K4
+    enumeration — each clique once from its id-ordered triangle plus
+    the three arcs into the id-max extension vertex (the Spark side
+    orients by degree; the enumerated SET is identical)."""
+    body = (
+        f", {_TRI_CTES}\n"
+        "SELECT CAST(count(*) AS BIGINT) AS cliques4\n"
+        "FROM tri t\n"
+        "JOIN o e4 ON e4.a = t.v3\n"
+        "JOIN o e5 ON e5.a = t.v2 AND e5.b = e4.b\n"
+        "JOIN o e6 ON e6.a = t.v1 AND e6.b = e4.b"
+    )
+    return _graph_query(body)
+
+
+def widest_path_sql(source: int = 0, supersteps: int = 7) -> str:
+    """Mirror of algos.sssp.WidestPath after ``supersteps`` (rounds =
+    supersteps − 1, same ss0-initializes convention as sssp_sql):
+    unrolled max-min relaxation — resending from all reached vertices
+    is value-identical to the engine's changed-only sends because the
+    semiring is monotone.  1e18 = the source's unbounded-capacity
+    sentinel, NULL = unreached, both mirrored."""
+    parts = [
+        _WEDGES_CTE,
+        f"wp0 AS MATERIALIZED (SELECT id, CASE WHEN id = {source} "
+        "THEN CAST(1.0e18 AS DOUBLE) END AS wd FROM vertices)",
+    ]
+    for k in range(1, supersteps):
+        prev = f"wp{k - 1}"
+        parts.append(
+            f"wp{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id,\n"
+            f"         CASE WHEN m.d IS NULL THEN p.wd\n"
+            f"              WHEN p.wd IS NULL THEN m.d\n"
+            f"              ELSE greatest(p.wd, m.d) END AS wd\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, max(least(q.wd, e.w)) AS d\n"
+            f"    FROM wedges e JOIN {prev} q"
+            " ON q.id = e.src AND q.wd IS NOT NULL\n"
+            f"    GROUP BY e.dst) m ON m.id = p.id)"
+        )
+    body = (
+        ", " + ",\n".join(parts) + "\n"
+        f"SELECT id, round(wd, 6) AS width FROM wp{supersteps - 1}"
+    )
+    return _graph_query(body)
+
+
+def ewma_daily_sql(alpha_num: int = 1, alpha_den: int = 4) -> str:
+    """Mirror of operators.analytics.ewma_daily: zero-filled day spine,
+    the fold as a recursive CTE over row-numbered days (non-negative
+    // == Spark's remainder-subtract), NULL residual at t=0."""
+    a, b, den = int(alpha_num), int(alpha_den - alpha_num), int(alpha_den)
+    return (
+        "WITH RECURSIVE ewd AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),\n"
+        "ewr AS (SELECT min(d) AS lo, max(d) AS hi FROM ewd),\n"
+        "ews AS MATERIALIZED (\n"
+        "  SELECT unnest(range(lo, hi + 1)) AS d FROM ewr),\n"
+        "ewf AS MATERIALIZED (\n"
+        "  SELECT s.d, CAST(COALESCE(e.y, 0) AS BIGINT) AS y,\n"
+        "    row_number() OVER (ORDER BY s.d) AS i\n"
+        "  FROM ews s LEFT JOIN ewd e USING (d)),\n"
+        "ewfold(i, d, y, s, r) AS (\n"
+        "  SELECT i, d, y, CAST(1000000 * y AS BIGINT),\n"
+        "    CAST(NULL AS BIGINT)\n"
+        "  FROM ewf WHERE i = 1\n"
+        "  UNION ALL\n"
+        "  SELECT f.i, f.d, f.y,\n"
+        f"    CAST(({a} * 1000000 * f.y + {b} * p.s) // {den}"
+        " AS BIGINT),\n"
+        "    CAST(1000000 * f.y - p.s AS BIGINT)\n"
+        "  FROM ewfold p JOIN ewf f ON f.i = p.i + 1)\n"
+        "SELECT d, y, s AS ewma_micros, r AS resid_micros FROM ewfold"
+    )
+
+
+def ipf_raking_sql(iterations: int = 4) -> str:
+    """Mirror of operators.packing.ipf_raking: one contingency
+    groupBy, then the alternating row/column scalings unrolled —
+    HUGEINT products for the scale ratio and the margin sums
+    (== Spark's DECIMAL(38,0) path, truncation toward zero)."""
+    parts = [
+        "ipfc AS MATERIALIZED (\n"
+        "  SELECT lang AS r, source AS c,"
+        " CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM documents GROUP BY 1, 2)",
+        "ipft AS (SELECT CAST(sum(n) AS BIGINT) AS total,\n"
+        "  CAST(count(DISTINCT r) AS BIGINT) AS nr FROM ipfc)",
+        "ipfct AS MATERIALIZED (SELECT c,"
+        " CAST(sum(n) AS BIGINT) AS t_col FROM ipfc GROUP BY 1)",
+        "ipfw0 AS MATERIALIZED (\n"
+        "  SELECT r, c, n, CAST(1000000 AS BIGINT) AS w,\n"
+        "    (SELECT CAST((total - total % nr) // nr AS BIGINT)"
+        " FROM ipft) AS t_row\n"
+        "  FROM ipfc)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"ipfw{k - 1}"
+        parts.append(
+            f"ipfr{k} AS MATERIALIZED (\n"
+            f"  SELECT w.r, w.c, w.n, w.t_row,\n"
+            "    CAST(CASE WHEN m.ms > 0 THEN\n"
+            "      (CAST(w.w AS HUGEINT) * w.t_row * 1000000) // m.ms\n"
+            "    ELSE w.w END AS BIGINT) AS w\n"
+            f"  FROM {prev} w JOIN (\n"
+            "    SELECT r, CAST(sum(CAST(n AS HUGEINT) * w) AS HUGEINT)"
+            " AS ms\n"
+            f"    FROM {prev} GROUP BY r) m USING (r))"
+        )
+        parts.append(
+            f"ipfw{k} AS MATERIALIZED (\n"
+            f"  SELECT w.r, w.c, w.n, w.t_row,\n"
+            "    CAST(CASE WHEN m.ms > 0 THEN\n"
+            "      (CAST(w.w AS HUGEINT) * ct.t_col * 1000000) // m.ms\n"
+            "    ELSE w.w END AS BIGINT) AS w\n"
+            f"  FROM ipfr{k} w JOIN (\n"
+            "    SELECT c, CAST(sum(CAST(n AS HUGEINT) * w) AS HUGEINT)"
+            " AS ms\n"
+            f"    FROM ipfr{k} GROUP BY c) m USING (c)\n"
+            "  JOIN ipfct ct USING (c))"
+        )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        "SELECT r AS lang, c AS source, n AS n_docs,"
+        " w AS weight_micros\n"
+        f"FROM ipfw{iterations}"
+    )

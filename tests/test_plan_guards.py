@@ -383,6 +383,10 @@ def test_wedge_family_degree_oriented(spark, monkeypatch):
     assert ("rows", "degree") in seen, "c(k) curve no longer degree-oriented"
 
     seen.clear()
+    T.four_clique_count(df).collect()
+    assert ("rows", "degree") in seen, "K4 count no longer degree-oriented"
+
+    seen.clear()
     rect = T.rectangle_count(df).collect()[0]["rectangles"]
     assert ("oriented", "degree") in seen, "rectangles no longer degree-oriented"
     # undirected closure is K4 on {1,2,3,4}: exactly 3 distinct 4-cycles

@@ -1,0 +1,164 @@
+"""Wave-6 operators (4-cliques, widest path, EWMA, IPF raking) vs
+python brute force on hand-built inputs."""
+
+from __future__ import annotations
+
+import datetime
+import itertools
+
+from pyspark.sql import functions as F
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def test_four_cliques_bruteforce(spark):
+    """K4 count vs itertools over the undirected closure — includes a
+    5-clique (5 K4s), a chordless 4-cycle (0), and a dangling edge."""
+    from graphlite_spark.algos.triangles import four_clique_count
+
+    k5 = list(itertools.combinations(range(5), 2))
+    c4 = [(10, 11), (11, 12), (12, 13), (13, 10)]  # chordless square
+    extra = [(0, 20), (20, 21)]
+    pairs = k5 + c4 + extra
+    got = four_clique_count(_edges(spark, pairs)).collect()[0]["cliques4"]
+
+    und = set()
+    verts = set()
+    for a, b in pairs:
+        und.add((min(a, b), max(a, b)))
+        verts |= {a, b}
+    want = sum(
+        1
+        for quad in itertools.combinations(sorted(verts), 4)
+        if all(
+            (min(x, y), max(x, y)) in und
+            for x, y in itertools.combinations(quad, 2)
+        )
+    )
+    assert want == 5  # C(5,4) from the 5-clique only
+    assert got == want
+
+    # both orientations agree
+    got_id = four_clique_count(_edges(spark, pairs), orient="id").collect()[
+        0
+    ]["cliques4"]
+    assert got_id == want
+
+
+def test_widest_path_bruteforce(spark):
+    """Max-min semiring vs python relaxation on a weighted digraph where
+    the widest route differs from the shortest route."""
+    from graphlite_spark.algos.sssp import INF, widest_path
+
+    # 0->1 (cap 1) ->3 direct, vs 0->2 (cap 5) ->3 (cap 4): widest to 3
+    # is 4 via the longer route
+    wedges = [
+        (0, 1, 1.0), (1, 3, 9.0),
+        (0, 2, 5.0), (2, 3, 4.0),
+        (3, 4, 2.0), (5, 0, 7.0),  # 5 unreached from 0; feeds 0
+    ]
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    e = spark.createDataFrame(wedges, "src long, dst long, weight double")
+    res = widest_path(v, e, source=0, fixed_supersteps=7)
+    got = {
+        r["id"]: r["value"] for r in res.state.select("id", "value").collect()
+    }
+
+    width = {i: 0.0 for i in range(6)}
+    width[0] = INF
+    for _ in range(7):
+        nxt = dict(width)
+        for s, d, w in wedges:
+            if width[s] > 0:
+                nxt[d] = max(nxt[d], min(width[s], w))
+        width = nxt
+    assert got == width
+    assert got[3] == 4.0 and got[4] == 2.0 and got[5] == 0.0
+
+
+def test_ewma_daily_bruteforce(spark):
+    """EWMA fold vs python: zero-filled gap day, truncating quarters,
+    first-day NULL residual."""
+    from graphlite_spark.operators.analytics import ewma_daily
+
+    counts = {0: 5, 1: 2, 3: 7}  # day 2 missing -> 0
+    rows = []
+    eid = 0
+    for d, c in counts.items():
+        for j in range(c):
+            rows.append(
+                (eid, BASE + datetime.timedelta(days=d, minutes=j), 1,
+                 "view", 1.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    out = sorted(
+        (r["d"], r["y"], r["ewma_micros"], r["resid_micros"])
+        for r in ewma_daily(df).collect()
+    )
+
+    xs = [counts.get(d, 0) for d in range(4)]
+    s = 1_000_000 * xs[0]
+    want = [(out[0][0], xs[0], s, None)]
+    d0 = out[0][0]
+    for t in range(1, 4):
+        r = 1_000_000 * xs[t] - s
+        s = (1 * 1_000_000 * xs[t] + 3 * s) // 4
+        want.append((d0 + t, xs[t], s, r))
+    assert out == want
+
+
+def test_ipf_raking_bruteforce(spark):
+    """Raking vs python: after 4 rounds the weighted language margins
+    approach uniform while source margins hold."""
+    from graphlite_spark.operators.packing import ipf_raking
+
+    rows = []
+    did = 0
+    cells = {("en", "web"): 6, ("en", "code"): 2,
+             ("fr", "web"): 1, ("fr", "code"): 3}
+    for (lang, src), c in cells.items():
+        for _ in range(c):
+            rows.append((did, "t", lang, src, 1))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    got = {
+        (r["lang"], r["source"]): (r["n_docs"], r["weight_micros"])
+        for r in ipf_raking(df, iterations=4).collect()
+    }
+
+    total = sum(cells.values())
+    langs = sorted({k[0] for k in cells})
+    t_row = total // len(langs)
+    t_col = {}
+    for (lang, src), c in cells.items():
+        t_col[src] = t_col.get(src, 0) + c
+    w = {k: 1_000_000 for k in cells}
+    for _ in range(4):
+        for axis, target in ((0, None), (1, t_col)):
+            ms = {}
+            for k, c in cells.items():
+                ms[k[axis]] = ms.get(k[axis], 0) + c * w[k]
+            for k in w:
+                t = t_row if axis == 0 else target[k[1]]
+                if ms[k[axis]] > 0:
+                    w[k] = (w[k] * t * 1_000_000) // ms[k[axis]]
+    want = {k: (cells[k], w[k]) for k in cells}
+    assert got == want
+    # the raked language margins are near-uniform (within truncation)
+    for lang in langs:
+        m = sum(cells[k] * w[k] for k in cells if k[0] == lang)
+        assert abs(m - t_row * 1_000_000) <= total * 1_000_000 // 100
