@@ -2554,6 +2554,46 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ipf_raking(load_table(spark, sf_dir, "documents"))
 
 
+def q_label_spreading_6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semi-supervised harmonic label propagation: every third vertex
+    # keeps its true role pinned one-hot, the rest average neighbors
+    from graphlite_spark.algos.community import label_spreading
+
+    t, v, e = graph_tables(spark, sf_dir)
+    labels = v.join(
+        t.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"]
+    ).select("id", F.col("role").alias("label"))
+    return label_spreading(
+        v, e, labels, ("user", "assistant", "tool"),
+        seed_mod=3, iterations=6,
+    )
+
+
+def q_deanon_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # graph-release privacy: histogram of (degree, neighbor-degree
+    # multiset) signature class sizes on the user contact graph —
+    # size-1 classes are re-identifiable from shape alone
+    from graphlite_spark.algos.stats import deanon_uniqueness
+
+    ce = contact_edges(_events_us(spark, sf_dir)).select("src", "dst")
+    return deanon_uniqueness(ce)
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly-cycle profile: per-weekday mean daily count and its micro
+    # deviation from the all-days mean (acf_daily's lag-7 peak, named)
+    from graphlite_spark.operators.analytics import dow_seasonality
+
+    return dow_seasonality(load_table(spark, sf_dir, "events"))
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dominant 3-step journeys per actor timeline (deterministic top-20)
+    from graphlite_spark.operators.temporal import event_trigrams
+
+    return event_trigrams(load_table(spark, sf_dir, "events"), k=20)
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3211,6 +3251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "widest_path_7ss": q_widest_path_7ss,
         "ewma_daily": q_ewma_daily,
         "ipf_raking": q_ipf_raking,
+        "label_spreading_6": q_label_spreading_6,
+        "deanon_uniqueness": q_deanon_uniqueness,
+        "dow_seasonality": q_dow_seasonality,
+        "event_trigrams": q_event_trigrams,
     }
 
 
@@ -3369,6 +3413,10 @@ def oracle_sql() -> dict[str, str]:
         "widest_path_7ss": O.widest_path_sql(0, 7),
         "ewma_daily": O.ewma_daily_sql(1, 4),
         "ipf_raking": O.ipf_raking_sql(4),
+        "label_spreading_6": O.label_spreading_sql(3, 6),
+        "deanon_uniqueness": O.deanon_uniqueness_sql(),
+        "dow_seasonality": O.dow_seasonality_sql(),
+        "event_trigrams": O.event_trigrams_sql(20),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

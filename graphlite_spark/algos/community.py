@@ -199,3 +199,92 @@ def contract_graph(
         .groupBy("c_src", "c_dst")
         .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     )
+
+
+def label_spreading(
+    vertices: DataFrame,
+    edges: DataFrame,
+    labels: DataFrame,
+    label_values: tuple[str, ...],
+    seed_mod: int = 3,
+    iterations: int = 6,
+) -> DataFrame:
+    """(id, seed, p_<label>_micros...) — semi-supervised label
+    propagation (Zhu & Ghahramani 2002's harmonic function, public
+    literature): seed vertices (``id % seed_mod == 0``, a deterministic
+    holdout) keep their one-hot label distribution pinned; every other
+    vertex repeatedly adopts the AVERAGE of its neighbors'
+    distributions over the undirected closure — after ``iterations``
+    rounds the unlabeled mass has diffused from the seeds, the
+    classic "label the 1% you have, spread to the 99%" GNN-adjacent
+    baseline (LPA's probabilistic sibling: lpa hard-assigns by
+    majority, this keeps the full distribution).
+
+    Exactness: distributions ride integer micros; the per-round
+    neighbor average is a truncating div by the undirected degree, so
+    non-seed rows may sum slightly under 10^6 (stated truncation
+    residue, identical on both engines).  Isolated non-seeds stay
+    all-zero.
+
+    Scale shape: one symmetrize + degree pass, then per round ONE
+    scatter equi-join (arcs x current frame) and one map-side-combined
+    groupBy — the linear-loop Pregel shape (no self-join, so no
+    plan-stat squaring; lineage stays ``iterations`` deep, fine at 6)."""
+    arcs = symmetrize(edges).select("src", "dst")
+    deg = arcs.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("dg")
+    )
+    pcols = [f"p_{v}_micros" for v in label_values]
+    base = (
+        vertices.select("id")
+        .join(labels, "id")
+        .select(
+            "id",
+            (F.col("id") % seed_mod == 0).cast("int").alias("seed"),
+            *[
+                F.when(
+                    (F.col("id") % seed_mod == 0)
+                    & (F.col("label") == F.lit(v)),
+                    F.lit(1_000_000),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(c)
+                for v, c in zip(label_values, pcols)
+            ],
+        )
+        .join(deg, "id", "left")
+        .select(
+            "id", "seed",
+            F.coalesce("dg", F.lit(0)).cast("long").alias("dg"),
+            *pcols,
+        )
+    )
+    p = base.select("id", *pcols)
+    for _ in range(iterations):
+        sums = (
+            arcs.join(p.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                *[F.sum(c).cast("long").alias("s_" + c) for c in pcols]
+            )
+        )
+
+        def _avg(c: str):
+            s = F.coalesce(F.col("s_" + c), F.lit(0).cast("long"))
+            return ((s - s % F.col("dg")) / F.col("dg")).cast("long")
+
+        p = base.join(sums, "id", "left").select(
+            "id",
+            *[
+                F.when(F.col("seed") == 1, F.col(c))
+                .when(F.col("dg") > 0, _avg(c))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias(c)
+                for c in pcols
+            ],
+        )
+    return base.select("id", "seed").join(p, "id").select(
+        "id", "seed", *pcols
+    )

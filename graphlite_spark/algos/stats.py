@@ -544,3 +544,55 @@ def degree_mixing_matrix(edges: DataFrame) -> DataFrame:
         .groupBy("bucket_a", "bucket_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     )
+
+
+def deanon_uniqueness(edges: DataFrame) -> DataFrame:
+    """(class_size, n_classes, n_vertices) — structural
+    de-anonymization risk (Narayanan & Shmatikov 2009's threat model,
+    public literature): partition vertices by the local-structure
+    signature ``(degree, sorted multiset of neighbor degrees)`` over
+    the undirected closure and histogram the class sizes.  A vertex in
+    a size-1 class is re-identifiable from graph shape alone even with
+    ids stripped — the graph-release leg of the k-anonymity /
+    l-diversity / t-closeness tabular triad.
+
+    The neighbor-degree multiset rides as md5 over the comma-joined
+    NUMERICALLY sorted degree list (ints sorted before stringification
+    — lexicographic "10"<"2" traps avoided; md5 is the engines' shared
+    hash).  Scale shape: one symmetrize, one degree aggregate, one
+    arc–degree equi-join, and one per-vertex sorted collect whose size
+    is the vertex's degree (bounded by the same hub reality any
+    adjacency-list representation carries); then codebook-sized
+    histogram groupBys."""
+    from graphlite_spark.algos.components import symmetrize
+
+    arcs = symmetrize(edges).select("src", "dst")
+    deg = arcs.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("dg")
+    )
+    nbr = arcs.join(
+        deg.select(F.col("id").alias("dst"), F.col("dg").alias("nd")),
+        "dst",
+    )
+    sig = (
+        nbr.groupBy(F.col("src").alias("id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dg"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("nd")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("h"),
+        )
+    )
+    classes = sig.groupBy("dg", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    return classes.groupBy("class_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_vertices"),
+    )

@@ -1358,3 +1358,51 @@ def ewma_daily(
         F.col("st.s").alias("ewma_micros"),
         F.col("st.r").alias("resid_micros"),
     )
+
+
+def dow_seasonality(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """(dow, n_days, sum_events, mean_daily_micros, dev_micros) — the
+    day-of-week seasonality profile of the zero-filled daily count
+    series: mean events per calendar day for each weekday (0 = Monday;
+    epoch day 0 was a Thursday, hence ``(d + 3) % 7``), and its exact
+    micro deviation from the all-days mean — the direct readout of the
+    weekly cycle :func:`acf_daily`'s lag-7 peak only hints at.
+
+    Exactness: both means are truncating micro divisions of exact
+    BIGINT sums; the deviation is their plain difference (may be
+    negative — Spark ``div`` and DuckDB ``//`` both truncate toward
+    zero, measured).  Scale shape: one map-side-combined daily groupBy,
+    then everything lives on the calendar-bounded spine."""
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    filled = (
+        rng.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+        )
+        .join(daily, "d", "left")
+        .select(
+            ((F.col("d") + 3) % 7).cast("int").alias("dow"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    tot = filled.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    per = filled.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("sum_events"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dow", "n_days", "sum_events",
+        F.expr("(1000000 * sum_events) div n_days")
+        .cast("long").alias("mean_daily_micros"),
+        (
+            F.expr("(1000000 * sum_events) div n_days")
+            - F.expr("(1000000 * sy) div nd")
+        ).cast("long").alias("dev_micros"),
+    )

@@ -495,3 +495,36 @@ def intercontact_histogram(
             .alias("n_pairs"),
         )
     )
+
+
+def event_trigrams(
+    events: DataFrame,
+    k: int = 20,
+    actor_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(a, b, c, n) — the ``k`` most frequent length-3 event-type paths
+    over per-actor timelines (ties broken by (a, b, c) so top-k is
+    deterministic): the sequence-mining readout one step past
+    tool_transitions' bigrams — which three-step journeys dominate?
+
+    Scale shape: one per-actor lag window over the facts (same shuffle
+    conversion_prob rides), a map-side-combined trigram groupBy, and a
+    global top-k that plans as TakeOrderedAndProject (k rows per
+    partition, never a global sort)."""
+    w = Window.partitionBy(actor_col).orderBy(ts_col, tie_col)
+    tri = (
+        events.select(
+            F.lag(state_col, 2).over(w).alias("a"),
+            F.lag(state_col, 1).over(w).alias("b"),
+            F.col(state_col).alias("c"),
+        )
+        .where(F.col("a").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return tri.orderBy(
+        F.col("n").desc(), "a", "b", "c"
+    ).limit(k)

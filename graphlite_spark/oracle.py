@@ -8273,3 +8273,129 @@ def ipf_raking_sql(iterations: int = 4) -> str:
         " w AS weight_micros\n"
         f"FROM ipfw{iterations}"
     )
+
+
+def label_spreading_sql(
+    seed_mod: int = 3, iterations: int = 6
+) -> str:
+    """Mirror of algos.community.label_spreading over the transcript
+    graph with tv roles: und closure + degree, seeds pinned one-hot,
+    per-round neighbor-sum // degree (non-negative, == Spark's
+    remainder-subtract)."""
+    roles = ("user", "assistant", "tool")
+    cols = [f"p_{r}_micros" for r in roles]
+    pin = ",\n".join(
+        f"    CAST(CASE WHEN v.id % {seed_mod} = 0 AND t.role = '{r}'"
+        f" THEN 1000000 ELSE 0 END AS BIGINT) AS {c}"
+        for r, c in zip(roles, cols)
+    )
+    parts = [
+        "lsd AS MATERIALIZED (SELECT src AS id,"
+        " CAST(count(*) AS BIGINT) AS dg FROM und GROUP BY 1)",
+        "lsb AS MATERIALIZED (\n"
+        f"  SELECT v.id, CASE WHEN v.id % {seed_mod} = 0 THEN 1"
+        " ELSE 0 END AS seed,\n"
+        "    CAST(COALESCE(d.dg, 0) AS BIGINT) AS dg,\n"
+        f"{pin}\n"
+        "  FROM vertices v JOIN tv t USING (id)\n"
+        "  LEFT JOIN lsd d ON d.id = v.id)",
+        "ls0 AS MATERIALIZED (SELECT id, "
+        + ", ".join(cols)
+        + " FROM lsb)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"ls{k - 1}"
+        upd = ",\n".join(
+            f"    CAST(CASE WHEN b.seed = 1 THEN b.{c}\n"
+            f"      WHEN b.dg > 0 THEN COALESCE(m.s_{c}, 0) // b.dg\n"
+            f"      ELSE 0 END AS BIGINT) AS {c}"
+            for c in cols
+        )
+        sums = ", ".join(f"SUM(q.{c}) AS s_{c}" for c in cols)
+        parts.append(
+            f"ls{k} AS MATERIALIZED (\n"
+            f"  SELECT b.id,\n{upd}\n"
+            "  FROM lsb b LEFT JOIN (\n"
+            f"    SELECT u.dst AS id, {sums}\n"
+            f"    FROM und u JOIN {prev} q ON q.id = u.src\n"
+            "    GROUP BY u.dst) m ON m.id = b.id)"
+        )
+    body = (
+        ", " + ",\n".join(parts) + "\n"
+        "SELECT l.id, b.seed, "
+        + ", ".join(f"l.{c}" for c in cols)
+        + f"\nFROM ls{iterations} l JOIN lsb b USING (id)"
+    )
+    return _graph_query(body)
+
+
+def deanon_uniqueness_sql() -> str:
+    """Mirror of algos.stats.deanon_uniqueness over the user contact
+    graph: symmetrized distinct closure, (degree, md5 of the
+    numerically sorted neighbor-degree list) signature classes, class-
+    size histogram."""
+    return (
+        "WITH ev AS MATERIALIZED (SELECT event_id, user_id,"
+        " event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),\n"
+        "ce AS MATERIALIZED (SELECT DISTINCT src, dst FROM (\n"
+        "  SELECT lag(user_id) OVER (PARTITION BY event_type\n"
+        "           ORDER BY ts_us, event_id) AS src, user_id AS dst\n"
+        "  FROM ev) WHERE src IS NOT NULL AND src <> dst),\n"
+        "du AS MATERIALIZED (SELECT DISTINCT src, dst FROM (\n"
+        "  SELECT src, dst FROM ce\n"
+        "  UNION ALL SELECT dst, src FROM ce) WHERE src <> dst),\n"
+        "dd AS MATERIALIZED (SELECT src AS id,"
+        " CAST(count(*) AS BIGINT) AS dg FROM du GROUP BY 1),\n"
+        "dsig AS MATERIALIZED (\n"
+        "  SELECT u.src AS id, CAST(count(*) AS BIGINT) AS dg,\n"
+        "    md5(array_to_string(list_sort(list(d.dg)), ',')) AS h\n"
+        "  FROM du u JOIN dd d ON d.id = u.dst GROUP BY u.src),\n"
+        "dcls AS MATERIALIZED (SELECT dg, h,"
+        " CAST(count(*) AS BIGINT) AS class_size\n"
+        "  FROM dsig GROUP BY 1, 2)\n"
+        "SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes,\n"
+        "  CAST(sum(class_size) AS BIGINT) AS n_vertices\n"
+        "FROM dcls GROUP BY 1"
+    )
+
+
+def dow_seasonality_sql() -> str:
+    """Mirror of operators.analytics.dow_seasonality: zero-filled day
+    spine, (d + 3) % 7 weekday (0 = Monday), truncating micro means
+    and their difference."""
+    return (
+        "WITH dsd AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),\n"
+        "dsr AS (SELECT min(d) AS lo, max(d) AS hi FROM dsd),\n"
+        "dsf AS MATERIALIZED (\n"
+        "  SELECT CAST((s.d + 3) % 7 AS INT) AS dow,\n"
+        "    CAST(COALESCE(e.y, 0) AS BIGINT) AS y\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM dsr) s\n"
+        "  LEFT JOIN dsd e USING (d)),\n"
+        "dst0 AS (SELECT CAST(count(*) AS BIGINT) AS nd,\n"
+        "  CAST(sum(y) AS BIGINT) AS sy FROM dsf)\n"
+        "SELECT dow, CAST(count(*) AS BIGINT) AS n_days,\n"
+        "  CAST(sum(y) AS BIGINT) AS sum_events,\n"
+        "  CAST((1000000 * sum(y)) // count(*) AS BIGINT)"
+        " AS mean_daily_micros,\n"
+        "  CAST((1000000 * sum(y)) // count(*)\n"
+        "    - (SELECT (1000000 * sy) // nd FROM dst0) AS BIGINT)"
+        " AS dev_micros\n"
+        "FROM dsf GROUP BY 1"
+    )
+
+
+def event_trigrams_sql(k: int = 20) -> str:
+    """Mirror of operators.temporal.event_trigrams: per-actor lag
+    window, trigram counts, deterministic top-k."""
+    return (
+        "SELECT a, b, c, CAST(count(*) AS BIGINT) AS n FROM (\n"
+        "  SELECT lag(event_type, 2) OVER w AS a,\n"
+        "    lag(event_type) OVER w AS b, event_type AS c\n"
+        "  FROM events\n"
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))\n"
+        "WHERE a IS NOT NULL GROUP BY 1, 2, 3\n"
+        f"ORDER BY n DESC, a, b, c LIMIT {int(k)}"
+    )

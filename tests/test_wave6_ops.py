@@ -162,3 +162,173 @@ def test_ipf_raking_bruteforce(spark):
     for lang in langs:
         m = sum(cells[k] * w[k] for k in cells if k[0] == lang)
         assert abs(m - t_row * 1_000_000) <= total * 1_000_000 // 100
+
+
+def test_label_spreading_bruteforce(spark):
+    """Harmonic spreading vs python on a path graph: seeds pinned,
+    truncating neighbor averages, isolated non-seed stays zero."""
+    from graphlite_spark.algos.community import label_spreading
+
+    # path 0-1-2-3-4, isolated 5 (non-seed), isolated 6 (seed)
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    v = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    e = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in pairs],
+        "src long, dst long, weight double",
+    )
+    roles = {0: "user", 1: "assistant", 2: "user", 3: "tool",
+             4: "user", 5: "assistant", 6: "tool"}
+    labels = spark.createDataFrame(
+        list(roles.items()), "id long, label string"
+    )
+    got = {
+        r["id"]: (r["seed"], r["p_user_micros"],
+                  r["p_assistant_micros"], r["p_tool_micros"])
+        for r in label_spreading(
+            v, e, labels, ("user", "assistant", "tool"),
+            seed_mod=3, iterations=6,
+        ).collect()
+    }
+
+    und = {}
+    for a, b in pairs:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    classes = ("user", "assistant", "tool")
+    p = {}
+    for i in range(7):
+        if i % 3 == 0:
+            p[i] = tuple(
+                1_000_000 if roles[i] == c else 0 for c in classes
+            )
+        else:
+            p[i] = (0, 0, 0)
+    for _ in range(6):
+        nxt = {}
+        for i in range(7):
+            if i % 3 == 0:
+                nxt[i] = p[i]
+            elif i in und:
+                dg = len(und[i])
+                nxt[i] = tuple(
+                    sum(p[j][k] for j in und[i]) // dg for k in range(3)
+                )
+            else:
+                nxt[i] = (0, 0, 0)
+        p = nxt
+    want = {i: (1 if i % 3 == 0 else 0, *p[i]) for i in range(7)}
+    assert got == want
+    assert got[5] == (0, 0, 0, 0)          # isolated non-seed
+    assert got[6] == (1, 0, 0, 1_000_000)  # isolated seed pinned
+
+
+def test_deanon_uniqueness_bruteforce(spark):
+    """Signature classes vs python: a symmetric pair shares a class, a
+    hub is unique; numeric (not lexicographic) degree-list sort."""
+    from graphlite_spark.algos.stats import deanon_uniqueness
+
+    # star 0-(1..11) plus edge 1-2: leaves 3..11 share a signature,
+    # 1 and 2 share one, hub 0 unique (degree 11 sorted after 2 only
+    # under NUMERIC sort of its neighbor list)
+    pairs = [(0, i) for i in range(1, 12)] + [(1, 2)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["class_size"]: (r["n_classes"], r["n_vertices"])
+        for r in deanon_uniqueness(e).collect()
+    }
+
+    und = {}
+    for a, b in pairs:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    sig = {}
+    for v, nbrs in und.items():
+        s = (len(nbrs), tuple(sorted(len(und[n]) for n in nbrs)))
+        sig.setdefault(s, []).append(v)
+    want = {}
+    for members in sig.values():
+        k = len(members)
+        n_classes, n_vertices = want.get(k, (0, 0))
+        want[k] = (n_classes + 1, n_vertices + k)
+    assert got == want
+    assert got[9] == (1, 9) and got[2] == (1, 2) and got[1] == (1, 1)
+
+
+def test_dow_seasonality_bruteforce(spark):
+    """Weekday means vs python over a 10-day spine with an empty day."""
+    from graphlite_spark.operators.analytics import dow_seasonality
+
+    counts = {0: 4, 1: 1, 2: 2, 4: 6, 7: 3, 9: 5}  # days 3,5,6,8 empty
+    rows = []
+    eid = 0
+    for d, c in counts.items():
+        for j in range(c):
+            rows.append(
+                (eid, BASE + datetime.timedelta(days=d, minutes=j),
+                 1, "view", 1.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    got = {
+        r["dow"]: (r["n_days"], r["sum_events"],
+                   r["mean_daily_micros"], r["dev_micros"])
+        for r in dow_seasonality(df).collect()
+    }
+
+    d0 = (BASE - datetime.datetime(1970, 1, 1)).days
+    xs = {d0 + d: counts.get(d, 0) for d in range(10)}
+    nd, sy = len(xs), sum(xs.values())
+    overall = (1_000_000 * sy) // nd
+    want = {}
+    for d, y in xs.items():
+        dow = (d + 3) % 7
+        n, s = want.get(dow, (0, 0))
+        want[dow] = (n + 1, s + y)
+    want = {
+        k: (n, s, (1_000_000 * s) // n, (1_000_000 * s) // n - overall)
+        for k, (n, s) in want.items()
+    }
+    assert got == want
+    # BASE is a Monday: epoch-day formula must agree with the calendar
+    assert BASE.weekday() == (d0 + 3) % 7
+
+
+def test_event_trigrams_bruteforce(spark):
+    """Top-k trigram paths vs python, deterministic tie order."""
+    from graphlite_spark.operators.temporal import event_trigrams
+
+    seqs = {
+        1: ["view", "click", "purchase", "view", "click", "purchase"],
+        2: ["view", "click", "purchase"],
+        3: ["signup", "view", "click"],
+    }
+    rows = []
+    eid = 0
+    for u, seq in seqs.items():
+        for j, t in enumerate(seq):
+            rows.append(
+                (eid, BASE + datetime.timedelta(minutes=j), u, t, 1.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    got = [
+        (r["a"], r["b"], r["c"], r["n"])
+        for r in event_trigrams(df, k=3).collect()
+    ]
+
+    cnt: dict[tuple, int] = {}
+    for seq in seqs.values():
+        for i in range(len(seq) - 2):
+            t = tuple(seq[i:i + 3])
+            cnt[t] = cnt.get(t, 0) + 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == [(a, b, c, n) for (a, b, c), n in want]
+    assert got[0] == ("view", "click", "purchase", 3)
