@@ -2594,6 +2594,38 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_trigrams(load_table(spark, sf_dir, "events"), k=20)
 
 
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semi-structured tier: profile the JSON props payload's k field
+    # per event type (missing/null accounted separately)
+    from graphlite_spark.operators.profiling import props_json_stats
+
+    return props_json_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lifetime-value triangle: retention_cohorts' money sibling with a
+    # per-cohort cumulative curve
+    from graphlite_spark.operators.analytics import cohort_ltv
+
+    return cohort_ltv(load_table(spark, sf_dir, "events"))
+
+
+def q_audience_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact audience Jaccard per event-type pair — the ground truth the
+    # KMV/HLL overlap sketches estimate
+    from graphlite_spark.operators.analytics import audience_overlap_exact
+
+    return audience_overlap_exact(load_table(spark, sf_dir, "events"))
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-to-convert quantiles (first view -> first purchase), exact
+    # discrete rank rule
+    from graphlite_spark.operators.temporal import conversion_lag_quantiles
+
+    return conversion_lag_quantiles(load_table(spark, sf_dir, "events"))
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3255,6 +3287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deanon_uniqueness": q_deanon_uniqueness,
         "dow_seasonality": q_dow_seasonality,
         "event_trigrams": q_event_trigrams,
+        "props_json_stats": q_props_json_stats,
+        "cohort_ltv": q_cohort_ltv,
+        "audience_overlap_exact": q_audience_overlap_exact,
+        "conversion_lag": q_conversion_lag,
     }
 
 
@@ -3417,6 +3453,12 @@ def oracle_sql() -> dict[str, str]:
         "deanon_uniqueness": O.deanon_uniqueness_sql(),
         "dow_seasonality": O.dow_seasonality_sql(),
         "event_trigrams": O.event_trigrams_sql(20),
+        "props_json_stats": O.props_json_stats_sql("k"),
+        "cohort_ltv": O.cohort_ltv_sql(),
+        "audience_overlap_exact": O.audience_overlap_exact_sql(),
+        "conversion_lag": O.conversion_lag_quantiles_sql(
+            "view", "purchase"
+        ),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

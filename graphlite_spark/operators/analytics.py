@@ -1406,3 +1406,102 @@ def dow_seasonality(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             - F.expr("(1000000 * sy) div nd")
         ).cast("long").alias("dev_micros"),
     )
+
+
+def cohort_ltv(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_users, sum_cents, cum_cents) — the
+    lifetime-value triangle: :func:`retention_cohorts`'s money sibling.
+    Users join the cohort of their first active week; each event's
+    integer cents (same rounding as :func:`value_outliers_mad`) land in
+    (cohort, event week − cohort week), and ``cum_cents`` accumulates
+    along each cohort's offset axis — the curve whose plateau is the
+    cohort's LTV.
+
+    Scale shape: one per-user first-week aggregate, one equi-join back
+    to the facts, one map-side-combined (cohort, offset) groupBy; the
+    running sum's window is per-cohort over offsets — calendar-bounded
+    partitions, never a global sort."""
+    wk = events.select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {WEEK_US}")
+        .alias("week"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cohort = wk.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    per = (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "cohort_week", "week_offset", "n_users", "sum_cents",
+        F.sum("sum_cents").over(w).cast("long").alias("cum_cents"),
+    )
+
+
+def audience_overlap_exact(
+    events: DataFrame,
+    group_col: str = "event_type",
+    unit_col: str = "user_id",
+) -> DataFrame:
+    """(g_a, g_b, n_a, n_b, n_inter, n_union, jaccard_micros) — EXACT
+    audience overlap for every group pair (a < b): the ground truth the
+    KMV / HLL audience-overlap sketches estimate, kept exact here so
+    sketch error is a measurable number, not a hope.
+
+    Scale shape: the (unit, group) presence table is deduplicated once
+    (map-side combined); the pair intersection is a presence self-join
+    on the unit key — fan-out per unit is C(|groups touched|, 2),
+    bounded by the square of the GROUP-alphabet (codebook-sized), never
+    by activity volume.  Union and Jaccard are closed forms on the
+    counts."""
+    pres = (
+        events.select(
+            F.col(unit_col).alias("u"), F.col(group_col).alias("g")
+        )
+        .distinct()
+    )
+    sizes = pres.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    inter = (
+        pres.join(pres.withColumnRenamed("g", "g2"), "u")
+        .where(F.col("g") < F.col("g2"))
+        .groupBy(
+            F.col("g").alias("g_a"), F.col("g2").alias("g_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    j = (
+        inter.join(
+            sizes.select(F.col("g").alias("g_a"), F.col("sz").alias("n_a")),
+            "g_a",
+        )
+        .join(
+            sizes.select(F.col("g").alias("g_b"), F.col("sz").alias("n_b")),
+            "g_b",
+        )
+        .select(
+            "g_a", "g_b", "n_a", "n_b", "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            .cast("long").alias("n_union"),
+        )
+    )
+    return j.select(
+        "g_a", "g_b", "n_a", "n_b", "n_inter", "n_union",
+        F.expr("(1000000 * n_inter) div n_union")
+        .cast("long").alias("jaccard_micros"),
+    )

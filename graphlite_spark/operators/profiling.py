@@ -730,3 +730,35 @@ def t_closeness(
             F.col("t_bucket").cast("long"), "n_classes", "n_rows"
         )
     )
+
+
+def props_json_stats(
+    events: DataFrame,
+    props_col: str = "props",
+    group_col: str = "event_type",
+    field: str = "k",
+) -> DataFrame:
+    """(event_type, n, n_with_field, min_f, max_f, sum_f) — the
+    semi-structured tier: parse the JSON ``props`` payload per row
+    (``get_json_object`` — JVM-side SIMD JSON, no UDF) and profile the
+    extracted integer field per group.  Missing/null/malformed rows
+    count in ``n`` but not ``n_with_field`` — exactly the
+    dirty-payload accounting a 100 TB ingest needs before trusting a
+    field.
+
+    Scale shape: pure per-row extraction folded into ONE map-side-
+    combined groupBy — the JSON never shuffles, only the group keys
+    and partial aggregates do."""
+    f = F.get_json_object(F.col(props_col), f"$.{field}").cast("long")
+    return (
+        events.select(F.col(group_col).alias("g"), f.alias("f"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("f").cast("long").alias("n_with_field"),
+            F.min("f").cast("long").alias("min_f"),
+            F.max("f").cast("long").alias("max_f"),
+            F.sum("f").cast("long").alias("sum_f"),
+        )
+        .withColumnRenamed("g", group_col)
+    )

@@ -528,3 +528,50 @@ def event_trigrams(
     return tri.orderBy(
         F.col("n").desc(), "a", "b", "c"
     ).limit(k)
+
+
+def conversion_lag_quantiles(
+    events: DataFrame,
+    start_type: str = "view",
+    end_type: str = "purchase",
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(n, p25, p50, p75) — discrete quantiles of the per-actor
+    conversion lag in whole seconds: first ``end_type`` timestamp minus
+    first ``start_type`` timestamp, counted only for actors whose first
+    end strictly follows their first start (the time-to-convert
+    readout next to funnel counts — not just HOW MANY convert, but how
+    long the journey takes).
+
+    Rides :func:`~graphlite_spark.operators.quantiles.grouped_quantiles`
+    — the repo's exact engine-portable rank rule (rank =
+    ``(n·pct + 99) div 100``) — over a single group, so the three cut
+    points are BIGINT-exact on both engines.
+
+    Scale shape: one map-side-combined per-actor min-pair aggregate,
+    then the quantile machinery runs on the converting-actor table
+    (≤ one row per actor)."""
+    from graphlite_spark.operators.quantiles import grouped_quantiles
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per = events.groupBy(F.col(actor_col).alias("u")).agg(
+        F.min(
+            F.when(F.col("event_type") == start_type, us)
+        ).alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == end_type, us)
+        ).alias("t1"),
+    )
+    lags = per.where(
+        F.col("t0").isNotNull() & (F.col("t1") > F.col("t0"))
+    ).select(
+        F.lit("all").alias("g"),
+        F.expr("(t1 - t0) div 1000000").cast("long").alias("lag_s"),
+    )
+    return grouped_quantiles(lags, "g", "lag_s", (25, 50, 75)).select(
+        "n",
+        F.col("p25").cast("long").alias("p25"),
+        F.col("p50").cast("long").alias("p50"),
+        F.col("p75").cast("long").alias("p75"),
+    )

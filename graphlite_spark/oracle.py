@@ -8399,3 +8399,98 @@ def event_trigrams_sql(k: int = 20) -> str:
         "WHERE a IS NOT NULL GROUP BY 1, 2, 3\n"
         f"ORDER BY n DESC, a, b, c LIMIT {int(k)}"
     )
+
+
+def props_json_stats_sql(field: str = "k") -> str:
+    """Mirror of operators.profiling.props_json_stats: JSON field
+    extraction (json_extract == Spark get_json_object on well-formed
+    payloads, NULL propagating) and one grouped profile."""
+    return (
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(count(f) AS BIGINT) AS n_with_field,\n"
+        "  CAST(min(f) AS BIGINT) AS min_f,\n"
+        "  CAST(max(f) AS BIGINT) AS max_f,\n"
+        "  CAST(sum(f) AS BIGINT) AS sum_f\n"
+        "FROM (SELECT event_type,\n"
+        f"  CAST(json_extract(props, '$.{field}') AS BIGINT) AS f\n"
+        "  FROM events) GROUP BY 1"
+    )
+
+
+def cohort_ltv_sql() -> str:
+    """Mirror of operators.analytics.cohort_ltv: first-week cohorts,
+    per-event cents, per-cohort cumulative sum along offsets."""
+    return (
+        "WITH cw AS MATERIALIZED (\n"
+        "  SELECT user_id,\n"
+        "    CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS week,\n"
+        "    CAST(round(value * 100) AS BIGINT) AS cents\n"
+        "  FROM events),\n"
+        "cc AS MATERIALIZED (SELECT user_id, min(week) AS cohort_week\n"
+        "  FROM cw GROUP BY 1),\n"
+        "per AS MATERIALIZED (\n"
+        "  SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,\n"
+        "    CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users,\n"
+        "    CAST(sum(w.cents) AS BIGINT) AS sum_cents\n"
+        "  FROM cw w JOIN cc c USING (user_id) GROUP BY 1, 2)\n"
+        "SELECT cohort_week, week_offset, n_users, sum_cents,\n"
+        "  CAST(sum(sum_cents) OVER (PARTITION BY cohort_week\n"
+        "    ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING\n"
+        "    AND CURRENT ROW) AS BIGINT) AS cum_cents\n"
+        "FROM per"
+    )
+
+
+def audience_overlap_exact_sql() -> str:
+    """Mirror of operators.analytics.audience_overlap_exact: distinct
+    presence, unit-key self-join for pair intersections, closed-form
+    union and truncating Jaccard micros."""
+    return (
+        "WITH ao AS MATERIALIZED (SELECT DISTINCT user_id AS u,"
+        " event_type AS g FROM events),\n"
+        "aos AS MATERIALIZED (SELECT g, CAST(count(*) AS BIGINT)"
+        " AS sz FROM ao GROUP BY 1),\n"
+        "aoi AS MATERIALIZED (\n"
+        "  SELECT a.g AS g_a, b.g AS g_b,"
+        " CAST(count(*) AS BIGINT) AS n_inter\n"
+        "  FROM ao a JOIN ao b ON a.u = b.u AND a.g < b.g\n"
+        "  GROUP BY 1, 2)\n"
+        "SELECT g_a, g_b, sa.sz AS n_a, sb.sz AS n_b, n_inter,\n"
+        "  sa.sz + sb.sz - n_inter AS n_union,\n"
+        "  CAST((1000000 * n_inter) // (sa.sz + sb.sz - n_inter)"
+        " AS BIGINT) AS jaccard_micros\n"
+        "FROM aoi JOIN aos sa ON sa.g = aoi.g_a\n"
+        "JOIN aos sb ON sb.g = aoi.g_b"
+    )
+
+
+def conversion_lag_quantiles_sql(
+    start_type: str = "view", end_type: str = "purchase"
+) -> str:
+    """Mirror of operators.temporal.conversion_lag_quantiles: first
+    start/end per actor, whole-second lag, the grouped_quantiles rank
+    rule (n·pct + 99) // 100 over one group."""
+    s, e = start_type.replace("'", "''"), end_type.replace("'", "''")
+    picks = ",\n".join(
+        f"  CAST(max(CASE WHEN rn = (n * {p} + 99) // 100"
+        f" THEN lag_s END) AS BIGINT) AS p{p}"
+        for p in (25, 50, 75)
+    )
+    return (
+        "WITH clp AS MATERIALIZED (\n"
+        "  SELECT user_id,\n"
+        f"    min(CASE WHEN event_type = '{s}' THEN"
+        " CAST(epoch_us(ts) AS BIGINT) END) AS t0,\n"
+        f"    min(CASE WHEN event_type = '{e}' THEN"
+        " CAST(epoch_us(ts) AS BIGINT) END) AS t1\n"
+        "  FROM events GROUP BY 1),\n"
+        "cll AS MATERIALIZED (\n"
+        "  SELECT CAST((t1 - t0) // 1000000 AS BIGINT) AS lag_s\n"
+        "  FROM clp WHERE t0 IS NOT NULL AND t1 > t0),\n"
+        "clr AS MATERIALIZED (\n"
+        "  SELECT lag_s, row_number() OVER (ORDER BY lag_s) AS rn,\n"
+        "    count(*) OVER () AS n FROM cll)\n"
+        "SELECT CAST(max(n) AS BIGINT) AS n,\n"
+        f"{picks}\n"
+        "FROM clr HAVING count(*) > 0"
+    )

@@ -332,3 +332,134 @@ def test_event_trigrams_bruteforce(spark):
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert got == [(a, b, c, n) for (a, b, c), n in want]
     assert got[0] == ("view", "click", "purchase", 3)
+
+
+def test_props_json_stats_bruteforce(spark):
+    """JSON field profile vs python, incl. missing-field and NULL
+    payload accounting."""
+    from graphlite_spark.operators.profiling import props_json_stats
+
+    rows = [
+        (0, BASE, 1, "view", 1.0, '{"k": 5}'),
+        (1, BASE, 1, "view", 1.0, '{"k": -2}'),
+        (2, BASE, 2, "view", 1.0, '{"other": 9}'),   # no k
+        (3, BASE, 2, "click", 1.0, None),             # null payload
+        (4, BASE, 3, "click", 1.0, '{"k": 100}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["event_type"]: (
+            r["n"], r["n_with_field"], r["min_f"], r["max_f"], r["sum_f"]
+        )
+        for r in props_json_stats(df).collect()
+    }
+    assert got == {
+        "view": (3, 2, -2, 5, 3),
+        "click": (2, 1, 100, 100, 100),
+    }
+
+
+def test_cohort_ltv_bruteforce(spark):
+    """LTV triangle vs python: cohorts, per-event cents, cumulative."""
+    from graphlite_spark.operators.analytics import cohort_ltv
+
+    # u1 joins w0, spends w0 and w2; u2 joins w0, spends w1;
+    # u3 joins w1, spends w1
+    rows = [
+        (0, 0, 1, "purchase", 10.00),
+        (1, 24 * 14, 1, "purchase", 2.50),
+        (2, 5, 2, "view", 1.00),
+        (3, 24 * 7, 2, "purchase", 4.00),
+        (4, 24 * 7 + 1, 3, "purchase", 8.00),
+    ]
+    df = _events_w(spark, rows)
+    got = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["n_users"], r["sum_cents"], r["cum_cents"]
+        )
+        for r in cohort_ltv(df).collect()
+    }
+    w0 = next(k[0] for k in got if k[1] == 0 and got[k][0] == 2)
+    assert got[(w0, 0)] == (2, 1100, 1100)     # u1 1000 + u2 100
+    assert got[(w0, 1)] == (1, 400, 1500)      # u2 purchase
+    assert got[(w0, 2)] == (1, 250, 1750)      # u1 late purchase
+    assert got[(w0 + 1, 0)] == (1, 800, 800)   # u3's own cohort
+
+
+def _events_w(spark, rows):
+    data = [
+        (i, BASE + datetime.timedelta(hours=h), u, t, v)
+        for i, h, u, t, v in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+
+
+def test_audience_overlap_exact_bruteforce(spark):
+    """Pairwise exact Jaccard vs python sets."""
+    from graphlite_spark.operators.analytics import audience_overlap_exact
+
+    aud = {
+        "view": {1, 2, 3, 4},
+        "click": {2, 3, 5},
+        "purchase": {3},
+        "error": {9},  # disjoint from all -> no rows with error
+    }
+    rows = []
+    eid = 0
+    for t, us in aud.items():
+        for u in us:
+            rows.append((eid, 0, u, t, 1.0))
+            eid += 1
+    df = _events_w(spark, rows)
+    got = {
+        (r["g_a"], r["g_b"]): (
+            r["n_a"], r["n_b"], r["n_inter"], r["n_union"],
+            r["jaccard_micros"],
+        )
+        for r in audience_overlap_exact(df).collect()
+    }
+    want = {}
+    for a in aud:
+        for b in aud:
+            if a < b and aud[a] & aud[b]:
+                i = len(aud[a] & aud[b])
+                un = len(aud[a] | aud[b])
+                want[(a, b)] = (
+                    len(aud[a]), len(aud[b]), i, un,
+                    (1_000_000 * i) // un,
+                )
+    assert got == want
+    assert all("error" not in k for k in got)
+
+
+def test_conversion_lag_bruteforce(spark):
+    """Lag quantiles vs python: strict ordering filter, rank rule."""
+    from graphlite_spark.operators.temporal import conversion_lag_quantiles
+
+    # lags (hours): u1=2, u2=5, u3=1, u4 never purchases,
+    # u5 purchase BEFORE view (excluded), u6=10
+    rows = [
+        (0, 0, 1, "view", 1.0), (1, 2, 1, "purchase", 1.0),
+        (2, 0, 2, "view", 1.0), (3, 5, 2, "purchase", 1.0),
+        (4, 0, 3, "view", 1.0), (5, 1, 3, "purchase", 1.0),
+        (6, 0, 4, "view", 1.0),
+        (7, 3, 5, "view", 1.0), (8, 1, 5, "purchase", 1.0),
+        (9, 0, 6, "view", 1.0), (10, 10, 6, "purchase", 1.0),
+    ]
+    df = _events_w(spark, rows)
+    row = conversion_lag_quantiles(df).collect()[0]
+
+    lags = sorted([2, 5, 1, 10])
+    n = len(lags)
+    pick = lambda p: lags[(n * p + 99) // 100 - 1] * 3600  # noqa: E731
+    assert (row["n"], row["p25"], row["p50"], row["p75"]) == (
+        n, pick(25), pick(50), pick(75)
+    )
