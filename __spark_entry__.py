@@ -2626,6 +2626,38 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_lag_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # supervised tier: Bernoulli NB trained on even doc_ids, confusion
+    # matrix on odd — train AND apply as one exact-integer plan
+    from graphlite_spark.operators.classify import naive_bayes_confusion
+
+    return naive_bayes_confusion(load_table(spark, sf_dir, "documents"))
+
+
+def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order-independent content manifest per source + '(all)' rollup:
+    # the corpus-diff primitive for reproducible pipelines
+    from graphlite_spark.operators.profiling import dataset_fingerprint
+
+    return dataset_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-proportion z between signup-cohort and rest on purchase
+    # conversion — the experiment readout over exact per-unit flags
+    from graphlite_spark.operators.analytics import ab_conversion_ztest
+
+    return ab_conversion_ztest(load_table(spark, sf_dir, "events"))
+
+
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact (tie-correct, doubled-rank) Mann-Whitney U over purchase vs
+    # click value distributions — the nonparametric location test
+    from graphlite_spark.operators.analytics import mann_whitney_u
+
+    return mann_whitney_u(load_table(spark, sf_dir, "events"))
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3291,6 +3323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "audience_overlap_exact": q_audience_overlap_exact,
         "conversion_lag": q_conversion_lag,
+        "naive_bayes_langid": q_naive_bayes_langid,
+        "dataset_fingerprint": q_dataset_fingerprint,
+        "ab_conversion_ztest": q_ab_conversion_ztest,
+        "mann_whitney_u": q_mann_whitney_u,
     }
 
 
@@ -3459,6 +3495,12 @@ def oracle_sql() -> dict[str, str]:
         "conversion_lag": O.conversion_lag_quantiles_sql(
             "view", "purchase"
         ),
+        "naive_bayes_langid": O.naive_bayes_confusion_sql(),
+        "dataset_fingerprint": O.dataset_fingerprint_sql(),
+        "ab_conversion_ztest": O.ab_conversion_ztest_sql(
+            "signup", "purchase"
+        ),
+        "mann_whitney_u": O.mann_whitney_u_sql("purchase", "click"),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

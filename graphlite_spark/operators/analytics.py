@@ -1505,3 +1505,115 @@ def audience_overlap_exact(
         F.expr("(1000000 * n_inter) div n_union")
         .cast("long").alias("jaccard_micros"),
     )
+
+
+def ab_conversion_ztest(
+    events: DataFrame,
+    cohort_type: str = "signup",
+    convert_type: str = "purchase",
+    unit_col: str = "user_id",
+) -> DataFrame:
+    """(n_a, conv_a, n_b, conv_b, rate_a, rate_b, z) — the two-
+    proportion z-test between the cohort of units that ever emitted
+    ``cohort_type`` (group A) and the rest (group B), on conversion =
+    ever emitted ``convert_type``.  The pooled-variance z statistic
+
+        z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))
+
+    is the one float expression, structured identically on both
+    engines over exact BIGINT counts and rounded once to 6dp (the
+    repo's float discipline); rates likewise.  NULL z when a group is
+    empty or p̂ degenerate.
+
+    Scale shape: ONE map-side-combined per-unit aggregate (two bool_or
+    flags), then a single 4-count rollup — nothing after the first
+    groupBy exceeds one row."""
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.max(
+            (F.col("event_type") == cohort_type).cast("int")
+        ).alias("a"),
+        F.max(
+            (F.col("event_type") == convert_type).cast("int")
+        ).alias("c"),
+    )
+    agg = per.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum(F.col("a") * F.col("c")).cast("long").alias("conv_a"),
+        F.sum(1 - F.col("a")).cast("long").alias("n_b"),
+        F.sum((1 - F.col("a")) * F.col("c")).cast("long").alias("conv_b"),
+    )
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pa - pb) / F.sqrt(
+        pp * (1 - pp) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.when(F.col("n_a") > 0, F.round(pa, 6)).alias("rate_a"),
+        F.when(F.col("n_b") > 0, F.round(pb, 6)).alias("rate_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b")
+               < F.col("n_a") + F.col("n_b")),
+            F.round(z, 6),
+        ).alias("z"),
+    )
+
+
+def mann_whitney_u(
+    events: DataFrame,
+    type_a: str = "purchase",
+    type_b: str = "click",
+    value_col: str = "value",
+) -> DataFrame:
+    """(n_a, n_b, u_a_x2, u_b_x2) — the Mann–Whitney U statistic
+    comparing the ``value`` distributions of two event types, EXACT
+    including ties: everything rides doubled rank sums (2·avg-rank of
+    a tie group = 2·cum_before + cnt + 1, an integer), so
+    ``u_a_x2 = 2·U_a`` and the identity ``u_a_x2 + u_b_x2 =
+    2·n_a·n_b`` is checkable in BIGINTs — the nonparametric
+    alternative to the t-test, no normality assumption, no float.
+
+    Scale shape: one map-side-combined groupBy onto distinct integer
+    cents (the VALUE alphabet, not the row count), one ordered
+    cumulative window over that alphabet (bounded by distinct values —
+    the same spillable-alphabet argument the quantile tier makes), and
+    closed forms after."""
+    cents = events.where(
+        F.col("event_type").isin(type_a, type_b)
+    ).select(
+        (F.col("event_type") == type_a).cast("int").alias("is_a"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v"),
+    )
+    per = cents.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("is_a").cast("long").alias("cnt_a"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per.select(
+        "v", "cnt", "cnt_a",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("before"),
+    )
+    agg = ranked.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("cnt_a")
+            * (2 * F.col("before") + F.col("cnt") + 1)
+        ).cast("long").alias("r2a"),
+    )
+    return agg.select(
+        "n_a", "n_b",
+        (F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("long").alias("u_a_x2"),
+        (
+            2 * F.col("n_a") * F.col("n_b")
+            - (F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1))
+        ).cast("long").alias("u_b_x2"),
+    )

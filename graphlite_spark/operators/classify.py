@@ -1,0 +1,112 @@
+"""In-engine supervised classification — train AND apply as one plan.
+
+Naive Bayes over binary stopword-presence features: the whole
+train/score/evaluate loop expressed declaratively (no collect between
+train and apply — the parameter table is a codebook-sized broadcast),
+demonstrating that simple supervised models are first-class engine
+queries, not an export-to-sklearn detour.  Bernoulli NB with Laplace
+smoothing is public-textbook material (McCallum & Nigam 1998's event
+models); everything rides the repo's exact-integer discipline so the
+DuckDB oracle hashes bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphlite_spark.functions.text import STOPWORDS, tokens_expr
+
+
+def naive_bayes_confusion(
+    docs: DataFrame,
+    label_values: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+    label_col: str = "lang",
+    words: tuple[str, ...] = tuple(STOPWORDS),
+) -> DataFrame:
+    """(true_label, pred_label, n) — Bernoulli naive-Bayes language ID
+    trained on the even-``doc_id`` half and evaluated as a confusion
+    matrix on the odd half.  Features are presence bits of the
+    ``words`` lexicon in the standard token set; parameters are
+    Laplace-smoothed exact micros (``p1 = (present+1)·10^6 div
+    (n_label+2)``, prior = ``(n_label+1)·10^6 div (n_train+L)``), and a
+    document's per-label score is the word-order fold
+
+        s ← (s · q_w) div 10^6,   q_w = present ? p1 : 10^6 − p1
+
+    starting from ``prior · 10^6`` — every step an exact integral
+    ``div`` (products ≤ 10^18, inside BIGINT), so the argmax (ties →
+    lexicographically larger label, via struct max) is bit-stable
+    across engines.  Docs whose label is outside ``label_values`` are
+    excluded from both halves (stated).
+
+    Scale shape: training is ONE map-side-combined groupBy producing an
+    L-row parameter table that broadcasts into the scoring cross join
+    (L small by construction); scoring is pure per-row codegen — 10
+    chained projections keep the fold linear, never an exploding
+    expression tree."""
+    L = len(label_values)
+    toks = docs.where(
+        F.col(label_col).isin(*label_values)
+    ).select(
+        "doc_id",
+        F.col(label_col).alias("y"),
+        tokens_expr("text").alias("toks"),
+    )
+    feats = toks.select(
+        "doc_id", "y",
+        *[
+            F.array_contains("toks", w).cast("int").alias(f"b{i}")
+            for i, w in enumerate(words)
+        ],
+    )
+    train = feats.where(F.col("doc_id") % 2 == 0)
+    test = feats.where(F.col("doc_id") % 2 == 1)
+
+    per = train.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("nl"),
+        *[
+            F.sum(f"b{i}").cast("long").alias(f"c{i}")
+            for i in range(len(words))
+        ],
+    )
+    ntr = train.agg(F.count(F.lit(1)).cast("long").alias("ntr"))
+    params = per.crossJoin(F.broadcast(ntr)).select(
+        "y",
+        F.expr(f"((nl + 1) * 1000000) div (ntr + {L})")
+        .cast("long").alias("prior"),
+        *[
+            F.expr(f"((c{i} + 1) * 1000000) div (nl + 2)")
+            .cast("long").alias(f"p{i}")
+            for i in range(len(words))
+        ],
+    )
+
+    scored = test.crossJoin(
+        F.broadcast(params.withColumnRenamed("y", "cand"))
+    ).select(
+        "doc_id",
+        F.col("y").alias("true_label"),
+        "cand",
+        (F.col("prior") * F.lit(1_000_000).cast("long")).alias("s"),
+        *[
+            F.when(F.col(f"b{i}") == 1, F.col(f"p{i}"))
+            .otherwise(F.lit(1_000_000) - F.col(f"p{i}"))
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(len(words))
+        ],
+    )
+    for i in range(len(words)):
+        keep = ["doc_id", "true_label", "cand"] + [
+            f"q{j}" for j in range(i + 1, len(words))
+        ]
+        scored = scored.select(
+            *keep, F.expr(f"(s * q{i}) div 1000000").alias("s")
+        )
+    pred = scored.groupBy("doc_id", "true_label").agg(
+        F.max(F.struct("s", "cand")).alias("m")
+    )
+    return pred.groupBy(
+        "true_label", F.col("m.cand").alias("pred_label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))

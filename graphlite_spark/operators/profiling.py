@@ -762,3 +762,36 @@ def props_json_stats(
         )
         .withColumnRenamed("g", group_col)
     )
+
+
+def dataset_fingerprint(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, xor48, min_h, max_h) — an order-independent
+    content manifest per source plus the '(all)' rollup row: each
+    document contributes ``hash48(text)`` (the engines' shared md5
+    carve-out), combined with XOR / min / max — all commutative,
+    bounded-state aggregates, so two pipelines can diff corpora
+    without sorting or concatenating anything.  The
+    reproducibility-check primitive: equal manifests ⇔ (w.h.p.) equal
+    document multisets per source (XOR catches any single change;
+    min/max and the count cheaply localize it).
+
+    Scale shape: one rollup groupBy over per-row hashes — map-side
+    combined, constant state per group, no shuffle of the texts."""
+    from graphlite_spark.functions.hashes import hash48
+
+    h = docs.select(
+        "source", hash48(F.col("text")).alias("h")
+    )
+    return (
+        h.rollup("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.bit_xor("h").cast("long").alias("xor48"),
+            F.min("h").cast("long").alias("min_h"),
+            F.max("h").cast("long").alias("max_h"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "n_docs", "xor48", "min_h", "max_h",
+        )
+    )

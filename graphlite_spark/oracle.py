@@ -8494,3 +8494,147 @@ def conversion_lag_quantiles_sql(
         f"{picks}\n"
         "FROM clr HAVING count(*) > 0"
     )
+
+
+def naive_bayes_confusion_sql(
+    labels: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+    words: tuple[str, ...] = tuple(STOPWORDS),
+) -> str:
+    """Mirror of operators.classify.naive_bayes_confusion: even/odd
+    train split, Laplace micro parameters, the word-order truncating
+    score fold as a nested // chain, argmax via (s DESC, cand DESC)
+    row_number (== Spark's struct max tie rule)."""
+    L = len(labels)
+    lab = ", ".join(f"'{v}'" for v in labels)
+    bits = ",\n".join(
+        f"    CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+        f" AS b{i}"
+        for i, w in enumerate(words)
+    )
+    ps = ",\n".join(
+        f"    CAST(((sum(b{i}) + 1) * 1000000) // (count(*) + 2)"
+        f" AS BIGINT) AS p{i}"
+        for i in range(len(words))
+    )
+    fold = "p.prior * 1000000"
+    for i in range(len(words)):
+        q = (
+            f"CASE WHEN t.b{i} = 1 THEN p.p{i}"
+            f" ELSE 1000000 - p.p{i} END"
+        )
+        fold = f"(({fold}) * ({q})) // 1000000"
+    return (
+        "WITH nbt AS MATERIALIZED (\n"
+        "  SELECT doc_id, lang AS y,\n"
+        "    list_filter(string_split_regex(lower(text), '\\s+'),"
+        " x -> x <> '') AS toks\n"
+        f"  FROM documents WHERE lang IN ({lab})),\n"
+        "nbf AS MATERIALIZED (\n"
+        f"  SELECT doc_id, y,\n{bits}\n  FROM nbt),\n"
+        "nbtr AS MATERIALIZED (SELECT * FROM nbf"
+        " WHERE doc_id % 2 = 0),\n"
+        "nbn AS (SELECT CAST(count(*) AS BIGINT) AS ntr FROM nbtr),\n"
+        "nbp AS MATERIALIZED (\n"
+        "  SELECT y AS cand,\n"
+        "    CAST(((count(*) + 1) * 1000000)"
+        f" // ((SELECT ntr FROM nbn) + {L}) AS BIGINT) AS prior,\n"
+        f"{ps}\n"
+        "  FROM nbtr GROUP BY y),\n"
+        "nbs AS MATERIALIZED (\n"
+        "  SELECT t.doc_id, t.y AS true_label, p.cand,\n"
+        f"    CAST({fold} AS BIGINT) AS s\n"
+        "  FROM nbf t CROSS JOIN nbp p WHERE t.doc_id % 2 = 1),\n"
+        "nbpred AS MATERIALIZED (\n"
+        "  SELECT doc_id, true_label, cand,\n"
+        "    row_number() OVER (PARTITION BY doc_id"
+        " ORDER BY s DESC, cand DESC) AS rk\n"
+        "  FROM nbs)\n"
+        "SELECT true_label, cand AS pred_label,\n"
+        "  CAST(count(*) AS BIGINT) AS n\n"
+        "FROM nbpred WHERE rk = 1 GROUP BY 1, 2"
+    )
+
+
+def dataset_fingerprint_sql() -> str:
+    """Mirror of operators.profiling.dataset_fingerprint: per-source +
+    rollup XOR/min/max over hash48(text)."""
+    return (
+        "SELECT COALESCE(source, '(all)') AS source,\n"
+        "  CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "  CAST(bit_xor(h) AS BIGINT) AS xor48,\n"
+        "  CAST(min(h) AS BIGINT) AS min_h,\n"
+        "  CAST(max(h) AS BIGINT) AS max_h\n"
+        "FROM (SELECT source, "
+        + _h48("text")
+        + " AS h FROM documents)\n"
+        "GROUP BY ROLLUP (source)"
+    )
+
+
+def ab_conversion_ztest_sql(
+    cohort_type: str = "signup", convert_type: str = "purchase"
+) -> str:
+    """Mirror of operators.analytics.ab_conversion_ztest: per-unit
+    flags, the pooled two-proportion z with the identical float
+    expression structure, 6dp once."""
+    co = cohort_type.replace("'", "''")
+    cv = convert_type.replace("'", "''")
+    pa = "(conv_a / n_a)"
+    pb = "(conv_b / n_b)"
+    pp = "((conv_a + conv_b) / (n_a + n_b))"
+    z = (
+        f"({pa} - {pb}) / sqrt({pp} * (1 - {pp})"
+        " * (1.0 / n_a + 1.0 / n_b))"
+    )
+    return (
+        "WITH abp AS MATERIALIZED (\n"
+        "  SELECT user_id,\n"
+        f"    max(CASE WHEN event_type = '{co}' THEN 1 ELSE 0 END)"
+        " AS a,\n"
+        f"    max(CASE WHEN event_type = '{cv}' THEN 1 ELSE 0 END)"
+        " AS c\n"
+        "  FROM events GROUP BY 1),\n"
+        "aba AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,\n"
+        "  CAST(sum(a * c) AS BIGINT) AS conv_a,\n"
+        "  CAST(sum(1 - a) AS BIGINT) AS n_b,\n"
+        "  CAST(sum((1 - a) * c) AS BIGINT) AS conv_b FROM abp)\n"
+        "SELECT n_a, conv_a, n_b, conv_b,\n"
+        f"  CASE WHEN n_a > 0 THEN round({pa}, 6) END AS rate_a,\n"
+        f"  CASE WHEN n_b > 0 THEN round({pb}, 6) END AS rate_b,\n"
+        "  CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0\n"
+        "    AND conv_a + conv_b < n_a + n_b\n"
+        f"  THEN round({z}, 6) END AS z\n"
+        "FROM aba"
+    )
+
+
+def mann_whitney_u_sql(
+    type_a: str = "purchase", type_b: str = "click"
+) -> str:
+    """Mirror of operators.analytics.mann_whitney_u: value-alphabet
+    groupBy, cumulative tie-group ranks, doubled rank sums (exact)."""
+    a = type_a.replace("'", "''")
+    b = type_b.replace("'", "''")
+    return (
+        "WITH mwc AS MATERIALIZED (\n"
+        f"  SELECT CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END"
+        " AS is_a,\n"
+        "    CAST(round(value * 100) AS BIGINT) AS v\n"
+        f"  FROM events WHERE event_type IN ('{a}', '{b}')),\n"
+        "mwp AS MATERIALIZED (SELECT v,"
+        " CAST(count(*) AS BIGINT) AS cnt,\n"
+        "  CAST(sum(is_a) AS BIGINT) AS cnt_a FROM mwc GROUP BY 1),\n"
+        "mwr AS MATERIALIZED (SELECT v, cnt, cnt_a,\n"
+        "  CAST(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) - cnt AS BIGINT) AS before\n"
+        "  FROM mwp),\n"
+        "mwa AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,\n"
+        "  CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,\n"
+        "  CAST(sum(cnt_a * (2 * before + cnt + 1)) AS BIGINT)"
+        " AS r2a FROM mwr)\n"
+        "SELECT n_a, n_b,\n"
+        "  CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u_a_x2,\n"
+        "  CAST(2 * n_a * n_b - (r2a - n_a * (n_a + 1)) AS BIGINT)"
+        " AS u_b_x2\n"
+        "FROM mwa"
+    )

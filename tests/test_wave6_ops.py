@@ -463,3 +463,174 @@ def test_conversion_lag_bruteforce(spark):
     assert (row["n"], row["p25"], row["p50"], row["p75"]) == (
         n, pick(25), pick(50), pick(75)
     )
+
+
+def test_naive_bayes_bruteforce(spark):
+    """NB confusion matrix vs a python reimplementation of the exact
+    truncating fold, smoothing, and struct-max tie rule."""
+    from graphlite_spark.operators.classify import naive_bayes_confusion
+    from graphlite_spark.functions.text import STOPWORDS
+
+    texts = {
+        0: ("en", "the cat and the dog"),
+        1: ("en", "it is for on a"),
+        2: ("fr", "le chat xyz qq"),
+        3: ("fr", "le chien zz ww"),
+        4: ("en", "of the in to"),
+        5: ("fr", "bonjour le monde"),
+        6: ("en", "a of and"),
+        7: ("fr", "qq zz le"),
+    }
+    rows = [
+        (did, txt, lang, "src0", len(txt))
+        for did, (lang, txt) in texts.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    labels = ("en", "fr")
+    got = {
+        (r["true_label"], r["pred_label"]): r["n"]
+        for r in naive_bayes_confusion(df, label_values=labels).collect()
+    }
+
+    def feats(txt):
+        toks = set(txt.lower().split())
+        return [1 if w in toks else 0 for w in STOPWORDS]
+
+    train = {d: v for d, v in texts.items() if d % 2 == 0}
+    test = {d: v for d, v in texts.items() if d % 2 == 1}
+    ntr, L = len(train), len(labels)
+    params = {}
+    for lab in labels:
+        members = [feats(t) for (lg, t) in train.values() if lg == lab]
+        nl = len(members)
+        prior = ((nl + 1) * 1_000_000) // (ntr + L)
+        p1 = [
+            ((sum(m[i] for m in members) + 1) * 1_000_000) // (nl + 2)
+            for i in range(len(STOPWORDS))
+        ]
+        params[lab] = (prior, p1)
+    want: dict[tuple, int] = {}
+    for d, (lg, txt) in test.items():
+        b = feats(txt)
+        best = None
+        for lab in labels:
+            prior, p1 = params[lab]
+            s = prior * 1_000_000
+            for i in range(len(STOPWORDS)):
+                q = p1[i] if b[i] == 1 else 1_000_000 - p1[i]
+                s = (s * q) // 1_000_000
+            if best is None or (s, lab) > best[:2]:
+                best = (s, lab)
+        key = (lg, best[1])
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+def test_dataset_fingerprint_bruteforce(spark):
+    """Manifest vs python md5 carve-outs; '(all)' rollup row; a
+    single-doc change flips xor48."""
+    import hashlib
+
+    from graphlite_spark.operators.profiling import dataset_fingerprint
+
+    docs = [(i, f"text {i}", "en", f"s{i % 2}", 6) for i in range(6)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["xor48"], r["min_h"], r["max_h"])
+        for r in dataset_fingerprint(df).collect()
+    }
+
+    def h48(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+
+    want: dict[str, list] = {}
+    for _, t, _, s, _ in docs:
+        for key in (s, "(all)"):
+            h = h48(t)
+            if key not in want:
+                want[key] = [0, 0, h, h]
+            want[key][0] += 1
+            want[key][1] ^= h
+            want[key][2] = min(want[key][2], h)
+            want[key][3] = max(want[key][3], h)
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+    df2 = spark.createDataFrame(
+        [d if d[0] != 3 else (3, "CHANGED", "en", "s1", 7) for d in docs],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got2 = {
+        r["source"]: r["xor48"] for r in dataset_fingerprint(df2).collect()
+    }
+    assert got2["s1"] != got["s1"][1] and got2["s0"] == got["s0"][1]
+
+
+def test_ab_ztest_bruteforce(spark):
+    """z statistic vs python math on exact flags."""
+    import math
+
+    from graphlite_spark.operators.analytics import ab_conversion_ztest
+
+    # A (signup): u1 converts, u2 no; B: u3 converts, u4 no, u5 no
+    rows = [
+        (0, 0, 1, "signup", 1.0), (1, 1, 1, "purchase", 1.0),
+        (2, 0, 2, "signup", 1.0),
+        (3, 0, 3, "view", 1.0), (4, 1, 3, "purchase", 1.0),
+        (5, 0, 4, "view", 1.0), (6, 0, 5, "click", 1.0),
+    ]
+    df = _events_w(spark, rows)
+    r = ab_conversion_ztest(df).collect()[0]
+    n_a, conv_a, n_b, conv_b = 2, 1, 3, 1
+    pa, pb = conv_a / n_a, conv_b / n_b
+    pp = (conv_a + conv_b) / (n_a + n_b)
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / n_a + 1 / n_b))
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (
+        n_a, conv_a, n_b, conv_b
+    )
+    assert r["rate_a"] == round(pa, 6) and r["rate_b"] == round(pb, 6)
+    assert abs(r["z"] - z) < 1e-6
+
+
+def test_mann_whitney_bruteforce(spark):
+    """Doubled-U vs scipy-free python ranks, with ties across groups."""
+    from graphlite_spark.operators.analytics import mann_whitney_u
+
+    a_vals = [1.00, 2.50, 2.50, 4.00]
+    b_vals = [0.50, 2.50, 3.00]
+    rows = []
+    eid = 0
+    for v in a_vals:
+        rows.append((eid, 0, 1, "purchase", v)); eid += 1
+    for v in b_vals:
+        rows.append((eid, 0, 2, "click", v)); eid += 1
+    rows.append((eid, 0, 3, "view", 99.0))  # excluded type
+    df = _events_w(spark, rows)
+    r = mann_whitney_u(df).collect()[0]
+
+    allv = sorted(
+        [(v, "a") for v in a_vals] + [(v, "b") for v in b_vals]
+    )
+    # doubled average ranks
+    r2 = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j][0] == allv[i][0]:
+            j += 1
+        dr = (i + 1) + j  # 2*avg of ranks i+1..j
+        for k in range(i, j):
+            r2[k] = dr
+        i = j
+    r2a = sum(dr for k, dr in r2.items() if allv[k][1] == "a")
+    n_a, n_b = len(a_vals), len(b_vals)
+    u_a_x2 = r2a - n_a * (n_a + 1)
+    assert (r["n_a"], r["n_b"], r["u_a_x2"], r["u_b_x2"]) == (
+        n_a, n_b, u_a_x2, 2 * n_a * n_b - u_a_x2
+    )
