@@ -2658,6 +2658,41 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_u(load_table(spark, sf_dir, "events"))
 
 
+def q_burst_rate_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # abuse screening: per-user max events in any trailing 60 s RANGE
+    # window, histogrammed — the limiter's-eye view of burstiness
+    from graphlite_spark.operators.analytics import burst_rate_max
+
+    return burst_rate_max(load_table(spark, sf_dir, "events"))
+
+
+def q_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly activity heatmap: (weekday, hour) counts + micro shares
+    from graphlite_spark.operators.analytics import hour_dow_heatmap
+
+    return hour_dow_heatmap(load_table(spark, sf_dir, "events"))
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full CUBE lattice over (event_type, weekday) with grouping ids —
+    # events_rollup's complete-lattice sibling
+    from graphlite_spark.operators.analytics import events_cube
+
+    return events_cube(load_table(spark, sf_dir, "events"))
+
+
+def q_feature_hash_collisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # hashing-trick collision profile over the corpus vocabulary
+    # (occupancy histogram incl. empty slots)
+    from graphlite_spark.operators.tfidf import feature_hash_collisions
+
+    return feature_hash_collisions(
+        load_table(spark, sf_dir, "documents"), num_buckets=1024
+    )
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3327,6 +3362,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_fingerprint": q_dataset_fingerprint,
         "ab_conversion_ztest": q_ab_conversion_ztest,
         "mann_whitney_u": q_mann_whitney_u,
+        "burst_rate_max": q_burst_rate_max,
+        "hour_dow_heatmap": q_hour_dow_heatmap,
+        "events_cube": q_events_cube,
+        "feature_hash_collisions": q_feature_hash_collisions,
     }
 
 
@@ -3501,6 +3540,12 @@ def oracle_sql() -> dict[str, str]:
             "signup", "purchase"
         ),
         "mann_whitney_u": O.mann_whitney_u_sql("purchase", "click"),
+        "burst_rate_max": O.burst_rate_max_sql(60),
+        "hour_dow_heatmap": O.hour_dow_heatmap_sql(),
+        "events_cube": O.events_cube_sql(),
+        "feature_hash_collisions": O.feature_hash_collisions_sql(
+            1024, "fh"
+        ),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -1617,3 +1617,102 @@ def mann_whitney_u(
             - (F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1))
         ).cast("long").alias("u_b_x2"),
     )
+
+
+def burst_rate_max(
+    events: DataFrame,
+    window_seconds: int = 60,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(max_burst, n_users) — rate-limit / abuse screening: for each
+    unit, the maximum number of its events inside ANY trailing
+    ``window_seconds`` window (a RANGE window over event-time seconds —
+    the sliding-window count that a fixed bucketing understates when a
+    burst straddles a boundary), histogrammed over units.  The
+    burstiness CV readout says HOW uneven a unit is; this says the
+    worst per-minute rate a limiter would have seen.
+
+    Scale shape: one per-unit RANGE window (shuffle on the unit key,
+    per-partition sort — the sessionize shape) and one codebook-sized
+    histogram groupBy.  All counts exact BIGINTs."""
+    sec = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div 1000000"
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("s")
+        .rangeBetween(-(window_seconds - 1), 0)
+    )
+    per = (
+        events.select(F.col(actor_col).alias("u"), sec.alias("s"))
+        .withColumn("burst", F.count(F.lit(1)).over(w))
+        .groupBy("u")
+        .agg(F.max("burst").cast("long").alias("max_burst"))
+    )
+    return per.groupBy("max_burst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+def hour_dow_heatmap(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """(dow, hour, n, share_micros) — the weekly activity heatmap:
+    event counts per (epoch weekday (0 = Monday, same ``(d+3) % 7``
+    convention as :func:`dow_seasonality`), UTC hour-of-day), with each
+    cell's exact micro share of the total.  One map-side-combined
+    groupBy over the facts; the share's denominator rides a 168-cell
+    broadcast total."""
+    cells = events.select(
+        F.expr(
+            f"cast((unix_micros(cast({ts_col} as timestamp))"
+            f" div {DAY_US} + 3) % 7 as int)"
+        ).alias("dow"),
+        F.expr(
+            f"cast((unix_micros(cast({ts_col} as timestamp))"
+            f" div {3600 * 1_000_000}) % 24 as int)"
+        ).alias("hour"),
+    ).groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("t"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow", "hour", "n",
+        F.expr("(1000000 * n) div t").cast("long").alias("share_micros"),
+    )
+
+
+def events_cube(events: DataFrame) -> DataFrame:
+    """(event_type, dow, gid, n, sum_value_micros) — the full CUBE
+    lattice over (event_type, epoch weekday): per-cell rows, both
+    one-axis marginals, and the grand total, tagged by the explicit
+    grouping id (``grouping(event_type)·2 + grouping(dow)``) —
+    :func:`events_rollup`'s complete-lattice sibling (ROLLUP emits the
+    type-axis prefix only; CUBE adds the per-weekday marginal a
+    dashboard actually asks for).  NULL keys coalesced to sentinels
+    ('(all)' / -1) on both engines; money in per-row micro units.
+    One shuffle — Spark expands grouping sets map-side."""
+    src = events.select(
+        "event_type",
+        F.expr(
+            f"cast((unix_micros(cast(ts as timestamp))"
+            f" div {DAY_US} + 3) % 7 as int)"
+        ).alias("dow"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    return (
+        src.cube("event_type", "dow")
+        .agg(
+            (
+                F.grouping("event_type").cast("long") * 2
+                + F.grouping("dow").cast("long")
+            ).alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("vm").cast("long").alias("sum_value_micros"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("long"), F.lit(-1))
+            .cast("long").alias("dow"),
+            "gid", "n", "sum_value_micros",
+        )
+    )

@@ -271,3 +271,45 @@ def top_terms_per_doc(
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "tfidf_micros")
     )
+
+
+def feature_hash_collisions(
+    docs: DataFrame, num_buckets: int = 1024, salt: str = "fh"
+) -> DataFrame:
+    """(tokens_in_bucket, n_buckets, n_tokens) — the hashing-trick
+    collision profile: every distinct corpus token is hashed into
+    ``num_buckets`` feature slots (hash48, the engines' shared md5
+    carve-out) and the bucket-occupancy histogram is reported — the
+    dimensionality-vs-collision tradeoff a feature-hashed model reads
+    before picking 2^b (Weinberger et al. 2009's hashing trick, public
+    literature).  ``tokens_in_bucket = 0`` slots are real rows (the
+    unused-capacity share), via the bucket spine minus occupied.
+
+    Scale shape: one distinct over (token) — the vocabulary, not the
+    corpus — one hash-mod groupBy, one histogram; the spine is a
+    literal sequence."""
+    from graphlite_spark.functions.hashes import hash48
+    from graphlite_spark.functions.text import tokens_expr
+
+    vocab = (
+        docs.select(F.explode(tokens_expr("text")).alias("tok"))
+        .distinct()
+    )
+    occ = vocab.select(
+        (
+            hash48(F.concat(F.lit(f"{salt}:"), F.col("tok")))
+            % num_buckets
+        ).alias("b")
+    ).groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    spine = docs.sparkSession.range(num_buckets).select(
+        F.col("id").alias("b")
+    )
+    filled = spine.join(occ, "b", "left").select(
+        F.coalesce("k", F.lit(0)).cast("long").alias("k")
+    )
+    return filled.groupBy(F.col("k").alias("tokens_in_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("k").cast("long").alias("n_tokens"),
+    )

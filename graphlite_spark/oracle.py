@@ -8638,3 +8638,86 @@ def mann_whitney_u_sql(
         " AS u_b_x2\n"
         "FROM mwa"
     )
+
+
+def burst_rate_max_sql(window_seconds: int = 60) -> str:
+    """Mirror of operators.analytics.burst_rate_max: per-unit RANGE
+    window over event-time seconds, per-unit max, histogram."""
+    w = int(window_seconds) - 1
+    return (
+        "WITH brs AS MATERIALIZED (SELECT user_id AS u,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) // 1000000 AS s FROM events),\n"
+        "brb AS MATERIALIZED (SELECT u,\n"
+        "  count(*) OVER (PARTITION BY u ORDER BY s\n"
+        f"    RANGE BETWEEN {w} PRECEDING AND CURRENT ROW) AS burst\n"
+        "  FROM brs),\n"
+        "brm AS MATERIALIZED (SELECT u,"
+        " CAST(max(burst) AS BIGINT) AS max_burst\n"
+        "  FROM brb GROUP BY 1)\n"
+        "SELECT max_burst, CAST(count(*) AS BIGINT) AS n_users\n"
+        "FROM brm GROUP BY 1"
+    )
+
+
+def hour_dow_heatmap_sql() -> str:
+    """Mirror of operators.analytics.hour_dow_heatmap."""
+    return (
+        "WITH hdc AS MATERIALIZED (\n"
+        "  SELECT CAST((CAST(epoch_us(ts) AS BIGINT) // 86400000000"
+        " + 3) % 7 AS INT) AS dow,\n"
+        "    CAST((CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24"
+        " AS INT) AS hour\n"
+        "  FROM events),\n"
+        "hdg AS MATERIALIZED (SELECT dow, hour,"
+        " CAST(count(*) AS BIGINT) AS n FROM hdc GROUP BY 1, 2),\n"
+        "hdt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM hdg)\n"
+        "SELECT dow, hour, n,\n"
+        "  CAST((1000000 * n) // (SELECT t FROM hdt) AS BIGINT)"
+        " AS share_micros\n"
+        "FROM hdg"
+    )
+
+
+def events_cube_sql() -> str:
+    """Mirror of operators.analytics.events_cube: CUBE lattice over
+    (event_type, epoch weekday), explicit grouping id, sentinel keys."""
+    return (
+        "SELECT COALESCE(event_type, '(all)') AS event_type,\n"
+        "  CAST(COALESCE(dow, -1) AS BIGINT) AS dow,\n"
+        "  CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT)"
+        " AS gid,\n"
+        "  CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(vm) AS BIGINT) AS sum_value_micros\n"
+        "FROM (SELECT event_type,\n"
+        "  CAST((CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 3) % 7"
+        " AS INT) AS dow,\n"
+        "  CAST(round(value * 1000000) AS BIGINT) AS vm FROM events)\n"
+        "GROUP BY CUBE (event_type, dow)"
+    )
+
+
+def feature_hash_collisions_sql(
+    num_buckets: int = 1024, salt: str = "fh"
+) -> str:
+    """Mirror of operators.tfidf.feature_hash_collisions: distinct
+    vocabulary, hash48 % buckets, occupancy histogram incl. empty
+    slots via the bucket spine."""
+    B = int(num_buckets)
+    h = _h48(f"'{salt}:' || tok")
+    return (
+        "WITH fhv AS MATERIALIZED (SELECT DISTINCT\n"
+        "  unnest(list_filter(string_split_regex(lower(text),"
+        " '\\s+'), x -> x <> '')) AS tok\n"
+        "  FROM documents),\n"
+        "fho AS MATERIALIZED (SELECT b,"
+        " CAST(count(*) AS BIGINT) AS k FROM (\n"
+        f"  SELECT {h} % {B} AS b FROM fhv) GROUP BY 1),\n"
+        f"fhs AS (SELECT unnest(range(0, {B})) AS b),\n"
+        "fhf AS MATERIALIZED (SELECT CAST(COALESCE(o.k, 0) AS BIGINT)"
+        " AS k\n"
+        "  FROM fhs s LEFT JOIN fho o USING (b))\n"
+        "SELECT k AS tokens_in_bucket,\n"
+        "  CAST(count(*) AS BIGINT) AS n_buckets,\n"
+        "  CAST(sum(k) AS BIGINT) AS n_tokens\n"
+        "FROM fhf GROUP BY 1"
+    )

@@ -634,3 +634,123 @@ def test_mann_whitney_bruteforce(spark):
     assert (r["n_a"], r["n_b"], r["u_a_x2"], r["u_b_x2"]) == (
         n_a, n_b, u_a_x2, 2 * n_a * n_b - u_a_x2
     )
+
+
+def test_burst_rate_max_bruteforce(spark):
+    """RANGE-window burst vs python sliding count, incl. a burst that
+    straddles a fixed-bucket boundary."""
+    from graphlite_spark.operators.analytics import burst_rate_max
+
+    # u1: 4 events within 60s spanning a minute boundary (secs 30..80);
+    # u2: evenly spread, never more than 1 per window
+    stamps = {1: [30, 45, 60, 80, 300], 2: [0, 120, 240]}
+    rows = []
+    eid = 0
+    for u, ss in stamps.items():
+        for s in ss:
+            rows.append(
+                (eid, BASE + datetime.timedelta(seconds=s), u, "view", 1.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    got = {
+        r["max_burst"]: r["n_users"]
+        for r in burst_rate_max(df, window_seconds=60).collect()
+    }
+
+    want: dict[int, int] = {}
+    for ss in stamps.values():
+        m = max(
+            sum(1 for t in ss if s - 59 <= t <= s) for s in ss
+        )
+        want[m] = want.get(m, 0) + 1
+    assert got == want
+    assert got.get(4) == 1 and got.get(1) == 1
+
+
+def test_hour_dow_cube_bruteforce(spark):
+    """Heatmap shares and CUBE lattice vs python."""
+    from graphlite_spark.operators.analytics import (
+        events_cube,
+        hour_dow_heatmap,
+    )
+
+    rows = [
+        (0, BASE + datetime.timedelta(hours=1), 1, "view", 1.0),
+        (1, BASE + datetime.timedelta(hours=1, minutes=5), 2, "view", 2.0),
+        (2, BASE + datetime.timedelta(days=1, hours=23), 1, "click", 0.5),
+        (3, BASE + datetime.timedelta(days=5), 2, "view", 1.5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    hm = {
+        (r["dow"], r["hour"]): (r["n"], r["share_micros"])
+        for r in hour_dow_heatmap(df).collect()
+    }
+    cells: dict[tuple, int] = {}
+    for _, ts, _, _, _ in rows:
+        d = (ts - datetime.datetime(1970, 1, 1)).days
+        dow, hour = (d + 3) % 7, ts.hour
+        cells[(dow, hour)] = cells.get((dow, hour), 0) + 1
+    tot = sum(cells.values())
+    assert hm == {
+        k: (n, (1_000_000 * n) // tot) for k, n in cells.items()
+    }
+    # BASE is Monday -> dow 0 for the first two rows
+    assert (0, 1) in hm and hm[(0, 1)][0] == 2
+
+    cube = {
+        (r["event_type"], r["dow"]): (r["gid"], r["n"],
+                                      r["sum_value_micros"])
+        for r in events_cube(df).collect()
+    }
+    # 4 data rows -> lattice: cells + type marginals + dow marginals
+    # + grand total; spot-check each tier
+    assert cube[("(all)", -1)] == (3, 4, 5_000_000)
+    assert cube[("view", -1)][1:] == (3, 4_500_000) and cube[
+        ("view", -1)
+    ][0] == 1
+    assert cube[("(all)", 0)][0] == 2 and cube[("(all)", 0)][1] == 2
+    assert cube[("view", 0)] == (0, 2, 3_000_000)
+
+
+def test_feature_hash_collisions_bruteforce(spark):
+    """Occupancy histogram vs python md5 buckets with tiny B so
+    collisions are certain; empty slots are real rows."""
+    import hashlib
+
+    from graphlite_spark.operators.tfidf import feature_hash_collisions
+
+    docs = [
+        (0, "alpha beta gamma delta", "en", "s0", 22),
+        (1, "beta epsilon zeta", "en", "s0", 17),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    B = 4
+    got = {
+        r["tokens_in_bucket"]: (r["n_buckets"], r["n_tokens"])
+        for r in feature_hash_collisions(df, num_buckets=B).collect()
+    }
+
+    vocab = {w for _, t, _, _, _ in docs for w in t.lower().split()}
+    occ = [0] * B
+    for w in vocab:
+        h = int(hashlib.md5(f"fh:{w}".encode()).hexdigest()[:12], 16)
+        occ[h % B] += 1
+    want: dict[int, list] = {}
+    for k in occ:
+        e = want.setdefault(k, [0, 0])
+        e[0] += 1
+        e[1] += k
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert sum(n for _, n in got.values()) == len(vocab)
