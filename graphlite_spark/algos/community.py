@@ -230,7 +230,12 @@ def label_spreading(
     scatter equi-join (arcs x current frame) and one map-side-combined
     groupBy — the linear-loop Pregel shape (no self-join, so no
     plan-stat squaring; lineage stays ``iterations`` deep, fine at 6)."""
-    arcs = symmetrize(edges).select("src", "dst")
+    from graphlite_spark.checkpoint import truncate_plan
+
+    # the scatter join references arcs every round and the pin/degree
+    # frame every round — materialize both once (linear loop: the
+    # evolving p itself needs no truncation, CLAUDE.md rule)
+    arcs = truncate_plan(symmetrize(edges).select("src", "dst"))
     deg = arcs.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("dg")
     )
@@ -260,6 +265,7 @@ def label_spreading(
             *pcols,
         )
     )
+    base = truncate_plan(base)
     p = base.select("id", *pcols)
     for _ in range(iterations):
         sums = (

@@ -179,7 +179,12 @@ def markov_stationary(
     ).where(F.col("a").isNotNull())
     c = pr.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
     tot = c.groupBy("a").agg(F.sum("n").cast("long").alias("tot"))
-    cm = c.join(tot, "a")
+    from graphlite_spark.checkpoint import truncate_plan
+
+    # materialize the k x k transition codebook: the value iteration
+    # references it every round — without this each round re-runs the
+    # full per-actor lag pass over the fact table
+    cm = truncate_plan(c.join(tot, "a"))
 
     states = events.select(F.col(state_col).alias("state")).distinct()
     kf = states.agg(F.count(F.lit(1)).cast("long").alias("k"))
@@ -243,7 +248,12 @@ def hitting_time(
     ).where(F.col("a").isNotNull())
     c = pr.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
     tot = c.groupBy("a").agg(F.sum("n").cast("long").alias("tot"))
-    cm = c.join(tot, "a")
+    from graphlite_spark.checkpoint import truncate_plan
+
+    # materialize the k x k transition codebook: the value iteration
+    # references it every round — without this each round re-runs the
+    # full per-actor lag pass over the fact table
+    cm = truncate_plan(c.join(tot, "a"))
 
     states = events.select(F.col(state_col).alias("state")).distinct()
     h = states.select("state", F.lit(0).cast("long").alias("h"))
@@ -309,7 +319,12 @@ def conversion_prob(
     ).where(F.col("a").isNotNull())
     c = pr.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
     tot = c.groupBy("a").agg(F.sum("n").cast("long").alias("tot"))
-    cm = c.join(tot, "a")
+    from graphlite_spark.checkpoint import truncate_plan
+
+    # materialize the k x k transition codebook: the value iteration
+    # references it every round — without this each round re-runs the
+    # full per-actor lag pass over the fact table
+    cm = truncate_plan(c.join(tot, "a"))
 
     states = events.select(F.col(state_col).alias("state")).distinct()
     p = states.select("state", F.lit(0).cast("long").alias("p"))
@@ -545,7 +560,12 @@ def markov_attribution(
         F.count(F.lit(1)).cast("long").alias("n")
     )
     tot = c.groupBy("a").agg(F.sum("n").cast("long").alias("tot"))
-    cm = c.join(tot, "a")
+    from graphlite_spark.checkpoint import truncate_plan
+
+    # materialize the k x k transition codebook: the value iteration
+    # references it every round — without this each round re-runs the
+    # full per-actor lag pass over the fact table
+    cm = truncate_plan(c.join(tot, "a"))
 
     states = events.select(F.col(state_col).alias("state")).distinct()
     chans = (
@@ -557,7 +577,7 @@ def markov_attribution(
             )
         )
     )
-    grid = chans.crossJoin(F.broadcast(states))
+    grid = truncate_plan(chans.crossJoin(F.broadcast(states)))
 
     def pin(expr):
         return (

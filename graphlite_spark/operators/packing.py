@@ -622,9 +622,14 @@ def ipf_raking(
     subsequent join/aggregate runs on the |rows|·|cols| cell table
     (codebook-sized), and the uniform target rides a 1-row broadcast —
     the iteration costs the same at 10^3 or 10^12 documents."""
+    from graphlite_spark.checkpoint import truncate_plan
+
+    # ONE corpus pass, materialized: every later reference is to the
+    # codebook-sized cell table, never back to the raw documents
     cells = docs.groupBy(
         F.col(row_col).alias("r"), F.col(col_col).alias("c")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cells = truncate_plan(cells)
     tot = cells.agg(
         F.sum("n").cast("long").alias("total"),
         F.countDistinct("r").cast("long").alias("n_rows"),
@@ -656,8 +661,13 @@ def ipf_raking(
         )
 
     for _ in range(iterations):
-        w = rescale(w, "r", "t_row")
-        w = rescale(w, "c", "t_col")
+        # each rescale references w TWICE (margin agg + join back), so
+        # the un-truncated plan subtree would DOUBLE per step (2^2k
+        # copies of the corpus scan after k rounds) — the self-joining-
+        # fixpoint rule (checkpoint.truncate_plan) applies even though
+        # the frame is codebook-sized
+        w = truncate_plan(rescale(w, "r", "t_row"))
+        w = truncate_plan(rescale(w, "c", "t_col"))
     return w.select(
         F.col("r").alias(row_col),
         F.col("c").alias(col_col),
