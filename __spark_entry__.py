@@ -2693,6 +2693,32 @@ def q_feature_hash_collisions(
     )
 
 
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # monotone (PAV) calibration curve of quality-score buckets vs
+    # P(lang='en'), via the minimax formula on one collected B-row array
+    from graphlite_spark.operators.packing import isotonic_calibration
+
+    return isotonic_calibration(
+        load_table(spark, sf_dir, "documents"), num_buckets=16
+    )
+
+
+def q_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # uint8 scalar-quantization reconstruction error (the compression
+    # tier below PQ), exact integer micros
+    from graphlite_spark.operators.similarity import int8_quant_error
+
+    return int8_quant_error(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skyline of the per-user (frequency, monetary) plane — closed-form
+    # sweep over distinct frequencies, never a pair join
+    from graphlite_spark.operators.analytics import pareto_frontier
+
+    return pareto_frontier(load_table(spark, sf_dir, "events"))
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3366,6 +3392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hour_dow_heatmap": q_hour_dow_heatmap,
         "events_cube": q_events_cube,
         "feature_hash_collisions": q_feature_hash_collisions,
+        "isotonic_calibration": q_isotonic_calibration,
+        "int8_quant_error": q_int8_quant_error,
+        "pareto_frontier": q_pareto_frontier,
     }
 
 
@@ -3546,6 +3575,9 @@ def oracle_sql() -> dict[str, str]:
         "feature_hash_collisions": O.feature_hash_collisions_sql(
             1024, "fh"
         ),
+        "isotonic_calibration": O.isotonic_calibration_sql(16, "en"),
+        "int8_quant_error": O.int8_quant_error_sql(),
+        "pareto_frontier": O.pareto_frontier_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -1716,3 +1716,47 @@ def events_cube(events: DataFrame) -> DataFrame:
             "gid", "n", "sum_value_micros",
         )
     )
+
+
+def pareto_frontier(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(f, m, n_users) — the Pareto frontier (skyline) of the per-unit
+    (frequency, monetary-cents) plane: the points no other unit
+    dominates (≥ on both axes, > on at least one) — the "best
+    customers" set a 2-D threshold can't express (pareto_80_20 ranks
+    one axis; the skyline trades the two off).
+
+    The sweep is closed-form, never a pair join: per distinct f, only
+    the max-m point can survive; a point survives iff its m strictly
+    exceeds the running max of best-m over all STRICTLY larger f
+    (window over the distinct-f table, one row per distinct frequency —
+    activity-bounded, not unit-bounded).  Units tied on an exact
+    surviving (f, m) point all belong to the frontier (no strict
+    dominance among equals).
+
+    Scale shape: one per-unit combined aggregate, one distinct-f
+    groupBy, one lag-style running max over the distinct-f table, one
+    semi-join back for the per-point unit counts."""
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum(
+            F.round(F.col(value_col) * 100).cast("long")
+        ).cast("long").alias("m"),
+    )
+    best = per.groupBy("f").agg(F.max("m").alias("bm"))
+    w = Window.orderBy(F.col("f").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front = best.select(
+        "f", "bm", F.max("bm").over(w).alias("prev")
+    ).where(F.col("prev").isNull() | (F.col("bm") > F.col("prev")))
+    return (
+        per.join(
+            front.select("f", F.col("bm").alias("m")), ["f", "m"]
+        )
+        .groupBy("f", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

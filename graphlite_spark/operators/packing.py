@@ -674,3 +674,144 @@ def ipf_raking(
         F.col("n").alias("n_docs"),
         F.col("w").alias("weight_micros"),
     )
+
+
+def isotonic_calibration(
+    docs: DataFrame,
+    num_buckets: int = 16,
+    positive_lang: str = "en",
+) -> DataFrame:
+    """(bucket, n, pos, rate_micros, fitted_micros) — isotonic (PAV)
+    calibration of the blended quality score against P(lang =
+    ``positive_lang``): docs are rank-bucketed on (quality, doc_id)
+    into ``num_buckets`` equal-frequency bins (the rfm_segments closed
+    form over assign_dense_ids — no global window), and the monotone
+    fit comes from the MINIMAX characterization of isotonic regression
+    (Robertson, Wright & Dykstra 1988, public literature):
+
+        fitted_i = max_{j≤i} min_{k≥i} rate(j..k),
+        rate(j..k) = 10^6·(pos_k−pos_{j−1}) div (n_k−n_{j−1})
+
+    — O(B³) integer lambdas over ONE collected B-row array instead of
+    the sequential pool-adjacent-violators stack (which a declarative
+    plan can't express); the max-of-min structure keeps monotonicity
+    even under per-candidate micro truncation (each i+1 takes a max
+    over a superset of mins over subsets).  The calibration-curve
+    primitive next to quality_calibrated's percentile thresholds.
+
+    Scale shape: one rank pass + one B-row groupBy; everything after
+    lives on the collected B-element array (B is a knob, not data)."""
+    from graphlite_spark.functions.text import quality_exprs, tokens_expr
+    from graphlite_spark.plans.derive import assign_dense_ids
+
+    B = int(num_buckets)
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == positive_lang).cast("long").alias("pos"),
+        tokens_expr("text").alias("toks"),
+    )
+    q = toks.select(
+        "doc_id", "pos",
+        quality_exprs(F.col("toks"))["quality"].alias("q"),
+    )
+    n_total = q.count()
+    if n_total == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "bucket int, n long, pos long, rate_micros long,"
+            " fitted_micros long"
+        )
+    ranked = assign_dense_ids(q, ["q", "doc_id"], id_col="rk")
+    per = (
+        ranked.select(
+            (F.expr(f"(rk * {B}) div {n_total}") + 1)
+            .cast("int").alias("b"),
+            "pos",
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+    )
+    arr = per.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("b", "n", "p"))).alias("arr")
+    )
+    # staged prefix arrays (1-based: element i+1 = sum of first i)
+    staged = arr.select(
+        "arr",
+        F.transform(
+            F.sequence(F.lit(0), F.size("arr")),
+            lambda i: F.aggregate(
+                F.slice(F.col("arr"), F.lit(1), i),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x["n"],
+            ),
+        ).alias("cn"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("arr")),
+            lambda i: F.aggregate(
+                F.slice(F.col("arr"), F.lit(1), i),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x["p"],
+            ),
+        ).alias("cp"),
+    )
+
+    def rate(j, k):
+        # 10^6·(cp[k]−cp[j−1]) div (cn[k]−cn[j−1]); prefix arrays are
+        # 1-based with a leading 0, so prefix i lives at element i+1
+        num = (
+            F.element_at(F.col("cp"), k + 1)
+            - F.element_at(F.col("cp"), j)
+        ) * F.lit(1_000_000).cast("long")
+        den = F.element_at(F.col("cn"), k + 1) - F.element_at(
+            F.col("cn"), j
+        )
+        return ((num - num % den) / den).cast("long")
+
+    fitted = staged.select(
+        "arr", "cn", "cp",
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr")),
+            lambda i: F.array_max(
+                F.transform(
+                    F.sequence(F.lit(1), i),
+                    lambda j: F.array_min(
+                        F.transform(
+                            F.sequence(i, F.size(F.col("arr"))),
+                            lambda k: rate(j, k),
+                        )
+                    ),
+                )
+            ),
+        ).alias("fit"),
+    )
+    out = fitted.select(
+        F.explode(
+            F.transform(
+                F.col("arr"),
+                lambda x, i: F.struct(
+                    x["b"].alias("bucket"),
+                    x["n"].alias("n"),
+                    x["p"].alias("pos"),
+                    (
+                        (
+                            x["p"] * F.lit(1_000_000).cast("long")
+                            - (x["p"] * F.lit(1_000_000).cast("long"))
+                            % x["n"]
+                        )
+                        / x["n"]
+                    ).cast("long").alias("rate_micros"),
+                    F.element_at(F.col("fit"), i + 1)
+                    .alias("fitted_micros"),
+                ),
+            )
+        ).alias("r")
+    )
+    return out.select(
+        F.col("r.bucket").alias("bucket"),
+        F.col("r.n").alias("n"),
+        F.col("r.pos").alias("pos"),
+        F.col("r.rate_micros").alias("rate_micros"),
+        F.col("r.fitted_micros").alias("fitted_micros"),
+    )

@@ -8721,3 +8721,115 @@ def feature_hash_collisions_sql(
         "  CAST(sum(k) AS BIGINT) AS n_tokens\n"
         "FROM fhf GROUP BY 1"
     )
+
+
+def isotonic_calibration_sql(
+    num_buckets: int = 16, positive_lang: str = "en"
+) -> str:
+    """Mirror of operators.packing.isotonic_calibration: the 6dp
+    quality score, the closed-form rank bucket, per-bucket counts,
+    prefix sums, and the minimax isotonic fit as nested DuckDB list
+    lambdas (verified: nested lambda capture matches Spark's)."""
+    B = int(num_buckets)
+    pl = positive_lang.replace("'", "''")
+    return (
+        f"WITH isoq AS MATERIALIZED ({quality_sql()}),\n"
+        "isol AS MATERIALIZED (\n"
+        "  SELECT q.doc_id, q.quality,\n"
+        f"    CASE WHEN d.lang = '{pl}' THEN 1 ELSE 0 END AS pos\n"
+        "  FROM isoq q JOIN documents d USING (doc_id)),\n"
+        "ison AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM isol),\n"
+        "isob AS MATERIALIZED (\n"
+        "  SELECT CAST(((row_number() OVER (ORDER BY quality, doc_id)"
+        f" - 1) * {B})\n"
+        "    // (SELECT nt FROM ison) + 1 AS INT) AS b, pos\n"
+        "  FROM isol),\n"
+        "isop AS MATERIALIZED (\n"
+        "  SELECT b, CAST(count(*) AS BIGINT) AS n,\n"
+        "    CAST(sum(pos) AS BIGINT) AS p FROM isob GROUP BY 1),\n"
+        "isoa AS MATERIALIZED (\n"
+        "  SELECT list(n ORDER BY b) AS ns, list(p ORDER BY b) AS ps,\n"
+        "    list(b ORDER BY b) AS bs FROM isop),\n"
+        "isoc AS MATERIALIZED (\n"
+        "  SELECT bs, ns, ps,\n"
+        "    list_transform(range(0, len(ns) + 1), i ->\n"
+        "      CAST(COALESCE(list_sum(ns[1:i]), 0) AS BIGINT)) AS cn,\n"
+        "    list_transform(range(0, len(ns) + 1), i ->\n"
+        "      CAST(COALESCE(list_sum(ps[1:i]), 0) AS BIGINT)) AS cp\n"
+        "  FROM isoa),\n"
+        "isof AS MATERIALIZED (\n"
+        "  SELECT bs, ns, ps,\n"
+        "    list_transform(range(1, len(ns) + 1), i ->\n"
+        "      list_max(list_transform(range(1, i + 1), j ->\n"
+        "        list_min(list_transform(range(i, len(ns) + 1), k ->\n"
+        "          (1000000 * (cp[k + 1] - cp[j])) //"
+        " (cn[k + 1] - cn[j])\n"
+        "        ))))) AS fit\n"
+        "  FROM isoc)\n"
+        "SELECT CAST(u.b AS INT) AS bucket,\n"
+        "  CAST(u.n AS BIGINT) AS n, CAST(u.p AS BIGINT) AS pos,\n"
+        "  CAST((1000000 * u.p) // u.n AS BIGINT) AS rate_micros,\n"
+        "  CAST(u.f AS BIGINT) AS fitted_micros\n"
+        "FROM (\n"
+        "  SELECT unnest(bs) AS b, unnest(ns) AS n, unnest(ps) AS p,\n"
+        "    unnest(fit) AS f FROM isof) u"
+    )
+
+
+def int8_quant_error_sql() -> str:
+    """Mirror of operators.similarity.int8_quant_error, exploded per
+    (vector, dim) — row-shaped where the Spark side is array-shaped,
+    same integer semantics."""
+    return (
+        "WITH i8q AS MATERIALIZED (\n"
+        "  SELECT vec_id,\n"
+        "    list_transform(embedding, x ->"
+        " CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv\n"
+        "  FROM embeddings),\n"
+        "i8e AS MATERIALIZED (\n"
+        "  SELECT vec_id, i AS dim, qv[i] AS v\n"
+        "  FROM i8q, unnest(range(1, len(qv) + 1)) AS t(i)),\n"
+        "i8b AS MATERIALIZED (\n"
+        "  SELECT dim, CAST(min(v) AS BIGINT) AS mn,\n"
+        "    CAST(max(v) AS BIGINT) AS mx FROM i8e GROUP BY 1),\n"
+        "i8err AS MATERIALIZED (\n"
+        "  SELECT e.vec_id,\n"
+        "    CASE WHEN b.mx > b.mn THEN e.v - (b.mn +\n"
+        "      ((((e.v - b.mn) * 255) // (b.mx - b.mn)) * (b.mx - b.mn))"
+        " // 255)\n"
+        "    ELSE 0 END AS err\n"
+        "  FROM i8e e JOIN i8b b USING (dim)),\n"
+        "i8d AS (SELECT CAST(max(dim) AS BIGINT) AS d FROM i8e)\n"
+        "SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,\n"
+        "  (SELECT d FROM i8d) AS dims,\n"
+        "  CAST(sum(err * err) AS BIGINT) AS sum_sq_err,\n"
+        "  CAST(max(abs(err)) AS BIGINT) AS max_abs_err,\n"
+        "  CAST(sum(err * err) // (count(DISTINCT vec_id)"
+        " * (SELECT d FROM i8d)) AS BIGINT) AS mean_sq_err\n"
+        "FROM i8err"
+    )
+
+
+def pareto_frontier_sql() -> str:
+    """Mirror of operators.analytics.pareto_frontier: per-unit (f, m),
+    best-m per distinct f, running strict-larger-f max, semi-join
+    back for point populations."""
+    return (
+        "WITH pfp AS MATERIALIZED (\n"
+        "  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS f,\n"
+        "    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        " AS m\n"
+        "  FROM events GROUP BY 1),\n"
+        "pfb AS MATERIALIZED (SELECT f, CAST(max(m) AS BIGINT) AS bm\n"
+        "  FROM pfp GROUP BY 1),\n"
+        "pff AS MATERIALIZED (\n"
+        "  SELECT f, bm FROM (\n"
+        "    SELECT f, bm, max(bm) OVER (ORDER BY f DESC\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        " AS prev\n"
+        "    FROM pfb)\n"
+        "  WHERE prev IS NULL OR bm > prev)\n"
+        "SELECT p.f, p.m, CAST(count(*) AS BIGINT) AS n_users\n"
+        "FROM pfp p JOIN pff x ON x.f = p.f AND x.bm = p.m\n"
+        "GROUP BY 1, 2"
+    )

@@ -754,3 +754,144 @@ def test_feature_hash_collisions_bruteforce(spark):
         e[1] += k
     assert got == {k: tuple(v) for k, v in want.items()}
     assert sum(n for _, n in got.values()) == len(vocab)
+
+
+def test_isotonic_minimax_bruteforce(spark):
+    """The minimax fit vs a classic python PAV stack on the same
+    bucket stats — and vs direct python minimax (all three agree)."""
+    from graphlite_spark.operators.packing import isotonic_calibration
+
+    # craft docs so quality orders by doc length and 'en' labels are
+    # NON-monotone along that order (PAV has real pooling to do)
+    langs = ["en", "de", "en", "en", "de", "en", "de", "en",
+             "de", "de", "en", "en"]
+    rows = [
+        (i, " ".join(["word"] * (3 + i)), lang, "s0", 10)
+        for i, lang in enumerate(langs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    B = 4
+    got = sorted(
+        (r["bucket"], r["n"], r["pos"], r["rate_micros"],
+         r["fitted_micros"])
+        for r in isotonic_calibration(df, num_buckets=B).collect()
+    )
+
+    # quality is monotone in doc length here (same tokens), so bucket
+    # b of doc i = (rank*B)//N + 1 with rank = i
+    N = len(langs)
+    buckets: dict[int, list] = {}
+    for i, lang in enumerate(langs):
+        b = (i * B) // N + 1
+        e = buckets.setdefault(b, [0, 0])
+        e[0] += 1
+        e[1] += 1 if lang == "en" else 0
+    bs = sorted(buckets)
+    ns = [buckets[b][0] for b in bs]
+    ps = [buckets[b][1] for b in bs]
+    cn = [0]
+    cp = [0]
+    for n, p in zip(ns, ps):
+        cn.append(cn[-1] + n)
+        cp.append(cp[-1] + p)
+    k = len(bs)
+
+    def rate(j, kk):
+        return (1_000_000 * (cp[kk] - cp[j - 1])) // (cn[kk] - cn[j - 1])
+
+    fit = [
+        max(
+            min(rate(j, kk) for kk in range(i, k + 1))
+            for j in range(1, i + 1)
+        )
+        for i in range(1, k + 1)
+    ]
+    want = sorted(
+        (bs[i], ns[i], ps[i], (1_000_000 * ps[i]) // ns[i], fit[i])
+        for i in range(k)
+    )
+    assert got == want
+    # fitted sequence is monotone nondecreasing (the isotonic contract)
+    fseq = [x[4] for x in got]
+    assert fseq == sorted(fseq)
+    # and it actually pooled something (raw rates are non-monotone)
+    rseq = [x[3] for x in got]
+    assert rseq != sorted(rseq)
+
+
+def test_int8_quant_error_bruteforce(spark):
+    """Scalar-quant errors vs python, incl. a constant dimension."""
+    from graphlite_spark.operators.similarity import int8_quant_error
+
+    vecs = [
+        (0, [0.0, 1.0, 0.5], 0),
+        (1, [1.0, 1.0, 0.25], 0),
+        (2, [0.5, 1.0, 0.75], 1),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    r = int8_quant_error(df).collect()[0]
+
+    qv = [[round(x * 1_000_000) for x in v] for _, v, _ in vecs]
+    d = 3
+    mins = [min(v[i] for v in qv) for i in range(d)]
+    maxs = [max(v[i] for v in qv) for i in range(d)]
+    errs = []
+    for v in qv:
+        for i in range(d):
+            rng = maxs[i] - mins[i]
+            if rng > 0:
+                code = ((v[i] - mins[i]) * 255) // rng
+                recon = mins[i] + (code * rng) // 255
+                errs.append(v[i] - recon)
+            else:
+                errs.append(0)
+    assert (r["n_vecs"], r["dims"]) == (3, 3)
+    assert r["sum_sq_err"] == sum(e * e for e in errs)
+    assert r["max_abs_err"] == max(abs(e) for e in errs)
+    assert r["mean_sq_err"] == sum(e * e for e in errs) // 9
+    # dim 2 is constant -> contributes zero error
+    assert all(e == 0 for e in errs[1::3])
+
+
+def test_pareto_frontier_bruteforce(spark):
+    """Skyline vs itertools domination check, with an interior point,
+    an equal-point tie, and a same-f lower-m dominated user."""
+    from graphlite_spark.operators.analytics import pareto_frontier
+
+    profile = {
+        1: (3, 10.0), 2: (3, 10.0),   # tied frontier point
+        3: (3, 2.0),                   # same f, lower m -> dominated
+        4: (5, 4.0),                   # frontier (higher f)
+        5: (1, 20.0),                  # frontier (higher m)
+        6: (2, 3.0),                   # interior -> dominated
+    }
+    rows = []
+    eid = 0
+    for u, (f, total) in profile.items():
+        for j in range(f):
+            v = total / f
+            rows.append((eid, j, u, "view", v))
+            eid += 1
+    df = _events_w(spark, rows)
+    got = {
+        (r["f"], r["m"]): r["n_users"]
+        for r in pareto_frontier(df).collect()
+    }
+
+    pts = {
+        u: (f, sum(round((total / f) * 100) for _ in range(f)))
+        for u, (f, total) in profile.items()
+    }
+    def dominated(a, b):
+        return (b[0] >= a[0] and b[1] >= a[1]) and b != a
+    want: dict[tuple, int] = {}
+    for u, p in pts.items():
+        if not any(dominated(p, q) for q in pts.values()):
+            want[p] = want.get(p, 0) + 1
+    assert got == want
+    assert got[pts[1]] == 2 and pts[6] not in got
