@@ -2719,6 +2719,51 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier(load_table(spark, sf_dir, "events"))
 
 
+def q_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two engine fixpoints composed: SCC peel -> contract -> max-plus
+    # DAG layering.  Half-loop closure (mid turn -> first turn) makes
+    # each conversation's first half one real SCC with a layered tail
+    from graphlite_spark.algos.scc import scc_condensation_layers
+
+    _, v, e = graph_tables(spark, sf_dir)
+    m = v.groupBy("conv_id").agg(
+        F.expr("max(turn_idx) div 2").alias("mid")
+    )
+    src = (
+        v.join(m, "conv_id")
+        .where(F.col("turn_idx") == F.col("mid"))
+        .select("conv_id", F.col("id").alias("src"))
+    )
+    dst = v.where(F.col("turn_idx") == 0).select(
+        "conv_id", F.col("id").alias("dst")
+    )
+    mide = src.join(dst, "conv_id").select("src", "dst")
+    closed = e.select("src", "dst").unionByName(mide)
+    return scc_condensation_layers(v, closed, depth=8)
+
+
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # share of single-event sessions over the standard 30-min gap
+    # sessionization
+    from graphlite_spark.operators.sessions import bounce_rate
+
+    return bounce_rate(load_table(spark, sf_dir, "events"))
+
+
+def q_embedding_distance_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # corpus-geometry quantiles over a deterministic linear-size pair
+    # sample — the number SemDeDup-style thresholds are set against
+    from graphlite_spark.operators.similarity import (
+        embedding_distance_profile,
+    )
+
+    return embedding_distance_profile(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3395,6 +3440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": q_isotonic_calibration,
         "int8_quant_error": q_int8_quant_error,
         "pareto_frontier": q_pareto_frontier,
+        "scc_condensation": q_scc_condensation,
+        "bounce_rate": q_bounce_rate,
+        "embedding_distance_profile": q_embedding_distance_profile,
     }
 
 
@@ -3578,6 +3626,11 @@ def oracle_sql() -> dict[str, str]:
         "isotonic_calibration": O.isotonic_calibration_sql(16, "en"),
         "int8_quant_error": O.int8_quant_error_sql(),
         "pareto_frontier": O.pareto_frontier_sql(),
+        "scc_condensation": O.scc_condensation_layers_sql(8),
+        "bounce_rate": O.bounce_rate_sql(30),
+        "embedding_distance_profile": (
+            O.embedding_distance_profile_sql(64, "edp")
+        ),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

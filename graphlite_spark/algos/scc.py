@@ -279,3 +279,60 @@ def conversation_loop_edges(vertices: DataFrame) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
     )
+
+
+def scc_condensation_layers(
+    vertices: DataFrame,
+    edges: DataFrame,
+    depth: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(scc, members, layer) — the condensation DAG, layered: contract
+    every strongly connected component of the directed graph to one
+    node (labeled by its min member id), keep the distinct
+    between-component arcs (always acyclic — the textbook condensation
+    property), and run the engine's longest-path layering on the
+    result.  Two engine fixpoints composed end-to-end: the FW/BW SCC
+    peel feeds the max-plus DAG Pregel program, exactly how a
+    cycle-tolerant dependency analysis runs topological scheduling on
+    a graph that isn't a DAG yet.
+
+    ``depth`` bounds the layering rounds (same cap semantics as
+    :func:`~graphlite_spark.algos.dag.dag_layers`; the oracle unrolls
+    the identical rule, so parity holds whether or not the cap binds).
+
+    Scale shape: the SCC peel's documented shape, then ONE label
+    equi-join pair + distinct to build the condensation (edge-linear),
+    then the Pregel loop on the CONTRACTED graph — by construction no
+    larger, usually far smaller."""
+    from graphlite_spark.algos.dag import dag_layers
+
+    labels = strongly_connected_components(
+        vertices, edges, num_partitions=num_partitions
+    )
+    s = labels.select(F.col("id").alias("src"), F.col("scc").alias("cs"))
+    d = labels.select(F.col("id").alias("dst"), F.col("scc").alias("cd"))
+    ce = (
+        edges.select("src", "dst")
+        .join(s, "src")
+        .join(d, "dst")
+        .where(F.col("cs") != F.col("cd"))
+        .select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    cv = labels.groupBy("scc").agg(
+        F.count(F.lit(1)).cast("long").alias("members")
+    )
+    res = dag_layers(
+        cv.select(F.col("scc").alias("id")), ce, depth=depth,
+        num_partitions=num_partitions, run_id="scc_condensation",
+    )
+    return (
+        res.state.select(
+            F.col("id").alias("scc"),
+            F.col("value").cast("long").alias("layer"),
+        )
+        .join(cv, "scc")
+        .select("scc", "members", "layer")
+    )

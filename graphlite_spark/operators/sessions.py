@@ -109,3 +109,32 @@ def funnel_conversion(
             ).alias("conversion"),
         )
     )
+
+
+def bounce_rate(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(n_sessions, n_bounces, bounce_micros, n_users,
+    max_session_events) — the bounce readout over the standard
+    gap-sessionization: the share of sessions containing exactly one
+    event (10^6-scaled truncating ratio), next to the per-session
+    stats :func:`sessionize` already emits.  One extra codebook-sized
+    aggregate over the session table — the sessionize windows dominate
+    and are unchanged."""
+    s = sessionize(events, gap_minutes=gap_minutes, user_col=user_col)
+    agg = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(
+            (F.col("n_events") == 1).cast("long")
+        ).cast("long").alias("n_bounces"),
+        F.countDistinct(user_col).cast("long").alias("n_users"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )
+    return agg.select(
+        "n_sessions", "n_bounces",
+        F.expr("(1000000 * n_bounces) div n_sessions")
+        .cast("long").alias("bounce_micros"),
+        "n_users", "max_session_events",
+    )

@@ -893,3 +893,75 @@ def int8_quant_error(
         F.expr(f"sum_sq_err div (n_vecs * {d})")
         .cast("long").alias("mean_sq_err"),
     )
+
+
+def embedding_distance_profile(
+    embeddings: DataFrame,
+    num_groups: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "edp",
+) -> DataFrame:
+    """(n_pairs, p25, p50, p75) — the corpus-geometry profile: exact
+    squared euclidean distances (micro² BIGINTs) over a DETERMINISTIC
+    linear-size pair sample, quantiled with the shared discrete rank
+    rule.  This is the number a SemDeDup / near-dup threshold is set
+    against — "how far apart are random pairs here?" — without any
+    all-pairs join: vectors land in ``num_groups`` hash buckets and
+    pair up with their within-bucket rank neighbor (rank 2k−1 with
+    2k), so the pair count is ⌊N/2⌋-ish, reproducible, and blind to
+    insertion order.
+
+    Scale shape: one hash-bucket window (each bucket ≈ N/G rows,
+    G a knob), one self-free pair groupBy, then the quantile
+    machinery over the pair table."""
+    from graphlite_spark.functions.hashes import hash48
+    from graphlite_spark.operators.kmeans import quantize_expr
+    from graphlite_spark.operators.quantiles import grouped_quantiles
+
+    qv = embeddings.select(
+        F.col(id_col).alias("id"),
+        quantize_expr(F.col(vec_col)).alias("qv"),
+        (
+            hash48(
+                F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+            )
+            % num_groups
+        ).alias("g"),
+    )
+    w = Window.partitionBy("g").orderBy("id")
+    ranked = qv.withColumn("rn", F.row_number().over(w)).select(
+        "g",
+        F.expr("(rn - 1) div 2").alias("pair"),
+        "qv",
+    )
+    pairs = (
+        ranked.groupBy("g", "pair")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            # within-pair order is collect-nondeterministic but the
+            # squared distance is symmetric, so it cannot matter
+            F.collect_list("qv").alias("vs"),
+        )
+        .where(F.col("c") == 2)
+    )
+    dist = pairs.select(
+        F.aggregate(
+            F.zip_with(
+                F.element_at("vs", 1),
+                F.element_at("vs", 2),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d2")
+    )
+    return grouped_quantiles(
+        dist.select(F.lit("all").alias("grp"), "d2"), "grp", "d2",
+        (25, 50, 75),
+    ).select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("p25").cast("long").alias("p25"),
+        F.col("p50").cast("long").alias("p50"),
+        F.col("p75").cast("long").alias("p75"),
+    )

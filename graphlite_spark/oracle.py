@@ -8833,3 +8833,116 @@ def pareto_frontier_sql() -> str:
         "FROM pfp p JOIN pff x ON x.f = p.f AND x.bm = p.m\n"
         "GROUP BY 1, 2"
     )
+
+
+def scc_condensation_layers_sql(depth: int = 8) -> str:
+    """Mirror of algos.scc.scc_condensation_layers over the transcript
+    graph + one HALF-loop closure edge per conversation (mid turn →
+    first turn: the first half collapses into one SCC, the tail stays
+    a chain, so the condensation has real layers): exact recursive
+    closure for the SCC labels (scc_sql's device), then the
+    dag_layers_sql round rule unrolled over the contracted arcs."""
+    parts = [
+        "mide AS MATERIALIZED (\n"
+        "  SELECT s.id AS src, d.id AS dst\n"
+        "  FROM (SELECT conv_id, max(turn_idx) // 2 AS mid\n"
+        "        FROM vertices GROUP BY 1) m\n"
+        "  JOIN vertices s ON s.conv_id = m.conv_id"
+        " AND s.turn_idx = m.mid\n"
+        "  JOIN vertices d ON d.conv_id = m.conv_id"
+        " AND d.turn_idx = 0)",
+        "dedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (\n"
+        "  SELECT src, dst FROM edges\n"
+        "  UNION ALL SELECT src, dst FROM mide\n"
+        ") u WHERE src <> dst)",
+        "fw(v, r) AS (\n"
+        "  SELECT id, id FROM vertices\n"
+        "  UNION\n"
+        "  SELECT e.dst, fw.r FROM fw JOIN dedges e ON e.src = fw.v)",
+        "sccl AS MATERIALIZED (\n"
+        "  SELECT f.v AS id, CAST(min(f.r) AS BIGINT) AS scc\n"
+        "  FROM fw f JOIN fw g ON g.v = f.r AND g.r = f.v\n"
+        "  GROUP BY f.v)",
+        "cmem AS MATERIALIZED (SELECT scc,"
+        " CAST(count(*) AS BIGINT) AS members FROM sccl GROUP BY 1)",
+        "cede AS MATERIALIZED (\n"
+        "  SELECT DISTINCT s.scc AS src, d.scc AS dst\n"
+        "  FROM dedges e JOIN sccl s ON s.id = e.src\n"
+        "  JOIN sccl d ON d.id = e.dst WHERE s.scc <> d.scc)",
+        "cd0 AS MATERIALIZED (SELECT scc AS id,"
+        " CAST(0 AS BIGINT) AS layer FROM cmem)",
+    ]
+    for k in range(1, depth + 1):
+        prev = f"cd{k - 1}"
+        parts.append(
+            f"cd{k} AS MATERIALIZED (\n"
+            f"  SELECT p.id,\n"
+            f"    CAST(CASE WHEN m.d IS NOT NULL AND m.d > p.layer\n"
+            f"         THEN m.d ELSE p.layer END AS BIGINT) AS layer\n"
+            f"  FROM {prev} p LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, max(q.layer) + 1 AS d\n"
+            f"    FROM cede e JOIN {prev} q ON q.id = e.src\n"
+            f"    GROUP BY e.dst) m ON m.id = p.id)"
+        )
+    body = (
+        ", " + ",\n".join(parts) + "\n"
+        "SELECT c.id AS scc, m.members, c.layer\n"
+        f"FROM cd{depth} c JOIN cmem m ON m.scc = c.id"
+    )
+    return _graph_query(body, recursive=True)
+
+
+def bounce_rate_sql(gap_minutes: int = 30) -> str:
+    """Mirror of operators.sessions.bounce_rate over the sessionize
+    oracle's session table."""
+    return (
+        f"WITH bs AS MATERIALIZED ({sessionize_sql(gap_minutes)})\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n_sessions,\n"
+        "  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_bounces,\n"
+        "  CAST((1000000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0"
+        " END)) // count(*) AS BIGINT) AS bounce_micros,\n"
+        "  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,\n"
+        "  CAST(max(n_events) AS BIGINT) AS max_session_events\n"
+        "FROM bs"
+    )
+
+
+def embedding_distance_profile_sql(
+    num_groups: int = 64, salt: str = "edp"
+) -> str:
+    """Mirror of operators.similarity.embedding_distance_profile:
+    hash-bucket rank pairing, exact micro² squared distances, the
+    shared discrete-rank quantiles over one group."""
+    G = int(num_groups)
+    h = _h48(f"'{salt}:' || CAST(vec_id AS VARCHAR)")
+    picks = ",\n".join(
+        f"  CAST(max(CASE WHEN rn = (n * {p} + 99) // 100"
+        f" THEN d2 END) AS BIGINT) AS p{p}"
+        for p in (25, 50, 75)
+    )
+    return (
+        "WITH edq AS MATERIALIZED (\n"
+        "  SELECT vec_id,\n"
+        "    list_transform(embedding, x ->"
+        " CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv,\n"
+        f"    {h} % {G} AS g\n"
+        "  FROM embeddings),\n"
+        "edr AS MATERIALIZED (\n"
+        "  SELECT g, (row_number() OVER (PARTITION BY g ORDER BY"
+        " vec_id) - 1) // 2 AS pair, qv\n"
+        "  FROM edq),\n"
+        "edp AS MATERIALIZED (\n"
+        "  SELECT g, pair, CAST(list_sum(list_transform(\n"
+        "    range(1, len(min(qv)) + 1),\n"
+        "    i -> (min(qv)[i] - max(qv)[i])\n"
+        "      * (min(qv)[i] - max(qv)[i])\n"
+        "  )) AS BIGINT) AS d2\n"
+        "  FROM edr GROUP BY g, pair HAVING count(*) = 2),\n"
+        "edrk AS MATERIALIZED (\n"
+        "  SELECT d2, row_number() OVER (ORDER BY d2) AS rn,\n"
+        "    count(*) OVER () AS n FROM edp)\n"
+        "SELECT CAST(max(n) AS BIGINT) AS n_pairs,\n"
+        f"{picks}\n"
+        "FROM edrk HAVING count(*) > 0"
+    )

@@ -895,3 +895,110 @@ def test_pareto_frontier_bruteforce(spark):
             want[p] = want.get(p, 0) + 1
     assert got == want
     assert got[pts[1]] == 2 and pts[6] not in got
+
+
+def test_scc_condensation_bruteforce(spark):
+    """Contract-and-layer vs python Tarjan-free brute force on a graph
+    with two cycles feeding a chain."""
+    from graphlite_spark.algos.scc import scc_condensation_layers
+
+    # cycle A {0,1,2} -> cycle B {3,4} -> chain 5 -> 6; isolated 7
+    arcs = [
+        (0, 1), (1, 2), (2, 0),
+        (2, 3), (3, 4), (4, 3),
+        (4, 5), (5, 6),
+    ]
+    v = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    e = spark.createDataFrame(arcs, "src long, dst long")
+    got = {
+        r["scc"]: (r["members"], r["layer"])
+        for r in scc_condensation_layers(v, e, depth=8).collect()
+    }
+
+    # python: reachability-based SCC + longest-path layers
+    import itertools
+
+    reach = {i: {i} for i in range(8)}
+    for _ in range(8):
+        for s, d in arcs:
+            for src in list(reach):
+                if s in reach[src]:
+                    reach[src].add(d)
+    scc_of = {}
+    for i in range(8):
+        comp = min(
+            j for j in range(8) if j in reach[i] and i in reach[j]
+        )
+        scc_of[i] = comp
+    cedges = {
+        (scc_of[s], scc_of[d]) for s, d in arcs if scc_of[s] != scc_of[d]
+    }
+    members: dict[int, int] = {}
+    for i, c in scc_of.items():
+        members[c] = members.get(c, 0) + 1
+    layer = {c: 0 for c in members}
+    for _ in range(8):
+        for s, d in cedges:
+            layer[d] = max(layer[d], layer[s] + 1)
+    want = {c: (members[c], layer[c]) for c in members}
+    assert got == want
+    assert got[0] == (3, 0) and got[3] == (2, 1)
+    assert got[5] == (1, 2) and got[6] == (1, 3) and got[7] == (1, 0)
+
+
+def test_bounce_rate_bruteforce(spark):
+    """Bounce share vs hand-counted sessions around the 30-min gap."""
+    from graphlite_spark.operators.sessions import bounce_rate
+
+    rows = [
+        # u1: two events 10 min apart (one session), then one 2h later
+        # (bounce session)
+        (0, BASE, 1, "view", 1.0),
+        (1, BASE + datetime.timedelta(minutes=10), 1, "click", 1.0),
+        (2, BASE + datetime.timedelta(hours=2), 1, "view", 1.0),
+        # u2: single event (bounce)
+        (3, BASE, 2, "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    r = bounce_rate(df).collect()[0]
+    assert (r["n_sessions"], r["n_bounces"], r["n_users"],
+            r["max_session_events"]) == (3, 2, 2, 2)
+    assert r["bounce_micros"] == (1_000_000 * 2) // 3
+
+
+def test_embedding_distance_profile_bruteforce(spark):
+    """Pair distances vs python md5 bucketing and rank pairing."""
+    import hashlib
+
+    from graphlite_spark.operators.similarity import (
+        embedding_distance_profile,
+    )
+
+    vecs = [(i, [float(i), float(i % 3)], i % 2) for i in range(11)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    G = 2
+    r = embedding_distance_profile(df, num_groups=G).collect()[0]
+
+    buckets: dict[int, list] = {}
+    for i, v, _ in vecs:
+        h = int(hashlib.md5(f"edp:{i}".encode()).hexdigest()[:12], 16)
+        buckets.setdefault(h % G, []).append((i, v))
+    d2s = []
+    for g, mem in buckets.items():
+        mem.sort()
+        for j in range(0, len(mem) - 1, 2):
+            a = [round(x * 1_000_000) for x in mem[j][1]]
+            b = [round(x * 1_000_000) for x in mem[j + 1][1]]
+            d2s.append(sum((x - y) ** 2 for x, y in zip(a, b)))
+    d2s.sort()
+    n = len(d2s)
+    pick = lambda p: d2s[(n * p + 99) // 100 - 1]  # noqa: E731
+    assert (r["n_pairs"], r["p25"], r["p50"], r["p75"]) == (
+        n, pick(25), pick(50), pick(75)
+    )
