@@ -2764,6 +2764,23 @@ def q_embedding_distance_profile(
     )
 
 
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first/last-touch revenue attribution — the classic heuristics
+    # bracketing markov_attribution's removal effect; one ordered
+    # window carries both touches
+    from graphlite_spark.operators.temporal import touch_attribution
+
+    return touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+def q_dose_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conversion rate by view-exposure bucket (descriptive dose-
+    # response, the chart next to the A/B z-test)
+    from graphlite_spark.operators.analytics import dose_response
+
+    return dose_response(load_table(spark, sf_dir, "events"))
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3443,6 +3460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_condensation": q_scc_condensation,
         "bounce_rate": q_bounce_rate,
         "embedding_distance_profile": q_embedding_distance_profile,
+        "touch_attribution": q_touch_attribution,
+        "dose_response": q_dose_response,
     }
 
 
@@ -3631,6 +3650,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_distance_profile": (
             O.embedding_distance_profile_sql(64, "edp")
         ),
+        "touch_attribution": O.touch_attribution_sql("purchase"),
+        "dose_response": O.dose_response_sql("view", "purchase", 3),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -1760,3 +1760,40 @@ def pareto_frontier(
         .groupBy("f", "m")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def dose_response(
+    events: DataFrame,
+    exposure_type: str = "view",
+    outcome_type: str = "purchase",
+    max_bucket: int = 3,
+    unit_col: str = "user_id",
+) -> DataFrame:
+    """(exposure_bucket, n_units, n_converted, rate_micros) — the
+    dose-response curve: conversion rate by exposure count (bucketed
+    0, 1, …, ``max_bucket``+, the last one capped) — does seeing more
+    ``exposure_type`` events go with more ``outcome_type``?
+    Descriptive, not causal (stated), but the first chart every growth
+    review asks for next to the A/B z-test.
+
+    Scale shape: ONE per-unit combined aggregate (exposure count +
+    outcome flag in the same pass), then a codebook-sized bucket
+    groupBy."""
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.sum(
+            (F.col("event_type") == exposure_type).cast("long")
+        ).alias("x"),
+        F.max(
+            (F.col("event_type") == outcome_type).cast("int")
+        ).alias("y"),
+    )
+    b = F.least(F.col("x"), F.lit(max_bucket)).cast("int")
+    agg = per.groupBy(b.alias("exposure_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("y").cast("long").alias("n_converted"),
+    )
+    return agg.select(
+        "exposure_bucket", "n_units", "n_converted",
+        F.expr("(1000000 * n_converted) div n_units")
+        .cast("long").alias("rate_micros"),
+    )

@@ -575,3 +575,59 @@ def conversion_lag_quantiles(
         F.col("p50").cast("long").alias("p50"),
         F.col("p75").cast("long").alias("p75"),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(model, channel, n_conversions, sum_cents) — first-touch AND
+    last-touch revenue attribution over per-actor timelines, the two
+    classic heuristics bracketing :func:`markov removal-effect
+    <...markov_attribution>`: each conversion credits its actor's
+    FIRST preceding non-conversion event type (first-touch) and its
+    LAST preceding one (last-touch); conversions with no preceding
+    touch credit '(direct)'.  Revenue in the house integer cents.
+
+    Scale shape: ONE per-actor ordered window computes both carried
+    channels (``first``/``last`` with ignorenulls over the strictly-
+    preceding frame — no self-join, no as-of join), then one
+    codebook-sized groupBy per model, unioned."""
+    w = (
+        Window.partitionBy(actor_col)
+        .orderBy(ts_col, tie_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != convert_type, F.col("event_type")
+    )
+    marked = events.select(
+        F.col("event_type"),
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        F.first(touch, ignorenulls=True).over(w).alias("ft"),
+        F.last(touch, ignorenulls=True).over(w).alias("lt"),
+    ).where(F.col("event_type") == convert_type)
+
+    def model(col: str, name: str) -> DataFrame:
+        return (
+            marked.select(
+                F.lit(name).alias("model"),
+                F.coalesce(F.col(col), F.lit("(direct)")).alias(
+                    "channel"
+                ),
+                "cents",
+            )
+            .groupBy("model", "channel")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_conversions"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+        )
+
+    return model("ft", "first_touch").unionByName(
+        model("lt", "last_touch")
+    )

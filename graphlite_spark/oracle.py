@@ -8946,3 +8946,60 @@ def embedding_distance_profile_sql(
         f"{picks}\n"
         "FROM edrk HAVING count(*) > 0"
     )
+
+
+def touch_attribution_sql(convert_type: str = "purchase") -> str:
+    """Mirror of operators.temporal.touch_attribution: one ordered
+    window carrying first/last non-conversion touch (IGNORE NULLS over
+    the strictly-preceding frame — measured identical to Spark's
+    ignorenulls), per-model codebook groupBys unioned."""
+    cv = convert_type.replace("'", "''")
+    return (
+        "WITH tam AS MATERIALIZED (\n"
+        "  SELECT event_type,\n"
+        "    CAST(round(value * 100) AS BIGINT) AS cents,\n"
+        f"    first_value(CASE WHEN event_type <> '{cv}'"
+        " THEN event_type END IGNORE NULLS) OVER w AS ft,\n"
+        f"    last_value(CASE WHEN event_type <> '{cv}'"
+        " THEN event_type END IGNORE NULLS) OVER w AS lt\n"
+        "  FROM events\n"
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id\n"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),\n"
+        "tac AS MATERIALIZED (SELECT * FROM tam"
+        f" WHERE event_type = '{cv}')\n"
+        "SELECT 'first_touch' AS model,\n"
+        "  COALESCE(ft, '(direct)') AS channel,\n"
+        "  CAST(count(*) AS BIGINT) AS n_conversions,\n"
+        "  CAST(sum(cents) AS BIGINT) AS sum_cents\n"
+        "FROM tac GROUP BY 2\n"
+        "UNION ALL\n"
+        "SELECT 'last_touch', COALESCE(lt, '(direct)'),\n"
+        "  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)\n"
+        "FROM tac GROUP BY 2"
+    )
+
+
+def dose_response_sql(
+    exposure_type: str = "view",
+    outcome_type: str = "purchase",
+    max_bucket: int = 3,
+) -> str:
+    """Mirror of operators.analytics.dose_response."""
+    ex = exposure_type.replace("'", "''")
+    oc = outcome_type.replace("'", "''")
+    return (
+        "WITH drp AS MATERIALIZED (\n"
+        "  SELECT user_id,\n"
+        f"    CAST(sum(CASE WHEN event_type = '{ex}' THEN 1 ELSE 0"
+        " END) AS BIGINT) AS x,\n"
+        f"    max(CASE WHEN event_type = '{oc}' THEN 1 ELSE 0 END)"
+        " AS y\n"
+        "  FROM events GROUP BY 1)\n"
+        f"SELECT CAST(least(x, {int(max_bucket)}) AS INT)"
+        " AS exposure_bucket,\n"
+        "  CAST(count(*) AS BIGINT) AS n_units,\n"
+        "  CAST(sum(y) AS BIGINT) AS n_converted,\n"
+        "  CAST((1000000 * sum(y)) // count(*) AS BIGINT)"
+        " AS rate_micros\n"
+        "FROM drp GROUP BY 1"
+    )

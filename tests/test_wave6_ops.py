@@ -1002,3 +1002,71 @@ def test_embedding_distance_profile_bruteforce(spark):
     assert (r["n_pairs"], r["p25"], r["p50"], r["p75"]) == (
         n, pick(25), pick(50), pick(75)
     )
+
+
+def test_touch_attribution_bruteforce(spark):
+    """First/last-touch credit vs hand-walked journeys, incl. a
+    (direct) conversion and a mid-journey second conversion."""
+    from graphlite_spark.operators.temporal import touch_attribution
+
+    seqs = {
+        1: [("view", 0.0), ("click", 0.0), ("purchase", 10.0)],
+        2: [("purchase", 5.0)],  # no touch -> (direct)
+        3: [("signup", 0.0), ("purchase", 2.0), ("click", 0.0),
+            ("purchase", 4.0)],
+    }
+    rows = []
+    eid = 0
+    for u, seq in seqs.items():
+        for j, (t, v) in enumerate(seq):
+            rows.append((eid, j, u, t, v))
+            eid += 1
+    df = _events_w(spark, rows)
+    got = {
+        (r["model"], r["channel"]): (r["n_conversions"], r["sum_cents"])
+        for r in touch_attribution(df).collect()
+    }
+    want = {
+        ("first_touch", "view"): (1, 1000),
+        ("first_touch", "(direct)"): (1, 500),
+        ("first_touch", "signup"): (2, 600),   # both of u3's purchases
+        ("last_touch", "click"): (2, 1400),    # u1's and u3's second
+        ("last_touch", "(direct)"): (1, 500),
+        ("last_touch", "signup"): (1, 200),    # u3's first purchase
+    }
+    assert got == want
+
+
+def test_dose_response_bruteforce(spark):
+    """Bucketed conversion rates vs python, incl. the capped bucket."""
+    from graphlite_spark.operators.analytics import dose_response
+
+    profiles = {
+        1: (0, 0), 2: (0, 1), 3: (1, 0), 4: (2, 1),
+        5: (5, 1), 6: (7, 0), 7: (3, 1),
+    }
+    rows = []
+    eid = 0
+    for u, (views, buys) in profiles.items():
+        for _ in range(views):
+            rows.append((eid, 0, u, "view", 1.0)); eid += 1
+        for _ in range(buys):
+            rows.append((eid, 1, u, "purchase", 1.0)); eid += 1
+        if views == 0 and buys == 0:
+            rows.append((eid, 0, u, "error", 1.0)); eid += 1
+    df = _events_w(spark, rows)
+    got = {
+        r["exposure_bucket"]: (r["n_units"], r["n_converted"],
+                               r["rate_micros"])
+        for r in dose_response(df).collect()
+    }
+    want: dict[int, list] = {}
+    for views, buys in profiles.values():
+        b = min(views, 3)
+        e = want.setdefault(b, [0, 0])
+        e[0] += 1
+        e[1] += 1 if buys else 0
+    assert got == {
+        b: (n, c, (1_000_000 * c) // n) for b, (n, c) in want.items()
+    }
+    assert got[3] == (3, 2, (2_000_000) // 3)  # 5,7,3 views capped
