@@ -2781,6 +2781,30 @@ def q_dose_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dose_response(load_table(spark, sf_dir, "events"))
 
 
+def q_popularity_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # leave-one-out hit-rate of the popularity baseline — the recsys
+    # floor every model must beat
+    from graphlite_spark.operators.analytics import popularity_hitrate
+
+    return popularity_hitrate(load_table(spark, sf_dir, "events"), k=2)
+
+
+def q_psi_time_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Population Stability Index between the first and second time half
+    # — the standard production drift monitor, per event type
+    from graphlite_spark.operators.analytics import psi_time_drift
+
+    return psi_time_drift(load_table(spark, sf_dir, "events"))
+
+
+def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # leave-one-out 1-NN label accuracy over the embeddings — the
+    # classifier-metric view of label separability
+    from graphlite_spark.operators.similarity import knn_accuracy
+
+    return knn_accuracy(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3462,6 +3486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_distance_profile": q_embedding_distance_profile,
         "touch_attribution": q_touch_attribution,
         "dose_response": q_dose_response,
+        "popularity_hitrate": q_popularity_hitrate,
+        "psi_time_drift": q_psi_time_drift,
+        "knn_accuracy": q_knn_accuracy,
     }
 
 
@@ -3652,6 +3679,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "touch_attribution": O.touch_attribution_sql("purchase"),
         "dose_response": O.dose_response_sql("view", "purchase", 3),
+        "popularity_hitrate": O.popularity_hitrate_sql(2),
+        "psi_time_drift": O.psi_time_drift_sql("event_type"),
+        "knn_accuracy": O.knn_accuracy_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

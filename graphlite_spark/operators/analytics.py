@@ -1797,3 +1797,116 @@ def dose_response(
         F.expr("(1000000 * n_converted) div n_units")
         .cast("long").alias("rate_micros"),
     )
+
+
+def popularity_hitrate(
+    events: DataFrame,
+    k: int = 2,
+    unit_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(n_users, n_hits, hitrate_micros) — leave-one-out evaluation of
+    the popularity baseline, the floor every recommender must beat:
+    hold out each unit's LAST event, rank items by train-set frequency
+    (train = everything except the held-out rows; ties broken by item
+    asc), and score a hit when the held-out item sits in the top
+    ``k``.  Units with only the held-out event still count (their
+    history is empty but the global ranking predicts anyway).
+
+    Scale shape: one per-unit row_number window picks the holdout; the
+    train ranking is a codebook-sized groupBy collapsed to a k-item
+    literal-free broadcast; the scoring join is unit-table ×
+    k-row broadcast."""
+    w = Window.partitionBy(unit_col).orderBy(
+        F.col(ts_col).desc(), F.col(tie_col).desc()
+    )
+    marked = events.select(
+        F.col(unit_col).alias("u"),
+        F.col(state_col).alias("it"),
+        (F.row_number().over(w) == 1).cast("int").alias("held"),
+    )
+    topk = (
+        marked.where(F.col("held") == 0)
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "it")
+        .limit(k)
+        .select("it")
+    )
+    held = marked.where(F.col("held") == 1).select("u", "it")
+    hits = held.join(F.broadcast(topk), "it", "left_semi")
+    agg = held.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).crossJoin(
+        F.broadcast(
+            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+    )
+    return agg.select(
+        "n_users", "n_hits",
+        F.expr("(1000000 * n_hits) div n_users")
+        .cast("long").alias("hitrate_micros"),
+    )
+
+
+def psi_time_drift(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(group, n_early, n_late, share_early_micros, share_late_micros,
+    psi_contrib_micros) — Population Stability Index between the first
+    and second time half of the stream (split at the midpoint of the
+    observed time RANGE — a pure literal predicate, no rank pass): the
+    standard production drift monitor, Σ (p_late − p_early)·ln(p_late
+    / p_early).  Groups absent from one half take the conventional
+    1-count floor on that side (stated; keeps ln finite) — floors
+    adjust counts, not the denominators, exactly like the smoothed PSI
+    every monitoring stack ships.
+
+    Exactness: counts exact; shares exact truncating micros; the one
+    float expression ((p_l − p_e)·ln ratio over exact integer
+    operands) is structured identically on both engines, rounded once
+    to 6dp-scaled micros."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    rng = events.agg(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    )
+    halves = events.crossJoin(F.broadcast(rng)).select(
+        F.col(group_col).alias("g"),
+        (
+            us
+            >= (
+                F.col("lo")
+                + F.expr("(hi - lo) div 2")
+                + 1
+            )
+        ).cast("int").alias("late"),
+    )
+    per = halves.groupBy("g").agg(
+        F.sum(1 - F.col("late")).cast("long").alias("n_early"),
+        F.sum("late").cast("long").alias("n_late"),
+    )
+    tot = per.agg(
+        F.sum("n_early").cast("long").alias("te"),
+        F.sum("n_late").cast("long").alias("tl"),
+    )
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "g", "n_early", "n_late", "te", "tl",
+        F.greatest("n_early", F.lit(1)).alias("fe"),
+        F.greatest("n_late", F.lit(1)).alias("fl"),
+    )
+    pe = F.col("fe") / F.col("te")
+    pl = F.col("fl") / F.col("tl")
+    return j.select(
+        F.col("g").alias(group_col),
+        "n_early", "n_late",
+        F.expr("(1000000 * n_early) div te")
+        .cast("long").alias("share_early_micros"),
+        F.expr("(1000000 * n_late) div tl")
+        .cast("long").alias("share_late_micros"),
+        F.round(F.lit(1_000_000.0) * (pl - pe) * F.log(pl / pe), 0)
+        .cast("long").alias("psi_contrib_micros"),
+    )

@@ -965,3 +965,44 @@ def embedding_distance_profile(
         F.col("p50").cast("long").alias("p50"),
         F.col("p75").cast("long").alias("p75"),
     )
+
+
+def knn_accuracy(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(n_vecs, n_correct, accuracy_micros) — leave-one-out 1-NN
+    classification accuracy over the embedding labels, riding the
+    exact :func:`cosine_topk` machinery (k=1 excludes self by
+    construction): the single number that says whether the embedding
+    space actually separates the labels — label_separability's
+    centroid view made into a classifier metric.
+
+    Scale shape: the brute-force top-1 is the operator under test
+    (broadcast cross join + WindowGroupLimit); at 100 TB this runs on
+    a sampled query set exactly like the recall readouts (stated)."""
+    top1 = cosine_topk(
+        embeddings, embeddings, k=1, id_col=id_col, vec_col=vec_col
+    )
+    lab = embeddings.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("true_l"),
+    )
+    nlab = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("pred_l"),
+    )
+    scored = top1.join(lab, "query_id").join(nlab, "neighbor_id")
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(
+            (F.col("true_l") == F.col("pred_l")).cast("long")
+        ).cast("long").alias("n_correct"),
+    )
+    return agg.select(
+        "n_vecs", "n_correct",
+        F.expr("(1000000 * n_correct) div n_vecs")
+        .cast("long").alias("accuracy_micros"),
+    )

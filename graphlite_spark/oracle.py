@@ -9003,3 +9003,86 @@ def dose_response_sql(
         " AS rate_micros\n"
         "FROM drp GROUP BY 1"
     )
+
+
+def popularity_hitrate_sql(k: int = 2) -> str:
+    """Mirror of operators.analytics.popularity_hitrate: last event per
+    unit held out, train-frequency top-k (ties item asc), hit share."""
+    return (
+        "WITH phm AS MATERIALIZED (\n"
+        "  SELECT user_id AS u, event_type AS it,\n"
+        "    CASE WHEN row_number() OVER (PARTITION BY user_id\n"
+        "      ORDER BY ts DESC, event_id DESC) = 1 THEN 1 ELSE 0 END"
+        " AS held\n"
+        "  FROM events),\n"
+        "pht AS MATERIALIZED (SELECT it FROM (\n"
+        "  SELECT it, CAST(count(*) AS BIGINT) AS n FROM phm\n"
+        "  WHERE held = 0 GROUP BY 1)\n"
+        f"  ORDER BY n DESC, it LIMIT {int(k)}),\n"
+        "phh AS MATERIALIZED (SELECT u, it FROM phm WHERE held = 1),\n"
+        "pha AS (SELECT CAST(count(*) AS BIGINT) AS n_users"
+        " FROM phh),\n"
+        "phb AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM phh\n"
+        "  WHERE it IN (SELECT it FROM pht))\n"
+        "SELECT n_users, n_hits,\n"
+        "  CAST((1000000 * n_hits) // n_users AS BIGINT)"
+        " AS hitrate_micros\n"
+        "FROM pha, phb"
+    )
+
+
+def psi_time_drift_sql(group_col: str = "event_type") -> str:
+    """Mirror of operators.analytics.psi_time_drift: midpoint-of-range
+    halves, 1-count floors on absent sides, identical float PSI term
+    rounded once."""
+    return (
+        "WITH psr AS (SELECT min(CAST(epoch_us(ts) AS BIGINT)) AS lo,\n"
+        "  max(CAST(epoch_us(ts) AS BIGINT)) AS hi FROM events),\n"
+        "psh AS MATERIALIZED (\n"
+        f"  SELECT {group_col} AS g,\n"
+        "    CASE WHEN CAST(epoch_us(ts) AS BIGINT) >=\n"
+        "      (SELECT lo + (hi - lo) // 2 + 1 FROM psr)\n"
+        "    THEN 1 ELSE 0 END AS late\n"
+        "  FROM events),\n"
+        "psp AS MATERIALIZED (SELECT g,\n"
+        "  CAST(sum(1 - late) AS BIGINT) AS n_early,\n"
+        "  CAST(sum(late) AS BIGINT) AS n_late FROM psh GROUP BY 1),\n"
+        "pst AS (SELECT CAST(sum(n_early) AS BIGINT) AS te,\n"
+        "  CAST(sum(n_late) AS BIGINT) AS tl FROM psp)\n"
+        f"SELECT g AS {group_col}, n_early, n_late,\n"
+        "  CAST((1000000 * n_early) // te AS BIGINT)"
+        " AS share_early_micros,\n"
+        "  CAST((1000000 * n_late) // tl AS BIGINT)"
+        " AS share_late_micros,\n"
+        "  CAST(round(1000000.0 * (greatest(n_late, 1) / tl\n"
+        "      - greatest(n_early, 1) / te)\n"
+        "    * ln((greatest(n_late, 1) / tl)\n"
+        "      / (greatest(n_early, 1) / te)), 0) AS BIGINT)"
+        " AS psi_contrib_micros\n"
+        "FROM psp, pst"
+    )
+
+
+def knn_accuracy_sql() -> str:
+    """Mirror of operators.similarity.knn_accuracy: leave-one-out 1-NN
+    by the shared rounded cosine + (sim DESC, neighbor ASC) rank."""
+    return (
+        f"WITH {_EMB_D},\n"
+        "el AS MATERIALIZED (SELECT vec_id, label FROM embeddings),\n"
+        "scored AS MATERIALIZED (\n"
+        f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        f" {_COS} AS sim\n"
+        "  FROM e q JOIN e c ON c.vec_id <> q.vec_id),\n"
+        "top1 AS MATERIALIZED (\n"
+        "  SELECT query_id, neighbor_id FROM (\n"
+        "    SELECT *, row_number() OVER (PARTITION BY query_id\n"
+        "      ORDER BY sim DESC, neighbor_id ASC) AS rk FROM scored)\n"
+        "  WHERE rk = 1)\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n_vecs,\n"
+        "  CAST(sum(CASE WHEN tl.label = pl.label THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_correct,\n"
+        "  CAST((1000000 * sum(CASE WHEN tl.label = pl.label THEN 1"
+        " ELSE 0 END)) // count(*) AS BIGINT) AS accuracy_micros\n"
+        "FROM top1 t JOIN el tl ON tl.vec_id = t.query_id\n"
+        "JOIN el pl ON pl.vec_id = t.neighbor_id"
+    )

@@ -1070,3 +1070,101 @@ def test_dose_response_bruteforce(spark):
         b: (n, c, (1_000_000 * c) // n) for b, (n, c) in want.items()
     }
     assert got[3] == (3, 2, (2_000_000) // 3)  # 5,7,3 views capped
+
+
+def test_popularity_hitrate_bruteforce(spark):
+    """Leave-one-out popularity baseline vs python."""
+    from graphlite_spark.operators.analytics import popularity_hitrate
+
+    seqs = {
+        1: ["view", "view", "click"],     # held: click
+        2: ["view", "purchase"],          # held: purchase
+        3: ["click", "view"],             # held: view
+        4: ["error"],                     # held: error (empty history)
+    }
+    rows = []
+    eid = 0
+    for u, seq in seqs.items():
+        for j, t in enumerate(seq):
+            rows.append((eid, j, u, t, 1.0))
+            eid += 1
+    df = _events_w(spark, rows)
+    r = popularity_hitrate(df, k=2).collect()[0]
+
+    # train (all but last per user): view x3, click x1, purchase? no
+    # (u2's purchase is held), error? no (u4's only event is held)
+    # top-2 by (n desc, item asc): view(3), click(1)
+    # held items: click (hit), purchase (miss), view (hit), error (miss)
+    assert (r["n_users"], r["n_hits"]) == (4, 2)
+    assert r["hitrate_micros"] == 500000
+
+
+def test_psi_time_drift_bruteforce(spark):
+    """PSI contributions vs python math, incl. a one-sided group."""
+    import math
+
+    from graphlite_spark.operators.analytics import psi_time_drift
+
+    # range 0..100h; early half = first 50h
+    rows = [
+        (0, 0, 1, "view", 1.0), (1, 10, 1, "view", 1.0),
+        (2, 60, 1, "view", 1.0),
+        (3, 5, 2, "click", 1.0),           # click only early (x2 — a
+        (6, 6, 2, "click", 1.0),           # 1-count floor would hide x1)
+        (4, 70, 3, "error", 1.0),          # error only late
+        (5, 100, 4, "view", 1.0),
+    ]
+    df = _events_w(spark, rows)
+    got = {
+        r["event_type"]: (
+            r["n_early"], r["n_late"], r["share_early_micros"],
+            r["share_late_micros"], r["psi_contrib_micros"],
+        )
+        for r in psi_time_drift(df).collect()
+    }
+
+    counts = {"view": (2, 2), "click": (2, 0), "error": (0, 1)}
+    te = sum(e for e, _ in counts.values())
+    tl = sum(l for _, l in counts.values())
+    want = {}
+    for g, (e, l) in counts.items():
+        pe, pl = max(e, 1) / te, max(l, 1) / tl
+        want[g] = (
+            e, l, (1_000_000 * e) // te, (1_000_000 * l) // tl,
+            round(1_000_000.0 * (pl - pe) * math.log(pl / pe)),
+        )
+    assert got == want
+    assert got["click"][4] != 0  # a 2->0 extinction survives the floor
+
+
+def test_knn_accuracy_bruteforce(spark):
+    """1-NN accuracy vs python cosine on separable clusters."""
+    from graphlite_spark.operators.similarity import knn_accuracy
+
+    vecs = [
+        (0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [1.0, 0.1], 0),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+        (5, [0.6, 0.6], 0),  # midway -> nearest decides
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    r = knn_accuracy(df).collect()[0]
+
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (math.sqrt(sum(x * x for x in a))
+                 * math.sqrt(sum(y * y for y in b))), 6
+        )
+
+    correct = 0
+    for i, v, lab in vecs:
+        best = max(
+            ((cos(v, w), -j, lj) for j, w, lj in vecs if j != i),
+        )
+        correct += 1 if best[2] == lab else 0
+    assert (r["n_vecs"], r["n_correct"]) == (6, correct)
+    assert r["accuracy_micros"] == (1_000_000 * correct) // 6
