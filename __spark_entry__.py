@@ -2805,6 +2805,26 @@ def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_accuracy(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # estimator-quality readout: K-hash MinHash similarity estimate vs
+    # exact shingle Jaccard over the LSH candidate pairs
+    from graphlite_spark.operators.dedup import minhash_estimate_error
+
+    return minhash_estimate_error(load_table(spark, sf_dir, "documents"))
+
+
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Monroe et al. log-odds-with-prior distinctive tokens per source —
+    # the variance-regularized "what defines this slice" readout
+    from graphlite_spark.operators.tfidf import distinctive_terms_logodds
+
+    return distinctive_terms_logodds(
+        load_table(spark, sf_dir, "documents"), k=5
+    )
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3489,6 +3509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "popularity_hitrate": q_popularity_hitrate,
         "psi_time_drift": q_psi_time_drift,
         "knn_accuracy": q_knn_accuracy,
+        "minhash_estimate_error": q_minhash_estimate_error,
+        "distinctive_terms": q_distinctive_terms,
     }
 
 
@@ -3682,6 +3704,8 @@ def oracle_sql() -> dict[str, str]:
         "popularity_hitrate": O.popularity_hitrate_sql(2),
         "psi_time_drift": O.psi_time_drift_sql("event_type"),
         "knn_accuracy": O.knn_accuracy_sql(),
+        "minhash_estimate_error": O.minhash_estimate_error_sql(8, 4),
+        "distinctive_terms": O.distinctive_terms_logodds_sql(5),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

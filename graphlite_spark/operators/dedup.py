@@ -1247,3 +1247,120 @@ def cross_source_duplication(
         .groupBy("source_a", "source_b")
         .agg(F.count_distinct("digest").cast("long").alias("n_shared_digests"))
     )
+
+
+def minhash_estimate_error(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(n_pairs, mean_abs_err_micros, max_abs_err_micros,
+    mean_est_micros, mean_exact_micros) — the ESTIMATOR-quality
+    readout for MinHash: over the LSH candidate pairs, compare the
+    signature estimate (matching components / K) against the exact
+    shingle Jaccard, both in exact integer micros.  minhash_lsh_recall
+    measures whether banding FINDS the right pairs; this measures
+    whether the K-hash sketch VALUES can be trusted as similarities —
+    the number that picks K before anyone thresholds on an estimate.
+
+    Scale shape: the signature and banding machinery verbatim
+    (:func:`minhash_signatures` + bucket equi-join), candidate-only
+    exact verification (never the all-pairs shingle join), and ONE
+    summary aggregate; per-pair arithmetic is closed-form micros."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                SEP,
+                F.lit(str(b)),
+                *[
+                    F.col(f"h{b * rows + r}").cast("string")
+                    for r in range(rows)
+                ],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.col(f"band{b}") for b in range(bands)])
+        ).alias("bucket"),
+    )
+    cand = (
+        stacked.alias("x")
+        .join(stacked.alias("y"), "bucket")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(num_hashes)],
+    )
+    matches = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("long")
+        for k in range(num_hashes)
+    )
+    raw = matches * F.lit(1_000_000).cast("long")
+    est = cand.join(sa, "a").join(sb, "b").select(
+        "a", "b",
+        ((raw - raw % F.lit(num_hashes)) / F.lit(num_hashes))
+        .cast("long").alias("est_micros"),
+    )
+    sh = _doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(sha, "a")
+        .join(shb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ex = (
+        cand.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("a"),
+                           F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"),
+                           F.col("n_sh").alias("nb")), "b")
+        .select(
+            "a", "b",
+            F.expr(
+                "(1000000 * coalesce(c, 0))"
+                " div (na + nb - coalesce(c, 0))"
+            ).cast("long").alias("ex_micros"),
+        )
+    )
+    per = est.join(ex, ["a", "b"]).select(
+        F.abs(F.col("est_micros") - F.col("ex_micros")).alias("ae"),
+        "est_micros", "ex_micros",
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("ae").cast("long").alias("sae"),
+        F.max("ae").cast("long").alias("max_abs_err_micros"),
+        F.sum("est_micros").cast("long").alias("se"),
+        F.sum("ex_micros").cast("long").alias("sx"),
+    )
+    return agg.select(
+        "n_pairs",
+        F.expr("sae div n_pairs").cast("long")
+        .alias("mean_abs_err_micros"),
+        "max_abs_err_micros",
+        F.expr("se div n_pairs").cast("long").alias("mean_est_micros"),
+        F.expr("sx div n_pairs").cast("long")
+        .alias("mean_exact_micros"),
+    )

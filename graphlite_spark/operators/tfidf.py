@@ -14,7 +14,7 @@ literal — one extra action, not a per-row driver loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graphlite_spark.functions.text import tokens_expr
@@ -312,4 +312,81 @@ def feature_hash_collisions(
     return filled.groupBy(F.col("k").alias("tokens_in_bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         F.sum("k").cast("long").alias("n_tokens"),
+    )
+
+
+def distinctive_terms_logodds(
+    docs: DataFrame, k: int = 5
+) -> DataFrame:
+    """(source, token, c_source, z) — each source's top-``k`` most
+    DISTINCTIVE tokens by the log-odds ratio with an informative
+    Dirichlet prior (Monroe, Colaresi & Quinn 2008's "Fightin' Words",
+    public literature), source vs rest-of-corpus:
+
+        δ_w = ln((c_s+1)/(n_s+V−c_s−1)) − ln((c_r+1)/(n_r+V−c_r−1)),
+        z_w = δ_w / sqrt(1/(c_s+1) + 1/(c_r+1))
+
+    with the add-one prior (A = vocabulary size V).  Unlike raw TF-IDF
+    this is variance-regularized: rare tokens can't dominate on one
+    lucky count — the standard "what words define this corpus slice"
+    readout.
+
+    Exactness: all counts exact BIGINTs; the ln/sqrt expression is the
+    one float, structured identically on both engines over integer
+    operands, rounded once to 6dp.  Deterministic top-k by (z DESC,
+    token ASC) — a per-source WindowGroupLimit, never a global sort.
+
+    Scale shape: one map-side-combined (source, token) count, one
+    token-marginal aggregate joined back on the token key, two 1-row
+    broadcast totals."""
+    from graphlite_spark.functions.text import tokens_expr
+
+    st = (
+        docs.select(
+            "source", F.explode(tokens_expr("text")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    )
+    tok_tot = st.groupBy("tok").agg(
+        F.sum("cs").cast("long").alias("ct")
+    )
+    src_tot = st.groupBy("source").agg(
+        F.sum("cs").cast("long").alias("ns")
+    )
+    glob = st.agg(
+        F.sum("cs").cast("long").alias("nn"),
+        F.countDistinct("tok").cast("long").alias("vv"),
+    )
+    j = (
+        st.join(tok_tot, "tok")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "source", "tok", "cs",
+            (F.col("ct") - F.col("cs")).alias("cr"),
+            "ns", (F.col("nn") - F.col("ns")).alias("nr"), "vv",
+        )
+    )
+    num_s = (F.col("cs") + 1) / (
+        F.col("ns") + F.col("vv") - F.col("cs") - 1
+    )
+    num_r = (F.col("cr") + 1) / (
+        F.col("nr") + F.col("vv") - F.col("cr") - 1
+    )
+    z = (F.log(num_s) - F.log(num_r)) / F.sqrt(
+        1 / (F.col("cs") + 1) + 1 / (F.col("cr") + 1)
+    )
+    scored = j.select(
+        "source", F.col("tok").alias("token"),
+        F.col("cs").alias("c_source"),
+        F.round(z, 6).alias("z"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("z").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("source", "token", "c_source", "z")
     )

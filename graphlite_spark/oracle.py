@@ -9086,3 +9086,79 @@ def knn_accuracy_sql() -> str:
         "FROM top1 t JOIN el tl ON tl.vec_id = t.query_id\n"
         "JOIN el pl ON pl.vec_id = t.neighbor_id"
     )
+
+
+def minhash_estimate_error_sql(
+    num_hashes: int = 8, bands: int = 4
+) -> str:
+    """Mirror of operators.dedup.minhash_estimate_error over the
+    shared MinHash-LSH CTE chain: matching-component micro estimate vs
+    the exact integer shingle Jaccard, summarized."""
+    K = int(num_hashes)
+    m = " + ".join(
+        f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END"
+        for k in range(K)
+    )
+    return (
+        f"WITH {_minhash_lsh_ctes(num_hashes, bands)},\n"
+        "meest AS MATERIALIZED (\n"
+        "  SELECT cand.a, cand.b,\n"
+        f"    CAST((({m}) * 1000000) // {K} AS BIGINT) AS est_micros\n"
+        "  FROM cand JOIN sig sa ON sa.doc_id = cand.a\n"
+        "  JOIN sig sb ON sb.doc_id = cand.b),\n"
+        "meex AS MATERIALIZED (\n"
+        "  SELECT cand.a, cand.b,\n"
+        "    CAST((1000000 * COALESCE(i.c, 0))\n"
+        "      // (za.n_sh + zb.n_sh - COALESCE(i.c, 0)) AS BIGINT)"
+        " AS ex_micros\n"
+        "  FROM cand LEFT JOIN inter i"
+        " ON i.a = cand.a AND i.b = cand.b\n"
+        "  JOIN sizes za ON za.doc_id = cand.a\n"
+        "  JOIN sizes zb ON zb.doc_id = cand.b),\n"
+        "meper AS MATERIALIZED (\n"
+        "  SELECT abs(e.est_micros - x.ex_micros) AS ae,\n"
+        "    e.est_micros, x.ex_micros\n"
+        "  FROM meest e JOIN meex x ON x.a = e.a AND x.b = e.b)\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs,\n"
+        "  CAST(sum(ae) // count(*) AS BIGINT)"
+        " AS mean_abs_err_micros,\n"
+        "  CAST(max(ae) AS BIGINT) AS max_abs_err_micros,\n"
+        "  CAST(sum(est_micros) // count(*) AS BIGINT)"
+        " AS mean_est_micros,\n"
+        "  CAST(sum(ex_micros) // count(*) AS BIGINT)"
+        " AS mean_exact_micros\n"
+        "FROM meper"
+    )
+
+
+def distinctive_terms_logodds_sql(k: int = 5) -> str:
+    """Mirror of operators.tfidf.distinctive_terms_logodds: identical
+    integer counts, the identical one-float z expression, the
+    (z DESC, token ASC) per-source top-k."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "dtc AS MATERIALIZED (\n"
+        "  SELECT d.source, u.tok, CAST(count(*) AS BIGINT) AS cs\n"
+        "  FROM toks_t t JOIN documents d USING (doc_id),\n"
+        "    unnest(t.toks) AS u(tok)\n"
+        "  GROUP BY 1, 2),\n"
+        "dtt AS MATERIALIZED (SELECT tok,"
+        " CAST(sum(cs) AS BIGINT) AS ct FROM dtc GROUP BY 1),\n"
+        "dts AS MATERIALIZED (SELECT source,"
+        " CAST(sum(cs) AS BIGINT) AS ns FROM dtc GROUP BY 1),\n"
+        "dtg AS (SELECT CAST(sum(cs) AS BIGINT) AS nn,\n"
+        "  CAST(count(DISTINCT tok) AS BIGINT) AS vv FROM dtc),\n"
+        "dtz AS MATERIALIZED (\n"
+        "  SELECT c.source, c.tok AS token, c.cs AS c_source,\n"
+        "    round((ln((c.cs + 1) / (s.ns + g.vv - c.cs - 1))\n"
+        "      - ln((t.ct - c.cs + 1)\n"
+        "          / (g.nn - s.ns + g.vv - (t.ct - c.cs) - 1)))\n"
+        "      / sqrt(1.0 / (c.cs + 1) + 1.0 / (t.ct - c.cs + 1)), 6)"
+        " AS z\n"
+        "  FROM dtc c JOIN dtt t USING (tok) JOIN dts s USING (source)"
+        ", dtg g)\n"
+        "SELECT source, token, c_source, z FROM (\n"
+        "  SELECT *, row_number() OVER (PARTITION BY source\n"
+        "    ORDER BY z DESC, token ASC) AS rk FROM dtz)\n"
+        f"WHERE rk <= {int(k)}"
+    )

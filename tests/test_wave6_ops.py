@@ -1168,3 +1168,121 @@ def test_knn_accuracy_bruteforce(spark):
         correct += 1 if best[2] == lab else 0
     assert (r["n_vecs"], r["n_correct"]) == (6, correct)
     assert r["accuracy_micros"] == (1_000_000 * correct) // 6
+
+
+def test_minhash_estimate_error_bruteforce(spark):
+    """Estimator-error summary vs python md5 minhashing on docs with
+    one exact-duplicate pair (est == exact == 1.0 there)."""
+    import hashlib
+
+    from graphlite_spark.operators.dedup import minhash_estimate_error
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta",
+        1: "alpha beta gamma delta epsilon zeta",     # dup of 0
+        2: "alpha beta gamma delta epsilon eta",       # near-dup
+        3: "one two three four five six seven",        # unrelated
+    }
+    df = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    K, B, n = 8, 4, 3
+    r = minhash_estimate_error(df, num_hashes=K, bands=B, n=n).collect()[0]
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    sig = {}
+    for i, t in texts.items():
+        sig[i] = [
+            min(h48(f"{k}\x1f{s}") for s in shingles(t))
+            for k in range(K)
+        ]
+    bandkey = {}
+    for i in sig:
+        bandkey[i] = [
+            hashlib.md5(
+                "\x1f".join([str(b)] + [str(sig[i][b * 2 + r_])
+                                        for r_ in range(2)]).encode()
+            ).hexdigest()
+            for b in range(B)
+        ]
+    cand = set()
+    for i in texts:
+        for j in texts:
+            if i < j and any(
+                x == y for x, y in zip(bandkey[i], bandkey[j])
+            ):
+                cand.add((i, j))
+    stats = []
+    for a, b in cand:
+        m = sum(1 for k in range(K) if sig[a][k] == sig[b][k])
+        est = (m * 1_000_000) // K
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        c = len(sa & sb)
+        ex = (1_000_000 * c) // (len(sa) + len(sb) - c)
+        stats.append((abs(est - ex), est, ex))
+    n_pairs = len(stats)
+    assert (0, 1) in cand  # the exact dup must be found
+    assert r["n_pairs"] == n_pairs
+    assert r["mean_abs_err_micros"] == sum(s[0] for s in stats) // n_pairs
+    assert r["max_abs_err_micros"] == max(s[0] for s in stats)
+    assert r["mean_est_micros"] == sum(s[1] for s in stats) // n_pairs
+    assert r["mean_exact_micros"] == sum(s[2] for s in stats) // n_pairs
+
+
+def test_distinctive_terms_bruteforce(spark):
+    """Log-odds z vs python math; the source-exclusive token wins."""
+    import math
+
+    from graphlite_spark.operators.tfidf import distinctive_terms_logodds
+
+    docs = [
+        (0, "common words here and kubernetes kubernetes", "en", "sA", 1),
+        (1, "common words here and again", "en", "sA", 1),
+        (2, "common words here and poetry poetry poetry", "en", "sB", 1),
+        (3, "common words more filler", "en", "sB", 1),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    got = {}
+    for r in distinctive_terms_logodds(df, k=2).collect():
+        got.setdefault(r["source"], []).append(
+            (r["token"], r["c_source"], r["z"])
+        )
+
+    cnt: dict[tuple, int] = {}
+    for _, t, _, s, _ in docs:
+        for w in t.lower().split():
+            cnt[(s, w)] = cnt.get((s, w), 0) + 1
+    ct: dict[str, int] = {}
+    ns: dict[str, int] = {}
+    for (s, w), c in cnt.items():
+        ct[w] = ct.get(w, 0) + c
+        ns[s] = ns.get(s, 0) + c
+    nn, vv = sum(ns.values()), len(ct)
+    want: dict[str, list] = {}
+    for (s, w), c in cnt.items():
+        cr = ct[w] - c
+        nr = nn - ns[s]
+        z = (
+            math.log((c + 1) / (ns[s] + vv - c - 1))
+            - math.log((cr + 1) / (nr + vv - cr - 1))
+        ) / math.sqrt(1 / (c + 1) + 1 / (cr + 1))
+        want.setdefault(s, []).append((w, c, round(z, 6)))
+    for s in want:
+        want[s] = sorted(want[s], key=lambda x: (-x[2], x[0]))[:2]
+    got = {s: sorted(v, key=lambda x: (-x[2], x[0])) for s, v in got.items()}
+    assert got == want
+    assert got["sA"][0][0] == "kubernetes"
+    assert got["sB"][0][0] == "poetry"
