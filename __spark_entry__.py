@@ -2825,6 +2825,33 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_textrank_top_sentence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # extractive summarization as one declarative plan: within-doc
+    # sentence graphs + the damped integer power iteration, top-1 each
+    from graphlite_spark.operators.tfidf import textrank_top_sentence
+
+    return textrank_top_sentence(
+        load_table(spark, sf_dir, "documents"), iterations=4
+    )
+
+
+def q_ols_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-sectional OLS of monetary value on activity count, with R²
+    from graphlite_spark.operators.analytics import ols_user_value
+
+    return ols_user_value(load_table(spark, sf_dir, "events"))
+
+
+def q_max_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gaps-and-islands: longest consecutive-active-day run per user,
+    # histogrammed — the habit-strength metric next to DAU/WAU
+    from graphlite_spark.operators.analytics import max_streak_hist
+
+    return max_streak_hist(load_table(spark, sf_dir, "events"))
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3511,6 +3538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_accuracy": q_knn_accuracy,
         "minhash_estimate_error": q_minhash_estimate_error,
         "distinctive_terms": q_distinctive_terms,
+        "textrank_top_sentence": q_textrank_top_sentence,
+        "ols_user_value": q_ols_user_value,
+        "max_streak": q_max_streak,
     }
 
 
@@ -3706,6 +3736,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_accuracy": O.knn_accuracy_sql(),
         "minhash_estimate_error": O.minhash_estimate_error_sql(8, 4),
         "distinctive_terms": O.distinctive_terms_logodds_sql(5),
+        "textrank_top_sentence": O.textrank_top_sentence_sql(4),
+        "ols_user_value": O.ols_user_value_sql(),
+        "max_streak": O.max_streak_hist_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

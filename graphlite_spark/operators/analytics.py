@@ -1910,3 +1910,96 @@ def psi_time_drift(
         F.round(F.lit(1_000_000.0) * (pl - pe) * F.log(pl / pe), 0)
         .cast("long").alias("psi_contrib_micros"),
     )
+
+
+def ols_user_value(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(n, slope_micros, intercept_micros, r2) — cross-sectional OLS of
+    per-unit monetary cents on per-unit event count ("does more
+    activity mean more value, and how much per event?"): the exact
+    integer moments feed the closed forms
+
+        slope = (n·Sxy − Sx·Sy) / (n·Sxx − Sx²),
+        intercept = (Sy − slope·Sx) / n
+
+    — both emitted as DECIMAL(38,0)-divided micros (BIGINT-safe at any
+    volume, same device as acf_daily) — plus the one float R² (squared
+    Pearson over the same exact moments, 6dp once).
+
+    Scale shape: one per-unit combined aggregate, one 1-row moment
+    aggregate; everything after is closed-form."""
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(
+            F.round(F.col(value_col) * 100).cast("long")
+        ).cast("long").alias("y"),
+    )
+    m = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+    den = "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+    deny = "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"
+    slope = f"(({num}) * 1000000) div ({den})"
+    return m.select(
+        "n",
+        F.expr(f"CAST({slope} AS BIGINT)").alias("slope_micros"),
+        F.expr(
+            f"CAST((CAST(sy AS DECIMAL(38,0)) * 1000000"
+            f" - ({slope}) * sx) div CAST(n AS DECIMAL(38,0))"
+            " AS BIGINT)"
+        ).alias("intercept_micros"),
+        F.when(
+            (F.expr(den) > 0) & (F.expr(deny) > 0),
+            F.round(
+                F.expr(
+                    f"CAST(({num}) AS DOUBLE) * CAST(({num}) AS DOUBLE)"
+                    f" / (CAST(({den}) AS DOUBLE)"
+                    f" * CAST(({deny}) AS DOUBLE))"
+                ),
+                6,
+            ),
+        ).alias("r2"),
+    )
+
+
+def max_streak_hist(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(streak_days, n_users) — histogram of each unit's LONGEST run of
+    consecutive active days (the gaps-and-islands classic): distinct
+    (unit, day) presence, island id = day − row_number within unit,
+    max island length per unit — the habit-strength retention metric
+    next to DAU/WAU stickiness.
+
+    Scale shape: one presence distinct, one per-unit ordered window,
+    two map-side-combined groupBys; the histogram is calendar-bounded."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    pres = events.select(
+        F.col(unit_col).alias("u"), day.alias("d")
+    ).distinct()
+    w = Window.partitionBy("u").orderBy("d")
+    isl = pres.select(
+        "u", (F.col("d") - F.row_number().over(w)).alias("isl")
+    )
+    runs = isl.groupBy("u", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    per = runs.groupBy("u").agg(
+        F.max("len").cast("long").alias("streak_days")
+    )
+    return per.groupBy("streak_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -390,3 +390,103 @@ def distinctive_terms_logodds(
         .where(F.col("rk") <= k)
         .select("source", "token", "c_source", "z")
     )
+
+
+def textrank_top_sentence(
+    docs: DataFrame, iterations: int = 4
+) -> DataFrame:
+    """(doc_id, n_sentences, sent_idx, score_micros) — extractive
+    summarization as a query: each document's sentences ([.!?]+ runs,
+    the flesch convention) form a within-document similarity graph
+    (edge weight = shared distinct tokens), and TextRank (Mihalcea &
+    Tarau 2004, public literature) runs ``iterations`` rounds of the
+    damped weighted power iteration in exact integer micros:
+
+        r_i ← 150000 + (85 · Σ_j (r_j·w_ji div W_j)) div 100
+
+    (d = 0.85; W_j = Σ out-weight of j; per-term truncating div).  The
+    emitted row is each doc's top sentence by (score DESC, idx ASC) —
+    "summarize every document" as one declarative plan, no UDF.
+
+    Scale shape: sentences/tokens are per-row expressions; the pair
+    weights come from ONE within-doc token equi-join (fan-out bounded
+    by per-document sentence counts, never cross-document); each
+    iteration is one scatter join + map-side-combined groupBy on the
+    within-doc edge table.  Sentence-less docs are excluded (stated)."""
+    from graphlite_spark.functions.text import tokens_expr
+
+    sent = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.col("text"), r"[.!?]+")
+        ).alias("sent_idx", "s"),
+    ).select(
+        "doc_id", "sent_idx",
+        F.array_distinct(tokens_expr(F.col("s"))).alias("toks"),
+    ).where(F.size("toks") > 0)
+    st = sent.select(
+        "doc_id", "sent_idx", F.explode("toks").alias("tok")
+    )
+    w_edges = (
+        st.alias("x")
+        .join(
+            st.alias("y"),
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.sent_idx") != F.col("y.sent_idx")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("x.sent_idx").alias("src"),
+            F.col("y.sent_idx").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wout = w_edges.groupBy("doc_id", "src").agg(
+        F.sum("w").cast("long").alias("wt")
+    )
+    ew = w_edges.join(wout, ["doc_id", "src"])
+    nodes = sent.select("doc_id", "sent_idx")
+    r = nodes.select(
+        "doc_id", "sent_idx",
+        F.lit(1_000_000).cast("long").alias("r"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            ew.join(
+                r.select(
+                    "doc_id",
+                    F.col("sent_idx").alias("src"),
+                    F.col("r").alias("rs"),
+                ),
+                ["doc_id", "src"],
+            )
+            .select(
+                "doc_id",
+                F.col("dst").alias("sent_idx"),
+                F.expr("(rs * w) div wt").alias("t"),
+            )
+            .groupBy("doc_id", "sent_idx")
+            .agg(F.sum("t").cast("long").alias("s"))
+        )
+        r = nodes.join(contrib, ["doc_id", "sent_idx"], "left").select(
+            "doc_id", "sent_idx",
+            (
+                F.lit(150_000).cast("long")
+                + F.expr("(85 * coalesce(s, 0)) div 100")
+            ).cast("long").alias("r"),
+        )
+    nsent = nodes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sentences")
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.col("r").desc(), F.col("sent_idx").asc()
+    )
+    top = (
+        r.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "sent_idx", F.col("r").alias("score_micros"))
+    )
+    return nsent.join(top, "doc_id").select(
+        "doc_id", "n_sentences", "sent_idx", "score_micros"
+    )

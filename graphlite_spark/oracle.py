@@ -9162,3 +9162,125 @@ def distinctive_terms_logodds_sql(k: int = 5) -> str:
         "    ORDER BY z DESC, token ASC) AS rk FROM dtz)\n"
         f"WHERE rk <= {int(k)}"
     )
+
+
+def textrank_top_sentence_sql(iterations: int = 4) -> str:
+    """Mirror of operators.tfidf.textrank_top_sentence: [.!?]+
+    sentence split with original positions, distinct-token overlap
+    weights within doc, the damped integer power iteration unrolled,
+    (score DESC, idx ASC) top-1 per doc."""
+    parts = [
+        "txp AS MATERIALIZED (SELECT doc_id,\n"
+        "  string_split_regex(text, '[.!?]+') AS parts"
+        " FROM documents)",
+        "txs AS MATERIALIZED (\n"
+        "  SELECT doc_id, i - 1 AS sent_idx,\n"
+        "    list_distinct(list_filter(\n"
+        "      string_split_regex(lower(parts[i]), '\\s+'),"
+        " x -> x <> '')) AS toks\n"
+        "  FROM txp, unnest(range(1, len(parts) + 1)) AS t(i))",
+        "txn AS MATERIALIZED (SELECT doc_id, sent_idx FROM txs"
+        " WHERE len(toks) > 0)",
+        "txt AS MATERIALIZED (\n"
+        "  SELECT s.doc_id, s.sent_idx, u.tok\n"
+        "  FROM txs s, unnest(s.toks) AS u(tok)"
+        " WHERE len(s.toks) > 0)",
+        "txw AS MATERIALIZED (\n"
+        "  SELECT x.doc_id, x.sent_idx AS src, y.sent_idx AS dst,\n"
+        "    CAST(count(*) AS BIGINT) AS w\n"
+        "  FROM txt x JOIN txt y ON y.doc_id = x.doc_id\n"
+        "    AND y.tok = x.tok AND y.sent_idx <> x.sent_idx\n"
+        "  GROUP BY 1, 2, 3)",
+        "txo AS MATERIALIZED (SELECT doc_id, src,"
+        " CAST(sum(w) AS BIGINT) AS wt FROM txw GROUP BY 1, 2)",
+        "txe AS MATERIALIZED (SELECT w.doc_id, w.src, w.dst, w.w,"
+        " o.wt\n"
+        "  FROM txw w JOIN txo o ON o.doc_id = w.doc_id"
+        " AND o.src = w.src)",
+        "txr0 AS MATERIALIZED (SELECT doc_id, sent_idx,\n"
+        "  CAST(1000000 AS BIGINT) AS r FROM txn)",
+    ]
+    for k in range(1, iterations + 1):
+        prev = f"txr{k - 1}"
+        parts.append(
+            f"txr{k} AS MATERIALIZED (\n"
+            "  SELECT n.doc_id, n.sent_idx,\n"
+            "    CAST(150000 + (85 * COALESCE(m.s, 0)) // 100"
+            " AS BIGINT) AS r\n"
+            "  FROM txn n LEFT JOIN (\n"
+            "    SELECT e.doc_id, e.dst AS sent_idx,\n"
+            "      CAST(sum((q.r * e.w) // e.wt) AS BIGINT) AS s\n"
+            f"    FROM txe e JOIN {prev} q ON q.doc_id = e.doc_id\n"
+            "      AND q.sent_idx = e.src\n"
+            "    GROUP BY 1, 2) m ON m.doc_id = n.doc_id\n"
+            "    AND m.sent_idx = n.sent_idx)"
+        )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined},\n"
+        "txcnt AS MATERIALIZED (SELECT doc_id,"
+        " CAST(count(*) AS BIGINT) AS n_sentences\n"
+        "  FROM txn GROUP BY 1),\n"
+        "txtop AS MATERIALIZED (\n"
+        "  SELECT doc_id, sent_idx, r AS score_micros FROM (\n"
+        f"    SELECT *, row_number() OVER (PARTITION BY doc_id\n"
+        f"      ORDER BY r DESC, sent_idx ASC) AS rk FROM"
+        f" txr{iterations})\n"
+        "  WHERE rk = 1)\n"
+        "SELECT c.doc_id, c.n_sentences,\n"
+        "  CAST(t.sent_idx AS INT) AS sent_idx, t.score_micros\n"
+        "FROM txcnt c JOIN txtop t USING (doc_id)"
+    )
+
+
+def ols_user_value_sql() -> str:
+    """Mirror of operators.analytics.ols_user_value: exact BIGINT
+    moments, HUGEINT slope/intercept micros (== Spark DECIMAL(38,0)
+    div), the one float R² over the same exact operands."""
+    num = "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy"
+    den = "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx"
+    deny = "CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy"
+    slope = f"(({num}) * 1000000) // ({den})"
+    return (
+        "WITH ouv AS MATERIALIZED (\n"
+        "  SELECT user_id, CAST(count(*) AS BIGINT) AS x,\n"
+        "    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        " AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "oum AS (SELECT CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT)"
+        " AS sy,\n"
+        "  CAST(sum(x * y) AS BIGINT) AS sxy,\n"
+        "  CAST(sum(x * x) AS BIGINT) AS sxx,\n"
+        "  CAST(sum(y * y) AS BIGINT) AS syy FROM ouv)\n"
+        "SELECT n,\n"
+        f"  CAST({slope} AS BIGINT) AS slope_micros,\n"
+        f"  CAST((CAST(sy AS HUGEINT) * 1000000 - ({slope}) * sx)\n"
+        "    // CAST(n AS HUGEINT) AS BIGINT) AS intercept_micros,\n"
+        f"  CASE WHEN ({den}) > 0 AND ({deny}) > 0 THEN\n"
+        f"    round(CAST(({num}) AS DOUBLE) * CAST(({num}) AS DOUBLE)\n"
+        f"      / (CAST(({den}) AS DOUBLE) * CAST(({deny}) AS"
+        " DOUBLE)), 6)\n"
+        "  END AS r2\n"
+        "FROM oum"
+    )
+
+
+def max_streak_hist_sql() -> str:
+    """Mirror of operators.analytics.max_streak_hist: gaps-and-islands
+    per unit, longest run, histogram."""
+    return (
+        "WITH msp AS MATERIALIZED (SELECT DISTINCT user_id AS u,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d"
+        " FROM events),\n"
+        "msi AS MATERIALIZED (SELECT u,\n"
+        "  d - row_number() OVER (PARTITION BY u ORDER BY d) AS isl\n"
+        "  FROM msp),\n"
+        "msr AS MATERIALIZED (SELECT u, isl,"
+        " CAST(count(*) AS BIGINT) AS len FROM msi GROUP BY 1, 2),\n"
+        "msm AS MATERIALIZED (SELECT u,"
+        " CAST(max(len) AS BIGINT) AS streak_days FROM msr"
+        " GROUP BY 1)\n"
+        "SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users\n"
+        "FROM msm GROUP BY 1"
+    )

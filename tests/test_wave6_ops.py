@@ -1286,3 +1286,132 @@ def test_distinctive_terms_bruteforce(spark):
     assert got == want
     assert got["sA"][0][0] == "kubernetes"
     assert got["sB"][0][0] == "poetry"
+
+
+def test_textrank_bruteforce(spark):
+    """Damped integer power iteration vs python on a doc where the
+    hub sentence (sharing tokens with all others) must win."""
+    from graphlite_spark.operators.tfidf import textrank_top_sentence
+
+    text = (
+        "apple banana cherry. apple dog. banana egg! cherry fig? "
+        "unrelated words here"
+    )
+    docs = [(1, text, "en", "s0", len(text)),
+            (2, "single sentence only", "en", "s0", 20)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    got = {
+        r["doc_id"]: (r["n_sentences"], r["sent_idx"], r["score_micros"])
+        for r in textrank_top_sentence(df, iterations=4).collect()
+    }
+
+    import re
+
+    def run(text):
+        parts = re.split(r"[.!?]+", text)
+        sents = {}
+        for i, p in enumerate(parts):
+            toks = set(t for t in re.split(r"\s+", p.lower()) if t)
+            if toks:
+                sents[i] = toks
+        w = {}
+        for i in sents:
+            for j in sents:
+                if i != j:
+                    c = len(sents[i] & sents[j])
+                    if c:
+                        w[(i, j)] = c
+        wt = {}
+        for (i, j), c in w.items():
+            wt[i] = wt.get(i, 0) + c
+        r = {i: 1_000_000 for i in sents}
+        for _ in range(4):
+            nxt = {}
+            for i in sents:
+                s = sum(
+                    (r[j] * w[(j, i)]) // wt[j]
+                    for j in sents
+                    if (j, i) in w
+                )
+                nxt[i] = 150_000 + (85 * s) // 100
+            r = nxt
+        best = max(sents, key=lambda i: (r[i], -i))
+        return len(sents), best, r[best]
+
+    for did, text_, _, _, _ in docs:
+        assert got[did] == run(text_)
+    # the single-sentence doc scores the no-inbox fixpoint
+    assert got[2] == (1, 0, 150_000)
+    assert got[1][1] == 0  # the hub sentence wins in doc 1
+
+
+def test_ols_user_value_bruteforce(spark):
+    """Exact OLS closed forms vs python on a hand regression."""
+    from graphlite_spark.operators.analytics import ols_user_value
+
+    profiles = {1: (2, 10.0), 2: (4, 18.0), 3: (6, 31.0), 4: (1, 6.0)}
+    rows = []
+    eid = 0
+    for u, (f, total) in profiles.items():
+        for j in range(f):
+            rows.append((eid, j, u, "view", total / f))
+            eid += 1
+    df = _events_w(spark, rows)
+    r = ols_user_value(df).collect()[0]
+
+    pts = [
+        (f, sum(round((total / f) * 100) for _ in range(f)))
+        for f, total in profiles.values()
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    deny = n * syy - sy * sy
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    slope = tdiv(num * 1_000_000, den)
+    intercept = tdiv(sy * 1_000_000 - slope * sx, n)
+    r2 = round((num * num) / (den * deny), 6)
+    assert (r["n"], r["slope_micros"], r["intercept_micros"]) == (
+        n, slope, intercept
+    )
+    assert r["r2"] == r2 and r["slope_micros"] > 0
+
+
+def test_max_streak_bruteforce(spark):
+    """Gaps-and-islands longest run vs python."""
+    from graphlite_spark.operators.analytics import max_streak_hist
+
+    days = {1: [0, 1, 2, 5, 6], 2: [0, 2, 4], 3: [3, 4, 5, 6]}
+    rows = []
+    eid = 0
+    for u, ds in days.items():
+        for d in ds:
+            rows.append((eid, 24 * d, u, "view", 1.0))
+            rows.append((eid + 1000, 24 * d + 1, u, "click", 1.0))
+            eid += 1
+    df = _events_w(spark, rows)
+    got = {
+        r["streak_days"]: r["n_users"]
+        for r in max_streak_hist(df).collect()
+    }
+
+    want: dict[int, int] = {}
+    for ds in days.values():
+        best = cur = 1
+        for a, b in zip(ds, ds[1:]):
+            cur = cur + 1 if b == a + 1 else 1
+            best = max(best, cur)
+        want[best] = want.get(best, 0) + 1
+    assert got == want
+    assert got == {3: 1, 1: 1, 4: 1}
