@@ -2852,6 +2852,22 @@ def q_max_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_streak_hist(load_table(spark, sf_dir, "events"))
 
 
+def q_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 100 TB exact-quantile path: two bounded passes (histogram
+    # locate + in-bin select) proven against the single-sort definition
+    from graphlite_spark.operators.quantiles import median_two_pass
+
+    return median_two_pass(load_table(spark, sf_dir, "events"))
+
+
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-step predictability: per-state conditional entropy and the
+    # frequency-weighted entropy-rate contributions
+    from graphlite_spark.operators.cooccurrence import markov_entropy_rate
+
+    return markov_entropy_rate(load_table(spark, sf_dir, "events"))
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3541,6 +3557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_top_sentence": q_textrank_top_sentence,
         "ols_user_value": q_ols_user_value,
         "max_streak": q_max_streak,
+        "median_two_pass": q_median_two_pass,
+        "markov_entropy_rate": q_markov_entropy_rate,
     }
 
 
@@ -3739,6 +3757,8 @@ def oracle_sql() -> dict[str, str]:
         "textrank_top_sentence": O.textrank_top_sentence_sql(4),
         "ols_user_value": O.ols_user_value_sql(),
         "max_streak": O.max_streak_hist_sql(),
+        "median_two_pass": O.median_two_pass_sql("event_type"),
+        "markov_entropy_rate": O.markov_entropy_rate_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -662,3 +662,67 @@ def markov_attribution(
             .alias("removal_effect_micros"),
         )
     )
+
+
+def markov_entropy_rate(
+    events: DataFrame,
+    state_col: str = "event_type",
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(state, n_from, h_cond_micros, p_state_micros,
+    contrib_micros) — the conditional (first-order Markov) entropy of
+    the event stream: per current state, H(next | cur = s) =
+    −Σ_t p(t|s)·log2 p(t|s) over the per-actor transition counts, plus
+    the state's stationary-by-frequency weight and its contribution to
+    the overall entropy RATE Σ_s p(s)·H(next|s) — how predictable is
+    behavior one step out, and which states carry the surprise?
+    (The unigram behavior-entropy readout can't see order; this is the
+    bigram refinement — public information-theory textbook material.)
+
+    Exactness: counts exact; each log2 term is a float over an exact
+    integer ratio, structured identically on both engines, summed per
+    state in deterministic (next-state) order via a sorted-array fold
+    — no float-accumulation ambiguity — then rounded once to micros."""
+    w = Window.partitionBy(actor_col).orderBy(ts_col, tie_col)
+    pr = events.select(
+        F.lag(state_col).over(w).alias("a"),
+        F.col(state_col).alias("b"),
+    ).where(F.col("a").isNotNull())
+    c = pr.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = c.groupBy("a").agg(F.sum("n").cast("long").alias("na"))
+    gt = tot.agg(F.sum("na").cast("long").alias("nn"))
+    # deterministic-order per-state fold: sorted (b, n) array, sum of
+    # -(n/na)*log2(n/na) in b order
+    arr = (
+        c.groupBy("a")
+        .agg(F.sort_array(F.collect_list(F.struct("b", "n"))).alias("arr"))
+        .join(tot, "a")
+    )
+    h = arr.select(
+        "a", "na",
+        F.aggregate(
+            F.col("arr"),
+            F.lit(0.0),
+            lambda acc, x: acc
+            - (x["n"].cast("double") / F.col("na"))
+            * F.log2(x["n"].cast("double") / F.col("na")),
+        ).alias("hc"),
+    )
+    return h.crossJoin(F.broadcast(gt)).select(
+        F.col("a").alias("state"),
+        F.col("na").alias("n_from"),
+        F.round(F.lit(1_000_000.0) * F.col("hc"), 0)
+        .cast("long").alias("h_cond_micros"),
+        F.expr("(1000000 * na) div nn").cast("long")
+        .alias("p_state_micros"),
+        F.round(
+            F.lit(1_000_000.0)
+            * (F.col("na").cast("double") / F.col("nn"))
+            * F.col("hc"),
+            0,
+        ).cast("long").alias("contrib_micros"),
+    )

@@ -87,3 +87,72 @@ def quantile_bucketize(
     return j.select(
         id_col, group_col, value_col, bucket.cast("long").alias("bucket")
     )
+
+
+def median_two_pass(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bin_width_cents: int = 1000,
+) -> DataFrame:
+    """(group, n, median_cents) — the SCALE path for an exact grouped
+    median: instead of one per-group sort window over all rows (the
+    definition, fine until a group stops fitting a sort spill budget),
+    locate the median in TWO bounded passes — (1) a map-side-combined
+    histogram over ``bin_width_cents`` bins picks the bin holding rank
+    ``ceil(n/2)`` via a cumulative sum over the BIN table (bounded by
+    value range / width, not rows); (2) only that bin's rows are
+    re-scanned and the exact in-bin rank is selected with a window
+    whose partitions hold one bin's worth of rows.  The oracle is the
+    plain single-sort discrete median — same value by construction, so
+    the green row PROVES the two-pass algorithm, not just the plan.
+
+    Exactness: integer cents, the shared lower-median rank rule
+    (``rank = (n + (n % 2)) div 2`` == ceil(n/2))."""
+    cents = events.select(
+        F.col(group_col).alias("g"),
+        F.round(F.col(value_col) * 100).cast("long").alias("c"),
+    )
+    W = int(bin_width_cents)
+    bins = cents.groupBy(
+        "g", F.expr(f"(c - (c % {W} + {W}) % {W}) div {W}").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("bc"))
+    wb = Window.partitionBy("g").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wn = Window.partitionBy("g")
+    located = bins.select(
+        "g", "b", "bc",
+        F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("before"),
+        F.sum("bc").over(wn).cast("long").alias("n"),
+    ).where(
+        (F.col("before") < F.expr("(n + n % 2) div 2"))
+        & (
+            F.col("before") + F.col("bc")
+            >= F.expr("(n + n % 2) div 2")
+        )
+    )
+    # pass 2: rows of the located bin only; in-bin rank selection
+    tgt = located.select(
+        "g", "b", "before", "n",
+        (F.expr("(n + n % 2) div 2") - F.col("before")).alias("ib"),
+    )
+    tgt2 = tgt.select(
+        F.col("g").alias("g2"), F.col("b").alias("b2"), "ib", "n"
+    )
+    inbin = cents.withColumn(
+        "cb", F.expr(f"(c - (c % {W} + {W}) % {W}) div {W}")
+    ).join(
+        tgt2,
+        (F.col("g") == F.col("g2")) & (F.col("cb") == F.col("b2")),
+    ).select("g", "c", "ib", "n")
+    wr = Window.partitionBy("g").orderBy("c")
+    return (
+        inbin.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == F.col("ib"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n"),
+            F.col("c").alias("median_cents"),
+        )
+    )

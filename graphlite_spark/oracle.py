@@ -9284,3 +9284,60 @@ def max_streak_hist_sql() -> str:
         "SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users\n"
         "FROM msm GROUP BY 1"
     )
+
+
+def median_two_pass_sql(group_col: str = "event_type") -> str:
+    """DEFINITIONAL oracle for operators.quantiles.median_two_pass:
+    the plain single-sort lower median at rank ceil(n/2) — the Spark
+    side's two-pass histogram algorithm must land on the same value,
+    so the green row proves the algorithm."""
+    return (
+        "WITH m2c AS MATERIALIZED (\n"
+        f"  SELECT {group_col} AS g,"
+        " CAST(round(value * 100) AS BIGINT) AS c FROM events),\n"
+        "m2r AS MATERIALIZED (\n"
+        "  SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c)"
+        " AS rn,\n"
+        "    count(*) OVER (PARTITION BY g) AS n FROM m2c)\n"
+        f"SELECT g AS {group_col}, CAST(n AS BIGINT) AS n,\n"
+        "  c AS median_cents\n"
+        "FROM m2r WHERE rn = (n + n % 2) // 2"
+    )
+
+
+def markov_entropy_rate_sql() -> str:
+    """Mirror of operators.cooccurrence.markov_entropy_rate: per-actor
+    lag transitions, per-state conditional entropy as an IN-ORDER
+    list_reduce fold (== Spark's sorted-array aggregate — identical
+    float accumulation sequence), micros once."""
+    term = (
+        "-(x / CAST(na AS DOUBLE)) * log2(x / CAST(na AS DOUBLE))"
+    )
+    return (
+        "WITH mep AS MATERIALIZED (\n"
+        "  SELECT lag(event_type) OVER (PARTITION BY user_id\n"
+        "    ORDER BY ts, event_id) AS a, event_type AS b"
+        " FROM events),\n"
+        "mec AS MATERIALIZED (SELECT a, b,"
+        " CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM mep WHERE a IS NOT NULL GROUP BY 1, 2),\n"
+        "met AS MATERIALIZED (SELECT a,"
+        " CAST(sum(n) AS BIGINT) AS na FROM mec GROUP BY 1),\n"
+        "meg AS (SELECT CAST(sum(na) AS BIGINT) AS nn FROM met),\n"
+        "mea AS MATERIALIZED (\n"
+        "  SELECT c.a, t.na, list(c.n ORDER BY c.b) AS ns\n"
+        "  FROM mec c JOIN met t USING (a) GROUP BY c.a, t.na),\n"
+        "meh AS MATERIALIZED (\n"
+        "  SELECT a, na,\n"
+        f"    list_reduce(list_transform(ns, x -> {term}),\n"
+        "      (p, q) -> p + q) AS hc\n"
+        "  FROM mea)\n"
+        "SELECT a AS state, na AS n_from,\n"
+        "  CAST(round(1000000.0 * hc, 0) AS BIGINT) AS h_cond_micros,\n"
+        "  CAST((1000000 * na) // (SELECT nn FROM meg) AS BIGINT)"
+        " AS p_state_micros,\n"
+        "  CAST(round(1000000.0 * (CAST(na AS DOUBLE)"
+        " / (SELECT nn FROM meg)) * hc, 0) AS BIGINT)"
+        " AS contrib_micros\n"
+        "FROM meh"
+    )

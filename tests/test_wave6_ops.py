@@ -1415,3 +1415,83 @@ def test_max_streak_bruteforce(spark):
         want[best] = want.get(best, 0) + 1
     assert got == want
     assert got == {3: 1, 1: 1, 4: 1}
+
+
+def test_median_two_pass_bruteforce(spark):
+    """Two-pass histogram median vs python sort, incl. negative cents,
+    an even-count group, and a group entirely inside one bin."""
+    from graphlite_spark.operators.quantiles import median_two_pass
+
+    vals = {
+        "view": [1.0, 2.0, 3.0, 4.0],          # even: lower median 2.0
+        "click": [-5.0, -1.0, 120.5],           # negatives, spans bins
+        "error": [0.01, 0.02, 0.03],            # all in bin 0
+    }
+    rows = []
+    eid = 0
+    for t, vs in vals.items():
+        for v in vs:
+            rows.append((eid, 0, 1, t, v))
+            eid += 1
+    df = _events_w(spark, rows)
+    got = {
+        r["event_type"]: (r["n"], r["median_cents"])
+        for r in median_two_pass(df, bin_width_cents=100).collect()
+    }
+    want = {}
+    for t, vs in vals.items():
+        cs = sorted(round(v * 100) for v in vs)
+        n = len(cs)
+        want[t] = (n, cs[(n + n % 2) // 2 - 1])
+    assert got == want
+    assert got["view"] == (4, 200) and got["click"] == (3, -100)
+
+
+def test_markov_entropy_rate_bruteforce(spark):
+    """Conditional entropy vs python with an in-order float fold."""
+    import math
+
+    from graphlite_spark.operators.cooccurrence import markov_entropy_rate
+
+    chains = {
+        1: ["view", "click", "view", "click", "view"],
+        2: ["view", "purchase"],
+        3: ["click", "click", "view"],
+    }
+    rows = []
+    eid = 0
+    for u, ch in chains.items():
+        for j, t in enumerate(ch):
+            rows.append((eid, j, u, t, 1.0))
+            eid += 1
+    df = _events_w(spark, rows)
+    got = {
+        r["state"]: (
+            r["n_from"], r["h_cond_micros"], r["p_state_micros"],
+            r["contrib_micros"],
+        )
+        for r in markov_entropy_rate(df).collect()
+    }
+
+    cnt: dict[tuple, int] = {}
+    for ch in chains.values():
+        for a, b in zip(ch, ch[1:]):
+            cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    na: dict[str, int] = {}
+    for (a, _), n in cnt.items():
+        na[a] = na.get(a, 0) + n
+    nn = sum(na.values())
+    want = {}
+    for a in na:
+        hc = 0.0
+        for b in sorted(b for (x, b) in cnt if x == a):
+            p = cnt[(a, b)] / na[a]
+            hc += -p * math.log2(p)
+        want[a] = (
+            na[a], round(1_000_000.0 * hc),
+            (1_000_000 * na[a]) // nn,
+            round(1_000_000.0 * (na[a] / nn) * hc),
+        )
+    assert got == want
+    # 'view' goes to both click and purchase -> positive entropy
+    assert got["view"][1] > 0
