@@ -2868,6 +2868,31 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_entropy_rate(load_table(spark, sf_dir, "events"))
 
 
+def q_daily_peak_concurrency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # sweep-line capacity metric: max simultaneously open sessions per
+    # day (day-clipped, +1-before-−1 tie order)
+    from graphlite_spark.operators.sessions import daily_peak_concurrency
+
+    return daily_peak_concurrency(load_table(spark, sf_dir, "events"))
+
+
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # landing/exit matrix over the standard gap sessionization
+    from graphlite_spark.operators.sessions import session_entry_exit
+
+    return session_entry_exit(load_table(spark, sf_dir, "events"))
+
+
+def q_revenue_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VaR + expected shortfall of zero-filled daily revenue (worst-day
+    # risk readout on the shared discrete rank rule)
+    from graphlite_spark.operators.analytics import revenue_var
+
+    return revenue_var(load_table(spark, sf_dir, "events"), pct=5)
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3559,6 +3584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_streak": q_max_streak,
         "median_two_pass": q_median_two_pass,
         "markov_entropy_rate": q_markov_entropy_rate,
+        "daily_peak_concurrency": q_daily_peak_concurrency,
+        "session_entry_exit": q_session_entry_exit,
+        "revenue_var": q_revenue_var,
     }
 
 
@@ -3759,6 +3787,9 @@ def oracle_sql() -> dict[str, str]:
         "max_streak": O.max_streak_hist_sql(),
         "median_two_pass": O.median_two_pass_sql("event_type"),
         "markov_entropy_rate": O.markov_entropy_rate_sql(),
+        "daily_peak_concurrency": O.daily_peak_concurrency_sql(30),
+        "session_entry_exit": O.session_entry_exit_sql(30),
+        "revenue_var": O.revenue_var_sql(5),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -2003,3 +2003,59 @@ def max_streak_hist(
     return per.groupBy("streak_days").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+def revenue_var(
+    events: DataFrame,
+    pct: int = 5,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(n_days, var_cents, es_cents) — Value-at-Risk and Expected
+    Shortfall of DAILY revenue (zero-filled day spine): VaR = the
+    ``pct``-th-percentile worst day (shared discrete rank rule —
+    rank ceil(p·n/100), min 1, over days sorted ascending), ES = the
+    truncating mean of the days at or below that rank — "how bad is a
+    bad day, and how bad are the worst ones on average?".
+
+    Scale shape: one map-side daily groupBy + the calendar-bounded
+    spine; the rank window runs over days, never events."""
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(
+        F.sum(
+            F.round(F.col(value_col) * 100).cast("long")
+        ).cast("long").alias("cents")
+    )
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    filled = (
+        rng.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+        )
+        .join(daily, "d", "left")
+        .select(F.coalesce("cents", F.lit(0)).cast("long").alias("c"))
+    )
+    # days sorted ascending; duplicate cents values make the rank pick
+    # value-stable whichever duplicate wins the row_number
+    ranked = filled.select(
+        "c", F.row_number().over(Window.orderBy("c")).alias("rn")
+    ).crossJoin(
+        F.broadcast(
+            filled.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+    )
+    cut = F.greatest(F.expr(f"(n * {int(pct)}) div 100"), F.lit(1))
+    tail = ranked.where(F.col("rn") <= cut)
+    return tail.agg(
+        F.max("n").alias("_n"),
+        F.max(F.when(F.col("rn") == cut, F.col("c"))).alias("_var"),
+        F.sum("c").alias("_s"),
+        F.count(F.lit(1)).alias("_k"),
+    ).select(
+        F.col("_n").cast("long").alias("n_days"),
+        F.col("_var").cast("long").alias("var_cents"),
+        F.expr("CAST((_s - (_s % _k + _k) % _k) div _k AS BIGINT)")
+        .alias("es_cents"),
+    )

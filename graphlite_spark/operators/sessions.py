@@ -138,3 +138,103 @@ def bounce_rate(
         .cast("long").alias("bounce_micros"),
         "n_users", "max_session_events",
     )
+
+
+def daily_peak_concurrency(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(day, peak_concurrent) — the sweep-line classic: the maximum
+    number of simultaneously open sessions at any instant, per day
+    (sessions clipped to day bounds, so a session spanning midnight
+    counts in both days — stated).  +1 at each session start, −1 just
+    after each session end, ordered cumulative sum, per-day max — the
+    capacity-planning number next to DAU.
+
+    Scale shape: the sessionize windows (unchanged) plus ONE per-day
+    ordered window over ±1 deltas — partitions are day-bounded, so no
+    global sort; ties at the same microsecond order (+1 before −1 via
+    the delta sort key, so touching sessions count as concurrent)."""
+    s = sessionize(events, gap_minutes=gap_minutes, user_col=user_col)
+    clipped = s.select(
+        "start_us", "end_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us div {86400 * 1_000_000}"),
+                F.expr(f"end_us div {86400 * 1_000_000}"),
+            )
+        ).alias("day"),
+    )
+    DAY = 86400 * 1_000_000
+    deltas = clipped.select(
+        "day",
+        F.greatest(F.col("start_us"), F.col("day") * DAY).alias("t"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        clipped.select(
+            "day",
+            (
+                F.least(
+                    F.col("end_us"), (F.col("day") + 1) * DAY - 1
+                )
+                + 1
+            ).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = Window.partitionBy("day").orderBy(
+        "t", F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = deltas.select(
+        "day", F.sum("delta").over(w).alias("open")
+    )
+    return running.groupBy("day").agg(
+        F.max("open").cast("long").alias("peak_concurrent")
+    )
+
+
+def session_entry_exit(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(entry_type, exit_type, n_sessions) — the session handoff
+    matrix: which event type opens a session vs which closes it — the
+    landing/exit-page analysis every product review runs.  One extra
+    pair of first/last picks on the sessionize windows' own sort, then
+    a codebook-sized groupBy."""
+    w = Window.partitionBy(user_col).orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = gap_minutes * 60 * 1_000_000
+    marked = events.select(
+        F.col(user_col).alias("u"),
+        ts_us.alias("ts_us"),
+        "event_id", "event_type",
+        F.when(
+            F.lag(ts_us).over(w).isNull()
+            | ((ts_us - F.lag(ts_us).over(w)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_new"),
+    )
+    w2 = Window.partitionBy("u").orderBy("ts_us", "event_id")
+    seq = marked.withColumn("session_seq", F.sum("is_new").over(w2))
+    w3 = Window.partitionBy("u", "session_seq").orderBy(
+        "ts_us", "event_id"
+    )
+    picks = seq.select(
+        "u", "session_seq",
+        F.first("event_type").over(
+            w3.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("entry_type"),
+        F.last("event_type").over(
+            w3.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("exit_type"),
+    ).distinct()
+    return picks.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )

@@ -9341,3 +9341,92 @@ def markov_entropy_rate_sql() -> str:
         " AS contrib_micros\n"
         "FROM meh"
     )
+
+
+def daily_peak_concurrency_sql(gap_minutes: int = 30) -> str:
+    """Mirror of operators.sessions.daily_peak_concurrency: sessionize
+    oracle, day clipping (midnight-spanning sessions count in each
+    day), ±1 sweep with (+1 before −1) tie order, per-day running
+    max."""
+    DAY = 86400 * 1_000_000
+    return (
+        f"WITH pcs AS MATERIALIZED ({sessionize_sql(gap_minutes)}),\n"
+        "pcc AS MATERIALIZED (\n"
+        "  SELECT s.start_us, s.end_us, d.day\n"
+        f"  FROM pcs s, unnest(range(s.start_us // {DAY},\n"
+        f"    s.end_us // {DAY} + 1)) AS d(day)),\n"
+        "pcd AS MATERIALIZED (\n"
+        f"  SELECT day, greatest(start_us, day * {DAY}) AS t,\n"
+        "    1 AS delta FROM pcc\n"
+        "  UNION ALL\n"
+        f"  SELECT day, least(end_us, (day + 1) * {DAY} - 1) + 1,\n"
+        "    -1 FROM pcc),\n"
+        "pcr AS MATERIALIZED (\n"
+        "  SELECT day, sum(delta) OVER (PARTITION BY day\n"
+        "    ORDER BY t, delta DESC ROWS BETWEEN UNBOUNDED PRECEDING\n"
+        "    AND CURRENT ROW) AS open FROM pcd)\n"
+        "SELECT day, CAST(max(open) AS BIGINT) AS peak_concurrent\n"
+        "FROM pcr GROUP BY 1"
+    )
+
+
+def session_entry_exit_sql(gap_minutes: int = 30) -> str:
+    """Mirror of operators.sessions.session_entry_exit: the sessionize
+    marking windows plus per-session first/last event types."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        "WITH sem AS MATERIALIZED (\n"
+        "  SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS ts_us,"
+        " event_id, event_type,\n"
+        "    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL\n"
+        f"      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}\n"
+        "      THEN 1 ELSE 0 END AS is_new\n"
+        "  FROM events\n"
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),\n"
+        "ses AS MATERIALIZED (\n"
+        "  SELECT u, ts_us, event_id, event_type,\n"
+        "    sum(is_new) OVER (PARTITION BY u ORDER BY ts_us,"
+        " event_id) AS session_seq\n"
+        "  FROM sem),\n"
+        "sep AS MATERIALIZED (\n"
+        "  SELECT DISTINCT u, session_seq,\n"
+        "    first_value(event_type) OVER w2 AS entry_type,\n"
+        "    last_value(event_type) OVER w2 AS exit_type\n"
+        "  FROM ses\n"
+        "  WINDOW w2 AS (PARTITION BY u, session_seq\n"
+        "    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND UNBOUNDED FOLLOWING))\n"
+        "SELECT entry_type, exit_type,"
+        " CAST(count(*) AS BIGINT) AS n_sessions\n"
+        "FROM sep GROUP BY 1, 2"
+    )
+
+
+def revenue_var_sql(pct: int = 5) -> str:
+    """Mirror of operators.analytics.revenue_var: zero-filled daily
+    revenue, the shared rank rule with the min-1 floor, floor-mod
+    truncating tail mean."""
+    p = int(pct)
+    return (
+        "WITH rvd AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        " AS cents\n"
+        "  FROM events GROUP BY 1),\n"
+        "rvr AS (SELECT min(d) AS lo, max(d) AS hi FROM rvd),\n"
+        "rvf AS MATERIALIZED (\n"
+        "  SELECT CAST(COALESCE(e.cents, 0) AS BIGINT) AS c\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM rvr) s\n"
+        "  LEFT JOIN rvd e USING (d)),\n"
+        "rvk AS MATERIALIZED (\n"
+        "  SELECT c, row_number() OVER (ORDER BY c) AS rn,\n"
+        "    count(*) OVER () AS n FROM rvf),\n"
+        "rvt AS MATERIALIZED (SELECT * FROM rvk\n"
+        f"  WHERE rn <= greatest((n * {p}) // 100, 1))\n"
+        "SELECT CAST(max(n) AS BIGINT) AS n_days,\n"
+        f"  CAST(max(CASE WHEN rn = greatest((n * {p}) // 100, 1)"
+        " THEN c END) AS BIGINT) AS var_cents,\n"
+        "  CAST((sum(c) - (sum(c) % count(*) + count(*))"
+        " % count(*)) // count(*) AS BIGINT) AS es_cents\n"
+        "FROM rvt"
+    )

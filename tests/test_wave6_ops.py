@@ -1495,3 +1495,93 @@ def test_markov_entropy_rate_bruteforce(spark):
     assert got == want
     # 'view' goes to both click and purchase -> positive entropy
     assert got["view"][1] > 0
+
+
+def test_daily_peak_concurrency_bruteforce(spark):
+    """Sweep-line vs python, incl. a midnight-spanning session and a
+    touching-endpoints pair (must count concurrent)."""
+    from graphlite_spark.operators.sessions import daily_peak_concurrency
+
+    # u1: 10:00-10:30; u2: 10:30-11:00 (touch u1's end); u3: 23:50
+    # day0 - 00:10 day1 (spans midnight); u4: 10:15 day0
+    mins = {
+        1: [(0, 600), (0, 630)],
+        2: [(0, 630), (0, 660)],
+        3: [(0, 1430), (1, 10)],
+        4: [(0, 615)],
+    }
+    rows = []
+    eid = 0
+    for u, stamps in mins.items():
+        for d, m in stamps:
+            rows.append(
+                (eid, BASE + datetime.timedelta(days=d, minutes=m),
+                 u, "view", 1.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    got = {
+        r["day"]: r["peak_concurrent"]
+        for r in daily_peak_concurrency(df, gap_minutes=60).collect()
+    }
+    d0 = (BASE - datetime.datetime(1970, 1, 1)).days
+    # day0 at 10:30: u1 open [600,630], u2 open [630,660], u4 [615,615]
+    # -> at t=630 u1 still open (end inclusive), u2 opens, u4 closed
+    # at 615.  At 615: u1+u4 = 2.  At 630: u1+u2 = 2.  u3 opens 1430.
+    assert got[d0] == 2
+    assert got[d0 + 1] == 1  # u3's tail past midnight
+
+
+def test_session_entry_exit_bruteforce(spark):
+    """Handoff matrix vs hand-built sessions."""
+    from graphlite_spark.operators.sessions import session_entry_exit
+
+    rows = [
+        (0, BASE, 1, "view", 1.0),
+        (1, BASE + datetime.timedelta(minutes=5), 1, "purchase", 1.0),
+        (2, BASE + datetime.timedelta(hours=3), 1, "click", 1.0),
+        (3, BASE, 2, "signup", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    got = {
+        (r["entry_type"], r["exit_type"]): r["n_sessions"]
+        for r in session_entry_exit(df).collect()
+    }
+    assert got == {
+        ("view", "purchase"): 1,
+        ("click", "click"): 1,
+        ("signup", "signup"): 1,
+    }
+
+
+def test_revenue_var_bruteforce(spark):
+    """VaR/ES vs python on a 20-day series with zero-filled gaps."""
+    from graphlite_spark.operators.analytics import revenue_var
+
+    daily = {d: float(d * 3 + 1) for d in range(0, 20, 2)}  # gaps odd
+    rows = []
+    eid = 0
+    for d, v in daily.items():
+        rows.append((eid, 24 * d, 1, "purchase", v))
+        eid += 1
+    df = _events_w(spark, rows)
+    r = revenue_var(df, pct=25).collect()[0]
+
+    cents = sorted(
+        round(daily.get(d, 0) * 100) if d in daily else 0
+        for d in range(19)
+    )
+    n = len(cents)
+    cut = max((n * 25) // 100, 1)
+    tail = cents[:cut]
+    s = sum(tail)
+    assert (r["n_days"], r["var_cents"]) == (n, cents[cut - 1])
+    assert r["es_cents"] == (s - (s % cut + cut) % cut) // cut
