@@ -2893,6 +2893,35 @@ def q_revenue_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_var(load_table(spark, sf_dir, "events"), pct=5)
 
 
+def q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2-approx vertex cover = both endpoints of the maximal matching,
+    # with its own zero-uncovered-edges certificate column
+    from graphlite_spark.algos.matching import vertex_cover_2approx
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return vertex_cover_2approx(v, e)
+
+
+def q_position_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # U-shaped 40/20/40 credit, remainder on the last touch — the
+    # fourth member of the attribution family
+    from graphlite_spark.operators.temporal import position_attribution
+
+    return position_attribution(load_table(spark, sf_dir, "events"))
+
+
+def q_max_nonoverlap_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # greedy earliest-end-first interval scheduling per user (exchange-
+    # argument optimal), histogrammed
+    from graphlite_spark.operators.sessions import max_nonoverlap_sessions
+
+    return max_nonoverlap_sessions(load_table(spark, sf_dir, "events"))
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3587,6 +3616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_peak_concurrency": q_daily_peak_concurrency,
         "session_entry_exit": q_session_entry_exit,
         "revenue_var": q_revenue_var,
+        "vertex_cover": q_vertex_cover,
+        "position_attribution": q_position_attribution,
+        "max_nonoverlap_sessions": q_max_nonoverlap_sessions,
     }
 
 
@@ -3790,6 +3822,9 @@ def oracle_sql() -> dict[str, str]:
         "daily_peak_concurrency": O.daily_peak_concurrency_sql(30),
         "session_entry_exit": O.session_entry_exit_sql(30),
         "revenue_var": O.revenue_var_sql(5),
+        "vertex_cover": O.vertex_cover_sql(16),
+        "position_attribution": O.position_attribution_sql("purchase"),
+        "max_nonoverlap_sessions": O.max_nonoverlap_sessions_sql(30),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -116,3 +116,56 @@ def maximal_matching(
         out.join(matched, "id", "left")
         .select("id", F.coalesce(F.col("mate"), F.lit(-1)).cast("long").alias("mate"))
     )
+
+
+def vertex_cover_2approx(
+    vertices: DataFrame, edges: DataFrame, max_rounds: int = 16
+) -> DataFrame:
+    """(n_vertices, n_cover, n_matched_edges, n_uncovered_edges) — the
+    classic 2-approximation vertex cover (Gavril/Yannakakis, public
+    textbook): take BOTH endpoints of a maximal matching.  The result
+    is SELF-VERIFYING: ``n_uncovered_edges`` counts closure edges with
+    both endpoints outside the cover, which maximality forces to 0 —
+    the query carries its own certificate, and the approximation bound
+    (cover ≤ 2·OPT) is the matching-edge count times two by
+    construction.
+
+    Scale shape: the maximal-matching engine verbatim plus two
+    label equi-joins and codebook aggregates."""
+    from graphlite_spark.algos.components import symmetrize
+
+    m = maximal_matching(vertices, edges, max_rounds=max_rounds)
+    und = symmetrize(edges).select("src", "dst").where(
+        F.col("src") < F.col("dst")
+    )
+    flags = m.select(
+        "id", (F.col("mate") >= 0).cast("int").alias("in_cover")
+    )
+    unc = (
+        und.join(
+            flags.select(
+                F.col("id").alias("src"),
+                F.col("in_cover").alias("ca"),
+            ),
+            "src",
+        )
+        .join(
+            flags.select(
+                F.col("id").alias("dst"),
+                F.col("in_cover").alias("cb"),
+            ),
+            "dst",
+        )
+        .where((F.col("ca") == 0) & (F.col("cb") == 0))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unc"))
+    )
+    tot = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum((F.col("mate") >= 0).cast("long"))
+        .cast("long").alias("n_cover"),
+    )
+    return tot.crossJoin(F.broadcast(unc)).select(
+        "n_vertices", "n_cover",
+        F.expr("n_cover div 2").cast("long").alias("n_matched_edges"),
+        F.col("n_unc").alias("n_uncovered_edges"),
+    )

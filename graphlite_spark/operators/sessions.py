@@ -238,3 +238,49 @@ def session_entry_exit(
     return picks.groupBy("entry_type", "exit_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions")
     )
+
+
+def max_nonoverlap_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(k_selected, n_users) — classic greedy interval scheduling
+    (earliest-end-first, the exchange-argument optimum) over each
+    unit's sessions: the maximum set of pairwise non-overlapping
+    sessions, histogrammed — "how many cleanly separated engagement
+    episodes does a unit have?".  Touching endpoints (next start ==
+    previous end) count as overlapping (strict > required, stated).
+
+    Scale shape: the sessionize windows, then ONE per-unit sorted
+    collect (bounded by the unit's own session count) folded with a
+    struct accumulator — the oracle replays the identical greedy as a
+    per-unit recursive CTE."""
+    s = sessionize(events, gap_minutes=gap_minutes, user_col=user_col)
+    arr = s.groupBy(F.col(user_col).alias("u")).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("end_us", "start_us", "session_seq")
+            )
+        ).alias("arr")
+    )
+    folded = arr.select(
+        "u",
+        F.aggregate(
+            F.col("arr"),
+            F.struct(
+                F.lit(0).cast("long").alias("cnt"),
+                F.lit(-1).cast("long").alias("last_end"),
+            ),
+            lambda acc, x: F.when(
+                x["start_us"] > acc["last_end"],
+                F.struct(
+                    (acc["cnt"] + 1).alias("cnt"),
+                    x["end_us"].cast("long").alias("last_end"),
+                ),
+            ).otherwise(acc),
+        ).alias("g"),
+    )
+    return folded.groupBy(
+        F.col("g.cnt").alias("k_selected")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))

@@ -631,3 +631,77 @@ def touch_attribution(
     return model("ft", "first_touch").unionByName(
         model("lt", "last_touch")
     )
+
+
+def position_attribution(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(channel, n_touches, sum_credit_microcents) — U-shaped
+    (position-based 40/20/40) attribution, completing the family next
+    to first/last-touch and the Markov removal effect: each conversion
+    splits 10^6 credit micros over its ordered preceding touches —
+    single touch takes all; two touches split 500000/500000; three or
+    more give first and last 400000 each and the middles
+    ``200000 div (m−2)`` apiece with the truncation remainder assigned
+    to the LAST touch (stated, so credits sum to exactly 10^6).
+    Contributions ride as exact BIGINT micro-cents
+    (``cents·credit_micros``) — no division after the credit rule.
+
+    Scale shape: ONE ordered per-actor window collects each
+    conversion's preceding touch list (bounded by the actor's own
+    history); credits are per-row array expressions over that list."""
+    w = (
+        Window.partitionBy(actor_col)
+        .orderBy(ts_col, tie_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != convert_type, F.col("event_type")
+    )
+    conv = events.select(
+        "event_type",
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        F.filter(
+            F.collect_list(touch).over(w), lambda x: x.isNotNull()
+        ).alias("touches"),
+    ).where(
+        (F.col("event_type") == convert_type)
+        & (F.size("touches") > 0)
+    )
+    m = F.size("touches")
+    q = F.expr("200000 div (size(touches) - 2)")
+    credits = F.when(m == 1, F.array(F.lit(1_000_000))).when(
+        m == 2, F.array(F.lit(500_000), F.lit(500_000))
+    ).otherwise(
+        F.transform(
+            F.col("touches"),
+            lambda x, i: F.when(i == 0, F.lit(400_000))
+            .when(
+                i == m - 1,
+                F.lit(400_000)
+                + (F.lit(200_000) - q * (m - 2)).cast("int"),
+            )
+            .otherwise(q.cast("int"))
+            .cast("long"),
+        )
+    )
+    staged = conv.select("cents", "touches", credits.alias("credits"))
+    pairs = staged.select(
+        "cents",
+        F.explode(
+            F.arrays_zip(
+                F.col("touches").alias("ch"),
+                F.col("credits").alias("cr"),
+            )
+        ).alias("z"),
+    )
+    return pairs.groupBy(F.col("z.ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum(F.col("cents") * F.col("z.cr"))
+        .cast("long").alias("sum_credit_microcents"),
+    )

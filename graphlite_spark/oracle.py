@@ -9430,3 +9430,104 @@ def revenue_var_sql(pct: int = 5) -> str:
         " % count(*)) // count(*) AS BIGINT) AS es_cents\n"
         "FROM rvt"
     )
+
+
+def vertex_cover_sql(max_rounds: int = 16) -> str:
+    """Mirror of algos.matching.vertex_cover_2approx: the full
+    maximal-matching oracle embedded as a nested-WITH CTE (the
+    curate_pack device), both endpoints counted, plus the
+    self-verification count of edges with two unmatched endpoints."""
+    # splice the matching oracle's CTE chain (DuckDB rejects duplicate
+    # CTE aliases even in nested scopes, so the GRAPH_CTES prefix is
+    # stripped and the final SELECT becomes the vcm CTE body)
+    inner = matching_sql(max_rounds)
+    prefix = f"WITH {GRAPH_CTES}\n"
+    assert inner.startswith(prefix)
+    inner_body = inner[len(prefix):]
+    ctes, final_select = inner_body.rsplit("\nSELECT", 1)
+    body = (
+        f"{ctes},\n"
+        f"vcm AS MATERIALIZED (SELECT{final_select}),\n"
+        "vcu AS MATERIALIZED (SELECT src, dst FROM und"
+        " WHERE src < dst),\n"
+        "vcq AS (SELECT CAST(count(*) AS BIGINT) AS n_unc\n"
+        "  FROM vcu u JOIN vcm a ON a.id = u.src\n"
+        "  JOIN vcm b ON b.id = u.dst\n"
+        "  WHERE a.mate = -1 AND b.mate = -1)\n"
+        "SELECT\n"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM vcm) AS n_vertices,\n"
+        "  (SELECT CAST(sum(CASE WHEN mate >= 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) FROM vcm) AS n_cover,\n"
+        "  (SELECT CAST(sum(CASE WHEN mate >= 0 THEN 1 ELSE 0 END)"
+        " // 2 AS BIGINT) FROM vcm) AS n_matched_edges,\n"
+        "  (SELECT n_unc FROM vcq) AS n_uncovered_edges"
+    )
+    return _graph_query(body)
+
+
+def position_attribution_sql(convert_type: str = "purchase") -> str:
+    """Mirror of operators.temporal.position_attribution: ordered
+    preceding touch lists (DuckDB window list() keeps NULLs — filtered
+    to match Spark's null-skipping collect_list), the 40/20/40 credit
+    rule with the remainder on the last touch, exact micro-cents."""
+    cv = convert_type.replace("'", "''")
+    return (
+        "WITH pam AS MATERIALIZED (\n"
+        "  SELECT event_type,"
+        " CAST(round(value * 100) AS BIGINT) AS cents,\n"
+        "    list_filter(COALESCE(\n"
+        f"      list(CASE WHEN event_type <> '{cv}' THEN event_type"
+        " END) OVER w, []), x -> x IS NOT NULL) AS touches\n"
+        "  FROM events\n"
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id\n"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),\n"
+        "pac AS MATERIALIZED (SELECT cents, touches,"
+        " len(touches) AS m FROM pam\n"
+        f"  WHERE event_type = '{cv}' AND len(touches) > 0),\n"
+        "pax AS MATERIALIZED (\n"
+        "  SELECT cents, touches[i] AS channel,\n"
+        "    CAST(CASE WHEN m = 1 THEN 1000000\n"
+        "      WHEN m = 2 THEN 500000\n"
+        "      WHEN i = 1 THEN 400000\n"
+        "      WHEN i = m THEN 400000 + (200000\n"
+        "        - (200000 // (m - 2)) * (m - 2))\n"
+        "      ELSE 200000 // (m - 2) END AS BIGINT) AS credit\n"
+        "  FROM pac, unnest(range(1, m + 1)) AS t(i))\n"
+        "SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,\n"
+        "  CAST(sum(cents * credit) AS BIGINT)"
+        " AS sum_credit_microcents\n"
+        "FROM pax GROUP BY 1"
+    )
+
+
+def max_nonoverlap_sessions_sql(gap_minutes: int = 30) -> str:
+    """Mirror of operators.sessions.max_nonoverlap_sessions: the
+    greedy earliest-end-first replayed as a per-unit recursive CTE in
+    the identical (end, start, seq) order."""
+    return (
+        "WITH RECURSIVE mns AS MATERIALIZED ("
+        + sessionize_sql(gap_minutes)
+        + "),\n"
+        "mnr AS MATERIALIZED (\n"
+        "  SELECT user_id AS u, start_us, end_us,\n"
+        "    row_number() OVER (PARTITION BY user_id\n"
+        "      ORDER BY end_us, start_us, session_seq) AS rn\n"
+        "  FROM mns),\n"
+        "mnm AS MATERIALIZED (SELECT u, max(rn) AS mx FROM mnr"
+        " GROUP BY 1),\n"
+        "mng(u, i, cnt, last_end) AS (\n"
+        "  SELECT u, CAST(1 AS BIGINT), CAST(1 AS BIGINT),"
+        " CAST(end_us AS BIGINT)\n"
+        "  FROM mnr WHERE rn = 1\n"
+        "  UNION ALL\n"
+        "  SELECT r.u, r.rn,\n"
+        "    CASE WHEN r.start_us > g.last_end THEN g.cnt + 1"
+        " ELSE g.cnt END,\n"
+        "    CASE WHEN r.start_us > g.last_end THEN r.end_us"
+        " ELSE g.last_end END\n"
+        "  FROM mng g JOIN mnr r ON r.u = g.u AND r.rn = g.i + 1)\n"
+        "SELECT CAST(g.cnt AS BIGINT) AS k_selected,\n"
+        "  CAST(count(*) AS BIGINT) AS n_users\n"
+        "FROM mng g JOIN mnm m ON m.u = g.u AND m.mx = g.i\n"
+        "GROUP BY 1"
+    )

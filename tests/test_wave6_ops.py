@@ -1585,3 +1585,103 @@ def test_revenue_var_bruteforce(spark):
     s = sum(tail)
     assert (r["n_days"], r["var_cents"]) == (n, cents[cut - 1])
     assert r["es_cents"] == (s - (s % cut + cut) % cut) // cut
+
+
+def test_vertex_cover_bruteforce(spark):
+    """Cover certificate + 2-approx bound vs python on a star+path."""
+    from graphlite_spark.algos.matching import vertex_cover_2approx
+
+    pairs = [(0, 1), (0, 2), (0, 3), (4, 5), (5, 6)]
+    v = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    r = vertex_cover_2approx(v, e).collect()[0]
+    assert r["n_uncovered_edges"] == 0          # the certificate
+    assert r["n_cover"] == 2 * r["n_matched_edges"]
+    # any matching here has <= 2 edges (star center used once + one of
+    # the path edges), so the cover is <= 4; OPT is 2 ({0, 5})
+    assert r["n_matched_edges"] <= 2 and r["n_cover"] <= 4
+    assert r["n_vertices"] == 7
+
+
+def test_position_attribution_bruteforce(spark):
+    """40/20/40 credits vs hand math incl. the truncation remainder."""
+    from graphlite_spark.operators.temporal import position_attribution
+
+    # u1: 4 touches then purchase of 10.00: credits
+    # [400000, 66666, 66666+r, ... wait m=4: middles = 2, q = 100000,
+    # r = 0 -> [400000, 100000, 100000, 400000]
+    # u2: 3 touches then 3.00: q = 200000, r = 0 ->
+    # [400000, 200000, 400000]
+    # u3: 1 touch then 2.00 -> [1000000]
+    seqs = {
+        1: ["view", "click", "signup", "error", "purchase"],
+        2: ["view", "click", "view", "purchase"],
+        3: ["signup", "purchase"],
+    }
+    values = {1: 10.0, 2: 3.0, 3: 2.0}
+    rows = []
+    eid = 0
+    for u, seq in seqs.items():
+        for j, t in enumerate(seq):
+            val = values[u] if t == "purchase" else 0.0
+            rows.append((eid, j, u, t, val))
+            eid += 1
+    df = _events_w(spark, rows)
+    got = {
+        r["channel"]: (r["n_touches"], r["sum_credit_microcents"])
+        for r in position_attribution(df).collect()
+    }
+
+    want: dict[str, list] = {}
+    for u, seq in seqs.items():
+        touches = seq[:-1]
+        cents = round(values[u] * 100)
+        m = len(touches)
+        if m == 1:
+            credits = [1_000_000]
+        elif m == 2:
+            credits = [500_000, 500_000]
+        else:
+            q = 200_000 // (m - 2)
+            credits = (
+                [400_000] + [q] * (m - 2) + [0]
+            )
+            credits[-1] = 400_000 + (200_000 - q * (m - 2))
+        for ch, cr in zip(touches, credits):
+            e = want.setdefault(ch, [0, 0])
+            e[0] += 1
+            e[1] += cents * cr
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_max_nonoverlap_bruteforce(spark):
+    """Greedy interval scheduling vs python, touching endpoints
+    counted overlapping."""
+    from graphlite_spark.operators.sessions import max_nonoverlap_sessions
+
+    # u1: 3 sessions: [0,10], [5,20], [25,30] mins -> greedy picks
+    # [0,10] then [25,30] = 2; u2: one session = 1
+    stamps = {
+        1: [0, 10, 45, 60, 145, 150],
+        2: [0],
+    }
+    rows = []
+    eid = 0
+    for u, ms in stamps.items():
+        for m in ms:
+            rows.append(
+                (eid, BASE + datetime.timedelta(minutes=m), u, "view", 1.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    got = {
+        r["k_selected"]: r["n_users"]
+        for r in max_nonoverlap_sessions(df, gap_minutes=30).collect()
+    }
+    # u1 sessions (gap 30m): [0..10], [45..60], [145..150] -> all 3
+    # disjoint -> k=3; u2 -> k=1
+    assert got == {3: 1, 1: 1}
