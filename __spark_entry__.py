@@ -2922,6 +2922,30 @@ def q_max_nonoverlap_sessions(
     return max_nonoverlap_sessions(load_table(spark, sf_dir, "events"))
 
 
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # kNN-graph in-degree histogram incl. anti-hubs (the hubness
+    # pathology behind knn_accuracy's single number)
+    from graphlite_spark.operators.similarity import knn_hubness
+
+    return knn_hubness(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_knn_mutuality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # share of reciprocated 1-NN relations — the kNN-graph symmetry
+    # health check
+    from graphlite_spark.operators.similarity import knn_mutuality
+
+    return knn_mutuality(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_aa_hash_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A/A splitter sanity: two-proportion z between hash-parity halves
+    # (expected |z| small)
+    from graphlite_spark.operators.analytics import aa_hash_test
+
+    return aa_hash_test(load_table(spark, sf_dir, "events"))
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3619,6 +3643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_cover": q_vertex_cover,
         "position_attribution": q_position_attribution,
         "max_nonoverlap_sessions": q_max_nonoverlap_sessions,
+        "knn_hubness": q_knn_hubness,
+        "knn_mutuality": q_knn_mutuality,
+        "aa_hash_test": q_aa_hash_test,
     }
 
 
@@ -3825,6 +3852,9 @@ def oracle_sql() -> dict[str, str]:
         "vertex_cover": O.vertex_cover_sql(16),
         "position_attribution": O.position_attribution_sql("purchase"),
         "max_nonoverlap_sessions": O.max_nonoverlap_sessions_sql(30),
+        "knn_hubness": O.knn_hubness_sql(),
+        "knn_mutuality": O.knn_mutuality_sql(),
+        "aa_hash_test": O.aa_hash_test_sql("purchase", "aa"),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

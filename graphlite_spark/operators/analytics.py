@@ -2059,3 +2059,61 @@ def revenue_var(
         F.expr("CAST((_s - (_s % _k + _k) % _k) div _k AS BIGINT)")
         .alias("es_cents"),
     )
+
+
+def aa_hash_test(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    unit_col: str = "user_id",
+    salt: str = "aa",
+) -> DataFrame:
+    """(n_a, conv_a, n_b, conv_b, rate_a, rate_b, z) — the A/A sanity
+    test every experimentation stack runs before trusting its splitter:
+    units are split by the hash48 parity of their id (the same
+    deterministic assignment machinery dataset_split ships) and the
+    two-proportion z is computed between the two halves on conversion.
+    The EXPECTED answer is |z| small — a large |z| here means the
+    splitter correlates with behavior (hash collision with the id
+    assignment scheme) and every A/B readout downstream is suspect.
+    Same float discipline as :func:`ab_conversion_ztest`."""
+    from graphlite_spark.functions.hashes import hash48
+
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.max(
+            (F.col("event_type") == convert_type).cast("int")
+        ).alias("c")
+    ).select(
+        (
+            hash48(
+                F.concat(F.lit(f"{salt}:"), F.col("u").cast("string"))
+            )
+            % 2
+        ).cast("int").alias("a"),
+        "c",
+    )
+    agg = per.agg(
+        F.sum(1 - F.col("a")).cast("long").alias("n_a"),
+        F.sum((1 - F.col("a")) * F.col("c")).cast("long").alias("conv_a"),
+        F.sum("a").cast("long").alias("n_b"),
+        F.sum(F.col("a") * F.col("c")).cast("long").alias("conv_b"),
+    )
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pa - pb) / F.sqrt(
+        pp * (1 - pp) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return agg.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        F.when(F.col("n_a") > 0, F.round(pa, 6)).alias("rate_a"),
+        F.when(F.col("n_b") > 0, F.round(pb, 6)).alias("rate_b"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b")
+               < F.col("n_a") + F.col("n_b")),
+            F.round(z, 6),
+        ).alias("z"),
+    )

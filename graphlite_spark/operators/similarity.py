@@ -1006,3 +1006,68 @@ def knn_accuracy(
         F.expr("(1000000 * n_correct) div n_vecs")
         .cast("long").alias("accuracy_micros"),
     )
+
+
+def knn_hubness(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(nn_indegree, n_vecs) — the hubness diagnostic (Radovanović et
+    al. 2010, public literature): how many vectors name each vector as
+    their 1-NN, histogrammed INCLUDING the zero class (anti-hubs).  A
+    healthy space has indegrees concentrated near 1; a heavy right
+    tail (hubs named by many) plus a large zero class is the
+    high-dimensional pathology that silently skews kNN classifiers
+    and dedup — the distribution behind :func:`knn_accuracy`'s single
+    number.
+
+    Scale shape: one exact top-1 pass (the operator under test — run
+    on a sample at 100 TB, stated in knn_accuracy), one indegree
+    groupBy, one anti-join for the zero class."""
+    top1 = cosine_topk(
+        embeddings, embeddings, k=1, id_col=id_col, vec_col=vec_col
+    )
+    indeg = top1.groupBy(
+        F.col("neighbor_id").alias("id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("d"))
+    allv = embeddings.select(F.col(id_col).alias("id"))
+    full = allv.join(indeg, "id", "left").select(
+        F.coalesce("d", F.lit(0)).cast("long").alias("nn_indegree")
+    )
+    return full.groupBy("nn_indegree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+
+
+def knn_mutuality(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(n_vecs, n_mutual, mutual_micros) — the share of 1-NN relations
+    that are reciprocated (a names b AND b names a): the symmetry
+    health check on the kNN graph — mutual pairs are the trustworthy
+    backbone (SemDeDup-style pairing keeps them first), one-way arcs
+    are where hubness lives.  One self-join of the top-1 arc table on
+    the reversed key."""
+    top1 = cosine_topk(
+        embeddings, embeddings, k=1, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    rev = top1.select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("query_id").alias("neighbor_id"),
+    )
+    mutual = top1.join(rev, ["query_id", "neighbor_id"], "left_semi")
+    agg = top1.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    ).crossJoin(
+        F.broadcast(
+            mutual.agg(F.count(F.lit(1)).cast("long").alias("n_mutual"))
+        )
+    )
+    return agg.select(
+        "n_vecs", "n_mutual",
+        F.expr("(1000000 * n_mutual) div n_vecs")
+        .cast("long").alias("mutual_micros"),
+    )

@@ -9531,3 +9531,86 @@ def max_nonoverlap_sessions_sql(gap_minutes: int = 30) -> str:
         "FROM mng g JOIN mnm m ON m.u = g.u AND m.mx = g.i\n"
         "GROUP BY 1"
     )
+
+
+def knn_hubness_sql() -> str:
+    """Mirror of operators.similarity.knn_hubness: shared rounded
+    cosine top-1, indegree histogram incl. the zero class."""
+    return (
+        f"WITH {_EMB_D},\n"
+        "scored AS MATERIALIZED (\n"
+        f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        f" {_COS} AS sim\n"
+        "  FROM e q JOIN e c ON c.vec_id <> q.vec_id),\n"
+        "top1 AS MATERIALIZED (\n"
+        "  SELECT query_id, neighbor_id FROM (\n"
+        "    SELECT *, row_number() OVER (PARTITION BY query_id\n"
+        "      ORDER BY sim DESC, neighbor_id ASC) AS rk FROM scored)\n"
+        "  WHERE rk = 1),\n"
+        "indeg AS MATERIALIZED (SELECT neighbor_id AS id,\n"
+        "  CAST(count(*) AS BIGINT) AS d FROM top1 GROUP BY 1)\n"
+        "SELECT CAST(COALESCE(i.d, 0) AS BIGINT) AS nn_indegree,\n"
+        "  CAST(count(*) AS BIGINT) AS n_vecs\n"
+        "FROM e LEFT JOIN indeg i ON i.id = e.vec_id GROUP BY 1"
+    )
+
+
+def knn_mutuality_sql() -> str:
+    """Mirror of operators.similarity.knn_mutuality."""
+    return (
+        f"WITH {_EMB_D},\n"
+        "scored AS MATERIALIZED (\n"
+        f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        f" {_COS} AS sim\n"
+        "  FROM e q JOIN e c ON c.vec_id <> q.vec_id),\n"
+        "top1 AS MATERIALIZED (\n"
+        "  SELECT query_id, neighbor_id FROM (\n"
+        "    SELECT *, row_number() OVER (PARTITION BY query_id\n"
+        "      ORDER BY sim DESC, neighbor_id ASC) AS rk FROM scored)\n"
+        "  WHERE rk = 1),\n"
+        "mu AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual\n"
+        "  FROM top1 t JOIN top1 r ON r.query_id = t.neighbor_id\n"
+        "  AND r.neighbor_id = t.query_id)\n"
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM top1)"
+        " AS n_vecs,\n"
+        "  (SELECT n_mutual FROM mu) AS n_mutual,\n"
+        "  CAST((1000000 * (SELECT n_mutual FROM mu))\n"
+        "    // (SELECT count(*) FROM top1) AS BIGINT)"
+        " AS mutual_micros"
+    )
+
+
+def aa_hash_test_sql(
+    convert_type: str = "purchase", salt: str = "aa"
+) -> str:
+    """Mirror of operators.analytics.aa_hash_test: hash48-parity split,
+    the shared two-proportion z structure."""
+    cv = convert_type.replace("'", "''")
+    h = _h48(f"'{salt}:' || CAST(u AS VARCHAR)")
+    pa = "(conv_a / n_a)"
+    pb = "(conv_b / n_b)"
+    pp = "((conv_a + conv_b) / (n_a + n_b))"
+    z = (
+        f"({pa} - {pb}) / sqrt({pp} * (1 - {pp})"
+        " * (1.0 / n_a + 1.0 / n_b))"
+    )
+    return (
+        "WITH aap AS MATERIALIZED (\n"
+        "  SELECT user_id AS u,\n"
+        f"    max(CASE WHEN event_type = '{cv}' THEN 1 ELSE 0 END)"
+        " AS c\n"
+        "  FROM events GROUP BY 1),\n"
+        "aah AS MATERIALIZED (SELECT\n"
+        f"  CAST({h} % 2 AS INT) AS a, c FROM aap),\n"
+        "aaa AS (SELECT CAST(sum(1 - a) AS BIGINT) AS n_a,\n"
+        "  CAST(sum((1 - a) * c) AS BIGINT) AS conv_a,\n"
+        "  CAST(sum(a) AS BIGINT) AS n_b,\n"
+        "  CAST(sum(a * c) AS BIGINT) AS conv_b FROM aah)\n"
+        "SELECT n_a, conv_a, n_b, conv_b,\n"
+        f"  CASE WHEN n_a > 0 THEN round({pa}, 6) END AS rate_a,\n"
+        f"  CASE WHEN n_b > 0 THEN round({pb}, 6) END AS rate_b,\n"
+        "  CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0\n"
+        "    AND conv_a + conv_b < n_a + n_b\n"
+        f"  THEN round({z}, 6) END AS z\n"
+        "FROM aaa"
+    )

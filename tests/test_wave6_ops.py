@@ -1685,3 +1685,88 @@ def test_max_nonoverlap_bruteforce(spark):
     # u1 sessions (gap 30m): [0..10], [45..60], [145..150] -> all 3
     # disjoint -> k=3; u2 -> k=1
     assert got == {3: 1, 1: 1}
+
+
+def test_knn_graph_diagnostics_bruteforce(spark):
+    """Hubness histogram + mutuality vs python cosine, with a
+    deliberate hub (near the centroid of one cluster)."""
+    import math
+
+    from graphlite_spark.operators.similarity import (
+        knn_hubness,
+        knn_mutuality,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0], 0), (1, [0.95, 0.05], 0), (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 1), (4, [0.05, 0.95], 1),
+    ]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d / (math.sqrt(sum(x * x for x in a))
+                 * math.sqrt(sum(y * y for y in b))), 6
+        )
+
+    nn = {}
+    for i, v, _ in vecs:
+        nn[i] = max(
+            ((cos(v, w), -j) for j, w, _ in vecs if j != i)
+        )
+    nn = {i: -t[1] for i, t in nn.items()}
+    indeg = {i: 0 for i, _, _ in vecs}
+    for t in nn.values():
+        indeg[t] += 1
+    want_hist: dict[int, int] = {}
+    for d in indeg.values():
+        want_hist[d] = want_hist.get(d, 0) + 1
+    got_hist = {
+        r["nn_indegree"]: r["n_vecs"] for r in knn_hubness(df).collect()
+    }
+    assert got_hist == want_hist
+
+    n_mutual = sum(1 for i, t in nn.items() if nn[t] == i)
+    r = knn_mutuality(df).collect()[0]
+    assert (r["n_vecs"], r["n_mutual"]) == (len(vecs), n_mutual)
+    assert r["mutual_micros"] == (1_000_000 * n_mutual) // len(vecs)
+
+
+def test_aa_hash_test_bruteforce(spark):
+    """A/A split assignment + z vs python md5 parity."""
+    import hashlib
+    import math
+
+    from graphlite_spark.operators.analytics import aa_hash_test
+
+    profiles = {u: (u % 3 == 0) for u in range(1, 25)}
+    rows = []
+    eid = 0
+    for u, buys in profiles.items():
+        rows.append((eid, 0, u, "view", 1.0)); eid += 1
+        if buys:
+            rows.append((eid, 1, u, "purchase", 1.0)); eid += 1
+    df = _events_w(spark, rows)
+    r = aa_hash_test(df).collect()[0]
+
+    def side(u):
+        return int(
+            hashlib.md5(f"aa:{u}".encode()).hexdigest()[:12], 16
+        ) % 2
+
+    n = {0: 0, 1: 0}
+    c = {0: 0, 1: 0}
+    for u, buys in profiles.items():
+        s = side(u)
+        n[s] += 1
+        c[s] += 1 if buys else 0
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (
+        n[0], c[0], n[1], c[1]
+    )
+    pa, pb = c[0] / n[0], c[1] / n[1]
+    pp = (c[0] + c[1]) / (n[0] + n[1])
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / n[0] + 1 / n[1]))
+    assert abs(r["z"] - z) < 1e-6
