@@ -2946,6 +2946,30 @@ def q_aa_hash_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aa_hash_test(load_table(spark, sf_dir, "events"))
 
 
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUPED pre-period covariate adjustment: theta and the variance
+    # reduction the covariate buys (Deng et al., WSDM'13)
+    from graphlite_spark.operators.analytics import cuped_adjustment
+
+    return cuped_adjustment(load_table(spark, sf_dir, "events"))
+
+
+def q_ks_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact two-sample Kolmogorov-Smirnov D between purchase and click
+    # value distributions (integer cross-multiplied numerator)
+    from graphlite_spark.operators.analytics import ks_2sample
+
+    return ks_2sample(load_table(spark, sf_dir, "events"))
+
+
+def q_chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pearson chi-square independence of event_type x epoch weekday,
+    # micro-exact over the full observed lattice incl. structural zeros
+    from graphlite_spark.operators.analytics import chi_square_type_dow
+
+    return chi_square_type_dow(load_table(spark, sf_dir, "events"))
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3646,6 +3670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hubness": q_knn_hubness,
         "knn_mutuality": q_knn_mutuality,
         "aa_hash_test": q_aa_hash_test,
+        "cuped_adjustment": q_cuped_adjustment,
+        "ks_2sample": q_ks_2sample,
+        "chi_square_type_dow": q_chi_square_type_dow,
     }
 
 
@@ -3855,6 +3882,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_hubness": O.knn_hubness_sql(),
         "knn_mutuality": O.knn_mutuality_sql(),
         "aa_hash_test": O.aa_hash_test_sql("purchase", "aa"),
+        "cuped_adjustment": O.cuped_adjustment_sql(),
+        "ks_2sample": O.ks_2sample_sql(),
+        "chi_square_type_dow": O.chi_square_type_dow_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -2117,3 +2117,215 @@ def aa_hash_test(
             F.round(z, 6),
         ).alias("z"),
     )
+
+
+def cuped_adjustment(
+    events: DataFrame,
+    value_col: str = "value",
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(n_units, theta, var_y, var_adj, reduction) — CUPED variance
+    reduction (Deng et al., WSDM'13), the standard pre-experiment
+    covariate adjustment every experimentation stack applies before an
+    A/B readout: split the global time range at its midpoint, take each
+    unit's pre-period value sum X as the covariate for its post-period
+    metric Y, and report theta = cov(X,Y)/var(X) plus the population
+    variance of Y before and after the adjustment
+    Y' = Y - theta * (X - mean X).  ``reduction`` is the fraction of
+    metric variance the covariate removes — equivalently rho^2, the
+    sample-size multiplier CUPED buys the experiment.
+
+    Exactness: per-unit sums ride integer cents; the five raw moments
+    (Sx, Sy, Sxx, Sxy, Syy) are exact BIGINTs, cast to DOUBLE once and
+    combined in one structurally-shared float expression rounded to 6dp
+    (the ab_conversion_ztest discipline).  NULL theta/var_adj/reduction
+    when var(X) or var(Y) is 0.
+
+    Scale shape: one 1-row min/max broadcast for the midpoint, ONE
+    map-side-combined per-unit aggregate, one 6-number rollup — nothing
+    after the first groupBy exceeds one row."""
+    us = F.expr(f"unix_micros(cast({ts_col} as timestamp))")
+    src = events.select(
+        F.col(unit_col).alias("u"),
+        us.alias("us"),
+        F.round(F.col(value_col) * 100).cast("long").alias("c"),
+    )
+    mid = src.agg(
+        F.expr("cast((min(us) + max(us)) div 2 as bigint)").alias("mid")
+    )
+    per = src.crossJoin(F.broadcast(mid)).groupBy("u").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("us") <= F.col("mid"), F.col("c"))),
+            F.lit(0),
+        ).cast("long").alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("us") > F.col("mid"), F.col("c"))),
+            F.lit(0),
+        ).cast("long").alias("y"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    # shared float expression — cast the exact BIGINT moments to DOUBLE
+    # once, then identical IEEE arithmetic on both engines
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    covxy = (nd * sxy - sx * sy) / (nd * nd)
+    varx = (nd * sxx - sx * sx) / (nd * nd)
+    vary = (nd * syy - sy * sy) / (nd * nd)
+    theta = covxy / varx
+    var_adj = vary - covxy * covxy / varx
+    return agg.select(
+        F.col("n").alias("n_units"),
+        F.when(varx > 0, F.round(theta, 6)).alias("theta"),
+        F.when(nd > 0, F.round(vary, 6)).alias("var_y"),
+        F.when(varx > 0, F.round(var_adj, 6)).alias("var_adj"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(F.lit(1.0) - var_adj / vary, 6),
+        ).alias("reduction"),
+    )
+
+
+def ks_2sample(
+    events: DataFrame,
+    type_a: str = "purchase",
+    type_b: str = "click",
+    value_col: str = "value",
+) -> DataFrame:
+    """(n_a, n_b, d_num, d_stat) — the two-sample Kolmogorov–Smirnov
+    statistic between the ``value`` distributions of two event types:
+    D = max over the merged value alphabet of |ECDF_a − ECDF_b|.
+    ``d_num = max |cum_a·n_b − cum_b·n_a|`` is the EXACT integer
+    cross-multiplied numerator (D = d_num / (n_a·n_b)), so the test
+    statistic itself is a BIGINT and the one float (``d_stat``) is a
+    single exact-integer division rounded to 6dp — the distribution-
+    shape sibling of :func:`mann_whitney_u` (which only sees location).
+
+    Scale shape: identical to Mann–Whitney — one map-side-combined
+    groupBy onto the distinct-cents alphabet, one cumulative window
+    bounded by alphabet size, closed forms after."""
+    cents = events.where(
+        F.col("event_type").isin(type_a, type_b)
+    ).select(
+        (F.col("event_type") == type_a).cast("int").alias("is_a"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v"),
+    )
+    per = cents.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("is_a").cast("long").alias("cnt_a"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        F.sum("cnt_a").over(w).alias("ca"),
+        (F.sum("cnt").over(w) - F.sum("cnt_a").over(w)).alias("cb"),
+    )
+    tot = per.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("n_b"),
+    )
+    agg = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(
+            F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+        ).cast("long").alias("d_num"),
+    )
+    return agg.select(
+        "n_a", "n_b", "d_num",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ),
+        ).alias("d_stat"),
+    )
+
+
+def chi_square_type_dow(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """(n_types, n_dows, dof, chi2_micros) — Pearson's chi-square test
+    of independence between event_type and epoch weekday (the
+    ``(d+3) % 7`` convention shared with :func:`dow_seasonality`):
+    is the traffic mix the same every day of the week?  The statistic
+    rides EXACT integer arithmetic end-to-end: with a = N·O − r·c and
+    den = N·r·c, each cell's term (O−E)²/E = a²/den is floored to
+    micro units via the two-step quotient/remainder split (q = a² div
+    den; micros = 10⁶·q + (10⁶·rem) div den — never forming 10⁶·a²,
+    which would overflow), and the cells — INCLUDING structural zeros
+    of the observed-type × observed-dow lattice, which contribute E —
+    sum to an order-independent BIGINT.
+
+    Scale shape: one map-side-combined groupBy for the cells, two
+    codebook-sized marginal aggregates cross-joined back (the lattice
+    is |types|·7 rows), one scalar rollup.  BIGINT bound: a ≤ N²,
+    a² ≤ N⁴ — exact through N ≈ 50k events per tested slice; beyond
+    that the term falls back to the same expression in DOUBLE (parity
+    tier documented, as the MAD/quantile tier does)."""
+    src = events.select(
+        "event_type",
+        F.expr(
+            f"cast((unix_micros(cast({ts_col} as timestamp))"
+            f" div {DAY_US} + 3) % 7 as int)"
+        ).alias("dow"),
+    )
+    cells = src.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows_t = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    cols_d = src.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = src.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    lattice = (
+        F.broadcast(rows_t)
+        .crossJoin(F.broadcast(cols_d))
+        .join(cells, ["event_type", "dow"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "dow", "r", "c", "nn",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    a = F.col("nn") * F.col("o") - F.col("r") * F.col("c")
+    den = F.col("nn") * F.col("r") * F.col("c")
+    terms = lattice.select(
+        "event_type", "dow",
+        (a * a).alias("asq"), den.alias("den"),
+    ).select(
+        "event_type", "dow", "asq", "den",
+        F.expr("(asq - asq % den) div den").cast("long").alias("q"),
+        (F.col("asq") % F.col("den")).alias("rem"),
+    ).select(
+        "event_type", "dow",
+        (
+            F.lit(1_000_000) * F.col("q")
+            + F.expr(
+                "(1000000 * rem - (1000000 * rem) % den) div den"
+            ).cast("long")
+        ).alias("t_micros"),
+    )
+    return terms.agg(
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.count_distinct("dow").cast("long").alias("n_dows"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("dow") - 1)
+        ).cast("long").alias("dof"),
+        F.sum("t_micros").cast("long").alias("chi2_micros"),
+    )

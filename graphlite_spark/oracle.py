@@ -9614,3 +9614,122 @@ def aa_hash_test_sql(
         f"  THEN round({z}, 6) END AS z\n"
         "FROM aaa"
     )
+
+
+def cuped_adjustment_sql() -> str:
+    """Mirror of operators.analytics.cuped_adjustment: midpoint split,
+    integer-cents per-unit moments, one shared float expression."""
+    covxy = "((n * sxy - sx * sy) / (n * n))"
+    varx = "((n * sxx - sx * sx) / (n * n))"
+    vary = "((n * syy - sy * sy) / (n * n))"
+    theta = f"({covxy} / {varx})"
+    var_adj = f"({vary} - {covxy} * {covxy} / {varx})"
+    return (
+        "WITH cus AS MATERIALIZED (SELECT user_id AS u,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS us,\n"
+        "  CAST(round(value * 100) AS BIGINT) AS c FROM events),\n"
+        "cum0 AS (SELECT CAST((min(us) + max(us)) // 2 AS BIGINT)"
+        " AS mid FROM cus),\n"
+        "cup AS MATERIALIZED (SELECT u,\n"
+        "  CAST(COALESCE(sum(CASE WHEN us <= (SELECT mid FROM cum0)"
+        " THEN c END), 0) AS BIGINT) AS x,\n"
+        "  CAST(COALESCE(sum(CASE WHEN us > (SELECT mid FROM cum0)"
+        " THEN c END), 0) AS BIGINT) AS y\n"
+        "  FROM cus GROUP BY 1),\n"
+        "cua AS (SELECT\n"
+        "  CAST(count(*) AS DOUBLE) AS n,\n"
+        "  CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) AS sx,\n"
+        "  CAST(CAST(sum(y) AS BIGINT) AS DOUBLE) AS sy,\n"
+        "  CAST(CAST(sum(x * x) AS BIGINT) AS DOUBLE) AS sxx,\n"
+        "  CAST(CAST(sum(x * y) AS BIGINT) AS DOUBLE) AS sxy,\n"
+        "  CAST(CAST(sum(y * y) AS BIGINT) AS DOUBLE) AS syy,\n"
+        "  CAST(count(*) AS BIGINT) AS n_units FROM cup)\n"
+        "SELECT n_units,\n"
+        f"  CASE WHEN {varx} > 0 THEN round({theta}, 6) END AS theta,\n"
+        f"  CASE WHEN n > 0 THEN round({vary}, 6) END AS var_y,\n"
+        f"  CASE WHEN {varx} > 0 THEN round({var_adj}, 6) END"
+        " AS var_adj,\n"
+        f"  CASE WHEN {varx} > 0 AND {vary} > 0\n"
+        f"  THEN round(1.0 - {var_adj} / {vary}, 6) END AS reduction\n"
+        "FROM cua"
+    )
+
+
+def ks_2sample_sql(
+    type_a: str = "purchase", type_b: str = "click"
+) -> str:
+    """Mirror of operators.analytics.ks_2sample: value-alphabet ECDFs,
+    exact cross-multiplied BIGINT numerator."""
+    a = type_a.replace("'", "''")
+    b = type_b.replace("'", "''")
+    return (
+        "WITH ksc AS MATERIALIZED (\n"
+        f"  SELECT CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END"
+        " AS is_a,\n"
+        "    CAST(round(value * 100) AS BIGINT) AS v\n"
+        f"  FROM events WHERE event_type IN ('{a}', '{b}')),\n"
+        "ksp AS MATERIALIZED (SELECT v,"
+        " CAST(count(*) AS BIGINT) AS cnt,\n"
+        "  CAST(sum(is_a) AS BIGINT) AS cnt_a FROM ksc GROUP BY 1),\n"
+        "ksw AS MATERIALIZED (SELECT\n"
+        "  CAST(sum(cnt_a) OVER wo AS BIGINT) AS ca,\n"
+        "  CAST(sum(cnt) OVER wo - sum(cnt_a) OVER wo AS BIGINT)"
+        " AS cb\n"
+        "  FROM ksp WINDOW wo AS (ORDER BY v ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW)),\n"
+        "kst AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,\n"
+        "  CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b FROM ksp),\n"
+        "ksa AS (SELECT\n"
+        "  (SELECT n_a FROM kst) AS n_a,\n"
+        "  (SELECT n_b FROM kst) AS n_b,\n"
+        "  CAST(max(abs(ca * (SELECT n_b FROM kst)\n"
+        "    - cb * (SELECT n_a FROM kst))) AS BIGINT) AS d_num\n"
+        "  FROM ksw)\n"
+        "SELECT n_a, n_b, d_num,\n"
+        "  CASE WHEN n_a > 0 AND n_b > 0\n"
+        "  THEN round(CAST(d_num AS DOUBLE)\n"
+        "    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) END"
+        " AS d_stat\n"
+        "FROM ksa"
+    )
+
+
+def chi_square_type_dow_sql() -> str:
+    """Mirror of operators.analytics.chi_square_type_dow: full
+    observed-type x observed-dow lattice, exact micro-floored terms via
+    the quotient/remainder split."""
+    return (
+        "WITH chs AS MATERIALIZED (SELECT event_type,\n"
+        "  CAST((CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 3) % 7"
+        " AS INT) AS dow FROM events),\n"
+        "chc AS MATERIALIZED (SELECT event_type, dow,"
+        " CAST(count(*) AS BIGINT) AS o FROM chs GROUP BY 1, 2),\n"
+        "chr AS MATERIALIZED (SELECT event_type,"
+        " CAST(count(*) AS BIGINT) AS r FROM chs GROUP BY 1),\n"
+        "chd AS MATERIALIZED (SELECT dow,"
+        " CAST(count(*) AS BIGINT) AS c FROM chs GROUP BY 1),\n"
+        "cht AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM chs),\n"
+        "chl AS MATERIALIZED (SELECT rr.event_type, dd.dow, rr.r,"
+        " dd.c,\n"
+        "  (SELECT nn FROM cht) AS nn,\n"
+        "  CAST(COALESCE(cc.o, 0) AS BIGINT) AS o\n"
+        "  FROM chr rr CROSS JOIN chd dd\n"
+        "  LEFT JOIN chc cc ON cc.event_type = rr.event_type"
+        " AND cc.dow = dd.dow),\n"
+        "chm AS MATERIALIZED (SELECT event_type, dow,\n"
+        "  CAST((nn * o - r * c) * (nn * o - r * c) AS BIGINT)"
+        " AS asq,\n"
+        "  CAST(nn * r * c AS BIGINT) AS den FROM chl),\n"
+        "chq AS MATERIALIZED (SELECT event_type, dow, asq, den,\n"
+        "  CAST((asq - asq % den) // den AS BIGINT) AS q,\n"
+        "  CAST(asq % den AS BIGINT) AS rem FROM chm),\n"
+        "chx AS MATERIALIZED (SELECT event_type, dow,\n"
+        "  CAST(1000000 * q + (1000000 * rem - (1000000 * rem) % den)"
+        " // den AS BIGINT) AS t_micros FROM chq)\n"
+        "SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,\n"
+        "  CAST(count(DISTINCT dow) AS BIGINT) AS n_dows,\n"
+        "  CAST((count(DISTINCT event_type) - 1)\n"
+        "    * (count(DISTINCT dow) - 1) AS BIGINT) AS dof,\n"
+        "  CAST(sum(t_micros) AS BIGINT) AS chi2_micros\n"
+        "FROM chx"
+    )

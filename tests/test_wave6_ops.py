@@ -1770,3 +1770,97 @@ def test_aa_hash_test_bruteforce(spark):
     pp = (c[0] + c[1]) / (n[0] + n[1])
     z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / n[0] + 1 / n[1]))
     assert abs(r["z"] - z) < 1e-6
+
+
+def test_cuped_bruteforce(spark):
+    """theta / variance reduction vs python moments on exact cents."""
+    # time range 0..10h -> midpoint 5h; pre X = cents sum <= 5h,
+    # post Y = cents sum > 5h.  Correlated users: heavy pre -> heavy post.
+    rows = [
+        (0, 0, 1, "view", 1.00), (1, 8, 1, "click", 3.00),
+        (2, 1, 2, "view", 5.00), (3, 9, 2, "click", 11.00),
+        (4, 2, 3, "view", 2.00), (5, 10, 3, "click", 5.00),
+        (6, 4, 4, "view", 9.00), (7, 7, 4, "click", 18.50),
+    ]
+    from graphlite_spark.operators.analytics import cuped_adjustment
+
+    df = _events_w(spark, rows)
+    r = cuped_adjustment(df).collect()[0]
+    # midpoint = (0h + 10h)/2 = 5h
+    per = {
+        1: (100, 300), 2: (500, 1100), 3: (200, 500), 4: (900, 1850),
+    }
+    n = len(per)
+    xs = [x for x, _ in per.values()]
+    ys = [y for _, y in per.values()]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in per.values())
+    syy = sum(y * y for y in ys)
+    covxy = (n * sxy - sx * sy) / (n * n)
+    varx = (n * sxx - sx * sx) / (n * n)
+    vary = (n * syy - sy * sy) / (n * n)
+    assert r["n_units"] == n
+    assert abs(r["theta"] - covxy / varx) < 1e-6
+    assert abs(r["var_y"] - vary) < 1e-4
+    adj = vary - covxy * covxy / varx
+    assert abs(r["var_adj"] - adj) < 1e-4
+    assert abs(r["reduction"] - (1 - adj / vary)) < 1e-6
+
+
+def test_ks_2sample_bruteforce(spark):
+    """D statistic vs python ECDFs, with cross-group ties."""
+    from graphlite_spark.operators.analytics import ks_2sample
+
+    a_vals = [1.00, 2.00, 2.00, 5.00]
+    b_vals = [2.00, 3.00, 4.00]
+    rows = []
+    eid = 0
+    for v in a_vals:
+        rows.append((eid, 0, 1, "purchase", v)); eid += 1
+    for v in b_vals:
+        rows.append((eid, 0, 2, "click", v)); eid += 1
+    r = ks_2sample(_events_w(spark, rows)).collect()[0]
+    na, nb = len(a_vals), len(b_vals)
+    alphabet = sorted(set(a_vals + b_vals))
+    d_num = max(
+        abs(
+            sum(1 for x in a_vals if x <= v) * nb
+            - sum(1 for x in b_vals if x <= v) * na
+        )
+        for v in alphabet
+    )
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["d_num"] == d_num
+    assert abs(r["d_stat"] - d_num / (na * nb)) < 1e-6
+
+
+def test_chi_square_bruteforce(spark):
+    """chi2 micro sum vs python over the full lattice incl. zero cells."""
+    from graphlite_spark.operators.analytics import chi_square_type_dow
+
+    # two epoch weekdays (day 0 -> dow 3, day 1 -> dow 4), two types;
+    # the (click, dow4) cell is a structural zero and must contribute E
+    rows = [
+        (0, 0, 1, "view", 1.0), (1, 1, 1, "view", 1.0),
+        (2, 0, 2, "click", 1.0), (3, 2, 2, "view", 1.0),
+        (4, 26, 3, "view", 1.0), (5, 27, 3, "view", 1.0),
+    ]
+    r = chi_square_type_dow(_events_w(spark, rows)).collect()[0]
+    obs = {("view", 3): 3, ("click", 3): 1, ("view", 4): 2}
+    types = {"view", "click"}
+    dows = {3, 4}
+    nn = sum(obs.values())
+    rt = {t: sum(v for (tt, _), v in obs.items() if tt == t) for t in types}
+    cd = {d: sum(v for (_, dd), v in obs.items() if dd == d) for d in dows}
+    total = 0
+    for t in types:
+        for d in dows:
+            o = obs.get((t, d), 0)
+            a = nn * o - rt[t] * cd[d]
+            den = nn * rt[t] * cd[d]
+            asq = a * a
+            q, rem = divmod(asq, den)
+            total += 1_000_000 * q + (1_000_000 * rem) // den
+    assert (r["n_types"], r["n_dows"], r["dof"]) == (2, 2, 1)
+    assert r["chi2_micros"] == total
