@@ -2970,6 +2970,22 @@ def q_chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TwoNN intrinsic-dimension MLE (Facco et al. 2017): d2/d1 ratios,
+    # micro-exact ln sum — says how compressible the embedding space is
+    from graphlite_spark.operators.similarity import twonn_intrinsic_dim
+
+    return twonn_intrinsic_dim(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_uniformity_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wang-Isola uniformity: log-mean Gaussian potential over pairs of
+    # normalized embeddings (collapse diagnostic)
+    from graphlite_spark.operators.similarity import uniformity_metric
+
+    return uniformity_metric(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the third leg of the release-risk triad (k-anonymity size,
     # l-diversity variety, t-closeness representativeness): per-QI-class
@@ -3673,6 +3689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjustment": q_cuped_adjustment,
         "ks_2sample": q_ks_2sample,
         "chi_square_type_dow": q_chi_square_type_dow,
+        "twonn_intrinsic_dim": q_twonn_intrinsic_dim,
+        "uniformity_metric": q_uniformity_metric,
     }
 
 
@@ -3885,6 +3903,8 @@ def oracle_sql() -> dict[str, str]:
         "cuped_adjustment": O.cuped_adjustment_sql(),
         "ks_2sample": O.ks_2sample_sql(),
         "chi_square_type_dow": O.chi_square_type_dow_sql(),
+        "twonn_intrinsic_dim": O.twonn_intrinsic_dim_sql(),
+        "uniformity_metric": O.uniformity_metric_sql(2.0),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

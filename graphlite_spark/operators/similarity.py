@@ -1071,3 +1071,136 @@ def knn_mutuality(
         F.expr("(1000000 * n_mutual) div n_vecs")
         .cast("long").alias("mutual_micros"),
     )
+
+
+def twonn_intrinsic_dim(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(n_used, sum_lnmu_micros, id_mle) — the TwoNN intrinsic-dimension
+    estimator (Facco et al., Scientific Reports 2017, public
+    literature): for each point the ratio mu = d2/d1 of its second- to
+    first-nearest-neighbor distance, and the MLE
+    ``ID = n / sum ln(mu)``.  An embedding column whose intrinsic
+    dimension is far below its ambient dimension is compressible
+    (matryoshka / PQ will be nearly lossless); one that tracks the
+    ambient dimension is not — the diagnostic that says WHICH
+    compression tier the ANN stack should pick.
+
+    Exactness: squared distances ride the same dot-product fold the
+    cosine tier uses (d^2 = <q,q> + <c,c> - 2<q,c>), rounded to 6dp
+    before ranking (ties break by neighbor_id); each point's
+    0.5*ln(d2^2/d1^2) is rounded to integer MICROS so the global sum is
+    an order-independent BIGINT, and the final MLE is one float from
+    two exact integers.  Points with d1 = 0 (exact duplicate vectors)
+    are excluded — stated, since duplicates carry no scale information.
+
+    Scale shape: the exact 2-NN pass is the operator under test (one
+    broadcast cross join + WindowGroupLimit top-2, the knn_accuracy
+    shape) — at 100 TB this runs on a hash sample of points, never the
+    full corpus; everything after is one map-side-combined rollup."""
+    q = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = F.broadcast(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+    )
+    qv, cv = _as_double(F.col("qv")), _as_double(F.col("cv"))
+    dsq = F.round(
+        _dot(qv, qv) + _dot(cv, cv) - F.lit(2.0) * _dot(qv, cv), 6
+    )
+    scored = q.join(
+        c, F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", dsq.alias("dsq"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dsq").asc(), F.col("neighbor_id").asc()
+    )
+    top2 = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 2
+    )
+    per = top2.groupBy("query_id").agg(
+        F.min(F.when(F.col("rk") == 1, F.col("dsq"))).alias("d1"),
+        F.min(F.when(F.col("rk") == 2, F.col("dsq"))).alias("d2"),
+    )
+    terms = per.where(
+        (F.col("d1") > 0) & F.col("d2").isNotNull()
+    ).select(
+        F.round(
+            F.log(F.col("d2") / F.col("d1")) * F.lit(500000.0)
+        ).cast("long").alias("lnmu_micros")
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum("lnmu_micros").cast("long").alias("sum_lnmu_micros"),
+    )
+    return agg.select(
+        "n_used", "sum_lnmu_micros",
+        F.when(
+            F.col("sum_lnmu_micros") > 0,
+            F.round(
+                F.col("n_used").cast("double") * F.lit(1000000.0)
+                / F.col("sum_lnmu_micros").cast("double"),
+                6,
+            ),
+        ).alias("id_mle"),
+    )
+
+
+def uniformity_metric(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    t: float = 2.0,
+) -> DataFrame:
+    """(n_pairs, sum_g_nanos, uniformity) — the Wang–Isola uniformity
+    loss (ICML 2020, public literature): log of the mean Gaussian
+    potential ``exp(-t * ||x - y||^2)`` over distinct pairs of
+    L2-NORMALIZED embeddings (so ||x-y||^2 = 2 - 2 cos).  Uniformity
+    near 0 means the space has collapsed (all pairs close — the failure
+    mode embedding_health's effective-rank proxy also watches);
+    strongly negative means points spread over the sphere.
+
+    Exactness: each pair's potential is rounded to integer NANOS
+    (bounded by 10^9 per pair, so the sum stays in BIGINT through
+    ~10^9 pairs) and summed exactly; the final log-mean is one float
+    from two exact integers.
+
+    Scale shape: one broadcast self-join over i < j pairs — quadratic
+    BY DEFINITION of the metric, so at 100 TB this runs on a hash
+    sample of the corpus (the knn_accuracy statement); everything
+    after the pair scan is one map-side-combined rollup."""
+    q = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = F.broadcast(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+    )
+    cos = cosine_expr(F.col("qv"), F.col("cv"))
+    g = F.exp(F.lit(-t) * (F.lit(2.0) - F.lit(2.0) * cos))
+    pairs = q.join(
+        c, F.col("query_id") < F.col("neighbor_id")
+    ).select(
+        F.round(g * F.lit(1e9)).cast("long").alias("g_nanos")
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("g_nanos").cast("long").alias("sum_g_nanos"),
+    )
+    return agg.select(
+        "n_pairs", "sum_g_nanos",
+        F.when(
+            (F.col("n_pairs") > 0) & (F.col("sum_g_nanos") > 0),
+            F.round(
+                F.log(
+                    F.col("sum_g_nanos").cast("double")
+                    / (F.col("n_pairs").cast("double") * F.lit(1e9))
+                ),
+                6,
+            ),
+        ).alias("uniformity"),
+    )

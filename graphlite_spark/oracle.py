@@ -9733,3 +9733,67 @@ def chi_square_type_dow_sql() -> str:
         "  CAST(sum(t_micros) AS BIGINT) AS chi2_micros\n"
         "FROM chx"
     )
+
+
+def twonn_intrinsic_dim_sql() -> str:
+    """Mirror of operators.similarity.twonn_intrinsic_dim: rounded
+    squared distances, top-2 by (dsq, id), micro-exact ln-ratio sum."""
+    dsq = (
+        "round(list_inner_product(q.v, q.v) + list_inner_product(c.v, c.v)"
+        " - 2.0 * list_inner_product(q.v, c.v), 6)"
+    )
+    return (
+        f"WITH {_EMB_D},\n"
+        "tns AS MATERIALIZED (\n"
+        f"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,"
+        f" {dsq} AS dsq\n"
+        "  FROM e q JOIN e c ON c.vec_id <> q.vec_id),\n"
+        "tnt AS MATERIALIZED (\n"
+        "  SELECT query_id, dsq, rk FROM (\n"
+        "    SELECT *, row_number() OVER (PARTITION BY query_id\n"
+        "      ORDER BY dsq ASC, neighbor_id ASC) AS rk FROM tns)\n"
+        "  WHERE rk <= 2),\n"
+        "tnp AS MATERIALIZED (SELECT query_id,\n"
+        "  min(CASE WHEN rk = 1 THEN dsq END) AS d1,\n"
+        "  min(CASE WHEN rk = 2 THEN dsq END) AS d2\n"
+        "  FROM tnt GROUP BY 1),\n"
+        "tnm AS MATERIALIZED (SELECT\n"
+        "  CAST(round(ln(d2 / d1) * 500000.0) AS BIGINT)"
+        " AS lnmu_micros\n"
+        "  FROM tnp WHERE d1 > 0 AND d2 IS NOT NULL),\n"
+        "tna AS (SELECT CAST(count(*) AS BIGINT) AS n_used,\n"
+        "  CAST(COALESCE(sum(lnmu_micros), 0) AS BIGINT)"
+        " AS sum_lnmu_micros FROM tnm)\n"
+        "SELECT n_used, sum_lnmu_micros,\n"
+        "  CASE WHEN sum_lnmu_micros > 0\n"
+        "  THEN round(CAST(n_used AS DOUBLE) * 1000000.0\n"
+        "    / CAST(sum_lnmu_micros AS DOUBLE), 6) END AS id_mle\n"
+        "FROM tna"
+    )
+
+
+def uniformity_metric_sql(t: float = 2.0) -> str:
+    """Mirror of operators.similarity.uniformity_metric: per-pair
+    Gaussian potential in exact nanos, one final log-mean float."""
+    cos = (
+        "(list_inner_product(q.v, c.v) /"
+        " (sqrt(list_inner_product(q.v, q.v))"
+        " * sqrt(list_inner_product(c.v, c.v))))"
+    )
+    g = f"exp(-{t!r} * (2.0 - 2.0 * {cos}))"
+    return (
+        f"WITH {_EMB_D},\n"
+        "unp AS MATERIALIZED (\n"
+        f"  SELECT CAST(round({g} * 1000000000.0) AS BIGINT)"
+        " AS g_nanos\n"
+        "  FROM e q JOIN e c ON q.vec_id < c.vec_id),\n"
+        "una AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,\n"
+        "  CAST(COALESCE(sum(g_nanos), 0) AS BIGINT) AS sum_g_nanos\n"
+        "  FROM unp)\n"
+        "SELECT n_pairs, sum_g_nanos,\n"
+        "  CASE WHEN n_pairs > 0 AND sum_g_nanos > 0\n"
+        "  THEN round(ln(CAST(sum_g_nanos AS DOUBLE)\n"
+        "    / (CAST(n_pairs AS DOUBLE) * 1000000000.0)), 6) END"
+        " AS uniformity\n"
+        "FROM una"
+    )

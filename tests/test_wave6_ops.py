@@ -1864,3 +1864,75 @@ def test_chi_square_bruteforce(spark):
             total += 1_000_000 * q + (1_000_000 * rem) // den
     assert (r["n_types"], r["n_dows"], r["dof"]) == (2, 2, 1)
     assert r["chi2_micros"] == total
+
+
+def test_twonn_bruteforce(spark):
+    """TwoNN micro sum + MLE vs python distances, with a duplicate
+    pair (d1 = 0) that must be excluded."""
+    import math
+
+    from graphlite_spark.operators.similarity import twonn_intrinsic_dim
+
+    vecs = [
+        (0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [3.0, 0.0]),
+        (3, [0.0, 2.0]),
+        (4, [5.0, 5.0]), (5, [5.0, 5.0]),  # exact duplicates
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    r = twonn_intrinsic_dim(df).collect()[0]
+
+    def dsq(a, b):
+        return round(sum((x - y) ** 2 for x, y in zip(a, b)), 6)
+
+    total = 0
+    n_used = 0
+    for i, v in vecs:
+        ds = sorted(
+            (dsq(v, w), j) for j, w in vecs if j != i
+        )
+        d1, d2 = ds[0][0], ds[1][0]
+        if d1 <= 0:
+            continue
+        n_used += 1
+        total += round(math.log(d2 / d1) * 500000.0)
+    assert r["n_used"] == n_used
+    assert r["sum_lnmu_micros"] == total
+    assert abs(r["id_mle"] - n_used * 1e6 / total) < 1e-6
+
+
+def test_uniformity_bruteforce(spark):
+    """Log-mean Gaussian potential vs python cosine pairs."""
+    import math
+
+    from graphlite_spark.operators.similarity import uniformity_metric
+
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.8, 0.6]), (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    r = uniformity_metric(df).collect()[0]
+
+    import numpy
+
+    def f32(v):
+        # the engine stores array<float>; quantize like parquet does
+        return [float(numpy.float32(x)) for x in v]
+
+    def cos(a, b):
+        a, b = f32(a), f32(b)
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+
+    s = 0
+    np = 0
+    for i, v in vecs:
+        for j, w in vecs:
+            if i < j:
+                np += 1
+                s += round(math.exp(-2.0 * (2.0 - 2.0 * cos(v, w))) * 1e9)
+    assert (r["n_pairs"], r["sum_g_nanos"]) == (np, s)
+    assert abs(r["uniformity"] - math.log(s / (np * 1e9))) < 1e-6
