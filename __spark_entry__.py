@@ -2970,6 +2970,26 @@ def q_chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nelson-Aalen cumulative hazard over user lifetimes (horizon-
+    # censored) — the additive sibling of kaplan_meier
+    from graphlite_spark.operators.analytics import nelson_aalen
+
+    return nelson_aalen(load_table(spark, sf_dir, "events"))
+
+
+def q_burt_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Burt's structural-holes constraint per user over the contact
+    # graph (micro-floored p-products, pico-exact sums): the brokerage
+    # readout — low constraint = the user bridges otherwise-separate
+    # contacts
+    from graphlite_spark.algos.stats import burt_constraint
+
+    return burt_constraint(
+        contact_edges(_events_us(spark, sf_dir)).select("src", "dst")
+    )
+
+
 def q_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TwoNN intrinsic-dimension MLE (Facco et al. 2017): d2/d1 ratios,
     # micro-exact ln sum — says how compressible the embedding space is
@@ -3691,6 +3711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square_type_dow": q_chi_square_type_dow,
         "twonn_intrinsic_dim": q_twonn_intrinsic_dim,
         "uniformity_metric": q_uniformity_metric,
+        "burt_constraint": q_burt_constraint,
+        "nelson_aalen": q_nelson_aalen,
     }
 
 
@@ -3905,6 +3927,8 @@ def oracle_sql() -> dict[str, str]:
         "chi_square_type_dow": O.chi_square_type_dow_sql(),
         "twonn_intrinsic_dim": O.twonn_intrinsic_dim_sql(),
         "uniformity_metric": O.uniformity_metric_sql(2.0),
+        "burt_constraint": O.burt_constraint_sql(),
+        "nelson_aalen": O.nelson_aalen_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -596,3 +596,106 @@ def deanon_uniqueness(edges: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_classes"),
         F.sum("class_size").cast("long").alias("n_vertices"),
     )
+
+
+def burt_constraint(edges: DataFrame) -> DataFrame:
+    """(user_id, degree, constraint_pico) — Burt's structural-holes
+    constraint (Burt, AJS 1992, public literature) over the undirected
+    simple graph, uniform tie weights: with p_ij = 1/deg(i),
+
+        constraint(i) = sum_j (p_ij + sum_q p_iq * p_qj)^2
+
+    where q ranges over common neighbors of i and j.  Low constraint =
+    the vertex bridges otherwise-disconnected contacts (a broker);
+    high constraint = its neighborhood is closed around it.  The
+    clustering coefficient says how closed a neighborhood is; Burt's
+    constraint says how closed it is AROUND EACH TIE, which is what
+    brokerage actually measures.
+
+    Exactness: every p-product is floored to integer MICROS
+    (1/deg terms are 10^6 div d, indirect terms 10^6 div (d_i*d_q)),
+    so the per-tie sum s_ij is an exact BIGINT and constraint rides
+    pico units (micros squared) — order-independent, engine-exact.
+    Degrees beyond 10^6 floor the indirect term to 0 (stated — at that
+    degree the true term is below the reported precision anyway).
+
+    Scale shape: the common-neighbor sets are enumerated through the
+    repo's degree-oriented triangle machinery (each triangle {i,j,q}
+    emitted once, then expanded to its 6 ordered contributions), so
+    wedge fan-out is bounded by O(sqrt(E)) per edge — the hub-safe
+    path the wedge-family plan guard pins — followed by two
+    vertex-sized degree joins and two map-side-combined groupBys."""
+    from graphlite_spark.algos.triangles import _triangle_rows, _undirected
+
+    und = _undirected(edges)
+    adj = und.select(
+        F.col("lo").alias("i"), F.col("hi").alias("j")
+    ).unionByName(
+        und.select(F.col("hi").alias("i"), F.col("lo").alias("j"))
+    )
+    deg = adj.groupBy(F.col("i").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    tri = _triangle_rows(edges, "degree")
+    perms = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("v1").alias("i"), F.col("v2").alias("j"),
+                    F.col("v3").alias("q"),
+                ),
+                F.struct(
+                    F.col("v2").alias("i"), F.col("v1").alias("j"),
+                    F.col("v3").alias("q"),
+                ),
+                F.struct(
+                    F.col("v1").alias("i"), F.col("v3").alias("j"),
+                    F.col("v2").alias("q"),
+                ),
+                F.struct(
+                    F.col("v3").alias("i"), F.col("v1").alias("j"),
+                    F.col("v2").alias("q"),
+                ),
+                F.struct(
+                    F.col("v2").alias("i"), F.col("v3").alias("j"),
+                    F.col("v1").alias("q"),
+                ),
+                F.struct(
+                    F.col("v3").alias("i"), F.col("v2").alias("j"),
+                    F.col("v1").alias("q"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.q")
+    di = deg.select(F.col("v").alias("i"), F.col("d").alias("di"))
+    dq = deg.select(F.col("v").alias("q"), F.col("d").alias("dq"))
+    ind = (
+        perms.join(di, "i").join(dq, "q")
+        .select(
+            "i", "j",
+            F.expr("1000000 div (di * dq)").cast("long").alias("t"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("t").cast("long").alias("w"))
+    )
+    s = (
+        adj.join(di, "i")
+        .join(ind, ["i", "j"], "left")
+        .select(
+            "i",
+            (
+                F.expr("1000000 div di")
+                + F.coalesce(F.col("w"), F.lit(0))
+            ).cast("long").alias("s"),
+        )
+    )
+    per = s.groupBy("i").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("constraint_pico")
+    )
+    return per.join(
+        deg.select(F.col("v").alias("i"), "d"), "i"
+    ).select(
+        F.col("i").alias("user_id"),
+        F.col("d").cast("long").alias("degree"),
+        "constraint_pico",
+    )

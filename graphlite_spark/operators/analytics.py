@@ -2329,3 +2329,61 @@ def chi_square_type_dow(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         ).cast("long").alias("dof"),
         F.sum("t_micros").cast("long").alias("chi2_micros"),
     )
+
+
+def nelson_aalen(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(duration_days, n_risk, n_deaths, cumhaz_micros) — the
+    Nelson–Aalen cumulative-hazard estimate (Nelson 1972 / Aalen 1978,
+    public literature): H(t) = sum_{t_i <= t} d_i / n_i over the same
+    lifetime/censoring construction as :func:`kaplan_meier` (lifetime =
+    last-active − first-active day; units last seen on the corpus's
+    final day are censored).  Where KM multiplies survival down, NA
+    adds hazard up — additive, so each step term rides an exact
+    remainder-subtract micro division and the cumulative sum is a
+    BIGINT running total, no fold needed.  −ln(KM) ≈ NA is the
+    standard cross-check between the two estimators.
+
+    Scale shape: identical to kaplan_meier — one map-side-combined
+    per-unit aggregate, a 1-row horizon broadcast, then everything on
+    the calendar-bounded duration table (ordered windows there are a
+    non-issue at any event scale)."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.min(day).alias("first_d"), F.max(day).alias("last_d")
+    )
+    hi = events.agg(F.max(day).alias("hi"))
+    lives = per.crossJoin(F.broadcast(hi)).select(
+        (F.col("last_d") - F.col("first_d")).alias("t"),
+        (F.col("last_d") == F.col("hi")).cast("int").alias("censored"),
+    )
+    durs = lives.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.lit(1) - F.col("censored")).cast("long").alias("d"),
+    )
+    wd = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = durs.select(
+        "t", "d", F.sum("c").over(wd).cast("long").alias("n")
+    ).where(F.col("d") > 0)
+    wt = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = risk.select(
+        "t", "d", "n",
+        F.expr(
+            "(1000000 * d - (1000000 * d) % n) div n"
+        ).cast("long").alias("h"),
+    )
+    return stepped.select(
+        F.col("t").alias("duration_days"),
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("n_deaths"),
+        F.sum("h").over(wt).cast("long").alias("cumhaz_micros"),
+    )

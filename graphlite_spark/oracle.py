@@ -9797,3 +9797,76 @@ def uniformity_metric_sql(t: float = 2.0) -> str:
         " AS uniformity\n"
         "FROM una"
     )
+
+
+def burt_constraint_sql() -> str:
+    """Mirror of algos.stats.burt_constraint over the contact graph:
+    distinct undirected pairs, micro-floored p-products, pico-exact
+    per-vertex sums.  The oracle brute-forces the common-neighbor
+    wedge join — orientation is a Spark-side performance device."""
+    return (
+        "WITH ev AS MATERIALIZED (SELECT event_id, user_id, event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),\n"
+        "ce AS MATERIALIZED (SELECT src, dst FROM (\n"
+        "  SELECT lag(user_id) OVER (PARTITION BY event_type\n"
+        "           ORDER BY ts_us, event_id) AS src,\n"
+        "         user_id AS dst FROM ev)\n"
+        "  WHERE src IS NOT NULL AND src <> dst),\n"
+        "bup AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,\n"
+        "  greatest(src, dst) AS hi FROM ce),\n"
+        "badj AS MATERIALIZED (SELECT lo AS i, hi AS j FROM bup\n"
+        "  UNION ALL SELECT hi, lo FROM bup),\n"
+        "bdeg AS MATERIALIZED (SELECT i AS v,"
+        " CAST(count(*) AS BIGINT) AS d FROM badj GROUP BY 1),\n"
+        "bind AS MATERIALIZED (\n"
+        "  SELECT a.i, a.j,\n"
+        "    CAST(sum(1000000 // (di.d * dq.d)) AS BIGINT) AS w\n"
+        "  FROM badj a\n"
+        "  JOIN badj n1 ON n1.i = a.i\n"
+        "  JOIN badj n2 ON n2.i = a.j AND n2.j = n1.j\n"
+        "  JOIN bdeg di ON di.v = a.i\n"
+        "  JOIN bdeg dq ON dq.v = n1.j\n"
+        "  WHERE n1.j <> a.j\n"
+        "  GROUP BY 1, 2),\n"
+        "bs AS MATERIALIZED (SELECT a.i,\n"
+        "  CAST(1000000 // d.d + COALESCE(x.w, 0) AS BIGINT) AS s\n"
+        "  FROM badj a JOIN bdeg d ON d.v = a.i\n"
+        "  LEFT JOIN bind x ON x.i = a.i AND x.j = a.j)\n"
+        "SELECT bs.i AS user_id,\n"
+        "  CAST(dd.d AS BIGINT) AS degree,\n"
+        "  CAST(sum(bs.s * bs.s) AS BIGINT) AS constraint_pico\n"
+        "FROM bs JOIN bdeg dd ON dd.v = bs.i GROUP BY 1, 2"
+    )
+
+
+def nelson_aalen_sql() -> str:
+    """Mirror of operators.analytics.nelson_aalen: the kaplan_meier
+    lifetime/censoring CTEs with an additive cumulative micro-hazard
+    instead of the product-limit fold."""
+    return (
+        "WITH na_per AS MATERIALIZED (\n"
+        "  SELECT user_id AS u,\n"
+        "    min(CAST(epoch_us(ts) AS BIGINT) // 86400000000)"
+        " AS first_d,\n"
+        "    max(CAST(epoch_us(ts) AS BIGINT) // 86400000000)"
+        " AS last_d\n"
+        "  FROM events GROUP BY 1),\n"
+        "na_hi AS (SELECT max(last_d) AS hi FROM na_per),\n"
+        "na_durs AS MATERIALIZED (\n"
+        "  SELECT last_d - first_d AS t,\n"
+        "    CAST(count(*) AS BIGINT) AS c,\n"
+        "    CAST(sum(CASE WHEN last_d = (SELECT hi FROM na_hi)"
+        " THEN 0 ELSE 1 END) AS BIGINT) AS d\n"
+        "  FROM na_per GROUP BY 1),\n"
+        "na_risk AS MATERIALIZED (\n"
+        "  SELECT t, d, n,\n"
+        "    CAST((1000000 * d) // n AS BIGINT) AS h FROM (\n"
+        "    SELECT t, d, CAST(sum(c) OVER (ORDER BY t DESC\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS n\n"
+        "    FROM na_durs) WHERE d > 0)\n"
+        "SELECT t AS duration_days, n AS n_risk, d AS n_deaths,\n"
+        "  CAST(sum(h) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) AS BIGINT) AS cumhaz_micros\n"
+        "FROM na_risk"
+    )

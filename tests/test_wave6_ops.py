@@ -1936,3 +1936,62 @@ def test_uniformity_bruteforce(spark):
                 s += round(math.exp(-2.0 * (2.0 - 2.0 * cos(v, w))) * 1e9)
     assert (r["n_pairs"], r["sum_g_nanos"]) == (np, s)
     assert abs(r["uniformity"] - math.log(s / (np * 1e9))) < 1e-6
+
+
+def test_burt_constraint_bruteforce(spark):
+    """Pico-exact constraint vs python on a barbell-with-bridge graph:
+    the broker (bridge vertex) must score lowest."""
+    from graphlite_spark.algos.stats import burt_constraint
+
+    # triangle {0,1,2} - bridge 2-3 - triangle {3,4,5}
+    und = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (3, 5), (4, 5)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r["user_id"]: (r["degree"], r["constraint_pico"])
+        for r in burt_constraint(df).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for i, ns in adj.items():
+        di = len(ns)
+        total = 0
+        for j in ns:
+            s = 1_000_000 // di
+            for q in ns & adj[j]:
+                s += 1_000_000 // (di * len(adj[q]))
+            total += s * s
+        want[i] = (di, total)
+    assert got == want
+    # brokers (2 and 3) are the least constrained
+    lows = sorted(want, key=lambda i: want[i][1])[:2]
+    assert set(lows) == {2, 3}
+
+
+def test_nelson_aalen_bruteforce(spark):
+    """Cumulative micro-hazard vs python risk sets, with censoring."""
+    # horizon = day 3. lifetimes: u1 0d (censored? last=0 != 3 -> death),
+    # u2 1d death, u3 3d (last=3 -> censored), u4 0d censored-at-horizon
+    rows = [
+        (0, 0, 1, "view", 1.0),
+        (1, 0, 2, "view", 1.0), (2, 24, 2, "view", 1.0),
+        (3, 0, 3, "view", 1.0), (4, 72, 3, "view", 1.0),
+        (5, 72, 4, "view", 1.0),
+    ]
+    from graphlite_spark.operators.analytics import nelson_aalen
+
+    got = {
+        r["duration_days"]: (r["n_risk"], r["n_deaths"], r["cumhaz_micros"])
+        for r in nelson_aalen(_events_w(spark, rows)).collect()
+    }
+    # lifetimes: u1 t=0 death, u2 t=1 death, u3 t=3 censored, u4 t=0 cens
+    # risk(t) = lifetimes >= t: t=0 -> 4, t=1 -> 2, t=3 -> 1
+    # deaths: t=0 -> 1, t=1 -> 1
+    h0 = (1_000_000 * 1) // 4
+    h1 = h0 + (1_000_000 * 1) // 2
+    assert got == {0: (4, 1, h0), 1: (2, 1, h1)}
