@@ -2970,6 +2970,22 @@ def q_chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_gopher_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher hard quality filters as per-source fail counts (Rae et al.
+    # 2021) — the reject/keep tier next to text_quality's scores
+    from graphlite_spark.operators.profiling import gopher_rule_flags
+
+    return gopher_rule_flags(load_table(spark, sf_dir, "documents"))
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Good-Turing frequency-of-frequencies + smoothed r* in exact
+    # micros; row 1 carries the unseen-mass estimate
+    from graphlite_spark.operators.profiling import good_turing_counts
+
+    return good_turing_counts(load_table(spark, sf_dir, "documents"))
+
+
 def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Nelson-Aalen cumulative hazard over user lifetimes (horizon-
     # censored) — the additive sibling of kaplan_meier
@@ -3713,6 +3729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniformity_metric": q_uniformity_metric,
         "burt_constraint": q_burt_constraint,
         "nelson_aalen": q_nelson_aalen,
+        "gopher_rule_flags": q_gopher_rule_flags,
+        "good_turing": q_good_turing,
     }
 
 
@@ -3929,6 +3947,8 @@ def oracle_sql() -> dict[str, str]:
         "uniformity_metric": O.uniformity_metric_sql(2.0),
         "burt_constraint": O.burt_constraint_sql(),
         "nelson_aalen": O.nelson_aalen_sql(),
+        "gopher_rule_flags": O.gopher_rule_flags_sql(),
+        "good_turing": O.good_turing_counts_sql(50),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -795,3 +795,123 @@ def dataset_fingerprint(docs: DataFrame) -> DataFrame:
             "n_docs", "xor48", "min_h", "max_h",
         )
     )
+
+
+GOPHER_STOP8 = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rule_flags(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, fail_words, fail_wordlen, fail_alpha,
+    fail_stop, n_pass) — the Gopher hard quality filters (Rae et al.
+    2021, public literature) as per-source FAIL counts, the bundle a
+    corpus curator reads before setting mixture weights: word count
+    outside [min_words, max_words]; mean word length outside [3, 10];
+    fewer than 80% of words containing an alphabetic character; fewer
+    than 2 occurrences of the paper's 8 indicator stopwords (the, be,
+    to, of, and, that, have, with).  ``n_pass`` counts documents
+    failing NO rule.  text_quality scores documents continuously;
+    this is the reject/keep tier — both exist because pipelines use
+    both.
+
+    Exactness: every rule is an exact integer comparison (mean word
+    length and the alpha ratio ride cross-multiplied token counts —
+    no division anywhere), so the counts are BIGINT-exact on both
+    engines.
+
+    Scale shape: pure per-row expressions then ONE map-side-combined
+    groupBy on the source codebook — embarrassingly parallel."""
+    from graphlite_spark.functions.text import tokens_expr
+
+    toks = tokens_expr("text")
+    docs = documents.select(F.col(group_col), toks.alias("t")).select(
+        group_col,
+        F.size("t").alias("n"),
+        F.aggregate(
+            "t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_len"),
+        F.size(F.filter("t", lambda x: x.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(
+            F.filter(
+                "t",
+                lambda x: F.array_contains(
+                    F.array(*[F.lit(s) for s in GOPHER_STOP8]), x
+                ),
+            )
+        ).alias("n_stop8"),
+    )
+    f_words = (
+        (F.col("n") < min_words) | (F.col("n") > max_words)
+    ).cast("int")
+    f_wordlen = (
+        (F.col("sum_len") < 3 * F.col("n"))
+        | (F.col("sum_len") > 10 * F.col("n"))
+    ).cast("int")
+    f_alpha = (5 * F.col("n_alpha") < 4 * F.col("n")).cast("int")
+    f_stop = (F.col("n_stop8") < 2).cast("int")
+    flagged = docs.select(
+        group_col,
+        f_words.alias("fw"), f_wordlen.alias("fl"),
+        f_alpha.alias("fa"), f_stop.alias("fs"),
+    )
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("fw").cast("long").alias("fail_words"),
+        F.sum("fl").cast("long").alias("fail_wordlen"),
+        F.sum("fa").cast("long").alias("fail_alpha"),
+        F.sum("fs").cast("long").alias("fail_stop"),
+        F.sum(
+            (
+                (F.col("fw") + F.col("fl") + F.col("fa") + F.col("fs"))
+                == 0
+            ).cast("int")
+        ).cast("long").alias("n_pass"),
+    )
+
+
+def good_turing_counts(
+    documents: DataFrame, max_r: int = 50
+) -> DataFrame:
+    """(r, n_r, r_star_micros) — the Good–Turing frequency-of-
+    frequencies table (Good 1953, public literature) over the corpus
+    vocabulary: N_r = how many distinct tokens occur exactly r times,
+    and the smoothed count r* = (r+1)·N_{r+1}/N_r in exact floor
+    micros (NULL where N_{r+1} = 0 — smoothing undefined, stated
+    rather than faked).  Row r = 1's N_1/N is the unseen-mass estimate
+    every leave-one-out LM evaluation needs; :func:`chao1_vocab`
+    consumes the same two leading rows.  Reported for r <= ``max_r``
+    (the sparse high-count tail is where GT smoothing is not used
+    anyway — Katz backoff switches to raw counts there).
+
+    Scale shape: one token groupBy (vocabulary-sized), one count
+    groupBy (bounded by max_r + distinct counts), one self-equi-join
+    on r+1 of the tiny N_r table."""
+    from graphlite_spark.functions.text import tokens_expr
+
+    counts = (
+        documents.select(
+            F.explode(tokens_expr("text")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    nr_all = counts.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    nr = nr_all.where(F.col("r") <= max_r)
+    # N_{r+1} sourced from the UNFILTERED table so row max_r still
+    # smooths correctly
+    nxt = nr_all.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next")
+    )
+    return nr.join(nxt, "r", "left").select(
+        "r", "n_r",
+        F.expr(
+            "(1000000 * (r + 1) * n_next"
+            " - (1000000 * (r + 1) * n_next) % n_r) div n_r"
+        ).cast("long").alias("r_star_micros"),
+    )

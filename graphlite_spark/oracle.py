@@ -9870,3 +9870,63 @@ def nelson_aalen_sql() -> str:
         " PRECEDING AND CURRENT ROW) AS BIGINT) AS cumhaz_micros\n"
         "FROM na_risk"
     )
+
+
+def gopher_rule_flags_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    group_col: str = "source",
+) -> str:
+    """Mirror of operators.profiling.gopher_rule_flags: identical
+    whitespace tokens, cross-multiplied integer rules."""
+    stop8 = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "gfd AS MATERIALIZED (\n"
+        f"  SELECT d.{group_col},\n"
+        "    CAST(len(t.toks) AS BIGINT) AS n,\n"
+        "    CAST(COALESCE(list_sum(list_transform(t.toks,"
+        " x -> length(x))), 0) AS BIGINT) AS sum_len,\n"
+        "    CAST(len(list_filter(t.toks,"
+        " x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,\n"
+        f"    CAST(len(list_filter(t.toks,"
+        f" x -> list_contains({stop8}, x))) AS BIGINT) AS n_stop8\n"
+        "  FROM documents d JOIN toks_t t ON t.doc_id = d.doc_id),\n"
+        "gff AS MATERIALIZED (SELECT\n"
+        f"  {group_col},\n"
+        f"  CASE WHEN n < {int(min_words)} OR n > {int(max_words)}"
+        " THEN 1 ELSE 0 END AS fw,\n"
+        "  CASE WHEN sum_len < 3 * n OR sum_len > 10 * n"
+        " THEN 1 ELSE 0 END AS fl,\n"
+        "  CASE WHEN 5 * n_alpha < 4 * n THEN 1 ELSE 0 END AS fa,\n"
+        "  CASE WHEN n_stop8 < 2 THEN 1 ELSE 0 END AS fs\n"
+        "  FROM gfd)\n"
+        f"SELECT {group_col},\n"
+        "  CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "  CAST(sum(fw) AS BIGINT) AS fail_words,\n"
+        "  CAST(sum(fl) AS BIGINT) AS fail_wordlen,\n"
+        "  CAST(sum(fa) AS BIGINT) AS fail_alpha,\n"
+        "  CAST(sum(fs) AS BIGINT) AS fail_stop,\n"
+        "  CAST(sum(CASE WHEN fw + fl + fa + fs = 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_pass\n"
+        f"FROM gff GROUP BY 1"
+    )
+
+
+def good_turing_counts_sql(max_r: int = 50) -> str:
+    """Mirror of operators.profiling.good_turing_counts: vocabulary
+    counts, frequency-of-frequencies, exact floor-micro r*."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "gtc AS MATERIALIZED (SELECT tok,"
+        " CAST(count(*) AS BIGINT) AS r FROM (\n"
+        "  SELECT unnest(toks) AS tok FROM toks_t) GROUP BY 1),\n"
+        "gtn AS MATERIALIZED (SELECT r,"
+        " CAST(count(*) AS BIGINT) AS n_r FROM gtc GROUP BY 1)\n"
+        "SELECT a.r, a.n_r,\n"
+        "  CAST((1000000 * (a.r + 1) * b.n_r\n"
+        "    - (1000000 * (a.r + 1) * b.n_r) % a.n_r) // a.n_r"
+        " AS BIGINT) AS r_star_micros\n"
+        "FROM gtn a LEFT JOIN gtn b ON b.r = a.r + 1\n"
+        f"WHERE a.r <= {int(max_r)}"
+    )

@@ -1995,3 +1995,60 @@ def test_nelson_aalen_bruteforce(spark):
     h0 = (1_000_000 * 1) // 4
     h1 = h0 + (1_000_000 * 1) // 2
     assert got == {0: (4, 1, h0), 1: (2, 1, h1)}
+
+
+def test_gopher_rules_bruteforce(spark):
+    """Per-source fail counts vs hand-checked rule outcomes."""
+    from graphlite_spark.operators.profiling import gopher_rule_flags
+
+    long_ok = " ".join(
+        ["the be to of and that have with"] + ["word"] * 50
+    )  # 58 words, all alpha, mean len ~3.6, 8 stop hits -> passes all
+    short = "the of tiny doc"  # 4 words -> fail_words; stop8 ok (2 hits)
+    symbols = " ".join(["123"] * 60)  # no alpha -> fail_alpha+fail_stop
+    docs = spark.createDataFrame(
+        [
+            (0, long_ok, "en", "s1", len(long_ok)),
+            (1, short, "en", "s1", len(short)),
+            (2, symbols, "en", "s2", len(symbols)),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r["source"]: (
+            r["n_docs"], r["fail_words"], r["fail_wordlen"],
+            r["fail_alpha"], r["fail_stop"], r["n_pass"],
+        )
+        for r in gopher_rule_flags(docs, min_words=50).collect()
+    }
+    # s1: long_ok passes; short fails words only (mean len 11/4 < 3 ->
+    # also fails wordlen!)  4 words: the(3)+of(2)+tiny(4)+doc(3)=12
+    # 12 >= 3*4 -> wordlen ok.
+    assert got["s1"] == (2, 1, 0, 0, 0, 1)
+    # s2: 60 words ok; mean len 3 ok; alpha 0 -> fail; stop 0 -> fail
+    assert got["s2"] == (1, 0, 0, 1, 1, 0)
+
+
+def test_good_turing_bruteforce(spark):
+    """N_r table + smoothed r* vs python counts."""
+    from graphlite_spark.operators.profiling import good_turing_counts
+
+    # counts: a:4, b:2, c:2, d:1, e:1, f:1
+    text = "a a a a b b c c d e f"
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r["r"]: (r["n_r"], r["r_star_micros"])
+        for r in good_turing_counts(docs).collect()
+    }
+    # N_1=3, N_2=2, N_4=1; r*=  r=1: 2*2/3; r=2: 3*1/2... wait N_3=0
+    # r=1: (1+1)*N_2/N_1 = 2*2/3 -> floor micro 1333333
+    # r=2: (2+1)*N_3/N_2 -> N_3 missing -> NULL
+    # r=4: (4+1)*N_5/N_4 -> NULL
+    assert got[1] == (3, (1_000_000 * 2 * 2) // 3)
+    assert got[2] == (2, None)
+    assert got[4] == (1, None)
