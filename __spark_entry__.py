@@ -2970,6 +2970,22 @@ def q_chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Holt double exponential smoothing of the daily series — EWMA
+    # with a trend state, micro-exact coupled recursion
+    from graphlite_spark.operators.analytics import holt_linear_daily
+
+    return holt_linear_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_sprt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wald SPRT over the daily conversion stream: cumulative LLR vs
+    # the Wald boundaries — integer-exact sequential monitoring
+    from graphlite_spark.operators.analytics import sprt_daily
+
+    return sprt_daily(load_table(spark, sf_dir, "events"))
+
+
 def q_gopher_rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher hard quality filters as per-source fail counts (Rae et al.
     # 2021) — the reject/keep tier next to text_quality's scores
@@ -3731,6 +3747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen": q_nelson_aalen,
         "gopher_rule_flags": q_gopher_rule_flags,
         "good_turing": q_good_turing,
+        "holt_linear": q_holt_linear,
+        "sprt_daily": q_sprt_daily,
     }
 
 
@@ -3949,6 +3967,8 @@ def oracle_sql() -> dict[str, str]:
         "nelson_aalen": O.nelson_aalen_sql(),
         "gopher_rule_flags": O.gopher_rule_flags_sql(),
         "good_turing": O.good_turing_counts_sql(50),
+        "holt_linear": O.holt_linear_daily_sql(),
+        "sprt_daily": O.sprt_daily_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -2387,3 +2387,174 @@ def nelson_aalen(
         F.col("d").alias("n_deaths"),
         F.sum("h").over(wt).cast("long").alias("cumhaz_micros"),
     )
+
+
+def holt_linear_daily(
+    events: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 4,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(d, y, level_micros, trend_micros, resid_micros) — Holt's linear
+    (double exponential) smoothing of the zero-filled daily count
+    series with rational alpha/beta (default 1/4, 1/4):
+
+        l_t = a·y_t + (1−a)(l_{t−1} + b_{t−1})
+        b_t = B(l_t − l_{t−1}) + (1−B)·b_{t−1}
+
+    — :func:`ewma_daily` with a TREND state, so a steadily growing
+    series stops reading as a permanent positive surprise.  Init
+    l_1 = 10⁶·y_1, b_1 = 10⁶·(y_1 − y_0) (standard two-point init;
+    the day-0 row carries NULL state).  ``resid_micros`` is the
+    one-step-ahead forecast residual 10⁶·y_t − (l_{t−1} + b_{t−1}),
+    NULL before t=2 — the surprise signal.
+
+    Exactness: both recursions ride remainder-subtract truncating
+    division on BIGINT micros (sign-safe: Spark's % and DuckDB's %
+    both follow the dividend, so (x − x%d)/d truncates toward zero on
+    both engines even for negative trend states).  Scale shape: one
+    map-side-combined daily groupBy; the coupled fold runs over the
+    single collected calendar-bounded day array (the kaplan_meier /
+    ewma device — O(k²) prefix lambdas over k = calendar days)."""
+    if not (0 < alpha_num < alpha_den and 0 < beta_num < beta_den):
+        raise ValueError("alpha and beta must be proper positive fractions")
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d", F.coalesce(F.col("y"), F.lit(0)).cast("long").alias("y")
+    )
+    arr = filled.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("d", "y"))).alias("arr")
+    )
+    M = F.lit(1_000_000).cast("long")
+    an, ad = alpha_num, alpha_den
+    bn, bd = beta_num, beta_den
+
+    def step(acc, x):
+        rawl = (
+            F.lit(an).cast("long") * M * x["y"]
+            + F.lit(ad - an).cast("long") * (acc["l"] + acc["b"])
+        )
+        l_new = ((rawl - rawl % F.lit(ad)) / F.lit(ad)).cast("long")
+        rawb = (
+            F.lit(bn).cast("long") * (l_new - acc["l"])
+            + F.lit(bd - bn).cast("long") * acc["b"]
+        )
+        b_new = ((rawb - rawb % F.lit(bd)) / F.lit(bd)).cast("long")
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    def init():
+        y0 = F.element_at(F.col("arr"), 1)["y"]
+        y1 = F.element_at(F.col("arr"), 2)["y"]
+        return F.struct(
+            (M * y1).alias("l"), (M * (y1 - y0)).alias("b")
+        )
+
+    def state_at(i):
+        # state after 1-based day index i (i >= 2): fold days 3..i
+        return F.aggregate(
+            F.slice(F.col("arr"), F.lit(3), i - 1), init(), step
+        )
+
+    steps = arr.select(
+        F.explode(
+            F.transform(
+                F.col("arr"),
+                lambda x, i: F.struct(
+                    x["d"].alias("d"),
+                    x["y"].alias("y"),
+                    F.when(i >= 1, state_at(i)["l"]).alias("l"),
+                    F.when(i >= 1, state_at(i)["b"]).alias("b"),
+                    F.when(
+                        i >= 2,
+                        M * x["y"]
+                        - (state_at(i - 1)["l"] + state_at(i - 1)["b"]),
+                    ).alias("resid"),
+                ),
+            )
+        ).alias("s")
+    )
+    return steps.select(
+        F.col("s.d").alias("d"),
+        F.col("s.y").alias("y"),
+        F.col("s.l").cast("long").alias("level_micros"),
+        F.col("s.b").cast("long").alias("trend_micros"),
+        F.col("s.resid").cast("long").alias("resid_micros"),
+    )
+
+
+def _sprt_constants(
+    p0: float, p1: float, alpha: float, beta: float
+) -> tuple[int, int, int, int]:
+    """Micro-rounded SPRT log-likelihood-ratio increments and Wald
+    boundaries, computed ONCE in python so both engines consume the
+    same integer literals (zero cross-engine float risk)."""
+    import math
+
+    llr1 = round(1_000_000 * math.log(p1 / p0))
+    llr0 = round(1_000_000 * math.log((1 - p1) / (1 - p0)))
+    upper = round(1_000_000 * math.log((1 - beta) / alpha))
+    lower = round(1_000_000 * math.log(beta / (1 - alpha)))
+    return llr1, llr0, upper, lower
+
+
+def sprt_daily(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    p0: float = 0.05,
+    p1: float = 0.08,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(d, n, c, cum_llr_micros, decision) — Wald's sequential
+    probability ratio test (Wald 1945, public literature) run over the
+    daily stream: each day contributes c·ln(p1/p0) +
+    (n−c)·ln((1−p1)/(1−p0)) to the cumulative log-likelihood ratio,
+    and the trajectory is compared to the Wald boundaries
+    ln((1−β)/α) / ln(β/(1−α)).  The fixed-horizon z-test
+    (:func:`ab_conversion_ztest`) answers after the experiment; SPRT
+    is the always-valid monitor that says WHEN enough evidence has
+    accumulated to stop — the sequential-testing tier.
+
+    Exactness: the four log constants are micro-rounded ONCE in python
+    and enter both engines as integer literals, so every daily
+    increment and the running sum are exact BIGINTs — no float crosses
+    the engine boundary at all.  Scale shape: one map-side-combined
+    daily groupBy, one calendar-bounded cumulative window."""
+    llr1, llr0, upper, lower = _sprt_constants(p0, p1, alpha, beta)
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("event_type") == convert_type).cast("int")
+        ).cast("long").alias("c"),
+    )
+    wt = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "d", "n", "c",
+        F.sum(
+            F.col("c") * F.lit(llr1)
+            + (F.col("n") - F.col("c")) * F.lit(llr0)
+        ).over(wt).cast("long").alias("cum_llr_micros"),
+    )
+    return cum.select(
+        "d", "n", "c", "cum_llr_micros",
+        F.when(F.col("cum_llr_micros") >= upper, F.lit("accept_h1"))
+        .when(F.col("cum_llr_micros") <= lower, F.lit("accept_h0"))
+        .otherwise(F.lit("continue")).alias("decision"),
+    )

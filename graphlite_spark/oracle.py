@@ -9930,3 +9930,92 @@ def good_turing_counts_sql(max_r: int = 50) -> str:
         "FROM gtn a LEFT JOIN gtn b ON b.r = a.r + 1\n"
         f"WHERE a.r <= {int(max_r)}"
     )
+
+
+def holt_linear_daily_sql(
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 4,
+) -> str:
+    """Mirror of operators.analytics.holt_linear_daily: zero-filled
+    day spine, recursive CTE carrying the coupled (level, trend)
+    state, identical remainder-subtract truncation (both engines'
+    % follows the dividend, so the division truncates toward zero
+    on both)."""
+    an, ad = int(alpha_num), int(alpha_den)
+    bn, bd = int(beta_num), int(beta_den)
+    rawl = f"({an} * 1000000 * k.y + {ad - an} * (f.l + f.b))"
+    lnew = f"CAST(({rawl} - {rawl} % {ad}) / {ad} AS BIGINT)"
+    rawb = f"({bn} * ({lnew} - f.l) + {bd - bn} * f.b)"
+    return (
+        "WITH RECURSIVE hl_daily AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),\n"
+        "hl_rng AS (SELECT min(d) AS lo, max(d) AS hi FROM hl_daily),\n"
+        "hl_spine AS MATERIALIZED (SELECT unnest(range(\n"
+        "  (SELECT lo FROM hl_rng), (SELECT hi FROM hl_rng) + 1))"
+        " AS d),\n"
+        "hl_filled AS MATERIALIZED (\n"
+        "  SELECT s.d, CAST(COALESCE(dd.y, 0) AS BIGINT) AS y,\n"
+        "    row_number() OVER (ORDER BY s.d) AS i\n"
+        "  FROM hl_spine s LEFT JOIN hl_daily dd ON dd.d = s.d),\n"
+        "hl_fold(i, d, y, l, b) AS (\n"
+        "  SELECT f2.i, f2.d, f2.y,\n"
+        "    CAST(1000000 * f2.y AS BIGINT),\n"
+        "    CAST(1000000 * (f2.y - f1.y) AS BIGINT)\n"
+        "  FROM hl_filled f2 JOIN hl_filled f1 ON f1.i = 1\n"
+        "  WHERE f2.i = 2\n"
+        "  UNION ALL\n"
+        "  SELECT k.i, k.d, k.y,\n"
+        f"    {lnew},\n"
+        f"    CAST(({rawb} - {rawb} % {bd}) / {bd} AS BIGINT)\n"
+        "  FROM hl_fold f JOIN hl_filled k ON k.i = f.i + 1)\n"
+        "SELECT f1.d, f1.y,\n"
+        "  CAST(NULL AS BIGINT) AS level_micros,\n"
+        "  CAST(NULL AS BIGINT) AS trend_micros,\n"
+        "  CAST(NULL AS BIGINT) AS resid_micros\n"
+        "FROM hl_filled f1 WHERE f1.i = 1\n"
+        "UNION ALL\n"
+        "SELECT c.d, c.y, c.l, c.b,\n"
+        "  CAST(1000000 * c.y - (p.l + p.b) AS BIGINT)\n"
+        "FROM hl_fold c LEFT JOIN hl_fold p ON p.i = c.i - 1"
+    )
+
+
+def sprt_daily_sql(
+    convert_type: str = "purchase",
+    p0: float = 0.05,
+    p1: float = 0.08,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> str:
+    """Mirror of operators.analytics.sprt_daily: the four log
+    constants are micro-rounded in the SAME CPython that parameterizes
+    the Spark side, so both engines consume identical integer
+    literals."""
+    import math
+
+    llr1 = round(1_000_000 * math.log(p1 / p0))
+    llr0 = round(1_000_000 * math.log((1 - p1) / (1 - p0)))
+    upper = round(1_000_000 * math.log((1 - beta) / alpha))
+    lower = round(1_000_000 * math.log(beta / (1 - alpha)))
+    cv = convert_type.replace("'", "''")
+    return (
+        "WITH sp_daily AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS n,\n"
+        f"    CAST(sum(CASE WHEN event_type = '{cv}' THEN 1 ELSE 0"
+        " END) AS BIGINT) AS c\n"
+        "  FROM events GROUP BY 1),\n"
+        "sp_cum AS MATERIALIZED (SELECT d, n, c,\n"
+        f"  CAST(sum(c * ({llr1}) + (n - c) * ({llr0})) OVER (\n"
+        "    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+        " ROW) AS BIGINT) AS cum_llr_micros\n"
+        "  FROM sp_daily)\n"
+        "SELECT d, n, c, cum_llr_micros,\n"
+        f"  CASE WHEN cum_llr_micros >= {upper} THEN 'accept_h1'\n"
+        f"    WHEN cum_llr_micros <= {lower} THEN 'accept_h0'\n"
+        "    ELSE 'continue' END AS decision\n"
+        "FROM sp_cum"
+    )

@@ -2052,3 +2052,84 @@ def test_good_turing_bruteforce(spark):
     assert got[1] == (3, (1_000_000 * 2 * 2) // 3)
     assert got[2] == (2, None)
     assert got[4] == (1, None)
+
+
+def test_holt_linear_bruteforce(spark):
+    """Coupled level/trend recursion vs python fold, incl. a gap day
+    (zero-filled) and a negative trend."""
+    from graphlite_spark.operators.analytics import holt_linear_daily
+
+    # days 0..4, counts 4, 2, 0(gap), 1, 3
+    rows = []
+    eid = 0
+    for d, cnt in [(0, 4), (1, 2), (3, 1), (4, 3)]:
+        for _ in range(cnt):
+            rows.append((eid, 24 * d, 1, "view", 1.0)); eid += 1
+    got = {
+        r["d"]: (
+            r["y"], r["level_micros"], r["trend_micros"],
+            r["resid_micros"],
+        )
+        for r in holt_linear_daily(_events_w(spark, rows)).collect()
+    }
+
+    ys = [4, 2, 0, 1, 3]
+    M = 1_000_000
+
+    def tdiv(x, d):
+        return (x - math_fmod_int(x, d)) // d
+
+    def math_fmod_int(x, d):
+        # toward-zero remainder (Java/C semantics)
+        r = abs(x) % d
+        return r if x >= 0 else -r
+
+    l, b = M * ys[1], M * (ys[1] - ys[0])
+    want = {0: (ys[0], None, None, None), 1: (ys[1], l, b, None)}
+    for t in range(2, len(ys)):
+        resid = M * ys[t] - (l + b)
+        rawl = M * ys[t] + 3 * (l + b)
+        l_new = tdiv(rawl, 4)
+        rawb = (l_new - l) + 3 * b
+        b_new = tdiv(rawb, 4)
+        l, b = l_new, b_new
+        want[t] = (ys[t], l, b, resid)
+    base = min(got)
+    got0 = {d - base: v for d, v in got.items()}
+    assert got0 == want
+
+
+def test_sprt_bruteforce(spark):
+    """Cumulative LLR + decisions vs python with the same constants."""
+    from graphlite_spark.operators.analytics import (
+        _sprt_constants,
+        sprt_daily,
+    )
+
+    # strong positive evidence: 3 days, heavy conversion
+    rows = []
+    eid = 0
+    for d, convs, others in [(0, 5, 5), (1, 8, 2), (2, 9, 1)]:
+        for _ in range(convs):
+            rows.append((eid, 24 * d, 1, "purchase", 1.0)); eid += 1
+        for _ in range(others):
+            rows.append((eid, 24 * d, 1, "view", 1.0)); eid += 1
+    got = {
+        r["d"]: (r["n"], r["c"], r["cum_llr_micros"], r["decision"])
+        for r in sprt_daily(_events_w(spark, rows)).collect()
+    }
+    llr1, llr0, upper, lower = _sprt_constants(0.05, 0.08, 0.05, 0.05)
+    cum = 0
+    want = {}
+    base = min(got)
+    for d, convs, others in [(0, 5, 5), (1, 8, 2), (2, 9, 1)]:
+        n = convs + others
+        cum += convs * llr1 + others * llr0
+        dec = (
+            "accept_h1" if cum >= upper
+            else "accept_h0" if cum <= lower else "continue"
+        )
+        want[d] = (n, convs, cum, dec)
+    got0 = {d - base: v for d, v in got.items()}
+    assert got0 == want
+    assert want[2][3] == "accept_h1"  # the evidence actually crosses
