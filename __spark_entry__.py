@@ -2970,6 +2970,53 @@ def q_chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_quantile_treatment_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # QTE curve: per-cohort rank-rule quantiles of per-user value
+    # totals, activation cohort = first event is signup
+    from graphlite_spark.operators.analytics import (
+        quantile_treatment_effect,
+    )
+
+    return quantile_treatment_effect(load_table(spark, sf_dir, "events"))
+
+
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Simpson's lambda + effective vocabulary size per source — the
+    # head-weighted diversity next to the entropy/Chao1 tier
+    from graphlite_spark.operators.profiling import simpson_diversity
+
+    return simpson_diversity(load_table(spark, sf_dir, "documents"))
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winsorized mean per event type (rank-rule caps, exact micro
+    # mean) — the whale-proof location estimate
+    from graphlite_spark.operators.analytics import winsorized_stats
+
+    return winsorized_stats(load_table(spark, sf_dir, "events"))
+
+
+def q_tie_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Granovetter/Onnela readout: correlation of tie strength (contact
+    # multiplicity) with embeddedness (triangle support) — the
+    # weak-ties signature
+    from graphlite_spark.algos.stats import tie_strength_embeddedness
+
+    return tie_strength_embeddedness(
+        contact_edges(_events_us(spark, sf_dir)).select("src", "dst")
+    )
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc character entropy (micro-exact term sums) — the
+    # encoding-junk / repetition screen
+    from graphlite_spark.operators.profiling import char_entropy
+
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Holt double exponential smoothing of the daily series — EWMA
     # with a trend state, micro-exact coupled recursion
@@ -3749,6 +3796,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": q_good_turing,
         "holt_linear": q_holt_linear,
         "sprt_daily": q_sprt_daily,
+        "winsorized_stats": q_winsorized_stats,
+        "tie_strength_embeddedness": q_tie_strength,
+        "char_entropy": q_char_entropy,
+        "quantile_treatment_effect": q_quantile_treatment_effect,
+        "simpson_diversity": q_simpson_diversity,
     }
 
 
@@ -3969,6 +4021,11 @@ def oracle_sql() -> dict[str, str]:
         "good_turing": O.good_turing_counts_sql(50),
         "holt_linear": O.holt_linear_daily_sql(),
         "sprt_daily": O.sprt_daily_sql(),
+        "winsorized_stats": O.winsorized_stats_sql(),
+        "tie_strength_embeddedness": O.tie_strength_embeddedness_sql(),
+        "char_entropy": O.char_entropy_sql(),
+        "quantile_treatment_effect": O.quantile_treatment_effect_sql(),
+        "simpson_diversity": O.simpson_diversity_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -699,3 +699,62 @@ def burt_constraint(edges: DataFrame) -> DataFrame:
         F.col("d").cast("long").alias("degree"),
         "constraint_pico",
     )
+
+
+def tie_strength_embeddedness(arcs: DataFrame) -> DataFrame:
+    """(n_edges, sum_strength, sum_support, corr) — the
+    Granovetter/Onnela tie-strength vs embeddedness readout (Onnela et
+    al., PNAS 2007, public literature): over every undirected tie,
+    correlate HOW OFTEN the pair interacts (``strength`` = arc rows
+    between the pair, multiplicity kept) with HOW EMBEDDED the tie is
+    (triangle support, via the degree-oriented enumeration
+    :func:`~graphlite_spark.algos.triangles.edge_support` uses).  A
+    positive correlation is the weak-ties signature — strong ties sit
+    inside communities, weak ties bridge them; a flat or negative one
+    says the interaction graph does not have that social structure and
+    community-based samplers will mislead.
+
+    Exactness: both variables are exact BIGINT counts; the Pearson
+    correlation follows the assortativity discipline — integer moment
+    sums, each cast to double once, one shared final expression
+    rounded to 6dp (NULL when either variance is 0).
+
+    Scale shape: one distinct-pair groupBy for strengths, the hub-safe
+    triangle pass for supports, one pair-keyed equi-join, one
+    map-side-combined 6-number rollup."""
+    from graphlite_spark.algos.triangles import edge_support
+
+    strength = (
+        arcs.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+    )
+    sup = edge_support(arcs.select("src", "dst"), orient="degree")
+    both = strength.join(sup, ["lo", "hi"]).select(
+        "s", F.col("support").alias("x")
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("sss"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("s") * F.col("x")).cast("long").alias("ssx"),
+    )
+    m = F.col("m")
+    num = (m * F.col("ssx") - F.col("ss") * F.col("sx")).cast("double")
+    vars_ = (m * F.col("sss") - F.col("ss") * F.col("ss")).cast("double")
+    varx = (m * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return agg.select(
+        F.col("m").alias("n_edges"),
+        F.col("ss").alias("sum_strength"),
+        F.col("sx").alias("sum_support"),
+        F.when(
+            (vars_ > 0) & (varx > 0),
+            F.round(num / F.sqrt(vars_ * varx), 6),
+        ).alias("corr"),
+    )

@@ -2558,3 +2558,152 @@ def sprt_daily(
         .when(F.col("cum_llr_micros") <= lower, F.lit("accept_h0"))
         .otherwise(F.lit("continue")).alias("decision"),
     )
+
+
+def winsorized_stats(
+    events: DataFrame,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    value_col: str = "value",
+) -> DataFrame:
+    """(event_type, n, lo_cents, hi_cents, wmean_micros) — the
+    winsorized mean per event type: values below the rank-ceil(p_lo·n)
+    element are raised to it and values above the rank-ceil(p_hi·n)
+    element lowered to it before averaging — the robust-location
+    estimate a revenue metric uses so one whale cannot move the mean
+    (the trimmed/capped sibling of :func:`value_outliers_mad`, which
+    counts outliers instead of absorbing them).
+
+    Exactness: cut elements use the same discrete rank rule as the
+    quantile tier (ceil(p·n) = (p·n + 99) div 100 over integer cents,
+    so the picked VALUES are bit-identical whichever duplicate wins
+    the row_number); the winsorized mean rides an exact
+    remainder-subtract micro division of the clamped-cents sum.
+
+    Scale shape: one per-type sort window (spillable, the quantile
+    tier's argument), one codebook-sized cut aggregate broadcast back,
+    one map-side-combined rollup."""
+    cents = events.select(
+        "event_type",
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents")
+    cw = Window.partitionBy("event_type")
+    ranked = cents.withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(cw))
+    lo_rank = F.greatest(
+        F.expr(f"({int(lo_pct)} * n + 99) div 100"), F.lit(1)
+    )
+    hi_rank = F.expr(f"({int(hi_pct)} * n + 99) div 100")
+    cuts = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(F.col("rn") == lo_rank, F.col("cents"))
+        ).alias("lo_cents"),
+        F.min(
+            F.when(F.col("rn") == hi_rank, F.col("cents"))
+        ).alias("hi_cents"),
+    )
+    clamped = cents.join(F.broadcast(cuts), "event_type").select(
+        "event_type", "n", "lo_cents", "hi_cents",
+        F.greatest(
+            F.col("lo_cents"), F.least(F.col("hi_cents"), F.col("cents"))
+        ).alias("wc"),
+    )
+    return clamped.groupBy(
+        "event_type", "n", "lo_cents", "hi_cents"
+    ).agg(
+        F.expr(
+            "cast((10000 * sum(wc) - (10000 * sum(wc)) % max(n))"
+            " div max(n) as bigint)"
+        ).alias("wmean_micros")
+    )
+
+
+def quantile_treatment_effect(
+    events: DataFrame,
+    cohort_type: str = "signup",
+    percents: tuple = (25, 50, 75),
+    unit_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(pct, n_a, n_b, q_a_cents, q_b_cents, diff_cents) — quantile
+    treatment effects: the difference between cohort A (units whose
+    FIRST event is ``cohort_type`` — the activation cohort; an
+    ever-emitted flag is degenerate when every active unit eventually
+    touches every type) and cohort B (the rest) at each requested
+    quantile of per-unit total value — the distributional A/B readout
+    (Doksum 1974, public literature).  A mean effect
+    (:func:`ab_conversion_ztest` tier) can be driven entirely by a few
+    whales; the QTE curve says WHERE in the distribution the effect
+    lives (median movers vs tail movers), which changes the launch
+    decision.
+
+    Exactness: per-unit totals ride integer cents; the first event is
+    picked by the deterministic (ts, event_id) order; quantiles use
+    the discrete rank-ceil(p·n/100) rule per cohort (the quantile
+    tier's engine-portable convention), so every output is BIGINT.
+
+    Scale shape: one per-unit first-event window + one map-side-
+    combined per-unit aggregate (both shuffle on the unit key), one
+    per-cohort sort window (spillable), a percents-sized conditional
+    rollup."""
+    us = events.select(
+        F.col(unit_col).alias("u"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        "event_id", "event_type",
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+    )
+    wf = Window.partitionBy("u").orderBy("ts_us", "event_id")
+    first = (
+        us.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") == 1)
+        .select(
+            "u",
+            (F.col("event_type") == cohort_type).cast("int").alias("a"),
+        )
+    )
+    tot = us.groupBy("u").agg(
+        F.sum("cents").cast("long").alias("tot")
+    )
+    per = tot.join(first, "u")
+    w = Window.partitionBy("a").orderBy("tot")
+    cw = Window.partitionBy("a")
+    ranked = per.select(
+        "a", "tot",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).cast("long").alias("n"),
+    )
+    rows = []
+    for p in percents:
+        p = int(p)
+        rank = F.expr(f"greatest(({p} * n + 99) div 100, 1)")
+        q = ranked.groupBy().agg(
+            F.lit(p).cast("long").alias("pct"),
+            F.max(F.when(F.col("a") == 1, F.col("n")))
+            .cast("long").alias("n_a"),
+            F.max(F.when(F.col("a") == 0, F.col("n")))
+            .cast("long").alias("n_b"),
+            F.min(
+                F.when(
+                    (F.col("a") == 1) & (F.col("rn") == rank),
+                    F.col("tot"),
+                )
+            ).cast("long").alias("q_a_cents"),
+            F.min(
+                F.when(
+                    (F.col("a") == 0) & (F.col("rn") == rank),
+                    F.col("tot"),
+                )
+            ).cast("long").alias("q_b_cents"),
+        )
+        rows.append(q)
+    out = rows[0]
+    for q in rows[1:]:
+        out = out.unionByName(q)
+    return out.select(
+        "pct", "n_a", "n_b", "q_a_cents", "q_b_cents",
+        (F.col("q_a_cents") - F.col("q_b_cents"))
+        .cast("long").alias("diff_cents"),
+    )

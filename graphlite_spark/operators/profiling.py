@@ -915,3 +915,103 @@ def good_turing_counts(
             " - (1000000 * (r + 1) * n_next) % n_r) div n_r"
         ).cast("long").alias("r_star_micros"),
     )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_chars_counted, entropy_micros) — per-document
+    character-unigram Shannon entropy in nats,
+    H = ln n − (Σ_c n_c·ln n_c)/n, the encoding-junk / repetition
+    screen (near-zero entropy = one character repeated; text in a
+    natural language sits in a narrow band, so both tails are filter
+    candidates a curation pass reads next to the Gopher rules).
+
+    Exactness: each character's n_c·ln n_c term is rounded to integer
+    MICROS per character (n_c is a per-document integer, so the term
+    is a deterministic per-row float), making the per-document sum
+    order-independent; the final entropy is one shared float
+    expression over that exact sum, rounded to the micro.  NULL for
+    empty documents.
+
+    Scale shape: pure per-row expressions (O(distinct_chars × len)
+    per document), no shuffle, no join — embarrassingly parallel."""
+    # substring with a column start needs the SQL form
+    chars = F.expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
+    )
+    dist = F.array_distinct(chars)
+    term = lambda u: F.round(  # noqa: E731
+        F.lit(1_000_000.0)
+        * F.size(F.filter(chars, lambda x: x == u))
+        * F.log(F.size(F.filter(chars, lambda x: x == u)).cast("double"))
+    ).cast("long")
+    s = F.aggregate(
+        F.transform(dist, term),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.length("text").cast("long")
+    ent = F.round(
+        F.lit(1_000_000.0) * F.log(n.cast("double"))
+        - s.cast("double") / n.cast("double")
+    ).cast("long")
+    return documents.select(
+        "doc_id",
+        n.alias("n_chars_counted"),
+        F.when(n > 0, ent).alias("entropy_micros"),
+    )
+
+
+def simpson_diversity(
+    documents: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """(source, n_tokens, n_distinct, simpson_micros,
+    inv_simpson_micros) — Simpson's diversity index per source over
+    the token vocabulary: λ = Σ n_i(n_i−1) / (N(N−1)), the probability
+    two tokens drawn without replacement are the same type (Simpson
+    1949, public literature), and 1/λ, the "effective vocabulary
+    size".  Entropy (TTR / Chao1 tier) weights rare types heavily;
+    Simpson is dominated by the head — a template-heavy source shows
+    near-identical entropy but a collapsed 1/λ, which is why curation
+    dashboards carry both.
+
+    Exactness: λ is a ratio of two exact BIGINTs, floored to micros by
+    the remainder-subtract rule; 1/λ likewise (micros of the exact
+    integer ratio N(N−1)·10⁶ div Σn_i(n_i−1)).  NULL when N < 2.
+
+    Scale shape: one (source, token) map-side-combined groupBy, one
+    source-sized rollup — no window, no join."""
+    from graphlite_spark.functions.text import tokens_expr
+
+    counts = (
+        documents.select(
+            F.col(group_col),
+            F.explode(tokens_expr("text")).alias("tok"),
+        )
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = counts.groupBy(group_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("num"),
+    )
+    den = F.col("n_tokens") * (F.col("n_tokens") - 1)
+    return agg.select(
+        group_col, "n_tokens", "n_distinct",
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.expr(
+                "cast((1000000 * num - (1000000 * num)"
+                " % (n_tokens * (n_tokens - 1)))"
+                " div (n_tokens * (n_tokens - 1)) as bigint)"
+            ),
+        ).alias("simpson_micros"),
+        F.when(
+            (F.col("n_tokens") >= 2) & (F.col("num") > 0),
+            F.expr(
+                "cast((1000000 * n_tokens * (n_tokens - 1)"
+                " - (1000000 * n_tokens * (n_tokens - 1)) % num)"
+                " div num as bigint)"
+            ),
+        ).alias("inv_simpson_micros"),
+    )

@@ -10019,3 +10019,181 @@ def sprt_daily_sql(
         "    ELSE 'continue' END AS decision\n"
         "FROM sp_cum"
     )
+
+
+def winsorized_stats_sql(lo_pct: int = 5, hi_pct: int = 95) -> str:
+    """Mirror of operators.analytics.winsorized_stats: identical rank
+    rule, clamped-cents exact micro mean."""
+    lo, hi = int(lo_pct), int(hi_pct)
+    return (
+        "WITH wsc AS MATERIALIZED (SELECT event_type,\n"
+        "  CAST(round(value * 100) AS BIGINT) AS cents FROM events),\n"
+        "wsr AS MATERIALIZED (SELECT event_type, cents,\n"
+        "  row_number() OVER (PARTITION BY event_type ORDER BY cents)"
+        " AS rn,\n"
+        "  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)"
+        " AS n\n"
+        "  FROM wsc),\n"
+        "wst AS MATERIALIZED (SELECT event_type,\n"
+        "  CAST(max(n) AS BIGINT) AS n,\n"
+        f"  min(CASE WHEN rn = greatest(({lo} * n + 99) // 100, 1)"
+        " THEN cents END) AS lo_cents,\n"
+        f"  min(CASE WHEN rn = ({hi} * n + 99) // 100"
+        " THEN cents END) AS hi_cents\n"
+        "  FROM wsr GROUP BY 1),\n"
+        "wsm AS MATERIALIZED (SELECT c.event_type, t.n, t.lo_cents,"
+        " t.hi_cents,\n"
+        "  greatest(t.lo_cents, least(t.hi_cents, c.cents)) AS wc\n"
+        "  FROM wsc c JOIN wst t ON t.event_type = c.event_type)\n"
+        "SELECT event_type, n, lo_cents, hi_cents,\n"
+        "  CAST((10000 * sum(wc) - (10000 * sum(wc)) % max(n))"
+        " // max(n) AS BIGINT) AS wmean_micros\n"
+        "FROM wsm GROUP BY 1, 2, 3, 4"
+    )
+
+
+def tie_strength_embeddedness_sql() -> str:
+    """Mirror of algos.stats.tie_strength_embeddedness over the contact
+    graph: strength keeps arc multiplicity, support brute-forces the
+    common-neighbor count per distinct pair (orientation is Spark-side
+    performance), assortativity-style shared float."""
+    num = "(m * ssx - ss * sx)"
+    vars_ = "(m * sss - ss * ss)"
+    varx = "(m * sxx - sx * sx)"
+    return (
+        "WITH ev AS MATERIALIZED (SELECT event_id, user_id, event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),\n"
+        "ce AS MATERIALIZED (SELECT src, dst FROM (\n"
+        "  SELECT lag(user_id) OVER (PARTITION BY event_type\n"
+        "           ORDER BY ts_us, event_id) AS src,\n"
+        "         user_id AS dst FROM ev)\n"
+        "  WHERE src IS NOT NULL AND src <> dst),\n"
+        "tse_s AS MATERIALIZED (SELECT least(src, dst) AS lo,\n"
+        "  greatest(src, dst) AS hi, CAST(count(*) AS BIGINT) AS s\n"
+        "  FROM ce GROUP BY 1, 2),\n"
+        "tse_p AS MATERIALIZED (SELECT lo, hi FROM tse_s),\n"
+        "tse_adj AS MATERIALIZED (SELECT lo AS a, hi AS b FROM tse_p\n"
+        "  UNION ALL SELECT hi, lo FROM tse_p),\n"
+        "tse_sup AS MATERIALIZED (SELECT p.lo, p.hi,\n"
+        "  CAST(count(*) AS BIGINT) AS x\n"
+        "  FROM tse_p p\n"
+        "  JOIN tse_adj n1 ON n1.a = p.lo\n"
+        "  JOIN tse_adj n2 ON n2.a = p.hi AND n2.b = n1.b\n"
+        "  GROUP BY 1, 2),\n"
+        "tse_b AS MATERIALIZED (SELECT s.s,\n"
+        "  CAST(COALESCE(u.x, 0) AS BIGINT) AS x\n"
+        "  FROM tse_s s LEFT JOIN tse_sup u\n"
+        "  ON u.lo = s.lo AND u.hi = s.hi),\n"
+        "tse_a AS (SELECT CAST(count(*) AS BIGINT) AS m,\n"
+        "  CAST(sum(s) AS BIGINT) AS ss,\n"
+        "  CAST(sum(x) AS BIGINT) AS sx,\n"
+        "  CAST(sum(s * s) AS BIGINT) AS sss,\n"
+        "  CAST(sum(x * x) AS BIGINT) AS sxx,\n"
+        "  CAST(sum(s * x) AS BIGINT) AS ssx FROM tse_b)\n"
+        "SELECT m AS n_edges, ss AS sum_strength, sx AS sum_support,\n"
+        f"  CASE WHEN {vars_} > 0 AND {varx} > 0\n"
+        f"  THEN round(CAST({num} AS DOUBLE)\n"
+        f"    / sqrt(CAST({vars_} AS DOUBLE) * CAST({varx} AS DOUBLE)),"
+        " 6) END AS corr\n"
+        "FROM tse_a"
+    )
+
+
+def char_entropy_sql() -> str:
+    """Mirror of operators.profiling.char_entropy: per-character
+    micro-rounded n·ln n terms (order-independent BIGINT sum), one
+    shared final float."""
+    chs = "list_transform(range(1, length(text) + 1), i -> text[i])"
+    cnt = "len(list_filter(chs, x -> x = u))"
+    return (
+        "WITH ced AS MATERIALIZED (SELECT doc_id,\n"
+        f"  {chs} AS chs,\n"
+        "  CAST(length(text) AS BIGINT) AS n FROM documents),\n"
+        "ces AS MATERIALIZED (SELECT doc_id, n,\n"
+        "  CAST(COALESCE(list_sum(list_transform(list_distinct(chs),\n"
+        f"    u -> CAST(round(1000000.0 * {cnt} * ln({cnt}))"
+        " AS BIGINT))), 0) AS BIGINT) AS s\n"
+        "  FROM ced)\n"
+        "SELECT doc_id, n AS n_chars_counted,\n"
+        "  CASE WHEN n > 0 THEN CAST(round(1000000.0"
+        " * ln(CAST(n AS DOUBLE))\n"
+        "    - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) END"
+        " AS entropy_micros\n"
+        "FROM ces"
+    )
+
+
+def quantile_treatment_effect_sql(
+    cohort_type: str = "signup", percents: tuple = (25, 50, 75)
+) -> str:
+    """Mirror of operators.analytics.quantile_treatment_effect: per-unit
+    cents totals, cohort flag, per-cohort rank-rule quantiles."""
+    cv = cohort_type.replace("'", "''")
+    branches = []
+    for p in percents:
+        p = int(p)
+        branches.append(
+            "SELECT "
+            f"CAST({p} AS BIGINT) AS pct,\n"
+            "  CAST(max(CASE WHEN a = 1 THEN n END) AS BIGINT) AS n_a,\n"
+            "  CAST(max(CASE WHEN a = 0 THEN n END) AS BIGINT) AS n_b,\n"
+            f"  min(CASE WHEN a = 1 AND rn = greatest(({p} * n + 99)"
+            " // 100, 1) THEN tot END) AS q_a_cents,\n"
+            f"  min(CASE WHEN a = 0 AND rn = greatest(({p} * n + 99)"
+            " // 100, 1) THEN tot END) AS q_b_cents\n"
+            "FROM qtr"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return (
+        "WITH qtf AS MATERIALIZED (SELECT u, a FROM (\n"
+        "  SELECT user_id AS u,\n"
+        f"    CASE WHEN event_type = '{cv}' THEN 1 ELSE 0 END AS a,\n"
+        "    row_number() OVER (PARTITION BY user_id\n"
+        "      ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS rn\n"
+        "  FROM events) WHERE rn = 1),\n"
+        "qtt AS MATERIALIZED (SELECT user_id AS u,\n"
+        "  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        " AS tot\n"
+        "  FROM events GROUP BY 1),\n"
+        "qtp AS MATERIALIZED (SELECT t.u, f.a, t.tot\n"
+        "  FROM qtt t JOIN qtf f ON f.u = t.u),\n"
+        "qtr AS MATERIALIZED (SELECT a, tot,\n"
+        "  row_number() OVER (PARTITION BY a ORDER BY tot) AS rn,\n"
+        "  CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS n\n"
+        "  FROM qtp),\n"
+        f"qtq AS ({union})\n"
+        "SELECT pct, n_a, n_b,\n"
+        "  CAST(q_a_cents AS BIGINT) AS q_a_cents,\n"
+        "  CAST(q_b_cents AS BIGINT) AS q_b_cents,\n"
+        "  CAST(q_a_cents - q_b_cents AS BIGINT) AS diff_cents\n"
+        "FROM qtq"
+    )
+
+
+def simpson_diversity_sql(group_col: str = "source") -> str:
+    """Mirror of operators.profiling.simpson_diversity: per-source
+    token counts, exact micro-floored lambda and 1/lambda."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "sdc AS MATERIALIZED (SELECT g, tok,"
+        " CAST(count(*) AS BIGINT) AS c FROM (\n"
+        f"  SELECT d.{group_col} AS g, unnest(t.toks) AS tok\n"
+        "  FROM documents d JOIN toks_t t ON t.doc_id = d.doc_id)\n"
+        "  GROUP BY 1, 2),\n"
+        "sda AS MATERIALIZED (SELECT g,\n"
+        "  CAST(sum(c) AS BIGINT) AS n_tokens,\n"
+        "  CAST(count(*) AS BIGINT) AS n_distinct,\n"
+        "  CAST(sum(c * (c - 1)) AS BIGINT) AS num FROM sdc"
+        " GROUP BY 1)\n"
+        f"SELECT g AS {group_col}, n_tokens, n_distinct,\n"
+        "  CASE WHEN n_tokens >= 2 THEN\n"
+        "    CAST((1000000 * num - (1000000 * num)"
+        " % (n_tokens * (n_tokens - 1)))\n"
+        "      // (n_tokens * (n_tokens - 1)) AS BIGINT) END"
+        " AS simpson_micros,\n"
+        "  CASE WHEN n_tokens >= 2 AND num > 0 THEN\n"
+        "    CAST((1000000 * n_tokens * (n_tokens - 1)\n"
+        "      - (1000000 * n_tokens * (n_tokens - 1)) % num)"
+        " // num AS BIGINT) END AS inv_simpson_micros\n"
+        "FROM sda"
+    )

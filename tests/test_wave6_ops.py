@@ -2133,3 +2133,134 @@ def test_sprt_bruteforce(spark):
     got0 = {d - base: v for d, v in got.items()}
     assert got0 == want
     assert want[2][3] == "accept_h1"  # the evidence actually crosses
+
+
+def test_winsorized_bruteforce(spark):
+    """Rank cuts + clamped micro mean vs python, 20 values."""
+    from graphlite_spark.operators.analytics import winsorized_stats
+
+    vals = [0.01 * (i + 1) for i in range(18)] + [99.0, 0.001]
+    rows = [(i, 0, 1, "view", v) for i, v in enumerate(vals)]
+    r = winsorized_stats(_events_w(spark, rows)).collect()
+    assert len(r) == 1
+    r = r[0]
+    cents = sorted(round(v * 100) for v in vals)
+    n = len(cents)
+    lo_rank = max((5 * n + 99) // 100, 1)   # ceil(0.05*20) = 1
+    hi_rank = (95 * n + 99) // 100          # ceil(0.95*20) = 19
+    lo_c, hi_c = cents[lo_rank - 1], cents[hi_rank - 1]
+    clamped = [min(max(c, lo_c), hi_c) for c in cents]
+    want_mean = (10_000 * sum(clamped)) // n
+    assert (r["n"], r["lo_cents"], r["hi_cents"]) == (n, lo_c, hi_c)
+    assert r["wmean_micros"] == want_mean
+
+
+def test_tie_strength_bruteforce(spark):
+    """Correlation of multiplicity vs triangle support on a handmade
+    graph: embedded tie repeated often, bridge tie repeated rarely."""
+    from graphlite_spark.algos.stats import tie_strength_embeddedness
+
+    # triangle {1,2,3} with (1,2) repeated 3x; bridge (3,4) once
+    arcs = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (3, 4)]
+    df = spark.createDataFrame(arcs, "src long, dst long")
+    r = tie_strength_embeddedness(df).collect()[0]
+    # pairs: (1,2) s=3 x=1; (2,3) s=1 x=1; (1,3) s=1 x=1; (3,4) s=1 x=0
+    ss, sx = 3 + 1 + 1 + 1, 1 + 1 + 1 + 0
+    m = 4
+    sss = 9 + 1 + 1 + 1
+    sxx = 1 + 1 + 1 + 0
+    ssx = 3 + 1 + 1 + 0
+    num = m * ssx - ss * sx
+    vs = m * sss - ss * ss
+    vx = m * sxx - sx * sx
+    import math
+
+    assert (r["n_edges"], r["sum_strength"], r["sum_support"]) == (
+        m, ss, sx
+    )
+    assert abs(r["corr"] - num / math.sqrt(vs * vx)) < 1e-6
+
+
+def test_char_entropy_bruteforce(spark):
+    """Micro-exact entropy vs python counts, incl. the single-char
+    degenerate (entropy 0)."""
+    import math
+
+    from graphlite_spark.operators.profiling import char_entropy
+
+    texts = {0: "aaaa", 1: "abab", 2: "abcd"}
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["n_chars_counted"], r["entropy_micros"])
+        for r in char_entropy(docs).collect()
+    }
+    for i, t in texts.items():
+        n = len(t)
+        s = 0
+        for u in sorted(set(t)):
+            c = t.count(u)
+            s += round(1_000_000.0 * c * math.log(c))
+        want = round(1_000_000.0 * math.log(n) - s / n)
+        assert got[i] == (n, want)
+    assert got[0][1] == 0  # one repeated char -> zero entropy
+
+
+def test_qte_bruteforce(spark):
+    """Per-cohort rank quantiles of user totals vs python."""
+    from graphlite_spark.operators.analytics import (
+        quantile_treatment_effect,
+    )
+
+    # users 1,2: first event signup (cohort A); users 3,4,5: cohort B
+    rows = [
+        (0, 0, 1, "signup", 1.0), (1, 1, 1, "click", 5.0),
+        (2, 0, 2, "signup", 2.0), (3, 1, 2, "view", 10.0),
+        (4, 0, 3, "view", 1.0), (5, 1, 3, "signup", 100.0),
+        (6, 0, 4, "click", 3.0),
+        (7, 0, 5, "view", 7.0),
+    ]
+    got = {
+        r["pct"]: (
+            r["n_a"], r["n_b"], r["q_a_cents"], r["q_b_cents"],
+            r["diff_cents"],
+        )
+        for r in quantile_treatment_effect(
+            _events_w(spark, rows)
+        ).collect()
+    }
+    tots_a = sorted([600, 1200])          # users 1, 2
+    tots_b = sorted([10100, 300, 700])    # users 3, 4, 5
+    for p in (25, 50, 75):
+        ra = max((p * len(tots_a) + 99) // 100, 1)
+        rb = max((p * len(tots_b) + 99) // 100, 1)
+        qa, qb = tots_a[ra - 1], tots_b[rb - 1]
+        assert got[p] == (2, 3, qa, qb, qa - qb)
+
+
+def test_simpson_bruteforce(spark):
+    """Exact lambda / inverse lambda vs python counts."""
+    from graphlite_spark.operators.profiling import simpson_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a b", "en", "s1", 7),
+            (1, "a b c d", "en", "s2", 7),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r["source"]: (
+            r["n_tokens"], r["n_distinct"], r["simpson_micros"],
+            r["inv_simpson_micros"],
+        )
+        for r in simpson_diversity(docs).collect()
+    }
+    # s1: counts a=3,b=1 -> num = 6, den = 12 -> lambda = .5
+    assert got["s1"] == (4, 2, 500_000, 2_000_000)
+    # s2: all distinct -> num 0 -> lambda 0, inverse NULL
+    assert got["s2"] == (4, 4, 0, None)
