@@ -2970,6 +2970,22 @@ def q_chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-cluster centroid-silhouette quality (1 - d_own/d_next,
+    # micro-exact) — the diagnostic behind kmeans_elbow's WCSS curve
+    from graphlite_spark.operators.kmeans import kmeans_silhouette
+
+    return kmeans_silhouette(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dwell-time matrix: exact p50/p90 of inter-event gap seconds per
+    # event-type transition within each user stream
+    from graphlite_spark.operators.temporal import transition_latency
+
+    return transition_latency(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3801,6 +3817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "quantile_treatment_effect": q_quantile_treatment_effect,
         "simpson_diversity": q_simpson_diversity,
+        "kmeans_silhouette": q_kmeans_silhouette,
+        "transition_latency": q_transition_latency,
     }
 
 
@@ -4026,6 +4044,8 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": O.char_entropy_sql(),
         "quantile_treatment_effect": O.quantile_treatment_effect_sql(),
         "simpson_diversity": O.simpson_diversity_sql(),
+        "kmeans_silhouette": O.kmeans_silhouette_sql(4, 2, 64),
+        "transition_latency": O.transition_latency_sql((50, 90)),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

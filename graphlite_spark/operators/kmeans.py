@@ -476,3 +476,65 @@ def kmeans_elbow(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def kmeans_silhouette(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, n, mean_sil_micros) — the centroid-silhouette quality
+    readout of the k-means clustering (simplified silhouette, Rousseeuw
+    1987's shape with centroid distances standing in for mean pairwise
+    distances — the standard large-N variant, since true silhouette is
+    O(N²) by definition): per point s = 1 − d_own/d_next over EUCLIDEAN
+    centroid distances, averaged per cluster.  Near 1 = compact,
+    well-separated cluster; near 0 = the point sits on a boundary —
+    the per-cluster diagnostic behind :func:`kmeans_elbow`'s single
+    WCSS curve.
+
+    Exactness: distances are BIGINT squared micro-units from the same
+    codebook-literal machinery as the fit; each point's s is one
+    deterministic float (two sqrts of exact integers) rounded to
+    MICROS, so per-cluster sums are exact and the mean is a
+    remainder-subtract division.  Ties: d_next removes exactly one
+    instance of the minimum (the first-position argmin), matching the
+    oracle's (d², cl) second-row rule.
+
+    Scale shape: the fit is the kmeans shape (no join touches N·d);
+    the silhouette pass is pure expressions over the centroid literal
+    plus ONE map-side-combined k-row groupBy."""
+    q = _quantized(embeddings, id_col, vec_col)
+    centroids = _fit(q, k, iterations)
+    withd = q.select("id", _dists_expr(centroids, "qv").alias("ds"))
+    a2 = F.array_min("ds")
+    own = F.array_position("ds", F.array_min("ds"))
+    rest = F.concat(
+        F.slice("ds", F.lit(1), own - 1),
+        F.slice("ds", own + 1, F.size("ds") - own),
+    )
+    b2 = F.array_min(rest)
+    s_micros = F.when(
+        b2.isNotNull() & (b2 > 0),
+        F.round(
+            F.lit(1_000_000.0)
+            * (
+                F.lit(1.0)
+                - F.sqrt(a2.cast("double")) / F.sqrt(b2.cast("double"))
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    pts = withd.select(
+        (own - 1).cast("long").alias("cluster"), s_micros.alias("s")
+    )
+    per = pts.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("s").cast("long").alias("ssum"),
+    )
+    return per.select(
+        "cluster", "n",
+        F.expr("cast((ssum - ssum % n) div n as bigint)")
+        .alias("mean_sil_micros"),
+    )

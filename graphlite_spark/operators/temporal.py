@@ -705,3 +705,45 @@ def position_attribution(
         F.sum(F.col("cents") * F.col("z.cr"))
         .cast("long").alias("sum_credit_microcents"),
     )
+
+
+def transition_latency(
+    events: DataFrame,
+    percents: tuple = (50, 90),
+    actor_col: str = "user_id",
+) -> DataFrame:
+    """(transition, n, p50, p90) — exact discrete quantiles of the
+    inter-event gap in SECONDS per event-type transition within each
+    unit's stream (``click>purchase``, ``view>error``, …):
+    :func:`tool_transitions` counts WHICH transitions happen; this says
+    HOW LONG they take — the dwell-time matrix a funnel-latency SLA
+    reads (the events-table sibling of the transcript tier's
+    response_latency_quantiles).
+
+    One lag window over (unit, ts, event_id) builds the adjacent-pair
+    frame — no self-join — then the engine-portable rank-rule
+    quantiles.  Gaps ride BIGINT seconds (micros div 10⁶), so every
+    selected element is bit-identical.
+
+    Scale shape: one shuffle on the unit key for the lag, one
+    per-transition sort window (group count bounded by the type
+    alphabet squared)."""
+    from graphlite_spark.operators.quantiles import grouped_quantiles
+
+    us = events.select(
+        F.col(actor_col).alias("u"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        "event_id", "event_type",
+    )
+    w = Window.partitionBy("u").orderBy("ts_us", "event_id")
+    pairs = us.select(
+        F.concat_ws(
+            ">", F.lag("event_type").over(w), F.col("event_type")
+        ).alias("transition"),
+        (
+            (F.col("ts_us") - F.lag("ts_us").over(w))
+            / F.lit(1_000_000)
+        ).cast("long").alias("gap_s"),
+        F.lag("ts_us").over(w).alias("prev"),
+    ).where(F.col("prev").isNotNull()).drop("prev")
+    return grouped_quantiles(pairs, "transition", "gap_s", percents)

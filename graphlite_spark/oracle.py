@@ -10197,3 +10197,69 @@ def simpson_diversity_sql(group_col: str = "source") -> str:
         " // num AS BIGINT) END AS inv_simpson_micros\n"
         "FROM sda"
     )
+
+
+def kmeans_silhouette_sql(
+    k: int = 4, iterations: int = 2, d: int = 64
+) -> str:
+    """Mirror of operators.kmeans.kmeans_silhouette: the shared
+    unrolled-Lloyd CTEs, then per-vector first/second centroid
+    distances via the (d2, cl) row rule, micro-rounded s, exact
+    per-cluster mean."""
+    parts = _kmeans_ctes(k, iterations, d)
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined},\n"
+        "sil_d AS MATERIALIZED (\n"
+        "  SELECT q.vec_id, c.cl,\n"
+        "    CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        "      sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+        f"  FROM qe q JOIN cent{iterations} c ON c.pos = q.pos\n"
+        "  GROUP BY q.vec_id, c.cl),\n"
+        "sil_p AS MATERIALIZED (\n"
+        "  SELECT a.vec_id, CAST(a.cl AS BIGINT) AS cluster,\n"
+        "    CASE WHEN b.d2 IS NOT NULL AND b.d2 > 0 THEN\n"
+        "      CAST(round(1000000.0 * (1.0\n"
+        "        - sqrt(CAST(a.d2 AS DOUBLE))"
+        " / sqrt(CAST(b.d2 AS DOUBLE)))) AS BIGINT)\n"
+        "    ELSE 0 END AS s\n"
+        "  FROM (SELECT * FROM sil_d WHERE rn = 1) a\n"
+        "  LEFT JOIN (SELECT * FROM sil_d WHERE rn = 2) b\n"
+        "    ON b.vec_id = a.vec_id)\n"
+        "SELECT cluster, CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST((sum(s) - sum(s) % count(*)) // count(*) AS BIGINT)\n"
+        "    AS mean_sil_micros\n"
+        "FROM sil_p GROUP BY 1"
+    )
+
+
+def transition_latency_sql(percents: tuple = (50, 90)) -> str:
+    """Mirror of operators.temporal.transition_latency: per-unit lag
+    pairs, BIGINT second gaps, the grouped_quantiles rank rule."""
+    picks = ",\n".join(
+        f"  round(max(CASE WHEN rn = (n.n * {int(p)} + 99) // 100"
+        f" THEN gap_s END), 6) AS p{int(p)}"
+        for p in percents
+    )
+    return (
+        "WITH tl_src AS MATERIALIZED (\n"
+        "  SELECT transition, gap_s FROM (\n"
+        "    SELECT lag(event_type) OVER wo || '>' || event_type"
+        " AS transition,\n"
+        "      (CAST(epoch_us(ts) AS BIGINT)\n"
+        "        - lag(CAST(epoch_us(ts) AS BIGINT)) OVER wo)"
+        " // 1000000 AS gap_s\n"
+        "    FROM events WINDOW wo AS (PARTITION BY user_id\n"
+        "      ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id))\n"
+        "  WHERE gap_s IS NOT NULL),\n"
+        "tl_r AS MATERIALIZED (SELECT transition, gap_s,\n"
+        "  row_number() OVER (PARTITION BY transition ORDER BY gap_s)"
+        " AS rn FROM tl_src),\n"
+        "tl_n AS (SELECT transition, count(*) AS n FROM tl_src"
+        " GROUP BY 1)\n"
+        "SELECT r.transition, CAST(max(n.n) AS BIGINT) AS n,\n"
+        f"{picks}\n"
+        "FROM tl_r r JOIN tl_n n USING (transition)\n"
+        "GROUP BY r.transition"
+    )

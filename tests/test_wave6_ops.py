@@ -2264,3 +2264,92 @@ def test_simpson_bruteforce(spark):
     assert got["s1"] == (4, 2, 500_000, 2_000_000)
     # s2: all distinct -> num 0 -> lambda 0, inverse NULL
     assert got["s2"] == (4, 4, 0, None)
+
+
+def test_kmeans_silhouette_bruteforce(spark):
+    """Centroid silhouette vs python on two tight, separated blobs
+    (k=2, 0 iterations of drift needed)."""
+    import math
+
+    from graphlite_spark.operators.kmeans import (
+        _fit,
+        _quantized,
+        kmeans_silhouette,
+    )
+
+    vecs = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]),
+        (3, [5.0, 5.0]), (4, [5.1, 5.0]), (5, [5.0, 5.1]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        r["cluster"]: (r["n"], r["mean_sil_micros"])
+        for r in kmeans_silhouette(df, k=2, iterations=2).collect()
+    }
+    # reproduce with the SAME deterministic fit
+    cents = _fit(_quantized(df, "vec_id", "embedding"), 2, 2)
+
+    import numpy
+
+    def q(v):
+        return [round(float(numpy.float32(x)) * 1_000_000) for x in v]
+
+    sums: dict[int, list[int]] = {}
+    for _, v in vecs:
+        qv = q(v)
+        d2s = [
+            sum((a - b) ** 2 for a, b in zip(qv, c)) for c in cents
+        ]
+        a2 = min(d2s)
+        own = d2s.index(a2)
+        rest = d2s[:own] + d2s[own + 1:]
+        b2 = min(rest)
+        s = (
+            round(1e6 * (1.0 - math.sqrt(a2) / math.sqrt(b2)))
+            if b2 > 0 else 0
+        )
+        sums.setdefault(own, []).append(s)
+    want = {
+        cl: (len(ss), (sum(ss) - sum(ss) % len(ss)) // len(ss))
+        for cl, ss in sums.items()
+    }
+    assert got == want
+    # both blobs are tight and far apart -> high silhouette
+    assert all(v[1] > 900_000 for v in got.values())
+
+
+def test_transition_latency_bruteforce(spark):
+    """Rank-rule quantiles of per-user gap seconds vs python."""
+    from graphlite_spark.operators.temporal import transition_latency
+
+    # user 1: view -(10s)-> click -(3600s)-> click; user 2: view -(20s)-> click
+    rows_s = [
+        (0, 0, 1, "view"), (1, 10, 1, "click"), (2, 3610, 1, "click"),
+        (3, 0, 2, "view"), (4, 20, 2, "click"),
+    ]
+    import datetime
+
+    data = [
+        (i, BASE + datetime.timedelta(seconds=s), u, t, 1.0)
+        for i, s, u, t in rows_s
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    got = {
+        r["transition"]: (r["n"], r["p50"], r["p90"])
+        for r in transition_latency(df).collect()
+    }
+    gaps = {"view>click": [10, 20], "click>click": [3600]}
+    want = {}
+    for tr, gs in gaps.items():
+        gs = sorted(gs)
+        n = len(gs)
+        want[tr] = (
+            n,
+            gs[(n * 50 + 99) // 100 - 1],
+            gs[(n * 90 + 99) // 100 - 1],
+        )
+    assert got == want
