@@ -2986,6 +2986,26 @@ def q_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_latency(load_table(spark, sf_dir, "events"))
 
 
+def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Resource Allocation link prediction (1/deg center weights) — the
+    # remaining classic CN-family predictor next to adamic_adar/jaccard
+    from graphlite_spark.algos.linkpred import resource_allocation
+
+    _, _, e = graph_tables(spark, sf_dir)
+    return resource_allocation(
+        e, max_wedge_degree=100, min_score_micros=100_000
+    )
+
+
+def q_preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Preferential Attachment deg(u)*deg(v) over the non-adjacent
+    # wedge-candidate pairs — exact BIGINT, no rounding anywhere
+    from graphlite_spark.algos.linkpred import preferential_attachment
+
+    _, _, e = graph_tables(spark, sf_dir)
+    return preferential_attachment(e, max_wedge_degree=100)
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3819,6 +3839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpson_diversity": q_simpson_diversity,
         "kmeans_silhouette": q_kmeans_silhouette,
         "transition_latency": q_transition_latency,
+        "resource_allocation": q_resource_allocation,
+        "preferential_attachment": q_preferential_attachment,
     }
 
 
@@ -4046,6 +4068,8 @@ def oracle_sql() -> dict[str, str]:
         "simpson_diversity": O.simpson_diversity_sql(),
         "kmeans_silhouette": O.kmeans_silhouette_sql(4, 2, 64),
         "transition_latency": O.transition_latency_sql((50, 90)),
+        "resource_allocation": O.resource_allocation_sql(100, 100_000),
+        "preferential_attachment": O.preferential_attachment_sql(100),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

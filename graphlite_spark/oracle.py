@@ -10263,3 +10263,63 @@ def transition_latency_sql(percents: tuple = (50, 90)) -> str:
         "FROM tl_r r JOIN tl_n n USING (transition)\n"
         "GROUP BY r.transition"
     )
+
+
+def resource_allocation_sql(
+    max_wedge_degree: int | None = 100, min_score_micros: int = 100_000
+) -> str:
+    """Mirror of algos.linkpred.resource_allocation: the adamic_adar
+    wedge join with 1/deg (not 1/ln deg) micro-unit center weights."""
+    cap = (
+        f"AND deg <= {max_wedge_degree}" if max_wedge_degree is not None else ""
+    )
+    body = (
+        ", wdeg AS MATERIALIZED (SELECT src AS w, count(*) AS deg"
+        " FROM und GROUP BY src),\n"
+        "ctr AS MATERIALIZED (\n"
+        "  SELECT w, CAST(round(1000000.0 / deg) AS BIGINT) AS wt\n"
+        f"  FROM wdeg WHERE deg >= 2 {cap}),\n"
+        "wedge AS MATERIALIZED (\n"
+        "  SELECT e1.dst AS u, e2.dst AS v, c.wt\n"
+        "  FROM und e1 JOIN und e2 ON e2.src = e1.src AND e1.dst < e2.dst\n"
+        "  JOIN ctr c ON c.w = e1.src),\n"
+        "pairs AS MATERIALIZED (\n"
+        "  SELECT u, v, CAST(sum(wt) AS BIGINT) AS ra_micros\n"
+        "  FROM wedge GROUP BY u, v)\n"
+        "SELECT p.u, p.v, p.ra_micros FROM pairs p\n"
+        "LEFT JOIN (SELECT src AS u, dst AS v FROM und WHERE src < dst) ex\n"
+        "  ON ex.u = p.u AND ex.v = p.v\n"
+        f"WHERE ex.u IS NULL AND p.ra_micros >= {min_score_micros}"
+    )
+    return _graph_query(body)
+
+
+def preferential_attachment_sql(
+    max_wedge_degree: int | None = 100, min_score: int = 1
+) -> str:
+    """Mirror of algos.linkpred.preferential_attachment: full-graph
+    degree product over the non-adjacent wedge-candidate pairs — all
+    exact BIGINT, no rounding anywhere."""
+    cap = (
+        f"AND deg <= {max_wedge_degree}" if max_wedge_degree is not None else ""
+    )
+    body = (
+        ", wdeg AS MATERIALIZED (SELECT src, count(*) AS deg"
+        " FROM und GROUP BY src),\n"
+        "ctr AS MATERIALIZED (\n"
+        f"  SELECT src AS w FROM wdeg WHERE deg >= 2 {cap}),\n"
+        "pairs AS MATERIALIZED (\n"
+        "  SELECT e1.dst AS u, e2.dst AS v, CAST(count(*) AS BIGINT) AS cn\n"
+        "  FROM und e1 JOIN und e2 ON e2.src = e1.src AND e1.dst < e2.dst\n"
+        "  JOIN ctr c ON c.w = e1.src\n"
+        "  GROUP BY e1.dst, e2.dst)\n"
+        "SELECT p.u, p.v, p.cn,\n"
+        "  CAST(a.deg * b.deg AS BIGINT) AS pa_score\n"
+        "FROM pairs p\n"
+        "JOIN wdeg a ON a.src = p.u\n"
+        "JOIN wdeg b ON b.src = p.v\n"
+        "LEFT JOIN (SELECT src AS u, dst AS v FROM und WHERE src < dst) ex\n"
+        "  ON ex.u = p.u AND ex.v = p.v\n"
+        f"WHERE ex.u IS NULL AND a.deg * b.deg >= {min_score}"
+    )
+    return _graph_query(body)
