@@ -3006,6 +3006,23 @@ def q_preferential_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preferential_attachment(e, max_wedge_degree=100)
 
 
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theil-Sen robust daily trend (median pairwise slope, exact
+    # upper-median rank picks) — the outlier-resistant sibling of
+    # activity_trend's OLS slope
+    from graphlite_spark.operators.analytics import theil_sen_trend
+
+    return theil_sen_trend(load_table(spark, sf_dir, "events"))
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # maximum peak-to-trough decline of cumulative daily revenue —
+    # downside risk over a STREAK, next to revenue_var's one-day VaR
+    from graphlite_spark.operators.analytics import max_drawdown
+
+    return max_drawdown(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3841,6 +3858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_latency": q_transition_latency,
         "resource_allocation": q_resource_allocation,
         "preferential_attachment": q_preferential_attachment,
+        "theil_sen_trend": q_theil_sen_trend,
+        "max_drawdown": q_max_drawdown,
     }
 
 
@@ -4070,6 +4089,8 @@ def oracle_sql() -> dict[str, str]:
         "transition_latency": O.transition_latency_sql((50, 90)),
         "resource_allocation": O.resource_allocation_sql(100, 100_000),
         "preferential_attachment": O.preferential_attachment_sql(100),
+        "theil_sen_trend": O.theil_sen_trend_sql(),
+        "max_drawdown": O.max_drawdown_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -2707,3 +2707,160 @@ def quantile_treatment_effect(
         (F.col("q_a_cents") - F.col("q_b_cents"))
         .cast("long").alias("diff_cents"),
     )
+
+
+def theil_sen_trend(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_days, n_pairs, slope_micros, intercept_micros) — the
+    Theil–Sen robust trend of the DAILY event-count series: slope = the
+    median over all day pairs i < j of (y_j − y_i)/(x_j − x_i),
+    intercept = the median of y_i − slope·x_i.  Resists up to ~29%
+    outlier days, where :func:`activity_trend`'s OLS slope is dragged by
+    a single launch-day spike — the robust sibling the anomaly tier
+    (CUSUM/SPRT/EWMA) reads for "is traffic really growing?".
+
+    Exactness: days with no events are REAL zeros via the day spine;
+    per-pair slopes ride ``(10^6·Δy) div Δx`` (BIGINT, truncation toward
+    zero — measured identical on Spark ``div`` and DuckDB ``//``
+    including negatives), the two medians are rank-rule picks of
+    existing integers (upper median at rank ``(n+2) div 2`` so n=1
+    degenerates cleanly), and the intercept reuses the PICKED integer
+    slope — every output is a deterministic BIGINT.
+
+    Scale shape: one map-side-combined daily groupBy over the facts;
+    the O(days²) pair join, rank windows, and residual pass all live on
+    the calendar-bounded daily table (a decade is ~3.7k days → 6.7M
+    pairs), never on the event frame."""
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    pts = (
+        rng.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+            "lo",
+        )
+        .join(daily, "d", "left")
+        .select(
+            (F.col("d") - F.col("lo")).cast("long").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    a = pts.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = pts.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = (
+        a.join(b, F.col("xb") > F.col("xa"))
+        .select(
+            F.expr("(1000000 * (yb - ya)) div (xb - xa)")
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ranked = slopes.select(
+        "s", F.row_number().over(Window.orderBy("s")).alias("rn")
+    ).crossJoin(
+        F.broadcast(slopes.agg(F.count(F.lit(1)).cast("long").alias("np")))
+    )
+    sl = ranked.where(
+        F.col("rn") == F.expr("(np + 2) div 2")
+    ).select(F.col("s").alias("slope_micros"), F.col("np"))
+    resid = pts.crossJoin(F.broadcast(sl)).select(
+        (F.lit(1_000_000) * F.col("y") - F.col("slope_micros") * F.col("x"))
+        .cast("long")
+        .alias("r"),
+        "slope_micros",
+        "np",
+    )
+    rr = resid.select(
+        "r",
+        "slope_micros",
+        "np",
+        F.row_number().over(Window.orderBy("r")).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nd"),
+    )
+    return rr.where(F.col("rn") == F.expr("(nd + 2) div 2")).select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("np").cast("long").alias("n_pairs"),
+        F.col("slope_micros").cast("long").alias("slope_micros"),
+        F.col("r").cast("long").alias("intercept_micros"),
+    )
+
+
+def max_drawdown(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """One row (n_days, peak_cents, max_drawdown_cents, dd_day) — the
+    maximum peak-to-trough decline of CUMULATIVE daily revenue: for each
+    day t, drawdown_t = max(cum_1..cum_t) − cum_t; report the largest,
+    the running peak it fell from, and the (earliest) day index where it
+    bottomed.  The canonical downside-risk readout next to
+    :func:`revenue_var` — VaR prices one bad day, drawdown prices a bad
+    STREAK.
+
+    Exactness: per-event cents (round(value·100) as BIGINT) summed per
+    day over the zero-filled spine; cumulative sum, running max, and the
+    argmin pick are all integer window functions — bit-exact, no floats
+    anywhere.
+
+    Scale shape: one map-side daily groupBy over the facts; the
+    single-partition ordered windows run over calendar days only (a
+    decade is ~3.7k rows), stated rather than hidden."""
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(
+        F.sum(F.round(F.col(value_col) * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    filled = (
+        rng.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+            "lo",
+        )
+        .join(daily, "d", "left")
+        .select(
+            (F.col("d") - F.col("lo")).cast("long").alias("x"),
+            F.coalesce("cents", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    dd = filled.select(
+        "x",
+        F.sum("c").over(w).alias("cum"),
+    ).select(
+        "x",
+        F.max("cum").over(w).alias("peak"),
+        (F.max("cum").over(w) - F.col("cum")).alias("dd"),
+    )
+    pick = dd.select(
+        "x",
+        "peak",
+        "dd",
+        F.row_number().over(
+            Window.orderBy(F.col("dd").desc(), F.col("x").asc())
+        ).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nd"),
+    )
+    return pick.where(F.col("rn") == 1).select(
+        F.col("nd").cast("long").alias("n_days"),
+        F.col("peak").cast("long").alias("peak_cents"),
+        F.col("dd").cast("long").alias("max_drawdown_cents"),
+        F.col("x").cast("long").alias("dd_day"),
+    )

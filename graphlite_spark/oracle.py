@@ -10323,3 +10323,79 @@ def preferential_attachment_sql(
         f"WHERE ex.u IS NULL AND a.deg * b.deg >= {min_score}"
     )
     return _graph_query(body)
+
+
+def theil_sen_trend_sql() -> str:
+    """Mirror of operators.analytics.theil_sen_trend: zero-filled daily
+    counts, per-pair (10^6 Δy)//Δx slopes (BIGINT truncation toward
+    zero, measured identical to Spark div), upper-median rank picks for
+    slope and intercept."""
+    return (
+        "WITH tsd AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "tsr AS (SELECT min(d) AS lo, max(d) AS hi FROM tsd),\n"
+        "tsp AS MATERIALIZED (\n"
+        "  SELECT CAST(s.d - s.lo AS BIGINT) AS x,\n"
+        "    CAST(COALESCE(t.y, 0) AS BIGINT) AS y\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d, lo FROM tsr) s\n"
+        "  LEFT JOIN tsd t USING (d)),\n"
+        "tsl AS MATERIALIZED (\n"
+        "  SELECT (1000000 * (b.y - a.y)) // (b.x - a.x) AS s\n"
+        "  FROM tsp a JOIN tsp b ON b.x > a.x),\n"
+        "tslr AS MATERIALIZED (\n"
+        "  SELECT s, row_number() OVER (ORDER BY s) AS rn,\n"
+        "    count(*) OVER () AS np FROM tsl),\n"
+        "tspk AS (SELECT s AS slope_micros, np FROM tslr\n"
+        "  WHERE rn = (np + 2) // 2),\n"
+        "tsres AS MATERIALIZED (\n"
+        "  SELECT 1000000 * p.y - k.slope_micros * p.x AS r,\n"
+        "    k.slope_micros, k.np\n"
+        "  FROM tsp p, tspk k),\n"
+        "tsrr AS (SELECT r, slope_micros, np,\n"
+        "  row_number() OVER (ORDER BY r) AS rn,\n"
+        "  count(*) OVER () AS nd FROM tsres)\n"
+        "SELECT CAST(nd AS BIGINT) AS n_days,\n"
+        "  CAST(np AS BIGINT) AS n_pairs,\n"
+        "  CAST(slope_micros AS BIGINT) AS slope_micros,\n"
+        "  CAST(r AS BIGINT) AS intercept_micros\n"
+        "FROM tsrr WHERE rn = (nd + 2) // 2"
+    )
+
+
+def max_drawdown_sql() -> str:
+    """Mirror of operators.analytics.max_drawdown: zero-filled daily
+    cents, cumulative sum, running max, argmax-by-(dd DESC, day ASC)
+    pick — all integer window functions."""
+    return (
+        "WITH mdd AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        " AS cents\n"
+        "  FROM events GROUP BY 1),\n"
+        "mdr AS (SELECT min(d) AS lo, max(d) AS hi FROM mdd),\n"
+        "mdf AS MATERIALIZED (\n"
+        "  SELECT CAST(s.d - s.lo AS BIGINT) AS x,\n"
+        "    CAST(COALESCE(e.cents, 0) AS BIGINT) AS c\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d, lo FROM mdr) s\n"
+        "  LEFT JOIN mdd e USING (d)),\n"
+        "mdc AS MATERIALIZED (\n"
+        "  SELECT x, sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) AS cum FROM mdf),\n"
+        "mdw AS MATERIALIZED (\n"
+        "  SELECT x,\n"
+        "    max(cum) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) AS peak,\n"
+        "    max(cum) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) - cum AS dd\n"
+        "  FROM mdc),\n"
+        "mdp AS (SELECT x, peak, dd,\n"
+        "  row_number() OVER (ORDER BY dd DESC, x ASC) AS rn,\n"
+        "  count(*) OVER () AS nd FROM mdw)\n"
+        "SELECT CAST(nd AS BIGINT) AS n_days,\n"
+        "  CAST(peak AS BIGINT) AS peak_cents,\n"
+        "  CAST(dd AS BIGINT) AS max_drawdown_cents,\n"
+        "  CAST(x AS BIGINT) AS dd_day\n"
+        "FROM mdp WHERE rn = 1"
+    )

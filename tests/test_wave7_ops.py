@@ -120,3 +120,90 @@ def test_pa_score_uses_full_degree(spark):
     ).collect()
     for r in rows:
         assert r["pa_score"] == deg[r["u"]] * deg[r["v"]]
+
+
+def _events(spark, rows):
+    # rows: (day_offset, value) — one event per tuple at noon of that day
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    data = [
+        (i, base + datetime.timedelta(days=d), 1, "click", v, "{}")
+        for i, (d, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_theil_sen_bruteforce(spark):
+    """Slope/intercept vs python over a noisy-linear series with one
+    huge outlier day (day 3 has 50 events) and a zero-filled gap."""
+    from graphlite_spark.operators.analytics import theil_sen_trend
+
+    # day -> event count: 1,2,3,50,0(gap),6,7
+    counts = {0: 1, 1: 2, 2: 3, 3: 50, 5: 6, 6: 7}
+    rows = [(d, 1.0) for d, c in counts.items() for _ in range(c)]
+    got = theil_sen_trend(_events(spark, rows)).collect()[0]
+
+    days = list(range(7))
+    y = [counts.get(d, 0) for d in days]
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    slopes = sorted(
+        trunc_div(1_000_000 * (y[j] - y[i]), j - i)
+        for i in range(7)
+        for j in range(i + 1, 7)
+    )
+    np_ = len(slopes)
+    slope = slopes[(np_ + 2) // 2 - 1]
+    resid = sorted(1_000_000 * y[x] - slope * x for x in days)
+    inter = resid[(7 + 2) // 2 - 1]
+    assert got["n_days"] == 7
+    assert got["n_pairs"] == np_
+    assert got["slope_micros"] == slope
+    assert got["intercept_micros"] == inter
+    # robustness: the OLS slope would be dragged far above 1/day by the
+    # day-3 spike; Theil-Sen stays near the underlying ~1/day trend
+    assert abs(got["slope_micros"] - 1_000_000) <= 500_000
+
+
+def test_max_drawdown_bruteforce(spark):
+    """Peak/trough vs python on a rise-crash-recover revenue path with
+    negative-revenue (refund) days and a gap day."""
+    from graphlite_spark.operators.analytics import max_drawdown
+
+    # day -> revenue: +10, +5, -12, (gap: 0), -4, +20
+    vals = {0: 10.0, 1: 5.0, 2: -12.0, 4: -4.0, 5: 20.0}
+    rows = [(d, v) for d, v in vals.items()]
+    got = max_drawdown(_events(spark, rows)).collect()[0]
+
+    cents = [round(vals.get(d, 0.0) * 100) for d in range(6)]
+    cum = peak = 0
+    best = (-1, None, None)  # dd, day, peak
+    for x, c in enumerate(cents):
+        cum += c
+        peak = max(peak if x else cum, cum)
+        dd = peak - cum
+        if dd > best[0]:
+            best = (dd, x, peak)
+    assert got["n_days"] == 6
+    assert got["max_drawdown_cents"] == best[0] == 1600
+    assert got["dd_day"] == best[1] == 4
+    assert got["peak_cents"] == best[2] == 1500
+
+
+def test_max_drawdown_monotone_series(spark):
+    """Strictly rising revenue → zero drawdown at day 0."""
+    from graphlite_spark.operators.analytics import max_drawdown
+
+    got = max_drawdown(
+        _events(spark, [(d, 1.0 + d) for d in range(4)])
+    ).collect()[0]
+    assert got["max_drawdown_cents"] == 0
+    assert got["dd_day"] == 0
