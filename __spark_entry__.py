@@ -3023,6 +3023,23 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_drawdown(load_table(spark, sf_dir, "events"))
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD Type-2 dimension build from the event change-log: versioned
+    # half-open validity windows per user attribute tier
+    from graphlite_spark.operators.relational import scd2_history
+
+    return scd2_history(load_table(spark, sf_dir, "events"))
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Welch unequal-variance t on per-event value between two event
+    # types, Welch-Satterthwaite df — the means companion to the
+    # proportions z-test and the rank-based Mann-Whitney U
+    from graphlite_spark.operators.analytics import welch_ttest
+
+    return welch_ttest(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3860,6 +3877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preferential_attachment": q_preferential_attachment,
         "theil_sen_trend": q_theil_sen_trend,
         "max_drawdown": q_max_drawdown,
+        "scd2_history": q_scd2_history,
+        "welch_ttest": q_welch_ttest,
     }
 
 
@@ -4091,6 +4110,8 @@ def oracle_sql() -> dict[str, str]:
         "preferential_attachment": O.preferential_attachment_sql(100),
         "theil_sen_trend": O.theil_sen_trend_sql(),
         "max_drawdown": O.max_drawdown_sql(),
+        "scd2_history": O.scd2_history_sql("k", 25),
+        "welch_ttest": O.welch_ttest_sql("purchase", "click"),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -2864,3 +2864,83 @@ def max_drawdown(
         F.col("dd").cast("long").alias("max_drawdown_cents"),
         F.col("x").cast("long").alias("dd_day"),
     )
+
+
+def welch_ttest(
+    events: DataFrame,
+    type_a: str = "purchase",
+    type_b: str = "click",
+    value_col: str = "value",
+) -> DataFrame:
+    """One row (n_a, n_b, mean_a_cents, mean_b_cents, t_stat, df) —
+    Welch's unequal-variance t-test on per-event ``value`` between two
+    event types, with the Welch–Satterthwaite degrees of freedom.  The
+    MEANS companion to :func:`ab_conversion_ztest`'s proportions and
+    :func:`mann_whitney_u`'s ranks: does a purchase carry more value
+    than a click, without assuming equal variances?
+
+    Exactness: the distributed pass produces six BIGINTs only (n, Σc,
+    Σc² per group, cents = round(100·value)); t and df are then single
+    closed-form double expressions over those integers, rounded to 6dp
+    — both engines compute the identical IEEE result from identical
+    integers (the repo-standard final-float discipline).  NULL t/df
+    when either side has n < 2 or both variances are zero.
+
+    Scale shape: one map-side-combined groupBy over the facts; the
+    pivot to one row is a 2-row aggregate."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = (
+        events.where(F.col("event_type").isin([type_a, type_b]))
+        .select(
+            (F.col("event_type") == type_a).cast("int").alias("a"),
+            cents.alias("c"),
+        )
+        .agg(
+            F.sum("a").cast("long").alias("n_a"),
+            F.sum(F.col("a") * F.col("c")).cast("long").alias("s_a"),
+            F.sum(F.col("a") * F.col("c") * F.col("c"))
+            .cast("long").alias("q_a"),
+            F.sum(1 - F.col("a")).cast("long").alias("n_b"),
+            F.sum((1 - F.col("a")) * F.col("c")).cast("long").alias("s_b"),
+            F.sum((1 - F.col("a")) * F.col("c") * F.col("c"))
+            .cast("long").alias("q_b"),
+        )
+    )
+    # square AFTER the double cast: BIGINT s^2 would overflow near 3e9
+    # cents-sums, and both engines make the identical int->double
+    # conversion before the (deterministic) IEEE square
+    va = F.expr(
+        "(q_a - cast(s_a as double) * cast(s_a as double) / n_a)"
+        " / (n_a - 1)"
+    )
+    vb = F.expr(
+        "(q_b - cast(s_b as double) * cast(s_b as double) / n_b)"
+        " / (n_b - 1)"
+    )
+    return per.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("s_a") / F.col("n_a"), 6).alias("mean_a_cents"),
+        F.round(F.col("s_b") / F.col("n_b"), 6).alias("mean_b_cents"),
+        F.when(
+            (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+            & (va / F.col("n_a") + vb / F.col("n_b") > 0),
+            F.round(
+                (F.col("s_a") / F.col("n_a") - F.col("s_b") / F.col("n_b"))
+                / F.sqrt(va / F.col("n_a") + vb / F.col("n_b")),
+                6,
+            ),
+        ).alias("t_stat"),
+        F.when(
+            (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+            & (va / F.col("n_a") + vb / F.col("n_b") > 0),
+            F.round(
+                F.pow(va / F.col("n_a") + vb / F.col("n_b"), 2)
+                / (
+                    F.pow(va / F.col("n_a"), 2) / (F.col("n_a") - 1)
+                    + F.pow(vb / F.col("n_b"), 2) / (F.col("n_b") - 1)
+                ),
+                6,
+            ),
+        ).alias("df"),
+    )

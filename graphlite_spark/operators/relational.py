@@ -1148,3 +1148,55 @@ def returnflag_priority_counts(
             .alias("low_line_count"),
         )
     )
+
+
+def scd2_history(
+    events: DataFrame,
+    field: str = "k",
+    bucket: int = 25,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user_id, tier, valid_from_us, valid_to_us, version, is_current)
+    — the Slowly-Changing-Dimension Type-2 build: treat the event
+    stream as a change-log of a per-user attribute (``props.$k div
+    bucket``, the "plan tier"), collapse consecutive repeats, and emit
+    one VERSIONED row per change with half-open validity
+    ``[valid_from, valid_to)`` (NULL valid_to + is_current on the open
+    segment).  The warehouse-dimension op every star schema needs —
+    dimension tables join fact rows by ``user_id`` + ``ts BETWEEN``
+    (the as-of machinery next door in this module).
+
+    Exactness: JVM-side JSON (``get_json_object``), BIGINT micros,
+    integer tier; the change-collapse and versioning are two passes of
+    the same (user, ts, event_id) window — fully deterministic
+    including ties.
+
+    Scale shape: one shuffle on the unit key; both windows ride it.
+    Output is change-sized, not event-sized, by construction."""
+    from pyspark.sql import Window
+
+    us = events.select(
+        F.col(unit_col).alias("user_id"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp))").alias("ts_us"),
+        "event_id",
+        F.expr(
+            f"cast(get_json_object(props, '$.{field}') as bigint)"
+            f" div {int(bucket)}"
+        ).alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ch = (
+        us.withColumn("pt", F.lag("tier").over(w))
+        .where(F.col("pt").isNull() | (F.col("tier") != F.col("pt")))
+        .drop("pt")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ch.select(
+        "user_id",
+        "tier",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead("ts_us").over(w2).isNull().alias("is_current"),
+    )

@@ -10399,3 +10399,70 @@ def max_drawdown_sql() -> str:
         "  CAST(x AS BIGINT) AS dd_day\n"
         "FROM mdp WHERE rn = 1"
     )
+
+
+def scd2_history_sql(field: str = "k", bucket: int = 25) -> str:
+    """Mirror of operators.relational.scd2_history: change-log collapse
+    + versioned half-open validity windows, BIGINT micros throughout."""
+    b = int(bucket)
+    return (
+        "WITH s2u AS MATERIALIZED (\n"
+        "  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,"
+        " event_id,\n"
+        f"    CAST(json_extract(props, '$.{field}') AS BIGINT) // {b}"
+        " AS tier\n"
+        "  FROM events),\n"
+        "s2c AS MATERIALIZED (\n"
+        "  SELECT user_id, ts_us, event_id, tier FROM (\n"
+        "    SELECT *, lag(tier) OVER (PARTITION BY user_id\n"
+        "      ORDER BY ts_us, event_id) AS pt FROM s2u)\n"
+        "  WHERE pt IS NULL OR tier <> pt)\n"
+        "SELECT user_id, tier,\n"
+        "  ts_us AS valid_from_us,\n"
+        "  lead(ts_us) OVER w2 AS valid_to_us,\n"
+        "  CAST(row_number() OVER w2 AS BIGINT) AS version,\n"
+        "  lead(ts_us) OVER w2 IS NULL AS is_current\n"
+        "FROM s2c WINDOW w2 AS (PARTITION BY user_id"
+        " ORDER BY ts_us, event_id)"
+    )
+
+
+def welch_ttest_sql(type_a: str = "purchase", type_b: str = "click") -> str:
+    """Mirror of operators.analytics.welch_ttest: six exact BIGINT
+    moments, then the closed-form t and Welch-Satterthwaite df as
+    rounded doubles (squares taken after the int->double cast)."""
+    va = ("(q_a - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)"
+          " / (n_a - 1)")
+    vb = ("(q_b - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)"
+          " / (n_b - 1)")
+    se2 = f"({va} / n_a + {vb} / n_b)"
+    return (
+        "WITH wtm AS MATERIALIZED (\n"
+        "  SELECT\n"
+        f"    CAST(sum(CASE WHEN event_type = '{type_a}' THEN 1"
+        " ELSE 0 END) AS BIGINT) AS n_a,\n"
+        f"    CAST(sum(CASE WHEN event_type = '{type_a}' THEN c"
+        " ELSE 0 END) AS BIGINT) AS s_a,\n"
+        f"    CAST(sum(CASE WHEN event_type = '{type_a}' THEN c * c"
+        " ELSE 0 END) AS BIGINT) AS q_a,\n"
+        f"    CAST(sum(CASE WHEN event_type = '{type_b}' THEN 1"
+        " ELSE 0 END) AS BIGINT) AS n_b,\n"
+        f"    CAST(sum(CASE WHEN event_type = '{type_b}' THEN c"
+        " ELSE 0 END) AS BIGINT) AS s_b,\n"
+        f"    CAST(sum(CASE WHEN event_type = '{type_b}' THEN c * c"
+        " ELSE 0 END) AS BIGINT) AS q_b\n"
+        "  FROM (SELECT event_type,"
+        " CAST(round(value * 100) AS BIGINT) AS c FROM events\n"
+        f"    WHERE event_type IN ('{type_a}', '{type_b}')) t)\n"
+        "SELECT n_a, n_b,\n"
+        "  round(CAST(s_a AS DOUBLE) / n_a, 6) AS mean_a_cents,\n"
+        "  round(CAST(s_b AS DOUBLE) / n_b, 6) AS mean_b_cents,\n"
+        f"  CASE WHEN n_a >= 2 AND n_b >= 2 AND {se2} > 0 THEN\n"
+        "    round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE)"
+        " / n_b)\n"
+        f"      / sqrt({se2}), 6) END AS t_stat,\n"
+        f"  CASE WHEN n_a >= 2 AND n_b >= 2 AND {se2} > 0 THEN\n"
+        f"    round(pow({se2}, 2) / (pow({va} / n_a, 2) / (n_a - 1)\n"
+        f"      + pow({vb} / n_b, 2) / (n_b - 1)), 6) END AS df\n"
+        "FROM wtm"
+    )

@@ -207,3 +207,99 @@ def test_max_drawdown_monotone_series(spark):
     ).collect()[0]
     assert got["max_drawdown_cents"] == 0
     assert got["dd_day"] == 0
+
+
+def test_scd2_history_bruteforce(spark):
+    """Versioned validity windows vs hand computation: repeats collapse,
+    ties break by event_id, the open segment is current."""
+    import datetime
+
+    from graphlite_spark.operators.relational import scd2_history
+
+    base = datetime.datetime(2024, 1, 1)
+    # user 1: k = 10 (t0), 12 (t1, same tier -> collapsed), 30 (t2),
+    #         5 (t3); user 2: single event
+    data = [
+        (0, base, 1, "click", 1.0, '{"k": 10}'),
+        (1, base + datetime.timedelta(hours=1), 1, "click", 1.0, '{"k": 12}'),
+        (2, base + datetime.timedelta(hours=2), 1, "click", 1.0, '{"k": 30}'),
+        (3, base + datetime.timedelta(hours=3), 1, "click", 1.0, '{"k": 5}'),
+        (4, base, 2, "view", 1.0, '{"k": 99}'),
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    rows = sorted(
+        scd2_history(ev, bucket=25).collect(),
+        key=lambda r: (r["user_id"], r["version"]),
+    )
+    us = lambda h: int((base + datetime.timedelta(hours=h)).timestamp()) * 10**6
+
+    assert [
+        (r["user_id"], r["tier"], r["valid_from_us"], r["valid_to_us"],
+         r["version"], r["is_current"])
+        for r in rows
+    ] == [
+        (1, 0, us(0), us(2), 1, False),
+        (1, 1, us(2), us(3), 2, False),
+        (1, 0, us(3), None, 3, True),
+        (2, 3, us(0), None, 1, True),
+    ]
+
+
+def test_welch_ttest_bruteforce(spark):
+    """t and df vs scipy-formula python on unequal-variance groups."""
+    import math
+
+    from graphlite_spark.operators.analytics import welch_ttest
+
+    a_vals = [10.0, 12.0, 11.0, 13.0, 9.0]
+    b_vals = [5.0, 25.0, 1.0, 40.0]
+    got = welch_ttest(
+        _events_typed(spark, [("purchase", v) for v in a_vals]
+                      + [("click", v) for v in b_vals])
+    ).collect()[0]
+
+    ca = [round(v * 100) for v in a_vals]
+    cb = [round(v * 100) for v in b_vals]
+    na, nb = len(ca), len(cb)
+    ma, mb = sum(ca) / na, sum(cb) / nb
+    va = (sum(c * c for c in ca) - sum(ca) ** 2 / na) / (na - 1)
+    vb = (sum(c * c for c in cb) - sum(cb) ** 2 / nb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert got["mean_a_cents"] == round(ma, 6)
+    assert got["mean_b_cents"] == round(mb, 6)
+    assert got["t_stat"] == round(t, 6)
+    assert got["df"] == round(df, 6)
+
+
+def test_welch_ttest_degenerate(spark):
+    """n<2 on one side -> NULL t/df, counts still reported."""
+    from graphlite_spark.operators.analytics import welch_ttest
+
+    got = welch_ttest(
+        _events_typed(spark, [("purchase", 3.0), ("click", 1.0),
+                              ("click", 2.0)])
+    ).collect()[0]
+    assert got["n_a"] == 1 and got["n_b"] == 2
+    assert got["t_stat"] is None and got["df"] is None
+
+
+def _events_typed(spark, rows):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, base + datetime.timedelta(minutes=i), 1, t, v, "{}")
+        for i, (t, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
