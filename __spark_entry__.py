@@ -3040,6 +3040,22 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_ttest(load_table(spark, sf_dir, "events"))
 
 
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top principal component by exact integer power iteration on the
+    # micro-covariance + explained-variance share (anisotropy readout)
+    from graphlite_spark.operators.similarity import pca_top_component
+
+    return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rescaled-range (R/S) Hurst exponent of daily traffic: long-range
+    # persistence vs memorylessness, the Mandelbrot-Wallis readout
+    from graphlite_spark.operators.analytics import hurst_rs
+
+    return hurst_rs(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3879,6 +3895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": q_max_drawdown,
         "scd2_history": q_scd2_history,
         "welch_ttest": q_welch_ttest,
+        "pca_top_component": q_pca_top_component,
+        "hurst_rs": q_hurst_rs,
     }
 
 
@@ -4112,6 +4130,8 @@ def oracle_sql() -> dict[str, str]:
         "max_drawdown": O.max_drawdown_sql(),
         "scd2_history": O.scd2_history_sql("k", 25),
         "welch_ttest": O.welch_ttest_sql("purchase", "click"),
+        "pca_top_component": O.pca_top_component_sql(8),
+        "hurst_rs": O.hurst_rs_sql((4, 8, 16)),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

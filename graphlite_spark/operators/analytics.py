@@ -2944,3 +2944,136 @@ def welch_ttest(
             ),
         ).alias("df"),
     )
+
+
+def hurst_rs(
+    events: DataFrame,
+    window_sizes: tuple = (4, 8, 16),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(w, n_windows, mean_rs_micros, hurst) — rescaled-range (R/S)
+    analysis of the DAILY event-count series: split the zero-filled day
+    spine into disjoint windows of each size ``w`` (remainder days
+    dropped), compute R/S per window (R = range of the cumulative
+    mean-deviation series Z_1..Z_w, S = population std), average per
+    size, and estimate the Hurst exponent as the OLS slope of
+    log(mean R/S) on log(w).  H ≈ 0.5 → memoryless traffic, H > 0.5 →
+    long-range persistence (the self-similarity signal behind
+    :func:`user_burstiness` and :func:`dispersion_index`) — the classic
+    Mandelbrot–Wallis readout.
+
+    Exactness: deviations ride w-scaled integers (dev = w·y − S_w, the
+    acf device, so no rational mean appears); R and Σdev² are exact
+    BIGINTs per window; R/S → one closed-form double rounded to micros;
+    the per-size mean is a truncating integer division; and the final
+    slope is computed from integer-rounded logs (lx = round(10⁶·ln w),
+    ly = round(10⁶·ln(mean_rs/10⁶))) so every cross-engine sum is over
+    exact integers — no float-summation-order discipline anywhere.
+    Windows with zero variance are skipped (R > 0 ⟺ S > 0: the
+    deviations of a window sum to zero, so Z_w = 0 always); ``hurst``
+    is NULL when fewer than two sizes have windows.
+
+    Scale shape: one map-side daily groupBy over the facts; everything
+    after runs on the calendar-bounded daily table × len(window_sizes)
+    (window-partitioned, never single-partition over data)."""
+    sizes = sorted(int(w) for w in window_sizes)
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    pts = (
+        rng.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+            "lo",
+        )
+        .join(daily, "d", "left")
+        .select(
+            (F.col("d") - F.col("lo")).cast("long").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    sized = pts.select(
+        F.explode(
+            F.array(*[F.lit(w).cast("long") for w in sizes])
+        ).alias("w"),
+        "x",
+        "y",
+    ).select(
+        "w", "x", "y", F.expr("x div w").alias("g")
+    )
+    # complete windows only: exactly w days present
+    grp = sized.groupBy("w", "g").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").cast("long").alias("sw")
+    ).where(F.col("cnt") == F.col("w"))
+    dev = sized.join(grp, ["w", "g"]).select(
+        "w",
+        "g",
+        "x",
+        (F.col("w") * F.col("y") - F.col("sw")).cast("long").alias("dev"),
+    )
+    wspec = (
+        Window.partitionBy("w", "g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    z = dev.select(
+        "w", "g", "dev", F.sum("dev").over(wspec).alias("z")
+    )
+    per = z.groupBy("w", "g").agg(
+        (F.max("z") - F.min("z")).cast("long").alias("r"),
+        F.sum(F.col("dev") * F.col("dev")).cast("long").alias("ssd"),
+    ).where(F.col("ssd") > 0)
+    rs = per.select(
+        "w",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.col("r")
+            * F.sqrt(F.col("w").cast("double"))
+            / F.sqrt(F.col("ssd").cast("double")),
+            0,
+        ).cast("long").alias("rs"),
+    )
+    means = rs.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.expr("CAST(sum(rs) div count(1) AS BIGINT)").alias(
+            "mean_rs_micros"
+        ),
+    )
+    pts2 = means.select(
+        "w",
+        "n_windows",
+        "mean_rs_micros",
+        F.round(F.log(F.col("w").cast("double")) * 1_000_000, 0)
+        .cast("long").alias("lx"),
+        F.round(
+            F.log(F.col("mean_rs_micros").cast("double") / 1_000_000.0)
+            * 1_000_000,
+            0,
+        ).cast("long").alias("ly"),
+    )
+    sl = pts2.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
+    ).select(
+        F.when(
+            (F.col("k") >= 2)
+            & (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx") > 0),
+            F.round(
+                (
+                    F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / (
+                    F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double"),
+                6,
+            ),
+        ).alias("hurst")
+    )
+    return means.crossJoin(F.broadcast(sl)).select(
+        "w", "n_windows", "mean_rs_micros", "hurst"
+    )

@@ -1204,3 +1204,101 @@ def uniformity_metric(
             ),
         ).alias("uniformity"),
     )
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    iterations: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(pos, loading_micros, explained_ratio_micros, n_vecs) — the top
+    principal component of the embedding distribution by integer power
+    iteration on the exact micro-covariance, plus the share of total
+    variance it explains (Rayleigh quotient over the trace).  The
+    anisotropy readout behind :func:`embedding_covariance_topk`'s pair
+    list: one dominant direction (ratio → 1) means the space is
+    collapsing — the classic representation-degeneration signal — while
+    a healthy space spreads variance (ratio ≈ 1/d).
+
+    Exactness: the N-scale work is the centered-micro covariance
+    aggregate (exact BIGINT pair products, the
+    :func:`embedding_covariance_topk` machinery); the d×d matrix
+    (d(d+1)/2 ≤ a few thousand rows — codebook-sized, the k-means
+    collect discipline) then runs ``iterations`` rounds of EXACT
+    integer power iteration driver-side: matrix and vector renormalized
+    to ±10⁶ by truncating division each round, arbitrary-precision
+    Python ints mirrored term-for-term by the oracle's unrolled HUGEINT
+    CTEs.  Start vector all-ones — deterministic sign, no RNG.
+
+    Scale shape: one map-side-combined (i, j) aggregate carries at most
+    d²/2 partial rows per task regardless of N; everything after is
+    O(d²·iterations) on d-sized literals."""
+    from graphlite_spark.operators.kmeans import quantize_expr
+
+    spark = embeddings.sparkSession
+    schema = (
+        "pos long, loading_micros long, explained_ratio_micros long,"
+        " n_vecs long"
+    )
+    qz = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_expr(F.col(vec_col)).alias("qv")
+    )
+    cent = _centroid_micros(qz)
+    if cent is None:
+        return spark.createDataFrame([], schema)
+    d = len(cent)
+    n = qz.count()
+    c_lit = F.array(*[F.lit(c).cast("long") for c in cent])
+    centered = qz.select(
+        F.zip_with(F.col("qv"), c_lit, lambda a, b: a - b).alias("xv")
+    )
+    # upper triangle INCLUDING the diagonal (slice from i+1, 1-based)
+    rows = centered.select(
+        F.posexplode("xv").alias("i", "xi"), F.col("xv")
+    ).select(
+        "i",
+        F.posexplode(
+            F.transform(
+                F.slice(F.col("xv"), F.col("i") + 1, F.lit(d)),
+                lambda y: y * F.col("xi"),
+            )
+        ).alias("joff", "prod"),
+    )
+    tri = (
+        rows.groupBy("i", "joff")
+        .agg(F.sum("prod").cast("long").alias("cov"))
+        .select("i", (F.col("i") + F.col("joff")).alias("j"), "cov")
+        .collect()
+    )
+    cov = {}
+    for r in tri:
+        cov[(r["i"], r["j"])] = r["cov"]
+        cov[(r["j"], r["i"])] = r["cov"]
+    m = max((abs(c) for c in cov.values()), default=0)
+    if m == 0:
+        out = [(p, 0, None, n) for p in range(d)]
+        return spark.createDataFrame(out, schema)
+    a = {ij: _trunc_div(1_000_000 * c, m) for ij, c in cov.items()}
+    v = [1_000_000] * d
+    for _ in range(iterations):
+        w = [
+            sum(a.get((i, j), 0) * v[j] for j in range(d)) for i in range(d)
+        ]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            v = w
+            break
+        v = [_trunc_div(1_000_000 * x, mx) for x in w]
+    num = sum(
+        v[i] * a.get((i, j), 0) * v[j] for i in range(d) for j in range(d)
+    )
+    den = sum(x * x for x in v)
+    tr = sum(a.get((i, i), 0) for i in range(d))
+    ratio = (
+        _trunc_div(1_000_000 * num, den * tr)
+        if den > 0 and tr > 0
+        else None
+    )
+    out = [(p, v[p], ratio, n) for p in range(d)]
+    return spark.createDataFrame(out, schema)

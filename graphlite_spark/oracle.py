@@ -10466,3 +10466,144 @@ def welch_ttest_sql(type_a: str = "purchase", type_b: str = "click") -> str:
         f"      + pow({vb} / n_b, 2) / (n_b - 1)), 6) END AS df\n"
         "FROM wtm"
     )
+
+
+def pca_top_component_sql(iterations: int = 8) -> str:
+    """Mirror of operators.similarity.pca_top_component: the shared
+    centered-micro covariance CTEs (full symmetric matrix via the
+    mirrored triangle), then ``iterations`` unrolled rounds of integer
+    power iteration — matrix and vector renormalized to ±10⁶ by
+    truncating division, HUGEINT everywhere a product can pass 9.2e18 —
+    and the Rayleigh-over-trace explained-variance ratio."""
+    its = int(iterations)
+    parts = [
+        _CENTROID_CTES,
+        "pc_x AS MATERIALIZED (\n"
+        "  SELECT list_transform(range(1, len(v) + 1),"
+        " t -> v[t] - cv[t]) AS xv\n"
+        "  FROM co_q, co_cl)",
+        "pc_p AS MATERIALIZED (\n"
+        "  SELECT CAST(ti.i - 1 AS BIGINT) AS i,"
+        " CAST(tj.j - 1 AS BIGINT) AS j,\n"
+        "    CAST(SUM(xv[ti.i] * xv[tj.j]) AS BIGINT) AS cov\n"
+        "  FROM pc_x,\n"
+        "    UNNEST(range(1, len(xv) + 1)) AS ti(i),\n"
+        "    UNNEST(range(1, len(xv) + 1)) AS tj(j)\n"
+        "  WHERE tj.j >= ti.i GROUP BY ti.i, tj.j)",
+        "pc_f AS MATERIALIZED (\n"
+        "  SELECT i, j, cov FROM pc_p\n"
+        "  UNION ALL SELECT j, i, cov FROM pc_p WHERE j > i)",
+        "pc_m AS (SELECT CAST(max(abs(cov)) AS BIGINT) AS m FROM pc_f)",
+        "pc_a AS MATERIALIZED (\n"
+        "  SELECT i, j,\n"
+        "    CAST((CAST(1000000 AS HUGEINT) * cov) // m AS BIGINT) AS a\n"
+        "  FROM pc_f, pc_m)",
+        "pc_v0 AS MATERIALIZED (\n"
+        "  SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v FROM pc_a)",
+    ]
+    for k in range(1, its + 1):
+        parts.append(
+            f"pc_w{k} AS MATERIALIZED (\n"
+            f"  SELECT a.i, CAST(SUM(a.a * v.v) AS BIGINT) AS w\n"
+            f"  FROM pc_a a JOIN pc_v{k - 1} v ON v.i = a.j GROUP BY a.i)"
+        )
+        parts.append(
+            f"pc_v{k} AS MATERIALIZED (\n"
+            f"  SELECT i, CAST(CASE WHEN m.mx = 0 THEN w ELSE\n"
+            f"    (CAST(1000000 AS HUGEINT) * w) // m.mx END AS BIGINT)"
+            f" AS v\n"
+            f"  FROM pc_w{k},\n"
+            f"    (SELECT CAST(max(abs(w)) AS BIGINT) AS mx"
+            f" FROM pc_w{k}) m)"
+        )
+    last = f"pc_v{its}"
+    parts.append(
+        "pc_num AS (\n"
+        "  SELECT CAST(SUM(CAST(va.v AS HUGEINT) * a.a * vb.v)"
+        " AS HUGEINT) AS num\n"
+        f"  FROM pc_a a JOIN {last} va ON va.i = a.i\n"
+        f"  JOIN {last} vb ON vb.i = a.j)"
+    )
+    parts.append(
+        f"pc_den AS (SELECT CAST(SUM(v * v) AS BIGINT) AS den"
+        f" FROM {last})"
+    )
+    parts.append(
+        "pc_tr AS (SELECT CAST(SUM(a) AS BIGINT) AS tr"
+        " FROM pc_a WHERE i = j)"
+    )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined}\n"
+        "SELECT CAST(v.i AS BIGINT) AS pos,\n"
+        "  CAST(v.v AS BIGINT) AS loading_micros,\n"
+        "  CAST(CASE WHEN d.den > 0 AND t.tr > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * u.num)"
+        " // (CAST(d.den AS HUGEINT) * t.tr)\n"
+        "  END AS BIGINT) AS explained_ratio_micros,\n"
+        "  n.n AS n_vecs\n"
+        f"FROM {last} v, pc_num u, pc_den d, pc_tr t, co_n n"
+    )
+
+
+def hurst_rs_sql(window_sizes: tuple = (4, 8, 16)) -> str:
+    """Mirror of operators.analytics.hurst_rs: zero-filled daily spine,
+    w-scaled integer deviations, per-window R and Σdev², one rounded
+    double per window, truncating per-size mean, integer-log OLS
+    slope."""
+    sizes = ", ".join(str(int(w)) for w in sorted(window_sizes))
+    return (
+        "WITH hrd AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "hrr AS (SELECT min(d) AS lo, max(d) AS hi FROM hrd),\n"
+        "hrp AS MATERIALIZED (\n"
+        "  SELECT CAST(s.d - s.lo AS BIGINT) AS x,\n"
+        "    CAST(COALESCE(t.y, 0) AS BIGINT) AS y\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d, lo FROM hrr) s\n"
+        "  LEFT JOIN hrd t USING (d)),\n"
+        "hrs AS MATERIALIZED (\n"
+        "  SELECT CAST(u.w AS BIGINT) AS w, p.x, p.y, p.x // u.w AS g\n"
+        f"  FROM hrp p, (SELECT unnest([{sizes}]) AS w) u),\n"
+        "hrg AS MATERIALIZED (\n"
+        "  SELECT w, g, CAST(sum(y) AS BIGINT) AS sw, count(*) AS cnt\n"
+        "  FROM hrs GROUP BY w, g HAVING count(*) = w),\n"
+        "hrv AS MATERIALIZED (\n"
+        "  SELECT s.w, s.g, s.x,\n"
+        "    CAST(s.w * s.y - g.sw AS BIGINT) AS dev\n"
+        "  FROM hrs s JOIN hrg g USING (w, g)),\n"
+        "hrz AS MATERIALIZED (\n"
+        "  SELECT w, g, dev, sum(dev) OVER (PARTITION BY w, g ORDER BY x\n"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z\n"
+        "  FROM hrv),\n"
+        "hrw AS MATERIALIZED (\n"
+        "  SELECT w, g, CAST(max(z) - min(z) AS BIGINT) AS r,\n"
+        "    CAST(sum(dev * dev) AS BIGINT) AS ssd\n"
+        "  FROM hrz GROUP BY w, g HAVING sum(dev * dev) > 0),\n"
+        "hrx AS MATERIALIZED (\n"
+        "  SELECT w, CAST(round(1000000.0 * r * sqrt(CAST(w AS DOUBLE))\n"
+        "    / sqrt(CAST(ssd AS DOUBLE)), 0) AS BIGINT) AS rs\n"
+        "  FROM hrw),\n"
+        "hrm AS MATERIALIZED (\n"
+        "  SELECT w, CAST(count(*) AS BIGINT) AS n_windows,\n"
+        "    CAST(sum(rs) // count(*) AS BIGINT) AS mean_rs_micros\n"
+        "  FROM hrx GROUP BY w),\n"
+        "hrl AS MATERIALIZED (\n"
+        "  SELECT w, n_windows, mean_rs_micros,\n"
+        "    CAST(round(ln(CAST(w AS DOUBLE)) * 1000000, 0) AS BIGINT)"
+        " AS lx,\n"
+        "    CAST(round(ln(CAST(mean_rs_micros AS DOUBLE) / 1000000.0)\n"
+        "      * 1000000, 0) AS BIGINT) AS ly\n"
+        "  FROM hrm),\n"
+        "hsl AS (SELECT\n"
+        "  CASE WHEN count(*) >= 2\n"
+        "    AND count(*) * sum(lx * lx) - sum(lx) * sum(lx) > 0 THEN\n"
+        "    round(CAST(count(*) * sum(lx * ly) - sum(lx) * sum(ly)"
+        " AS DOUBLE)\n"
+        "      / CAST(count(*) * sum(lx * lx) - sum(lx) * sum(lx)"
+        " AS DOUBLE), 6)\n"
+        "  END AS hurst FROM hrl)\n"
+        "SELECT m.w, m.n_windows, m.mean_rs_micros, s.hurst\n"
+        "FROM hrm m, hsl s"
+    )

@@ -303,3 +303,120 @@ def _events_typed(spark, rows):
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double, props string",
     )
+
+
+def test_pca_top_component_bruteforce(spark):
+    """Integer power iteration vs numpy eig on an anisotropic 3-d cloud:
+    the loading direction must align with the true top eigenvector and
+    the explained ratio with the true eigenvalue share."""
+    import numpy as np
+
+    from graphlite_spark.operators.similarity import pca_top_component
+
+    # points spread mostly along (3, 4, 0)/5, slight noise on z —
+    # deterministic hand-built cloud, no RNG
+    base = [
+        (i, [0.6 * t, 0.8 * t, 0.05 * ((i % 3) - 1)], 0)
+        for i, t in enumerate(
+            [-1.0, -0.6, -0.2, 0.2, 0.6, 1.0, -0.8, 0.8, 0.4, -0.4]
+        )
+    ]
+    emb = spark.createDataFrame(
+        base, "vec_id long, embedding array<float>, label int"
+    )
+    rows = sorted(
+        pca_top_component(emb, iterations=8).collect(),
+        key=lambda r: r["pos"],
+    )
+    assert len(rows) == 3
+    assert all(r["n_vecs"] == 10 for r in rows)
+
+    v = np.array([r["loading_micros"] for r in rows], dtype=float)
+    X = np.array([e for _, e, _ in base])
+    X = X - X.mean(axis=0)
+    C = X.T @ X
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999
+    ratio = rows[0]["explained_ratio_micros"] / 1e6
+    assert abs(ratio - evals[-1] / evals.sum()) < 0.01
+    assert all(
+        r["explained_ratio_micros"] == rows[0]["explained_ratio_micros"]
+        for r in rows
+    )
+
+
+def test_pca_degenerate_identical_vectors(spark):
+    """All-identical vectors -> zero covariance -> zero loadings and
+    NULL ratio, not a crash."""
+    from graphlite_spark.operators.similarity import pca_top_component
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0], 0) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = pca_top_component(emb).collect()
+    assert len(rows) == 2
+    assert all(r["loading_micros"] == 0 for r in rows)
+    assert all(r["explained_ratio_micros"] is None for r in rows)
+
+
+def test_hurst_rs_bruteforce(spark):
+    """R/S per window and the integer-log slope vs python on a 16-day
+    alternating (anti-persistent) series — H must land well below 0.5."""
+    import math
+
+    from graphlite_spark.operators.analytics import hurst_rs
+
+    counts = [5, 1, 6, 2, 7, 1, 5, 2, 6, 1, 7, 2, 5, 1, 6, 2]
+    rows = [(d, 1.0) for d, c in enumerate(counts) for _ in range(c)]
+    got = {
+        r["w"]: r
+        for r in hurst_rs(
+            _events(spark, rows), window_sizes=(4, 8)
+        ).collect()
+    }
+
+    def rs_windows(y, w):
+        out = []
+        for g in range(len(y) // w):
+            seg = y[g * w:(g + 1) * w]
+            sw = sum(seg)
+            dev = [w * v - sw for v in seg]
+            z, cur = [], 0
+            for dv in dev:
+                cur += dv
+                z.append(cur)
+            ssd = sum(dv * dv for dv in dev)
+            if ssd == 0:
+                continue
+            r = max(z) - min(z)
+            out.append(round(1e6 * r * math.sqrt(w) / math.sqrt(ssd)))
+        return out
+
+    lx, ly = [], []
+    for w in (4, 8):
+        rs = rs_windows(counts, w)
+        mean = sum(rs) // len(rs)
+        assert got[w]["n_windows"] == len(rs)
+        assert got[w]["mean_rs_micros"] == mean
+        lx.append(round(math.log(w) * 1e6))
+        ly.append(round(math.log(mean / 1e6) * 1e6))
+    k = 2
+    num = k * sum(a * b for a, b in zip(lx, ly)) - sum(lx) * sum(ly)
+    den = k * sum(a * a for a in lx) - sum(lx) ** 2
+    want_h = round(num / den, 6)
+    assert got[4]["hurst"] == got[8]["hurst"] == want_h
+    # alternating series is anti-persistent: H clearly below 0.5
+    assert want_h < 0.4
+
+
+def test_hurst_rs_single_size_null_slope(spark):
+    """Only one window size with complete windows -> hurst NULL."""
+    from graphlite_spark.operators.analytics import hurst_rs
+
+    rows = [(d, 1.0) for d, c in enumerate([3, 1, 4, 1]) for _ in range(c)]
+    got = hurst_rs(_events(spark, rows), window_sizes=(4, 16)).collect()
+    assert {r["w"] for r in got} == {4}
+    assert got[0]["hurst"] is None
