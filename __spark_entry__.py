@@ -3056,6 +3056,22 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hurst_rs(load_table(spark, sf_dir, "events"))
 
 
+def q_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-way ANOVA F + eta-squared of event value across event types:
+    # the any-group-differs screen before welch_ttest's pairwise drill
+    from graphlite_spark.operators.analytics import anova_oneway
+
+    return anova_oneway(load_table(spark, sf_dir, "events"))
+
+
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Maximal-Marginal-Relevance greedy re-rank of the ANN shortlist
+    # against the corpus centroid: relevance minus redundancy, exact ints
+    from graphlite_spark.operators.similarity import mmr_topk
+
+    return mmr_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3897,6 +3913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": q_welch_ttest,
         "pca_top_component": q_pca_top_component,
         "hurst_rs": q_hurst_rs,
+        "anova_value_by_type": q_anova_value_by_type,
+        "mmr_diversified_topk": q_mmr_diversified_topk,
     }
 
 
@@ -4132,6 +4150,8 @@ def oracle_sql() -> dict[str, str]:
         "welch_ttest": O.welch_ttest_sql("purchase", "click"),
         "pca_top_component": O.pca_top_component_sql(8),
         "hurst_rs": O.hurst_rs_sql((4, 8, 16)),
+        "anova_value_by_type": O.anova_oneway_sql(),
+        "mmr_diversified_topk": O.mmr_topk_sql(5, 32, 700),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

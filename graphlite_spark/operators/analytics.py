@@ -3077,3 +3077,69 @@ def hurst_rs(
     return means.crossJoin(F.broadcast(sl)).select(
         "w", "n_windows", "mean_rs_micros", "hurst"
     )
+
+
+def anova_oneway(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """One row (n_groups, n_total, ssb_cents2, ssw_cents2,
+    f_stat_micros, eta_sq_micros) — one-way ANOVA of per-event
+    ``value`` across the levels of ``group_col``: does ANY event type
+    carry a different mean value, before :func:`welch_ttest` asks about
+    a specific pair?  eta² = SSB/(SSB+SSW) is the effect size (share of
+    value variance explained by the grouping) — the screening statistic
+    a metrics pipeline runs across every categorical dimension before
+    drilling into pairwise tests.
+
+    Exactness: the distributed pass produces three BIGINTs per group
+    (n, Σc, Σc², cents = round(100·value), the :func:`welch_ttest`
+    moments); the group table is vocabulary-sized, so it collects
+    (codebook discipline) and the sums of squares run in EXACT
+    arbitrary-precision Python ints — per-group S²/n terms by
+    truncating division (DuckDB ``//`` mirror), F and eta² returned as
+    truncating-division micros, no float anywhere.  NULL F when g < 2,
+    N ≤ g, or SSW = 0.
+
+    Scale shape: ONE map-side-combined groupBy over the facts; the
+    driver sees g rows of three longs — nothing else leaves the
+    executors regardless of N."""
+    from graphlite_spark.operators.similarity import _trunc_div
+
+    spark = events.sparkSession
+    schema = (
+        "n_groups long, n_total long, ssb_cents2 long, ssw_cents2 long,"
+        " f_stat_micros long, eta_sq_micros long"
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = (
+        events.select(F.col(group_col).alias("g"), cents.alias("c"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+        )
+        .collect()
+    )
+    g = len(per)
+    if g == 0:
+        return spark.createDataFrame([], schema)
+    n_tot = sum(int(r["n"]) for r in per)
+    s_tot = sum(int(r["s"]) for r in per)
+    q_tot = sum(int(r["q"]) for r in per)
+    sb_terms = sum(
+        _trunc_div(int(r["s"]) * int(r["s"]), int(r["n"])) for r in per
+    )
+    ssb = sb_terms - _trunc_div(s_tot * s_tot, n_tot)
+    ssw = q_tot - sb_terms
+    f_m = None
+    if g >= 2 and n_tot > g and ssw * (g - 1) > 0:
+        f_m = _trunc_div(1_000_000 * ssb * (n_tot - g), ssw * (g - 1))
+    eta = None
+    if ssb + ssw > 0:
+        eta = _trunc_div(1_000_000 * ssb, ssb + ssw)
+    return spark.createDataFrame(
+        [(g, n_tot, ssb, ssw, f_m, eta)], schema
+    )

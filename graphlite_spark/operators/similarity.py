@@ -1302,3 +1302,80 @@ def pca_top_component(
     )
     out = [(p, v[p], ratio, n) for p in range(d)]
     return spark.createDataFrame(out, schema)
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    shortlist: int = 32,
+    lam_milli: int = 700,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(rank, vec_id, dist_q, mmr_score) — Maximal-Marginal-Relevance
+    diversified top-k (Carbonell & Goldstein 1998, public literature)
+    against the corpus micro-centroid as the query: greedily pick the
+    candidate minimizing ``λ·dist_to_query − (1−λ)·min_dist_to_
+    already_selected`` — close to the query AND far from everything
+    chosen so far.  The de-redundancy step a retrieval pipeline runs on
+    an ANN shortlist before handing context to a model; with λ = 1 it
+    degrades to plain nearest-first, with λ = 0 to farthest-point
+    (k-center seeding, cf. :func:`kcenter` family).
+
+    Exactness: coordinates quantize to BIGINT micros; the query is the
+    truncating-division centroid (:func:`_centroid_micros`); λ rides in
+    THOUSANDTHS so every greedy score is an exact BIGINT (micro-λ would
+    pass 9.2e18 on far pairs); ties break (score, vec_id ASC).  The
+    first pick's score is λ·dist_q (empty-set penalty 0).
+
+    Scale shape: the N-scale work is one zero-shuffle codegen scoring
+    pass + one TakeOrderedAndProject for the ``shortlist`` nearest; the
+    O(shortlist²·k) greedy runs on collected literals (codebook
+    discipline — shortlist·d ints).  The same shape at 10^12 rows."""
+    from graphlite_spark.operators.kmeans import quantize_expr
+
+    spark = embeddings.sparkSession
+    schema = "rank int, vec_id long, dist_q long, mmr_score long"
+    qz = embeddings.select(
+        F.col(id_col).alias("vec_id"), quantize_expr(F.col(vec_col)).alias("qv")
+    )
+    cent = _centroid_micros(qz)
+    if cent is None:
+        return spark.createDataFrame([], schema)
+    c_lit = F.array(*[F.lit(c).cast("long") for c in cent])
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), c_lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    short = (
+        qz.select("vec_id", "qv", dist.alias("dq"))
+        .orderBy(F.col("dq").asc(), F.col("vec_id").asc())
+        .limit(shortlist)
+        .collect()
+    )
+    cand = [
+        (int(r["vec_id"]), int(r["dq"]), [int(x) for x in r["qv"]])
+        for r in short
+    ]
+    pen = 1000 - lam_milli
+    sel: list[tuple[int, list[int]]] = []
+    out = []
+    for rank in range(1, min(k, len(cand)) + 1):
+        best = None
+        for vid, dq, v in cand:
+            if any(vid == s[0] for s in sel):
+                continue
+            if sel:
+                mind = min(
+                    sum((a - b) * (a - b) for a, b in zip(v, sv))
+                    for _, sv in sel
+                )
+                score = lam_milli * dq - pen * mind
+            else:
+                score = lam_milli * dq
+            if best is None or (score, vid) < (best[0], best[1]):
+                best = (score, vid, dq, v)
+        out.append((rank, best[1], best[2], best[0]))
+        sel.append((best[1], best[3]))
+    return spark.createDataFrame(out, schema)

@@ -10607,3 +10607,98 @@ def hurst_rs_sql(window_sizes: tuple = (4, 8, 16)) -> str:
         "SELECT m.w, m.n_windows, m.mean_rs_micros, s.hurst\n"
         "FROM hrm m, hsl s"
     )
+
+
+def anova_oneway_sql(
+    group_col: str = "event_type", value_col: str = "value"
+) -> str:
+    """Mirror of operators.analytics.anova_oneway: per-group BIGINT
+    moments (cents = round(100·value)), HUGEINT sums of the truncating
+    S²/n terms, F and eta² as truncating-division micros — integer all
+    the way, so the comparison is hash-exact with no float rounding."""
+    return (
+        "WITH av_p AS MATERIALIZED (\n"
+        f"  SELECT {group_col} AS g, CAST(count(*) AS HUGEINT) AS n,\n"
+        "    CAST(SUM(c) AS HUGEINT) AS s,"
+        " CAST(SUM(c * c) AS HUGEINT) AS q\n"
+        f"  FROM (SELECT {group_col},"
+        f" CAST(round({value_col} * 100) AS BIGINT) AS c FROM events) t\n"
+        f"  GROUP BY {group_col}),\n"
+        "av_t AS MATERIALIZED (\n"
+        "  SELECT CAST(count(*) AS HUGEINT) AS g, SUM(n) AS n_tot,\n"
+        "    SUM(s) AS s_tot, SUM(q) AS q_tot,\n"
+        "    SUM((s * s) // n) AS sb_terms\n"
+        "  FROM av_p),\n"
+        "av_x AS MATERIALIZED (\n"
+        "  SELECT g, n_tot,\n"
+        "    sb_terms - (s_tot * s_tot) // n_tot AS ssb,\n"
+        "    q_tot - sb_terms AS ssw\n"
+        "  FROM av_t WHERE g > 0)\n"
+        "SELECT CAST(g AS BIGINT) AS n_groups,"
+        " CAST(n_tot AS BIGINT) AS n_total,\n"
+        "  CAST(ssb AS BIGINT) AS ssb_cents2,"
+        " CAST(ssw AS BIGINT) AS ssw_cents2,\n"
+        "  CAST(CASE WHEN g >= 2 AND n_tot > g AND ssw * (g - 1) > 0\n"
+        "    THEN (1000000 * ssb * (n_tot - g)) // (ssw * (g - 1))\n"
+        "    END AS BIGINT) AS f_stat_micros,\n"
+        "  CAST(CASE WHEN ssb + ssw > 0\n"
+        "    THEN (1000000 * ssb) // (ssb + ssw)\n"
+        "    END AS BIGINT) AS eta_sq_micros\n"
+        "FROM av_x"
+    )
+
+
+def mmr_topk_sql(
+    k: int = 5, shortlist: int = 32, lam_milli: int = 700
+) -> str:
+    """Mirror of operators.similarity.mmr_topk: the shared micro-
+    centroid CTEs, exact BIGINT distances, the shortlist as a
+    (dq, vec_id) LIMIT, then k UNROLLED greedy steps — each step scores
+    the remaining shortlist against the union of prior picks (min pair
+    distance via the scalar-range list fold) and takes the
+    (score, vec_id) minimum, exactly the engine's Python loop."""
+    lam = int(lam_milli)
+    pen = 1000 - lam
+    pd = (
+        "list_sum(list_transform(range(1, len(r.v) + 1),"
+        " j -> (r.v[j] - s.v[j]) * (r.v[j] - s.v[j])))"
+    )
+    parts = [
+        _CENTROID_CTES,
+        "mm_d AS MATERIALIZED (SELECT vec_id, v,\n"
+        "  CAST(list_sum(list_transform(range(1, len(v) + 1),\n"
+        "    j -> (v[j] - cv[j]) * (v[j] - cv[j]))) AS BIGINT) AS dq\n"
+        "  FROM co_q, co_cl)",
+        "mm_s AS MATERIALIZED (SELECT * FROM mm_d\n"
+        f"  ORDER BY dq, vec_id LIMIT {int(shortlist)})",
+        "sel1 AS MATERIALIZED (SELECT vec_id, v, dq,\n"
+        f"  CAST({lam} AS BIGINT) * dq AS score FROM mm_s\n"
+        "  ORDER BY dq, vec_id LIMIT 1)",
+        "selu1 AS MATERIALIZED (SELECT vec_id, v FROM sel1)",
+    ]
+    for i in range(2, int(k) + 1):
+        parts.append(
+            f"sc{i} AS (SELECT r.vec_id, r.v, r.dq,\n"
+            f"  CAST({lam} AS BIGINT) * r.dq - CAST({pen} AS BIGINT)\n"
+            f"    * MIN(CAST({pd} AS BIGINT)) AS score\n"
+            f"  FROM mm_s r, selu{i - 1} s\n"
+            f"  WHERE r.vec_id NOT IN (SELECT vec_id FROM selu{i - 1})\n"
+            "  GROUP BY r.vec_id, r.v, r.dq)"
+        )
+        parts.append(
+            f"sel{i} AS MATERIALIZED (SELECT vec_id, v, dq, score"
+            f" FROM sc{i}\n  ORDER BY score, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"selu{i} AS MATERIALIZED (SELECT vec_id, v FROM selu{i - 1}\n"
+            f"  UNION ALL SELECT vec_id, v FROM sel{i})"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS rank, vec_id, dq AS dist_q,\n"
+        f"  CAST(score AS BIGINT) AS mmr_score FROM sel{i}"
+        for i in range(1, int(k) + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "SELECT * FROM (\n" + union + "\n) u ORDER BY rank"
+    )

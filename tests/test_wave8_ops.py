@@ -1,0 +1,121 @@
+"""Wave-8 operators (one-way ANOVA, MMR re-rank) vs python brute force."""
+
+from __future__ import annotations
+
+
+def test_anova_oneway_matches_numpy(spark):
+    from graphlite_spark.operators.analytics import anova_oneway
+
+    rows = [
+        ("a", 1.00), ("a", 2.00), ("a", 3.00),
+        ("b", 4.00), ("b", 5.00), ("b", 6.00), ("b", 7.00),
+        ("c", 1.50), ("c", 1.50),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_type string, value double"
+    )
+    got = anova_oneway(events).collect()[0]
+    # hand computation in exact cents
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(round(v * 100))
+    n_tot = sum(len(v) for v in groups.values())
+    s_tot = sum(sum(v) for v in groups.values())
+    q_tot = sum(sum(x * x for x in v) for v in groups.values())
+    sb_terms = sum(sum(v) ** 2 // len(v) for v in groups.values())
+    ssb = sb_terms - (s_tot * s_tot) // n_tot
+    ssw = q_tot - sb_terms
+    g = len(groups)
+    assert got["n_groups"] == g
+    assert got["n_total"] == n_tot
+    assert got["ssb_cents2"] == ssb
+    assert got["ssw_cents2"] == ssw
+    assert got["f_stat_micros"] == (
+        1_000_000 * ssb * (n_tot - g)
+    ) // (ssw * (g - 1))
+    assert got["eta_sq_micros"] == 1_000_000 * ssb // (ssb + ssw)
+    # cross-check F against the float formula (micros within 1)
+    msb = ssb / (g - 1)
+    msw = ssw / (n_tot - g)
+    assert abs(got["f_stat_micros"] / 1e6 - msb / msw) < 2e-6
+
+
+def test_anova_oneway_single_group_null_f(spark):
+    from graphlite_spark.operators.analytics import anova_oneway
+
+    events = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "event_type string, value double"
+    )
+    got = anova_oneway(events).collect()[0]
+    assert got["n_groups"] == 1
+    assert got["f_stat_micros"] is None
+
+
+def test_mmr_topk_diversifies(spark):
+    from graphlite_spark.operators.similarity import mmr_topk
+
+    # two tight clusters around the centroid: nearest-first would take
+    # both members of the near twin-pair; MMR must split across clusters
+    vecs = [
+        (1, [0.10, 0.00]),   # near cluster A
+        (2, [0.11, 0.00]),   # near cluster A (twin of 1)
+        (3, [-0.12, 0.00]),  # cluster B, slightly farther
+        (4, [0.00, 0.50]),   # far outlier
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    )
+    got = mmr_topk(emb, k=3, shortlist=4, lam_milli=500)
+    rows = {r["rank"]: r for r in got.collect()}
+    picked = [rows[i]["vec_id"] for i in sorted(rows)]
+    # brute-force replica of the greedy in exact micros
+    cents = [
+        sum(round(v[j] * 1e6) for _, v in vecs) for j in range(2)
+    ]
+    cent = [
+        (abs(c) // len(vecs)) * (1 if c >= 0 else -1) for c in cents
+    ]
+    q = {
+        i: [round(v[j] * 1e6) for j in range(2)] for i, v in vecs
+    }
+    dq = {
+        i: sum((q[i][j] - cent[j]) ** 2 for j in range(2)) for i in q
+    }
+    sel = []
+    for _ in range(3):
+        best = None
+        for i in q:
+            if i in sel:
+                continue
+            if sel:
+                mind = min(
+                    sum((q[i][j] - q[s][j]) ** 2 for j in range(2))
+                    for s in sel
+                )
+                score = 500 * dq[i] - 500 * mind
+            else:
+                score = 500 * dq[i]
+            if best is None or (score, i) < best:
+                best = (score, i)
+        sel.append(best[1])
+    assert picked == sel
+    # the twin pair (1, 2) must NOT both be picked at lambda = 0.5
+    assert not ({1, 2} <= set(picked))
+    assert rows[1]["mmr_score"] == 500 * dq[sel[0]]
+
+
+def test_mmr_topk_lambda_one_is_nearest_first(spark):
+    from graphlite_spark.operators.similarity import mmr_topk
+
+    vecs = [(i, [float(i) / 10.0, 0.0]) for i in range(1, 7)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    )
+    got = mmr_topk(emb, k=3, shortlist=6, lam_milli=1000)
+    by_rank = [
+        r["vec_id"] for r in sorted(got.collect(), key=lambda r: r["rank"])
+    ]
+    nearest = mmr_topk(emb, k=6, shortlist=6, lam_milli=1000)
+    dqs = {r["vec_id"]: r["dist_q"] for r in nearest.collect()}
+    expect = sorted(dqs, key=lambda i: (dqs[i], i))[:3]
+    assert by_rank == expect
