@@ -3072,6 +3072,24 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_spearman_activity_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Spearman rank correlation (tie-correct doubled average ranks)
+    # between per-user activity count and total value
+    from graphlite_spark.operators.analytics import spearman_activity_value
+
+    return spearman_activity_value(load_table(spark, sf_dir, "events"))
+
+
+def q_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single best binary-segmentation changepoint of the daily series:
+    # the level-shift locator behind cusum's sequential alarm
+    from graphlite_spark.operators.analytics import binseg_changepoint
+
+    return binseg_changepoint(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3915,6 +3933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hurst_rs": q_hurst_rs,
         "anova_value_by_type": q_anova_value_by_type,
         "mmr_diversified_topk": q_mmr_diversified_topk,
+        "spearman_activity_value": q_spearman_activity_value,
+        "binseg_changepoint": q_binseg_changepoint,
     }
 
 
@@ -4152,6 +4172,8 @@ def oracle_sql() -> dict[str, str]:
         "hurst_rs": O.hurst_rs_sql((4, 8, 16)),
         "anova_value_by_type": O.anova_oneway_sql(),
         "mmr_diversified_topk": O.mmr_topk_sql(5, 32, 700),
+        "spearman_activity_value": O.spearman_activity_value_sql(),
+        "binseg_changepoint": O.binseg_changepoint_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

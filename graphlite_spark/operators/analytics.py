@@ -3143,3 +3143,179 @@ def anova_oneway(
     return spark.createDataFrame(
         [(g, n_tot, ssb, ssw, f_m, eta)], schema
     )
+
+
+def spearman_activity_value(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """One row (n_users, num_xy, den_x, den_y, rho_spearman) —
+    Spearman rank correlation between each user's event COUNT and
+    total VALUE: does being more active go with spending more, robust
+    to the heavy tails both distributions carry (Pearson on the raw
+    pair would be dominated by the top spenders)?  The monotone-
+    association companion to :func:`ols_user_value`'s linear fit and
+    :func:`behavior_correlations`' per-pair Pearson.
+
+    Exactness: proper tie handling via AVERAGE ranks carried as
+    DOUBLED integers (a tie group starting after ``cb`` smaller users
+    with ``ct`` members has 2·avg_rank = 2·cb + ct + 1 — always an
+    exact BIGINT); the five Pearson moments over the doubled ranks are
+    exact BIGINT sums, and ρ is ONE closed-form double
+    (num / sqrt(den_x·den_y), each factor cast int→double before the
+    product so nothing passes 9.2e18), rounded 6dp.  NULL ρ when
+    either margin is constant.
+
+    Scale shape: one map-side-combined groupBy to the per-user table;
+    each rank table is a groupBy to DISTINCT values + one ordered
+    prefix window over that value table (vocabulary-sized for counts;
+    at most user-sized for value totals — the global-order step any
+    exact ranking needs, stated); two equi-joins back; one single-row
+    aggregate."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(cents).cast("long").alias("val"),
+    )
+
+    def rank2(frame: DataFrame, col: str, out: str) -> DataFrame:
+        voc = frame.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("ct")
+        )
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        r = voc.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("ct").over(w), F.lit(0))
+                + F.col("ct")
+                + 1
+            ).cast("long").alias(out),
+        )
+        return frame.join(r, col)
+
+    ranked = rank2(rank2(per, "cnt", "rx"), "val", "ry")
+    ag = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "long"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "long"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "long"
+    )
+    return ag.select(
+        F.col("n").alias("n_users"),
+        num.alias("num_xy"),
+        dx.alias("den_x"),
+        dy.alias("den_y"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num
+                / F.sqrt(dx.cast("double") * dy.cast("double")),
+                6,
+            ),
+        ).alias("rho_spearman"),
+    )
+
+
+def binseg_changepoint(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (split_x, n_days, sse_total_micros, sse_split_micros,
+    gain_micros, mean_left_micros, mean_right_micros) — the single
+    best binary-segmentation changepoint of the zero-filled DAILY
+    event-count series: the split day x (left = days 0..x, right =
+    x+1..D−1, both non-empty) minimizing SSE_left + SSE_right, ties to
+    the earliest day.  The level-shift locator behind
+    :func:`cusum_changepoint`'s sequential alarm and
+    :func:`daily_anomaly_z`'s pointwise flags: WHERE did the traffic
+    regime change, and how much variance does one split explain?
+
+    Exactness: daily counts are exact BIGINTs on the calendar spine
+    (the :func:`hurst_rs` device); prefix sums give each segment's
+    (n, S, Q); every SSE is ``10⁶·Q − (10⁶·S²) div n`` — truncating
+    integer division mirrored by DuckDB ``//`` — so the argmin and all
+    outputs are hash-exact integers, no float anywhere.
+
+    Scale shape: one map-side daily groupBy over the facts; the split
+    scan is one prefix window + one TakeOrderedAndProject over the
+    calendar-bounded day table (D rows — never data-sized)."""
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    pts = (
+        rng.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+            "lo",
+        )
+        .join(daily, "d", "left")
+        .select(
+            (F.col("d") - F.col("lo")).cast("long").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    pre = pts.select(
+        "x",
+        F.sum("y").over(w).cast("long").alias("cs"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("cq"),
+    )
+    tot = pre.agg(
+        F.max(F.col("x") + 1).cast("long").alias("dd"),
+        F.max("cs").cast("long").alias("s"),
+        F.max("cq").cast("long").alias("q"),
+    )
+    j = pre.crossJoin(F.broadcast(tot)).where(
+        F.col("x") + 1 < F.col("dd")
+    )
+    scored = j.select(
+        "x",
+        "dd",
+        F.expr("x + 1").cast("long").alias("nl"),
+        F.expr("dd - x - 1").cast("long").alias("nr"),
+        F.col("cs").alias("sl"),
+        F.expr("s - cs").cast("long").alias("sr"),
+        F.expr(
+            "1000000 * q"
+            " - (1000000 * cs * cs) div (x + 1)"
+            " - (1000000 * (s - cs) * (s - cs)) div (dd - x - 1)"
+        ).cast("long").alias("sse_split_micros"),
+        F.expr("1000000 * q - (1000000 * s * s) div dd")
+        .cast("long").alias("sse_total_micros"),
+    )
+    best = (
+        scored.orderBy(F.col("sse_split_micros").asc(), F.col("x").asc())
+        .limit(1)
+        .select(
+            F.col("x").alias("split_x"),
+            F.col("dd").alias("n_days"),
+            "sse_total_micros",
+            "sse_split_micros",
+            (
+                F.col("sse_total_micros") - F.col("sse_split_micros")
+            ).cast("long").alias("gain_micros"),
+            F.expr("(1000000 * sl) div nl").cast("long").alias(
+                "mean_left_micros"
+            ),
+            F.expr("(1000000 * sr) div nr").cast("long").alias(
+                "mean_right_micros"
+            ),
+        )
+    )
+    return best

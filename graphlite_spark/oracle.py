@@ -10702,3 +10702,92 @@ def mmr_topk_sql(
         "WITH " + ",\n".join(parts) + "\n"
         + "SELECT * FROM (\n" + union + "\n) u ORDER BY rank"
     )
+
+
+def spearman_activity_value_sql(
+    user_col: str = "user_id", value_col: str = "value"
+) -> str:
+    """Mirror of operators.analytics.spearman_activity_value: per-user
+    BIGINT (count, cents) pair, doubled average ranks via the distinct-
+    value prefix window (2·cb + ct + 1), exact BIGINT Pearson moments
+    over the doubled ranks, ρ as one rounded double with each variance
+    factor cast to double before the product."""
+    return (
+        "WITH sp_u AS MATERIALIZED (\n"
+        f"  SELECT {user_col} AS u, CAST(count(*) AS BIGINT) AS cnt,\n"
+        f"    CAST(SUM(CAST(round({value_col} * 100) AS BIGINT))"
+        " AS BIGINT) AS val\n"
+        f"  FROM events GROUP BY {user_col}),\n"
+        "sp_rx AS MATERIALIZED (\n"
+        "  SELECT cnt, CAST(2 * COALESCE(SUM(ct) OVER (ORDER BY cnt\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        ", 0) AS BIGINT) + ct + 1 AS rx\n"
+        "  FROM (SELECT cnt, CAST(count(*) AS BIGINT) AS ct FROM sp_u\n"
+        "        GROUP BY cnt) t),\n"
+        "sp_ry AS MATERIALIZED (\n"
+        "  SELECT val, CAST(2 * COALESCE(SUM(ct) OVER (ORDER BY val\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        ", 0) AS BIGINT) + ct + 1 AS ry\n"
+        "  FROM (SELECT val, CAST(count(*) AS BIGINT) AS ct FROM sp_u\n"
+        "        GROUP BY val) t),\n"
+        "sp_m AS MATERIALIZED (\n"
+        "  SELECT CAST(count(*) AS BIGINT) AS n,\n"
+        "    CAST(SUM(rx) AS BIGINT) AS sx,"
+        " CAST(SUM(ry) AS BIGINT) AS sy,\n"
+        "    CAST(SUM(rx * rx) AS BIGINT) AS sxx,\n"
+        "    CAST(SUM(ry * ry) AS BIGINT) AS syy,\n"
+        "    CAST(SUM(rx * ry) AS BIGINT) AS sxy\n"
+        "  FROM sp_u JOIN sp_rx USING (cnt) JOIN sp_ry USING (val))\n"
+        "SELECT n AS n_users,\n"
+        "  CAST(n * sxy - sx * sy AS BIGINT) AS num_xy,\n"
+        "  CAST(n * sxx - sx * sx AS BIGINT) AS den_x,\n"
+        "  CAST(n * syy - sy * sy AS BIGINT) AS den_y,\n"
+        "  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0\n"
+        "    THEN round((n * sxy - sx * sy) /\n"
+        "      sqrt(CAST(n * sxx - sx * sx AS DOUBLE)\n"
+        "        * CAST(n * syy - sy * sy AS DOUBLE)), 6)\n"
+        "    END AS rho_spearman\n"
+        "FROM sp_m WHERE n > 0"
+    )
+
+
+def binseg_changepoint_sql() -> str:
+    """Mirror of operators.analytics.binseg_changepoint: the zero-
+    filled day spine (hurst_rs device), BIGINT prefix sums, SSE as
+    ``10⁶·Q − (10⁶·S²) // n`` per side, (sse, x) argmin via LIMIT 1."""
+    return (
+        "WITH bs_d AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "bs_r AS (SELECT min(d) AS lo, max(d) AS hi FROM bs_d),\n"
+        "bs_p AS MATERIALIZED (\n"
+        "  SELECT CAST(s.d - s.lo AS BIGINT) AS x,\n"
+        "    CAST(COALESCE(t.y, 0) AS BIGINT) AS y\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d, lo FROM bs_r) s\n"
+        "  LEFT JOIN bs_d t USING (d)),\n"
+        "bs_c AS MATERIALIZED (\n"
+        "  SELECT x,\n"
+        "    CAST(SUM(y) OVER (ORDER BY x) AS BIGINT) AS cs,\n"
+        "    CAST(SUM(y * y) OVER (ORDER BY x) AS BIGINT) AS cq\n"
+        "  FROM bs_p),\n"
+        "bs_t AS (SELECT CAST(MAX(x) + 1 AS BIGINT) AS dd,\n"
+        "    CAST(MAX(cs) AS BIGINT) AS s, CAST(MAX(cq) AS BIGINT) AS q\n"
+        "  FROM bs_c)\n"
+        "SELECT x AS split_x, dd AS n_days,\n"
+        "  CAST(1000000 * q - (1000000 * s * s) // dd AS BIGINT)"
+        " AS sse_total_micros,\n"
+        "  CAST(1000000 * q - (1000000 * cs * cs) // (x + 1)\n"
+        "    - (1000000 * (s - cs) * (s - cs)) // (dd - x - 1)"
+        " AS BIGINT) AS sse_split_micros,\n"
+        "  CAST((1000000 * s * s) // dd * -1\n"
+        "    + (1000000 * cs * cs) // (x + 1)\n"
+        "    + (1000000 * (s - cs) * (s - cs)) // (dd - x - 1)"
+        " AS BIGINT) AS gain_micros,\n"
+        "  CAST((1000000 * cs) // (x + 1) AS BIGINT)"
+        " AS mean_left_micros,\n"
+        "  CAST((1000000 * (s - cs)) // (dd - x - 1) AS BIGINT)"
+        " AS mean_right_micros\n"
+        "FROM bs_c, bs_t WHERE x + 1 < dd\n"
+        "ORDER BY sse_split_micros, x LIMIT 1"
+    )

@@ -119,3 +119,115 @@ def test_mmr_topk_lambda_one_is_nearest_first(spark):
     dqs = {r["vec_id"]: r["dist_q"] for r in nearest.collect()}
     expect = sorted(dqs, key=lambda i: (dqs[i], i))[:3]
     assert by_rank == expect
+
+
+def test_spearman_matches_scipy_formula(spark):
+    from graphlite_spark.operators.analytics import spearman_activity_value
+
+    # users with (count, value) pairs incl. ties in both margins
+    rows = []
+    data = {
+        1: [1.0, 2.0, 3.0],          # cnt 3, val 600
+        2: [5.0],                    # cnt 1, val 500
+        3: [2.0, 2.0, 2.0],          # cnt 3 (tie), val 600 (tie)
+        4: [1.0, 1.0],               # cnt 2, val 200
+        5: [10.0, 10.0, 10.0, 1.0],  # cnt 4, val 3100
+    }
+    for u, vals in data.items():
+        for v in vals:
+            rows.append((u, v))
+    events = spark.createDataFrame(rows, "user_id long, value double")
+    got = spearman_activity_value(events).collect()[0]
+    # reference: average ranks + Pearson, in pure python
+    cnts = {u: len(v) for u, v in data.items()}
+    vals = {u: round(sum(v) * 100) for u, v in data.items()}
+
+    def avg_ranks(m):
+        s = sorted(m.values())
+        return {
+            u: (s.index(x) + 1 + s.index(x) + s.count(x)) / 2
+            for u, x in m.items()
+        }
+
+    rx = avg_ranks(cnts)
+    ry = avg_ranks(vals)
+    n = len(data)
+    sx = sum(rx.values()); sy = sum(ry.values())
+    sxx = sum(x * x for x in rx.values())
+    syy = sum(y * y for y in ry.values())
+    sxy = sum(rx[u] * ry[u] for u in data)
+    import math
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert got["n_users"] == n
+    assert abs(got["rho_spearman"] - rho) < 1e-6
+    # doubled-rank identities
+    assert got["num_xy"] == round(4 * (n * sxy - sx * sy))
+    assert got["den_x"] == round(4 * (n * sxx - sx * sx))
+
+
+def test_spearman_perfect_monotone(spark):
+    from graphlite_spark.operators.analytics import spearman_activity_value
+
+    rows = []
+    for u in range(1, 6):
+        for _ in range(u):
+            rows.append((u, float(u)))
+    events = spark.createDataFrame(rows, "user_id long, value double")
+    got = spearman_activity_value(events).collect()[0]
+    assert got["rho_spearman"] == 1.0
+
+
+def test_binseg_finds_level_shift(spark):
+    from graphlite_spark.operators.analytics import binseg_changepoint
+    from datetime import datetime, timedelta
+
+    # 6 days at ~2/day then 6 days at ~10/day: split must land at x=5
+    rows = []
+    base = datetime(2026, 1, 1)
+    counts = [2, 2, 2, 2, 2, 2, 10, 10, 10, 10, 10, 10]
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + timedelta(days=d, hours=1)))
+            eid += 1
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = binseg_changepoint(events).collect()[0]
+    assert got["n_days"] == 12
+    assert got["split_x"] == 5
+    assert got["sse_split_micros"] == 0
+    assert got["mean_left_micros"] == 2_000_000
+    assert got["mean_right_micros"] == 10_000_000
+    assert got["gain_micros"] == got["sse_total_micros"]
+    # sse_total = 1e6*Q - (1e6*S^2) div D exactly
+    s = sum(counts); q = sum(c * c for c in counts)
+    assert got["sse_total_micros"] == 1_000_000 * q - (
+        1_000_000 * s * s
+    ) // 12
+
+
+def test_binseg_brute_force_parity(spark):
+    from graphlite_spark.operators.analytics import binseg_changepoint
+    from datetime import datetime, timedelta
+
+    rows = []
+    base = datetime(2026, 3, 1)
+    counts = [5, 1, 4, 4, 9, 2, 8, 3]
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + timedelta(days=d, hours=3)))
+            eid += 1
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = binseg_changepoint(events).collect()[0]
+
+    def sse(seg):
+        s = sum(seg); q = sum(x * x for x in seg)
+        return 1_000_000 * q - (1_000_000 * s * s) // len(seg)
+
+    best = min(
+        (sse(counts[: x + 1]) + sse(counts[x + 1 :]), x)
+        for x in range(len(counts) - 1)
+    )
+    assert (got["sse_split_micros"], got["split_x"]) == best
