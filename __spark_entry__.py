@@ -3090,6 +3090,22 @@ def q_binseg_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binseg_changepoint(load_table(spark, sf_dir, "events"))
 
 
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact Shapley-value conversion attribution over touch channels:
+    # the axiomatic member of the touch/position/markov family
+    from graphlite_spark.operators.temporal import shapley_attribution
+
+    return shapley_attribution(load_table(spark, sf_dir, "events"))
+
+
+def q_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-step-ahead MASE backtest: does the EWMA smoother beat the
+    # naive persistence forecast on the daily series?
+    from graphlite_spark.operators.analytics import forecast_backtest_mase
+
+    return forecast_backtest_mase(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3935,6 +3951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_diversified_topk": q_mmr_diversified_topk,
         "spearman_activity_value": q_spearman_activity_value,
         "binseg_changepoint": q_binseg_changepoint,
+        "shapley_attribution": q_shapley_attribution,
+        "forecast_backtest_mase": q_forecast_backtest_mase,
     }
 
 
@@ -4174,6 +4192,8 @@ def oracle_sql() -> dict[str, str]:
         "mmr_diversified_topk": O.mmr_topk_sql(5, 32, 700),
         "spearman_activity_value": O.spearman_activity_value_sql(),
         "binseg_changepoint": O.binseg_changepoint_sql(),
+        "shapley_attribution": O.shapley_attribution_sql(),
+        "forecast_backtest_mase": O.forecast_backtest_mase_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -3319,3 +3319,57 @@ def binseg_changepoint(
         )
     )
     return best
+
+
+def forecast_backtest_mase(
+    events: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_days, mae_naive_micros, mae_ewma_micros,
+    mase_micros) — one-step-ahead forecast BACKTEST of the
+    :func:`ewma_daily` smoother against the naive forecast
+    (ŷ_t = y_{t−1}) on the zero-filled daily count series: MASE < 10⁶
+    (i.e. < 1) means the smoother genuinely beats persistence
+    (Hyndman & Koehler 2006, public literature) — the accept/reject
+    gate before trusting :func:`holt_linear`-style extrapolations.
+
+    Both error series cover exactly days 1..D−1 (the t = 0 forecast
+    is undefined for both models, NULL-skipped identically), so the
+    MAE denominators agree and ``mase_micros =
+    (10⁶·Σ|ewma resid|) div Σ|naive err|`` needs no day alignment.
+
+    Exactness: ewma residuals are already exact truncated micros; the
+    naive error is ``10⁶·|y_t − y_{t−1}|`` exactly; both sums are
+    BIGINT; the three outputs are truncating divisions.  NULL MASE
+    when the naive error sum is zero (constant series).
+
+    Scale shape: inherits :func:`ewma_daily`'s one daily groupBy +
+    calendar-bounded fold; the backtest adds one lag window and one
+    single-row aggregate over the day table."""
+    ew = ewma_daily(events, alpha_num, alpha_den, ts_col)
+    w = Window.orderBy("d")
+    errs = ew.select(
+        "resid_micros",
+        (
+            1_000_000 * F.abs(F.col("y") - F.lag("y").over(w))
+        ).cast("long").alias("naive_err"),
+    )
+    ag = errs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(F.col("resid_micros"))).cast("long").alias("se"),
+        F.sum("naive_err").cast("long").alias("sn"),
+    )
+    return ag.select(
+        "n_days",
+        F.when(
+            F.col("n_days") > 1, F.expr("sn div (n_days - 1)")
+        ).cast("long").alias("mae_naive_micros"),
+        F.when(
+            F.col("n_days") > 1, F.expr("se div (n_days - 1)")
+        ).cast("long").alias("mae_ewma_micros"),
+        F.when(
+            F.col("sn") > 0, F.expr("(1000000 * se) div sn")
+        ).cast("long").alias("mase_micros"),
+    )

@@ -747,3 +747,113 @@ def transition_latency(
         F.lag("ts_us").over(w).alias("prev"),
     ).where(F.col("prev").isNotNull()).drop("prev")
     return grouped_quantiles(pairs, "transition", "gap_s", percents)
+
+
+def shapley_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    max_channels: int = 12,
+) -> DataFrame:
+    """(channel, n_channels, phi_num, phi_micros) — exact SHAPLEY-value
+    conversion attribution over the touch channels (every event type
+    except ``conversion_type``), completing the attribution family:
+    :func:`touch_attribution` is first/last-heuristic,
+    :func:`position_attribution` positional, markov_attribution
+    removal-effect — Shapley is the unique allocation satisfying
+    efficiency/symmetry/dummy (Shapley 1953, public literature), with
+    the coalition worth v(S) = number of CONVERTED users whose touch
+    set is contained in S (the Zhao et al. 2018 simplification).
+
+    ``phi_num`` is n!·φ(channel) — an exact integer, because every
+    marginal weight |S|!·(n−1−|S|)! is integral — and ``phi_micros``
+    its truncating-division micros.  Efficiency holds exactly:
+    Σ phi_num = n!·(v(all) − v(∅)), with v(∅) the purchase-only users
+    no channel can claim.
+
+    Exactness: the distributed pass is one bit-or groupBy to a user
+    bitmask + converted flag and one groupBy to the ≤2ⁿ (mask, count)
+    table, which collects (codebook discipline); the 2ⁿ·2ⁿ subset scan
+    and the factorial weights run in arbitrary-precision Python ints,
+    mirrored by HUGEINT factorial()/bit_count() in the oracle.  Raises
+    on more than ``max_channels`` channels (2ⁿ blow-up is the caller's
+    explicit opt-in, the loud-guard convention).
+
+    Scale shape: two map-side-combined groupBys over the facts; the
+    driver sees ≤2ⁿ rows of two longs regardless of N."""
+    from math import factorial
+
+    from graphlite_spark.operators.similarity import _trunc_div
+
+    spark = events.sparkSession
+    schema = (
+        "channel string, n_channels long, phi_num long, phi_micros long"
+    )
+    chans = sorted(
+        r["t"]
+        for r in events.select(F.col(type_col).alias("t"))
+        .distinct()
+        .collect()
+        if r["t"] != conversion_type and r["t"] is not None
+    )
+    n = len(chans)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    if n > max_channels:
+        raise ValueError(
+            f"shapley_attribution: {n} channels would enumerate 2^{n} "
+            f"coalitions; raise max_channels past {max_channels} to "
+            "opt in explicitly"
+        )
+    quoted = ", ".join("'" + c.replace("'", "''") + "'" for c in chans)
+    enc = events.select(
+        F.col(user_col).alias("u"),
+        (F.col(type_col) == conversion_type).cast("int").alias("conv"),
+        F.when(
+            F.col(type_col) != conversion_type,
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast("
+                f"array_position(array({quoted}), {type_col}) - 1"
+                " as int))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bit"),
+    )
+    per = enc.groupBy("u").agg(
+        F.bit_or("bit").cast("long").alias("mask"),
+        F.max("conv").alias("conv"),
+    )
+    bymask = (
+        per.where(F.col("conv") == 1)
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    )
+    conv_by_mask = {int(r["mask"]): int(r["cnt"]) for r in bymask}
+
+    vcache = {}
+
+    def v(s: int) -> int:
+        if s not in vcache:
+            vcache[s] = sum(
+                c for m, c in conv_by_mask.items() if m & ~s == 0
+            )
+        return vcache[s]
+
+    nf = factorial(n)
+    out = []
+    for ci, ch in enumerate(chans):
+        bit = 1 << ci
+        phi = 0
+        for s in range(1 << n):
+            if s & bit:
+                continue
+            w = factorial(bin(s).count("1")) * factorial(
+                n - 1 - bin(s).count("1")
+            )
+            phi += w * (v(s | bit) - v(s))
+        out.append((ch, n, phi, _trunc_div(1_000_000 * phi, nf)))
+    return spark.createDataFrame(out, schema)

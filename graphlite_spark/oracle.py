@@ -10791,3 +10791,80 @@ def binseg_changepoint_sql() -> str:
         "FROM bs_c, bs_t WHERE x + 1 < dd\n"
         "ORDER BY sse_split_micros, x LIMIT 1"
     )
+
+
+def shapley_attribution_sql(conversion_type: str = "purchase") -> str:
+    """Mirror of operators.temporal.shapley_attribution: bit-or user
+    masks over alphabetically-indexed channels, the ≤2ⁿ (mask, count)
+    table, v(S) by containment scan, and the exact n!-scaled Shapley
+    sum via HUGEINT factorial()/bit_count() — '//' mirrors the
+    engine's truncating division for phi_micros."""
+    ct = conversion_type.replace("'", "''")
+    return (
+        "WITH sh_c AS MATERIALIZED (\n"
+        "  SELECT t AS channel,\n"
+        "    CAST(row_number() OVER (ORDER BY t) - 1 AS BIGINT) AS ci\n"
+        "  FROM (SELECT DISTINCT event_type AS t FROM events\n"
+        f"        WHERE event_type != '{ct}'"
+        " AND event_type IS NOT NULL) d),\n"
+        "sh_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sh_c),\n"
+        "sh_u AS MATERIALIZED (\n"
+        "  SELECT e.user_id AS u,\n"
+        "    CAST(COALESCE(bit_or(CASE WHEN c.ci IS NOT NULL\n"
+        "      THEN (CAST(1 AS BIGINT) << c.ci) ELSE 0 END), 0)"
+        " AS BIGINT) AS mask,\n"
+        f"    MAX(CASE WHEN e.event_type = '{ct}' THEN 1 ELSE 0 END)"
+        " AS conv\n"
+        "  FROM events e LEFT JOIN sh_c c ON c.channel = e.event_type\n"
+        "  GROUP BY e.user_id),\n"
+        "sh_m AS MATERIALIZED (\n"
+        "  SELECT mask, CAST(count(*) AS BIGINT) AS cnt FROM sh_u\n"
+        "  WHERE conv = 1 GROUP BY mask),\n"
+        "sh_s AS MATERIALIZED (\n"
+        "  SELECT s.S,\n"
+        "    (SELECT CAST(COALESCE(SUM(m.cnt), 0) AS HUGEINT)\n"
+        "     FROM sh_m m WHERE (m.mask & ~s.S) = 0) AS v\n"
+        "  FROM (SELECT unnest(range(0, (CAST(1 AS BIGINT) << n)))"
+        " AS S FROM sh_n) s)\n"
+        "SELECT c.channel, n.n AS n_channels,\n"
+        "  CAST(SUM(factorial(bit_count(s.S))\n"
+        "    * factorial(CAST(n.n AS INT) - 1 - bit_count(s.S))\n"
+        "    * (v2.v - s.v)) AS BIGINT) AS phi_num,\n"
+        "  CAST((1000000 * SUM(factorial(bit_count(s.S))\n"
+        "    * factorial(CAST(n.n AS INT) - 1 - bit_count(s.S))\n"
+        "    * (v2.v - s.v))) // factorial(CAST(n.n AS INT))"
+        " AS BIGINT) AS phi_micros\n"
+        "FROM sh_c c CROSS JOIN sh_n n CROSS JOIN sh_s s\n"
+        "JOIN sh_s v2 ON v2.S = (s.S | (CAST(1 AS BIGINT) << c.ci))\n"
+        "WHERE (s.S & (CAST(1 AS BIGINT) << c.ci)) = 0\n"
+        "GROUP BY c.channel, n.n\n"
+        "ORDER BY c.channel"
+    )
+
+
+def forecast_backtest_mase_sql(
+    alpha_num: int = 1, alpha_den: int = 4
+) -> str:
+    """Mirror of operators.analytics.forecast_backtest_mase: the
+    ewma_daily recursive fold as a nested subquery (a CTE body may
+    open its own WITH RECURSIVE), then the lag-window naive error and
+    the three truncating-division outputs."""
+    return (
+        "WITH mb AS MATERIALIZED (\n"
+        f"  SELECT * FROM ({ewma_daily_sql(alpha_num, alpha_den)}) t),\n"
+        "md AS (SELECT resid_micros,\n"
+        "    1000000 * ABS(y - lag(y) OVER (ORDER BY d)) AS dn\n"
+        "  FROM mb),\n"
+        "ma AS (SELECT CAST(count(*) AS BIGINT) AS n_days,\n"
+        "    CAST(SUM(ABS(resid_micros)) AS BIGINT) AS se,\n"
+        "    CAST(SUM(dn) AS BIGINT) AS sn\n"
+        "  FROM md)\n"
+        "SELECT n_days,\n"
+        "  CAST(CASE WHEN n_days > 1 THEN sn // (n_days - 1) END"
+        " AS BIGINT) AS mae_naive_micros,\n"
+        "  CAST(CASE WHEN n_days > 1 THEN se // (n_days - 1) END"
+        " AS BIGINT) AS mae_ewma_micros,\n"
+        "  CAST(CASE WHEN sn > 0 THEN (1000000 * se) // sn END"
+        " AS BIGINT) AS mase_micros\n"
+        "FROM ma"
+    )

@@ -231,3 +231,95 @@ def test_binseg_brute_force_parity(spark):
         for x in range(len(counts) - 1)
     )
     assert (got["sse_split_micros"], got["split_x"]) == best
+
+
+def test_shapley_attribution_axioms(spark):
+    from graphlite_spark.operators.temporal import shapley_attribution
+    from math import factorial
+
+    # channels a, b, c; conversion type 'buy'
+    # u1 touched {a}, converted; u2 touched {a,b}, converted;
+    # u3 touched {b}, not converted; u4 touched {c}, converted;
+    # u5 converted with no touches (baseline v(empty))
+    rows = []
+    touches = {
+        1: (["a"], True),
+        2: (["a", "b"], True),
+        3: (["b"], False),
+        4: (["c"], True),
+        5: ([], True),
+    }
+    for u, (ts, conv) in touches.items():
+        for t in ts:
+            rows.append((u, t))
+        if conv:
+            rows.append((u, "buy"))
+    events = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        r["channel"]: r
+        for r in shapley_attribution(events, conversion_type="buy").collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    n = 3
+    # brute-force Shapley from first principles
+    masks = {"a": 1, "b": 2, "c": 4}
+    conv_masks = [1, 3, 4, 0]  # u1, u2, u4, u5
+
+    def v(S):
+        return sum(1 for m in conv_masks if m & ~S == 0)
+
+    for ch, bit in masks.items():
+        phi = 0
+        for S in range(8):
+            if S & bit:
+                continue
+            k = bin(S).count("1")
+            phi += factorial(k) * factorial(n - 1 - k) * (v(S | bit) - v(S))
+        assert got[ch]["phi_num"] == phi, ch
+        assert got[ch]["phi_micros"] == 1_000_000 * phi // factorial(n)
+    # efficiency: sum phi_num == n! * (v(all) - v(empty))
+    assert sum(r["phi_num"] for r in got.values()) == factorial(n) * (
+        v(7) - v(0)
+    )
+    # full-claim axiom: u4 is reachable only through c, so c is paid
+    # exactly that one conversion: phi_c = 1, i.e. phi_num = n!
+    assert got["c"]["phi_num"] == factorial(n)
+
+
+def test_shapley_channel_guard(spark):
+    import pytest
+    from graphlite_spark.operators.temporal import shapley_attribution
+
+    rows = [(1, f"t{i}") for i in range(15)] + [(1, "buy")]
+    events = spark.createDataFrame(rows, "user_id long, event_type string")
+    with pytest.raises(ValueError, match="max_channels"):
+        shapley_attribution(events, conversion_type="buy")
+
+
+def test_forecast_backtest_mase_hand(spark):
+    from graphlite_spark.operators.analytics import forecast_backtest_mase
+    from datetime import datetime, timedelta
+
+    counts = [4, 8, 2, 6, 10]
+    rows = []
+    base = datetime(2026, 5, 1)
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + timedelta(days=d, hours=2)))
+            eid += 1
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = forecast_backtest_mase(events, 1, 4).collect()[0]
+    # replicate: ewma s_t = (1e6*y_t + 3*s_{t-1}) div 4, resid = 1e6*y_t - s_{t-1}
+    s = 1_000_000 * counts[0]
+    se = 0
+    sn = 0
+    for t in range(1, len(counts)):
+        se += abs(1_000_000 * counts[t] - s)
+        sn += 1_000_000 * abs(counts[t] - counts[t - 1])
+        raw = 1_000_000 * counts[t] + 3 * s
+        s = (raw - raw % 4) // 4
+    assert got["n_days"] == 5
+    assert got["mae_naive_micros"] == sn // 4
+    assert got["mae_ewma_micros"] == se // 4
+    assert got["mase_micros"] == (1_000_000 * se) // sn
