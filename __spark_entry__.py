@@ -3106,6 +3106,22 @@ def q_forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forecast_backtest_mase(load_table(spark, sf_dir, "events"))
 
 
+def q_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NDCG@10 of exact nearest-neighbor retrieval scored by label
+    # agreement: the graded companion to knn_accuracy's flat hit-rate
+    from graphlite_spark.operators.similarity import ann_ndcg
+
+    return ann_ndcg(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_rbo_activity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rank-Biased Overlap between the activity and spend leaderboards:
+    # the top-weighted prefix companion to spearman's whole-population rho
+    from graphlite_spark.operators.analytics import rbo_activity_value
+
+    return rbo_activity_value(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3953,6 +3969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binseg_changepoint": q_binseg_changepoint,
         "shapley_attribution": q_shapley_attribution,
         "forecast_backtest_mase": q_forecast_backtest_mase,
+        "ann_ndcg": q_ann_ndcg,
+        "rbo_activity_value": q_rbo_activity_value,
     }
 
 
@@ -4194,6 +4212,8 @@ def oracle_sql() -> dict[str, str]:
         "binseg_changepoint": O.binseg_changepoint_sql(),
         "shapley_attribution": O.shapley_attribution_sql(),
         "forecast_backtest_mase": O.forecast_backtest_mase_sql(),
+        "ann_ndcg": O.ann_ndcg_sql(16, 10),
+        "rbo_activity_value": O.rbo_activity_value_sql(20, 9, 10),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

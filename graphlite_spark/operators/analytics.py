@@ -3373,3 +3373,78 @@ def forecast_backtest_mase(
             F.col("sn") > 0, F.expr("(1000000 * se) div sn")
         ).cast("long").alias("mase_micros"),
     )
+
+
+def rbo_activity_value(
+    events: DataFrame,
+    depth: int = 20,
+    p_num: int = 9,
+    p_den: int = 10,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(d, overlap, term_micros, rbo_cum_micros) — Rank-Biased Overlap
+    (Webber, Moffat & Zobel 2010, public literature) between the
+    activity-count ranking and the total-value ranking of users,
+    truncated at ``depth``: at each prefix d the overlap of the two
+    top-d sets contributes ``(1−p)·p^{d−1}·|A_d ∩ B_d|/d``.  The
+    SET-AT-EVERY-DEPTH companion to :func:`spearman_activity_value`'s
+    whole-population coefficient: Spearman says whether the margins
+    agree overall, RBO says whether the LEADERBOARDS agree where it
+    matters (top-weighted, prefix by prefix).
+
+    Exactness: ranks are deterministic row_numbers with (metric DESC,
+    user ASC) ties; overlaps are exact counts; the geometric weights
+    ride as PYTHON-PRECOMPUTED integer powers (p_num^{d−1}, p_den^d —
+    the same literals embedded in the oracle's HUGEINT lists, since
+    p_den^depth passes 9.2e18), each term one truncating division,
+    the cumulative sum exact.
+
+    Scale shape: one map-side-combined groupBy to the per-user table;
+    two global rank windows (the exact-leaderboard sort any top-d
+    comparison needs, stated); the depth×rank overlap join runs on
+    rows already filtered to rank ≤ depth — ≤2·depth rows — and the
+    term arithmetic on the collected ≤depth-row table."""
+    from graphlite_spark.operators.similarity import _trunc_div
+
+    spark = events.sparkSession
+    schema = (
+        "d long, overlap long, term_micros long, rbo_cum_micros long"
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(cents).cast("long").alias("val"),
+    )
+    wa = Window.orderBy(F.col("cnt").desc(), F.col("u").asc())
+    wb = Window.orderBy(F.col("val").desc(), F.col("u").asc())
+    ranked = per.select(
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    ).where((F.col("ra") <= depth) & (F.col("rb") <= depth))
+    ds = spark.range(1, depth + 1).select(F.col("id").alias("d"))
+    ov = (
+        ds.join(
+            F.broadcast(ranked),
+            (F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.col("ra")).cast("long").alias("overlap")
+        )
+        .orderBy("d")
+        .collect()
+    )
+    out = []
+    cum = 0
+    for r in ov:
+        d = int(r["d"])
+        o = int(r["overlap"])
+        term = _trunc_div(
+            1_000_000 * (p_den - p_num) * p_num ** (d - 1) * o,
+            p_den ** d * d,
+        )
+        cum += term
+        out.append((d, o, term, cum))
+    return spark.createDataFrame(out, schema)

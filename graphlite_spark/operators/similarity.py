@@ -1379,3 +1379,135 @@ def mmr_topk(
         out.append((rank, best[1], best[2], best[0]))
         sel.append((best[1], best[3]))
     return spark.createDataFrame(out, schema)
+
+
+def _ndcg_weights(k: int) -> list[int]:
+    """Integer micro DCG discounts w_i = round(10⁶/log2(i+1)) for
+    i = 1..k — computed ONCE in Python and embedded as literals in
+    both engines, so no cross-engine float log ever runs."""
+    import math
+
+    return [round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ann_ndcg(
+    embeddings: DataFrame,
+    n_queries: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(query_id, n_rel, dcg, idcg, ndcg_micros) — NDCG@k of exact
+    nearest-neighbor retrieval, scored against label agreement: for
+    each of the ``n_queries`` lowest-id vectors, rank the rest of the
+    corpus by L2² (micro-int), mark position i relevant when the
+    neighbor's label matches the query's, and discount by the DCG
+    weight.  THE retrieval-quality readout on a labeled corpus — the
+    graded companion to :func:`knn_accuracy`'s flat hit-rate and the
+    evaluation the ANN family (:func:`lsh_recall`, IVF/PQ) is tuned
+    against.
+
+    Exactness: distances are exact BIGINT micro L2²; the discount
+    weights are INTEGER literals (:func:`_ndcg_weights` — the same
+    Python list is embedded in the oracle, so both engines sum
+    identical ints); IDCG is the prefix-weight sum at
+    ``min(k, n_rel)`` (ideal ranking puts all n_rel relevant docs
+    first); ``ndcg_micros = (10⁶·dcg) div idcg``, NULL when the query
+    label has no other members.  Ties break (dist, vec_id).
+
+    Scale shape: the query side is ``n_queries`` rows riding as a
+    broadcast; scoring is one zero-shuffle codegen pass over the
+    corpus (Q·N products, Q bounded — the :func:`cosine_topk`
+    contract); per-query top-k is one window partitioned BY QUERY
+    (never global); label counts are one map-side-combined groupBy."""
+    from graphlite_spark.operators.kmeans import quantize_expr
+
+    w = _ndcg_weights(k)
+    pw = [sum(w[: i + 1]) for i in range(k)]
+    qz = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_expr(F.col(vec_col)).alias("qv"),
+        F.col(label_col).alias("label"),
+    )
+    qs = (
+        qz.orderBy("vec_id")
+        .limit(n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("quv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    cand = qz.select(
+        F.col("vec_id").alias("nid"),
+        F.col("qv").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("quv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(cand, F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            "qlabel",
+            "nid",
+            dist.alias("d"),
+            (F.col("clabel") == F.col("qlabel")).cast("long").alias("rel"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("nid").asc()
+    )
+    w_lit = F.array(*[F.lit(x).cast("long") for x in w])
+    topk = (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            (F.col("rel") * F.element_at(w_lit, F.col("rank"))).alias(
+                "gain"
+            ),
+        )
+    )
+    dcg = topk.groupBy("query_id").agg(
+        F.sum("gain").cast("long").alias("dcg")
+    )
+    lbl_counts = qz.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("nlab")
+    )
+    pw_lit = F.array(*[F.lit(x).cast("long") for x in pw])
+    per_q = (
+        qs.join(lbl_counts, qs["qlabel"] == lbl_counts["label"], "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("nlab"), F.lit(1)) - 1)
+            .cast("long")
+            .alias("n_rel"),
+        )
+        .join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce(F.col("dcg"), F.lit(0)).cast("long").alias("dcg"),
+            F.when(
+                F.col("n_rel") > 0,
+                F.element_at(
+                    pw_lit, F.least(F.lit(k), F.col("n_rel")).cast("int")
+                ),
+            ).cast("long").alias("idcg"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_rel",
+        "dcg",
+        "idcg",
+        F.when(
+            F.col("idcg") > 0, F.expr("(1000000 * dcg) div idcg")
+        ).cast("long").alias("ndcg_micros"),
+    )

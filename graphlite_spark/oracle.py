@@ -10868,3 +10868,95 @@ def forecast_backtest_mase_sql(
         " AS BIGINT) AS mase_micros\n"
         "FROM ma"
     )
+
+
+def ann_ndcg_sql(n_queries: int = 16, k: int = 10) -> str:
+    """Mirror of operators.similarity.ann_ndcg: micro-quantized exact
+    L2², per-query (d, nid) row_number rank, the SAME integer discount
+    weights (embedded from _ndcg_weights — no float log in SQL),
+    prefix-weight IDCG at min(k, n_rel), truncating-division NDCG."""
+    from graphlite_spark.operators.similarity import _ndcg_weights
+
+    w = _ndcg_weights(k)
+    pw = [sum(w[: i + 1]) for i in range(k)]
+    wl = ", ".join(str(x) for x in w)
+    pwl = ", ".join(str(x) for x in pw)
+    qz = (
+        "SELECT vec_id, list_transform(embedding, x ->\n"
+        "    CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        " AS v, label\n"
+        "  FROM embeddings"
+    )
+    return (
+        "WITH nd_z AS MATERIALIZED (" + qz + "),\n"
+        "nd_q AS MATERIALIZED (SELECT * FROM nd_z"
+        f" ORDER BY vec_id LIMIT {int(n_queries)}),\n"
+        "nd_s AS MATERIALIZED (\n"
+        "  SELECT q.vec_id AS query_id, c.vec_id AS nid,\n"
+        "    CAST(list_sum(list_transform(range(1, len(q.v) + 1),\n"
+        "      j -> (q.v[j] - c.v[j]) * (q.v[j] - c.v[j])))"
+        " AS BIGINT) AS d,\n"
+        "    CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel\n"
+        "  FROM nd_q q, nd_z c WHERE c.vec_id != q.vec_id),\n"
+        "nd_r AS MATERIALIZED (\n"
+        "  SELECT query_id, rel, row_number() OVER\n"
+        "    (PARTITION BY query_id ORDER BY d, nid) AS rank\n"
+        "  FROM nd_s),\n"
+        "nd_d AS MATERIALIZED (\n"
+        f"  SELECT query_id, CAST(SUM(rel * ([{wl}])[CAST(rank AS INT)])"
+        " AS BIGINT) AS dcg\n"
+        f"  FROM nd_r WHERE rank <= {int(k)} GROUP BY query_id),\n"
+        "nd_l AS (SELECT label, CAST(count(*) AS BIGINT) AS nlab\n"
+        "  FROM embeddings GROUP BY label)\n"
+        "SELECT q.vec_id AS query_id,\n"
+        "  CAST(COALESCE(l.nlab, 1) - 1 AS BIGINT) AS n_rel,\n"
+        "  CAST(COALESCE(d.dcg, 0) AS BIGINT) AS dcg,\n"
+        "  CAST(CASE WHEN COALESCE(l.nlab, 1) - 1 > 0 THEN\n"
+        f"    ([{pwl}])[CAST(LEAST({int(k)}, l.nlab - 1) AS INT)] END"
+        " AS BIGINT) AS idcg,\n"
+        "  CAST(CASE WHEN COALESCE(l.nlab, 1) - 1 > 0 THEN\n"
+        "    (1000000 * COALESCE(d.dcg, 0))\n"
+        f"      // ([{pwl}])[CAST(LEAST({int(k)}, l.nlab - 1) AS INT)]"
+        " END AS BIGINT) AS ndcg_micros\n"
+        "FROM nd_q q LEFT JOIN nd_l l ON l.label = q.label\n"
+        "LEFT JOIN nd_d d ON d.query_id = q.vec_id"
+    )
+
+
+def rbo_activity_value_sql(
+    depth: int = 20, p_num: int = 9, p_den: int = 10
+) -> str:
+    """Mirror of operators.analytics.rbo_activity_value: per-user
+    BIGINT (count, cents), deterministic (metric DESC, user ASC)
+    row_number ranks, per-depth overlap counts, and the geometric
+    terms over PYTHON-PRECOMPUTED integer power lists (p_den^depth
+    passes 9.2e18, so the literals parse as HUGEINT)."""
+    d = int(depth)
+    pn = ", ".join(str(p_num ** (i - 1)) for i in range(1, d + 1))
+    pd = ", ".join(str(p_den ** i) for i in range(1, d + 1))
+    return (
+        "WITH rb_u AS MATERIALIZED (\n"
+        "  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS cnt,\n"
+        "    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        " AS val\n"
+        "  FROM events GROUP BY user_id),\n"
+        "rb_r AS MATERIALIZED (\n"
+        "  SELECT row_number() OVER (ORDER BY cnt DESC, u) AS ra,\n"
+        "    row_number() OVER (ORDER BY val DESC, u) AS rb\n"
+        "  FROM rb_u),\n"
+        "rb_o AS MATERIALIZED (\n"
+        "  SELECT t.d, (SELECT CAST(count(*) AS BIGINT) FROM rb_r r\n"
+        "    WHERE r.ra <= t.d AND r.rb <= t.d) AS overlap\n"
+        f"  FROM (SELECT unnest(range(1, {d + 1})) AS d) t),\n"
+        "rb_t AS MATERIALIZED (\n"
+        "  SELECT d, overlap,\n"
+        f"    CAST((1000000 * {int(p_den - p_num)}\n"
+        f"      * CAST(([{pn}])[CAST(d AS INT)] AS HUGEINT) * overlap)\n"
+        f"      // (([{pd}])[CAST(d AS INT)] * d) AS BIGINT)"
+        " AS term_micros\n"
+        "  FROM rb_o)\n"
+        "SELECT d, overlap, term_micros,\n"
+        "  CAST(SUM(term_micros) OVER (ORDER BY d) AS BIGINT)"
+        " AS rbo_cum_micros\n"
+        "FROM rb_t ORDER BY d"
+    )

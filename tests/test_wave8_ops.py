@@ -323,3 +323,93 @@ def test_forecast_backtest_mase_hand(spark):
     assert got["mae_naive_micros"] == sn // 4
     assert got["mae_ewma_micros"] == se // 4
     assert got["mase_micros"] == (1_000_000 * se) // sn
+
+
+def test_ann_ndcg_hand(spark):
+    from graphlite_spark.operators.similarity import ann_ndcg, _ndcg_weights
+
+    # 1D line: query 1 (label 0) at 0.0; neighbors at increasing
+    # distance with labels [0, 1, 0, 1] -> relevant at ranks 1 and 3
+    vecs = [
+        (1, [0.00], 0),
+        (2, [0.10], 0),
+        (3, [0.20], 1),
+        (4, [0.30], 0),
+        (5, [0.40], 1),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["query_id"]: r
+        for r in ann_ndcg(emb, n_queries=1, k=3).collect()
+    }
+    w = _ndcg_weights(3)
+    r1 = got[1]
+    assert r1["n_rel"] == 2  # vecs 2 and 4 share label 0
+    assert r1["dcg"] == w[0] + w[2]  # relevant at ranks 1 and 3
+    assert r1["idcg"] == w[0] + w[1]  # ideal puts both at front
+    assert r1["ndcg_micros"] == (1_000_000 * (w[0] + w[2])) // (
+        w[0] + w[1]
+    )
+
+
+def test_ann_ndcg_perfect_retrieval(spark):
+    from graphlite_spark.operators.similarity import ann_ndcg
+
+    # two tight clusters far apart: same-label neighbors always rank
+    # first, so NDCG is exactly 1 for every query
+    vecs = []
+    for i in range(4):
+        vecs.append((i, [0.0 + 0.01 * i], 0))
+    for i in range(4, 8):
+        vecs.append((i, [5.0 + 0.01 * i], 1))
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    rows = ann_ndcg(emb, n_queries=8, k=3).collect()
+    assert len(rows) == 8
+    assert all(r["ndcg_micros"] == 1_000_000 for r in rows)
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from graphlite_spark.operators.analytics import rbo_activity_value
+
+    # users where activity rank == value rank exactly (u1 most active
+    # and biggest spender, etc.) -> overlap_d = d at every depth
+    rows = []
+    for u in range(1, 7):
+        for _ in range(7 - u):
+            rows.append((u, float(10 - u)))
+    events = spark.createDataFrame(rows, "user_id long, value double")
+    got = rbo_activity_value(events, depth=5).collect()
+    assert [r["overlap"] for r in got] == [1, 2, 3, 4, 5]
+    # terms: (1e6 * 1 * 9^(d-1) * d) // (10^d * d) = 1e6 * 9^(d-1) // 10^d
+    cum = 0
+    for r in got:
+        d = r["d"]
+        term = (1_000_000 * 9 ** (d - 1) * d) // (10 ** d * d)
+        assert r["term_micros"] == term
+        cum += term
+        assert r["rbo_cum_micros"] == cum
+
+
+def test_rbo_reversed_rankings_low(spark):
+    from graphlite_spark.operators.analytics import rbo_activity_value
+
+    # activity rank is the exact REVERSE of value rank: top-1 sets are
+    # disjoint, overlap grows only when prefixes meet in the middle
+    rows = []
+    n = 6
+    for u in range(1, n + 1):
+        count = n + 1 - u  # u1 most active
+        val = float(u)     # u6 biggest spender (one event each suffices)
+        for i in range(count):
+            rows.append((u, val / count))
+    events = spark.createDataFrame(rows, "user_id long, value double")
+    got = {r["d"]: r["overlap"] for r in
+           rbo_activity_value(events, depth=6).collect()}
+    assert got[1] == 0
+    assert got[6] == 6
+    assert got[3] == 0  # top-3 by activity = {1,2,3}; by value = {6,5,4}
+    assert got[4] == 2  # prefixes {1..4} and {6..3} share {3,4}
