@@ -3122,6 +3122,19 @@ def q_rbo_activity_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rbo_activity_value(load_table(spark, sf_dir, "events"))
 
 
+def q_spectral_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lambda2 of the contact graph's random-walk matrix by deflated
+    # integer power iteration: the Cheeger mixing/bottleneck readout
+    from graphlite_spark.algos.centrality import spectral_gap_lambda2
+
+    ce = (
+        contact_edges(_events_us(spark, sf_dir))
+        .select("src", "dst")
+        .distinct()
+    )
+    return spectral_gap_lambda2(ce, iterations=8)
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3971,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_backtest_mase": q_forecast_backtest_mase,
         "ann_ndcg": q_ann_ndcg,
         "rbo_activity_value": q_rbo_activity_value,
+        "spectral_gap_lambda2": q_spectral_gap,
     }
 
 
@@ -4214,6 +4228,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_backtest_mase": O.forecast_backtest_mase_sql(),
         "ann_ndcg": O.ann_ndcg_sql(16, 10),
         "rbo_activity_value": O.rbo_activity_value_sql(20, 9, 10),
+        "spectral_gap_lambda2": O.spectral_gap_sql(8),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -411,3 +411,165 @@ def eigenvector_centrality(
         spark.conf.set("spark.sql.adaptive.enabled", saved)
         e.unpersist()
     return out
+
+
+def spectral_gap_lambda2(
+    edges: DataFrame,
+    iterations: int = 8,
+) -> DataFrame:
+    """One row (n_vertices, n_edges_und, slem_micros, gap_micros) —
+    the SLEM (second-largest eigenvalue MODULUS, signed) of the
+    random-walk matrix of the UNDIRECTED graph, by DEFLATED integer
+    power iteration, and the spectral gap 1 − |λ|.  The mixing-time /
+    bottleneck readout the spectral family is missing:
+    :func:`eigenvector_centrality` tracks the TOP eigenpair,
+    conductance/PPR-sweep probe individual cuts — the SLEM bounds them
+    all at once (mixing time ~ 1/(1−SLEM); Cheeger ties the positive
+    end to conductance, public literature).  |λ| → 1 (gap → 0) means
+    near-disconnected communities (λ ≈ +1) or near-bipartite /
+    chain-periodic structure (λ ≈ −1); small |λ| means fast mixing —
+    power iteration converges to whichever non-stationary direction
+    dominates IN MODULUS, which is exactly the mixing bound's operand.
+
+    Method: the walk matrix P (column-stochastic: mass leaving u
+    splits as x(u) div deg(u)) has top eigenpair (1, deg), known in
+    closed form — so each round deflates the degree direction with the
+    exact projection ``c = (10⁶·Σ y·d) div Σ d²`` and renormalizes to
+    ±10⁶ by max-|·| truncating division (the eigenvector_centrality
+    discipline).  The start vector spreads each vertex over
+    ±10⁶ via hash48('sg:'||id) — deterministic, engine-agnostic, and
+    generically non-orthogonal to every eigendirection (a parity
+    start can sit exactly orthogonal to a component-contrast
+    direction and silently miss a disconnection).  λ is the final
+    Rayleigh quotient ``(10⁶·Σ x·Px) div Σ x²``.
+
+    Exactness: per-vertex steps are BIGINT with truncating division
+    (Spark ``div`` == DuckDB ``//``, toward zero — verified on
+    negatives); the three inner products ride DECIMAL(38,0) sums
+    (exact, order-free) and the scalar divisions run on collected
+    exact ints.  NULL λ₂ when the deflated vector vanishes (e.g. a
+    regular bipartite-free graph aligned with deg) or Σ x² = 0.
+
+    Per round: one equi-join gather + map-side-combined groupBy + two
+    1-row scalar actions (the k-means collect discipline) — rank-sized
+    shuffles, AQE off, lazy localCheckpoint per round (linear loop,
+    no self-join: plain checkpoint suffices, cf. CLAUDE.md)."""
+    MICRO = 1_000_000
+    spark = edges.sparkSession
+    schema = (
+        "n_vertices long, n_edges_und long, slem_micros long,"
+        " gap_micros long"
+    )
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).where(F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    nv = deg.count()
+    if nv == 0:
+        und.unpersist()
+        return spark.createDataFrame([], schema)
+    ne = und.count() // 2
+    dec = "decimal(38,0)"
+    sdd = int(
+        deg.agg(
+            F.sum((F.col("d").cast(dec) * F.col("d").cast(dec))).alias("s")
+        ).first()["s"]
+    )
+    from graphlite_spark.functions.hashes import hash48
+
+    state = deg.select(
+        "id",
+        "d",
+        (
+            hash48(F.concat(F.lit("sg:"), F.col("id").cast("string")))
+            % F.lit(2 * MICRO + 1)
+            - F.lit(MICRO)
+        ).cast("long").alias("x"),
+    ).localCheckpoint(eager=False)
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def gather(st: DataFrame) -> DataFrame:
+        xd = st.select(
+            F.col("id").alias("src"), F.expr("x div d").alias("xd")
+        )
+        msg = (
+            und.join(xd, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("xd").cast("long").alias("y"))
+        )
+        return (
+            st.select("id", "d")
+            .join(msg, "id", "left")
+            .select(
+                "id", "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+            )
+        )
+
+    try:
+        for _ in range(int(iterations)):
+            g = gather(state).localCheckpoint(eager=False)
+            syd = int(
+                g.agg(
+                    F.sum(
+                        F.col("y").cast(dec) * F.col("d").cast(dec)
+                    ).alias("s")
+                ).first()["s"]
+            )
+            qc = abs(MICRO * syd) // sdd
+            c = qc if (syd >= 0) else -qc
+            defl = g.select(
+                "id",
+                "d",
+                (
+                    F.col("y")
+                    - F.expr(f"(cast({c} as bigint) * d) div {MICRO}")
+                ).cast("long").alias("f"),
+            )
+            mx = int(
+                defl.agg(F.max(F.abs(F.col("f"))).alias("m")).first()["m"]
+            )
+            if mx == 0:
+                state = defl.select(
+                    "id", "d", F.col("f").alias("x")
+                ).localCheckpoint(eager=False)
+                break
+            state = defl.select(
+                "id",
+                "d",
+                F.expr(f"({MICRO} * f) div {mx}").cast("long").alias("x"),
+            ).localCheckpoint(eager=False)
+        z = gather(state.select("id", "d", "x"))
+        fin = (
+            state.select("id", "d", "x")
+            .join(z.select("id", F.col("y").alias("z")), "id")
+            .agg(
+                F.sum(F.col("x").cast(dec) * F.col("z").cast(dec)).alias(
+                    "sxz"
+                ),
+                F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias(
+                    "sxx"
+                ),
+            )
+            .first()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+        und.unpersist()
+    sxz, sxx = int(fin["sxz"]), int(fin["sxx"])
+    lam = None
+    if sxx > 0:
+        q = abs(MICRO * sxz) // sxx
+        lam = q if sxz >= 0 else -q
+    gap = None if lam is None else MICRO - abs(lam)
+    return spark.createDataFrame([(nv, ne, lam, gap)], schema)

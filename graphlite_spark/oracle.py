@@ -10960,3 +10960,87 @@ def rbo_activity_value_sql(
         " AS rbo_cum_micros\n"
         "FROM rb_t ORDER BY d"
     )
+
+
+def spectral_gap_sql(iterations: int = 8) -> str:
+    """Mirror of algos.centrality.spectral_gap_lambda2 over the user
+    contact graph: symmetrized distinct contact edges, the
+    hash48('sg:'||id)-spread ±10⁶ start vector, and ``iterations``
+    unrolled rounds of gather
+    (x // d summed over in-neighbors), degree-direction deflation
+    (HUGEINT ``(10⁶·Σ y·d) // Σ d²``), and max-|·| renormalization —
+    '//' mirrors Spark ``div`` toward zero (verified on negatives);
+    the final Rayleigh quotient gives λ₂ and the gap."""
+    its = int(iterations)
+    parts = [
+        "ev AS MATERIALIZED (SELECT event_id, user_id, event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events)",
+        "ce AS MATERIALIZED (SELECT DISTINCT src, dst FROM (\n"
+        "  SELECT lag(user_id) OVER (PARTITION BY event_type\n"
+        "           ORDER BY ts_us, event_id) AS src, user_id AS dst\n"
+        "  FROM ev) WHERE src IS NOT NULL AND src <> dst)",
+        "un AS MATERIALIZED (SELECT DISTINCT src, dst FROM (\n"
+        "  SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce))",
+        "dg AS MATERIALIZED (SELECT src AS id,"
+        " CAST(count(*) AS BIGINT) AS d FROM un GROUP BY src)",
+        "sdd AS MATERIALIZED (SELECT CAST(SUM(CAST(d AS HUGEINT) * d)"
+        " AS HUGEINT) AS sdd FROM dg)",
+        "s0 AS MATERIALIZED (SELECT id, d,\n"
+        "  CAST(CAST('0x' || substr(md5('sg:' || CAST(id AS VARCHAR)),"
+        " 1, 12) AS BIGINT)\n"
+        "    % 2000001 - 1000000 AS BIGINT) AS x FROM dg)",
+    ]
+    gather = (
+        "{out} AS MATERIALIZED (\n"
+        "  SELECT v.id, v.d, CAST(COALESCE(m.y, 0) AS BIGINT) AS y\n"
+        "  FROM {src} v LEFT JOIN (\n"
+        "    SELECT e.dst AS id, SUM(s.x // s.d) AS y\n"
+        "    FROM un e JOIN {src} s ON s.id = e.src\n"
+        "    GROUP BY e.dst) m USING (id))"
+    )
+    for t in range(1, its + 1):
+        parts.append(gather.format(out=f"g{t}", src=f"s{t - 1}"))
+        parts.append(
+            f"c{t} AS (SELECT CAST((1000000 *"
+            " SUM(CAST(y AS HUGEINT) * d))\n"
+            "    // (SELECT sdd FROM sdd) AS HUGEINT) AS c"
+            f" FROM g{t})"
+        )
+        parts.append(
+            f"f{t} AS MATERIALIZED (SELECT id, d,\n"
+            "  CAST(y - (c * d) // 1000000 AS BIGINT) AS f\n"
+            f"  FROM g{t}, c{t})"
+        )
+        parts.append(
+            f"m{t} AS (SELECT CAST(MAX(ABS(f)) AS BIGINT) AS m"
+            f" FROM f{t})"
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT id, d,\n"
+            "  CAST(CASE WHEN m > 0 THEN (1000000 * f) // m ELSE f END"
+            " AS BIGINT) AS x\n"
+            f"  FROM f{t}, m{t})"
+        )
+    parts.append(gather.format(out="zt", src=f"s{its}"))
+    parts.append(
+        f"fin AS (SELECT CAST(SUM(CAST(s.x AS HUGEINT) * z.y)"
+        " AS HUGEINT) AS sxz,\n"
+        "    CAST(SUM(CAST(s.x AS HUGEINT) * s.x) AS HUGEINT) AS sxx\n"
+        f"  FROM s{its} s JOIN zt z USING (id))"
+    )
+    parts.append(
+        "nvt AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM dg)"
+    )
+    parts.append(
+        "net AS (SELECT CAST(count(*) // 2 AS BIGINT) AS ne FROM un)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT nvt.nv AS n_vertices, net.ne AS n_edges_und,\n"
+        "  CAST(CASE WHEN sxx > 0 THEN (1000000 * sxz) // sxx END"
+        " AS BIGINT) AS slem_micros,\n"
+        "  CAST(CASE WHEN sxx > 0 THEN\n"
+        "    1000000 - ABS((1000000 * sxz) // sxx) END AS BIGINT)"
+        " AS gap_micros\n"
+        "FROM fin, nvt, net"
+    )

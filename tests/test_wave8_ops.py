@@ -413,3 +413,81 @@ def test_rbo_reversed_rankings_low(spark):
     assert got[6] == 6
     assert got[3] == 0  # top-3 by activity = {1,2,3}; by value = {6,5,4}
     assert got[4] == 2  # prefixes {1..4} and {6..3} share {3,4}
+
+
+def test_spectral_gap_complete_graph(spark):
+    from graphlite_spark.algos.centrality import spectral_gap_lambda2
+
+    # K5: walk-matrix spectrum is {1, -1/4 x4} -> SLEM = -0.25
+    pairs = [(a, b) for a in range(5) for b in range(5) if a < b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = spectral_gap_lambda2(edges, iterations=8).collect()[0]
+    assert got["n_vertices"] == 5
+    assert got["n_edges_und"] == 10
+    assert abs(got["slem_micros"] - (-250_000)) <= 2
+    assert got["gap_micros"] == 1_000_000 - abs(got["slem_micros"])
+
+
+def test_spectral_gap_two_components(spark):
+    from graphlite_spark.algos.centrality import spectral_gap_lambda2
+
+    # two disjoint triangles: a second eigenvalue-1 direction (the
+    # component contrast) dominates -> SLEM = +1, zero gap
+    pairs = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = spectral_gap_lambda2(edges, iterations=16).collect()[0]
+    assert abs(got["slem_micros"] - 1_000_000) <= 5
+    assert abs(got["gap_micros"]) <= 5
+
+
+def test_spectral_gap_path_bipartite(spark):
+    import numpy as np
+    from graphlite_spark.algos.centrality import spectral_gap_lambda2
+
+    # a path is bipartite: the walk is periodic, SLEM = -1 (zero gap,
+    # never mixes) - verify the signed value against numpy's extreme
+    # eigenvalue of the exact column-stochastic matrix
+    n = 12
+    path = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(path, "src long, dst long")
+    got = spectral_gap_lambda2(edges, iterations=24).collect()[0]
+
+    A = np.zeros((n, n))
+    for a, b in path:
+        A[a, b] = A[b, a] = 1.0
+    P = A / A.sum(axis=0, keepdims=True)  # column-stochastic
+    ev = np.sort(np.linalg.eigvals(P).real)
+    # convergence is geometric at |ev2/ev1| = cos(pi/11) ~ 0.959, so
+    # 24 rounds land within ~0.96^24 ~ 0.36 of -1; assert the sign,
+    # the magnitude band, and the no-mixing verdict rather than 6dp
+    assert abs(got["slem_micros"] / 1e6 - ev[0]) < 0.15  # ev[0] = -1
+    assert got["slem_micros"] < -850_000
+    assert got["gap_micros"] < 150_000  # periodic chain: no mixing
+
+
+def test_spectral_gap_star_fast_mixer(spark):
+    import numpy as np
+    from graphlite_spark.algos.centrality import spectral_gap_lambda2
+
+    # barbell: two K4s joined by one edge - the bottleneck pushes a
+    # POSITIVE eigenvalue near 1; verify against numpy
+    k4a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k4b = [(a + 10, b + 10) for a, b in k4a]
+    bridge = [(3, 10)]
+    pairs = k4a + k4b + bridge
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = spectral_gap_lambda2(edges, iterations=24).collect()[0]
+
+    ids = sorted({v for e in pairs for v in e})
+    ix = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n))
+    for a, b in pairs:
+        A[ix[a], ix[b]] = A[ix[b], ix[a]] = 1.0
+    P = A / A.sum(axis=0, keepdims=True)
+    ev = np.sort(np.linalg.eigvals(P).real)[::-1]
+    slem = ev[1] if abs(ev[1]) >= abs(np.sort(
+        np.linalg.eigvals(P).real)[0]) else np.sort(
+        np.linalg.eigvals(P).real)[0]
+    assert abs(got["slem_micros"] / 1e6 - slem) < 0.02
+    assert got["slem_micros"] > 800_000  # bottleneck: slow mixing
