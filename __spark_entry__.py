@@ -3135,6 +3135,14 @@ def q_spectral_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spectral_gap_lambda2(ce, iterations=8)
 
 
+def q_decision_stump_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # best label-separating embedding dimensions by centroid-threshold
+    # weighted Gini: the CART one-feature scan before any model
+    from graphlite_spark.operators.similarity import decision_stump_dims
+
+    return decision_stump_dims(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3985,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ndcg": q_ann_ndcg,
         "rbo_activity_value": q_rbo_activity_value,
         "spectral_gap_lambda2": q_spectral_gap,
+        "decision_stump_dims": q_decision_stump_dims,
     }
 
 
@@ -4229,6 +4238,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ndcg": O.ann_ndcg_sql(16, 10),
         "rbo_activity_value": O.rbo_activity_value_sql(20, 9, 10),
         "spectral_gap_lambda2": O.spectral_gap_sql(8),
+        "decision_stump_dims": O.decision_stump_sql(10),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

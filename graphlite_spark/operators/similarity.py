@@ -1511,3 +1511,113 @@ def ann_ndcg(
             F.col("idcg") > 0, F.expr("(1000000 * dcg) div idcg")
         ).cast("long").alias("ndcg_micros"),
     )
+
+
+def decision_stump_dims(
+    embeddings: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(pos, n_left, n_right, gini_weighted_micros, rank) — the ``k``
+    embedding DIMENSIONS whose centroid-threshold split best separates
+    the labels, by weighted Gini impurity: split the corpus at each
+    coordinate's centroid value and score ``(n_L·G_L + n_R·G_R)/N``
+    with ``G = 1 − Σ (count/n)²``.  The one-feature decision-stump
+    scan a feature-selection pass runs before any model: which single
+    coordinate carries label signal (cf. CART, Breiman et al. 1984,
+    public literature) — the axis-aligned companion to
+    :func:`label_separability`'s distance-based readout.
+
+    Exactness: coordinates quantize to BIGINT micros and the threshold
+    is the truncating-division centroid (:func:`_centroid_micros`);
+    per-side Gini is ``10⁶ − (10⁶·Σ cnt²) div n²`` and the weighted
+    score one more truncating division — all-integer, hash-exact.
+    Ties break (score ASC, pos ASC).  (10⁶·Σ cnt² needs n < ~3·10⁶
+    per side; beyond that, widen to DECIMAL — stated.)
+
+    Scale shape: the centroid is one aggregate action riding back as
+    a LITERAL; the scan is ONE posexplode inside codegen collapsing
+    through a map-side-combined (pos, side, label) aggregate — the
+    shuffle carries at most 2·d·|labels| partial rows per task no
+    matter how many vectors; the top-k is a TakeOrderedAndProject."""
+    from graphlite_spark.operators.kmeans import quantize_expr
+
+    qz = embeddings.select(
+        quantize_expr(F.col(vec_col)).alias("qv"),
+        F.col(label_col).alias("label"),
+    )
+    cent = _centroid_micros(
+        qz.select(F.lit(0).cast("long").alias("vec_id"), "qv")
+    )
+    if cent is None:
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            "pos long, n_left long, n_right long,"
+            " gini_weighted_micros long, rank int",
+        )
+    c_lit = F.array(*[F.lit(c).cast("long") for c in cent])
+    sided = qz.select(
+        F.posexplode("qv").alias("pos", "xi"), "label"
+    ).select(
+        "pos",
+        (
+            F.col("xi") <= F.element_at(c_lit, F.col("pos") + 1)
+        ).cast("int").alias("side"),
+        "label",
+    )
+    cnts = sided.groupBy("pos", "side", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_side = cnts.groupBy("pos", "side").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    ).select(
+        "pos",
+        "side",
+        "n",
+        (
+            F.lit(1_000_000)
+            - F.expr("(1000000 * q) div (n * n)")
+        ).cast("long").alias("g"),
+    )
+    left = per_side.where(F.col("side") == 1).select(
+        "pos",
+        F.col("n").alias("n_left"),
+        F.col("g").alias("g_left"),
+    )
+    right = per_side.where(F.col("side") == 0).select(
+        "pos",
+        F.col("n").alias("n_right"),
+        F.col("g").alias("g_right"),
+    )
+    both = (
+        left.join(right, "pos", "full")
+        .select(
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce("n_left", F.lit(0)).cast("long").alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).cast("long").alias("n_right"),
+            F.coalesce("g_left", F.lit(0)).alias("gl"),
+            F.coalesce("g_right", F.lit(0)).alias("gr"),
+        )
+        .select(
+            "pos",
+            "n_left",
+            "n_right",
+            F.expr(
+                "(n_left * gl + n_right * gr) div (n_left + n_right)"
+            ).cast("long").alias("gini_weighted_micros"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("gini_weighted_micros").asc(), F.col("pos").asc()
+    )
+    return (
+        both.orderBy(
+            F.col("gini_weighted_micros").asc(), F.col("pos").asc()
+        )
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("pos", "n_left", "n_right", "gini_weighted_micros", "rank")
+    )

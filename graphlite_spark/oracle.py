@@ -11044,3 +11044,42 @@ def spectral_gap_sql(iterations: int = 8) -> str:
         " AS gap_micros\n"
         "FROM fin, nvt, net"
     )
+
+
+def decision_stump_sql(k: int = 10) -> str:
+    """Mirror of operators.similarity.decision_stump_dims: the shared
+    micro-centroid CTEs as the per-dimension threshold, (pos, side,
+    label) counts, per-side Gini ``10⁶ − (10⁶·Σc²) // n²``, weighted
+    by side sizes, (score, pos) top-k."""
+    return (
+        f"WITH {_CENTROID_CTES},\n"
+        "ds_s AS MATERIALIZED (\n"
+        "  SELECT u.i - 1 AS pos,\n"
+        "    CASE WHEN q.v[u.i] <= cl.cv[u.i] THEN 1 ELSE 0 END"
+        " AS side, e.label\n"
+        "  FROM co_q q JOIN embeddings e USING (vec_id), co_cl cl,\n"
+        "    UNNEST(range(1, len(q.v) + 1)) AS u(i)),\n"
+        "ds_c AS MATERIALIZED (\n"
+        "  SELECT pos, side, label, CAST(count(*) AS BIGINT) AS c\n"
+        "  FROM ds_s GROUP BY pos, side, label),\n"
+        "ds_g AS MATERIALIZED (\n"
+        "  SELECT pos, side, CAST(SUM(c) AS BIGINT) AS n,\n"
+        "    CAST(1000000 - (1000000 * SUM(c * c)) // (SUM(c) * SUM(c))"
+        " AS BIGINT) AS g\n"
+        "  FROM ds_c GROUP BY pos, side),\n"
+        "ds_w AS MATERIALIZED (\n"
+        "  SELECT CAST(COALESCE(l.pos, r.pos) AS BIGINT) AS pos,\n"
+        "    CAST(COALESCE(l.n, 0) AS BIGINT) AS n_left,\n"
+        "    CAST(COALESCE(r.n, 0) AS BIGINT) AS n_right,\n"
+        "    CAST((COALESCE(l.n, 0) * COALESCE(l.g, 0)\n"
+        "      + COALESCE(r.n, 0) * COALESCE(r.g, 0))\n"
+        "      // (COALESCE(l.n, 0) + COALESCE(r.n, 0)) AS BIGINT)"
+        " AS gini_weighted_micros\n"
+        "  FROM (SELECT * FROM ds_g WHERE side = 1) l\n"
+        "  FULL JOIN (SELECT * FROM ds_g WHERE side = 0) r"
+        " USING (pos))\n"
+        "SELECT pos, n_left, n_right, gini_weighted_micros,\n"
+        "  CAST(row_number() OVER (ORDER BY gini_weighted_micros, pos)"
+        " AS INT) AS rank\n"
+        f"FROM ds_w ORDER BY gini_weighted_micros, pos LIMIT {int(k)}"
+    )

@@ -491,3 +491,74 @@ def test_spectral_gap_star_fast_mixer(spark):
         np.linalg.eigvals(P).real)[0]
     assert abs(got["slem_micros"] / 1e6 - slem) < 0.02
     assert got["slem_micros"] > 800_000  # bottleneck: slow mixing
+
+
+def test_decision_stump_separating_dim(spark):
+    from graphlite_spark.operators.similarity import decision_stump_dims
+
+    # dim 0 perfectly separates the labels around the centroid;
+    # dim 1 is pure noise (identical distribution across labels)
+    vecs = [
+        (1, [-0.5, 0.3], 0),
+        (2, [-0.4, -0.3], 0),
+        (3, [-0.6, 0.3], 0),
+        (4, [0.5, -0.3], 1),
+        (5, [0.4, 0.3], 1),
+        (6, [0.6, -0.3], 1),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    got = decision_stump_dims(emb, k=2).collect()
+    by_rank = sorted(got, key=lambda r: r["rank"])
+    assert by_rank[0]["pos"] == 0
+    assert by_rank[0]["gini_weighted_micros"] == 0  # pure split
+    assert by_rank[0]["n_left"] == 3 and by_rank[0]["n_right"] == 3
+    # the noise dim: each side holds a 2/1 label mix -> gini 4/9 per
+    # side, weighted 4/9; trunc micros: 1e6 - (5e6 // 9) = 444445
+    assert by_rank[1]["pos"] == 1
+    assert by_rank[1]["gini_weighted_micros"] == 444_445
+
+
+def test_decision_stump_matches_bruteforce(spark):
+    from graphlite_spark.operators.similarity import decision_stump_dims
+
+    vecs = [
+        (i, [((i * 7) % 5) / 10.0, ((i * 3) % 4) / 10.0,
+             ((i * 11) % 6) / 10.0], i % 3)
+        for i in range(1, 25)
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["pos"]: r for r in decision_stump_dims(emb, k=3).collect()
+    }
+    # brute force in exact micros
+    n = len(vecs)
+    d = 3
+    q = {i: [round(v[j] * 1e6) for j in range(d)] for i, v, _ in vecs}
+    labels = {i: l for i, _, l in vecs}
+    cent = []
+    for j in range(d):
+        s = sum(q[i][j] for i in q)
+        cent.append((abs(s) // n) * (1 if s >= 0 else -1))
+    for j in range(d):
+        sides = {1: {}, 0: {}}
+        for i in q:
+            side = 1 if q[i][j] <= cent[j] else 0
+            sides[side][labels[i]] = sides[side].get(labels[i], 0) + 1
+        parts = {}
+        for side in (1, 0):
+            ns = sum(sides[side].values())
+            qs = sum(c * c for c in sides[side].values())
+            parts[side] = (
+                ns,
+                1_000_000 - (1_000_000 * qs) // (ns * ns) if ns else 0,
+            )
+        nl, gl = parts[1]
+        nr, gr = parts[0]
+        expect = (nl * gl + nr * gr) // (nl + nr)
+        if j in got:
+            assert got[j]["gini_weighted_micros"] == expect, j
+            assert got[j]["n_left"] == nl and got[j]["n_right"] == nr
