@@ -3143,6 +3143,22 @@ def q_decision_stump_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decision_stump_dims(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_seg_vopt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # optimal 3-piece segmentation of the daily series by exact DP:
+    # the multi-split completion of binseg's single greedy cut
+    from graphlite_spark.operators.analytics import seg_vopt_daily
+
+    return seg_vopt_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_layer_multiplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # edge-set Jaccard between the event-type layers of the multiplex
+    # contact graph: do the layers trace the same social fabric?
+    from graphlite_spark.operators.temporal import layer_multiplexity
+
+    return layer_multiplexity(_events_us(spark, sf_dir))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3994,6 +4010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_activity_value": q_rbo_activity_value,
         "spectral_gap_lambda2": q_spectral_gap,
         "decision_stump_dims": q_decision_stump_dims,
+        "seg_vopt_daily": q_seg_vopt_daily,
+        "layer_multiplexity": q_layer_multiplexity,
     }
 
 
@@ -4239,6 +4257,8 @@ def oracle_sql() -> dict[str, str]:
         "rbo_activity_value": O.rbo_activity_value_sql(20, 9, 10),
         "spectral_gap_lambda2": O.spectral_gap_sql(8),
         "decision_stump_dims": O.decision_stump_sql(10),
+        "seg_vopt_daily": O.seg_vopt_daily_sql(),
+        "layer_multiplexity": O.layer_multiplexity_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -3448,3 +3448,145 @@ def rbo_activity_value(
         cum += term
         out.append((d, o, term, cum))
     return spark.createDataFrame(out, schema)
+
+
+def seg_vopt_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Three rows (seg, start_x, end_x, n_days, mean_micros,
+    sse_micros) — the OPTIMAL 3-piece segmentation of the zero-filled
+    daily count series (v-optimal histogram, Jagadish et al. 1998,
+    public literature): the two split points that jointly minimize
+    total within-segment SSE, by exact dynamic programming — the
+    multi-split completion of :func:`binseg_changepoint`'s single
+    greedy cut (greedy binseg is NOT optimal for k > 1; this is).
+
+    Exactness: segment costs are the binseg device — prefix sums give
+    ``cost(i,j) = 10⁶·ΔQ − (10⁶·ΔS²) div n`` — and the DP layers take
+    (score, split) STRUCT minima, so ties break to the earliest split
+    identically in both engines; every number is a BIGINT.
+
+    Scale shape: one map-side daily groupBy over the facts; the cost
+    table and two DP layers are windows/joins over the
+    calendar-bounded day table (D² pairs of exact ints, never
+    data-sized — a year is 133k pairs)."""
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    pts = (
+        rng.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+            "lo",
+        )
+        .join(daily, "d", "left")
+        .select(
+            (F.col("d") - F.col("lo")).cast("long").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    pre = pts.select(
+        "x",
+        F.sum("y").over(w).cast("long").alias("cs"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("cq"),
+    ).persist()
+    # cost(i, j) for 0 <= i <= j <= D-1, via prefix rows i-1 and j
+    pi = pre.select(
+        (F.col("x") + 1).alias("i"),
+        F.col("cs").alias("ps"),
+        F.col("cq").alias("pq"),
+    ).unionByName(
+        pre.sparkSession.createDataFrame(
+            [(0, 0, 0)], "i long, ps long, pq long"
+        )
+    )
+    cost = (
+        pi.join(pre, pi["i"] <= pre["x"])
+        .select(
+            F.col("i"),
+            F.col("x").alias("j"),
+            F.expr(
+                "1000000 * (cq - pq)"
+                " - (1000000 * (cs - ps) * (cs - ps)) div (x - i + 1)"
+            ).cast("long").alias("c"),
+        )
+        .persist()
+    )
+    dd = pre.count()
+    if dd < 3:
+        pre.unpersist()
+        cost.unpersist()
+        return events.sparkSession.createDataFrame(
+            [],
+            "seg long, start_x long, end_x long, n_days long,"
+            " mean_micros long, sse_micros long",
+        )
+    dp1 = cost.where(F.col("i") == 0).select(
+        F.col("j"), F.col("c").alias("v1")
+    )
+    # dp2(j) = min_{i <= j-1} dp1(i) + cost(i+1, j), tie -> smallest i
+    dp2 = (
+        dp1.alias("a")
+        .join(
+            cost.alias("b"),
+            F.expr("b.i = a.j + 1"),
+        )
+        .groupBy(F.col("b.j").alias("j"))
+        .agg(
+            F.min(
+                F.struct(
+                    (F.col("a.v1") + F.col("b.c")).alias("v"),
+                    F.col("a.j").alias("split1"),
+                )
+            ).alias("m")
+        )
+        .select("j", F.col("m.v").alias("v2"), F.col("m.split1").alias("s1"))
+    )
+    # final layer at j = D-1: min over i of dp2(i) + cost(i+1, D-1)
+    last = (
+        dp2.alias("a")
+        .join(
+            cost.alias("b"),
+            F.expr(f"b.i = a.j + 1 and b.j = {dd - 1}"),
+        )
+        .select(
+            F.struct(
+                (F.col("a.v2") + F.col("b.c")).alias("v"),
+                F.col("a.j").alias("split2"),
+                F.col("a.s1").alias("split1"),
+            ).alias("t")
+        )
+        .agg(F.min("t").alias("m"))
+        .select(
+            F.col("m.split1").alias("s1"), F.col("m.split2").alias("s2")
+        )
+        .first()
+    )
+    s1, s2 = int(last["s1"]), int(last["s2"])
+    bounds = [(1, 0, s1), (2, s1 + 1, s2), (3, s2 + 1, dd - 1)]
+    pr = {int(r["x"]): (int(r["cs"]), int(r["cq"])) for r in pre.collect()}
+    pre.unpersist()
+    cost.unpersist()
+
+    def seg_stats(a: int, b: int):
+        ps, pq = pr[a - 1] if a > 0 else (0, 0)
+        cs, cq = pr[b]
+        n = b - a + 1
+        s, q = cs - ps, cq - pq
+        mean = ((1_000_000 * abs(s)) // n) * (1 if s >= 0 else -1)
+        sse = 1_000_000 * q - (1_000_000 * s * s) // n
+        return n, mean, sse
+
+    out = []
+    for seg, a, b in bounds:
+        n, mean, sse = seg_stats(a, b)
+        out.append((seg, a, b, n, mean, sse))
+    return events.sparkSession.createDataFrame(
+        out,
+        "seg long, start_x long, end_x long, n_days long,"
+        " mean_micros long, sse_micros long",
+    )

@@ -857,3 +857,88 @@ def shapley_attribution(
             phi += w * (v(s | bit) - v(s))
         out.append((ch, n, phi, _trunc_div(1_000_000 * phi, nf)))
     return spark.createDataFrame(out, schema)
+
+
+def layer_multiplexity(
+    events: DataFrame,
+    key_col: str = "event_type",
+    actor_col: str = "user_id",
+    ts_col: str = "ts_us",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(type_a, type_b, n_a, n_b, n_common, jaccard_micros) — edge
+    overlap between the LAYERS of the multiplex contact graph: each
+    event type induces its own contact layer (:func:`contact_edges`
+    already streams per type); for every type pair, the Jaccard of
+    the two undirected edge sets says whether the layers trace the
+    SAME social fabric or disjoint ones (multiplexity, Verbrugge 1979
+    / multilayer-network literature, public).  The layer-level
+    companion to :func:`tie_strength_embeddedness`'s per-edge overlap.
+
+    Exactness: layers are DISTINCT canonical (least, greatest) vertex
+    pairs; counts are exact; jaccard is one truncating micro division.
+    Pairs with an empty union are omitted (no 0/0 row).
+
+    Scale shape: one lag window per type stream (the contact_edges
+    shape), one distinct, one self-equi-join ON THE EDGE KEY (type
+    pairs meet only where an identical edge exists in both layers —
+    never a type×type×edges blow-up), and a type-pair grid join over
+    the vocabulary-sized layer list."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    arcs = (
+        events.select(
+            F.col(key_col).alias("t"),
+            F.lag(actor_col).over(w).alias("p"),
+            F.col(actor_col).alias("q"),
+        )
+        .where(F.col("p").isNotNull() & (F.col("p") != F.col("q")))
+        .select(
+            "t",
+            F.least("p", "q").alias("u"),
+            F.greatest("p", "q").alias("v"),
+        )
+        .distinct()
+    )
+    sizes = arcs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    common = (
+        arcs.alias("a")
+        .join(
+            arcs.alias("b"),
+            (F.col("a.u") == F.col("b.u"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(
+            F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    grid = (
+        sizes.alias("x")
+        .join(sizes.alias("y"), F.col("x.t") < F.col("y.t"))
+        .select(
+            F.col("x.t").alias("type_a"),
+            F.col("y.t").alias("type_b"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.n").alias("n_b"),
+        )
+    )
+    return (
+        grid.join(common, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias(
+                "n_common"
+            ),
+            F.expr(
+                "(1000000 * coalesce(n_common, 0))"
+                " div (n_a + n_b - coalesce(n_common, 0))"
+            ).cast("long").alias("jaccard_micros"),
+        )
+        .where(F.col("n_a") + F.col("n_b") > 0)
+    )

@@ -11083,3 +11083,114 @@ def decision_stump_sql(k: int = 10) -> str:
         " AS INT) AS rank\n"
         f"FROM ds_w ORDER BY gini_weighted_micros, pos LIMIT {int(k)}"
     )
+
+
+def seg_vopt_daily_sql() -> str:
+    """Mirror of operators.analytics.seg_vopt_daily: the day spine +
+    prefix sums, the exact BIGINT cost table cost(i,j) = 10⁶·ΔQ −
+    (10⁶·ΔS²)//n, two DP layers with (score, split) row_number ties
+    (== Spark's lexicographic struct minima), and the three segment
+    rows reconstructed from the prefix table."""
+    return (
+        "WITH sv_d AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),\n"
+        "sv_r AS (SELECT min(d) AS lo, max(d) AS hi FROM sv_d),\n"
+        "sv_p AS MATERIALIZED (\n"
+        "  SELECT CAST(s.d - s.lo AS BIGINT) AS x,\n"
+        "    CAST(COALESCE(t.y, 0) AS BIGINT) AS y\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d, lo FROM sv_r) s\n"
+        "  LEFT JOIN sv_d t USING (d)),\n"
+        "sv_c AS MATERIALIZED (\n"
+        "  SELECT x, CAST(SUM(y) OVER (ORDER BY x) AS BIGINT) AS cs,\n"
+        "    CAST(SUM(y * y) OVER (ORDER BY x) AS BIGINT) AS cq\n"
+        "  FROM sv_p),\n"
+        "sv_z AS MATERIALIZED (\n"
+        "  SELECT x + 1 AS i, cs AS ps, cq AS pq FROM sv_c\n"
+        "  UNION ALL SELECT 0, 0, 0),\n"
+        "sv_t AS MATERIALIZED (\n"
+        "  SELECT z.i, p.x AS j,\n"
+        "    CAST(1000000 * (p.cq - z.pq)\n"
+        "      - (1000000 * (p.cs - z.ps) * (p.cs - z.ps))"
+        " // (p.x - z.i + 1) AS BIGINT) AS c\n"
+        "  FROM sv_z z JOIN sv_c p ON z.i <= p.x),\n"
+        "sv_n AS (SELECT CAST(max(x) AS BIGINT) AS last FROM sv_c),\n"
+        "sv_1 AS MATERIALIZED (SELECT j, c AS v1 FROM sv_t"
+        " WHERE i = 0),\n"
+        "sv_2 AS MATERIALIZED (\n"
+        "  SELECT j, v, s1 FROM (\n"
+        "    SELECT b.j AS j, a.v1 + b.c AS v, a.j AS s1,\n"
+        "      row_number() OVER (PARTITION BY b.j\n"
+        "        ORDER BY a.v1 + b.c, a.j) AS rn\n"
+        "    FROM sv_1 a JOIN sv_t b ON b.i = a.j + 1) t"
+        " WHERE rn = 1),\n"
+        "sv_f AS MATERIALIZED (\n"
+        "  SELECT a.s1, a.j AS s2 FROM sv_2 a\n"
+        "  JOIN sv_t b ON b.i = a.j + 1\n"
+        "    AND b.j = (SELECT last FROM sv_n)\n"
+        "  ORDER BY a.v + b.c, a.j LIMIT 1)\n"
+        "SELECT * FROM (\n"
+        "  SELECT CAST(1 AS BIGINT) AS seg, CAST(0 AS BIGINT)"
+        " AS start_x,\n"
+        "    f.s1 AS end_x, CAST(f.s1 + 1 AS BIGINT) AS n_days,\n"
+        "    CAST((1000000 * p.cs) // (f.s1 + 1) AS BIGINT)"
+        " AS mean_micros,\n"
+        "    CAST(1000000 * p.cq - (1000000 * p.cs * p.cs)"
+        " // (f.s1 + 1) AS BIGINT) AS sse_micros\n"
+        "  FROM sv_f f JOIN sv_c p ON p.x = f.s1\n"
+        "  UNION ALL\n"
+        "  SELECT 2, f.s1 + 1, f.s2, CAST(f.s2 - f.s1 AS BIGINT),\n"
+        "    CAST((1000000 * (p2.cs - p1.cs)) // (f.s2 - f.s1)"
+        " AS BIGINT),\n"
+        "    CAST(1000000 * (p2.cq - p1.cq)\n"
+        "      - (1000000 * (p2.cs - p1.cs) * (p2.cs - p1.cs))"
+        " // (f.s2 - f.s1) AS BIGINT)\n"
+        "  FROM sv_f f JOIN sv_c p1 ON p1.x = f.s1\n"
+        "  JOIN sv_c p2 ON p2.x = f.s2\n"
+        "  UNION ALL\n"
+        "  SELECT 3, f.s2 + 1, n.last,"
+        " CAST(n.last - f.s2 AS BIGINT),\n"
+        "    CAST((1000000 * (pt.cs - p2.cs)) // (n.last - f.s2)"
+        " AS BIGINT),\n"
+        "    CAST(1000000 * (pt.cq - p2.cq)\n"
+        "      - (1000000 * (pt.cs - p2.cs) * (pt.cs - p2.cs))"
+        " // (n.last - f.s2) AS BIGINT)\n"
+        "  FROM sv_f f, sv_n n\n"
+        "  JOIN sv_c p2 ON p2.x = f.s2\n"
+        "  JOIN sv_c pt ON pt.x = n.last\n"
+        ") u ORDER BY seg"
+    )
+
+
+def layer_multiplexity_sql() -> str:
+    """Mirror of operators.temporal.layer_multiplexity: per-type lag
+    contact arcs, canonical (least, greatest) DISTINCT und edges per
+    layer, exact common/size counts, truncating micro Jaccard."""
+    return (
+        "WITH lm_e AS MATERIALIZED (SELECT event_id, user_id,"
+        " event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),\n"
+        "lm_a AS MATERIALIZED (\n"
+        "  SELECT DISTINCT t, LEAST(p, q) AS u, GREATEST(p, q) AS v\n"
+        "  FROM (SELECT event_type AS t,\n"
+        "      lag(user_id) OVER (PARTITION BY event_type\n"
+        "        ORDER BY ts_us, event_id) AS p,\n"
+        "      user_id AS q FROM lm_e) s\n"
+        "  WHERE p IS NOT NULL AND p <> q),\n"
+        "lm_s AS MATERIALIZED (SELECT t,"
+        " CAST(count(*) AS BIGINT) AS n FROM lm_a GROUP BY t),\n"
+        "lm_c AS MATERIALIZED (\n"
+        "  SELECT a.t AS type_a, b.t AS type_b,\n"
+        "    CAST(count(*) AS BIGINT) AS n_common\n"
+        "  FROM lm_a a JOIN lm_a b\n"
+        "    ON a.u = b.u AND a.v = b.v AND a.t < b.t\n"
+        "  GROUP BY a.t, b.t)\n"
+        "SELECT x.t AS type_a, y.t AS type_b, x.n AS n_a, y.n AS n_b,\n"
+        "  CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,\n"
+        "  CAST((1000000 * COALESCE(c.n_common, 0))\n"
+        "    // (x.n + y.n - COALESCE(c.n_common, 0)) AS BIGINT)"
+        " AS jaccard_micros\n"
+        "FROM lm_s x JOIN lm_s y ON x.t < y.t\n"
+        "LEFT JOIN lm_c c ON c.type_a = x.t AND c.type_b = y.t\n"
+        "WHERE x.n + y.n > 0"
+    )

@@ -562,3 +562,81 @@ def test_decision_stump_matches_bruteforce(spark):
         if j in got:
             assert got[j]["gini_weighted_micros"] == expect, j
             assert got[j]["n_left"] == nl and got[j]["n_right"] == nr
+
+
+def test_seg_vopt_three_levels(spark):
+    from graphlite_spark.operators.analytics import seg_vopt_daily
+    from datetime import datetime, timedelta
+
+    # three clean plateaus: DP must find both true breakpoints exactly
+    counts = [2] * 4 + [9] * 5 + [4] * 4
+    rows = []
+    base = datetime(2026, 2, 1)
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + timedelta(days=d, hours=4)))
+            eid += 1
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = sorted(seg_vopt_daily(events).collect(), key=lambda r: r["seg"])
+    assert [(r["start_x"], r["end_x"]) for r in got] == [
+        (0, 3), (4, 8), (9, 12)
+    ]
+    assert [r["sse_micros"] for r in got] == [0, 0, 0]
+    assert [r["mean_micros"] for r in got] == [
+        2_000_000, 9_000_000, 4_000_000
+    ]
+
+
+def test_seg_vopt_matches_bruteforce_dp(spark):
+    from graphlite_spark.operators.analytics import seg_vopt_daily
+    from datetime import datetime, timedelta
+
+    counts = [5, 1, 4, 9, 2, 8, 3, 7, 6, 1]
+    rows = []
+    base = datetime(2026, 4, 1)
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + timedelta(days=d, hours=5)))
+            eid += 1
+    events = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = sorted(seg_vopt_daily(events).collect(), key=lambda r: r["seg"])
+
+    def sse(a, b):
+        seg = counts[a : b + 1]
+        s, q, n = sum(seg), sum(x * x for x in seg), len(seg)
+        return 1_000_000 * q - (1_000_000 * s * s) // n
+
+    best = min(
+        (
+            sse(0, i) + sse(i + 1, j) + sse(j + 1, len(counts) - 1),
+            i,
+            j,
+        )
+        for i in range(len(counts) - 2)
+        for j in range(i + 1, len(counts) - 1)
+    )
+    assert (got[0]["end_x"], got[1]["end_x"]) == (best[1], best[2])
+    assert sum(r["sse_micros"] for r in got) == best[0]
+
+
+def test_layer_multiplexity_hand(spark):
+    from graphlite_spark.operators.temporal import layer_multiplexity
+
+    # type a stream: users 1,2,3 -> edges {1-2, 2-3}
+    # type b stream: users 1,2,1 -> edges {1-2}
+    rows = [
+        (1, "a", 1, 100), (2, "a", 2, 200), (3, "a", 3, 300),
+        (4, "b", 1, 100), (5, "b", 2, 200), (6, "b", 1, 300),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long, ts_us long"
+    )
+    got = layer_multiplexity(events).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["type_a"], r["type_b"]) == ("a", "b")
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (2, 1, 1)
+    # jaccard = 1 / (2 + 1 - 1) = 0.5
+    assert r["jaccard_micros"] == 500_000
