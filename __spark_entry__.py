@@ -3159,6 +3159,22 @@ def q_layer_multiplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layer_multiplexity(_events_us(spark, sf_dir))
 
 
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # difference-in-differences of mean daily volume, purchase vs click
+    # around the calendar midpoint: nets out the common time shock
+    from graphlite_spark.operators.analytics import diff_in_diff
+
+    return diff_in_diff(load_table(spark, sf_dir, "events"))
+
+
+def q_embedding_mmd_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # poly-2 kernel MMD^2 between label groups via second-moment
+    # matrices: covariance shifts register even with equal means
+    from graphlite_spark.operators.similarity import embedding_mmd_labels
+
+    return embedding_mmd_labels(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4012,6 +4028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decision_stump_dims": q_decision_stump_dims,
         "seg_vopt_daily": q_seg_vopt_daily,
         "layer_multiplexity": q_layer_multiplexity,
+        "diff_in_diff": q_diff_in_diff,
+        "embedding_mmd_labels": q_embedding_mmd_labels,
     }
 
 
@@ -4259,6 +4277,8 @@ def oracle_sql() -> dict[str, str]:
         "decision_stump_dims": O.decision_stump_sql(10),
         "seg_vopt_daily": O.seg_vopt_daily_sql(),
         "layer_multiplexity": O.layer_multiplexity_sql(),
+        "diff_in_diff": O.diff_in_diff_sql(),
+        "embedding_mmd_labels": O.embedding_mmd_sql(0, 1),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -3590,3 +3590,84 @@ def seg_vopt_daily(
         "seg long, start_x long, end_x long, n_days long,"
         " mean_micros long, sse_micros long",
     )
+
+
+def diff_in_diff(
+    events: DataFrame,
+    type_treat: str = "purchase",
+    type_control: str = "click",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_days, split_x, pre_treat_micros, post_treat_micros,
+    pre_ctrl_micros, post_ctrl_micros, did_micros) — difference-in-
+    differences of MEAN DAILY VOLUME between a treated and a control
+    event type around the calendar midpoint: did = (post_T − pre_T) −
+    (post_C − pre_C).  The parallel-trends workhorse that completes
+    the experimentation family (:func:`cuped_adjustment` reduces
+    variance, :func:`quantile_treatment_effect` looks beyond the mean,
+    DiD nets out the common time shock).
+
+    Exactness: a period's mean daily count is ``(10⁶·total events in
+    period) div period_days`` — the zero-filled day spine is implicit
+    in the denominator, so no per-day table is even needed; the four
+    means and the DiD are exact truncating-division micros.  The
+    split is ``mid = D div 2`` (pre = days 0..mid−1, post = the
+    rest); rows outside [lo, hi] cannot exist by construction.
+
+    Scale shape: one map-side-combined 4-cell conditional aggregate
+    over the facts + one 1-row bounds aggregate — nothing else."""
+    day = F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}")
+    typed = events.select(
+        day.alias("d"), F.col("event_type").alias("t")
+    )
+    rng = typed.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    j = typed.crossJoin(F.broadcast(rng)).select(
+        "t",
+        (F.col("d") - F.col("lo")).alias("x"),
+        (F.col("hi") - F.col("lo") + 1).cast("long").alias("dd"),
+    )
+    cells = j.agg(
+        F.max("dd").cast("long").alias("dd"),
+        *[
+            F.sum(
+                (
+                    (F.col("t") == ty)
+                    & (
+                        (F.col("x") < F.expr("dd div 2"))
+                        if pre
+                        else (F.col("x") >= F.expr("dd div 2"))
+                    )
+                ).cast("long")
+            ).cast("long").alias(name)
+            for ty, pre, name in [
+                (type_treat, True, "ta"),
+                (type_treat, False, "tb"),
+                (type_control, True, "ca"),
+                (type_control, False, "cb"),
+            ]
+        ],
+    )
+    return cells.select(
+        F.col("dd").alias("n_days"),
+        F.expr("dd div 2").cast("long").alias("split_x"),
+        F.expr("(1000000 * ta) div (dd div 2)").cast("long").alias(
+            "pre_treat_micros"
+        ),
+        F.expr("(1000000 * tb) div (dd - dd div 2)").cast("long").alias(
+            "post_treat_micros"
+        ),
+        F.expr("(1000000 * ca) div (dd div 2)").cast("long").alias(
+            "pre_ctrl_micros"
+        ),
+        F.expr("(1000000 * cb) div (dd - dd div 2)").cast("long").alias(
+            "post_ctrl_micros"
+        ),
+        F.expr(
+            "((1000000 * tb) div (dd - dd div 2)"
+            " - (1000000 * ta) div (dd div 2))"
+            " - ((1000000 * cb) div (dd - dd div 2)"
+            " - (1000000 * ca) div (dd div 2))"
+        ).cast("long").alias("did_micros"),
+    ).where(F.col("n_days") >= 2)

@@ -1621,3 +1621,123 @@ def decision_stump_dims(
         .withColumn("rank", F.row_number().over(w))
         .select("pos", "n_left", "n_right", "gini_weighted_micros", "rank")
     )
+
+
+def embedding_mmd_labels(
+    embeddings: DataFrame,
+    label_a: int = 0,
+    label_b: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """One row (n_a, n_b, mmd2_scaled) — squared Maximum Mean
+    Discrepancy between two label groups under the degree-2 polynomial
+    kernel k(x, y) = (xᵀy)² (Gretton et al. 2012, public literature):
+    the kernel two-sample companion to :func:`label_separability`'s
+    centroid distance — a mean shift of zero with DIFFERENT covariance
+    still shows up, because the poly-2 kernel mean embedding IS the
+    second-moment matrix.
+
+    Method: for this kernel MMD² = ‖M_A − M_B‖²_F with M_g =
+    E_g[x xᵀ], so no pair of points ever meets: each group
+    contributes one (i, j) moment-sum table and the statistic is the
+    Frobenius norm of the difference of the two mean matrices.
+
+    Exactness: micro-quantized coordinates give exact BIGINT pair
+    products; each mean entry is the truncating division
+    ``Σ x_i x_j div (n_g · 10⁶)`` (the extra 10⁶ rescale keeps the
+    squared differences inside BIGINT); the final sum of squared
+    entry differences is exact.  NULL when either group is empty.
+
+    Scale shape: ONE map-side-combined (label, i, j) aggregate — at
+    most 2·d²/2 partial rows per task regardless of N (the
+    embedding_covariance shape) — then arithmetic on the d²-row
+    join."""
+    from graphlite_spark.operators.kmeans import quantize_expr
+
+    spark = embeddings.sparkSession
+    schema = "n_a long, n_b long, mmd2_scaled long"
+    qz = embeddings.where(
+        F.col(label_col).isin([label_a, label_b])
+    ).select(
+        (F.col(label_col) == label_a).cast("int").alias("ga"),
+        quantize_expr(F.col(vec_col)).alias("qv"),
+    )
+    dim_row = qz.select(F.size("qv").alias("d")).limit(1).collect()
+    if not dim_row:
+        return spark.createDataFrame([], schema)
+    d = dim_row[0]["d"]
+    rows = qz.select(
+        "ga", F.posexplode("qv").alias("i", "xi"), F.col("qv")
+    ).select(
+        "ga",
+        "i",
+        F.posexplode(
+            F.transform(
+                F.slice(F.col("qv"), F.col("i") + 1, F.lit(d)),
+                lambda y: y * F.col("xi"),
+            )
+        ).alias("joff", "prod"),
+    )
+    moments = rows.groupBy("ga", "i", "joff").agg(
+        F.sum("prod").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # n is constant per group (= group size), carried per cell
+    a = moments.where(F.col("ga") == 1).select(
+        "i",
+        "joff",
+        F.col("s").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = moments.where(F.col("ga") == 0).select(
+        "i",
+        "joff",
+        F.col("s").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    cells = a.join(b, ["i", "joff"], "full").select(
+        F.coalesce("sa", F.lit(0)).alias("sa"),
+        F.coalesce("sb", F.lit(0)).alias("sb"),
+        F.col("na"),
+        F.col("nb"),
+        (F.col("joff") > 0).cast("int").alias("off"),
+    )
+    ns = cells.agg(
+        F.max("na").cast("long").alias("na"),
+        F.max("nb").cast("long").alias("nb"),
+    )
+    # mean entries rescaled: m = s div (n * 1e6); off-diagonal cells
+    # count twice (the matrix is symmetric, the triangle stores half)
+    scored = (
+        cells.crossJoin(
+            F.broadcast(
+                ns.select(
+                    F.col("na").alias("gna"), F.col("nb").alias("gnb")
+                )
+            )
+        )
+        .select(
+            "off",
+            "gna",
+            "gnb",
+            (
+                F.expr("sa div (gna * 1000000)")
+                - F.expr("sb div (gnb * 1000000)")
+            ).cast("long").alias("diff"),
+        )
+        .select(
+            ((F.lit(1) + F.col("off")) * F.col("diff") * F.col("diff"))
+            .cast("long").alias("q"),
+            "gna",
+            "gnb",
+        )
+    )
+    return scored.groupBy("gna", "gnb").agg(
+        F.sum("q").cast("long").alias("mmd2_scaled")
+    ).select(
+        F.col("gna").alias("n_a"),
+        F.col("gnb").alias("n_b"),
+        "mmd2_scaled",
+    )

@@ -11194,3 +11194,90 @@ def layer_multiplexity_sql() -> str:
         "LEFT JOIN lm_c c ON c.type_a = x.t AND c.type_b = y.t\n"
         "WHERE x.n + y.n > 0"
     )
+
+
+def diff_in_diff_sql(
+    type_treat: str = "purchase", type_control: str = "click"
+) -> str:
+    """Mirror of operators.analytics.diff_in_diff: day offsets from
+    the calendar minimum, mid = D // 2, four conditional BIGINT cells,
+    truncating-division micros for each period mean and the DiD."""
+    tt = type_treat.replace("'", "''")
+    tc = type_control.replace("'", "''")
+    return (
+        "WITH dd_e AS MATERIALIZED (\n"
+        "  SELECT event_type AS t,\n"
+        "    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d\n"
+        "  FROM events),\n"
+        "dd_r AS (SELECT min(d) AS lo, max(d) AS hi FROM dd_e),\n"
+        "dd_c AS (\n"
+        "  SELECT CAST(r.hi - r.lo + 1 AS BIGINT) AS dd,\n"
+        f"    CAST(SUM(CASE WHEN t = '{tt}'\n"
+        "      AND e.d - r.lo < (r.hi - r.lo + 1) // 2"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS ta,\n"
+        f"    CAST(SUM(CASE WHEN t = '{tt}'\n"
+        "      AND e.d - r.lo >= (r.hi - r.lo + 1) // 2"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS tb,\n"
+        f"    CAST(SUM(CASE WHEN t = '{tc}'\n"
+        "      AND e.d - r.lo < (r.hi - r.lo + 1) // 2"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS ca,\n"
+        f"    CAST(SUM(CASE WHEN t = '{tc}'\n"
+        "      AND e.d - r.lo >= (r.hi - r.lo + 1) // 2"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS cb\n"
+        "  FROM dd_e e, dd_r r GROUP BY r.hi, r.lo)\n"
+        "SELECT dd AS n_days, CAST(dd // 2 AS BIGINT) AS split_x,\n"
+        "  CAST((1000000 * ta) // (dd // 2) AS BIGINT)"
+        " AS pre_treat_micros,\n"
+        "  CAST((1000000 * tb) // (dd - dd // 2) AS BIGINT)"
+        " AS post_treat_micros,\n"
+        "  CAST((1000000 * ca) // (dd // 2) AS BIGINT)"
+        " AS pre_ctrl_micros,\n"
+        "  CAST((1000000 * cb) // (dd - dd // 2) AS BIGINT)"
+        " AS post_ctrl_micros,\n"
+        "  CAST(((1000000 * tb) // (dd - dd // 2)"
+        " - (1000000 * ta) // (dd // 2))\n"
+        "    - ((1000000 * cb) // (dd - dd // 2)"
+        " - (1000000 * ca) // (dd // 2)) AS BIGINT) AS did_micros\n"
+        "FROM dd_c WHERE dd >= 2"
+    )
+
+
+def embedding_mmd_sql(label_a: int = 0, label_b: int = 1) -> str:
+    """Mirror of operators.similarity.embedding_mmd_labels: per-group
+    (i, j) BIGINT moment sums over the upper triangle incl. the
+    diagonal, mean entries as ``s // (n·10⁶)``, off-diagonal cells
+    doubled, exact sum of squared differences."""
+    return (
+        "WITH mm_q AS MATERIALIZED (\n"
+        f"  SELECT CASE WHEN label = {int(label_a)} THEN 1 ELSE 0 END"
+        " AS ga,\n"
+        "    list_transform(embedding, x ->\n"
+        "      CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        " AS v\n"
+        f"  FROM embeddings WHERE label IN ({int(label_a)},"
+        f" {int(label_b)})),\n"
+        "mm_m AS MATERIALIZED (\n"
+        "  SELECT ga, ti.i AS i, tj.j AS j,\n"
+        "    CAST(SUM(v[ti.i] * v[tj.j]) AS BIGINT) AS s,\n"
+        "    CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM mm_q,\n"
+        "    UNNEST(range(1, len(v) + 1)) AS ti(i),\n"
+        "    UNNEST(range(1, len(v) + 1)) AS tj(j)\n"
+        "  WHERE tj.j >= ti.i GROUP BY ga, ti.i, tj.j),\n"
+        "mm_c AS MATERIALIZED (\n"
+        "  SELECT COALESCE(a.s, 0) AS sa, COALESCE(b.s, 0) AS sb,\n"
+        "    a.n AS na, b.n AS nb,\n"
+        "    CASE WHEN COALESCE(a.j, b.j) > COALESCE(a.i, b.i)"
+        " THEN 1 ELSE 0 END AS off\n"
+        "  FROM (SELECT * FROM mm_m WHERE ga = 1) a\n"
+        "  FULL JOIN (SELECT * FROM mm_m WHERE ga = 0) b\n"
+        "    USING (i, j)),\n"
+        "mm_n AS (SELECT CAST(MAX(na) AS BIGINT) AS gna,\n"
+        "    CAST(MAX(nb) AS BIGINT) AS gnb FROM mm_c)\n"
+        "SELECT gna AS n_a, gnb AS n_b,\n"
+        "  CAST(SUM((1 + off)\n"
+        "    * (sa // (gna * 1000000) - sb // (gnb * 1000000))\n"
+        "    * (sa // (gna * 1000000) - sb // (gnb * 1000000)))"
+        " AS BIGINT) AS mmd2_scaled\n"
+        "FROM mm_c, mm_n GROUP BY gna, gnb"
+    )

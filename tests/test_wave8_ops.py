@@ -640,3 +640,89 @@ def test_layer_multiplexity_hand(spark):
     assert (r["n_a"], r["n_b"], r["n_common"]) == (2, 1, 1)
     # jaccard = 1 / (2 + 1 - 1) = 0.5
     assert r["jaccard_micros"] == 500_000
+
+
+def test_diff_in_diff_hand(spark):
+    from graphlite_spark.operators.analytics import diff_in_diff
+    from datetime import datetime, timedelta
+
+    # 4 days: treat 2/day pre -> 6/day post (+4); ctrl 3/day -> 4/day
+    # (+1, the common shock). DiD = +3/day.
+    base = datetime(2026, 6, 1)
+    rows = []
+    eid = 0
+    plan = {0: {"t": 2, "c": 3}, 1: {"t": 2, "c": 3},
+            2: {"t": 6, "c": 4}, 3: {"t": 6, "c": 4}}
+    for d, spec in plan.items():
+        for _ in range(spec["t"]):
+            rows.append((eid, "purchase", base + timedelta(days=d)))
+            eid += 1
+        for _ in range(spec["c"]):
+            rows.append((eid, "click", base + timedelta(days=d)))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    got = diff_in_diff(events).collect()[0]
+    assert got["n_days"] == 4 and got["split_x"] == 2
+    assert got["pre_treat_micros"] == 2_000_000
+    assert got["post_treat_micros"] == 6_000_000
+    assert got["pre_ctrl_micros"] == 3_000_000
+    assert got["post_ctrl_micros"] == 4_000_000
+    assert got["did_micros"] == 3_000_000
+
+
+def test_embedding_mmd_mean_vs_covariance_shift(spark):
+    from graphlite_spark.operators.similarity import embedding_mmd_labels
+
+    # group 0 and group 1 share the SAME mean (zero) but different
+    # spread: the poly-2 kernel must see it (a pure mean statistic
+    # like label_separability's centroid distance would read ~0)
+    vecs = []
+    vid = 0
+    for s in (0.1, -0.1):
+        vecs.append((vid, [s, 0.0], 0)); vid += 1
+        vecs.append((vid, [0.0, s], 0)); vid += 1
+    for s in (0.5, -0.5):
+        vecs.append((vid, [s, 0.0], 1)); vid += 1
+        vecs.append((vid, [0.0, s], 1)); vid += 1
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    got = embedding_mmd_labels(emb).collect()[0]
+    assert got["n_a"] == 4 and got["n_b"] == 4
+    # brute force: M_g = mean outer product, entries rescaled by
+    # s // (n * 1e6), off-diagonal doubled
+    import itertools
+    def moments(rows):
+        n = len(rows)
+        out = {}
+        for i, j in itertools.product(range(2), range(2)):
+            if j < i:
+                continue
+            s = sum(round(v[i] * 1e6) * round(v[j] * 1e6) for v in rows)
+            out[(i, j)] = s // (n * 1_000_000)
+        return out
+    ma = moments([[0.1, 0.0], [-0.1, 0.0], [0.0, 0.1], [0.0, -0.1]])
+    mb = moments([[0.5, 0.0], [-0.5, 0.0], [0.0, 0.5], [0.0, -0.5]])
+    expect = sum(
+        (2 if j > i else 1) * (ma[(i, j)] - mb[(i, j)]) ** 2
+        for (i, j) in ma
+    )
+    assert got["mmd2_scaled"] == expect
+    assert got["mmd2_scaled"] > 0
+
+
+def test_embedding_mmd_identical_groups_zero(spark):
+    from graphlite_spark.operators.similarity import embedding_mmd_labels
+
+    vecs = []
+    vid = 0
+    for lab in (0, 1):
+        for v in ([0.3, -0.2], [-0.1, 0.4], [0.2, 0.2]):
+            vecs.append((vid, v, lab)); vid += 1
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    )
+    got = embedding_mmd_labels(emb).collect()[0]
+    assert got["mmd2_scaled"] == 0
