@@ -3175,6 +3175,22 @@ def q_embedding_mmd_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_mmd_labels(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_logrank_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mantel-Cox log-rank test: do purchasers' lifetimes differ from
+    # everyone else's, with horizon censoring handled?
+    from graphlite_spark.operators.analytics import logrank_purchasers
+
+    return logrank_purchasers(load_table(spark, sf_dir, "events"))
+
+
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kendall pair-agreement between daily volume and daily reach:
+    # the tie-aware companion to the Spearman rank correlation
+    from graphlite_spark.operators.analytics import kendall_tau_daily
+
+    return kendall_tau_daily(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4030,6 +4046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layer_multiplexity": q_layer_multiplexity,
         "diff_in_diff": q_diff_in_diff,
         "embedding_mmd_labels": q_embedding_mmd_labels,
+        "logrank_purchasers": q_logrank_purchasers,
+        "kendall_tau_daily": q_kendall_tau_daily,
     }
 
 
@@ -4279,6 +4297,8 @@ def oracle_sql() -> dict[str, str]:
         "layer_multiplexity": O.layer_multiplexity_sql(),
         "diff_in_diff": O.diff_in_diff_sql(),
         "embedding_mmd_labels": O.embedding_mmd_sql(0, 1),
+        "logrank_purchasers": O.logrank_purchasers_sql(),
+        "kendall_tau_daily": O.kendall_tau_daily_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

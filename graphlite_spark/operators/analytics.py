@@ -3671,3 +3671,219 @@ def diff_in_diff(
             " - (1000000 * ca) div (dd div 2))"
         ).cast("long").alias("did_micros"),
     ).where(F.col("n_days") >= 2)
+
+
+def logrank_purchasers(
+    events: DataFrame,
+    treat_type: str = "purchase",
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_times, deaths_a, deaths_b, expected_a_micros,
+    var_micros, z2_micros) — the log-rank (Mantel–Cox) two-sample test
+    comparing the :func:`kaplan_meier` lifetime distributions of
+    group A (units whose ``treat_type`` SHARE exceeds the corpus-wide
+    share — the exact cross-multiplied test ``p_u·N > P·n_u``, no
+    division; a mere has-one flag degenerates to one group once every
+    unit has every type) against everyone else: at each pooled death
+    time the observed group-A deaths are
+    compared with the hypergeometric expectation d·n_a/n, and
+    Z² = (Σ(d_a − E_a))² / Σ V with
+    V = d·n_a·n_b·(n−d) / (n²·(n−1)).  Completes the survival family
+    (KM estimates the curve, Nelson–Aalen the hazard, log-rank TESTS
+    the difference) — the churn question "do purchasers live longer?"
+    asked properly, with censoring handled.
+
+    Lifetime/censoring definitions are exactly
+    :func:`kaplan_meier`'s: lifetime = last-active-day − first-active-
+    day; units last active on the corpus horizon are censored.
+
+    Exactness: every expectation/variance term is a chained
+    remainder-subtract truncating division in micro units —
+    ``e = (10⁶·d·n_a) div n``; ``v = ((e·n_b) div n · (n−d)) div
+    (n−1)`` — each step an exact BIGINT (bound: 10⁶·d·n_a ≤ 10⁶·N²,
+    inside BIGINT through N ≈ 50k units per slice, the chi-square
+    tier's stated bound); the final Z² is ``OmE² div ΣV`` with OmE in
+    micros (exact through |OmE| ≈ 3·10⁹ micros).  Times with n < 2
+    at risk contribute no variance and are excluded (standard).
+
+    Scale shape: one map-side-combined per-unit aggregate, a 1-row
+    horizon broadcast, then day-granularity tables only — the at-risk
+    cumsum windows are per-group over calendar-bounded rows, and the
+    final statistic is one scalar rollup."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.min(day).alias("first_d"),
+        F.max(day).alias("last_d"),
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+        F.sum(
+            (F.col("event_type") == treat_type).cast("long")
+        ).cast("long").alias("p_u"),
+    )
+    hi = events.agg(
+        F.max(day).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum(
+            (F.col("event_type") == treat_type).cast("long")
+        ).cast("long").alias("pp"),
+    )
+    lives = per.crossJoin(F.broadcast(hi)).select(
+        (
+            F.col("p_u") * F.col("nn") > F.col("pp") * F.col("n_u")
+        ).cast("int").alias("g"),
+        (F.col("last_d") - F.col("first_d")).alias("t"),
+        (F.col("last_d") == F.col("hi")).cast("int").alias("censored"),
+    )
+    durs = lives.groupBy("g", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.lit(1) - F.col("censored")).cast("long").alias("d"),
+    )
+    # dense (t × group) grid so the descending at-risk cumsum is
+    # defined at every POOLED time for BOTH groups (zero-filled rows)
+    spine = durs.select("t").distinct()
+    grid = (
+        spine.crossJoin(
+            durs.sparkSession.range(2).select(
+                F.col("id").cast("int").alias("g")
+            )
+        )
+        .join(durs, ["g", "t"], "left")
+        .select(
+            "g", "t",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+            F.coalesce("d", F.lit(0)).cast("long").alias("d"),
+        )
+    )
+    wd = (
+        Window.partitionBy("g")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = grid.select(
+        "g", "t", "d", F.sum("c").over(wd).cast("long").alias("n")
+    )
+    a = risk.where(F.col("g") == 1).select(
+        "t", F.col("d").alias("da"), F.col("n").alias("na")
+    )
+    b = risk.where(F.col("g") == 0).select(
+        "t", F.col("d").alias("db"), F.col("n").alias("nb")
+    )
+    times = (
+        a.join(b, "t")
+        .where((F.col("da") + F.col("db")) > 0)
+        .where((F.col("na") + F.col("nb")) >= 2)
+        .select(
+            "t", "da", "db", "na", "nb",
+            (F.col("da") + F.col("db")).alias("dt"),
+            (F.col("na") + F.col("nb")).alias("nt"),
+        )
+        .select(
+            "t", "da", "db",
+            F.expr("(1000000 * dt * na) div nt").cast("long").alias("e"),
+            "na", "nb", "dt", "nt",
+        )
+        .select(
+            "t", "da", "db", "e",
+            F.expr(
+                "(((e * nb) div nt) * (nt - dt)) div (nt - 1)"
+            ).cast("long").alias("v"),
+        )
+    )
+    agg = times.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("da").cast("long").alias("deaths_a"),
+        F.sum("db").cast("long").alias("deaths_b"),
+        F.sum("e").cast("long").alias("expected_a_micros"),
+        F.sum("v").cast("long").alias("var_micros"),
+    )
+    ome = F.lit(1_000_000) * F.col("deaths_a") - F.col(
+        "expected_a_micros"
+    )
+    return agg.select(
+        "n_times", "deaths_a", "deaths_b",
+        "expected_a_micros", "var_micros",
+        F.when(
+            F.col("var_micros") > 0,
+            ((ome * ome - (ome * ome) % F.col("var_micros"))
+             / F.col("var_micros")).cast("long"),
+        ).alias("z2_micros"),
+    )
+
+
+def kendall_tau_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_days, n_pairs, concordant, discordant, ties_x,
+    ties_y, ties_both, tau_a_micros) — Kendall's rank correlation
+    between DAILY EVENT VOLUME and DAILY DISTINCT USERS, counted over
+    every unordered day pair: do busier days also reach more people,
+    monotonically?  The pair-counting companion to
+    :func:`spearman_activity_value` (Spearman ranks once and
+    correlates; Kendall scores every pair's agreement, so a single
+    wild day moves it by at most its pair count).
+
+    τ_a = (C − D) / (n(n−1)/2) in exact micros via the remainder-
+    subtract truncating division (numerator may be negative — the
+    subtract-remainder form divides an exact multiple, so Spark's
+    toward-zero and DuckDB's floor semantics agree).  Tie pairs are
+    reported in all three flavours (x-only, y-only, both) so τ_b's
+    denominator is derivable; τ_b itself needs a square root and is
+    left to the caller (documented).
+
+    Scale shape: facts reduce to ONE calendar-bounded daily aggregate
+    (map-side combined count + distinct-user count); the pair join is
+    day² — at 10 years that is ~6.7M pairs, a broadcast-sized
+    self-join of a tiny table, independent of event count."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    daily = events.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.count_distinct("user_id").cast("long").alias("y"),
+    )
+    p1 = daily.select(
+        F.col("d").alias("d1"), F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+    )
+    p2 = daily.select(
+        F.col("d").alias("d2"), F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = p1.join(F.broadcast(p2), F.col("d1") < F.col("d2")).select(
+        ((F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1")))
+        .alias("prod"),
+        (F.col("x1") == F.col("x2")).cast("int").alias("tx"),
+        (F.col("y1") == F.col("y2")).cast("int").alias("ty"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("prod") > 0).cast("long")).cast("long").alias(
+            "concordant"
+        ),
+        F.sum((F.col("prod") < 0).cast("long")).cast("long").alias(
+            "discordant"
+        ),
+        F.sum(
+            ((F.col("tx") == 1) & (F.col("ty") == 0)).cast("long")
+        ).cast("long").alias("ties_x"),
+        F.sum(
+            ((F.col("tx") == 0) & (F.col("ty") == 1)).cast("long")
+        ).cast("long").alias("ties_y"),
+        F.sum(
+            ((F.col("tx") == 1) & (F.col("ty") == 1)).cast("long")
+        ).cast("long").alias("ties_both"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    cd = F.lit(1_000_000) * (F.col("concordant") - F.col("discordant"))
+    return agg.crossJoin(F.broadcast(nd)).select(
+        "n_days", "n_pairs", "concordant", "discordant",
+        "ties_x", "ties_y", "ties_both",
+        F.when(
+            F.col("n_pairs") > 0,
+            ((cd - cd % F.col("n_pairs")) / F.col("n_pairs"))
+            .cast("long"),
+        ).alias("tau_a_micros"),
+    )

@@ -11281,3 +11281,120 @@ def embedding_mmd_sql(label_a: int = 0, label_b: int = 1) -> str:
         " AS BIGINT) AS mmd2_scaled\n"
         "FROM mm_c, mm_n GROUP BY gna, gnb"
     )
+
+
+def logrank_purchasers_sql(treat_type: str = "purchase") -> str:
+    """Mirror of operators.analytics.logrank_purchasers: per-unit
+    lifetime + horizon censoring exactly as kaplan_meier_sql, the
+    cross-multiplied above-average-share group flag (p_u*N > P*n_u),
+    the dense (pooled time x group) grid,
+    per-group descending at-risk cumsums, then the chained truncating
+    micros divisions e = (1e6*d*na)//n, v = ((e*nb)//n*(n-d))//(n-1)
+    (all operands non-negative, so // == Spark's div) and
+    z2 = ome^2 // sum(v) (ome^2 >= 0)."""
+    return (
+        "WITH lr_per AS MATERIALIZED (\n"
+        "  SELECT user_id AS u,\n"
+        "    min(CAST(epoch_us(ts) AS BIGINT) // 86400000000)"
+        " AS first_d,\n"
+        "    max(CAST(epoch_us(ts) AS BIGINT) // 86400000000)"
+        " AS last_d,\n"
+        "    CAST(count(*) AS BIGINT) AS n_u,\n"
+        f"    CAST(sum(CASE WHEN event_type = '{treat_type}' THEN 1"
+        " ELSE 0 END) AS BIGINT) AS p_u\n"
+        "  FROM events GROUP BY 1),\n"
+        "lr_hi AS (SELECT max(last_d) AS hi FROM lr_per),\n"
+        "lr_tot AS (SELECT CAST(sum(n_u) AS BIGINT) AS nn,\n"
+        "  CAST(sum(p_u) AS BIGINT) AS pp FROM lr_per),\n"
+        "lr_durs AS MATERIALIZED (\n"
+        "  SELECT CASE WHEN p_u * (SELECT nn FROM lr_tot)\n"
+        "      > (SELECT pp FROM lr_tot) * n_u THEN 1 ELSE 0 END AS g,\n"
+        "    last_d - first_d AS t,\n"
+        "    CAST(count(*) AS BIGINT) AS c,\n"
+        "    CAST(sum(CASE WHEN last_d = (SELECT hi FROM lr_hi)"
+        " THEN 0 ELSE 1 END) AS BIGINT) AS d\n"
+        "  FROM lr_per GROUP BY 1, 2),\n"
+        "lr_grid AS MATERIALIZED (\n"
+        "  SELECT gg.g, sp.t,\n"
+        "    COALESCE(dd.c, 0) AS c, COALESCE(dd.d, 0) AS d\n"
+        "  FROM (SELECT DISTINCT t FROM lr_durs) sp\n"
+        "  CROSS JOIN (SELECT 0 AS g UNION ALL SELECT 1) gg\n"
+        "  LEFT JOIN lr_durs dd ON dd.g = gg.g AND dd.t = sp.t),\n"
+        "lr_risk AS MATERIALIZED (\n"
+        "  SELECT g, t, d,\n"
+        "    CAST(sum(c) OVER (PARTITION BY g ORDER BY t DESC\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS n\n"
+        "  FROM lr_grid),\n"
+        "lr_times AS MATERIALIZED (\n"
+        "  SELECT a.t, a.d AS da, b.d AS db,\n"
+        "    CAST((1000000 * (a.d + b.d) * a.n) // (a.n + b.n)"
+        " AS BIGINT) AS e,\n"
+        "    a.n AS na, b.n AS nb,\n"
+        "    a.d + b.d AS dt, a.n + b.n AS nt\n"
+        "  FROM (SELECT * FROM lr_risk WHERE g = 1) a\n"
+        "  JOIN (SELECT * FROM lr_risk WHERE g = 0) b ON a.t = b.t\n"
+        "  WHERE a.d + b.d > 0 AND a.n + b.n >= 2),\n"
+        "lr_v AS MATERIALIZED (\n"
+        "  SELECT t, da, db, e,\n"
+        "    CAST((((e * nb) // nt) * (nt - dt)) // (nt - 1)"
+        " AS BIGINT) AS v\n"
+        "  FROM lr_times),\n"
+        "lr_agg AS (\n"
+        "  SELECT CAST(count(*) AS BIGINT) AS n_times,\n"
+        "    CAST(sum(da) AS BIGINT) AS deaths_a,\n"
+        "    CAST(sum(db) AS BIGINT) AS deaths_b,\n"
+        "    CAST(sum(e) AS BIGINT) AS expected_a_micros,\n"
+        "    CAST(sum(v) AS BIGINT) AS var_micros\n"
+        "  FROM lr_v)\n"
+        "SELECT n_times, deaths_a, deaths_b, expected_a_micros,\n"
+        "  var_micros,\n"
+        "  CASE WHEN var_micros > 0 THEN CAST(\n"
+        "    ((1000000 * deaths_a - expected_a_micros)\n"
+        "     * (1000000 * deaths_a - expected_a_micros))\n"
+        "    // var_micros AS BIGINT) ELSE NULL END AS z2_micros\n"
+        "FROM lr_agg"
+    )
+
+
+def kendall_tau_daily_sql() -> str:
+    """Mirror of operators.analytics.kendall_tau_daily: the daily
+    (volume, distinct-user) aggregate, the d1 < d2 pair join, the
+    concordant/discordant/tie cells, and tau_a via the remainder-
+    subtract division (cd may be NEGATIVE: both engines give %
+    the dividend's sign, and the subtracted form divides an exact
+    multiple, so floor // == Spark's toward-zero div)."""
+    return (
+        "WITH kt_daily AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS x,\n"
+        "    CAST(count(DISTINCT user_id) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "kt_pairs AS MATERIALIZED (\n"
+        "  SELECT (p2.x - p1.x) * (p2.y - p1.y) AS prod,\n"
+        "    CASE WHEN p1.x = p2.x THEN 1 ELSE 0 END AS tx,\n"
+        "    CASE WHEN p1.y = p2.y THEN 1 ELSE 0 END AS ty\n"
+        "  FROM kt_daily p1 JOIN kt_daily p2 ON p1.d < p2.d),\n"
+        "kt_agg AS (\n"
+        "  SELECT CAST(count(*) AS BIGINT) AS n_pairs,\n"
+        "    CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS concordant,\n"
+        "    CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS discordant,\n"
+        "    CAST(sum(CASE WHEN tx = 1 AND ty = 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS ties_x,\n"
+        "    CAST(sum(CASE WHEN tx = 0 AND ty = 1 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS ties_y,\n"
+        "    CAST(sum(CASE WHEN tx = 1 AND ty = 1 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS ties_both\n"
+        "  FROM kt_pairs)\n"
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM kt_daily)"
+        " AS n_days,\n"
+        "  n_pairs, concordant, discordant, ties_x, ties_y,"
+        " ties_both,\n"
+        "  CASE WHEN n_pairs > 0 THEN CAST(\n"
+        "    (1000000 * (concordant - discordant)\n"
+        "     - (1000000 * (concordant - discordant)) % n_pairs)\n"
+        "    // n_pairs AS BIGINT) ELSE NULL END AS tau_a_micros\n"
+        "FROM kt_agg"
+    )

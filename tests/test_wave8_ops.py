@@ -726,3 +726,68 @@ def test_embedding_mmd_identical_groups_zero(spark):
     )
     got = embedding_mmd_labels(emb).collect()[0]
     assert got["mmd2_scaled"] == 0
+
+
+def test_logrank_hand(spark):
+    from graphlite_spark.operators.analytics import logrank_purchasers
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 6, 1)
+    # (user, type, day): purchasers u1 (t=2, death), u2 (t=3, censored
+    # at the horizon); others u3 (t=2, death), u4 (t=0, death)
+    spec = [
+        (1, "purchase", 0), (1, "click", 2),
+        (2, "purchase", 0), (2, "click", 3),
+        (3, "click", 0), (3, "view", 2),
+        (4, "view", 1),
+    ]
+    events = spark.createDataFrame(
+        [(i, u, t, base + timedelta(days=d))
+         for i, (u, t, d) in enumerate(spec)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    r = logrank_purchasers(events).collect()[0]
+    # death times t=0 (b only) and t=2 (one each); t=3 censored
+    assert r["n_times"] == 2
+    assert (r["deaths_a"], r["deaths_b"]) == (1, 2)
+    # t=0: e=1e6*1*2//4=500000, v=((500000*2)//4*3)//3=250000
+    # t=2: na=2 nb=1 dt=2: e=1e6*2*2//3=1333333,
+    #      v=((1333333*1)//3*1)//2=222222
+    assert r["expected_a_micros"] == 500_000 + 1_333_333
+    assert r["var_micros"] == 250_000 + 222_222
+    ome = 1_000_000 * 1 - r["expected_a_micros"]
+    assert r["z2_micros"] == (ome * ome) // r["var_micros"]
+
+
+def test_kendall_tau_hand(spark):
+    from graphlite_spark.operators.analytics import kendall_tau_daily
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 6, 1)
+    # daily (x=volume, y=distinct users): day0 (1,1), day1 (2,2),
+    # day2 (2,2) -> pairs: 01 concordant, 02 concordant, 12 tie-both
+    rows = [(0, 100, 0)]
+    rows += [(1, 100, 1), (2, 200, 1)]
+    rows += [(3, 100, 2), (4, 200, 2)]
+    events = spark.createDataFrame(
+        [(i, u, "click", base + timedelta(days=d))
+         for i, (i2, u, d) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    r = kendall_tau_daily(events).collect()[0]
+    assert (r["n_days"], r["n_pairs"]) == (3, 3)
+    assert (r["concordant"], r["discordant"]) == (2, 0)
+    assert r["ties_both"] == 1
+    assert r["tau_a_micros"] == 666_666
+
+    # negative-tau shape: x up, y down -> remainder-subtract division
+    # must agree across engines for negative numerators
+    rows2 = [(0, 100, 0), (1, 100, 1), (2, 200, 1),
+             (3, 100, 2), (4, 200, 2), (5, 300, 2)]
+    ev2 = spark.createDataFrame(
+        [(i, 100 + (i % (d + 1)), "click", base + timedelta(days=d))
+         for i, (_, u, d) in enumerate(rows2)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    r2 = kendall_tau_daily(ev2).collect()[0]
+    assert r2["n_pairs"] == 3
