@@ -3191,6 +3191,27 @@ def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kendall_tau_daily(load_table(spark, sf_dir, "events"))
 
 
+def q_degree_centralization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Freeman degree centralization: hub dominance of the undirected
+    # degree distribution, star = 1, regular = 0
+    from graphlite_spark.algos.stats import degree_centralization
+
+    _, _, e = graph_tables(spark, sf_dir)
+    return degree_centralization(e)
+
+
+def q_cohens_kappa_langid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # chance-corrected agreement of the naive-Bayes language ID:
+    # accuracy flatters a skewed label mix, kappa corrects it
+    from graphlite_spark.operators.classify import cohens_kappa_langid
+
+    return cohens_kappa_langid(load_table(spark, sf_dir, "documents"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4048,6 +4069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_mmd_labels": q_embedding_mmd_labels,
         "logrank_purchasers": q_logrank_purchasers,
         "kendall_tau_daily": q_kendall_tau_daily,
+        "degree_centralization": q_degree_centralization,
+        "cohens_kappa_langid": q_cohens_kappa_langid,
     }
 
 
@@ -4299,6 +4322,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_mmd_labels": O.embedding_mmd_sql(0, 1),
         "logrank_purchasers": O.logrank_purchasers_sql(),
         "kendall_tau_daily": O.kendall_tau_daily_sql(),
+        "degree_centralization": O.degree_centralization_sql(),
+        "cohens_kappa_langid": O.cohens_kappa_langid_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -758,3 +758,51 @@ def tie_strength_embeddedness(arcs: DataFrame) -> DataFrame:
             F.round(num / F.sqrt(vars_ * varx), 6),
         ).alias("corr"),
     )
+
+
+def degree_centralization(edges: DataFrame) -> DataFrame:
+    """One row (n_vertices, max_degree, sum_diff, centralization_micros)
+    — Freeman's degree centralization (Freeman 1979, public
+    literature): C = Σ_v (d_max − d_v) / ((n−1)(n−2)), the extent to
+    which the undirected degree distribution is dominated by a single
+    hub, normalized so a star graph scores exactly 1 (10⁶ micros) and
+    a regular graph 0.  The one-number summary sitting above
+    :func:`degree_mixing_matrix` (the distribution) and
+    :func:`degree_assortativity` (the correlation).
+
+    Vertex universe: vertices incident to >= 1 undirected edge
+    (isolates have no degree row and are excluded — stated; their
+    inclusion would only rescale the denominator).  NULL when n < 3
+    (denominator degenerates).
+
+    Exactness: Σ(d_max − d_v) = n·d_max − Σd_v in exact BIGINTs; one
+    truncating micros division at the end.
+
+    Scale shape: one symmetric-closure dedup, one map-side-combined
+    degree count, one scalar rollup — edge-linear, no joins beyond the
+    closure itself."""
+    from graphlite_spark.algos.components import symmetrize
+
+    und = symmetrize(edges).select("src", "dst")
+    deg = und.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum("d").cast("long").alias("sum_d"),
+    )
+    return agg.select(
+        "n_vertices",
+        "max_degree",
+        (
+            F.col("n_vertices") * F.col("max_degree") - F.col("sum_d")
+        ).cast("long").alias("sum_diff"),
+        F.when(
+            F.col("n_vertices") >= 3,
+            F.expr(
+                "(1000000 * (n_vertices * max_degree - sum_d))"
+                " div ((n_vertices - 1) * (n_vertices - 2))"
+            ).cast("long"),
+        ).alias("centralization_micros"),
+    )

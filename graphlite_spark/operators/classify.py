@@ -110,3 +110,68 @@ def naive_bayes_confusion(
     return pred.groupBy(
         "true_label", F.col("m.cand").alias("pred_label")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def cohens_kappa_langid(
+    docs: DataFrame,
+    label_values: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+) -> DataFrame:
+    """One row (n_eval, n_agree, po_micros, pe_micros, kappa_micros) —
+    Cohen's kappa (Cohen 1960, public literature) of the
+    :func:`naive_bayes_confusion` classifier against the true labels:
+    chance-corrected agreement κ = (p_o − p_e)/(1 − p_e), where p_e is
+    the marginal-product expected agreement.  Raw accuracy (the
+    confusion diagonal) flatters a classifier on a skewed label mix;
+    kappa is the standard correction, and closes the eval loop the
+    confusion matrix opens.
+
+    Exactness: with N docs, diag agreements and Σ r_l·c_l (row × column
+    marginal products) all exact BIGINTs, κ = (N·diag − Σrc)/(N² − Σrc)
+    lands in micros via the remainder-subtract truncating division
+    (numerator may be negative — worse-than-chance classifiers exist);
+    p_o = (10⁶·diag) div N and p_e = (10⁶·Σrc) div N² likewise.
+    BIGINT bound: 10⁶·N² — exact through N ≈ 3M eval docs (stated).
+
+    Scale shape: everything after the confusion matrix lives on an
+    L×L table (L = |label_values|); the matrix itself is the
+    broadcast-scoring shape documented on naive_bayes_confusion."""
+    conf = naive_bayes_confusion(docs, label_values=label_values)
+    r = conf.groupBy(F.col("true_label").alias("l")).agg(
+        F.sum("n").cast("long").alias("r")
+    )
+    c = conf.groupBy(F.col("pred_label").alias("l")).agg(
+        F.sum("n").cast("long").alias("c")
+    )
+    marg = r.join(c, "l", "full").select(
+        F.coalesce("r", F.lit(0)).cast("long").alias("r"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    )
+    rc = marg.agg(
+        F.sum(F.col("r") * F.col("c")).cast("long").alias("sum_rc"),
+        F.sum("r").cast("long").alias("nn"),
+    )
+    diag = conf.agg(
+        F.sum(
+            F.when(
+                F.col("true_label") == F.col("pred_label"), F.col("n")
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("n_agree")
+    )
+    num = (
+        F.lit(1_000_000)
+        * (F.col("nn") * F.col("n_agree") - F.col("sum_rc"))
+    )
+    den = F.col("nn") * F.col("nn") - F.col("sum_rc")
+    return diag.crossJoin(F.broadcast(rc)).select(
+        F.col("nn").alias("n_eval"),
+        "n_agree",
+        F.expr("(1000000 * n_agree) div nn").cast("long").alias(
+            "po_micros"
+        ),
+        F.expr("(1000000 * sum_rc) div (nn * nn)").cast("long").alias(
+            "pe_micros"
+        ),
+        F.when(
+            den > 0, ((num - num % den) / den).cast("long")
+        ).alias("kappa_micros"),
+    )

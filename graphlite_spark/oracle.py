@@ -11398,3 +11398,60 @@ def kendall_tau_daily_sql() -> str:
         "    // n_pairs AS BIGINT) ELSE NULL END AS tau_a_micros\n"
         "FROM kt_agg"
     )
+
+
+def degree_centralization_sql() -> str:
+    """Mirror of algos.stats.degree_centralization: und-closure degrees
+    (the non-RECURSIVE und CTE dedups correctly — the CLAUDE.md
+    RECURSIVE-UNION trap does not apply here), n*dmax - sum(d), one
+    truncating micros division (numerator non-negative by max)."""
+    return _graph_query(
+        ", dc_dg AS MATERIALIZED (\n"
+        "  SELECT src, CAST(count(*) AS BIGINT) AS d\n"
+        "  FROM und GROUP BY src),\n"
+        "dc_s AS (SELECT CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(max(d) AS BIGINT) AS dmax,\n"
+        "  CAST(sum(d) AS BIGINT) AS sd FROM dc_dg)\n"
+        "SELECT n AS n_vertices, dmax AS max_degree,\n"
+        "  CAST(n * dmax - sd AS BIGINT) AS sum_diff,\n"
+        "  CASE WHEN n >= 3 THEN CAST(\n"
+        "    (1000000 * (n * dmax - sd)) // ((n - 1) * (n - 2))\n"
+        "    AS BIGINT) ELSE NULL END AS centralization_micros\n"
+        "FROM dc_s"
+    )
+
+
+def cohens_kappa_langid_sql(
+    labels: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+) -> str:
+    """Mirror of operators.classify.cohens_kappa_langid: the full
+    naive_bayes_confusion_sql as a nested-WITH CTE body (DuckDB allows
+    it — CLAUDE.md), marginal products, and the remainder-subtract
+    kappa division (numerator may be negative; both engines give %
+    the dividend's sign, and the subtracted form divides an exact
+    multiple)."""
+    conf = naive_bayes_confusion_sql(labels=labels)
+    return (
+        f"WITH ck_conf AS MATERIALIZED ({conf}),\n"
+        "ck_r AS (SELECT true_label AS l, CAST(sum(n) AS BIGINT) AS r\n"
+        "  FROM ck_conf GROUP BY 1),\n"
+        "ck_c AS (SELECT pred_label AS l, CAST(sum(n) AS BIGINT) AS c\n"
+        "  FROM ck_conf GROUP BY 1),\n"
+        "ck_m AS (SELECT COALESCE(r.r, 0) AS r, COALESCE(c.c, 0) AS c\n"
+        "  FROM ck_r r FULL JOIN ck_c c ON c.l = r.l),\n"
+        "ck_s AS (SELECT CAST(sum(r * c) AS BIGINT) AS sum_rc,\n"
+        "  CAST(sum(r) AS BIGINT) AS nn FROM ck_m),\n"
+        "ck_d AS (SELECT CAST(sum(CASE WHEN true_label = pred_label\n"
+        "  THEN n ELSE 0 END) AS BIGINT) AS n_agree FROM ck_conf)\n"
+        "SELECT nn AS n_eval, n_agree,\n"
+        "  CAST((1000000 * n_agree) // nn AS BIGINT) AS po_micros,\n"
+        "  CAST((1000000 * sum_rc) // (nn * nn) AS BIGINT)"
+        " AS pe_micros,\n"
+        "  CASE WHEN nn * nn - sum_rc > 0 THEN CAST(\n"
+        "    (1000000 * (nn * n_agree - sum_rc)\n"
+        "     - (1000000 * (nn * n_agree - sum_rc))"
+        " % (nn * nn - sum_rc))\n"
+        "    // (nn * nn - sum_rc) AS BIGINT)\n"
+        "  ELSE NULL END AS kappa_micros\n"
+        "FROM ck_d, ck_s"
+    )

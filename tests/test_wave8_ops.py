@@ -791,3 +791,61 @@ def test_kendall_tau_hand(spark):
     )
     r2 = kendall_tau_daily(ev2).collect()[0]
     assert r2["n_pairs"] == 3
+
+
+def test_degree_centralization_star_and_regular(spark):
+    from graphlite_spark.algos.stats import degree_centralization
+
+    # star K1,4: center degree 4, leaves 1 -> C = 1 exactly
+    star = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(1, 5)],
+        "src long, dst long, weight double",
+    )
+    r = degree_centralization(star).collect()[0]
+    assert (r["n_vertices"], r["max_degree"]) == (5, 4)
+    # sum_diff = 5*4 - (4 + 4*1) = 12; (n-1)(n-2) = 12
+    assert r["sum_diff"] == 12
+    assert r["centralization_micros"] == 1_000_000
+
+    # 4-cycle: regular -> 0
+    cyc = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    r2 = degree_centralization(cyc).collect()[0]
+    assert r2["centralization_micros"] == 0
+
+    # dyad: n < 3 -> NULL
+    dy = spark.createDataFrame(
+        [(0, 1, 1.0)], "src long, dst long, weight double"
+    )
+    r3 = degree_centralization(dy).collect()[0]
+    assert r3["centralization_micros"] is None
+
+
+def test_cohens_kappa_identities(spark):
+    from graphlite_spark.operators.classify import cohens_kappa_langid
+    from graphlite_spark.operators.classify import naive_bayes_confusion
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    conf = {
+        (r["true_label"], r["pred_label"]): r["n"]
+        for r in naive_bayes_confusion(docs).collect()
+    }
+    n = sum(conf.values())
+    diag = sum(v for (t, p), v in conf.items() if t == p)
+    labels = {t for t, _ in conf} | {p for _, p in conf}
+    rc = sum(
+        sum(v for (t, _), v in conf.items() if t == l)
+        * sum(v for (_, p), v in conf.items() if p == l)
+        for l in labels
+    )
+    r = cohens_kappa_langid(docs).collect()[0]
+    assert r["n_eval"] == n and r["n_agree"] == diag
+    assert r["po_micros"] == (1_000_000 * diag) // n
+    num = 1_000_000 * (n * diag - rc)
+    den = n * n - rc
+    # Spark's % takes the dividend's sign; the remainder-subtract form
+    # divides an exact multiple, so the quotient is rounding-mode-free
+    signed_mod = abs(num) % den * (1 if num >= 0 else -1)
+    assert r["kappa_micros"] == (num - signed_mod) // den
