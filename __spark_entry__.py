@@ -3212,6 +3212,22 @@ def q_cohens_kappa_langid(
     return cohens_kappa_langid(load_table(spark, sf_dir, "documents"))
 
 
+def q_ann_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # average precision @ 10 of exact NN retrieval against label
+    # agreement: the precision-staircase companion to ann_ndcg
+    from graphlite_spark.operators.similarity import ann_map
+
+    return ann_map(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_cramers_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # squared Cramér's V of event_type × weekday: the N-invariant
+    # effect size the raw chi-square statistic lacks
+    from graphlite_spark.operators.analytics import cramers_v2_type_dow
+
+    return cramers_v2_type_dow(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4071,6 +4087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau_daily": q_kendall_tau_daily,
         "degree_centralization": q_degree_centralization,
         "cohens_kappa_langid": q_cohens_kappa_langid,
+        "ann_map": q_ann_map,
+        "cramers_v2": q_cramers_v2,
     }
 
 
@@ -4324,6 +4342,8 @@ def oracle_sql() -> dict[str, str]:
         "kendall_tau_daily": O.kendall_tau_daily_sql(),
         "degree_centralization": O.degree_centralization_sql(),
         "cohens_kappa_langid": O.cohens_kappa_langid_sql(),
+        "ann_map": O.ann_map_sql(16, 10),
+        "cramers_v2": O.cramers_v2_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -3887,3 +3887,37 @@ def kendall_tau_daily(
             .cast("long"),
         ).alias("tau_a_micros"),
     )
+
+
+def cramers_v2_type_dow(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """One row (n_events, dof, k_min, v2_micros) — squared Cramér's V
+    association between event_type and epoch weekday: V² = χ² / (N ·
+    min(r−1, c−1)), the [0, 1]-normalized effect size that
+    :func:`chi_square_type_dow`'s raw statistic lacks (χ² grows with N
+    even for a fixed association strength; V² does not).  V itself is
+    the square root and is left to the caller (documented — the
+    micros discipline keeps everything rational).
+
+    Exactness: χ²_micros is chi_square_type_dow's exact sum; one more
+    truncating division by the exact BIGINT N·min(r−1, c−1).
+
+    Scale shape: chi_square_type_dow's (one lattice groupBy + scalar
+    rollup) plus one 1-row broadcast cross join."""
+    chi = chi_square_type_dow(events, ts_col=ts_col)
+    n = events.agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return chi.crossJoin(F.broadcast(n)).select(
+        "n_events",
+        "dof",
+        F.least(
+            F.col("n_types") - 1, F.col("n_dows") - 1
+        ).cast("long").alias("k_min"),
+        F.when(
+            F.col("n_events")
+            * F.least(F.col("n_types") - 1, F.col("n_dows") - 1)
+            > 0,
+            F.expr(
+                "chi2_micros div (n_events"
+                " * least(n_types - 1, n_dows - 1))"
+            ).cast("long"),
+        ).alias("v2_micros"),
+    )

@@ -1741,3 +1741,127 @@ def embedding_mmd_labels(
         F.col("gnb").alias("n_b"),
         "mmd2_scaled",
     )
+
+
+def ann_map(
+    embeddings: DataFrame,
+    n_queries: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(query_id, n_rel, n_hits, ap_micros) — average precision @ k of
+    exact nearest-neighbor retrieval against label agreement, per
+    query: AP = (Σ_{relevant i ≤ k} P@i) / min(k, R) with P@i the
+    precision at the relevant hit's rank.  The position-averaged
+    companion to :func:`ann_ndcg` (NDCG discounts logarithmically, AP
+    averages the precision staircase — the two standard graded
+    retrieval metrics; their MEAN over queries is the MAP headline,
+    derivable from these rows).
+
+    Setup is exactly :func:`ann_ndcg`'s: the ``n_queries`` lowest-id
+    vectors query the rest of the corpus by exact micro-int L2²,
+    ties (dist, vec_id).
+
+    Exactness: each precision term is the truncating division
+    ``(10⁶·hits@i) div i`` and AP the truncating division of their
+    sum by min(k, R) — both mirrored step-for-step in the oracle, so
+    the floor placement is identical; NULL when the query's label has
+    no other members (R = 0).
+
+    Scale shape: identical to ann_ndcg — broadcast query side,
+    zero-shuffle codegen scoring pass, per-query window (never
+    global), one map-side-combined label count."""
+    from graphlite_spark.operators.kmeans import quantize_expr
+
+    qz = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_expr(F.col(vec_col)).alias("qv"),
+        F.col(label_col).alias("label"),
+    )
+    qs = (
+        qz.orderBy("vec_id")
+        .limit(n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("quv"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    cand = qz.select(
+        F.col("vec_id").alias("nid"),
+        F.col("qv").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("quv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(cand, F.col("query_id") != F.col("nid"))
+        .select(
+            "query_id",
+            "nid",
+            dist.alias("d"),
+            (F.col("clabel") == F.col("qlabel")).cast("long").alias(
+                "rel"
+            ),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("nid").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(win)).where(
+        F.col("rank") <= k
+    )
+    wh = Window.partitionBy("query_id").orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    terms = ranked.select(
+        "query_id",
+        "rel",
+        F.sum("rel").over(wh).cast("long").alias("hits"),
+        F.col("rank").cast("long").alias("i"),
+    ).select(
+        "query_id",
+        "rel",
+        "hits",
+        (
+            F.col("rel") * F.expr("(1000000 * hits) div i")
+        ).cast("long").alias("p_at"),
+    )
+    per_q = terms.groupBy("query_id").agg(
+        F.sum("p_at").cast("long").alias("sap"),
+        F.max(F.col("rel") * F.col("hits")).cast("long").alias(
+            "n_hits"
+        ),
+    )
+    lbl_counts = qz.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("nlab")
+    )
+    return (
+        qs.join(lbl_counts, qs["qlabel"] == lbl_counts["label"], "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("nlab"), F.lit(1)) - 1)
+            .cast("long")
+            .alias("n_rel"),
+        )
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.when(
+                F.col("n_rel") > 0,
+                F.expr(
+                    f"(coalesce(sap, 0)) div least({int(k)}, n_rel)"
+                ).cast("long"),
+            ).alias("ap_micros"),
+        )
+    )

@@ -11455,3 +11455,77 @@ def cohens_kappa_langid_sql(
         "  ELSE NULL END AS kappa_micros\n"
         "FROM ck_d, ck_s"
     )
+
+
+def ann_map_sql(n_queries: int = 16, k: int = 10) -> str:
+    """Mirror of operators.similarity.ann_map: ann_ndcg_sql's
+    quantize/score/rank scaffolding, the running-hits window, the
+    per-term truncating precision (1e6*hits)//i, and AP as the
+    truncating division of the term sum by min(k, n_rel) — every
+    floor placed exactly where the Spark side places it."""
+    qz = (
+        "SELECT vec_id, list_transform(embedding, x ->\n"
+        "    CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        " AS v, label\n"
+        "  FROM embeddings"
+    )
+    return (
+        "WITH ap_z AS MATERIALIZED (" + qz + "),\n"
+        "ap_q AS MATERIALIZED (SELECT * FROM ap_z"
+        f" ORDER BY vec_id LIMIT {int(n_queries)}),\n"
+        "ap_s AS MATERIALIZED (\n"
+        "  SELECT q.vec_id AS query_id, c.vec_id AS nid,\n"
+        "    CAST(list_sum(list_transform(range(1, len(q.v) + 1),\n"
+        "      j -> (q.v[j] - c.v[j]) * (q.v[j] - c.v[j])))"
+        " AS BIGINT) AS d,\n"
+        "    CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel\n"
+        "  FROM ap_q q, ap_z c WHERE c.vec_id != q.vec_id),\n"
+        "ap_r AS MATERIALIZED (\n"
+        "  SELECT query_id, rel, row_number() OVER\n"
+        "    (PARTITION BY query_id ORDER BY d, nid) AS rank\n"
+        "  FROM ap_s),\n"
+        "ap_t AS MATERIALIZED (\n"
+        "  SELECT query_id, rel,\n"
+        "    CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rank\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS BIGINT) AS hits,\n"
+        "    CAST(rank AS BIGINT) AS i\n"
+        f"  FROM ap_r WHERE rank <= {int(k)}),\n"
+        "ap_p AS MATERIALIZED (\n"
+        "  SELECT query_id,\n"
+        "    CAST(sum(rel * ((1000000 * hits) // i)) AS BIGINT)"
+        " AS sap,\n"
+        "    CAST(max(rel * hits) AS BIGINT) AS n_hits\n"
+        "  FROM ap_t GROUP BY query_id),\n"
+        "ap_l AS (SELECT label, CAST(count(*) AS BIGINT) AS nlab\n"
+        "  FROM embeddings GROUP BY label)\n"
+        "SELECT q.vec_id AS query_id,\n"
+        "  CAST(COALESCE(l.nlab, 1) - 1 AS BIGINT) AS n_rel,\n"
+        "  CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,\n"
+        "  CASE WHEN COALESCE(l.nlab, 1) - 1 > 0 THEN CAST(\n"
+        "    COALESCE(p.sap, 0)\n"
+        f"      // LEAST({int(k)}, l.nlab - 1) AS BIGINT)\n"
+        "  ELSE NULL END AS ap_micros\n"
+        "FROM ap_q q LEFT JOIN ap_l l ON l.label = q.label\n"
+        "LEFT JOIN ap_p p ON p.query_id = q.vec_id"
+    )
+
+
+def cramers_v2_sql() -> str:
+    """Mirror of operators.analytics.cramers_v2_type_dow: the full
+    chi_square_type_dow_sql as a nested-WITH CTE body, then one more
+    truncating division by N * min(r-1, c-1) (all non-negative)."""
+    chi = chi_square_type_dow_sql()
+    return (
+        f"WITH cv_chi AS MATERIALIZED ({chi}),\n"
+        "cv_n AS (SELECT CAST(count(*) AS BIGINT) AS n_events"
+        " FROM events)\n"
+        "SELECT n_events, dof,\n"
+        "  CAST(LEAST(n_types - 1, n_dows - 1) AS BIGINT) AS k_min,\n"
+        "  CASE WHEN n_events * LEAST(n_types - 1, n_dows - 1) > 0\n"
+        "    THEN CAST(chi2_micros\n"
+        "      // (n_events * LEAST(n_types - 1, n_dows - 1))"
+        " AS BIGINT)\n"
+        "  ELSE NULL END AS v2_micros\n"
+        "FROM cv_chi, cv_n"
+    )

@@ -849,3 +849,51 @@ def test_cohens_kappa_identities(spark):
     # divides an exact multiple, so the quotient is rounding-mode-free
     signed_mod = abs(num) % den * (1 if num >= 0 else -1)
     assert r["kappa_micros"] == (num - signed_mod) // den
+
+
+def test_ann_map_hand(spark):
+    from graphlite_spark.operators.similarity import ann_map
+
+    # 1-D corpus: query id 0 at 0.0 label A; neighbors at distances
+    # 1,2,3,4 with labels A,B,A,B -> relevant ranks 1 and 3:
+    # P@1 = 1, P@3 = 2/3; R = 2 -> AP = (1e6 + 666666) // 2 = 833333
+    rows = [
+        (0, [0.0], "A"),
+        (1, [1.0], "A"),
+        (2, [2.0], "B"),
+        (3, [3.0], "A"),
+        (4, [4.0], "B"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = {
+        r["query_id"]: r
+        for r in ann_map(emb, n_queries=1, k=4).collect()
+    }
+    r = out[0]
+    assert (r["n_rel"], r["n_hits"]) == (2, 2)
+    assert r["ap_micros"] == (1_000_000 + 666_666) // 2
+
+
+def test_cramers_v2_bounds(spark):
+    from graphlite_spark.operators.analytics import cramers_v2_type_dow
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 6, 1)  # a Monday
+    # perfect association over 2 types x 2 dows -> V^2 = 1
+    rows = []
+    for i in range(8):
+        rows.append((i, "click", base + timedelta(days=(i % 2) * 7)))
+        rows.append(
+            (100 + i, "view", base + timedelta(days=1 + (i % 2) * 7))
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    r = cramers_v2_type_dow(ev).collect()[0]
+    assert (r["dof"], r["k_min"]) == (1, 1)
+    assert r["n_events"] == 16
+    # chi2 = N for a perfect 2x2 association -> V^2 = 1 (floor slack
+    # from the per-cell micro truncation only)
+    assert 999_990 <= r["v2_micros"] <= 1_000_000
