@@ -3228,6 +3228,30 @@ def q_cramers_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cramers_v2_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_morans_i_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Moran's I autocorrelation of user activity over the contact
+    # graph: do users who contact each other have similar volumes?
+    from graphlite_spark.operators.analytics import morans_i_activity
+
+    return morans_i_activity(_events_us(spark, sf_dir))
+
+
+def q_assoc_rules_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # directional market-basket rules a -> b over per-user event-type
+    # baskets: support / confidence / lift in exact micros
+    from graphlite_spark.operators.analytics import assoc_rules_types
+
+    return assoc_rules_types(load_table(spark, sf_dir, "events"))
+
+
+def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Yule's characteristic K: length-invariant vocabulary richness
+    # from the corpus term-frequency second moment
+    from graphlite_spark.operators.packing import yules_k
+
+    return yules_k(load_table(spark, sf_dir, "documents"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4089,6 +4113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa_langid": q_cohens_kappa_langid,
         "ann_map": q_ann_map,
         "cramers_v2": q_cramers_v2,
+        "morans_i_activity": q_morans_i_activity,
+        "assoc_rules_types": q_assoc_rules_types,
+        "yules_k": q_yules_k,
     }
 
 
@@ -4344,6 +4371,9 @@ def oracle_sql() -> dict[str, str]:
         "cohens_kappa_langid": O.cohens_kappa_langid_sql(),
         "ann_map": O.ann_map_sql(16, 10),
         "cramers_v2": O.cramers_v2_sql(),
+        "morans_i_activity": O.morans_i_activity_sql(),
+        "assoc_rules_types": O.assoc_rules_types_sql(),
+        "yules_k": O.yules_k_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -3921,3 +3921,134 @@ def cramers_v2_type_dow(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             ).cast("long"),
         ).alias("v2_micros"),
     )
+
+
+def morans_i_activity(
+    events: DataFrame,
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """One row (n_vertices, w_edges, num_scaled, den_scaled,
+    morans_i_micros) — Moran's I spatial autocorrelation (Moran 1950,
+    public literature) of PER-USER ACTIVITY over the temporal contact
+    graph: do users who contact each other have similar event volumes?
+    I = (n/W) · Σ_{(i,j)∈E} (x_i−x̄)(x_j−x̄) / Σ_i (x_i−x̄)² with
+    binary symmetric weights over the undirected contact closure —
+    positive = hubs talk to hubs (the value-level cousin of
+    :func:`~graphlite_spark.algos.stats.degree_assortativity`, which
+    correlates DEGREES; this correlates an arbitrary vertex signal).
+
+    Vertex universe: edge-incident users (isolates have no neighbors
+    and standard Moran's I drops them — stated); x̄ is over that set.
+
+    Exactness: scale deviations by n (dev_i = n·x_i − S, exact
+    BIGINT), then I = n·Σ_E dev_i·dev_j / (W·Σ dev²) is an exact
+    rational; one remainder-subtract micros division at the end
+    (numerator may be NEGATIVE — dissortative mixing).  BIGINT bound:
+    n²·x_max²·W — exact through ~10⁵ edge-incident users at
+    contact-graph densities (stated; the assortativity family's
+    documented tier).
+
+    Scale shape: contact edges are |events|-sparse by construction
+    (one lag window); the closure is one distinct; the signal join is
+    two vertex-sized equi-joins; everything else is map-side-combined
+    scalar rollups.  NULL when the activity signal is constant
+    (den = 0)."""
+    from graphlite_spark.operators.temporal import contact_edges
+
+    ce = contact_edges(events, ts_col=ts_col).select("src", "dst")
+    und = (
+        ce.unionByName(
+            ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    verts = und.select(F.col("src").alias("u")).distinct()
+    x = events.groupBy(F.col("user_id").alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    ).join(verts, "u")
+    tot = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = x.crossJoin(F.broadcast(tot)).select(
+        "u",
+        (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("dv"),
+        "n",
+    )
+    den1 = dev.agg(
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("den1"),
+        F.max("n").cast("long").alias("n"),
+    )
+    ds = dev.select(F.col("u").alias("src"), F.col("dv").alias("dvs"))
+    dd = dev.select(F.col("u").alias("dst"), F.col("dv").alias("dvd"))
+    ej = und.join(ds, "src").join(dd, "dst").agg(
+        F.sum(F.col("dvs") * F.col("dvd")).cast("long").alias("nume"),
+        F.count(F.lit(1)).cast("long").alias("w"),
+    )
+    out = ej.crossJoin(F.broadcast(den1)).select(
+        F.col("n").alias("n_vertices"),
+        F.col("w").alias("w_edges"),
+        (F.col("n") * F.col("nume")).cast("long").alias("num_scaled"),
+        (F.col("w") * F.col("den1")).cast("long").alias("den_scaled"),
+    )
+    num = F.lit(1_000_000) * F.col("num_scaled")
+    return out.select(
+        "n_vertices", "w_edges", "num_scaled", "den_scaled",
+        F.when(
+            F.col("den_scaled") > 0,
+            ((num - num % F.col("den_scaled")) / F.col("den_scaled"))
+            .cast("long"),
+        ).alias("morans_i_micros"),
+    )
+
+
+def assoc_rules_types(events: DataFrame) -> DataFrame:
+    """(type_a, type_b, n_ab, support_micros, confidence_micros,
+    lift_micros) — directional association rules a → b over per-user
+    event-type baskets: support = P(a ∧ b), confidence = P(b | a),
+    lift = P(a ∧ b)/(P(a)·P(b)) — the market-basket readout.  The
+    DIRECTIONAL companion to the symmetric PMI co-occurrence: lift is
+    PMI's ratio un-logged, and confidence is the actionable "users who
+    do a also do b" number PMI cannot give.
+
+    Exactness: all three are truncating micros divisions of exact
+    BIGINT user counts — ``lift = (10⁶·N·n_ab) div (n_a·n_b)`` (bound
+    10⁶·N², exact through N ≈ 3M users — stated).
+
+    Scale shape: baskets are one distinct projection; the pair join is
+    an equi-join ON USER whose per-key fan-out is bounded by the
+    event-type codebook (|types|² per user, never data-sized); the
+    marginal and total joins broadcast codebook-sized tables."""
+    ut = events.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("t")
+    ).distinct()
+    nt = ut.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nn = ut.select("u").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("nn")
+    )
+    a = ut.select("u", F.col("t").alias("type_a"))
+    b = ut.select("u", F.col("t").alias("type_b"))
+    ab = (
+        a.join(b, "u")
+        .where(F.col("type_a") != F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    na = nt.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    nb = nt.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        ab.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "type_a", "type_b", "n_ab",
+            F.expr("(1000000 * n_ab) div nn").cast("long").alias(
+                "support_micros"
+            ),
+            F.expr("(1000000 * n_ab) div n_a").cast("long").alias(
+                "confidence_micros"
+            ),
+            F.expr("(1000000 * nn * n_ab) div (n_a * n_b)")
+            .cast("long").alias("lift_micros"),
+        )
+    )

@@ -815,3 +815,50 @@ def isotonic_calibration(
         F.col("r.rate_micros").alias("rate_micros"),
         F.col("r.fitted_micros").alias("fitted_micros"),
     )
+
+
+def yules_k(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row (n_tokens, vocab_size, sum_tf2, yule_k_micros) — Yule's
+    characteristic K (Yule 1944, public literature), the length-
+    invariant vocabulary-richness constant: K = 10⁴·(Σ_m m²·V_m − N)/N²
+    where V_m counts types occurring m times.  Since Σ m²·V_m is just
+    Σ_types tf², the frequency spectrum never needs materializing.
+    Complements :func:`heaps_law` (growth curve) and the type-token
+    ratio (length-SENSITIVE) — K is the repeat-collision rate, stable
+    under corpus growth.
+
+    Exactness: with a = 10⁴·(Σtf² − N) and den = N², the micros value
+    rides the two-step quotient/remainder split (q = a div den;
+    micros = 10⁶·q + (10⁶·rem) div den — never forming 10⁶·a, the
+    chi-square discipline), all operands exact BIGINTs through
+    Σtf² ≈ 9·10¹⁴ (stated).
+
+    Scale shape: one explode + one map-side-combined term count + one
+    scalar rollup — the inverted-index shape with no joins at all."""
+    from graphlite_spark.functions.text import tokens_expr
+
+    tf = (
+        docs.select(
+            F.explode(tokens_expr(text_col)).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    agg = tf.agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("sum_tf2"),
+    )
+    return agg.select(
+        "n_tokens", "vocab_size", "sum_tf2",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr(
+                "1000000 * ((10000 * (sum_tf2 - n_tokens))"
+                " div (n_tokens * n_tokens))"
+                " + (1000000 * ((10000 * (sum_tf2 - n_tokens))"
+                " % (n_tokens * n_tokens)))"
+                " div (n_tokens * n_tokens)"
+            ).cast("long"),
+        ).alias("yule_k_micros"),
+    )

@@ -11529,3 +11529,104 @@ def cramers_v2_sql() -> str:
         "  ELSE NULL END AS v2_micros\n"
         "FROM cv_chi, cv_n"
     )
+
+
+def morans_i_activity_sql() -> str:
+    """Mirror of operators.analytics.morans_i_activity: the contact-
+    edge lag window + undirected closure (plain UNION ALL + DISTINCT,
+    no RECURSIVE, so dedup is safe), n-scaled deviations, and the
+    remainder-subtract micros division (numerator may be negative)."""
+    return (
+        "WITH mi_ev AS MATERIALIZED (SELECT event_id, user_id,"
+        " event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),\n"
+        "mi_ce AS MATERIALIZED (SELECT src, dst FROM (\n"
+        "  SELECT lag(user_id) OVER (PARTITION BY event_type\n"
+        "           ORDER BY ts_us, event_id) AS src, user_id AS dst\n"
+        "  FROM mi_ev) WHERE src IS NOT NULL AND src <> dst),\n"
+        "mi_und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (\n"
+        "  SELECT src, dst FROM mi_ce\n"
+        "  UNION ALL SELECT dst, src FROM mi_ce)),\n"
+        "mi_v AS MATERIALIZED (SELECT DISTINCT src AS u FROM mi_und),\n"
+        "mi_x AS MATERIALIZED (\n"
+        "  SELECT e.user_id AS u, CAST(count(*) AS BIGINT) AS x\n"
+        "  FROM mi_ev e JOIN mi_v v ON v.u = e.user_id\n"
+        "  GROUP BY e.user_id),\n"
+        "mi_t AS (SELECT CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(x) AS BIGINT) AS s FROM mi_x),\n"
+        "mi_d AS MATERIALIZED (\n"
+        "  SELECT u, (SELECT n FROM mi_t) * x - (SELECT s FROM mi_t)"
+        " AS dv\n"
+        "  FROM mi_x),\n"
+        "mi_den AS (SELECT CAST(sum(dv * dv) AS BIGINT) AS den1"
+        " FROM mi_d),\n"
+        "mi_e AS (SELECT CAST(sum(a.dv * b.dv) AS BIGINT) AS nume,\n"
+        "  CAST(count(*) AS BIGINT) AS w\n"
+        "  FROM mi_und j JOIN mi_d a ON a.u = j.src\n"
+        "  JOIN mi_d b ON b.u = j.dst)\n"
+        "SELECT (SELECT n FROM mi_t) AS n_vertices, w AS w_edges,\n"
+        "  CAST((SELECT n FROM mi_t) * nume AS BIGINT) AS num_scaled,\n"
+        "  CAST(w * den1 AS BIGINT) AS den_scaled,\n"
+        "  CASE WHEN w * den1 > 0 THEN CAST(\n"
+        "    (1000000 * (SELECT n FROM mi_t) * nume\n"
+        "     - (1000000 * (SELECT n FROM mi_t) * nume)"
+        " % (w * den1))\n"
+        "    // (w * den1) AS BIGINT) ELSE NULL END"
+        " AS morans_i_micros\n"
+        "FROM mi_e, mi_den"
+    )
+
+
+def assoc_rules_types_sql() -> str:
+    """Mirror of operators.analytics.assoc_rules_types: distinct
+    per-user baskets, ordered-pair equi-join on user, codebook
+    marginals, three truncating micros divisions (all operands
+    non-negative)."""
+    return (
+        "WITH ar_ut AS MATERIALIZED (\n"
+        "  SELECT DISTINCT user_id AS u, event_type AS t FROM events),\n"
+        "ar_nt AS (SELECT t, CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM ar_ut GROUP BY t),\n"
+        "ar_nn AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nn\n"
+        "  FROM ar_ut),\n"
+        "ar_ab AS MATERIALIZED (\n"
+        "  SELECT a.t AS type_a, b.t AS type_b,\n"
+        "    CAST(count(*) AS BIGINT) AS n_ab\n"
+        "  FROM ar_ut a JOIN ar_ut b ON b.u = a.u AND b.t <> a.t\n"
+        "  GROUP BY 1, 2)\n"
+        "SELECT type_a, type_b, n_ab,\n"
+        "  CAST((1000000 * n_ab) // nn AS BIGINT) AS support_micros,\n"
+        "  CAST((1000000 * n_ab) // na.n AS BIGINT)"
+        " AS confidence_micros,\n"
+        "  CAST((1000000 * nn * n_ab) // (na.n * nb.n) AS BIGINT)"
+        " AS lift_micros\n"
+        "FROM ar_ab\n"
+        "JOIN ar_nt na ON na.t = ar_ab.type_a\n"
+        "JOIN ar_nt nb ON nb.t = ar_ab.type_b\n"
+        "CROSS JOIN ar_nn"
+    )
+
+
+def yules_k_sql() -> str:
+    """Mirror of operators.packing.yules_k: the shared tokenizer CTE,
+    one term-frequency aggregate, and the two-step quotient/remainder
+    micros split (the chi-square discipline; operands non-negative)."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "yk_tf AS MATERIALIZED (\n"
+        "  SELECT term, CAST(count(*) AS BIGINT) AS tf FROM (\n"
+        "    SELECT unnest(toks) AS term FROM toks_t)\n"
+        "  GROUP BY term),\n"
+        "yk_a AS (SELECT CAST(sum(tf) AS BIGINT) AS n_tokens,\n"
+        "  CAST(count(*) AS BIGINT) AS vocab_size,\n"
+        "  CAST(sum(tf * tf) AS BIGINT) AS sum_tf2 FROM yk_tf)\n"
+        "SELECT n_tokens, vocab_size, sum_tf2,\n"
+        "  CASE WHEN n_tokens > 0 THEN CAST(\n"
+        "    1000000 * ((10000 * (sum_tf2 - n_tokens))\n"
+        "      // (n_tokens * n_tokens))\n"
+        "    + (1000000 * ((10000 * (sum_tf2 - n_tokens))\n"
+        "      % (n_tokens * n_tokens)))\n"
+        "      // (n_tokens * n_tokens) AS BIGINT)\n"
+        "  ELSE NULL END AS yule_k_micros\n"
+        "FROM yk_a"
+    )

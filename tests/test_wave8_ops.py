@@ -897,3 +897,69 @@ def test_cramers_v2_bounds(spark):
     # chi2 = N for a perfect 2x2 association -> V^2 = 1 (floor slack
     # from the per-cell micro truncation only)
     assert 999_990 <= r["v2_micros"] <= 1_000_000
+
+
+def test_morans_i_hand(spark):
+    from graphlite_spark.operators.analytics import morans_i_activity
+    # one stream: events u1,u1,u2,u2,u3 -> contacts 1-2, 2-3 (path);
+    # x = (2, 2, 1); mean = 5/3 -> dev*3 = (1, 1, -2)
+    rows = [
+        (0, 1, "click", 1_000_000),
+        (1, 1, "click", 2_000_000),
+        (2, 2, "click", 3_000_000),
+        (3, 2, "click", 4_000_000),
+        (4, 3, "click", 5_000_000),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long"
+    )
+    r = morans_i_activity(ev).collect()[0]
+    assert (r["n_vertices"], r["w_edges"]) == (3, 4)
+    # sum over directed und reps: 2*(1*1) + 2*(1*-2) = -2; n*(-2) = -6
+    assert r["num_scaled"] == -6
+    # den1 = 1 + 1 + 4 = 6; W*den1 = 24
+    assert r["den_scaled"] == 24
+    # I = -6/24 = -0.25 -> exact micros via remainder-subtract
+    assert r["morans_i_micros"] == -250_000
+
+
+def test_assoc_rules_hand(spark):
+    from graphlite_spark.operators.analytics import assoc_rules_types
+
+    # u1 {a,b}, u2 {a}, u3 {a,b}, u4 {b,c}: N=4
+    rows = [
+        (0, 1, "a"), (1, 1, "b"), (2, 2, "a"),
+        (3, 3, "a"), (4, 3, "b"), (5, 4, "b"), (6, 4, "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    )
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in assoc_rules_types(ev).collect()
+    }
+    ab = out[("a", "b")]
+    # n_a=3, n_b=3, n_ab=2: conf = 2/3, lift = 4*2/9
+    assert ab["n_ab"] == 2
+    assert ab["support_micros"] == 500_000
+    assert ab["confidence_micros"] == 666_666
+    assert ab["lift_micros"] == (1_000_000 * 4 * 2) // 9
+    # directionality: b -> c confidence 1/3, c -> b confidence 1
+    assert out[("b", "c")]["confidence_micros"] == 333_333
+    assert out[("c", "b")]["confidence_micros"] == 1_000_000
+
+
+def test_yules_k_hand(spark):
+    from graphlite_spark.operators.packing import yules_k
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    r = yules_k(docs).collect()[0]
+    # tf: a=3, b=2, c=1 -> N=6, V=3, sum_tf2 = 9+4+1 = 14
+    assert (r["n_tokens"], r["vocab_size"], r["sum_tf2"]) == (6, 3, 14)
+    # K = 1e4*(14-6)/36 = 2222.22... -> micros
+    a = 10_000 * 8
+    assert r["yule_k_micros"] == 1_000_000 * (a // 36) + (
+        1_000_000 * (a % 36)
+    ) // 36
