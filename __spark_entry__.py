@@ -3252,6 +3252,23 @@ def q_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yules_k(load_table(spark, sf_dir, "documents"))
 
 
+def q_emd_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wasserstein-1 distance (in days) between purchase and click
+    # daily arrival distributions: the KS test's integral companion
+    from graphlite_spark.operators.analytics import emd_type_daily
+
+    return emd_type_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_cyclomatic_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cycle-space dimension m - n + c of the transcript graph: zero
+    # iff forest; counts independent cycles of any length
+    from graphlite_spark.algos.stats import cyclomatic_number
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return cyclomatic_number(v, e)
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4116,6 +4133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "morans_i_activity": q_morans_i_activity,
         "assoc_rules_types": q_assoc_rules_types,
         "yules_k": q_yules_k,
+        "emd_type_daily": q_emd_type_daily,
+        "cyclomatic_number": q_cyclomatic_number,
     }
 
 
@@ -4374,6 +4393,8 @@ def oracle_sql() -> dict[str, str]:
         "morans_i_activity": O.morans_i_activity_sql(),
         "assoc_rules_types": O.assoc_rules_types_sql(),
         "yules_k": O.yules_k_sql(),
+        "emd_type_daily": O.emd_type_daily_sql(),
+        "cyclomatic_number": O.cyclomatic_number_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -806,3 +806,49 @@ def degree_centralization(edges: DataFrame) -> DataFrame:
             ).cast("long"),
         ).alias("centralization_micros"),
     )
+
+
+def cyclomatic_number(
+    vertices: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """One row (n_vertices, m_edges, n_components, cyclomatic) — the
+    cycle-space dimension (first Betti number) of the undirected
+    closure: μ = m − n + c.  Zero exactly when the graph is a forest —
+    the one-number answer to "how far from tree-shaped is this
+    conversation graph?", complementing the component census (c) and
+    the triangle count (which sees only 3-cycles; μ counts independent
+    cycles of ANY length).
+
+    n counts ALL vertices (isolates included — each is its own
+    component and contributes nothing to μ: the −n and +c cancel);
+    m counts undirected edges (closure pairs div 2, exact — the
+    closure is self-loop-free and deduped).
+
+    Scale shape: the closure dedup, one count, and the O(log d)
+    pointer-doubling CC — all machinery this module already runs;
+    the rollup is three scalar aggregates."""
+    from graphlite_spark.algos.components import (
+        connected_components_fast,
+        symmetrize,
+    )
+
+    und = symmetrize(edges)
+    m = und.agg(
+        F.expr("count(1) div 2").cast("long").alias("m_edges")
+    )
+    n = vertices.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    cc = connected_components_fast(vertices, edges)
+    c = cc.agg(
+        F.count_distinct("component").cast("long").alias("n_components")
+    )
+    return (
+        n.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "n_vertices", "m_edges", "n_components",
+            (
+                F.col("m_edges") - F.col("n_vertices")
+                + F.col("n_components")
+            ).cast("long").alias("cyclomatic"),
+        )
+    )

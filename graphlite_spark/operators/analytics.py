@@ -4052,3 +4052,83 @@ def assoc_rules_types(events: DataFrame) -> DataFrame:
             .cast("long").alias("lift_micros"),
         )
     )
+
+
+def emd_type_daily(
+    events: DataFrame,
+    type_a: str = "purchase",
+    type_b: str = "click",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_a, n_b, n_spine_days, emd_scaled, emd_micros) — the
+    1-D earth-mover (Wasserstein-1) distance, in units of DAYS,
+    between the daily arrival distributions of two event types:
+    W₁ = ∫|F_a − F_b| — how many user-days of probability mass must
+    move to turn one type's timing profile into the other's.  The
+    integral companion to the KS test (KS takes the max CDF gap, EMD
+    its area — a sustained small lead that KS under-reports
+    accumulates here).
+
+    Exactness: on the shared day grid, |F_a − F_b| at day d is
+    |cum_a·N_b − cum_b·N_a| / (N_a·N_b) — held constant until the next
+    OCCUPIED day, so each spine row contributes its gap length
+    (next_d − d) as an exact integer weight (the zero-filled day spine
+    never materializes); one truncating micros division by N_a·N_b at
+    the end.  BIGINT bound: 10⁶·N_a·N_b·span — exact through
+    N ≈ 10⁵ per type at 10-year spans (stated).
+
+    Scale shape: one map-side-combined (day, type) aggregate —
+    calendar-bounded from there on (two cumsum windows over the day
+    spine, one scalar rollup)."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    cells = (
+        events.where(F.col("event_type").isin([type_a, type_b]))
+        .groupBy(
+            day.alias("d"),
+            (F.col("event_type") == type_a).cast("int").alias("g"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    spine = cells.groupBy("d").agg(
+        F.sum(F.when(F.col("g") == 1, F.col("c")).otherwise(0))
+        .cast("long").alias("ca"),
+        F.sum(F.when(F.col("g") == 0, F.col("c")).otherwise(0))
+        .cast("long").alias("cb"),
+    )
+    wd = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.orderBy("d")
+    cum = spine.select(
+        "d",
+        F.sum("ca").over(wd).cast("long").alias("cua"),
+        F.sum("cb").over(wd).cast("long").alias("cub"),
+        F.coalesce(F.lead("d").over(wl) - F.col("d"), F.lit(1))
+        .cast("long").alias("gap"),
+    )
+    tot = spine.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("n_spine_days"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "na", "nb", "n_spine_days",
+        (
+            F.abs(F.col("cua") * F.col("nb") - F.col("cub") * F.col("na"))
+            * F.col("gap")
+        ).cast("long").alias("t"),
+    )
+    return scored.groupBy("na", "nb", "n_spine_days").agg(
+        F.sum("t").cast("long").alias("emd_scaled")
+    ).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "n_spine_days",
+        "emd_scaled",
+        F.when(
+            F.col("na") * F.col("nb") > 0,
+            F.expr("(1000000 * emd_scaled) div (na * nb)").cast("long"),
+        ).alias("emd_micros"),
+    )

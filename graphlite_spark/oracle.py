@@ -11630,3 +11630,73 @@ def yules_k_sql() -> str:
         "  ELSE NULL END AS yule_k_micros\n"
         "FROM yk_a"
     )
+
+
+def emd_type_daily_sql(
+    type_a: str = "purchase", type_b: str = "click"
+) -> str:
+    """Mirror of operators.analytics.emd_type_daily: the (day, type)
+    cells, occupied-day spine with gap weights (lead - d, last row 1),
+    scaled |CDF| differences, one truncating micros division (all
+    operands non-negative)."""
+    return (
+        "WITH em_c AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        f"    CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END AS g,\n"
+        "    CAST(count(*) AS BIGINT) AS c\n"
+        f"  FROM events WHERE event_type IN ('{type_a}', '{type_b}')\n"
+        "  GROUP BY 1, 2),\n"
+        "em_s AS MATERIALIZED (\n"
+        "  SELECT d,\n"
+        "    CAST(sum(CASE WHEN g = 1 THEN c ELSE 0 END) AS BIGINT)"
+        " AS ca,\n"
+        "    CAST(sum(CASE WHEN g = 0 THEN c ELSE 0 END) AS BIGINT)"
+        " AS cb\n"
+        "  FROM em_c GROUP BY d),\n"
+        "em_u AS MATERIALIZED (\n"
+        "  SELECT d,\n"
+        "    CAST(sum(ca) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) AS BIGINT) AS cua,\n"
+        "    CAST(sum(cb) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW) AS BIGINT) AS cub,\n"
+        "    CAST(COALESCE(lead(d) OVER (ORDER BY d) - d, 1)"
+        " AS BIGINT) AS gap\n"
+        "  FROM em_s),\n"
+        "em_t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,\n"
+        "  CAST(sum(cb) AS BIGINT) AS nb,\n"
+        "  CAST(count(*) AS BIGINT) AS n_spine_days FROM em_s)\n"
+        "SELECT na AS n_a, nb AS n_b, n_spine_days,\n"
+        "  CAST(sum(abs(cua * nb - cub * na) * gap) AS BIGINT)"
+        " AS emd_scaled,\n"
+        "  CASE WHEN na * nb > 0 THEN CAST(\n"
+        "    (1000000 * sum(abs(cua * nb - cub * na) * gap))"
+        " // (na * nb)\n"
+        "    AS BIGINT) ELSE NULL END AS emd_micros\n"
+        "FROM em_u, em_t GROUP BY na, nb, n_spine_days"
+    )
+
+
+def cyclomatic_number_sql() -> str:
+    """Mirror of algos.stats.cyclomatic_number: m from the und closure
+    (re-SELECT DISTINCT before counting — the RECURSIVE-UNION dedup
+    trap documented in CLAUDE.md), c from the recursive min-label
+    reach, n over all vertices (isolates included)."""
+    body = (
+        ", cy_reach(id, r) AS (\n"
+        "  SELECT id, id FROM vertices\n"
+        "  UNION\n"
+        "  SELECT u.dst, cy_reach.r FROM cy_reach"
+        " JOIN und u ON u.src = cy_reach.id),\n"
+        "cy_c AS (SELECT CAST(count(DISTINCT comp) AS BIGINT)"
+        " AS n_components FROM (\n"
+        "  SELECT id, min(r) AS comp FROM cy_reach GROUP BY id)),\n"
+        "cy_m AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m_edges\n"
+        "  FROM (SELECT DISTINCT src, dst FROM und)),\n"
+        "cy_n AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices"
+        " FROM vertices)\n"
+        "SELECT n_vertices, m_edges, n_components,\n"
+        "  CAST(m_edges - n_vertices + n_components AS BIGINT)"
+        " AS cyclomatic\n"
+        "FROM cy_n, cy_m, cy_c"
+    )
+    return _graph_query(body, recursive=True)

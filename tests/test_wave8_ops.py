@@ -963,3 +963,54 @@ def test_yules_k_hand(spark):
     assert r["yule_k_micros"] == 1_000_000 * (a // 36) + (
         1_000_000 * (a % 36)
     ) // 36
+
+
+def test_emd_point_masses(spark):
+    from graphlite_spark.operators.analytics import emd_type_daily
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 6, 1)
+    ev = spark.createDataFrame(
+        [
+            (0, "purchase", base),
+            (1, "click", base + timedelta(days=2)),
+        ],
+        "event_id long, event_type string, ts timestamp",
+    )
+    r = emd_type_daily(ev).collect()[0]
+    # point mass at day 0 vs day 2: W1 = 2 days exactly, and the
+    # empty day 1 must contribute through the gap weight
+    assert (r["n_a"], r["n_b"], r["n_spine_days"]) == (1, 1, 2)
+    assert r["emd_micros"] == 2_000_000
+
+    # identical distributions -> 0
+    ev2 = spark.createDataFrame(
+        [
+            (0, "purchase", base), (1, "click", base),
+            (2, "purchase", base + timedelta(days=3)),
+            (3, "click", base + timedelta(days=3)),
+        ],
+        "event_id long, event_type string, ts timestamp",
+    )
+    assert emd_type_daily(ev2).collect()[0]["emd_micros"] == 0
+
+
+def test_cyclomatic_number_shapes(spark):
+    from graphlite_spark.algos.stats import cyclomatic_number
+
+    # triangle + isolate: mu = 3 - 4 + 2 = 1
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)],
+        "src long, dst long, weight double",
+    )
+    r = cyclomatic_number(v, e).collect()[0]
+    assert (r["n_vertices"], r["m_edges"], r["n_components"]) == (4, 3, 2)
+    assert r["cyclomatic"] == 1
+
+    # path: forest -> 0
+    e2 = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    v2 = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    assert cyclomatic_number(v2, e2).collect()[0]["cyclomatic"] == 0
