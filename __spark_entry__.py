@@ -3269,6 +3269,22 @@ def q_cyclomatic_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cyclomatic_number(v, e)
 
 
+def q_mcnemar_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # McNemar's paired test: does naive-Bayes language ID beat the
+    # majority-class baseline on the same eval docs?
+    from graphlite_spark.operators.classify import mcnemar_langid
+
+    return mcnemar_langid(load_table(spark, sf_dir, "documents"))
+
+
+def q_cmh_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cochran-Mantel-Haenszel: purchase vs click association with
+    # high value, stratified by weekday (Simpson's-paradox-proof)
+    from graphlite_spark.operators.analytics import cmh_purchase_value
+
+    return cmh_purchase_value(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4135,6 +4151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yules_k": q_yules_k,
         "emd_type_daily": q_emd_type_daily,
         "cyclomatic_number": q_cyclomatic_number,
+        "mcnemar_langid": q_mcnemar_langid,
+        "cmh_purchase_value": q_cmh_purchase_value,
     }
 
 
@@ -4395,6 +4413,8 @@ def oracle_sql() -> dict[str, str]:
         "yules_k": O.yules_k_sql(),
         "emd_type_daily": O.emd_type_daily_sql(),
         "cyclomatic_number": O.cyclomatic_number_sql(),
+        "mcnemar_langid": O.mcnemar_langid_sql(),
+        "cmh_purchase_value": O.cmh_purchase_value_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -18,15 +18,15 @@ from pyspark.sql import functions as F
 from graphlite_spark.functions.text import STOPWORDS, tokens_expr
 
 
-def naive_bayes_confusion(
+def naive_bayes_predictions(
     docs: DataFrame,
     label_values: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
     label_col: str = "lang",
     words: tuple[str, ...] = tuple(STOPWORDS),
 ) -> DataFrame:
-    """(true_label, pred_label, n) — Bernoulli naive-Bayes language ID
-    trained on the even-``doc_id`` half and evaluated as a confusion
-    matrix on the odd half.  Features are presence bits of the
+    """(doc_id, true_label, pred_label) — Bernoulli naive-Bayes language
+    ID trained on the even-``doc_id`` half, per-doc predictions on the
+    odd half.  Features are presence bits of the
     ``words`` lexicon in the standard token set; parameters are
     Laplace-smoothed exact micros (``p1 = (present+1)·10^6 div
     (n_label+2)``, prior = ``(n_label+1)·10^6 div (n_train+L)``), and a
@@ -107,9 +107,25 @@ def naive_bayes_confusion(
     pred = scored.groupBy("doc_id", "true_label").agg(
         F.max(F.struct("s", "cand")).alias("m")
     )
-    return pred.groupBy(
-        "true_label", F.col("m.cand").alias("pred_label")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return pred.select(
+        "doc_id", "true_label", F.col("m.cand").alias("pred_label")
+    )
+
+
+def naive_bayes_confusion(
+    docs: DataFrame,
+    label_values: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+    label_col: str = "lang",
+    words: tuple[str, ...] = tuple(STOPWORDS),
+) -> DataFrame:
+    """(true_label, pred_label, n) — the confusion-matrix rollup of
+    :func:`naive_bayes_predictions` (which carries the full method
+    docstring); split so per-doc predictions are reusable (McNemar)."""
+    return naive_bayes_predictions(
+        docs, label_values=label_values, label_col=label_col, words=words
+    ).groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
 
 
 def cohens_kappa_langid(
@@ -174,4 +190,69 @@ def cohens_kappa_langid(
         F.when(
             den > 0, ((num - num % den) / den).cast("long")
         ).alias("kappa_micros"),
+    )
+
+
+def mcnemar_langid(
+    docs: DataFrame,
+    label_values: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+    label_col: str = "lang",
+) -> DataFrame:
+    """One row (n_eval, n_b, n_c, mcnemar_micros) — McNemar's paired
+    test (McNemar 1947, public literature) comparing the naive-Bayes
+    language ID against the MAJORITY-CLASS baseline on the same eval
+    docs: only the discordant pairs matter — n_b = docs NB gets right
+    and the baseline wrong, n_c = the reverse — and
+    χ² = (b − c)²/(b + c).  The paired companion to
+    :func:`cohens_kappa_langid` (kappa scores ONE classifier against
+    truth; McNemar decides whether one classifier BEATS another on the
+    same items, which pooled accuracies cannot).
+
+    The baseline predicts the most frequent TRAINING label for every
+    doc (ties → lexicographically larger label, the shared struct-max
+    convention).
+
+    Exactness: (b − c)² ≥ 0, so the final statistic is one plain
+    truncating micros division of exact BIGINT counts; NULL when the
+    two classifiers never disagree (b + c = 0).
+
+    Scale shape: per-doc predictions are the broadcast-scoring shape
+    documented on naive_bayes_predictions; the baseline is a 1-row
+    broadcast; the rollup one map-side-combined aggregate."""
+    preds = naive_bayes_predictions(docs, label_values=label_values,
+                                    label_col=label_col)
+    maj = (
+        docs.where(F.col(label_col).isin(*label_values))
+        .where(F.col("doc_id") % 2 == 0)
+        .groupBy(F.col(label_col).alias("l"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.max(F.struct("n", "l")).alias("m"))
+        .select(F.col("m.l").alias("baseline"))
+    )
+    flags = preds.crossJoin(F.broadcast(maj)).select(
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias(
+            "a_ok"
+        ),
+        (F.col("baseline") == F.col("true_label")).cast("int").alias(
+            "b_ok"
+        ),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(
+            ((F.col("a_ok") == 1) & (F.col("b_ok") == 0)).cast("long")
+        ).cast("long").alias("n_b"),
+        F.sum(
+            ((F.col("a_ok") == 0) & (F.col("b_ok") == 1)).cast("long")
+        ).cast("long").alias("n_c"),
+    )
+    return agg.select(
+        "n_eval", "n_b", "n_c",
+        F.when(
+            F.col("n_b") + F.col("n_c") > 0,
+            F.expr(
+                "(1000000 * (n_b - n_c) * (n_b - n_c))"
+                " div (n_b + n_c)"
+            ).cast("long"),
+        ).alias("mcnemar_micros"),
     )

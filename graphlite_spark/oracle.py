@@ -8496,14 +8496,16 @@ def conversion_lag_quantiles_sql(
     )
 
 
-def naive_bayes_confusion_sql(
+def _naive_bayes_pred_ctes(
     labels: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
     words: tuple[str, ...] = tuple(STOPWORDS),
 ) -> str:
-    """Mirror of operators.classify.naive_bayes_confusion: even/odd
-    train split, Laplace micro parameters, the word-order truncating
-    score fold as a nested // chain, argmax via (s DESC, cand DESC)
-    row_number (== Spark's struct max tie rule)."""
+    """The CTE chain of operators.classify.naive_bayes_predictions up
+    to ``nbpred`` (rk = 1 rows are the per-doc argmax): even/odd train
+    split, Laplace micro parameters, the word-order truncating score
+    fold as a nested // chain, argmax via (s DESC, cand DESC)
+    row_number (== Spark's struct max tie rule).  Shared by the
+    confusion-matrix, kappa, and McNemar oracles."""
     L = len(labels)
     lab = ", ".join(f"'{v}'" for v in labels)
     bits = ",\n".join(
@@ -8548,8 +8550,19 @@ def naive_bayes_confusion_sql(
         "  SELECT doc_id, true_label, cand,\n"
         "    row_number() OVER (PARTITION BY doc_id"
         " ORDER BY s DESC, cand DESC) AS rk\n"
-        "  FROM nbs)\n"
-        "SELECT true_label, cand AS pred_label,\n"
+        "  FROM nbs)"
+    )
+
+
+def naive_bayes_confusion_sql(
+    labels: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+    words: tuple[str, ...] = tuple(STOPWORDS),
+) -> str:
+    """Mirror of operators.classify.naive_bayes_confusion: the shared
+    prediction CTEs rolled up into the confusion matrix."""
+    return (
+        _naive_bayes_pred_ctes(labels, words)
+        + "\nSELECT true_label, cand AS pred_label,\n"
         "  CAST(count(*) AS BIGINT) AS n\n"
         "FROM nbpred WHERE rk = 1 GROUP BY 1, 2"
     )
@@ -11700,3 +11713,85 @@ def cyclomatic_number_sql() -> str:
         "FROM cy_n, cy_m, cy_c"
     )
     return _graph_query(body, recursive=True)
+
+
+def mcnemar_langid_sql(
+    labels: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+) -> str:
+    """Mirror of operators.classify.mcnemar_langid: the shared
+    prediction CTEs, the majority-train-label baseline via
+    (count DESC, label DESC) row_number (== struct max), discordant
+    cells, one truncating micros division ((b-c)^2 >= 0)."""
+    return (
+        _naive_bayes_pred_ctes(labels)
+        + ",\nmcn_maj AS (SELECT y AS baseline FROM (\n"
+        "  SELECT y, row_number() OVER (ORDER BY count(*) DESC,"
+        " y DESC) AS rk\n"
+        "  FROM nbtr GROUP BY y) WHERE rk = 1),\n"
+        "mcn_f AS MATERIALIZED (\n"
+        "  SELECT CASE WHEN cand = true_label THEN 1 ELSE 0 END"
+        " AS a_ok,\n"
+        "    CASE WHEN (SELECT baseline FROM mcn_maj) = true_label\n"
+        "      THEN 1 ELSE 0 END AS b_ok\n"
+        "  FROM nbpred WHERE rk = 1),\n"
+        "mcn_a AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,\n"
+        "  CAST(sum(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_b,\n"
+        "  CAST(sum(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_c\n"
+        "  FROM mcn_f)\n"
+        "SELECT n_eval, n_b, n_c,\n"
+        "  CASE WHEN n_b + n_c > 0 THEN CAST(\n"
+        "    (1000000 * (n_b - n_c) * (n_b - n_c)) // (n_b + n_c)\n"
+        "    AS BIGINT) ELSE NULL END AS mcnemar_micros\n"
+        "FROM mcn_a"
+    )
+
+
+def cmh_purchase_value_sql(
+    type_a: str = "purchase", type_b: str = "click"
+) -> str:
+    """Mirror of operators.analytics.cmh_purchase_value: weekday
+    strata, cross-multiplied above-mean cents flag, per-stratum 2x2
+    margins, the chained truncating e/v divisions (log-rank
+    discipline), final OmE^2 // sum(v)."""
+    return (
+        "WITH cm_src AS MATERIALIZED (\n"
+        "  SELECT CAST((CAST(epoch_us(ts) AS BIGINT) // 86400000000"
+        " + 3) % 7 AS INT) AS dow,\n"
+        f"    CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END"
+        " AS exp,\n"
+        "    CAST(round(value * 100) AS BIGINT) AS cents\n"
+        f"  FROM events WHERE event_type IN ('{type_a}',"
+        f" '{type_b}')),\n"
+        "cm_t AS (SELECT CAST(count(*) AS BIGINT) AS nn,\n"
+        "  CAST(sum(cents) AS BIGINT) AS sc FROM cm_src),\n"
+        "cm_cells AS MATERIALIZED (\n"
+        "  SELECT dow,\n"
+        "    CAST(sum(exp * hi) AS BIGINT) AS a,\n"
+        "    CAST(sum(exp) AS BIGINT) AS n1,\n"
+        "    CAST(sum(1 - exp) AS BIGINT) AS n0,\n"
+        "    CAST(sum(hi) AS BIGINT) AS m1,\n"
+        "    CAST(sum(1 - hi) AS BIGINT) AS m0,\n"
+        "    CAST(count(*) AS BIGINT) AS t\n"
+        "  FROM (SELECT dow, exp,\n"
+        "    CASE WHEN cents * (SELECT nn FROM cm_t)"
+        " > (SELECT sc FROM cm_t)\n"
+        "      THEN 1 ELSE 0 END AS hi FROM cm_src)\n"
+        "  GROUP BY dow HAVING count(*) >= 2),\n"
+        "cm_terms AS MATERIALIZED (\n"
+        "  SELECT a, e,\n"
+        "    CAST((((e * n0) // t) * m0) // (t - 1) AS BIGINT) AS v\n"
+        "  FROM (SELECT a, CAST((1000000 * n1 * m1) // t AS BIGINT)"
+        " AS e, n0, m0, t FROM cm_cells)),\n"
+        "cm_agg AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,\n"
+        "  CAST(sum(a) AS BIGINT) AS sum_a,\n"
+        "  CAST(sum(e) AS BIGINT) AS sum_e_micros,\n"
+        "  CAST(sum(v) AS BIGINT) AS sum_v_micros FROM cm_terms)\n"
+        "SELECT n_strata, sum_a, sum_e_micros, sum_v_micros,\n"
+        "  CASE WHEN sum_v_micros > 0 THEN CAST(\n"
+        "    ((1000000 * sum_a - sum_e_micros)\n"
+        "     * (1000000 * sum_a - sum_e_micros)) // sum_v_micros\n"
+        "    AS BIGINT) ELSE NULL END AS cmh_micros\n"
+        "FROM cm_agg"
+    )

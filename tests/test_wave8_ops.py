@@ -1014,3 +1014,61 @@ def test_cyclomatic_number_shapes(spark):
     )
     v2 = spark.createDataFrame([(i,) for i in range(3)], "id long")
     assert cyclomatic_number(v2, e2).collect()[0]["cyclomatic"] == 0
+
+
+def test_mcnemar_discordant_cells(spark):
+    from graphlite_spark.operators.classify import (
+        mcnemar_langid,
+        naive_bayes_predictions,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    preds = naive_bayes_predictions(docs).collect()
+    # majority train label from the even half
+    from collections import Counter
+
+    train = Counter(
+        r["lang"]
+        for r in docs.select("doc_id", "lang").collect()
+        if r["doc_id"] % 2 == 0
+        and r["lang"] in ("de", "en", "es", "fr", "zh")
+    )
+    best = max(train.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    b = sum(
+        1
+        for r in preds
+        if r["pred_label"] == r["true_label"] and best != r["true_label"]
+    )
+    c = sum(
+        1
+        for r in preds
+        if r["pred_label"] != r["true_label"] and best == r["true_label"]
+    )
+    r = mcnemar_langid(docs).collect()[0]
+    assert (r["n_b"], r["n_c"]) == (b, c)
+    assert r["n_eval"] == len(preds)
+    if b + c:
+        assert r["mcnemar_micros"] == (1_000_000 * (b - c) ** 2) // (b + c)
+
+
+def test_cmh_no_association(spark):
+    from graphlite_spark.operators.analytics import cmh_purchase_value
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 6, 1)
+    # identical value mix for both types in every stratum -> sum_a
+    # equals expectation exactly, CMH = 0
+    rows = []
+    eid = 0
+    for d in range(4):
+        for t in ("purchase", "click"):
+            for v in (1.0, 100.0):
+                rows.append((eid, t, v, base + timedelta(days=d)))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts timestamp"
+    )
+    r = cmh_purchase_value(ev).collect()[0]
+    assert r["n_strata"] == 4
+    assert 1_000_000 * r["sum_a"] == r["sum_e_micros"]
+    assert r["cmh_micros"] == 0
