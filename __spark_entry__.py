@@ -3285,6 +3285,26 @@ def q_cmh_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cmh_purchase_value(load_table(spark, sf_dir, "events"))
 
 
+def q_ccf_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lead-lag cross-correlation between purchase and click daily
+    # series at lags -7..7: does one type's volume lead the other's?
+    from graphlite_spark.operators.analytics import ccf_type_daily
+
+    return ccf_type_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_brier_purchase_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Brier proper score of the first-half-share purchase forecaster
+    # against realized second-half outcomes, plus the base rate
+    from graphlite_spark.operators.analytics import (
+        brier_purchase_forecast,
+    )
+
+    return brier_purchase_forecast(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4153,6 +4173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cyclomatic_number": q_cyclomatic_number,
         "mcnemar_langid": q_mcnemar_langid,
         "cmh_purchase_value": q_cmh_purchase_value,
+        "ccf_type_daily": q_ccf_type_daily,
+        "brier_purchase_forecast": q_brier_purchase_forecast,
     }
 
 
@@ -4415,6 +4437,8 @@ def oracle_sql() -> dict[str, str]:
         "cyclomatic_number": O.cyclomatic_number_sql(),
         "mcnemar_langid": O.mcnemar_langid_sql(),
         "cmh_purchase_value": O.cmh_purchase_value_sql(),
+        "ccf_type_daily": O.ccf_type_daily_sql(),
+        "brier_purchase_forecast": O.brier_purchase_forecast_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

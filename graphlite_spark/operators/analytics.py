@@ -4221,3 +4221,191 @@ def cmh_purchase_value(
              / F.col("sum_v_micros")).cast("long"),
         ).alias("cmh_micros"),
     )
+
+
+def ccf_type_daily(
+    events: DataFrame,
+    type_a: str = "purchase",
+    type_b: str = "click",
+    max_lag: int = 7,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(lag, n_days, num_scaled, ccf2_signed_micros) — the lead–lag
+    CROSS-correlation between two event types' daily-count series at
+    lags −max_lag..+max_lag: does click volume lead purchase volume,
+    and by how many days?  Positive lag = type_a trails type_b by
+    ``lag`` days (dev_a(t)·dev_b(t+lag)).  The two-series companion to
+    :func:`acf_daily` — same zero-filled day spine, same n²-scaled
+    integer deviations (dev = n·x − S per series; the n² factors
+    cancel in the ratio).
+
+    Normalization needs √(Σdev_a²·Σdev_b²), so the exact output is
+    the SIGNED SQUARE ``sign(num)·10⁶·num² div (den_a·den_b)`` —
+    monotone in |r| with the sign preserved, so the argmax lag reads
+    straight off the rows; the float r is derivable.  num² and the
+    10⁶ scaling ride DECIMAL(38,0) div / HUGEINT // (the acf_daily
+    overflow discipline, measured identical truncation).
+
+    Scale shape: one map-side-combined (day, type) aggregate; spine,
+    deviations, the 2L+1-way lag equi-join, and the moment sums all
+    live on the calendar-bounded daily table."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    cells = (
+        events.where(F.col("event_type").isin([type_a, type_b]))
+        .groupBy(
+            day.alias("d"),
+            (F.col("event_type") == type_a).cast("int").alias("g"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rng = cells.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi"),
+        F.sum(F.when(F.col("g") == 1, F.col("c")).otherwise(0))
+        .cast("long").alias("sa"),
+        F.sum(F.when(F.col("g") == 0, F.col("c")).otherwise(0))
+        .cast("long").alias("sb"),
+    )
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+        (F.col("hi") - F.col("lo") + 1).cast("long").alias("n"),
+        "sa", "sb",
+    )
+    ga = cells.where(F.col("g") == 1).select("d", F.col("c").alias("ya"))
+    gb = cells.where(F.col("g") == 0).select("d", F.col("c").alias("yb"))
+    dev = (
+        spine.join(ga, "d", "left")
+        .join(gb, "d", "left")
+        .select(
+            "d",
+            (
+                F.col("n") * F.coalesce(F.col("ya"), F.lit(0))
+                - F.col("sa")
+            ).cast("long").alias("dev_a"),
+            (
+                F.col("n") * F.coalesce(F.col("yb"), F.lit(0))
+                - F.col("sb")
+            ).cast("long").alias("dev_b"),
+            "n",
+        )
+    )
+    den = dev.agg(
+        F.sum(F.col("dev_a") * F.col("dev_a")).cast("long").alias(
+            "den_a"
+        ),
+        F.sum(F.col("dev_b") * F.col("dev_b")).cast("long").alias(
+            "den_b"
+        ),
+        F.max("n").alias("n"),
+    )
+    lags = dev.select(
+        F.explode(
+            F.sequence(F.lit(-max_lag), F.lit(max_lag))
+        ).alias("lag"),
+        "d",
+        "dev_a",
+    ).select("lag", (F.col("d") + F.col("lag")).alias("d2"), "dev_a")
+    num = (
+        lags.join(
+            dev.select(F.col("d").alias("d2"), F.col("dev_b")), "d2"
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("dev_a") * F.col("dev_b"))
+            .cast("long").alias("num")
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").alias("n_days"),
+            F.col("num").alias("num_scaled"),
+            F.when(
+                (F.col("den_a") > 0) & (F.col("den_b") > 0),
+                F.expr(
+                    "CAST(CASE WHEN num >= 0 THEN"
+                    " (CAST(num AS DECIMAL(38,0)) * num * 1000000)"
+                    " div (CAST(den_a AS DECIMAL(38,0)) * den_b)"
+                    " ELSE -((CAST(num AS DECIMAL(38,0)) * num"
+                    " * 1000000)"
+                    " div (CAST(den_a AS DECIMAL(38,0)) * den_b))"
+                    " END AS BIGINT)"
+                ),
+            ).alias("ccf2_signed_micros"),
+        )
+    )
+
+
+def brier_purchase_forecast(
+    events: DataFrame,
+    target: str = "purchase",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_users, n_positive, brier_micros, base_rate_micros) —
+    the Brier score (Brier 1950, public literature) of the simplest
+    temporal forecaster: predict each user's second-half
+    "will purchase" probability as their FIRST-half purchase share,
+    score against the realized second-half binary outcome.  The
+    proper-scoring companion to the calibration tables — one number,
+    decomposable, minimized only by the true probability.  The
+    base-rate row makes the skill visible (a forecaster worse than
+    "always predict the prevalence" has negative skill).
+
+    Split: calendar midpoint, exactly :func:`diff_in_diff`'s
+    ``mid = D div 2`` (pre = days 0..mid−1).  Universe: users with
+    ≥ 1 first-half event (no prediction exists otherwise — stated).
+
+    Exactness: p̂ = (10⁶·k_u) div n_u per user; the per-user term
+    (p̂ − 10⁶·y)² is an exact BIGINT ≤ 10¹²; brier = Σterm div
+    (10⁶·N) lands back in micros with one truncating division.
+
+    Scale shape: two map-side-combined per-user aggregates (first
+    half / second half) + one vertex-sized join + a scalar rollup."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    typed = events.select(
+        F.col("user_id").alias("u"),
+        day.alias("d"),
+        (F.col("event_type") == target).cast("long").alias("t"),
+    )
+    rng = typed.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    j = typed.crossJoin(F.broadcast(rng)).select(
+        "u", "t",
+        (
+            F.col("d") - F.col("lo")
+            < F.expr("(hi - lo + 1) div 2")
+        ).cast("int").alias("pre"),
+    )
+    first = j.where(F.col("pre") == 1).groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+        F.sum("t").cast("long").alias("k_u"),
+    )
+    second = j.where(F.col("pre") == 0).groupBy("u").agg(
+        F.max("t").cast("long").alias("y")
+    )
+    scored = first.join(second, "u", "left").select(
+        F.expr("(1000000 * k_u) div n_u").cast("long").alias("p"),
+        F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("y").cast("long").alias("n_positive"),
+        F.sum(
+            (F.col("p") - F.lit(1_000_000) * F.col("y"))
+            * (F.col("p") - F.lit(1_000_000) * F.col("y"))
+        ).cast("long").alias("sq"),
+    )
+    return agg.select(
+        "n_users", "n_positive",
+        F.when(
+            F.col("n_users") > 0,
+            F.expr("sq div (1000000 * n_users)").cast("long"),
+        ).alias("brier_micros"),
+        F.when(
+            F.col("n_users") > 0,
+            F.expr("(1000000 * n_positive) div n_users").cast("long"),
+        ).alias("base_rate_micros"),
+    )

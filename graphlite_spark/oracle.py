@@ -11795,3 +11795,111 @@ def cmh_purchase_value_sql(
         "    AS BIGINT) ELSE NULL END AS cmh_micros\n"
         "FROM cm_agg"
     )
+
+
+def ccf_type_daily_sql(
+    type_a: str = "purchase", type_b: str = "click", max_lag: int = 7
+) -> str:
+    """Mirror of operators.analytics.ccf_type_daily: shared zero-filled
+    spine, two n-scaled deviation series, the signed lag equi-join, and
+    the signed-square HUGEINT ratio (the quotient operand num^2*1e6 /
+    (den_a*den_b) is non-negative; the sign is applied outside, exactly
+    as the Spark CASE does)."""
+    L = int(max_lag)
+    return (
+        "WITH cf_c AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        f"    CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END AS g,\n"
+        "    CAST(count(*) AS BIGINT) AS c\n"
+        f"  FROM events WHERE event_type IN ('{type_a}', '{type_b}')\n"
+        "  GROUP BY 1, 2),\n"
+        "cf_r AS (SELECT min(d) AS lo, max(d) AS hi,\n"
+        "  CAST(sum(CASE WHEN g = 1 THEN c ELSE 0 END) AS BIGINT)"
+        " AS sa,\n"
+        "  CAST(sum(CASE WHEN g = 0 THEN c ELSE 0 END) AS BIGINT)"
+        " AS sb\n"
+        "  FROM cf_c),\n"
+        "cf_s AS MATERIALIZED (\n"
+        "  SELECT unnest(range(lo, hi + 1)) AS d,\n"
+        "    CAST(hi - lo + 1 AS BIGINT) AS n, sa, sb FROM cf_r),\n"
+        "cf_v AS MATERIALIZED (\n"
+        "  SELECT sp.d,\n"
+        "    CAST(sp.n * COALESCE(ga.c, 0) - sp.sa AS BIGINT)"
+        " AS dev_a,\n"
+        "    CAST(sp.n * COALESCE(gb.c, 0) - sp.sb AS BIGINT)"
+        " AS dev_b,\n"
+        "    sp.n\n"
+        "  FROM cf_s sp\n"
+        "  LEFT JOIN (SELECT d, c FROM cf_c WHERE g = 1) ga"
+        " USING (d)\n"
+        "  LEFT JOIN (SELECT d, c FROM cf_c WHERE g = 0) gb"
+        " USING (d)),\n"
+        "cf_den AS (SELECT CAST(sum(dev_a * dev_a) AS BIGINT)"
+        " AS den_a,\n"
+        "  CAST(sum(dev_b * dev_b) AS BIGINT) AS den_b,\n"
+        "  max(n) AS n FROM cf_v),\n"
+        "cf_num AS MATERIALIZED (\n"
+        "  SELECT l.lag, CAST(sum(a.dev_a * b.dev_b) AS BIGINT)"
+        " AS num\n"
+        f"  FROM cf_v a CROSS JOIN (SELECT unnest(range(-{L},"
+        f" {L + 1})) AS lag) l\n"
+        "  JOIN cf_v b ON b.d = a.d + l.lag\n"
+        "  GROUP BY l.lag)\n"
+        "SELECT CAST(m.lag AS INT) AS lag, q.n AS n_days,\n"
+        "  m.num AS num_scaled,\n"
+        "  CAST(CASE WHEN q.den_a > 0 AND q.den_b > 0 THEN\n"
+        "    CASE WHEN m.num >= 0 THEN\n"
+        "      (CAST(m.num AS HUGEINT) * m.num * 1000000)\n"
+        "      // (CAST(q.den_a AS HUGEINT) * q.den_b)\n"
+        "    ELSE -((CAST(m.num AS HUGEINT) * m.num * 1000000)\n"
+        "      // (CAST(q.den_a AS HUGEINT) * q.den_b)) END\n"
+        "  END AS BIGINT) AS ccf2_signed_micros\n"
+        "FROM cf_num m, cf_den q"
+    )
+
+
+def brier_purchase_forecast_sql(target: str = "purchase") -> str:
+    """Mirror of operators.analytics.brier_purchase_forecast: the
+    diff_in_diff midpoint split, per-user first-half share in micros,
+    second-half binary outcome, one truncating division (operands
+    non-negative)."""
+    return (
+        "WITH bf_t AS MATERIALIZED (\n"
+        "  SELECT user_id AS u,\n"
+        "    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        f"    CASE WHEN event_type = '{target}' THEN 1 ELSE 0 END"
+        " AS t\n"
+        "  FROM events),\n"
+        "bf_r AS (SELECT min(d) AS lo, max(d) AS hi FROM bf_t),\n"
+        "bf_j AS MATERIALIZED (\n"
+        "  SELECT u, t,\n"
+        "    CASE WHEN d - (SELECT lo FROM bf_r)\n"
+        "      < ((SELECT hi FROM bf_r) - (SELECT lo FROM bf_r) + 1)"
+        " // 2\n"
+        "      THEN 1 ELSE 0 END AS pre\n"
+        "  FROM bf_t),\n"
+        "bf_f AS MATERIALIZED (\n"
+        "  SELECT u, CAST(count(*) AS BIGINT) AS n_u,\n"
+        "    CAST(sum(t) AS BIGINT) AS k_u\n"
+        "  FROM bf_j WHERE pre = 1 GROUP BY u),\n"
+        "bf_s AS MATERIALIZED (\n"
+        "  SELECT u, CAST(max(t) AS BIGINT) AS y\n"
+        "  FROM bf_j WHERE pre = 0 GROUP BY u),\n"
+        "bf_p AS MATERIALIZED (\n"
+        "  SELECT CAST((1000000 * f.k_u) // f.n_u AS BIGINT) AS p,\n"
+        "    CAST(COALESCE(s.y, 0) AS BIGINT) AS y\n"
+        "  FROM bf_f f LEFT JOIN bf_s s ON s.u = f.u),\n"
+        "bf_a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,\n"
+        "  CAST(sum(y) AS BIGINT) AS n_positive,\n"
+        "  CAST(sum((p - 1000000 * y) * (p - 1000000 * y))"
+        " AS BIGINT) AS sq\n"
+        "  FROM bf_p)\n"
+        "SELECT n_users, n_positive,\n"
+        "  CASE WHEN n_users > 0 THEN\n"
+        "    CAST(sq // (1000000 * n_users) AS BIGINT) END"
+        " AS brier_micros,\n"
+        "  CASE WHEN n_users > 0 THEN\n"
+        "    CAST((1000000 * n_positive) // n_users AS BIGINT) END"
+        " AS base_rate_micros\n"
+        "FROM bf_a"
+    )

@@ -1072,3 +1072,73 @@ def test_cmh_no_association(spark):
     assert r["n_strata"] == 4
     assert 1_000_000 * r["sum_a"] == r["sum_e_micros"]
     assert r["cmh_micros"] == 0
+
+
+def test_ccf_detects_known_lead(spark):
+    from graphlite_spark.operators.analytics import ccf_type_daily
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 6, 1)
+    # click spikes on days 0-1, purchase spikes EXACTLY 2 days later:
+    # the max positive signed-square must land at lag = -2
+    # (dev_a(t) pairs dev_b(t + lag); purchase trails click by 2)
+    rows = []
+    eid = 0
+    click_days = {0: 9, 1: 9}
+    purch_days = {2: 9, 3: 9}
+    for d in range(8):
+        for _ in range(click_days.get(d, 1)):
+            rows.append((eid, "click", base + timedelta(days=d)))
+            eid += 1
+        for _ in range(purch_days.get(d, 1)):
+            rows.append((eid, "purchase", base + timedelta(days=d)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    out = {r["lag"]: r for r in ccf_type_daily(ev, max_lag=3).collect()}
+    assert len(out) == 7
+    best = max(out.values(), key=lambda r: r["ccf2_signed_micros"])
+    assert best["lag"] == -2
+    # lag 0 must be below the aligned lag
+    assert (
+        out[0]["ccf2_signed_micros"] < out[-2]["ccf2_signed_micros"]
+    )
+
+
+def test_brier_perfect_and_base(spark):
+    from graphlite_spark.operators.analytics import (
+        brier_purchase_forecast,
+    )
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 6, 1)
+    # u1: all purchases first half -> p=1, purchases second half y=1
+    # u2: no purchases first half -> p=0, none second half y=0
+    rows = [
+        (0, 1, "purchase", base),
+        (1, 1, "purchase", base + timedelta(days=3)),
+        (2, 2, "click", base),
+        (3, 2, "click", base + timedelta(days=3)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    r = brier_purchase_forecast(ev).collect()[0]
+    assert (r["n_users"], r["n_positive"]) == (2, 1)
+    assert r["brier_micros"] == 0
+    assert r["base_rate_micros"] == 500_000
+
+    # flip second-half outcomes -> worst case, brier = 1
+    rows2 = [
+        (0, 1, "purchase", base),
+        (1, 1, "click", base + timedelta(days=3)),
+        (2, 2, "click", base),
+        (3, 2, "purchase", base + timedelta(days=3)),
+    ]
+    ev2 = spark.createDataFrame(
+        rows2,
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    r2 = brier_purchase_forecast(ev2).collect()[0]
+    assert r2["brier_micros"] == 1_000_000
