@@ -3305,6 +3305,14 @@ def q_brier_purchase_forecast(
     return brier_purchase_forecast(load_table(spark, sf_dir, "events"))
 
 
+def q_seq_patterns_subseq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GSP-style sequential patterns (gaps allowed) of length 2-3 over
+    # per-user event streams: funnels with interleaved noise
+    from graphlite_spark.operators.analytics import seq_patterns_subseq
+
+    return seq_patterns_subseq(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4175,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cmh_purchase_value": q_cmh_purchase_value,
         "ccf_type_daily": q_ccf_type_daily,
         "brier_purchase_forecast": q_brier_purchase_forecast,
+        "seq_patterns_subseq": q_seq_patterns_subseq,
     }
 
 
@@ -4439,6 +4448,7 @@ def oracle_sql() -> dict[str, str]:
         "cmh_purchase_value": O.cmh_purchase_value_sql(),
         "ccf_type_daily": O.ccf_type_daily_sql(),
         "brier_purchase_forecast": O.brier_purchase_forecast_sql(),
+        "seq_patterns_subseq": O.seq_patterns_subseq_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -4409,3 +4409,80 @@ def brier_purchase_forecast(
             F.expr("(1000000 * n_positive) div n_users").cast("long"),
         ).alias("base_rate_micros"),
     )
+
+
+def seq_patterns_subseq(
+    events: DataFrame,
+    actor_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(a, b, c, n_users, support_micros) — frequent sequential
+    patterns of length 2 and 3 over per-user event-type sequences,
+    SUBSEQUENCE semantics (gaps allowed — the PrefixSpan/GSP problem,
+    Srikant & Agrawal 1996, public literature): a user supports
+    (a, b) when some a-event precedes some b-event, and (a, b, c)
+    when a < b < c positions exist.  Length-2 rows carry c = NULL.
+    The gap-tolerant companion to the CONSECUTIVE event-trigram
+    counts — funnels with interleaved noise events are invisible
+    there and first-class here.
+
+    Containment tests collapse to order statistics — (a, b) ⊆ seq iff
+    first(a) < last(b) (works for a = b: needs two occurrences);
+    (a, b, c) ⊆ seq iff some b-position lies strictly between
+    first(a) and last(c) — so no subsequence DP ever runs.
+
+    Exactness: supports are exact user counts; one truncating micros
+    division by the user universe.
+
+    Scale shape: one per-user position window; per-(user, type)
+    first/last aggregates (alphabet-bounded rows per user); the
+    triple test joins each EVENT to the (a, c) grid — a |types|²
+    fan-out per event, alphabet-bounded by construction — then one
+    map-side-combined any() per (user, a, b, c).  Output ≤ |types|²
+    + |types|³ rows regardless of data size."""
+    w = Window.partitionBy(actor_col).orderBy(ts_col, tie_col)
+    seq = events.select(
+        F.col(actor_col).alias("u"),
+        F.col(state_col).alias("t"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+    fl = seq.groupBy("u", "t").agg(
+        F.min("pos").alias("first_p"), F.max("pos").alias("last_p")
+    )
+    nu = seq.select("u").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("nn")
+    )
+    fa = fl.select(
+        "u", F.col("t").alias("a"), F.col("first_p").alias("pa")
+    )
+    lb = fl.select(
+        "u", F.col("t").alias("b"), F.col("last_p").alias("lb")
+    )
+    pairs = (
+        fa.join(lb, "u")
+        .where(F.col("pa") < F.col("lb"))
+        .groupBy("a", "b")
+        .agg(F.count_distinct("u").cast("long").alias("n_users"))
+        .select("a", "b", F.lit(None).cast("string").alias("c"), "n_users")
+    )
+    lc = fl.select(
+        "u", F.col("t").alias("c"), F.col("last_p").alias("lc")
+    )
+    grid = fa.join(lc, "u").where(F.col("pa") + 1 < F.col("lc"))
+    mids = seq.select("u", F.col("t").alias("b"), "pos")
+    triples = (
+        grid.join(mids, "u")
+        .where((F.col("pos") > F.col("pa")) & (F.col("pos") < F.col("lc")))
+        .groupBy("a", "b", "c")
+        .agg(F.count_distinct("u").cast("long").alias("n_users"))
+        .select("a", "b", "c", "n_users")
+    )
+    out = pairs.unionByName(triples)
+    return out.crossJoin(F.broadcast(nu)).select(
+        "a", "b", "c", "n_users",
+        F.expr("(1000000 * n_users) div nn").cast("long").alias(
+            "support_micros"
+        ),
+    )

@@ -11903,3 +11903,43 @@ def brier_purchase_forecast_sql(target: str = "purchase") -> str:
         " AS base_rate_micros\n"
         "FROM bf_a"
     )
+
+
+def seq_patterns_subseq_sql() -> str:
+    """Mirror of operators.analytics.seq_patterns_subseq: per-user
+    (ts, event_id) position window, per-(user, type) first/last,
+    the first(a) < last(b) pair test, the strictly-between triple
+    test over the alphabet grid, one truncating micros division."""
+    return (
+        "WITH sq_s AS MATERIALIZED (\n"
+        "  SELECT user_id AS u, event_type AS t,\n"
+        "    CAST(row_number() OVER (PARTITION BY user_id\n"
+        "      ORDER BY ts, event_id) AS BIGINT) AS pos\n"
+        "  FROM events),\n"
+        "sq_fl AS MATERIALIZED (\n"
+        "  SELECT u, t, min(pos) AS first_p, max(pos) AS last_p\n"
+        "  FROM sq_s GROUP BY u, t),\n"
+        "sq_n AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nn"
+        " FROM sq_s),\n"
+        "sq_pairs AS MATERIALIZED (\n"
+        "  SELECT fa.t AS a, lb.t AS b, CAST(NULL AS VARCHAR) AS c,\n"
+        "    CAST(count(DISTINCT fa.u) AS BIGINT) AS n_users\n"
+        "  FROM sq_fl fa JOIN sq_fl lb ON lb.u = fa.u\n"
+        "    AND fa.first_p < lb.last_p\n"
+        "  GROUP BY 1, 2),\n"
+        "sq_tri AS MATERIALIZED (\n"
+        "  SELECT g.a, m.t AS b, g.c,\n"
+        "    CAST(count(DISTINCT g.u) AS BIGINT) AS n_users\n"
+        "  FROM (\n"
+        "    SELECT fa.u, fa.t AS a, lc.t AS c,\n"
+        "      fa.first_p AS pa, lc.last_p AS lc\n"
+        "    FROM sq_fl fa JOIN sq_fl lc ON lc.u = fa.u\n"
+        "      AND fa.first_p + 1 < lc.last_p) g\n"
+        "  JOIN sq_s m ON m.u = g.u\n"
+        "    AND m.pos > g.pa AND m.pos < g.lc\n"
+        "  GROUP BY 1, 2, 3)\n"
+        "SELECT a, b, c, n_users,\n"
+        "  CAST((1000000 * n_users) // (SELECT nn FROM sq_n)"
+        " AS BIGINT) AS support_micros\n"
+        "FROM (SELECT * FROM sq_pairs UNION ALL SELECT * FROM sq_tri)"
+    )

@@ -1142,3 +1142,33 @@ def test_brier_perfect_and_base(spark):
     )
     r2 = brier_purchase_forecast(ev2).collect()[0]
     assert r2["brier_micros"] == 1_000_000
+
+
+def test_seq_patterns_hand(spark):
+    from graphlite_spark.operators.analytics import seq_patterns_subseq
+
+    # u1: a x b y c  (supports (a,b),(a,c),(b,c),(a,b,c) with gaps)
+    # u2: b a        (supports (b,a) only)
+    # u3: a a a      (supports (a,a) and (a,a,a))
+    rows = []
+    eid = 0
+    for u, seq in [(1, "axbyc"), (2, "ba"), (3, "aaa")]:
+        for i, ch in enumerate(seq):
+            rows.append((eid, u, ch, 1_000 + eid))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long"
+    )
+    out = {
+        (r["a"], r["b"], r["c"]): r["n_users"]
+        for r in seq_patterns_subseq(ev, ts_col="ts").collect()
+    }
+    assert out[("a", "b", None)] == 1
+    assert out[("b", "a", None)] == 1
+    assert out[("a", "b", "c")] == 1
+    assert out[("a", "a", None)] == 1      # u3 (two a's)
+    assert out[("a", "a", "a")] == 1       # u3 (three a's)
+    assert ("b", "a", "c") not in out      # no such ordering anywhere
+    assert out[("a", "c", None)] == 1
+    # u1's interleaved x/y must not block gap-tolerant patterns
+    assert out[("x", "y", "c")] == 1
