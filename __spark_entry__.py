@@ -3313,6 +3313,24 @@ def q_seq_patterns_subseq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq_patterns_subseq(load_table(spark, sf_dir, "events"))
 
 
+def q_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frequency-spectrum head: hapax/dis legomena shares — the
+    # template-saturation and Good-Turing unseen-mass readout
+    from graphlite_spark.operators.packing import hapax_profile
+
+    return hapax_profile(load_table(spark, sf_dir, "documents"))
+
+
+def q_dow_adjusted_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # top anomalous days vs their own weekday's mean: a quiet Sunday
+    # only flags if it is quiet FOR a Sunday
+    from graphlite_spark.operators.analytics import dow_adjusted_anomaly
+
+    return dow_adjusted_anomaly(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4184,6 +4202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_type_daily": q_ccf_type_daily,
         "brier_purchase_forecast": q_brier_purchase_forecast,
         "seq_patterns_subseq": q_seq_patterns_subseq,
+        "hapax_profile": q_hapax_profile,
+        "dow_adjusted_anomaly": q_dow_adjusted_anomaly,
     }
 
 
@@ -4449,6 +4469,8 @@ def oracle_sql() -> dict[str, str]:
         "ccf_type_daily": O.ccf_type_daily_sql(),
         "brier_purchase_forecast": O.brier_purchase_forecast_sql(),
         "seq_patterns_subseq": O.seq_patterns_subseq_sql(),
+        "hapax_profile": O.hapax_profile_sql(),
+        "dow_adjusted_anomaly": O.dow_adjusted_anomaly_sql(10),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -4486,3 +4486,64 @@ def seq_patterns_subseq(
             "support_micros"
         ),
     )
+
+
+def dow_adjusted_anomaly(
+    events: DataFrame,
+    top_k: int = 10,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(d, dow, y, dow_days, ratio_micros, rank) — the ``top_k`` most
+    anomalous days measured against THEIR OWN WEEKDAY's mean (ratio =
+    y / mean(same-dow days), in micros): a quiet Sunday only counts as
+    an anomaly if it is quiet FOR A SUNDAY.  The seasonality-corrected
+    companion to :func:`daily_anomaly` (trailing window, which a
+    weekly cycle walks straight through).
+
+    Day spine: zero days are REAL rows (the :func:`acf_daily` spine),
+    so a silent Tuesday scores ratio 0 instead of vanishing.
+
+    Exactness: ratio = (10⁶·n_w·y) div S_w with n_w = same-dow day
+    count and S_w that weekday's total (exact integers; NULL when the
+    weekday never saw an event).  Ranking is by max |10⁶ − ratio|
+    with (d ASC) ties — deterministic.
+
+    Scale shape: one map-side-combined daily count; spine, weekday
+    marginals, and the top-k window (ordered over calendar-bounded
+    rows) never touch the fact table again."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    daily = events.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d",
+        F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        F.expr("cast((d + 3) % 7 as int)").alias("dow"),
+    )
+    marg = filled.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("dow_days"),
+        F.sum("y").cast("long").alias("s_w"),
+    )
+    scored = filled.join(F.broadcast(marg), "dow").select(
+        "d", "dow", "y", "dow_days",
+        F.when(
+            F.col("s_w") > 0,
+            F.expr("(1000000 * dow_days * y) div s_w").cast("long"),
+        ).alias("ratio_micros"),
+    )
+    w = Window.orderBy(
+        F.abs(F.lit(1_000_000) - F.coalesce("ratio_micros", F.lit(0)))
+        .desc(),
+        F.col("d").asc(),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("d", "dow", "y", "dow_days", "ratio_micros", "rank")
+    )

@@ -862,3 +862,47 @@ def yules_k(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).cast("long"),
         ).alias("yule_k_micros"),
     )
+
+
+def hapax_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row (n_tokens, vocab_size, hapax, dis, hapax_share_micros,
+    sichel_s_micros) — the head of the word-frequency spectrum: hapax
+    legomena V₁ (types seen once), dis legomena V₂, the hapax share
+    V₁/V, and Sichel's S = V₂/V (Sichel 1975, public literature).
+    The spectrum endpoints :func:`yules_k` integrates over — a corpus
+    whose hapax share collapses is template-saturated (dedup signal);
+    V₁/N is also the Good–Turing unseen-mass estimate already used by
+    the smoothing family.
+
+    Exactness: exact type counts; two truncating micros divisions.
+
+    Scale shape: identical to yules_k — one explode + one map-side-
+    combined term count + one scalar rollup, no joins."""
+    from graphlite_spark.functions.text import tokens_expr
+
+    tf = (
+        docs.select(F.explode(tokens_expr(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    agg = tf.agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum((F.col("tf") == 1).cast("long")).cast("long").alias(
+            "hapax"
+        ),
+        F.sum((F.col("tf") == 2).cast("long")).cast("long").alias(
+            "dis"
+        ),
+    )
+    return agg.select(
+        "n_tokens", "vocab_size", "hapax", "dis",
+        F.when(
+            F.col("vocab_size") > 0,
+            F.expr("(1000000 * hapax) div vocab_size").cast("long"),
+        ).alias("hapax_share_micros"),
+        F.when(
+            F.col("vocab_size") > 0,
+            F.expr("(1000000 * dis) div vocab_size").cast("long"),
+        ).alias("sichel_s_micros"),
+    )

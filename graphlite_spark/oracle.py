@@ -11943,3 +11943,63 @@ def seq_patterns_subseq_sql() -> str:
         " AS BIGINT) AS support_micros\n"
         "FROM (SELECT * FROM sq_pairs UNION ALL SELECT * FROM sq_tri)"
     )
+
+
+def hapax_profile_sql() -> str:
+    """Mirror of operators.packing.hapax_profile: the shared tokenizer
+    CTE, one tf aggregate, two truncating micros divisions."""
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "hp_tf AS MATERIALIZED (\n"
+        "  SELECT term, CAST(count(*) AS BIGINT) AS tf FROM (\n"
+        "    SELECT unnest(toks) AS term FROM toks_t)\n"
+        "  GROUP BY term),\n"
+        "hp_a AS (SELECT CAST(sum(tf) AS BIGINT) AS n_tokens,\n"
+        "  CAST(count(*) AS BIGINT) AS vocab_size,\n"
+        "  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS hapax,\n"
+        "  CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS dis\n"
+        "  FROM hp_tf)\n"
+        "SELECT n_tokens, vocab_size, hapax, dis,\n"
+        "  CASE WHEN vocab_size > 0 THEN\n"
+        "    CAST((1000000 * hapax) // vocab_size AS BIGINT) END\n"
+        "    AS hapax_share_micros,\n"
+        "  CASE WHEN vocab_size > 0 THEN\n"
+        "    CAST((1000000 * dis) // vocab_size AS BIGINT) END\n"
+        "    AS sichel_s_micros\n"
+        "FROM hp_a"
+    )
+
+
+def dow_adjusted_anomaly_sql(top_k: int = 10) -> str:
+    """Mirror of operators.analytics.dow_adjusted_anomaly: zero-filled
+    spine, weekday marginals, the (1e6*n_w*y)//S_w ratio, and the
+    |1e6 - ratio| DESC, d ASC row_number top-k."""
+    return (
+        "WITH da_d AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "da_r AS (SELECT min(d) AS lo, max(d) AS hi FROM da_d),\n"
+        "da_f AS MATERIALIZED (\n"
+        "  SELECT sp.d, CAST(COALESCE(dl.y, 0) AS BIGINT) AS y,\n"
+        "    CAST((sp.d + 3) % 7 AS INT) AS dow\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM da_r) sp\n"
+        "  LEFT JOIN da_d dl USING (d)),\n"
+        "da_m AS (SELECT dow, CAST(count(*) AS BIGINT) AS dow_days,\n"
+        "  CAST(sum(y) AS BIGINT) AS s_w FROM da_f GROUP BY dow),\n"
+        "da_s AS MATERIALIZED (\n"
+        "  SELECT f.d, f.dow, f.y, m.dow_days,\n"
+        "    CASE WHEN m.s_w > 0 THEN\n"
+        "      CAST((1000000 * m.dow_days * f.y) // m.s_w AS BIGINT)"
+        " END AS ratio_micros\n"
+        "  FROM da_f f JOIN da_m m USING (dow))\n"
+        "SELECT d, dow, y, dow_days, ratio_micros,\n"
+        "  CAST(rank AS INT) AS rank FROM (\n"
+        "  SELECT *, row_number() OVER (ORDER BY\n"
+        "    abs(1000000 - COALESCE(ratio_micros, 0)) DESC, d ASC)"
+        " AS rank\n"
+        "  FROM da_s)\n"
+        f"WHERE rank <= {int(top_k)}"
+    )

@@ -1172,3 +1172,45 @@ def test_seq_patterns_hand(spark):
     assert out[("a", "c", None)] == 1
     # u1's interleaved x/y must not block gap-tolerant patterns
     assert out[("x", "y", "c")] == 1
+
+
+def test_hapax_profile_hand(spark):
+    from graphlite_spark.operators.packing import hapax_profile
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "d")], "doc_id long, text string"
+    )
+    r = hapax_profile(docs).collect()[0]
+    # tf: a=3 b=2 c=1 d=1 -> V=4, hapax=2, dis=1
+    assert (r["n_tokens"], r["vocab_size"]) == (7, 4)
+    assert (r["hapax"], r["dis"]) == (2, 1)
+    assert r["hapax_share_micros"] == 500_000
+    assert r["sichel_s_micros"] == 250_000
+
+
+def test_dow_adjusted_anomaly_hand(spark):
+    from graphlite_spark.operators.analytics import dow_adjusted_anomaly
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 6, 1)  # Monday
+    # two weeks: Mondays 10 then 2 (anomaly), all other days 5
+    counts = {0: 10, 7: 2}
+    rows = []
+    eid = 0
+    for d in range(14):
+        for _ in range(counts.get(d, 5)):
+            rows.append((eid, base + timedelta(days=d)))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = dow_adjusted_anomaly(ev, top_k=3).collect()
+    by_rank = {r["rank"]: r for r in out}
+    # Monday mean = 6: both Mondays are ~2/3 off their weekday mean
+    # while every other day sits near 1 -> the two Mondays are the
+    # top-2 anomalies
+    top2_days = {by_rank[1]["y"], by_rank[2]["y"]}
+    assert top2_days == {10, 2}
+    # exact ratio check: dow_days=2, s_w=12 -> 1e6*2*10//12
+    mon = [r for r in out if r["y"] in (10, 2)]
+    for r in mon:
+        assert r["dow_days"] == 2
+        assert r["ratio_micros"] == (1_000_000 * 2 * r["y"]) // 12
