@@ -3331,6 +3331,26 @@ def q_dow_adjusted_anomaly(
     return dow_adjusted_anomaly(load_table(spark, sf_dir, "events"))
 
 
+def q_mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mann-Kendall trend test on the zero-filled daily count series:
+    # exact S, tie-corrected variance, HUGEINT-safe Z^2 micros
+    from graphlite_spark.operators.analytics import mann_kendall_daily
+
+    return mann_kendall_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_gains_purchase_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # cumulative-gains/lift table of the first-half purchase-share
+    # forecaster against realized second-half purchases
+    from graphlite_spark.operators.analytics import (
+        gains_purchase_deciles,
+    )
+
+    return gains_purchase_deciles(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4204,6 +4224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_patterns_subseq": q_seq_patterns_subseq,
         "hapax_profile": q_hapax_profile,
         "dow_adjusted_anomaly": q_dow_adjusted_anomaly,
+        "mann_kendall_daily": q_mann_kendall_daily,
+        "gains_purchase_deciles": q_gains_purchase_deciles,
     }
 
 
@@ -4471,6 +4493,8 @@ def oracle_sql() -> dict[str, str]:
         "seq_patterns_subseq": O.seq_patterns_subseq_sql(),
         "hapax_profile": O.hapax_profile_sql(),
         "dow_adjusted_anomaly": O.dow_adjusted_anomaly_sql(10),
+        "mann_kendall_daily": O.mann_kendall_daily_sql(),
+        "gains_purchase_deciles": O.gains_purchase_deciles_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

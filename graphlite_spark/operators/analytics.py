@@ -4547,3 +4547,173 @@ def dow_adjusted_anomaly(
         .where(F.col("rank") <= top_k)
         .select("d", "dow", "y", "dow_days", "ratio_micros", "rank")
     )
+
+
+def mann_kendall_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_days, s_stat, var18_raw, z2_micros) — the
+    Mann–Kendall nonparametric trend test (Mann 1945 / Kendall 1975,
+    public literature) on the zero-filled daily event-count series:
+    S = Σ_{i<j} sign(y_j − y_i), with the tie-corrected variance
+    Var(S) = (n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)) / 18 and
+    Z² = S²/Var = 18·S²/var18_raw.  The SIGNIFICANCE companion to the
+    Theil–Sen slope (which estimates trend magnitude but carries no
+    test): monotone drift in traffic, robust to outliers and making
+    no normality assumption.
+
+    Zero days are REAL rows (the :func:`acf_daily` spine) — a series
+    that goes silent is a downward trend, not missing data.
+
+    Exactness: S and var18_raw are exact BIGINTs; Z² rides
+    DECIMAL(38,0) div / HUGEINT // (18·10⁶·S² passes 2⁶³ past
+    ~2000 days — the acf overflow discipline, S² ≥ 0 so no sign
+    subtlety).  NULL when the series is constant (var18_raw = 0).
+
+    Scale shape: one map-side-combined daily count; the sign pair
+    join and tie groups live on the calendar-bounded spine (10 years
+    → ~6.7M pairs, a broadcast self-join of a tiny table)."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    daily = events.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    p1 = filled.select(F.col("d").alias("d1"), F.col("y").alias("y1"))
+    p2 = filled.select(F.col("d").alias("d2"), F.col("y").alias("y2"))
+    s = (
+        p1.join(F.broadcast(p2), F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(F.signum(F.col("y2") - F.col("y1")).cast("long"))
+            .cast("long").alias("s_stat")
+        )
+    )
+    ties = filled.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    ).agg(
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).cast("long").alias("tie_term"),
+        F.sum("t").cast("long").alias("n"),
+    )
+    out = s.crossJoin(F.broadcast(ties)).select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term")
+        ).cast("long").alias("var18_raw"),
+    )
+    return out.select(
+        "n_days", "s_stat", "var18_raw",
+        F.when(
+            F.col("var18_raw") > 0,
+            F.expr(
+                "CAST((CAST(s_stat AS DECIMAL(38,0)) * s_stat"
+                " * 18000000)"
+                " div CAST(var18_raw AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        ).alias("z2_micros"),
+    )
+
+
+def gains_purchase_deciles(
+    events: DataFrame,
+    target: str = "purchase",
+    buckets: int = 10,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(decile, n_users, n_pos, cum_pos, gain_micros, lift_micros) —
+    the cumulative-gains table of the :func:`brier_purchase_forecast`
+    forecaster: rank users by predicted second-half purchase
+    probability (first-half share, ties → user_id ASC), cut into
+    ``buckets`` closed-form deciles, and report what share of ALL
+    realized purchasers the top-k deciles capture (gain) and the
+    per-decile capture rate vs prevalence (lift).  The targeting
+    readout Brier's single number cannot give: "contacting the top
+    30% of users reaches X% of the purchasers".
+
+    Exactness: decile = ((rank−1)·B) div N + 1 (the RFM closed-form
+    bucket rule over a deterministic total order); gain =
+    (10⁶·cum_pos) div total_pos; lift = (10⁶·N·dec_pos) div
+    (total_pos·dec_users) — all exact truncating BIGINT divisions.
+
+    Scale shape: the brier per-user shape, one global-order
+    row_number (vertex-sized, the assign_dense_ids trade — stated),
+    then everything lives on B rows."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    typed = events.select(
+        F.col("user_id").alias("u"),
+        day.alias("d"),
+        (F.col("event_type") == target).cast("long").alias("t"),
+    )
+    rng = typed.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    j = typed.crossJoin(F.broadcast(rng)).select(
+        "u", "t",
+        (
+            F.col("d") - F.col("lo")
+            < F.expr("(hi - lo + 1) div 2")
+        ).cast("int").alias("pre"),
+    )
+    first = j.where(F.col("pre") == 1).groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+        F.sum("t").cast("long").alias("k_u"),
+    )
+    second = j.where(F.col("pre") == 0).groupBy("u").agg(
+        F.max("t").cast("long").alias("y")
+    )
+    scored = first.join(second, "u", "left").select(
+        "u",
+        F.expr("(1000000 * k_u) div n_u").cast("long").alias("p"),
+        F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+    )
+    w = Window.orderBy(F.col("p").desc(), F.col("u").asc())
+    ranked = scored.select(
+        "y", F.row_number().over(w).cast("long").alias("rk")
+    )
+    nn = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("y").cast("long").alias("tot_pos"),
+    )
+    B = int(buckets)
+    dec = ranked.crossJoin(F.broadcast(nn)).select(
+        F.expr(f"((rk - 1) * {B}) div nn + 1").cast("int").alias(
+            "decile"
+        ),
+        "y", "nn", "tot_pos",
+    ).groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.max("nn").alias("nn"),
+        F.max("tot_pos").alias("tot_pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return dec.select(
+        "decile", "n_users", "n_pos",
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+        "nn", "tot_pos",
+    ).select(
+        "decile", "n_users", "n_pos", "cum_pos",
+        F.when(
+            F.col("tot_pos") > 0,
+            F.expr("(1000000 * cum_pos) div tot_pos").cast("long"),
+        ).alias("gain_micros"),
+        F.when(
+            F.col("tot_pos") * F.col("n_users") > 0,
+            F.expr(
+                "(1000000 * nn * n_pos) div (tot_pos * n_users)"
+            ).cast("long"),
+        ).alias("lift_micros"),
+    )

@@ -12003,3 +12003,102 @@ def dow_adjusted_anomaly_sql(top_k: int = 10) -> str:
         "  FROM da_s)\n"
         f"WHERE rank <= {int(top_k)}"
     )
+
+
+def mann_kendall_daily_sql() -> str:
+    """Mirror of operators.analytics.mann_kendall_daily: zero-filled
+    spine, the sign pair join, tie-corrected variance, HUGEINT Z²
+    (18e6*S^2 // var18_raw; S^2 >= 0)."""
+    return (
+        "WITH mk_d AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "mk_r AS (SELECT min(d) AS lo, max(d) AS hi FROM mk_d),\n"
+        "mk_f AS MATERIALIZED (\n"
+        "  SELECT sp.d, CAST(COALESCE(dl.y, 0) AS BIGINT) AS y\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM mk_r) sp\n"
+        "  LEFT JOIN mk_d dl USING (d)),\n"
+        "mk_s AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1\n"
+        "    WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat\n"
+        "  FROM mk_f a JOIN mk_f b ON a.d < b.d),\n"
+        "mk_t AS (SELECT\n"
+        "  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)"
+        " AS tie_term,\n"
+        "  CAST(sum(t) AS BIGINT) AS n FROM (\n"
+        "    SELECT CAST(count(*) AS BIGINT) AS t FROM mk_f"
+        " GROUP BY y))\n"
+        "SELECT n AS n_days, s_stat,\n"
+        "  CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)"
+        " AS var18_raw,\n"
+        "  CAST(CASE WHEN n * (n - 1) * (2 * n + 5) - tie_term > 0"
+        " THEN\n"
+        "    (CAST(s_stat AS HUGEINT) * s_stat * 18000000)\n"
+        "    // CAST(n * (n - 1) * (2 * n + 5) - tie_term AS HUGEINT)\n"
+        "  END AS BIGINT) AS z2_micros\n"
+        "FROM mk_s, mk_t"
+    )
+
+
+def gains_purchase_deciles_sql(
+    target: str = "purchase", buckets: int = 10
+) -> str:
+    """Mirror of operators.analytics.gains_purchase_deciles: the
+    brier per-user (p, y) shape, (p DESC, u ASC) row_number, the RFM
+    closed-form bucket rule, running cum_pos, two truncating micros
+    divisions."""
+    B = int(buckets)
+    return (
+        "WITH gd_t AS MATERIALIZED (\n"
+        "  SELECT user_id AS u,\n"
+        "    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        f"    CASE WHEN event_type = '{target}' THEN 1 ELSE 0 END"
+        " AS t\n"
+        "  FROM events),\n"
+        "gd_r AS (SELECT min(d) AS lo, max(d) AS hi FROM gd_t),\n"
+        "gd_j AS MATERIALIZED (\n"
+        "  SELECT u, t,\n"
+        "    CASE WHEN d - (SELECT lo FROM gd_r)\n"
+        "      < ((SELECT hi FROM gd_r) - (SELECT lo FROM gd_r) + 1)"
+        " // 2\n"
+        "      THEN 1 ELSE 0 END AS pre\n"
+        "  FROM gd_t),\n"
+        "gd_f AS MATERIALIZED (\n"
+        "  SELECT u, CAST(count(*) AS BIGINT) AS n_u,\n"
+        "    CAST(sum(t) AS BIGINT) AS k_u\n"
+        "  FROM gd_j WHERE pre = 1 GROUP BY u),\n"
+        "gd_s AS MATERIALIZED (\n"
+        "  SELECT u, CAST(max(t) AS BIGINT) AS y\n"
+        "  FROM gd_j WHERE pre = 0 GROUP BY u),\n"
+        "gd_p AS MATERIALIZED (\n"
+        "  SELECT f.u,\n"
+        "    CAST((1000000 * f.k_u) // f.n_u AS BIGINT) AS p,\n"
+        "    CAST(COALESCE(s.y, 0) AS BIGINT) AS y\n"
+        "  FROM gd_f f LEFT JOIN gd_s s ON s.u = f.u),\n"
+        "gd_n AS (SELECT CAST(count(*) AS BIGINT) AS nn,\n"
+        "  CAST(sum(y) AS BIGINT) AS tot_pos FROM gd_p),\n"
+        "gd_d AS MATERIALIZED (\n"
+        "  SELECT CAST(((row_number() OVER (ORDER BY p DESC, u ASC)"
+        f" - 1) * {B})\n"
+        "      // (SELECT nn FROM gd_n) + 1 AS INT) AS decile, y\n"
+        "  FROM gd_p),\n"
+        "gd_g AS MATERIALIZED (\n"
+        "  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,\n"
+        "    CAST(sum(y) AS BIGINT) AS n_pos\n"
+        "  FROM gd_d GROUP BY decile)\n"
+        "SELECT decile, n_users, n_pos,\n"
+        "  CAST(sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS cum_pos,\n"
+        "  CASE WHEN (SELECT tot_pos FROM gd_n) > 0 THEN CAST(\n"
+        "    (1000000 * sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND CURRENT ROW))\n"
+        "    // (SELECT tot_pos FROM gd_n) AS BIGINT) END"
+        " AS gain_micros,\n"
+        "  CASE WHEN (SELECT tot_pos FROM gd_n) * n_users > 0"
+        " THEN CAST(\n"
+        "    (1000000 * (SELECT nn FROM gd_n) * n_pos)\n"
+        "    // ((SELECT tot_pos FROM gd_n) * n_users) AS BIGINT) END"
+        " AS lift_micros\n"
+        "FROM gd_g"
+    )
