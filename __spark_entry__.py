@@ -3351,6 +3351,43 @@ def q_gains_purchase_deciles(
     return gains_purchase_deciles(load_table(spark, sf_dir, "events"))
 
 
+def q_lorenz_value_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Lorenz curve deciles behind the Gini number: cumulative user
+    # share vs cumulative value share, exact micros
+    from graphlite_spark.operators.analytics import lorenz_value_deciles
+
+    return lorenz_value_deciles(load_table(spark, sf_dir, "events"))
+
+
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wald-Wolfowitz runs test on the zero-filled daily series:
+    # too few runs = regime-sticky traffic, all-integer z^2
+    from graphlite_spark.operators.analytics import runs_test_daily
+
+    return runs_test_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brown-Forsythe variance-equality screen: ANOVA on absolute
+    # deviations from each event type's median value
+    from graphlite_spark.operators.analytics import brown_forsythe
+
+    return brown_forsythe(load_table(spark, sf_dir, "events"))
+
+
+def q_linkpred_average_precision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # average precision (discrete PR-AUC) of the Jaccard link
+    # predictor: the top-of-ranking metric ROC-AUC cannot see
+    from graphlite_spark.algos.linkpred import linkpred_average_precision
+
+    ce = contact_edges(_events_us(spark, sf_dir)).select("src", "dst")
+    return linkpred_average_precision(ce)
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4226,6 +4263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_adjusted_anomaly": q_dow_adjusted_anomaly,
         "mann_kendall_daily": q_mann_kendall_daily,
         "gains_purchase_deciles": q_gains_purchase_deciles,
+        "lorenz_value_deciles": q_lorenz_value_deciles,
+        "runs_test_daily": q_runs_test_daily,
+        "brown_forsythe": q_brown_forsythe,
+        "linkpred_average_precision": q_linkpred_average_precision,
     }
 
 
@@ -4495,6 +4536,10 @@ def oracle_sql() -> dict[str, str]:
         "dow_adjusted_anomaly": O.dow_adjusted_anomaly_sql(10),
         "mann_kendall_daily": O.mann_kendall_daily_sql(),
         "gains_purchase_deciles": O.gains_purchase_deciles_sql(),
+        "lorenz_value_deciles": O.lorenz_value_deciles_sql(),
+        "runs_test_daily": O.runs_test_daily_sql(),
+        "brown_forsythe": O.brown_forsythe_sql(),
+        "linkpred_average_precision": O.linkpred_average_precision_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -4717,3 +4717,248 @@ def gains_purchase_deciles(
             ).cast("long"),
         ).alias("lift_micros"),
     )
+
+
+def lorenz_value_deciles(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    buckets: int = 10,
+) -> DataFrame:
+    """(decile, n_users, decile_value_cents, cum_users_micros,
+    cum_value_micros) — the Lorenz curve behind the Gini number: rank
+    users by total spend ascending, cut into ``buckets`` closed-form
+    deciles, and report the cumulative population share vs the
+    cumulative value share at each cut.  Where the single Gini
+    coefficient says "how unequal", the curve says WHERE the
+    inequality lives ("the bottom 50% of users carry 9% of revenue,
+    the top decile 41%") — the shape a monetization or data-mixture
+    review actually reads.
+
+    Exactness: cents = round(100·value) summed per user (exact
+    BIGINT); the total order is (tot, user_id); decile =
+    ((rank−1)·B) div N + 1 (the RFM closed-form rule); both shares
+    are truncating micros divisions over exact BIGINT cumulative
+    sums.  NULL value share when the grand total is ≤ 0 (an
+    all-refund corpus has no meaningful Lorenz curve).
+
+    Scale shape: one map-side-combined groupBy to the per-user
+    table, one global-order row_number over it (the exact-ranking
+    trade every quantile/decile query in this module states), then
+    everything lives on B rows."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.sum(cents).cast("long").alias("tot")
+    )
+    w = Window.orderBy(F.col("tot").asc(), F.col("u").asc())
+    ranked = per.select(
+        "tot", F.row_number().over(w).cast("long").alias("rk")
+    )
+    nn = per.agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("tot").cast("long").alias("grand"),
+    )
+    B = int(buckets)
+    dec = (
+        ranked.crossJoin(F.broadcast(nn))
+        .select(
+            F.expr(f"((rk - 1) * {B}) div nn + 1").cast("int").alias(
+                "decile"
+            ),
+            "tot", "nn", "grand",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("tot").cast("long").alias("decile_value_cents"),
+            F.max("nn").alias("nn"),
+            F.max("grand").alias("grand"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return dec.select(
+        "decile", "n_users", "decile_value_cents",
+        F.sum("n_users").over(wc).cast("long").alias("cu"),
+        F.sum("decile_value_cents").over(wc).cast("long").alias("cv"),
+        "nn", "grand",
+    ).select(
+        "decile", "n_users", "decile_value_cents",
+        F.expr("(1000000 * cu) div nn").cast("long").alias(
+            "cum_users_micros"
+        ),
+        F.when(
+            F.col("grand") > 0,
+            F.expr("(1000000 * cv) div grand").cast("long"),
+        ).alias("cum_value_micros"),
+    )
+
+
+def runs_test_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_above, n_below, runs, z2_micros) — the
+    Wald–Wolfowitz runs test for randomness on the zero-filled daily
+    event-count series: split days into above-median / below-median,
+    count maximal same-sign runs in date order, and compare against
+    the exact run-count moments under exchangeability.  Too FEW runs
+    = trending / regime-sticky traffic (the usual case); too MANY =
+    oscillation.  The model-free companion to :func:`acf_daily`
+    (which measures linear lag correlation) and
+    :func:`mann_kendall_daily` (monotone drift only).
+
+    Days EQUAL to the median are dropped (the standard treatment —
+    they belong to neither sign class); the median is the lower
+    median of the day-count multiset (shared rank rule
+    ``(n + n%2) div 2``).
+
+    Exactness: with a = above, b = below, m = a+b, R = runs, the
+    z² statistic is the all-integer identity
+    ``z² = (R·m − m − 2ab)² · (m−1) / (2ab · (2ab − m))`` returned
+    as a truncating micros division riding DECIMAL(38,0) / HUGEINT
+    (the numerator passes 2⁶³ past ~1500 days).  NULL when either
+    class is empty or 2ab ≤ m (degenerate variance).
+
+    Scale shape: one map-side-combined daily count; everything after
+    lives on the calendar-bounded spine (one ordered window for the
+    median rank, one lag pass for the run boundaries)."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    daily = events.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    wm = Window.orderBy(F.col("y").asc(), F.col("d").asc())
+    wn = Window.partitionBy()
+    med = (
+        filled.select(
+            "y",
+            F.row_number().over(wm).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + n % 2) div 2"))
+        .select(F.col("y").alias("med"))
+    )
+    signed = (
+        filled.crossJoin(F.broadcast(med))
+        .where(F.col("y") != F.col("med"))
+        .select(
+            "d", (F.col("y") > F.col("med")).cast("long").alias("s")
+        )
+    )
+    wd = Window.orderBy("d")
+    runs = signed.select(
+        "s",
+        F.when(
+            F.lag("s").over(wd).isNull()
+            | (F.lag("s").over(wd) != F.col("s")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("brk"),
+    ).agg(
+        F.sum("s").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("s")).cast("long").alias("b"),
+        F.sum("brk").cast("long").alias("runs"),
+    )
+    return runs.select(
+        F.col("a").alias("n_above"),
+        F.col("b").alias("n_below"),
+        "runs",
+        F.when(
+            (F.col("a") > 0)
+            & (F.col("b") > 0)
+            & (2 * F.col("a") * F.col("b") > F.col("a") + F.col("b")),
+            F.expr(
+                "CAST((CAST(runs * (a + b) - (a + b) - 2 * a * b"
+                " AS DECIMAL(38,0))"
+                " * (runs * (a + b) - (a + b) - 2 * a * b)"
+                " * (a + b - 1) * 1000000)"
+                " div CAST(2 * a * b * (2 * a * b - (a + b))"
+                " AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        ).alias("z2_micros"),
+    )
+
+
+def brown_forsythe(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """One row (n_groups, n_total, ssb_dev, ssw_dev, f_bf_micros) —
+    the Brown–Forsythe heteroscedasticity test: one-way ANOVA run on
+    absolute deviations from each group's MEDIAN, asking "do the
+    event types differ in value SPREAD?" — the robust variance-
+    equality screen that decides whether :func:`anova_oneway`'s
+    pooled-variance F or :func:`welch_ttest`'s unpooled path is the
+    right follow-up (Brown & Forsythe 1974, public literature; the
+    median centre is what makes it robust vs Levene's mean centre).
+
+    Exactness: cents = round(100·value); per-group lower median via
+    the shared rank rule; deviations |c − med_g| are exact BIGINTs;
+    then exactly :func:`anova_oneway`'s collect-based arbitrary-
+    precision F on the deviation moments (truncating S²/n terms,
+    micros F).  NULL F when g < 2, N ≤ g, or SSW = 0.
+
+    Scale shape: per-group median is one ordered window partitioned
+    by group (groups are vocabulary-sized; the two-pass histogram
+    median in quantiles.py is the stated escape hatch if a single
+    group outgrows a sort spill budget); one equi-join back; one
+    map-side-combined moment groupBy; g rows collect."""
+    from graphlite_spark.operators.similarity import _trunc_div
+
+    spark = events.sparkSession
+    schema = (
+        "n_groups long, n_total long, ssb_dev long, ssw_dev long,"
+        " f_bf_micros long"
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    vals = events.select(
+        F.col(group_col).alias("g"), cents.alias("c")
+    )
+    wm = Window.partitionBy("g").orderBy(F.col("c").asc())
+    wn = Window.partitionBy("g")
+    med = (
+        vals.select(
+            "g", "c",
+            F.row_number().over(wm).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + n % 2) div 2"))
+        .select("g", F.col("c").alias("med"))
+    )
+    dev = vals.join(med, "g").select(
+        "g", F.abs(F.col("c") - F.col("med")).cast("long").alias("z")
+    )
+    per = (
+        dev.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("z").cast("long").alias("s"),
+            F.sum(F.col("z") * F.col("z")).cast("long").alias("q"),
+        )
+        .collect()
+    )
+    g = len(per)
+    if g == 0:
+        return spark.createDataFrame([], schema)
+    n_tot = sum(int(r["n"]) for r in per)
+    s_tot = sum(int(r["s"]) for r in per)
+    q_tot = sum(int(r["q"]) for r in per)
+    sb_terms = sum(
+        _trunc_div(int(r["s"]) * int(r["s"]), int(r["n"])) for r in per
+    )
+    ssb = sb_terms - _trunc_div(s_tot * s_tot, n_tot)
+    ssw = q_tot - sb_terms
+    f_m = None
+    if g >= 2 and n_tot > g and ssw * (g - 1) > 0:
+        f_m = _trunc_div(1_000_000 * ssb * (n_tot - g), ssw * (g - 1))
+    return spark.createDataFrame([(g, n_tot, ssb, ssw, f_m)], schema)

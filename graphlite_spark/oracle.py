@@ -12102,3 +12102,169 @@ def gains_purchase_deciles_sql(
         " AS lift_micros\n"
         "FROM gd_g"
     )
+
+
+def lorenz_value_deciles_sql(buckets: int = 10) -> str:
+    """Mirror of operators.analytics.lorenz_value_deciles: per-user
+    cents totals, (tot, u) row_number, the RFM closed-form bucket
+    rule, cumulative windows, two truncating micros divisions."""
+    B = int(buckets)
+    return (
+        "WITH lz_p AS MATERIALIZED (\n"
+        "  SELECT user_id AS u,\n"
+        "    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        " AS tot\n"
+        "  FROM events GROUP BY 1),\n"
+        "lz_n AS (SELECT CAST(count(*) AS BIGINT) AS nn,\n"
+        "  CAST(sum(tot) AS BIGINT) AS grand FROM lz_p),\n"
+        "lz_d AS MATERIALIZED (\n"
+        "  SELECT CAST(((row_number() OVER (ORDER BY tot ASC, u ASC)"
+        f" - 1) * {B})\n"
+        "      // (SELECT nn FROM lz_n) + 1 AS INT) AS decile, tot\n"
+        "  FROM lz_p),\n"
+        "lz_g AS MATERIALIZED (\n"
+        "  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,\n"
+        "    CAST(sum(tot) AS BIGINT) AS decile_value_cents\n"
+        "  FROM lz_d GROUP BY decile)\n"
+        "SELECT decile, n_users, decile_value_cents,\n"
+        "  CAST((1000000 * sum(n_users) OVER (ORDER BY decile"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))\n"
+        "    // (SELECT nn FROM lz_n) AS BIGINT) AS cum_users_micros,\n"
+        "  CASE WHEN (SELECT grand FROM lz_n) > 0 THEN CAST(\n"
+        "    (1000000 * sum(decile_value_cents) OVER (ORDER BY decile"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))\n"
+        "    // (SELECT grand FROM lz_n) AS BIGINT) END"
+        " AS cum_value_micros\n"
+        "FROM lz_g"
+    )
+
+
+def runs_test_daily_sql() -> str:
+    """Mirror of operators.analytics.runs_test_daily: zero-filled
+    spine, lower-median rank rule, equal-to-median days dropped,
+    lag run boundaries, the all-integer z2 identity on HUGEINT."""
+    return (
+        "WITH rt_d AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "rt_r AS (SELECT min(d) AS lo, max(d) AS hi FROM rt_d),\n"
+        "rt_f AS MATERIALIZED (\n"
+        "  SELECT sp.d, CAST(COALESCE(dl.y, 0) AS BIGINT) AS y\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM rt_r) sp\n"
+        "  LEFT JOIN rt_d dl USING (d)),\n"
+        "rt_m AS (SELECT y AS med FROM (\n"
+        "  SELECT y, row_number() OVER (ORDER BY y ASC, d ASC) AS rn,\n"
+        "    CAST(count(*) OVER () AS BIGINT) AS n FROM rt_f)\n"
+        "  WHERE rn = (n + n % 2) // 2),\n"
+        "rt_s AS MATERIALIZED (\n"
+        "  SELECT d, CASE WHEN y > (SELECT med FROM rt_m)"
+        " THEN 1 ELSE 0 END AS s\n"
+        "  FROM rt_f WHERE y <> (SELECT med FROM rt_m)),\n"
+        "rt_a AS (SELECT CAST(sum(s) AS BIGINT) AS a,\n"
+        "  CAST(sum(1 - s) AS BIGINT) AS b,\n"
+        "  CAST(sum(CASE WHEN ps IS NULL OR ps <> s THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS runs\n"
+        "  FROM (SELECT s, lag(s) OVER (ORDER BY d) AS ps FROM rt_s))\n"
+        "SELECT a AS n_above, b AS n_below, runs,\n"
+        "  CAST(CASE WHEN a > 0 AND b > 0 AND 2 * a * b > a + b THEN\n"
+        "    (CAST(runs * (a + b) - (a + b) - 2 * a * b AS HUGEINT)\n"
+        "     * (runs * (a + b) - (a + b) - 2 * a * b)\n"
+        "     * (a + b - 1) * 1000000)\n"
+        "    // CAST(2 * a * b * (2 * a * b - (a + b)) AS HUGEINT)\n"
+        "  END AS BIGINT) AS z2_micros\n"
+        "FROM rt_a"
+    )
+
+
+def brown_forsythe_sql(
+    group_col: str = "event_type", value_col: str = "value"
+) -> str:
+    """Mirror of operators.analytics.brown_forsythe: per-group lower
+    median (rank rule), absolute cents deviations, then exactly the
+    anova_oneway HUGEINT moment algebra on the deviations."""
+    return (
+        "WITH bf_v AS MATERIALIZED (\n"
+        f"  SELECT {group_col} AS g,"
+        f" CAST(round({value_col} * 100) AS BIGINT) AS c FROM events),\n"
+        "bf_m AS MATERIALIZED (SELECT g, c AS med FROM (\n"
+        "  SELECT g, c,\n"
+        "    row_number() OVER (PARTITION BY g ORDER BY c ASC) AS rn,\n"
+        "    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n\n"
+        "  FROM bf_v) t WHERE rn = (n + n % 2) // 2),\n"
+        "bf_z AS MATERIALIZED (\n"
+        "  SELECT v.g, CAST(abs(v.c - m.med) AS BIGINT) AS z\n"
+        "  FROM bf_v v JOIN bf_m m ON m.g = v.g),\n"
+        "bf_p AS MATERIALIZED (\n"
+        "  SELECT g, CAST(count(*) AS HUGEINT) AS n,\n"
+        "    CAST(sum(z) AS HUGEINT) AS s,"
+        " CAST(sum(z * z) AS HUGEINT) AS q\n"
+        "  FROM bf_z GROUP BY g),\n"
+        "bf_t AS MATERIALIZED (\n"
+        "  SELECT CAST(count(*) AS HUGEINT) AS g, SUM(n) AS n_tot,\n"
+        "    SUM(s) AS s_tot, SUM(q) AS q_tot,\n"
+        "    SUM((s * s) // n) AS sb_terms\n"
+        "  FROM bf_p),\n"
+        "bf_x AS MATERIALIZED (\n"
+        "  SELECT g, n_tot,\n"
+        "    sb_terms - (s_tot * s_tot) // n_tot AS ssb,\n"
+        "    q_tot - sb_terms AS ssw\n"
+        "  FROM bf_t WHERE g > 0)\n"
+        "SELECT CAST(g AS BIGINT) AS n_groups,"
+        " CAST(n_tot AS BIGINT) AS n_total,\n"
+        "  CAST(ssb AS BIGINT) AS ssb_dev,"
+        " CAST(ssw AS BIGINT) AS ssw_dev,\n"
+        "  CAST(CASE WHEN g >= 2 AND n_tot > g AND ssw * (g - 1) > 0\n"
+        "    THEN (1000000 * ssb * (n_tot - g)) // (ssw * (g - 1))\n"
+        "    END AS BIGINT) AS f_bf_micros\n"
+        "FROM bf_x"
+    )
+
+
+def linkpred_average_precision_sql(max_wedge_degree: int = 100) -> str:
+    """Mirror of algos.linkpred.linkpred_average_precision over the
+    contact graph: same wedge candidates as linkpred_auc_sql, the
+    (score DESC, u, v) total order, per-term truncating Precision@k,
+    truncating mean."""
+    return f"""
+WITH ev AS MATERIALIZED (SELECT event_id, user_id, event_type,
+  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+ce0 AS MATERIALIZED (SELECT src, dst FROM (
+  SELECT lag(user_id) OVER (PARTITION BY event_type
+           ORDER BY ts_us, event_id) AS src,
+         user_id AS dst FROM ev)
+  WHERE src IS NOT NULL AND src <> dst),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM ce0 UNION ALL SELECT dst AS src, src AS dst FROM ce0)
+  WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+  FROM und GROUP BY 1),
+ctr AS (SELECT src AS w FROM deg WHERE deg >= 2 AND deg <= {max_wedge_degree}),
+pairs AS MATERIALIZED (
+  SELECT e1.dst AS u, e2.dst AS v, CAST(count(*) AS BIGINT) AS cn
+  FROM und e1 JOIN ctr c ON c.w = e1.src JOIN und e2 ON e2.src = e1.src
+  WHERE e1.dst < e2.dst GROUP BY 1, 2),
+scored AS MATERIALIZED (
+  SELECT p.u, p.v,
+         (1000000 * p.cn) // (du.deg + dv.deg - p.cn) AS score,
+         CASE WHEN x.src IS NOT NULL THEN 1 ELSE 0 END AS pos
+  FROM pairs p
+  LEFT JOIN und x ON x.src = p.u AND x.dst = p.v
+  JOIN deg du ON du.src = p.u JOIN deg dv ON dv.src = p.v),
+ranked AS MATERIALIZED (
+  SELECT pos,
+    CAST(row_number() OVER (ORDER BY score DESC, u ASC, v ASC)
+         AS BIGINT) AS k,
+    CAST(sum(pos) OVER (ORDER BY score DESC, u ASC, v ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_pos
+  FROM scored),
+agg AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(count(*) AS BIGINT) AS n_cand,
+               CAST(sum(CASE WHEN pos = 1
+                    THEN (1000000 * cum_pos) // k END) AS BIGINT) AS ap_sum
+  FROM ranked)
+SELECT CAST(COALESCE(n_pos, 0) AS BIGINT) AS n_pos, n_cand,
+  CAST(CASE WHEN n_pos > 0 THEN ap_sum // n_pos END AS BIGINT) AS ap_micros
+FROM agg
+"""
