@@ -3388,6 +3388,41 @@ def q_linkpred_average_precision(
     return linkpred_average_precision(ce)
 
 
+def q_simrank_wedge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two unrolled support-pruned SimRank iterations on the contact
+    # graph: the recursive "similar neighbors" generalization of the
+    # common-neighbor predictors, degree-capped wedge candidates
+    from graphlite_spark.algos.linkpred import simrank_wedge
+
+    ce = contact_edges(_events_us(spark, sf_dir)).select("src", "dst")
+    return simrank_wedge(ce)
+
+
+def q_page_hinkley_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Page-Hinkley sequential (causal) drift detector over daily
+    # event counts: cumulative deviation from the running mean vs
+    # its historical minimum, alarm while PH > lambda
+    from graphlite_spark.operators.analytics import page_hinkley_daily
+
+    return page_hinkley_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_friedman_event_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Friedman rank test (tie-corrected): are event types consistently
+    # ordered by volume across days, or does composition reshuffle?
+    from graphlite_spark.operators.analytics import friedman_event_ranks
+
+    return friedman_event_ranks(load_table(spark, sf_dir, "events"))
+
+
+def q_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Calinski-Harabasz variance-ratio index of the k-means
+    # clustering: SSB/(k-1) over SSW/(n-k) on the fitted codebook
+    from graphlite_spark.operators.kmeans import calinski_harabasz
+
+    return calinski_harabasz(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4267,6 +4302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test_daily": q_runs_test_daily,
         "brown_forsythe": q_brown_forsythe,
         "linkpred_average_precision": q_linkpred_average_precision,
+        "simrank_wedge": q_simrank_wedge,
+        "page_hinkley_daily": q_page_hinkley_daily,
+        "friedman_event_ranks": q_friedman_event_ranks,
+        "calinski_harabasz": q_calinski_harabasz,
     }
 
 
@@ -4540,6 +4579,10 @@ def oracle_sql() -> dict[str, str]:
         "runs_test_daily": O.runs_test_daily_sql(),
         "brown_forsythe": O.brown_forsythe_sql(),
         "linkpred_average_precision": O.linkpred_average_precision_sql(),
+        "simrank_wedge": O.simrank_wedge_sql(),
+        "page_hinkley_daily": O.page_hinkley_daily_sql(),
+        "friedman_event_ranks": O.friedman_event_ranks_sql(),
+        "calinski_harabasz": O.calinski_harabasz_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -369,3 +369,86 @@ def linkpred_average_precision(
             F.expr("ap_sum div n_pos"),
         ).cast("long").alias("ap_micros"),
     )
+
+
+def simrank_wedge(
+    edges: DataFrame,
+    c_micros: int = 800_000,
+    max_wedge_degree: int | None = 100,
+) -> DataFrame:
+    """(u, v, s1_micros, s2_micros) — two unrolled SimRank iterations
+    (Jeh & Widom 2002, public literature) on the undirected graph,
+    evaluated on the wedge-candidate support: "two users are similar
+    if their neighbors are similar", the recursive generalization of
+    the common-neighbor count that :func:`jaccard_similarity` and
+    :func:`adamic_adar` flatten to one hop.
+
+    s0 = identity, so s1(a,b) = (C·cn) div (d_a·d_b) exactly;
+    s2(a,b) sums s1 over all neighbor pairs (i,j) ∈ N(a)×N(b):
+    the i = j diagonal contributes 10⁶·cn and the off-diagonal part
+    joins through the s1 support table in both orientations —
+    SUPPORT-PRUNED SimRank (pairs outside the wedge support carry
+    s1 = 0 by construction and are dropped from the propagation),
+    the standard sparsification for the O(V²) exact state.
+
+    Exactness: every division is the truncating micros form
+    (s2 = (C·Σ) div (d_a·d_b·10⁶)); ordering-free sums; the oracle
+    unrolls the identical two iterations.
+
+    Scale shape: wedge centers are degree-capped before the
+    quadratic join (the module-wide hub rule); the propagation join
+    is bounded by Σ_{(i,j)∈s1} d_i·d_j with capped enumeration —
+    never V² and never hub-quadratic."""
+    und = symmetrize(edges).select("src", "dst")
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ctr = deg.where(F.col("deg") >= 2)
+    if max_wedge_degree is not None:
+        ctr = ctr.where(F.col("deg") <= max_wedge_degree)
+    ctr = ctr.select(F.col("src").alias("w"))
+    e1 = und.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    e2 = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = e1.join(ctr, "w").join(e2, "w").where(F.col("u") < F.col("v"))
+    pairs = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cn")
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    C = int(c_micros)
+    s1 = (
+        pairs.join(du, "u").join(dv, "v")
+        .select(
+            "u", "v", "cn", "du", "dv",
+            F.expr(f"({C} * cn) div (du * dv)").cast("long").alias(
+                "s1_micros"
+            ),
+        )
+    )
+    # symmetric closure of the s1 support for the propagation join
+    s1b = s1.select(
+        F.col("u").alias("i"), F.col("v").alias("j"),
+        F.col("s1_micros").alias("s"),
+    ).unionByName(
+        s1.select(
+            F.col("v").alias("i"), F.col("u").alias("j"),
+            F.col("s1_micros").alias("s"),
+        )
+    )
+    ea = und.select(F.col("src").alias("a"), F.col("dst").alias("i"))
+    eb = und.select(F.col("src").alias("b"), F.col("dst").alias("j"))
+    off = (
+        ea.join(s1b, "i")
+        .join(eb, "j")
+        .where(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("u"), F.col("b").alias("v"))
+        .agg(F.sum("s").cast("long").alias("off_sum"))
+    )
+    return (
+        s1.join(off, ["u", "v"], "left")
+        .select(
+            "u", "v", "s1_micros",
+            F.expr(
+                f"({C} * (1000000 * cn + coalesce(off_sum, 0)))"
+                " div (du * dv * 1000000)"
+            ).cast("long").alias("s2_micros"),
+        )
+    )

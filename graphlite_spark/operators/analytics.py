@@ -4962,3 +4962,170 @@ def brown_forsythe(
     if g >= 2 and n_tot > g and ssw * (g - 1) > 0:
         f_m = _trunc_div(1_000_000 * ssb * (n_tot - g), ssw * (g - 1))
     return spark.createDataFrame([(g, n_tot, ssb, ssw, f_m)], schema)
+
+
+def page_hinkley_daily(
+    events: DataFrame,
+    delta_micros: int = 0,
+    lambda_micros: int = 50_000_000,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(d, y, ph_micros, alarm) — the Page–Hinkley sequential drift
+    detector (Page 1954 / Hinkley 1971, public literature) over the
+    zero-filled daily event-count series: m_t = Σ_{i≤t}
+    (x_i − x̄_i − δ) with x̄_i the RUNNING mean at day i, and
+    PH_t = m_t − min_{s≤t} m_s.  A sustained upward shift in daily
+    volume makes m climb away from its historical minimum; ``alarm``
+    fires while PH exceeds λ — the STREAMING-shaped change detector
+    next to :func:`binseg_changepoint`'s retrospective split (this
+    one is causal: day t uses only days ≤ t).
+
+    Exactness: the running mean is the truncating division
+    (10⁶·S_t) div t; every term, cumulative sum, and running min is
+    an exact BIGINT in micros, mirrored by the oracle's identical
+    window chain.
+
+    Scale shape: one map-side-combined daily count; three ordered
+    windows over the calendar-bounded spine — nothing row-scale
+    leaves the first groupBy."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    daily = events.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    wc = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    terms = filled.select(
+        "d", "y",
+        (
+            F.lit(1_000_000) * F.col("y")
+            - F.expr(
+                "(1000000 * sum(y) over (order by d rows between"
+                " unbounded preceding and current row))"
+                " div (count(*) over (order by d rows between"
+                " unbounded preceding and current row))"
+            )
+            - F.lit(int(delta_micros))
+        ).cast("long").alias("term"),
+    )
+    cum = terms.select(
+        "d", "y", F.sum("term").over(wc).cast("long").alias("m")
+    )
+    return cum.select(
+        "d", "y",
+        (F.col("m") - F.min("m").over(wc)).cast("long").alias(
+            "ph_micros"
+        ),
+    ).select(
+        "d", "y", "ph_micros",
+        (F.col("ph_micros") > F.lit(int(lambda_micros)))
+        .cast("int").alias("alarm"),
+    )
+
+
+def friedman_event_ranks(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_days, k_types, rank_sq_sum, denom_raw, chi2_micros)
+    — the Friedman rank test (Friedman 1937, public literature; the
+    tie-corrected Conover form): within each DAY, rank the event
+    types by their daily count (average ranks for ties), and test
+    whether the types are consistently ordered across days.  The
+    nonparametric repeated-measures screen: "is 'view' ALWAYS the
+    busiest type, or does the composition genuinely reshuffle
+    day to day?" — robust to the raw volume swings that would
+    dominate a parametric two-way fit.
+
+    Blocks are the calendar-spine days, treatments the globally
+    observed types, count 0 for a type silent that day (a balanced
+    complete block design by construction).
+
+    Exactness: average ranks ride as DOUBLED integers (2·avgrank =
+    2·cb + ct + 1, the :func:`spearman_activity_value` discipline);
+    with S_j the doubled rank sums the tie-corrected statistic is
+    the all-integer identity χ² = (k−1)·(Σ S_j² − n²k(k+1)²) /
+    (Σ r² − nk(k+1)²), returned as a truncating micros division.
+    NULL when the denominator is 0 (every day all-tied) or k < 2.
+
+    Scale shape: one map-side-combined (day, type) count; the
+    zero-fill cross join lives on spine × vocabulary; rank windows
+    partition by day (k rows each)."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    cnt = events.groupBy(
+        day.alias("d"), F.col(type_col).alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = cnt.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    types = cnt.select("t").distinct()
+    filled = (
+        spine.crossJoin(types)
+        .join(cnt, ["d", "t"], "left")
+        .select(
+            "d", "t", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+        )
+    )
+    grp = filled.groupBy("d", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    wb = Window.partitionBy("d").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r2v = grp.select(
+        "d", "y", "ct",
+        (
+            2 * F.coalesce(F.sum("ct").over(wb), F.lit(0))
+            + F.col("ct") + 1
+        ).cast("long").alias("r2"),
+    )
+    ranked = filled.join(r2v.select("d", "y", "r2"), ["d", "y"])
+    per_type = ranked.groupBy("t").agg(
+        F.sum("r2").cast("long").alias("s_j")
+    )
+    tot = ranked.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("rsq"),
+        (F.countDistinct("d")).cast("long").alias("n"),
+        (F.countDistinct("t")).cast("long").alias("k"),
+    )
+    sj = per_type.agg(
+        F.sum(F.col("s_j") * F.col("s_j")).cast("long").alias("ssq")
+    )
+    return tot.crossJoin(F.broadcast(sj)).select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("k_types"),
+        F.col("ssq").alias("rank_sq_sum"),
+        (
+            F.col("rsq")
+            - F.col("n") * F.col("k") * (F.col("k") + 1)
+            * (F.col("k") + 1)
+        ).cast("long").alias("denom_raw"),
+        F.when(
+            (F.col("k") >= 2)
+            & (
+                F.col("rsq")
+                - F.col("n") * F.col("k") * (F.col("k") + 1)
+                * (F.col("k") + 1)
+                > 0
+            ),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * (k - 1)"
+                " * (ssq - n * n * k * (k + 1) * (k + 1)))"
+                " div CAST(rsq - n * k * (k + 1) * (k + 1)"
+                " AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        ).alias("chi2_micros"),
+    )

@@ -538,3 +538,80 @@ def kmeans_silhouette(
         F.expr("cast((ssum - ssum % n) div n as bigint)")
         .alias("mean_sil_micros"),
     )
+
+
+def calinski_harabasz(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row (k_clusters, n_vectors, ssb, ssw, ch_micros) — the
+    Calinski–Harabasz variance-ratio index (Caliński & Harabasz 1974,
+    public literature) of the k-means clustering:
+    CH = [SSB/(k−1)] / [SSW/(n−k)], the between/within dispersion
+    ratio.  Higher = tighter, better-separated clusters — the
+    global-scalar companion to :func:`kmeans_silhouette`'s
+    per-cluster view and :func:`kmeans_elbow`'s raw WCSS curve (CH
+    peaks where the elbow flattens, giving an argmax instead of an
+    eyeballed knee).
+
+    Centroid-based form on the fitted codebook (the same
+    simplification as the centroid silhouette, stated): SSW = total
+    assigned squared distance; SSB = Σ_c n_c·‖c_c − grand‖² with
+    the grand centroid the truncating per-dimension mean of the
+    quantized corpus; k counts NON-EMPTY clusters so the statistic
+    is well-defined when Lloyd abandons a seed.
+
+    Exactness: all distances are BIGINT squared micro-units; the
+    final ratio is computed in arbitrary-precision driver ints
+    (anova discipline — 10⁶·ssb·(n−k) passes 2⁶³) with truncating
+    division.  NULL when k < 2, n ≤ k, or SSW = 0.
+
+    Scale shape: the kmeans shape (assignment = codebook literal,
+    no join over N·d); per-cluster moments are one k-row collect,
+    the grand centroid one d-row collect."""
+    from graphlite_spark.operators.similarity import _trunc_div
+
+    spark = embeddings.sparkSession
+    schema = (
+        "k_clusters long, n_vectors long, ssb long, ssw long,"
+        " ch_micros long"
+    )
+    q = _quantized(embeddings, id_col, vec_col)
+    centroids = _fit(q, k, iterations)
+    per = (
+        _assign(q, centroids)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("dist_sq").cast("long").alias("w"),
+        )
+        .collect()
+    )
+    gr = (
+        q.select(F.posexplode("qv").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not per or not gr:
+        return spark.createDataFrame([], schema)
+    grand = {r["pos"]: _tdiv(int(r["s"]), int(r["n"])) for r in gr}
+    n_tot = sum(int(r["n"]) for r in per)
+    ssw = sum(int(r["w"]) for r in per)
+    ssb = 0
+    for r in per:
+        c = centroids[int(r["cluster"])]
+        d2 = sum((c[p] - grand[p]) ** 2 for p in range(len(c)))
+        ssb += int(r["n"]) * d2
+    keff = len(per)
+    ch = None
+    if keff >= 2 and n_tot > keff and ssw > 0:
+        ch = _trunc_div(
+            1_000_000 * ssb * (n_tot - keff), ssw * (keff - 1)
+        )
+    return spark.createDataFrame(
+        [(keff, n_tot, ssb, ssw, ch)], schema
+    )

@@ -12268,3 +12268,178 @@ SELECT CAST(COALESCE(n_pos, 0) AS BIGINT) AS n_pos, n_cand,
   CAST(CASE WHEN n_pos > 0 THEN ap_sum // n_pos END AS BIGINT) AS ap_micros
 FROM agg
 """
+
+
+def simrank_wedge_sql(
+    c_micros: int = 800_000, max_wedge_degree: int = 100
+) -> str:
+    """Mirror of algos.linkpred.simrank_wedge over the contact graph:
+    the linkpred und/deg chain, capped wedge pairs, the two unrolled
+    support-pruned SimRank iterations with truncating micros
+    divisions (all numerators nonnegative, so ``//`` == Spark div)."""
+    C = int(c_micros)
+    return f"""
+WITH ev AS MATERIALIZED (SELECT event_id, user_id, event_type,
+  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+ce0 AS MATERIALIZED (SELECT src, dst FROM (
+  SELECT lag(user_id) OVER (PARTITION BY event_type
+           ORDER BY ts_us, event_id) AS src,
+         user_id AS dst FROM ev)
+  WHERE src IS NOT NULL AND src <> dst),
+und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT src, dst FROM ce0 UNION ALL SELECT dst AS src, src AS dst FROM ce0)
+  WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+  FROM und GROUP BY 1),
+ctr AS (SELECT src AS w FROM deg
+  WHERE deg >= 2 AND deg <= {max_wedge_degree}),
+pairs AS MATERIALIZED (
+  SELECT e1.dst AS u, e2.dst AS v, CAST(count(*) AS BIGINT) AS cn
+  FROM und e1 JOIN ctr c ON c.w = e1.src JOIN und e2 ON e2.src = e1.src
+  WHERE e1.dst < e2.dst GROUP BY 1, 2),
+s1 AS MATERIALIZED (
+  SELECT p.u, p.v, p.cn, du.deg AS du, dv.deg AS dv,
+    CAST(({C} * p.cn) // (du.deg * dv.deg) AS BIGINT) AS s1_micros
+  FROM pairs p
+  JOIN deg du ON du.src = p.u JOIN deg dv ON dv.src = p.v),
+s1b AS MATERIALIZED (
+  SELECT u AS i, v AS j, s1_micros AS s FROM s1
+  UNION ALL SELECT v AS i, u AS j, s1_micros AS s FROM s1),
+off AS MATERIALIZED (
+  SELECT ea.src AS u, eb.src AS v, CAST(sum(t.s) AS BIGINT) AS off_sum
+  FROM und ea JOIN s1b t ON t.i = ea.dst
+  JOIN und eb ON eb.dst = t.j
+  WHERE ea.src < eb.src GROUP BY 1, 2)
+SELECT s1.u, s1.v, s1.s1_micros,
+  CAST(({C} * (1000000 * s1.cn + COALESCE(o.off_sum, 0)))
+    // (s1.du * s1.dv * 1000000) AS BIGINT) AS s2_micros
+FROM s1 LEFT JOIN off o ON o.u = s1.u AND o.v = s1.v
+"""
+
+
+def page_hinkley_daily_sql(
+    delta_micros: int = 0, lambda_micros: int = 50_000_000
+) -> str:
+    """Mirror of operators.analytics.page_hinkley_daily: zero-filled
+    daily spine, running truncating mean (nonnegative numerator),
+    cumulative deviation sum, running minimum, threshold alarm."""
+    return (
+        "WITH ph_d AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "ph_r AS (SELECT min(d) AS lo, max(d) AS hi FROM ph_d),\n"
+        "ph_f AS MATERIALIZED (\n"
+        "  SELECT sp.d, CAST(COALESCE(dl.y, 0) AS BIGINT) AS y\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM ph_r) sp\n"
+        "  LEFT JOIN ph_d dl USING (d)),\n"
+        "ph_t AS MATERIALIZED (\n"
+        "  SELECT d, y, CAST(1000000 * y\n"
+        "    - (1000000 * sum(y) OVER wc) // (count(*) OVER wc)\n"
+        f"    - {int(delta_micros)} AS BIGINT) AS term\n"
+        "  FROM ph_f WINDOW wc AS (ORDER BY d ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW)),\n"
+        "ph_c AS MATERIALIZED (\n"
+        "  SELECT d, y, CAST(sum(term) OVER (ORDER BY d ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m\n"
+        "  FROM ph_t)\n"
+        "SELECT d, y,\n"
+        "  CAST(m - min(m) OVER wc AS BIGINT) AS ph_micros,\n"
+        "  CAST(CASE WHEN m - min(m) OVER wc"
+        f" > {int(lambda_micros)} THEN 1 ELSE 0 END AS INT) AS alarm\n"
+        "FROM ph_c WINDOW wc AS (ORDER BY d ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW)"
+    )
+
+
+def friedman_event_ranks_sql() -> str:
+    """Mirror of operators.analytics.friedman_event_ranks: calendar
+    spine x global type vocabulary zero-fill, doubled average ranks
+    per day (2*cb + ct + 1), the tie-corrected all-integer chi-square
+    identity on HUGEINT with truncating micros division."""
+    return (
+        "WITH fr_c AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    event_type AS t, CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1, 2),\n"
+        "fr_r AS (SELECT min(d) AS lo, max(d) AS hi FROM fr_c),\n"
+        "fr_ty AS MATERIALIZED (SELECT DISTINCT t FROM fr_c),\n"
+        "fr_f AS MATERIALIZED (\n"
+        "  SELECT sp.d, ty.t, CAST(COALESCE(c.y, 0) AS BIGINT) AS y\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM fr_r) sp\n"
+        "  CROSS JOIN fr_ty ty\n"
+        "  LEFT JOIN fr_c c ON c.d = sp.d AND c.t = ty.t),\n"
+        "fr_g AS MATERIALIZED (\n"
+        "  SELECT d, y, CAST(count(*) AS BIGINT) AS ct\n"
+        "  FROM fr_f GROUP BY d, y),\n"
+        "fr_v AS MATERIALIZED (\n"
+        "  SELECT d, y, CAST(2 * COALESCE(sum(ct) OVER (PARTITION BY d\n"
+        "      ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " 1 PRECEDING), 0) + ct + 1 AS BIGINT) AS r2\n"
+        "  FROM fr_g),\n"
+        "fr_k AS MATERIALIZED (\n"
+        "  SELECT f.d, f.t, v.r2\n"
+        "  FROM fr_f f JOIN fr_v v ON v.d = f.d AND v.y = f.y),\n"
+        "fr_j AS (SELECT CAST(sum(s_j * s_j) AS BIGINT) AS ssq FROM (\n"
+        "  SELECT t, CAST(sum(r2) AS BIGINT) AS s_j\n"
+        "  FROM fr_k GROUP BY t)),\n"
+        "fr_t AS (SELECT CAST(sum(r2 * r2) AS BIGINT) AS rsq,\n"
+        "  CAST(count(DISTINCT d) AS BIGINT) AS n,\n"
+        "  CAST(count(DISTINCT t) AS BIGINT) AS k FROM fr_k)\n"
+        "SELECT n AS n_days, k AS k_types, ssq AS rank_sq_sum,\n"
+        "  CAST(rsq - n * k * (k + 1) * (k + 1) AS BIGINT)"
+        " AS denom_raw,\n"
+        "  CAST(CASE WHEN k >= 2\n"
+        "      AND rsq - n * k * (k + 1) * (k + 1) > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * (k - 1)\n"
+        "     * (ssq - n * n * k * (k + 1) * (k + 1)))\n"
+        "    // CAST(rsq - n * k * (k + 1) * (k + 1) AS HUGEINT)\n"
+        "  END AS BIGINT) AS chi2_micros\n"
+        "FROM fr_t, fr_j"
+    )
+
+
+def calinski_harabasz_sql(
+    k: int = 4, iterations: int = 2, d: int = 64
+) -> str:
+    """Mirror of operators.kmeans.calinski_harabasz: the shared
+    unrolled-Lloyd CTEs, final assignment via the (d2, cl) row rule,
+    per-pos truncating grand centroid, SSB over NON-EMPTY clusters,
+    and the variance-ratio as a HUGEINT truncating micros division
+    (nonnegative throughout)."""
+    parts = _kmeans_ctes(k, iterations, d)
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined},\n"
+        "ch_d AS MATERIALIZED (\n"
+        "  SELECT q.vec_id, c.cl,\n"
+        "    CAST(sum((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS d2,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        "      sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+        f"  FROM qe q JOIN cent{iterations} c ON c.pos = q.pos\n"
+        "  GROUP BY q.vec_id, c.cl),\n"
+        "ch_p AS MATERIALIZED (\n"
+        "  SELECT cl, CAST(count(*) AS BIGINT) AS n,\n"
+        "    CAST(sum(d2) AS BIGINT) AS w\n"
+        "  FROM ch_d WHERE rn = 1 GROUP BY cl),\n"
+        "ch_g AS MATERIALIZED (\n"
+        "  SELECT pos, CAST(sum(qv) // count(*) AS BIGINT) AS gv\n"
+        "  FROM qe GROUP BY pos),\n"
+        "ch_b AS MATERIALIZED (\n"
+        "  SELECT p.cl, p.n, p.w, p.n * s.b2 AS b\n"
+        "  FROM ch_p p JOIN (\n"
+        f"    SELECT c.cl,\n"
+        "      CAST(sum((c.cv - g.gv) * (c.cv - g.gv)) AS BIGINT) AS b2\n"
+        f"    FROM cent{iterations} c JOIN ch_g g ON g.pos = c.pos\n"
+        "    GROUP BY c.cl) s ON s.cl = p.cl),\n"
+        "ch_t AS (SELECT CAST(count(*) AS BIGINT) AS keff,\n"
+        "  CAST(sum(n) AS BIGINT) AS n_tot,\n"
+        "  CAST(sum(b) AS BIGINT) AS ssb,\n"
+        "  CAST(sum(w) AS BIGINT) AS ssw FROM ch_b)\n"
+        "SELECT keff AS k_clusters, n_tot AS n_vectors, ssb, ssw,\n"
+        "  CAST(CASE WHEN keff >= 2 AND n_tot > keff AND ssw > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * ssb * (n_tot - keff))\n"
+        "    // (CAST(ssw AS HUGEINT) * (keff - 1))\n"
+        "  END AS BIGINT) AS ch_micros\n"
+        "FROM ch_t"
+    )
