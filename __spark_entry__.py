@@ -3423,6 +3423,23 @@ def q_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calinski_harabasz(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_cvm_2sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cramer-von Mises two-sample test: integrated squared ECDF gap
+    # between purchase and click value distributions (whole-shape
+    # companion to the KS maximum-gap statistic)
+    from graphlite_spark.operators.analytics import cvm_2sample
+
+    return cvm_2sample(load_table(spark, sf_dir, "events"))
+
+
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cronbach's alpha over per-user event-type counts: do activity
+    # channels move together (one latent engagement trait)?
+    from graphlite_spark.operators.analytics import cronbach_alpha
+
+    return cronbach_alpha(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4306,6 +4323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_hinkley_daily": q_page_hinkley_daily,
         "friedman_event_ranks": q_friedman_event_ranks,
         "calinski_harabasz": q_calinski_harabasz,
+        "cvm_2sample": q_cvm_2sample,
+        "cronbach_alpha": q_cronbach_alpha,
     }
 
 
@@ -4583,6 +4602,8 @@ def oracle_sql() -> dict[str, str]:
         "page_hinkley_daily": O.page_hinkley_daily_sql(),
         "friedman_event_ranks": O.friedman_event_ranks_sql(),
         "calinski_harabasz": O.calinski_harabasz_sql(),
+        "cvm_2sample": O.cvm_2sample_sql(),
+        "cronbach_alpha": O.cronbach_alpha_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

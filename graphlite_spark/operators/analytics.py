@@ -5129,3 +5129,136 @@ def friedman_event_ranks(
             ),
         ).alias("chi2_micros"),
     )
+
+
+def cvm_2sample(
+    events: DataFrame,
+    type_a: str = "purchase",
+    type_b: str = "click",
+    value_col: str = "value",
+) -> DataFrame:
+    """One row (n_a, n_b, t_micros) — the two-sample Cramér–von Mises
+    statistic (Anderson 1962, public literature) between the ``value``
+    distributions of two event types: T = n·m/N² · Σ over all N pooled
+    observations of (ECDF_a − ECDF_b)².  Where :func:`ks_2sample` takes
+    the MAXIMUM ECDF gap (sensitive to one sharp deviation), CvM
+    integrates the SQUARED gap over the whole support — the
+    whole-distribution companion that sees many small shifts KS misses.
+
+    Exactness: at pooled distinct value v with tie count c_v and
+    cumulative per-group counts (ca, cb), the gap is D_v/(n·m) with
+    D_v = ca·m − cb·n an exact BIGINT, so
+    T = Σ c_v·D_v² / (n·m·N²); the sum rides DECIMAL(38,0) (worst case
+    passes 2⁶³) and the single reported number is the truncating
+    micros division 10⁶·Σ div (n·m·N²) — numerator nonnegative, so
+    Spark ``div`` == DuckDB ``//``.
+
+    Scale shape: identical to KS — one map-side-combined groupBy onto
+    the distinct-cents alphabet, one alphabet-bounded cumulative
+    window, one scalar rollup."""
+    cents = events.where(
+        F.col("event_type").isin(type_a, type_b)
+    ).select(
+        (F.col("event_type") == type_a).cast("int").alias("is_a"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v"),
+    )
+    per = cents.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("is_a").cast("long").alias("cnt_a"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "cnt",
+        F.sum("cnt_a").over(w).alias("ca"),
+        (F.sum("cnt").over(w) - F.sum("cnt_a").over(w)).alias("cb"),
+    )
+    tot = per.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("long").alias("n_b"),
+    )
+    agg = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)")
+            * (F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+            * (F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+        ).alias("tsum"),
+    )
+    return agg.select(
+        "n_a", "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * tsum)"
+                " div CAST(n_a * n_b * (n_a + n_b) * (n_a + n_b)"
+                " AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        ).alias("t_micros"),
+    )
+
+
+def cronbach_alpha(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """One row (n_users, k_types, item_var_num, total_var_num,
+    alpha_micros) — Cronbach's alpha (Cronbach 1951, public
+    literature) treating the k globally-observed event types as test
+    items and each user's per-type event count (zero-filled) as the
+    item score: α = k/(k−1)·(1 − Σᵢ Varᵢ / Var_total).  The internal-
+    consistency screen: do the activity channels move together across
+    users (one latent "engagement" trait) or independently?
+
+    Exactness: population variances ride the n²-cancelling integer
+    form — item_var_num = Σᵢ (n·Σx² − Sᵢ²) and total_var_num =
+    n·Σt² − T² with t_u the per-user total, so
+    α = k·(den − num) / ((k−1)·den) exactly; the micros division is
+    truncating toward zero on both engines (α < 0 is legal and
+    preserved).  Zero-filled scores change no sum, so the lattice is
+    never materialized.  NULL when k < 2 or den ≤ 0.
+
+    Scale shape: one map-side-combined (user, type) count read twice
+    — a k-row per-type moment aggregate and an n-row per-user total
+    aggregate — then scalars; nothing row-scale crosses a second
+    shuffle."""
+    ut = events.groupBy(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    item = ut.groupBy("t").agg(
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    peru = ut.groupBy("u").agg(F.sum("x").cast("long").alias("tu"))
+    n_users = peru.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("tu").cast("long").alias("st"),
+        F.sum(F.col("tu") * F.col("tu")).cast("long").alias("qt"),
+    )
+    itot = item.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("q")).cast("long").alias("qsum"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("ssq"),
+    )
+    return n_users.crossJoin(F.broadcast(itot)).select(
+        F.col("n").alias("n_users"),
+        F.col("k").alias("k_types"),
+        (F.col("n") * F.col("qsum") - F.col("ssq")).cast("long").alias(
+            "item_var_num"
+        ),
+        (F.col("n") * F.col("qt") - F.col("st") * F.col("st"))
+        .cast("long").alias("total_var_num"),
+        F.when(
+            (F.col("k") >= 2)
+            & (F.col("n") * F.col("qt") - F.col("st") * F.col("st") > 0),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * k *"
+                " ((n * qt - st * st) - (n * qsum - ssq)))"
+                " div CAST((k - 1) * (n * qt - st * st)"
+                " AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        ).alias("alpha_micros"),
+    )

@@ -12443,3 +12443,79 @@ def calinski_harabasz_sql(
         "  END AS BIGINT) AS ch_micros\n"
         "FROM ch_t"
     )
+
+
+def cvm_2sample_sql(
+    type_a: str = "purchase", type_b: str = "click",
+    value_col: str = "value",
+) -> str:
+    """Mirror of operators.analytics.cvm_2sample: pooled distinct-cents
+    alphabet, cumulative per-group counts, Σ c·D² on HUGEINT, one
+    truncating micros division (nonnegative numerator)."""
+    return (
+        "WITH cv_s AS MATERIALIZED (\n"
+        f"  SELECT CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END"
+        " AS is_a,\n"
+        f"    CAST(round({value_col} * 100) AS BIGINT) AS v\n"
+        f"  FROM events WHERE event_type IN ('{type_a}', '{type_b}')),\n"
+        "cv_p AS MATERIALIZED (\n"
+        "  SELECT v, CAST(count(*) AS BIGINT) AS cnt,\n"
+        "    CAST(sum(is_a) AS BIGINT) AS cnt_a\n"
+        "  FROM cv_s GROUP BY v),\n"
+        "cv_t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,\n"
+        "  CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b FROM cv_p),\n"
+        "cv_c AS MATERIALIZED (\n"
+        "  SELECT cnt,\n"
+        "    sum(cnt_a) OVER wc AS ca,\n"
+        "    sum(cnt) OVER wc - sum(cnt_a) OVER wc AS cb\n"
+        "  FROM cv_p WINDOW wc AS (ORDER BY v ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW)),\n"
+        "cv_a AS (SELECT\n"
+        "  (SELECT n_a FROM cv_t) AS n_a,\n"
+        "  (SELECT n_b FROM cv_t) AS n_b,\n"
+        "  sum(CAST(cnt AS HUGEINT)\n"
+        "    * (ca * (SELECT n_b FROM cv_t) - cb * (SELECT n_a FROM cv_t))\n"
+        "    * (ca * (SELECT n_b FROM cv_t) - cb * (SELECT n_a FROM cv_t)))"
+        " AS tsum\n"
+        "  FROM cv_c)\n"
+        "SELECT n_a, n_b,\n"
+        "  CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * tsum)\n"
+        "    // CAST(n_a * n_b * (n_a + n_b) * (n_a + n_b) AS HUGEINT)\n"
+        "  END AS BIGINT) AS t_micros\n"
+        "FROM cv_a"
+    )
+
+
+def cronbach_alpha_sql(
+    type_col: str = "event_type", user_col: str = "user_id"
+) -> str:
+    """Mirror of operators.analytics.cronbach_alpha: per-(user, type)
+    counts, the n²-cancelling population-variance integer forms, the
+    truncating micros division on HUGEINT (negative alpha truncates
+    toward zero on both engines)."""
+    return (
+        "WITH cr_x AS MATERIALIZED (\n"
+        f"  SELECT {user_col} AS u, {type_col} AS t,\n"
+        "    CAST(count(*) AS BIGINT) AS x\n"
+        "  FROM events GROUP BY 1, 2),\n"
+        "cr_i AS (SELECT CAST(count(*) AS BIGINT) AS k,\n"
+        "  CAST(sum(q) AS BIGINT) AS qsum,"
+        " CAST(sum(s * s) AS BIGINT) AS ssq FROM (\n"
+        "    SELECT t, CAST(sum(x) AS BIGINT) AS s,\n"
+        "      CAST(sum(x * x) AS BIGINT) AS q FROM cr_x GROUP BY t)),\n"
+        "cr_u AS (SELECT CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(tu) AS BIGINT) AS st,"
+        " CAST(sum(tu * tu) AS BIGINT) AS qt FROM (\n"
+        "    SELECT u, CAST(sum(x) AS BIGINT) AS tu"
+        " FROM cr_x GROUP BY u))\n"
+        "SELECT n AS n_users, k AS k_types,\n"
+        "  CAST(n * qsum - ssq AS BIGINT) AS item_var_num,\n"
+        "  CAST(n * qt - st * st AS BIGINT) AS total_var_num,\n"
+        "  CAST(CASE WHEN k >= 2 AND n * qt - st * st > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * k\n"
+        "     * ((n * qt - st * st) - (n * qsum - ssq)))\n"
+        "    // CAST((k - 1) * (n * qt - st * st) AS HUGEINT)\n"
+        "  END AS BIGINT) AS alpha_micros\n"
+        "FROM cr_u, cr_i"
+    )
