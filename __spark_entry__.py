@@ -3440,6 +3440,25 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cronbach_alpha(load_table(spark, sf_dir, "events"))
 
 
+def q_kmeans_label_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Adjusted Rand Index between the k-means clusters and the
+    # ground-truth label column: chance-corrected pair-count
+    # agreement, external validation of the unsupervised fit
+    from graphlite_spark.operators.kmeans import kmeans_label_ari
+
+    return kmeans_label_ari(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ann_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall@5 of sign-bit binary quantization (8-byte signatures,
+    # popcount-XOR Hamming ranking) vs brute-force cosine truth —
+    # the number that sizes the float rerank stage
+    from graphlite_spark.operators.similarity import hamming_recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hamming_recall(emb, emb.where(F.col("vec_id") < 20), k=5)
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4325,6 +4344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calinski_harabasz": q_calinski_harabasz,
         "cvm_2sample": q_cvm_2sample,
         "cronbach_alpha": q_cronbach_alpha,
+        "kmeans_label_ari": q_kmeans_label_ari,
+        "ann_hamming_recall": q_ann_hamming_recall,
     }
 
 
@@ -4604,6 +4625,8 @@ def oracle_sql() -> dict[str, str]:
         "calinski_harabasz": O.calinski_harabasz_sql(),
         "cvm_2sample": O.cvm_2sample_sql(),
         "cronbach_alpha": O.cronbach_alpha_sql(),
+        "kmeans_label_ari": O.kmeans_label_ari_sql(),
+        "ann_hamming_recall": O.ann_hamming_recall_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

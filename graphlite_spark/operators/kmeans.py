@@ -615,3 +615,80 @@ def calinski_harabasz(
     return spark.createDataFrame(
         [(keff, n_tot, ssb, ssw, ch)], schema
     )
+
+
+def kmeans_label_ari(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """One row (n_vectors, k_clusters, n_labels, index_pairs,
+    ari_micros) — the Adjusted Rand Index (Hubert & Arabie 1985,
+    public literature) between the k-means clustering and the
+    embeddings' ground-truth ``label`` column: pair-counting agreement
+    corrected for chance.  The EXTERNAL-validation companion to
+    :func:`kmeans_silhouette` / :func:`calinski_harabasz` (both
+    internal): did the unsupervised clusters recover the labels?
+
+    Exactness: ARI is a ratio of pair counts — with index =
+    Σᵢⱼ C(nᵢⱼ,2), a = Σᵢ C(aᵢ,2), b = Σⱼ C(bⱼ,2), T = C(n,2),
+    ARI = (T·index − a·b) / (T·(a+b)/2 − a·b); doubling clears the
+    half so every term is a BIGINT, the final micros division rides
+    DECIMAL(38,0) (a·b passes 2⁶³ at corpus scale) and truncates
+    toward zero on both engines (negative ARI legal).  NULL when the
+    denominator is 0 (degenerate: one cluster and one label).
+
+    Scale shape: the kmeans shape (assignment = codebook literals,
+    zero joins over N·d) plus one (cluster × label) contingency
+    groupBy — k·L cells, broadcast-combined scalars after."""
+    q = _quantized(embeddings, id_col, vec_col)
+    centroids = _fit(q, k, iterations)
+    lab = embeddings.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lab")
+    )
+    ct = (
+        _assign(q, centroids)
+        .select("id", "cluster")
+        .join(lab, "id")
+        .groupBy("cluster", "lab")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cells = ct.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.expr("sum((c * (c - 1)) div 2)").cast("long").alias("idx"),
+        F.countDistinct("cluster").cast("long").alias("kc"),
+        F.countDistinct("lab").cast("long").alias("nl"),
+    )
+    pa = (
+        ct.groupBy("cluster").agg(F.sum("c").alias("a"))
+        .agg(F.expr("sum((a * (a - 1)) div 2)").cast("long").alias("pa"))
+    )
+    pb = (
+        ct.groupBy("lab").agg(F.sum("c").alias("b"))
+        .agg(F.expr("sum((b * (b - 1)) div 2)").cast("long").alias("pb"))
+    )
+    return (
+        cells.crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(pb))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("kc").alias("k_clusters"),
+            F.col("nl").alias("n_labels"),
+            F.col("idx").alias("index_pairs"),
+            F.when(
+                F.expr(
+                    "((n * (n - 1)) div 2) * (pa + pb) - 2 * pa * pb"
+                )
+                != 0,
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0)) * 2 *"
+                    " (((n * (n - 1)) div 2) * idx - pa * pb))"
+                    " div CAST(((n * (n - 1)) div 2) * (pa + pb)"
+                    " - 2 * pa * pb AS DECIMAL(38,0)) AS BIGINT)"
+                ),
+            ).alias("ari_micros"),
+        )
+    )

@@ -1865,3 +1865,107 @@ def ann_map(
             ).alias("ap_micros"),
         )
     )
+
+
+def signbit_words(
+    vec: Column, d: int = 64, word_bits: int = 32
+) -> Column:
+    """array<long> of ``ceil(d/word_bits)`` packed sign-bit words: bit j
+    of word w is set iff ``vec[w*word_bits + j] >= 0`` (the sign rule
+    shared with :func:`lsh_bucket_topk`).  Pure JVM expressions; 32-bit
+    words keep every value comfortably positive in a BIGINT."""
+    n_words = (d + word_bits - 1) // word_bits
+    words = []
+    for w in range(n_words):
+        bits = [
+            F.when(
+                F.element_at(vec, w * word_bits + j + 1).cast("double")
+                >= 0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(word_bits)
+            if w * word_bits + j < d
+        ]
+        acc = bits[0]
+        for b in bits[1:]:
+            acc = acc + b
+        words.append(acc)
+    return F.array(*words)
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, hamming) — top-k by Hamming
+    distance between packed sign-bit signatures (binary quantization
+    retrieval: 64 dims collapse to 8 bytes, distance = popcount of the
+    XOR).  Unlike :func:`lsh_bucket_topk` (which equi-joins on an
+    8-bit bucket and brute-forces cosine inside it), this RANKS the
+    whole corpus by the 1-bit-per-dim distance — the standard first
+    stage of a binary-quantized two-stage retriever.
+
+    Exactness: the distance is a BIGINT popcount; tie-break
+    (hamming ASC, neighbor_id ASC) is integer-deterministic, so rows
+    are hash-exact across engines — no float anywhere.
+
+    Scale shape: signatures are computed in one pure-JVM projection
+    (d floats → d/32 longs, the 32× bandwidth cut that makes the scan
+    affordable); candidates broadcast like the brute-force baseline,
+    top-k is WindowGroupLimit.  At 100 TB the signature table is the
+    only thing scanned — 8 bytes/vector vs 256."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        signbit_words(F.col(vec_col), d=d).alias("qs"),
+    )
+    c = F.broadcast(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            signbit_words(F.col(vec_col), d=d).alias("cs"),
+        )
+    )
+    scored = q.join(c, q["query_id"] != c["neighbor_id"]).select(
+        "query_id", "neighbor_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("qs"), F.col("cs"),
+                lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )
+
+
+def hamming_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    d: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, n_truth, n_approx, n_hits, recall) — measured
+    recall@k of the sign-bit Hamming ranking against the brute-force
+    cosine ground truth (same contract as :func:`lsh_recall`): the
+    number that decides whether a binary-quantized first stage needs
+    a float rerank, and how deep."""
+    truth = cosine_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    approx = hamming_topk(
+        embeddings, queries, k=k, d=d, id_col=id_col, vec_col=vec_col
+    )
+    return _recall_compare(truth, approx)

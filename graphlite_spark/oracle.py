@@ -12519,3 +12519,103 @@ def cronbach_alpha_sql(
         "  END AS BIGINT) AS alpha_micros\n"
         "FROM cr_u, cr_i"
     )
+
+
+def kmeans_label_ari_sql(
+    k: int = 4, iterations: int = 2, d: int = 64
+) -> str:
+    """Mirror of operators.kmeans.kmeans_label_ari: the shared
+    unrolled-Lloyd CTEs, (d2, cl)-rule assignment joined to the label
+    column, pair-count contingency algebra, HUGEINT truncating micros
+    division (negative ARI truncates toward zero on both engines)."""
+    parts = _kmeans_ctes(k, iterations, d)
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined},\n"
+        "ar_d AS MATERIALIZED (\n"
+        "  SELECT q.vec_id, c.cl,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        "      sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+        f"  FROM qe q JOIN cent{iterations} c ON c.pos = q.pos\n"
+        "  GROUP BY q.vec_id, c.cl),\n"
+        "ar_ct AS MATERIALIZED (\n"
+        "  SELECT a.cl, e.label AS lab, CAST(count(*) AS BIGINT) AS c\n"
+        "  FROM (SELECT vec_id, cl FROM ar_d WHERE rn = 1) a\n"
+        "  JOIN embeddings e ON e.vec_id = a.vec_id\n"
+        "  GROUP BY 1, 2),\n"
+        "ar_s AS (SELECT CAST(sum(c) AS BIGINT) AS n,\n"
+        "  CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS idx,\n"
+        "  CAST(count(DISTINCT cl) AS BIGINT) AS kc,\n"
+        "  CAST(count(DISTINCT lab) AS BIGINT) AS nl FROM ar_ct),\n"
+        "ar_a AS (SELECT CAST(sum((a * (a - 1)) // 2) AS BIGINT) AS pa\n"
+        "  FROM (SELECT cl, CAST(sum(c) AS BIGINT) AS a FROM ar_ct"
+        " GROUP BY cl)),\n"
+        "ar_b AS (SELECT CAST(sum((b * (b - 1)) // 2) AS BIGINT) AS pb\n"
+        "  FROM (SELECT lab, CAST(sum(c) AS BIGINT) AS b FROM ar_ct"
+        " GROUP BY lab))\n"
+        "SELECT n AS n_vectors, kc AS k_clusters, nl AS n_labels,\n"
+        "  idx AS index_pairs,\n"
+        "  CAST(CASE WHEN ((n * (n - 1)) // 2) * (pa + pb)"
+        " - 2 * pa * pb <> 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * 2\n"
+        "     * (((n * (n - 1)) // 2) * idx - pa * pb))\n"
+        "    // CAST(((n * (n - 1)) // 2) * (pa + pb) - 2 * pa * pb"
+        " AS HUGEINT)\n"
+        "  END AS BIGINT) AS ari_micros\n"
+        "FROM ar_s, ar_a, ar_b"
+    )
+
+
+def ann_hamming_recall_sql(
+    k: int = 5, d: int = 64, num_queries: int = 20
+) -> str:
+    """Mirror of operators.similarity.hamming_recall: packed 32-bit
+    sign-bit words, popcount-of-XOR Hamming ranking vs the brute-force
+    cosine truth, integer hit counts."""
+    words = []
+    for w in range((d + 31) // 32):
+        bits = " + ".join(
+            f"(CASE WHEN embedding[{w * 32 + j + 1}] >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(32)
+            if w * 32 + j < d
+        )
+        words.append(f"CAST({bits} AS BIGINT) AS w{w}")
+    ham = " + ".join(
+        f"bit_count(xor(q.w{w}, c.w{w}))" for w in range((d + 31) // 32)
+    )
+    return (
+        "WITH eb AS MATERIALIZED (SELECT vec_id,\n"
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,\n"
+        f"  {', '.join(words)} FROM embeddings),\n"
+        f"q AS MATERIALIZED (SELECT * FROM eb WHERE vec_id < {num_queries}),\n"
+        "truth AS MATERIALIZED (\n"
+        "  SELECT query_id, neighbor_id FROM (\n"
+        f"    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,\n"
+        "      row_number() OVER (PARTITION BY q.vec_id\n"
+        "        ORDER BY "
+        f"{_COS} DESC, c.vec_id ASC) AS rank\n"
+        "    FROM q JOIN eb c ON c.vec_id <> q.vec_id)\n"
+        f"  WHERE rank <= {k}),\n"
+        "approx AS MATERIALIZED (\n"
+        "  SELECT query_id, neighbor_id FROM (\n"
+        f"    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,\n"
+        f"      row_number() OVER (PARTITION BY q.vec_id\n"
+        f"        ORDER BY {ham} ASC, c.vec_id ASC) AS rank\n"
+        "    FROM q JOIN eb c ON c.vec_id <> q.vec_id)\n"
+        f"  WHERE rank <= {k}),\n"
+        "nt AS (SELECT query_id, count(*) AS n_truth FROM truth"
+        " GROUP BY query_id),\n"
+        "na AS (SELECT query_id, count(*) AS n_approx FROM approx"
+        " GROUP BY query_id),\n"
+        "h AS (SELECT t.query_id, count(*) AS n_hits\n"
+        "  FROM truth t JOIN approx a\n"
+        "    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id\n"
+        "  GROUP BY t.query_id)\n"
+        "SELECT nt.query_id, CAST(nt.n_truth AS BIGINT) AS n_truth,\n"
+        "  CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,\n"
+        "  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,\n"
+        "  round(COALESCE(h.n_hits, 0) / nt.n_truth, 6) AS recall\n"
+        "FROM nt LEFT JOIN na ON na.query_id = nt.query_id\n"
+        "LEFT JOIN h ON h.query_id = nt.query_id"
+    )
