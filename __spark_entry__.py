@@ -3459,6 +3459,23 @@ def q_ann_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_recall(emb, emb.where(F.col("vec_id") < 20), k=5)
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # classical additive decomposition of daily volume: centered 7-day
+    # MA trend, per-weekday seasonal means of the detrended series,
+    # residual for the anomaly detectors
+    from graphlite_spark.operators.analytics import seasonal_decompose_daily
+
+    return seasonal_decompose_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # partial autocorrelation at lags 1-2 (Durbin-Levinson closed
+    # form): AR-order selection companion to acf_daily
+    from graphlite_spark.operators.analytics import pacf_daily
+
+    return pacf_daily(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4346,6 +4363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cronbach_alpha": q_cronbach_alpha,
         "kmeans_label_ari": q_kmeans_label_ari,
         "ann_hamming_recall": q_ann_hamming_recall,
+        "seasonal_decompose": q_seasonal_decompose,
+        "pacf_daily": q_pacf_daily,
     }
 
 
@@ -4627,6 +4646,8 @@ def oracle_sql() -> dict[str, str]:
         "cronbach_alpha": O.cronbach_alpha_sql(),
         "kmeans_label_ari": O.kmeans_label_ari_sql(),
         "ann_hamming_recall": O.ann_hamming_recall_sql(),
+        "seasonal_decompose": O.seasonal_decompose_daily_sql(),
+        "pacf_daily": O.pacf_daily_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -5262,3 +5262,153 @@ def cronbach_alpha(
             ),
         ).alias("alpha_micros"),
     )
+
+
+def seasonal_decompose_daily(
+    events: DataFrame,
+    period: int = 7,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(d, y, trend_micros, seasonal_micros, resid_micros) — classical
+    additive seasonal decomposition (the moving-average method of
+    Macaulay 1931 / the `decompose` textbook form, public literature)
+    of the zero-filled daily event-count series: trend = centered
+    ``period``-day moving average (NULL where the window is
+    incomplete), seasonal = per-weekday truncating mean of the
+    detrended values (the ``(d+3) % 7`` epoch-weekday convention
+    shared with :func:`dow_seasonality`; uncentered, stated), residual
+    = detrended − seasonal where the trend exists.  One query, three
+    readable layers: growth, weekly rhythm, and what's left for the
+    anomaly detectors.
+
+    Exactness: trend_micros = (10⁶·Σwindow) div period on nonnegative
+    BIGINTs; detrended/seasonal/residual are exact micro differences
+    with truncating-toward-zero means (negative-safe on both
+    engines).
+
+    Scale shape: one map-side-combined daily groupBy; one ±3-row
+    window and one period-sized groupBy-join over the calendar-bounded
+    spine."""
+    half = period // 2
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    ww = Window.orderBy("d").rowsBetween(-half, half)
+    tr = filled.select(
+        "d", "y",
+        F.when(
+            F.count(F.lit(1)).over(ww) == period,
+            F.expr(
+                f"(1000000 * sum(y) over (order by d rows between"
+                f" {half} preceding and {half} following))"
+                f" div {period}"
+            ),
+        ).cast("long").alias("trend_micros"),
+    ).select(
+        "d", "y", "trend_micros",
+        (F.lit(1_000_000) * F.col("y") - F.col("trend_micros"))
+        .cast("long").alias("det"),
+        F.expr(f"cast((d + 3) % {period} as int)").alias("dow"),
+    )
+    seas = tr.where(F.col("det").isNotNull()).groupBy("dow").agg(
+        F.expr("sum(det) div count(*)").cast("long").alias(
+            "seasonal_micros"
+        )
+    )
+    return (
+        tr.join(F.broadcast(seas), "dow", "left")
+        .select(
+            "d", "y", "trend_micros", "seasonal_micros",
+            (F.col("det") - F.col("seasonal_micros")).cast("long")
+            .alias("resid_micros"),
+        )
+    )
+
+
+def pacf_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_days, c0, c1, c2, pacf1_micros, pacf2_micros) — the
+    partial autocorrelation of the zero-filled daily count series at
+    lags 1 and 2 via the Durbin–Levinson closed form (public
+    literature): φ₁₁ = r₁ and φ₂₂ = (r₂ − r₁²)/(1 − r₁²) — how much
+    lag-2 memory remains after the lag-1 carryover is regressed out,
+    the AR-order-selection companion to :func:`acf_daily` (an AR(1)
+    process has φ₂₂ = 0 even though r₂ = r₁² ≠ 0).
+
+    Exactness: with the n-scaled integer deviations of acf_daily,
+    r_k = c_k/c₀ and both ratios clear denominators exactly:
+    φ₁₁ = c₁/c₀ and φ₂₂ = (c₂·c₀ − c₁²)/(c₀² − c₁²); the c_k are
+    BIGINTs and the two micros divisions ride DECIMAL(38,0) / HUGEINT
+    (c₀² passes 2⁶³), truncating toward zero including negatives.
+    NULL when the denominator is ≤ 0.
+
+    Scale shape: the acf shape — one daily groupBy, two self-joins on
+    the shifted spine, scalar moments."""
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+        (F.col("hi") - F.col("lo") + 1).cast("long").alias("n"),
+        "s",
+    )
+    dev = spine.join(daily, "d", "left").select(
+        "d",
+        (
+            F.col("n") * F.coalesce(F.col("y"), F.lit(0)) - F.col("s")
+        ).cast("long").alias("dev"),
+        "n",
+    )
+    lag1 = dev.select((F.col("d") + 1).alias("d"), F.col("dev").alias("b1"))
+    lag2 = dev.select((F.col("d") + 2).alias("d"), F.col("dev").alias("b2"))
+    mom = (
+        dev.join(lag1, "d", "left")
+        .join(lag2, "d", "left")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.sum(F.col("dev") * F.col("dev")).cast("long").alias("c0"),
+            F.sum(F.col("dev") * F.col("b1")).cast("long").alias("c1"),
+            F.sum(F.col("dev") * F.col("b2")).cast("long").alias("c2"),
+        )
+    )
+    return mom.select(
+        "n_days", "c0", "c1", "c2",
+        F.when(
+            F.col("c0") > 0,
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * c1)"
+                " div CAST(c0 AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        ).alias("pacf1_micros"),
+        F.when(
+            F.expr(
+                "CAST(c0 AS DECIMAL(38,0)) * c0"
+                " - CAST(c1 AS DECIMAL(38,0)) * c1"
+            )
+            > 0,
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (CAST(c2 AS DECIMAL(38,0)) * c0"
+                "    - CAST(c1 AS DECIMAL(38,0)) * c1))"
+                " div (CAST(c0 AS DECIMAL(38,0)) * c0"
+                "      - CAST(c1 AS DECIMAL(38,0)) * c1) AS BIGINT)"
+            ),
+        ).alias("pacf2_micros"),
+    )

@@ -12619,3 +12619,84 @@ def ann_hamming_recall_sql(
         "FROM nt LEFT JOIN na ON na.query_id = nt.query_id\n"
         "LEFT JOIN h ON h.query_id = nt.query_id"
     )
+
+
+def seasonal_decompose_daily_sql(period: int = 7) -> str:
+    """Mirror of operators.analytics.seasonal_decompose_daily:
+    zero-filled spine, centered moving-average trend (NULL on
+    incomplete windows), per-weekday truncating detrended means,
+    residuals — truncation toward zero on both engines."""
+    half = period // 2
+    return (
+        "WITH sd_d AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "sd_r AS (SELECT min(d) AS lo, max(d) AS hi FROM sd_d),\n"
+        "sd_f AS MATERIALIZED (\n"
+        "  SELECT sp.d, CAST(COALESCE(dl.y, 0) AS BIGINT) AS y\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM sd_r) sp\n"
+        "  LEFT JOIN sd_d dl USING (d)),\n"
+        "sd_t AS MATERIALIZED (\n"
+        "  SELECT d, y,\n"
+        "    CAST(CASE WHEN count(*) OVER ww = "
+        f"{period} THEN\n"
+        "      (1000000 * sum(y) OVER ww) // "
+        f"{period} END AS BIGINT) AS trend_micros,\n"
+        f"    CAST((d + 3) % {period} AS INT) AS dow\n"
+        "  FROM sd_f WINDOW ww AS (ORDER BY d ROWS BETWEEN "
+        f"{half} PRECEDING AND {half} FOLLOWING)),\n"
+        "sd_x AS MATERIALIZED (\n"
+        "  SELECT d, y, trend_micros, dow,\n"
+        "    CAST(1000000 * y - trend_micros AS BIGINT) AS det\n"
+        "  FROM sd_t),\n"
+        "sd_s AS MATERIALIZED (\n"
+        "  SELECT dow, CAST(CASE WHEN sum(det) >= 0\n"
+        "      THEN sum(det) // count(*)\n"
+        "      ELSE -((-sum(det)) // count(*)) END AS BIGINT)"
+        " AS seasonal_micros\n"
+        "  FROM sd_x WHERE det IS NOT NULL GROUP BY dow)\n"
+        "SELECT x.d, x.y, x.trend_micros, s.seasonal_micros,\n"
+        "  CAST(x.det - s.seasonal_micros AS BIGINT) AS resid_micros\n"
+        "FROM sd_x x LEFT JOIN sd_s s ON s.dow = x.dow"
+    )
+
+
+def pacf_daily_sql() -> str:
+    """Mirror of operators.analytics.pacf_daily: the acf_daily
+    n-scaled integer deviations, lag-1/lag-2 moment sums, and the two
+    Durbin–Levinson micros divisions on HUGEINT (truncating toward
+    zero, negatives included)."""
+    return (
+        "WITH pf_d AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "pf_r AS (SELECT min(d) AS lo, max(d) AS hi,\n"
+        "  CAST(sum(y) AS BIGINT) AS s,\n"
+        "  CAST(max(d) - min(d) + 1 AS BIGINT) AS n FROM pf_d),\n"
+        "pf_v AS MATERIALIZED (\n"
+        "  SELECT sp.d,\n"
+        "    CAST((SELECT n FROM pf_r) * COALESCE(dl.y, 0)\n"
+        "      - (SELECT s FROM pf_r) AS BIGINT) AS dev\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM pf_r) sp\n"
+        "  LEFT JOIN pf_d dl USING (d)),\n"
+        "pf_m AS (SELECT (SELECT n FROM pf_r) AS n_days,\n"
+        "  CAST(sum(a.dev * a.dev) AS BIGINT) AS c0,\n"
+        "  CAST(sum(a.dev * b1.dev) AS BIGINT) AS c1,\n"
+        "  CAST(sum(a.dev * b2.dev) AS BIGINT) AS c2\n"
+        "  FROM pf_v a\n"
+        "  LEFT JOIN pf_v b1 ON b1.d = a.d - 1\n"
+        "  LEFT JOIN pf_v b2 ON b2.d = a.d - 2)\n"
+        "SELECT n_days, c0, c1, c2,\n"
+        "  CAST(CASE WHEN c0 > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * c1) // CAST(c0 AS HUGEINT)\n"
+        "  END AS BIGINT) AS pacf1_micros,\n"
+        "  CAST(CASE WHEN CAST(c0 AS HUGEINT) * c0"
+        " - CAST(c1 AS HUGEINT) * c1 > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT)\n"
+        "     * (CAST(c2 AS HUGEINT) * c0 - CAST(c1 AS HUGEINT) * c1))\n"
+        "    // (CAST(c0 AS HUGEINT) * c0 - CAST(c1 AS HUGEINT) * c1)\n"
+        "  END AS BIGINT) AS pacf2_micros\n"
+        "FROM pf_m"
+    )
