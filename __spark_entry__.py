@@ -3476,6 +3476,25 @@ def q_pacf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pacf_daily(load_table(spark, sf_dir, "events"))
 
 
+def q_core_periphery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Borgatti-Everett discrete core-periphery fingerprint with the
+    # 2-core as the core: block edge counts + densities — hairball
+    # vs hub-and-spoke in one row
+    from graphlite_spark.algos.components import core_periphery_blocks
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return core_periphery_blocks(v, e, k=2, max_rounds=64)
+
+
+def q_granger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-lag Granger causality: does yesterday's click volume improve
+    # today's purchase forecast beyond purchases' own memory? Exact
+    # integer-moment closed form (F numerator = squared partial cov)
+    from graphlite_spark.operators.analytics import granger_daily
+
+    return granger_daily(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4365,6 +4384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hamming_recall": q_ann_hamming_recall,
         "seasonal_decompose": q_seasonal_decompose,
         "pacf_daily": q_pacf_daily,
+        "core_periphery": q_core_periphery,
+        "granger_daily": q_granger_daily,
     }
 
 
@@ -4648,6 +4669,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_hamming_recall": O.ann_hamming_recall_sql(),
         "seasonal_decompose": O.seasonal_decompose_daily_sql(),
         "pacf_daily": O.pacf_daily_sql(),
+        "core_periphery": O.core_periphery_sql(2, 64),
+        "granger_daily": O.granger_daily_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -483,3 +483,86 @@ def random_failure_tolerance(
             f" div {n_total}"
         ).cast("long").alias("giant_micros"),
     )
+
+
+def core_periphery_blocks(
+    vertices: DataFrame,
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """One row (n_core, n_periphery, e_cc, e_cp, e_pp, dens_cc_micros,
+    dens_cp_micros, dens_pp_micros) — the discrete core–periphery block
+    model (Borgatti & Everett 1999, public literature) with the core
+    fixed to the ``k``-core survivors: undirected edge counts and
+    densities of the core–core, core–periphery and periphery–periphery
+    blocks.  An ideal core–periphery structure has dens_cc ≫ dens_cp ≫
+    dens_pp ≈ 0 — the one-row fingerprint that says whether the graph
+    is a hairball or a hub-and-spoke.
+
+    Exactness: block counts are BIGINTs over the deduped u<v edge set;
+    densities are truncating micros divisions by the exact block pair
+    counts (n_c·(n_c−1)/2, n_c·n_p, n_p·(n_p−1)/2), NULL when a block
+    has no possible pairs.
+
+    Scale shape: one k-core peel (two semi-joins + a degree count per
+    round, shrinking survivors), then ONE pass over the undirected
+    edge set with two broadcastable membership semi-join lookups and a
+    scalar rollup — no quadratic block materialization."""
+    core = k_core(vertices, edges, k=k, max_rounds=max_rounds)
+    und = symmetrize(edges).where(F.col("src") < F.col("dst")).select(
+        "src", "dst"
+    )
+    mem = core.select(
+        "id", F.col("in_core").cast("int").alias("c")
+    )
+    tagged = (
+        und.join(
+            mem.select(F.col("id").alias("src"), F.col("c").alias("ca")),
+            "src",
+        )
+        .join(
+            mem.select(F.col("id").alias("dst"), F.col("c").alias("cb")),
+            "dst",
+        )
+        .select((F.col("ca") + F.col("cb")).alias("nc"))
+    )
+    eagg = tagged.agg(
+        F.sum((F.col("nc") == 2).cast("long")).alias("e_cc"),
+        F.sum((F.col("nc") == 1).cast("long")).alias("e_cp"),
+        F.sum((F.col("nc") == 0).cast("long")).alias("e_pp"),
+    )
+    nagg = mem.agg(
+        F.sum("c").cast("long").alias("n_core"),
+        F.sum(1 - F.col("c")).cast("long").alias("n_periphery"),
+    )
+    return (
+        nagg.crossJoin(F.broadcast(eagg))
+        .select(
+            "n_core", "n_periphery",
+            F.coalesce("e_cc", F.lit(0)).cast("long").alias("e_cc"),
+            F.coalesce("e_cp", F.lit(0)).cast("long").alias("e_cp"),
+            F.coalesce("e_pp", F.lit(0)).cast("long").alias("e_pp"),
+            F.when(
+                F.col("n_core") >= 2,
+                F.expr(
+                    "(1000000 * coalesce(e_cc, 0))"
+                    " div ((n_core * (n_core - 1)) div 2)"
+                ),
+            ).cast("long").alias("dens_cc_micros"),
+            F.when(
+                (F.col("n_core") > 0) & (F.col("n_periphery") > 0),
+                F.expr(
+                    "(1000000 * coalesce(e_cp, 0))"
+                    " div (n_core * n_periphery)"
+                ),
+            ).cast("long").alias("dens_cp_micros"),
+            F.when(
+                F.col("n_periphery") >= 2,
+                F.expr(
+                    "(1000000 * coalesce(e_pp, 0))"
+                    " div ((n_periphery * (n_periphery - 1)) div 2)"
+                ),
+            ).cast("long").alias("dens_pp_micros"),
+        )
+    )

@@ -5412,3 +5412,129 @@ def pacf_daily(
             ),
         ).alias("pacf2_micros"),
     )
+
+
+def granger_daily(
+    events: DataFrame,
+    type_a: str = "purchase",
+    type_b: str = "click",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_pairs, suu, suy, svy, f_micros) — the one-lag Granger
+    causality F-test (Granger 1969, public literature): does yesterday's
+    ``type_b`` volume improve the prediction of today's ``type_a``
+    volume beyond what yesterday's ``type_a`` already explains?
+    Restricted model y_t ~ 1 + y_{t−1}; unrestricted adds x_{t−1};
+    F = (SSE_r − SSE_u) / (SSE_u/(m−3)).  The causal-direction
+    companion to :func:`ccf_type_daily` (which sees correlation at
+    every lag but cannot partial out the series' own memory).
+
+    Exactness: with m-scaled centered moments S·· = m·Σab − ΣaΣb (all
+    BIGINT — daily counts), the F numerator collapses to the square of
+    the partial covariance A = Suu·Svy − Suy·Suv and the denominator
+    to B·Suu with B = Syy·D − (Suy²·Svv − 2·Suy·Suv·Svy + Svy²·Suu),
+    D = Suu·Svv − Suv² (identity verified against direct least
+    squares); the micros division rides DECIMAL(38,0) / HUGEINT,
+    truncating.  NULL when m ≤ 3 or B·Suu ≤ 0 (perfect fit or
+    constant regressor).
+
+    Scale shape: one map-side-combined (day, type) aggregate; the lag
+    pairing is a 1-day shifted self-join on the calendar-bounded
+    spine; everything after is scalar."""
+    day = F.expr(
+        f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+    )
+    cells = (
+        events.where(F.col("event_type").isin([type_a, type_b]))
+        .groupBy(
+            day.alias("d"),
+            (F.col("event_type") == type_a).cast("int").alias("g"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rng = cells.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    ga = cells.where(F.col("g") == 1).select("d", F.col("c").alias("ya"))
+    gb = cells.where(F.col("g") == 0).select("d", F.col("c").alias("yb"))
+    filled = (
+        spine.join(ga, "d", "left")
+        .join(gb, "d", "left")
+        .select(
+            "d",
+            F.coalesce("ya", F.lit(0)).cast("long").alias("ya"),
+            F.coalesce("yb", F.lit(0)).cast("long").alias("yb"),
+        )
+    )
+    prev = filled.select(
+        (F.col("d") + 1).alias("d"),
+        F.col("ya").alias("u"),
+        F.col("yb").alias("v"),
+    )
+    pairs = filled.join(prev, "d").select(
+        F.col("ya").alias("y"), "u", "v"
+    )
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("u").cast("long").alias("su"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("u") * F.col("u")).cast("long").alias("puu"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("pvv"),
+        F.sum(F.col("u") * F.col("v")).cast("long").alias("puv"),
+        F.sum(F.col("u") * F.col("y")).cast("long").alias("puy"),
+        F.sum(F.col("v") * F.col("y")).cast("long").alias("pvy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("pyy"),
+    )
+    cen = mom.select(
+        "m",
+        (F.col("m") * F.col("puu") - F.col("su") * F.col("su"))
+        .cast("long").alias("suu"),
+        (F.col("m") * F.col("pvv") - F.col("sv") * F.col("sv"))
+        .cast("long").alias("svv"),
+        (F.col("m") * F.col("puv") - F.col("su") * F.col("sv"))
+        .cast("long").alias("suv"),
+        (F.col("m") * F.col("puy") - F.col("su") * F.col("sy"))
+        .cast("long").alias("suy"),
+        (F.col("m") * F.col("pvy") - F.col("sv") * F.col("sy"))
+        .cast("long").alias("svy"),
+        (F.col("m") * F.col("pyy") - F.col("sy") * F.col("sy"))
+        .cast("long").alias("syy"),
+    )
+    big = cen.select(
+        "m", "suu", "suy", "svy", "syy",
+        F.expr(
+            "CAST(suu AS DECIMAL(38,0)) * svv"
+            " - CAST(suv AS DECIMAL(38,0)) * suv"
+        ).alias("dd"),
+        F.expr(
+            "CAST(suu AS DECIMAL(38,0)) * svy"
+            " - CAST(suy AS DECIMAL(38,0)) * suv"
+        ).alias("aa"),
+        F.expr(
+            "CAST(suy AS DECIMAL(38,0)) * suy * svv"
+            " - 2 * (CAST(suy AS DECIMAL(38,0)) * suv * svy)"
+            " + CAST(svy AS DECIMAL(38,0)) * svy * suu"
+        ).alias("qq"),
+    )
+    return big.select(
+        F.col("m").alias("n_pairs"),
+        "suu", "suy", "svy",
+        F.when(
+            (F.col("m") > 3)
+            & (
+                F.expr(
+                    "(CAST(syy AS DECIMAL(38,0)) * dd - qq)"
+                    " * suu"
+                )
+                > 0
+            ),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * (m - 3)"
+                " * aa * aa)"
+                " div ((CAST(syy AS DECIMAL(38,0)) * dd - qq) * suu)"
+                " AS BIGINT)"
+            ),
+        ).alias("f_micros"),
+    )

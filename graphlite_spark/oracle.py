@@ -12700,3 +12700,111 @@ def pacf_daily_sql() -> str:
         "  END AS BIGINT) AS pacf2_micros\n"
         "FROM pf_m"
     )
+
+
+def core_periphery_sql(k: int = 2, max_rounds: int = 64) -> str:
+    """Mirror of algos.components.core_periphery_blocks: the kcore_sql
+    unrolled peel, membership-tagged u<v undirected edges, block
+    counts and truncating micros densities (all nonnegative)."""
+    parts = ["kc0 AS MATERIALIZED (SELECT id FROM vertices)"]
+    for r in range(1, max_rounds + 1):
+        prev = f"kc{r - 1}"
+        parts.append(
+            f"kc{r} AS MATERIALIZED (\n"
+            f"  SELECT v.id FROM {prev} v JOIN (\n"
+            f"    SELECT u.src, count(*) AS c FROM und u\n"
+            f"    JOIN {prev} x ON x.id = u.src\n"
+            f"    JOIN {prev} y ON y.id = u.dst\n"
+            f"    GROUP BY u.src) d ON d.src = v.id AND d.c >= {k})"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined},\n"
+        "cp_m AS MATERIALIZED (\n"
+        "  SELECT v.id, CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END"
+        " AS c\n"
+        f"  FROM vertices v LEFT JOIN kc{max_rounds} c ON c.id = v.id),\n"
+        "cp_e AS (SELECT\n"
+        "  CAST(COALESCE(sum(CASE WHEN a.c + b.c = 2 THEN 1 ELSE 0 END),"
+        " 0) AS BIGINT) AS e_cc,\n"
+        "  CAST(COALESCE(sum(CASE WHEN a.c + b.c = 1 THEN 1 ELSE 0 END),"
+        " 0) AS BIGINT) AS e_cp,\n"
+        "  CAST(COALESCE(sum(CASE WHEN a.c + b.c = 0 THEN 1 ELSE 0 END),"
+        " 0) AS BIGINT) AS e_pp\n"
+        "  FROM (SELECT src, dst FROM und WHERE src < dst) e\n"
+        "  JOIN cp_m a ON a.id = e.src JOIN cp_m b ON b.id = e.dst),\n"
+        "cp_n AS (SELECT CAST(sum(c) AS BIGINT) AS n_core,\n"
+        "  CAST(sum(1 - c) AS BIGINT) AS n_periphery FROM cp_m)\n"
+        "SELECT n_core, n_periphery, e_cc, e_cp, e_pp,\n"
+        "  CAST(CASE WHEN n_core >= 2 THEN (1000000 * e_cc)\n"
+        "    // ((n_core * (n_core - 1)) // 2) END AS BIGINT)"
+        " AS dens_cc_micros,\n"
+        "  CAST(CASE WHEN n_core > 0 AND n_periphery > 0 THEN\n"
+        "    (1000000 * e_cp) // (n_core * n_periphery) END AS BIGINT)"
+        " AS dens_cp_micros,\n"
+        "  CAST(CASE WHEN n_periphery >= 2 THEN (1000000 * e_pp)\n"
+        "    // ((n_periphery * (n_periphery - 1)) // 2) END AS BIGINT)"
+        " AS dens_pp_micros\n"
+        "FROM cp_n, cp_e"
+    )
+    return _graph_query(body)
+
+
+def granger_daily_sql(
+    type_a: str = "purchase", type_b: str = "click"
+) -> str:
+    """Mirror of operators.analytics.granger_daily: shared-spine lagged
+    pairs, m-scaled centered BIGINT moments, and the closed-form F
+    whose numerator is the squared partial covariance — HUGEINT
+    truncating micros division."""
+    return (
+        "WITH gr_c AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        f"    CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END AS g,\n"
+        "    CAST(count(*) AS BIGINT) AS c\n"
+        f"  FROM events WHERE event_type IN ('{type_a}', '{type_b}')\n"
+        "  GROUP BY 1, 2),\n"
+        "gr_r AS (SELECT min(d) AS lo, max(d) AS hi FROM gr_c),\n"
+        "gr_f AS MATERIALIZED (\n"
+        "  SELECT sp.d,\n"
+        "    CAST(COALESCE(a.c, 0) AS BIGINT) AS ya,\n"
+        "    CAST(COALESCE(b.c, 0) AS BIGINT) AS yb\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM gr_r) sp\n"
+        "  LEFT JOIN (SELECT d, c FROM gr_c WHERE g = 1) a USING (d)\n"
+        "  LEFT JOIN (SELECT d, c FROM gr_c WHERE g = 0) b USING (d)),\n"
+        "gr_p AS MATERIALIZED (\n"
+        "  SELECT t.ya AS y, p.ya AS u, p.yb AS v\n"
+        "  FROM gr_f t JOIN gr_f p ON p.d = t.d - 1),\n"
+        "gr_m AS (SELECT CAST(count(*) AS BIGINT) AS m,\n"
+        "  CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv,\n"
+        "  CAST(sum(y) AS BIGINT) AS sy,\n"
+        "  CAST(sum(u * u) AS BIGINT) AS puu,"
+        " CAST(sum(v * v) AS BIGINT) AS pvv,\n"
+        "  CAST(sum(u * v) AS BIGINT) AS puv,"
+        " CAST(sum(u * y) AS BIGINT) AS puy,\n"
+        "  CAST(sum(v * y) AS BIGINT) AS pvy,"
+        " CAST(sum(y * y) AS BIGINT) AS pyy FROM gr_p),\n"
+        "gr_s AS (SELECT m,\n"
+        "  CAST(m * puu - su * su AS BIGINT) AS suu,\n"
+        "  CAST(m * pvv - sv * sv AS BIGINT) AS svv,\n"
+        "  CAST(m * puv - su * sv AS BIGINT) AS suv,\n"
+        "  CAST(m * puy - su * sy AS BIGINT) AS suy,\n"
+        "  CAST(m * pvy - sv * sy AS BIGINT) AS svy,\n"
+        "  CAST(m * pyy - sy * sy AS BIGINT) AS syy FROM gr_m),\n"
+        "gr_b AS (SELECT m, suu, suy, svy, syy,\n"
+        "  CAST(suu AS HUGEINT) * svv - CAST(suv AS HUGEINT) * suv"
+        " AS dd,\n"
+        "  CAST(suu AS HUGEINT) * svy - CAST(suy AS HUGEINT) * suv"
+        " AS aa,\n"
+        "  CAST(suy AS HUGEINT) * suy * svv\n"
+        "    - 2 * (CAST(suy AS HUGEINT) * suv * svy)\n"
+        "    + CAST(svy AS HUGEINT) * svy * suu AS qq\n"
+        "  FROM gr_s)\n"
+        "SELECT m AS n_pairs, suu, suy, svy,\n"
+        "  CAST(CASE WHEN m > 3\n"
+        "      AND (CAST(syy AS HUGEINT) * dd - qq) * suu > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * (m - 3) * aa * aa)\n"
+        "    // ((CAST(syy AS HUGEINT) * dd - qq) * suu)\n"
+        "  END AS BIGINT) AS f_micros\n"
+        "FROM gr_b"
+    )
