@@ -3495,6 +3495,23 @@ def q_granger_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return granger_daily(load_table(spark, sf_dir, "events"))
 
 
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cochran's Q on the binary user x event-type incidence matrix:
+    # are the activity channels equally prevalent, per-user breadth
+    # accounted for? (binary sibling of the Friedman rank test)
+    from graphlite_spark.operators.analytics import cochran_q
+
+    return cochran_q(load_table(spark, sf_dir, "events"))
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Durbin-Watson on the residuals of the daily-count linear trend:
+    # denominator-cleared integer residuals, exact micros ratio
+    from graphlite_spark.operators.analytics import durbin_watson_daily
+
+    return durbin_watson_daily(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4386,6 +4403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf_daily": q_pacf_daily,
         "core_periphery": q_core_periphery,
         "granger_daily": q_granger_daily,
+        "cochran_q": q_cochran_q,
+        "durbin_watson": q_durbin_watson,
     }
 
 
@@ -4671,6 +4690,8 @@ def oracle_sql() -> dict[str, str]:
         "pacf_daily": O.pacf_daily_sql(),
         "core_periphery": O.core_periphery_sql(2, 64),
         "granger_daily": O.granger_daily_sql(),
+        "cochran_q": O.cochran_q_sql(),
+        "durbin_watson": O.durbin_watson_daily_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

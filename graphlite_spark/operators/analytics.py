@@ -5538,3 +5538,137 @@ def granger_daily(
             ),
         ).alias("f_micros"),
     )
+
+
+def cochran_q(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """One row (n_users, k_types, col_sq_sum, row_sq_sum, q_micros) —
+    Cochran's Q test (Cochran 1950, public literature) on the binary
+    user × event-type incidence matrix (did the user EVER do the
+    type?): are the k activity channels equally prevalent, accounting
+    for per-user activity breadth?  The binary sibling of
+    :func:`friedman_event_ranks` (which ranks counts); the classic
+    repeated-measures extension of McNemar to k > 2 treatments.
+
+    Q = (k−1)·(k·ΣSⱼ² − T²) / (k·T − ΣRᵢ²) with Sⱼ the per-type user
+    counts, Rᵢ the per-user type counts, T = ΣSⱼ = ΣRᵢ — every term an
+    exact BIGINT over one (user, type) distinct count; the micros
+    division truncates (numerator nonnegative by Cauchy–Schwarz).
+    All-present rows (Rᵢ = k) contribute 0 to the denominator exactly
+    as the textbook formula has it; NULL when the denominator is ≤ 0
+    (every user hit every type).  Users absent from the table have
+    all-zero rows and drop out of every sum — stated.
+
+    Scale shape: one map-side-combined distinct (user, type) pair
+    table read twice (k-row and n-row aggregates), then scalars."""
+    ut = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t")
+    ).distinct()
+    col = ut.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    row = ut.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    ca = col.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s").cast("long").alias("tt"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("ssq"),
+    )
+    ra = row.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("rsq"),
+    )
+    return ra.crossJoin(F.broadcast(ca)).select(
+        F.col("n").alias("n_users"),
+        F.col("k").alias("k_types"),
+        F.col("ssq").alias("col_sq_sum"),
+        F.col("rsq").alias("row_sq_sum"),
+        F.when(
+            (F.col("k") >= 2)
+            & (F.col("k") * F.col("tt") - F.col("rsq") > 0),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * (k - 1)"
+                " * (k * ssq - tt * tt))"
+                " div CAST(k * tt - rsq AS DECIMAL(38,0)) AS BIGINT)"
+            ),
+        ).alias("q_micros"),
+    )
+
+
+def durbin_watson_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_days, dw_micros) — the Durbin–Watson statistic
+    (Durbin & Watson 1950, public literature) of the residuals from
+    the OLS linear trend fit to the zero-filled daily count series:
+    DW = Σ(e_t − e_{t−1})² / Σe_t², near 2 for independent residuals,
+    → 0 under positive autocorrelation.  The regression-residual
+    companion to :func:`acf_daily` (raw series) and
+    :func:`pacf_daily`: is the day-to-day memory real, or just the
+    shared trend?
+
+    Exactness: residuals are cleared of both OLS denominators —
+    ẽ_t = D₁·(n·y_t − Sy) − N₁·(n·t − Sx) with N₁ = n·Sxy − Sx·Sy,
+    D₁ = n·Sxx − Sx² — so every residual is an exact BIGINT and the
+    scale factor cancels in the ratio; the squared sums ride
+    DECIMAL(38,0) / HUGEINT (ẽ² passes 2⁶³), one truncating micros
+    division.  NULL when Σẽ² = 0 (perfectly linear series).
+
+    Scale shape: one daily groupBy, one 1-row moment aggregate
+    broadcast back over the spine, one ordered lag window on the
+    calendar-bounded table."""
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+        F.col("lo"),
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d",
+        (F.col("d") - F.col("lo")).cast("long").alias("x"),
+        F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+    )
+    mom = filled.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    res = filled.crossJoin(F.broadcast(mom)).select(
+        "d", "n",
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("y") - F.col("sy"))
+            - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("x") - F.col("sx"))
+        ).cast("long").alias("et"),
+    )
+    wl = Window.orderBy("d")
+    lagd = res.select(
+        "n", "et", F.lag("et").over(wl).alias("ep")
+    )
+    agg = lagd.agg(
+        F.max("n").alias("n_days"),
+        F.sum(F.expr("CAST(et AS DECIMAL(38,0)) * et")).alias("se"),
+        F.sum(
+            F.expr(
+                "CAST(et - ep AS DECIMAL(38,0)) * (et - ep)"
+            )
+        ).alias("sd"),
+    )
+    return agg.select(
+        "n_days",
+        F.when(
+            F.col("se") > 0,
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * sd) div se"
+                " AS BIGINT)"
+            ),
+        ).alias("dw_micros"),
+    )

@@ -12808,3 +12808,71 @@ def granger_daily_sql(
         "  END AS BIGINT) AS f_micros\n"
         "FROM gr_b"
     )
+
+
+def cochran_q_sql(
+    type_col: str = "event_type", user_col: str = "user_id"
+) -> str:
+    """Mirror of operators.analytics.cochran_q: distinct (user, type)
+    incidence, per-type and per-user totals, the all-integer Q with a
+    truncating HUGEINT micros division."""
+    return (
+        "WITH cq_i AS MATERIALIZED (\n"
+        f"  SELECT DISTINCT {user_col} AS u, {type_col} AS t"
+        " FROM events),\n"
+        "cq_c AS (SELECT CAST(count(*) AS BIGINT) AS k,\n"
+        "  CAST(sum(s) AS BIGINT) AS tt,"
+        " CAST(sum(s * s) AS BIGINT) AS ssq FROM (\n"
+        "    SELECT t, CAST(count(*) AS BIGINT) AS s FROM cq_i"
+        " GROUP BY t)),\n"
+        "cq_r AS (SELECT CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(r * r) AS BIGINT) AS rsq FROM (\n"
+        "    SELECT u, CAST(count(*) AS BIGINT) AS r FROM cq_i"
+        " GROUP BY u))\n"
+        "SELECT n AS n_users, k AS k_types, ssq AS col_sq_sum,\n"
+        "  rsq AS row_sq_sum,\n"
+        "  CAST(CASE WHEN k >= 2 AND k * tt - rsq > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * (k - 1) * (k * ssq - tt * tt))\n"
+        "    // CAST(k * tt - rsq AS HUGEINT)\n"
+        "  END AS BIGINT) AS q_micros\n"
+        "FROM cq_r, cq_c"
+    )
+
+
+def durbin_watson_daily_sql() -> str:
+    """Mirror of operators.analytics.durbin_watson_daily: zero-filled
+    spine, denominator-cleared BIGINT OLS residuals, HUGEINT squared
+    sums, one truncating micros division."""
+    return (
+        "WITH dw_d AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "dw_r AS (SELECT min(d) AS lo, max(d) AS hi FROM dw_d),\n"
+        "dw_f AS MATERIALIZED (\n"
+        "  SELECT sp.d, CAST(sp.d - (SELECT lo FROM dw_r) AS BIGINT)"
+        " AS x,\n"
+        "    CAST(COALESCE(dl.y, 0) AS BIGINT) AS y\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM dw_r) sp\n"
+        "  LEFT JOIN dw_d dl USING (d)),\n"
+        "dw_m AS (SELECT CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,\n"
+        "  CAST(sum(x * y) AS BIGINT) AS sxy,"
+        " CAST(sum(x * x) AS BIGINT) AS sxx FROM dw_f),\n"
+        "dw_e AS MATERIALIZED (\n"
+        "  SELECT f.d, m.n,\n"
+        "    CAST((m.n * m.sxx - m.sx * m.sx) * (m.n * f.y - m.sy)\n"
+        "      - (m.n * m.sxy - m.sx * m.sy) * (m.n * f.x - m.sx)"
+        " AS BIGINT) AS et\n"
+        "  FROM dw_f f, dw_m m),\n"
+        "dw_l AS MATERIALIZED (\n"
+        "  SELECT n, et, lag(et) OVER (ORDER BY d) AS ep FROM dw_e),\n"
+        "dw_a AS (SELECT max(n) AS n_days,\n"
+        "  sum(CAST(et AS HUGEINT) * et) AS se,\n"
+        "  sum(CAST(et - ep AS HUGEINT) * (et - ep)) AS sd FROM dw_l)\n"
+        "SELECT CAST(n_days AS BIGINT) AS n_days,\n"
+        "  CAST(CASE WHEN se > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * sd) // se\n"
+        "  END AS BIGINT) AS dw_micros\n"
+        "FROM dw_a"
+    )
