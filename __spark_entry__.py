@@ -3512,6 +3512,15 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return durbin_watson_daily(load_table(spark, sf_dir, "events"))
 
 
+def q_kmeans_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # symmetric NMI between k-means clusters and ground-truth labels:
+    # the information-theoretic external validation next to ARI
+    # (NMI rewards pure-but-split clusters that ARI penalizes)
+    from graphlite_spark.operators.kmeans import kmeans_label_nmi
+
+    return kmeans_label_nmi(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4405,6 +4414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "granger_daily": q_granger_daily,
         "cochran_q": q_cochran_q,
         "durbin_watson": q_durbin_watson,
+        "kmeans_label_nmi": q_kmeans_label_nmi,
     }
 
 
@@ -4692,6 +4702,7 @@ def oracle_sql() -> dict[str, str]:
         "granger_daily": O.granger_daily_sql(),
         "cochran_q": O.cochran_q_sql(),
         "durbin_watson": O.durbin_watson_daily_sql(),
+        "kmeans_label_nmi": O.kmeans_label_nmi_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -692,3 +692,104 @@ def kmeans_label_ari(
             ).alias("ari_micros"),
         )
     )
+
+
+def kmeans_label_nmi(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """One row (n_vectors, mi_micros, hc_micros, hl_micros,
+    nmi_micros) — Normalized Mutual Information (Strehl & Ghosh 2002,
+    public literature; the symmetric 2I/(H_C+H_L) form) between the
+    k-means clustering and the ground-truth labels: the information-
+    theoretic external validation next to :func:`kmeans_label_ari`'s
+    pair-counting view (NMI rewards pure-but-split clusters that ARI
+    penalizes — reading both tells you WHICH disagreement you have).
+
+    Float discipline: each contingency cell's MI term
+    (c/n)·ln(c·n/(a·b)) and each marginal's entropy term are ONE
+    identical expression on both engines, rounded to integer micros
+    PER TERM, then summed exactly (the repo-wide entropy rule); the
+    final NMI is an integer micros division of the summed micro
+    terms.  NULL when H_C + H_L = 0 (one cluster AND one label).
+
+    Scale shape: the kmeans shape plus one k·L contingency groupBy —
+    identical to the ARI query, two codebook-sized aggregates."""
+    q = _quantized(embeddings, id_col, vec_col)
+    centroids = _fit(q, k, iterations)
+    lab = embeddings.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lab")
+    )
+    ct = (
+        _assign(q, centroids)
+        .select("id", "cluster")
+        .join(lab, "id")
+        .groupBy("cluster", "lab")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n = ct.agg(F.sum("c").cast("long").alias("n"))
+    ca = ct.groupBy("cluster").agg(F.sum("c").cast("long").alias("a"))
+    cb = ct.groupBy("lab").agg(F.sum("c").cast("long").alias("b"))
+    mi = (
+        ct.join(F.broadcast(ca), "cluster")
+        .join(F.broadcast(cb), "lab")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("c").cast("double") / F.col("n").cast("double"))
+                    * F.log(
+                        (F.col("c").cast("double") * F.col("n").cast("double"))
+                        / (
+                            F.col("a").cast("double")
+                            * F.col("b").cast("double")
+                        )
+                    )
+                    * 1_000_000
+                ).cast("long")
+            ).alias("mi_micros")
+        )
+    )
+    hc = ca.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.round(
+                -(F.col("a").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    F.col("a").cast("double") / F.col("n").cast("double")
+                )
+                * 1_000_000
+            ).cast("long")
+        ).alias("hc_micros")
+    )
+    hl = cb.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.round(
+                -(F.col("b").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    F.col("b").cast("double") / F.col("n").cast("double")
+                )
+                * 1_000_000
+            ).cast("long")
+        ).alias("hl_micros")
+    )
+    return (
+        n.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            F.col("n").alias("n_vectors"),
+            "mi_micros", "hc_micros", "hl_micros",
+            F.when(
+                F.col("hc_micros") + F.col("hl_micros") > 0,
+                F.expr(
+                    "(1000000 * 2 * mi_micros)"
+                    " div (hc_micros + hl_micros)"
+                ),
+            ).cast("long").alias("nmi_micros"),
+        )
+    )

@@ -12876,3 +12876,49 @@ def durbin_watson_daily_sql() -> str:
         "  END AS BIGINT) AS dw_micros\n"
         "FROM dw_a"
     )
+
+
+def kmeans_label_nmi_sql(
+    k: int = 4, iterations: int = 2, d: int = 64
+) -> str:
+    """Mirror of operators.kmeans.kmeans_label_nmi: the shared
+    unrolled-Lloyd CTEs and contingency, per-term micro-rounded MI and
+    entropy expressions (identical float shape), exact micro sums,
+    one truncating integer division."""
+    parts = _kmeans_ctes(k, iterations, d)
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined},\n"
+        "nm_d AS MATERIALIZED (\n"
+        "  SELECT q.vec_id, c.cl,\n"
+        "    row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+        "      sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+        f"  FROM qe q JOIN cent{iterations} c ON c.pos = q.pos\n"
+        "  GROUP BY q.vec_id, c.cl),\n"
+        "nm_ct AS MATERIALIZED (\n"
+        "  SELECT a.cl, e.label AS lab, CAST(count(*) AS BIGINT) AS c\n"
+        "  FROM (SELECT vec_id, cl FROM nm_d WHERE rn = 1) a\n"
+        "  JOIN embeddings e ON e.vec_id = a.vec_id\n"
+        "  GROUP BY 1, 2),\n"
+        "nm_n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM nm_ct),\n"
+        "nm_a AS MATERIALIZED (SELECT cl, CAST(sum(c) AS BIGINT) AS a\n"
+        "  FROM nm_ct GROUP BY cl),\n"
+        "nm_b AS MATERIALIZED (SELECT lab, CAST(sum(c) AS BIGINT) AS b\n"
+        "  FROM nm_ct GROUP BY lab),\n"
+        "nm_mi AS (SELECT CAST(sum(CAST(round(\n"
+        "    (ct.c / nn.n) * ln((ct.c * nn.n) / (a.a * b.b)) * 1000000\n"
+        "  ) AS BIGINT)) AS BIGINT) AS mi_micros\n"
+        "  FROM nm_ct ct JOIN nm_a a ON a.cl = ct.cl\n"
+        "  JOIN nm_b b ON b.lab = ct.lab, nm_n nn),\n"
+        "nm_hc AS (SELECT CAST(sum(CAST(round(\n"
+        "    -(a.a / nn.n) * ln(a.a / nn.n) * 1000000\n"
+        "  ) AS BIGINT)) AS BIGINT) AS hc_micros FROM nm_a a, nm_n nn),\n"
+        "nm_hl AS (SELECT CAST(sum(CAST(round(\n"
+        "    -(b.b / nn.n) * ln(b.b / nn.n) * 1000000\n"
+        "  ) AS BIGINT)) AS BIGINT) AS hl_micros FROM nm_b b, nm_n nn)\n"
+        "SELECT n AS n_vectors, mi_micros, hc_micros, hl_micros,\n"
+        "  CAST(CASE WHEN hc_micros + hl_micros > 0 THEN\n"
+        "    (1000000 * 2 * mi_micros) // (hc_micros + hl_micros)\n"
+        "  END AS BIGINT) AS nmi_micros\n"
+        "FROM nm_n, nm_mi, nm_hc, nm_hl"
+    )
