@@ -3521,6 +3521,30 @@ def q_kmeans_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_label_nmi(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_theils_u_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theil's uncertainty coefficient U(type|dow): what fraction of
+    # the traffic-mix entropy does the weekday explain? Directional
+    # 0..1 companion to chi-square / Cramer's V
+    from graphlite_spark.operators.analytics import theils_u
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "cast((unix_micros(cast(ts as timestamp))"
+            " div 86400000000 + 3) % 7 as int)"
+        ).alias("dow"),
+        "event_type",
+    )
+    return theils_u(ev, "dow", "event_type")
+
+
+def q_user_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-user mean self-information of their event types under the
+    # global mix: the rarity/bot-screen ranking signal
+    from graphlite_spark.operators.analytics import user_surprisal
+
+    return user_surprisal(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4415,6 +4439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_q": q_cochran_q,
         "durbin_watson": q_durbin_watson,
         "kmeans_label_nmi": q_kmeans_label_nmi,
+        "theils_u_type_dow": q_theils_u_type_dow,
+        "user_surprisal": q_user_surprisal,
     }
 
 
@@ -4703,6 +4729,8 @@ def oracle_sql() -> dict[str, str]:
         "cochran_q": O.cochran_q_sql(),
         "durbin_watson": O.durbin_watson_daily_sql(),
         "kmeans_label_nmi": O.kmeans_label_nmi_sql(),
+        "theils_u_type_dow": O.theils_u_type_dow_sql(),
+        "user_surprisal": O.user_surprisal_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -5672,3 +5672,120 @@ def durbin_watson_daily(
             ),
         ).alias("dw_micros"),
     )
+
+
+def theils_u(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """One row (n, mi_micros, hy_micros, u_micros) — Theil's
+    uncertainty coefficient U(Y|X) = I(X;Y)/H(Y) (Theil 1970, public
+    literature): the fraction of Y's entropy explained by knowing X.
+    The DIRECTIONAL companion to :func:`mutual_information` (raw I is
+    unnormalized) and Cramér's V (symmetric): U(type|dow) answers "how
+    much of the traffic mix does the weekday determine?" on a 0..1
+    scale.
+
+    Float discipline: each joint cell's MI contribution and each
+    Y-marginal's entropy term are ONE identical expression on both
+    engines, rounded to micros PER TERM and summed exactly; the final
+    U is an integer micros division of the two micro sums (truncating;
+    NULL when H(Y) = 0).
+
+    Scale shape: one map-side-combined joint groupBy, two
+    marginal aggregates broadcast back; output is one row."""
+    joint = df.groupBy(
+        F.col(col_x).alias("x"), F.col(col_y).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nt = joint.agg(F.sum("n").cast("long").alias("nn"))
+    mx = joint.groupBy("x").agg(F.sum("n").cast("long").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("n").cast("long").alias("ny"))
+    arg = (F.col("n") * F.col("nn")) / (F.col("nx") * F.col("ny"))
+    mi = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(nt))
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1_000_000.0) * F.col("n") * F.log(arg)
+                    / F.col("nn"),
+                    0,
+                ).cast("long")
+            ).alias("mi_micros")
+        )
+    )
+    hy = my.crossJoin(F.broadcast(nt)).agg(
+        F.sum(
+            F.round(
+                -(F.col("ny").cast("double") / F.col("nn").cast("double"))
+                * F.log(
+                    F.col("ny").cast("double") / F.col("nn").cast("double")
+                )
+                * 1_000_000
+            ).cast("long")
+        ).alias("hy_micros")
+    )
+    return (
+        nt.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("nn").alias("n"),
+            "mi_micros", "hy_micros",
+            F.when(
+                F.col("hy_micros") > 0,
+                F.expr("(1000000 * mi_micros) div hy_micros"),
+            ).cast("long").alias("u_micros"),
+        )
+    )
+
+
+def user_surprisal(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """(user_id, n_events, surprisal_micros) — each user's mean
+    self-information −ln p(event_type) in micro-nats under the global
+    type distribution: high = the user's behavior concentrates on
+    globally RARE event types (the rarity/bot-screen signal a triage
+    pass ranks on — the user-level analogue of :func:`lm_doc_cost`'s
+    per-document token surprisal).
+
+    Float discipline: each TYPE's −ln p term is one identical
+    expression rounded to micros (computed once per type, k values
+    total); per-user sums are then exact integer dot products with
+    the user's type counts, and the mean is a truncating division
+    (nonnegative).
+
+    Scale shape: one (user, type) map-side-combined count, one k-row
+    type table broadcast back, one per-user aggregate."""
+    ut = events.groupBy(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    types = ut.groupBy("t").agg(F.sum("c").cast("long").alias("ct"))
+    nt = types.agg(F.sum("ct").cast("long").alias("nn"))
+    terms = types.crossJoin(F.broadcast(nt)).select(
+        "t",
+        F.round(
+            -F.log(
+                F.col("ct").cast("double") / F.col("nn").cast("double")
+            )
+            * 1_000_000
+        ).cast("long").alias("term"),
+    )
+    return (
+        ut.join(F.broadcast(terms), "t")
+        .groupBy(F.col("u").alias(user_col))
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.sum(F.col("c") * F.col("term")).cast("long").alias("tot"),
+        )
+        .select(
+            user_col, "n_events",
+            F.expr("tot div n_events").cast("long").alias(
+                "surprisal_micros"
+            ),
+        )
+    )

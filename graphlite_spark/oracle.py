@@ -12922,3 +12922,59 @@ def kmeans_label_nmi_sql(
         "  END AS BIGINT) AS nmi_micros\n"
         "FROM nm_n, nm_mi, nm_hc, nm_hl"
     )
+
+
+def theils_u_type_dow_sql() -> str:
+    """Mirror of operators.analytics.theils_u over (epoch dow, type):
+    identical per-term micro-rounded MI and entropy expressions, exact
+    micro sums, one truncating integer division."""
+    return (
+        "WITH tu_j AS MATERIALIZED (\n"
+        "  SELECT CAST((CAST(epoch_us(ts) AS BIGINT) // 86400000000"
+        " + 3) % 7 AS INT) AS x,\n"
+        "    event_type AS y, CAST(count(*) AS BIGINT) AS n\n"
+        "  FROM events GROUP BY 1, 2),\n"
+        "tu_x AS MATERIALIZED (SELECT x, CAST(SUM(n) AS BIGINT) AS nx"
+        " FROM tu_j GROUP BY x),\n"
+        "tu_y AS MATERIALIZED (SELECT y, CAST(SUM(n) AS BIGINT) AS ny"
+        " FROM tu_j GROUP BY y),\n"
+        "tu_n AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM tu_j),\n"
+        "tu_mi AS (SELECT CAST(sum(CAST(round(\n"
+        "    1000000.0 * j.n * ln((j.n * t.nn) / (x.nx * y.ny)) / t.nn,"
+        " 0) AS BIGINT)) AS BIGINT) AS mi_micros\n"
+        "  FROM tu_j j JOIN tu_x x USING (x) JOIN tu_y y USING (y),"
+        " tu_n t),\n"
+        "tu_hy AS (SELECT CAST(sum(CAST(round(\n"
+        "    -(y.ny / t.nn) * ln(y.ny / t.nn) * 1000000\n"
+        "  ) AS BIGINT)) AS BIGINT) AS hy_micros FROM tu_y y, tu_n t)\n"
+        "SELECT nn AS n, mi_micros, hy_micros,\n"
+        "  CAST(CASE WHEN hy_micros > 0 THEN\n"
+        "    (1000000 * mi_micros) // hy_micros END AS BIGINT)"
+        " AS u_micros\n"
+        "FROM tu_n, tu_mi, tu_hy"
+    )
+
+
+def user_surprisal_sql(
+    type_col: str = "event_type", user_col: str = "user_id"
+) -> str:
+    """Mirror of operators.analytics.user_surprisal: per-type
+    micro-rounded −ln p terms computed once, exact per-user integer
+    dot products, truncating mean."""
+    return (
+        "WITH us_c AS MATERIALIZED (\n"
+        f"  SELECT {user_col} AS u, {type_col} AS t,\n"
+        "    CAST(count(*) AS BIGINT) AS c\n"
+        "  FROM events GROUP BY 1, 2),\n"
+        "us_t AS MATERIALIZED (SELECT t, CAST(sum(c) AS BIGINT) AS ct\n"
+        "  FROM us_c GROUP BY t),\n"
+        "us_n AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM us_t),\n"
+        "us_k AS MATERIALIZED (SELECT t,\n"
+        "  CAST(round(-ln(ct / nn) * 1000000) AS BIGINT) AS term\n"
+        "  FROM us_t, us_n)\n"
+        f"SELECT c.u AS {user_col},\n"
+        "  CAST(sum(c.c) AS BIGINT) AS n_events,\n"
+        "  CAST(CAST(sum(c.c * k.term) AS BIGINT) // sum(c.c)"
+        " AS BIGINT) AS surprisal_micros\n"
+        "FROM us_c c JOIN us_k k USING (t) GROUP BY c.u"
+    )
