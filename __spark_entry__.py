@@ -3545,6 +3545,14 @@ def q_user_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_surprisal(load_table(spark, sf_dir, "events"))
 
 
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Burrows' Delta stylometric distance between sources: mean |z|
+    # gap over the top-20 word panel — the provenance fingerprint
+    from graphlite_spark.operators.tfidf import burrows_delta
+
+    return burrows_delta(load_table(spark, sf_dir, "documents"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4441,6 +4449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_label_nmi": q_kmeans_label_nmi,
         "theils_u_type_dow": q_theils_u_type_dow,
         "user_surprisal": q_user_surprisal,
+        "burrows_delta": q_burrows_delta,
     }
 
 
@@ -4731,6 +4740,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_label_nmi": O.kmeans_label_nmi_sql(),
         "theils_u_type_dow": O.theils_u_type_dow_sql(),
         "user_surprisal": O.user_surprisal_sql(),
+        "burrows_delta": O.burrows_delta_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

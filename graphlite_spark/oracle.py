@@ -12978,3 +12978,45 @@ def user_surprisal_sql(
         " AS BIGINT) AS surprisal_micros\n"
         "FROM us_c c JOIN us_k k USING (t) GROUP BY c.u"
     )
+
+
+def burrows_delta_sql(top_n: int = 20) -> str:
+    """Mirror of operators.tfidf.burrows_delta: same tokenization,
+    (count DESC, word ASC) panel, truncating micros frequencies,
+    denominator-cleared z with one identically-shaped sqrt rounding,
+    exact integer Delta mean."""
+    return (
+        "WITH bd_t AS MATERIALIZED (\n"
+        "  SELECT source AS s, w, CAST(count(*) AS BIGINT) AS c\n"
+        "  FROM (SELECT source, unnest(list_filter(\n"
+        "    string_split_regex(lower(text), '\\s+'), x -> x <> ''))"
+        " AS w\n"
+        "  FROM documents) GROUP BY 1, 2),\n"
+        "bd_s AS MATERIALIZED (SELECT s, CAST(sum(c) AS BIGINT) AS tot\n"
+        "  FROM bd_t GROUP BY s),\n"
+        "bd_p AS MATERIALIZED (SELECT w FROM (\n"
+        "  SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM bd_t GROUP BY w)\n"
+        f"  ORDER BY cw DESC, w ASC LIMIT {top_n}),\n"
+        "bd_l AS MATERIALIZED (\n"
+        "  SELECT t.s, p.w,\n"
+        "    CAST((1000000 * COALESCE(c.c, 0)) // t.tot AS BIGINT)"
+        " AS f\n"
+        "  FROM bd_s t CROSS JOIN bd_p p\n"
+        "  LEFT JOIN bd_t c ON c.s = t.s AND c.w = p.w),\n"
+        "bd_m AS MATERIALIZED (SELECT w,\n"
+        "  CAST(count(*) AS BIGINT) AS k, CAST(sum(f) AS BIGINT) AS sw,\n"
+        "  CAST(sum(f * f) AS BIGINT) AS qw FROM bd_l GROUP BY w),\n"
+        "bd_z AS MATERIALIZED (\n"
+        "  SELECT l.s, l.w,\n"
+        "    CAST(CASE WHEN m.k * m.qw - m.sw * m.sw > 0 THEN\n"
+        "      round((m.k * l.f - m.sw)\n"
+        "        / sqrt(m.k * m.qw - m.sw * m.sw) * 1000000)\n"
+        "    ELSE 0 END AS BIGINT) AS z\n"
+        "  FROM bd_l l JOIN bd_m m USING (w))\n"
+        "SELECT a.s AS source_a, b.s AS source_b,\n"
+        "  CAST(count(*) AS BIGINT) AS n_words,\n"
+        "  CAST(CAST(sum(abs(a.z - b.z)) AS BIGINT) // count(*)"
+        " AS BIGINT) AS delta_micros\n"
+        "FROM bd_z a JOIN bd_z b ON b.w = a.w AND a.s < b.s\n"
+        "GROUP BY 1, 2"
+    )
