@@ -3553,6 +3553,14 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return burrows_delta(load_table(spark, sf_dir, "documents"))
 
 
+def q_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Jonckheere-Terpstra ordered-alternative test: do event values
+    # trend monotonically across the ordered weekday groups?
+    from graphlite_spark.operators.analytics import jonckheere_trend
+
+    return jonckheere_trend(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4450,6 +4458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theils_u_type_dow": q_theils_u_type_dow,
         "user_surprisal": q_user_surprisal,
         "burrows_delta": q_burrows_delta,
+        "jonckheere_trend": q_jonckheere_trend,
     }
 
 
@@ -4741,6 +4750,7 @@ def oracle_sql() -> dict[str, str]:
         "theils_u_type_dow": O.theils_u_type_dow_sql(),
         "user_surprisal": O.user_surprisal_sql(),
         "burrows_delta": O.burrows_delta_sql(),
+        "jonckheere_trend": O.jonckheere_trend_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -5789,3 +5789,81 @@ def user_surprisal(
             ),
         )
     )
+
+
+def jonckheere_trend(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_total, k_groups, jt2, e2_null) — the
+    Jonckheere–Terpstra ordered-alternative test (Jonckheere 1954 /
+    Terpstra 1952, public literature) of event ``value`` across the
+    week: do values trend MONOTONICALLY across ordered weekday groups
+    (Mon < Tue < … as the ``(d+3) % 7`` ordering)?  Where
+    :func:`anova_value_by_type` asks "any difference between groups"
+    and :func:`mann_kendall_daily` tests the time series itself, JT
+    is the rank test with power specifically against an ordered
+    shift.
+
+    JT = Σ_{i<j} U_ij (pairwise Mann–Whitney counts, ½ per tie);
+    DOUBLED everything is integer — for each ordered group pair (i,j)
+    and value v, 2·U picks up 2·cnt_j(v)·below_i(v) +
+    cnt_j(v)·cnt_i(v).  Under H₀, E[2·JT] = (N² − Σn_g²)/2 exactly
+    (e2_null); jt2 > e2_null = increasing trend.  All BIGINT.
+
+    Scale shape: one (group, cents) map-side-combined count; the
+    cumulative-below table lives on the k·|alphabet| lattice (one
+    per-group window); the pair join is |alphabet|·k²/2 rows — group
+    count is a constant 7 and the alphabet is the distinct-cents set,
+    both bounded regardless of row count."""
+    src = events.select(
+        F.expr(
+            f"cast((unix_micros(cast({ts_col} as timestamp))"
+            f" div {DAY_US} + 3) % 7 as int)"
+        ).alias("g"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v"),
+    )
+    cnt = src.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    alpha = cnt.select("v").distinct()
+    groups = cnt.select("g").distinct()
+    lattice = (
+        alpha.crossJoin(F.broadcast(groups))
+        .join(cnt, ["g", "v"], "left")
+        .select(
+            "g", "v", F.coalesce("c", F.lit(0)).cast("long").alias("ci")
+        )
+    )
+    wb = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    iside = lattice.select(
+        F.col("g").alias("gi"), "v", "ci",
+        F.coalesce(F.sum("ci").over(wb), F.lit(0)).cast("long").alias(
+            "below"
+        ),
+    )
+    contrib = (
+        cnt.select(F.col("g").alias("gj"), "v", F.col("c").alias("cj"))
+        .join(iside, "v")
+        .where(F.col("gi") < F.col("gj"))
+        .agg(
+            F.sum(
+                2 * F.col("cj") * F.col("below")
+                + F.col("cj") * F.col("ci")
+            ).cast("long").alias("jt2")
+        )
+    )
+    tot = cnt.groupBy("g").agg(F.sum("c").cast("long").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("nsq"),
+    )
+    return tot.crossJoin(F.broadcast(contrib)).select(
+        F.col("nn").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        F.coalesce("jt2", F.lit(0)).cast("long").alias("jt2"),
+        F.expr("(nn * nn - nsq) div 2").cast("long").alias("e2_null"),
+    )

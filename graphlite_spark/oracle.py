@@ -13020,3 +13020,42 @@ def burrows_delta_sql(top_n: int = 20) -> str:
         "FROM bd_z a JOIN bd_z b ON b.w = a.w AND a.s < b.s\n"
         "GROUP BY 1, 2"
     )
+
+
+def jonckheere_trend_sql(value_col: str = "value") -> str:
+    """Mirror of operators.analytics.jonckheere_trend: (dow, cents)
+    counts, per-group cumulative-below on the shared alphabet
+    lattice, doubled pairwise Mann–Whitney sums, the exact null
+    expectation — all BIGINT."""
+    return (
+        "WITH jt_s AS MATERIALIZED (\n"
+        "  SELECT CAST((CAST(epoch_us(ts) AS BIGINT) // 86400000000"
+        " + 3) % 7 AS INT) AS g,\n"
+        f"    CAST(round({value_col} * 100) AS BIGINT) AS v\n"
+        "  FROM events),\n"
+        "jt_c AS MATERIALIZED (SELECT g, v,"
+        " CAST(count(*) AS BIGINT) AS c\n"
+        "  FROM jt_s GROUP BY 1, 2),\n"
+        "jt_l AS MATERIALIZED (\n"
+        "  SELECT gr.g, al.v, CAST(COALESCE(c.c, 0) AS BIGINT) AS ci\n"
+        "  FROM (SELECT DISTINCT v FROM jt_c) al\n"
+        "  CROSS JOIN (SELECT DISTINCT g FROM jt_c) gr\n"
+        "  LEFT JOIN jt_c c ON c.g = gr.g AND c.v = al.v),\n"
+        "jt_i AS MATERIALIZED (\n"
+        "  SELECT g AS gi, v, ci,\n"
+        "    CAST(COALESCE(sum(ci) OVER (PARTITION BY g ORDER BY v\n"
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        " AS BIGINT) AS below\n"
+        "  FROM jt_l),\n"
+        "jt_2 AS (SELECT CAST(COALESCE(sum(\n"
+        "    2 * j.c * i.below + j.c * i.ci), 0) AS BIGINT) AS jt2\n"
+        "  FROM jt_c j JOIN jt_i i ON i.v = j.v AND i.gi < j.g),\n"
+        "jt_t AS (SELECT CAST(count(*) AS BIGINT) AS k,\n"
+        "  CAST(sum(n) AS BIGINT) AS nn,"
+        " CAST(sum(n * n) AS BIGINT) AS nsq FROM (\n"
+        "    SELECT g, CAST(sum(c) AS BIGINT) AS n FROM jt_c"
+        " GROUP BY g))\n"
+        "SELECT nn AS n_total, k AS k_groups, jt2,\n"
+        "  CAST((nn * nn - nsq) // 2 AS BIGINT) AS e2_null\n"
+        "FROM jt_t, jt_2"
+    )
