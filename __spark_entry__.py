@@ -3561,6 +3561,24 @@ def q_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jonckheere_trend(load_table(spark, sf_dir, "events"))
 
 
+def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mean reciprocal rank of the first same-label neighbor in the
+    # exact cosine top-10 — the position-sensitive retrieval metric
+    # between 1-NN accuracy and recall@k
+    from graphlite_spark.operators.similarity import ann_mrr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_mrr(emb, emb.where(F.col("vec_id") < 20), k=10)
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tie-corrected Kruskal-Wallis: do the event types draw value
+    # from one distribution? (rank-robust sibling of the ANOVA)
+    from graphlite_spark.operators.analytics import kruskal_wallis
+
+    return kruskal_wallis(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4459,6 +4477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_surprisal": q_user_surprisal,
         "burrows_delta": q_burrows_delta,
         "jonckheere_trend": q_jonckheere_trend,
+        "ann_mrr": q_ann_mrr,
+        "kruskal_wallis": q_kruskal_wallis,
     }
 
 
@@ -4751,6 +4771,8 @@ def oracle_sql() -> dict[str, str]:
         "user_surprisal": O.user_surprisal_sql(),
         "burrows_delta": O.burrows_delta_sql(),
         "jonckheere_trend": O.jonckheere_trend_sql(),
+        "ann_mrr": O.ann_mrr_sql(10, 20),
+        "kruskal_wallis": O.kruskal_wallis_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

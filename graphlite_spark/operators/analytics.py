@@ -5867,3 +5867,95 @@ def jonckheere_trend(
         F.coalesce("jt2", F.lit(0)).cast("long").alias("jt2"),
         F.expr("(nn * nn - nsq) div 2").cast("long").alias("e2_null"),
     )
+
+
+def kruskal_wallis(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """One row (n_total, k_groups, rank_dev_den, h_micros) — the
+    Kruskal–Wallis rank test (Kruskal & Wallis 1952, public
+    literature), tie-corrected: do the k event types draw their
+    ``value`` from the same distribution?  The k-group extension of
+    :func:`mann_whitney_u` and the rank (outlier-robust) sibling of
+    :func:`anova_value_by_type` — the standard first screen when the
+    cents distributions are heavy-tailed.
+
+    Tie-corrected identity on DOUBLED midranks (r2 = 2·cb + ct + 1,
+    mean exactly N+1): H = (N−1)·Σⱼ tⱼ/nⱼ / D with
+    tⱼ = (R2ⱼ − nⱼ·(N+1))² and D = Σ ct·(r2 − (N+1))² — the paired
+    4s cancel, every term BIGINT.  The per-group division is emitted
+    as a truncating micros term, (10⁶·(N−1)·tⱼ) div (nⱼ·D) on
+    DECIMAL(38,0) / HUGEINT, and H is their exact sum — per-term
+    truncation stated (the entropy-discipline analogue for integer
+    ratios).  NULL when D = 0 (all values tied).
+
+    Scale shape: one global cents-alphabet groupBy (map-side
+    combined), one alphabet-bounded rank window, one (group, value)
+    count joined to the alphabet, k-row and scalar rollups."""
+    cents = events.select(
+        F.col(group_col).alias("g"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v"),
+    )
+    byv = cents.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    wb = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r2v = byv.select(
+        "v", "ct",
+        (
+            2 * F.coalesce(F.sum("ct").over(wb), F.lit(0))
+            + F.col("ct") + 1
+        ).cast("long").alias("r2"),
+    )
+    nn = byv.agg(F.sum("ct").cast("long").alias("n"))
+    dd = r2v.crossJoin(F.broadcast(nn)).agg(
+        F.sum(
+            F.col("ct")
+            * (F.col("r2") - (F.col("n") + 1))
+            * (F.col("r2") - (F.col("n") + 1))
+        ).cast("long").alias("d")
+    )
+    gv = cents.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    perg = (
+        gv.join(F.broadcast(r2v.select("v", "r2")), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("nj"),
+            F.sum(F.col("c") * F.col("r2")).cast("long").alias("r2j"),
+        )
+    )
+    terms = (
+        perg.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(dd))
+        .select(
+            "nj",
+            F.when(
+                F.col("d") > 0,
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0)) * (n - 1)"
+                    " * (r2j - nj * (n + 1)) * (r2j - nj * (n + 1)))"
+                    " div CAST(nj AS DECIMAL(38,0)) div"
+                    " CAST(d AS DECIMAL(38,0)) AS BIGINT)"
+                ),
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.agg(
+            F.sum("nj").cast("long").alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("k_groups"),
+            F.sum("term").cast("long").alias("h_micros"),
+        )
+        .crossJoin(F.broadcast(dd))
+        .select(
+            "n_total", "k_groups",
+            F.col("d").alias("rank_dev_den"),
+            "h_micros",
+        )
+    )

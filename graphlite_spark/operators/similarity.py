@@ -1969,3 +1969,56 @@ def hamming_recall(
         embeddings, queries, k=k, d=d, id_col=id_col, vec_col=vec_col
     )
     return _recall_compare(truth, approx)
+
+
+def ann_mrr(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """One row (n_queries, n_hit, mrr_micros) — Mean Reciprocal Rank
+    of the first SAME-LABEL neighbor in the exact cosine top-k: the
+    position-sensitive retrieval readout between
+    :func:`knn_accuracy` (only rank 1 counts) and recall@k (any rank
+    counts equally) — the standard leaderboard metric for "how far
+    down must a user scroll to the first right answer".
+
+    Exactness: per query the reciprocal rank rides as the truncating
+    micros 10⁶ div rank (0 when no same-label neighbor in the top k,
+    which COUNTS toward the mean); the mean is a second truncating
+    division — integer end-to-end.
+
+    Scale shape: one :func:`cosine_topk` (the operator under test),
+    one broadcast label join, one per-query min, two scalars; sampled
+    query set at 100 TB exactly like the recall readouts."""
+    topk = cosine_topk(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    lab = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("ql")
+    )
+    nlab = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nl")
+    )
+    first = (
+        topk.join(F.broadcast(nlab), "neighbor_id")
+        .join(F.broadcast(lab), "query_id")
+        .where(F.col("ql") == F.col("nl"))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    per = lab.join(first, "query_id", "left").select(
+        F.coalesce(
+            F.expr("1000000 div first_rank"), F.lit(0)
+        ).cast("long").alias("rr")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum((F.col("rr") > 0).cast("long")).cast("long").alias(
+            "n_hit"
+        ),
+        F.expr("sum(rr) div count(*)").cast("long").alias("mrr_micros"),
+    )

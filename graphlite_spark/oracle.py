@@ -13059,3 +13059,80 @@ def jonckheere_trend_sql(value_col: str = "value") -> str:
         "  CAST((nn * nn - nsq) // 2 AS BIGINT) AS e2_null\n"
         "FROM jt_t, jt_2"
     )
+
+
+def ann_mrr_sql(
+    k: int = 10, num_queries: int = 20
+) -> str:
+    """Mirror of operators.similarity.ann_mrr: brute-force cosine
+    top-k, first same-label rank, truncating reciprocal-rank micros,
+    truncating mean."""
+    return (
+        "WITH eb AS MATERIALIZED (SELECT vec_id, label,\n"
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+        "  FROM embeddings),\n"
+        f"q AS MATERIALIZED (SELECT * FROM eb WHERE vec_id < {num_queries}),\n"
+        "topk AS MATERIALIZED (\n"
+        "  SELECT query_id, neighbor_id, rank FROM (\n"
+        f"    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,\n"
+        "      row_number() OVER (PARTITION BY q.vec_id\n"
+        "        ORDER BY "
+        f"{_COS} DESC, c.vec_id ASC) AS rank\n"
+        "    FROM q JOIN eb c ON c.vec_id <> q.vec_id)\n"
+        f"  WHERE rank <= {k}),\n"
+        "fr AS MATERIALIZED (\n"
+        "  SELECT t.query_id, CAST(min(t.rank) AS BIGINT) AS first_rank\n"
+        "  FROM topk t JOIN eb n ON n.vec_id = t.neighbor_id\n"
+        "  JOIN q ON q.vec_id = t.query_id\n"
+        "  WHERE q.label = n.label GROUP BY t.query_id),\n"
+        "per AS (SELECT COALESCE(1000000 // f.first_rank, 0) AS rr\n"
+        "  FROM q LEFT JOIN fr f ON f.query_id = q.vec_id)\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n_queries,\n"
+        "  CAST(sum(CASE WHEN rr > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_hit,\n"
+        "  CAST(CAST(sum(rr) AS BIGINT) // count(*) AS BIGINT)"
+        " AS mrr_micros\n"
+        "FROM per"
+    )
+
+
+def kruskal_wallis_sql(
+    group_col: str = "event_type", value_col: str = "value"
+) -> str:
+    """Mirror of operators.analytics.kruskal_wallis: global doubled
+    midranks on the cents alphabet, tie-corrected deviation
+    denominator, per-group truncating micros terms (successive //
+    equals the product division for nonnegative integers), exact
+    sum."""
+    return (
+        "WITH kw_s AS MATERIALIZED (\n"
+        f"  SELECT {group_col} AS g,"
+        f" CAST(round({value_col} * 100) AS BIGINT) AS v FROM events),\n"
+        "kw_v AS MATERIALIZED (SELECT v,"
+        " CAST(count(*) AS BIGINT) AS ct FROM kw_s GROUP BY v),\n"
+        "kw_r AS MATERIALIZED (\n"
+        "  SELECT v, ct, CAST(2 * COALESCE(sum(ct) OVER (ORDER BY v\n"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)\n"
+        "    + ct + 1 AS BIGINT) AS r2 FROM kw_v),\n"
+        "kw_n AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM kw_v),\n"
+        "kw_d AS (SELECT CAST(sum(ct * (r2 - (nn.n + 1))"
+        " * (r2 - (nn.n + 1))) AS BIGINT) AS d\n"
+        "  FROM kw_r, kw_n nn),\n"
+        "kw_g AS MATERIALIZED (\n"
+        "  SELECT s.g, CAST(count(*) AS BIGINT) AS nj,\n"
+        "    CAST(sum(r.r2) AS BIGINT) AS r2j\n"
+        "  FROM kw_s s JOIN kw_r r ON r.v = s.v GROUP BY s.g),\n"
+        "kw_t AS (SELECT g, nj,\n"
+        "  CASE WHEN dd.d > 0 THEN\n"
+        "    CAST((CAST(1000000 AS HUGEINT) * (nn.n - 1)\n"
+        "      * (r2j - nj * (nn.n + 1)) * (r2j - nj * (nn.n + 1)))\n"
+        "      // CAST(nj AS HUGEINT) // CAST(dd.d AS HUGEINT)"
+        " AS BIGINT)\n"
+        "  END AS term\n"
+        "  FROM kw_g, kw_n nn, kw_d dd)\n"
+        "SELECT CAST(sum(nj) AS BIGINT) AS n_total,\n"
+        "  CAST(count(*) AS BIGINT) AS k_groups,\n"
+        "  (SELECT d FROM kw_d) AS rank_dev_den,\n"
+        "  CAST(sum(term) AS BIGINT) AS h_micros\n"
+        "FROM kw_t"
+    )
