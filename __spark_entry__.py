@@ -3579,6 +3579,15 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kruskal_wallis(load_table(spark, sf_dir, "events"))
 
 
+def q_collective_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Morone-Makse Collective Influence at radius 2: the optimal-
+    # percolation influencer proxy that finds what raw degree misses
+    from graphlite_spark.algos.centrality import collective_influence
+
+    _, _, e = graph_tables(spark, sf_dir)
+    return collective_influence(e)
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4479,6 +4488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jonckheere_trend": q_jonckheere_trend,
         "ann_mrr": q_ann_mrr,
         "kruskal_wallis": q_kruskal_wallis,
+        "collective_influence": q_collective_influence,
     }
 
 
@@ -4773,6 +4783,7 @@ def oracle_sql() -> dict[str, str]:
         "jonckheere_trend": O.jonckheere_trend_sql(),
         "ann_mrr": O.ann_mrr_sql(10, 20),
         "kruskal_wallis": O.kruskal_wallis_sql(),
+        "collective_influence": O.collective_influence_sql(100, 20),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

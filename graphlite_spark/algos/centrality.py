@@ -573,3 +573,72 @@ def spectral_gap_lambda2(
         lam = q if sxz >= 0 else -q
     gap = None if lam is None else MICRO - abs(lam)
     return spark.createDataFrame([(nv, ne, lam, gap)], schema)
+
+
+def collective_influence(
+    edges: DataFrame,
+    max_wedge_degree: int | None = 100,
+    top_k: int = 20,
+) -> DataFrame:
+    """(id, degree, ci) — Collective Influence at radius 2 (Morone &
+    Makse, Nature 2015, public literature): CI₂(v) = (k_v − 1) ·
+    Σ_{u ∈ ∂Ball(v,2)} (k_u − 1), the optimal-percolation proxy that
+    finds influencers DEGREE MISSES (a modest-degree vertex whose
+    distance-2 frontier is rich in hubs outranks a hub in a dense
+    clump).  Top-``top_k`` by (ci DESC, id ASC).
+
+    The exact-2 frontier is the distinct 2-hop set minus direct
+    neighbors and self; wedge centers are degree-capped before the
+    quadratic join (the module-wide hub rule shared with
+    :func:`~graphlite_spark.algos.linkpred.adamic_adar` — frontier
+    paths through capped centers only, documented bias, exactly
+    mirrored by the oracle).  All counts BIGINT-exact.
+
+    Scale shape: the wedge join is bounded by Σ_{capped w} deg(w)²;
+    the frontier dedup is one distinct on (v, u); top-k is
+    TakeOrderedAndProject."""
+    from graphlite_spark.algos.components import symmetrize
+
+    und = symmetrize(edges).select("src", "dst")
+    deg = und.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    ctr = deg.where(F.col("deg") >= 2)
+    if max_wedge_degree is not None:
+        ctr = ctr.where(F.col("deg") <= max_wedge_degree)
+    ctr = ctr.select(F.col("src").alias("w"))
+    e1 = und.select(F.col("dst").alias("w"), F.col("src").alias("v"))
+    e2 = und.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    two = (
+        e1.join(ctr, "w")
+        .join(e2, "w")
+        .where(F.col("v") != F.col("u"))
+        .select("v", "u")
+        .distinct()
+    )
+    frontier = two.join(
+        und.select(F.col("src").alias("v"), F.col("dst").alias("u")),
+        ["v", "u"],
+        "left_anti",
+    )
+    gain = (
+        frontier.join(
+            deg.select(F.col("src").alias("u"), F.col("deg").alias("du")),
+            "u",
+        )
+        .groupBy("v")
+        .agg(F.sum(F.col("du") - 1).cast("long").alias("fsum"))
+    )
+    return (
+        deg.select(F.col("src").alias("v"), "deg")
+        .join(gain, "v", "left")
+        .select(
+            F.col("v").alias("id"),
+            F.col("deg").alias("degree"),
+            (
+                (F.col("deg") - 1) * F.coalesce("fsum", F.lit(0))
+            ).cast("long").alias("ci"),
+        )
+        .orderBy(F.col("ci").desc(), F.col("id").asc())
+        .limit(top_k)
+    )

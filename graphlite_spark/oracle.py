@@ -13136,3 +13136,35 @@ def kruskal_wallis_sql(
         "  CAST(sum(term) AS BIGINT) AS h_micros\n"
         "FROM kw_t"
     )
+
+
+def collective_influence_sql(
+    max_wedge_degree: int = 100, top_k: int = 20
+) -> str:
+    """Mirror of algos.centrality.collective_influence: undirected
+    degrees, capped wedge centers, distinct exact-2 frontier (2-hop
+    minus direct neighbors minus self), BIGINT CI, (ci DESC, id)
+    top-k."""
+    body = (
+        ", cid AS MATERIALIZED (SELECT src,"
+        " CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),\n"
+        "cic AS (SELECT src AS w FROM cid"
+        f" WHERE deg >= 2 AND deg <= {max_wedge_degree}),\n"
+        "cit AS MATERIALIZED (\n"
+        "  SELECT DISTINCT e1.src AS v, e2.dst AS u\n"
+        "  FROM und e1 JOIN cic c ON c.w = e1.dst\n"
+        "  JOIN und e2 ON e2.src = e1.dst\n"
+        "  WHERE e2.dst <> e1.src),\n"
+        "cif AS MATERIALIZED (\n"
+        "  SELECT t.v, t.u FROM cit t\n"
+        "  WHERE NOT EXISTS (SELECT 1 FROM und x"
+        " WHERE x.src = t.v AND x.dst = t.u)),\n"
+        "cig AS MATERIALIZED (\n"
+        "  SELECT f.v, CAST(sum(d.deg - 1) AS BIGINT) AS fsum\n"
+        "  FROM cif f JOIN cid d ON d.src = f.u GROUP BY f.v)\n"
+        "SELECT d.src AS id, d.deg AS degree,\n"
+        "  CAST((d.deg - 1) * COALESCE(g.fsum, 0) AS BIGINT) AS ci\n"
+        "FROM cid d LEFT JOIN cig g ON g.v = d.src\n"
+        f"ORDER BY ci DESC, id ASC LIMIT {top_k}"
+    )
+    return _graph_query(body)
