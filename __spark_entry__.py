@@ -3588,6 +3588,16 @@ def q_collective_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collective_influence(e)
 
 
+def q_time_decay_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # time-decay revenue attribution: credit halves per day of touch
+    # age, exact power-of-two weights, remainder to the newest touch
+    from graphlite_spark.operators.temporal import time_decay_attribution
+
+    return time_decay_attribution(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4489,6 +4499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mrr": q_ann_mrr,
         "kruskal_wallis": q_kruskal_wallis,
         "collective_influence": q_collective_influence,
+        "time_decay_attribution": q_time_decay_attribution,
     }
 
 
@@ -4784,6 +4795,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_mrr": O.ann_mrr_sql(10, 20),
         "kruskal_wallis": O.kruskal_wallis_sql(),
         "collective_influence": O.collective_influence_sql(100, 20),
+        "time_decay_attribution": O.time_decay_attribution_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -942,3 +942,109 @@ def layer_multiplexity(
         )
         .where(F.col("n_a") + F.col("n_b") > 0)
     )
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    half_life_days: int = 1,
+    max_days: int = 20,
+    actor_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """(channel, n_touches, sum_credit_microcents) — time-decay
+    revenue attribution, completing the heuristic family next to
+    first/last-touch, U-shaped and the Markov removal effect: each
+    conversion splits 10⁶ credit micros over its ordered preceding
+    touches with weight halving per ``half_life_days`` of age
+    (w = 10⁶ div 2^Δ, Δ = age in half-lives capped at ``max_days``),
+    so yesterday's click outweighs last month's.
+
+    Exactness: weights are exact powers-of-two divisions; per-touch
+    credit is the truncating share (10⁶·w) div Σw with the truncation
+    remainder assigned to the MOST RECENT touch (the
+    position_attribution discipline — credits sum to exactly 10⁶);
+    contributions ride as BIGINT micro-cents.
+
+    Scale shape: ONE ordered per-actor window collects each
+    conversion's preceding touch structs (bounded by the actor's own
+    history); weights/credits are array expressions over that list —
+    staged as separate projections so no subexpression re-inlines."""
+    w = (
+        Window.partitionBy(actor_col)
+        .orderBy(ts_col, tie_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != convert_type,
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("u"),
+        ),
+    )
+    conv = events.select(
+        "event_type",
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("cu"),
+        F.filter(
+            F.collect_list(touch).over(w), lambda x: x.isNotNull()
+        ).alias("touches"),
+    ).where(
+        (F.col("event_type") == convert_type)
+        & (F.size("touches") > 0)
+    )
+    hl_us = half_life_days * 86_400_000_000
+    wts = conv.select(
+        "cents", "touches",
+        F.expr(
+            "transform(touches, x -> 1000000 div shiftleft("
+            "cast(1 as bigint), cast(least((cu - x.u)"
+            f" div {hl_us}, {max_days}) as int)))"
+        ).alias("wts"),
+    ).select(
+        "cents", "touches", "wts",
+        F.expr(
+            "aggregate(wts, cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("sw"),
+    )
+    base = wts.select(
+        "cents", "touches",
+        F.expr(
+            "transform(wts, x -> (1000000 * x) div sw)"
+        ).alias("cr0"),
+    ).select(
+        "cents", "touches", "cr0",
+        F.expr(
+            "aggregate(cr0, cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("sc"),
+    )
+    credited = base.select(
+        "cents",
+        F.expr(
+            "transform(cr0, (c, i) -> CASE WHEN i = size(cr0) - 1"
+            " THEN c + (1000000 - sc) ELSE c END)"
+        ).alias("credits"),
+        "touches",
+    )
+    return (
+        credited.select(
+            "cents",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("transform(touches, x -> x.t)").alias("ch"),
+                    F.col("credits").alias("cr"),
+                )
+            ).alias("z"),
+        )
+        .select(
+            F.col("z.ch").alias("channel"),
+            (F.col("cents") * F.col("z.cr")).cast("long").alias("mc"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("mc").cast("long").alias("sum_credit_microcents"),
+        )
+    )

@@ -13168,3 +13168,48 @@ def collective_influence_sql(
         f"ORDER BY ci DESC, id ASC LIMIT {top_k}"
     )
     return _graph_query(body)
+
+
+def time_decay_attribution_sql(
+    convert_type: str = "purchase",
+    half_life_days: int = 1,
+    max_days: int = 20,
+) -> str:
+    """Mirror of operators.temporal.time_decay_attribution in row form:
+    the strictly-preceding (ts, event_id) touch pairs, power-of-two
+    decay weights, per-conversion truncating credit shares with the
+    remainder on the most recent touch, BIGINT micro-cents."""
+    hl_us = half_life_days * 86_400_000_000
+    return (
+        "WITH td_e AS MATERIALIZED (SELECT event_id, user_id,"
+        " event_type,\n"
+        "  CAST(round(value * 100) AS BIGINT) AS cents,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS u FROM events),\n"
+        "td_p AS MATERIALIZED (\n"
+        "  SELECT c.event_id AS cid, c.cents, t.event_type AS ch,\n"
+        "    CAST(1000000 // (CAST(1 AS BIGINT) << CAST(least(\n"
+        f"      (c.u - t.u) // {hl_us}, {max_days}) AS INT))"
+        " AS BIGINT) AS w,\n"
+        "    row_number() OVER (PARTITION BY c.event_id"
+        " ORDER BY t.u, t.event_id) AS rn,\n"
+        "    count(*) OVER (PARTITION BY c.event_id) AS m\n"
+        "  FROM td_e c JOIN td_e t ON t.user_id = c.user_id\n"
+        "    AND (t.u < c.u OR (t.u = c.u AND t.event_id < c.event_id))\n"
+        f"  WHERE c.event_type = '{convert_type}'"
+        f" AND t.event_type <> '{convert_type}'),\n"
+        "td_c AS MATERIALIZED (\n"
+        "  SELECT cid, cents, ch, rn, m,\n"
+        "    CAST((1000000 * w) // sum(w) OVER (PARTITION BY cid)"
+        " AS BIGINT) AS cr0\n"
+        "  FROM td_p),\n"
+        "td_f AS MATERIALIZED (\n"
+        "  SELECT cents, ch,\n"
+        "    CAST(cr0 + CASE WHEN rn = m THEN 1000000\n"
+        "      - sum(cr0) OVER (PARTITION BY cid) ELSE 0 END"
+        " AS BIGINT) AS credit\n"
+        "  FROM td_c)\n"
+        "SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_touches,\n"
+        "  CAST(sum(cents * credit) AS BIGINT)"
+        " AS sum_credit_microcents\n"
+        "FROM td_f GROUP BY ch"
+    )
