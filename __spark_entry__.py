@@ -3598,6 +3598,24 @@ def q_time_decay_attribution(
     return time_decay_attribution(load_table(spark, sf_dir, "events"))
 
 
+def q_funnel_multistep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # strict-order 3-step funnel signup -> click -> purchase: where
+    # users leak between acquisition, engagement and monetization
+    from graphlite_spark.operators.temporal import funnel_multistep
+
+    return funnel_multistep(_events_us(spark, sf_dir))
+
+
+def q_conversion_window_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # attribution-window sensitivity: click->purchase conversion at
+    # W = 1/3/7/14 days from one first-conversion delay table
+    from graphlite_spark.operators.temporal import conversion_window_curve
+
+    return conversion_window_curve(_events_us(spark, sf_dir))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4500,6 +4518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": q_kruskal_wallis,
         "collective_influence": q_collective_influence,
         "time_decay_attribution": q_time_decay_attribution,
+        "funnel_multistep": q_funnel_multistep,
+        "conversion_window_curve": q_conversion_window_curve,
     }
 
 
@@ -4796,6 +4816,8 @@ def oracle_sql() -> dict[str, str]:
         "kruskal_wallis": O.kruskal_wallis_sql(),
         "collective_influence": O.collective_influence_sql(100, 20),
         "time_decay_attribution": O.time_decay_attribution_sql(),
+        "funnel_multistep": O.funnel_multistep_sql(),
+        "conversion_window_curve": O.conversion_window_curve_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

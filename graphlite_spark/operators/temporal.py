@@ -1048,3 +1048,141 @@ def time_decay_attribution(
             F.sum("mc").cast("long").alias("sum_credit_microcents"),
         )
     )
+
+
+def funnel_multistep(
+    events: DataFrame,
+    steps: tuple = ("signup", "click", "purchase"),
+    actor_col: str = "user_id",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """One row (n_step1, n_step2, n_step3, conv12_micros, conv23_micros,
+    conv13_micros) — the classic strict-order 3-step funnel: users with
+    a first ``steps[0]``, of those the ones with a ``steps[1]``
+    STRICTLY AFTER it, of those the ones with a ``steps[2]`` strictly
+    after that.  The multi-stage extension of
+    :func:`funnel_conversion` (which sees one hop) — where users leak
+    between acquisition, engagement and monetization.
+
+    Each stage anchors at the EARLIEST qualifying timestamp (min-
+    aggregate per user per stage — equal-timestamp ties do not
+    qualify, stated); conversions are truncating micros ratios.
+
+    Scale shape: three per-user min-aggregates chained by two
+    equi-joins on the user key — no windows, no ordering shuffle
+    beyond the per-user combine."""
+    a, b, c = steps
+    e = events.select(
+        F.col(actor_col).alias("u"), "event_type",
+        F.col(ts_col).alias("t"),
+    )
+    s1 = e.where(F.col("event_type") == a).groupBy("u").agg(
+        F.min("t").alias("t1")
+    )
+    s2 = (
+        e.where(F.col("event_type") == b)
+        .join(s1, "u")
+        .where(F.col("t") > F.col("t1"))
+        .groupBy("u")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == c)
+        .join(s2, "u")
+        .where(F.col("t") > F.col("t2"))
+        .groupBy("u")
+        .agg(F.min("t").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_step1"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_step2"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n_step3"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(n3))
+        .select(
+            "n_step1", "n_step2", "n_step3",
+            F.when(
+                F.col("n_step1") > 0,
+                F.expr("(1000000 * n_step2) div n_step1"),
+            ).cast("long").alias("conv12_micros"),
+            F.when(
+                F.col("n_step2") > 0,
+                F.expr("(1000000 * n_step3) div n_step2"),
+            ).cast("long").alias("conv23_micros"),
+            F.when(
+                F.col("n_step1") > 0,
+                F.expr("(1000000 * n_step3) div n_step1"),
+            ).cast("long").alias("conv13_micros"),
+        )
+    )
+
+
+def conversion_window_curve(
+    events: DataFrame,
+    from_type: str = "click",
+    to_type: str = "purchase",
+    windows_days: tuple = (1, 3, 7, 14),
+    actor_col: str = "user_id",
+    ts_col: str = "ts_us",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(window_days, n_from, n_converted, conv_micros) — the
+    attribution-window sensitivity curve: for each candidate window W,
+    the share of ``from_type`` events followed by a ``to_type`` by the
+    SAME actor within W days.  The tuning table behind every "did the
+    click convert?" metric — pick W where the curve flattens instead
+    of inheriting a default.
+
+    Exactness: each from-event's FIRST strictly-later conversion delay
+    is an exact BIGINT (min-aggregate, (ts, tie) strict order);
+    windows threshold that one delay table; ratios truncate.
+
+    Scale shape: one per-actor equi-join bounded by per-actor event
+    counts, one min-aggregate per from-event, then a windows-sized
+    literal explode over a 1-row count table — the delay table is
+    computed ONCE for all windows."""
+    fr = events.where(F.col("event_type") == from_type).select(
+        F.col(actor_col).alias("u"), F.col(tie_col).alias("fid"),
+        F.col(ts_col).alias("ft"),
+    )
+    to = events.where(F.col("event_type") == to_type).select(
+        F.col(actor_col).alias("u"), F.col(ts_col).alias("tt")
+    )
+    delay = (
+        fr.join(to, "u")
+        .where(F.col("tt") > F.col("ft"))
+        .groupBy("fid")
+        .agg(F.min(F.col("tt") - F.col("ft")).alias("d"))
+    )
+    nfrom = fr.agg(F.count(F.lit(1)).cast("long").alias("n_from"))
+    counts = delay.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    (F.col("d") <= int(w) * 86_400_000_000).cast("long")
+                ),
+                F.lit(0),
+            ).cast("long").alias(f"c{int(w)}")
+            for w in windows_days
+        ]
+    )
+    stack = ", ".join(
+        f"struct({int(w)} as window_days, c{int(w)} as n_converted)"
+        for w in windows_days
+    )
+    return (
+        nfrom.crossJoin(F.broadcast(counts))
+        .select(
+            "n_from",
+            F.explode(F.expr(f"array({stack})")).alias("s"),
+        )
+        .select(
+            F.col("s.window_days").cast("int").alias("window_days"),
+            "n_from",
+            F.col("s.n_converted").cast("long").alias("n_converted"),
+            F.when(
+                F.col("n_from") > 0,
+                F.expr("(1000000 * s.n_converted) div n_from"),
+            ).cast("long").alias("conv_micros"),
+        )
+    )

@@ -13213,3 +13213,75 @@ def time_decay_attribution_sql(
         " AS sum_credit_microcents\n"
         "FROM td_f GROUP BY ch"
     )
+
+
+def funnel_multistep_sql(
+    steps: tuple = ("signup", "click", "purchase"),
+) -> str:
+    """Mirror of operators.temporal.funnel_multistep: chained per-user
+    earliest-qualifying min-aggregates, truncating conversion
+    micros."""
+    a, b, c = steps
+    return (
+        "WITH fm_e AS MATERIALIZED (SELECT user_id AS u, event_type,\n"
+        "  CAST(epoch_us(ts) AS BIGINT) AS t FROM events),\n"
+        "fm_1 AS MATERIALIZED (SELECT u, min(t) AS t1 FROM fm_e\n"
+        f"  WHERE event_type = '{a}' GROUP BY u),\n"
+        "fm_2 AS MATERIALIZED (SELECT e.u, min(e.t) AS t2\n"
+        f"  FROM fm_e e JOIN fm_1 s ON s.u = e.u\n"
+        f"  WHERE e.event_type = '{b}' AND e.t > s.t1 GROUP BY e.u),\n"
+        "fm_3 AS MATERIALIZED (SELECT e.u, min(e.t) AS t3\n"
+        f"  FROM fm_e e JOIN fm_2 s ON s.u = e.u\n"
+        f"  WHERE e.event_type = '{c}' AND e.t > s.t2 GROUP BY e.u),\n"
+        "fm_n AS (SELECT\n"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM fm_1) AS n_step1,\n"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM fm_2) AS n_step2,\n"
+        "  (SELECT CAST(count(*) AS BIGINT) FROM fm_3) AS n_step3)\n"
+        "SELECT n_step1, n_step2, n_step3,\n"
+        "  CAST(CASE WHEN n_step1 > 0 THEN (1000000 * n_step2)"
+        " // n_step1 END AS BIGINT) AS conv12_micros,\n"
+        "  CAST(CASE WHEN n_step2 > 0 THEN (1000000 * n_step3)"
+        " // n_step2 END AS BIGINT) AS conv23_micros,\n"
+        "  CAST(CASE WHEN n_step1 > 0 THEN (1000000 * n_step3)"
+        " // n_step1 END AS BIGINT) AS conv13_micros\n"
+        "FROM fm_n"
+    )
+
+
+def conversion_window_curve_sql(
+    from_type: str = "click",
+    to_type: str = "purchase",
+    windows_days: tuple = (1, 3, 7, 14),
+) -> str:
+    """Mirror of operators.temporal.conversion_window_curve: one
+    first-conversion delay table thresholded per literal window,
+    truncating micros ratios."""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {int(w)} AS window_days,"
+        " (SELECT n_from FROM cw_n) AS n_from,\n"
+        "  CAST((SELECT COALESCE(sum(CASE WHEN d <="
+        f" {int(w) * 86_400_000_000} THEN 1 ELSE 0 END), 0)"
+        " FROM cw_d) AS BIGINT) AS n_converted"
+        for w in windows_days
+    )
+    return (
+        "WITH cw_f AS MATERIALIZED (\n"
+        "  SELECT user_id AS u, event_id AS fid,\n"
+        "    CAST(epoch_us(ts) AS BIGINT) AS ft FROM events\n"
+        f"  WHERE event_type = '{from_type}'),\n"
+        "cw_t AS MATERIALIZED (\n"
+        "  SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS tt\n"
+        f"  FROM events WHERE event_type = '{to_type}'),\n"
+        "cw_d AS MATERIALIZED (\n"
+        "  SELECT f.fid, CAST(min(t.tt - f.ft) AS BIGINT) AS d\n"
+        "  FROM cw_f f JOIN cw_t t ON t.u = f.u AND t.tt > f.ft\n"
+        "  GROUP BY f.fid),\n"
+        "cw_n AS (SELECT CAST(count(*) AS BIGINT) AS n_from"
+        " FROM cw_f),\n"
+        f"cw_w AS ({rows})\n"
+        "SELECT CAST(window_days AS INT) AS window_days, n_from,"
+        " n_converted,\n"
+        "  CAST(CASE WHEN n_from > 0 THEN (1000000 * n_converted)"
+        " // n_from END AS BIGINT) AS conv_micros\n"
+        "FROM cw_w"
+    )
