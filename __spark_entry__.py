@@ -3616,6 +3616,15 @@ def q_conversion_window_curve(
     return conversion_window_curve(_events_us(spark, sf_dir))
 
 
+def q_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # linear CKA between the two embedding halves: do the first and
+    # last 32 dims encode the same geometry (redundant) or
+    # complementary information?
+    from graphlite_spark.operators.similarity import cka_halves
+
+    return cka_halves(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4520,6 +4529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_decay_attribution": q_time_decay_attribution,
         "funnel_multistep": q_funnel_multistep,
         "conversion_window_curve": q_conversion_window_curve,
+        "cka_halves": q_cka_halves,
     }
 
 
@@ -4818,6 +4828,7 @@ def oracle_sql() -> dict[str, str]:
         "time_decay_attribution": O.time_decay_attribution_sql(),
         "funnel_multistep": O.funnel_multistep_sql(),
         "conversion_window_curve": O.conversion_window_curve_sql(),
+        "cka_halves": O.cka_halves_sql(32, 64),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

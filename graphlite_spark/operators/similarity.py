@@ -2022,3 +2022,103 @@ def ann_mrr(
         ),
         F.expr("sum(rr) div count(*)").cast("long").alias("mrr_micros"),
     )
+
+
+def cka_halves(
+    embeddings: DataFrame,
+    split: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row (n_vectors, cka_micros) — linear Centered Kernel
+    Alignment (Kornblith et al. 2019, public literature) between the
+    first ``split`` and the remaining embedding dimensions:
+    CKA = ‖A'B‖²_F / (‖A'A‖_F·‖B'B‖_F) on column-centered features.
+    High = the two halves encode the SAME geometry (the
+    representation is redundant across dimensions — truncation will
+    be cheap, cf. :func:`matryoshka_recall`); low = the halves carry
+    complementary information.
+
+    Exactness: features are MILLI-quantized (round(x·10³) — the one
+    deliberate departure from the micros rule, stated: it keeps every
+    gram cell and squared-cell sum inside BIGINT/DECIMAL(38,0) at
+    corpus scale) and centered exactly via the n-scaled form
+    c = n·q − S; the three gram matrices are exact integer
+    aggregates; the single float is the final
+    round(10⁶·S_AB / sqrt(S_AA·S_BB)) — identical expression both
+    engines over identical integers.
+
+    Scale shape: one posexplode + per-dimension mean, one id-key
+    equi-join per gram (map-side-combined d²-cell aggregates — the
+    classic distributed X'X shape), then scalars; nothing wider than
+    n·d² rows ever exists and no d×d matrix leaves the executors
+    unaggregated."""
+    q = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("qv"),
+    )
+    pe = q.select("id", F.posexplode("qv").alias("pos", "val"))
+    mom = pe.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("val").cast("long").alias("s"),
+    )
+    cen = pe.join(F.broadcast(mom), "pos").select(
+        "id", "pos",
+        (F.col("n") * F.col("val") - F.col("s")).cast("long").alias("c"),
+    )
+    a = cen.where(F.col("pos") < split).select(
+        "id", F.col("pos").alias("i"), F.col("c").alias("ca")
+    )
+    b = cen.where(F.col("pos") >= split).select(
+        "id", (F.col("pos") - split).alias("j"), F.col("c").alias("cb")
+    )
+
+    def _fro2(x: DataFrame, y: DataFrame, kx: str, ky: str,
+              vx: str, vy: str) -> DataFrame:
+        gram = (
+            x.join(y, "id")
+            .groupBy(kx, ky)
+            .agg(F.sum(F.col(vx) * F.col(vy)).cast("long").alias("g"))
+        )
+        return gram.agg(
+            F.sum(
+                F.expr("CAST(g AS DECIMAL(38,0)) * g")
+            ).alias("fro2")
+        )
+
+    sab = _fro2(a, b, "i", "j", "ca", "cb").select(
+        F.col("fro2").alias("s_ab")
+    )
+    saa = _fro2(
+        a, a.select(F.col("id"), F.col("i").alias("i2"),
+                    F.col("ca").alias("ca2")),
+        "i", "i2", "ca", "ca2",
+    ).select(F.col("fro2").alias("s_aa"))
+    sbb = _fro2(
+        b, b.select(F.col("id"), F.col("j").alias("j2"),
+                    F.col("cb").alias("cb2")),
+        "j", "j2", "cb", "cb2",
+    ).select(F.col("fro2").alias("s_bb"))
+    n1 = q.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return (
+        n1.crossJoin(F.broadcast(sab))
+        .crossJoin(F.broadcast(saa))
+        .crossJoin(F.broadcast(sbb))
+        .select(
+            "n_vectors",
+            F.when(
+                (F.col("s_aa") > 0) & (F.col("s_bb") > 0),
+                F.round(
+                    F.lit(1_000_000.0)
+                    * F.col("s_ab").cast("double")
+                    / F.sqrt(
+                        F.col("s_aa").cast("double")
+                        * F.col("s_bb").cast("double")
+                    )
+                ),
+            ).cast("long").alias("cka_micros"),
+        )
+    )

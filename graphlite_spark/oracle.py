@@ -13285,3 +13285,45 @@ def conversion_window_curve_sql(
         " // n_from END AS BIGINT) AS conv_micros\n"
         "FROM cw_w"
     )
+
+
+def cka_halves_sql(split: int = 32, d: int = 64) -> str:
+    """Mirror of operators.similarity.cka_halves: milli-quantized
+    vertical features, exact n-scaled centering, three integer gram
+    matrices with HUGEINT squared-cell sums, one identically-shaped
+    final float."""
+    return (
+        "WITH ck_q AS MATERIALIZED (\n"
+        "  SELECT vec_id AS id, t.i - 1 AS pos,\n"
+        "    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000, 0)"
+        " AS BIGINT) AS val\n"
+        f"  FROM embeddings, range(1, {d + 1}) t(i)),\n"
+        "ck_m AS MATERIALIZED (SELECT pos,"
+        " CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(val) AS BIGINT) AS s FROM ck_q GROUP BY pos),\n"
+        "ck_c AS MATERIALIZED (\n"
+        "  SELECT q.id, q.pos,\n"
+        "    CAST(m.n * q.val - m.s AS BIGINT) AS c\n"
+        "  FROM ck_q q JOIN ck_m m ON m.pos = q.pos),\n"
+        f"ck_a AS MATERIALIZED (SELECT id, pos AS i, c AS ca"
+        f" FROM ck_c WHERE pos < {split}),\n"
+        f"ck_b AS MATERIALIZED (SELECT id, pos - {split} AS j, c AS cb"
+        f" FROM ck_c WHERE pos >= {split}),\n"
+        "ck_ab AS (SELECT sum(CAST(g AS HUGEINT) * g) AS s_ab FROM (\n"
+        "  SELECT CAST(sum(a.ca * b.cb) AS BIGINT) AS g\n"
+        "  FROM ck_a a JOIN ck_b b USING (id) GROUP BY a.i, b.j)),\n"
+        "ck_aa AS (SELECT sum(CAST(g AS HUGEINT) * g) AS s_aa FROM (\n"
+        "  SELECT CAST(sum(a.ca * a2.ca) AS BIGINT) AS g\n"
+        "  FROM ck_a a JOIN ck_a a2 USING (id) GROUP BY a.i, a2.i)),\n"
+        "ck_bb AS (SELECT sum(CAST(g AS HUGEINT) * g) AS s_bb FROM (\n"
+        "  SELECT CAST(sum(b.cb * b2.cb) AS BIGINT) AS g\n"
+        "  FROM ck_b b JOIN ck_b b2 USING (id) GROUP BY b.j, b2.j)),\n"
+        "ck_n AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors"
+        " FROM embeddings)\n"
+        "SELECT n_vectors,\n"
+        "  CAST(CASE WHEN s_aa > 0 AND s_bb > 0 THEN\n"
+        "    round(1000000.0 * CAST(s_ab AS DOUBLE)\n"
+        "      / sqrt(CAST(s_aa AS DOUBLE) * CAST(s_bb AS DOUBLE)))\n"
+        "  END AS BIGINT) AS cka_micros\n"
+        "FROM ck_n, ck_ab, ck_aa, ck_bb"
+    )
