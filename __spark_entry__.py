@@ -3625,6 +3625,15 @@ def q_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cka_halves(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # participation-ratio effective rank tr(C)^2/||C||_F^2 of the
+    # embedding covariance, no eigendecomposition — how many
+    # dimensions the representation actually uses
+    from graphlite_spark.operators.similarity import effective_rank_embeddings
+
+    return effective_rank_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4530,6 +4539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_multistep": q_funnel_multistep,
         "conversion_window_curve": q_conversion_window_curve,
         "cka_halves": q_cka_halves,
+        "effective_rank": q_effective_rank,
     }
 
 
@@ -4829,6 +4839,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_multistep": O.funnel_multistep_sql(),
         "conversion_window_curve": O.conversion_window_curve_sql(),
         "cka_halves": O.cka_halves_sql(32, 64),
+        "effective_rank": O.effective_rank_sql(64),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -2122,3 +2122,73 @@ def cka_halves(
             ).cast("long").alias("cka_micros"),
         )
     )
+
+
+def effective_rank_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row (n_vectors, n_dims, er_micros) — the participation
+    ratio / effective rank PR = (Σλ)²/Σλ² = tr(C)²/‖C‖²_F of the
+    embedding covariance, WITHOUT any eigendecomposition (both traces
+    read off the centered gram matrix): how many dimensions the
+    representation actually uses — 64 = isotropic, ≪64 = collapsed.
+    The global-linear companion to :func:`twonn_intrinsic_dim`
+    (local, nonlinear) and the scalar summary of
+    :func:`embedding_covariance`.
+
+    Exactness: CENTI-quantized (round(x·10²) — coarser than the
+    cka_halves millis, stated: 10⁶·tr(C)² must clear DECIMAL(38,0))
+    n-scaled centered features; gram cells are exact BIGINTs
+    (bound: n³·q̄² < 2⁶³ — exact through ~10⁴ vectors; beyond, drop
+    the n-scaling), the trace-square and Frobenius sums ride
+    DECIMAL(38,0) / HUGEINT, and the output is one truncating micros
+    division — integer end-to-end.
+
+    Scale shape: one posexplode + per-dimension mean, ONE id-key
+    equi-join gram (d²-cell map-side-combined aggregate), scalars."""
+    q = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 100).cast("long"),
+        ).alias("qv"),
+    )
+    pe = q.select("id", F.posexplode("qv").alias("pos", "val"))
+    mom = pe.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("val").cast("long").alias("s"),
+    )
+    cen = pe.join(F.broadcast(mom), "pos").select(
+        "id", F.col("pos").alias("i"),
+        (F.col("n") * F.col("val") - F.col("s")).cast("long").alias("c"),
+    )
+    gram = (
+        cen.join(
+            cen.select(
+                "id", F.col("i").alias("j"), F.col("c").alias("c2")
+            ),
+            "id",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("c") * F.col("c2")).cast("long").alias("g"))
+    )
+    agg = gram.agg(
+        F.countDistinct("i").cast("long").alias("n_dims"),
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("g"))).cast(
+            "decimal(38,0)"
+        ).alias("tr"),
+        F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("fro2"),
+    )
+    n1 = q.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return n1.crossJoin(F.broadcast(agg)).select(
+        "n_vectors", "n_dims",
+        F.when(
+            F.col("fro2") > 0,
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * tr * tr)"
+                " div fro2 AS BIGINT)"
+            ),
+        ).alias("er_micros"),
+    )

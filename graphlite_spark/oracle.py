@@ -13327,3 +13327,37 @@ def cka_halves_sql(split: int = 32, d: int = 64) -> str:
         "  END AS BIGINT) AS cka_micros\n"
         "FROM ck_n, ck_ab, ck_aa, ck_bb"
     )
+
+
+def effective_rank_sql(d: int = 64) -> str:
+    """Mirror of operators.similarity.effective_rank_embeddings:
+    centi-quantized n-scaled centered features, one BIGINT gram,
+    HUGEINT trace-square and Frobenius sums, truncating micros
+    division."""
+    return (
+        "WITH er_q AS MATERIALIZED (\n"
+        "  SELECT vec_id AS id, t.i - 1 AS pos,\n"
+        "    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 100, 0)"
+        " AS BIGINT) AS val\n"
+        f"  FROM embeddings, range(1, {d + 1}) t(i)),\n"
+        "er_m AS MATERIALIZED (SELECT pos,"
+        " CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(val) AS BIGINT) AS s FROM er_q GROUP BY pos),\n"
+        "er_c AS MATERIALIZED (\n"
+        "  SELECT q.id, q.pos AS i,\n"
+        "    CAST(m.n * q.val - m.s AS BIGINT) AS c\n"
+        "  FROM er_q q JOIN er_m m ON m.pos = q.pos),\n"
+        "er_g AS MATERIALIZED (\n"
+        "  SELECT a.i, b.i AS j, CAST(sum(a.c * b.c) AS BIGINT) AS g\n"
+        "  FROM er_c a JOIN er_c b USING (id) GROUP BY a.i, b.i),\n"
+        "er_a AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_dims,\n"
+        "  CAST(sum(CASE WHEN i = j THEN g END) AS HUGEINT) AS tr,\n"
+        "  sum(CAST(g AS HUGEINT) * g) AS fro2 FROM er_g),\n"
+        "er_n AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors"
+        " FROM embeddings)\n"
+        "SELECT n_vectors, n_dims,\n"
+        "  CAST(CASE WHEN fro2 > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * tr * tr) // fro2\n"
+        "  END AS BIGINT) AS er_micros\n"
+        "FROM er_n, er_a"
+    )
