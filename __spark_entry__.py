@@ -3634,6 +3634,15 @@ def q_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return effective_rank_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_lm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # proper held-out bigram-LM evaluation: train on the 80% hash
+    # split, score the 20% with left-join backoff — the honest
+    # perplexity a filter threshold should be set from
+    from graphlite_spark.operators.ngram_lm import lm_heldout_nll
+
+    return lm_heldout_nll(load_table(spark, sf_dir, "documents"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4540,6 +4549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_window_curve": q_conversion_window_curve,
         "cka_halves": q_cka_halves,
         "effective_rank": q_effective_rank,
+        "lm_heldout_nll": q_lm_heldout_nll,
     }
 
 
@@ -4840,6 +4850,7 @@ def oracle_sql() -> dict[str, str]:
         "conversion_window_curve": O.conversion_window_curve_sql(),
         "cka_halves": O.cka_halves_sql(32, 64),
         "effective_rank": O.effective_rank_sql(64),
+        "lm_heldout_nll": O.lm_heldout_nll_sql(5),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

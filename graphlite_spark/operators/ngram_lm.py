@@ -290,3 +290,112 @@ def kneser_ney_bigram(
         .orderBy(F.col("n_pairs").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(top)
     )
+
+
+def lm_heldout_nll(
+    docs: DataFrame,
+    test_mod: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row (n_train_docs, n_test_docs, n_bigrams, n_unseen,
+    avg_nll_micros) — PROPER held-out evaluation of the add-one-
+    smoothed corpus bigram model: train on the ~(1−1/test_mod) hash
+    split, score the held-out docs' bigrams with the left-join
+    backoff (unseen pair under a seen history costs ln(c(w1)+V);
+    unseen history costs ln V) — the number :func:`doc_lm_cost`
+    cannot give (its self-scoring corpus sees every bigram by
+    construction), and the honest basis for a perplexity-filter
+    threshold.  Perplexity = exp(avg_nll_micros/10⁶).
+
+    Split: hash48('lmsplit:' || doc_id) % test_mod = 0 → test —
+    deterministic, engine-identical.  Costs are rounded ONCE per
+    distinct (w1, w2) pair of the TEST corpus (both ln operands exact
+    BIGINTs — the doc_lm_cost discipline); totals are exact integer
+    sums with one truncating mean.
+
+    Scale shape: the doc_lm_cost shape plus one hash filter — the
+    model is observed-bigram-sized, V a literal, the scoring join
+    pair-keyed with per-(doc,pair) multiplicities combined first."""
+    from graphlite_spark.functions.hashes import hash48
+
+    tagged = docs.withColumn(
+        "_is_test",
+        hash48(
+            F.concat(F.lit("lmsplit:"), F.col(id_col).cast("string"))
+        )
+        % test_mod
+        == 0,
+    )
+    train = tagged.where(~F.col("_is_test"))
+    test = tagged.where(F.col("_is_test"))
+    vocab_size = (
+        train.select(F.explode(tokens_expr(text_col)).alias("tok"))
+        .select("tok")
+        .distinct()
+        .count()
+    )
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        t = tokens_expr(text_col)
+        idx = F.sequence(F.lit(1), F.size(t) - 1)
+        p = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        return frame.select(
+            F.col(id_col), F.explode(p).alias("p")
+        ).select(id_col, "p.w1", "p.w2")
+
+    c12 = _pairs(train).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    tp = _pairs(test).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    scored = (
+        tp.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .select(
+            "m",
+            (F.col("n12").isNull()).cast("long").alias("unseen"),
+            F.round(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (
+                        F.coalesce(F.col("n1"), F.lit(0))
+                        + F.lit(vocab_size)
+                    ).cast("double")
+                    / (F.coalesce(F.col("n12"), F.lit(0)) + F.lit(1.0))
+                )
+            ).cast("long").alias("cost"),
+        )
+    )
+    nd = tagged.agg(
+        F.sum((~F.col("_is_test")).cast("long")).cast("long").alias(
+            "n_train_docs"
+        ),
+        F.sum(F.col("_is_test").cast("long")).cast("long").alias(
+            "n_test_docs"
+        ),
+    )
+    agg = scored.agg(
+        F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce(F.sum(F.col("m") * F.col("unseen")), F.lit(0))
+        .cast("long").alias("n_unseen"),
+        F.coalesce(F.sum(F.col("m") * F.col("cost")), F.lit(0))
+        .cast("long").alias("tot"),
+    )
+    return nd.crossJoin(F.broadcast(agg)).select(
+        "n_train_docs", "n_test_docs", "n_bigrams", "n_unseen",
+        F.when(
+            F.col("n_bigrams") > 0, F.expr("tot div n_bigrams")
+        ).otherwise(F.lit(0)).cast("long").alias("avg_nll_micros"),
+    )

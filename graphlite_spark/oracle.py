@@ -13361,3 +13361,47 @@ def effective_rank_sql(d: int = 64) -> str:
         "  END AS BIGINT) AS er_micros\n"
         "FROM er_n, er_a"
     )
+
+
+def lm_heldout_nll_sql(test_mod: int = 5) -> str:
+    """Mirror of operators.ngram_lm.lm_heldout_nll: hash48 doc split,
+    train-only model with add-one smoothing, left-join backoff costs
+    rounded once per distinct test pair, truncating mean."""
+    h = _h48("'lmsplit:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH lt AS MATERIALIZED (SELECT doc_id,
+  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+  ({h} % {test_mod} = 0) AS is_test
+  FROM documents),
+bgt AS MATERIALIZED (
+  SELECT doc_id, is_test, toks[CAST(i AS INT)] AS w1,
+         toks[CAST(i AS INT) + 1] AS w2
+  FROM lt, UNNEST(range(1, len(toks))) AS t(i)),
+c12 AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+  FROM bgt WHERE NOT is_test GROUP BY 1, 2),
+c1 AS MATERIALIZED (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1
+  FROM c12 GROUP BY 1),
+vocab AS (SELECT count(DISTINCT tok) AS v FROM
+  (SELECT unnest(toks) AS tok FROM lt WHERE NOT is_test)),
+tp AS MATERIALIZED (SELECT w1, w2, CAST(count(*) AS BIGINT) AS m
+  FROM bgt WHERE is_test GROUP BY 1, 2),
+sc AS MATERIALIZED (
+  SELECT tp.m,
+    CASE WHEN c12.n12 IS NULL THEN 1 ELSE 0 END AS unseen,
+    CAST(round(1000000.0 * ln(
+      CAST(COALESCE(c1.n1, 0) + (SELECT v FROM vocab) AS DOUBLE)
+      / (COALESCE(c12.n12, 0) + 1.0))) AS BIGINT) AS cost
+  FROM tp LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)),
+nd AS (SELECT
+  CAST(sum(CASE WHEN is_test THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_train_docs,
+  CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_test_docs FROM lt),
+ag AS (SELECT CAST(COALESCE(sum(m), 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(sum(m * unseen), 0) AS BIGINT) AS n_unseen,
+  CAST(COALESCE(sum(m * cost), 0) AS BIGINT) AS tot FROM sc)
+SELECT n_train_docs, n_test_docs, n_bigrams, n_unseen,
+  CAST(CASE WHEN n_bigrams > 0 THEN tot // n_bigrams ELSE 0 END
+    AS BIGINT) AS avg_nll_micros
+FROM nd, ag
+"""
