@@ -3643,6 +3643,19 @@ def q_lm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_heldout_nll(load_table(spark, sf_dir, "documents"))
 
 
+def q_guimera_amaral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Guimera-Amaral cartography over LPA-3 communities: top-20 by
+    # within-module z with participation — provincial vs connector
+    # hubs, the role map community detection is run for
+    from graphlite_spark.algos.community import guimera_amaral_roles
+
+    _, v, e = graph_tables(spark, sf_dir)
+    labels = label_propagation(v, e, iterations=3).state.select(
+        "id", F.col("value").alias("label")
+    )
+    return guimera_amaral_roles(e, labels, top_k=20)
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4550,6 +4563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cka_halves": q_cka_halves,
         "effective_rank": q_effective_rank,
         "lm_heldout_nll": q_lm_heldout_nll,
+        "guimera_amaral_roles": q_guimera_amaral,
     }
 
 
@@ -4851,6 +4865,7 @@ def oracle_sql() -> dict[str, str]:
         "cka_halves": O.cka_halves_sql(32, 64),
         "effective_rank": O.effective_rank_sql(64),
         "lm_heldout_nll": O.lm_heldout_nll_sql(5),
+        "guimera_amaral_roles": O.guimera_amaral_sql(3, 20),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -294,3 +294,85 @@ def label_spreading(
     return base.select("id", "seed").join(p, "id").select(
         "id", "seed", *pcols
     )
+
+
+def guimera_amaral_roles(
+    edges: DataFrame,
+    labels: DataFrame,
+    top_k: int = 20,
+) -> DataFrame:
+    """(id, degree, k_within, participation_micros, z_micros) — the
+    Guimerà–Amaral functional cartography (Nature 2005, public
+    literature) of a partition: per vertex the participation
+    coefficient P = 1 − Σ_c (k_c/k)² (0 = all edges inside one
+    module, →1 = edges spread across modules) and the within-module
+    degree z-score (hub-ness RELATIVE to the vertex's own module).
+    Together they classify provincial hubs vs connector hubs — the
+    role map community detection is usually run FOR.  Top ``top_k``
+    by (z DESC, id ASC).
+
+    Exactness: P rides the exact truncating form
+    10⁶ − (10⁶·Σk_c²) div k²; z clears both module moments —
+    z = (n·k_w − S)/√(n·Q − S²) — so its ONE float is an
+    identically-shaped sqrt expression rounded to micros per vertex
+    (0 where the module variance is 0).
+
+    Scale shape: one edge→label join (broadcastable label table or
+    shuffle on id), one (vertex, neighbor-community) groupBy, one
+    module-sized moment aggregate joined back — no quadratic path."""
+    from graphlite_spark.algos.components import symmetrize
+
+    und = symmetrize(edges).select("src", "dst")
+    lab = labels.select("id", "label")
+    tagged = (
+        und.join(lab.select(F.col("id").alias("src"),
+                            F.col("label").alias("ls")), "src")
+        .join(lab.select(F.col("id").alias("dst"),
+                         F.col("label").alias("ld")), "dst")
+    )
+    percom = tagged.groupBy(
+        F.col("src").alias("id"), F.col("ls").alias("own"),
+        F.col("ld").alias("c"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("kc"))
+    per = percom.groupBy("id", "own").agg(
+        F.sum("kc").cast("long").alias("k"),
+        F.sum(F.col("kc") * F.col("kc")).cast("long").alias("ksq"),
+        F.sum(
+            F.when(F.col("c") == F.col("own"), F.col("kc"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("kw"),
+    )
+    mod = per.groupBy("own").agg(
+        F.count(F.lit(1)).cast("long").alias("nm"),
+        F.sum("kw").cast("long").alias("sm"),
+        F.sum(F.col("kw") * F.col("kw")).cast("long").alias("qm"),
+    )
+    return (
+        per.join(mod, "own")
+        .select(
+            "id",
+            F.col("k").alias("degree"),
+            F.col("kw").alias("k_within"),
+            (
+                F.lit(1_000_000)
+                - F.expr("(1000000 * ksq) div (k * k)")
+            ).cast("long").alias("participation_micros"),
+            F.when(
+                F.col("nm") * F.col("qm") - F.col("sm") * F.col("sm")
+                > 0,
+                F.round(
+                    (F.col("nm") * F.col("kw") - F.col("sm"))
+                    .cast("double")
+                    / F.sqrt(
+                        (
+                            F.col("nm") * F.col("qm")
+                            - F.col("sm") * F.col("sm")
+                        ).cast("double")
+                    )
+                    * 1_000_000
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("z_micros"),
+        )
+        .orderBy(F.col("z_micros").desc(), F.col("id").asc())
+        .limit(top_k)
+    )

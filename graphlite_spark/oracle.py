@@ -13405,3 +13405,45 @@ SELECT n_train_docs, n_test_docs, n_bigrams, n_unseen,
     AS BIGINT) AS avg_nll_micros
 FROM nd, ag
 """
+
+
+def guimera_amaral_sql(
+    lpa_iterations: int = 3, top_k: int = 20
+) -> str:
+    """Mirror of algos.community.guimera_amaral_roles over the LPA-N
+    labeling: label-tagged undirected arcs, per-(vertex, community)
+    counts, exact truncating participation, per-vertex rounded
+    within-module z, (z DESC, id) top-k."""
+    parts = _lpa_parts(lpa_iterations)
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined},\n"
+        "ga_t AS MATERIALIZED (\n"
+        "  SELECT u.src, ls.label AS own, ld.label AS c\n"
+        f"  FROM und u JOIN l{lpa_iterations} ls ON ls.id = u.src\n"
+        f"  JOIN l{lpa_iterations} ld ON ld.id = u.dst),\n"
+        "ga_p AS MATERIALIZED (\n"
+        "  SELECT src AS id, own, c, CAST(count(*) AS BIGINT) AS kc\n"
+        "  FROM ga_t GROUP BY 1, 2, 3),\n"
+        "ga_v AS MATERIALIZED (\n"
+        "  SELECT id, own, CAST(sum(kc) AS BIGINT) AS k,\n"
+        "    CAST(sum(kc * kc) AS BIGINT) AS ksq,\n"
+        "    CAST(sum(CASE WHEN c = own THEN kc ELSE 0 END) AS BIGINT)"
+        " AS kw\n"
+        "  FROM ga_p GROUP BY 1, 2),\n"
+        "ga_m AS MATERIALIZED (\n"
+        "  SELECT own, CAST(count(*) AS BIGINT) AS nm,\n"
+        "    CAST(sum(kw) AS BIGINT) AS sm,\n"
+        "    CAST(sum(kw * kw) AS BIGINT) AS qm\n"
+        "  FROM ga_v GROUP BY own)\n"
+        "SELECT v.id, v.k AS degree, v.kw AS k_within,\n"
+        "  CAST(1000000 - (1000000 * v.ksq) // (v.k * v.k) AS BIGINT)"
+        " AS participation_micros,\n"
+        "  CAST(CASE WHEN m.nm * m.qm - m.sm * m.sm > 0 THEN\n"
+        "    round((m.nm * v.kw - m.sm)\n"
+        "      / sqrt(m.nm * m.qm - m.sm * m.sm) * 1000000)\n"
+        "  ELSE 0 END AS BIGINT) AS z_micros\n"
+        "FROM ga_v v JOIN ga_m m USING (own)\n"
+        f"ORDER BY z_micros DESC, v.id ASC LIMIT {top_k}"
+    )
+    return _graph_query(body)
