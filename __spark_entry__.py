@@ -3656,6 +3656,15 @@ def q_guimera_amaral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return guimera_amaral_roles(e, labels, top_k=20)
 
 
+def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reliability diagram of the naive-Bayes langid: per-bin stated
+    # confidence vs realized accuracy (the ECE decomposition) — can
+    # the classifier's confidence be trusted for weighted sampling?
+    from graphlite_spark.operators.classify import naive_bayes_calibration
+
+    return naive_bayes_calibration(load_table(spark, sf_dir, "documents"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4564,6 +4573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_rank": q_effective_rank,
         "lm_heldout_nll": q_lm_heldout_nll,
         "guimera_amaral_roles": q_guimera_amaral,
+        "nb_calibration_ece": q_nb_calibration,
     }
 
 
@@ -4866,6 +4876,7 @@ def oracle_sql() -> dict[str, str]:
         "effective_rank": O.effective_rank_sql(64),
         "lm_heldout_nll": O.lm_heldout_nll_sql(5),
         "guimera_amaral_roles": O.guimera_amaral_sql(3, 20),
+        "nb_calibration_ece": O.naive_bayes_calibration_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

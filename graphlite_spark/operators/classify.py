@@ -256,3 +256,126 @@ def mcnemar_langid(
             ).cast("long"),
         ).alias("mcnemar_micros"),
     )
+
+
+def naive_bayes_calibration(
+    docs: DataFrame,
+    label_values: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+    label_col: str = "lang",
+    words: tuple[str, ...] = tuple(STOPWORDS),
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, n_docs, avg_conf_micros, acc_micros, gap_micros) — the
+    reliability diagram / Expected-Calibration-Error decomposition of
+    the Bernoulli naive-Bayes language-ID classifier: per-doc
+    confidence = the winning label's normalized posterior share
+    (exact micros — the scores are already integer products), binned
+    into ``n_bins`` equal-width buckets; per bin the mean stated
+    confidence vs the realized accuracy.  |gap| summed with n/N
+    weights is ECE — is the classifier's 90% as good as its word?
+    The companion :func:`naive_bayes_confusion` says WHAT it gets
+    wrong; this says whether its confidence can be TRUSTED (the
+    quality-weighted-sampling question).
+
+    Exactness: identical train/score fold as
+    :func:`naive_bayes_predictions` (same split, parameters,
+    truncating fold, (s, cand) struct-max tie rule); confidence is
+    (10⁶·s_max) div Σs, bin = min(conf div (10⁶/n_bins), n_bins−1),
+    and every per-bin statistic is a truncating integer division.
+
+    Scale shape: the prediction shape plus one per-doc window-free
+    groupBy (max-struct + sum) and an n_bins-row rollup."""
+    L = len(label_values)
+    toks = docs.where(
+        F.col(label_col).isin(*label_values)
+    ).select(
+        "doc_id",
+        F.col(label_col).alias("y"),
+        tokens_expr("text").alias("toks"),
+    )
+    feats = toks.select(
+        "doc_id", "y",
+        *[
+            F.array_contains("toks", w).cast("int").alias(f"b{i}")
+            for i, w in enumerate(words)
+        ],
+    )
+    train = feats.where(F.col("doc_id") % 2 == 0)
+    test = feats.where(F.col("doc_id") % 2 == 1)
+    per = train.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("nl"),
+        *[
+            F.sum(f"b{i}").cast("long").alias(f"c{i}")
+            for i in range(len(words))
+        ],
+    )
+    ntr = train.agg(F.count(F.lit(1)).cast("long").alias("ntr"))
+    params = per.crossJoin(F.broadcast(ntr)).select(
+        "y",
+        F.expr(f"((nl + 1) * 1000000) div (ntr + {L})")
+        .cast("long").alias("prior"),
+        *[
+            F.expr(f"((c{i} + 1) * 1000000) div (nl + 2)")
+            .cast("long").alias(f"p{i}")
+            for i in range(len(words))
+        ],
+    )
+    scored = test.crossJoin(
+        F.broadcast(params.withColumnRenamed("y", "cand"))
+    ).select(
+        "doc_id",
+        F.col("y").alias("true_label"),
+        "cand",
+        (F.col("prior") * F.lit(1_000_000).cast("long")).alias("s"),
+        *[
+            F.when(F.col(f"b{i}") == 1, F.col(f"p{i}"))
+            .otherwise(F.lit(1_000_000) - F.col(f"p{i}"))
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(len(words))
+        ],
+    )
+    for i in range(len(words)):
+        keep = ["doc_id", "true_label", "cand"] + [
+            f"q{j}" for j in range(i + 1, len(words))
+        ]
+        scored = scored.select(
+            *keep, F.expr(f"(s * q{i}) div 1000000").alias("s")
+        )
+    perdoc = scored.groupBy("doc_id", "true_label").agg(
+        F.max(F.struct("s", "cand")).alias("m"),
+        F.sum("s").cast("long").alias("ssum"),
+    )
+    width = 1_000_000 // n_bins
+    conf = perdoc.select(
+        (F.col("m.cand") == F.col("true_label")).cast("long").alias(
+            "correct"
+        ),
+        F.when(
+            F.col("ssum") > 0,
+            F.expr("(1000000 * m.s) div ssum"),
+        ).otherwise(F.lit(0)).cast("long").alias("conf"),
+    )
+    return (
+        conf.select(
+            "correct", "conf",
+            F.least(
+                F.expr(f"conf div {width}"), F.lit(n_bins - 1)
+            ).cast("int").alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(conf) div count(*)").cast("long").alias(
+                "avg_conf_micros"
+            ),
+            F.expr("(1000000 * sum(correct)) div count(*)")
+            .cast("long").alias("acc_micros"),
+        )
+        .select(
+            "bin", "n_docs", "avg_conf_micros", "acc_micros",
+            F.abs(
+                F.col("acc_micros") - F.col("avg_conf_micros")
+            ).cast("long").alias("gap_micros"),
+        )
+    )

@@ -13447,3 +13447,40 @@ def guimera_amaral_sql(
         f"ORDER BY z_micros DESC, v.id ASC LIMIT {top_k}"
     )
     return _graph_query(body)
+
+
+def naive_bayes_calibration_sql(
+    labels: tuple[str, ...] = ("de", "en", "es", "fr", "zh"),
+    words: tuple[str, ...] = tuple(STOPWORDS),
+    n_bins: int = 10,
+) -> str:
+    """Mirror of operators.classify.naive_bayes_calibration: the shared
+    prediction CTEs with per-doc posterior share, equal-width bins,
+    truncating per-bin statistics."""
+    width = 1_000_000 // n_bins
+    return (
+        _naive_bayes_pred_ctes(labels, words)
+        + ",\nec_a AS MATERIALIZED (\n"
+        "  SELECT doc_id, true_label, cand, s,\n"
+        "    row_number() OVER (PARTITION BY doc_id"
+        " ORDER BY s DESC, cand DESC) AS rk,\n"
+        "    sum(s) OVER (PARTITION BY doc_id) AS ssum\n"
+        "  FROM nbs),\n"
+        "ec_c AS MATERIALIZED (\n"
+        "  SELECT CASE WHEN cand = true_label THEN 1 ELSE 0 END"
+        " AS correct,\n"
+        "    CAST(CASE WHEN ssum > 0 THEN (1000000 * s) // ssum"
+        " ELSE 0 END AS BIGINT) AS conf\n"
+        "  FROM ec_a WHERE rk = 1)\n"
+        "SELECT CAST(least(conf // "
+        f"{width}, {n_bins - 1}) AS INT) AS bin,\n"
+        "  CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "  CAST(CAST(sum(conf) AS BIGINT) // count(*) AS BIGINT)"
+        " AS avg_conf_micros,\n"
+        "  CAST((1000000 * sum(correct)) // count(*) AS BIGINT)"
+        " AS acc_micros,\n"
+        "  CAST(abs((1000000 * sum(correct)) // count(*)\n"
+        "    - CAST(sum(conf) AS BIGINT) // count(*)) AS BIGINT)"
+        " AS gap_micros\n"
+        "FROM ec_c GROUP BY 1"
+    )
