@@ -3665,6 +3665,15 @@ def q_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return naive_bayes_calibration(load_table(spark, sf_dir, "documents"))
 
 
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Szekely energy distance between purchase and click value
+    # distributions via the sorted-gap identity — the metric-space
+    # two-sample test next to KS (max gap) and CvM (integrated gap)
+    from graphlite_spark.operators.analytics import energy_distance_2sample
+
+    return energy_distance_2sample(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4574,6 +4583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_heldout_nll": q_lm_heldout_nll,
         "guimera_amaral_roles": q_guimera_amaral,
         "nb_calibration_ece": q_nb_calibration,
+        "energy_distance": q_energy_distance,
     }
 
 
@@ -4877,6 +4887,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_heldout_nll": O.lm_heldout_nll_sql(5),
         "guimera_amaral_roles": O.guimera_amaral_sql(3, 20),
         "nb_calibration_ece": O.naive_bayes_calibration_sql(),
+        "energy_distance": O.energy_distance_2sample_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -5959,3 +5959,98 @@ def kruskal_wallis(
             "h_micros",
         )
     )
+
+
+def energy_distance_2sample(
+    events: DataFrame,
+    type_a: str = "purchase",
+    type_b: str = "click",
+    value_col: str = "value",
+) -> DataFrame:
+    """One row (n_a, n_b, e_micros) — the squared energy distance
+    (Székely & Rizzo 2004, public literature) between two event
+    types' value distributions: D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'|.
+    The METRIC-space two-sample test completing the family —
+    :func:`ks_2sample` sees the max ECDF gap, :func:`cvm_2sample` the
+    integrated gap, energy distance the actual cents geometry (it
+    weights HOW FAR apart the masses sit, not just that they
+    differ).
+
+    Exactness: all three pair-sums ride the sorted-gap identity —
+    Σ|x−y| = Σ over consecutive alphabet gaps g of g·(pairs the gap
+    separates), cumulative counts in one alphabet-bounded window —
+    so each is an exact BIGINT with NO O(n²) pair join; the single
+    output is one truncating micros division over the cleared common
+    denominator (2·S_ab·n_a·n_b − S_aa·n_b² − S_bb·n_a²)/(n_a²·n_b²)
+    on DECIMAL(38,0) / HUGEINT.
+
+    Scale shape: identical to KS/CvM — one map-side-combined groupBy
+    onto the distinct-cents alphabet, one ordered window, scalars."""
+    cents = events.where(
+        F.col("event_type").isin(type_a, type_b)
+    ).select(
+        (F.col("event_type") == type_a).cast("int").alias("is_a"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v"),
+    )
+    per = cents.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("is_a").cast("long").alias("ca"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.orderBy("v")
+    cum = per.select(
+        "v",
+        F.sum("ca").over(w).cast("long").alias("cuma"),
+        (F.sum("cnt").over(w) - F.sum("ca").over(w)).cast("long")
+        .alias("cumb"),
+        (F.lead("v").over(wl) - F.col("v")).cast("long").alias("g"),
+    )
+    tot = per.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum(F.col("cnt") - F.col("ca")).cast("long").alias("nb"),
+    )
+    sums = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.coalesce(
+            F.sum(
+                F.col("g")
+                * (
+                    F.col("cuma") * (F.col("nb") - F.col("cumb"))
+                    + F.col("cumb") * (F.col("na") - F.col("cuma"))
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("sab"),
+        F.coalesce(
+            F.sum(
+                F.col("g") * 2 * F.col("cuma")
+                * (F.col("na") - F.col("cuma"))
+            ),
+            F.lit(0),
+        ).cast("long").alias("saa"),
+        F.coalesce(
+            F.sum(
+                F.col("g") * 2 * F.col("cumb")
+                * (F.col("nb") - F.col("cumb"))
+            ),
+            F.lit(0),
+        ).cast("long").alias("sbb"),
+    )
+    return sums.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (2 * (CAST(sab AS DECIMAL(38,0)) * na * nb)"
+                "    - CAST(saa AS DECIMAL(38,0)) * nb * nb"
+                "    - CAST(sbb AS DECIMAL(38,0)) * na * na))"
+                " div (CAST(na AS DECIMAL(38,0)) * na * nb * nb)"
+                " AS BIGINT)"
+            ),
+        ).alias("e_micros"),
+    )

@@ -13484,3 +13484,50 @@ def naive_bayes_calibration_sql(
         " AS gap_micros\n"
         "FROM ec_c GROUP BY 1"
     )
+
+
+def energy_distance_2sample_sql(
+    type_a: str = "purchase", type_b: str = "click",
+    value_col: str = "value",
+) -> str:
+    """Mirror of operators.analytics.energy_distance_2sample: sorted
+    alphabet gaps, cumulative pair-separation sums, the cleared-
+    denominator HUGEINT truncating micros division."""
+    return (
+        "WITH ed_s AS MATERIALIZED (\n"
+        f"  SELECT CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END"
+        " AS is_a,\n"
+        f"    CAST(round({value_col} * 100) AS BIGINT) AS v\n"
+        f"  FROM events WHERE event_type IN ('{type_a}', '{type_b}')),\n"
+        "ed_p AS MATERIALIZED (SELECT v,"
+        " CAST(count(*) AS BIGINT) AS cnt,\n"
+        "  CAST(sum(is_a) AS BIGINT) AS ca FROM ed_s GROUP BY v),\n"
+        "ed_t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,\n"
+        "  CAST(sum(cnt - ca) AS BIGINT) AS nb FROM ed_p),\n"
+        "ed_c AS MATERIALIZED (\n"
+        "  SELECT sum(ca) OVER wc AS cuma,\n"
+        "    sum(cnt) OVER wc - sum(ca) OVER wc AS cumb,\n"
+        "    lead(v) OVER (ORDER BY v) - v AS g\n"
+        "  FROM ed_p WINDOW wc AS (ORDER BY v ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW)),\n"
+        "ed_a AS (SELECT\n"
+        "  (SELECT na FROM ed_t) AS na, (SELECT nb FROM ed_t) AS nb,\n"
+        "  CAST(COALESCE(sum(g * (cuma * ((SELECT nb FROM ed_t)"
+        " - cumb)\n"
+        "    + cumb * ((SELECT na FROM ed_t) - cuma))), 0) AS BIGINT)"
+        " AS sab,\n"
+        "  CAST(COALESCE(sum(g * 2 * cuma * ((SELECT na FROM ed_t)"
+        " - cuma)), 0) AS BIGINT) AS saa,\n"
+        "  CAST(COALESCE(sum(g * 2 * cumb * ((SELECT nb FROM ed_t)"
+        " - cumb)), 0) AS BIGINT) AS sbb\n"
+        "  FROM ed_c)\n"
+        "SELECT na AS n_a, nb AS n_b,\n"
+        "  CAST(CASE WHEN na > 0 AND nb > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT)\n"
+        "     * (2 * (CAST(sab AS HUGEINT) * na * nb)\n"
+        "        - CAST(saa AS HUGEINT) * nb * nb\n"
+        "        - CAST(sbb AS HUGEINT) * na * na))\n"
+        "    // (CAST(na AS HUGEINT) * na * nb * nb)\n"
+        "  END AS BIGINT) AS e_micros\n"
+        "FROM ed_a"
+    )
