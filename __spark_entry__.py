@@ -3674,6 +3674,15 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return energy_distance_2sample(load_table(spark, sf_dir, "events"))
 
 
+def q_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UMass coherence of each source's top-5 term panel: do the
+    # signature terms actually co-occur (topical slice) or is the
+    # source a grab-bag?
+    from graphlite_spark.operators.tfidf import umass_coherence
+
+    return umass_coherence(load_table(spark, sf_dir, "documents"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4584,6 +4593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "guimera_amaral_roles": q_guimera_amaral,
         "nb_calibration_ece": q_nb_calibration,
         "energy_distance": q_energy_distance,
+        "umass_coherence": q_umass_coherence,
     }
 
 
@@ -4888,6 +4898,7 @@ def oracle_sql() -> dict[str, str]:
         "guimera_amaral_roles": O.guimera_amaral_sql(3, 20),
         "nb_calibration_ece": O.naive_bayes_calibration_sql(),
         "energy_distance": O.energy_distance_2sample_sql(),
+        "umass_coherence": O.umass_coherence_sql(5),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

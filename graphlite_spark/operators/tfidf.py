@@ -583,3 +583,99 @@ def burrows_delta(
             ),
         )
     )
+
+
+def umass_coherence(
+    docs: DataFrame,
+    top_n: int = 5,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(source, n_terms, n_pairs, coherence_micros) — UMass topic
+    coherence (Mimno et al. 2011, public literature) treating each
+    source's ``top_n`` most frequent terms as its "topic":
+    C = Σ_{i<j, freq order} ln((D(wᵢ,wⱼ)+1)/D(wⱼ)) over the GLOBAL
+    document-frequency table.  High (near 0) = the source's
+    signature terms actually co-occur in documents — a coherent
+    topical slice; very negative = a grab-bag.  The
+    topic-quality readout next to :func:`burrows_delta` (style) and
+    :func:`top_terms_per_doc` (which picks terms but never scores
+    their mutual support).
+
+    Exactness: each ordered pair's term rides the per-term
+    micro-rounding discipline (one identical ln over exact BIGINT
+    counts), summed exactly; per-source panels tie-break
+    (count DESC, term ASC).
+
+    Scale shape: one doc-term incidence groupBy; panels are
+    per-source WindowGroupLimit rows; the pair table is
+    sources·C(top_n,2) rows joined against incidence-count tables —
+    codebook-sized throughout."""
+    inc = docs.select(
+        F.col(source_col).alias("s"), F.col(id_col).alias("d"),
+        F.explode(tokens_expr(text_col)).alias("w"),
+    ).distinct()
+    dfreq = inc.groupBy("w").agg(
+        F.countDistinct("d").cast("long").alias("dw")
+    )
+    scnt = (
+        docs.select(
+            F.col(source_col).alias("s"),
+            F.explode(tokens_expr(text_col)).alias("w"),
+        )
+        .groupBy("s", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wr = Window.partitionBy("s").orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    panel = (
+        scnt.withColumn("r", F.row_number().over(wr))
+        .where(F.col("r") <= top_n)
+        .select("s", "w", "r")
+    )
+    pa = panel.select("s", F.col("w").alias("wi"), F.col("r").alias("ri"))
+    pb = panel.select("s", F.col("w").alias("wj"), F.col("r").alias("rj"))
+    pairs = pa.join(pb, "s").where(F.col("ri") < F.col("rj"))
+    pw = panel.select("w").distinct()
+    inc_p = inc.select("d", "w").distinct().join(
+        F.broadcast(pw), "w", "left_semi"
+    )
+    codoc = (
+        inc_p.select("d", F.col("w").alias("wi"))
+        .join(inc_p.select("d", F.col("w").alias("wj")), "d")
+        .where(F.col("wi") != F.col("wj"))
+        .groupBy("wi", "wj")
+        .agg(F.countDistinct("d").cast("long").alias("dij"))
+    )
+    scored = (
+        pairs.join(codoc, ["wi", "wj"], "left")
+        .join(dfreq.select(F.col("w").alias("wj"), "dw"), "wj")
+        .select(
+            "s",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (
+                        F.coalesce(F.col("dij"), F.lit(0)) + F.lit(1)
+                    ).cast("double")
+                    / F.col("dw").cast("double")
+                )
+            ).cast("long").alias("term"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("s").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("term").cast("long").alias("coherence_micros"),
+        )
+        .join(
+            panel.groupBy(F.col("s").alias("source")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_terms")
+            ),
+            "source",
+        )
+        .select("source", "n_terms", "n_pairs", "coherence_micros")
+    )

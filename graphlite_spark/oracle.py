@@ -13531,3 +13531,57 @@ def energy_distance_2sample_sql(
         "  END AS BIGINT) AS e_micros\n"
         "FROM ed_a"
     )
+
+
+def umass_coherence_sql(top_n: int = 5) -> str:
+    """Mirror of operators.tfidf.umass_coherence: per-source
+    (count DESC, term ASC) panels, global doc-frequency and panel-
+    restricted co-document counts, per-pair micro-rounded ln terms,
+    exact sums."""
+    return (
+        "WITH um_i AS MATERIALIZED (\n"
+        "  SELECT DISTINCT source AS s, doc_id AS d, w FROM (\n"
+        "    SELECT source, doc_id, unnest(list_filter(\n"
+        "      string_split_regex(lower(text), '\\s+'), x -> x <> ''))"
+        " AS w\n"
+        "    FROM documents)),\n"
+        "um_df AS MATERIALIZED (SELECT w,"
+        " CAST(count(DISTINCT d) AS BIGINT) AS dw\n"
+        "  FROM um_i GROUP BY w),\n"
+        "um_c AS MATERIALIZED (\n"
+        "  SELECT source AS s, w, CAST(count(*) AS BIGINT) AS c"
+        " FROM (\n"
+        "    SELECT source, unnest(list_filter(\n"
+        "      string_split_regex(lower(text), '\\s+'), x -> x <> ''))"
+        " AS w\n"
+        "    FROM documents) GROUP BY 1, 2),\n"
+        "um_p AS MATERIALIZED (SELECT s, w, r FROM (\n"
+        "  SELECT s, w, row_number() OVER (PARTITION BY s\n"
+        "    ORDER BY c DESC, w ASC) AS r FROM um_c)"
+        f" WHERE r <= {top_n}),\n"
+        "um_pw AS (SELECT DISTINCT w FROM um_p),\n"
+        "um_ip AS MATERIALIZED (\n"
+        "  SELECT DISTINCT i.d, i.w FROM um_i i"
+        " JOIN um_pw p ON p.w = i.w),\n"
+        "um_cd AS MATERIALIZED (\n"
+        "  SELECT a.w AS wi, b.w AS wj,"
+        " CAST(count(DISTINCT a.d) AS BIGINT) AS dij\n"
+        "  FROM um_ip a JOIN um_ip b ON b.d = a.d AND b.w <> a.w\n"
+        "  GROUP BY 1, 2),\n"
+        "um_sc AS MATERIALIZED (\n"
+        "  SELECT pa.s,\n"
+        "    CAST(round(1000000.0 * ln(\n"
+        "      CAST(COALESCE(cd.dij, 0) + 1 AS DOUBLE)"
+        " / CAST(df.dw AS DOUBLE)\n"
+        "    )) AS BIGINT) AS term\n"
+        "  FROM um_p pa JOIN um_p pb ON pb.s = pa.s AND pa.r < pb.r\n"
+        "  LEFT JOIN um_cd cd ON cd.wi = pa.w AND cd.wj = pb.w\n"
+        "  JOIN um_df df ON df.w = pb.w),\n"
+        "um_nt AS (SELECT s AS source,"
+        " CAST(count(*) AS BIGINT) AS n_terms FROM um_p GROUP BY s)\n"
+        "SELECT t.source, t.n_terms,\n"
+        "  CAST(count(*) AS BIGINT) AS n_pairs,\n"
+        "  CAST(sum(c.term) AS BIGINT) AS coherence_micros\n"
+        "FROM um_sc c JOIN um_nt t ON t.source = c.s\n"
+        "GROUP BY 1, 2"
+    )
