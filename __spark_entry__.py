@@ -3683,6 +3683,14 @@ def q_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return umass_coherence(load_table(spark, sf_dir, "documents"))
 
 
+def q_mean_excess_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EVT mean-excess diagnostic at decile thresholds: rising =
+    # genuine heavy tail (and where to set the POT threshold)
+    from graphlite_spark.operators.analytics import mean_excess_curve
+
+    return mean_excess_curve(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4594,6 +4602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_calibration_ece": q_nb_calibration,
         "energy_distance": q_energy_distance,
         "umass_coherence": q_umass_coherence,
+        "mean_excess_curve": q_mean_excess_curve,
     }
 
 
@@ -4899,6 +4908,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_calibration_ece": O.naive_bayes_calibration_sql(),
         "energy_distance": O.energy_distance_2sample_sql(),
         "umass_coherence": O.umass_coherence_sql(5),
+        "mean_excess_curve": O.mean_excess_curve_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

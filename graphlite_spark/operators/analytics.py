@@ -6054,3 +6054,77 @@ def energy_distance_2sample(
             ),
         ).alias("e_micros"),
     )
+
+
+def mean_excess_curve(
+    events: DataFrame,
+    deciles: tuple = (5, 6, 7, 8, 9),
+    value_col: str = "value",
+) -> DataFrame:
+    """(decile, threshold_cents, n_exceed, mean_excess_cents) — the
+    mean-excess (mean-residual-life) function ME(u) = E[X−u | X>u] at
+    decile thresholds of the event-value distribution: the standard
+    extreme-value-theory diagnostic (Davison & Smith 1990, public
+    literature) — a LINEARLY RISING curve means a genuine heavy
+    (GPD) tail and tells you where to set the POT threshold; flat ≈
+    exponential; falling = short tail.  Completes the tail toolkit
+    next to :func:`powerlaw_alpha` (which assumes the form) and the
+    winsorized/MAD robust moments (which remove the tail).
+
+    Exactness: thresholds ride the house rank rule (value at
+    row (n·d) div 10 of the sorted multiset); per threshold the
+    exceedance count and excess sum come off ONE top-down cumulative
+    over the cents alphabet (sum_exc = tail_sum − u·tail_cnt), and
+    the mean is a truncating division — integer end-to-end.
+
+    Scale shape: one map-side-combined alphabet groupBy, one ordered
+    window read twice (rank rule + tail cumulative), a deciles-sized
+    join."""
+    cents = events.select(
+        F.round(F.col(value_col) * 100).cast("long").alias("v")
+    )
+    per = cents.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nn = per.agg(F.sum("cnt").cast("long").alias("n"))
+    cum = per.crossJoin(F.broadcast(nn)).select(
+        "v", "cnt", "n",
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).cast("long").alias(
+            "cum_prev"
+        ),
+        (F.col("n") - F.sum("cnt").over(w)).cast("long").alias(
+            "tail_cnt"
+        ),
+        (
+            F.sum(F.col("cnt") * F.col("v")).over(
+                Window.orderBy("v").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            - F.sum(F.col("cnt") * F.col("v")).over(w)
+        ).cast("long").alias("tail_sum"),
+    )
+    dlit = ", ".join(str(int(d)) for d in deciles)
+    th = (
+        cum.select(
+            "v", "cum", "cum_prev", "tail_cnt", "tail_sum", "n",
+            F.explode(F.expr(f"array({dlit})")).alias("decile"),
+        )
+        .where(
+            (F.col("cum_prev") < F.expr("(n * decile) div 10"))
+            & (F.expr("(n * decile) div 10") <= F.col("cum"))
+        )
+    )
+    return th.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("v").alias("threshold_cents"),
+        F.col("tail_cnt").alias("n_exceed"),
+        F.when(
+            F.col("tail_cnt") > 0,
+            F.expr("(tail_sum - v * tail_cnt) div tail_cnt"),
+        ).cast("long").alias("mean_excess_cents"),
+    )

@@ -13585,3 +13585,35 @@ def umass_coherence_sql(top_n: int = 5) -> str:
         "FROM um_sc c JOIN um_nt t ON t.source = c.s\n"
         "GROUP BY 1, 2"
     )
+
+
+def mean_excess_curve_sql(
+    deciles: tuple = (5, 6, 7, 8, 9), value_col: str = "value"
+) -> str:
+    """Mirror of operators.analytics.mean_excess_curve: alphabet
+    cumulative + rank-rule thresholds, tail sums, truncating mean."""
+    dlit = ", ".join(str(int(d)) for d in deciles)
+    return (
+        "WITH me_p AS MATERIALIZED (\n"
+        f"  SELECT CAST(round({value_col} * 100) AS BIGINT) AS v,\n"
+        "    CAST(count(*) AS BIGINT) AS cnt\n"
+        "  FROM events GROUP BY 1),\n"
+        "me_n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM me_p),\n"
+        "me_c AS MATERIALIZED (\n"
+        "  SELECT v, cnt, (SELECT n FROM me_n) AS n,\n"
+        "    sum(cnt) OVER wc AS cum,\n"
+        "    sum(cnt) OVER wc - cnt AS cum_prev,\n"
+        "    (SELECT n FROM me_n) - sum(cnt) OVER wc AS tail_cnt,\n"
+        "    sum(cnt * v) OVER () - sum(cnt * v) OVER wc AS tail_sum\n"
+        "  FROM me_p WINDOW wc AS (ORDER BY v ROWS BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW))\n"
+        "SELECT CAST(d.decile AS INT) AS decile,\n"
+        "  c.v AS threshold_cents,\n"
+        "  CAST(c.tail_cnt AS BIGINT) AS n_exceed,\n"
+        "  CAST(CASE WHEN c.tail_cnt > 0 THEN\n"
+        "    (c.tail_sum - c.v * c.tail_cnt) // c.tail_cnt"
+        " END AS BIGINT) AS mean_excess_cents\n"
+        f"FROM me_c c, (SELECT unnest([{dlit}]) AS decile) d\n"
+        "WHERE c.cum_prev < (c.n * d.decile) // 10\n"
+        "  AND (c.n * d.decile) // 10 <= c.cum"
+    )
