@@ -3691,6 +3691,15 @@ def q_mean_excess_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_excess_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_source_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # K x K domain cross-entropy matrix: every source scored under
+    # every source's bigram LM — the substitutability table a
+    # pre-training mixture designer reads
+    from graphlite_spark.operators.ngram_lm import source_cross_entropy
+
+    return source_cross_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4603,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "energy_distance": q_energy_distance,
         "umass_coherence": q_umass_coherence,
         "mean_excess_curve": q_mean_excess_curve,
+        "source_cross_entropy": q_source_cross_entropy,
     }
 
 
@@ -4909,6 +4919,7 @@ def oracle_sql() -> dict[str, str]:
         "energy_distance": O.energy_distance_2sample_sql(),
         "umass_coherence": O.umass_coherence_sql(5),
         "mean_excess_curve": O.mean_excess_curve_sql(),
+        "source_cross_entropy": O.source_cross_entropy_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -399,3 +399,105 @@ def lm_heldout_nll(
             F.col("n_bigrams") > 0, F.expr("tot div n_bigrams")
         ).otherwise(F.lit(0)).cast("long").alias("avg_nll_micros"),
     )
+
+
+def source_cross_entropy(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(eval_source, model_source, n_bigrams, avg_nll_micros) — the
+    full K×K domain cross-entropy matrix: every source's text scored
+    under every source's add-one-smoothed bigram model (diagonal =
+    self-entropy).  THE similarity table a pre-training mixture
+    designer reads — low off-diagonal cross-entropy = the domains
+    share a language model and can substitute for each other;
+    asymmetry (A models B better than B models A) shows containment.
+    The LM-space companion to :func:`~graphlite_spark.operators
+    .tfidf.burrows_delta` (style z-scores) and source_jsd (unigram
+    mix).
+
+    Exactness: the lm_heldout_nll discipline per (model, pair) cell —
+    one identically-shaped ln over exact BIGINTs (per-model vocab V
+    rides as a JOINED column, no collect), rounded once, exact sums,
+    truncating means.
+
+    Scale shape: model tables are observed-bigram-sized per source;
+    the scoring join is eval-pair × K-model fan-out with two
+    pair-keyed left joins — K² cells out, nothing corpus-scale after
+    the first groupBy."""
+    t = tokens_expr(text_col)
+    idx = F.sequence(F.lit(1), F.size(t) - 1)
+    p = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select(
+        F.col(source_col).alias("s"), F.explode(p).alias("p")
+    ).select("s", "p.w1", "p.w2")
+    c12 = bg.groupBy("s", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n12")
+    )
+    c1 = c12.groupBy("s", "w1").agg(
+        F.sum("n12").cast("long").alias("n1")
+    )
+    vm = (
+        docs.select(
+            F.col(source_col).alias("s"),
+            F.explode(tokens_expr(text_col)).alias("tok"),
+        )
+        .groupBy("s")
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    tp = c12.select(
+        F.col("s").alias("se"), "w1", "w2", F.col("n12").alias("m")
+    )
+    models = vm.select(F.col("s").alias("sm"), "v")
+    scored = (
+        tp.crossJoin(F.broadcast(models))
+        .join(
+            c12.select(
+                F.col("s").alias("sm"), "w1", "w2",
+                F.col("n12").alias("mn12"),
+            ),
+            ["sm", "w1", "w2"],
+            "left",
+        )
+        .join(
+            c1.select(
+                F.col("s").alias("sm"), "w1", F.col("n1").alias("mn1")
+            ),
+            ["sm", "w1"],
+            "left",
+        )
+        .select(
+            "se", "sm", "m",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (
+                        F.coalesce(F.col("mn1"), F.lit(0)) + F.col("v")
+                    ).cast("double")
+                    / (F.coalesce(F.col("mn12"), F.lit(0)) + F.lit(1.0))
+                )
+            ).cast("long").alias("cost"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.col("se").alias("eval_source"),
+            F.col("sm").alias("model_source"),
+        )
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.expr("sum(m * cost) div sum(m)").cast("long").alias(
+                "avg_nll_micros"
+            ),
+        )
+    )

@@ -13617,3 +13617,36 @@ def mean_excess_curve_sql(
         "WHERE c.cum_prev < (c.n * d.decile) // 10\n"
         "  AND (c.n * d.decile) // 10 <= c.cum"
     )
+
+
+def source_cross_entropy_sql() -> str:
+    """Mirror of operators.ngram_lm.source_cross_entropy: per-source
+    bigram models, eval-pair × model fan-out with left-join backoff,
+    per-cell micro-rounded costs, truncating means."""
+    return """
+WITH sx_t AS MATERIALIZED (SELECT source AS s,
+  list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+sx_b AS MATERIALIZED (
+  SELECT s, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM sx_t, UNNEST(range(1, len(toks))) AS t(i)),
+sx_12 AS MATERIALIZED (SELECT s, w1, w2,
+  CAST(count(*) AS BIGINT) AS n12 FROM sx_b GROUP BY 1, 2, 3),
+sx_1 AS MATERIALIZED (SELECT s, w1, CAST(sum(n12) AS BIGINT) AS n1
+  FROM sx_12 GROUP BY 1, 2),
+sx_v AS MATERIALIZED (SELECT s, CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT s, unnest(toks) AS tok FROM sx_t) GROUP BY s),
+sx_sc AS MATERIALIZED (
+  SELECT e.s AS se, m.s AS sm, e.n12 AS mm,
+    CAST(round(1000000.0 * ln(
+      CAST(COALESCE(c1.n1, 0) + m.v AS DOUBLE)
+      / (COALESCE(c12.n12, 0) + 1.0))) AS BIGINT) AS cost
+  FROM sx_12 e CROSS JOIN sx_v m
+  LEFT JOIN sx_12 c12 ON c12.s = m.s AND c12.w1 = e.w1 AND c12.w2 = e.w2
+  LEFT JOIN sx_1 c1 ON c1.s = m.s AND c1.w1 = e.w1)
+SELECT se AS eval_source, sm AS model_source,
+  CAST(sum(mm) AS BIGINT) AS n_bigrams,
+  CAST(CAST(sum(mm * cost) AS BIGINT) // sum(mm) AS BIGINT)
+    AS avg_nll_micros
+FROM sx_sc GROUP BY 1, 2
+"""
