@@ -3700,6 +3700,17 @@ def q_source_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_cross_entropy(load_table(spark, sf_dir, "documents"))
 
 
+def q_circadian_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # circular statistics of hour-of-day activity: resultant length R
+    # + Rayleigh uniformity z — 23:00 and 01:00 are NEAR on the
+    # circle, far in any histogram
+    from graphlite_spark.operators.analytics import circadian_concentration
+
+    return circadian_concentration(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4613,6 +4624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "umass_coherence": q_umass_coherence,
         "mean_excess_curve": q_mean_excess_curve,
         "source_cross_entropy": q_source_cross_entropy,
+        "circadian_concentration": q_circadian_concentration,
     }
 
 
@@ -4920,6 +4932,7 @@ def oracle_sql() -> dict[str, str]:
         "umass_coherence": O.umass_coherence_sql(5),
         "mean_excess_curve": O.mean_excess_curve_sql(),
         "source_cross_entropy": O.source_cross_entropy_sql(),
+        "circadian_concentration": O.circadian_concentration_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

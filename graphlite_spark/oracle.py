@@ -13650,3 +13650,35 @@ SELECT se AS eval_source, sm AS model_source,
     AS avg_nll_micros
 FROM sx_sc GROUP BY 1, 2
 """
+
+
+def circadian_concentration_sql() -> str:
+    """Mirror of operators.analytics.circadian_concentration: 24
+    per-hour micro-rounded unit-vector terms, exact integer blends,
+    identically-shaped resultant-length and Rayleigh floats."""
+    return (
+        "WITH cc_p AS MATERIALIZED (\n"
+        "  SELECT CAST((CAST(epoch_us(ts) AS BIGINT) // 3600000000)"
+        " % 24 AS INT) AS h,\n"
+        "    CAST(count(*) AS BIGINT) AS c\n"
+        "  FROM events GROUP BY 1),\n"
+        "cc_t AS MATERIALIZED (\n"
+        "  SELECT c,\n"
+        "    CAST(round(cos(2.0 * pi() * CAST(h AS DOUBLE) / 24.0)"
+        " * 1000000) AS BIGINT) AS xt,\n"
+        "    CAST(round(sin(2.0 * pi() * CAST(h AS DOUBLE) / 24.0)"
+        " * 1000000) AS BIGINT) AS yt\n"
+        "  FROM cc_p),\n"
+        "cc_a AS (SELECT CAST(sum(c) AS BIGINT) AS n,\n"
+        "  CAST(sum(c * xt) AS BIGINT) AS xs,\n"
+        "  CAST(sum(c * yt) AS BIGINT) AS ys FROM cc_t)\n"
+        "SELECT n AS n_events, xs AS x_sum, ys AS y_sum,\n"
+        "  CAST(CASE WHEN n > 0 THEN round(sqrt(\n"
+        "    CAST(xs AS DOUBLE) * xs + CAST(ys AS DOUBLE) * ys) / n)"
+        " END AS BIGINT) AS r_micros,\n"
+        "  CAST(CASE WHEN n > 0 THEN round(\n"
+        "    (CAST(xs AS DOUBLE) * xs + CAST(ys AS DOUBLE) * ys)\n"
+        "    / (CAST(n AS DOUBLE) * 1000000.0)) END AS BIGINT)"
+        " AS rayleigh_z2_micros\n"
+        "FROM cc_a"
+    )
