@@ -3711,6 +3711,22 @@ def q_circadian_concentration(
     return circadian_concentration(load_table(spark, sf_dir, "events"))
 
 
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Neyman optimal allocation of a 1000-sample labeling budget
+    # across event-type strata: big AND volatile strata get samples
+    from graphlite_spark.operators.analytics import neyman_allocation
+
+    return neyman_allocation(load_table(spark, sf_dir, "events"))
+
+
+def q_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pre-registration A/B sample size per arm at 95%/80% for a +10%
+    # relative lift on the OBSERVED signup->purchase baseline
+    from graphlite_spark.operators.analytics import power_sample_size
+
+    return power_sample_size(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4625,6 +4641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_excess_curve": q_mean_excess_curve,
         "source_cross_entropy": q_source_cross_entropy,
         "circadian_concentration": q_circadian_concentration,
+        "neyman_allocation": q_neyman_allocation,
+        "power_sample_size": q_power_sample_size,
     }
 
 
@@ -4933,6 +4951,8 @@ def oracle_sql() -> dict[str, str]:
         "mean_excess_curve": O.mean_excess_curve_sql(),
         "source_cross_entropy": O.source_cross_entropy_sql(),
         "circadian_concentration": O.circadian_concentration_sql(),
+        "neyman_allocation": O.neyman_allocation_sql(),
+        "power_sample_size": O.power_sample_size_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

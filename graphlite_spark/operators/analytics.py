@@ -6207,3 +6207,161 @@ def circadian_concentration(
             ),
         ).cast("long").alias("rayleigh_z2_micros"),
     )
+
+
+def neyman_allocation(
+    events: DataFrame,
+    budget: int = 1000,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(stratum, n_h, sd_cents_micros, share_micros, n_alloc) — Neyman
+    optimal allocation (Neyman 1934, public literature) of a sampling
+    ``budget`` across strata: n_h ∝ N_h·σ_h, the design that
+    minimizes the variance of the stratified mean — big AND volatile
+    strata get the samples.  The survey-sampling companion to
+    :func:`sample_stratified` (which implements proportional
+    allocation): this computes the allocation a cost-aware
+    labeling/eval pass should use instead.
+
+    Exactness: per-stratum population variance rides the exact
+    n²-cancelling integer form; σ_h is the ONE per-stratum float
+    (identically-shaped sqrt over exact BIGINTs, rounded to micro-
+    cents); shares and allocations are truncating integer divisions
+    of the N_h·σ_h products.  Remainder seats are NOT redistributed
+    (Σ n_alloc ≤ budget, stated — largest-remainder seating is a
+    policy choice left to the caller).
+
+    Scale shape: one map-side-combined stratum moment aggregate, one
+    scalar total broadcast back; k rows end to end."""
+    per = events.groupBy(F.col(group_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(
+            F.round(F.col(value_col) * 100).cast("long")
+        ).cast("long").alias("s"),
+        F.sum(
+            F.round(F.col(value_col) * 100).cast("long")
+            * F.round(F.col(value_col) * 100).cast("long")
+        ).cast("long").alias("q"),
+    )
+    sd = per.select(
+        "stratum", "n_h",
+        F.round(
+            F.sqrt(
+                (
+                    F.col("n_h") * F.col("q") - F.col("s") * F.col("s")
+                ).cast("double")
+            )
+            / F.col("n_h")
+            * 1_000_000
+        ).cast("long").alias("sd_cents_micros"),
+    ).select(
+        "stratum", "n_h", "sd_cents_micros",
+        (F.col("n_h") * F.col("sd_cents_micros")).cast("long").alias(
+            "w"
+        ),
+    )
+    tot = sd.agg(F.sum("w").cast("long").alias("wt"))
+    return (
+        sd.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum", "n_h", "sd_cents_micros",
+            F.when(
+                F.col("wt") > 0,
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0)) * w)"
+                    " div CAST(wt AS DECIMAL(38,0)) AS BIGINT)"
+                ),
+            ).cast("long").alias("share_micros"),
+            F.when(
+                F.col("wt") > 0,
+                F.expr(
+                    f"CAST((CAST({int(budget)} AS DECIMAL(38,0)) * w)"
+                    " div CAST(wt AS DECIMAL(38,0)) AS BIGINT)"
+                ),
+            ).cast("long").alias("n_alloc"),
+        )
+    )
+
+
+def power_sample_size(
+    events: DataFrame,
+    cohort_type: str = "signup",
+    convert_type: str = "purchase",
+    relative_mde_micros: int = 100_000,
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> DataFrame:
+    """One row (n_users, p1_micros, p2_micros, n_per_arm) — the
+    standard two-proportion sample-size calculation (Fleiss et al.,
+    public literature) seeded from the OBSERVED baseline: p₁ = the
+    measured signup→purchase conversion, p₂ = p₁·(1 + relative MDE),
+    n/arm = (z_α·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))² / (p₂−p₁)² at 95%
+    confidence / 80% power.  The pre-registration number every A/B
+    test needs, computed where the baseline actually lives — the
+    planning-side companion to :func:`ab_conversion_ztest` (which
+    judges after the fact).
+
+    Exactness: the baseline is an exact truncating micros ratio; the
+    sample size is ONE identically-structured float expression over
+    it (z constants are shared literals), ceil'd to an integer.
+
+    Scale shape: one per-user flag aggregate, scalars after."""
+    per = events.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == cohort_type).cast("int")
+        ).alias("a"),
+        F.max(
+            (F.col("event_type") == convert_type).cast("int")
+        ).alias("c"),
+    )
+    base = per.where(F.col("a") == 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("conv"),
+    )
+    return base.select(
+        "n_users",
+        F.expr("(1000000 * conv) div n_users").cast("long").alias(
+            "p1_micros"
+        ),
+    ).select(
+        "n_users", "p1_micros",
+        F.expr(
+            "CAST((p1_micros * (1000000 +"
+            f" {int(relative_mde_micros)})) div 1000000 AS BIGINT)"
+        ).alias("p2_micros"),
+    ).select(
+        "n_users", "p1_micros", "p2_micros",
+        F.when(
+            (F.col("p2_micros") > F.col("p1_micros"))
+            & (F.col("p2_micros") < 1_000_000),
+            F.ceil(
+                F.pow(
+                    F.lit(float(z_alpha))
+                    * F.sqrt(
+                        F.lit(2.0)
+                        * ((F.col("p1_micros") + F.col("p2_micros"))
+                           / F.lit(2e6))
+                        * (
+                            F.lit(1.0)
+                            - (F.col("p1_micros") + F.col("p2_micros"))
+                            / F.lit(2e6)
+                        )
+                    )
+                    + F.lit(float(z_beta))
+                    * F.sqrt(
+                        (F.col("p1_micros") / F.lit(1e6))
+                        * (F.lit(1.0) - F.col("p1_micros") / F.lit(1e6))
+                        + (F.col("p2_micros") / F.lit(1e6))
+                        * (F.lit(1.0) - F.col("p2_micros") / F.lit(1e6))
+                    ),
+                    F.lit(2.0),
+                )
+                / F.pow(
+                    (F.col("p2_micros") - F.col("p1_micros"))
+                    / F.lit(1e6),
+                    F.lit(2.0),
+                )
+            ),
+        ).cast("long").alias("n_per_arm"),
+    )

@@ -13682,3 +13682,82 @@ def circadian_concentration_sql() -> str:
         " AS rayleigh_z2_micros\n"
         "FROM cc_a"
     )
+
+
+def neyman_allocation_sql(
+    budget: int = 1000, group_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    """Mirror of operators.analytics.neyman_allocation: exact stratum
+    moments, per-stratum micro-rounded sd, truncating share and
+    allocation divisions."""
+    return (
+        "WITH ny_p AS MATERIALIZED (\n"
+        f"  SELECT {group_col} AS stratum,\n"
+        "    CAST(count(*) AS BIGINT) AS n_h,\n"
+        f"    CAST(sum(CAST(round({value_col} * 100) AS BIGINT))"
+        " AS BIGINT) AS s,\n"
+        f"    CAST(sum(CAST(round({value_col} * 100) AS BIGINT)\n"
+        f"      * CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT)"
+        " AS q\n"
+        "  FROM events GROUP BY 1),\n"
+        "ny_s AS MATERIALIZED (\n"
+        "  SELECT stratum, n_h,\n"
+        "    CAST(round(sqrt(CAST(n_h * q - s * s AS DOUBLE))"
+        " / n_h * 1000000) AS BIGINT) AS sd_cents_micros\n"
+        "  FROM ny_p),\n"
+        "ny_w AS MATERIALIZED (SELECT stratum, n_h, sd_cents_micros,\n"
+        "  CAST(n_h * sd_cents_micros AS BIGINT) AS w FROM ny_s),\n"
+        "ny_t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM ny_w)\n"
+        "SELECT stratum, n_h, sd_cents_micros,\n"
+        "  CAST(CASE WHEN wt > 0 THEN"
+        " (CAST(1000000 AS HUGEINT) * w) // CAST(wt AS HUGEINT) END"
+        " AS BIGINT) AS share_micros,\n"
+        f"  CAST(CASE WHEN wt > 0 THEN"
+        f" (CAST({int(budget)} AS HUGEINT) * w) // CAST(wt AS HUGEINT)"
+        " END AS BIGINT) AS n_alloc\n"
+        "FROM ny_w, ny_t"
+    )
+
+
+def power_sample_size_sql(
+    cohort_type: str = "signup", convert_type: str = "purchase",
+    relative_mde_micros: int = 100_000,
+    z_alpha: float = 1.959964, z_beta: float = 0.841621,
+) -> str:
+    """Mirror of operators.analytics.power_sample_size: exact micros
+    baseline, one identically-shaped float sample-size expression,
+    ceil."""
+    return (
+        "WITH pw_p AS MATERIALIZED (\n"
+        "  SELECT user_id,\n"
+        f"    max(CASE WHEN event_type = '{cohort_type}' THEN 1"
+        " ELSE 0 END) AS a,\n"
+        f"    max(CASE WHEN event_type = '{convert_type}' THEN 1"
+        " ELSE 0 END) AS c\n"
+        "  FROM events GROUP BY 1),\n"
+        "pw_b AS (SELECT CAST(count(*) AS BIGINT) AS n_users,\n"
+        "  CAST(sum(c) AS BIGINT) AS conv FROM pw_p WHERE a = 1),\n"
+        "pw_1 AS (SELECT n_users,\n"
+        "  CAST((1000000 * conv) // n_users AS BIGINT) AS p1_micros\n"
+        "  FROM pw_b),\n"
+        "pw_2 AS (SELECT n_users, p1_micros,\n"
+        "  CAST((p1_micros * (1000000 +"
+        f" {int(relative_mde_micros)})) // 1000000 AS BIGINT)"
+        " AS p2_micros\n"
+        "  FROM pw_1)\n"
+        "SELECT n_users, p1_micros, p2_micros,\n"
+        "  CAST(CASE WHEN p2_micros > p1_micros"
+        " AND p2_micros < 1000000 THEN\n"
+        f"    ceil(pow({z_alpha}\n"
+        "      * sqrt(2.0 * ((p1_micros + p2_micros) / 2000000.0)\n"
+        "        * (1.0 - (p1_micros + p2_micros) / 2000000.0))\n"
+        f"      + {z_beta}\n"
+        "      * sqrt((p1_micros / 1000000.0)"
+        " * (1.0 - p1_micros / 1000000.0)\n"
+        "        + (p2_micros / 1000000.0)"
+        " * (1.0 - p2_micros / 1000000.0)), 2.0)\n"
+        "    / pow((p2_micros - p1_micros) / 1000000.0, 2.0))\n"
+        "  END AS BIGINT) AS n_per_arm\n"
+        "FROM pw_2"
+    )
