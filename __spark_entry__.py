@@ -3727,6 +3727,14 @@ def q_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_sample_size(load_table(spark, sf_dir, "events"))
 
 
+def q_ols2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-feature multiple regression: does user value come from MORE
+    # activity or BROADER activity, each partialled for the other?
+    from graphlite_spark.operators.analytics import ols2_user_value
+
+    return ols2_user_value(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4643,6 +4651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circadian_concentration": q_circadian_concentration,
         "neyman_allocation": q_neyman_allocation,
         "power_sample_size": q_power_sample_size,
+        "ols2_user_value": q_ols2_user_value,
     }
 
 
@@ -4953,6 +4962,7 @@ def oracle_sql() -> dict[str, str]:
         "circadian_concentration": O.circadian_concentration_sql(),
         "neyman_allocation": O.neyman_allocation_sql(),
         "power_sample_size": O.power_sample_size_sql(),
+        "ols2_user_value": O.ols2_user_value_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

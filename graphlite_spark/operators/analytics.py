@@ -6365,3 +6365,122 @@ def power_sample_size(
             ),
         ).cast("long").alias("n_per_arm"),
     )
+
+
+def ols2_user_value(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """One row (n, b1_micros, b2_micros, intercept_micros, r2) —
+    TWO-feature multiple regression of per-user monetary cents on
+    (event count, distinct event types): does value come from MORE
+    activity or BROADER activity, holding the other fixed?  The
+    multivariable extension of :func:`ols_user_value` — with
+    correlated regressors the single-feature slope conflates both
+    channels; the partial coefficients separate them.
+
+    Exactness: m-scaled centered moments (all BIGINT), Cramér's rule
+    on the 2×2 normal equations — b₁ = (S₁y·S₂₂ − S₂y·S₁₂)/D,
+    b₂ = (S₂y·S₁₁ − S₁y·S₁₂)/D, D = S₁₁S₂₂ − S₁₂² — emitted as
+    DECIMAL(38,0) truncating micros; the intercept clears n·D; R²
+    uses the same closed form as the Granger SSE identity
+    (explained = (S₁y·b₁ + S₂y·b₂)-form, computed as the exact
+    rational Q/D over Syy), one 6dp float.  NULL when D ≤ 0
+    (collinear regressors).
+
+    Scale shape: one per-user combined aggregate, one 1-row moment
+    aggregate, closed forms after — the ols_user_value shape with
+    one more column."""
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("x1"),
+        F.countDistinct(type_col).cast("long").alias("x2"),
+        F.sum(
+            F.round(F.col(value_col) * 100).cast("long")
+        ).cast("long").alias("y"),
+    )
+    m = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("p11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("p22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("p12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("p1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("p2y"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("pyy"),
+    )
+    cen = m.select(
+        "n", "s1", "s2", "sy",
+        (F.col("n") * F.col("p11") - F.col("s1") * F.col("s1"))
+        .cast("long").alias("s11"),
+        (F.col("n") * F.col("p22") - F.col("s2") * F.col("s2"))
+        .cast("long").alias("s22"),
+        (F.col("n") * F.col("p12") - F.col("s1") * F.col("s2"))
+        .cast("long").alias("s12"),
+        (F.col("n") * F.col("p1y") - F.col("s1") * F.col("sy"))
+        .cast("long").alias("s1y"),
+        (F.col("n") * F.col("p2y") - F.col("s2") * F.col("sy"))
+        .cast("long").alias("s2y"),
+        (F.col("n") * F.col("pyy") - F.col("sy") * F.col("sy"))
+        .cast("long").alias("syy"),
+    )
+    big = cen.select(
+        "n", "s1", "s2", "sy", "syy", "s1y", "s2y",
+        F.expr(
+            "CAST(s11 AS DECIMAL(38,0)) * s22"
+            " - CAST(s12 AS DECIMAL(38,0)) * s12"
+        ).alias("dd"),
+        F.expr(
+            "CAST(s1y AS DECIMAL(38,0)) * s22"
+            " - CAST(s2y AS DECIMAL(38,0)) * s12"
+        ).alias("n1"),
+        F.expr(
+            "CAST(s2y AS DECIMAL(38,0)) * s11"
+            " - CAST(s1y AS DECIMAL(38,0)) * s12"
+        ).alias("n2"),
+    )
+    return big.select(
+        "n",
+        F.when(
+            F.col("dd") > 0,
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n1) div dd"
+                " AS BIGINT)"
+            ),
+        ).alias("b1_micros"),
+        F.when(
+            F.col("dd") > 0,
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n2) div dd"
+                " AS BIGINT)"
+            ),
+        ).alias("b2_micros"),
+        F.when(
+            F.col("dd") > 0,
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * sy * dd"
+                " - CAST(1000000 AS DECIMAL(38,0))"
+                " * (n1 * s1 + n2 * s2))"
+                " div (CAST(n AS DECIMAL(38,0)) * dd) AS BIGINT)"
+            ),
+        ).alias("intercept_micros"),
+        F.when(
+            (F.col("dd") > 0) & (F.col("syy") > 0),
+            F.round(
+                (
+                    F.col("n1").cast("double")
+                    * F.col("s1y").cast("double")
+                    + F.col("n2").cast("double")
+                    * F.col("s2y").cast("double")
+                )
+                / (
+                    F.col("dd").cast("double")
+                    * F.col("syy").cast("double")
+                ),
+                6,
+            ),
+        ).alias("r2"),
+    )

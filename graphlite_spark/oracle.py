@@ -13761,3 +13761,61 @@ def power_sample_size_sql(
         "  END AS BIGINT) AS n_per_arm\n"
         "FROM pw_2"
     )
+
+
+def ols2_user_value_sql() -> str:
+    """Mirror of operators.analytics.ols2_user_value: per-user
+    (count, distinct-types, cents) aggregates, m-scaled centered
+    moments, Cramér 2×2 on HUGEINT with truncating micros divisions,
+    the one 6dp R²."""
+    return (
+        "WITH o2_p AS MATERIALIZED (\n"
+        "  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS x1,\n"
+        "    CAST(count(DISTINCT event_type) AS BIGINT) AS x2,\n"
+        "    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        " AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "o2_m AS (SELECT CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(x1) AS BIGINT) AS s1,"
+        " CAST(sum(x2) AS BIGINT) AS s2,\n"
+        "  CAST(sum(y) AS BIGINT) AS sy,\n"
+        "  CAST(sum(x1 * x1) AS BIGINT) AS p11,"
+        " CAST(sum(x2 * x2) AS BIGINT) AS p22,\n"
+        "  CAST(sum(x1 * x2) AS BIGINT) AS p12,"
+        " CAST(sum(x1 * y) AS BIGINT) AS p1y,\n"
+        "  CAST(sum(x2 * y) AS BIGINT) AS p2y,"
+        " CAST(sum(y * y) AS BIGINT) AS pyy FROM o2_p),\n"
+        "o2_c AS (SELECT n, s1, s2, sy,\n"
+        "  CAST(n * p11 - s1 * s1 AS BIGINT) AS s11,\n"
+        "  CAST(n * p22 - s2 * s2 AS BIGINT) AS s22,\n"
+        "  CAST(n * p12 - s1 * s2 AS BIGINT) AS s12,\n"
+        "  CAST(n * p1y - s1 * sy AS BIGINT) AS s1y,\n"
+        "  CAST(n * p2y - s2 * sy AS BIGINT) AS s2y,\n"
+        "  CAST(n * pyy - sy * sy AS BIGINT) AS syy FROM o2_m),\n"
+        "o2_b AS (SELECT n, s1, s2, sy, syy, s1y, s2y,\n"
+        "  CAST(s11 AS HUGEINT) * s22 - CAST(s12 AS HUGEINT) * s12"
+        " AS dd,\n"
+        "  CAST(s1y AS HUGEINT) * s22 - CAST(s2y AS HUGEINT) * s12"
+        " AS n1,\n"
+        "  CAST(s2y AS HUGEINT) * s11 - CAST(s1y AS HUGEINT) * s12"
+        " AS n2\n"
+        "  FROM o2_c)\n"
+        "SELECT n,\n"
+        "  CAST(CASE WHEN dd > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * n1) // dd END AS BIGINT)"
+        " AS b1_micros,\n"
+        "  CAST(CASE WHEN dd > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * n2) // dd END AS BIGINT)"
+        " AS b2_micros,\n"
+        "  CAST(CASE WHEN dd > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * sy * dd\n"
+        "     - CAST(1000000 AS HUGEINT) * (n1 * s1 + n2 * s2))\n"
+        "    // (CAST(n AS HUGEINT) * dd) END AS BIGINT)"
+        " AS intercept_micros,\n"
+        "  CASE WHEN dd > 0 AND syy > 0 THEN\n"
+        "    round((CAST(n1 AS DOUBLE) * CAST(s1y AS DOUBLE)\n"
+        "      + CAST(n2 AS DOUBLE) * CAST(s2y AS DOUBLE))\n"
+        "      / (CAST(dd AS DOUBLE) * CAST(syy AS DOUBLE)), 6)\n"
+        "  END AS r2\n"
+        "FROM o2_b"
+    )
