@@ -3735,6 +3735,31 @@ def q_ols2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols2_user_value(load_table(spark, sf_dir, "events"))
 
 
+def q_gk_lambda_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Goodman-Kruskal lambda: proportional reduction in prediction
+    # error for guessing event type once the weekday is known — the
+    # decision-rule association measure next to Theil's U
+    from graphlite_spark.operators.analytics import gk_lambda
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "cast((unix_micros(cast(ts as timestamp))"
+            " div 86400000000 + 3) % 7 as int)"
+        ).alias("dow"),
+        "event_type",
+    )
+    return gk_lambda(ev, "dow", "event_type")
+
+
+def q_james_stein_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # James-Stein shrinkage of per-type mean values toward the grand
+    # mean — the empirical-Bayes estimate a small-segment dashboard
+    # should show
+    from graphlite_spark.operators.analytics import james_stein_type_means
+
+    return james_stein_type_means(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4652,6 +4677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": q_neyman_allocation,
         "power_sample_size": q_power_sample_size,
         "ols2_user_value": q_ols2_user_value,
+        "gk_lambda_type_dow": q_gk_lambda_type_dow,
+        "james_stein_means": q_james_stein_means,
     }
 
 
@@ -4963,6 +4990,8 @@ def oracle_sql() -> dict[str, str]:
         "neyman_allocation": O.neyman_allocation_sql(),
         "power_sample_size": O.power_sample_size_sql(),
         "ols2_user_value": O.ols2_user_value_sql(),
+        "gk_lambda_type_dow": O.gk_lambda_type_dow_sql(),
+        "james_stein_means": O.james_stein_type_means_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

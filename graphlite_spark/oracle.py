@@ -13819,3 +13819,70 @@ def ols2_user_value_sql() -> str:
         "  END AS r2\n"
         "FROM o2_b"
     )
+
+
+def gk_lambda_type_dow_sql() -> str:
+    """Mirror of operators.analytics.gk_lambda over (epoch dow,
+    event_type): all-integer modal-error counts, one truncating
+    micros division."""
+    return (
+        "WITH gk_j AS MATERIALIZED (\n"
+        "  SELECT CAST((CAST(epoch_us(ts) AS BIGINT) // 86400000000"
+        " + 3) % 7 AS INT) AS x,\n"
+        "    event_type AS y, CAST(count(*) AS BIGINT) AS c\n"
+        "  FROM events GROUP BY 1, 2),\n"
+        "gk_n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM gk_j),\n"
+        "gk_y AS (SELECT CAST(max(cy) AS BIGINT) AS maxy FROM (\n"
+        "  SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM gk_j"
+        " GROUP BY y)),\n"
+        "gk_x AS (SELECT CAST(sum(mx) AS BIGINT) AS sum_mx FROM (\n"
+        "  SELECT x, CAST(max(c) AS BIGINT) AS mx FROM gk_j"
+        " GROUP BY x))\n"
+        "SELECT n, CAST(n - maxy AS BIGINT) AS err_marginal,\n"
+        "  CAST(n - sum_mx AS BIGINT) AS err_conditional,\n"
+        "  CAST(CASE WHEN n - maxy > 0 THEN\n"
+        "    (1000000 * (sum_mx - maxy)) // (n - maxy) END AS BIGINT)"
+        " AS lambda_micros\n"
+        "FROM gk_n, gk_y, gk_x"
+    )
+
+
+def james_stein_type_means_sql(
+    group_col: str = "event_type", value_col: str = "value"
+) -> str:
+    """Mirror of operators.analytics.james_stein_type_means:
+    truncating micro means, one identically-shaped shrink-factor
+    float rounded to micros, exact integer blend."""
+    return (
+        "WITH js_p AS MATERIALIZED (\n"
+        f"  SELECT {group_col} AS \"group\","
+        " CAST(count(*) AS BIGINT) AS n_h,\n"
+        f"    CAST(sum(CAST(round({value_col} * 100) AS BIGINT))"
+        " AS BIGINT) AS s,\n"
+        f"    CAST(sum(CAST(round({value_col} * 100) AS BIGINT)\n"
+        f"      * CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT)"
+        " AS q\n"
+        "  FROM events GROUP BY 1),\n"
+        "js_r AS MATERIALIZED (SELECT \"group\", n_h, s, q,\n"
+        "  CAST((CAST(1000000 AS HUGEINT) * s) // CAST(n_h AS HUGEINT)"
+        " AS BIGINT) AS raw_m FROM js_p),\n"
+        "js_t AS (SELECT CAST(count(*) AS BIGINT) AS k,\n"
+        "  CAST(sum(n_h) AS BIGINT) AS nt,"
+        " CAST(sum(s) AS BIGINT) AS st,\n"
+        "  CAST(sum(q) AS BIGINT) AS qt,\n"
+        "  CAST(CAST(sum(raw_m) AS BIGINT) // count(*) AS BIGINT)"
+        " AS grand_m FROM js_r),\n"
+        "js_s AS (SELECT sum(CAST(r.raw_m - t.grand_m AS HUGEINT)\n"
+        "    * (r.raw_m - t.grand_m)) AS ss FROM js_r r, js_t t)\n"
+        "SELECT r.\"group\", r.n_h,\n"
+        "  r.raw_m AS raw_mean_cents_micros,\n"
+        "  CAST(CASE WHEN t.k >= 4 AND x.ss > 0 THEN\n"
+        "    t.grand_m + (CAST(round(greatest(0.0, 1.0 - (t.k - 3)\n"
+        "      * ((CAST(t.qt AS DOUBLE) / t.nt\n"
+        "          - pow(CAST(t.st AS DOUBLE) / t.nt, 2.0))\n"
+        "         * 1e12 * t.k / t.nt)\n"
+        "      / CAST(x.ss AS DOUBLE)) * 1000000) AS BIGINT)\n"
+        "      * (r.raw_m - t.grand_m)) // 1000000\n"
+        "  ELSE r.raw_m END AS BIGINT) AS shrunk_mean_cents_micros\n"
+        "FROM js_r r, js_t t, js_s x"
+    )
