@@ -3760,6 +3760,16 @@ def q_james_stein_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     return james_stein_type_means(load_table(spark, sf_dir, "events"))
 
 
+def q_algebraic_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chen-Safro algebraic distance: 5 Jacobi relaxation sweeps from
+    # hashed starts; the 20 tightest edges — local coupling strength
+    # a common-neighbor count can't see on sparse graphs
+    from graphlite_spark.algos.centrality import algebraic_distance
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return algebraic_distance(v, e, iterations=5, top_k=20)
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4679,6 +4689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols2_user_value": q_ols2_user_value,
         "gk_lambda_type_dow": q_gk_lambda_type_dow,
         "james_stein_means": q_james_stein_means,
+        "algebraic_distance_5": q_algebraic_distance,
     }
 
 
@@ -4992,6 +5003,7 @@ def oracle_sql() -> dict[str, str]:
         "ols2_user_value": O.ols2_user_value_sql(),
         "gk_lambda_type_dow": O.gk_lambda_type_dow_sql(),
         "james_stein_means": O.james_stein_type_means_sql(),
+        "algebraic_distance_5": O.algebraic_distance_sql(5, 20),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -642,3 +642,77 @@ def collective_influence(
         .orderBy(F.col("ci").desc(), F.col("id").asc())
         .limit(top_k)
     )
+
+
+def algebraic_distance(
+    vertices: DataFrame,
+    edges: DataFrame,
+    iterations: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """(src, dst, dist_micros) — algebraic distance (Chen & Safro
+    2011, public literature): run a few Jacobi-style relaxation
+    sweeps x ← (x + mean(x_neighbors))/2 from deterministic
+    pseudo-random starts; edges whose endpoints end up CLOSE are
+    strongly locally connected (the multigrid/partitioning coupling
+    measure — a 2-hop-blind edge weight that sees community structure
+    a raw common-neighbor count misses on sparse graphs).  Returns
+    the ``top_k`` tightest edges (dist ASC, src, dst).
+
+    Exactness: starts are hash48 micros; each sweep is the exact
+    integer rule (x + (Σ_nbr x) div deg) div 2 (isolated vertices
+    keep x), unrolled identically by the oracle — BIGINT end to end.
+
+    Scale shape: per sweep one static-edge × state equi-join with a
+    map-side-combined gather (the Pregel gather shape, linear loop —
+    lazy localCheckpoint truncates lineage); top-k is
+    TakeOrderedAndProject."""
+    from graphlite_spark.algos.components import symmetrize
+    from graphlite_spark.functions.hashes import hash48
+
+    und = symmetrize(edges).select("src", "dst")
+    deg = und.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    x = vertices.select(
+        "id",
+        (
+            hash48(F.concat(F.lit("algdist:"), F.col("id").cast("string")))
+            % 1_000_000
+        ).cast("long").alias("x"),
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        gather = (
+            und.join(
+                x.select(F.col("id").alias("src"), F.col("x").alias("xs")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("xs").cast("long").alias("s"))
+        )
+        x = (
+            x.join(gather, "id", "left")
+            .join(deg.select(F.col("src").alias("id"), "deg"), "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("s").isNotNull() & (F.col("deg") > 0),
+                    F.expr("(x + (s div deg)) div 2"),
+                ).otherwise(F.col("x")).cast("long").alias("x"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    pairs = (
+        und.where(F.col("src") < F.col("dst"))
+        .join(x.select(F.col("id").alias("src"), F.col("x").alias("xu")), "src")
+        .join(x.select(F.col("id").alias("dst"), F.col("x").alias("xv")), "dst")
+        .select(
+            "src", "dst",
+            F.abs(F.col("xu") - F.col("xv")).cast("long").alias(
+                "dist_micros"
+            ),
+        )
+    )
+    return pairs.orderBy(
+        F.col("dist_micros").asc(), F.col("src").asc(), F.col("dst").asc()
+    ).limit(top_k)

@@ -13886,3 +13886,44 @@ def james_stein_type_means_sql(
         "  ELSE r.raw_m END AS BIGINT) AS shrunk_mean_cents_micros\n"
         "FROM js_r r, js_t t, js_s x"
     )
+
+
+def algebraic_distance_sql(
+    iterations: int = 5, top_k: int = 20
+) -> str:
+    """Mirror of algos.centrality.algebraic_distance: hash48 micro
+    starts, unrolled integer Jacobi sweeps over und (isolated
+    vertices keep x), u<v edge distances, (dist, src, dst) top-k."""
+    h = _h48("'algdist:' || CAST(id AS VARCHAR)")
+    parts = [
+        "ad_d AS MATERIALIZED (SELECT src,"
+        " CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src)",
+        f"ax0 AS MATERIALIZED (SELECT id,"
+        f" CAST({h} % 1000000 AS BIGINT) AS x FROM vertices)",
+    ]
+    for r in range(1, iterations + 1):
+        prev = f"ax{r - 1}"
+        parts.append(
+            f"ax{r} AS MATERIALIZED (\n"
+            f"  SELECT v.id, CAST(CASE WHEN m.s IS NOT NULL"
+            " AND d.deg > 0 THEN\n"
+            "      (v.x + (m.s // d.deg)) // 2 ELSE v.x END"
+            " AS BIGINT) AS x\n"
+            f"  FROM {prev} v\n"
+            "  LEFT JOIN (SELECT u.dst AS id, CAST(SUM(p.x) AS BIGINT)"
+            " AS s\n"
+            f"    FROM und u JOIN {prev} p ON p.id = u.src\n"
+            "    GROUP BY u.dst) m ON m.id = v.id\n"
+            "  LEFT JOIN ad_d d ON d.src = v.id)"
+        )
+    joined = ",\n".join(parts)
+    body = (
+        f", {joined}\n"
+        "SELECT e.src, e.dst,\n"
+        "  CAST(abs(a.x - b.x) AS BIGINT) AS dist_micros\n"
+        "FROM (SELECT src, dst FROM und WHERE src < dst) e\n"
+        f"JOIN ax{iterations} a ON a.id = e.src\n"
+        f"JOIN ax{iterations} b ON b.id = e.dst\n"
+        f"ORDER BY dist_micros ASC, e.src ASC, e.dst ASC LIMIT {top_k}"
+    )
+    return _graph_query(body)
