@@ -3770,6 +3770,16 @@ def q_algebraic_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return algebraic_distance(v, e, iterations=5, top_k=20)
 
 
+def q_adjusted_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Haberman adjusted residuals of the type x weekday table: WHICH
+    # cells drive the chi-square dependence (|r| > 2 flags them)
+    from graphlite_spark.operators.analytics import (
+        adjusted_residuals_type_dow,
+    )
+
+    return adjusted_residuals_type_dow(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4690,6 +4700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gk_lambda_type_dow": q_gk_lambda_type_dow,
         "james_stein_means": q_james_stein_means,
         "algebraic_distance_5": q_algebraic_distance,
+        "adjusted_residuals_type_dow": q_adjusted_residuals,
     }
 
 
@@ -5004,6 +5015,7 @@ def oracle_sql() -> dict[str, str]:
         "gk_lambda_type_dow": O.gk_lambda_type_dow_sql(),
         "james_stein_means": O.james_stein_type_means_sql(),
         "algebraic_distance_5": O.algebraic_distance_sql(5, 20),
+        "adjusted_residuals_type_dow": O.adjusted_residuals_type_dow_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -6619,3 +6619,77 @@ def james_stein_type_means(
             ),
         )
     )
+
+
+def adjusted_residuals_type_dow(
+    events: DataFrame,
+    top_k: int = 10,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(dow, event_type, observed, resid_micros) — Haberman adjusted
+    standardized residuals (Haberman 1973, public literature) of the
+    event-type × weekday contingency table, top ``top_k`` by |resid|:
+    WHICH cells drive the dependence :func:`chi_square_type_dow`
+    detects — |r| > 2 flags the (day, type) combinations that are
+    genuinely over/under-represented, the drill-down every omnibus
+    chi-square needs.
+
+    Exactness: the cell numerator N·O − r·c is an exact BIGINT; the
+    residual is ONE identically-shaped float —
+    (N·O − r·c)·√N / √(r·c·(N−r)·(N−c)) — rounded to micros per
+    cell (algebraically equal to (O−E)/√(E(1−r/N)(1−c/N)) with
+    denominators cleared).  Structural zeros of the observed
+    type × dow lattice are included with O = 0 (they can be the
+    most significant cells).  Tie-break (|resid| DESC, dow, type).
+
+    Scale shape: one map-side-combined cell groupBy, two codebook
+    marginals cross-joined back over the |types|·7 lattice, top-k."""
+    src = events.select(
+        "event_type",
+        F.expr(
+            f"cast((unix_micros(cast({ts_col} as timestamp))"
+            f" div {DAY_US} + 3) % 7 as int)"
+        ).alias("dow"),
+    )
+    cells = src.groupBy("dow", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("r"))
+    cols = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("c")
+    )
+    nn = cells.agg(F.sum("o").cast("long").alias("n"))
+    lattice = (
+        rows.crossJoin(F.broadcast(cols))
+        .join(cells, ["dow", "event_type"], "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "dow", "event_type",
+            F.coalesce("o", F.lit(0)).cast("long").alias("observed"),
+            "r", "c", "n",
+        )
+    )
+    resid = lattice.select(
+        "dow", "event_type", "observed",
+        F.when(
+            (F.col("r") < F.col("n")) & (F.col("c") < F.col("n")),
+            F.round(
+                F.lit(1_000_000.0)
+                * (
+                    F.col("n") * F.col("observed")
+                    - F.col("r") * F.col("c")
+                ).cast("double")
+                * F.sqrt(F.col("n").cast("double"))
+                / F.sqrt(
+                    F.col("r").cast("double") * F.col("c")
+                    * (F.col("n") - F.col("r"))
+                    * (F.col("n") - F.col("c"))
+                ),
+            ),
+        ).otherwise(F.lit(0)).cast("long").alias("resid_micros"),
+    )
+    return resid.orderBy(
+        F.abs(F.col("resid_micros")).desc(),
+        F.col("dow").asc(),
+        F.col("event_type").asc(),
+    ).limit(top_k)

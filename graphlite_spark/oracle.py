@@ -13927,3 +13927,39 @@ def algebraic_distance_sql(
         f"ORDER BY dist_micros ASC, e.src ASC, e.dst ASC LIMIT {top_k}"
     )
     return _graph_query(body)
+
+
+def adjusted_residuals_type_dow_sql(top_k: int = 10) -> str:
+    """Mirror of operators.analytics.adjusted_residuals_type_dow:
+    full lattice with structural zeros, cleared-denominator Haberman
+    float rounded per cell, (|resid| DESC, dow, type) top-k."""
+    return (
+        "WITH ar_s AS MATERIALIZED (\n"
+        "  SELECT event_type,\n"
+        "    CAST((CAST(epoch_us(ts) AS BIGINT) // 86400000000 + 3)"
+        " % 7 AS INT) AS dow\n"
+        "  FROM events),\n"
+        "ar_c AS MATERIALIZED (SELECT dow, event_type,\n"
+        "  CAST(count(*) AS BIGINT) AS o FROM ar_s GROUP BY 1, 2),\n"
+        "ar_r AS (SELECT dow, CAST(sum(o) AS BIGINT) AS r FROM ar_c"
+        " GROUP BY dow),\n"
+        "ar_k AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS c"
+        " FROM ar_c GROUP BY event_type),\n"
+        "ar_n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM ar_c),\n"
+        "ar_l AS MATERIALIZED (\n"
+        "  SELECT r.dow, k.event_type,\n"
+        "    CAST(COALESCE(c.o, 0) AS BIGINT) AS observed,\n"
+        "    r.r, k.c, (SELECT n FROM ar_n) AS n\n"
+        "  FROM ar_r r CROSS JOIN ar_k k\n"
+        "  LEFT JOIN ar_c c ON c.dow = r.dow"
+        " AND c.event_type = k.event_type)\n"
+        "SELECT dow, event_type, observed,\n"
+        "  CAST(CASE WHEN r < n AND c < n THEN round(\n"
+        "    1000000.0 * CAST(n * observed - r * c AS DOUBLE)\n"
+        "    * sqrt(CAST(n AS DOUBLE))\n"
+        "    / sqrt(CAST(r AS DOUBLE) * c * (n - r) * (n - c)))\n"
+        "  ELSE 0 END AS BIGINT) AS resid_micros\n"
+        "FROM ar_l\n"
+        "ORDER BY abs(resid_micros) DESC, dow ASC, event_type ASC\n"
+        f"LIMIT {top_k}"
+    )
