@@ -3780,6 +3780,15 @@ def q_adjusted_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adjusted_residuals_type_dow(load_table(spark, sf_dir, "events"))
 
 
+def q_lof_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Local Outlier Factor top-10: density-RELATIVE anomalies that a
+    # global distance cutoff misses (sparse point beside a dense
+    # cluster), exact integer chain over the brute-force kNN
+    from graphlite_spark.operators.similarity import lof_topk
+
+    return lof_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4701,6 +4710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "james_stein_means": q_james_stein_means,
         "algebraic_distance_5": q_algebraic_distance,
         "adjusted_residuals_type_dow": q_adjusted_residuals,
+        "lof_top10": q_lof_topk,
     }
 
 
@@ -5016,6 +5026,7 @@ def oracle_sql() -> dict[str, str]:
         "james_stein_means": O.james_stein_type_means_sql(),
         "algebraic_distance_5": O.algebraic_distance_sql(5, 20),
         "adjusted_residuals_type_dow": O.adjusted_residuals_type_dow_sql(),
+        "lof_top10": O.lof_topk_sql(5, 10, 64),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -2192,3 +2192,120 @@ def effective_rank_embeddings(
             ),
         ).alias("er_micros"),
     )
+
+
+def lof_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, kdist_sq, lrd_micros, lof_micros) — Local Outlier Factor
+    (Breunig et al. 2000, public literature) over the embedding
+    corpus, top ``top_k`` by LOF: the DENSITY-RELATIVE outlier score
+    — a point is anomalous if its neighborhood is sparse *compared to
+    its neighbors' neighborhoods*, which catches outliers sitting
+    next to a dense cluster that a global distance cutoff
+    (:func:`centroid_outliers`) misses entirely.
+
+    Exactness: squared micro-quantized L2 distances are BIGINT; the
+    classic chain — k-distance, reachability
+    reach(u,v) = max(kdist(v), d²(u,v)), local reachability density
+    lrd(u) = (10²¹·k) div Σreach (fixed-point scale stated in the
+    code — it cancels in the ratio), LOF(u) = (Σ lrd(neighbors) ·
+    10⁶) div (k · lrd(u)) — is computed with ONE stated truncating
+    division per stage (both engines identical), so ranks are
+    bit-stable.  Tie-break (lof DESC, id ASC).
+
+    Scale shape: one broadcast brute-force kNN (the corpus-sized
+    operator under test, same plan family as knn_hubness); the LOF
+    chain after it is three k-bounded equi-joins on (id, neighbor) —
+    at 100 TB the kNN stage swaps for the IVF/LSH index path and the
+    chain is unchanged."""
+    q = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("qv"),
+    )
+    c = q.select(F.col("id").alias("nid"), F.col("qv").alias("cv"))
+    d2 = (
+        q.join(F.broadcast(c), F.col("id") != F.col("nid"))
+        .select(
+            "id", "nid",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("cv"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("d2").asc(), F.col("nid").asc()
+    )
+    knn = (
+        d2.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .localCheckpoint(eager=False)
+    )
+    kd = knn.groupBy("id").agg(F.max("d2").cast("long").alias("kdist"))
+    reach = (
+        knn.join(
+            kd.select(F.col("id").alias("nid"), F.col("kdist").alias(
+                "kd_n"
+            )),
+            "nid",
+        )
+        .select(
+            "id", "nid",
+            F.greatest(F.col("kd_n"), F.col("d2")).cast("long").alias(
+                "reach"
+            ),
+        )
+    )
+    # lrd rides a 10^21 fixed-point scale (stated): reachability sums
+    # live in squared-micro units (~10^13+), so a 10^6 scale would
+    # truncate every density to zero; LOF is a ratio, so the scale
+    # cancels and only truncation precision (~6 digits) remains.
+    lrd = reach.groupBy("id").agg(
+        F.expr(
+            "CAST((CAST(1000000000000000000000 AS DECIMAL(38,0))"
+            f" * {int(k)}) div CAST(sum(reach) AS DECIMAL(38,0))"
+            " AS BIGINT)"
+        ).alias("lrd")
+    )
+    lof = (
+        knn.select("id", "nid")
+        .join(lrd.select(F.col("id").alias("nid"), F.col("lrd").alias(
+            "lrd_n"
+        )), "nid")
+        .groupBy("id")
+        .agg(F.sum("lrd_n").cast("long").alias("lrd_sum"))
+        .join(lrd, "id")
+        .select(
+            "id",
+            F.when(
+                F.col("lrd") > 0,
+                F.expr(
+                    "CAST((CAST(lrd_sum AS DECIMAL(38,0)) * 1000000)"
+                    f" div (CAST({int(k)} AS DECIMAL(38,0)) * lrd)"
+                    " AS BIGINT)"
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("lof_micros"),
+        )
+    )
+    return (
+        lof.join(kd, "id")
+        .join(lrd, "id")
+        .select(
+            "id", F.col("kdist").alias("kdist_sq"),
+            F.col("lrd").alias("lrd_micros"), "lof_micros",
+        )
+        .orderBy(F.col("lof_micros").desc(), F.col("id").asc())
+        .limit(top_k)
+    )

@@ -13963,3 +13963,50 @@ def adjusted_residuals_type_dow_sql(top_k: int = 10) -> str:
         "ORDER BY abs(resid_micros) DESC, dow ASC, event_type ASC\n"
         f"LIMIT {top_k}"
     )
+
+
+def lof_topk_sql(k: int = 5, top_k: int = 10, d: int = 64) -> str:
+    """Mirror of operators.similarity.lof_topk: micro-quantized
+    squared L2 kNN, k-distance, reachability, the 10²¹ fixed-point
+    lrd, per-stage truncating LOF, (lof DESC, id) top-k."""
+    return (
+        "WITH lf_q AS MATERIALIZED (\n"
+        "  SELECT vec_id AS id, t.i - 1 AS pos,\n"
+        "    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0)"
+        " AS BIGINT) AS qv\n"
+        f"  FROM embeddings, range(1, {d + 1}) t(i)),\n"
+        "lf_d AS MATERIALIZED (\n"
+        "  SELECT a.id, b.id AS nid,\n"
+        "    CAST(sum((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2\n"
+        "  FROM lf_q a JOIN lf_q b ON b.pos = a.pos AND b.id <> a.id\n"
+        "  GROUP BY a.id, b.id),\n"
+        "lf_k AS MATERIALIZED (\n"
+        "  SELECT id, nid, d2 FROM (\n"
+        "    SELECT id, nid, d2, row_number() OVER (PARTITION BY id\n"
+        "      ORDER BY d2 ASC, nid ASC) AS rank FROM lf_d)\n"
+        f"  WHERE rank <= {k}),\n"
+        "lf_kd AS MATERIALIZED (SELECT id,"
+        " CAST(max(d2) AS BIGINT) AS kdist FROM lf_k GROUP BY id),\n"
+        "lf_r AS MATERIALIZED (\n"
+        "  SELECT n.id, n.nid,\n"
+        "    CAST(greatest(kd.kdist, n.d2) AS BIGINT) AS reach\n"
+        "  FROM lf_k n JOIN lf_kd kd ON kd.id = n.nid),\n"
+        "lf_l AS MATERIALIZED (\n"
+        "  SELECT id, CAST((CAST(1000000000000000000000 AS HUGEINT)\n"
+        f"    * {k}) // CAST(sum(reach) AS HUGEINT) AS BIGINT) AS lrd\n"
+        "  FROM lf_r GROUP BY id),\n"
+        "lf_o AS MATERIALIZED (\n"
+        "  SELECT n.id,\n"
+        "    CAST(CASE WHEN l.lrd > 0 THEN\n"
+        "      (CAST(sum(ln_.lrd) AS HUGEINT) * 1000000)\n"
+        f"      // (CAST({k} AS HUGEINT) * l.lrd)\n"
+        "    ELSE 0 END AS BIGINT) AS lof_micros\n"
+        "  FROM lf_k n JOIN lf_l ln_ ON ln_.id = n.nid\n"
+        "  JOIN lf_l l ON l.id = n.id\n"
+        "  GROUP BY n.id, l.lrd)\n"
+        "SELECT o.id, kd.kdist AS kdist_sq, l.lrd AS lrd_micros,\n"
+        "  o.lof_micros\n"
+        "FROM lf_o o JOIN lf_kd kd ON kd.id = o.id\n"
+        "JOIN lf_l l ON l.id = o.id\n"
+        f"ORDER BY o.lof_micros DESC, o.id ASC LIMIT {top_k}"
+    )
