@@ -3789,6 +3789,14 @@ def q_lof_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lof_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_daily_motif_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # matrix-profile motif at daily scale: the pair of non-overlapping
+    # 7-day stretches that repeat each other most exactly
+    from graphlite_spark.operators.analytics import daily_motif_pair
+
+    return daily_motif_pair(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4711,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "algebraic_distance_5": q_algebraic_distance,
         "adjusted_residuals_type_dow": q_adjusted_residuals,
         "lof_top10": q_lof_topk,
+        "daily_motif_pair": q_daily_motif_pair,
     }
 
 
@@ -5027,6 +5036,7 @@ def oracle_sql() -> dict[str, str]:
         "algebraic_distance_5": O.algebraic_distance_sql(5, 20),
         "adjusted_residuals_type_dow": O.adjusted_residuals_type_dow_sql(),
         "lof_top10": O.lof_topk_sql(5, 10, 64),
+        "daily_motif_pair": O.daily_motif_pair_sql(7),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

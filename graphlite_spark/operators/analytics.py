@@ -6693,3 +6693,80 @@ def adjusted_residuals_type_dow(
         F.col("dow").asc(),
         F.col("event_type").asc(),
     ).limit(top_k)
+
+
+def daily_motif_pair(
+    events: DataFrame,
+    window: int = 7,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (day_a, day_b, dist_sq, n_windows) — the matrix-profile
+    motif (Yeh et al. 2016's problem, computed exactly at daily
+    scale): the pair of NON-OVERLAPPING ``window``-day stretches of
+    the zero-filled daily count series with the smallest squared
+    distance — "which week repeated itself most exactly?"  The
+    motif-discovery complement to :func:`binseg_changepoint` (which
+    finds where the series BREAKS, not where it rhymes).
+
+    Exactness: windows are the spine's consecutive runs; distances
+    are exact BIGINT sums of squared differences; the argmin
+    tie-breaks (dist, day_a, day_b).
+
+    Scale shape: the window table is calendar-bounded (one row per
+    start day); the pair join is |windows|² rows with a 7-element
+    aligned-offset aggregation — at daily granularity this is
+    thousands of rows, never data-scale; subsampling or MASS-style
+    FFT pruning is the documented path if the series were
+    minute-grained."""
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+        F.col("lo"), F.col("hi"),
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d", "lo", "hi",
+        F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+    )
+    offs = filled.select(
+        "d", "y",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(window) - 1))
+        ).alias("t"),
+        "lo", "hi",
+    ).select(
+        (F.col("d") - F.col("t")).alias("s"), F.col("t"), "y",
+        "lo", "hi",
+    ).where(
+        (F.col("s") >= F.col("lo"))
+        & (F.col("s") + window - 1 <= F.col("hi"))
+    )
+    a = offs.select(F.col("s").alias("sa"), "t", F.col("y").alias("ya"))
+    b = offs.select(F.col("s").alias("sb"), "t", F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, "t")
+        .where(F.col("sb") >= F.col("sa") + window)
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(
+                (F.col("ya") - F.col("yb"))
+                * (F.col("ya") - F.col("yb"))
+            ).cast("long").alias("dist_sq")
+        )
+    )
+    nw = offs.select("s").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+    best = pairs.orderBy(
+        F.col("dist_sq").asc(), F.col("sa").asc(), F.col("sb").asc()
+    ).limit(1)
+    return best.crossJoin(F.broadcast(nw)).select(
+        F.col("sa").alias("day_a"),
+        F.col("sb").alias("day_b"),
+        "dist_sq",
+        "n_windows",
+    )

@@ -14010,3 +14010,38 @@ def lof_topk_sql(k: int = 5, top_k: int = 10, d: int = 64) -> str:
         "JOIN lf_l l ON l.id = o.id\n"
         f"ORDER BY o.lof_micros DESC, o.id ASC LIMIT {top_k}"
     )
+
+
+def daily_motif_pair_sql(window: int = 7) -> str:
+    """Mirror of operators.analytics.daily_motif_pair: zero-filled
+    spine, full in-range windows via aligned offsets, exact BIGINT
+    pair distances, (dist, day_a, day_b) argmin."""
+    w = int(window)
+    return (
+        "WITH mo_d AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "mo_r AS (SELECT min(d) AS lo, max(d) AS hi FROM mo_d),\n"
+        "mo_f AS MATERIALIZED (\n"
+        "  SELECT sp.d, CAST(COALESCE(dl.y, 0) AS BIGINT) AS y\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM mo_r) sp\n"
+        "  LEFT JOIN mo_d dl USING (d)),\n"
+        "mo_o AS MATERIALIZED (\n"
+        "  SELECT f.d - t.t AS s, t.t, f.y FROM mo_f f,\n"
+        f"    (SELECT unnest(range(0, {w})) AS t) t\n"
+        "  WHERE f.d - t.t >= (SELECT lo FROM mo_r)\n"
+        f"    AND f.d - t.t + {w} - 1 <= (SELECT hi FROM mo_r)),\n"
+        "mo_p AS MATERIALIZED (\n"
+        "  SELECT a.s AS sa, b.s AS sb,\n"
+        "    CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT)"
+        " AS dist_sq\n"
+        "  FROM mo_o a JOIN mo_o b ON b.t = a.t"
+        f" AND b.s >= a.s + {w}\n"
+        "  GROUP BY 1, 2),\n"
+        "mo_n AS (SELECT CAST(count(DISTINCT s) AS BIGINT)"
+        " AS n_windows FROM mo_o)\n"
+        "SELECT sa AS day_a, sb AS day_b, dist_sq, n_windows\n"
+        "FROM mo_p, mo_n\n"
+        "ORDER BY dist_sq ASC, sa ASC, sb ASC LIMIT 1"
+    )
