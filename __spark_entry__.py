@@ -3797,6 +3797,14 @@ def q_daily_motif_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_motif_pair(load_table(spark, sf_dir, "events"))
 
 
+def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DBSCAN with data-adaptive eps (median 5-NN distance): density
+    # clusters of arbitrary shape with noise as a first-class outcome
+    from graphlite_spark.operators.similarity import dbscan_labels
+
+    return dbscan_labels(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4720,6 +4728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjusted_residuals_type_dow": q_adjusted_residuals,
         "lof_top10": q_lof_topk,
         "daily_motif_pair": q_daily_motif_pair,
+        "dbscan_labels": q_dbscan_labels,
     }
 
 
@@ -5037,6 +5046,7 @@ def oracle_sql() -> dict[str, str]:
         "adjusted_residuals_type_dow": O.adjusted_residuals_type_dow_sql(),
         "lof_top10": O.lof_topk_sql(5, 10, 64),
         "daily_motif_pair": O.daily_motif_pair_sql(7),
+        "dbscan_labels": O.dbscan_labels_sql(5, 5, 16, 64),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -2309,3 +2309,142 @@ def lof_topk(
         .orderBy(F.col("lof_micros").desc(), F.col("id").asc())
         .limit(top_k)
     )
+
+
+def dbscan_labels(
+    embeddings: DataFrame,
+    min_pts: int = 5,
+    knn_k: int = 5,
+    rounds: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, is_core, cluster) — DBSCAN (Ester et al. 1996, public
+    literature) over the embedding corpus with a DATA-ADAPTIVE
+    radius: eps² = the lower-median ``knn_k``-NN distance (the
+    standard k-distance-plot heuristic made deterministic), core =
+    ≥ ``min_pts``−1 neighbors within eps, clusters = min-id label
+    propagation over the core–core eps graph run for EXACTLY
+    ``rounds`` synchronized rounds on both engines (equality holds
+    even if a pathological chain hasn't converged — both sides are
+    the same R-round propagation, the k_core cap discipline); border
+    points take the smallest core-neighbor label, noise stays NULL.
+    The density clustering that finds arbitrary-shape clusters
+    k-means cannot, with noise as a first-class outcome.
+
+    Exactness: squared micro distances and counts are BIGINT; the
+    median rank rule is the runs_test lower-median convention; every
+    label step is an integer min.
+
+    Scale shape: the brute-force distance table is the operator
+    under test (broadcast join, same family as knn/LOF — the IVF
+    bucket path swaps in at 100 TB); each propagation round is one
+    static-edge equi-join + map-side-combined min (linear loop,
+    lazy localCheckpoint)."""
+    q = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("qv"),
+    )
+    c = q.select(F.col("id").alias("nid"), F.col("qv").alias("cv"))
+    d2 = (
+        q.join(F.broadcast(c), F.col("id") != F.col("nid"))
+        .select(
+            "id", "nid",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("cv"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("d2").asc(), F.col("nid").asc()
+    )
+    kd = (
+        d2.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") == knn_k)
+        .select("id", F.col("d2").alias("kdist"))
+    )
+    wm = Window.orderBy(F.col("kdist").asc(), F.col("id").asc())
+    eps = (
+        kd.withColumn("rn", F.row_number().over(wm))
+        .crossJoin(
+            F.broadcast(
+                kd.agg(F.count(F.lit(1)).cast("long").alias("n"))
+            )
+        )
+        .where(F.col("rn") == F.expr("(n + n % 2) div 2"))
+        .select(F.col("kdist").alias("eps_sq"))
+    )
+    near = d2.crossJoin(F.broadcast(eps)).where(
+        F.col("d2") <= F.col("eps_sq")
+    ).select("id", "nid")
+    core = (
+        near.groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nn"))
+        .where(F.col("nn") >= min_pts - 1)
+        .select("id")
+    )
+    ce = (
+        near.join(core, "id", "left_semi")
+        .join(
+            core.select(F.col("id").alias("nid")), "nid", "left_semi"
+        )
+        .localCheckpoint(eager=False)
+    )
+    lab = core.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(rounds):
+        gathered = (
+            ce.join(
+                lab.select(
+                    F.col("id").alias("nid"), F.col("label").alias("nl")
+                ),
+                "nid",
+            )
+            .groupBy("id")
+            .agg(F.min("nl").alias("ml"))
+        )
+        lab = (
+            lab.join(gathered, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("ml", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    border = (
+        near.join(core.select(F.col("id")), "id", "left_anti")
+        .join(
+            lab.select(F.col("id").alias("nid"), "label"), "nid"
+        )
+        .groupBy("id")
+        .agg(F.min("label").alias("blabel"))
+    )
+    allv = q.select("id")
+    return (
+        allv.join(
+            core.select("id", F.lit(1).alias("is_core")), "id", "left"
+        )
+        .join(lab.withColumnRenamed("label", "clabel"), "id", "left")
+        .join(border, "id", "left")
+        .select(
+            "id",
+            F.coalesce("is_core", F.lit(0)).cast("int").alias(
+                "is_core"
+            ),
+            F.coalesce("clabel", "blabel").cast("long").alias(
+                "cluster"
+            ),
+        )
+    )

@@ -14045,3 +14045,71 @@ def daily_motif_pair_sql(window: int = 7) -> str:
         "FROM mo_p, mo_n\n"
         "ORDER BY dist_sq ASC, sa ASC, sb ASC LIMIT 1"
     )
+
+
+def dbscan_labels_sql(
+    min_pts: int = 5, knn_k: int = 5, rounds: int = 16, d: int = 64
+) -> str:
+    """Mirror of operators.similarity.dbscan_labels: micro-quantized
+    distances, lower-median k-distance eps, core counts, exactly
+    ``rounds`` unrolled min-label propagation rounds over the
+    core-core eps graph, border = smallest core-neighbor label."""
+    parts = [
+        "db_q AS MATERIALIZED (\n"
+        "  SELECT vec_id AS id, t.i - 1 AS pos,\n"
+        "    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0)"
+        " AS BIGINT) AS qv\n"
+        f"  FROM embeddings, range(1, {d + 1}) t(i))",
+        "db_d AS MATERIALIZED (\n"
+        "  SELECT a.id, b.id AS nid,\n"
+        "    CAST(sum((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d2\n"
+        "  FROM db_q a JOIN db_q b ON b.pos = a.pos AND b.id <> a.id\n"
+        "  GROUP BY a.id, b.id)",
+        "db_kd AS MATERIALIZED (SELECT id, d2 AS kdist FROM (\n"
+        "  SELECT id, d2, row_number() OVER (PARTITION BY id\n"
+        "    ORDER BY d2 ASC, nid ASC) AS rank FROM db_d)\n"
+        f"  WHERE rank = {knn_k})",
+        "db_e AS (SELECT kdist AS eps_sq FROM (\n"
+        "  SELECT kdist, row_number() OVER (ORDER BY kdist ASC,"
+        " id ASC) AS rn,\n"
+        "    CAST(count(*) OVER () AS BIGINT) AS n FROM db_kd)\n"
+        "  WHERE rn = (n + n % 2) // 2)",
+        "db_nr AS MATERIALIZED (SELECT id, nid FROM db_d\n"
+        "  WHERE d2 <= (SELECT eps_sq FROM db_e))",
+        "db_c AS MATERIALIZED (SELECT id FROM (\n"
+        "  SELECT id, count(*) AS nn FROM db_nr GROUP BY id)\n"
+        f"  WHERE nn >= {min_pts} - 1)",
+        "db_ce AS MATERIALIZED (\n"
+        "  SELECT n.id, n.nid FROM db_nr n\n"
+        "  JOIN db_c x ON x.id = n.id JOIN db_c y ON y.id = n.nid)",
+        "lb0 AS MATERIALIZED (SELECT id, id AS label FROM db_c)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"lb{r - 1}"
+        parts.append(
+            f"lb{r} AS MATERIALIZED (\n"
+            f"  SELECT l.id, least(l.label, COALESCE(m.ml, l.label))"
+            " AS label\n"
+            f"  FROM {prev} l LEFT JOIN (\n"
+            f"    SELECT e.id, min(p.label) AS ml\n"
+            f"    FROM db_ce e JOIN {prev} p ON p.id = e.nid\n"
+            "    GROUP BY e.id) m ON m.id = l.id)"
+        )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined},\n"
+        "db_b AS MATERIALIZED (\n"
+        "  SELECT n.id, CAST(min(p.label) AS BIGINT) AS blabel\n"
+        "  FROM db_nr n\n"
+        f"  JOIN lb{rounds} p ON p.id = n.nid\n"
+        "  WHERE NOT EXISTS (SELECT 1 FROM db_c c WHERE c.id = n.id)\n"
+        "  GROUP BY n.id)\n"
+        "SELECT v.vec_id AS id,\n"
+        "  CAST(CASE WHEN c.id IS NOT NULL THEN 1 ELSE 0 END AS INT)"
+        " AS is_core,\n"
+        "  CAST(COALESCE(l.label, b.blabel) AS BIGINT) AS cluster\n"
+        "FROM embeddings v\n"
+        "LEFT JOIN db_c c ON c.id = v.vec_id\n"
+        f"LEFT JOIN lb{rounds} l ON l.id = v.vec_id\n"
+        "LEFT JOIN db_b b ON b.id = v.vec_id"
+    )
