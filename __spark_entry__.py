@@ -3805,6 +3805,14 @@ def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dbscan_labels(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_kmeans_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # split-half clustering stability: ARI between codebooks fit on
+    # even/odd halves — is the cluster structure real or noise?
+    from graphlite_spark.operators.kmeans import kmeans_stability_ari
+
+    return kmeans_stability_ari(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4729,6 +4737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lof_top10": q_lof_topk,
         "daily_motif_pair": q_daily_motif_pair,
         "dbscan_labels": q_dbscan_labels,
+        "kmeans_stability_ari": q_kmeans_stability,
     }
 
 
@@ -5047,6 +5056,7 @@ def oracle_sql() -> dict[str, str]:
         "lof_top10": O.lof_topk_sql(5, 10, 64),
         "daily_motif_pair": O.daily_motif_pair_sql(7),
         "dbscan_labels": O.dbscan_labels_sql(5, 5, 16, 64),
+        "kmeans_stability_ari": O.kmeans_stability_ari_sql(4, 2, 64),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

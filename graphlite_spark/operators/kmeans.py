@@ -793,3 +793,79 @@ def kmeans_label_nmi(
             ).cast("long").alias("nmi_micros"),
         )
     )
+
+
+def kmeans_stability_ari(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row (n_vectors, k_a, k_b, ari_micros) — clustering
+    STABILITY via split-half agreement (Lange et al. 2004, public
+    literature): fit the k-means codebook independently on the
+    even-id and odd-id halves, assign the FULL corpus to both, and
+    report the Adjusted Rand Index between the two assignments.
+    High = the cluster structure is real (any half recovers it);
+    near 0 = the "clusters" are sampling noise — the
+    reproducibility check that should gate any downstream use of
+    :func:`kmeans_embeddings`, orthogonal to the internal
+    (:func:`calinski_harabasz`) and external
+    (:func:`kmeans_label_ari`) validations.
+
+    Exactness: both fits are the shared hash-seeded truncating-Lloyd
+    machinery on their halves; assignments are codebook-literal
+    argmins; the ARI is the exact pair-count algebra of
+    :func:`kmeans_label_ari` on the A×B contingency (DECIMAL /
+    HUGEINT truncating micros, negative legal).
+
+    Scale shape: two kmeans fits (codebook-sized driver state), two
+    zero-join assignments, one k×k contingency groupBy."""
+    q = _quantized(embeddings, id_col, vec_col)
+    qa = q.where(F.col("id") % 2 == 0)
+    qb = q.where(F.col("id") % 2 == 1)
+    ca = _fit(qa, k, iterations)
+    cb = _fit(qb, k, iterations)
+    aa = _assign(q, ca).select("id", F.col("cluster").alias("cl_a"))
+    bb = _assign(q, cb).select("id", F.col("cluster").alias("cl_b"))
+    ct = (
+        aa.join(bb, "id")
+        .groupBy("cl_a", "cl_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cells = ct.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.expr("sum((c * (c - 1)) div 2)").cast("long").alias("idx"),
+        F.countDistinct("cl_a").cast("long").alias("ka"),
+        F.countDistinct("cl_b").cast("long").alias("kb"),
+    )
+    pa = (
+        ct.groupBy("cl_a").agg(F.sum("c").alias("a"))
+        .agg(F.expr("sum((a * (a - 1)) div 2)").cast("long").alias("pa"))
+    )
+    pb = (
+        ct.groupBy("cl_b").agg(F.sum("c").alias("b"))
+        .agg(F.expr("sum((b * (b - 1)) div 2)").cast("long").alias("pb"))
+    )
+    return (
+        cells.crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(pb))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("ka").alias("k_a"),
+            F.col("kb").alias("k_b"),
+            F.when(
+                F.expr(
+                    "((n * (n - 1)) div 2) * (pa + pb) - 2 * pa * pb"
+                )
+                != 0,
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0)) * 2 *"
+                    " (((n * (n - 1)) div 2) * idx - pa * pb))"
+                    " div CAST(((n * (n - 1)) div 2) * (pa + pb)"
+                    " - 2 * pa * pb AS DECIMAL(38,0)) AS BIGINT)"
+                ),
+            ).alias("ari_micros"),
+        )
+    )

@@ -14113,3 +14113,102 @@ def dbscan_labels_sql(
         f"LEFT JOIN lb{rounds} l ON l.id = v.vec_id\n"
         "LEFT JOIN db_b b ON b.id = v.vec_id"
     )
+
+
+def kmeans_stability_ari_sql(
+    k: int = 4, iterations: int = 2, d: int = 64
+) -> str:
+    """Mirror of operators.kmeans.kmeans_stability_ari: two
+    half-filtered unrolled-Lloyd chains (same quantization, seed
+    hash, tie rules as _kmeans_ctes, restricted to even/odd ids),
+    full-corpus assignments to both codebooks, pair-count ARI."""
+    h = _h48("'kmeans:' || CAST(vec_id AS VARCHAR)")
+    parts = [
+        "qe AS MATERIALIZED (\n"
+        "  SELECT vec_id, t.i - 1 AS pos,\n"
+        "    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000, 0)"
+        " AS BIGINT) AS qv\n"
+        f"  FROM embeddings, range(1, {d + 1}) t(i))",
+    ]
+    for sfx, par in (("_a", 0), ("_b", 1)):
+        parts.append(
+            f"sd{sfx} AS MATERIALIZED (\n"
+            "  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id)"
+            " - 1 AS cl\n"
+            f"  FROM (SELECT vec_id, {h} AS h FROM embeddings"
+            f" WHERE vec_id % 2 = {par})\n"
+            f"  ORDER BY h, vec_id LIMIT {k})"
+        )
+        parts.append(
+            f"cent0{sfx} AS MATERIALIZED (\n"
+            "  SELECT s.cl, q.pos, q.qv AS cv\n"
+            f"  FROM sd{sfx} s JOIN qe q ON q.vec_id = s.vec_id)"
+        )
+        for r in range(1, iterations + 1):
+            prev = f"cent{r - 1}{sfx}"
+            parts.append(
+                f"asg{r}{sfx} AS MATERIALIZED (\n"
+                f"  SELECT vec_id, cl FROM (\n"
+                f"    SELECT q.vec_id, c.cl,\n"
+                f"      row_number() OVER (PARTITION BY q.vec_id"
+                " ORDER BY\n"
+                f"        sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl)"
+                " AS rn\n"
+                f"    FROM qe q JOIN {prev} c ON c.pos = q.pos\n"
+                f"    WHERE q.vec_id % 2 = {par}\n"
+                f"    GROUP BY q.vec_id, c.cl) WHERE rn = 1)"
+            )
+            parts.append(
+                f"sums{r}{sfx} AS MATERIALIZED (\n"
+                f"  SELECT a.cl, q.pos, sum(q.qv) AS s, count(*) AS n\n"
+                f"  FROM asg{r}{sfx} a JOIN qe q"
+                " ON q.vec_id = a.vec_id\n"
+                f"  GROUP BY a.cl, q.pos)"
+            )
+            parts.append(
+                f"cent{r}{sfx} AS MATERIALIZED (\n"
+                f"  SELECT p.cl, p.pos,\n"
+                f"    CAST(COALESCE(s.s // s.n, p.cv) AS BIGINT) AS cv\n"
+                f"  FROM {prev} p LEFT JOIN sums{r}{sfx} s\n"
+                f"    ON s.cl = p.cl AND s.pos = p.pos)"
+            )
+        parts.append(
+            f"fin{sfx} AS MATERIALIZED (\n"
+            "  SELECT vec_id, cl FROM (\n"
+            "    SELECT q.vec_id, c.cl,\n"
+            "      row_number() OVER (PARTITION BY q.vec_id ORDER BY\n"
+            "        sum((q.qv - c.cv) * (q.qv - c.cv)), c.cl) AS rn\n"
+            f"    FROM qe q JOIN cent{iterations}{sfx} c"
+            " ON c.pos = q.pos\n"
+            "    GROUP BY q.vec_id, c.cl) WHERE rn = 1)"
+        )
+    joined = ",\n".join(parts)
+    return (
+        f"WITH {joined},\n"
+        "st_ct AS MATERIALIZED (\n"
+        "  SELECT a.cl AS ca, b.cl AS cb,"
+        " CAST(count(*) AS BIGINT) AS c\n"
+        "  FROM fin_a a JOIN fin_b b ON b.vec_id = a.vec_id\n"
+        "  GROUP BY 1, 2),\n"
+        "st_s AS (SELECT CAST(sum(c) AS BIGINT) AS n,\n"
+        "  CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS idx,\n"
+        "  CAST(count(DISTINCT ca) AS BIGINT) AS ka,\n"
+        "  CAST(count(DISTINCT cb) AS BIGINT) AS kb FROM st_ct),\n"
+        "st_a AS (SELECT CAST(sum((a * (a - 1)) // 2) AS BIGINT)"
+        " AS pa\n"
+        "  FROM (SELECT ca, CAST(sum(c) AS BIGINT) AS a FROM st_ct"
+        " GROUP BY ca)),\n"
+        "st_b AS (SELECT CAST(sum((b * (b - 1)) // 2) AS BIGINT)"
+        " AS pb\n"
+        "  FROM (SELECT cb, CAST(sum(c) AS BIGINT) AS b FROM st_ct"
+        " GROUP BY cb))\n"
+        "SELECT n AS n_vectors, ka AS k_a, kb AS k_b,\n"
+        "  CAST(CASE WHEN ((n * (n - 1)) // 2) * (pa + pb)"
+        " - 2 * pa * pb <> 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * 2\n"
+        "     * (((n * (n - 1)) // 2) * idx - pa * pb))\n"
+        "    // CAST(((n * (n - 1)) // 2) * (pa + pb) - 2 * pa * pb"
+        " AS HUGEINT)\n"
+        "  END AS BIGINT) AS ari_micros\n"
+        "FROM st_s, st_a, st_b"
+    )
