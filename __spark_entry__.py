@@ -3813,6 +3813,14 @@ def q_kmeans_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_stability_ari(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_user_weekly_rhythm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-20 most weekly-periodic users by lag-7 autocorrelation of
+    # their daily activity — the habitual-cohort screen
+    from graphlite_spark.operators.analytics import user_weekly_rhythm
+
+    return user_weekly_rhythm(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4738,6 +4746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_motif_pair": q_daily_motif_pair,
         "dbscan_labels": q_dbscan_labels,
         "kmeans_stability_ari": q_kmeans_stability,
+        "user_weekly_rhythm": q_user_weekly_rhythm,
     }
 
 
@@ -5057,6 +5066,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_motif_pair": O.daily_motif_pair_sql(7),
         "dbscan_labels": O.dbscan_labels_sql(5, 5, 16, 64),
         "kmeans_stability_ari": O.kmeans_stability_ari_sql(4, 2, 64),
+        "user_weekly_rhythm": O.user_weekly_rhythm_sql(7, 20),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

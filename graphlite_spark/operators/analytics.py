@@ -6770,3 +6770,81 @@ def daily_motif_pair(
         "dist_sq",
         "n_windows",
     )
+
+
+def user_weekly_rhythm(
+    events: DataFrame,
+    lag: int = 7,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user_id, n_days, c0, c7, r7_micros) — the ``top_k`` most
+    WEEKLY-PERIODIC users by lag-``lag`` autocorrelation of their
+    zero-filled daily activity: r₇ = c₇/c₀ on the per-user n-scaled
+    integer deviations.  The per-entity periodicity screen —
+    :func:`acf_daily` sees the corpus rhythm; this finds WHICH users
+    run on a weekly clock (habitual cohort) vs arrive memorylessly,
+    the behavioral segmentation a scheduling or anomaly model keys
+    on.  Tie-break (r7 DESC, user ASC); users with zero deviation
+    variance are excluded (stated).
+
+    Exactness: the acf_daily deviation discipline per user — dev =
+    n·y − S_u over the GLOBAL day spine, c₀/c₇ exact BIGINT sums,
+    one truncating micros division (negative r legal, truncation
+    toward zero on both engines).
+
+    Scale shape: one (user, day) map-side-combined count; the
+    users × spine lattice is |users|·days rows; the lag join is a
+    shifted equi-join on (user, day); top-k is
+    TakeOrderedAndProject."""
+    daily = events.groupBy(
+        F.col(user_col).alias("u"),
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+        (F.col("hi") - F.col("lo") + 1).cast("long").alias("n"),
+    )
+    users = daily.select("u").distinct()
+    su = daily.groupBy("u").agg(F.sum("y").cast("long").alias("s"))
+    lattice = (
+        spine.crossJoin(users)
+        .join(daily, ["u", "d"], "left")
+        .join(su, "u")
+        .select(
+            "u", "d", "n",
+            (
+                F.col("n") * F.coalesce(F.col("y"), F.lit(0))
+                - F.col("s")
+            ).cast("long").alias("dev"),
+        )
+    )
+    lagged = lattice.select(
+        "u", (F.col("d") + lag).alias("d"), F.col("dev").alias("devp")
+    )
+    mom = (
+        lattice.join(lagged, ["u", "d"], "left")
+        .groupBy("u")
+        .agg(
+            F.max("n").alias("n_days"),
+            F.sum(F.col("dev") * F.col("dev")).cast("long").alias("c0"),
+            F.coalesce(
+                F.sum(F.col("dev") * F.col("devp")), F.lit(0)
+            ).cast("long").alias("c7"),
+        )
+    )
+    return (
+        mom.where(F.col("c0") > 0)
+        .select(
+            F.col("u").alias(user_col), "n_days", "c0", "c7",
+            F.expr("(1000000 * c7) div c0").cast("long").alias(
+                "r7_micros"
+            ),
+        )
+        .orderBy(F.col("r7_micros").desc(), F.col(user_col).asc())
+        .limit(top_k)
+    )

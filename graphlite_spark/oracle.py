@@ -14212,3 +14212,38 @@ def kmeans_stability_ari_sql(
         "  END AS BIGINT) AS ari_micros\n"
         "FROM st_s, st_a, st_b"
     )
+
+
+def user_weekly_rhythm_sql(lag: int = 7, top_k: int = 20) -> str:
+    """Mirror of operators.analytics.user_weekly_rhythm: per-user
+    n-scaled deviations on the shared spine, lag join, truncating
+    micros ratio, (r7 DESC, user) top-k."""
+    return (
+        "WITH wr_d AS MATERIALIZED (\n"
+        "  SELECT user_id AS u,\n"
+        "    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1, 2),\n"
+        "wr_r AS (SELECT min(d) AS lo, max(d) AS hi,\n"
+        "  CAST(max(d) - min(d) + 1 AS BIGINT) AS n FROM wr_d),\n"
+        "wr_s AS MATERIALIZED (SELECT u,"
+        " CAST(sum(y) AS BIGINT) AS s FROM wr_d GROUP BY u),\n"
+        "wr_l AS MATERIALIZED (\n"
+        "  SELECT su.u, sp.d,\n"
+        "    CAST((SELECT n FROM wr_r) * COALESCE(dl.y, 0) - su.s"
+        " AS BIGINT) AS dev\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM wr_r) sp\n"
+        "  CROSS JOIN wr_s su\n"
+        "  LEFT JOIN wr_d dl ON dl.u = su.u AND dl.d = sp.d),\n"
+        "wr_m AS MATERIALIZED (\n"
+        "  SELECT a.u, (SELECT n FROM wr_r) AS n_days,\n"
+        "    CAST(sum(a.dev * a.dev) AS BIGINT) AS c0,\n"
+        "    CAST(COALESCE(sum(a.dev * p.dev), 0) AS BIGINT) AS c7\n"
+        f"  FROM wr_l a LEFT JOIN wr_l p ON p.u = a.u"
+        f" AND p.d = a.d - {lag}\n"
+        "  GROUP BY a.u)\n"
+        "SELECT u AS user_id, n_days, c0, c7,\n"
+        "  CAST((1000000 * c7) // c0 AS BIGINT) AS r7_micros\n"
+        "FROM wr_m WHERE c0 > 0\n"
+        f"ORDER BY r7_micros DESC, u ASC LIMIT {top_k}"
+    )
