@@ -3821,6 +3821,15 @@ def q_user_weekly_rhythm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_weekly_rhythm(load_table(spark, sf_dir, "events"))
 
 
+def q_peel_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # onion view of the 2-core peel: vertices removed per round —
+    # long-thin onion = chain periphery, fat-shallow = hub-and-spoke
+    from graphlite_spark.algos.components import peel_layer_histogram
+
+    _, v, e = graph_tables(spark, sf_dir)
+    return peel_layer_histogram(v, e, k=2, max_rounds=64)
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4747,6 +4756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_labels": q_dbscan_labels,
         "kmeans_stability_ari": q_kmeans_stability,
         "user_weekly_rhythm": q_user_weekly_rhythm,
+        "peel_layers_2core": q_peel_layers,
     }
 
 
@@ -5067,6 +5077,7 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_labels": O.dbscan_labels_sql(5, 5, 16, 64),
         "kmeans_stability_ari": O.kmeans_stability_ari_sql(4, 2, 64),
         "user_weekly_rhythm": O.user_weekly_rhythm_sql(7, 20),
+        "peel_layers_2core": O.peel_layer_histogram_sql(2, 64),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -566,3 +566,73 @@ def core_periphery_blocks(
             ).cast("long").alias("dens_pp_micros"),
         )
     )
+
+
+def peel_layer_histogram(
+    vertices: DataFrame,
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(layer, n_vertices) — the onion-decomposition view of the
+    ``k``-core peel (Hébert-Dufresne et al. 2016, public literature):
+    layer r = vertices removed in the r-th synchronized peel round
+    (how deep into the periphery they sit), layer 0 = the surviving
+    k-core.  The depth PROFILE complements :func:`k_core`'s binary
+    membership and :func:`coreness`'s per-level number — a long thin
+    onion (many layers, few vertices each) is a chain-periphery
+    graph; a fat shallow one is hub-and-spoke.
+
+    Both engines run the identical round rule and cap, so equality
+    holds even if the cap binds (the k_core discipline); rounds with
+    no removals after the fixpoint contribute no rows.
+
+    Scale shape: the k_core loop (two semi-joins + a degree count
+    per round on shrinking survivors); per round ONE count action —
+    the histogram is round-count-sized driver state (the kmeans
+    codebook precedent), never a per-vertex collect."""
+    spark = edges.sparkSession
+    und = symmetrize(edges)
+    e0 = und.select("src", "dst").persist()
+    alive = vertices.select("id")
+    prev_n = alive.count()
+    rows: list[tuple[int, int]] = []
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get(
+            "spark.sql.adaptive.enabled"
+        ),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for r in range(1, max_rounds + 1):
+            ea = e0.join(
+                alive.select(F.col("id").alias("src")), "src", "left_semi"
+            ).join(
+                alive.select(F.col("id").alias("dst")), "dst", "left_semi"
+            )
+            deg = ea.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+            alive = (
+                alive.join(
+                    deg.where(F.col("c") >= k).select(
+                        F.col("src").alias("id")
+                    ),
+                    "id",
+                    "left_semi",
+                )
+                .localCheckpoint(eager=False)
+            )
+            n = alive.count()
+            if prev_n - n > 0:
+                rows.append((r, prev_n - n))
+            if n == prev_n:
+                break
+            prev_n = n
+    finally:
+        for k_, v_ in saved.items():
+            spark.conf.set(k_, v_)
+        e0.unpersist()
+    if prev_n > 0:
+        rows.append((0, prev_n))
+    return spark.createDataFrame(
+        rows, "layer int, n_vertices long"
+    )

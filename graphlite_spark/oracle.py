@@ -14247,3 +14247,40 @@ def user_weekly_rhythm_sql(lag: int = 7, top_k: int = 20) -> str:
         "FROM wr_m WHERE c0 > 0\n"
         f"ORDER BY r7_micros DESC, u ASC LIMIT {top_k}"
     )
+
+
+def peel_layer_histogram_sql(k: int = 2, max_rounds: int = 64) -> str:
+    """Mirror of algos.components.peel_layer_histogram: the kcore_sql
+    unrolled peel; per-round removal counts as scalar differences,
+    zero-removal rounds dropped, layer 0 = survivors."""
+    parts = ["kc0 AS MATERIALIZED (SELECT id FROM vertices)"]
+    for r in range(1, max_rounds + 1):
+        prev = f"kc{r - 1}"
+        parts.append(
+            f"kc{r} AS MATERIALIZED (\n"
+            f"  SELECT v.id FROM {prev} v JOIN (\n"
+            f"    SELECT u.src, count(*) AS c FROM und u\n"
+            f"    JOIN {prev} x ON x.id = u.src\n"
+            f"    JOIN {prev} y ON y.id = u.dst\n"
+            f"    GROUP BY u.src) d ON d.src = v.id AND d.c >= {k})"
+        )
+    joined = ",\n".join(parts)
+    sels = [
+        f"SELECT {r} AS layer,\n"
+        f"  CAST((SELECT count(*) FROM kc{r - 1})"
+        f" - (SELECT count(*) FROM kc{r}) AS BIGINT) AS n_vertices"
+        for r in range(1, max_rounds + 1)
+    ]
+    sels.append(
+        f"SELECT 0 AS layer,"
+        f" CAST((SELECT count(*) FROM kc{max_rounds}) AS BIGINT)"
+        " AS n_vertices"
+    )
+    union = "\nUNION ALL\n".join(sels)
+    body = (
+        f", {joined},\n"
+        f"pl_all AS ({union})\n"
+        "SELECT CAST(layer AS INT) AS layer, n_vertices\n"
+        "FROM pl_all WHERE n_vertices > 0"
+    )
+    return _graph_query(body)
