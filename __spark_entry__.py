@@ -3830,6 +3830,14 @@ def q_peel_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peel_layer_histogram(v, e, k=2, max_rounds=64)
 
 
+def q_value_shape_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skewness, kurtosis and Sarle's bimodality of the value
+    # distribution — the one-row "should I segment revenue?" screen
+    from graphlite_spark.operators.analytics import value_shape_moments
+
+    return value_shape_moments(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4757,6 +4765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_stability_ari": q_kmeans_stability,
         "user_weekly_rhythm": q_user_weekly_rhythm,
         "peel_layers_2core": q_peel_layers,
+        "value_shape_moments": q_value_shape_moments,
     }
 
 
@@ -5078,6 +5087,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_stability_ari": O.kmeans_stability_ari_sql(4, 2, 64),
         "user_weekly_rhythm": O.user_weekly_rhythm_sql(7, 20),
         "peel_layers_2core": O.peel_layer_histogram_sql(2, 64),
+        "value_shape_moments": O.value_shape_moments_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -6848,3 +6848,83 @@ def user_weekly_rhythm(
         .orderBy(F.col("r7_micros").desc(), F.col(user_col).asc())
         .limit(top_k)
     )
+
+
+def value_shape_moments(
+    events: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """One row (n, skew_micros, kurtosis_micros, bimodality_micros) —
+    the classical shape moments of the event-value distribution:
+    skewness g₁ = μ₃/σ³, kurtosis b₂ = μ₄/σ⁴, and Sarle's bimodality
+    coefficient BC = (g₁²+1)/(b₂ + 3(n−1)²/((n−2)(n−3))) (public
+    literature; BC > 5/9 suggests two value regimes — the one-number
+    "should I segment revenue?" screen that the quantile and tail
+    diagnostics don't directly answer).
+
+    Exactness: n-scaled integer deviations dev = n·x − S make every
+    power sum exact — Σdev² in BIGINT, Σdev³/Σdev⁴ in DECIMAL(38,0)
+    / HUGEINT per-term — and the scale factors collapse to
+    g₁ = Σdev³·√n / (Σdev²)^{3/2}, b₂ = Σdev⁴·n / (Σdev²)²; each
+    output is ONE identically-shaped float over those exact
+    integers, rounded to micros.  NULL when σ = 0 or n ≤ 3.
+
+    Scale shape: one 1-row moment aggregate over cents (map-side
+    combined), scalars after."""
+    cents = events.select(
+        F.round(F.col(value_col) * 100).cast("long").alias("x")
+    )
+    base = cents.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = cents.crossJoin(F.broadcast(base)).select(
+        "n",
+        (F.col("n") * F.col("x") - F.col("s")).cast("long").alias("d"),
+    )
+    mom = dev.groupBy("n").agg(
+        F.sum(F.expr("CAST(d AS DECIMAL(38,0)) * d")).alias("m2"),
+        F.sum(
+            F.expr("CAST(d AS DECIMAL(38,0)) * d * d")
+        ).alias("m3"),
+        F.sum(
+            F.expr(
+                "CAST(d AS DECIMAL(38,0)) * d"
+                " * (CAST(d AS DECIMAL(38,0)) * d)"
+            )
+        ).alias("m4"),
+    )
+    g1 = (
+        F.col("m3").cast("double")
+        * F.sqrt(F.col("n").cast("double"))
+        / F.pow(F.col("m2").cast("double"), F.lit(1.5))
+    )
+    b2 = (
+        F.col("m4").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("m2").cast("double") * F.col("m2").cast("double"))
+    )
+    corr = (
+        F.lit(3.0)
+        * (F.col("n") - 1).cast("double")
+        * (F.col("n") - 1).cast("double")
+        / (
+            (F.col("n") - 2).cast("double")
+            * (F.col("n") - 3).cast("double")
+        )
+    )
+    return mom.select(
+        "n",
+        F.when(
+            (F.col("m2") > 0) & (F.col("n") > 3),
+            F.round(g1 * 1_000_000),
+        ).cast("long").alias("skew_micros"),
+        F.when(
+            (F.col("m2") > 0) & (F.col("n") > 3),
+            F.round(b2 * 1_000_000),
+        ).cast("long").alias("kurtosis_micros"),
+        F.when(
+            (F.col("m2") > 0) & (F.col("n") > 3),
+            F.round((g1 * g1 + F.lit(1.0)) / (b2 + corr) * 1_000_000),
+        ).cast("long").alias("bimodality_micros"),
+    )

@@ -14284,3 +14284,45 @@ def peel_layer_histogram_sql(k: int = 2, max_rounds: int = 64) -> str:
         "FROM pl_all WHERE n_vertices > 0"
     )
     return _graph_query(body)
+
+
+def value_shape_moments_sql(value_col: str = "value") -> str:
+    """Mirror of operators.analytics.value_shape_moments: n-scaled
+    deviation power sums on HUGEINT, identically-shaped skewness /
+    kurtosis / Sarle floats rounded to micros."""
+    return (
+        "WITH sm_c AS MATERIALIZED (\n"
+        f"  SELECT CAST(round({value_col} * 100) AS BIGINT) AS x"
+        " FROM events),\n"
+        "sm_b AS (SELECT CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(x) AS BIGINT) AS s FROM sm_c),\n"
+        "sm_d AS MATERIALIZED (\n"
+        "  SELECT b.n, CAST(b.n * c.x - b.s AS BIGINT) AS d\n"
+        "  FROM sm_c c, sm_b b),\n"
+        "sm_m AS (SELECT n,\n"
+        "  sum(CAST(d AS HUGEINT) * d) AS m2,\n"
+        "  sum(CAST(d AS HUGEINT) * d * d) AS m3,\n"
+        "  sum(CAST(d AS HUGEINT) * d * (CAST(d AS HUGEINT) * d))"
+        " AS m4\n"
+        "  FROM sm_d GROUP BY n)\n"
+        "SELECT n,\n"
+        "  CAST(CASE WHEN m2 > 0 AND n > 3 THEN round(\n"
+        "    CAST(m3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))\n"
+        "    / pow(CAST(m2 AS DOUBLE), 1.5) * 1000000) END AS BIGINT)"
+        " AS skew_micros,\n"
+        "  CAST(CASE WHEN m2 > 0 AND n > 3 THEN round(\n"
+        "    CAST(m4 AS DOUBLE) * CAST(n AS DOUBLE)\n"
+        "    / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) * 1000000)"
+        " END AS BIGINT) AS kurtosis_micros,\n"
+        "  CAST(CASE WHEN m2 > 0 AND n > 3 THEN round(\n"
+        "    (CAST(m3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))\n"
+        "      / pow(CAST(m2 AS DOUBLE), 1.5)\n"
+        "     * (CAST(m3 AS DOUBLE) * sqrt(CAST(n AS DOUBLE))\n"
+        "      / pow(CAST(m2 AS DOUBLE), 1.5)) + 1.0)\n"
+        "    / (CAST(m4 AS DOUBLE) * CAST(n AS DOUBLE)\n"
+        "      / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE))\n"
+        "      + 3.0 * CAST(n - 1 AS DOUBLE) * CAST(n - 1 AS DOUBLE)\n"
+        "      / (CAST(n - 2 AS DOUBLE) * CAST(n - 3 AS DOUBLE)))\n"
+        "    * 1000000) END AS BIGINT) AS bimodality_micros\n"
+        "FROM sm_m"
+    )
