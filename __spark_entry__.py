@@ -3838,6 +3838,22 @@ def q_value_shape_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_shape_moments(load_table(spark, sf_dir, "events"))
 
 
+def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ljung-Box portmanteau over lags 1-7: the joint white-noise test
+    # an ARIMA residual check runs (completes ACF/PACF/DW)
+    from graphlite_spark.operators.analytics import ljung_box_daily
+
+    return ljung_box_daily(load_table(spark, sf_dir, "events"))
+
+
+def q_markov_order_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Anderson-Goodman LR test of Markov order: does yesterday's
+    # event still matter given today's? (order 1 vs order 2)
+    from graphlite_spark.operators.analytics import markov_order_test
+
+    return markov_order_test(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4766,6 +4782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_weekly_rhythm": q_user_weekly_rhythm,
         "peel_layers_2core": q_peel_layers,
         "value_shape_moments": q_value_shape_moments,
+        "ljung_box_daily": q_ljung_box_daily,
+        "markov_order_test": q_markov_order_test,
     }
 
 
@@ -5088,6 +5106,8 @@ def oracle_sql() -> dict[str, str]:
         "user_weekly_rhythm": O.user_weekly_rhythm_sql(7, 20),
         "peel_layers_2core": O.peel_layer_histogram_sql(2, 64),
         "value_shape_moments": O.value_shape_moments_sql(),
+        "ljung_box_daily": O.ljung_box_daily_sql(7),
+        "markov_order_test": O.markov_order_test_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

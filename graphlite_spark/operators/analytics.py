@@ -6928,3 +6928,159 @@ def value_shape_moments(
             F.round((g1 * g1 + F.lit(1.0)) / (b2 + corr) * 1_000_000),
         ).cast("long").alias("bimodality_micros"),
     )
+
+
+def ljung_box_daily(
+    events: DataFrame,
+    max_lag: int = 7,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_days, max_lag, q_micros) — the Ljung–Box
+    portmanteau test (Ljung & Box 1978, public literature) on the
+    zero-filled daily count series: Q = n(n+2)·Σ_{k≤h} r_k²/(n−k),
+    the JOINT "is this white noise?" screen that completes the
+    :func:`acf_daily` / :func:`pacf_daily` / :func:`durbin_watson
+    _daily` family — individual r_k can each sit inside their bands
+    while Q rejects (and Q is what an ARIMA residual check runs).
+
+    Exactness: r_k = c_k/c₀ on the acf n-scaled integer deviations;
+    each lag's term is the truncating micros division
+    (10⁶·n·(n+2)·c_k²) div ((n−k)·c₀²) on DECIMAL(38,0) / HUGEINT
+    (per-term truncation stated, the kruskal_wallis discipline), and
+    Q is their exact sum.  NULL when c₀ = 0.
+
+    Scale shape: the acf shape — one daily groupBy, one lag
+    equi-join fan-out, an h-row rollup."""
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+        (F.col("hi") - F.col("lo") + 1).cast("long").alias("n"),
+        "s",
+    )
+    dev = spine.join(daily, "d", "left").select(
+        "d", "n",
+        (
+            F.col("n") * F.coalesce(F.col("y"), F.lit(0)) - F.col("s")
+        ).cast("long").alias("dev"),
+    )
+    den = dev.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("dev") * F.col("dev")).cast("long").alias("c0"),
+    )
+    pairs = dev.select(
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias(
+            "lag"
+        ),
+        (F.col("d") + F.col("lag")).alias("d2"),
+        F.col("dev").alias("dev_a"),
+    )
+    ck = (
+        pairs.join(
+            dev.select(F.col("d").alias("d2"), F.col("dev").alias(
+                "dev_b"
+            )),
+            "d2",
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("dev_a") * F.col("dev_b")).cast("long").alias(
+                "ck"
+            )
+        )
+    )
+    terms = ck.crossJoin(F.broadcast(den)).select(
+        "n",
+        F.when(
+            F.col("c0") > 0,
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * n * (n + 2)"
+                " * (CAST(ck AS DECIMAL(38,0)) * ck))"
+                " div (CAST(n - lag AS DECIMAL(38,0))"
+                " * (CAST(c0 AS DECIMAL(38,0)) * c0)) AS BIGINT)"
+            ),
+        ).alias("term"),
+    )
+    return terms.groupBy("n").agg(
+        F.lit(int(max_lag)).cast("int").alias("max_lag"),
+        F.sum("term").cast("long").alias("q_micros"),
+    ).select(F.col("n").alias("n_days"), "max_lag", "q_micros")
+
+
+def markov_order_test(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """One row (n_triples, n_contexts, g2_micros) — the
+    Anderson–Goodman likelihood-ratio test (Anderson & Goodman 1957,
+    public literature) of Markov ORDER for the per-user event-type
+    sequences: does the next event depend only on the current one
+    (order 1), or does the PREVIOUS event still matter (order 2)?
+    G² = 2·Σ_{abc} n_abc·ln(n_abc·n_b / (n_ab·n_bc)), all marginals
+    taken over the consecutive-triple table.  The model-selection
+    companion to :func:`markov_entropy_rate` and the transition
+    queries — it decides whether first-order machinery
+    (:func:`markov_stationary`, attribution chains) is even
+    adequate.
+
+    Exactness: triple/marginal counts are exact BIGINTs from ONE
+    ordered per-user window; each cell's term is the identically-
+    shaped micro-rounded ln expression (repo per-term float rule),
+    summed exactly.
+
+    Scale shape: one per-user ordered window (two lags), one
+    map-side-combined triple groupBy, three codebook-sized marginal
+    joins."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    tri = (
+        events.select(
+            F.lag(type_col, 2).over(w).alias("a"),
+            F.lag(type_col, 1).over(w).alias("b"),
+            F.col(type_col).alias("c"),
+        )
+        .where(F.col("a").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("nabc"))
+    )
+    nab = tri.groupBy("a", "b").agg(
+        F.sum("nabc").cast("long").alias("nab")
+    )
+    nbc = tri.groupBy("b", "c").agg(
+        F.sum("nabc").cast("long").alias("nbc")
+    )
+    nb = tri.groupBy("b").agg(F.sum("nabc").cast("long").alias("nb"))
+    scored = (
+        tri.join(nab, ["a", "b"])
+        .join(nbc, ["b", "c"])
+        .join(F.broadcast(nb), "b")
+        .select(
+            "nabc",
+            F.round(
+                F.lit(2_000_000.0)
+                * F.col("nabc")
+                * F.log(
+                    (F.col("nabc") * F.col("nb")).cast("double")
+                    / (F.col("nab") * F.col("nbc")).cast("double")
+                )
+            ).cast("long").alias("term"),
+        )
+    )
+    ctx = nab.agg(F.count(F.lit(1)).cast("long").alias("n_contexts"))
+    return (
+        scored.agg(
+            F.sum("nabc").cast("long").alias("n_triples"),
+            F.sum("term").cast("long").alias("g2_micros"),
+        )
+        .crossJoin(F.broadcast(ctx))
+        .select("n_triples", "n_contexts", "g2_micros")
+    )

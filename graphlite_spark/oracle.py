@@ -14326,3 +14326,81 @@ def value_shape_moments_sql(value_col: str = "value") -> str:
         "    * 1000000) END AS BIGINT) AS bimodality_micros\n"
         "FROM sm_m"
     )
+
+
+def ljung_box_daily_sql(max_lag: int = 7) -> str:
+    """Mirror of operators.analytics.ljung_box_daily: acf deviations,
+    per-lag truncating HUGEINT micros terms, exact sum."""
+    return (
+        "WITH lb_d AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "lb_r AS (SELECT min(d) AS lo, max(d) AS hi,\n"
+        "  CAST(sum(y) AS BIGINT) AS s,\n"
+        "  CAST(max(d) - min(d) + 1 AS BIGINT) AS n FROM lb_d),\n"
+        "lb_v AS MATERIALIZED (\n"
+        "  SELECT sp.d,\n"
+        "    CAST((SELECT n FROM lb_r) * COALESCE(dl.y, 0)\n"
+        "      - (SELECT s FROM lb_r) AS BIGINT) AS dev\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM lb_r) sp\n"
+        "  LEFT JOIN lb_d dl USING (d)),\n"
+        "lb_0 AS (SELECT CAST(sum(dev * dev) AS BIGINT) AS c0"
+        " FROM lb_v),\n"
+        "lb_k AS MATERIALIZED (\n"
+        "  SELECT t.lag, CAST(sum(a.dev * b.dev) AS BIGINT) AS ck\n"
+        f"  FROM (SELECT unnest(range(1, {int(max_lag)} + 1)) AS lag)"
+        " t\n"
+        "  JOIN lb_v a ON TRUE\n"
+        "  JOIN lb_v b ON b.d = a.d + t.lag\n"
+        "  GROUP BY t.lag),\n"
+        "lb_t AS (SELECT\n"
+        "  CAST(CASE WHEN x.c0 > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT) * r.n * (r.n + 2)\n"
+        "     * (CAST(k.ck AS HUGEINT) * k.ck))\n"
+        "    // (CAST(r.n - k.lag AS HUGEINT)\n"
+        "        * (CAST(x.c0 AS HUGEINT) * x.c0))\n"
+        "  END AS BIGINT) AS term\n"
+        "  FROM lb_k k, lb_0 x, lb_r r)\n"
+        "SELECT (SELECT n FROM lb_r) AS n_days,\n"
+        f"  CAST({int(max_lag)} AS INT) AS max_lag,\n"
+        "  CAST(sum(term) AS BIGINT) AS q_micros\n"
+        "FROM lb_t"
+    )
+
+
+def markov_order_test_sql() -> str:
+    """Mirror of operators.analytics.markov_order_test: per-user
+    ordered triple counts, triple-table marginals, per-cell
+    micro-rounded G² terms, exact sum."""
+    return (
+        "WITH mo_s AS MATERIALIZED (\n"
+        "  SELECT a, b, c FROM (\n"
+        "    SELECT lag(event_type, 2) OVER wo AS a,\n"
+        "      lag(event_type, 1) OVER wo AS b,\n"
+        "      event_type AS c\n"
+        "    FROM events WINDOW wo AS (PARTITION BY user_id\n"
+        "      ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id))\n"
+        "  WHERE a IS NOT NULL),\n"
+        "mo_t AS MATERIALIZED (SELECT a, b, c,\n"
+        "  CAST(count(*) AS BIGINT) AS nabc FROM mo_s GROUP BY 1, 2, 3),\n"
+        "mo_ab AS MATERIALIZED (SELECT a, b,"
+        " CAST(sum(nabc) AS BIGINT) AS nab FROM mo_t GROUP BY 1, 2),\n"
+        "mo_bc AS MATERIALIZED (SELECT b, c,"
+        " CAST(sum(nabc) AS BIGINT) AS nbc FROM mo_t GROUP BY 1, 2),\n"
+        "mo_b AS MATERIALIZED (SELECT b,"
+        " CAST(sum(nabc) AS BIGINT) AS nb FROM mo_t GROUP BY 1),\n"
+        "mo_x AS (SELECT t.nabc,\n"
+        "  CAST(round(2000000.0 * t.nabc * ln(\n"
+        "    CAST(t.nabc * nb.nb AS DOUBLE)"
+        " / CAST(ab.nab * bc.nbc AS DOUBLE)\n"
+        "  )) AS BIGINT) AS term\n"
+        "  FROM mo_t t JOIN mo_ab ab USING (a, b)\n"
+        "  JOIN mo_bc bc USING (b, c) JOIN mo_b nb USING (b)),\n"
+        "mo_c AS (SELECT CAST(count(*) AS BIGINT) AS n_contexts"
+        " FROM mo_ab)\n"
+        "SELECT CAST(sum(nabc) AS BIGINT) AS n_triples,\n"
+        "  (SELECT n_contexts FROM mo_c) AS n_contexts,\n"
+        "  CAST(sum(term) AS BIGINT) AS g2_micros\n"
+        "FROM mo_x"
+    )
