@@ -3854,6 +3854,14 @@ def q_markov_order_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_order_test(load_table(spark, sf_dir, "events"))
 
 
+def q_icc_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # intraclass correlation of value within users + design effect:
+    # the number that decides cluster- vs user-level randomization
+    from graphlite_spark.operators.analytics import icc_user_value
+
+    return icc_user_value(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4784,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_shape_moments": q_value_shape_moments,
         "ljung_box_daily": q_ljung_box_daily,
         "markov_order_test": q_markov_order_test,
+        "icc_user_value": q_icc_user_value,
     }
 
 
@@ -5108,6 +5117,7 @@ def oracle_sql() -> dict[str, str]:
         "value_shape_moments": O.value_shape_moments_sql(),
         "ljung_box_daily": O.ljung_box_daily_sql(7),
         "markov_order_test": O.markov_order_test_sql(),
+        "icc_user_value": O.icc_user_value_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -7084,3 +7084,76 @@ def markov_order_test(
         .crossJoin(F.broadcast(ctx))
         .select("n_triples", "n_contexts", "g2_micros")
     )
+
+
+def icc_user_value(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """One row (n_events, n_users, icc_micros, deff_micros) — the
+    one-way random-effects intraclass correlation ICC(1) (Fisher /
+    Shrout & Fleiss 1979, public literature) of event values within
+    users, and the design effect DEFF = 1 + (m̄−1)·ICC: how much of
+    the value variance is BETWEEN users, and how much a user-
+    clustered A/B test inflates its variance relative to independent
+    sampling.  The number that decides cluster- vs user-level
+    randomization — the missing link between
+    :func:`anova_value_by_type` (fixed effects) and
+    :func:`cuped_adjustment` (variance reduction).
+
+    ANOVA estimator with unbalanced correction:
+    ICC = (MSB − MSW)/(MSB + (m₀−1)·MSW),
+    m₀ = (N − Σnᵢ²/N)/(G−1), m̄ = N/G.  Sums of squares ride the
+    exact HUGEINT moment algebra (the anova discipline); the two
+    outputs are identically-shaped floats over those integers,
+    rounded to micros.  NULL when G < 2 or N ≤ G.
+
+    Scale shape: one per-user moment aggregate, scalars."""
+    per = events.groupBy(F.col(unit_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(
+            F.round(F.col(value_col) * 100).cast("long")
+        ).cast("long").alias("s"),
+        F.sum(
+            F.round(F.col(value_col) * 100).cast("long")
+            * F.round(F.col(value_col) * 100).cast("long")
+        ).cast("long").alias("q"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("g"),
+        F.sum("m").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("q").cast("long").alias("qt"),
+        F.sum(F.expr("CAST(m AS DECIMAL(38,0)) * m")).alias("msq"),
+        F.sum(F.expr("(CAST(s AS DECIMAL(38,0)) * s) div m")).alias(
+            "sb"
+        ),
+    )
+    ssb = (
+        "CAST(sb AS DOUBLE)"
+        " - CAST(st AS DOUBLE) * st / CAST(nn AS DOUBLE)"
+    )
+    ssw = "CAST(qt AS DOUBLE) - CAST(sb AS DOUBLE)"
+    msb = f"(({ssb}) / (g - 1))"
+    msw = f"(({ssw}) / (nn - g))"
+    m0 = (
+        "((CAST(nn AS DOUBLE) - CAST(msq AS DOUBLE) / nn)"
+        " / (g - 1))"
+    )
+    icc = f"(({msb}) - ({msw})) / (({msb}) + ({m0} - 1.0) * ({msw}))"
+    return tot.select(
+        F.col("nn").alias("n_events"),
+        F.col("g").alias("n_users"),
+        F.when(
+            (F.col("g") >= 2) & (F.col("nn") > F.col("g")),
+            F.expr(f"CAST(round(({icc}) * 1000000) AS BIGINT)"),
+        ).alias("icc_micros"),
+        F.when(
+            (F.col("g") >= 2) & (F.col("nn") > F.col("g")),
+            F.expr(
+                "CAST(round((1.0 + (CAST(nn AS DOUBLE) / g - 1.0)"
+                f" * ({icc})) * 1000000) AS BIGINT)"
+            ),
+        ).alias("deff_micros"),
+    )

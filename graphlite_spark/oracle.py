@@ -14404,3 +14404,44 @@ def markov_order_test_sql() -> str:
         "  CAST(sum(term) AS BIGINT) AS g2_micros\n"
         "FROM mo_x"
     )
+
+
+def icc_user_value_sql(value_col: str = "value") -> str:
+    """Mirror of operators.analytics.icc_user_value: per-user HUGEINT
+    moments with the anova (s*s)//m truncation, identically-shaped
+    ICC and DEFF floats rounded to micros."""
+    ssb = (
+        "CAST(sb AS DOUBLE)"
+        " - CAST(st AS DOUBLE) * st / CAST(nn AS DOUBLE)"
+    )
+    ssw = "CAST(qt AS DOUBLE) - CAST(sb AS DOUBLE)"
+    msb = f"(({ssb}) / (g - 1))"
+    msw = f"(({ssw}) / (nn - g))"
+    m0 = (
+        "((CAST(nn AS DOUBLE) - CAST(msq AS DOUBLE) / nn)"
+        " / (g - 1))"
+    )
+    icc = f"(({msb}) - ({msw})) / (({msb}) + ({m0} - 1.0) * ({msw}))"
+    return (
+        "WITH ic_p AS MATERIALIZED (\n"
+        "  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS m,\n"
+        f"    CAST(sum(CAST(round({value_col} * 100) AS BIGINT))"
+        " AS BIGINT) AS s,\n"
+        f"    CAST(sum(CAST(round({value_col} * 100) AS BIGINT)\n"
+        f"      * CAST(round({value_col} * 100) AS BIGINT)) AS BIGINT)"
+        " AS q\n"
+        "  FROM events GROUP BY 1),\n"
+        "ic_t AS (SELECT CAST(count(*) AS BIGINT) AS g,\n"
+        "  CAST(sum(m) AS BIGINT) AS nn,"
+        " CAST(sum(s) AS BIGINT) AS st,\n"
+        "  CAST(sum(q) AS BIGINT) AS qt,\n"
+        "  sum(CAST(m AS HUGEINT) * m) AS msq,\n"
+        "  sum((CAST(s AS HUGEINT) * s) // m) AS sb FROM ic_p)\n"
+        "SELECT nn AS n_events, g AS n_users,\n"
+        "  CAST(CASE WHEN g >= 2 AND nn > g THEN\n"
+        f"    round(({icc}) * 1000000) END AS BIGINT) AS icc_micros,\n"
+        "  CAST(CASE WHEN g >= 2 AND nn > g THEN\n"
+        "    round((1.0 + (CAST(nn AS DOUBLE) / g - 1.0)"
+        f" * ({icc})) * 1000000) END AS BIGINT) AS deff_micros\n"
+        "FROM ic_t"
+    )
