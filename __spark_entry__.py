@@ -3862,6 +3862,15 @@ def q_icc_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return icc_user_value(load_table(spark, sf_dir, "events"))
 
 
+def q_ams_f2_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AMS F2 sketch (16 signed counters, median-of-means) vs the
+    # exact second frequency moment — the O(1)-space skew estimator
+    # with its error measured
+    from graphlite_spark.operators.sketches import ams_f2_error
+
+    return ams_f2_error(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4793,6 +4802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box_daily": q_ljung_box_daily,
         "markov_order_test": q_markov_order_test,
         "icc_user_value": q_icc_user_value,
+        "ams_f2_error": q_ams_f2_error,
     }
 
 
@@ -5118,6 +5128,7 @@ def oracle_sql() -> dict[str, str]:
         "ljung_box_daily": O.ljung_box_daily_sql(7),
         "markov_order_test": O.markov_order_test_sql(),
         "icc_user_value": O.icc_user_value_sql(),
+        "ams_f2_error": O.ams_f2_error_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -504,3 +504,78 @@ def hll_union_overlap(
         .agg(F.countDistinct("h").cast("long").alias("exact_union"))
     )
     return out.join(exu, ["group_a", "group_b"])
+
+
+def ams_f2_error(
+    events: DataFrame,
+    key_col: str = "user_id",
+    n_counters: int = 16,
+    group_size: int = 4,
+) -> DataFrame:
+    """One row (n_keys, exact_f2, est_f2, err_micros) — the AMS
+    second-frequency-moment sketch (Alon, Matias & Szegedy 1996,
+    public literature) with its measured error against the exact
+    F₂ = Σ f_k²: ``n_counters`` ±1-signed counters (sign = bit j of
+    the key hash), estimate = median of ``group_size``-means of the
+    squared counters — the O(1)-space self-join-size/skew estimator,
+    and the estimator-error readout discipline of
+    :func:`~graphlite_spark.operators.dedup.minhash_estimate_error`
+    applied to it (is 16 counters enough for THIS distribution?).
+
+    Exactness: counters are exact BIGINT signed sums; means truncate
+    (div group_size); the median is the lower-median rank rule; the
+    error is one truncating micros ratio.
+
+    Scale shape: ONE map-side-combined groupBy builds all counters
+    (key-level pre-aggregation first, then an n_counters-way
+    fan-out over the key table); exact F₂ shares the key table."""
+    per = events.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    h = hash48(F.concat(F.lit("ams:"), F.col("k").cast("string")))
+    fan = per.select(
+        "f", h.alias("h"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_counters) - 1))
+        ).alias("j"),
+    ).select(
+        "j",
+        (
+            F.col("f")
+            * (F.expr("(shiftright(h, cast(j as int)) % 2) * 2 - 1"))
+        ).cast("long").alias("t"),
+    )
+    counters = fan.groupBy("j").agg(
+        F.sum("t").cast("long").alias("c")
+    )
+    means = (
+        counters.select(
+            (F.col("j") / group_size).cast("int").alias("grp"),
+            (F.col("c") * F.col("c")).cast("long").alias("c2"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.expr(f"sum(c2) div {int(group_size)}").cast("long")
+            .alias("m")
+        )
+    )
+    n_groups = int(n_counters) // int(group_size)
+    wm = Window.orderBy(F.col("m").asc(), F.col("grp").asc())
+    est = (
+        means.withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") == (n_groups + n_groups % 2) // 2)
+        .select(F.col("m").alias("est_f2"))
+    )
+    exact = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("exact_f2"),
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_keys", "exact_f2", "est_f2",
+        F.when(
+            F.col("exact_f2") > 0,
+            F.expr(
+                "(1000000 * abs(est_f2 - exact_f2)) div exact_f2"
+            ),
+        ).cast("long").alias("err_micros"),
+    )

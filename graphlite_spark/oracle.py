@@ -14445,3 +14445,42 @@ def icc_user_value_sql(value_col: str = "value") -> str:
         f" * ({icc})) * 1000000) END AS BIGINT) AS deff_micros\n"
         "FROM ic_t"
     )
+
+
+def ams_f2_error_sql(
+    key_col: str = "user_id", n_counters: int = 16, group_size: int = 4
+) -> str:
+    """Mirror of operators.sketches.ams_f2_error: hash-bit signed
+    counters, truncating group means, lower-median rank rule,
+    truncating micros error."""
+    h = _h48("'ams:' || CAST(p.k AS VARCHAR)")
+    n_groups = int(n_counters) // int(group_size)
+    med = (n_groups + n_groups % 2) // 2
+    return (
+        "WITH am_p AS MATERIALIZED (\n"
+        f"  SELECT {key_col} AS k, CAST(count(*) AS BIGINT) AS f\n"
+        "  FROM events GROUP BY 1),\n"
+        "am_f AS MATERIALIZED (\n"
+        f"  SELECT t.j, CAST(p.f * (((({h}) >> CAST(t.j AS INT)) % 2)"
+        " * 2 - 1) AS BIGINT) AS t\n"
+        f"  FROM am_p p, (SELECT unnest(range(0, {int(n_counters)}))"
+        " AS j) t),\n"
+        "am_c AS MATERIALIZED (SELECT j,"
+        " CAST(sum(t) AS BIGINT) AS c FROM am_f GROUP BY j),\n"
+        "am_m AS MATERIALIZED (\n"
+        f"  SELECT CAST(j // {int(group_size)} AS INT) AS grp,\n"
+        f"    CAST(CAST(sum(c * c) AS BIGINT) // {int(group_size)}"
+        " AS BIGINT) AS m\n"
+        f"  FROM am_c GROUP BY 1),\n"
+        "am_e AS (SELECT m AS est_f2 FROM (\n"
+        "  SELECT m, grp, row_number() OVER (ORDER BY m ASC, grp ASC)"
+        " AS rn FROM am_m)\n"
+        f"  WHERE rn = {med}),\n"
+        "am_x AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,\n"
+        "  CAST(sum(f * f) AS BIGINT) AS exact_f2 FROM am_p)\n"
+        "SELECT n_keys, exact_f2, est_f2,\n"
+        "  CAST(CASE WHEN exact_f2 > 0 THEN\n"
+        "    (1000000 * abs(est_f2 - exact_f2)) // exact_f2"
+        " END AS BIGINT) AS err_micros\n"
+        "FROM am_x, am_e"
+    )
