@@ -3871,6 +3871,14 @@ def q_ams_f2_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ams_f2_error(load_table(spark, sf_dir, "events"))
 
 
+def q_session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sessionization sensitivity: session count / mean length at gap
+    # thresholds 5/15/30/60 min from one per-user gap table
+    from graphlite_spark.operators.sessions import session_gap_curve
+
+    return session_gap_curve(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4803,6 +4811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_order_test": q_markov_order_test,
         "icc_user_value": q_icc_user_value,
         "ams_f2_error": q_ams_f2_error,
+        "session_gap_curve": q_session_gap_curve,
     }
 
 
@@ -5129,6 +5138,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_order_test": O.markov_order_test_sql(),
         "icc_user_value": O.icc_user_value_sql(),
         "ams_f2_error": O.ams_f2_error_sql(),
+        "session_gap_curve": O.session_gap_curve_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -284,3 +284,72 @@ def max_nonoverlap_sessions(
     return folded.groupBy(
         F.col("g.cnt").alias("k_selected")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+def session_gap_curve(
+    events: DataFrame,
+    gaps_minutes: tuple = (5, 15, 30, 60),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """(gap_minutes, n_users, n_sessions, avg_len_micros) — the
+    sessionization SENSITIVITY curve: session count and mean session
+    length at each candidate inactivity threshold, computed from ONE
+    per-user gap table.  The tuning view behind
+    :func:`sessionize`'s single fixed gap — pick the threshold where
+    the curve's elbow sits instead of inheriting 30 minutes, exactly
+    as :func:`~graphlite_spark.operators.temporal
+    .conversion_window_curve` does for attribution windows.
+
+    Exactness: n_sessions(g) = n_users + #{consecutive gaps > g}
+    (every gap over the threshold starts one new session); counts
+    are BIGINTs off one ordered lag window, the mean is a truncating
+    micros division.
+
+    Scale shape: one per-user ordered window computes all
+    consecutive gaps once; each threshold is a conditional
+    aggregate over that table — a thresholds-sized literal
+    explode, no re-scan."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gapped = events.select(
+        (ts_us - F.lag(ts_us).over(w)).alias("gap_us")
+    )
+    tot = events.agg(
+        F.countDistinct(user_col).cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    aggs = gapped.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("gap_us") > int(g) * 60 * 1_000_000
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).cast("long").alias(f"b{int(g)}")
+            for g in gaps_minutes
+        ]
+    )
+    stack = ", ".join(
+        f"struct({int(g)} as gap_minutes, b{int(g)} as n_breaks)"
+        for g in gaps_minutes
+    )
+    return (
+        tot.crossJoin(F.broadcast(aggs))
+        .select(
+            "n_users", "n_events",
+            F.explode(F.expr(f"array({stack})")).alias("s"),
+        )
+        .select(
+            F.col("s.gap_minutes").cast("int").alias("gap_minutes"),
+            "n_users",
+            (F.col("n_users") + F.col("s.n_breaks")).cast("long")
+            .alias("n_sessions"),
+            F.expr(
+                "(1000000 * n_events) div (n_users + s.n_breaks)"
+            ).cast("long").alias("avg_len_micros"),
+        )
+    )

@@ -14484,3 +14484,35 @@ def ams_f2_error_sql(
         " END AS BIGINT) AS err_micros\n"
         "FROM am_x, am_e"
     )
+
+
+def session_gap_curve_sql(
+    gaps_minutes: tuple = (5, 15, 30, 60)
+) -> str:
+    """Mirror of operators.sessions.session_gap_curve: one ordered
+    gap table, per-threshold break counts, truncating mean length."""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {int(g)} AS gap_minutes,\n"
+        "  CAST((SELECT COALESCE(sum(CASE WHEN gap_us >"
+        f" {int(g) * 60 * 1_000_000} THEN 1 ELSE 0 END), 0)"
+        " FROM sg_g) AS BIGINT) AS n_breaks"
+        for g in gaps_minutes
+    )
+    return (
+        "WITH sg_g AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT)\n"
+        "    - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (\n"
+        "      PARTITION BY user_id ORDER BY CAST(epoch_us(ts)"
+        " AS BIGINT), event_id) AS gap_us\n"
+        "  FROM events),\n"
+        "sg_t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)"
+        " AS n_users,\n"
+        "  CAST(count(*) AS BIGINT) AS n_events FROM events),\n"
+        f"sg_w AS ({rows})\n"
+        "SELECT CAST(w.gap_minutes AS INT) AS gap_minutes,"
+        " t.n_users,\n"
+        "  CAST(t.n_users + w.n_breaks AS BIGINT) AS n_sessions,\n"
+        "  CAST((1000000 * t.n_events) // (t.n_users + w.n_breaks)"
+        " AS BIGINT) AS avg_len_micros\n"
+        "FROM sg_w w, sg_t t"
+    )
