@@ -3879,6 +3879,15 @@ def q_session_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_gap_curve(load_table(spark, sf_dir, "events"))
 
 
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup threshold sensitivity: surviving exact-Jaccard pairs
+    # at cutoffs 0.5-0.9 from one AllPairs join — pick the knee,
+    # not 0.8 by folklore
+    from graphlite_spark.operators.dedup import dedup_threshold_curve
+
+    return dedup_threshold_curve(load_table(spark, sf_dir, "documents"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4812,6 +4821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icc_user_value": q_icc_user_value,
         "ams_f2_error": q_ams_f2_error,
         "session_gap_curve": q_session_gap_curve,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
     }
 
 
@@ -5139,6 +5149,7 @@ def oracle_sql() -> dict[str, str]:
         "icc_user_value": O.icc_user_value_sql(),
         "ams_f2_error": O.ams_f2_error_sql(),
         "session_gap_curve": O.session_gap_curve_sql(),
+        "dedup_threshold_curve": O.dedup_threshold_curve_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

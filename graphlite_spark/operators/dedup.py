@@ -1364,3 +1364,56 @@ def minhash_estimate_error(
         F.expr("sx div n_pairs").cast("long")
         .alias("mean_exact_micros"),
     )
+
+
+def dedup_threshold_curve(
+    docs: DataFrame,
+    thresholds_permille: tuple = (500, 600, 700, 800, 900),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(threshold_permille, n_pairs) — the near-duplicate THRESHOLD
+    sensitivity curve: how many exact token-set Jaccard pairs survive
+    at each candidate cutoff, from ONE prefix-filtered similarity
+    join run at the loosest threshold.  The tuning table behind every
+    dedup pipeline's single magic number — pick the knee, not 0.8 by
+    folklore; completes the curve family (conversion window, session
+    gap) for the dedup tier.
+
+    Exactness: the pair set is :func:`jaccard_join_prefix` at
+    ``min(thresholds)`` (filter completeness already oracle-proven);
+    each cutoff is the same INTEGER test inter·1000 ≥ t·union — no
+    float gates anything.
+
+    Scale shape: one AllPairs join (the operator under test), then a
+    thresholds-sized conditional aggregate."""
+    t0 = min(int(t) for t in thresholds_permille)
+    pairs = jaccard_join_prefix(
+        docs, threshold_permille=t0, id_col=id_col, text_col=text_col
+    )
+    aggs = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("inter") * 1000
+                        >= int(t) * F.col("union_sz")
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).cast("long").alias(f"c{int(t)}")
+            for t in thresholds_permille
+        ]
+    )
+    stack = ", ".join(
+        f"struct({int(t)} as threshold_permille, c{int(t)} as n_pairs)"
+        for t in thresholds_permille
+    )
+    return aggs.select(
+        F.explode(F.expr(f"array({stack})")).alias("s")
+    ).select(
+        F.col("s.threshold_permille").cast("int").alias(
+            "threshold_permille"
+        ),
+        F.col("s.n_pairs").cast("long").alias("n_pairs"),
+    )

@@ -14516,3 +14516,37 @@ def session_gap_curve_sql(
         " AS BIGINT) AS avg_len_micros\n"
         "FROM sg_w w, sg_t t"
     )
+
+
+def dedup_threshold_curve_sql(
+    thresholds_permille: tuple = (500, 600, 700, 800, 900)
+) -> str:
+    """Mirror of operators.dedup.dedup_threshold_curve: the brute-force
+    shared-token pair table (filterless, as jaccard_join_sql), one
+    integer-thresholded count per cutoff."""
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {int(t)} AS threshold_permille,\n"
+        "  CAST((SELECT COALESCE(sum(CASE WHEN inter * 1000 >="
+        f" {int(t)} * union_sz THEN 1 ELSE 0 END), 0) FROM dtp)"
+        " AS BIGINT) AS n_pairs"
+        for t in thresholds_permille
+    )
+    return (
+        f"WITH {TOKS_CTE},\n"
+        "ts AS MATERIALIZED (SELECT doc_id AS doc, unnest(toks) AS tok\n"
+        "  FROM (SELECT doc_id, list_distinct(toks) AS toks"
+        " FROM toks_t)),\n"
+        "sz AS MATERIALIZED (SELECT doc, CAST(count(*) AS BIGINT) AS n"
+        " FROM ts GROUP BY doc),\n"
+        "pr AS MATERIALIZED (\n"
+        "  SELECT a.doc AS doc_a, b.doc AS doc_b,"
+        " CAST(count(*) AS BIGINT) AS inter\n"
+        "  FROM ts a JOIN ts b ON b.tok = a.tok AND a.doc < b.doc\n"
+        "  GROUP BY a.doc, b.doc),\n"
+        "dtp AS MATERIALIZED (\n"
+        "  SELECT inter, CAST(sa.n + sb.n - inter AS BIGINT)"
+        " AS union_sz\n"
+        "  FROM pr JOIN sz sa ON sa.doc = doc_a"
+        " JOIN sz sb ON sb.doc = doc_b)\n"
+        f"{rows}"
+    )
