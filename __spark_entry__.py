@@ -3888,6 +3888,14 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_threshold_curve(load_table(spark, sf_dir, "documents"))
 
 
+def q_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Samarati generalization ladder: k-anonymity risk at three
+    # nested quasi-identifier granularities — where release collapses
+    from graphlite_spark.operators.profiling import anonymity_ladder
+
+    return anonymity_ladder(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4822,6 +4830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2_error": q_ams_f2_error,
         "session_gap_curve": q_session_gap_curve,
         "dedup_threshold_curve": q_dedup_threshold_curve,
+        "anonymity_ladder": q_anonymity_ladder,
     }
 
 
@@ -5150,6 +5159,7 @@ def oracle_sql() -> dict[str, str]:
         "ams_f2_error": O.ams_f2_error_sql(),
         "session_gap_curve": O.session_gap_curve_sql(),
         "dedup_threshold_curve": O.dedup_threshold_curve_sql(),
+        "anonymity_ladder": O.anonymity_ladder_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

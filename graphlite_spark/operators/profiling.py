@@ -1015,3 +1015,64 @@ def simpson_diversity(
             ),
         ).alias("inv_simpson_micros"),
     )
+
+
+def anonymity_ladder(
+    events: DataFrame,
+    small_k: int = 5,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """(level, quasi_identifiers, n_classes, min_class_size,
+    pct_small_micros) — Samarati's generalization ladder (Samarati
+    2001, public literature) for the events table: re-identification
+    risk at three NESTED quasi-identifier granularities — (weekday),
+    (weekday, type), (weekday, type, value decile).  Each added
+    column splits the equivalence classes; the ladder shows exactly
+    where k-anonymity collapses (min class → 1) and how much of the
+    table sits in classes smaller than ``small_k`` — the
+    release-decision table behind :func:`k_anonymity`'s single
+    configuration.
+
+    Deciles are equal-width over cents by the corpus max (stated —
+    deterministic, no rank shuffle); all counts BIGINT; the small-
+    class share is one truncating micros division per level.
+
+    Scale shape: three map-side-combined groupBys over derived
+    columns, each a codebook-sized rollup."""
+    day = F.expr(
+        f"cast((unix_micros(cast({ts_col} as timestamp))"
+        " div 86400000000 + 3) % 7 as int)"
+    )
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    mx = events.agg(
+        F.max(F.round(F.col(value_col) * 100).cast("long")).alias("mc")
+    )
+    src = events.crossJoin(F.broadcast(mx)).select(
+        day.alias("dow"),
+        F.col("event_type").alias("t"),
+        F.expr(
+            f"cast((cast(round({value_col} * 100) as bigint) * 10)"
+            " div (mc + 1) as int)"
+        ).alias("vdec"),
+    )
+
+    def level(cols: list, lvl: int, desc: str) -> DataFrame:
+        cls = src.groupBy(*cols).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        return cls.agg(
+            F.lit(lvl).cast("int").alias("level"),
+            F.lit(desc).alias("quasi_identifiers"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("c").cast("long").alias("min_class_size"),
+            F.expr(
+                "(1000000 * coalesce(sum(CASE WHEN c <"
+                f" {int(small_k)} THEN c ELSE 0 END), 0)) div sum(c)"
+            ).cast("long").alias("pct_small_micros"),
+        )
+    return (
+        level(["dow"], 1, "dow")
+        .unionByName(level(["dow", "t"], 2, "dow+type"))
+        .unionByName(level(["dow", "t", "vdec"], 3, "dow+type+vdec"))
+    )

@@ -14550,3 +14550,40 @@ def dedup_threshold_curve_sql(
         " JOIN sz sb ON sb.doc = doc_b)\n"
         f"{rows}"
     )
+
+
+def anonymity_ladder_sql(small_k: int = 5) -> str:
+    """Mirror of operators.profiling.anonymity_ladder: three nested
+    QI groupBys, equal-width cents deciles, truncating small-class
+    shares."""
+    lv = []
+    for lvl, desc, cols in (
+        (1, "dow", "dow"),
+        (2, "dow+type", "dow, t"),
+        (3, "dow+type+vdec", "dow, t, vdec"),
+    ):
+        lv.append(
+            f"SELECT {lvl} AS level, '{desc}' AS quasi_identifiers,\n"
+            "  CAST(count(*) AS BIGINT) AS n_classes,\n"
+            "  CAST(min(c) AS BIGINT) AS min_class_size,\n"
+            "  CAST((1000000 * COALESCE(sum(CASE WHEN c <"
+            f" {int(small_k)} THEN c ELSE 0 END), 0)) // sum(c)"
+            " AS BIGINT) AS pct_small_micros\n"
+            f"FROM (SELECT {cols}, CAST(count(*) AS BIGINT) AS c\n"
+            f"  FROM al_s GROUP BY {cols})"
+        )
+        pass
+    union = "\nUNION ALL\n".join(lv)
+    return (
+        "WITH al_m AS (SELECT"
+        " CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        " AS mc FROM events),\n"
+        "al_s AS MATERIALIZED (\n"
+        "  SELECT CAST((CAST(epoch_us(ts) AS BIGINT) // 86400000000"
+        " + 3) % 7 AS INT) AS dow,\n"
+        "    event_type AS t,\n"
+        "    CAST((CAST(round(value * 100) AS BIGINT) * 10)"
+        " // ((SELECT mc FROM al_m) + 1) AS INT) AS vdec\n"
+        "  FROM events)\n"
+        f"{union}"
+    )
