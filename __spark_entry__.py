@@ -3896,6 +3896,14 @@ def q_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anonymity_ladder(load_table(spark, sf_dir, "events"))
 
 
+def q_ucb1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UCB1 bandit indices per channel (reward = 1-day conversion):
+    # the exploration-aware allocation a raw rate table can't give
+    from graphlite_spark.operators.analytics import ucb1_channel_scores
+
+    return ucb1_channel_scores(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4831,6 +4839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_gap_curve": q_session_gap_curve,
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "anonymity_ladder": q_anonymity_ladder,
+        "ucb1_channel_scores": q_ucb1_scores,
     }
 
 
@@ -5160,6 +5169,7 @@ def oracle_sql() -> dict[str, str]:
         "session_gap_curve": O.session_gap_curve_sql(),
         "dedup_threshold_curve": O.dedup_threshold_curve_sql(),
         "anonymity_ladder": O.anonymity_ladder_sql(),
+        "ucb1_channel_scores": O.ucb1_channel_scores_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

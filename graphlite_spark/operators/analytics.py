@@ -7157,3 +7157,74 @@ def icc_user_value(
             ),
         ).alias("deff_micros"),
     )
+
+
+def ucb1_channel_scores(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    window_days: int = 1,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(arm, n_trials, n_conversions, mean_micros, ucb_micros) — the
+    UCB1 index (Auer, Cesa-Bianchi & Fischer 2002, public
+    literature) for each event type treated as a bandit arm, with
+    reward = "the same user converts within ``window_days``":
+    UCB = mean + √(2·ln N / n_a).  The allocation snapshot a
+    deterministic bandit would act on — the EXPLORATION-aware view
+    that a raw conversion-rate table (:func:`conversion_prob`)
+    cannot give: an under-sampled arm with middling mean can
+    legitimately outrank the current best.
+
+    Exactness: trial/conversion counts are BIGINTs (first-conversion
+    delay via one per-user min-aggregate, the conversion_window_curve
+    machinery); the mean is a truncating micros ratio; the bonus is
+    the ONE identically-shaped float over (N, n_a), rounded to
+    micros.
+
+    Scale shape: one per-actor equi-join bounded by per-actor
+    history, one arm-sized rollup."""
+    fr = events.where(F.col("event_type") != convert_type).select(
+        F.col("event_type").alias("arm"),
+        F.col(user_col).alias("u"),
+        F.col("event_id").alias("fid"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ft"),
+    )
+    to = events.where(F.col("event_type") == convert_type).select(
+        F.col(user_col).alias("u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tt"),
+    )
+    delay = (
+        fr.join(to, "u")
+        .where(F.col("tt") > F.col("ft"))
+        .groupBy("fid")
+        .agg(F.min(F.col("tt") - F.col("ft")).alias("d"))
+    )
+    conv = fr.join(delay, "fid", "left").select(
+        "arm",
+        (
+            F.col("d").isNotNull()
+            & (F.col("d") <= int(window_days) * 86_400_000_000)
+        ).cast("long").alias("r"),
+    )
+    per = conv.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trials"),
+        F.sum("r").cast("long").alias("n_conversions"),
+    )
+    nn = per.agg(F.sum("n_trials").cast("long").alias("nt"))
+    return per.crossJoin(F.broadcast(nn)).select(
+        "arm", "n_trials", "n_conversions",
+        F.expr("(1000000 * n_conversions) div n_trials").cast("long")
+        .alias("mean_micros"),
+        (
+            F.expr("(1000000 * n_conversions) div n_trials")
+            + F.round(
+                F.sqrt(
+                    F.lit(2.0)
+                    * F.log(F.col("nt").cast("double"))
+                    / F.col("n_trials").cast("double")
+                )
+                * 1_000_000
+            )
+        ).cast("long").alias("ucb_micros"),
+    )

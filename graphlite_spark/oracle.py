@@ -14587,3 +14587,44 @@ def anonymity_ladder_sql(small_k: int = 5) -> str:
         "  FROM events)\n"
         f"{union}"
     )
+
+
+def ucb1_channel_scores_sql(
+    convert_type: str = "purchase", window_days: int = 1
+) -> str:
+    """Mirror of operators.analytics.ucb1_channel_scores: per-event
+    first-conversion delays, arm rollups, truncating mean micros,
+    identically-shaped UCB bonus float."""
+    wus = int(window_days) * 86_400_000_000
+    return (
+        "WITH ub_f AS MATERIALIZED (\n"
+        "  SELECT event_type AS arm, user_id AS u, event_id AS fid,\n"
+        "    CAST(epoch_us(ts) AS BIGINT) AS ft FROM events\n"
+        f"  WHERE event_type <> '{convert_type}'),\n"
+        "ub_t AS MATERIALIZED (\n"
+        "  SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS tt\n"
+        f"  FROM events WHERE event_type = '{convert_type}'),\n"
+        "ub_d AS MATERIALIZED (\n"
+        "  SELECT f.fid, CAST(min(t.tt - f.ft) AS BIGINT) AS d\n"
+        "  FROM ub_f f JOIN ub_t t ON t.u = f.u AND t.tt > f.ft\n"
+        "  GROUP BY f.fid),\n"
+        "ub_c AS MATERIALIZED (\n"
+        "  SELECT f.arm,\n"
+        "    CASE WHEN d.d IS NOT NULL AND d.d <="
+        f" {wus} THEN 1 ELSE 0 END AS r\n"
+        "  FROM ub_f f LEFT JOIN ub_d d ON d.fid = f.fid),\n"
+        "ub_p AS MATERIALIZED (SELECT arm,"
+        " CAST(count(*) AS BIGINT) AS n_trials,\n"
+        "  CAST(sum(r) AS BIGINT) AS n_conversions FROM ub_c"
+        " GROUP BY arm),\n"
+        "ub_n AS (SELECT CAST(sum(n_trials) AS BIGINT) AS nt"
+        " FROM ub_p)\n"
+        "SELECT arm, n_trials, n_conversions,\n"
+        "  CAST((1000000 * n_conversions) // n_trials AS BIGINT)"
+        " AS mean_micros,\n"
+        "  CAST((1000000 * n_conversions) // n_trials\n"
+        "    + round(sqrt(2.0 * ln(CAST(nt AS DOUBLE))\n"
+        "        / CAST(n_trials AS DOUBLE)) * 1000000) AS BIGINT)"
+        " AS ucb_micros\n"
+        "FROM ub_p, ub_n"
+    )
