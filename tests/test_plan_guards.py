@@ -264,6 +264,36 @@ GUARDED = [
     "top_terms_per_doc",
     "zorder_layout",
     "t_closeness",
+    # 2026-08-20 continuation wave: capped-wedge / equi-join-only
+    # graph and analytics queries (plans empirically scanned clean)
+    "simrank_wedge",
+    "collective_influence",
+    "guimera_amaral_roles",
+    "algebraic_distance_5",
+    "umass_coherence",
+    "lof_top10",
+    "calinski_harabasz",
+    "time_decay_attribution",
+    "dedup_threshold_curve",
+    # and the ones whose only nested-loop is a 1-row/codebook-row
+    # broadcast assembly join or a declared brute-force baseline
+    # (listed in BNLJ_ALLOWED below)
+    "burrows_delta",
+    "source_cross_entropy",
+    "jonckheere_trend",
+    "dbscan_labels",
+    "ann_hamming_recall",
+    "ann_mrr",
+    "kmeans_label_ari",
+    "kmeans_label_nmi",
+    "kmeans_stability_ari",
+    "cka_halves",
+    "effective_rank",
+    "user_weekly_rhythm",
+    "daily_motif_pair",
+    "energy_distance",
+    "ucb1_channel_scores",
+    "lm_heldout_nll",
 ]
 
 # brute-force baselines DOCUMENTED as broadcast nested-loop scans: the
@@ -272,6 +302,25 @@ GUARDED = [
 BNLJ_ALLOWED = {
     "ann_cosine_topk",
     "ann_lsh_recall",
+    # 2026-08-20 continuation: 1-row / codebook-row broadcast assembly
+    # joins (totals, eps literals, window spines) or the declared
+    # brute-force cosine/Hamming ground-truth scans
+    "burrows_delta",
+    "source_cross_entropy",
+    "jonckheere_trend",
+    "dbscan_labels",
+    "ann_hamming_recall",
+    "ann_mrr",
+    "kmeans_label_ari",
+    "kmeans_label_nmi",
+    "kmeans_stability_ari",
+    "cka_halves",
+    "effective_rank",
+    "user_weekly_rhythm",
+    "daily_motif_pair",
+    "energy_distance",
+    "ucb1_channel_scores",
+    "lm_heldout_nll",
     # tiny-literal broadcast sides (4-row k-list / 1-row NF(max)):
     # the nested-loop side is constant-sized, never data-sized
     "rich_club",
