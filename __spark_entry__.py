@@ -3904,6 +3904,14 @@ def q_ucb1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ucb1_channel_scores(load_table(spark, sf_dir, "events"))
 
 
+def q_pages_trend_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Page's L over complete weeks: does activity rise monotonically
+    # through the ordered weekdays? (rank power against ordered trend)
+    from graphlite_spark.operators.analytics import pages_trend_weekly
+
+    return pages_trend_weekly(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4840,6 +4848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "anonymity_ladder": q_anonymity_ladder,
         "ucb1_channel_scores": q_ucb1_scores,
+        "pages_trend_weekly": q_pages_trend_weekly,
     }
 
 
@@ -5170,6 +5179,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_threshold_curve": O.dedup_threshold_curve_sql(),
         "anonymity_ladder": O.anonymity_ladder_sql(),
         "ucb1_channel_scores": O.ucb1_channel_scores_sql(),
+        "pages_trend_weekly": O.pages_trend_weekly_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

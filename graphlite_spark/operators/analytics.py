@@ -7228,3 +7228,85 @@ def ucb1_channel_scores(
             )
         ).cast("long").alias("ucb_micros"),
     )
+
+
+def pages_trend_weekly(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_weeks, k_days, l2, e2_null) — Page's trend test
+    (Page 1963, public literature) with complete calendar weeks as
+    blocks and the ORDERED weekdays as treatments: does activity rise
+    (or fall) MONOTONICALLY through the week?  Where
+    :func:`friedman_event_ranks` asks "are the groups consistently
+    ordered at all" and :func:`dow_seasonality` shows the raw
+    per-day means, Page's L is the rank test with power specifically
+    against an ordered within-week trend — L = Σ_j j·R_j over the
+    within-week ranks.
+
+    Exactness: the Friedman doubled-midrank discipline per week
+    (r2 = 2·cb + ct + 1, ties averaged); L2 = Σ (dow+1)·R2_dow and
+    its exact null expectation E[L2] = n·k·(k+1)² are BIGINTs.
+    Incomplete boundary weeks are EXCLUDED (stated) so every block
+    has exactly k = 7 cells, zero-filled.
+
+    Scale shape: one daily groupBy, a weeks × 7 zero-filled lattice,
+    per-week rank windows (7 rows each), two codebook rollups."""
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d"),
+        F.col("lo"), F.col("hi"),
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d", "lo", "hi",
+        F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        F.expr("cast((d + 3) div 7 as long)").alias("wk"),
+        F.expr("cast((d + 3) % 7 as int)").alias("dow"),
+    )
+    complete = (
+        filled.groupBy("wk")
+        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+        .where(F.col("nd") == 7)
+        .select("wk")
+    )
+    cells = filled.join(complete, "wk", "left_semi").select(
+        "wk", "dow", "y"
+    )
+    grp = cells.groupBy("wk", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    wb = Window.partitionBy("wk").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r2v = grp.select(
+        "wk", "y",
+        (
+            2 * F.coalesce(F.sum("ct").over(wb), F.lit(0))
+            + F.col("ct") + 1
+        ).cast("long").alias("r2"),
+    )
+    ranked = cells.join(r2v, ["wk", "y"])
+    perdow = ranked.groupBy("dow").agg(
+        F.sum("r2").cast("long").alias("r2d")
+    )
+    nW = complete.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    l2 = perdow.agg(
+        F.sum((F.col("dow") + 1) * F.col("r2d")).cast("long").alias(
+            "l2"
+        )
+    )
+    return (
+        nW.crossJoin(F.broadcast(l2))
+        .select(
+            F.col("n").alias("n_weeks"),
+            F.lit(7).cast("int").alias("k_days"),
+            F.coalesce("l2", F.lit(0)).cast("long").alias("l2"),
+            # E[L2] = n·k·(k+1)²/2 with k = 7 → 224·n (doubled ranks)
+            (F.col("n") * 224).cast("long").alias("e2_null"),
+        )
+    )

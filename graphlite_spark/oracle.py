@@ -14628,3 +14628,46 @@ def ucb1_channel_scores_sql(
         " AS ucb_micros\n"
         "FROM ub_p, ub_n"
     )
+
+
+def pages_trend_weekly_sql() -> str:
+    """Mirror of operators.analytics.pages_trend_weekly: complete
+    zero-filled calendar weeks, within-week doubled midranks,
+    L2 = Σ (dow+1)·R2 and its exact null 224·n."""
+    return (
+        "WITH pg_d AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "pg_r AS (SELECT min(d) AS lo, max(d) AS hi FROM pg_d),\n"
+        "pg_f AS MATERIALIZED (\n"
+        "  SELECT sp.d, CAST(COALESCE(dl.y, 0) AS BIGINT) AS y,\n"
+        "    CAST((sp.d + 3) // 7 AS BIGINT) AS wk,\n"
+        "    CAST((sp.d + 3) % 7 AS INT) AS dow\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM pg_r) sp\n"
+        "  LEFT JOIN pg_d dl USING (d)),\n"
+        "pg_w AS MATERIALIZED (SELECT wk FROM (\n"
+        "  SELECT wk, count(*) AS nd FROM pg_f GROUP BY wk)\n"
+        "  WHERE nd = 7),\n"
+        "pg_c AS MATERIALIZED (\n"
+        "  SELECT f.wk, f.dow, f.y FROM pg_f f"
+        " JOIN pg_w w ON w.wk = f.wk),\n"
+        "pg_g AS MATERIALIZED (SELECT wk, y,"
+        " CAST(count(*) AS BIGINT) AS ct FROM pg_c GROUP BY 1, 2),\n"
+        "pg_v AS MATERIALIZED (\n"
+        "  SELECT wk, y, CAST(2 * COALESCE(sum(ct) OVER ("
+        "PARTITION BY wk\n"
+        "    ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " 1 PRECEDING), 0) + ct + 1 AS BIGINT) AS r2\n"
+        "  FROM pg_g),\n"
+        "pg_k AS MATERIALIZED (\n"
+        "  SELECT c.dow, CAST(sum(v.r2) AS BIGINT) AS r2d\n"
+        "  FROM pg_c c JOIN pg_v v ON v.wk = c.wk AND v.y = c.y\n"
+        "  GROUP BY c.dow),\n"
+        "pg_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pg_w),\n"
+        "pg_l AS (SELECT CAST(COALESCE(sum((dow + 1) * r2d), 0)"
+        " AS BIGINT) AS l2 FROM pg_k)\n"
+        "SELECT n AS n_weeks, CAST(7 AS INT) AS k_days, l2,\n"
+        "  CAST(n * 224 AS BIGINT) AS e2_null\n"
+        "FROM pg_n, pg_l"
+    )
