@@ -3912,6 +3912,16 @@ def q_pages_trend_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages_trend_weekly(load_table(spark, sf_dir, "events"))
 
 
+def q_seasonal_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # Hirsch-Slack seasonal Mann-Kendall: trend detection that only
+    # compares Mondays to Mondays — the weekly cycle can't mask it
+    from graphlite_spark.operators.analytics import seasonal_mann_kendall
+
+    return seasonal_mann_kendall(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4849,6 +4859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anonymity_ladder": q_anonymity_ladder,
         "ucb1_channel_scores": q_ucb1_scores,
         "pages_trend_weekly": q_pages_trend_weekly,
+        "seasonal_mann_kendall": q_seasonal_mann_kendall,
     }
 
 
@@ -5180,6 +5191,7 @@ def oracle_sql() -> dict[str, str]:
         "anonymity_ladder": O.anonymity_ladder_sql(),
         "ucb1_channel_scores": O.ucb1_channel_scores_sql(),
         "pages_trend_weekly": O.pages_trend_weekly_sql(),
+        "seasonal_mann_kendall": O.seasonal_mann_kendall_sql(7),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

@@ -7310,3 +7310,52 @@ def pages_trend_weekly(
             (F.col("n") * 224).cast("long").alias("e2_null"),
         )
     )
+
+
+def seasonal_mann_kendall(
+    events: DataFrame,
+    period: int = 7,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_days, n_pairs, s_total) — the seasonal
+    Mann–Kendall test (Hirsch & Slack 1984, public literature):
+    the MK sign statistic computed WITHIN each weekday's sub-series
+    and summed, so the weekly cycle cannot masquerade as (or mask) a
+    trend — compare Mondays to Mondays, never Monday to Saturday.
+    The seasonal-robust upgrade of :func:`mann_kendall_daily`, read
+    next to :func:`seasonal_decompose_daily`'s explicit split.
+
+    Exactness: S = Σ_season Σ_{i<j} sign(y_j − y_i) over the
+    zero-filled spine is a pure BIGINT count; n_pairs = Σ C(n_s, 2)
+    exactly.
+
+    Scale shape: one daily groupBy; the within-season pair join is
+    |season|·(days/period)² — calendar-bounded, never data-scale."""
+    daily = events.groupBy(
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {DAY_US}"
+        ).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    rng = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("d")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d",
+        F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        F.expr(f"cast((d + 3) % {int(period)} as int)").alias("s"),
+    )
+    a = filled.select("s", F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = filled.select("s", F.col("d").alias("db"), F.col("y").alias("yb"))
+    pairs = a.join(b, "s").where(F.col("db") > F.col("da"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.signum(F.col("yb") - F.col("ya")).cast("long")),
+            F.lit(0),
+        ).cast("long").alias("s_total"),
+    )
+    nd = filled.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return nd.crossJoin(F.broadcast(agg)).select(
+        "n_days", "n_pairs", "s_total"
+    )

@@ -14671,3 +14671,28 @@ def pages_trend_weekly_sql() -> str:
         "  CAST(n * 224 AS BIGINT) AS e2_null\n"
         "FROM pg_n, pg_l"
     )
+
+
+def seasonal_mann_kendall_sql(period: int = 7) -> str:
+    """Mirror of operators.analytics.seasonal_mann_kendall:
+    zero-filled spine, within-season ordered pairs, BIGINT sign
+    sums."""
+    return (
+        "WITH sk_d AS MATERIALIZED (\n"
+        "  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,\n"
+        "    CAST(count(*) AS BIGINT) AS y\n"
+        "  FROM events GROUP BY 1),\n"
+        "sk_r AS (SELECT min(d) AS lo, max(d) AS hi FROM sk_d),\n"
+        "sk_f AS MATERIALIZED (\n"
+        "  SELECT sp.d, CAST(COALESCE(dl.y, 0) AS BIGINT) AS y,\n"
+        f"    CAST((sp.d + 3) % {int(period)} AS INT) AS s\n"
+        "  FROM (SELECT unnest(range(lo, hi + 1)) AS d FROM sk_r) sp\n"
+        "  LEFT JOIN sk_d dl USING (d)),\n"
+        "sk_p AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,\n"
+        "  CAST(COALESCE(sum(CAST(sign(b.y - a.y) AS BIGINT)), 0)"
+        " AS BIGINT) AS s_total\n"
+        "  FROM sk_f a JOIN sk_f b ON b.s = a.s AND b.d > a.d),\n"
+        "sk_n AS (SELECT CAST(count(*) AS BIGINT) AS n_days"
+        " FROM sk_f)\n"
+        "SELECT n_days, n_pairs, s_total FROM sk_n, sk_p"
+    )
