@@ -621,6 +621,28 @@ def run_skew() -> dict:
     one("pagerank5_hub_threshold_1000", pr(1000))
     one("pagerank5_no_hub_handling", pr(None))
 
+    # 2026-08-20 continuation: the round-5 capped-wedge operators, with
+    # and without their hub cap — the cap (max_wedge_degree=100) is the
+    # module-wide rule simrank/adamic-adar/collective-influence share;
+    # uncapped tiers route every wedge through the 3·10^4-degree hubs
+    from graphlite_spark.algos.centrality import collective_influence
+    from graphlite_spark.algos.linkpred import simrank_wedge
+
+    one("simrank_capped100",
+        lambda s, e: simrank_wedge(
+            e.select("src", "dst"), max_wedge_degree=100).count(),
+        ne=rect_edges, nv=rect_nv)
+    one("simrank_uncapped",
+        lambda s, e: simrank_wedge(
+            e.select("src", "dst"), max_wedge_degree=None).count(),
+        ne=rect_edges, nv=rect_nv)
+    one("collective_influence_capped100",
+        lambda s, e: collective_influence(
+            e, max_wedge_degree=100).count())
+    one("collective_influence_uncapped",
+        lambda s, e: collective_influence(
+            e, max_wedge_degree=None).count())
+
     state["spark"].stop()
     return result
 
