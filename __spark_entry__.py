@@ -3922,6 +3922,14 @@ def q_seasonal_mann_kendall(
     return seasonal_mann_kendall(load_table(spark, sf_dir, "events"))
 
 
+def q_rmst_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # restricted mean survival time: expected active days within the
+    # first 28 — the single interpretable number under the KM curve
+    from graphlite_spark.operators.analytics import rmst_user_lifetime
+
+    return rmst_user_lifetime(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4860,6 +4868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ucb1_channel_scores": q_ucb1_scores,
         "pages_trend_weekly": q_pages_trend_weekly,
         "seasonal_mann_kendall": q_seasonal_mann_kendall,
+        "rmst_user_lifetime": q_rmst_user_lifetime,
     }
 
 
@@ -5192,6 +5201,7 @@ def oracle_sql() -> dict[str, str]:
         "ucb1_channel_scores": O.ucb1_channel_scores_sql(),
         "pages_trend_weekly": O.pages_trend_weekly_sql(),
         "seasonal_mann_kendall": O.seasonal_mann_kendall_sql(7),
+        "rmst_user_lifetime": O.rmst_user_lifetime_sql(28),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

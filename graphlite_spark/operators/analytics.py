@@ -7359,3 +7359,74 @@ def seasonal_mann_kendall(
     return nd.crossJoin(F.broadcast(agg)).select(
         "n_days", "n_pairs", "s_total"
     )
+
+
+def rmst_user_lifetime(
+    events: DataFrame,
+    tau_days: int = 28,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (tau_days, n_deaths_by_tau, rmst_micro_days) — the
+    Restricted Mean Survival Time (Royston & Parmar 2013's
+    recommended summary, public literature): the area under the
+    :func:`kaplan_meier` curve up to ``tau_days`` — "expected active
+    days within the first τ", the single interpretable lifetime
+    number the KM CURVE doesn't directly give (and, unlike median
+    survival, defined even when most units outlive the window).
+
+    RMST = Σ over curve segments of S(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ) with
+    S(0⁻) = 10⁶, using the KM step values — the per-step integer
+    survival micros ride straight into an exact BIGINT
+    micro-day sum.
+
+    Scale shape: the kaplan_meier shape plus one ordered window over
+    the death-time curve (distinct-duration-sized)."""
+    km = kaplan_meier(events, unit_col=unit_col, ts_col=ts_col)
+    w = Window.orderBy("duration_days")
+    seg = km.where(F.col("duration_days") <= tau_days).select(
+        "duration_days",
+        "n_deaths",
+        "survival_micros",
+        F.coalesce(
+            F.lag("survival_micros").over(w), F.lit(1_000_000)
+        ).cast("long").alias("s_prev"),
+        F.coalesce(
+            F.lag("duration_days").over(w), F.lit(0)
+        ).cast("long").alias("d_prev"),
+    )
+    area = seg.agg(
+        F.coalesce(F.sum("n_deaths"), F.lit(0)).cast("long").alias(
+            "n_deaths_by_tau"
+        ),
+        F.coalesce(
+            F.sum(
+                F.col("s_prev")
+                * (F.col("duration_days") - F.col("d_prev"))
+            ),
+            F.lit(0),
+        ).cast("long").alias("a_before"),
+    )
+    last = (
+        seg.orderBy(F.col("duration_days").desc())
+        .limit(1)
+        .select(
+            F.col("survival_micros").alias("s_last"),
+            F.col("duration_days").alias("d_last"),
+        )
+    )
+    return (
+        area.join(last, F.lit(True), "left")
+        .select(
+            F.lit(int(tau_days)).cast("int").alias("tau_days"),
+            "n_deaths_by_tau",
+            (
+                F.col("a_before")
+                + F.coalesce("s_last", F.lit(1_000_000))
+                * (
+                    F.lit(int(tau_days))
+                    - F.coalesce("d_last", F.lit(0))
+                )
+            ).cast("long").alias("rmst_micro_days"),
+        )
+    )

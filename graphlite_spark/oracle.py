@@ -14696,3 +14696,34 @@ def seasonal_mann_kendall_sql(period: int = 7) -> str:
         " FROM sk_f)\n"
         "SELECT n_days, n_pairs, s_total FROM sk_n, sk_p"
     )
+
+
+def rmst_user_lifetime_sql(tau_days: int = 28) -> str:
+    """Mirror of operators.analytics.rmst_user_lifetime: the full
+    kaplan_meier_sql body nested as a CTE (a CTE body may open its
+    own WITH — the curate_pack device), then the exact step-area sum
+    with the last-step extension to τ."""
+    tau = int(tau_days)
+    return (
+        f"WITH rm_km AS MATERIALIZED (\n{kaplan_meier_sql()}\n),\n"
+        "rm_s AS MATERIALIZED (\n"
+        "  SELECT duration_days, n_deaths, survival_micros,\n"
+        "    CAST(COALESCE(lag(survival_micros) OVER (ORDER BY"
+        " duration_days), 1000000) AS BIGINT) AS s_prev,\n"
+        "    CAST(COALESCE(lag(duration_days) OVER (ORDER BY"
+        " duration_days), 0) AS BIGINT) AS d_prev\n"
+        f"  FROM rm_km WHERE duration_days <= {tau}),\n"
+        "rm_a AS (SELECT\n"
+        "  CAST(COALESCE(sum(n_deaths), 0) AS BIGINT)"
+        " AS n_deaths_by_tau,\n"
+        "  CAST(COALESCE(sum(s_prev * (duration_days - d_prev)), 0)"
+        " AS BIGINT) AS a_before FROM rm_s),\n"
+        "rm_l AS (SELECT survival_micros AS s_last,"
+        " duration_days AS d_last\n"
+        "  FROM rm_s ORDER BY duration_days DESC LIMIT 1)\n"
+        f"SELECT CAST({tau} AS INT) AS tau_days, a.n_deaths_by_tau,\n"
+        "  CAST(a.a_before + COALESCE(l.s_last, 1000000)\n"
+        f"    * ({tau} - COALESCE(l.d_last, 0)) AS BIGINT)"
+        " AS rmst_micro_days\n"
+        "FROM rm_a a LEFT JOIN rm_l l ON TRUE"
+    )
