@@ -3930,6 +3930,22 @@ def q_rmst_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rmst_user_lifetime(load_table(spark, sf_dir, "events"))
 
 
+def q_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mood's median test: the coarsest, most outlier-proof k-group
+    # location screen (only asks which side of the median)
+    from graphlite_spark.operators.analytics import mood_median_test
+
+    return mood_median_test(load_table(spark, sf_dir, "events"))
+
+
+def q_lincoln_petersen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # capture-recapture reach estimate (Chapman form): how many users
+    # exist that the corpus never saw — from the two-half overlap
+    from graphlite_spark.operators.analytics import lincoln_petersen_reach
+
+    return lincoln_petersen_reach(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4869,6 +4885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_trend_weekly": q_pages_trend_weekly,
         "seasonal_mann_kendall": q_seasonal_mann_kendall,
         "rmst_user_lifetime": q_rmst_user_lifetime,
+        "mood_median_test": q_mood_median_test,
+        "lincoln_petersen_reach": q_lincoln_petersen,
     }
 
 
@@ -5202,6 +5220,8 @@ def oracle_sql() -> dict[str, str]:
         "pages_trend_weekly": O.pages_trend_weekly_sql(),
         "seasonal_mann_kendall": O.seasonal_mann_kendall_sql(7),
         "rmst_user_lifetime": O.rmst_user_lifetime_sql(28),
+        "mood_median_test": O.mood_median_test_sql(),
+        "lincoln_petersen_reach": O.lincoln_petersen_reach_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

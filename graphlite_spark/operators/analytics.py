@@ -7430,3 +7430,158 @@ def rmst_user_lifetime(
             ).cast("long").alias("rmst_micro_days"),
         )
     )
+
+
+def mood_median_test(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """One row (n_total, k_groups, chi2_micros) — Mood's median test
+    (Mood 1950, public literature): classify every value as
+    above/not-above the GLOBAL lower median and chi-square the
+    resulting 2×k table.  The coarsest, most outlier-proof of the
+    k-group location screens — where :func:`kruskal_wallis` uses full
+    ranks and :func:`anova_value_by_type` raw moments, Mood's test
+    only asks which side of the median each observation falls on
+    (low power, but immune to anything the tails do).
+
+    Exactness: the global median is the runs_test lower-median rank
+    rule; cells/marginals are BIGINTs and each cell's (O−E)²/E term
+    rides the chi_square quotient/remainder micros split on
+    DECIMAL(38,0)/HUGEINT, summed exactly.  NULL when a marginal is
+    degenerate.
+
+    Scale shape: one alphabet groupBy for the median, one
+    map-side-combined (group, side) count, a 2k-cell rollup."""
+    cents = events.select(
+        F.col(group_col).alias("g"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v"),
+    )
+    byv = cents.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    wm = Window.orderBy(F.col("v").asc())
+    med = (
+        byv.select(
+            "v", "ct",
+            F.sum("ct").over(
+                wm.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum"),
+            F.sum("ct").over(
+                wm.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        .where(
+            (F.col("cum") >= F.expr("(n + n % 2) div 2"))
+            & (
+                F.col("cum") - F.col("ct")
+                < F.expr("(n + n % 2) div 2")
+            )
+        )
+        .select(F.col("v").alias("med"))
+    )
+    cells = cents.crossJoin(F.broadcast(med)).groupBy(
+        "g", (F.col("v") > F.col("med")).cast("int").alias("hi")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows = cells.groupBy("g").agg(F.sum("o").cast("long").alias("r"))
+    cols = cells.groupBy("hi").agg(F.sum("o").cast("long").alias("c"))
+    nn = cells.agg(F.sum("o").cast("long").alias("n"))
+    lattice = (
+        rows.crossJoin(F.broadcast(cols))
+        .join(cells, ["g", "hi"], "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+            "r", "c", "n",
+        )
+    )
+    term = lattice.select(
+        "n",
+        F.expr(
+            "CAST(1000000 AS DECIMAL(38,0))"
+            " * ((CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c)"
+            "    * (CAST(n AS DECIMAL(38,0)) * o - CAST(r AS DECIMAL(38,0)) * c))"
+        ).alias("a2"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * r * c"
+        ).alias("den"),
+    ).select(
+        "n",
+        F.when(
+            F.col("den") > 0,
+            F.expr("CAST(a2 div den AS BIGINT)"),
+        ).alias("t"),
+    )
+    kg = cells.agg(F.countDistinct("g").cast("long").alias("k"))
+    return (
+        term.groupBy("n")
+        .agg(F.sum("t").cast("long").alias("chi2_micros"))
+        .crossJoin(F.broadcast(kg))
+        .select(
+            F.col("n").alias("n_total"),
+            F.col("k").alias("k_groups"),
+            "chi2_micros",
+        )
+    )
+
+
+def lincoln_petersen_reach(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_first, n_second, n_both, chapman_estimate,
+    coverage_micros) — Lincoln–Petersen capture–recapture (public
+    literature; Chapman's bias-corrected form) treating the
+    observation window's two halves as the two capture occasions:
+    estimate the TRUE active population N̂ = (n₁+1)(n₂+1)/(m+1) − 1
+    from how many users are seen in both halves, and report observed
+    coverage = seen/N̂.  The ecology estimator applied to reach —
+    the number of users the corpus NEVER saw, which no direct count
+    (:func:`~graphlite_spark.operators.sketches.kmv_distinct` et al.)
+    can give; the two-occasion sibling of the Chao1 vocabulary
+    estimate.
+
+    Exactness: the half boundary is the exact midpoint of the
+    [min, max] microsecond range (stated); all counts BIGINT; the
+    Chapman estimate and coverage are truncating integer divisions.
+
+    Scale shape: one per-user min/max aggregate against two literal
+    boundaries, scalars."""
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    src = events.select(F.col(unit_col).alias("u"), ts_us.alias("t"))
+    rng = src.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    per = src.crossJoin(F.broadcast(rng)).groupBy("u").agg(
+        F.max(
+            (F.col("t") <= F.expr("lo + (hi - lo) div 2")).cast("int")
+        ).alias("a"),
+        F.max(
+            (F.col("t") > F.expr("lo + (hi - lo) div 2")).cast("int")
+        ).alias("b"),
+    )
+    agg = per.agg(
+        F.sum("a").cast("long").alias("n_first"),
+        F.sum("b").cast("long").alias("n_second"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n_both"),
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+    )
+    return agg.select(
+        "n_first", "n_second", "n_both",
+        F.expr(
+            "((n_first + 1) * (n_second + 1)) div (n_both + 1) - 1"
+        ).cast("long").alias("chapman_estimate"),
+        F.when(
+            F.expr(
+                "((n_first + 1) * (n_second + 1)) div (n_both + 1) - 1"
+            )
+            > 0,
+            F.expr(
+                "(1000000 * n_seen) div"
+                " (((n_first + 1) * (n_second + 1)) div (n_both + 1)"
+                " - 1)"
+            ),
+        ).cast("long").alias("coverage_micros"),
+    )

@@ -14727,3 +14727,83 @@ def rmst_user_lifetime_sql(tau_days: int = 28) -> str:
         " AS rmst_micro_days\n"
         "FROM rm_a a LEFT JOIN rm_l l ON TRUE"
     )
+
+
+def mood_median_test_sql(
+    group_col: str = "event_type", value_col: str = "value"
+) -> str:
+    """Mirror of operators.analytics.mood_median_test: lower-median
+    rank rule, 2×k above/not-above cells with structural zeros, the
+    HUGEINT (N·O − r·c)²/(N·r·c) micros terms, exact sum."""
+    return (
+        "WITH md_s AS MATERIALIZED (\n"
+        f"  SELECT {group_col} AS g,"
+        f" CAST(round({value_col} * 100) AS BIGINT) AS v"
+        " FROM events),\n"
+        "md_v AS MATERIALIZED (SELECT v,"
+        " CAST(count(*) AS BIGINT) AS ct FROM md_s GROUP BY v),\n"
+        "md_m AS (SELECT v AS med FROM (\n"
+        "  SELECT v, ct, sum(ct) OVER (ORDER BY v) AS cum,\n"
+        "    sum(ct) OVER () AS n FROM md_v)\n"
+        "  WHERE cum >= (n + n % 2) // 2"
+        " AND cum - ct < (n + n % 2) // 2),\n"
+        "md_c AS MATERIALIZED (\n"
+        "  SELECT g, CASE WHEN v > (SELECT med FROM md_m)"
+        " THEN 1 ELSE 0 END AS hi,\n"
+        "    CAST(count(*) AS BIGINT) AS o\n"
+        "  FROM md_s GROUP BY 1, 2),\n"
+        "md_r AS (SELECT g, CAST(sum(o) AS BIGINT) AS r FROM md_c"
+        " GROUP BY g),\n"
+        "md_k AS (SELECT hi, CAST(sum(o) AS BIGINT) AS c FROM md_c"
+        " GROUP BY hi),\n"
+        "md_n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM md_c),\n"
+        "md_l AS MATERIALIZED (\n"
+        "  SELECT COALESCE(x.o, 0) AS o, r.r, k.c,"
+        " (SELECT n FROM md_n) AS n\n"
+        "  FROM md_r r CROSS JOIN md_k k\n"
+        "  LEFT JOIN md_c x ON x.g = r.g AND x.hi = k.hi),\n"
+        "md_t AS (SELECT n,\n"
+        "  CASE WHEN CAST(n AS HUGEINT) * r * c > 0 THEN\n"
+        "    CAST((CAST(1000000 AS HUGEINT)\n"
+        "      * ((CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)\n"
+        "         * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)))\n"
+        "      // (CAST(n AS HUGEINT) * r * c) AS BIGINT)\n"
+        "  END AS t FROM md_l),\n"
+        "md_g AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k"
+        " FROM md_c)\n"
+        "SELECT n AS n_total, (SELECT k FROM md_g) AS k_groups,\n"
+        "  CAST(sum(t) AS BIGINT) AS chi2_micros\n"
+        "FROM md_t GROUP BY n"
+    )
+
+
+def lincoln_petersen_reach_sql() -> str:
+    """Mirror of operators.analytics.lincoln_petersen_reach: exact
+    midpoint halves, per-user capture flags, Chapman estimate and
+    coverage with truncating divisions."""
+    return (
+        "WITH lp_s AS MATERIALIZED (\n"
+        "  SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS t\n"
+        "  FROM events),\n"
+        "lp_r AS (SELECT min(t) AS lo, max(t) AS hi FROM lp_s),\n"
+        "lp_p AS MATERIALIZED (\n"
+        "  SELECT u,\n"
+        "    max(CASE WHEN t <= (SELECT lo + (hi - lo) // 2 FROM lp_r)"
+        " THEN 1 ELSE 0 END) AS a,\n"
+        "    max(CASE WHEN t > (SELECT lo + (hi - lo) // 2 FROM lp_r)"
+        " THEN 1 ELSE 0 END) AS b\n"
+        "  FROM lp_s GROUP BY u),\n"
+        "lp_a AS (SELECT CAST(sum(a) AS BIGINT) AS n_first,\n"
+        "  CAST(sum(b) AS BIGINT) AS n_second,\n"
+        "  CAST(sum(a * b) AS BIGINT) AS n_both,\n"
+        "  CAST(count(*) AS BIGINT) AS n_seen FROM lp_p)\n"
+        "SELECT n_first, n_second, n_both,\n"
+        "  CAST(((n_first + 1) * (n_second + 1)) // (n_both + 1) - 1"
+        " AS BIGINT) AS chapman_estimate,\n"
+        "  CAST(CASE WHEN ((n_first + 1) * (n_second + 1))"
+        " // (n_both + 1) - 1 > 0 THEN\n"
+        "    (1000000 * n_seen) // (((n_first + 1) * (n_second + 1))"
+        " // (n_both + 1) - 1)\n"
+        "  END AS BIGINT) AS coverage_micros\n"
+        "FROM lp_a"
+    )
