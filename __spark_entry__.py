@@ -3946,6 +3946,15 @@ def q_lincoln_petersen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lincoln_petersen_reach(load_table(spark, sf_dir, "events"))
 
 
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cochran-Armitage: does the purchase SHARE of traffic trend
+    # monotonically across the ordered weekdays? (binary-outcome
+    # member of the ordered-trend family)
+    from graphlite_spark.operators.analytics import cochran_armitage_trend
+
+    return cochran_armitage_trend(load_table(spark, sf_dir, "events"))
+
+
 def q_quantile_treatment_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4887,6 +4896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmst_user_lifetime": q_rmst_user_lifetime,
         "mood_median_test": q_mood_median_test,
         "lincoln_petersen_reach": q_lincoln_petersen,
+        "cochran_armitage_trend": q_cochran_armitage,
     }
 
 
@@ -5222,6 +5232,7 @@ def oracle_sql() -> dict[str, str]:
         "rmst_user_lifetime": O.rmst_user_lifetime_sql(28),
         "mood_median_test": O.mood_median_test_sql(),
         "lincoln_petersen_reach": O.lincoln_petersen_reach_sql(),
+        "cochran_armitage_trend": O.cochran_armitage_trend_sql(),
         "role_assortativity": O.role_assortativity_sql(),
         "neighborhood_function": O.neighborhood_function_sql(8, 8),
         "louvain_refine_lpa3": O.louvain_move_sql(3),

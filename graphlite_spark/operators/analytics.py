@@ -7585,3 +7585,76 @@ def lincoln_petersen_reach(
             ),
         ).cast("long").alias("coverage_micros"),
     )
+
+
+def cochran_armitage_trend(
+    events: DataFrame,
+    positive_type: str = "purchase",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One row (n_total, n_positive, t_num, z2_micros) — the
+    Cochran–Armitage trend test (Cochran 1954 / Armitage 1955, public
+    literature) for a BINARY outcome across ordered groups: does the
+    purchase SHARE of traffic trend monotonically across the ordered
+    weekdays (scores s = 0..6)?  The binary-outcome member of the
+    ordered-alternative family — :func:`jonckheere_trend` handles a
+    continuous outcome, :func:`pages_trend_weekly` within-block
+    ranks; CA is what an epidemiologist runs on a dose–response 2×k
+    table.
+
+    Exactness: with A = Σnᵢsᵢ², B = Σnᵢsᵢ, the statistic clears all
+    denominators — T' = Σsᵢ(N·rᵢ − nᵢ·R) and
+    z² = T'²·N / (R·(N−R)·(N·A − B²)) — BIGINT moments, one
+    truncating micros division on DECIMAL(38,0)/HUGEINT.  NULL when
+    the denominator is 0 (no positives, all positives, or one
+    group).
+
+    Scale shape: one map-side-combined (dow) rollup, scalars."""
+    src = events.select(
+        F.expr(
+            f"cast((unix_micros(cast({ts_col} as timestamp))"
+            f" div {DAY_US} + 3) % 7 as int)"
+        ).alias("s"),
+        (F.col("event_type") == positive_type).cast("long").alias("y"),
+    )
+    per = src.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("r"),
+    )
+    mom = per.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(F.col("n") * F.col("s")).cast("long").alias("b"),
+        F.sum(F.col("n") * F.col("s") * F.col("s")).cast("long").alias(
+            "a"
+        ),
+        F.sum(
+            F.col("s")
+            * (F.lit(0) + F.col("r"))
+        ).cast("long").alias("sr"),
+    )
+    return mom.select(
+        F.col("nn").alias("n_total"),
+        F.col("rr").alias("n_positive"),
+        (F.col("nn") * F.col("sr") - F.col("b") * F.col("rr"))
+        .cast("long").alias("t_num"),
+        F.when(
+            F.expr(
+                "CAST(rr AS DECIMAL(38,0)) * (nn - rr)"
+                " * (CAST(nn AS DECIMAL(38,0)) * a - CAST(b AS"
+                " DECIMAL(38,0)) * b)"
+            )
+            > 0,
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (CAST(nn AS DECIMAL(38,0)) * sr"
+                "    - CAST(b AS DECIMAL(38,0)) * rr)"
+                " * (CAST(nn AS DECIMAL(38,0)) * sr"
+                "    - CAST(b AS DECIMAL(38,0)) * rr)"
+                " * nn)"
+                " div (CAST(rr AS DECIMAL(38,0)) * (nn - rr)"
+                " * (CAST(nn AS DECIMAL(38,0)) * a"
+                "    - CAST(b AS DECIMAL(38,0)) * b)) AS BIGINT)"
+            ),
+        ).alias("z2_micros"),
+    )

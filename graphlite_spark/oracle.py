@@ -14807,3 +14807,37 @@ def lincoln_petersen_reach_sql() -> str:
         "  END AS BIGINT) AS coverage_micros\n"
         "FROM lp_a"
     )
+
+
+def cochran_armitage_trend_sql(positive_type: str = "purchase") -> str:
+    """Mirror of operators.analytics.cochran_armitage_trend: dow
+    scores, BIGINT moments, the cleared-denominator z² on HUGEINT."""
+    return (
+        "WITH ca_s AS MATERIALIZED (\n"
+        "  SELECT CAST((CAST(epoch_us(ts) AS BIGINT) // 86400000000"
+        " + 3) % 7 AS INT) AS s,\n"
+        f"    CASE WHEN event_type = '{positive_type}' THEN 1 ELSE 0"
+        " END AS y\n"
+        "  FROM events),\n"
+        "ca_p AS MATERIALIZED (SELECT s,"
+        " CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(y) AS BIGINT) AS r FROM ca_s GROUP BY s),\n"
+        "ca_m AS (SELECT CAST(sum(n) AS BIGINT) AS nn,\n"
+        "  CAST(sum(r) AS BIGINT) AS rr,\n"
+        "  CAST(sum(n * s) AS BIGINT) AS b,\n"
+        "  CAST(sum(n * s * s) AS BIGINT) AS a,\n"
+        "  CAST(sum(s * r) AS BIGINT) AS sr FROM ca_p)\n"
+        "SELECT nn AS n_total, rr AS n_positive,\n"
+        "  CAST(nn * sr - b * rr AS BIGINT) AS t_num,\n"
+        "  CAST(CASE WHEN CAST(rr AS HUGEINT) * (nn - rr)\n"
+        "      * (CAST(nn AS HUGEINT) * a - CAST(b AS HUGEINT) * b)"
+        " > 0 THEN\n"
+        "    (CAST(1000000 AS HUGEINT)\n"
+        "     * (CAST(nn AS HUGEINT) * sr - CAST(b AS HUGEINT) * rr)\n"
+        "     * (CAST(nn AS HUGEINT) * sr - CAST(b AS HUGEINT) * rr)\n"
+        "     * nn)\n"
+        "    // (CAST(rr AS HUGEINT) * (nn - rr)\n"
+        "        * (CAST(nn AS HUGEINT) * a - CAST(b AS HUGEINT) * b))\n"
+        "  END AS BIGINT) AS z2_micros\n"
+        "FROM ca_m"
+    )
