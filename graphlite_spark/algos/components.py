@@ -52,6 +52,11 @@ class ConnectedComponents(PregelAlgorithm):
     def init_value(self) -> Column:
         return F.col("id")
 
+    def expr_cache_token(self, superstep: int, aggr: dict) -> object:
+        # hooks branch only on superstep == 0 — all O(diameter) steady
+        # supersteps reuse one built expression set (pregel.py contract)
+        return ("ss0",) if superstep == 0 else ("steady",)
+
     def update_value(self, superstep: int, aggr: dict[str, float]) -> Column:
         if superstep == 0:
             return F.col("value")

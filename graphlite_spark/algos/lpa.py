@@ -40,6 +40,12 @@ class LabelPropagation(PregelAlgorithm):
     def init_value(self) -> Column:
         return F.col("id")
 
+    def expr_cache_token(self, superstep: int, aggr: dict) -> object:
+        # update_send bakes ``superstep < iterations`` into a literal, so
+        # the token carries that flag alongside the ss0 branch (pregel.py
+        # expr_cache_token contract)
+        return (superstep == 0, superstep < self.iterations)
+
     def update_value(self, superstep: int, aggr: dict[str, float]) -> Column:
         if superstep == 0:
             return F.col("value")

@@ -54,6 +54,16 @@ class PageRank(PregelAlgorithm):
             return False
         return superstep >= 2 and aggr["sum_delta"] < self.eps
 
+    def expr_cache_token(self, superstep: int, aggr: dict) -> object:
+        # every hook branches only on (superstep == 0, halted) — the whole
+        # PageRank family (Personalized/Trust/Warm/ArgmaxDelta subclasses
+        # included) builds structurally identical Columns within each
+        # branch, so the engine reuses them across the ~O(diameter)
+        # steady supersteps (expr_cache_token contract in pregel.py)
+        if superstep == 0:
+            return ("ss0",)
+        return ("halted",) if self._halted_branch(superstep, aggr) else ("steady",)
+
     def update_value(self, superstep: int, aggr: dict[str, float]) -> Column:
         if superstep == 0:
             return F.lit(1.0)

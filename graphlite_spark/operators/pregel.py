@@ -49,7 +49,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -211,6 +211,27 @@ class PregelAlgorithm:
         """Extra driver-side termination test after each superstep."""
         return False
 
+    # -- expression reuse (driver-overhead optimization) ------------------
+    def expr_cache_token(self, superstep: int, aggr: dict) -> object | None:
+        """Hashable token naming the EXPRESSION SET this superstep uses.
+
+        Building the per-superstep Column trees costs hundreds of
+        Python↔JVM round-trips (~100-150 ms/superstep of pure driver
+        latency, measured); for most vertex programs the expressions are
+        structurally identical across all steady supersteps, so the
+        engine caches the built Columns and reuses them whenever two
+        consecutive supersteps return EQUAL tokens.
+
+        Contract: if ``expr_cache_token(s1, a1) == expr_cache_token(s2,
+        a2) != None`` then every expression hook (``update_value/send/
+        halt``, ``message``, ``aggregators``, ``point_sent_count``) must
+        return structurally identical Columns for (s1, a1) and (s2, a2).
+        In particular a hook that bakes ``superstep`` or an ``aggr``
+        value into a literal must fold that value into the token.
+        Return ``None`` (the default) to disable caching — always safe.
+        """
+        return None
+
 
 class PregelEngine:
     """Runs a :class:`PregelAlgorithm` to convergence.
@@ -261,13 +282,17 @@ class PregelEngine:
         self._hub_ids: DataFrame | None = None
         #: engine-owned persisted frames, released at the end of run()
         self._owned: list[DataFrame] = []
+        #: engine-owned eagerly-localCheckpointed frames; their blocks are
+        #: released via the LogicalRDD handle (unpersist() is a no-op for
+        #: checkpointed frames — they are not in the CacheManager)
+        self._owned_ckpt: list[DataFrame] = []
 
     def _truncate(self, df: DataFrame, superstep: int, aggr: dict[str, float]) -> DataFrame:
         if self.checkpointer is not None:
             return self.checkpointer.save(df, superstep, aggr, self.run_id)
-        # lazy: materializes inside the stats action that follows, so lineage
-        # truncation costs no extra Spark job on the superstep critical path
-        return df.localCheckpoint(eager=False)
+        # eager: this IS the superstep's one action — the observed stats
+        # metrics are delivered by its SQLExecutionEnd (see _run_loop)
+        return df.localCheckpoint(eager=True)
 
     def _scatter(
         self,
@@ -276,6 +301,7 @@ class PregelEngine:
         algo: PregelAlgorithm,
         superstep: int,
         aggr: dict[str, float],
+        cache: dict | None = None,
     ) -> DataFrame:
         """Raw (dst, msg) message rows from the vertices flagged ``send``.
 
@@ -284,6 +310,11 @@ class PregelEngine:
         (much smaller) vertex-state side shuffles.  Subclasses may return
         *partially combined* rows (the CSR kernel does); correctness only
         needs the algorithm's combine to be commutative + associative.
+
+        ``cache``: per-expression-token dict (see
+        :meth:`PregelAlgorithm.expr_cache_token`) holding the built join
+        condition and select-list Columns so steady supersteps skip the
+        Python↔JVM expression-building round-trips.
         """
         sending = state.where("send")
 
@@ -291,11 +322,22 @@ class PregelEngine:
             # distinct aliases per branch: the hub/non-hub frames share
             # lineage with e, which otherwise trips the ambiguous-self-join
             # analyzer check when the two branches are unioned
+            built = None if cache is None else cache.get(tag)
+            if built is None:
+                built = (
+                    F.col(f"s_{tag}.id") == F.col(f"e_{tag}.src"),
+                    [
+                        F.col(f"e_{tag}.dst").alias("dst"),
+                        algo.message(superstep, aggr)
+                        .cast(algo.value_type)
+                        .alias("msg"),
+                    ],
+                )
+                if cache is not None:
+                    cache[tag] = built
+            cond, sel = built
             ed, stt = edges_df.alias(f"e_{tag}"), st.alias(f"s_{tag}")
-            return stt.join(ed, F.col(f"s_{tag}.id") == F.col(f"e_{tag}.src")).select(
-                F.col(f"e_{tag}.dst").alias("dst"),
-                algo.message(superstep, aggr).cast(algo.value_type).alias("msg"),
-            )
+            return stt.join(ed, cond).select(*sel)
 
         if self._hub_edges is None:
             return msg(e, sending, "all")
@@ -329,8 +371,17 @@ class PregelEngine:
             )
             P = max(1, min(max_p, n_e // self.TARGET_EDGES_PER_PARTITION + 1))
             self.num_partitions = P
-        e = e.repartition(P, "src").persist()
-        self._owned.append(e)
+        # eager localCheckpoint instead of persist(): same storage (the
+        # blocks live in MEMORY_AND_DISK either way), same preserved
+        # hash(src, P) partitioning, but the per-superstep plan then
+        # carries a LEAF (LogicalRDD) instead of the caller's full edge
+        # derivation tree (symmetrize/distinct/window lineage down to the
+        # parquet scan) — which Catalyst re-analyzed on EVERY superstep
+        # before cache substitution (~30-40 ms/superstep measured at
+        # sf0.1; grows with the caller's plan).  Blocks are released in
+        # run()'s finally via the LogicalRDD handle.
+        e = e.repartition(P, "src").localCheckpoint(eager=True)
+        self._owned_ckpt.append(e)
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         if self.hub_threshold is not None:
             self._hub_ids = (
@@ -382,9 +433,26 @@ class PregelEngine:
         saved = {
             "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
             "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
+            ),
         }
         try:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
+            # The checkpointed state keeps the optimized plan's tiny
+            # sizeInBytes (LogicalRDD originStats), so Catalyst would pick a
+            # BroadcastHashJoin for the scatter and inbox joins — and each
+            # superstep's plan-to-RDD step then BLOCKS building a broadcast
+            # (collect V-sized state through the driver, ship to every task)
+            # before the superstep job even starts.  Measured via driver
+            # thread dumps: the loop sat in BroadcastExchangeExec
+            # .doExecuteBroadcast most supersteps.  State, edges and inbox
+            # are co-hash-partitioned on the join keys already, so the
+            # shuffle-free SMJ/SHJ path is strictly better — and at 10^12
+            # vertices a per-superstep driver collect is fatal, not slow.
+            # The hub-split scatter's explicit F.broadcast() hint (few hub
+            # states by construction) still forces its broadcast.
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             result = self._run_loop(vertices, edges, algo, resume_from, spark)
         finally:
             for k, v in saved.items():
@@ -397,6 +465,14 @@ class PregelEngine:
             for df in self._owned:
                 df.unpersist()
             self._owned.clear()
+            for df in self._owned_ckpt:
+                try:
+                    df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+                except Exception:
+                    # non-classic backends (Spark Connect): leave the blocks
+                    # to the ContextCleaner when the frame is GC'd
+                    pass
+            self._owned_ckpt.clear()
         return result
 
     def _run_loop(
@@ -436,81 +512,132 @@ class PregelEngine:
         metrics: list[SuperstepMetrics] = []
         converged = False
         superstep = start_step - 1
+        # engine-static Columns, built once per run (each F.* call is a
+        # Python↔JVM round-trip; a superstep used to spend ~600 of them
+        # rebuilding identical expression trees — ~100-150 ms/superstep of
+        # pure driver latency at local scale, measured via cProfile)
+        _inbox_cols = [F.col("dst"), F.col("msg"), F.lit(True).alias("has_msg")]
+        _has_msg_fill = F.coalesce("has_msg", F.lit(False))
+        _null_msg = F.lit(None).cast(algo.value_type)
+        _false = F.lit(False)
+        # per-expression-token cache of the algorithm-dependent Columns
+        # (see PregelAlgorithm.expr_cache_token)
+        _tok_sentinel = object()
+        expr_token: object = _tok_sentinel
+        ex: dict | None = None
         for superstep in range(start_step, algo.max_supersteps):
             t0 = time.perf_counter()
             # the global visible DURING this superstep's compute+send
             # (merged from superstep-1; Worker.cc:729-731 timeline)
             aggr_in = dict(aggr)
             if inbox is None:
-                joined = state.withColumn(
-                    "msg", F.lit(None).cast(algo.value_type)
-                ).withColumn("has_msg", F.lit(False))
+                joined = state.withColumn("msg", _null_msg).withColumn(
+                    "has_msg", _false
+                )
             else:
                 joined = (
                     state.join(
-                        inbox.select(
-                            F.col("dst"), F.col("msg"), F.lit(True).alias("has_msg")
-                        ),
+                        inbox.select(*_inbox_cols),
                         state["id"] == F.col("dst"),
                         "left",
                     )
                     .drop("dst")
-                    .withColumn("has_msg", F.coalesce("has_msg", F.lit(False)))
+                    .withColumn("has_msg", _has_msg_fill)
                 )
 
-            participate = F.col("active") | F.col("has_msg")
-            new_state = joined.select(
-                "id",
-                "out_degree",
-                "has_msg",
-                F.col("value").alias("old_value"),
-                participate.alias("participate"),
-                F.when(participate, algo.update_value(superstep, aggr))
-                .otherwise(F.col("value"))
-                .cast(algo.value_type)
-                .alias("value"),
-                (participate & algo.update_send(superstep, aggr)).alias("send"),
-                (participate & ~algo.update_halt(superstep, aggr)).alias("active"),
-            )
-            new_state = self._truncate(new_state, superstep, aggr)
-
+            token = algo.expr_cache_token(superstep, aggr)
+            if ex is None or token is None or token != expr_token:
+                participate = F.col("active") | F.col("has_msg")
+                aggr_exprs = {
+                    k: (spec if isinstance(spec, tuple) else (spec, F.sum))
+                    for k, spec in algo.aggregators(superstep, aggr).items()
+                }
+                # targeted sends (sendMessageTo) must count toward `sent`
+                # BEFORE the termination test, or act==0 && sent==0 would
+                # end the run with point messages still in flight.  When
+                # the program declares point_sent_count, Σ of it rides the
+                # same observed-metrics set; the message frame itself stays
+                # lazy (it materializes inside the next superstep's
+                # combine, like the edge scatter).
+                pm_cnt_expr = algo.point_sent_count(superstep, aggr_in)
+                ex = {
+                    "select": [
+                        "id",
+                        "out_degree",
+                        "has_msg",
+                        F.col("value").alias("old_value"),
+                        participate.alias("participate"),
+                        F.when(participate, algo.update_value(superstep, aggr))
+                        .otherwise(F.col("value"))
+                        .cast(algo.value_type)
+                        .alias("value"),
+                        (participate & algo.update_send(superstep, aggr)).alias(
+                            "send"
+                        ),
+                        (participate & ~algo.update_halt(superstep, aggr)).alias(
+                            "active"
+                        ),
+                    ],
+                    "aggr_keys": list(aggr_exprs),
+                    "has_psent": pm_cnt_expr is not None,
+                    "obs": [
+                        F.sum(F.col("active").cast("long")).alias("_act"),
+                        F.sum(
+                            F.when(F.col("send"), F.col("out_degree")).otherwise(
+                                F.lit(0)
+                            )
+                        ).alias("_sent"),
+                        *(
+                            [F.sum(pm_cnt_expr.cast("long")).alias("_psent")]
+                            if pm_cnt_expr is not None
+                            else []
+                        ),
+                        *[
+                            merge(c).alias(k)
+                            for k, (c, merge) in aggr_exprs.items()
+                        ],
+                    ],
+                    "msg": {},  # per-tag scatter Columns, filled by _scatter
+                }
+                expr_token = token if token is not None else _tok_sentinel
+            new_state = joined.select(*ex["select"])
             # ---- the superstep barrier: ONE action -----------------------
-            aggr_exprs = {
-                k: (spec if isinstance(spec, tuple) else (spec, F.sum))
-                for k, spec in algo.aggregators(superstep, aggr).items()
-            }
-            # targeted sends (sendMessageTo) must count toward `sent`
-            # BEFORE the termination test, or act==0 && sent==0 would end
-            # the run with point messages still in flight.  When the
-            # program declares point_sent_count, Σ of it rides the same
-            # stats action; the frame itself stays lazy (it materializes
-            # inside the next superstep's combine, like the edge scatter).
+            # The stats (active count, sent count, user aggregators) ride
+            # the state materialization itself as OBSERVED metrics
+            # (``Dataset.observe`` → CollectMetrics, accumulator-based):
+            # the single per-superstep job is the eager lineage truncation,
+            # and the aggregates come back with its SQLExecutionEnd event.
+            # vs the previous separate ``.agg(...).first()`` action this
+            # removes two aggregation stages, one single-partition
+            # exchange and a driver result-collect socket per superstep —
+            # measured ~60-100 ms/superstep in local mode, and one fewer
+            # full pass over the state at cluster scale.
+            obs = Observation()
+            observed = new_state.observe(obs, *ex["obs"])
+            import os as _os
+
+            if _os.environ.get("SPARK_GRAFT_EXPLAIN_SS") == str(superstep):
+                # plan-audit hook (guide §7.2): dump the full per-superstep
+                # physical plan — the one action, whose input subsumes the
+                # previous scatter+combine — for PLANS.md / plans/r*/
+                print(f"=== superstep {superstep} plan ===")
+                observed.explain("formatted")
+            # the checkpointer contract: save() MUST materialize the frame
+            # (run an action over it) before returning — both in-repo
+            # checkpointers do (eager localCheckpoint / parquet write) —
+            # which is what delivers the observed metrics read next.
+            new_state = self._truncate(observed, superstep, aggr)
             pm = algo.point_messages(new_state, superstep, aggr_in)
-            pm_cnt_expr = (
-                algo.point_sent_count(superstep, aggr_in) if pm is not None else None
-            )
-            psent_agg = (
-                [F.sum(pm_cnt_expr.cast("long")).alias("_psent")]
-                if pm_cnt_expr is not None
-                else []
-            )
-            stats_row = new_state.agg(
-                F.sum(F.col("active").cast("long")).alias("_act"),
-                F.sum(F.when(F.col("send"), F.col("out_degree")).otherwise(F.lit(0))).alias(
-                    "_sent"
-                ),
-                *psent_agg,
-                *[merge(c).alias(k) for k, (c, merge) in aggr_exprs.items()],
-            ).first()
+            stats_row = obs.get
             active_cnt = int(stats_row["_act"] or 0)
             sent_cnt = int(stats_row["_sent"] or 0)
-            aggr = {k: _coerce_aggr(stats_row[k]) for k in aggr_exprs}
+            aggr = {k: _coerce_aggr(stats_row[k]) for k in ex["aggr_keys"]}
             if pm is not None:
                 pm = pm.select(
                     F.col("dst").cast("long").alias("dst"),
                     F.col("msg").cast(algo.value_type).alias("msg"),
                 )
-                if pm_cnt_expr is not None:
+                if ex["has_psent"]:
                     # no checkpoint needed: pm's lineage is one projection
                     # over the already-truncated new_state, so it stays a
                     # pure lazy plan consumed inside the next superstep's
@@ -553,7 +680,9 @@ class PregelEngine:
             # ---- scatter (lazy — runs inside next superstep's jobs) ------
             # messages are part of superstep S's compute: they see aggr_in,
             # not the aggregates S itself produced
-            msgs = self._scatter(new_state, e, algo, superstep, aggr_in)
+            msgs = self._scatter(
+                new_state, e, algo, superstep, aggr_in, cache=ex["msg"]
+            )
             if pm is not None:
                 msgs = msgs.unionByName(pm)
             inbox = algo.combine(msgs)
