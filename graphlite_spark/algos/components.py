@@ -111,22 +111,47 @@ def connected_components_fast(
     monotone, so the change count is computed from columns already in the
     round's plan — no extra comparison join.
     """
+    from pyspark.sql import Observation
+
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     spark = edges.sparkSession
     und = edges if already_undirected else symmetrize(edges)
-    P = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    P = num_partitions
+    if P is None:
+        # scale-adaptive width (PregelEngine.prepare rule): ~100k edges
+        # per partition, capped at the session's shuffle parallelism —
+        # a fixed session-wide width schedules 32 near-empty tasks per
+        # stage on small graphs (measured: the per-round cost is stage
+        # scheduling, not compute), while the cap keeps cluster-scale
+        # graphs at cluster-scale parallelism.  The undirected closure
+        # has at most 2|E| arcs, so the raw edge count is the estimator
+        # (one count action; callers pass cached or parquet frames).
+        max_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        P = max(1, min(max_p, 2 * edges.count() // 100_000 + 1))
     saved = {
         "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
         "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
     }
-    # partition by src: the per-round relax join keys on e.src, so the
-    # cached layout is reused every round — only the (smaller) label
-    # frame shuffles; partitioning by anything else would re-shuffle the
-    # full edge table once per round
-    e = und.select("src", "dst").repartition(P, "src").persist()
+    # partition by src + eager localCheckpoint (not persist): the per-round
+    # relax join keys on e.src so the layout is reused every round, and the
+    # leaf LogicalRDD plan keeps Catalyst from re-analyzing the whole
+    # symmetrize/distinct tree each round (engine-wide discipline, see
+    # PregelEngine.prepare); blocks released in the finally.
+    e = und.select("src", "dst").repartition(P, "src").localCheckpoint(eager=True)
     a = vertices.select(F.col("id"), F.col("id").alias("comp"))
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", str(P))
+        # the label frame's checkpoint stats are tiny, so Catalyst would
+        # broadcast it into both per-round joins — each round's planning
+        # then BLOCKS building a driver-side broadcast of the V-sized
+        # label table (the Pregel-loop finding, measured via thread
+        # dumps); at 10^12 vertices that plan is fatal, not slow
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         for _ in range(max_rounds):
             # relax: comp'(v) = min(comp(v), min over incoming neighbors)
             nbr = (
@@ -147,20 +172,26 @@ def connected_components_fast(
             lab = b.select(
                 F.col("id").alias("lid"), F.col("relaxed").alias("lcomp")
             )
+            # the change count rides the round's materialization as an
+            # observed metric — no separate .agg().first() action/stages
+            obs = Observation()
             nxt = truncate_plan(
                 b.join(lab, b["relaxed"] == lab["lid"])
                 .select("id", "old", F.col("lcomp").alias("comp"))
+                .observe(
+                    obs,
+                    F.sum((F.col("comp") != F.col("old")).cast("long")).alias("n"),
+                ),
+                eager=True,
             )
-            changed = nxt.agg(
-                F.sum((F.col("comp") != F.col("old")).cast("long")).alias("n")
-            ).first()["n"]
+            changed = obs.get["n"]
             a = nxt.select("id", "comp")
             if not changed:
                 break
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
-        e.unpersist()
+        release_local_checkpoint(e)
     return a.select("id", F.col("comp").alias("component"))
 
 

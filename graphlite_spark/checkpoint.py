@@ -87,6 +87,21 @@ def truncate_plan(df: DataFrame, eager: bool = False) -> DataFrame:
         return df.localCheckpoint(eager=eager)
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the blocks of an eagerly ``localCheckpoint``-ed DataFrame.
+
+    ``unpersist()`` is a no-op for checkpointed frames (they are not in
+    the CacheManager); the storage is reachable through the analyzed
+    ``LogicalRDD``'s RDD handle.  After release the frame is NOT usable
+    (checkpoint blocks cannot be recomputed) — call only when every
+    consumer has been materialized.  Falls back to leaving the blocks to
+    the ContextCleaner on non-classic backends (Spark Connect)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 class LocalCheckpointer:
     """Lineage truncation only (no durability) — the default."""
 

@@ -465,13 +465,10 @@ class PregelEngine:
             for df in self._owned:
                 df.unpersist()
             self._owned.clear()
+            from graphlite_spark.checkpoint import release_local_checkpoint
+
             for df in self._owned_ckpt:
-                try:
-                    df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-                except Exception:
-                    # non-classic backends (Spark Connect): leave the blocks
-                    # to the ContextCleaner when the frame is GC'd
-                    pass
+                release_local_checkpoint(df)
             self._owned_ckpt.clear()
         return result
 
