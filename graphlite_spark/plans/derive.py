@@ -117,15 +117,90 @@ def assign_dense_ids(
     return out
 
 
+def _exclusive_conv_offsets(cnts: DataFrame, key: str = "conv_id") -> DataFrame:
+    """(key, _off) — exclusive prefix sum of ``_n`` in ``key`` order,
+    fully distributed (the weighted analogue of :func:`assign_dense_ids`):
+    a range shuffle of the per-key counts fixes the key order across P
+    partitions, a per-partition window computes local running sums, and a
+    P-row driver collect supplies the exclusive partition offsets.  The
+    input is per-KEY (one row per conversation), so this runs on a table
+    ~avg_turns× smaller than the turn table; the result is eagerly
+    checkpointed (it is joined back twice-removed and the range-sample
+    boundaries and partition ids must not be re-drawn on recompute)."""
+    spark = cnts.sparkSession
+    P = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # checkpoint the per-key counts FIRST: they are key-cardinality-sized
+    # but computing them costs a full pass over the turn table, and the
+    # range shuffle below would otherwise pay that pass twice more (once
+    # for boundary sampling, once for the exchange itself)
+    cnts = cnts.localCheckpoint(eager=True)
+    part = (
+        cnts.repartitionByRange(P, key)
+        .sortWithinPartitions(key)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        int(r["_pid"]): int(r["_t"])
+        for r in part.groupBy("_pid").agg(F.sum("_n").alias("_t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    offs = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _poff long")
+    wcum = (
+        Window.partitionBy("_pid")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        part.join(F.broadcast(offs), "_pid")
+        .select(
+            key,
+            (F.col("_poff") + F.sum("_n").over(wcum) - F.col("_n"))
+            .cast("long")
+            .alias("_off"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    part.unpersist()
+    return out
+
+
 def derive_vertices(transcripts: DataFrame) -> DataFrame:
     """(id, conv_id, turn_idx, text) — dense ids over (conv_id, turn_idx).
 
     Keeps ``text`` so the per-row invariant (per-turn text equality under
     stable turn ordering) is checkable after derivation.
+
+    The id is the global rank of (conv_id, turn_idx), computed as
+    ``offset(conv_id) + rank_within_conversation``: a per-conversation
+    window ranks turns (ONE hash shuffle on conv_id — the same
+    partitioning the edge derivation needs), and the conversation offsets
+    are an exclusive prefix sum over the per-conversation COUNTS — a
+    table ~avg_turns× smaller than the turn table.  Equivalent to the
+    previous ``assign_dense_ids`` formulation (global rank is identical)
+    but without range-sampling, persisting, and eagerly checkpointing the
+    full turn table: the turn-level output is deterministic, so no freeze
+    is needed at all (measured 8.3 s -> ~2 s for sf0.1
+    ``derive_vertices``+count).
     """
     t = transcripts.select("conv_id", "turn_idx", "text")
-    return assign_dense_ids(t, ["conv_id", "turn_idx"]).select(
-        "id", "conv_id", "turn_idx", "text"
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ranked = t.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        (F.row_number().over(w) - 1).cast("long").alias("_r"),
+    )
+    cnts = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
+    offs = _exclusive_conv_offsets(cnts)
+    return ranked.join(offs, "conv_id").select(
+        (F.col("_off") + F.col("_r")).cast("long").alias("id"),
+        "conv_id",
+        "turn_idx",
+        "text",
     )
 
 
