@@ -35,8 +35,22 @@ def _undirected(edges: DataFrame) -> DataFrame:
     )
 
 
-def _oriented(edges: DataFrame, orient: str) -> DataFrame:
-    und = _undirected(edges)
+def _oriented(edges: DataFrame, orient: str, und: DataFrame | None = None) -> DataFrame:
+    """(a, b[, da, db]) oriented arcs, materialized as a LEAF.
+
+    The wedge family references the oriented arc table (and the
+    undirected closure feeding it) three or more times per query; left
+    lazy, Catalyst re-plans the whole upstream tree at every reference —
+    the sf0.1 triangle plan carried **570 Exchange nodes** (the derive
+    lineage replicated ~18×) and planning dominated the query.  An eager
+    ``localCheckpoint`` of the closure and of the oriented output turns
+    every reference into a LogicalRDD leaf: one distinct pass + one
+    orientation join, then an ~E-row cached table (the same
+    materialization a cluster run wants — the closure is reused by every
+    leg of the wedge join).  Callers that already hold the checkpointed
+    closure pass it via ``und`` to avoid a second materialization."""
+    if und is None:
+        und = _undirected(edges).localCheckpoint(eager=True)
     if orient == "id":
         return und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     if orient != "degree":
@@ -59,12 +73,20 @@ def _oriented(edges: DataFrame, orient: str) -> DataFrame:
         F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("b"),
         F.when(lo_first, F.col("dlo")).otherwise(F.col("dhi")).alias("da"),
         F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("db"),
-    )
+    ).localCheckpoint(eager=True)
 
 
-def _triangle_rows(edges: DataFrame, orient: str) -> DataFrame:
-    """One row (x, y, z) per triangle."""
-    o = _oriented(edges, orient)
+def _triangle_rows(
+    edges: DataFrame,
+    orient: str,
+    o: DataFrame | None = None,
+    und: DataFrame | None = None,
+) -> DataFrame:
+    """One row (x, y, z) per triangle.  ``o``/``und``: pre-materialized
+    oriented arcs / undirected closure (see :func:`_oriented`) for
+    callers that also use them directly."""
+    if o is None:
+        o = _oriented(edges, orient, und=und)
     if orient == "id":
         e1 = o.select(F.col("a"), F.col("b").alias("x"))
         e2 = o.select(F.col("a"), F.col("b").alias("y"))
@@ -286,10 +308,10 @@ def rectangle_count(edges: DataFrame) -> DataFrame:
     (arboricity-bounded), the same hub-safe shape as the degree-oriented
     triangle path.  A 10^5-degree hub h is the u side only for neighbors
     ranked above h (few), never deg(h)² wedges.  All integer-exact."""
-    und = _undirected(edges)
+    und = _undirected(edges).localCheckpoint(eager=True)
     # o: (a, b, da, db) with a ≺ b under (degree, id) — reuse the triangle
-    # path's orientation machinery.
-    o = _oriented(edges, "degree")
+    # path's orientation machinery (shares the materialized closure).
+    o = _oriented(edges, "degree", und=und)
     # one leg: v (=b, the anchor) -- u (=a, ranked below v), carrying v's
     # degree for the w ≺ v comparison
     anchor = o.select(
@@ -550,8 +572,9 @@ def four_clique_count(
     wedge-family rule `test_plan_guards` pins).  Three equi-joins past
     the triangle rows: extensions from v3, then two hash semi-checks
     against the oriented arc table."""
-    tri = _triangle_rows(edges, orient)
-    o = _oriented(edges, orient).select("a", "b")
+    o = _oriented(edges, orient)
+    tri = _triangle_rows(edges, orient, o=o)
+    o = o.select("a", "b")
     ext = tri.join(
         o.select(F.col("a").alias("v3"), F.col("b").alias("d")), "v3"
     )

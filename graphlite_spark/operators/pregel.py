@@ -360,17 +360,6 @@ class PregelEngine:
         """
         e = edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
         P = self.num_partitions
-        if P is None:
-            # auto-size: ~TARGET_EDGES_PER_PARTITION edges per partition,
-            # capped at the session's shuffle parallelism.  At 100 TB the
-            # same rule gives P ≈ E / 5M; here it keeps tiny graphs from
-            # paying 32 partitions of per-task overhead every superstep.
-            n_e = e.count()
-            max_p = int(
-                edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-            )
-            P = max(1, min(max_p, n_e // self.TARGET_EDGES_PER_PARTITION + 1))
-            self.num_partitions = P
         # eager localCheckpoint instead of persist(): same storage (the
         # blocks live in MEMORY_AND_DISK either way), same preserved
         # hash(src, P) partitioning, but the per-superstep plan then
@@ -380,7 +369,28 @@ class PregelEngine:
         # before cache substitution (~30-40 ms/superstep measured at
         # sf0.1; grows with the caller's plan).  Blocks are released in
         # run()'s finally via the LogicalRDD handle.
-        e = e.repartition(P, "src").localCheckpoint(eager=True)
+        if P is None:
+            # auto-size: ~TARGET_EDGES_PER_PARTITION edges per partition,
+            # capped at the session's shuffle parallelism.  At 100 TB the
+            # same rule gives P ≈ E / 5M; here it keeps tiny graphs from
+            # paying 32 partitions of per-task overhead every superstep.
+            # Stage the checkpoint BEFORE counting: a bare e.count() would
+            # execute the caller's whole edge tree (symmetrize/distinct is
+            # a full shuffle) once for the count and once more for the
+            # checkpoint — counting the staged blocks is a cheap scan.
+            staged = e.localCheckpoint(eager=True)
+            n_e = staged.count()
+            max_p = int(
+                edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+            P = max(1, min(max_p, n_e // self.TARGET_EDGES_PER_PARTITION + 1))
+            self.num_partitions = P
+            e = staged.repartition(P, "src").localCheckpoint(eager=True)
+            from graphlite_spark.checkpoint import release_local_checkpoint
+
+            release_local_checkpoint(staged)
+        else:
+            e = e.repartition(P, "src").localCheckpoint(eager=True)
         self._owned_ckpt.append(e)
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         if self.hub_threshold is not None:

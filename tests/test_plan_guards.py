@@ -402,13 +402,13 @@ def test_wedge_family_degree_oriented(spark, monkeypatch):
     seen: list[tuple[str, str]] = []
     orig_rows, orig_oriented = T._triangle_rows, T._oriented
 
-    def spy_rows(edges, orient):
+    def spy_rows(edges, orient, **kw):
         seen.append(("rows", orient))
-        return orig_rows(edges, orient)
+        return orig_rows(edges, orient, **kw)
 
-    def spy_oriented(edges, orient):
+    def spy_oriented(edges, orient, **kw):
         seen.append(("oriented", orient))
-        return orig_oriented(edges, orient)
+        return orig_oriented(edges, orient, **kw)
 
     monkeypatch.setattr(T, "_triangle_rows", spy_rows)
     monkeypatch.setattr(T, "_oriented", spy_oriented)
