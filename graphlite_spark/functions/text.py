@@ -23,20 +23,43 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
 LANG_EN_THRESHOLD = 0.05
 
 
+def let_expr(value: Column, body) -> Column:
+    """let-binding for Columns: evaluate ``value`` ONCE per row, reference
+    it any number of times inside ``body``.
+
+    A pyspark Column reference INLINES its whole expression tree at every
+    use site, and higher-order-function lambdas get no subexpression
+    elimination — so an expression that reads e.g. the token array k
+    times re-tokenizes k times per row (measured 3-4× slowdowns on the
+    dedup shingle pass).  ``element_at(transform(array(x), v -> body(v)),
+    1)`` binds x to the lambda variable v exactly once; every reference
+    to v inside ``body`` is a cheap variable read.  Result values are
+    identical (same expression semantics, same nullability)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def tokens_expr(text: Column | str = "text") -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
 
 
 def shingles_expr(tokens: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (space-joined), empty array when < n tokens."""
-    idx = F.sequence(F.lit(0), F.size(tokens) - n)
-    make = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tokens, i + k + 1) for k in range(n)]
-    )
-    return F.when(F.size(tokens) >= n, F.transform(idx, make)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Word n-gram shingles (space-joined), empty array when < n tokens.
+
+    let-bound internally: the input array is evaluated once per row even
+    when callers pass an unstaged ``tokens_expr(...)`` (the lambda reads
+    it ``n``+2 times)."""
+
+    def body(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        make = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+        )
+        return F.when(F.size(toks) >= n, F.transform(idx, make)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let_expr(tokens, body)
 
 
 def _stop_count(tokens: Column) -> Column:
@@ -45,30 +68,52 @@ def _stop_count(tokens: Column) -> Column:
 
 
 def lang_id_expr(tokens: Column) -> Column:
-    """'en' when stopword ratio >= threshold, else 'und'."""
-    ratio = _stop_count(tokens) / F.greatest(F.size(tokens), F.lit(1))
-    return F.when(ratio >= F.lit(LANG_EN_THRESHOLD), F.lit("en")).otherwise(F.lit("und"))
+    """'en' when stopword ratio >= threshold, else 'und' (tokens
+    evaluated once — let-bound)."""
+
+    def body(toks: Column) -> Column:
+        ratio = _stop_count(toks) / F.greatest(F.size(toks), F.lit(1))
+        return F.when(
+            ratio >= F.lit(LANG_EN_THRESHOLD), F.lit("en")
+        ).otherwise(F.lit("und"))
+
+    return let_expr(tokens, body)
 
 
 def quality_exprs(tokens: Column) -> dict[str, Column]:
-    """Deterministic quality features + a blended score in [0, ~1.5]."""
-    n = F.size(tokens)
-    n_safe = F.greatest(n, F.lit(1))
-    stop_ratio = _stop_count(tokens) / n_safe
-    mean_len = F.aggregate(
-        tokens, F.lit(0.0), lambda acc, t: acc + F.length(t)
-    ) / n_safe
-    score = (
-        F.lit(0.2)
-        + F.lit(1.5) * stop_ratio
-        + F.lit(0.02) * mean_len
-        + F.lit(0.1) * F.log1p(n.cast("double"))
-    )
+    """Deterministic quality features + a blended score in [0, ~1.5].
+
+    Each returned column let-binds the token array, so an unstaged
+    ``tokens_expr(...)`` argument is tokenized once per output column
+    (4×/row) instead of once per internal reference (~10×/row); staging
+    the tokens at the call site is still the cheapest form."""
+
+    def mk(field):
+        def body(toks: Column) -> Column:
+            n = F.size(toks)
+            n_safe = F.greatest(n, F.lit(1))
+            stop_ratio = _stop_count(toks) / n_safe
+            mean_len = F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+            ) / n_safe
+            score = (
+                F.lit(0.2)
+                + F.lit(1.5) * stop_ratio
+                + F.lit(0.02) * mean_len
+                + F.lit(0.1) * F.log1p(n.cast("double"))
+            )
+            return {
+                "n_tokens": n.cast("long"),
+                "stop_ratio": F.round(stop_ratio, 6),
+                "mean_token_len": F.round(mean_len, 6),
+                "quality": F.round(score, 6),
+            }[field]
+
+        return let_expr(tokens, body)
+
     return {
-        "n_tokens": n.cast("long"),
-        "stop_ratio": F.round(stop_ratio, 6),
-        "mean_token_len": F.round(mean_len, 6),
-        "quality": F.round(score, 6),
+        k: mk(k)
+        for k in ("n_tokens", "stop_ratio", "mean_token_len", "quality")
     }
 
 
@@ -81,26 +126,11 @@ def repetition_exprs(tokens: Column, n: int = 2) -> dict[str, Column]:
 
     Pure per-row expressions — no shuffle, no join, no UDF: the operator
     is embarrassingly parallel at any corpus size.  The max-token-count
-    scan is O(distinct × len) per document, bounded by document length."""
+    scan is O(distinct × len) per document, bounded by document length.
+    Each returned column let-binds the token array (evaluated once per
+    column even from an unstaged ``tokens_expr``)."""
     sep = "\x1f"
-    n_tok = F.size(tokens)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        sep, *[F.element_at(tokens, i + j) for j in range(n)]
-    )
-    grams = F.when(
-        n_tok >= n, F.transform(F.sequence(F.lit(1), n_tok - (n - 1)), gram)
-    ).otherwise(F.array().cast("array<string>"))
-    n_grams = F.size(grams)
-    n_dup = n_grams - F.size(F.array_distinct(grams))
-    top_cnt = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(tokens),
-                lambda u: F.size(F.filter(tokens, lambda x: x == u)),
-            )
-        ),
-        F.lit(0),
-    )
+
     def micros(num: Column, den: Column) -> Column:
         # exact truncating division on BIGINTs: subtract the remainder
         # first so the one float division is between exact multiples
@@ -109,12 +139,46 @@ def repetition_exprs(tokens: Column, n: int = 2) -> dict[str, Column]:
             ((num1m - num1m % den) / den).cast("long")
         )
 
+    def mk(field):
+        def body(toks: Column) -> Column:
+            n_tok = F.size(toks)
+            gram = lambda i: F.concat_ws(  # noqa: E731
+                sep, *[F.element_at(toks, i + j) for j in range(n)]
+            )
+            grams = F.when(
+                n_tok >= n,
+                F.transform(F.sequence(F.lit(1), n_tok - (n - 1)), gram),
+            ).otherwise(F.array().cast("array<string>"))
+            n_grams = F.size(grams)
+            n_dup = n_grams - F.size(F.array_distinct(grams))
+            top_cnt = F.coalesce(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(toks),
+                        lambda u: F.size(F.filter(toks, lambda x: x == u)),
+                    )
+                ),
+                F.lit(0),
+            )
+            return {
+                "n_tokens": n_tok.cast("long"),
+                "n_grams": n_grams.cast("long"),
+                "n_dup_grams": n_dup.cast("long"),
+                "dup_gram_micros": micros(n_dup, n_grams),
+                "top_token_micros": micros(top_cnt, n_tok),
+            }[field]
+
+        return let_expr(tokens, body)
+
     return {
-        "n_tokens": n_tok.cast("long"),
-        "n_grams": n_grams.cast("long"),
-        "n_dup_grams": n_dup.cast("long"),
-        "dup_gram_micros": micros(n_dup, n_grams),
-        "top_token_micros": micros(top_cnt, n_tok),
+        k: mk(k)
+        for k in (
+            "n_tokens",
+            "n_grams",
+            "n_dup_grams",
+            "dup_gram_micros",
+            "top_token_micros",
+        )
     }
 
 
@@ -149,24 +213,29 @@ def window_langs_expr(tokens: Column, window: int = 16) -> Column:
     """Array of per-window lang-ids over non-overlapping ``window``-token
     chunks (same stopword-ratio rule as :func:`lang_id_expr`, applied
     per chunk) — the building block for code-switch / mixed-language
-    detection.  NOTE: materialize ``tokens`` as its own projection
-    before calling (Column reuse inlines trees — see CLAUDE.md)."""
+    detection.  let-bound internally: the token array is evaluated once
+    per row even from an unstaged ``tokens_expr`` (the per-window slice
+    otherwise re-tokenized once per window)."""
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
-    n = F.size(tokens)
-    n_win = F.ceil(n / F.lit(window)).cast("int")
 
-    def one(i):
-        win = F.slice(tokens, (i - 1) * window + 1, F.lit(window))
-        ratio = F.size(
-            F.filter(win, lambda t: F.array_contains(stop, t))
-        ) / F.greatest(F.size(win), F.lit(1))
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        n_win = F.ceil(n / F.lit(window)).cast("int")
+
+        def one(i):
+            win = F.slice(toks, (i - 1) * window + 1, F.lit(window))
+            ratio = F.size(
+                F.filter(win, lambda t: F.array_contains(stop, t))
+            ) / F.greatest(F.size(win), F.lit(1))
+            return F.when(
+                ratio >= F.lit(LANG_EN_THRESHOLD), F.lit("en")
+            ).otherwise(F.lit("und"))
+
         return F.when(
-            ratio >= F.lit(LANG_EN_THRESHOLD), F.lit("en")
-        ).otherwise(F.lit("und"))
+            n >= 1, F.transform(F.sequence(F.lit(1), n_win), one)
+        ).otherwise(F.array().cast("array<string>"))
 
-    return F.when(
-        n >= 1, F.transform(F.sequence(F.lit(1), n_win), one)
-    ).otherwise(F.array().cast("array<string>"))
+    return let_expr(tokens, body)
 
 
 def flesch_exprs(
