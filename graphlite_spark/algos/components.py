@@ -285,9 +285,17 @@ def k_core(
     filtering) + one map-side-combined degree count; survivors only ever
     shrink, so round cost is monotonically decreasing.
     """
+    from pyspark.sql import Observation
+
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     spark = edges.sparkSession
     und = edges if already_undirected else symmetrize(edges)
-    e0 = und.select("src", "dst").persist()
+    # leaf plan for the loop (engine-wide discipline — see
+    # PregelEngine.prepare): rounds stop re-analyzing the symmetrize/
+    # distinct lineage, and the per-round degree shuffle width follows
+    # the data instead of the session default
+    e0 = und.select("src", "dst").localCheckpoint(eager=True)
     alive = vertices.select("id")
     prev_n = alive.count()
     # iterative-loop discipline (same as the Pregel engine): AQE re-plans
@@ -299,27 +307,36 @@ def k_core(
     }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        P = max(1, min(
+            int(saved["spark.sql.shuffle.partitions"] or 32),
+            e0.count() // 100_000 + 1,
+        ))
+        spark.conf.set("spark.sql.shuffle.partitions", str(P))
         for _ in range(max_rounds):
             ea = e0.join(
                 alive.select(F.col("id").alias("src")), "src", "left_semi"
             ).join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
             deg = ea.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+            # the survivor count rides the round's materialization as an
+            # observed metric — no separate count() action/stages
+            obs = Observation()
             alive = (
                 alive.join(
                     deg.where(F.col("c") >= k).select(F.col("src").alias("id")),
                     "id",
                     "left_semi",
                 )
-                .localCheckpoint(eager=False)
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
             )
-            n = alive.count()
+            n = int(obs.get["n"] or 0)
             if n == prev_n:
                 break
             prev_n = n
     finally:
         for k_, v_ in saved.items():
             spark.conf.set(k_, v_)
-        e0.unpersist()
+        release_local_checkpoint(e0)
     core = alive.select(F.col("id").alias("cid"))
     return vertices.select("id").join(
         core, vertices["id"] == core["cid"], "left"
@@ -348,16 +365,28 @@ def coreness(
     per-round shape is k_core's two semi-joins + one map-side-combined
     degree count on the surviving subgraph.
     """
+    from pyspark.sql import Observation
+
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     spark = edges.sparkSession
     und = edges if already_undirected else symmetrize(edges)
-    e0 = und.select("src", "dst").persist()
+    # leaf plan + observed survivor counts + data-sized shuffle width —
+    # the k_core loop discipline (see k_core above)
+    e0 = und.select("src", "dst").localCheckpoint(eager=True)
     out = vertices.select("id", F.lit(0).cast("long").alias("coreness"))
     alive = vertices.select("id")
     saved = {
         "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
     }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        P = max(1, min(
+            int(saved["spark.sql.shuffle.partitions"] or 32),
+            e0.count() // 100_000 + 1,
+        ))
+        spark.conf.set("spark.sql.shuffle.partitions", str(P))
         for k in range(1, max_k + 1):
             prev_n = alive.count()
             if prev_n == 0:
@@ -367,15 +396,17 @@ def coreness(
                     alive.select(F.col("id").alias("src")), "src", "left_semi"
                 ).join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
                 deg = ea.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+                obs = Observation()
                 alive = (
                     alive.join(
                         deg.where(F.col("c") >= k).select(F.col("src").alias("id")),
                         "id",
                         "left_semi",
                     )
-                    .localCheckpoint(eager=False)
+                    .observe(obs, F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint(eager=True)
                 )
-                n = alive.count()
+                n = int(obs.get["n"] or 0)
                 if n == prev_n:
                     break
                 prev_n = n
@@ -396,7 +427,7 @@ def coreness(
     finally:
         for k_, v_ in saved.items():
             spark.conf.set(k_, v_)
-        e0.unpersist()
+        release_local_checkpoint(e0)
     return out
 
 
@@ -627,9 +658,15 @@ def peel_layer_histogram(
     per round on shrinking survivors); per round ONE count action —
     the histogram is round-count-sized driver state (the kmeans
     codebook precedent), never a per-vertex collect."""
+    from pyspark.sql import Observation
+
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     spark = edges.sparkSession
     und = symmetrize(edges)
-    e0 = und.select("src", "dst").persist()
+    # leaf plan + observed survivor counts + data-sized shuffle width —
+    # the k_core loop discipline (see k_core)
+    e0 = und.select("src", "dst").localCheckpoint(eager=True)
     alive = vertices.select("id")
     prev_n = alive.count()
     rows: list[tuple[int, int]] = []
@@ -637,9 +674,17 @@ def peel_layer_histogram(
         "spark.sql.adaptive.enabled": spark.conf.get(
             "spark.sql.adaptive.enabled"
         ),
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
     }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        P = max(1, min(
+            int(saved["spark.sql.shuffle.partitions"] or 32),
+            e0.count() // 100_000 + 1,
+        ))
+        spark.conf.set("spark.sql.shuffle.partitions", str(P))
         for r in range(1, max_rounds + 1):
             ea = e0.join(
                 alive.select(F.col("id").alias("src")), "src", "left_semi"
@@ -647,6 +692,7 @@ def peel_layer_histogram(
                 alive.select(F.col("id").alias("dst")), "dst", "left_semi"
             )
             deg = ea.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+            obs = Observation()
             alive = (
                 alive.join(
                     deg.where(F.col("c") >= k).select(
@@ -655,9 +701,10 @@ def peel_layer_histogram(
                     "id",
                     "left_semi",
                 )
-                .localCheckpoint(eager=False)
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
             )
-            n = alive.count()
+            n = int(obs.get["n"] or 0)
             if prev_n - n > 0:
                 rows.append((r, prev_n - n))
             if n == prev_n:
@@ -666,7 +713,7 @@ def peel_layer_histogram(
     finally:
         for k_, v_ in saved.items():
             spark.conf.set(k_, v_)
-        e0.unpersist()
+        release_local_checkpoint(e0)
     if prev_n > 0:
         rows.append((0, prev_n))
     return spark.createDataFrame(

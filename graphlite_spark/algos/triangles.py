@@ -253,8 +253,10 @@ def k_truss(
     """
     if k < 3:
         raise ValueError("k-truss requires k >= 3 (k=2 is the whole graph)")
+    from pyspark.sql import Observation
+
     spark = edges.sparkSession
-    base = _undirected(edges).localCheckpoint(eager=False)
+    base = _undirected(edges).localCheckpoint(eager=True)
     alive = base
     prev_n = alive.count()
     saved = spark.conf.get("spark.sql.adaptive.enabled")
@@ -265,15 +267,19 @@ def k_truss(
                 alive.select(F.col("lo").alias("src"), F.col("hi").alias("dst")),
                 orient,
             )
+            # survivor count rides the round's materialization (observed
+            # metric) — no separate count() action per round
+            obs = Observation()
             alive = (
                 alive.join(
                     sup.where(F.col("support") >= k - 2).select("lo", "hi"),
                     ["lo", "hi"],
                     "left_semi",
                 )
-                .localCheckpoint(eager=False)
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
             )
-            n = alive.count()
+            n = int(obs.get["n"] or 0)
             if n == prev_n:
                 break
             prev_n = n
