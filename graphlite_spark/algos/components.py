@@ -141,7 +141,15 @@ def connected_components_fast(
     # leaf LogicalRDD plan keeps Catalyst from re-analyzing the whole
     # symmetrize/distinct tree each round (engine-wide discipline, see
     # PregelEngine.prepare); blocks released in the finally.
-    e = und.select("src", "dst").repartition(P, "src").localCheckpoint(eager=True)
+    # sortWithinPartitions: the checkpoint leaf keeps the sort order, so
+    # the per-round relax SMJ stops re-sorting the immutable edge table
+    # (same plan finding as PregelEngine.prepare)
+    e = (
+        und.select("src", "dst")
+        .repartition(P, "src")
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
     a = vertices.select(F.col("id"), F.col("id").alias("comp"))
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -385,12 +385,29 @@ class PregelEngine:
             )
             P = max(1, min(max_p, n_e // self.TARGET_EDGES_PER_PARTITION + 1))
             self.num_partitions = P
-            e = staged.repartition(P, "src").localCheckpoint(eager=True)
+            # sortWithinPartitions("src"): the checkpointed LogicalRDD
+            # preserves outputOrdering as well as partitioning, so the
+            # per-superstep scatter SMJ stops re-sorting the IMMUTABLE
+            # edge table every superstep (plan audit: a Sort node over
+            # the full edge scan inside every superstep's stage; the
+            # state side already rides sorted out of the previous
+            # superstep's join).  One sort at prepare time, zero per
+            # superstep — at 100 TB that is an O(E log E) per-superstep
+            # term gone.
+            e = (
+                staged.repartition(P, "src")
+                .sortWithinPartitions("src")
+                .localCheckpoint(eager=True)
+            )
             from graphlite_spark.checkpoint import release_local_checkpoint
 
             release_local_checkpoint(staged)
         else:
-            e = e.repartition(P, "src").localCheckpoint(eager=True)
+            e = (
+                e.repartition(P, "src")
+                .sortWithinPartitions("src")
+                .localCheckpoint(eager=True)
+            )
         self._owned_ckpt.append(e)
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
         if self.hub_threshold is not None:
@@ -519,6 +536,17 @@ class PregelEngine:
         metrics: list[SuperstepMetrics] = []
         converged = False
         superstep = start_step - 1
+        # handle on the PREVIOUS superstep's checkpointed state: once the
+        # current superstep's one action has materialized the new state,
+        # nothing can re-read the old blocks (the new frame is a leaf),
+        # so they are released eagerly instead of waiting for the
+        # ContextCleaner's GC-driven sweep — measured: the sweep arrives
+        # in bursts that stall whole superstep windows (~4x wall for 5-8
+        # consecutive supersteps), and at 10^12 vertices the un-released
+        # backlog is V-sized per superstep, which is fatal long before
+        # GC fires.  Only frames THIS loop created are released (never a
+        # caller's resume_from frame), and never the final state.
+        prev_owned: DataFrame | None = None
         # engine-static Columns, built once per run (each F.* call is a
         # Python↔JVM round-trip; a superstep used to spend ~600 of them
         # rebuilding identical expression trees — ~100-150 ms/superstep of
@@ -634,6 +662,11 @@ class PregelEngine:
             # checkpointers do (eager localCheckpoint / parquet write) —
             # which is what delivers the observed metrics read next.
             new_state = self._truncate(observed, superstep, aggr)
+            if prev_owned is not None:
+                from graphlite_spark.checkpoint import release_local_checkpoint
+
+                release_local_checkpoint(prev_owned)
+            prev_owned = new_state
             pm = algo.point_messages(new_state, superstep, aggr_in)
             stats_row = obs.get
             active_cnt = int(stats_row["_act"] or 0)

@@ -68,4 +68,16 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # the engine releases per-superstep localCheckpoint blocks
+        # deliberately (pregel loop / fixpoint discipline); Spark WARNs
+        # once per released RDD that the truncated lineage cannot be
+        # recomputed — which is the point.  Quiet that one logger.
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
     return spark
