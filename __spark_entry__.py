@@ -4101,19 +4101,27 @@ def q_robustness_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphlite_spark.algos.components import (
         attack_tolerance,
         random_failure_tolerance,
+        symmetrize,
     )
+    from graphlite_spark.checkpoint import release_local_checkpoint
 
     _, v, e = graph_tables(spark, sf_dir)
+    # one materialized undirected closure shared by all six curve points
+    # (each used to re-run the symmetrize distinct shuffle ~3x per call);
+    # every consumer materializes during construction, so the blocks are
+    # released before returning the lazy union
+    und = symmetrize(e).localCheckpoint(eager=True)
     parts = []
     for k in ROBUSTNESS_KS:
         parts.append(
-            attack_tolerance(v, e, remove_k=k)
+            attack_tolerance(v, e, remove_k=k, und=und)
             .select(F.lit("attack").alias("mode"), "*")
         )
         parts.append(
-            random_failure_tolerance(v, e, remove_k=k)
+            random_failure_tolerance(v, e, remove_k=k, und=und)
             .select(F.lit("failure").alias("mode"), "*")
         )
+    release_local_checkpoint(und)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -4130,19 +4138,29 @@ def q_contact_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
         random_failure_tolerance,
     )
 
+    from graphlite_spark.algos.components import symmetrize
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     ev = _events_us(spark, sf_dir)
-    v = ev.select(F.col("user_id").alias("id")).distinct()
+    # materialize the user set and the symmetrized contact closure once —
+    # each of the four curve points used to re-derive both from the raw
+    # events scan several times (count, victim sort, per-round loop reads)
+    v = ev.select(F.col("user_id").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
     e = contact_edges(ev).select("src", "dst")
+    und = symmetrize(e).localCheckpoint(eager=True)
     parts = []
     for k in (5, 10):
         parts.append(
-            attack_tolerance(v, e, remove_k=k)
+            attack_tolerance(v, e, remove_k=k, und=und)
             .select(F.lit("attack").alias("mode"), "*")
         )
         parts.append(
-            random_failure_tolerance(v, e, remove_k=k)
+            random_failure_tolerance(v, e, remove_k=k, und=und)
             .select(F.lit("failure").alias("mode"), "*")
         )
+    release_local_checkpoint(und)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

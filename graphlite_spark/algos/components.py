@@ -459,6 +459,7 @@ def attack_tolerance(
     vertices: DataFrame,
     edges: DataFrame,
     remove_k: int = 10,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """(removed, n_vertices, giant_size, giant_micros) — targeted-attack
     robustness (Albert, Jeong & Barabási 2000, public literature): drop
@@ -474,8 +475,14 @@ def attack_tolerance(
     map-side-combined undirected degree count, collected and pushed
     back as a k-item literal IN filter (no join); the surviving graph
     runs :func:`connected_components_fast` (the O(log d) hash-to-min
-    loop); the giant size is one grouped count + a 1-row max."""
-    und = symmetrize(edges)
+    loop); the giant size is one grouped count + a 1-row max.
+
+    ``und``: optionally pass the symmetrized closure (ideally
+    materialized) so curve queries that call this at several ``k``
+    share ONE symmetrize instead of re-running the distinct shuffle
+    per point (the wedge family's ``und=`` pattern)."""
+    if und is None:
+        und = symmetrize(edges)
     hubs = [
         int(r["src"])
         for r in und.groupBy("src")
@@ -489,7 +496,9 @@ def attack_tolerance(
     ef = und.where(
         (~F.col("src").isin(hubs)) & (~F.col("dst").isin(hubs))
     )
-    cc = connected_components_fast(vf, ef)
+    # ef is a filter of the symmetric closure, hence still symmetric —
+    # skip cc's own symmetrize (a second full distinct shuffle)
+    cc = connected_components_fast(vf, ef, already_undirected=True)
     giant = (
         cc.groupBy("component")
         .agg(F.count(F.lit(1)).cast("long").alias("sz"))
@@ -511,6 +520,7 @@ def random_failure_tolerance(
     vertices: DataFrame,
     edges: DataFrame,
     remove_k: int = 10,
+    und: DataFrame | None = None,
 ) -> DataFrame:
     """(removed, n_vertices, giant_size, giant_micros) — random-FAILURE
     robustness, the control arm of :func:`attack_tolerance` (Albert,
@@ -537,12 +547,14 @@ def random_failure_tolerance(
         .collect()
     ]
     n_total = vertices.count()
-    und = symmetrize(edges)
+    if und is None:
+        und = symmetrize(edges)
     vf = vertices.select("id").where(~F.col("id").isin(victims))
     ef = und.where(
         (~F.col("src").isin(victims)) & (~F.col("dst").isin(victims))
     )
-    cc = connected_components_fast(vf, ef)
+    # ef is still symmetric (filter of the closure) — skip re-symmetrize
+    cc = connected_components_fast(vf, ef, already_undirected=True)
     giant = (
         cc.groupBy("component")
         .agg(F.count(F.lit(1)).cast("long").alias("sz"))
