@@ -87,6 +87,10 @@ def _min_reach_fixpoint(
       connected_components_fast trick, which is the faster of the two
       jumps whenever labels DO decrease along the way.
     """
+    from pyspark.sql import Observation
+
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     j0 = e.groupBy(F.col("dst").alias("id")).agg(F.min("src").alias("j"))
     a = (
         verts.select("id")
@@ -97,6 +101,7 @@ def _min_reach_fixpoint(
             F.coalesce("j", F.col("id")).alias("j"),
         )
     )
+    prev = None  # superseded round leaves, released eagerly (loop discipline)
     for _ in range(max_rounds):
         nbr = (
             e.join(
@@ -136,10 +141,20 @@ def _min_reach_fixpoint(
                 F.col("jj").alias("j"),
             )
         )
-        nxt = truncate_plan(nxt)
-        changed = nxt.agg(
-            F.sum((F.col("lab") != F.col("old")).cast("long")).alias("n")
-        ).first()["n"]
+        # the change count rides the round's one materialization as an
+        # observed metric (loop discipline — no separate agg action)
+        obs = Observation()
+        nxt = truncate_plan(
+            nxt.observe(
+                obs,
+                F.sum((F.col("lab") != F.col("old")).cast("long")).alias("n"),
+            ),
+            eager=True,
+        )
+        changed = obs.get["n"]
+        if prev is not None:
+            release_local_checkpoint(prev)
+        prev = nxt
         a = nxt.select("id", "lab", "j")
         if not changed:
             return a.select("id", "lab"), True
@@ -162,10 +177,23 @@ def strongly_connected_components(
     FW/BW peel.  Both caps warn loudly when they bind — like
     connected_components, SCC is convergence-defined and a partial peel
     is only diagnostic."""
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     spark = edges.sparkSession
-    P = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    de = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
     )
+    # stage the distinct edge set once, then size the loop's shuffle
+    # width to the DATA (~100k arcs/partition, capped at the session
+    # width) — the engine-wide rule; a fixed session width schedules
+    # dozens of near-empty tasks per round on small graphs
+    de = truncate_plan(de, eager=True)
+    P = num_partitions
+    if P is None:
+        max_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        P = max(1, min(max_p, de.count() // 100_000 + 1))
     saved = {
         "spark.sql.adaptive.enabled": spark.conf.get(
             "spark.sql.adaptive.enabled"
@@ -173,29 +201,43 @@ def strongly_connected_components(
         "spark.sql.shuffle.partitions": spark.conf.get(
             "spark.sql.shuffle.partitions"
         ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
     }
-    de = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
     rem = vertices.select("id")
     assigned: DataFrame | None = None
     converged = False
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", str(P))
+        # checkpoint-leaf stats are tiny: without this Catalyst plans a
+        # driver-side broadcast of the V-sized label frame into every
+        # round's joins (the measured Pregel-loop pathology)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        prev_de: DataFrame | None = None
         for _ in range(max_phases):
-            # forward layout partitioned by src (the relax join key);
-            # backward layout = reversed edges, same discipline
-            ef = de.repartition(P, "src").persist()
+            # forward layout partitioned by src (the relax join key) and
+            # pre-sorted so the per-round SMJ never re-sorts the static
+            # side; backward layout = reversed edges, same discipline
+            ef = (
+                de.repartition(P, "src")
+                .sortWithinPartitions("src")
+                .localCheckpoint(eager=True)
+            )
             eb = (
                 de.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst")
                 )
                 .repartition(P, "src")
-                .persist()
+                .sortWithinPartitions("src")
+                .localCheckpoint(eager=True)
             )
+            if prev_de is not None:
+                # the phase's layouts are materialized — the superseded
+                # survivor edge set is unreachable from here on
+                release_local_checkpoint(prev_de)
+                prev_de = None
             fwd, okf = _min_reach_fixpoint(rem, ef, max_rounds)
             bwd, okb = _min_reach_fixpoint(rem, eb, max_rounds)
             if not (okf and okb):
@@ -219,8 +261,8 @@ def strongly_connected_components(
             )
             surv = lab.where(F.col("f") != F.col("b"))
             n_rem = surv.count()  # also materializes lab + assigned
-            ef.unpersist()
-            eb.unpersist()
+            for leaf in (ef, eb, fwd, bwd):
+                release_local_checkpoint(leaf)
             if n_rem == 0:
                 converged = True
                 break
@@ -236,6 +278,7 @@ def strongly_connected_components(
                 F.col("f").alias("df"),
                 F.col("b").alias("db"),
             )
+            prev_de = de
             de = (
                 de.join(s, "src")
                 .join(d, "dst")
