@@ -83,7 +83,8 @@ def _reached_from(
         edges.join(src_m, "src").join(dst_m, "dst")
         .select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .repartition(num_partitions, "src")
-        .persist()
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
     )
     labs, converged = _min_reach_fixpoint(
         m.select(F.col("nid").alias("id")), e, max_rounds
@@ -100,8 +101,10 @@ def _reached_from(
         m.join(labs.select(F.col("id").alias("nid"), "lab"), "nid")
         .select("id", (F.col("lab") < span).alias("flag"))
     )
-    out = truncate_plan(out, eager=True)  # materialize before unpersist
-    e.unpersist()
+    out = truncate_plan(out, eager=True)  # materialize before release
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
+    release_local_checkpoint(e)
     return out
 
 
@@ -125,6 +128,10 @@ def bowtie_decomposition(
         .distinct()
     )
     e = truncate_plan(e, eager=True)  # reused by 7 fixpoints below
+    # the vertex set is read ~7x (bounds, SCC, 4 reachability remaps,
+    # weak CC) — stage it once instead of re-running the caller's
+    # derivation (often a distinct over a raw scan) per reference
+    vertices = truncate_plan(vertices.select("id"), eager=True)
     if num_partitions is None:
         default_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         P = max(1, min(default_p, -(-e.count() // 100_000)))
@@ -144,10 +151,16 @@ def bowtie_decomposition(
         "spark.sql.shuffle.partitions": spark.conf.get(
             "spark.sql.shuffle.partitions"
         ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
     }
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", str(P))
+        # leaf stats would otherwise drive V-sized driver broadcasts in
+        # the direct _min_reach_fixpoint calls (the Pregel-loop finding)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         scc = truncate_plan(
             strongly_connected_components(
                 vertices, e, num_partitions=P, max_rounds=max_rounds
@@ -163,12 +176,22 @@ def bowtie_decomposition(
         core_lab = top[0]["scc"]
         core = scc.where(F.col("scc") == core_lab).select("id")
 
-        rp = _reached_from(  # core ⇝ v
-            vertices, e, core, span, min_id, P, max_rounds
-        )
-        rm = _reached_from(
-            vertices, e, core, span, min_id, P, max_rounds, reverse=True
-        )
+        # the two core-reachability closures are independent fixpoints —
+        # run them as concurrent jobs (guide §2.6; same pattern as the
+        # SCC FW/BW pair).  The weak-CC loop mutates session conf, so it
+        # stays outside the pool.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            fut_p = pool.submit(  # core ⇝ v
+                _reached_from, vertices, e, core, span, min_id, P, max_rounds
+            )
+            fut_m = pool.submit(
+                _reached_from, vertices, e, core, span, min_id, P,
+                max_rounds, True,
+            )
+            rp = fut_p.result()
+            rm = fut_m.result()
         wcc = connected_components_fast(
             vertices, e, num_partitions=P, max_rounds=max_rounds
         )
@@ -187,12 +210,17 @@ def bowtie_decomposition(
         out_ids = flags.where(
             F.col("rp") & (F.col("scc") != core_lab)
         ).select("id")
-        fin = _reached_from(
-            vertices, e, in_ids, span, min_id, P, max_rounds
-        )
-        bout = _reached_from(
-            vertices, e, out_ids, span, min_id, P, max_rounds, reverse=True
-        )
+        with ThreadPoolExecutor(2) as pool:
+            fut_f = pool.submit(
+                _reached_from, vertices, e, in_ids, span, min_id, P,
+                max_rounds,
+            )
+            fut_b = pool.submit(
+                _reached_from, vertices, e, out_ids, span, min_id, P,
+                max_rounds, True,
+            )
+            fin = fut_f.result()
+            bout = fut_b.result()
         res = (
             flags.join(fin.withColumnRenamed("flag", "fin"), "id")
             .join(bout.withColumnRenamed("flag", "bout"), "id")

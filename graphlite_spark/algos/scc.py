@@ -238,8 +238,18 @@ def strongly_connected_components(
                 # survivor edge set is unreachable from here on
                 release_local_checkpoint(prev_de)
                 prev_de = None
-            fwd, okf = _min_reach_fixpoint(rem, ef, max_rounds)
-            bwd, okb = _min_reach_fixpoint(rem, eb, max_rounds)
+            # the forward and backward fixpoints are independent — run
+            # them as concurrent jobs (guide §2.6): each round's tasks
+            # are tiny, so the two loops back-fill each other's driver
+            # latency and executor idle time; conf is pinned before the
+            # pool starts and neither thread mutates it
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as pool:
+                fut_f = pool.submit(_min_reach_fixpoint, rem, ef, max_rounds)
+                fut_b = pool.submit(_min_reach_fixpoint, rem, eb, max_rounds)
+                fwd, okf = fut_f.result()
+                bwd, okb = fut_b.result()
             if not (okf and okb):
                 warnings.warn(
                     "strongly_connected_components: a min-label fixpoint "
