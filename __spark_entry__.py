@@ -1538,14 +1538,31 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session-scoped materialization of the derived partsupp (the
+    # graph_tables pattern): it is a base-table surrogate referenced by
+    # six queries — and usually twice WITHIN a query (min-vs-threshold
+    # self-references) — so left lazy the distinct-union derivation
+    # re-executed per reference.  Keyed by applicationId so a stopped
+    # session's frames are never served; recomputed from parquet in
+    # every new session (nothing persists across runs).
     from graphlite_spark.operators.relational import derive_partsupp
 
-    return derive_partsupp(
-        load_table(spark, sf_dir, "part"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PS_CACHE:
+        for stale in [k for k in _PS_CACHE if k[0] != key[0]]:
+            del _PS_CACHE[stale]
+        ps = derive_partsupp(
+            load_table(spark, sf_dir, "part"),
+            load_table(spark, sf_dir, "supplier"),
+            load_table(spark, sf_dir, "lineitem"),
+        ).persist()
+        ps.count()  # materialize once
+        _PS_CACHE[key] = ps
+    return _PS_CACHE[key]
 
 
 def q_partsupp_derived(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -668,51 +668,113 @@ def algebraic_distance(
     lazy localCheckpoint truncates lineage); top-k is
     TakeOrderedAndProject."""
     from graphlite_spark.algos.components import symmetrize
+    from graphlite_spark.checkpoint import release_local_checkpoint, truncate_plan
     from graphlite_spark.functions.hashes import hash48
 
-    und = symmetrize(edges).select("src", "dst")
+    spark = edges.sparkSession
+    # loop discipline (the engine-wide rules, measured on the Pregel
+    # loop): stage the closure ONCE as a pre-sorted leaf (it was
+    # re-executing its distinct shuffle ~7x: 5 sweeps + degree + final
+    # pair scan), fold the static degree INTO the state frame (one join
+    # per sweep instead of two), size the shuffle width to the data,
+    # and pin AQE/auto-broadcast off around the sweeps
+    staged = symmetrize(edges).select("src", "dst").localCheckpoint(
+        eager=True
+    )
+    max_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    P = max(1, min(max_p, staged.count() // 100_000 + 1))
+    und = (
+        staged.repartition(P, "src")
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(staged)
     deg = und.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
-    x = vertices.select(
-        "id",
-        (
-            hash48(F.concat(F.lit("algdist:"), F.col("id").cast("string")))
-            % 1_000_000
-        ).cast("long").alias("x"),
-    ).localCheckpoint(eager=False)
-    for _ in range(iterations):
-        gather = (
-            und.join(
-                x.select(F.col("id").alias("src"), F.col("x").alias("xs")),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("xs").cast("long").alias("s"))
-        )
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get(
+            "spark.sql.adaptive.enabled"
+        ),
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(P))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         x = (
-            x.join(gather, "id", "left")
-            .join(deg.select(F.col("src").alias("id"), "deg"), "id", "left")
-            .select(
+            vertices.select(
                 "id",
-                F.when(
-                    F.col("s").isNotNull() & (F.col("deg") > 0),
-                    F.expr("(x + (s div deg)) div 2"),
-                ).otherwise(F.col("x")).cast("long").alias("x"),
+                (
+                    hash48(
+                        F.concat(
+                            F.lit("algdist:"), F.col("id").cast("string")
+                        )
+                    )
+                    % 1_000_000
+                ).cast("long").alias("x"),
             )
+            .join(deg.select(F.col("src").alias("id"), "deg"), "id", "left")
+            .select("id", "x", F.coalesce("deg", F.lit(0)).alias("deg"))
             .localCheckpoint(eager=False)
         )
-    pairs = (
-        und.where(F.col("src") < F.col("dst"))
-        .join(x.select(F.col("id").alias("src"), F.col("x").alias("xu")), "src")
-        .join(x.select(F.col("id").alias("dst"), F.col("x").alias("xv")), "dst")
-        .select(
-            "src", "dst",
-            F.abs(F.col("xu") - F.col("xv")).cast("long").alias(
-                "dist_micros"
-            ),
+        for _ in range(iterations):
+            gather = (
+                und.join(
+                    x.select(
+                        F.col("id").alias("src"), F.col("x").alias("xs")
+                    ),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("xs").cast("long").alias("s"))
+            )
+            x = (
+                x.join(gather, "id", "left")
+                .select(
+                    "id",
+                    F.when(
+                        F.col("s").isNotNull() & (F.col("deg") > 0),
+                        F.expr("(x + (s div deg)) div 2"),
+                    ).otherwise(F.col("x")).cast("long").alias("x"),
+                    "deg",
+                )
+                .localCheckpoint(eager=False)
+            )
+        pairs = (
+            und.where(F.col("src") < F.col("dst"))
+            .join(
+                x.select(F.col("id").alias("src"), F.col("x").alias("xu")),
+                "src",
+            )
+            .join(
+                x.select(F.col("id").alias("dst"), F.col("x").alias("xv")),
+                "dst",
+            )
+            .select(
+                "src", "dst",
+                F.abs(F.col("xu") - F.col("xv")).cast("long").alias(
+                    "dist_micros"
+                ),
+            )
         )
-    )
-    return pairs.orderBy(
-        F.col("dist_micros").asc(), F.col("src").asc(), F.col("dst").asc()
-    ).limit(top_k)
+        # materialize the k-row result inside the pinned-conf scope so
+        # the und leaf can be released before returning
+        out = truncate_plan(
+            pairs.orderBy(
+                F.col("dist_micros").asc(),
+                F.col("src").asc(),
+                F.col("dst").asc(),
+            ).limit(top_k),
+            eager=True,
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        release_local_checkpoint(und)
+    return out

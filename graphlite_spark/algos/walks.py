@@ -40,9 +40,9 @@ from graphlite_spark.functions.hashes import hash48
 def _ranked_adjacency(
     edges: DataFrame,
     undirected: bool,
-    num_partitions: int,
+    num_partitions: int | None,
     max_degree: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int]:
     """(adj, deg): adjacency ranked by dst per src (idx 0..deg-1), cached
     hash-partitioned by src, plus the per-src degree table.
 
@@ -56,11 +56,23 @@ def _ranked_adjacency(
     not the full graph — the standard degree-capping trade large-scale
     node2vec makes so one 10^6-degree hub cannot dominate a step's
     candidate scoring."""
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     und = (
         symmetrize(edges).select("src", "dst")
         if undirected
         else edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     )
+    # stage the closure once; auto-size the walk loop's shuffle width to
+    # the data (engine rule: ~100k arcs/partition) when the caller
+    # passed None — a fixed session width schedules dozens of
+    # near-empty tasks per step on small graphs
+    spark = edges.sparkSession
+    staged = und.localCheckpoint(eager=True)
+    if num_partitions is None:
+        max_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        num_partitions = max(1, min(max_p, staged.count() // 100_000 + 1))
+    und = staged
     if max_degree is not None:
         if max_degree < 1:
             raise ValueError("max_degree must be >= 1 (or None for exact)")
@@ -78,13 +90,24 @@ def _ranked_adjacency(
             .drop("hrank")
         )
     w = Window.partitionBy("src").orderBy("dst")
+    # pre-sorted checkpoint leaves: the per-step (src, idx) SMJ probes
+    # reuse the layout and order with no per-step re-sort or lineage
+    # re-analysis (release via release_local_checkpoint when done)
     adj = (
         und.withColumn("idx", F.row_number().over(w) - F.lit(1))
         .repartition(num_partitions, "src")
-        .persist()
+        .sortWithinPartitions("src", "idx")
+        .localCheckpoint(eager=True)
     )
-    deg = adj.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    return adj, deg
+    deg = (
+        adj.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .repartition(num_partitions, "src")
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(staged)
+    return adj, deg, num_partitions
 
 
 def random_walks(
@@ -109,11 +132,21 @@ def random_walks(
     returned corpus is eagerly materialized so the cached adjacency can
     be released before returning — callers reuse the result without
     holding engine-owned cache blocks alive."""
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     spark = edges.sparkSession
-    P = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    adj, deg = _ranked_adjacency(edges, undirected, P)
+    adj, deg, P = _ranked_adjacency(edges, undirected, num_partitions)
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get(
+            "spark.sql.adaptive.enabled"
+        ),
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
     W_ = walks_per_vertex
     cur = vertices.select(
         F.explode(F.sequence(F.lit(0), F.lit(W_ - 1))).alias("w"),
@@ -123,36 +156,46 @@ def random_walks(
         F.col("id").alias("vertex"),
     )
     out = cur.select("walk_id", F.lit(0).cast("long").alias("step"), "vertex")
-    for t in range(1, walk_length + 1):
-        pick = cur.join(deg, cur["vertex"] == deg["src"]).select(
-            "walk_id",
-            F.col("vertex"),
-            (
-                hash48(
-                    F.concat_ws(
-                        ":", F.col("walk_id").cast("string"), F.lit(str(t))
+    try:
+        # loop discipline: width pinned to the data-sized P, AQE off (the
+        # step shape never changes), auto-broadcast off (leaf stats would
+        # drive a V-sized driver broadcast of deg/adj per step)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(P))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for t in range(1, walk_length + 1):
+            pick = cur.join(deg, cur["vertex"] == deg["src"]).select(
+                "walk_id",
+                F.col("vertex"),
+                (
+                    hash48(
+                        F.concat_ws(
+                            ":", F.col("walk_id").cast("string"), F.lit(str(t))
+                        )
                     )
-                )
-                % F.col("deg")
-            ).alias("pick"),
-        )
-        cur = pick.join(
-            adj,
-            (pick["vertex"] == adj["src"]) & (pick["pick"] == adj["idx"]),
-        ).select("walk_id", F.col("dst").alias("vertex"))
-        out = out.unionByName(
-            cur.select(
-                "walk_id", F.lit(t).cast("long").alias("step"), "vertex"
+                    % F.col("deg")
+                ).alias("pick"),
             )
-        )
-        if t % checkpoint_every == 0 and t < walk_length:
-            # lazy: materializes inside the next step's jobs, truncating
-            # the O(L) join/union lineage without an extra action
-            cur = cur.localCheckpoint(eager=False)
-            out = out.localCheckpoint(eager=False)
-    out = out.localCheckpoint(eager=True)
-    adj.unpersist()
-    deg.unpersist()
+            cur = pick.join(
+                adj,
+                (pick["vertex"] == adj["src"]) & (pick["pick"] == adj["idx"]),
+            ).select("walk_id", F.col("dst").alias("vertex"))
+            out = out.unionByName(
+                cur.select(
+                    "walk_id", F.lit(t).cast("long").alias("step"), "vertex"
+                )
+            )
+            if t % checkpoint_every == 0 and t < walk_length:
+                # lazy: materializes inside the next step's jobs, truncating
+                # the O(L) join/union lineage without an extra action
+                cur = cur.localCheckpoint(eager=False)
+                out = out.localCheckpoint(eager=False)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        release_local_checkpoint(adj)
+        release_local_checkpoint(deg)
     return out
 
 
@@ -206,83 +249,102 @@ def node2vec_walks(
     the uniform first step (step-1 rows are always emitted)."""
     if walk_length < 1 or walks_per_vertex < 1:
         raise ValueError("walk_length and walks_per_vertex must be >= 1")
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     spark = edges.sparkSession
-    P = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    adj, deg, P = _ranked_adjacency(
+        edges, undirected, num_partitions, max_degree=max_degree
     )
-    adj, deg = _ranked_adjacency(edges, undirected, P, max_degree=max_degree)
-    W_ = walks_per_vertex
-    start = vertices.select(
-        F.explode(F.sequence(F.lit(0), F.lit(W_ - 1))).alias("w"),
-        F.col("id"),
-    ).select(
-        (F.col("id") * W_ + F.col("w")).cast("long").alias("walk_id"),
-        F.col("id").alias("vertex"),
-    )
-    out = start.select("walk_id", F.lit(0).cast("long").alias("step"), "vertex")
-    # step 1: uniform (no prev yet) — identical rule to random_walks
-    s1 = start.join(deg, start["vertex"] == deg["src"]).select(
-        "walk_id",
-        F.col("vertex").alias("prev"),
-        (
-            hash48(F.concat_ws(":", F.col("walk_id").cast("string"), F.lit("1")))
-            % F.col("deg")
-        ).alias("pick"),
-    )
-    cur = s1.join(
-        adj, (s1["prev"] == adj["src"]) & (s1["pick"] == adj["idx"])
-    ).select("walk_id", "prev", F.col("dst").alias("vertex"))
-    out = out.unionByName(
-        cur.select("walk_id", F.lit(1).cast("long").alias("step"), "vertex")
-    )
-    prev_edge = adj.select(
-        F.col("src").alias("p_src"), F.col("dst").alias("p_dst")
-    )
-    for t in range(2, walk_length + 1):
-        # candidates: the FULL ranked neighborhood of cur (second-order
-        # bias needs every neighbor's distance-to-prev classification)
-        cand = cur.join(adj, cur["vertex"] == adj["src"]).select(
-            "walk_id", "prev", F.col("vertex"),
-            F.col("dst").alias("x"), F.col("idx"),
-        )
-        # distance-1 test: is (prev, x) an edge?  left join against the
-        # cached adjacency; non-null marker = yes
-        cand = cand.join(
-            prev_edge,
-            (cand["prev"] == prev_edge["p_src"]) & (cand["x"] == prev_edge["p_dst"]),
-            "left",
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get(
+            "spark.sql.adaptive.enabled"
+        ),
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(P))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        W_ = walks_per_vertex
+        start = vertices.select(
+            F.explode(F.sequence(F.lit(0), F.lit(W_ - 1))).alias("w"),
+            F.col("id"),
         ).select(
-            "walk_id", "prev", "vertex", "x", "idx",
-            F.when(F.col("x") == F.col("prev"), F.lit(return_micros))
-            .when(F.col("p_src").isNotNull(), F.lit(1_000_000))
-            .otherwise(F.lit(inout_micros))
-            .cast("long")
-            .alias("wt"),
+            (F.col("id") * W_ + F.col("w")).cast("long").alias("walk_id"),
+            F.col("id").alias("vertex"),
         )
-        wsum = Window.partitionBy("walk_id").orderBy("idx")
-        scored = cand.select(
-            "walk_id", "vertex", "x",
-            (F.sum("wt").over(wsum) - F.col("wt")).alias("cum_lo"),
-            F.sum("wt").over(wsum).alias("cum_hi"),
-            F.sum("wt").over(Window.partitionBy("walk_id")).alias("total"),
+        out = start.select("walk_id", F.lit(0).cast("long").alias("step"), "vertex")
+        # step 1: uniform (no prev yet) — identical rule to random_walks
+        s1 = start.join(deg, start["vertex"] == deg["src"]).select(
+            "walk_id",
+            F.col("vertex").alias("prev"),
+            (
+                hash48(F.concat_ws(":", F.col("walk_id").cast("string"), F.lit("1")))
+                % F.col("deg")
+            ).alias("pick"),
         )
-        r = hash48(
-            F.concat_ws(":", F.col("walk_id").cast("string"), F.lit(str(t)))
-        ) % F.col("total")
-        # the walk's current vertex rides along as the next step's prev —
-        # no rejoin against cur (a per-step self-join) needed
-        cur = scored.where((r >= F.col("cum_lo")) & (r < F.col("cum_hi"))).select(
-            "walk_id", F.col("vertex").alias("prev"), F.col("x").alias("vertex")
-        )
+        cur = s1.join(
+            adj, (s1["prev"] == adj["src"]) & (s1["pick"] == adj["idx"])
+        ).select("walk_id", "prev", F.col("dst").alias("vertex"))
         out = out.unionByName(
-            cur.select("walk_id", F.lit(t).cast("long").alias("step"), "vertex")
+            cur.select("walk_id", F.lit(1).cast("long").alias("step"), "vertex")
         )
-        if t % checkpoint_every == 0 and t < walk_length:
-            cur = cur.localCheckpoint(eager=False)
-            out = out.localCheckpoint(eager=False)
-    out = out.localCheckpoint(eager=True)
-    adj.unpersist()
-    deg.unpersist()
+        prev_edge = adj.select(
+            F.col("src").alias("p_src"), F.col("dst").alias("p_dst")
+        )
+        for t in range(2, walk_length + 1):
+            # candidates: the FULL ranked neighborhood of cur (second-order
+            # bias needs every neighbor's distance-to-prev classification)
+            cand = cur.join(adj, cur["vertex"] == adj["src"]).select(
+                "walk_id", "prev", F.col("vertex"),
+                F.col("dst").alias("x"), F.col("idx"),
+            )
+            # distance-1 test: is (prev, x) an edge?  left join against the
+            # cached adjacency; non-null marker = yes
+            cand = cand.join(
+                prev_edge,
+                (cand["prev"] == prev_edge["p_src"]) & (cand["x"] == prev_edge["p_dst"]),
+                "left",
+            ).select(
+                "walk_id", "prev", "vertex", "x", "idx",
+                F.when(F.col("x") == F.col("prev"), F.lit(return_micros))
+                .when(F.col("p_src").isNotNull(), F.lit(1_000_000))
+                .otherwise(F.lit(inout_micros))
+                .cast("long")
+                .alias("wt"),
+            )
+            wsum = Window.partitionBy("walk_id").orderBy("idx")
+            scored = cand.select(
+                "walk_id", "vertex", "x",
+                (F.sum("wt").over(wsum) - F.col("wt")).alias("cum_lo"),
+                F.sum("wt").over(wsum).alias("cum_hi"),
+                F.sum("wt").over(Window.partitionBy("walk_id")).alias("total"),
+            )
+            r = hash48(
+                F.concat_ws(":", F.col("walk_id").cast("string"), F.lit(str(t)))
+            ) % F.col("total")
+            # the walk's current vertex rides along as the next step's prev —
+            # no rejoin against cur (a per-step self-join) needed
+            cur = scored.where((r >= F.col("cum_lo")) & (r < F.col("cum_hi"))).select(
+                "walk_id", F.col("vertex").alias("prev"), F.col("x").alias("vertex")
+            )
+            out = out.unionByName(
+                cur.select("walk_id", F.lit(t).cast("long").alias("step"), "vertex")
+            )
+            if t % checkpoint_every == 0 and t < walk_length:
+                cur = cur.localCheckpoint(eager=False)
+                out = out.localCheckpoint(eager=False)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        release_local_checkpoint(adj)
+        release_local_checkpoint(deg)
     return out
 
 
@@ -321,10 +383,9 @@ def metapath_walks(
     ``checkpoint_every`` steps (the repo's linear-loop discipline)."""
     if not metapath:
         raise ValueError("metapath must be non-empty")
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     spark = edges.sparkSession
-    P = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
     und = (
         symmetrize(edges).select("src", "dst")
         if undirected
@@ -336,62 +397,93 @@ def metapath_walks(
     typed = und.join(ty, und["dst"] == ty["tid"]).select(
         "src", "dst", F.col("vtype").alias("dtype")
     )
+    # staged typed closure: data-sized width + pre-sorted leaves, the
+    # walks-family discipline (see _ranked_adjacency)
+    staged = typed.localCheckpoint(eager=True)
+    P = num_partitions
+    if P is None:
+        max_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        P = max(1, min(max_p, staged.count() // 100_000 + 1))
     w = Window.partitionBy("src", "dtype").orderBy("dst")
     adj = (
-        typed.withColumn("idx", F.row_number().over(w) - F.lit(1))
+        staged.withColumn("idx", F.row_number().over(w) - F.lit(1))
         .repartition(P, "src")
-        .persist()
+        .sortWithinPartitions("src", "dtype", "idx")
+        .localCheckpoint(eager=True)
     )
-    degt = adj.groupBy("src", "dtype").agg(
-        F.count(F.lit(1)).alias("deg")
-    ).persist()
+    degt = (
+        adj.groupBy("src", "dtype")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .repartition(P, "src")
+        .sortWithinPartitions("src", "dtype")
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(staged)
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get(
+            "spark.sql.adaptive.enabled"
+        ),
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(P))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    W_ = walks_per_vertex
-    L = len(metapath)
-    starts = vertices.select("id").join(
-        ty.where(F.col("vtype") == metapath[0]),
-        vertices["id"] == ty["tid"],
-    )
-    cur = starts.select(
-        F.explode(F.sequence(F.lit(0), F.lit(W_ - 1))).alias("w"),
-        F.col("id"),
-    ).select(
-        (F.col("id") * W_ + F.col("w")).cast("long").alias("walk_id"),
-        F.col("id").alias("vertex"),
-    )
-    out = cur.select("walk_id", F.lit(0).cast("long").alias("step"), "vertex")
-    for t in range(1, walk_length + 1):
-        tt = metapath[t % L]
-        pick = cur.join(
-            degt.where(F.col("dtype") == tt),
-            cur["vertex"] == degt["src"],
+        W_ = walks_per_vertex
+        L = len(metapath)
+        starts = vertices.select("id").join(
+            ty.where(F.col("vtype") == metapath[0]),
+            vertices["id"] == ty["tid"],
+        )
+        cur = starts.select(
+            F.explode(F.sequence(F.lit(0), F.lit(W_ - 1))).alias("w"),
+            F.col("id"),
         ).select(
-            "walk_id",
-            F.col("vertex"),
-            (
-                hash48(
-                    F.concat_ws(
-                        ":", F.col("walk_id").cast("string"), F.lit(str(t))
+            (F.col("id") * W_ + F.col("w")).cast("long").alias("walk_id"),
+            F.col("id").alias("vertex"),
+        )
+        out = cur.select("walk_id", F.lit(0).cast("long").alias("step"), "vertex")
+        for t in range(1, walk_length + 1):
+            tt = metapath[t % L]
+            pick = cur.join(
+                degt.where(F.col("dtype") == tt),
+                cur["vertex"] == degt["src"],
+            ).select(
+                "walk_id",
+                F.col("vertex"),
+                (
+                    hash48(
+                        F.concat_ws(
+                            ":", F.col("walk_id").cast("string"), F.lit(str(t))
+                        )
                     )
-                )
-                % F.col("deg")
-            ).alias("pick"),
-        )
-        step_adj = adj.where(F.col("dtype") == tt)
-        cur = pick.join(
-            step_adj,
-            (pick["vertex"] == step_adj["src"])
-            & (pick["pick"] == step_adj["idx"]),
-        ).select("walk_id", F.col("dst").alias("vertex"))
-        out = out.unionByName(
-            cur.select(
-                "walk_id", F.lit(t).cast("long").alias("step"), "vertex"
+                    % F.col("deg")
+                ).alias("pick"),
             )
-        )
-        if t % checkpoint_every == 0 and t < walk_length:
-            cur = cur.localCheckpoint(eager=False)
-            out = out.localCheckpoint(eager=False)
-    out = out.localCheckpoint(eager=True)
-    adj.unpersist()
-    degt.unpersist()
+            step_adj = adj.where(F.col("dtype") == tt)
+            cur = pick.join(
+                step_adj,
+                (pick["vertex"] == step_adj["src"])
+                & (pick["pick"] == step_adj["idx"]),
+            ).select("walk_id", F.col("dst").alias("vertex"))
+            out = out.unionByName(
+                cur.select(
+                    "walk_id", F.lit(t).cast("long").alias("step"), "vertex"
+                )
+            )
+            if t % checkpoint_every == 0 and t < walk_length:
+                cur = cur.localCheckpoint(eager=False)
+                out = out.localCheckpoint(eager=False)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        release_local_checkpoint(adj)
+        release_local_checkpoint(degt)
     return out

@@ -217,7 +217,10 @@ class CSRPregelEngine(PregelEngine):
             .select(F.col("_pid").cast("int").alias("pid"), *base_cols)
         )
 
-    def _scatter(self, state, e, algo, superstep, aggr):
+    def _scatter(self, state, e, algo, superstep, aggr, cache=None):
+        # ``cache`` is the base engine's per-token Column cache — the CSR
+        # scatter runs numpy kernels, not Column trees, so there is
+        # nothing to memoize; accepted for loop-contract compatibility
         if getattr(algo, "struct_fields", None):
             return self._scatter_struct(state, algo, superstep, aggr)
         return self._scatter_scalar(state, algo, superstep, aggr)
