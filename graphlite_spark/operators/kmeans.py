@@ -100,7 +100,23 @@ def _assign(frame: DataFrame, centroids: list[list[int]]) -> DataFrame:
 def _fit(q: DataFrame, k: int, iterations: int) -> list[list[int]]:
     """Lloyd iterations over a pre-quantized (id, qv) frame; returns the
     final codebook as k lists of micro-unit longs (cluster index = seed
-    rank).  If fewer than k vectors exist, k shrinks to match."""
+    rank).  If fewer than k vectors exist, k shrinks to match.
+
+    The input is staged as a localCheckpoint leaf for the fit's
+    1+iterations driver actions (seed TakeOrdered + per-iteration
+    codebook aggregates) — callers hand in lazy scan+quantize plans
+    that would otherwise re-execute per action — and released before
+    returning."""
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
+    q = q.localCheckpoint(eager=True)
+    try:
+        return _fit_on_leaf(q, k, iterations)
+    finally:
+        release_local_checkpoint(q)
+
+
+def _fit_on_leaf(q: DataFrame, k: int, iterations: int) -> list[list[int]]:
     seeds = (
         q.select(
             "id",

@@ -402,17 +402,25 @@ def ivfpq_topk(
     if d % m != 0:
         raise ValueError(f"ivfpq_topk: d={d} not divisible by m={m}")
     sub = d // m
-    qz = _quantized(embeddings, id_col, vec_col)
-    cents = _fit(qz, n_clusters, iterations)
-    nprobe = min(nprobe, len(cents))
-    books = [
-        _fit(
-            qz.select("id", F.slice("qv", s * sub + 1, sub).alias("qv")),
-            pq_k,
-            iterations,
-        )
-        for s in range(m)
-    ]
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
+    # one staged quantization shared by the coarse fit and the m
+    # codebook fits (they run 5*(1+iterations) driver actions between
+    # them; unstaged, each re-ran the scan+quantize plan)
+    qz = _quantized(embeddings, id_col, vec_col).localCheckpoint(eager=True)
+    try:
+        cents = _fit(qz, n_clusters, iterations)
+        nprobe = min(nprobe, len(cents))
+        books = [
+            _fit(
+                qz.select("id", F.slice("qv", s * sub + 1, sub).alias("qv")),
+                pq_k,
+                iterations,
+            )
+            for s in range(m)
+        ]
+    finally:
+        release_local_checkpoint(qz)
 
     corpus = (
         embeddings.select(
@@ -2348,6 +2356,24 @@ def dbscan_labels(
             lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
         ).alias("qv"),
     )
+    # loop discipline: the 16 propagation rounds shuffle a core graph
+    # of ~N*k rows at most — size the width to that, not the session
+    # default (most of the wall was near-empty tasks per round), and
+    # pin AQE off around the fixed-shape rounds
+    spark = embeddings.sparkSession
+    n_vec = q.count()
+    max_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    P = max(1, min(max_p, n_vec * knn_k // 100_000 + 1))
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get(
+            "spark.sql.adaptive.enabled"
+        ),
+        "spark.sql.shuffle.partitions": spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        ),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
     c = q.select(F.col("id").alias("nid"), F.col("qv").alias("cv"))
     d2 = (
         q.join(F.broadcast(c), F.col("id") != F.col("nid"))
@@ -2432,19 +2458,28 @@ def dbscan_labels(
         .agg(F.min("label").alias("blabel"))
     )
     allv = q.select("id")
-    return (
-        allv.join(
-            core.select("id", F.lit(1).alias("is_core")), "id", "left"
-        )
-        .join(lab.withColumnRenamed("label", "clabel"), "id", "left")
-        .join(border, "id", "left")
-        .select(
-            "id",
-            F.coalesce("is_core", F.lit(0)).cast("int").alias(
-                "is_core"
+    try:
+        # materialize inside the pinned-conf scope (truncate_plan keeps
+        # the checkpointed rounds' lineage out of the caller's plan)
+        from graphlite_spark.checkpoint import truncate_plan
+
+        return truncate_plan(
+            allv.join(
+                core.select("id", F.lit(1).alias("is_core")), "id", "left"
+            )
+            .join(lab.withColumnRenamed("label", "clabel"), "id", "left")
+            .join(border, "id", "left")
+            .select(
+                "id",
+                F.coalesce("is_core", F.lit(0)).cast("int").alias(
+                    "is_core"
+                ),
+                F.coalesce("clabel", "blabel").cast("long").alias(
+                    "cluster"
+                ),
             ),
-            F.coalesce("clabel", "blabel").cast("long").alias(
-                "cluster"
-            ),
+            eager=True,
         )
-    )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
