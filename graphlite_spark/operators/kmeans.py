@@ -52,10 +52,19 @@ def _cents_lit(centroids: list[list[int]]) -> F.Column:
     DATA of a single expression, not in k unrolled expression trees, so
     whole-stage codegen stays small and compiles once regardless of k
     (8 separate 64-dim aggregate(zip_with) columns cost ~100 s of Janino
-    compilation across the fit/assign/probe plans at k=8)."""
-    return F.array(
-        *[F.array(*[F.lit(int(v)).cast("long") for v in c]) for c in centroids]
+    compilation across the fit/assign/probe plans at k=8).
+
+    Built as ONE SQL text expression: the F.array(F.lit(...)) form made
+    2*k*d Python↔JVM round-trips PER REFERENCE, and the codebook is
+    referenced many times across fit/corpus/probe plans — measured
+    ~15 s of pure driver latency in one ivfpq_topk build at k=8, d=64,
+    m=4.  ``L`` suffixes pin BIGINT element type (the micro-unit
+    discipline)."""
+    body = ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
+        for c in centroids
     )
+    return F.expr(f"array({body})")
 
 
 def _dists_expr(centroids: list[list[int]], col: str = "qv") -> F.Column:
