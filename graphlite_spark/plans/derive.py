@@ -117,8 +117,12 @@ def assign_dense_ids(
     return out
 
 
-def _exclusive_conv_offsets(cnts: DataFrame, key: str = "conv_id") -> DataFrame:
-    """(key, _off) — exclusive prefix sum of ``_n`` in ``key`` order,
+def _exclusive_conv_offsets(
+    cnts: DataFrame, key: str = "conv_id"
+) -> tuple[DataFrame, int]:
+    """((key, _off), n_keys) — exclusive prefix sum of ``_n`` in ``key``
+    order plus the EXACT key count (free: it rides the same P-row
+    collect that supplies the partition offsets),
     fully distributed (the weighted analogue of :func:`assign_dense_ids`):
     a range shuffle of the per-key counts fixes the key order across P
     partitions, a per-partition window computes local running sums, and a
@@ -140,14 +144,17 @@ def _exclusive_conv_offsets(cnts: DataFrame, key: str = "conv_id") -> DataFrame:
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    totals = {
-        int(r["_pid"]): int(r["_t"])
-        for r in part.groupBy("_pid").agg(F.sum("_n").alias("_t")).collect()
+    stats = {
+        int(r["_pid"]): (int(r["_t"]), int(r["_k"]))
+        for r in part.groupBy("_pid")
+        .agg(F.sum("_n").alias("_t"), F.count(F.lit(1)).alias("_k"))
+        .collect()
     }
     offsets, acc = [], 0
-    for pid in sorted(totals):
+    n_keys = sum(k for _, k in stats.values())
+    for pid in sorted(stats):
         offsets.append((pid, acc))
-        acc += totals[pid]
+        acc += stats[pid][0]
     offs = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _poff long")
     wcum = (
         Window.partitionBy("_pid")
@@ -165,7 +172,7 @@ def _exclusive_conv_offsets(cnts: DataFrame, key: str = "conv_id") -> DataFrame:
         .localCheckpoint(eager=True)
     )
     part.unpersist()
-    return out
+    return out, n_keys
 
 
 def derive_vertices(transcripts: DataFrame) -> DataFrame:
@@ -195,7 +202,17 @@ def derive_vertices(transcripts: DataFrame) -> DataFrame:
         (F.row_number().over(w) - 1).cast("long").alias("_r"),
     )
     cnts = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
-    offs = _exclusive_conv_offsets(cnts)
+    offs, n_convs = _exclusive_conv_offsets(cnts)
+    # Place the broadcast DELIBERATELY: left to its size estimates the
+    # planner broadcasts the V-sized ranked turn table here (measured in
+    # the sf0.1 plan — BuildLeft over the whole window pipeline), which
+    # collects every turn through the driver and is fatal at 10^12 rows.
+    # The offsets table is conversation-cardinality and its exact row
+    # count just rode the offsets collect, so broadcast it while it is
+    # genuinely broadcast-sized and fall back to the shuffle join (ranked
+    # stays on its hash(conv_id) partitioning) when it is not.
+    if n_convs <= 10_000_000:
+        offs = F.broadcast(offs)
     return ranked.join(offs, "conv_id").select(
         (F.col("_off") + F.col("_r")).cast("long").alias("id"),
         "conv_id",
@@ -213,17 +230,30 @@ def derive_edges(transcripts: DataFrame, vertices: DataFrame | None = None) -> D
     if vertices is None:
         vertices = derive_vertices(transcripts)
     ids = vertices.select("id", "conv_id", "turn_idx")
-    # One equi-join attaches dense ids; because ids are assigned in
-    # (conv_id, turn_idx) order, lead(id)/windowed-min(id) within the
-    # conversation window yield destination ids directly — no second join.
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    t = transcripts.join(ids, ["conv_id", "turn_idx"])
 
+    # reply edges need nothing but the dense-id table: the (conv, turn)
+    # -> id map is 1:1 with the transcript rows, so lead(id) over the
+    # conversation window on ``ids`` alone equals the joined formulation —
+    # no transcript re-scan, no join, and ``ids`` already rides the
+    # hash(conv_id) partitioning it was built under.
     reply = (
-        t.withColumn("dst", F.lead("id").over(w))
+        ids.withColumn("dst", F.lead("id").over(w))
         .where(F.col("dst").isNotNull())
         .select(F.col("id").alias("src"), "dst", F.lit("reply").alias("etype"))
     )
+
+    # tool edges need role/tool, so one equi-join attaches dense ids —
+    # pre-filtered to the only rows that matter: assistant turns (edge
+    # sources) and tool turns (min-over-following targets).  Dropping the
+    # other rows cannot change the min (every tool turn is retained and
+    # rows strictly after a kept row stay strictly after it).  Both join
+    # sides are hash(conv_id)-partitioned, and conv_id is a join key, so
+    # the join and the following window replan onto that one exchange.
+    tt = transcripts.where(
+        (F.col("role") == "assistant") | F.col("tool").isNotNull()
+    ).select("conv_id", "turn_idx", "role", "tool")
+    t = tt.join(ids, ["conv_id", "turn_idx"])
 
     w_follow = w.rowsBetween(1, Window.unboundedFollowing)
     tool = (

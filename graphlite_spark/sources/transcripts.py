@@ -146,9 +146,21 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
       substr(md5(cast(event_id as string)), 1, 12)`` — deterministic,
       engine-agnostic payload carrying the per-row invariant
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = events.select(
+    # Project conv_id FIRST and partition the ranking window by it:
+    # conv_id = format('conv%08d', user_id) is injective, so the ranks are
+    # identical to partitioning by user_id — but every downstream consumer
+    # (dense-id window, per-conversation edge windows, conv groupBys) keys
+    # on conv_id, and hanging the one required hash exchange on that
+    # column lets all of them ride it instead of re-shuffling.
+    base = events.select(
         F.format_string("conv%08d", F.col("user_id").cast("int")).alias("conv_id"),
+        "event_type",
+        "event_id",
+        "ts",
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    t = base.select(
+        "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.when(F.col("event_type").isin("purchase", "error"), F.col("event_type"))
         .otherwise(F.lit(None).cast("string"))
