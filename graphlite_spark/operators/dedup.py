@@ -683,18 +683,29 @@ def edit_distance_join(
             )
         ).alias("gram"),
     )
-    df_tab = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # df as a count-over-gram window: the old groupBy+join formulation
+    # shuffled the gram table by gram for the join ANYWAY, but ran the
+    # expensive gram-extraction pipeline twice (once per branch); the
+    # window keeps the identical exchange and extracts once.
+    wg = Window.partitionBy("gram")
     w = Window.partitionBy("doc_id").orderBy("df", "gram")
     prefix = (
-        grams.join(df_tab, "gram")
+        grams.withColumn("df", F.count(F.lit(1)).over(wg))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= prefix_len)
         .select("doc_id", "gram")
     )
-    pa = prefix.join(d.select("doc_id", "len"), "doc_id").select(
+    # Stage the rarest-prefix table once: it is the (≤ prefix_len)·N-row
+    # product of the expensive gram-extraction pipeline (transform +
+    # array_distinct over every text), and both self-join sides plus the
+    # candidate join would otherwise re-run that pipeline per reference.
+    prefix = prefix.join(d.select("doc_id", "len"), "doc_id").localCheckpoint(
+        eager=True
+    )
+    pa = prefix.select(
         F.col("doc_id").alias("a"), "gram", F.col("len").alias("la")
     )
-    pb = prefix.join(d.select("doc_id", "len"), "doc_id").select(
+    pb = prefix.select(
         F.col("doc_id").alias("b"), "gram", F.col("len").alias("lb")
     )
     cand = (
@@ -705,18 +716,27 @@ def edit_distance_join(
         )
         .select("a", "b")
         .distinct()
+        .localCheckpoint(eager=True)  # pair-count-sized; frees the prefix leaf
     )
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
+    release_local_checkpoint(prefix)
     ta = d.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
     tb = d.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    # Banded verify: the 3-arg levenshtein (Spark 4) computes only the
+    # ±k diagonal band — O(k·L) per pair instead of O(L²) — returning -1
+    # past the threshold and the EXACT distance inside it, so the output
+    # rows are identical (measured: the unbanded verify was over half
+    # this query's wall on 1-2 KB texts).
     return (
         cand.join(ta, "a")
         .join(tb, "b")
         .select(
             "a",
             "b",
-            F.levenshtein("text_a", "text_b").cast("long").alias("dist"),
+            F.levenshtein("text_a", "text_b", k).cast("long").alias("dist"),
         )
-        .where(F.col("dist") <= k)
+        .where((F.col("dist") >= 0) & (F.col("dist") <= k))
     )
 
 
