@@ -51,8 +51,24 @@ def cosine_topk(
     Deterministic tie-break: (round(sim,6) DESC, neighbor_id ASC), so
     cross-engine float noise below 1e-6 cannot reorder results.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # Hoist the per-vector work out of the O(Q·N) pair loop: the double
+    # cast and the self-norm are functions of ONE side, but inlining
+    # cosine_expr per pair recomputed both (2 transforms + 2 dot folds +
+    # 2 sqrts per pair).  Staged per side, each pair pays exactly one
+    # dot fold and one divide; the float ops and their order are
+    # unchanged (dot / (sqrt(aa) * sqrt(bb))), so sim is bit-identical.
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    q = q.select(
+        "query_id", "qv", F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("qn")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    c = c.select(
+        "neighbor_id", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn")
+    )
     if broadcast_candidates:
         c = F.broadcast(c)
     scored = (
@@ -60,7 +76,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -241,7 +259,7 @@ def ivf_topk(
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        _as_double(F.col(vec_col)).alias("cv"),
         quantize_expr(F.col(vec_col)).alias("qv"),
         *c_lab,
     ).select(
@@ -249,6 +267,8 @@ def ivf_topk(
         *(["neighbor_label"] if label_col else []),
     ).select(
         "neighbor_id", "cv",
+        # per-vector norm staged once (same hoist as cosine_topk)
+        F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"),
         (F.array_position("ds", F.array_min("ds")) - 1)
         .cast("long").alias("cell"),
         *(["neighbor_label"] if label_col else []),
@@ -257,9 +277,11 @@ def ivf_topk(
     q_lab = [F.col(label_col).alias("query_label")] if label_col else []
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
+        _as_double(F.col(vec_col)).alias("qvec"),
         quantize_expr(F.col(vec_col)).alias("qv"),
         *q_lab,
+    ).select(
+        "*", F.sqrt(_dot(F.col("qvec"), F.col("qvec"))).alias("qn")
     )
     # (dist, cell) structs sort ascending lexicographically — nearest
     # first, smaller cell index on ties — then keep the nprobe head
@@ -278,9 +300,9 @@ def ivf_topk(
     ql = ["query_label"] if label_col else []
     nl = ["neighbor_label"] if label_col else []
     probes = (
-        q.select("query_id", "qvec", ranked.alias("pr"), *ql)
-        .select("query_id", "qvec", F.explode("pr").alias("p"), *ql)
-        .select("query_id", "qvec", F.col("p.cell").alias("cell"), *ql)
+        q.select("query_id", "qvec", "qn", ranked.alias("pr"), *ql)
+        .select("query_id", "qvec", "qn", F.explode("pr").alias("p"), *ql)
+        .select("query_id", "qvec", "qn", F.col("p.cell").alias("cell"), *ql)
     )
 
     scored = probes.join(c, "cell").where(
@@ -293,7 +315,9 @@ def ivf_topk(
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine_expr(F.col("qvec"), F.col("cv")), 6).alias("sim"),
+        F.round(
+            _dot(F.col("qvec"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("sim"),
         *ql,
         *nl,
     )
@@ -328,21 +352,23 @@ def lsh_bucket_topk(
     """(query_id, neighbor_id, rank, sim) — top-k within the LSH bucket."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+        _as_double(F.col(vec_col)).alias("qv"),
         lsh_bucket(F.col(vec_col), num_bits).alias("bucket"),
-    )
+    ).select("*", F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("qn"))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        _as_double(F.col(vec_col)).alias("cv"),
         lsh_bucket(F.col(vec_col), num_bits).alias("bucket"),
-    )
+    ).select("*", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"))
     scored = (
         q.join(c, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1108,17 +1134,21 @@ def twonn_intrinsic_dim(
     broadcast cross join + WindowGroupLimit top-2, the knn_accuracy
     shape) — at 100 TB this runs on a hash sample of points, never the
     full corpus; everything after is one map-side-combined rollup."""
+    # self-dots staged per vector (the cosine_topk hoist): the pair
+    # expression keeps the identical <q,q> + <c,c> - 2<q,c> op order
     q = embeddings.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).select("*", _dot(F.col("qv"), F.col("qv")).alias("qq"))
     c = F.broadcast(
         embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-        )
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ).select("*", _dot(F.col("cv"), F.col("cv")).alias("cc"))
     )
-    qv, cv = _as_double(F.col("qv")), _as_double(F.col("cv"))
     dsq = F.round(
-        _dot(qv, qv) + _dot(cv, cv) - F.lit(2.0) * _dot(qv, cv), 6
+        F.col("qq") + F.col("cc")
+        - F.lit(2.0) * _dot(F.col("qv"), F.col("cv")),
+        6,
     )
     scored = q.join(
         c, F.col("query_id") != F.col("neighbor_id")
@@ -1181,14 +1211,15 @@ def uniformity_metric(
     sample of the corpus (the knn_accuracy statement); everything
     after the pair scan is one map-side-combined rollup."""
     q = embeddings.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).select("*", F.sqrt(_dot(F.col("qv"), F.col("qv"))).alias("qn"))
     c = F.broadcast(
         embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-        )
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        ).select("*", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"))
     )
-    cos = cosine_expr(F.col("qv"), F.col("cv"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     g = F.exp(F.lit(-t) * (F.lit(2.0) - F.lit(2.0) * cos))
     pairs = q.join(
         c, F.col("query_id") < F.col("neighbor_id")
