@@ -934,30 +934,56 @@ def char_entropy(documents: DataFrame) -> DataFrame:
 
     Scale shape: pure per-row expressions (O(distinct_chars × len)
     per document), no shuffle, no join — embarrassingly parallel."""
-    # substring with a column start needs the SQL form
+    # One sorted pass instead of a per-distinct-char filter scan: the
+    # old form referenced the char array 2x PER DISTINCT CHAR (HOF
+    # lambdas get no subexpression elimination — the repo's staging
+    # rule), i.e. O(D*L) array re-materializations per document.  The
+    # counts n_c are the run lengths of the SORTED char array; the
+    # per-char term round(1e6 * n_c * ln n_c) is unchanged and the term
+    # sum is a sum of exact longs, so it is order-independent — the
+    # result is identical.
     chars = F.expr(
         "transform(sequence(1, length(text)), i -> substring(text, i, 1))"
     )
-    dist = F.array_distinct(chars)
-    term = lambda u: F.round(  # noqa: E731
-        F.lit(1_000_000.0)
-        * F.size(F.filter(chars, lambda x: x == u))
-        * F.log(F.size(F.filter(chars, lambda x: x == u)).cast("double"))
-    ).cast("long")
+    n = F.length("text").cast("long")
+    d0 = documents.select(
+        "doc_id",
+        n.alias("n"),
+        F.array_sort(chars).alias("cs"),
+    )
+    d1 = d0.select(
+        "doc_id",
+        "n",
+        "cs",
+        # run starts: position 1, and every position whose char differs
+        # from its predecessor
+        F.expr(
+            "filter(sequence(1, size(cs)), i -> i = 1 OR "
+            "element_at(cs, i) != element_at(cs, i - 1))"
+        ).alias("b"),
+    )
+    runs = F.expr(
+        "zip_with(b, concat(slice(b, 2, size(b) - 1), array(size(cs) + 1)), "
+        "(a, e) -> e - a)"
+    )
     s = F.aggregate(
-        F.transform(dist, term),
+        F.transform(
+            runs,
+            lambda c: F.round(
+                F.lit(1_000_000.0) * c * F.log(c.cast("double"))
+            ).cast("long"),
+        ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    n = F.length("text").cast("long")
     ent = F.round(
-        F.lit(1_000_000.0) * F.log(n.cast("double"))
-        - s.cast("double") / n.cast("double")
+        F.lit(1_000_000.0) * F.log(F.col("n").cast("double"))
+        - s.cast("double") / F.col("n").cast("double")
     ).cast("long")
-    return documents.select(
+    return d1.select(
         "doc_id",
-        n.alias("n_chars_counted"),
-        F.when(n > 0, ent).alias("entropy_micros"),
+        F.col("n").alias("n_chars_counted"),
+        F.when(F.col("n") > 0, ent).alias("entropy_micros"),
     )
 
 
