@@ -49,14 +49,41 @@ def neighborhood_function(
     sketch is the k smallest md5 hashes of the ball, the estimate is
     ``(k-1)·2^48 div h_k`` (exact count below k), and the oracle unrolls
     the identical iterations."""
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     spark = edges.sparkSession
-    und = (
+    saved = {
+        k_: spark.conf.get(k_)
+        for k_ in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # data-sized loop width + a pre-sorted static edge leaf (the Pregel
+    # discipline): the scatter join and the sketch window then replan
+    # onto ONE exchange per iteration — the leaf rides hash(src) sorted,
+    # the state leaf rides hash(id)=hash(src-alias) sorted out of the
+    # previous window, so the SMJ needs neither exchange nor sort.
+    und0 = (
         edges if already_undirected else symmetrize(edges)
-    ).select("src", "dst").persist()
+    ).select("src", "dst").localCheckpoint(eager=True)
+    n_arcs = und0.count()
+    P = max(1, min(int(saved["spark.sql.shuffle.partitions"]),
+                   n_arcs // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    und = (
+        und0.repartition(P, "src")
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(und0)
     state = vertices.select(
         "id",
         hash48(F.concat(F.lit("nf:"), F.col("id").cast("string"))).alias("hv"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     mult = (k - 1) * HASH_SPACE
     est_expr = (
         F.when(F.col("n") < k, F.col("n"))
@@ -72,9 +99,8 @@ def neighborhood_function(
         return total if total is not None else 0  # empty vertex set
 
     rows = [(0, int(n_of_h(state)))]
-    saved = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     w = Window.partitionBy("id").orderBy("hv")
+    owned = [state]
     try:
         for h in range(1, max_h + 1):
             merged = (
@@ -83,18 +109,30 @@ def neighborhood_function(
                 )
                 .select(F.col("dst").alias("id"), "hv")
                 .unionByName(state)
-                .distinct()
             )
-            state = (
-                merged.withColumn("rn", F.row_number().over(w))
+            # distinct + top-k in ONE id-partitioned window pass: rows
+            # tie-sorted by hv, a row equal to its predecessor is a
+            # duplicate hash (same set as .distinct()), and row_number
+            # over the surviving rows is the KMV rank.  The second
+            # window reuses the first one's partitioning and sort.
+            dedup = merged.withColumn("_p", F.lag("hv").over(w)).where(
+                F.col("_p").isNull() | (F.col("_p") != F.col("hv"))
+            )
+            new_state = (
+                dedup.withColumn("rn", F.row_number().over(w))
                 .where(F.col("rn") <= k)
                 .select("id", "hv")
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
             )
+            owned.append(new_state)
+            state = new_state
             rows.append((h, int(n_of_h(state))))
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", saved)
-        und.unpersist()
+        for k_, v_ in saved.items():
+            spark.conf.set(k_, v_)
+        release_local_checkpoint(und)
+        for df in owned:
+            release_local_checkpoint(df)
     return spark.createDataFrame(
         [(int(h), int(n)) for h, n in rows], "h bigint, est_pairs bigint"
     )
