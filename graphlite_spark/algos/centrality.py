@@ -460,7 +460,16 @@ def spectral_gap_lambda2(
         "n_vertices long, n_edges_und long, slem_micros long,"
         " gap_micros long"
     )
-    und = (
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
+    saved_conf = {
+        k_: spark.conf.get(k_)
+        for k_ in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    und0 = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .unionByName(
@@ -469,16 +478,29 @@ def spectral_gap_lambda2(
             ).where(F.col("src") != F.col("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    n_arcs = und0.count()
+    P = max(1, min(int(saved_conf["spark.sql.shuffle.partitions"]),
+                   n_arcs // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    und = (
+        und0.repartition(P, "src")
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(und0)
     deg = und.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
     nv = deg.count()
     if nv == 0:
-        und.unpersist()
+        release_local_checkpoint(und)
+        for k_, v_ in saved_conf.items():
+            spark.conf.set(k_, v_)
         return spark.createDataFrame([], schema)
-    ne = und.count() // 2
+    ne = n_arcs // 2
     dec = "decimal(38,0)"
     sdd = int(
         deg.agg(
@@ -565,7 +587,9 @@ def spectral_gap_lambda2(
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
-        und.unpersist()
+        for k_, v_ in saved_conf.items():
+            spark.conf.set(k_, v_)
+        release_local_checkpoint(und)
     sxz, sxx = int(fin["sxz"]), int(fin["sxx"])
     lam = None
     if sxx > 0:
