@@ -24,34 +24,67 @@ def hits(vertices: DataFrame, edges: DataFrame, iterations: int = 3) -> DataFram
     """(id, auth, hub) after ``iterations`` rounds (exact longs)."""
     if iterations < 1:
         raise ValueError(f"hits: iterations must be >= 1, got {iterations}")
-    e = edges.select("src", "dst").persist()
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
+    spark = edges.sparkSession
+    saved = {
+        k_: spark.conf.get(k_)
+        for k_ in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    e0 = edges.select("src", "dst").localCheckpoint(eager=True)
+    n_e = e0.count()
+    P = max(1, min(int(saved["spark.sql.shuffle.partitions"]),
+                   n_e // 100_000 + 1))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    # dual gather layouts, as in salsa below: each half-step's SMJ rides
+    # its pre-sorted leaf exchange- and sort-free on the edge side
+    e_src = (
+        e0.repartition(P, "src").sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
+    e_dst = (
+        e0.repartition(P, "dst").sortWithinPartitions("dst")
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(e0)
     v = vertices.select("id")
     hub = v.select("id", F.lit(1).cast("long").alias("hub"))
     auth = None
-    for _ in range(iterations):
-        ag = (
-            e.join(hub, e["src"] == hub["id"])
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.sum("hub").alias("s"))
-        )
-        auth = v.join(ag, v["id"] == ag["vid"], "left").select(
-            "id", F.coalesce("s", F.lit(0)).cast("long").alias("auth")
-        )
-        hg = (
-            e.join(auth, e["dst"] == auth["id"])
-            .groupBy(F.col("src").alias("vid"))
-            .agg(F.sum("auth").alias("s"))
-        )
-        hub = v.join(hg, v["id"] == hg["vid"], "left").select(
-            "id", F.coalesce("s", F.lit(0)).cast("long").alias("hub")
-        )
-        hub = hub.localCheckpoint(eager=False)
-        auth = auth.localCheckpoint(eager=False)
-    out = auth.join(hub, "id").select("id", "auth", "hub")
-    # materialize before releasing the cached edges the lazy checkpoints
-    # still reference
-    out = out.localCheckpoint(eager=True)
-    e.unpersist()
+    owned: list = []
+    try:
+        for _ in range(iterations):
+            ag = (
+                e_src.join(hub, e_src["src"] == hub["id"])
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.sum("hub").alias("s"))
+            )
+            auth = v.join(ag, v["id"] == ag["vid"], "left").select(
+                "id", F.coalesce("s", F.lit(0)).cast("long").alias("auth")
+            )
+            hg = (
+                e_dst.join(auth, e_dst["dst"] == auth["id"])
+                .groupBy(F.col("src").alias("vid"))
+                .agg(F.sum("auth").alias("s"))
+            )
+            hub = v.join(hg, v["id"] == hg["vid"], "left").select(
+                "id", F.coalesce("s", F.lit(0)).cast("long").alias("hub")
+            )
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+            owned += [hub, auth]
+        out = auth.join(hub, "id").select("id", "auth", "hub")
+        out = out.localCheckpoint(eager=True)  # materialize before release
+    finally:
+        for k_, v_ in saved.items():
+            spark.conf.set(k_, v_)
+        for df in (e_src, e_dst, *owned):
+            release_local_checkpoint(df)
     return out
 
 
@@ -72,42 +105,84 @@ def salsa(vertices: DataFrame, edges: DataFrame, iterations: int = 3) -> DataFra
     edges the degree frames broadcast and only the score frame moves."""
     if iterations < 1:
         raise ValueError(f"salsa: iterations must be >= 1, got {iterations}")
-    e = edges.select("src", "dst").persist()
-    v = vertices.select("id")
-    ind = e.groupBy(F.col("dst").alias("id")).agg(
-        F.count(F.lit(1)).alias("ind")
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
+    spark = edges.sparkSession
+    saved = {
+        k_: spark.conf.get(k_)
+        for k_ in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    e0 = edges.select("src", "dst").localCheckpoint(eager=True)
+    n_e = e0.count()
+    P = max(1, min(int(saved["spark.sql.shuffle.partitions"]),
+                   n_e // 100_000 + 1))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    # dual gather layouts (CSC/CSR): the auth phase gathers along dst,
+    # the hub phase along src — each phase's SMJ rides its leaf sorted,
+    # exchange- and sort-free on the edge side
+    e_dst = (
+        e0.repartition(P, "dst").sortWithinPartitions("dst")
+        .localCheckpoint(eager=True)
     )
-    outd = e.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("outd")
+    e_src = (
+        e0.repartition(P, "src").sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(e0)
+    v = vertices.select("id")
+    # degree tables are loop-static: stage once instead of re-running
+    # the groupBy over the edge table at every reference
+    ind = (
+        e_dst.groupBy(F.col("dst").alias("id"))
+        .agg(F.count(F.lit(1)).alias("ind"))
+        .localCheckpoint(eager=True)
+    )
+    outd = (
+        e_src.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("outd"))
+        .localCheckpoint(eager=True)
     )
     auth = v.select("id", F.lit(1_000_000).cast("long").alias("auth_m"))
     hub = None
-    for _ in range(iterations):
-        av = auth.join(ind, "id").select(
-            "id", F.expr("auth_m div ind").cast("long").alias("adiv")
-        )
-        hg = (
-            e.join(av, e["dst"] == av["id"])
-            .groupBy(F.col("src").alias("vid"))
-            .agg(F.sum("adiv").alias("s"))
-        )
-        hub = v.join(hg, v["id"] == hg["vid"], "left").select(
-            "id", F.coalesce("s", F.lit(0)).cast("long").alias("hub_m")
-        )
-        hv = hub.join(outd, "id").select(
-            "id", F.expr("hub_m div outd").cast("long").alias("hdiv")
-        )
-        ag = (
-            e.join(hv, e["src"] == hv["id"])
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.sum("hdiv").alias("s"))
-        )
-        auth = v.join(ag, v["id"] == ag["vid"], "left").select(
-            "id", F.coalesce("s", F.lit(0)).cast("long").alias("auth_m")
-        )
-        hub = hub.localCheckpoint(eager=False)
-        auth = auth.localCheckpoint(eager=False)
-    out = auth.join(hub, "id").select("id", "auth_m", "hub_m")
-    out = out.localCheckpoint(eager=True)  # materialize before unpersist
-    e.unpersist()
+    owned: list = []
+    try:
+        for _ in range(iterations):
+            av = auth.join(ind, "id").select(
+                "id", F.expr("auth_m div ind").cast("long").alias("adiv")
+            )
+            hg = (
+                e_dst.join(av, e_dst["dst"] == av["id"])
+                .groupBy(F.col("src").alias("vid"))
+                .agg(F.sum("adiv").alias("s"))
+            )
+            hub = v.join(hg, v["id"] == hg["vid"], "left").select(
+                "id", F.coalesce("s", F.lit(0)).cast("long").alias("hub_m")
+            )
+            hv = hub.join(outd, "id").select(
+                "id", F.expr("hub_m div outd").cast("long").alias("hdiv")
+            )
+            ag = (
+                e_src.join(hv, e_src["src"] == hv["id"])
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.sum("hdiv").alias("s"))
+            )
+            auth = v.join(ag, v["id"] == ag["vid"], "left").select(
+                "id", F.coalesce("s", F.lit(0)).cast("long").alias("auth_m")
+            )
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+            owned += [hub, auth]
+        out = auth.join(hub, "id").select("id", "auth_m", "hub_m")
+        out = out.localCheckpoint(eager=True)  # materialize before release
+    finally:
+        for k_, v_ in saved.items():
+            spark.conf.set(k_, v_)
+        for df in (e_dst, e_src, ind, outd, *owned):
+            release_local_checkpoint(df)
     return out
