@@ -286,6 +286,37 @@ def lin_centrality(
     )
 
 
+def _src_loop_leaf(edges: DataFrame):
+    """(leaf, saved_conf) — the linear-gather loop prologue shared by
+    katz/eigenvector: a pre-sorted hash(src) edge leaf, data-sized
+    shuffle width, AQE and auto-broadcast pinned off.  Caller restores
+    ``saved_conf`` and releases the leaf in its ``finally``."""
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
+    spark = edges.sparkSession
+    saved = {
+        k_: spark.conf.get(k_)
+        for k_ in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    e0 = edges.select("src", "dst").localCheckpoint(eager=True)
+    n_e = e0.count()
+    P = max(1, min(int(saved["spark.sql.shuffle.partitions"]),
+                   n_e // 100_000 + 1))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    leaf = (
+        e0.repartition(P, "src").sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(e0)
+    return leaf, saved
+
+
 def katz_centrality(
     vertices: DataFrame,
     edges: DataFrame,
@@ -306,14 +337,14 @@ def katz_centrality(
     round: one equi-join + one map-side-combined groupBy — rank-sized
     shuffles; loop discipline matches the engine (AQE off, lazy
     localCheckpoint per round)."""
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     MICRO = 1_000_000
     spark = edges.sparkSession
-    e = edges.select("src", "dst").persist()
+    e, saved = _src_loop_leaf(edges)
     state = vertices.select(
         "id", F.lit(MICRO).cast("long").alias("katz")
     ).localCheckpoint(eager=False)
-    saved = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for _ in range(iterations):
             msg = (
@@ -340,8 +371,9 @@ def katz_centrality(
             )
         state.count()
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", saved)
-        e.unpersist()
+        for k_, v_ in saved.items():
+            spark.conf.set(k_, v_)
+        release_local_checkpoint(e)
     return state
 
 
@@ -370,14 +402,14 @@ def eigenvector_centrality(
     Per round: one equi-join + one map-side-combined groupBy + a 1-ROW
     max broadcast back — rank-sized shuffles, loop discipline matches
     the engine (AQE off, lazy localCheckpoint per round)."""
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     MICRO = 1_000_000
     spark = edges.sparkSession
-    e = edges.select("src", "dst").persist()
+    e, saved = _src_loop_leaf(edges)
     state = vertices.select(
         "id", F.lit(MICRO).cast("long").alias("eig")
     ).localCheckpoint(eager=False)
-    saved = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for _ in range(iterations):
             msg = (
@@ -408,8 +440,9 @@ def eigenvector_centrality(
             )
         out = state.localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", saved)
-        e.unpersist()
+        for k_, v_ in saved.items():
+            spark.conf.set(k_, v_)
+        release_local_checkpoint(e)
     return out
 
 
