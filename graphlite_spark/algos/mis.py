@@ -63,6 +63,36 @@ def _priority(id_col: str = "id") -> F.Column:
     return hash48(F.concat(F.lit("mis:"), F.col(id_col).cast("string")))
 
 
+def _und_loop_leaf(edges: DataFrame):
+    """(leaf, saved_conf) — symmetry-breaking loop prologue: pre-sorted
+    hash(src) leaf of the undirected closure, data-sized width, AQE and
+    auto-broadcast off.  Caller restores conf + releases in finally."""
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
+    spark = edges.sparkSession
+    saved = {
+        k_: spark.conf.get(k_)
+        for k_ in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    u0 = symmetrize(edges).select("src", "dst").localCheckpoint(eager=True)
+    n_arcs = u0.count()
+    P = max(1, min(int(saved["spark.sql.shuffle.partitions"]),
+                   n_arcs // 100_000 + 1))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    und = (
+        u0.repartition(P, "src").sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(u0)
+    return und, saved
+
+
 def maximal_independent_set(
     vertices: DataFrame,
     edges: DataFrame,
@@ -72,13 +102,13 @@ def maximal_independent_set(
     -1 = undecided when ``max_rounds`` bound (the oracle unrolls the same
     cap).  Independence and maximality hold over the undirected,
     self-loop-free closure of ``edges``."""
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     spark = edges.sparkSession
-    und = symmetrize(edges).select("src", "dst").persist()
+    und, saved = _und_loop_leaf(edges)
     state = truncate_plan(vertices.select(
         "id", _priority().alias("h"), F.lit(-1).cast("int").alias("st")
     ))
-    saved = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         remaining = state.where(F.col("st") == -1).count()
         for _ in range(max_rounds):
@@ -140,8 +170,11 @@ def maximal_independent_set(
             )
             remaining = state.where(F.col("st") == -1).count()
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", saved)
-        und.unpersist()
+        # every round's state leaf was materialized by its count(), so
+        # the edge leaf can be freed without orphaning the result
+        for k_, v_ in saved.items():
+            spark.conf.set(k_, v_)
+        release_local_checkpoint(und)
     return state.select("id", F.col("st").cast("long").alias("status"))
 
 
@@ -153,14 +186,14 @@ def greedy_coloring(
     """(id, color) — Jones–Plassmann greedy coloring; colors in
     [0, maxdegree] form a proper coloring of the undirected closure, -1 =
     uncolored when ``max_rounds`` bound (same cap in the oracle)."""
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     spark = edges.sparkSession
-    und = symmetrize(edges).select("src", "dst").persist()
+    und, saved = _und_loop_leaf(edges)
     pick = F.expr(lowest_missing_color_sql("coalesce(mask, 0)"))
     state = truncate_plan(vertices.select(
         "id", _priority().alias("h"), F.lit(-1).cast("int").alias("color")
     ))
-    saved = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         remaining = state.where(F.col("color") == -1).count()
         for _ in range(max_rounds):
@@ -219,6 +252,7 @@ def greedy_coloring(
             )
             remaining = state.where(F.col("color") == -1).count()
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", saved)
-        und.unpersist()
+        for k_, v_ in saved.items():
+            spark.conf.set(k_, v_)
+        release_local_checkpoint(und)
     return state.select("id", F.col("color").cast("long").alias("color"))
