@@ -1085,9 +1085,13 @@ def knn_mutuality(
     backbone (SemDeDup-style pairing keeps them first), one-way arcs
     are where hubness lives.  One self-join of the top-1 arc table on
     the reversed key."""
-    top1 = cosine_topk(
-        embeddings, embeddings, k=1, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id")
+    # stage the arc table: both self-join sides reference it, and each
+    # reference would otherwise re-run the full brute-force top-1 pass
+    top1 = (
+        cosine_topk(embeddings, embeddings, k=1, id_col=id_col, vec_col=vec_col)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     rev = top1.select(
         F.col("neighbor_id").alias("query_id"),
         F.col("query_id").alias("neighbor_id"),
