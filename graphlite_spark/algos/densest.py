@@ -40,21 +40,40 @@ def densest_subgraph_peel(
     """(round, n_vertices, n_edges, density_ppm) — the BKV peel trace
     over the undirected simple graph; rows emitted while vertices
     remain.  density_ppm = 1e6 * E div V (exact)."""
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     spark = edges.sparkSession
-    pairs = (
+    saved_conf = {
+        k_: spark.conf.get(k_)
+        for k_ in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    p0 = (
         edges.select(
             F.least("src", "dst").alias("lo"),
             F.greatest("src", "dst").alias("hi"),
         )
         .where(F.col("lo") != F.col("hi"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    n_pairs = p0.count()
+    P = max(1, min(int(saved_conf["spark.sql.shuffle.partitions"]),
+                   n_pairs // 100_000 + 1))
+    pairs = (
+        p0.repartition(P, "lo").sortWithinPartitions("lo")
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(p0)
     alive = vertices.select("id").localCheckpoint(eager=False)
     thresh = 2 * (1000 + eps_permille)
     trace = []
     saved = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(P))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         for r in range(rounds + 1):
             e_t = (
@@ -64,7 +83,7 @@ def densest_subgraph_peel(
             )
             stats = alive.agg(
                 F.count(F.lit(1)).cast("long").alias("v_t")
-            ).crossJoin(e_t.agg(F.count(F.lit(1)).cast("long").alias("e_t")))
+            ).crossJoin(F.broadcast(e_t.agg(F.count(F.lit(1)).cast("long").alias("e_t"))))
             trace.append(
                 stats.where(F.col("v_t") > 0).select(
                     F.lit(r).cast("long").alias("round"),
@@ -89,7 +108,7 @@ def densest_subgraph_peel(
             )
             alive = (
                 alive.join(deg, "id", "left")
-                .crossJoin(stats)
+                .crossJoin(F.broadcast(stats))
                 .where(
                     F.coalesce("deg", F.lit(0)) * F.col("v_t") * 1000
                     > thresh * F.col("e_t")
@@ -104,5 +123,7 @@ def densest_subgraph_peel(
         out.count()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved)
-        pairs.unpersist()
+        for k_, v_ in saved_conf.items():
+            spark.conf.set(k_, v_)
+        release_local_checkpoint(pairs)
     return out
