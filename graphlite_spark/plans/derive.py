@@ -131,6 +131,8 @@ def _exclusive_conv_offsets(
     ~avg_turns× smaller than the turn table; the result is eagerly
     checkpointed (it is joined back twice-removed and the range-sample
     boundaries and partition ids must not be re-drawn on recompute)."""
+    from graphlite_spark.checkpoint import release_local_checkpoint
+
     spark = cnts.sparkSession
     P = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # checkpoint the per-key counts FIRST: they are key-cardinality-sized
@@ -138,6 +140,25 @@ def _exclusive_conv_offsets(
     # range shuffle below would otherwise pay that pass twice more (once
     # for boundary sampling, once for the exchange itself)
     cnts = cnts.localCheckpoint(eager=True)
+    n_keys = cnts.count()
+    if n_keys <= 2_000_000:
+        # bounded driver fast path: a prefix sum over <= 2M per-KEY
+        # count rows is cut-table-sized (the codebook-collect class the
+        # repo already audits), and doing it here replaces the range
+        # sample + exchange + stats collect + second checkpoint — three
+        # driver round-trips — with one collect.  Key order: the keys
+        # are the engine's ASCII 'conv%08d' ids, for which Python's
+        # code-point sort equals Spark's UTF8 binary ordering.  The
+        # distributed path below remains the >2M route.
+        rows = sorted(cnts.collect(), key=lambda r: r[key])
+        data, acc = [], 0
+        for r in rows:
+            data.append((r[key], acc))
+            acc += int(r["_n"])
+        ktype = {f.name: f.dataType.simpleString() for f in cnts.schema.fields}[key]
+        out = spark.createDataFrame(data, f"{key} {ktype}, _off long")
+        release_local_checkpoint(cnts)
+        return out, n_keys
     part = (
         cnts.repartitionByRange(P, key)
         .sortWithinPartitions(key)
@@ -211,7 +232,7 @@ def derive_vertices(transcripts: DataFrame) -> DataFrame:
     # count just rode the offsets collect, so broadcast it while it is
     # genuinely broadcast-sized and fall back to the shuffle join (ranked
     # stays on its hash(conv_id) partitioning) when it is not.
-    if n_convs <= 10_000_000:
+    if n_convs <= 4_000_000:  # ~60 B/row framed: a few hundred MB at most
         offs = F.broadcast(offs)
     return ranked.join(offs, "conv_id").select(
         (F.col("_off") + F.col("_r")).cast("long").alias("id"),
