@@ -478,3 +478,31 @@ def test_q6_filters_push_to_scan(spark):
     assert m is not None
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"l_extendedprice", "l_discount", "l_quantity", "l_shipdate"}, cols
+
+
+def test_derive_vertices_never_broadcasts_the_turn_table(spark):
+    """r6 derive restructure guard: the dense-id join must broadcast the
+    conversation-OFFSETS side (ExistingRDD leaf), never the V-sized
+    ranked turn pipeline — a ranked-side broadcast collects every turn
+    through the driver (fatal at 10^12 rows; measured as BuildLeft over
+    the whole window pipeline before the fix).  Also pins the one-
+    exchange shape: the single hash exchange feeds both windows."""
+    from graphlite_spark.plans.derive import derive_vertices
+    from graphlite_spark.sources.transcripts import transcripts_from_events
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    v = derive_vertices(transcripts_from_events(ev))
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    # exactly one data Exchange (hash on conv_id); the second exchange
+    # of the old plan (user_id window) must not come back
+    n_exch = len(re.findall(r"\bExchange hashpartitioning", plan))
+    assert n_exch == 1, f"expected 1 hash exchange, got {n_exch}:\n{plan[:1500]}"
+    # the broadcast side must be the checkpointed offsets leaf (Scan
+    # ExistingRDD a few nodes below), never the window pipeline (whose
+    # subtree contains the parquet scan)
+    if "BroadcastExchange" in plan:
+        bcast_idx = plan.index("BroadcastExchange")
+        subtree = plan[bcast_idx : bcast_idx + 400]
+        assert "Scan ExistingRDD" in subtree, subtree
+        assert "Scan parquet" not in subtree, subtree
+        assert "BuildRight" in plan, plan[:800]
